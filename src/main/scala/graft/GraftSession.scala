@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Central place for the configs every entry point (tests, Verify, Bench,
+  * user code) must agree on:
+  *   - `spark.sql.legacy.parquet.nanosAsLong`: the `events` table carries
+  *     parquet TIMESTAMP(NANOS) which Spark has no native type for; we read
+  *     nanos as Long and surface both the exact nanos and a micro-truncated
+  *     TimestampType column (see [[Tables.events]]).
+  *   - UTC session timezone so timestamp semantics are stable across hosts.
+  *   - AQE on: runtime join-strategy switching, partition coalescing and
+  *     skew-join handling are the scale story for 100 TB inputs.
+  */
+object GraftSession {
+
+  def builder(
+      appName: String = "graft",
+      master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Build (or reuse) a session and register all graft SQL functions. */
+  def get(
+      appName: String = "graft",
+      master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(appName, master, shufflePartitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}
