@@ -41,12 +41,18 @@ object Tables {
     *   - `ts`: micro-truncated TimestampType — used for window functions,
     *     watermarks and human-facing time ops.
     */
-  private def normalizeEventTime(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else
-      df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  private def normalizeEventTime(df: DataFrame): DataFrame = {
+    val withNs =
+      if (df.schema("ts").dataType == LongType)
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      else
+        df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    // ts_us: micro-truncated epoch — the finest resolution a DuckDB oracle
+    // can see (its parquet reader truncates TIMESTAMP(NANOS) to micros), so
+    // oracle-facing queries order/compute on ts_us.
+    withNs.withColumn("ts_us", expr("ts_ns div 1000"))
+  }
 
   /** Register every table as a temp view for `spark.sql` use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

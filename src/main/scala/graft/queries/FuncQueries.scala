@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Scalar function packs (SURVEY.md §2.8) + Correlate/UNNEST (§2.2).
+  * Everything here is a Spark built-in (codegen'd, stays inside
+  * WholeStageCodegen); the custom gap functions live in graft.functions.
+  */
+object FuncQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_string_funcs",
+      (s, dir) => {
+        Tables.part(s, dir).select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          length(col("p_name")).as("len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "#").as("rp"),
+          regexp_replace(col("p_name"), " ", "_").as("und"),
+          substring(col("p_name"), 1, 3).as("l3"),
+          reverse(col("p_brand")).as("rev"),
+          repeat(col("p_type"), 2).as("rep2"),
+          instr(col("p_name"), "a").as("pos_a"),
+          ascii(col("p_brand")).as("asc0"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey,
+          upper(p_name) AS up, lower(p_brand) AS lo,
+          substring(p_name, 1, 5) AS sub5, length(p_name) AS len,
+          concat_ws('-', p_brand, p_type) AS bt,
+          lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '#') AS rp,
+          replace(p_name, ' ', '_') AS und,
+          substring(p_name, 1, 3) AS l3,
+          reverse(p_brand) AS rev, repeat(p_type, 2) AS rep2,
+          strpos(p_name, 'a') AS pos_a, ascii(p_brand) AS asc0
+        FROM part ORDER BY p_partkey
+      """.trim)),
+
+    QueryDef(
+      "q_datetime_funcs",
+      (s, dir) => {
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          date_trunc("month", col("o_orderdate")).as("mstart"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(to_date(lit("1998-12-01")), to_date(col("o_orderdate")))
+            .as("days_to_cutoff"),
+          date_format(
+            to_date(col("o_orderdate")) + expr("INTERVAL 30 DAYS"),
+            "yyyy-MM-dd").as("plus30"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          EXTRACT(year FROM o_orderdate) AS y,
+          EXTRACT(month FROM o_orderdate) AS m,
+          EXTRACT(day FROM o_orderdate) AS d,
+          EXTRACT(quarter FROM o_orderdate) AS q,
+          date_trunc('month', o_orderdate) AS mstart,
+          strftime(o_orderdate, '%Y-%m') AS ym,
+          date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
+          strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    QueryDef(
+      "q_conditional",
+      (s, dir) => {
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "done")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status_w"),
+          coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")),
+            lit("none")).as("prio"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("g"),
+          least(col("o_custkey"), col("o_orderkey")).as("l"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'F' THEN 'done'
+               WHEN o_orderstatus = 'O' THEN 'open'
+               ELSE 'other' END AS status_w,
+          COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
+          GREATEST(o_totalprice, 100000.0) AS g,
+          LEAST(o_custkey, o_orderkey) AS l
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    QueryDef(
+      "q_math_funcs",
+      (s, dir) => {
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("absq"),
+          floor(col("l_quantity") / 7.0).cast("long").as("flq"),
+          ceil(col("l_quantity") / 7.0).cast("long").as("clq"),
+          (col("l_orderkey") % 7).as("mod7"),
+          pow(lit(2.0), col("l_linenumber")).as("pow2"),
+          sqrt(col("l_quantity") * col("l_quantity")).as("sq"),
+          col("l_orderkey").bitwiseAND(255).as("band"),
+          col("l_orderkey").bitwiseOR(1).as("bor"),
+          signum(col("l_quantity") - 25.0).cast("int").as("sgn"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          abs(l_quantity - 25.0) AS absq,
+          CAST(floor(l_quantity / 7.0) AS BIGINT) AS flq,
+          CAST(ceil(l_quantity / 7.0) AS BIGINT) AS clq,
+          l_orderkey % 7 AS mod7,
+          pow(2.0, l_linenumber) AS pow2,
+          sqrt(l_quantity * l_quantity) AS sq,
+          l_orderkey & 255 AS band,
+          l_orderkey | 1 AS bor,
+          CAST(sign(l_quantity - 25.0) AS INTEGER) AS sgn
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+      """.trim)),
+
+    QueryDef(
+      "q_hash_funcs",
+      (s, dir) => {
+        Tables.part(s, dir).select(
+          col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("h_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("h_sha256"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256
+        FROM part ORDER BY p_partkey
+      """.trim)),
+
+    QueryDef(
+      "q_json_funcs",
+      (s, dir) => {
+        Tables.events(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k_struct"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id,
+          CAST(props->>'$.k' AS INTEGER) AS k_val,
+          CAST(props->>'$.k' AS INTEGER) AS k_struct
+        FROM events ORDER BY event_id
+      """.trim)),
+
+    // Correlate / UNNEST (reference: StreamExecCorrelate.java:53) — explode
+    // of a per-row generated array.
+    QueryDef(
+      "q_unnest",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .where(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            explode(sequence(lit(1), col("l_linenumber"))).as("i"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("i"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               unnest(generate_series(1, l_linenumber)) AS i
+        FROM lineitem WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber, i
+      """.trim)),
+
+    // UNNEST WITH ORDINALITY → posexplode.
+    QueryDef(
+      "q_unnest_ordinality",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .where(col("doc_id") < 20)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "word")
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, str_split(text, ' ') AS parts
+                   FROM documents WHERE doc_id < 20),
+        i AS (SELECT doc_id, parts,
+                     unnest(generate_series(1, len(parts))) AS i
+              FROM d)
+        SELECT doc_id, i - 1 AS pos, parts[i] AS word
+        FROM i ORDER BY doc_id, pos
+      """.trim))
+  )
+}

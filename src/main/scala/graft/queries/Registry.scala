@@ -20,7 +20,13 @@ final case class QueryDef(
 object Registry {
 
   private def packs: Seq[Seq[QueryDef]] = Seq(
-    AggQueries.defs
+    AggQueries.defs,
+    MiscAggQueries.defs,
+    JoinQueries.defs,
+    SetOpQueries.defs,
+    OverQueries.defs,
+    EventQueries.defs,
+    FuncQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("AsOfJoin attaches latest right row at or before left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin(left, right, "k", "t", "t", Seq("v"))
+      .select($"k", $"t", $"tag", $"asof_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    // left (1,10) sees right at t=10 (<= inclusive); (1,20) sees t=15;
+    // (2,5) has no right at or before → null
+    assert(out == Set(
+      (1L, 10L, "a", Some(100.0)),
+      (1L, 20L, "b", Some(150.0)),
+      (2L, 5L, "c", None)))
+  }
+
+  test("Sessionize splits on gaps > threshold") {
+    val df = Seq((1L, 100L), (1L, 150L), (1L, 400L), (2L, 10L))
+      .toDF("k", "t")
+    val out = Sessionize(df, "k", "t", gap = 100L)
+      .select($"k", $"t", $"__session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // gap 100: (100,150) same session (diff 50); 400 starts new (diff 250)
+    assert(out == Set(
+      (1L, 100L, 100L), (1L, 150L, 100L), (1L, 400L, 400L), (2L, 10L, 10L)))
+  }
+
+  test("Sessionize boundary: gap exactly equal to threshold stays joined") {
+    val df = Seq((1L, 0L), (1L, 100L), (1L, 201L)).toDF("k", "t")
+    val starts = Sessionize(df, "k", "t", gap = 100L)
+      .select($"__session_start").as[Long].collect().sorted
+    // diff 100 == gap → same session; diff 101 > gap → new session
+    assert(starts.toSeq == Seq(0L, 0L, 201L))
+  }
+
+  test("TopN keeps n rows per group in order") {
+    val df = Seq(("g1", 3), ("g1", 1), ("g1", 2), ("g2", 9)).toDF("g", "v")
+    val out = TopN(df, 2, Seq($"g"), Seq($"v".desc))
+      .select($"g", $"v", $"rank_no")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out == Set(("g1", 3, 1), ("g1", 2, 2), ("g2", 9, 1)))
+  }
+
+  test("Dedup keepFirst / keepLast") {
+    val df = Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 5L, "z"))
+      .toDF("k", "t", "tag")
+    val first = Dedup.keepFirst(df, Seq($"k"), Seq($"t"))
+      .select($"tag").as[String].collect().toSet
+    val last = Dedup.keepLast(df, Seq($"k"), Seq($"t"))
+      .select($"tag").as[String].collect().toSet
+    assert(first == Set("x", "z"))
+    assert(last == Set("y", "z"))
+  }
+
+  test("Windows.tumbleStart / hopStarts / cumulateEnds assignment") {
+    val df = Seq(Tuple1(25L)).toDF("t")
+    val tumble = df.select(Windows.tumbleStart($"t", 10L)).as[Long].head()
+    assert(tumble == 20L)
+    val hops = df.select(Windows.hopStarts($"t", 20L, 10L)).as[Seq[Long]].head()
+    assert(hops == Seq(10L, 20L)) // windows [10,30) and [20,40) cover t=25
+    val ends = df.select(Windows.cumulateEnds($"t", 40L, 10L)).as[Seq[Long]].head()
+    assert(ends == Seq(30L, 40L)) // start=0(mod 40): ends >25 → 30, 40
+  }
+
+  test("Windows boundary: element exactly on a step boundary") {
+    val df = Seq(Tuple1(30L)).toDF("t")
+    val ends = df.select(Windows.cumulateEnds($"t", 40L, 10L)).as[Seq[Long]].head()
+    assert(ends == Seq(40L)) // window end must be > t: 30 excluded
+    val hops = df.select(Windows.hopStarts($"t", 20L, 10L)).as[Seq[Long]].head()
+    assert(hops == Seq(20L, 30L))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val l = Tables.lineitem(spark, sfMid)
+    val exact = l.select(countDistinct($"l_partkey")).as[Long].head()
+    val apx = l.select(approx_count_distinct($"l_partkey")).as[Long].head()
+    assert(math.abs(apx - exact).toDouble / exact < 0.05,
+      s"apx=$apx exact=$exact")
+  }
+}
