@@ -26,7 +26,8 @@ object Registry {
     SetOpQueries.defs,
     OverQueries.defs,
     EventQueries.defs,
-    FuncQueries.defs
+    FuncQueries.defs,
+    CustomFuncQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

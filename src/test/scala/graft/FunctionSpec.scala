@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.{BitmapFunctions, JsonAggFunctions, StringGapFunctions => SG}
+import org.apache.spark.sql.functions._
+
+class FunctionSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("splitIndex: 0-based, literal separator, null OOB") {
+    val df = Seq(("a.b.c", "."), ("x|y", "|"), ("solo", ".")).toDF("s", "sep")
+    val out = df.select(
+      SG.splitIndex($"s", $"sep", lit(0)),
+      SG.splitIndex($"s", $"sep", lit(1)),
+      SG.splitIndex($"s", $"sep", lit(5)))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(out(0) == (("a", Some("b"), None)))
+    assert(out(1) == (("x", Some("y"), None)))
+    assert(out(2) == (("solo", None, None)))
+  }
+
+  test("inetAton/inetNtoa roundtrip and edge values") {
+    val df = Seq(0L, 1L, 255L, 4294967295L, 2130706433L).toDF("n")
+    val rt = df.select(SG.inetAton(SG.inetNtoa($"n")).as("rt"))
+      .as[Long].collect().toSeq
+    assert(rt == Seq(0L, 1L, 255L, 4294967295L, 2130706433L))
+    val bad = Seq("1.2.3", "1.2.3.999", "a.b.c.d", "1.2.3.4.5").toDF("ip")
+    // composed form: malformed octets / wrong arity → null
+    assert(bad.select(SG.inetAton($"ip")).collect().forall(_.isNullAt(0)))
+  }
+
+  test("jsonQuote escapes per JSON spec; unquote roundtrips") {
+    val df = Seq("plain", "with \"quote\"", "tab\there", "back\\slash", "nl\nend")
+      .toDF("s")
+    val out = df.select($"s", SG.jsonQuote($"s").as("q"),
+      SG.jsonUnquote(SG.jsonQuote($"s")).as("rt")).collect()
+    out.foreach { r =>
+      val q = r.getString(1)
+      assert(q.startsWith("\"") && q.endsWith("\""))
+      assert(r.getString(2) == r.getString(0), s"roundtrip failed for ${r.getString(0)}")
+    }
+    assert(out(1).getString(1) == "\"with \\\"quote\\\"\"")
+    assert(out(2).getString(1) == "\"tab\\there\"")
+  }
+
+  test("bitmap agg + scalar ops against set semantics") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Seq((1, 1L), (1, 2L), (1, 2L), (1, 100000L), (2, 2L), (2, 3L))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("bm_in")
+    val row = spark.sql("""
+      WITH b AS (SELECT g, bitmap_agg(v) AS bm FROM bm_in GROUP BY g)
+      SELECT bitmap_cardinality(b1.bm) AS c1,
+             bitmap_cardinality(b2.bm) AS c2,
+             bitmap_cardinality(bitmap_and(b1.bm, b2.bm)) AS cand,
+             bitmap_cardinality(bitmap_or(b1.bm, b2.bm)) AS cor,
+             bitmap_cardinality(bitmap_andnot(b1.bm, b2.bm)) AS cnot,
+             bitmap_contains(b1.bm, 100000L) AS has,
+             bitmap_to_array(b2.bm) AS arr
+      FROM (SELECT bm FROM b WHERE g=1) b1, (SELECT bm FROM b WHERE g=2) b2
+    """).head()
+    assert(row.getLong(0) == 3 && row.getLong(1) == 2)
+    assert(row.getLong(2) == 1 && row.getLong(3) == 4 && row.getLong(4) == 2)
+    assert(row.getBoolean(5))
+    assert(row.getSeq[Long](6).toSet == Set(2L, 3L))
+  }
+
+  test("bitmap_or_agg / bitmap_and_agg merge pre-built bitmaps") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq((1, 1L), (1, 2L), (2, 2L), (2, 3L), (3, 2L), (3, 9L))
+      .toDF("g", "v").createOrReplaceTempView("bm_in2")
+    val row = spark.sql("""
+      WITH b AS (SELECT g, bitmap_agg(v) AS bm FROM bm_in2 GROUP BY g)
+      SELECT bitmap_cardinality(bitmap_or_agg(bm)) AS cor,
+             bitmap_cardinality(bitmap_and_agg(bm)) AS cand
+      FROM b
+    """).head()
+    assert(row.getLong(0) == 4) // {1,2,3,9}
+    assert(row.getLong(1) == 1) // {2}
+  }
+
+  test("json_objectagg / json_arrayagg deterministic sorted output") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(("b", "2"), ("a", "1"), ("c", null.asInstanceOf[String]))
+      .toDF("k", "v").createOrReplaceTempView("ja_in")
+    val obj = spark.sql("SELECT json_objectagg(k, v) FROM ja_in").head().getString(0)
+    assert(obj == """{"a":"1","b":"2","c":null}""")
+    val arr = spark.sql("SELECT json_arrayagg(k) FROM ja_in").head().getString(0)
+    assert(arr == """["a","b","c"]""")
+  }
+}
