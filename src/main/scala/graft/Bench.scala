@@ -1,19 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness (driver contract: prints ONE JSON line).
+  *
+  * Measurement rules (VERDICT r1 "what's wrong" #1/#2):
+  *   - materialize through the `noop` DSv2 sink, not `.count()` — a count
+  *     lets Catalyst prune every unreferenced projection and eliminate sorts,
+  *     so projection-only queries would time scan+count instead of the
+  *     functions under test;
+  *   - one full warmup pass (JIT + codegen + parquet footer caching) before
+  *     timing;
+  *   - deterministic name order, median of 3 timed runs per query.
+  */
 object Bench {
+
+  private def runOnce(
+      spark: SparkSession,
+      sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.get("graft-bench", s"local[$cpus]", cpus.toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warmup: one untimed pass over every query.
+    ordered.foreach { case (_, fn) =>
+      try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = ordered.map { case (name, fn) =>
+      val times =
+        try (1 to reps).map(_ => runOnce(spark, sfDir, fn)).sorted
+        catch { case _: Throwable => Seq(-1.0) }
+      name -> times(times.size / 2) // median
+    }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,13 +28,28 @@ object JsonAggFunctions {
     sb.toString
   }
 
+  // Kryo buffers: orders of magnitude cheaper than java serialization for
+  // the spill/shuffle boundary (ObjectHashAggregate only serializes there).
   private implicit val listEnc: Encoder[List[(String, String)]] =
-    Encoders.javaSerialization[List[(String, String)]]
+    Encoders.kryo[List[(String, String)]]
   private implicit val slistEnc: Encoder[List[String]] =
-    Encoders.javaSerialization[List[String]]
+    Encoders.kryo[List[String]]
 
-  /** JSON_OBJECTAGG(k, v) → '{"k1":"v1",…}' with keys sorted; null values
-    * become JSON null; duplicate keys keep the smallest value (stable).
+  /** Total order on nullable strings: null sorts before every value, so the
+    * duplicate-key winner is independent of partition merge order. */
+  private val nullsFirst: Ordering[String] =
+    (a: String, b: String) =>
+      (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x, y) => x.compareTo(y)
+      }
+
+  /** JSON_OBJECTAGG(k, v) → '{"k1":"v1",…}' with entries sorted by raw key
+    * (then value); null values become JSON null; duplicate keys keep the
+    * smallest value under a null-first total order (deterministic across
+    * partitionings and retries).
     */
   val objectAgg: Aggregator[(String, String), List[(String, String)], String] =
     new Aggregator[(String, String), List[(String, String)], String] {
@@ -45,12 +60,12 @@ object JsonAggFunctions {
         a ::: b
       def finish(b: List[(String, String)]): String =
         b.groupBy(_._1).toSeq
-          .map { case (k, vs) =>
-            val v = vs.map(_._2).minBy(v => Option(v).getOrElse(""))
+          .map { case (k, vs) => k -> vs.map(_._2).min(nullsFirst) }
+          .sortBy(_._1)
+          .map { case (k, v) =>
             val vj = if (v == null) "null" else "\"" + escape(v) + "\""
             "\"" + escape(k) + "\":" + vj
           }
-          .sorted
           .mkString("{", ",", "}")
       def bufferEncoder: Encoder[List[(String, String)]] = listEnc
       def outputEncoder: Encoder[String] = Encoders.STRING

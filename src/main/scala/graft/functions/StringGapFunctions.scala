@@ -19,12 +19,16 @@ object StringGapFunctions {
 
   /** Flink SPLIT_INDEX(str, sep, idx): idx is 0-based, null when out of
     * bounds (reference: flink-table-runtime scalar SplitIndexFunction).
-    * The separator is treated literally (\\Q…\\E regex quoting).
+    * The separator is treated literally: full `Pattern.quote` semantics —
+    * any embedded `\E` is neutralized (`\E` → `\E\\E\Q`), exactly what
+    * the SQL-registered UDF path does via `Pattern.quote`, so the two
+    * registered paths cannot drift.
     */
-  def splitIndex(str: Column, sep: Column, idx: Column): Column =
-    get(
-      call_function("split", str, concat(lit("\\Q"), sep, lit("\\E"))),
-      idx)
+  def splitIndex(str: Column, sep: Column, idx: Column): Column = {
+    val quoted =
+      concat(lit("\\Q"), regexp_replace(sep, lit("\\\\E"), lit("\\\\E\\\\\\\\E\\\\Q")), lit("\\E"))
+    get(call_function("split", str, quoted), idx)
+  }
 
   /** IPv4 dotted-quad → numeric (reference scalar INET_ATON). Null for
     * malformed input (wrong arity, non-digits, octet > 255) — validated

@@ -35,6 +35,7 @@ object Sessionize {
         "__session_start",
         min(col(timeCol)).over(
           Window.partitionBy(col(key), col("__session_idx"))))
+      .drop("__session_idx") // internal helper — output adds only __session_start
   }
 
   /** Per-session aggregate: key, session start, row count, and the given
