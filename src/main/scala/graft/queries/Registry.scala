@@ -27,7 +27,10 @@ object Registry {
     OverQueries.defs,
     EventQueries.defs,
     FuncQueries.defs,
-    CustomFuncQueries.defs
+    CustomFuncQueries.defs,
+    TextQueries.defs,
+    VectorQueries.defs,
+    PipelineQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.VectorOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>` column):
+  * brute-force cosine top-k (the correctness baseline), IVF-bucketed top-k
+  * (the 100 TB path: probe nprobe clusters instead of the full corpus), and
+  * sign-LSH banded near-duplicate pairs (candidate generation by equality
+  * join on band keys — never all-pairs).
+  *
+  * Reference: StreamExecVectorSearchTableFunction.java:55,
+  * VectorSearchTableSource.java (the VECTOR_SEARCH table function surface).
+  *
+  * Scale notes: query sets are broadcast (small side); candidate scoring is
+  * a broadcast nested-loop ONLY against the query set, linear in corpus
+  * size. IVF turns that into |probed clusters| work per query; the
+  * partition-independent decimal dot product means re-tries/AQE replans
+  * cannot change results.
+  */
+object VectorQueries {
+
+  private def normed(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+
+  private val nOracle =
+    s"n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-5 for a 10-query set: the exact baseline every
+    // ANN variant is measured against.
+    QueryDef(
+      "q_vector_topk",
+      (s, dir) => {
+        val n = normed(s, dir)
+        val q = n.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        c.join(broadcast(q), col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"),
+            cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("cid"), col("rnk"), col("cos"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH $nOracle,
+        pairs AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        SELECT qid, cid, CAST(rnk AS INT) AS rnk, cos FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid ASC) AS rnk
+          FROM pairs) WHERE rnk <= 5 ORDER BY qid, rnk
+      """.stripMargin.trim)),
+
+    // IVF-style ANN: coarse centroids (every 50th vector), assign each
+    // vector to its nearest centroid, probe the top-2 centroids per query,
+    // exact top-5 within the probed clusters. The scale path: per-query
+    // work drops from |corpus| to |probed clusters|, and cluster members
+    // are co-located by a hash shuffle on cent_id.
+    QueryDef(
+      "q_vector_ivf_topk",
+      (s, dir) => {
+        val n = normed(s, dir)
+        val cents = n.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+            col("nrm").as("cnrm"))
+        val ap = n.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            cosine(col("embedding"), col("cemb"), col("nrm"), col("cnrm"))
+              .as("cos"))
+        val wv = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cent_id").asc)
+        val assign = ap.withColumn("rk", row_number().over(wv))
+          .where(col("rk") === 1).select(col("vec_id"), col("cent_id"))
+        val probe = ap.where(col("vec_id") < 10)
+          .withColumn("rk", row_number().over(wv))
+          .where(col("rk") <= 2)
+          .select(col("vec_id").as("qid"), col("cent_id"))
+        val cand = probe.join(assign, "cent_id")
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid")).distinct()
+        val scored = cand
+          .join(n.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn")), "qid")
+          .join(n.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn")), "cid")
+          .select(col("qid"), col("cid"),
+            cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+        val wq = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        scored.withColumn("rnk", row_number().over(wq))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("cid"), col("rnk"), col("cos"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH $nOracle,
+        ap AS (
+          SELECT v.vec_id, c.vec_id AS cent_id,
+            ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} AS cos
+          FROM n v CROSS JOIN n c WHERE c.vec_id % 50 = 0),
+        assign AS (SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cent_id ASC) AS rk
+          FROM ap) WHERE rk = 1),
+        probe AS (SELECT vec_id AS qid, cent_id FROM (
+          SELECT vec_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cent_id ASC) AS rk
+          FROM ap WHERE vec_id < 10) WHERE rk <= 2),
+        cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid
+                 FROM probe p JOIN assign a ON a.cent_id = p.cent_id
+                 WHERE a.vec_id <> p.qid),
+        scored AS (
+          SELECT cand.qid, cand.cid,
+            ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos
+          FROM cand JOIN n q ON q.vec_id = cand.qid
+                    JOIN n c ON c.vec_id = cand.cid)
+        SELECT qid, cid, CAST(rnk AS INT) AS rnk, cos FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid ASC) AS rnk
+          FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk
+      """.stripMargin.trim)),
+
+    // Embedding near-dup pairs via sign-LSH banding: 8 bands of 4 sign
+    // bits over the first 32 dimensions; candidates = pairs sharing a
+    // band key (equality join); exact cosine filter afterwards. The
+    // standard blocked near-dup shape — candidate generation never
+    // compares all pairs.
+    QueryDef(
+      "q_embedding_cosine_dup",
+      (s, dir) => {
+        val n = normed(s, dir)
+        def bit(i: Int) =
+          when(call_function("element_at", col("embedding"),
+            col("band") * 4 + lit(i + 1)) >= 0, 1).otherwise(0) * lit(1 << i)
+        val sig = n
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(sequence(lit(0), lit(7))).as("band"))
+          .withColumn("key", bit(0) + bit(1) + bit(2) + bit(3))
+          .select(col("vec_id"), col("band"), col("key"))
+        val cand = sig.as("a")
+          .join(sig.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        cand
+          .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+            col("nrm").as("na")), "vec_a")
+          .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+            col("nrm").as("nb")), "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+          .where(col("cos") >= 0.3)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""
+        WITH $nOracle,
+        sig AS (
+          SELECT vec_id, band,
+            (CASE WHEN embedding[band*4+1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[band*4+2] >= 0 THEN 1 ELSE 0 END) * 2
+            + (CASE WHEN embedding[band*4+3] >= 0 THEN 1 ELSE 0 END) * 4
+            + (CASE WHEN embedding[band*4+4] >= 0 THEN 1 ELSE 0 END) * 8 AS key
+          FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM sig a JOIN sig b
+                   ON a.band = b.band AND a.key = b.key
+                      AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+          ${sqlCos("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} AS cos
+        FROM cand JOIN n ea ON ea.vec_id = vec_a
+                  JOIN n eb ON eb.vec_id = vec_b
+        WHERE ${sqlCos("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= 0.3
+        ORDER BY vec_a, vec_b
+      """.stripMargin.trim))
+  )
+}
