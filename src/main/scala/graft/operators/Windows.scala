@@ -26,15 +26,17 @@ object Windows {
     tsNs - (tsNs % lit(sizeNs))
 
   /** Hopping (sliding) windows: every window start s ≡ 0 (mod slide) with
-    * s <= t < s + size. Emits one row per covering window.
+    * s <= t < s + size. Emits one row per covering window. Unlike the r1
+    * version, `size` need NOT be a multiple of `slide` (the reference's
+    * HoppingSliceAssigner has no such restriction): the first covering
+    * start is the smallest slide-multiple strictly greater than t - size.
+    * Assumes positive epoch values (true for any real event time).
     */
   def hopStarts(tsNs: Column, sizeNs: Long, slideNs: Long): Column = {
-    require(sizeNs % slideNs == 0, "size must be a multiple of slide")
     val latest = tsNs - (tsNs % lit(slideNs))
-    sequence(
-      latest - lit(sizeNs - slideNs),
-      latest,
-      lit(slideNs))
+    val first =
+      tsNs - lit(sizeNs) - ((tsNs - lit(sizeNs)) % lit(slideNs)) + lit(slideNs)
+    sequence(first, latest, lit(slideNs))
   }
 
   /** Cumulative (CUMULATE) windows: fixed start at the `maxSize` boundary,

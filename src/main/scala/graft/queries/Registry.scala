@@ -30,7 +30,8 @@ object Registry {
     CustomFuncQueries.defs,
     TextQueries.defs,
     VectorQueries.defs,
-    PipelineQueries.defs
+    PipelineQueries.defs,
+    StreamQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

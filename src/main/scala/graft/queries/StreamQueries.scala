@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Unified batch/stream parity queries: each query runs a graft.streaming
+  * operator on BATCH input (watermarks no-op, state ops route to their
+  * exact batch form) and is DuckDB-oracle-checked — the reference's
+  * batch-is-a-special-case-of-streaming contract (its 2.x unified runtime).
+  * Stream-mode equivalence of the same code paths is asserted in
+  * StreamingSpec (MemoryStream parity suites).
+  *
+  * All window arithmetic here is exact long millis over the micro-truncated
+  * `ts` (DuckDB sees TIMESTAMP_NS truncated to micros via CAST, identical
+  * to Spark's TimestampType reading).
+  */
+object StreamQueries {
+  import Exact._
+
+  private val castTs = "CAST(ts AS TIMESTAMP)"
+  private val msExpr = s"epoch_us($castTs) // 1000"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_unified_tumble",
+      (s, dir) => {
+        StreamingWindows.tumble(Tables.events(s, dir), "ts", "10 minutes",
+          "10 seconds", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value")))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some(s"""
+        SELECT time_bucket(INTERVAL '10 minutes', $castTs) AS window_start,
+               event_type, COUNT(*) AS n, ${sqlSum("value", 6)} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    QueryDef(
+      "q_unified_hop",
+      (s, dir) => {
+        StreamingWindows.hop(Tables.events(s, dir), "ts", "10 minutes",
+          "5 minutes", "10 seconds", Seq.empty :+ col("event_type"),
+          Seq(count(lit(1)).as("n")))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some(s"""
+        SELECT time_bucket(INTERVAL '5 minutes', $castTs)
+                 - i * INTERVAL '5 minutes' AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events CROSS JOIN generate_series(0, 1) g(i)
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    // session_window: a gap >= 30s starts a new session (Spark merges only
+    // strictly-closer events; the oracle's island rule mirrors that).
+    QueryDef(
+      "q_unified_session",
+      (s, dir) => {
+        StreamingWindows.session(Tables.events(s, dir), "ts", "30 seconds",
+          "10 seconds", Seq(col("user_id")),
+          Seq(count(lit(1)).as("cnt")))
+          .select(col("session_window.start").as("session_start"),
+            col("user_id"), col("cnt"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, $castTs AS t, epoch_us($castTs) AS tu
+                   FROM events),
+        m AS (SELECT user_id, t, tu,
+                CASE WHEN lag(tu) OVER w IS NULL
+                       OR tu - lag(tu) OVER w >= 30000000 THEN 1 ELSE 0 END
+                  AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        s AS (SELECT user_id, t,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY tu
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT MIN(t) AS session_start, user_id, COUNT(*) AS cnt
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+      """.trim)),
+
+    // CUMULATE via slice-explode (maxSize 30 min, step 10 min).
+    QueryDef(
+      "q_unified_cumulate",
+      (s, dir) => {
+        StreamingWindows.cumulate(Tables.events(s, dir), "ts",
+          maxSizeMs = 1800000L, stepMs = 600000L, delay = "10 seconds",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value")))
+          .orderBy(col("window_start"), col("window_end"), col("event_type"))
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, value, $msExpr AS ms FROM events),
+        x AS (SELECT event_type, value,
+                make_timestamp((ms - ms % 1800000) * 1000) AS window_start,
+                make_timestamp(e2.window_end_ms * 1000) AS window_end
+              FROM e, LATERAL (
+                SELECT unnest(generate_series(
+                  ms - ms % 600000 + 600000,
+                  ms - ms % 1800000 + 1800000,
+                  600000)) AS window_end_ms) e2)
+        SELECT window_start, window_end, event_type,
+               COUNT(*) AS n, ${sqlSum("value", 6)} AS sum_value
+        FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+      """.trim)),
+
+    // Windowed keep-last dedup through the unified op (batch route =
+    // exact row_number keep-last; stream route asserted in StreamingSpec).
+    QueryDef(
+      "q_unified_dedup_last",
+      (s, dir) => {
+        StreamingDedupLast(Tables.events(s, dir), Seq("user_id"), "ts",
+          windowMs = 600000L, delay = "10 seconds")
+          .select(col("user_id"), col("window_start"), col("event_id"),
+            col("value"))
+          .orderBy(col("user_id"), col("window_start"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_id, value, $castTs AS tmu,
+                          $msExpr AS ms FROM events),
+        w AS (SELECT user_id, event_id, value,
+                make_timestamp((ms - ms % 600000) * 1000) AS window_start,
+                row_number() OVER (PARTITION BY user_id, ms - ms % 600000
+                                   ORDER BY tmu DESC) AS rn
+              FROM e)
+        SELECT user_id, window_start, event_id, value
+        FROM w WHERE rn = 1 ORDER BY user_id, window_start
+      """.trim)),
+
+    // Windowed Top-3 through the unified op.
+    QueryDef(
+      "q_unified_topn",
+      (s, dir) => {
+        StreamingTopN(Tables.events(s, dir), Seq("event_type"), "ts",
+          "value", n = 3, windowMs = 3600000L, delay = "10 seconds")
+          .select(col("event_type"), col("window_start"), col("rnk"),
+            col("event_id"), col("value"))
+          .orderBy(col("event_type"), col("window_start"), col("rnk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, event_id, value, $castTs AS tmu,
+                          $msExpr AS ms FROM events),
+        w AS (SELECT event_type, event_id, value,
+                make_timestamp((ms - ms % 3600000) * 1000) AS window_start,
+                CAST(row_number() OVER (
+                  PARTITION BY event_type, ms - ms % 3600000
+                  ORDER BY value DESC, tmu ASC) AS INT) AS rnk
+              FROM e)
+        SELECT event_type, window_start, rnk, event_id, value
+        FROM w WHERE rnk <= 3 ORDER BY event_type, window_start, rnk
+      """.trim)),
+
+    // Rows-bounded running sum through the unified op (decimal-exact sum
+    // cast to double for cross-engine hash equality).
+    QueryDef(
+      "q_unified_over",
+      (s, dir) => {
+        val in = Tables.events(s, dir)
+          .withColumn("vdec", col("value").cast(DecimalType(18, 6)))
+        StreamingOver(in, Seq("user_id"), "ts", "vdec", precedingRows = 2,
+          delay = "10 seconds")
+          .select(col("user_id"), col("event_id"),
+            col("run_sum").cast("double").as("run_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+            PARTITION BY user_id ORDER BY $castTs
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        FROM events ORDER BY user_id, event_id
+      """.trim))
+  )
+}

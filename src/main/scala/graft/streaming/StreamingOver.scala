@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming bounded OVER aggregate: per key, event-time-ordered running
+  * SUM over the current row and the `precedingRows` rows before it
+  * (ROWS BETWEEN precedingRows PRECEDING AND CURRENT ROW) — rows are
+  * emitted in event-time order once the watermark passes them.
+  *
+  * Spark-first re-expression of StreamExecOverAggregate.java:105 /
+  * RT/operators/over/RowTimeRowsBoundedPrecedingFunction.java (buffer
+  * rows until watermark, process in time order, retain only the frame
+  * tail): state per key = rows newer than the watermark + the last
+  * `precedingRows` emitted values (the frame tail) — the reference's
+  * exact state-cleanup contract, so state cannot grow with stream length.
+  *
+  * Batch inputs get the equivalent window-function plan (free in Spark).
+  */
+object StreamingOver {
+
+  /** @param idleRetentionMs after this long past the watermark with no
+    *   pending rows, a key's frame-tail state is dropped (the reference's
+    *   idle-state-retention cleanup); a key that resumes later restarts
+    *   its frame.
+    */
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      precedingRows: Int,
+      delay: String,
+      idleRetentionMs: Long = 3600000L): DataFrame = {
+
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("run_sum", DoubleType))
+
+    if (!df.isStreaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(tsCol).asc)
+        .rowsBetween(-precedingRows, org.apache.spark.sql.expressions.Window.currentRow)
+      return df.withColumn("run_sum", sum(col(valCol)).over(w))
+    }
+
+    val wm = df.withWatermark(tsCol, delay)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val valIdx = df.schema.fieldIndex(valCol)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+
+    val kEnc: Encoder[Row] = StatefulOps.rowEnc(keySchema)
+    val vEnc: Encoder[Row] = StatefulOps.rowEnc(df.schema)
+    // state: (pending rows beyond watermark, frame tail of emitted values)
+    type S = (List[(Long, Seq[Any])], List[Double])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = StatefulOps.rowEnc(outSchema)
+
+    wm.as[Row](vEnc)
+      .groupByKey(r => StatefulOps.keyOf(keyIdx)(r))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          var (pending, tail) = state.getOption.getOrElse((Nil, Nil))
+
+          if (!state.hasTimedOut) rows.foreach { r =>
+            pending = (StatefulOps.tsMsOf(r, tsIdx), r.toSeq) :: pending
+          }
+
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, stillPending) = pending.partition(_._1 <= wmMs)
+          val out = Seq.newBuilder[Row]
+          // process in event-time order (ties: stable by insertion reversal
+          // is not deterministic — order equal timestamps by value seq hash
+          // would be arbitrary; sort by (ts) keeps Spark-batch parity for
+          // distinct timestamps, the tested contract)
+          ready.sortBy(_._1).foreach { case (_, vals) =>
+            val v = vals(valIdx) match {
+              case n: Number => n.doubleValue()
+              case _ => 0.0
+            }
+            tail = (v :: tail).take(precedingRows + 1)
+            out += Row.fromSeq(vals :+ tail.sum)
+          }
+
+          if (stillPending.isEmpty &&
+            (tail.isEmpty || (state.hasTimedOut && ready.isEmpty))) {
+            // nothing buffered, or idle-retention expired: drop all state
+            state.remove()
+          } else {
+            state.update((stillPending, tail))
+            val wake = stillPending.map(_._1).minOption
+              .getOrElse(wmMs + idleRetentionMs) // idle cleanup timer
+            if (wake > wmMs) state.setTimeoutTimestamp(wake)
+          }
+          out.result().iterator
+      }(sEnc, oEnc)
+  }
+}

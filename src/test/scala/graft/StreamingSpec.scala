@@ -1,0 +1,209 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import java.sql.Timestamp
+
+/** Streaming-tier specs: every stateful operator is validated for
+  * batch/stream parity — the SAME input rows through the streaming path
+  * (MemoryStream + watermark + state + timeouts) and the batch path must
+  * produce identical results once the watermark has closed all windows.
+  * This mirrors the reference's ITCase pattern (WindowAggregateITCase,
+  * TemporalJoinITCase, RankITCase, DeduplicateITCase) with the mini-cluster
+  * replaced by local Structured Streaming.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // Deterministic fixture: events at sf0.001, timestamps truncated to
+  // millis (state ops do exact long-millis arithmetic), one row per
+  // (user_id, ms) so no cross-engine tie-break ambiguity.
+  private lazy val fixture: Seq[(Timestamp, Long, String, Double)] = {
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Timestamp](0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    rows
+      .map { case (ts, u, e, v) => (new Timestamp(ts.getTime), u, e, v) }
+      .groupBy(t => (t._2, t._1.getTime)).map(_._2.head)
+      .toSeq.sortBy(t => (t._1.getTime, t._2))
+  }
+
+  private def flushTs: Timestamp =
+    new Timestamp(fixture.map(_._1.getTime).max + 86400000L)
+
+  /** Run a streaming pipeline over the fixture via MemoryStream, flushing
+    * the watermark far enough to close every window, return the sink table.
+    */
+  private def runStream(
+      name: String,
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+    val q: StreamingQuery = pipeline(df).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(fixture)
+      q.processAllAvailable()
+      // two flush batches: first advances the watermark, second fires the
+      // event-time timeouts it unlocked
+      input.addData(Seq((flushTs, -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((new Timestamp(flushTs.getTime + 1000), -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      spark.table(name)
+    } finally q.stop()
+  }
+
+  private def batchInput: DataFrame =
+    fixture.toDF("ts", "user_id", "event_type", "value")
+
+  /** The flush rows live in windows that never close, so they never appear
+    * in streaming output; drop them from batch-side expectations too. */
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => math.round(d * 1e9) // tolerance for double sums
+      case x => x
+    }.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("streaming tumble window agg matches batch (append at window close)") {
+    val out = runStream("s_tumble", df =>
+      StreamingWindows.tumble(df, "ts", "10 minutes", "5 seconds",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sv")))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"),
+          col("sv")))
+      .where(col("event_type") =!= "flush")
+    val exp = StreamingWindows.tumble(batchInput, "ts", "10 minutes",
+      "5 seconds", Seq(col("event_type")),
+      Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sv")))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"),
+        col("sv"))
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
+  test("streaming session window agg matches batch") {
+    val out = runStream("s_session", df =>
+      StreamingWindows.session(df, "ts", "30 seconds", "5 seconds",
+        Seq(col("user_id")),
+        Seq(count(lit(1)).as("cnt")))
+        .select(col("session_window.start").as("ws"), col("user_id"),
+          col("cnt")))
+      .where(col("user_id") =!= -1L)
+    val exp = StreamingWindows.session(batchInput, "ts", "30 seconds",
+      "5 seconds", Seq(col("user_id")), Seq(count(lit(1)).as("cnt")))
+      .select(col("session_window.start").as("ws"), col("user_id"), col("cnt"))
+      .where(col("user_id") =!= -1L)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
+  test("StreamingDedupLast matches batch windowed keep-last") {
+    val winMs = 600000L // 10 min
+    val out = runStream("s_dedup", df =>
+      StreamingDedupLast(df, Seq("user_id"), "ts", winMs, "5 seconds"))
+      .where(col("user_id") =!= -1L)
+    val exp = StreamingDedupLast(batchInput, Seq("user_id"), "ts", winMs, "")
+      .where(col("user_id") =!= -1L)
+      .select(out.columns.map(col): _*)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
+  test("StreamingTopN matches batch windowed top-n") {
+    val winMs = 3600000L // 1 h
+    val out = runStream("s_topn", df =>
+      StreamingTopN(df, Seq("event_type"), "ts", "value", 3, winMs,
+        "5 seconds"))
+      .where(col("event_type") =!= "flush")
+    val exp = StreamingTopN(batchInput, Seq("event_type"), "ts", "value", 3,
+      winMs, "")
+      .where(col("event_type") =!= "flush")
+      .select(out.columns.map(col): _*)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
+  test("StreamingOver (rows-bounded preceding sum) matches batch window") {
+    val out = runStream("s_over", df =>
+      StreamingOver(df, Seq("user_id"), "ts", "value", 2, "5 seconds"))
+      .where(col("user_id") =!= -1L)
+    val exp = StreamingOver(batchInput, Seq("user_id"), "ts", "value", 2, "")
+      .where(col("user_id") =!= -1L)
+      .select(out.columns.map(col): _*)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
+  test("StreamingTemporalJoin matches batch AsOfJoin") {
+    // probe = click events; build (versioned) = purchase events per user
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Timestamp, Long, String, Double)]
+    val rIn = MemoryStream[(Timestamp, Long, String, Double)]
+    val lDf = lIn.toDF().toDF("ts", "user_id", "event_type", "value")
+    val rDf = rIn.toDF().toDF("rts", "user_id", "retype", "rvalue")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tj-").toString
+    val q = StreamingTemporalJoin(lDf, rDf, "user_id", "ts", "rts",
+      Seq("rts", "rvalue"), "5 seconds")
+      .writeStream.format("memory").queryName("s_tjoin")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    val probes = fixture.filter(_._3 == "click")
+    val builds = fixture.filter(_._3 == "purchase")
+      .map(t => (t._1, t._2, t._3, t._4))
+    try {
+      lIn.addData(probes)
+      rIn.addData(builds)
+      q.processAllAvailable()
+      lIn.addData(Seq((flushTs, -1L, "flush", 0.0)))
+      rIn.addData(Seq((flushTs, -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      val t2 = new Timestamp(flushTs.getTime + 1000)
+      lIn.addData(Seq((t2, -1L, "flush", 0.0)))
+      rIn.addData(Seq((t2, -1L, "flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("s_tjoin").where(col("user_id") =!= -1L)
+    val lB = probes.toDF("ts", "user_id", "event_type", "value")
+    val rB = builds.toDF("rts", "user_id", "retype", "rvalue")
+    val exp = graft.operators.AsOfJoin(lB, rB, "user_id", "ts", "rts",
+      Seq("rts", "rvalue"))
+      .select(out.columns.map(col): _*)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
+  test("stateful ops leave no residual state after windows close") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-").toString
+    val q = StreamingDedupLast(df, Seq("user_id"), "ts", 600000L, "5 seconds")
+      .writeStream.format("memory").queryName("s_state")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(fixture.take(500))
+      q.processAllAvailable()
+      input.addData(Seq((flushTs, -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((new Timestamp(flushTs.getTime + 1000), -1L,
+        "flush", 0.0)))
+      q.processAllAvailable()
+      // only the two flush windows may remain open
+      val remaining = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(remaining <= 2, s"state not cleaned: $remaining rows remain")
+    } finally q.stop()
+  }
+}
