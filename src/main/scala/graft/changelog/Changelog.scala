@@ -1,0 +1,256 @@
+package graft.changelog
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** The changelog/retraction tier — the reference's "single most important
+  * semantic" (SURVEY §1.1): every record carries a RowKind change flag
+  * (flink-core/…/types/RowKind.java:31-52 — +I/-U/+U/-D), streaming
+  * aggregates emit -U/+U pairs, sinks materialize upserts.
+  *
+  * Spark has no out-of-band row kind, so graft threads it as an explicit
+  * `__rowkind` column (the convention SURVEY §1.3 fixes) plus a per-key
+  * monotonic `__seq` so downstream consumers can order a key's changes
+  * without relying on arrival order. Batch is the all-`+I` special case.
+  */
+object RowKind {
+  val Insert = "+I"
+  val UpdateBefore = "-U"
+  val UpdateAfter = "+U"
+  val Delete = "-D"
+
+  val kindCol = "__rowkind"
+  val seqCol = "__seq"
+}
+
+/** Incremental aggregate spec for changelog-emitting aggregation.
+  * `kind`: count | sum | min | max (append-only input, so min/max need no
+  * retract buffer — the reference's same restriction for its non-retract
+  * agg functions).
+  */
+final case class AggSpec(outName: String, inCol: String, kind: String) {
+  require(Seq("count", "sum", "min", "max").contains(kind),
+    s"unsupported agg kind: $kind")
+}
+
+/** Changelog-emitting group aggregation over an APPEND-ONLY input: on every
+  * change of a key's aggregate emits the retraction pair — `+I` for a new
+  * key, then `-U`(old)/`+U`(new) on each update.
+  *
+  * Reference: StreamExecGroupAggregate.java:87 /
+  * RT/operators/aggregate/GroupAggFunction.java:33 (ValueState of the acc,
+  * emit retract + new row on change).
+  *
+  * State bound: one accumulator row per key (exactly the reference's).
+  * Batch route: the all-+I special case — a plain hash aggregate with
+  * `__rowkind = '+I'`, oracle-checkable.
+  */
+object ChangelogAgg {
+
+  private def aggValueType(spec: AggSpec): DataType =
+    if (spec.kind == "count") LongType else DoubleType
+
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      specs: Seq[AggSpec]): DataFrame = {
+
+    if (!df.isStreaming) {
+      val aggs = specs.map {
+        case AggSpec(out, in, "count") => count(lit(1)).as(out)
+        case AggSpec(out, in, "sum") => sum(col(in).cast("double")).as(out)
+        case AggSpec(out, in, "min") => min(col(in).cast("double")).as(out)
+        case AggSpec(out, in, "max") => max(col(in).cast("double")).as(out)
+      }
+      return df.groupBy(keyCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn(RowKind.kindCol, lit(RowKind.Insert))
+        .withColumn(RowKind.seqCol, lit(1L))
+    }
+
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val inIdx = specs.map(s => df.schema.fieldIndex(s.inCol))
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+    val outSchema = StructType(
+      keyIdx.map(df.schema.fields(_)) ++
+        specs.map(s => StructField(s.outName, aggValueType(s))) :+
+        StructField(RowKind.kindCol, StringType) :+
+        StructField(RowKind.seqCol, LongType))
+
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    // state: (next seq, accumulators — count:Long / sum,min,max:Double)
+    type S = (Long, Seq[Any])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    def mergeOne(spec: AggSpec, acc: Any, v: Double): Any = spec.kind match {
+      case "count" => acc.asInstanceOf[Long] + 1L
+      case "sum" => acc.asInstanceOf[Double] + v
+      case "min" => math.min(acc.asInstanceOf[Double], v)
+      case "max" => math.max(acc.asInstanceOf[Double], v)
+    }
+    def zeroOne(spec: AggSpec, v: Double): Any = spec.kind match {
+      case "count" => 1L
+      case _ => v
+    }
+
+    df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          val old = state.getOption
+          var accs = old.map(_._2).orNull
+          rows.foreach { r =>
+            val vs = inIdx.map(i => r.get(i) match {
+              case n: Number => n.doubleValue()
+              case _ => 0.0
+            })
+            accs =
+              if (accs == null) specs.lazyZip(vs).map(zeroOne)
+              else specs.lazyZip(accs).lazyZip(vs).map(mergeOne)
+          }
+          if (accs == null) Iterator.empty // timeout-less: rows always present
+          else {
+            val seq0 = old.map(_._1).getOrElse(1L)
+            state.update((seq0 + 2, accs))
+            val kvs = key.toSeq
+            old match {
+              case None =>
+                Iterator.single(Row.fromSeq(
+                  kvs ++ accs :+ RowKind.Insert :+ seq0))
+              case Some((_, oldAccs)) =>
+                Iterator(
+                  Row.fromSeq(kvs ++ oldAccs :+ RowKind.UpdateBefore :+ seq0),
+                  Row.fromSeq(kvs ++ accs :+ RowKind.UpdateAfter :+ (seq0 + 1)))
+            }
+          }
+      }(sEnc, oEnc)
+  }
+}
+
+/** Collapse an UPSERT stream (latest-value-per-key rows + `-D` tombstones)
+  * into a full changelog with explicit `-U` pre-images — the operator the
+  * planner inserts when a CDC source emits upserts but downstream needs
+  * retractions.
+  *
+  * Reference: StreamExecChangelogNormalize.java:81 (ValueState of the
+  * previous image). State bound: one row per live key.
+  *
+  * Input contract: `upsertKindCol` contains `+U` (upsert) or `-D` (delete);
+  * batch inputs are treated as all-upserts-in-`seqCol`-order and produce
+  * the same changelog a replay would.
+  */
+object ChangelogNormalize {
+
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      upsertKindCol: String,
+      seqCol: String): DataFrame = {
+
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val kindIdx = df.schema.fieldIndex(upsertKindCol)
+    val seqIdx = df.schema.fieldIndex(seqCol)
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == upsertKindCol) :+
+        StructField(RowKind.kindCol, StringType))
+
+    val payloadIdx =
+      df.schema.fields.indices.filterNot(_ == kindIdx)
+
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    type S = Seq[Any] // previous image (payload values)
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    // Position of the seq column within the payload: emitted pre-images
+    // (-U) and deletes (-D) carry the TRIGGERING change's seq, not the old
+    // image's — downstream keep-last materialization must order a delete
+    // after the insert/update it supersedes (no seq ties).
+    val seqPos = payloadIdx.indexOf(seqIdx)
+
+    def process(prev: Option[Seq[Any]], r: Row): (Option[Seq[Any]], Seq[Row]) = {
+      val payload = payloadIdx.map(r.get)
+      val curSeq = r.getLong(seqIdx)
+      def restamp(img: Seq[Any]): Seq[Any] = img.updated(seqPos, curSeq)
+      r.getString(kindIdx) match {
+        case RowKind.Delete =>
+          (None, prev.map(p =>
+            Row.fromSeq(restamp(p) :+ RowKind.Delete)).toSeq)
+        case _ =>
+          val outs = prev match {
+            case None => Seq(Row.fromSeq(payload :+ RowKind.Insert))
+            case Some(p) => Seq(
+              Row.fromSeq(restamp(p) :+ RowKind.UpdateBefore),
+              Row.fromSeq(payload :+ RowKind.UpdateAfter))
+          }
+          (Some(payload), outs)
+      }
+    }
+
+    if (!df.isStreaming) {
+      // Batch replay: per key in seq order, fold through the same logic.
+      return df.as[Row](vEnc)
+        .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
+        .flatMapGroups { (_: Row, rows: Iterator[Row]) =>
+          var prev: Option[Seq[Any]] = None
+          rows.toSeq.sortBy(_.getLong(seqIdx)).flatMap { r =>
+            val (p2, outs) = process(prev, r)
+            prev = p2
+            outs
+          }.iterator
+        }(oEnc)
+    }
+
+    df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          var prev: Option[Seq[Any]] = state.getOption
+          val out = rows.toSeq.sortBy(_.getLong(seqIdx)).flatMap { r =>
+            val (p2, outs) = process(prev, r)
+            prev = p2
+            outs
+          }
+          prev match {
+            case Some(p) => state.update(p)
+            case None => state.remove()
+          }
+          out.iterator
+      }(sEnc, oEnc)
+  }
+}
+
+/** Strip `-U` rows when the downstream operator doesn't need pre-images
+  * (reference: StreamExecDropUpdateBefore.java:55 — a pure filter). */
+object DropUpdateBefore {
+  def apply(df: DataFrame): DataFrame =
+    df.where(col(RowKind.kindCol) =!= RowKind.UpdateBefore)
+}
+
+/** Materialize a changelog into final table state: last image per key wins
+  * (by `__seq`), keys whose last change is `-D` disappear — the sink-side
+  * MERGE the reference performs in SinkUpsertMaterializer.java:64.
+  *
+  * Usable directly on a batch changelog, or per micro-batch inside
+  * `foreachBatch` against a stored table (read stored + union batch +
+  * materialize + overwrite = idempotent upsert sink).
+  */
+object UpsertMaterialize {
+
+  def apply(changelog: DataFrame, keyCols: Seq[String]): DataFrame =
+    graft.operators.Dedup
+      .keepLast(
+        changelog.where(col(RowKind.kindCol) =!= RowKind.UpdateBefore),
+        keyCols.map(col),
+        Seq(col(RowKind.seqCol)))
+      .where(col(RowKind.kindCol) =!= RowKind.Delete)
+      .drop(RowKind.kindCol, RowKind.seqCol)
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import graft.changelog._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Changelog-tier queries: batch faces of the RowKind operators, each
+  * DuckDB-oracle-checked (streaming behavior asserted in ChangelogSpec).
+  *
+  * The synthetic CDC feed used below (deterministic, from `orders`):
+  *   seq 1: upsert every order at its original price        (+U)
+  *   seq 2: upsert orders with orderkey % 5 = 0 at half price (+U)
+  *   seq 3: delete orders with orderkey % 7 = 0               (-D)
+  */
+object ChangelogQueries {
+
+  /** The deterministic upsert feed: (o_orderkey, o_totalprice, __seq, kind). */
+  private def upsertFeed(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+    base.select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("__seq"),
+        lit(RowKind.UpdateAfter).as("kind"))
+      .unionByName(base.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 0.5).as("o_totalprice"),
+          lit(2L).as("__seq"), lit(RowKind.UpdateAfter).as("kind")))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit(3L).as("__seq"),
+          lit(RowKind.Delete).as("kind")))
+  }
+
+  private val feedOracle = """
+    feed AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p FROM orders)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ChangelogNormalize: upsert feed → full changelog with -U pre-images.
+    QueryDef(
+      "q_changelog_normalize",
+      (s, dir) => {
+        ChangelogNormalize(upsertFeed(s, dir), Seq("o_orderkey"), "kind",
+          "__seq")
+          .orderBy(col("o_orderkey"), col("__seq"), col("__rowkind"))
+      },
+      Some(s"""
+        WITH $feedOracle
+        SELECT * FROM (
+          SELECT k AS o_orderkey, p AS o_totalprice,
+                 CAST(1 AS BIGINT) AS __seq, '+I' AS __rowkind FROM feed
+          UNION ALL
+          SELECT k, p, 2, '-U' FROM feed WHERE k % 5 = 0
+          UNION ALL
+          SELECT k, p * 0.5, 2, '+U' FROM feed WHERE k % 5 = 0
+          UNION ALL
+          SELECT k, CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END, 3, '-D'
+          FROM feed WHERE k % 7 = 0)
+        ORDER BY o_orderkey, __seq, __rowkind
+      """.stripMargin.trim)),
+
+    // DropUpdateBefore: the same changelog minus pre-images.
+    QueryDef(
+      "q_drop_update_before",
+      (s, dir) => {
+        DropUpdateBefore(
+          ChangelogNormalize(upsertFeed(s, dir), Seq("o_orderkey"), "kind",
+            "__seq"))
+          .orderBy(col("o_orderkey"), col("__seq"), col("__rowkind"))
+      },
+      Some(s"""
+        WITH $feedOracle
+        SELECT * FROM (
+          SELECT k AS o_orderkey, p AS o_totalprice,
+                 CAST(1 AS BIGINT) AS __seq, '+I' AS __rowkind FROM feed
+          UNION ALL
+          SELECT k, p * 0.5, 2, '+U' FROM feed WHERE k % 5 = 0
+          UNION ALL
+          SELECT k, CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END, 3, '-D'
+          FROM feed WHERE k % 7 = 0)
+        ORDER BY o_orderkey, __seq, __rowkind
+      """.stripMargin.trim)),
+
+    // UpsertMaterialize: changelog → final table state (CDC round trip —
+    // the oracle states the final table directly).
+    QueryDef(
+      "q_upsert_materialize",
+      (s, dir) => {
+        UpsertMaterialize(
+          ChangelogNormalize(upsertFeed(s, dir), Seq("o_orderkey"), "kind",
+            "__seq"),
+          Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""
+        WITH $feedOracle
+        SELECT k AS o_orderkey,
+               CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS o_totalprice
+        FROM feed WHERE k % 7 <> 0 ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
+    // ChangelogAgg batch face: the all-+I special case of the
+    // retraction-emitting group aggregate.
+    QueryDef(
+      "q_changelog_agg",
+      (s, dir) => {
+        ChangelogAgg(Tables.events(s, dir), Seq("event_type"),
+          Seq(AggSpec("n", "event_id", "count"),
+            AggSpec("min_v", "value", "min"),
+            AggSpec("max_v", "value", "max")))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               MIN(CAST(value AS DOUBLE)) AS min_v,
+               MAX(CAST(value AS DOUBLE)) AS max_v,
+               '+I' AS __rowkind, CAST(1 AS BIGINT) AS __seq
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.stripMargin.trim))
+  )
+}

@@ -31,7 +31,8 @@ object Registry {
     TextQueries.defs,
     VectorQueries.defs,
     PipelineQueries.defs,
-    StreamQueries.defs
+    StreamQueries.defs,
+    ChangelogQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
