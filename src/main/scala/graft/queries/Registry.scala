@@ -32,7 +32,8 @@ object Registry {
     VectorQueries.defs,
     PipelineQueries.defs,
     StreamQueries.defs,
-    ChangelogQueries.defs
+    ChangelogQueries.defs,
+    MiscOpQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

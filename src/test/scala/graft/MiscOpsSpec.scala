@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{LookupJoin, MapBackedClient, TableAgg}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Specs for the lookup-join tier, table-agg tier, datagen/rate source,
+  * file formats and sink abilities. */
+class MiscOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val payload = StructType(Seq(StructField("name", StringType)))
+
+  test("LookupJoin: cache bounded, inner drops misses, left null-pads") {
+    val store = new MapBackedClient(
+      Map(1L -> Seq("one"), 2L -> Seq("two"), 3L -> Seq("three")))
+    val probe = Seq(1L, 2L, 9L, 1L, 3L, 9L).toDF("k")
+    val inner = LookupJoin(probe, "k", store, payload, "inner",
+      cacheCapacity = 2)
+    assert(inner.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(Array((1L, "one"), (1L, "one"), (2L, "two"), (3L, "three"))))
+    val left = LookupJoin(probe, "k", store, payload, "left")
+    assert(left.count() == 6)
+    assert(left.where(col("lk_name").isNull).count() == 2)
+  }
+
+  test("LookupJoin.async preserves probe order per partition") {
+    val store = new MapBackedClient(
+      (1L to 100L).map(k => (k: Any) -> Seq(s"v$k")).toMap)
+    val probe = spark.sparkContext.parallelize(1L to 100L, 2).toDF("k")
+    val out = LookupJoin.async(probe, "k", store, payload,
+      batchSize = 7, maxInFlight = 3)
+    // per input partition, output keys must preserve the probe order
+    val ordered = out.select(spark_partition_id().as("p"), col("k"))
+      .collect().groupBy(_.getInt(0))
+    ordered.values.foreach { rows =>
+      val ks = rows.map(_.getLong(1)).toSeq
+      assert(ks == ks.sorted, "async emission must preserve probe order")
+    }
+    assert(out.count() == 100)
+  }
+
+  test("TableAgg.topNWithTies emits all tied rows") {
+    val df = Seq(("a", 3.0), ("a", 3.0), ("a", 2.0), ("a", 1.0), ("b", 5.0))
+      .toDF("g", "v")
+    val out = TableAgg.topNWithTies(df, Seq("g"), "v", 2)
+      .select("g", "v", "rnk").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).sorted
+    // a: two rows tied at rank 1, then 2.0 at rank 3 (excluded: rank>2? no —
+    // competition ranking 1,1,3 → 3 > 2 excluded). b: single rank 1.
+    assert(out.sameElements(Array(("a", 3.0, 1), ("a", 3.0, 1), ("b", 5.0, 1))))
+  }
+
+  test("DataGen source: rate stream + column exprs produce typed rows") {
+    // The reference's DataGeneratorSource maps to format("rate") + exprs.
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("timestamp"), col("value"),
+        (col("value") % 10).as("key"),
+        md5(col("value").cast("string")).as("payload"))
+      .writeStream.format("memory").queryName("datagen_t")
+      .outputMode("append").start()
+    try {
+      var waited = 0
+      while (spark.table("datagen_t").isEmpty && waited < 150) {
+        q.processAllAvailable(); Thread.sleep(100); waited += 1
+      }
+    } finally q.stop()
+    val rows = spark.table("datagen_t")
+    assert(rows.count() > 0)
+    assert(rows.where(col("key") >= 10 || col("key") < 0).count() == 0)
+  }
+
+  test("formats: csv/json/orc round-trip the nation table losslessly") {
+    val n = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt-").toString
+    val expected = n.collect().map(_.toSeq).sortBy(_.toString)
+    Seq("csv", "json", "orc").foreach { fmt =>
+      val path = s"$base/$fmt"
+      n.write.format(fmt).option("header", "true").save(path)
+      val back = spark.read.format(fmt).option("header", "true")
+        .schema(n.schema).load(path)
+      assert(back.collect().map(_.toSeq).sortBy(_.toString)
+        .sameElements(expected), s"$fmt round-trip mismatch")
+    }
+  }
+
+  test("sink abilities: truncate (overwrite) and dynamic partition overwrite") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val r = Tables.region(spark, sf)
+    // truncate-and-write
+    r.write.mode("overwrite").parquet(s"$base/t")
+    r.write.mode("overwrite").parquet(s"$base/t")
+    assert(spark.read.parquet(s"$base/t").count() == r.count())
+    // partitioned write + dynamic partition overwrite of ONE partition
+    val n = Tables.nation(spark, sf)
+    n.write.partitionBy("n_regionkey").mode("overwrite").parquet(s"$base/p")
+    val before = spark.read.parquet(s"$base/p").count()
+    val one = n.where(col("n_regionkey") === 0)
+      .withColumn("n_name", upper(col("n_name")))
+    one.write.partitionBy("n_regionkey").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$base/p")
+    val after = spark.read.parquet(s"$base/p")
+    assert(after.count() == before) // only partition 0 replaced
+    assert(after.where(col("n_regionkey") === 0)
+      .select(min(col("n_name") === upper(col("n_name")))).head().getBoolean(0))
+  }
+}
