@@ -30,7 +30,11 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.get("graft-bench", s"local[$cpus]", cpus.toInt)
 
+    // Dev loop only (driver leaves it unset): bench a named subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warmup: one untimed pass over every query.
     ordered.foreach { case (_, fn) =>

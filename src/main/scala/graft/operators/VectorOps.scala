@@ -40,6 +40,21 @@ object VectorOps {
   /** L2 norm via the exact dot product. */
   def norm(a: Column): Column = sqrt(dotDec(a, a).cast("double"))
 
+  /** Fast approximate dot product in pure double (codegen-friendly, ~10×
+    * cheaper than the decimal path but partition-order sensitive in the
+    * last bits). Use as a PREFILTER with an epsilon margin, then re-score
+    * survivors with [[dotDec]] — the exact result is unchanged because the
+    * double/decimal divergence (≲1e-9 relative) is far below any sensible
+    * margin. */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Approximate cosine for prefiltering (see [[dotDouble]]). */
+  def cosineApprox(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotDouble(a, b) / (na * nb)
+
   /** Cosine similarity given precomputed norms (pass [[norm]] results so
     * each row's norm is computed once, not per pair). */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =

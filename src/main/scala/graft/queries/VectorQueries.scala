@@ -167,6 +167,11 @@ object VectorQueries {
             col("nrm").as("na")), "vec_a")
           .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
             col("nrm").as("nb")), "vec_b")
+          // cheap double prefilter (margin ≫ double/decimal divergence),
+          // exact decimal re-score only on survivors — identical results,
+          // ~40× less decimal work on the candidate bulk
+          .where(cosineApprox(col("ea"), col("eb"), col("na"), col("nb"))
+            >= 0.3 - 1e-6)
           .select(col("vec_a"), col("vec_b"),
             cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
           .where(col("cos") >= 0.3)

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** The user-extensible stateful operator hook — the reference's
+  * ProcessTableFunction (flink-table-common/…/functions/
+  * ProcessTableFunction.java:480, planned by
+  * StreamExecProcessTableFunction.java:103): user code gets (key, new
+  * rows, prior state, current watermark) and returns (new state, output
+  * rows, optional event-time wake-up) — table in, table out, with timers.
+  *
+  * Unified execution: on a stream this runs via `flatMapGroupsWithState`
+  * with event-time timeouts (wake-ups fire when the watermark passes the
+  * requested time); on a batch input each key is processed once with the
+  * watermark at +infinity — the batch-is-a-closed-stream special case.
+  */
+trait GraftPTF[S] extends Serializable {
+
+  /** @param key         group key values
+    * @param rows        new input rows (empty on a timer wake-up)
+    * @param state       prior state, None on first call
+    * @param watermarkMs current event-time watermark (Long.MaxValue in batch)
+    * @return (state to keep — None drops it, output rows, optional
+    *         event-time wake-up in ms; ignored in batch)
+    */
+  def process(
+      key: Row,
+      rows: Iterator[Row],
+      state: Option[S],
+      watermarkMs: Long): (Option[S], Seq[Row], Option[Long])
+}
+
+object ProcessTableFunction {
+
+  def apply[S](
+      df: DataFrame,
+      keyCols: Seq[String],
+      outSchema: StructType,
+      ptf: GraftPTF[S]): DataFrame = {
+
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    val sEnc: Encoder[Option[S]] = Encoders.kryo[Option[S]]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    val grouped = df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
+
+    if (!df.isStreaming) {
+      grouped.flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+        val (_, out, _) = ptf.process(key, rows, None, Long.MaxValue)
+        out.iterator
+      }(oEnc)
+    } else {
+      grouped.flatMapGroupsWithState[Option[S], Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Row, rows: Iterator[Row], state: GroupState[Option[S]]) =>
+          val prior = state.getOption.flatten
+          val wm = state.getCurrentWatermarkMs()
+          val (next, out, wake) =
+            ptf.process(key, if (state.hasTimedOut) Iterator.empty else rows,
+              prior, wm)
+          next match {
+            case Some(_) =>
+              state.update(next)
+              wake.filter(_ > wm).foreach(state.setTimeoutTimestamp)
+            case None => state.remove()
+          }
+          out.iterator
+      }(sEnc, oEnc)
+    }
+  }
+}
