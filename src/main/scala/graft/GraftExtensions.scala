@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.InetAtonExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (`spark.sql.extensions=
+  * graft.GraftExtensions`): injects graft's NATIVE Catalyst expressions
+  * into the function registry at session build time — the deployment
+  * route for extending Spark without touching session internals (the
+  * analog of the reference's module/function-catalog registration in
+  * BuiltInFunctionDefinitions.java).
+  *
+  * UDF-backed functions register separately via
+  * [[graft.functions.GraftFunctions.registerAll]]; only full codegen
+  * expressions belong here.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("inet_aton_native"),
+      new ExpressionInfo(classOf[InetAtonExpr].getName, "inet_aton_native"),
+      (children: Seq[Expression]) => InetAtonExpr(children.head)))
+  }
+}

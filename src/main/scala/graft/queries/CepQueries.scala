@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, MatchRecognize}
+import org.apache.spark.sql.functions._
+
+/** MATCH_RECOGNIZE-lite (CEP) queries. The Spark side runs the per-key
+  * NFA scan (MatchRecognize.fallingRunThenRise); the oracle re-derives
+  * the identical matches relationally (gaps-and-islands + arg_min/arg_max)
+  * — two independent formulations of the same pattern semantics.
+  */
+object CepQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // V-shape detection per user over the events stream: a maximal run of
+    // strictly-falling values immediately followed by a rise.
+    QueryDef(
+      "q_match_recognize",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        // deterministic order: one row per (user, micro), lowest event_id
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        MatchRecognize.fallingRunThenRise(d, "user_id", "ts_us", "value")
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu, lag(value) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN value < pv THEN 'D'
+                              WHEN value > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir = 'D'
+                                  AND (pdir IS NULL OR pdir <> 'D')
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2),
+        druns AS (
+          SELECT user_id, runid,
+                 COUNT(*) AS n_down,
+                 MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_us,
+                 arg_min(pv, idx) AS top,
+                 arg_max(value, idx) AS bottom
+          FROM r WHERE dir = 'D' GROUP BY user_id, runid)
+        SELECT d.user_id, d.start_us, nxt.tu AS end_us, d.n_down,
+               d.top - d.bottom AS depth
+        FROM druns d JOIN r nxt
+          ON nxt.user_id = d.user_id AND nxt.idx = d.last_idx + 1
+             AND nxt.dir = 'U'
+        ORDER BY d.user_id, d.start_us
+      """.stripMargin.trim))
+  )
+}

@@ -106,6 +106,36 @@ object MiscOpQueries {
         WHERE rnk <= 2 ORDER BY c_nationkey, rnk, c_custkey
       """.stripMargin.trim)),
 
+    // Native codegen Expression tier: inet_aton_native is a Catalyst
+    // UnaryExpression with doGenCode, injected via SparkSessionExtensions
+    // (GraftExtensions) — same semantics as the composed-builtin
+    // StringGapFunctions.inetAton, different (native) execution tier.
+    QueryDef(
+      "q_inet_native",
+      (s, dir) => {
+        val n = (col("p_partkey") * lit(2654435761L)) % lit(4294967296L)
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            graft.functions.StringGapFunctions.inetNtoa(n).as("ip"))
+          .select(col("p_partkey"), col("ip"),
+            expr("inet_aton_native(ip)").as("back"),
+            expr("inet_aton_native('not.an.ip')").as("bad"),
+            expr("inet_aton_native('256.1.1.1')").as("oob"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        WITH t AS (SELECT p_partkey,
+                          (p_partkey * 2654435761) % 4294967296 AS n
+                   FROM part)
+        SELECT p_partkey,
+               (n // 16777216) % 256 || '.' || (n // 65536) % 256 || '.' ||
+               (n // 256) % 256 || '.' || n % 256 AS ip,
+               n AS back,
+               CAST(NULL AS BIGINT) AS bad,
+               CAST(NULL AS BIGINT) AS oob
+        FROM t ORDER BY p_partkey
+      """.stripMargin.trim)),
+
     // Collection pack, arrays: sort/distinct/slice/union/intersect/except/
     // contains/element_at/min/max/join over per-order quantity arrays.
     QueryDef(

@@ -33,7 +33,8 @@ object Registry {
     PipelineQueries.defs,
     StreamQueries.defs,
     ChangelogQueries.defs,
-    MiscOpQueries.defs
+    MiscOpQueries.defs,
+    CepQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
