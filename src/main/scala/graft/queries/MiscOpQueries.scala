@@ -106,6 +106,26 @@ object MiscOpQueries {
         WHERE rnk <= 2 ORDER BY c_nationkey, rnk, c_custkey
       """.stripMargin.trim)),
 
+    // AsyncCalc: async scalar invocation with ordered emission
+    // (StreamExecAsyncCalc / AsyncScalarFunction.java:93). The scalar here
+    // is deterministic integer math so the oracle can restate it.
+    QueryDef(
+      "q_async_calc",
+      (s, dir) => {
+        graft.operators.AsyncCalc(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+          r => (r.getLong(0) * 31 + r.getString(1).length) % 997,
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType),
+          batchSize = 128, maxInFlight = 4)
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey, p_name,
+               (p_partkey * 31 + length(p_name)) % 997 AS score
+        FROM part ORDER BY p_partkey
+      """.stripMargin.trim)),
+
     // Native codegen Expression tier: inet_aton_native is a Catalyst
     // UnaryExpression with doGenCode, injected via SparkSessionExtensions
     // (GraftExtensions) — same semantics as the composed-builtin

@@ -87,6 +87,18 @@ class MiscOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("script transform: TRANSFORM ... USING an external command") {
+    Tables.nation(spark, sf).createOrReplaceTempView("nation_v")
+    val out = spark.sql("""
+      SELECT TRANSFORM(n_nationkey, n_name) USING 'cat' AS (k STRING, v STRING)
+      FROM nation_v
+    """).collect().map(r => (r.getString(0), r.getString(1)))
+    val exp = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("string"), col("n_name"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.sorted.sameElements(exp.sorted))
+  }
+
   test("sink abilities: truncate (overwrite) and dynamic partition overwrite") {
     val base = java.nio.file.Files.createTempDirectory("graft-sink-").toString
     val r = Tables.region(spark, sf)

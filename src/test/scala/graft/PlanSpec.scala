@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the Spark-inherited abilities VERDICT r1 listed
+  * as "never asserted" — filter pushdown into the parquet scan, column
+  * pruning (ReadSchema), broadcast choice for small dims, AQE/DPP/runtime-
+  * filter configs. These lock the 100 TB-relevant plan properties so a
+  * regression (a lost pushdown, a broadcast turned shuffle) fails CI, not
+  * the cluster.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfMid).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter reaches the scan; only needed columns read") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // 7 needed columns, not the full 16-column lineitem schema
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("q_join_multi: dims broadcast, selective filters pushed") {
+    val p = planOf("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "orderdate filter not pushed")
+  }
+
+  test("q_vector_topk: query-set predicate pushed; broadcast NLJ on small side") {
+    val p = planOf("q_vector_topk")
+    assert(p.contains("LessThan(vec_id,10)"), "query-set filter not pushed")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
+    assert(p.contains("WindowGroupLimit"), "top-k must plan as group-limit")
+  }
+
+  test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
+    val c = spark.conf
+    assert(c.get("spark.sql.adaptive.enabled") == "true")
+    assert(c.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c.get("spark.sql.optimizer.dynamicPartitionPruning.enabled") == "true")
+    assert(c.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+  }
+
+  test("no scale killers: collect/cartesian absent from registry plans") {
+    // every registered query must plan without CartesianProduct (the one
+    // theta NLJ uses BroadcastNestedLoopJoin by construction)
+    val offenders = Seq("q_ngram_jaccard", "q_dedup_minhash",
+      "q_embedding_cosine_dup", "q_upsert_materialize", "q_match_recognize")
+      .filter(n => planOf(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}

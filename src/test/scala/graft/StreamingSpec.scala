@@ -185,6 +185,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() > 0)
   }
 
+  test("native stream-stream interval join matches the batch join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Timestamp, Long, Double)]
+    val rIn = MemoryStream[(Timestamp, Long, Double)]
+    val lDf = lIn.toDF().toDF("ts", "uid", "value").withWatermark("ts", "5 seconds")
+    val rDf = rIn.toDF().toDF("rts", "ruid", "rvalue").withWatermark("rts", "5 seconds")
+    val joined = lDf.join(rDf,
+      expr("uid = ruid AND rts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-").toString
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val l = fixture.filter(_._3 == "click").map(t => (t._1, t._2, t._4))
+    val r = fixture.filter(_._3 == "view").map(t => (t._1, t._2, t._4))
+    try {
+      lIn.addData(l); rIn.addData(r)
+      q.processAllAvailable()
+      lIn.addData(Seq((flushTs, -1L, 0.0))); rIn.addData(Seq((flushTs, -1L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ssj_t").where(col("uid") =!= -1L)
+    val exp = l.toDF("ts", "uid", "value").join(r.toDF("rts", "ruid", "rvalue"),
+      expr("uid = ruid AND rts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
+    assert(sortedRows(out) == sortedRows(exp.select(out.columns.map(col): _*)))
+    assert(out.count() > 0)
+  }
+
+  test("StreamingSort emits per-key rows in event-time order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sort-").toString
+    val q = streaming.StreamingSort(df, Seq("user_id"), "ts", "20 seconds")
+      .writeStream.format("memory").queryName("sort_t")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val base = 1700000000000L
+    // single key, deliberately out of order, across two batches
+    val rows = Seq(5L, 2L, 9L, 1L, 7L).map(i =>
+      (new Timestamp(base + i * 1000), 42L, "x", i.toDouble))
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.drop(3)); q.processAllAvailable()
+      input.addData(Seq((new Timestamp(base + 86400000L), -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((new Timestamp(base + 86401000L), -1L, "flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sort_t").where(col("user_id") === 42L)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(got == got.sorted, s"not event-time ordered: $got")
+    assert(got.toSet == Set(1.0, 2.0, 5.0, 7.0, 9.0))
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
