@@ -228,6 +228,77 @@ object ChangelogNormalize {
   }
 }
 
+/** Retract-CONSUMING group aggregation: input is a CHANGELOG (`+I`/`+U`
+  * accumulate, `-U`/`-D` retract the carried image), output is the
+  * aggregate over each key's live set — the reference's retractable
+  * aggregate tier (RT/functions/aggregate "WithRetractAggFunction" family:
+  * MinWithRetractAggFunction et al. keep a value-multiset so a retracted
+  * current-min can fall back to the next value).
+  *
+  * Exactness: SUM accumulates in BigDecimal (scale 6, HALF_UP per
+  * element), so retract(accumulate(x)) is the exact identity — no float
+  * drift ever accumulates — and the fold order across a group is
+  * irrelevant (every op commutes). MIN/MAX keep a Map[value → count]
+  * multiset. COUNT is a plain live-row counter.
+  *
+  * Batch route: one commutative fold per key (no ordering needed). The
+  * streaming form composes from this + [[ChangelogAgg]]'s emission
+  * protocol; batch is what the oracle checks.
+  */
+object RetractableAgg {
+
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valCol: String): DataFrame = {
+
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valCol)
+    val kindIdx = df.schema.fieldIndex(RowKind.kindCol)
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+    val outSchema = StructType(
+      keyIdx.map(df.schema.fields(_)) ++ Seq(
+        StructField("n_live", LongType),
+        StructField("sum_v", DoubleType),
+        StructField("min_v", DoubleType),
+        StructField("max_v", DoubleType)))
+
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
+      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+        var n = 0L
+        var sum = java.math.BigDecimal.ZERO
+        val multiset = scala.collection.mutable.TreeMap.empty[Double, Long]
+        rows.foreach { r =>
+          val v = r.getDouble(valIdx)
+          val dec = new java.math.BigDecimal(v)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          val retract = r.getString(kindIdx) match {
+            case RowKind.UpdateBefore | RowKind.Delete => true
+            case _ => false
+          }
+          if (retract) {
+            n -= 1
+            sum = sum.subtract(dec)
+            val c = multiset.getOrElse(v, 0L) - 1
+            if (c <= 0) multiset.remove(v) else multiset.update(v, c)
+          } else {
+            n += 1
+            sum = sum.add(dec)
+            multiset.update(v, multiset.getOrElse(v, 0L) + 1)
+          }
+        }
+        if (n <= 0) Iterator.empty
+        else Iterator.single(Row.fromSeq(key.toSeq ++ Seq[Any](
+          n, sum.doubleValue(), multiset.firstKey, multiset.lastKey)))
+      }(oEnc)
+  }
+}
+
 /** Strip `-U` rows when the downstream operator doesn't need pre-images
   * (reference: StreamExecDropUpdateBefore.java:55 — a pure filter). */
 object DropUpdateBefore {

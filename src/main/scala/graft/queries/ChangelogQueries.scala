@@ -98,6 +98,32 @@ object ChangelogQueries {
         FROM feed WHERE k % 7 <> 0 ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // Retract-CONSUMING aggregate: fold the full changelog (accumulate
+    // +I/+U, retract -U/-D) into per-bucket live-set aggregates — the
+    // *WithRetractAggFunction tier. The oracle aggregates the final table
+    // state directly; both must agree exactly (decimal-sum, multiset
+    // min/max).
+    QueryDef(
+      "q_retract_agg",
+      (s, dir) => {
+        val log = ChangelogNormalize(upsertFeed(s, dir), Seq("o_orderkey"),
+          "kind", "__seq")
+          .withColumn("bucket", col("o_orderkey") % 10)
+        RetractableAgg(log, Seq("bucket"), "o_totalprice")
+          .orderBy(col("bucket"))
+      },
+      Some(s"""
+        WITH $feedOracle,
+        final AS (
+          SELECT k % 10 AS bucket,
+                 CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS p2
+          FROM feed WHERE k % 7 <> 0)
+        SELECT bucket, COUNT(*) AS n_live,
+               CAST(SUM(CAST(p2 AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+               MIN(p2) AS min_v, MAX(p2) AS max_v
+        FROM final GROUP BY bucket ORDER BY bucket
+      """.stripMargin.trim)),
+
     // ChangelogAgg batch face: the all-+I special case of the
     // retraction-emitting group aggregate.
     QueryDef(

@@ -110,4 +110,47 @@ class ChangelogSpec extends SparkSpecBase {
     val expected = (1L to 50L).filterNot(_ % 4 == 0).map(k => (k, k * 20.0))
     assert(mat.sameElements(expected))
   }
+
+  test("UpsertSink: streamed changelog materializes to the batch final state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = (1L to 40L).flatMap { k =>
+      Seq((k, k * 10.0, 1L, RowKind.UpdateAfter),
+        (k, k * 30.0, 2L, RowKind.UpdateAfter)) ++
+        (if (k % 3 == 0) Seq((k, 0.0, 3L, RowKind.Delete)) else Nil)
+    }
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("k", "v", "__seq", "kind")
+    val table = java.nio.file.Files.createTempDirectory("graft-upsert-")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ck-")
+      .toString
+    val q = UpsertSink.writeUpsert(
+      ChangelogNormalize(df, Seq("k"), "kind", "__seq"),
+      table, Seq("k"), ckpt)
+    try {
+      val (a, b) = feed.splitAt(feed.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(table)
+      .select("k", "v").as[(Long, Double)].collect().sortBy(_._1)
+    val expected = (1L to 40L).filterNot(_ % 3 == 0).map(k => (k, k * 30.0))
+    assert(got.sameElements(expected))
+  }
+
+  test("RetractableAgg: retractions exactly cancel accumulations") {
+    import org.apache.spark.sql.functions.lit
+    // +I 10, +I 20, -U 10 (retract), +U 30, -D 20 → live = {30}
+    val log = Seq(
+      (1L, 10.0, RowKind.Insert), (1L, 20.0, RowKind.Insert),
+      (1L, 10.0, RowKind.UpdateBefore), (1L, 30.0, RowKind.UpdateAfter),
+      (1L, 20.0, RowKind.Delete),
+      (2L, 7.0, RowKind.Insert))
+      .toDF("g", "v", RowKind.kindCol).withColumn(RowKind.seqCol, lit(1L))
+    val out = RetractableAgg(log, Seq("g"), "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 30.0, 30.0, 30.0),
+      (2L, 1L, 7.0, 7.0, 7.0)))
+  }
 }
