@@ -106,6 +106,48 @@ object MiscOpQueries {
         WHERE rnk <= 2 ORDER BY c_nationkey, rnk, c_custkey
       """.stripMargin.trim)),
 
+    // Salted two-phase aggregation over a hot-key grouping (3 distinct
+    // keys for 60k rows): result must equal the plain GROUP BY — the salt
+    // only moves partial work.
+    QueryDef(
+      "q_salted_agg",
+      (s, dir) => {
+        graft.operators.Salt.saltedCountSum(
+          Tables.lineitem(s, dir),
+          keys = Seq(col("l_returnflag")),
+          value = col("l_extendedprice"),
+          sumScale = 2, n = 8,
+          distinguishers = Seq(col("l_orderkey"), col("l_linenumber")))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""
+        SELECT l_returnflag, COUNT(*) AS cnt,
+               ${Exact.sqlSum("l_extendedprice")} AS sum_v
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """.stripMargin.trim)),
+
+    // Salted skew join: probe salted, build replicated n ways; aggregate
+    // afterwards must equal the plain join's.
+    QueryDef(
+      "q_salted_join",
+      (s, dir) => {
+        val joined = graft.operators.Salt.saltedJoin(
+          Tables.lineitem(s, dir), Tables.orders(s, dir)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          "l_orderkey", n = 4,
+          probeDistinguishers = Seq(col("l_linenumber")))
+        joined.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_items"),
+            Exact.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""
+        SELECT o_custkey, COUNT(*) AS n_items,
+               ${Exact.sqlSum("l_quantity")} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey ORDER BY o_custkey
+      """.stripMargin.trim)),
+
     // AsyncCalc: async scalar invocation with ordered emission
     // (StreamExecAsyncCalc / AsyncScalarFunction.java:93). The scalar here
     // is deterministic integer math so the oracle can restate it.
