@@ -106,6 +106,83 @@ object MiscOpQueries {
         WHERE rnk <= 2 ORDER BY c_nationkey, rnk, c_custkey
       """.stripMargin.trim)),
 
+    // TEMPORAL_OVERLAPS (temporal pack gap): per event, does
+    // (ts, ts + value-seconds) overlap the back half of its 10-minute
+    // bucket? Boundaries inclusive, bounds auto-normalized.
+    QueryDef(
+      "q_temporal_overlaps",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("i1_end",
+            expr("ts + make_interval(0,0,0,0,0,0, cast(floor(value) as int) % 3600)"))
+          .withColumn("b_start",
+            expr("timestamp_millis((unix_micros(ts) div 1000) - " +
+              "(unix_micros(ts) div 1000) % 600000 + 300000)"))
+          .withColumn("b_end", expr("b_start + interval 5 minutes"))
+        e.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(graft.functions.TemporalFunctions.temporalOverlaps(
+              col("ts"), col("i1_end"), col("b_start"), col("b_end")), 1L)
+              .otherwise(0L)).as("n_overlapping"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+            CAST(ts AS TIMESTAMP)
+              + INTERVAL (CAST(floor(value) AS INT) % 3600) SECOND AS i1_end,
+            make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+              - (epoch_us(CAST(ts AS TIMESTAMP)) // 1000) % 600000
+              + 300000) * 1000) AS b_start
+          FROM events),
+        x AS (SELECT event_type,
+                CASE WHEN least(t, i1_end) <= b_start + INTERVAL 5 MINUTE
+                      AND least(b_start, b_start + INTERVAL 5 MINUTE)
+                          <= greatest(t, i1_end)
+                     THEN 1 ELSE 0 END AS ov
+              FROM e)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(ov) AS BIGINT) AS n_overlapping
+        FROM x GROUP BY event_type ORDER BY event_type
+      """.stripMargin.trim)),
+
+    // MULTISET convention (SURVEY §1.3: MULTISET<T> = MAP<T, count>): the
+    // per-order quantity multiset rendered as sorted value:count entries.
+    QueryDef(
+      "q_multiset",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"), col("l_quantity").cast("int").as("q"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            map_from_entries(array_sort(collect_list(struct(col("q"),
+              col("c"))))).as("ms"))
+          .select(
+            col("l_orderkey"),
+            size(col("ms")).cast("long").as("n_distinct"),
+            aggregate(map_values(col("ms")), lit(0L), (a, x) => a + x)
+              .as("cardinality"),
+            coalesce(element_at(col("ms"), 25), lit(0L)).as("mult_25"),
+            concat_ws(",", transform(map_entries(col("ms")),
+              kv => concat(kv.getField("key").cast("string"), lit(":"),
+                kv.getField("value").cast("string")))).as("entries"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_orderkey, CAST(l_quantity AS INT) AS q, COUNT(*) AS c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_orderkey,
+          COUNT(*) AS n_distinct,
+          CAST(SUM(c) AS BIGINT) AS cardinality,
+          CAST(COALESCE(MAX(CASE WHEN q = 25 THEN c END), 0) AS BIGINT)
+            AS mult_25,
+          string_agg(q || ':' || c, ',' ORDER BY q) AS entries
+        FROM m GROUP BY l_orderkey ORDER BY l_orderkey
+      """.stripMargin.trim)),
+
     // Salted two-phase aggregation over a hot-key grouping (3 distinct
     // keys for 60k rows): result must equal the plain GROUP BY — the salt
     // only moves partial work.
