@@ -286,9 +286,13 @@ object TextQueries {
     QueryDef(
       "q_dedup_minhash",
       (s, dir) => {
+        // Tokens projected before the explode — inlining tokens(text) into
+        // the Generate re-evaluates split+filter per lambda element
+        // (see NgramJaccard scaladoc; ~4x on this subtree).
         val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("__t"))
           .select(col("doc_id"),
-            explode(shingles(tokens(col("text")), 3)).as("s"))
+            explode(shingles(col("__t"), 3)).as("s"))
         val sig = sh
           .select(col("doc_id"), col("s"),
             explode(sequence(lit(0), lit(15))).as("seed"))
@@ -368,35 +372,16 @@ object TextQueries {
       """.stripMargin.trim)),
 
     // Exact n-gram Jaccard over candidate pairs generated by the inverted
-    // shingle index (equality join on shingle — the only join key). At
-    // 100 TB the index join adds a document-frequency cap on hot shingles;
-    // at oracle scale every shingle is rare so the exact and capped
-    // results coincide and the oracle stays checkable.
+    // shingle index (equality join on shingle — the only join key), with
+    // the hot-shingle document-frequency cap that keeps the self-join
+    // linear at 100 TB (see NgramJaccard scaladoc). The cap (10) exceeds
+    // the sf0.01 max shingle df (7), so the uncapped oracle matches
+    // byte-exactly at verification scale.
     QueryDef(
       "q_ngram_jaccard",
-      (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            explode(shingles(tokens(col("text")), 3)).as("s"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.as("a")
-          .join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("n", "na"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("n", "nb"), "doc_b")
-          .withColumn("uni", col("na") + col("nb") - col("inter"))
-          .withColumn("jaccard",
-            col("inter").cast("double") / col("uni").cast("double"))
-          .where(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
-            col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, dir) =>
+        graft.operators.NgramJaccard(Tables.documents(s, dir))
+          .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
         $shOracle,
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

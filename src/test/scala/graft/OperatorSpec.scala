@@ -87,4 +87,35 @@ class OperatorSpec extends SparkSpecBase {
     assert(math.abs(apx - exact).toDouble / exact < 0.05,
       s"apx=$apx exact=$exact")
   }
+
+  test("NgramJaccard df cap bounds hot-shingle candidates") {
+    // 20 docs all sharing one boilerplate shingle ("common legal footer"),
+    // plus two genuinely near-duplicate docs. Uncapped, the boilerplate
+    // alone generates 20*19/2 = 190 candidate pairs; capped at 10 it
+    // generates none, and only the real near-dup pair survives.
+    val boiler = (1 to 20).map(i => (s"b$i", s"common legal footer unique$i"))
+    val dups = Seq(
+      ("d1", "alpha beta gamma delta epsilon"),
+      ("d2", "alpha beta gamma delta zeta"))
+    val docs = (boiler ++ dups).toDF("doc_id", "text")
+
+    val sh = docs.select($"doc_id",
+      explode(graft.functions.TextAnalysis.shingles(
+        graft.functions.TextAnalysis.tokens($"text"), 3)).as("s"))
+    val capped = NgramJaccard.cappedPostings(sh, dfCap = 10)
+    // The df=20 shingle is gone; every remaining posting has df <= 10.
+    assert(capped.where($"s" === "common legal footer").count() == 0)
+    val maxDf = capped.groupBy($"s").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxDf <= 10)
+
+    val pairs = NgramJaccard(docs, n = 3, dfCap = 10, minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("d1", "d2")))
+
+    // Cap above every df: identical to the uncapped answer.
+    val uncapped = NgramJaccard(docs, n = 3, dfCap = 1000, minJaccard = 0.0)
+    val cappedAll = NgramJaccard(docs, n = 3, dfCap = 20, minJaccard = 0.0)
+    assert(uncapped.count() == cappedAll.count())
+  }
 }
