@@ -72,6 +72,15 @@ object VectorQueries {
     // exact top-5 within the probed clusters. The scale path: per-query
     // work drops from |corpus| to |probed clusters|, and cluster members
     // are co-located by a hash shuffle on cent_id.
+    //
+    // Plan shape (VERDICT r2 #2 fix): ONE corpus×centroids scoring pass —
+    // assign and probe both derive from the same `ranked` frame, so the
+    // scoring feeds one window exchange that Spark reuses (ReusedExchange)
+    // instead of evaluating the subtree twice. Ranking uses the cheap
+    // double dot (assignment needs an ORDER, not an exact score; the
+    // per-vector norm is constant within a ranking partition and is
+    // dropped entirely); the exact decimal cosine runs only on the final
+    // candidate set — the q_embedding_cosine_dup pattern.
     QueryDef(
       "q_vector_ivf_topk",
       (s, dir) => {
@@ -79,17 +88,19 @@ object VectorQueries {
         val cents = n.where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
             col("nrm").as("cnrm"))
-        val ap = n.join(broadcast(cents))
+        val ap = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .join(broadcast(cents))
           .select(col("vec_id"), col("cent_id"),
-            cosine(col("embedding"), col("cemb"), col("nrm"), col("cnrm"))
-              .as("cos"))
+            (dotDouble(col("embedding"), col("cemb")) / col("cnrm"))
+              .as("score"))
         val wv = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("cent_id").asc)
-        val assign = ap.withColumn("rk", row_number().over(wv))
-          .where(col("rk") === 1).select(col("vec_id"), col("cent_id"))
-        val probe = ap.where(col("vec_id") < 10)
-          .withColumn("rk", row_number().over(wv))
+          .orderBy(col("score").desc, col("cent_id").asc)
+        val ranked = ap.withColumn("rk", row_number().over(wv))
           .where(col("rk") <= 2)
+        val assign = ranked.where(col("rk") === 1)
+          .select(col("vec_id"), col("cent_id"))
+        val probe = ranked.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("cent_id"))
         val cand = probe.join(assign, "cent_id")
           .where(col("vec_id") =!= col("qid"))
