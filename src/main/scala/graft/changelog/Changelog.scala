@@ -196,16 +196,18 @@ object ChangelogNormalize {
 
     if (!df.isStreaming) {
       // Batch replay: per key in seq order, fold through the same logic.
-      return df.as[Row](vEnc)
-        .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
-        .flatMapGroups { (_: Row, rows: Iterator[Row]) =>
-          var prev: Option[Seq[Any]] = None
-          rows.toSeq.sortBy(_.getLong(seqIdx)).flatMap { r =>
-            val (p2, outs) = process(prev, r)
-            prev = p2
-            outs
-          }.iterator
-        }(oEnc)
+      // Secondary sort (external spilling sort + streamed key groups)
+      // instead of buffering each group to sort it — per-key heap is the
+      // previous image only, so a hot key cannot OOM the task.
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        df, keyCols, Seq(col(seqCol)), outSchema) { (_, rows) =>
+        var prev: Option[Seq[Any]] = None
+        rows.flatMap { r =>
+          val (p2, outs) = process(prev, r)
+          prev = p2
+          outs
+        }
+      }
     }
 
     df.as[Row](vEnc)

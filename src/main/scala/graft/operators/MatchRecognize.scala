@@ -14,11 +14,11 @@ import org.apache.spark.sql.types._
   * Predicates compare consecutive rows (PREV semantics). One output row
   * per match: key, match start/end (exact micros), run length, depth.
   *
-  * Execution: one hash shuffle on the key, per-key time-ordered pass in
-  * `flatMapGroups` running a 2-state NFA — the same single-scan shape the
-  * reference's NFA performs per key, so it scales like any keyed
-  * aggregation (state = current run only, never the whole partition...
-  * the full streaming NFA with shared buffers remains roadmap).
+  * Execution: one hash shuffle on the key, external (spilling) sort within
+  * partitions, then a single streamed pass per key running a 2-state NFA
+  * (SecondarySort.mapOrderedGroups) — the same single-scan shape the
+  * reference's NFA performs per key. Per-key heap is the NFA registers
+  * only (O(1)); a hot key spills in the sort, never in the operator.
   */
 object MatchRecognize {
 
@@ -47,39 +47,36 @@ object MatchRecognize {
       StructField("n_down", LongType),
       StructField("depth", DoubleType)))
 
-    val kEnc = Encoders.row(StructType(Seq(keyField)))
-    val vEnc = Encoders.row(df.schema)
-    val oEnc = Encoders.row(outSchema)
-
-    df.as[Row](vEnc)
-      .groupByKey(r => Row(r.get(kIdx)))(kEnc)
-      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
-        val sorted = rows.toSeq
-          .map(r => (r.getLong(tIdx), r.getDouble(vIdx)))
-          .sortBy(_._1)
-        val out = Seq.newBuilder[Row]
-        // 2-state NFA: Idle --(fall)--> InRun --(rise)--> emit, skip past
-        var runStart = -1L // time of the row the run FELL FROM
-        var runLen = 0L
-        var runTop = 0.0
-        var prevT = -1L
-        var prevV = 0.0
-        var havePrev = false
-        sorted.foreach { case (t, v) =>
-          if (havePrev) {
-            if (v < prevV) {
-              if (runLen == 0) { runStart = prevT; runTop = prevV }
-              runLen += 1
-            } else if (v > prevV && runLen > 0) {
-              out += Row(key.get(0), runStart, t, runLen, runTop - prevV)
-              runLen = 0 // SKIP PAST LAST ROW: run consumed
-            } else if (v == prevV) {
-              runLen = 0 // plateau breaks the pattern, no match
-            }
+    SecondarySort.mapOrderedGroups(
+      df, Seq(keyCol), Seq(org.apache.spark.sql.functions.col(timeCol)),
+      outSchema) { (key, rows) =>
+      // 2-state NFA: Idle --(fall)--> InRun --(rise)--> emit, skip past.
+      // Lazy flatMap: emits stream out as the scan advances — no per-key
+      // output buffer either.
+      var runStart = -1L // time of the row the run FELL FROM
+      var runLen = 0L
+      var runTop = 0.0
+      var prevT = -1L
+      var prevV = 0.0
+      var havePrev = false
+      rows.flatMap { r =>
+        val t = r.getLong(tIdx)
+        val v = r.getDouble(vIdx)
+        var emit: Option[Row] = None
+        if (havePrev) {
+          if (v < prevV) {
+            if (runLen == 0) { runStart = prevT; runTop = prevV }
+            runLen += 1
+          } else if (v > prevV && runLen > 0) {
+            emit = Some(Row(key.head, runStart, t, runLen, runTop - prevV))
+            runLen = 0 // SKIP PAST LAST ROW: run consumed
+          } else if (v == prevV) {
+            runLen = 0 // plateau breaks the pattern, no match
           }
-          prevT = t; prevV = v; havePrev = true
         }
-        out.result().iterator
-      }(oEnc)
+        prevT = t; prevV = v; havePrev = true
+        emit
+      }
+    }
   }
 }

@@ -20,33 +20,27 @@ object TableAgg {
       keyCols: Seq[String],
       orderCol: String,
       n: Int): DataFrame = {
-    val keyIdx = keyCols.map(df.schema.fieldIndex)
     val ordIdx = df.schema.fieldIndex(orderCol)
-    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
     val outSchema = StructType(
       df.schema.fields :+ StructField("rnk", IntegerType))
 
-    val kEnc = Encoders.row(keySchema)
-    val vEnc = Encoders.row(df.schema)
-    val oEnc = Encoders.row(outSchema)
-
-    df.as[Row](vEnc)
-      .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
-      .flatMapGroups { (_: Row, rows: Iterator[Row]) =>
-        val sorted = rows.toSeq
-          .map(r => (r.getAs[Number](ordIdx).doubleValue(), r))
-          .sortBy(-_._1)
-        // competition ranking: 1,1,3,…
-        var rank = 0
-        var seen = 0
-        var prev = Double.NaN
-        val out = Seq.newBuilder[Row]
-        sorted.foreach { case (v, r) =>
-          seen += 1
-          if (seen == 1 || v != prev) { rank = seen; prev = v }
-          if (rank <= n) out += Row.fromSeq(r.toSeq :+ rank)
-        }
-        out.result().iterator
-      }(oEnc)
+    // Secondary sort: rows arrive per key in DESCENDING orderCol order from
+    // Spark's external sort, so competition ranking is a single counter —
+    // no per-key buffer, no heap; rows past rank n are skipped lazily.
+    SecondarySort.mapOrderedGroups(
+      df, keyCols,
+      Seq(org.apache.spark.sql.functions.col(orderCol).desc),
+      outSchema) { (_, rows) =>
+      // competition ranking: 1,1,3,…
+      var rank = 0
+      var seen = 0
+      var prev = Double.NaN
+      rows.flatMap { r =>
+        val v = r.getAs[Number](ordIdx).doubleValue()
+        seen += 1
+        if (seen == 1 || v != prev) { rank = seen; prev = v }
+        if (rank <= n) Some(Row.fromSeq(r.toSeq :+ rank)) else None
+      }
+    }
   }
 }

@@ -88,6 +88,35 @@ class OperatorSpec extends SparkSpecBase {
       s"apx=$apx exact=$exact")
   }
 
+  test("secondary-sorted operators stream a hot key (200k rows, one key)") {
+    // One key holding the entire input: the old flatMapGroups+toSeq shape
+    // buffered all 200k rows per task; the SecondarySort shape keeps O(1)
+    // per-key state and must produce identical results.
+    val n = 200000
+    val hot = spark.range(n)
+      .selectExpr("1L AS k", "id AS t",
+        "CAST(id % 97 AS DOUBLE) AS v")
+
+    // TableAgg: competition rank with ties over the single group.
+    val top = TableAgg.topNWithTies(hot, Seq("k"), "v", 3)
+    // v cycles 0..96; top value 96 appears ceil(n/97) times => all rank 1;
+    // next distinct value 95 gets competition rank (count(96)+1) > 3, so
+    // ONLY the 96s are emitted.
+    val expected96 = (0 until n).count(_ % 97 == 96)
+    assert(top.count() == expected96)
+    assert(top.agg(min($"rnk"), max($"rnk")).as[(Int, Int)].head() == ((1, 1)))
+
+    // MatchRecognize: v cycles 0..96 then drops to 0 — per cycle one
+    // falling edge (96 -> 0) followed by a rise, i.e. one V per cycle
+    // except the tail.
+    val m = MatchRecognize.fallingRunThenRise(hot, "k", "t", "v")
+    val matches = m.collect()
+    // one V per cycle: fall at t=k*97+96 -> k*97+97, rise at k*97+98;
+    // a match needs the rising row to exist (k*97+98 <= n-1)
+    assert(matches.length == (n - 1 - 98) / 97 + 1)
+    assert(matches.forall(r => r.getLong(3) == 1L && r.getDouble(4) == 96.0))
+  }
+
   test("NgramJaccard df cap bounds hot-shingle candidates") {
     // 20 docs all sharing one boilerplate shingle ("common legal footer"),
     // plus two genuinely near-duplicate docs. Uncapped, the boilerplate
