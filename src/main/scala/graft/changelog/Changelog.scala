@@ -301,6 +301,167 @@ object RetractableAgg {
   }
 }
 
+/** Retract-consuming AND retraction-emitting group aggregation — the
+  * composition tier that makes agg→agg changelog chains work (VERDICT r2
+  * gap #2). Input is a changelog (`+I`/`+U` accumulate, `-U`/`-D` retract);
+  * output is itself a changelog of the per-key aggregate row: `+I` when a
+  * key first becomes live, `-U`(old)/`+U`(new) on every change, `-D` when
+  * its live set empties.
+  *
+  * Reference: RT/operators/aggregate/GroupAggFunction.java:33 drives
+  * accumulate/retract from the input RowKind and emits UPDATE_BEFORE/
+  * UPDATE_AFTER; the retractable accumulators mirror the
+  * *WithRetractAggFunction family (MinWithRetractAggFunction keeps a
+  * value→count multiset so a retracted current-min falls back).
+  *
+  * Aggregates: n_live (COUNT), sum_v (exact: per-element double→decimal
+  * scale-6 HALF_UP, decimal addition — retract(accumulate(x)) is the exact
+  * identity), min_v / max_v (multiset-backed). Per-key state is the
+  * accumulator: O(distinct live values) for min/max, same bound as the
+  * reference's retract functions.
+  *
+  * Batch face: secondary-sorted replay per key in `orderCols` order
+  * emitting the FULL transition history — the deterministic equivalent of
+  * what the streaming form emits over time, so a downstream retract
+  * consumer sees a real changelog (with -U/+U/-D traffic) even in batch,
+  * and the materialized final state is oracle-checkable.
+  * Streaming face: `flatMapGroupsWithState`, one `-U`/`+U` pair per key
+  * per micro-batch (the reference's minibatch emission).
+  */
+object RetractingChangelogAgg {
+
+  private val aggFields = Seq(
+    StructField("n_live", LongType),
+    StructField("sum_v", DoubleType),
+    StructField("min_v", DoubleType),
+    StructField("max_v", DoubleType))
+
+  /** Mutable retractable accumulator (count + exact decimal sum + value
+    * multiset). */
+  private final class Acc(
+      var n: Long,
+      var sum: java.math.BigDecimal,
+      val multiset: scala.collection.mutable.TreeMap[Double, Long]) {
+
+    def this() = this(
+      0L, java.math.BigDecimal.ZERO,
+      scala.collection.mutable.TreeMap.empty[Double, Long])
+
+    def update(v: Double, retract: Boolean): Unit = {
+      val dec = new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      if (retract) {
+        n -= 1
+        sum = sum.subtract(dec)
+        val c = multiset.getOrElse(v, 0L) - 1
+        if (c <= 0) multiset.remove(v) else multiset.update(v, c)
+      } else {
+        n += 1
+        sum = sum.add(dec)
+        multiset.update(v, multiset.getOrElse(v, 0L) + 1)
+      }
+    }
+
+    def live: Boolean = n > 0
+    def values: Seq[Any] =
+      Seq[Any](n, sum.doubleValue(), multiset.firstKey, multiset.lastKey)
+    def snapshot: (Long, String, Map[Double, Long]) =
+      (n, sum.toPlainString, multiset.toMap)
+  }
+
+  private def accOf(s: (Long, String, Map[Double, Long])): Acc = {
+    val m = scala.collection.mutable.TreeMap.empty[Double, Long]
+    m ++= s._3
+    new Acc(s._1, new java.math.BigDecimal(s._2), m)
+  }
+
+  private def isRetract(kind: String): Boolean =
+    kind == RowKind.UpdateBefore || kind == RowKind.Delete
+
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valCol: String,
+      orderCols: Seq[Column] = Seq(col(RowKind.seqCol))): DataFrame = {
+
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valCol)
+    val kindIdx = df.schema.fieldIndex(RowKind.kindCol)
+    val outSchema = StructType(
+      keyIdx.map(df.schema.fields(_)) ++ aggFields :+
+        StructField(RowKind.kindCol, StringType) :+
+        StructField(RowKind.seqCol, LongType))
+
+    // Transition emission shared by both faces: diff the last emitted
+    // aggregate row against the accumulator's current value.
+    def transitions(
+        keyVals: Seq[Any],
+        emitted: Option[Seq[Any]],
+        acc: Acc,
+        seq0: Long): (Option[Seq[Any]], Long, Seq[Row]) = {
+      val now = if (acc.live) Some(acc.values) else None
+      (emitted, now) match {
+        case (None, Some(nw)) =>
+          (now, seq0 + 1, Seq(Row.fromSeq(
+            keyVals ++ nw :+ RowKind.Insert :+ seq0)))
+        case (Some(old), None) =>
+          (None, seq0 + 1, Seq(Row.fromSeq(
+            keyVals ++ old :+ RowKind.Delete :+ seq0)))
+        case (Some(old), Some(nw)) if old != nw =>
+          (now, seq0 + 2, Seq(
+            Row.fromSeq(keyVals ++ old :+ RowKind.UpdateBefore :+ seq0),
+            Row.fromSeq(keyVals ++ nw :+ RowKind.UpdateAfter :+ (seq0 + 1))))
+        case _ => (emitted, seq0, Nil)
+      }
+    }
+
+    if (!df.isStreaming) {
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        df, keyCols, orderCols, outSchema) { (keyVals, rows) =>
+        val acc = new Acc()
+        var emitted: Option[Seq[Any]] = None
+        var seq = 1L
+        rows.flatMap { r =>
+          acc.update(
+            r.getAs[Number](valIdx).doubleValue(),
+            isRetract(r.getString(kindIdx)))
+          val (e2, s2, outs) = transitions(keyVals, emitted, acc, seq)
+          emitted = e2; seq = s2
+          outs
+        }
+      }
+    }
+
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    // state: (next out seq, emitted agg row or null, acc snapshot)
+    type S = (Long, Seq[Any], (Long, String, Map[Double, Long]))
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          val old = state.getOption
+          val acc = old.map(s => accOf(s._3)).getOrElse(new Acc())
+          rows.foreach { r =>
+            acc.update(
+              r.getAs[Number](valIdx).doubleValue(),
+              isRetract(r.getString(kindIdx)))
+          }
+          val emitted = old.flatMap(s => Option(s._2))
+          val seq0 = old.map(_._1).getOrElse(1L)
+          val (e2, s2, outs) = transitions(key.toSeq, emitted, acc, seq0)
+          if (!acc.live && e2.isEmpty) state.remove()
+          else state.update((s2, e2.orNull, acc.snapshot))
+          outs.iterator
+      }(sEnc, oEnc)
+  }
+}
+
 /** Strip `-U` rows when the downstream operator doesn't need pre-images
   * (reference: StreamExecDropUpdateBefore.java:55 — a pure filter). */
 object DropUpdateBefore {

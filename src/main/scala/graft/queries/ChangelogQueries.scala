@@ -124,6 +124,44 @@ object ChangelogQueries {
         FROM final GROUP BY bucket ORDER BY bucket
       """.stripMargin.trim)),
 
+    // Agg→agg changelog CHAIN (VERDICT r2 gap #2): normalize the upsert
+    // feed into a full changelog, aggregate it per bucket with the
+    // retract-consuming+emitting agg (whose batch face replays the FULL
+    // -U/+U transition history), re-aggregate THAT changelog per bucket
+    // parity — the second agg must correctly consume the first's
+    // retractions — then materialize the final state. The oracle computes
+    // the final table state directly: any mishandled retraction anywhere
+    // in the chain changes the result.
+    QueryDef(
+      "q_changelog_agg_chain",
+      (s, dir) => {
+        val log = ChangelogNormalize(upsertFeed(s, dir), Seq("o_orderkey"),
+          "kind", "__seq")
+          .withColumn("bucket", col("o_orderkey") % 10)
+        val lvl1 = RetractingChangelogAgg(log, Seq("bucket"), "o_totalprice",
+          orderCols =
+            Seq(col("__seq"), col("__rowkind"), col("o_orderkey")))
+        val lvl2 = RetractingChangelogAgg(
+          lvl1.withColumn("parity", col("bucket") % 2),
+          Seq("parity"), "sum_v",
+          orderCols = Seq(col("__seq"), col("__rowkind"), col("bucket")))
+        UpsertMaterialize(lvl2, Seq("parity")).orderBy(col("parity"))
+      },
+      Some(s"""
+        WITH $feedOracle,
+        final AS (
+          SELECT k % 10 AS bucket,
+                 CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS p2
+          FROM feed WHERE k % 7 <> 0),
+        b AS (SELECT bucket, COUNT(*) AS bn,
+                     CAST(SUM(CAST(p2 AS DECIMAL(25,6))) AS DOUBLE) AS bsum
+              FROM final GROUP BY bucket)
+        SELECT bucket % 2 AS parity, COUNT(*) AS n_live,
+               CAST(SUM(CAST(bsum AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+               MIN(bsum) AS min_v, MAX(bsum) AS max_v
+        FROM b GROUP BY parity ORDER BY parity
+      """.stripMargin.trim)),
+
     // ChangelogAgg batch face: the all-+I special case of the
     // retraction-emitting group aggregate.
     QueryDef(

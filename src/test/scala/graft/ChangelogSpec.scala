@@ -138,6 +138,85 @@ class ChangelogSpec extends SparkSpecBase {
     assert(got.sameElements(expected))
   }
 
+  test("streaming RetractingChangelogAgg consumes retractions, matches batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // per-key changelog: insert, update pair, and for k%3==0 a final
+    // delete — the agg must consume -U/-D and emit its own changelog
+    val feed = (1L to 12L).flatMap { k =>
+      Seq(
+        (k % 4, k * 10.0, 1000 * k + 1, RowKind.Insert),
+        (k % 4, k * 10.0, 1000 * k + 2, RowKind.UpdateBefore),
+        (k % 4, k * 20.0, 1000 * k + 3, RowKind.UpdateAfter)) ++
+        (if (k % 3 == 0) Seq((k % 4, k * 20.0, 1000 * k + 4, RowKind.Delete))
+         else Nil)
+    }
+
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ragg-").toString
+    val q = RetractingChangelogAgg(df, Seq("g"), "v")
+      .writeStream.format("memory").queryName("r_agg")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // three micro-batches, split mid-key so retractions cross batches
+      feed.grouped(feed.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("r_agg")
+    // emission protocol: per key +I first, then -U/+U pairs (and -D only
+    // if the key's live set empties — not the case for g = k%4 here)
+    val byKey = streamed.collect()
+      .map(r => (r.getLong(0), r.getString(5), r.getLong(6)))
+      .groupBy(_._1)
+    byKey.foreach { case (g, rows) =>
+      val kinds = rows.sortBy(_._3).map(_._2)
+      assert(kinds.head == RowKind.Insert, s"$g starts with ${kinds.head}")
+      assert(kinds.tail.grouped(2).forall(p =>
+        p.length == 2 && p(0) == RowKind.UpdateBefore &&
+          p(1) == RowKind.UpdateAfter), s"$g kinds: ${kinds.mkString(",")}")
+    }
+
+    // materialized streaming output == batch face's materialized output
+    // == direct aggregate of the live set
+    val mat = UpsertMaterialize(streamed, Seq("g"))
+      .select("g", "n_live", "sum_v", "min_v", "max_v")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val batchMat = UpsertMaterialize(
+      RetractingChangelogAgg(
+        feed.toDF("g", "v", RowKind.seqCol, RowKind.kindCol), Seq("g"), "v"),
+      Seq("g"))
+      .select("g", "n_live", "sum_v", "min_v", "max_v")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(mat.nonEmpty)
+    assert(mat.sameElements(batchMat))
+    val live = (1L to 12L).filterNot(_ % 3 == 0)
+      .map(k => (k % 4, k * 20.0)).groupBy(_._1)
+    val direct = live.map { case (g, vs) =>
+      (g, vs.size.toLong, vs.map(_._2).sum, vs.map(_._2).min, vs.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    assert(mat.toSeq == direct)
+  }
+
+  test("RetractingChangelogAgg emits -D when a key's live set empties") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rdel-").toString
+    val q = RetractingChangelogAgg(df, Seq("g"), "v")
+      .writeStream.format("memory").queryName("r_del")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((1L, 5.0, 1L, RowKind.Insert)); q.processAllAvailable()
+      input.addData((1L, 5.0, 2L, RowKind.Delete)); q.processAllAvailable()
+    } finally q.stop()
+    val kinds = spark.table("r_del").collect()
+      .map(r => (r.getString(5), r.getLong(6))).sortBy(_._2).map(_._1)
+    assert(kinds.toSeq == Seq(RowKind.Insert, RowKind.Delete))
+    assert(UpsertMaterialize(spark.table("r_del"), Seq("g")).count() == 0)
+  }
+
   test("RetractableAgg: retractions exactly cancel accumulations") {
     import org.apache.spark.sql.functions.lit
     // +I 10, +I 20, -U 10 (retract), +U 30, -D 20 → live = {30}
