@@ -378,40 +378,54 @@ object RetractingChangelogAgg {
   private def isRetract(kind: String): Boolean =
     kind == RowKind.UpdateBefore || kind == RowKind.Delete
 
+  /** @param seqFromInput false (default): output `__seq` is a per-key
+    *        emission counter — unique within each output key, the right
+    *        domain for a downstream keep-last materializer or re-agg.
+    *        true: output `__seq` = 4·(triggering input `__seq`) +
+    *        2·(input row is an accumulate) + (emission is the accumulate
+    *        of its pair) — a monotone affine transform of the inputs'
+    *        GLOBAL sequence domain, so the output changelog can feed
+    *        [[ChangelogJoin]] (align the other join input by scaling its
+    *        seq ×4). Requires globally unique input seqs per change (a
+    *        CDC log position qualifies), and `orderCols` should order
+    *        retract rows before the accumulate sharing their seq.
+    */
   def apply(
       df: DataFrame,
       keyCols: Seq[String],
       valCol: String,
-      orderCols: Seq[Column] = Seq(col(RowKind.seqCol))): DataFrame = {
+      orderCols: Seq[Column] = Seq(col(RowKind.seqCol)),
+      seqFromInput: Boolean = false): DataFrame = {
 
     val keyIdx = keyCols.map(df.schema.fieldIndex)
     val valIdx = df.schema.fieldIndex(valCol)
     val kindIdx = df.schema.fieldIndex(RowKind.kindCol)
+    val seqIdx = df.schema.fieldIndex(RowKind.seqCol)
     val outSchema = StructType(
       keyIdx.map(df.schema.fields(_)) ++ aggFields :+
         StructField(RowKind.kindCol, StringType) :+
         StructField(RowKind.seqCol, LongType))
 
     // Transition emission shared by both faces: diff the last emitted
-    // aggregate row against the accumulator's current value.
+    // aggregate row against the accumulator's current value, stamping the
+    // retract with `retSeq` and the accumulate with `accSeq`.
     def transitions(
         keyVals: Seq[Any],
         emitted: Option[Seq[Any]],
         acc: Acc,
-        seq0: Long): (Option[Seq[Any]], Long, Seq[Row]) = {
+        retSeq: Long,
+        accSeq: Long): (Option[Seq[Any]], Seq[Row]) = {
       val now = if (acc.live) Some(acc.values) else None
       (emitted, now) match {
         case (None, Some(nw)) =>
-          (now, seq0 + 1, Seq(Row.fromSeq(
-            keyVals ++ nw :+ RowKind.Insert :+ seq0)))
+          (now, Seq(Row.fromSeq(keyVals ++ nw :+ RowKind.Insert :+ accSeq)))
         case (Some(old), None) =>
-          (None, seq0 + 1, Seq(Row.fromSeq(
-            keyVals ++ old :+ RowKind.Delete :+ seq0)))
+          (None, Seq(Row.fromSeq(keyVals ++ old :+ RowKind.Delete :+ retSeq)))
         case (Some(old), Some(nw)) if old != nw =>
-          (now, seq0 + 2, Seq(
-            Row.fromSeq(keyVals ++ old :+ RowKind.UpdateBefore :+ seq0),
-            Row.fromSeq(keyVals ++ nw :+ RowKind.UpdateAfter :+ (seq0 + 1))))
-        case _ => (emitted, seq0, Nil)
+          (now, Seq(
+            Row.fromSeq(keyVals ++ old :+ RowKind.UpdateBefore :+ retSeq),
+            Row.fromSeq(keyVals ++ nw :+ RowKind.UpdateAfter :+ accSeq)))
+        case _ => (emitted, Nil)
       }
     }
 
@@ -420,13 +434,20 @@ object RetractingChangelogAgg {
         df, keyCols, orderCols, outSchema) { (keyVals, rows) =>
         val acc = new Acc()
         var emitted: Option[Seq[Any]] = None
-        var seq = 1L
+        var counter = 1L
         rows.flatMap { r =>
-          acc.update(
-            r.getAs[Number](valIdx).doubleValue(),
-            isRetract(r.getString(kindIdx)))
-          val (e2, s2, outs) = transitions(keyVals, emitted, acc, seq)
-          emitted = e2; seq = s2
+          val rowRetracts = isRetract(r.getString(kindIdx))
+          acc.update(r.getAs[Number](valIdx).doubleValue(), rowRetracts)
+          val (retSeq, accSeq) =
+            if (seqFromInput) {
+              val base = 4 * r.getLong(seqIdx) + (if (rowRetracts) 0 else 2)
+              (base, base + 1)
+            } else (counter, counter + 1)
+          val (e2, outs) = transitions(keyVals, emitted, acc, retSeq, accSeq)
+          emitted = e2
+          // each transition consumes BOTH slots (retract + accumulate) so
+          // a lone +I at accSeq can never collide with the next retSeq
+          if (!seqFromInput && outs.nonEmpty) counter += 2
           outs
         }
       }
@@ -447,16 +468,22 @@ object RetractingChangelogAgg {
         (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
           val old = state.getOption
           val acc = old.map(s => accOf(s._3)).getOrElse(new Acc())
+          var maxSeq = 0L
           rows.foreach { r =>
             acc.update(
               r.getAs[Number](valIdx).doubleValue(),
               isRetract(r.getString(kindIdx)))
+            if (seqFromInput) maxSeq = math.max(maxSeq, r.getLong(seqIdx))
           }
           val emitted = old.flatMap(s => Option(s._2))
           val seq0 = old.map(_._1).getOrElse(1L)
-          val (e2, s2, outs) = transitions(key.toSeq, emitted, acc, seq0)
+          val (retSeq, accSeq) =
+            if (seqFromInput) (4 * maxSeq + 2, 4 * maxSeq + 3)
+            else (seq0, seq0 + 1)
+          val (e2, outs) = transitions(key.toSeq, emitted, acc, retSeq, accSeq)
           if (!acc.live && e2.isEmpty) state.remove()
-          else state.update((s2, e2.orNull, acc.snapshot))
+          else state.update(
+            (seq0 + (if (outs.nonEmpty) 2 else 0), e2.orNull, acc.snapshot))
           outs.iterator
       }(sEnc, oEnc)
   }

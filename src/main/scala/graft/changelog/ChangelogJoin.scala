@@ -1,0 +1,173 @@
+package graft.changelog
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Changelog-consuming equi-join: both inputs are changelogs (`__rowkind` +
+  * `__seq`), the output is an UPSERT changelog of joined rows keyed by
+  * (left upsert key, right upsert key) — `+U` when a pairing (re)appears,
+  * `-D` when a pairing dies. This is the tier that lets agg→join pipelines
+  * compose: e.g. joining two continuously-updated aggregates (VERDICT r2
+  * gap #1).
+  *
+  * Reference: RT/operators/join/stream/StreamingJoinOperator.java:38 —
+  * two-input co-processing with per-side join-state views
+  * (…/join/stream/state/JoinRecordStateViews.java); this is the
+  * InputSideHasUniqueKey view: state = live row per upsert key per side,
+  * scoped to the join key.
+  *
+  * Spark-first mapping (no two-input stateful operator exists): the
+  * StreamingTemporalJoin union-envelope pattern — both sides are wrapped in
+  * a common envelope, unioned, hash-shuffled ONCE on the join key, and
+  * co-processed per key. On an accumulate (`+I`/`+U`) the row is upserted
+  * into its side's state and emits `+U` against every live row of the
+  * other side; on a retract (`-U`/`-D`) it is removed and emits `-D` for
+  * each pairing it participated in.
+  *
+  * Output `__seq` = 2 × (triggering input row's `__seq`) + 1 for
+  * accumulates, + 0 for retracts — an update's `-U`/`+U` pair shares one
+  * input seq, and the doubling keeps "pairing died" vs "pairing reborn at
+  * the same instant" ordered for downstream keep-last materialization.
+  * Contract: the two inputs' `__seq` values come from ONE global sequence
+  * domain with unique values per change (a CDC log position) — the same
+  * assumption the reference makes when it trusts upstream changelog order.
+  * Inputs must be FULL changelogs (with `-U` pre-images): a join-key-
+  * changing update's `-U` is what reaches the OLD join-key group to kill
+  * its pairings.
+  *
+  * Scale: one shuffle on the join key; state = live rows per join key per
+  * side (exactly the reference's bound); a hot join key costs its join
+  * product — inherent to join semantics, AQE-visible as ordinary key skew.
+  * Batch face: secondary-sorted replay (external sort, streamed groups,
+  * O(live rows per key) heap); streaming face sorts only within a
+  * micro-batch's per-key slice.
+  */
+object ChangelogJoin {
+
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftJoinKey: String,
+      rightJoinKey: String,
+      leftKey: String,
+      rightKey: String): DataFrame = {
+
+    val metaCols = Set(RowKind.kindCol, RowKind.seqCol)
+    val lPayF = left.schema.fields.filterNot(f => metaCols(f.name))
+    val rPayF = right.schema.fields.filterNot(f => metaCols(f.name))
+    val clash = lPayF.map(_.name).toSet.intersect(rPayF.map(_.name).toSet)
+    require(clash.isEmpty, s"column name clash across sides: $clash")
+
+    val lType = StructType(lPayF)
+    val rType = StructType(rPayF)
+    val outSchema = StructType(
+      (lPayF ++ rPayF) :+
+        StructField(RowKind.kindCol, StringType) :+
+        StructField(RowKind.seqCol, LongType))
+
+    val lkIdx = lPayF.indexWhere(_.name == leftKey)
+    val rkIdx = rPayF.indexWhere(_.name == rightKey)
+    require(lkIdx >= 0 && rkIdx >= 0, "upsert key must be a payload column")
+
+    // __krank orders a retract before the accumulate that shares its seq
+    // (an update's -U/+U pair) during the per-key replay.
+    val krank = when(
+      col(RowKind.kindCol) === RowKind.UpdateBefore ||
+        col(RowKind.kindCol) === RowKind.Delete, 0).otherwise(1)
+    val lEnv = left.select(
+      col(leftJoinKey).as("__jk"),
+      lit(0).as("__side"),
+      col(RowKind.seqCol).as("__seqe"),
+      col(RowKind.kindCol).as("__kind"),
+      krank.as("__krank"),
+      struct(lPayF.map(f => col(f.name)): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rEnv = right.select(
+      col(rightJoinKey).as("__jk"),
+      lit(1).as("__side"),
+      col(RowKind.seqCol).as("__seqe"),
+      col(RowKind.kindCol).as("__kind"),
+      krank.as("__krank"),
+      lit(null).cast(lType).as("__l"),
+      struct(rPayF.map(f => col(f.name)): _*).as("__r"))
+    val env = lEnv.unionByName(rEnv, allowMissingColumns = false)
+
+    type SideState = scala.collection.mutable.LinkedHashMap[Any, Seq[Any]]
+
+    // Join-state transition step shared by both faces. Envelope layout:
+    // 0 __jk, 1 __side, 2 __seqe, 3 __kind, 4 __krank, 5 __l, 6 __r.
+    def step(e: Row, lState: SideState, rState: SideState): Seq[Row] = {
+      val kind = e.getString(3)
+      val retract =
+        kind == RowKind.UpdateBefore || kind == RowKind.Delete
+      val outSeq = 2 * e.getLong(2) + (if (retract) 0L else 1L)
+      if (e.getInt(1) == 0) {
+        val pay = e.getStruct(5).toSeq
+        val k = pay(lkIdx)
+        if (retract) lState.remove(k) match {
+          case Some(old) =>
+            rState.values.map(r =>
+              Row.fromSeq(old ++ r :+ RowKind.Delete :+ outSeq)).toSeq
+          case None => Nil
+        } else {
+          lState.update(k, pay)
+          rState.values.map(r =>
+            Row.fromSeq(pay ++ r :+ RowKind.UpdateAfter :+ outSeq)).toSeq
+        }
+      } else {
+        val pay = e.getStruct(6).toSeq
+        val k = pay(rkIdx)
+        if (retract) rState.remove(k) match {
+          case Some(old) =>
+            lState.values.map(l =>
+              Row.fromSeq(l ++ old :+ RowKind.Delete :+ outSeq)).toSeq
+          case None => Nil
+        } else {
+          rState.update(k, pay)
+          lState.values.map(l =>
+            Row.fromSeq(l ++ pay :+ RowKind.UpdateAfter :+ outSeq)).toSeq
+        }
+      }
+    }
+
+    if (!env.isStreaming) {
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        env, Seq("__jk"), Seq(col("__seqe"), col("__krank"), col("__side")),
+        outSchema) { (_, rows) =>
+        val lState: SideState = scala.collection.mutable.LinkedHashMap.empty
+        val rState: SideState = scala.collection.mutable.LinkedHashMap.empty
+        rows.flatMap(e => step(e, lState, rState))
+      }
+    }
+
+    val jkField = env.schema.fields(0)
+    val kEnc: Encoder[Row] = Encoders.row(StructType(Seq(jkField)))
+    val vEnc: Encoder[Row] = Encoders.row(env.schema)
+    // state: (left live rows, right live rows) as upsertKey -> payload
+    type S = (Map[Any, Seq[Any]], Map[Any, Seq[Any]])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    env.as[Row](vEnc)
+      .groupByKey(r => Row(r.get(0)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          val old = state.getOption.getOrElse(
+            (Map.empty[Any, Seq[Any]], Map.empty[Any, Seq[Any]]))
+          val lState: SideState =
+            scala.collection.mutable.LinkedHashMap.from(old._1)
+          val rState: SideState =
+            scala.collection.mutable.LinkedHashMap.from(old._2)
+          // order within the micro-batch slice (bounded by batch size)
+          val out = rows.toSeq
+            .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
+            .flatMap(e => step(e, lState, rState))
+          if (lState.isEmpty && rState.isEmpty) state.remove()
+          else state.update((lState.toMap, rState.toMap))
+          out.iterator
+      }(sEnc, oEnc)
+  }
+}

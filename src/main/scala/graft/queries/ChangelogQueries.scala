@@ -124,6 +124,63 @@ object ChangelogQueries {
         FROM final GROUP BY bucket ORDER BY bucket
       """.stripMargin.trim)),
 
+    // Changelog-consuming JOIN (VERDICT r2 gap #1): two full changelogs —
+    // orders (updates + deletes) and customers (deletes) on one global seq
+    // domain — joined on custkey with live-row state per side; the output
+    // upsert changelog materialized by (o_orderkey, c_custkey) must equal
+    // the join of the two final table states, which is what the oracle
+    // computes directly. Retractions flow from BOTH sides through the join.
+    QueryDef(
+      "q_changelog_join",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val ofeed = ob
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              (col("o_totalprice") * 0.5).as("o_totalprice"),
+              lit(20L).as("__seq"), lit(RowKind.UpdateAfter).as("kind")))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              lit(30L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val lcl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+        val cfeed = cb
+          .select(col("c_custkey"), col("c_acctbal"),
+            lit(11L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(cb.where(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), col("c_acctbal"),
+              lit(21L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val rcl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+
+        UpsertMaterialize(
+          ChangelogJoin(lcl, rcl, "o_custkey", "c_custkey",
+            "o_orderkey", "c_custkey"),
+          Seq("o_orderkey", "c_custkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 0.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        cfinal AS (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          FROM customer WHERE c_custkey % 3 <> 0)
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_custkey, c.c_acctbal
+        FROM ofinal o JOIN cfinal c ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // Agg→agg changelog CHAIN (VERDICT r2 gap #2): normalize the upsert
     // feed into a full changelog, aggregate it per bucket with the
     // retract-consuming+emitting agg (whose batch face replays the FULL
@@ -160,6 +217,83 @@ object ChangelogQueries {
                CAST(SUM(CAST(bsum AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
                MIN(bsum) AS min_v, MAX(bsum) AS max_v
         FROM b GROUP BY parity ORDER BY parity
+      """.stripMargin.trim)),
+
+    // Agg→JOIN pipeline (the composition VERDICT r2 named as the
+    // motivating user story): a continuously-updated per-bucket aggregate
+    // changelog (seqFromInput keeps the global CDC seq domain) joined
+    // against a dimension changelog whose members come and go. The
+    // materialized join must equal aggregating + joining the final states.
+    QueryDef(
+      "q_changelog_agg_join",
+      (s, dir) => {
+        // orders changelog with globally unique per-change seqs
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val ofeed = ob
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("o_orderkey") * 10 + 1).as("__seq"),
+            lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") * 0.5).as("o_totalprice"),
+              (col("o_orderkey") * 10 + 2).as("__seq"),
+              lit(RowKind.UpdateAfter).as("kind")))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              (col("o_orderkey") * 10 + 3).as("__seq"),
+              lit(RowKind.Delete).as("kind")))
+        val lcl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+          .withColumn("bucket", col("o_orderkey") % 10)
+        val retractFirst = when(
+          col("__rowkind") === RowKind.UpdateBefore ||
+            col("__rowkind") === RowKind.Delete, 0).otherwise(1)
+        val aggCl = RetractingChangelogAgg(lcl, Seq("bucket"), "o_totalprice",
+          orderCols = Seq(col("__seq"), retractFirst, col("o_orderkey")),
+          seqFromInput = true)
+
+        // dimension changelog: labels per bucket, every 4th later deleted;
+        // seq domain shared with the orders log (later positions), scaled
+        // x4 to align with the agg output's transformed domain
+        val dims = s.range(0, 10)
+          .select(col("id").as("bucket_id"),
+            concat(lit("bucket-"), col("id").cast("string")).as("label"))
+        val dfeed = dims
+          .select(col("bucket_id"), col("label"),
+            (lit(2000000L) + col("bucket_id")).as("__seq"),
+            lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(dims.where(col("bucket_id") % 4 === 0)
+            .select(col("bucket_id"), col("label"),
+              (lit(3000000L) + col("bucket_id")).as("__seq"),
+              lit(RowKind.Delete).as("kind")))
+        val rcl = ChangelogNormalize(dfeed, Seq("bucket_id"), "kind", "__seq")
+          .withColumn("__seq", col("__seq") * 4)
+
+        UpsertMaterialize(
+          ChangelogJoin(aggCl, rcl, "bucket", "bucket_id",
+            "bucket", "bucket_id"),
+          Seq("bucket", "bucket_id"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH final AS (
+          SELECT o_orderkey % 10 AS bucket,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 0.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS p2
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        b AS (SELECT bucket, COUNT(*) AS n_live,
+                     CAST(SUM(CAST(p2 AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+                     MIN(p2) AS min_v, MAX(p2) AS max_v
+              FROM final GROUP BY bucket),
+        d AS (SELECT unnest(range(0, 10)) AS bucket_id),
+        dims AS (SELECT bucket_id, 'bucket-' || CAST(bucket_id AS VARCHAR)
+                   AS label FROM d WHERE bucket_id % 4 <> 0)
+        SELECT b.bucket, b.n_live, b.sum_v, b.min_v, b.max_v,
+               dims.bucket_id, dims.label
+        FROM b JOIN dims ON b.bucket = dims.bucket_id
+        ORDER BY b.bucket
       """.stripMargin.trim)),
 
     // ChangelogAgg batch face: the all-+I special case of the

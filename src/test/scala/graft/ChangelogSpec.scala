@@ -217,6 +217,85 @@ class ChangelogSpec extends SparkSpecBase {
     assert(UpsertMaterialize(spark.table("r_del"), Seq("g")).count() == 0)
   }
 
+  test("streaming ChangelogJoin consumes retractions from both sides") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // left: items keyed by lk joining on ljk; right: dims keyed by rk on
+    // rjk. One global seq domain. Updates move values; deletes on both
+    // sides; one left item MOVES join key (the -U must kill the old
+    // group's pairings).
+    val leftFeed = Seq(
+      // (lk, ljk, v, seq, kind)
+      (1L, 100L, 10.0, 1L, RowKind.Insert),
+      (2L, 100L, 20.0, 2L, RowKind.Insert),
+      (3L, 200L, 30.0, 3L, RowKind.Insert),
+      // lk=2 moves join key 100 -> 200
+      (2L, 100L, 20.0, 6L, RowKind.UpdateBefore),
+      (2L, 200L, 25.0, 6L, RowKind.UpdateAfter),
+      // lk=1 value update in place
+      (1L, 100L, 11.0, 7L, RowKind.UpdateBefore),
+      (1L, 100L, 11.0, 7L, RowKind.UpdateAfter),
+      // lk=3 deleted
+      (3L, 200L, 30.0, 9L, RowKind.Delete))
+    val rightFeed = Seq(
+      // (rk, rjk, w, seq, kind)
+      (7L, 100L, 1.5, 4L, RowKind.Insert),
+      (8L, 200L, 2.5, 5L, RowKind.Insert),
+      (9L, 200L, 3.5, 8L, RowKind.Insert),
+      // rk=8 deleted
+      (8L, 200L, 2.5, 10L, RowKind.Delete))
+
+    val lIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val rIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val lDf = lIn.toDF().toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val rDf = rIn.toDF().toDF("rk", "rjk", "w", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cjoin-").toString
+    val q = ChangelogJoin(lDf, rDf, "ljk", "rjk", "lk", "rk")
+      .writeStream.format("memory").queryName("cl_join")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: initial inserts; batch 2: updates/moves; batch 3: deletes
+      lIn.addData(leftFeed.take(3)); rIn.addData(rightFeed.take(2))
+      q.processAllAvailable()
+      lIn.addData(leftFeed.slice(3, 7)); rIn.addData(rightFeed.slice(2, 3))
+      q.processAllAvailable()
+      lIn.addData(leftFeed.drop(7)); rIn.addData(rightFeed.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamedMat = UpsertMaterialize(spark.table("cl_join"), Seq("lk", "rk"))
+      .select("lk", "ljk", "v", "rk", "rjk", "w")
+      .as[(Long, Long, Double, Long, Long, Double)].collect().sortBy(r => (r._1, r._4))
+
+    // batch face over the same feeds
+    val batchMat = UpsertMaterialize(
+      ChangelogJoin(
+        leftFeed.toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol),
+        rightFeed.toDF("rk", "rjk", "w", RowKind.seqCol, RowKind.kindCol),
+        "ljk", "rjk", "lk", "rk"),
+      Seq("lk", "rk"))
+      .select("lk", "ljk", "v", "rk", "rjk", "w")
+      .as[(Long, Long, Double, Long, Long, Double)].collect().sortBy(r => (r._1, r._4))
+
+    // final states: left = {1->(100,11.0), 2->(200,25.0)},
+    // right = {7->(100,1.5), 9->(200,3.5)} => pairings (1,7), (2,9)
+    val expected = Seq(
+      (1L, 100L, 11.0, 7L, 100L, 1.5),
+      (2L, 200L, 25.0, 9L, 200L, 3.5))
+    assert(streamedMat.toSeq == expected)
+    assert(batchMat.toSeq == expected)
+
+    // every emitted retraction (-D) must kill a previously emitted pairing
+    val log = spark.table("cl_join").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(6), r.getLong(7)))
+    val deletes = log.filter(_._3 == RowKind.Delete)
+    assert(deletes.nonEmpty)
+    deletes.foreach { case (lk, rk, _, seq) =>
+      assert(log.exists(e => e._1 == lk && e._2 == rk &&
+        e._3 == RowKind.UpdateAfter && e._4 < seq),
+        s"dangling -D for ($lk,$rk)")
+    }
+  }
+
   test("RetractableAgg: retractions exactly cancel accumulations") {
     import org.apache.spark.sql.functions.lit
     // +I 10, +I 20, -U 10 (retract), +U 30, -D 20 → live = {30}
