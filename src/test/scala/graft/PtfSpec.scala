@@ -70,6 +70,53 @@ class PtfSpec extends SparkSpecBase {
     assert(rows == Set((1L, 1L, 1.0), (1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("PatternMatch streaming parity: NFA state crosses micro-batches") {
+    import graft.operators.{PatternMatch, PatternStep}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq(
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = true),
+      PatternStep("up", (p: Double, c: Double) => c > p, greedy = true))
+
+    // two keys, several Vs each, ending on a plateau so no greedy-final
+    // match is left open (streaming has no end-of-input flush)
+    val series = Seq(
+      1L -> Seq(10.0, 8.0, 5.0, 7.0, 9.0, 9.0, 6.0, 4.0, 8.0, 8.0),
+      2L -> Seq(3.0, 3.0, 2.0, 1.0, 5.0, 2.0, 6.0, 6.0))
+    val rows = series.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, (i + 1) * 1000L, v) }
+    }
+
+    val batch = PatternMatch(
+      rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pm-").toString
+    val q = PatternMatch.streaming(df, "user_id", "ts_us", "value", steps)
+      .writeStream.format("memory").queryName("pm_t")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // split mid-run: the falling run of user 1's second V crosses batches
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("pm_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // sanity: user 1 has two complete Vs, user 2 has two
+    assert(batch.count(_._1 == 1L) == 2 && batch.count(_._1 == 2L) == 2)
+  }
+
   test("WatermarkTracker observes advancing watermarks; column reflects it") {
     WatermarkTracker.register(spark)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
