@@ -237,6 +237,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSet == Set(1.0, 2.0, 5.0, 7.0, 9.0))
   }
 
+  test("cumulateBounded matches batch cumulate and evicts window state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.changelog.AggSpec
+    val base = 1700000000000L
+    def t(s: Long) = new Timestamp(base + s * 1000)
+    // gaps between data slices exercise the empty-step emission; two
+    // cumulate windows for key a, one for key b
+    val data = Seq(
+      (t(0), "a", 1.0), (t(5), "a", 2.0), (t(45), "a", 3.0), (t(70), "a", 4.0),
+      (t(30), "b", 10.0))
+    val specs = Seq(
+      AggSpec("n", "value", "count"), AggSpec("sv", "value", "sum"))
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cumb-").toString
+    val q = StreamingWindows.cumulateBounded(
+      df, "ts", 60000L, 20000L, "5 seconds", Seq("k"), specs)
+      .writeStream.format("memory").queryName("cum_b")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val remaining =
+      try {
+        input.addData(data); q.processAllAvailable()
+        // flush batches spaced a full slice apart: close the real slices,
+        // close the flush slices themselves (advancing the re-asserted
+        // slice-end watermark), then fire the phase-2 timers
+        (1 to 4).foreach { i =>
+          input.addData(Seq((new Timestamp(base + 86400000L + i * 60000), "z", 0.0)))
+          q.processAllAvailable()
+        }
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+
+    val streamed = spark.table("cum_b").where(col("k") =!= "z")
+    val batch = StreamingWindows.cumulateBounded(
+      data.toDF("ts", "k", "value"), "ts", 60000L, 20000L, "5 seconds",
+      Seq("k"), specs)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() > 0)
+    // every real cumulate window evicted; only trailing flush slices /
+    // flush windows may remain open
+    assert(remaining <= 4, s"state not cleaned: $remaining rows remain")
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
