@@ -65,23 +65,30 @@ object MLPredict {
   }
 
   /** Async variant: up to `maxInFlight` batches scored concurrently per
-    * partition, results emitted in submission order. */
+    * partition, results emitted in submission order. A batch exceeding
+    * `timeoutMs` fails the task ([[graft.operators.AsyncWait.Fail]]) or
+    * emits null predictions ([[graft.operators.AsyncWait.Nulls]]). */
   def async(
       df: DataFrame,
       provider: ModelProvider,
       batchSize: Int = 64,
-      maxInFlight: Int = 4): DataFrame = {
+      maxInFlight: Int = 4,
+      timeoutMs: Long = graft.operators.AsyncWait.DefaultTimeoutMs,
+      onTimeout: graft.operators.AsyncWait.Policy =
+        graft.operators.AsyncWait.Fail): DataFrame = {
     val outSchema = appended(df, provider)
+    val nulls = provider.outputSchema.fields.map(_ => null).toSeq
     df.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global
       provider.open()
       val batches = it.grouped(batchSize)
       // Sliding window of in-flight futures: submit eagerly, await oldest.
-      val inFlight = scala.collection.mutable.Queue.empty[Future[Seq[Row]]]
+      val inFlight =
+        scala.collection.mutable.Queue.empty[(Seq[Row], Future[Seq[Row]])]
       def submit(): Unit =
         while (inFlight.size < maxInFlight && batches.hasNext) {
           val batch = batches.next()
-          inFlight.enqueue(Future {
+          inFlight.enqueue(batch -> Future {
             val preds = provider.predictBatch(batch)
             batch.lazyZip(preds).map((r, p) =>
               Row.fromSeq(r.toSeq ++ p.toSeq)).toSeq
@@ -94,7 +101,11 @@ object MLPredict {
           if (!h) provider.close()
           h
         }
-        def next(): Seq[Row] = Await.result(inFlight.dequeue(), Duration.Inf)
+        def next(): Seq[Row] = {
+          val (batch, fut) = inFlight.dequeue()
+          graft.operators.AsyncWait(fut, timeoutMs, onTimeout,
+            batch.map(r => Row.fromSeq(r.toSeq ++ nulls)))
+        }
       }.flatten
     }(Encoders.row(outSchema))
   }

@@ -101,7 +101,10 @@ object LookupJoin {
   /** Async ORDERED lookup join: up to `maxInFlight` key batches in flight
     * per partition, emission in probe order (the reference's key-ordered
     * async mode keeps per-key order; emitting in full probe order is the
-    * stricter guarantee). */
+    * stricter guarantee). A batch that exceeds `timeoutMs` either fails
+    * the task ([[AsyncWait.Fail]]) or is treated as all-misses
+    * ([[AsyncWait.Nulls]]: dropped for inner, null-padded for left) — the
+    * reference's async lookup timeout + failure strategy. */
   def async(
       df: DataFrame,
       keyCol: String,
@@ -110,7 +113,9 @@ object LookupJoin {
       joinType: String = "inner",
       batchSize: Int = 64,
       maxInFlight: Int = 4,
-      prefix: String = "lk_"): DataFrame = {
+      prefix: String = "lk_",
+      timeoutMs: Long = AsyncWait.DefaultTimeoutMs,
+      onTimeout: AsyncWait.Policy = AsyncWait.Fail): DataFrame = {
     require(Seq("inner", "left").contains(joinType))
     val keyIdx = df.schema.fieldIndex(keyCol)
     val schema = outSchema(df, payloadSchema, prefix)
@@ -120,11 +125,11 @@ object LookupJoin {
       client.open()
       val batches = it.grouped(batchSize)
       val inFlight =
-        scala.collection.mutable.Queue.empty[Future[Seq[Row]]]
+        scala.collection.mutable.Queue.empty[(Seq[Row], Future[Seq[Row]])]
       def submit(): Unit =
         while (inFlight.size < maxInFlight && batches.hasNext) {
           val batch = batches.next()
-          inFlight.enqueue(Future {
+          inFlight.enqueue(batch -> Future {
             batch.flatMap { r =>
               client.lookup(r.get(keyIdx)) match {
                 case Some(p) => Some(Row.fromSeq(r.toSeq ++ p))
@@ -142,7 +147,13 @@ object LookupJoin {
           if (!h) client.close()
           h
         }
-        def next(): Seq[Row] = Await.result(inFlight.dequeue(), Duration.Inf)
+        def next(): Seq[Row] = {
+          val (batch, fut) = inFlight.dequeue()
+          AsyncWait(fut, timeoutMs, onTimeout,
+            if (joinType == "left")
+              batch.map(r => Row.fromSeq(r.toSeq ++ nulls))
+            else Nil)
+        }
       }.flatten
     }(Encoders.row(schema))
   }

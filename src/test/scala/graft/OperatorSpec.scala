@@ -3,6 +3,14 @@ package graft
 import graft.operators._
 import org.apache.spark.sql.functions._
 
+/** Deliberately hung store client: every probe sleeps far longer than any
+  * test timeout. Top-level for closure serialization. */
+private class SlowLookupClient extends LookupClient {
+  override def lookup(key: Any): Option[Seq[Any]] = {
+    Thread.sleep(5000); Some(Seq("late"))
+  }
+}
+
 class OperatorSpec extends SparkSpecBase {
   import TestSpark.spark.implicits._
 
@@ -115,6 +123,44 @@ class OperatorSpec extends SparkSpecBase {
     // a match needs the rising row to exist (k*97+98 <= n-1)
     assert(matches.length == (n - 1 - 98) / 97 + 1)
     assert(matches.forall(r => r.getLong(3) == 1L && r.getDouble(4) == 96.0))
+  }
+
+  test("async operators time out on a hung client per policy") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "tag").repartition(1)
+    val payload = StructType(Seq(StructField("v", StringType)))
+
+    // Nulls policy: a hung batch degrades to all-misses (left => null pad)
+    val t0 = System.nanoTime()
+    val relaxed = LookupJoin.async(df, "k", new SlowLookupClient, payload,
+      joinType = "left", batchSize = 8, timeoutMs = 150,
+      onTimeout = AsyncWait.Nulls)
+      .collect()
+    assert((System.nanoTime() - t0) / 1e9 < 4.0, "timeout did not apply")
+    assert(relaxed.length == 2 && relaxed.forall(_.get(2) == null))
+
+    // inner + Nulls: timed-out batch treated as misses => dropped
+    val dropped = LookupJoin.async(df, "k", new SlowLookupClient, payload,
+      joinType = "inner", batchSize = 8, timeoutMs = 150,
+      onTimeout = AsyncWait.Nulls).collect()
+    assert(dropped.isEmpty)
+
+    // Fail policy: the task fails with the timeout as root cause
+    val ex = intercept[Exception] {
+      LookupJoin.async(df, "k", new SlowLookupClient, payload,
+        joinType = "left", batchSize = 8, timeoutMs = 150,
+        onTimeout = AsyncWait.Fail).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(
+      _.isInstanceOf[java.util.concurrent.TimeoutException]))
+
+    // AsyncCalc: slow scalar function, null policy
+    val calc = AsyncCalc(df, _ => { Thread.sleep(5000); "never" },
+      StructField("out", StringType), batchSize = 8,
+      timeoutMs = 150, onTimeout = AsyncWait.Nulls).collect()
+    assert(calc.length == 2 && calc.forall(_.get(2) == null))
   }
 
   test("NgramJaccard df cap bounds hot-shingle candidates") {
