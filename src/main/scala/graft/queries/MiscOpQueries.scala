@@ -364,6 +364,36 @@ object MiscOpQueries {
           CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
           array_to_string(list_transform(qs, x -> x * 2), ',') AS dbl_csv
         FROM g ORDER BY l_orderkey
+      """.stripMargin.trim)),
+
+    // VARIANT / PARSE_JSON (SURVEY §1.2's last unmapped type-tree row;
+    // reference: flink-core/…/types/logical/VariantType.java, functions
+    // PARSE_JSON / TRY_PARSE_JSON / VARIANT_GET). Spark 4 has a native
+    // VariantType: parse once into the binary variant encoding, then
+    // typed VARIANT_GET path extraction — no re-parsing per field. The
+    // oracle extracts the same paths with DuckDB's JSON operators.
+    QueryDef(
+      "q_variant",
+      (s, dir) => {
+        val v = parse_json(col("props"))
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            variant_get(v, "$.k", "int").as("k_int"),
+            variant_get(v, "$.k", "string").as("k_str"),
+            try_variant_get(v, "$.missing", "int").as("k_missing"),
+            try_parse_json(lit("not json")).isNull.as("bad_is_null"),
+            is_variant_null(parse_json(lit("null"))).as("null_literal"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id,
+          CAST(props->>'$.k' AS INTEGER) AS k_int,
+          props->>'$.k' AS k_str,
+          CAST(NULL AS INTEGER) AS k_missing,
+          TRUE AS bad_is_null,
+          TRUE AS null_literal
+        FROM events ORDER BY event_id
       """.stripMargin.trim))
   )
 }
