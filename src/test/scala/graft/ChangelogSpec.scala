@@ -296,6 +296,59 @@ class ChangelogSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed upsert sink rewrites only touched buckets") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-bkt-")
+      .toString + "/t"
+    val buckets = 8
+    def bucketOf(k: Long): Int = {
+      import org.apache.spark.sql.functions.{hash, pmod, lit => flit}
+      Seq(k).toDF("k")
+        .select(pmod(hash(col("k")), flit(buckets))).head().getInt(0)
+    }
+
+    // batch 1: keys 1..40 at v=k*1
+    val b1 = (1L to 40L).map(k => (k, k * 1.0, 1L, RowKind.Insert))
+      .toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    UpsertSink.applyBatchBucketed(spark, table, b1, Seq("k"), buckets)
+
+    // pick a key and record its bucket dir's file set; then update a key
+    // from a DIFFERENT bucket and assert the first bucket's files are
+    // byte-identical (not rewritten)
+    val k1 = 1L
+    val otherKey = (2L to 40L).find(k => bucketOf(k) != bucketOf(k1)).get
+    def filesOf(b: Int): Map[String, Long] = {
+      val d = new java.io.File(table, s"__bucket=$b")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = filesOf(bucketOf(k1))
+    assert(before.nonEmpty)
+
+    val b2 = Seq((otherKey, 999.0, 2L, RowKind.UpdateAfter))
+      .toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    UpsertSink.applyBatchBucketed(spark, table, b2, Seq("k"), buckets)
+    assert(filesOf(bucketOf(k1)) == before,
+      "untouched bucket was rewritten")
+
+    // state correctness after the partial MERGE
+    val got = spark.read.parquet(table).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(got(otherKey) == 999.0 && got(k1) == 1.0 && got.size == 40)
+
+    // batch 3: delete EVERY key of one bucket -> its dir disappears
+    val victim = bucketOf(k1)
+    val victims = (1L to 40L).filter(k => bucketOf(k) == victim)
+    val b3 = victims.map(k => (k, 0.0, 3L, RowKind.Delete))
+      .toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    UpsertSink.applyBatchBucketed(spark, table, b3, Seq("k"), buckets)
+    assert(!new java.io.File(table, s"__bucket=$victim").exists(),
+      "emptied bucket dir not removed")
+    val after = spark.read.parquet(table).select("k").as[Long].collect().toSet
+    assert(after == (1L to 40L).toSet -- victims)
+  }
+
   test("RetractableAgg: retractions exactly cancel accumulations") {
     import org.apache.spark.sql.functions.lit
     // +I 10, +I 20, -U 10 (retract), +U 30, -D 20 → live = {30}
