@@ -72,6 +72,17 @@ object TextAnalysis {
 
   /** Convenience SQL registrations. The Column API above is the fast path
     * (pure Catalyst); these UDFs mirror its semantics for SQL users. */
+  /** All ordered pairs (a < b) within a SORTED id array — LSH-bucket
+    * candidate generation WITHOUT a self-join: `groupBy(bucket) +
+    * explode(sortedPairs(ids))` evaluates the signature pipeline once,
+    * where `sig.as("a").join(sig.as("b"), …)` evaluates it twice (Spark
+    * does not reuse the exchange across self-join sides). Bucket sizes
+    * are near-dup group sizes — tiny by construction — so the pair
+    * explosion is bounded per bucket. */
+  def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y => array(x, y))))
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("token_count", (s: String) =>
       if (s == null) null

@@ -159,19 +159,32 @@ object VectorQueries {
       "q_embedding_cosine_dup",
       (s, dir) => {
         val n = normed(s, dir)
+        // 8 bands x 8 sign bits (all 64 dims): 256 buckets per band. The
+        // earlier 4-bit keys gave only 16 buckets — with 2k vectors that
+        // put ~125 ids per bucket and generated 800k candidate pairs,
+        // nearly all-pairs; 8-bit keys keep buckets to near-dup groups.
         def bit(i: Int) =
           when(call_function("element_at", col("embedding"),
-            col("band") * 4 + lit(i + 1)) >= 0, 1).otherwise(0) * lit(1 << i)
-        val sig = n
-          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("band") * 8 + lit(i + 1)) >= 0, 1).otherwise(0) * lit(1 << i)
+        // signatures from RAW embeddings: sign bits need no norm, and the
+        // exact decimal norm is ~10x the cost of everything else here —
+        // it is computed only on the two scoring joins below
+        val sig = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
             explode(sequence(lit(0), lit(7))).as("band"))
-          .withColumn("key", bit(0) + bit(1) + bit(2) + bit(3))
+          .withColumn("key",
+            (0 until 8).map(bit).reduce(_ + _))
           .select(col("vec_id"), col("band"), col("key"))
-        val cand = sig.as("a")
-          .join(sig.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        // bucket grouping + in-bucket pair explosion: one signature pass
+        // (a self-join would evaluate the sig subtree per side)
+        val cand = sig
+          .groupBy(col("band"), col("key"))
+          .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+          .where(size(col("vs")) > 1)
+          .select(explode(
+            graft.functions.TextAnalysis.sortedPairs(col("vs"))).as("p"))
+          .select(col("p").getItem(0).as("vec_a"),
+            col("p").getItem(1).as("vec_b"))
           .distinct()
         cand
           .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -192,10 +205,9 @@ object VectorQueries {
         WITH $nOracle,
         sig AS (
           SELECT vec_id, band,
-            (CASE WHEN embedding[band*4+1] >= 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[band*4+2] >= 0 THEN 1 ELSE 0 END) * 2
-            + (CASE WHEN embedding[band*4+3] >= 0 THEN 1 ELSE 0 END) * 4
-            + (CASE WHEN embedding[band*4+4] >= 0 THEN 1 ELSE 0 END) * 8 AS key
+            ${(0 until 8).map(i =>
+              s"(CASE WHEN embedding[band*8+${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+              .mkString(" + ")} AS key
           FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                  FROM sig a JOIN sig b

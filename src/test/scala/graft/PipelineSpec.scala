@@ -66,8 +66,9 @@ class PipelineSpec extends SparkSpecBase {
         VectorOps.cosine(col("a"), col("a"), col("na"), col("na")).as("self"),
         VectorOps.cosine(col("a"), col("b"), col("na"), col("nb")).as("neg"))
     val r = df.collect()(0)
-    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
-    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+    // fixed-point floor truncation bounds the error at ~dim * 1e-12
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-9)
   }
 
   test("MLPredict sync/async agree and are batch-size independent") {
