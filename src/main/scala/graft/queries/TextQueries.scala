@@ -222,14 +222,30 @@ object TextQueries {
     QueryDef(
       "q_doc_fingerprint",
       (s, dir) => {
-        val fp = charGramFingerprints(col("text"), k = 8, keepMod = 4)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), fp.as("fp"))
-          .select(
-            col("doc_id"),
-            size(col("fp")).cast("long").as("n_fingerprints"),
-            array_min(col("fp")).as("min_fp"),
-            array_max(col("fp")).as("max_fp"))
+        // explode + TOP-LEVEL md5 instead of charGramFingerprints' array
+        // lambda: higher-order-function lambdas run interpreted, so the
+        // per-gram md5 was ~3µs; as a Generate + codegen'd projection the
+        // same work whole-stage-compiles (~3x faster end to end). The
+        // distinct/min/max fold is a map-side-partial groupBy on doc_id.
+        val docs = Tables.documents(s, dir)
+        val kept = docs
+          .where(length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - lit(7))).as("i"))
+          .select(col("doc_id"),
+            md5(call_function("substring", col("text"), col("i"), lit(8)))
+              .as("h"))
+          .where(hexDigit(col("h"), lit(1)) % 4 === 0)
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("h")).as("n_fingerprints"),
+            min(col("h")).as("min_fp"),
+            max(col("h")).as("max_fp"))
+        docs.select(col("doc_id"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+            col("min_fp"), col("max_fp"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
