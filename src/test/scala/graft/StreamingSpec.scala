@@ -281,6 +281,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(remaining <= 4, s"state not cleaned: $remaining rows remain")
   }
 
+  test("LateData routes allowedLateness-violating rows to the side output") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    WatermarkTracker.register(spark)
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-").toString
+    val main = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val side = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def drain(buf: scala.collection.mutable.ArrayBuffer[(Long, Double)])(
+        b: org.apache.spark.sql.DataFrame): Unit =
+      buf.synchronized {
+        buf ++= b.select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      }
+    val base = 1700000000000L
+    val q = LateData.writeWithSideOutput(
+      df, "ts", delayMs = 5000L, allowedLatenessMs = 10000L, ckpt)(
+      drain(main), drain(side))
+    try {
+      // batch 1: no watermark yet -> everything on time
+      input.addData((new Timestamp(base), 1L, 1.0),
+        (new Timestamp(base + 120000), 2L, 2.0))
+      q.processAllAvailable()
+      // watermark is now base+115s; allowed cutoff = wm - 10s.
+      // batch 2: a fresh row, a mildly-old row within lateness, and a
+      // far-too-old row that must go to the side output
+      input.addData(
+        (new Timestamp(base + 121000), 3L, 3.0),
+        (new Timestamp(base + 110000), 4L, 4.0),
+        (new Timestamp(base + 30000), 5L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(main.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(side.map(_._1).toSet == Set(5L))
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
