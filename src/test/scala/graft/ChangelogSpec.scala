@@ -349,6 +349,37 @@ class ChangelogSpec extends SparkSpecBase {
     assert(after == (1L to 40L).toSet -- victims)
   }
 
+  test("RowLevelOps update/delete rewrite only touched buckets") {
+    val table = java.nio.file.Files.createTempDirectory("graft-rl-")
+      .toString + "/t"
+    val b0 = (1L to 30L).map(k => (k, k * 1.0, 1L, RowKind.Insert))
+      .toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    UpsertSink.applyBatchBucketed(spark, table, b0, Seq("k"), numBuckets = 4)
+
+    // UPDATE v = v * 10 WHERE k <= 3
+    val nUpd = RowLevelOps.update(spark, table,
+      col("k") <= 3, Map("v" -> (col("v") * 10)))
+    assert(nUpd == 3)
+    val afterUpd = spark.read.parquet(table).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(afterUpd(1L) == 10.0 && afterUpd(2L) == 20.0 &&
+      afterUpd(3L) == 30.0 && afterUpd(10L) == 10.0)
+    assert(afterUpd.size == 30)
+
+    // DELETE WHERE k > 25
+    val nDel = RowLevelOps.delete(spark, table, col("k") > 25)
+    assert(nDel == 5)
+    val afterDel = spark.read.parquet(table).select("k")
+      .as[Long].collect().toSet
+    assert(afterDel == (1L to 25L).toSet)
+
+    // DELETE everything -> all bucket dirs removed
+    RowLevelOps.delete(spark, table, lit(true))
+    val dirs = Option(new java.io.File(table).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("__bucket="))
+    assert(dirs.isEmpty)
+  }
+
   test("RetractableAgg: retractions exactly cancel accumulations") {
     import org.apache.spark.sql.functions.lit
     // +I 10, +I 20, -U 10 (retract), +U 30, -D 20 → live = {30}
