@@ -34,7 +34,8 @@ object Registry {
     StreamQueries.defs,
     ChangelogQueries.defs,
     MiscOpQueries.defs,
-    CepQueries.defs
+    CepQueries.defs,
+    TpchQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

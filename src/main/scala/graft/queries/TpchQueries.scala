@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H composite queries (Q3/Q5/Q10 shapes, adapted to the
+  * generated schema) — multi-join + aggregate + top-N pipelines that
+  * exercise the relational surface END TO END the way the reference's own
+  * TPC-H/TPC-DS e2e suites do (flink-end-to-end-tests/test-scripts/
+  * test_tpch.sh; BASELINE.md "reference-pinned facts").
+  *
+  * Plan expectations at 100 TB: `nation`/`region` broadcast (hinted);
+  * `customer`⋈`orders`⋈`lineitem` shuffle on their keys with AQE sizing;
+  * date filters push to the parquet scans (PushedFilters asserted in
+  * PlanSpec for the scan layer generally).
+  *
+  * Revenue sums use tie-free fixed-point arithmetic (floor(x·10⁴) summed
+  * as BIGINT — see VectorOps scaladoc for why decimal casts of IEEE
+  * doubles are not portable across engines).
+  */
+object TpchQueries {
+
+  /** Fixed-point (scale 4) exact sum of a double expression. */
+  private def revSum(c: Column): Column =
+    sum(floor(c * lit(1e4)).cast("long")).cast("double") / lit(1e4)
+
+  private def sqlRevSum(e: String): String =
+    s"CAST(SUM(CAST(floor(($e) * 1e4) AS BIGINT)) AS DOUBLE) / 1e4"
+
+  private val rev = "l_extendedprice * (1 - l_discount)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q3: shipping-priority revenue of BUILDING-segment orders not yet
+    // shipped at the cut date; top 10 orders by revenue.
+    QueryDef(
+      "q_tpch_q3",
+      (s, dir) => {
+        val cut = lit("1998-01-01").cast("timestamp")
+        val c = Tables.customer(s, dir)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") < cut)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val l = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") > cut)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(revSum(expr(rev)).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), col("o_orderdate"), col("revenue"))
+      },
+      Some(s"""
+        SELECT l_orderkey, o_orderdate, ${sqlRevSum(rev)} AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+      """.stripMargin.trim)),
+
+    // Q5: local-supplier volume — revenue per ASIA nation in 1996 where
+    // the supplier and customer share the nation.
+    QueryDef(
+      "q_tpch_q5",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        Tables.customer(s, dir)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey") &&
+              col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(revSum(expr(rev)).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name, ${sqlRevSum(rev)} AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+      """.stripMargin.trim)),
+
+    // Q10: returned-item reporting — revenue lost to returns per customer
+    // for one quarter; top 20 customers.
+    QueryDef(
+      "q_tpch_q10",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        Tables.customer(s, dir)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir)
+            .where(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(revSum(expr(rev)).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               ${sqlRevSum(rev)} AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+      """.stripMargin.trim))
+  )
+}
