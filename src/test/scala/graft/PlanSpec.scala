@@ -38,6 +38,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), "top-k must plan as group-limit")
   }
 
+  test("q_tpch_q5: date range pushed to scan, region filter pushed, dims broadcast") {
+    val p = planOf("q_tpch_q5")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date filter not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), "date upper bound not pushed")
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter not pushed")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+  }
+
+  test("q_tpch_q3: segment + date filters pushed, lineitem columns pruned") {
+    val p = planOf("q_tpch_q3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+    assert(p.contains("GreaterThan(l_shipdate"), "shipdate filter not pushed")
+    val lineitemRead = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_extendedprice"))
+    assert(lineitemRead.exists(r => !r.contains("l_comment") && !r.contains("l_tax")),
+      s"lineitem column pruning lost: $lineitemRead")
+  }
+
   test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
