@@ -26,7 +26,7 @@ object TpchQueries {
     sum(floor(c * lit(1e4)).cast("long")).cast("double") / lit(1e4)
 
   private def sqlRevSum(e: String): String =
-    s"CAST(SUM(CAST(floor(($e) * 1e4) AS BIGINT)) AS DOUBLE) / 1e4"
+    s"(CAST(SUM(CAST(floor(($e) * 1e4) AS BIGINT)) AS DOUBLE) / 1e4)"
 
   private val rev = "l_extendedprice * (1 - l_discount)"
 
@@ -134,6 +134,94 @@ object TpchQueries {
           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20
+      """.stripMargin.trim)),
+
+    // Q7: volume shipped between two nations (either direction), per year.
+    QueryDef(
+      "q_tpch_q7",
+      (s, dir) => {
+        val n1 = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation")))
+        Tables.supplier(s, dir)
+          .join(Tables.lineitem(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(n1, col("s_nationkey") === col("nk1"))
+          .join(n2, col("c_nationkey") === col("nk2"))
+          .where((col("nk1") === 1 && col("nk2") === 2) ||
+            (col("nk1") === 2 && col("nk2") === 1))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("yr"))
+          .agg(revSum(expr(rev)).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      },
+      Some(s"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               ${sqlRevSum(rev)} AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+            OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+      """.stripMargin.trim)),
+
+    // Q14: promo revenue share for one month — two conditional aggregates
+    // and a final scalar division.
+    QueryDef(
+      "q_tpch_q14",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) *
+              revSum(when(col("p_type") === "PROMO", expr(rev))
+                .otherwise(lit(0.0))) /
+              revSum(expr(rev))).as("promo_revenue_pct"))
+      },
+      Some(s"""
+        SELECT 100.0 * ${sqlRevSum(s"CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0.0 END")}
+               / ${sqlRevSum(rev)} AS promo_revenue_pct
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'
+      """.stripMargin.trim)),
+
+    // Q18: large-volume customers — orders whose total quantity exceeds a
+    // threshold (integer-valued double sums are exact in any fold order).
+    QueryDef(
+      "q_tpch_q18",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .where(col("sum_qty") > 300)
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
+        FROM customer, orders,
+          (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
+        WHERE c_custkey = o_custkey AND o_orderkey = big.l_orderkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
       """.stripMargin.trim))
   )
 }
