@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
 /** One element of a row-pattern: `name` labels the step's count in the
   * output, `pred(prevValue, curValue)` is a PREV-semantics predicate over
   * the measure column, `greedy` makes it a one-or-more `X+` quantifier
-  * (false = exactly one row). */
+  * (false = exactly one row), and `minCount` raises the quantifier to
+  * `X{n,}` — the step must match at least `n` rows before the pattern may
+  * advance past it or complete. */
 final case class PatternStep(
     name: String,
     pred: (Double, Double) => Boolean,
-    greedy: Boolean) extends Serializable
+    greedy: Boolean,
+    minCount: Int = 1) extends Serializable
 
 /** Generalized MATCH_RECOGNIZE over measure-based consecutive-row
   * predicates: a parameterized pattern `S1[+] S2[+] … Sn[+]` with greedy
@@ -69,16 +72,21 @@ object PatternMatch {
     if (s.stepIdx < 0) s = tryStart(s)
     else {
       val curStep = steps(s.stepIdx)
+      // the pattern may only advance past / complete the current step once
+      // its X{n,} minimum is satisfied
+      val minMet = s.counts(s.stepIdx) >= curStep.minCount
       if (curStep.greedy && curStep.pred(p, v))
         s = s.copy(counts = s.counts.updated(s.stepIdx, s.counts(s.stepIdx) + 1))
-      else if (s.stepIdx + 1 < steps.length && steps(s.stepIdx + 1).pred(p, v)) {
+      else if (minMet && s.stepIdx + 1 < steps.length &&
+          steps(s.stepIdx + 1).pred(p, v)) {
         val ni = s.stepIdx + 1
         s = s.copy(stepIdx = ni, counts = s.counts.updated(ni, 1L))
-        if (ni == steps.length - 1 && !steps(ni).greedy) {
+        if (ni == steps.length - 1 && !steps(ni).greedy &&
+            steps(ni).minCount <= 1) {
           out = Some((s.startT, t, s.counts)) // non-greedy final: done here
           s = s.copy(stepIdx = -1)
         }
-      } else if (s.stepIdx == steps.length - 1) {
+      } else if (s.stepIdx == steps.length - 1 && minMet) {
         out = Some((s.startT, s.prevT, s.counts)) // greedy final ended at prev
         s = tryStart(s.copy(stepIdx = -1)) // SKIP PAST LAST ROW
       } else {
@@ -92,7 +100,8 @@ object PatternMatch {
   private def flush(
       steps: IndexedSeq[PatternStep],
       st: NfaState): Option[(Long, Long, Vector[Long])] =
-    if (st.stepIdx == steps.length - 1 && steps(st.stepIdx).greedy)
+    if (st.stepIdx == steps.length - 1 && steps(st.stepIdx).greedy &&
+        st.counts(st.stepIdx) >= steps(st.stepIdx).minCount)
       Some((st.startT, st.prevT, st.counts))
     else None
 

@@ -117,6 +117,60 @@ object CepQueries {
           ON u.user_id = d.user_id AND d.dir = 'D' AND u.dir = 'U'
              AND u.first_idx = d.last_idx + 1
         ORDER BY d.user_id, start_us
+      """.stripMargin.trim)),
+
+    // Bounded repetition A{2,}+ B+: only falling runs of length >= 2
+    // followed by a rise match. Because maximal runs are disjoint and
+    // SKIP PAST LAST ROW consumes whole runs, the oracle is the updown
+    // islands formulation filtered on the run length.
+    QueryDef(
+      "q_match_recognize_min2",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        PatternMatch(d, "user_id", "ts_us", "value", Seq(
+          PatternStep("down", (p, c) => c < p, greedy = true, minCount = 2),
+          PatternStep("up", (p, c) => c > p, greedy = true)))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu, lag(value) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN value < pv THEN 'D'
+                              WHEN value > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir IS NOT NULL
+                                  AND (pdir IS NULL OR pdir <> dir)
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, runid, dir,
+                 COUNT(*) AS n,
+                 MIN(idx) AS first_idx, MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_tu,
+                 arg_max(tu, idx) AS end_tu
+          FROM r GROUP BY user_id, runid, dir)
+        SELECT d.user_id, d.start_tu AS start_us, u.end_tu AS end_us,
+               d.n AS n_down, u.n AS n_up
+        FROM runs d JOIN runs u
+          ON u.user_id = d.user_id AND d.dir = 'D' AND u.dir = 'U'
+             AND u.first_idx = d.last_idx + 1 AND d.n >= 2
+        ORDER BY d.user_id, start_us
       """.stripMargin.trim))
   )
 }

@@ -222,6 +222,30 @@ object TpchQueries {
            FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
         WHERE c_custkey = o_custkey AND o_orderkey = big.l_orderkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+      """.stripMargin.trim)),
+
+    // Q19: discounted revenue under OR'd brand/quantity conjunctions —
+    // exercises disjunctive predicate handling across a join.
+    QueryDef(
+      "q_tpch_q19",
+      (s, dir) => {
+        val cond =
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#7" && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#13" && col("l_quantity").between(20, 30))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .where(cond)
+          .agg(revSum(expr(rev)).as("revenue"))
+      },
+      Some(s"""
+        SELECT ${sqlRevSum(rev)} AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND (
+          (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#7' AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30))
       """.stripMargin.trim))
   )
 }

@@ -163,6 +163,23 @@ class OperatorSpec extends SparkSpecBase {
     assert(calc.length == 2 && calc.forall(_.get(2) == null))
   }
 
+  test("PatternMatch minCount: short runs rejected, long runs match") {
+    // key 1: V with a single fall (rejected at minCount=2);
+    // key 2: V with a two-step fall (accepted)
+    val rows = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 3.0), (1L, 3L, 6.0),
+      (2L, 1L, 5.0), (2L, 2L, 4.0), (2L, 3L, 2.0), (2L, 4L, 6.0))
+      .toDF("k", "t", "v")
+    val steps = Seq(
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = true,
+        minCount = 2),
+      PatternStep("up", (p: Double, c: Double) => c > p, greedy = true))
+    val out = PatternMatch(rows, "k", "t", "v", steps)
+      .select($"k", $"n_down", $"n_up").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((2L, 2L, 1L)))
+  }
+
   test("NgramJaccard df cap bounds hot-shingle candidates") {
     // 20 docs all sharing one boilerplate shingle ("common legal footer"),
     // plus two genuinely near-duplicate docs. Uncapped, the boilerplate
