@@ -76,7 +76,11 @@ object ChangelogJoin {
     val krank = when(
       col(RowKind.kindCol) === RowKind.UpdateBefore ||
         col(RowKind.kindCol) === RowKind.Delete, 0).otherwise(1)
-    val lEnv = left.select(
+    // SQL inner-equi-join semantics: NULL join keys never match — drop
+    // them before the shuffle (they would otherwise co-group and pair)
+    val lNn = left.where(col(leftJoinKey).isNotNull)
+    val rNn = right.where(col(rightJoinKey).isNotNull)
+    val lEnv = lNn.select(
       col(leftJoinKey).as("__jk"),
       lit(0).as("__side"),
       col(RowKind.seqCol).as("__seqe"),
@@ -84,7 +88,7 @@ object ChangelogJoin {
       krank.as("__krank"),
       struct(lPayF.map(f => col(f.name)): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
-    val rEnv = right.select(
+    val rEnv = rNn.select(
       col(rightJoinKey).as("__jk"),
       lit(1).as("__side"),
       col(RowKind.seqCol).as("__seqe"),

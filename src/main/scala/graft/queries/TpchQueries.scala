@@ -246,6 +246,61 @@ object TpchQueries {
           (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
           OR (p_brand = 'Brand#7' AND l_quantity BETWEEN 10 AND 20)
           OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30))
+      """.stripMargin.trim)),
+
+    // Q4 shape: order-priority counts for orders with at least one
+    // late-shipped line (EXISTS -> left-semi join with a compound
+    // cross-table condition).
+    QueryDef(
+      "q_tpch_q4",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        o.join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.stripMargin.trim)),
+
+    // Q22 shape: wealthy customers with no orders — scalar subquery
+    // (deterministic decimal average) + anti join.
+    QueryDef(
+      "q_tpch_q22",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val avgBal = c.where(col("c_acctbal") > 0)
+          .agg(Exact.davg(col("c_acctbal")).as("ab"))
+        c.join(broadcast(avgBal))
+          .where(col("c_acctbal") > col("ab"))
+          .join(Tables.orders(s, dir),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            Exact.dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(s"""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ${Exact.sqlSum("c_acctbal")} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT ${Exact.sqlAvg("c_acctbal")}
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey
       """.stripMargin.trim))
   )
 }

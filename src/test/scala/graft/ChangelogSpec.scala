@@ -296,6 +296,21 @@ class ChangelogSpec extends SparkSpecBase {
     }
   }
 
+  test("ChangelogJoin: NULL join keys never pair (SQL inner-join semantics)") {
+    val l = Seq(
+      (1L, Some(100L), 1.0, 1L, RowKind.Insert),
+      (2L, None, 2.0, 2L, RowKind.Insert))
+      .toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val r = Seq(
+      (7L, Some(100L), 1.5, 3L, RowKind.Insert),
+      (8L, None, 2.5, 4L, RowKind.Insert))
+      .toDF("rk", "rjk", "w", RowKind.seqCol, RowKind.kindCol)
+    val out = UpsertMaterialize(
+      ChangelogJoin(l, r, "ljk", "rjk", "lk", "rk"), Seq("lk", "rk"))
+      .select("lk", "rk").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 7L)), s"null keys must not pair: $out")
+  }
+
   test("bucketed upsert sink rewrites only touched buckets") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = java.nio.file.Files.createTempDirectory("graft-bkt-")
