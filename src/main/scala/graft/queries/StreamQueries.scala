@@ -111,6 +111,40 @@ object StreamQueries {
         FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
       """.trim)),
 
+    // The state-BOUNDED cumulate (tumble slices + timer-evicted fold):
+    // its batch face delegates to the slice-explode form, so the same
+    // window semantics are oracle-checked here while StreamingSpec
+    // asserts the streaming face's parity + state eviction. Aggregates
+    // restricted to the deterministic count/min/max (the mergeable
+    // AggSpec family's sum is a plain double fold, not oracle-exact).
+    QueryDef(
+      "q_unified_cumulate_bounded",
+      (s, dir) => {
+        import graft.changelog.AggSpec
+        StreamingWindows.cumulateBounded(Tables.events(s, dir), "ts",
+          maxSizeMs = 1800000L, stepMs = 600000L, delay = "10 seconds",
+          Seq("event_type"),
+          Seq(AggSpec("n", "value", "count"),
+            AggSpec("min_v", "value", "min"),
+            AggSpec("max_v", "value", "max")))
+          .orderBy(col("window_start"), col("window_end"), col("event_type"))
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+                          $msExpr AS ms FROM events),
+        x AS (SELECT event_type, value,
+                make_timestamp((ms - ms % 1800000) * 1000) AS window_start,
+                make_timestamp(e2.window_end_ms * 1000) AS window_end
+              FROM e, LATERAL (
+                SELECT unnest(generate_series(
+                  ms - ms % 600000 + 600000,
+                  ms - ms % 1800000 + 1800000,
+                  600000)) AS window_end_ms) e2)
+        SELECT window_start, window_end, event_type,
+               COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+        FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+      """.trim)),
+
     // Windowed keep-last dedup through the unified op (batch route =
     // exact row_number keep-last; stream route asserted in StreamingSpec).
     QueryDef(
