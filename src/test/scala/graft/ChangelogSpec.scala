@@ -199,6 +199,29 @@ class ChangelogSpec extends SparkSpecBase {
     assert(mat.toSeq == direct)
   }
 
+  test("streaming RetractingChangelogAgg seqFromInput keeps the global domain") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rsq-").toString
+    val q = RetractingChangelogAgg(df, Seq("g"), "v", seqFromInput = true)
+      .writeStream.format("memory").queryName("r_seq")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((1L, 5.0, 100L, RowKind.Insert)); q.processAllAvailable()
+      input.addData((1L, 5.0, 200L, RowKind.UpdateBefore),
+        (1L, 7.0, 200L, RowKind.UpdateAfter)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("r_seq").collect()
+      .map(r => (r.getString(5), r.getLong(6))).sortBy(_._2)
+    // batch 1 stamps from input seq 100, batch 2 from 200; output seqs
+    // strictly increase and stay unique within the key
+    assert(rows.map(_._2).distinct.length == rows.length)
+    assert(rows.head._1 == RowKind.Insert)
+    assert(rows.head._2 >= 400L && rows.last._2 >= 800L,
+      s"seq domain not derived from input: $rows")
+  }
+
   test("RetractingChangelogAgg emits -D when a key's live set empties") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Double, Long, String)]
