@@ -87,6 +87,26 @@ class MiscOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("formats: avro round-trip via the bundled avro-mapred I/O formats") {
+    val src = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val path = java.nio.file.Files.createTempDirectory("graft-avro-")
+      .toString + "/c"
+    graft.sources.AvroIO.write(src, path)
+    val back = graft.sources.AvroIO.read(spark, path, src.schema)
+    val exp = src.collect().map(_.toSeq).sortBy(_.toString)
+    val got = back.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(exp), "avro round-trip mismatch")
+    // null handling: a nullable column survives
+    val withNull = src.withColumn("c_name",
+      when(col("c_custkey") % 2 === 0, col("c_name")))
+    val p2 = path + "2"
+    graft.sources.AvroIO.write(withNull, p2)
+    val back2 = graft.sources.AvroIO.read(spark, p2, withNull.schema)
+    assert(back2.where(col("c_name").isNull).count() ==
+      withNull.where(col("c_name").isNull).count())
+  }
+
   test("script transform: TRANSFORM ... USING an external command") {
     Tables.nation(spark, sf).createOrReplaceTempView("nation_v")
     val out = spark.sql("""
