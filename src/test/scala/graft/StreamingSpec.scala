@@ -316,6 +316,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(side.map(_._1).toSet == Set(5L))
   }
 
+  test("watermark idleness: multipleWatermarkPolicy=max lets an idle source's union progress") {
+    // The reference handles an idle source via withIdleness (the idle
+    // stream stops holding the watermark back). Spark's analog for a
+    // multi-watermark query is spark.sql.streaming.multipleWatermarkPolicy:
+    // with the default "min" an idle union leg stalls every window; with
+    // "max" the active leg drives progress — asserted both ways here.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    def run(policy: String, name: String): Long = {
+      spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+      try {
+        val active = MemoryStream[(Timestamp, Long)]
+        val idle = MemoryStream[(Timestamp, Long)]
+        val union = active.toDF().toDF("ts", "v").withWatermark("ts", "1 second")
+          .unionByName(
+            idle.toDF().toDF("ts", "v").withWatermark("ts", "1 second"))
+        val agg = union.groupBy(window(col("ts"), "10 seconds")).count()
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-idle-$name-")
+          .toString
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        try {
+          // only the active source ever produces data
+          active.addData((new Timestamp(base), 1L))
+          q.processAllAvailable()
+          active.addData((new Timestamp(base + 60000), 2L))
+          q.processAllAvailable()
+          active.addData((new Timestamp(base + 120000), 3L))
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).count()
+      } finally spark.conf
+        .set("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    }
+    assert(run("min", "wm_idle_min") == 0L,
+      "min policy must stall on the idle leg")
+    assert(run("max", "wm_idle_max") >= 1L,
+      "max policy must let the active leg close windows")
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
