@@ -356,6 +356,27 @@ class StreamingSpec extends SparkSpecBase {
       "max policy must let the active leg close windows")
   }
 
+  test("StateQuery reads a checkpoint's keyed state as a DataFrame") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sq-").toString
+    val base = 1700000000000L
+    val q = input.toDF().toDF("ts", "k", "v").withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("k"))
+      .agg(sum("v").as("sv"))
+      .writeStream.format("memory").queryName("sq_t")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((new Timestamp(base), 1L, 2.5),
+        (new Timestamp(base + 1000), 2L, 3.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = StateQuery(spark, ckpt)
+      .selectExpr("key.k AS k", "value.sum AS sv")
+      .as[(Long, Double)].collect().toSet
+    assert(st == Set((1L, 2.5), (2L, 3.5)), s"state mismatch: $st")
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
