@@ -52,7 +52,29 @@ object ChangelogJoin {
       leftJoinKey: String,
       rightJoinKey: String,
       leftKey: String,
-      rightKey: String): DataFrame = {
+      rightKey: String): DataFrame =
+    apply(left, right, leftJoinKey, rightJoinKey, leftKey, rightKey,
+      joinType = "inner")
+
+  /** @param joinType "inner" or "left" — LEFT OUTER pads an unmatched left
+    *        row with nulls and RETRACTS the padded row the moment a match
+    *        appears (re-padding when the last match dies) — the
+    *        reference's streaming outer-join null-padding protocol
+    *        (StreamingJoinOperator's outerJoin paths). Padded rows
+    *        materialize under (leftKey, NULL), so keep-last by
+    *        (leftKey, rightKey) yields exactly the SQL LEFT JOIN of the
+    *        final states. */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftJoinKey: String,
+      rightJoinKey: String,
+      leftKey: String,
+      rightKey: String,
+      joinType: String): DataFrame = {
+    require(Seq("inner", "left").contains(joinType),
+      s"unsupported joinType: $joinType")
+    val leftOuter = joinType == "left"
 
     val metaCols = Set(RowKind.kindCol, RowKind.seqCol)
     val lPayF = left.schema.fields.filterNot(f => metaCols(f.name))
@@ -62,8 +84,11 @@ object ChangelogJoin {
 
     val lType = StructType(lPayF)
     val rType = StructType(rPayF)
+    // left outer pads the right payload with nulls — force nullability
+    val rPayOut =
+      if (leftOuter) rPayF.map(_.copy(nullable = true)) else rPayF
     val outSchema = StructType(
-      (lPayF ++ rPayF) :+
+      (lPayF ++ rPayOut) :+
         StructField(RowKind.kindCol, StringType) :+
         StructField(RowKind.seqCol, LongType))
 
@@ -100,6 +125,8 @@ object ChangelogJoin {
 
     type SideState = scala.collection.mutable.LinkedHashMap[Any, Seq[Any]]
 
+    val rNulls: Seq[Any] = rPayF.map(_ => null).toSeq
+
     // Join-state transition step shared by both faces. Envelope layout:
     // 0 __jk, 1 __side, 2 __seqe, 3 __kind, 4 __krank, 5 __l, 6 __r.
     def step(e: Row, lState: SideState, rState: SideState): Seq[Row] = {
@@ -107,31 +134,45 @@ object ChangelogJoin {
       val retract =
         kind == RowKind.UpdateBefore || kind == RowKind.Delete
       val outSeq = 2 * e.getLong(2) + (if (retract) 0L else 1L)
+      def pair(l: Seq[Any], r: Seq[Any], k: String): Row =
+        Row.fromSeq(l ++ r :+ k :+ outSeq)
+      def padded(l: Seq[Any], k: String): Row =
+        Row.fromSeq(l ++ rNulls :+ k :+ outSeq)
       if (e.getInt(1) == 0) {
         val pay = e.getStruct(5).toSeq
         val k = pay(lkIdx)
         if (retract) lState.remove(k) match {
           case Some(old) =>
-            rState.values.map(r =>
-              Row.fromSeq(old ++ r :+ RowKind.Delete :+ outSeq)).toSeq
+            if (rState.isEmpty)
+              if (leftOuter) Seq(padded(old, RowKind.Delete)) else Nil
+            else rState.values.map(pair(old, _, RowKind.Delete)).toSeq
           case None => Nil
         } else {
           lState.update(k, pay)
-          rState.values.map(r =>
-            Row.fromSeq(pay ++ r :+ RowKind.UpdateAfter :+ outSeq)).toSeq
+          if (rState.isEmpty)
+            if (leftOuter) Seq(padded(pay, RowKind.UpdateAfter)) else Nil
+          else rState.values.map(pair(pay, _, RowKind.UpdateAfter)).toSeq
         }
       } else {
         val pay = e.getStruct(6).toSeq
         val k = pay(rkIdx)
         if (retract) rState.remove(k) match {
           case Some(old) =>
-            lState.values.map(l =>
-              Row.fromSeq(l ++ old :+ RowKind.Delete :+ outSeq)).toSeq
+            val outs = lState.values.map(pair(_, old, RowKind.Delete)).toSeq
+            // last match died: every left row becomes unmatched again
+            if (leftOuter && rState.isEmpty)
+              outs ++ lState.values.map(padded(_, RowKind.UpdateAfter))
+            else outs
           case None => Nil
         } else {
+          val wasEmpty = rState.isEmpty
           rState.update(k, pay)
-          lState.values.map(l =>
-            Row.fromSeq(l ++ pay :+ RowKind.UpdateAfter :+ outSeq)).toSeq
+          val outs =
+            lState.values.map(pair(_, pay, RowKind.UpdateAfter)).toSeq
+          // first match appeared: retract the null-padded rows
+          if (leftOuter && wasEmpty)
+            lState.values.map(padded(_, RowKind.Delete)).toSeq ++ outs
+          else outs
         }
       }
     }

@@ -319,6 +319,41 @@ class ChangelogSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming left-outer ChangelogJoin pads, retracts, and re-pads") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val rIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val lDf = lIn.toDF().toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val rDf = rIn.toDF().toDF("rk", "rjk", "w", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cjl-").toString
+    val q = ChangelogJoin(lDf, rDf, "ljk", "rjk", "lk", "rk", "left")
+      .writeStream.format("memory").queryName("cl_left")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: left alone -> padded row
+      lIn.addData((1L, 100L, 10.0, 1L, RowKind.Insert))
+      q.processAllAvailable()
+      // batch 2: match appears -> padding retracted, pairing emitted
+      rIn.addData((7L, 100L, 1.5, 2L, RowKind.Insert))
+      q.processAllAvailable()
+      // batch 3: match dies -> pairing retracted, padding returns
+      rIn.addData((7L, 100L, 1.5, 3L, RowKind.Delete))
+      q.processAllAvailable()
+    } finally q.stop()
+    val log = spark.table("cl_left").collect()
+      .map(r => (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getString(6), r.getLong(7))).sortBy(_._3)
+    // padded(+U) -> padded(-D), pair(+U) -> pair(-D), padded(+U)
+    assert(log.map(t => (t._1, t._2)).toSeq == Seq(
+      (None, RowKind.UpdateAfter),
+      (None, RowKind.Delete), (Some(7L), RowKind.UpdateAfter),
+      (Some(7L), RowKind.Delete), (None, RowKind.UpdateAfter)))
+    val mat = UpsertMaterialize(spark.table("cl_left"), Seq("lk", "rk"))
+      .select("lk", "rk").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    assert(mat.toSeq == Seq((1L, None)))
+  }
+
   test("ChangelogJoin: NULL join keys never pair (SQL inner-join semantics)") {
     val l = Seq(
       (1L, Some(100L), 1.0, 1L, RowKind.Insert),
