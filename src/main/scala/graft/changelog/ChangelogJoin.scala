@@ -56,14 +56,14 @@ object ChangelogJoin {
     apply(left, right, leftJoinKey, rightJoinKey, leftKey, rightKey,
       joinType = "inner")
 
-  /** @param joinType "inner" or "left" — LEFT OUTER pads an unmatched left
-    *        row with nulls and RETRACTS the padded row the moment a match
-    *        appears (re-padding when the last match dies) — the
-    *        reference's streaming outer-join null-padding protocol
-    *        (StreamingJoinOperator's outerJoin paths). Padded rows
-    *        materialize under (leftKey, NULL), so keep-last by
-    *        (leftKey, rightKey) yields exactly the SQL LEFT JOIN of the
-    *        final states. */
+  /** @param joinType "inner" | "left" | "right" | "full" — the outer
+    *        variants pad an unmatched row with nulls and RETRACT the
+    *        padded row the moment a match appears (re-padding when the
+    *        last match dies) — the reference's streaming outer-join
+    *        null-padding protocol (StreamingJoinOperator's outerJoin
+    *        paths). Padded rows materialize under (leftKey, NULL) /
+    *        (NULL, rightKey), so keep-last by (leftKey, rightKey) yields
+    *        exactly the SQL OUTER JOIN of the final states. */
   def apply(
       left: DataFrame,
       right: DataFrame,
@@ -72,9 +72,12 @@ object ChangelogJoin {
       leftKey: String,
       rightKey: String,
       joinType: String): DataFrame = {
-    require(Seq("inner", "left").contains(joinType),
+    require(Seq("inner", "left", "right", "full").contains(joinType),
       s"unsupported joinType: $joinType")
-    val leftOuter = joinType == "left"
+    // padLeft: unmatched LEFT rows survive null-padded (left/full outer);
+    // padRight: unmatched RIGHT rows survive null-padded (right/full)
+    val padLeft = joinType == "left" || joinType == "full"
+    val padRight = joinType == "right" || joinType == "full"
 
     val metaCols = Set(RowKind.kindCol, RowKind.seqCol)
     val lPayF = left.schema.fields.filterNot(f => metaCols(f.name))
@@ -84,11 +87,13 @@ object ChangelogJoin {
 
     val lType = StructType(lPayF)
     val rType = StructType(rPayF)
-    // left outer pads the right payload with nulls — force nullability
+    // outer variants pad a payload with nulls — force nullability
+    val lPayOut =
+      if (padRight) lPayF.map(_.copy(nullable = true)) else lPayF
     val rPayOut =
-      if (leftOuter) rPayF.map(_.copy(nullable = true)) else rPayF
+      if (padLeft) rPayF.map(_.copy(nullable = true)) else rPayF
     val outSchema = StructType(
-      (lPayF ++ rPayOut) :+
+      (lPayOut ++ rPayOut) :+
         StructField(RowKind.kindCol, StringType) :+
         StructField(RowKind.seqCol, LongType))
 
@@ -126,9 +131,13 @@ object ChangelogJoin {
     type SideState = scala.collection.mutable.LinkedHashMap[Any, Seq[Any]]
 
     val rNulls: Seq[Any] = rPayF.map(_ => null).toSeq
+    val lNulls: Seq[Any] = lPayF.map(_ => null).toSeq
 
     // Join-state transition step shared by both faces. Envelope layout:
     // 0 __jk, 1 __side, 2 __seqe, 3 __kind, 4 __krank, 5 __l, 6 __r.
+    // Padding protocol (symmetric): a side's rows are null-padded while
+    // the OTHER side's state is empty; the first arriving match retracts
+    // every pad, the last dying match restores them.
     def step(e: Row, lState: SideState, rState: SideState): Seq[Row] = {
       val kind = e.getString(3)
       val retract =
@@ -136,43 +145,69 @@ object ChangelogJoin {
       val outSeq = 2 * e.getLong(2) + (if (retract) 0L else 1L)
       def pair(l: Seq[Any], r: Seq[Any], k: String): Row =
         Row.fromSeq(l ++ r :+ k :+ outSeq)
-      def padded(l: Seq[Any], k: String): Row =
+      def lPad(l: Seq[Any], k: String): Row =
         Row.fromSeq(l ++ rNulls :+ k :+ outSeq)
+      def rPad(r: Seq[Any], k: String): Row =
+        Row.fromSeq(lNulls ++ r :+ k :+ outSeq)
       if (e.getInt(1) == 0) {
         val pay = e.getStruct(5).toSeq
         val k = pay(lkIdx)
         if (retract) lState.remove(k) match {
           case Some(old) =>
             if (rState.isEmpty)
-              if (leftOuter) Seq(padded(old, RowKind.Delete)) else Nil
-            else rState.values.map(pair(old, _, RowKind.Delete)).toSeq
+              if (padLeft) Seq(lPad(old, RowKind.Delete)) else Nil
+            else {
+              val outs =
+                rState.values.map(pair(old, _, RowKind.Delete)).toSeq
+              // last left row gone: right rows become unmatched again
+              if (padRight && lState.isEmpty)
+                outs ++ rState.values.map(rPad(_, RowKind.UpdateAfter))
+              else outs
+            }
           case None => Nil
         } else {
+          val wasLEmpty = lState.isEmpty
           lState.update(k, pay)
           if (rState.isEmpty)
-            if (leftOuter) Seq(padded(pay, RowKind.UpdateAfter)) else Nil
-          else rState.values.map(pair(pay, _, RowKind.UpdateAfter)).toSeq
+            if (padLeft) Seq(lPad(pay, RowKind.UpdateAfter)) else Nil
+          else {
+            val outs =
+              rState.values.map(pair(pay, _, RowKind.UpdateAfter)).toSeq
+            // first left row: the right side stops being unmatched
+            if (padRight && wasLEmpty)
+              rState.values.map(rPad(_, RowKind.Delete)).toSeq ++ outs
+            else outs
+          }
         }
       } else {
         val pay = e.getStruct(6).toSeq
         val k = pay(rkIdx)
         if (retract) rState.remove(k) match {
           case Some(old) =>
-            val outs = lState.values.map(pair(_, old, RowKind.Delete)).toSeq
-            // last match died: every left row becomes unmatched again
-            if (leftOuter && rState.isEmpty)
-              outs ++ lState.values.map(padded(_, RowKind.UpdateAfter))
-            else outs
+            if (lState.isEmpty)
+              if (padRight) Seq(rPad(old, RowKind.Delete)) else Nil
+            else {
+              val outs =
+                lState.values.map(pair(_, old, RowKind.Delete)).toSeq
+              // last match died: every left row becomes unmatched again
+              if (padLeft && rState.isEmpty)
+                outs ++ lState.values.map(lPad(_, RowKind.UpdateAfter))
+              else outs
+            }
           case None => Nil
         } else {
-          val wasEmpty = rState.isEmpty
+          val wasREmpty = rState.isEmpty
           rState.update(k, pay)
-          val outs =
-            lState.values.map(pair(_, pay, RowKind.UpdateAfter)).toSeq
-          // first match appeared: retract the null-padded rows
-          if (leftOuter && wasEmpty)
-            lState.values.map(padded(_, RowKind.Delete)).toSeq ++ outs
-          else outs
+          if (lState.isEmpty)
+            if (padRight) Seq(rPad(pay, RowKind.UpdateAfter)) else Nil
+          else {
+            val outs =
+              lState.values.map(pair(_, pay, RowKind.UpdateAfter)).toSeq
+            // first match appeared: retract the left pads
+            if (padLeft && wasREmpty)
+              lState.values.map(lPad(_, RowKind.Delete)).toSeq ++ outs
+            else outs
+          }
         }
       }
     }

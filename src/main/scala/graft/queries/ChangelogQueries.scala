@@ -229,6 +229,54 @@ object ChangelogQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // FULL OUTER changelog join: orders whose customer died stay
+    // right-null-padded; customers whose orders all died become
+    // left-null-padded — both paddings appear/retract as state evolves.
+    QueryDef(
+      "q_changelog_join_full",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val ofeed = ob
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_custkey") % 4 === 0)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              lit(30L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val lcl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+        val cfeed = cb
+          .select(col("c_custkey"), col("c_acctbal"),
+            lit(11L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(cb.where(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), col("c_acctbal"),
+              lit(21L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val rcl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+
+        UpsertMaterialize(
+          ChangelogJoin(lcl, rcl, "o_custkey", "c_custkey",
+            "o_orderkey", "c_custkey", joinType = "full"),
+          Seq("o_orderkey", "c_custkey"))
+          .orderBy(col("o_orderkey"), col("c_custkey"))
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+            AS o_totalprice
+          FROM orders WHERE o_custkey % 4 <> 0),
+        cfinal AS (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          FROM customer WHERE c_custkey % 3 <> 0)
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_custkey, c.c_acctbal
+        FROM ofinal o FULL JOIN cfinal c ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey, c_custkey
+      """.stripMargin.trim)),
+
     // N-ARY (3-way) changelog join as a binary chain: orders ⋈ customer ⋈
     // nation. ChangelogJoin emits an UPSERT changelog (+U/-D, no -U
     // pre-images), so the chain re-normalizes between joins — exactly the
