@@ -33,6 +33,11 @@ import org.apache.spark.sql.types._
   * Contract: the two inputs' `__seq` values come from ONE global sequence
   * domain with unique values per change (a CDC log position) — the same
   * assumption the reference makes when it trusts upstream changelog order.
+  * Seq-domain headroom: each changelog tier maps seq → 2·seq + krank, so
+  * chaining k tiers multiplies the domain by 2^k; inputs must keep their
+  * seq values below Long.MaxValue / 2^k (a CDC log position has ~19 digits
+  * of headroom — far beyond any real log — but a caller packing bits into
+  * the high end of the Long would overflow silently).
   * Inputs must be FULL changelogs (with `-U` pre-images): a join-key-
   * changing update's `-U` is what reaches the OLD join-key group to kill
   * its pairings.
@@ -84,6 +89,13 @@ object ChangelogJoin {
     val rPayF = right.schema.fields.filterNot(f => metaCols(f.name))
     val clash = lPayF.map(_.name).toSet.intersect(rPayF.map(_.name).toSet)
     require(clash.isEmpty, s"column name clash across sides: $clash")
+    // mismatched key types would only surface later as an opaque
+    // unionByName failure on the __jk envelope column — check up front
+    val lJkType = left.schema(leftJoinKey).dataType
+    val rJkType = right.schema(rightJoinKey).dataType
+    require(lJkType == rJkType,
+      s"join key types differ: $leftJoinKey is $lJkType but " +
+        s"$rightJoinKey is $rJkType — cast one side explicitly")
 
     val lType = StructType(lPayF)
     val rType = StructType(rPayF)

@@ -61,11 +61,7 @@ object RowLevelOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(tablePath)
     affected.filterNot(live).foreach { b =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(tablePath, s"__bucket=$b"))
+      FsOps.deleteRecursive(spark, s"$tablePath/__bucket=$b")
     }
     deleted
   }

@@ -26,9 +26,8 @@ object UpsertSink {
       tablePath: String,
       batch: DataFrame,
       keyCols: Seq[String]): Unit = {
-    val dir = new java.io.File(tablePath)
     val existing =
-      if (dir.exists() && dir.list().exists(_.endsWith(".parquet")))
+      if (FsOps.childNames(spark, tablePath).exists(_.endsWith(".parquet")))
         Some(spark.read.parquet(tablePath))
       else None
 
@@ -45,15 +44,8 @@ object UpsertSink {
     merged.write.mode("overwrite").parquet(staging)
     // swap staging into place (single-FS rename; transactional commit is
     // the table format's job at scale)
-    val target = new java.io.File(tablePath)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
-    }
-    new java.io.File(staging).renameTo(target)
+    FsOps.deleteRecursive(spark, tablePath)
+    FsOps.rename(spark, staging, tablePath)
   }
 
   /** Start a streaming upsert sink for a changelog-emitting query. */
@@ -89,9 +81,8 @@ object UpsertSink {
       numBuckets: Int = 64): Unit = {
     val batch = batch0.withColumn(
       "__bucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
-    val dir = new java.io.File(tablePath)
-    val exists = dir.exists() &&
-      Option(dir.listFiles()).exists(_.exists(_.getName.startsWith("__bucket=")))
+    val exists =
+      FsOps.childNames(spark, tablePath).exists(_.startsWith("__bucket="))
 
     if (!exists) {
       UpsertMaterialize(batch, keyCols)
@@ -116,11 +107,7 @@ object UpsertSink {
 
     // buckets emptied by deletes produce no rows — remove their dirs
     affected.filterNot(live).foreach { b =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(dir, s"__bucket=$b"))
+      FsOps.deleteRecursive(spark, s"$tablePath/__bucket=$b")
     }
   }
 

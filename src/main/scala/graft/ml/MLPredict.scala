@@ -44,8 +44,19 @@ trait ModelProvider extends Serializable {
 
 object MLPredict {
 
-  private def appended(df: DataFrame, p: ModelProvider): StructType =
-    StructType(df.schema.fields ++ p.outputSchema.fields)
+  private def appended(
+      df: DataFrame,
+      p: ModelProvider,
+      forceNullable: Boolean = false): StructType = {
+    // under the Nulls timeout policy the appended columns can legitimately
+    // be null even if the provider declares them non-nullable — keep the
+    // declared nullability honest or the row encoder rejects the fallback
+    // rows (ADVICE r3)
+    val extra =
+      if (forceNullable) p.outputSchema.fields.map(_.copy(nullable = true))
+      else p.outputSchema.fields
+    StructType(df.schema.fields ++ extra)
+  }
 
   /** Append `provider`'s prediction columns to every row. */
   def apply(df: DataFrame, provider: ModelProvider, batchSize: Int = 64): DataFrame = {
@@ -76,7 +87,8 @@ object MLPredict {
       timeoutMs: Long = graft.operators.AsyncWait.DefaultTimeoutMs,
       onTimeout: graft.operators.AsyncWait.Policy =
         graft.operators.AsyncWait.Fail): DataFrame = {
-    val outSchema = appended(df, provider)
+    val outSchema = appended(df, provider,
+      forceNullable = onTimeout == graft.operators.AsyncWait.Nulls)
     val nulls = provider.outputSchema.fields.map(_ => null).toSeq
     df.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global

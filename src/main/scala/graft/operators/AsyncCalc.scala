@@ -31,7 +31,12 @@ object AsyncCalc {
       maxInFlight: Int = 4,
       timeoutMs: Long = AsyncWait.DefaultTimeoutMs,
       onTimeout: AsyncWait.Policy = AsyncWait.Fail): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+ outField)
+    // the Nulls policy emits null results on timeout, so the declared
+    // output field must admit them regardless of what the caller passed
+    val outF =
+      if (onTimeout == AsyncWait.Nulls) outField.copy(nullable = true)
+      else outField
+    val outSchema = StructType(df.schema.fields :+ outF)
     df.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global
       val batches = it.grouped(batchSize)

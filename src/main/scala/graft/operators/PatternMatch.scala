@@ -52,6 +52,19 @@ object PatternMatch {
   private def initial(n: Int): NfaState =
     NfaState(-1, Vector.fill(n)(0L), 0L, 0L, 0.0, havePrev = false)
 
+  /** Counts only grow via the greedy-extension branch of [[advance]], so a
+    * non-greedy step with `minCount > 1` could never satisfy its minimum —
+    * such a pattern would silently never match. Fail loudly instead
+    * (ADVICE r3). */
+  private def validate(steps: Seq[PatternStep]): Unit = {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    val bad = steps.filter(s => !s.greedy && s.minCount > 1)
+    require(bad.isEmpty,
+      s"non-greedy steps match exactly one row; minCount > 1 is " +
+        s"unsatisfiable for: ${bad.map(_.name).mkString(", ")} " +
+        "(make the step greedy to use X{n,})")
+  }
+
   /** Feed one (time, value) row; returns the advanced state and an
     * optional completed match (start, end, counts). */
   private def advance(
@@ -121,6 +134,7 @@ object PatternMatch {
       timeCol: String,
       valCol: String,
       steps: Seq[PatternStep]): DataFrame = {
+    validate(steps)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
     val stepsArr = steps.toIndexedSeq
@@ -150,6 +164,7 @@ object PatternMatch {
       timeCol: String,
       valCol: String,
       steps: Seq[PatternStep]): DataFrame = {
+    validate(steps)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
     val stepsArr = steps.toIndexedSeq

@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -50,6 +53,12 @@ object LateData {
     * semantics: Spark itself only advances a query's watermark when a
     * stateful operator consumes it, and this sink is deliberately
     * stateless. Driver-side cost is one `max()` action per micro-batch.
+    *
+    * The max-seen event time is PERSISTED at `<checkpoint>/graft-watermark`
+    * (write-temp-then-rename, Hadoop FS API so hdfs://s3a:// paths work)
+    * and reloaded on start — the reference checkpoints watermarks, so a
+    * restarted query must not regress to "no watermark" and misclassify
+    * arbitrarily late replayed rows as on-time.
     */
   def writeWithSideOutput(
       df: DataFrame,
@@ -59,7 +68,10 @@ object LateData {
       checkpoint: String)(
       onTime: DataFrame => Unit,
       late: DataFrame => Unit): StreamingQuery = {
-    val maxSeen = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    val wmPath = new Path(checkpoint, "graft-watermark")
+    val maxSeen =
+      new java.util.concurrent.atomic.AtomicLong(readWatermark(wmPath, hadoopConf))
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -76,11 +88,45 @@ object LateData {
           val row = cached
             .agg(max(EventTime.epochMs(col(tsCol)))).head()
           if (!row.isNullAt(0)) {
-            maxSeen.getAndAccumulate(row.getLong(0), math.max)
+            val prev = maxSeen.getAndAccumulate(row.getLong(0), math.max)
+            if (maxSeen.get() != prev) {
+              writeWatermark(wmPath, maxSeen.get(), hadoopConf)
+            }
           }
           ()
         } finally cached.unpersist()
       }
       .start()
+  }
+
+  /** Reload the persisted max-seen event time; Long.MinValue if absent. */
+  private[streaming] def readWatermark(
+      path: Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val fs = FileSystem.get(path.toUri, conf)
+    if (!fs.exists(path)) Long.MinValue
+    else {
+      val in = fs.open(path)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Persist atomically: write a temp file, then rename over the target. */
+  private[streaming] def writeWatermark(
+      path: Path,
+      value: Long,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = FileSystem.get(path.toUri, conf)
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    fs.rename(tmp, path)
+    ()
   }
 }

@@ -468,4 +468,16 @@ class ChangelogSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 1L, 30.0, 30.0, 30.0),
       (2L, 1L, 7.0, 7.0, 7.0)))
   }
+
+  test("ChangelogJoin rejects mismatched join key types up front") {
+    // Int vs Long join keys used to surface only later as an opaque
+    // unionByName failure on the __jk envelope column (ADVICE r3).
+    val l = Seq(("a", 1, "x", 1L, "+I"))
+      .toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val r = Seq(("b", 1L, "y", 2L, "+I"))
+      .toDF("rk", "rjk", "w", RowKind.seqCol, RowKind.kindCol)
+    val ex = intercept[IllegalArgumentException](
+      ChangelogJoin(l, r, "ljk", "rjk", "lk", "rk"))
+    assert(ex.getMessage.contains("join key types differ"))
+  }
 }

@@ -11,6 +11,18 @@ private class SlowLookupClient extends LookupClient {
   }
 }
 
+/** Hung model provider declaring NON-nullable outputs — exercises the
+  * Nulls-policy nullability relaxation. Top-level for serialization. */
+private class HungModel extends graft.ml.ModelProvider {
+  import org.apache.spark.sql.types._
+  override def name: String = "hung"
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false)))
+  override def predictBatch(rows: Seq[org.apache.spark.sql.Row]) = {
+    Thread.sleep(5000); rows.map(_ => org.apache.spark.sql.Row(1.0))
+  }
+}
+
 class OperatorSpec extends SparkSpecBase {
   import TestSpark.spark.implicits._
 
@@ -209,5 +221,25 @@ class OperatorSpec extends SparkSpecBase {
     val uncapped = NgramJaccard(docs, n = 3, dfCap = 1000, minJaccard = 0.0)
     val cappedAll = NgramJaccard(docs, n = 3, dfCap = 20, minJaccard = 0.0)
     assert(uncapped.count() == cappedAll.count())
+  }
+
+  test("PatternMatch rejects unsatisfiable non-greedy minCount up front") {
+    val rows = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
+    val steps = Seq(
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = false,
+        minCount = 2))
+    val ex = intercept[IllegalArgumentException](
+      PatternMatch(rows, "k", "t", "v", steps))
+    assert(ex.getMessage.contains("unsatisfiable"))
+  }
+
+  test("MLPredict Nulls policy emits nulls for a non-nullable provider schema") {
+    // HashScoreModel declares its outputs non-nullable; under the Nulls
+    // timeout policy the operator must relax nullability so the fallback
+    // rows encode instead of crashing (ADVICE r3).
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "tag").repartition(1)
+    val out = graft.ml.MLPredict.async(df, new HungModel, batchSize = 8,
+      timeoutMs = 150, onTimeout = AsyncWait.Nulls).collect()
+    assert(out.length == 2 && out.forall(r => r.get(2) == null))
   }
 }

@@ -314,6 +314,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
     assert(main.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
     assert(side.map(_._1).toSet == Set(5L))
+
+    // Restart with the same checkpoint: the persisted max-seen watermark
+    // must survive, so an ancient replayed row is still classified late
+    // (without persistence the tracker would reset and call it on-time).
+    val q2 = LateData.writeWithSideOutput(
+      df, "ts", delayMs = 5000L, allowedLatenessMs = 10000L, ckpt)(
+      drain(main), drain(side))
+    try {
+      input.addData((new Timestamp(base + 40000), 6L, 6.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(side.map(_._1).toSet == Set(5L, 6L))
+    assert(!main.map(_._1).contains(6L))
   }
 
   test("watermark idleness: multipleWatermarkPolicy=max lets an idle source's union progress") {
