@@ -56,6 +56,23 @@ class PlanSpec extends SparkSpecBase {
       s"lineitem column pruning lost: $lineitemRead")
   }
 
+  test("q_tpch_q9: part LIKE filter pushed, part/nation broadcast, partial agg") {
+    val p = planOf("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,widget)"), s"LIKE filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "part/nation must broadcast")
+    // two-phase aggregation: partial before the exchange, final after
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "profit agg must be partial+final")
+  }
+
+  test("q_tpch_q21: orderstatus filter pushed, decorrelated grouped passes") {
+    val p = planOf("q_tpch_q21")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$p")
+    // the EXISTS/NOT-EXISTS pair is one grouped pass per level, no NLJ
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "Q21 must decorrelate without a nested loop")
+  }
+
   test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
