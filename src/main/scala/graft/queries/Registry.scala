@@ -35,6 +35,7 @@ object Registry {
     ChangelogQueries.defs,
     MiscOpQueries.defs,
     CepQueries.defs,
+    TriggerQueries.defs,
     TpchQueries.defs
   )
 

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   * maxSize/step) → partial agg → shuffle → final agg.
   *
   * Semantic deltas vs the reference (documented, by design): late data is
-  * dropped (no side output), no custom triggers/evictors, allowedLateness
-  * is expressed through the watermark delay only.
+  * dropped here (LateData adds side-output routing), allowedLateness is
+  * expressed through the watermark delay, and firing is watermark-driven —
+  * custom triggers/evictors live in [[TriggeredWindows]].
   *
   * All helpers run unchanged on batch DataFrames (watermark no-ops) — the
   * batch results are the DuckDB-oracle-checked ones.

@@ -390,6 +390,78 @@ class StreamingSpec extends SparkSpecBase {
     assert(st == Set((1L, 2.5), (2L, 3.5)), s"state mismatch: $st")
   }
 
+  private def triggeredPrep(d: DataFrame): DataFrame =
+    EventTime.withWatermark(d, "ts", "5 seconds")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("v", floor(col("value") * 1e6).cast("long"))
+
+  test("TriggeredWindows CountEvery: close fires match batch, state evicted") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-trig-").toString
+    val q = TriggeredWindows.streaming(
+      triggeredPrep(df), "event_type", "ts_us", "v", 600000000L,
+      WindowTrigger.CountEvery(2), WindowEvictor.KeepAll, "sum")
+      .writeStream.format("memory").queryName("s_trig")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val remaining =
+      try {
+        // two data batches exercise cross-batch window state
+        val (h1, h2) = fixture.splitAt(fixture.size / 2)
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        input.addData(Seq((flushTs, -1L, "flush", 0.0)))
+        q.processAllAvailable()
+        input.addData(Seq((new Timestamp(flushTs.getTime + 1000), -1L,
+          "flush", 0.0)))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+    val streamed = spark.table("s_trig").where(col("event_type") =!= "flush")
+    // close fires are prefix-order-independent -> exact batch parity;
+    // early fires are arrival-driven (asserted present, not compared)
+    val exp = TriggeredWindows(
+      triggeredPrep(batchInput), "event_type", "ts_us", "v", 600000000L,
+      WindowTrigger.CountEvery(2), WindowEvictor.KeepAll, "sum",
+      Seq(col("user_id")))
+    assert(sortedRows(streamed.where(col("is_final")))
+      == sortedRows(exp.where(col("is_final"))))
+    assert(streamed.where(!col("is_final")).count() > 0,
+      "count trigger produced no early fires")
+    assert(remaining <= 1, s"state not cleaned: $remaining rows remain")
+  }
+
+  test("TriggeredWindows TimeLast evictor: close fires match batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-evict-").toString
+    val q = TriggeredWindows.streaming(
+      triggeredPrep(df), "event_type", "ts_us", "v", 600000000L,
+      WindowTrigger.OnClose, WindowEvictor.TimeLast(120000000L), "min")
+      .writeStream.format("memory").queryName("s_evict")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val (h1, h2) = fixture.splitAt(fixture.size / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      input.addData(Seq((flushTs, -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((new Timestamp(flushTs.getTime + 1000), -1L,
+        "flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_evict").where(col("event_type") =!= "flush")
+    // the TimeLast kept-set is arrival-order-independent -> exact parity
+    val exp = TriggeredWindows(
+      triggeredPrep(batchInput), "event_type", "ts_us", "v", 600000000L,
+      WindowTrigger.OnClose, WindowEvictor.TimeLast(120000000L), "min",
+      Seq(col("user_id")))
+    assert(sortedRows(streamed) == sortedRows(exp))
+    assert(streamed.count() > 0)
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
