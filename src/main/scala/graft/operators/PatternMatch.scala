@@ -17,91 +17,160 @@ final case class PatternStep(
     greedy: Boolean,
     minCount: Int = 1) extends Serializable
 
+/** AFTER MATCH SKIP strategy — reference:
+  * flink-libraries/flink-cep/…/cep/nfa/aftermatch/AfterMatchSkipStrategy.java.
+  */
+sealed trait AfterMatchSkip extends Serializable
+object AfterMatchSkip {
+
+  /** Resume after the match's last row; matched rows are consumed
+    * (SkipPastLastStrategy.java — the MATCH_RECOGNIZE default here). */
+  case object PastLastRow extends AfterMatchSkip
+
+  /** Also emit every overlapping match anchored INSIDE the first step's
+    * run (SkipToNextStrategy.java): a completed `A+ …` match at anchor
+    * r_0 implies sibling matches anchored at r_1…r_{n-1} — all are
+    * emitted at completion, which is what repeatedly skipping to the next
+    * row produces for transition-exclusive patterns. Requires keeping the
+    * first step's anchor timestamps (the reference's shared-buffer cost,
+    * bounded by one run). */
+  case object ToNextRow extends AfterMatchSkip
+}
+
 /** Generalized MATCH_RECOGNIZE over measure-based consecutive-row
   * predicates: a parameterized pattern `S1[+] S2[+] … Sn[+]` with greedy
-  * quantifiers and AFTER MATCH SKIP PAST LAST ROW.
+  * quantifiers, `X{n,}` minimums, an optional WITHIN bound, and AFTER
+  * MATCH SKIP PAST LAST ROW / TO NEXT ROW strategies.
   *
   * Reference: the CEP NFA (flink-libraries/flink-cep/…/cep/nfa/NFA.java:76)
   * and StreamExecMatch.java:61. Scope vs the reference (documented delta):
-  * deterministic greedy matching WITHOUT backtracking or a shared buffer —
-  * each row extends the current step if its predicate holds, else enters
-  * the next step, else the partial match aborts and the row is re-tested
-  * as a fresh pattern start. This is exact for transition-exclusive
-  * patterns (the falling/rising family); arbitrary quantifier nesting and
-  * PERMUTE remain out of scope.
+  * deterministic greedy matching WITHOUT backtracking or concurrent
+  * partial matches — each row extends the current step if its predicate
+  * holds, else enters the next step, else the partial match aborts and the
+  * row is re-tested as a fresh pattern start. This is exact for
+  * transition-exclusive patterns (the falling/rising family); arbitrary
+  * quantifier nesting and PERMUTE remain out of scope.
+  *
+  * WITHIN semantics (delta vs the reference's eager partial pruning —
+  * documented): the bound `end - start <= withinUs` is enforced at match
+  * COMPLETION; an over-budget match is discarded but still consumes its
+  * rows under PastLastRow. With ToNextRow each suffix anchor is bounded
+  * individually, so a long run still yields its in-budget suffixes — which
+  * recovers the useful part of the reference's concurrent-anchor behavior.
   *
   * Output: one row per match — key, start time (the anchor row the first
   * step compared against), end time (last matched row), one `n_<name>`
   * count per step.
   *
-  * Batch face: SecondarySort streamed replay (O(pattern) per-key heap).
+  * Batch face: SecondarySort streamed replay (state = NFA registers plus,
+  * for ToNextRow only, the current first-step anchor times).
   * Streaming face: the PTF hook, NFA registers as state; a greedy-final
   * match completes when a row breaks it (batch completes it at group end).
   */
 object PatternMatch {
 
-  /** NFA registers — serializable for the streaming PTF state. */
+  /** NFA registers — serializable for the streaming PTF state. `anchors`
+    * holds first-step row times (ToNextRow only; empty otherwise). */
   final case class NfaState(
       stepIdx: Int,
       counts: Vector[Long],
       startT: Long,
       prevT: Long,
       prevV: Double,
-      havePrev: Boolean)
+      havePrev: Boolean,
+      anchors: Vector[Long])
 
   private def initial(n: Int): NfaState =
-    NfaState(-1, Vector.fill(n)(0L), 0L, 0L, 0.0, havePrev = false)
+    NfaState(-1, Vector.fill(n)(0L), 0L, 0L, 0.0, havePrev = false,
+      Vector.empty)
 
   /** Counts only grow via the greedy-extension branch of [[advance]], so a
     * non-greedy step with `minCount > 1` could never satisfy its minimum —
     * such a pattern would silently never match. Fail loudly instead
     * (ADVICE r3). */
-  private def validate(steps: Seq[PatternStep]): Unit = {
+  private def validate(steps: Seq[PatternStep], withinUs: Option[Long]): Unit = {
     require(steps.nonEmpty, "pattern needs at least one step")
     val bad = steps.filter(s => !s.greedy && s.minCount > 1)
     require(bad.isEmpty,
       s"non-greedy steps match exactly one row; minCount > 1 is " +
         s"unsatisfiable for: ${bad.map(_.name).mkString(", ")} " +
         "(make the step greedy to use X{n,})")
+    require(withinUs.forall(_ > 0), "withinUs must be positive")
   }
 
-  /** Feed one (time, value) row; returns the advanced state and an
-    * optional completed match (start, end, counts). */
+  /** Expand one completed raw match into emitted matches per the skip
+    * strategy, applying the WITHIN bound per anchor. */
+  private def emitMatches(
+      steps: IndexedSeq[PatternStep],
+      skip: AfterMatchSkip,
+      withinUs: Option[Long],
+      start: Long,
+      end: Long,
+      counts: Vector[Long],
+      anchors: Vector[Long]): List[(Long, Long, Vector[Long])] = {
+    def inBudget(s: Long) = withinUs.forall(end - s <= _)
+    skip match {
+      case AfterMatchSkip.PastLastRow =>
+        if (inBudget(start)) List((start, end, counts)) else Nil
+      case AfterMatchSkip.ToNextRow =>
+        // anchors = times of the first step's rows r_0..r_{n-1}; suffix k
+        // keeps n-k first-step rows and every later step unchanged
+        val n0 = counts(0)
+        anchors.iterator.zipWithIndex
+          .filter { case (a, k) =>
+            n0 - k >= steps(0).minCount && inBudget(a)
+          }
+          .map { case (a, k) => (a, end, counts.updated(0, n0 - k)) }
+          .toList
+    }
+  }
+
+  /** Feed one (time, value) row; returns the advanced state and completed
+    * matches (start, end, counts) — possibly several under ToNextRow. */
   private def advance(
       steps: IndexedSeq[PatternStep],
+      skip: AfterMatchSkip,
+      withinUs: Option[Long],
       st: NfaState,
       t: Long,
-      v: Double): (NfaState, Option[(Long, Long, Vector[Long])]) = {
+      v: Double): (NfaState, List[(Long, Long, Vector[Long])]) = {
     if (!st.havePrev)
-      return (st.copy(prevT = t, prevV = v, havePrev = true), None)
+      return (st.copy(prevT = t, prevV = v, havePrev = true), Nil)
     val p = st.prevV
     val zero = Vector.fill(steps.length)(0L)
+    val trackAnchors = skip == AfterMatchSkip.ToNextRow
     var s = st
-    var out: Option[(Long, Long, Vector[Long])] = None
+    var out: List[(Long, Long, Vector[Long])] = Nil
     def tryStart(cur: NfaState): NfaState =
       if (steps(0).pred(p, v))
-        cur.copy(stepIdx = 0, counts = zero.updated(0, 1L), startT = cur.prevT)
-      else cur.copy(stepIdx = -1)
+        cur.copy(stepIdx = 0, counts = zero.updated(0, 1L),
+          startT = cur.prevT,
+          anchors = if (trackAnchors) Vector(cur.prevT) else Vector.empty)
+      else cur.copy(stepIdx = -1, anchors = Vector.empty)
     if (s.stepIdx < 0) s = tryStart(s)
     else {
       val curStep = steps(s.stepIdx)
       // the pattern may only advance past / complete the current step once
       // its X{n,} minimum is satisfied
       val minMet = s.counts(s.stepIdx) >= curStep.minCount
-      if (curStep.greedy && curStep.pred(p, v))
-        s = s.copy(counts = s.counts.updated(s.stepIdx, s.counts(s.stepIdx) + 1))
-      else if (minMet && s.stepIdx + 1 < steps.length &&
+      if (curStep.greedy && curStep.pred(p, v)) {
+        s = s.copy(counts = s.counts.updated(s.stepIdx, s.counts(s.stepIdx) + 1),
+          anchors = if (trackAnchors && s.stepIdx == 0) s.anchors :+ s.prevT
+                    else s.anchors)
+      } else if (minMet && s.stepIdx + 1 < steps.length &&
           steps(s.stepIdx + 1).pred(p, v)) {
         val ni = s.stepIdx + 1
         s = s.copy(stepIdx = ni, counts = s.counts.updated(ni, 1L))
         if (ni == steps.length - 1 && !steps(ni).greedy &&
             steps(ni).minCount <= 1) {
-          out = Some((s.startT, t, s.counts)) // non-greedy final: done here
-          s = s.copy(stepIdx = -1)
+          out = emitMatches(steps, skip, withinUs, s.startT, t, s.counts,
+            s.anchors) // non-greedy final: done here
+          s = s.copy(stepIdx = -1, anchors = Vector.empty)
         }
       } else if (s.stepIdx == steps.length - 1 && minMet) {
-        out = Some((s.startT, s.prevT, s.counts)) // greedy final ended at prev
-        s = tryStart(s.copy(stepIdx = -1)) // SKIP PAST LAST ROW
+        out = emitMatches(steps, skip, withinUs, s.startT, s.prevT, s.counts,
+          s.anchors) // greedy final ended at prev
+        s = tryStart(s.copy(stepIdx = -1)) // SKIP PAST LAST ROW resume
       } else {
         s = tryStart(s.copy(stepIdx = -1)) // abort, re-test as fresh start
       }
@@ -112,11 +181,14 @@ object PatternMatch {
   /** A greedy-final match still open when the input ends (batch only). */
   private def flush(
       steps: IndexedSeq[PatternStep],
-      st: NfaState): Option[(Long, Long, Vector[Long])] =
+      skip: AfterMatchSkip,
+      withinUs: Option[Long],
+      st: NfaState): List[(Long, Long, Vector[Long])] =
     if (st.stepIdx == steps.length - 1 && steps(st.stepIdx).greedy &&
         st.counts(st.stepIdx) >= steps(st.stepIdx).minCount)
-      Some((st.startT, st.prevT, st.counts))
-    else None
+      emitMatches(steps, skip, withinUs, st.startT, st.prevT, st.counts,
+        st.anchors)
+    else Nil
 
   private def outSchema(df: DataFrame, keyCol: String,
       steps: Seq[PatternStep]): StructType =
@@ -133,8 +205,10 @@ object PatternMatch {
       keyCol: String,
       timeCol: String,
       valCol: String,
-      steps: Seq[PatternStep]): DataFrame = {
-    validate(steps)
+      steps: Seq[PatternStep],
+      withinUs: Option[Long] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+    validate(steps, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
     val stepsArr = steps.toIndexedSeq
@@ -143,14 +217,15 @@ object PatternMatch {
       df, Seq(keyCol), Seq(col(timeCol)), schema) { (key, rows) =>
       var st = initial(stepsArr.length)
       val matches = rows.flatMap { r =>
-        val (s2, m) = advance(stepsArr, st, r.getLong(tIdx), r.getDouble(vIdx))
+        val (s2, ms) = advance(stepsArr, skip, withinUs, st,
+          r.getLong(tIdx), r.getDouble(vIdx))
         st = s2
-        m.map { case (a, b, c) =>
+        ms.map { case (a, b, c) =>
           Row.fromSeq(key.head +: a +: b +: c)
         }
       }
-      matches ++ flush(stepsArr, st).iterator.map { case (a, b, c) =>
-        Row.fromSeq(key.head +: a +: b +: c)
+      matches ++ flush(stepsArr, skip, withinUs, st).iterator.map {
+        case (a, b, c) => Row.fromSeq(key.head +: a +: b +: c)
       }
     }
   }
@@ -163,8 +238,10 @@ object PatternMatch {
       keyCol: String,
       timeCol: String,
       valCol: String,
-      steps: Seq[PatternStep]): DataFrame = {
-    validate(steps)
+      steps: Seq[PatternStep],
+      withinUs: Option[Long] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+    validate(steps, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
     val stepsArr = steps.toIndexedSeq
@@ -178,10 +255,10 @@ object PatternMatch {
         var st = state.getOrElse(initial(stepsArr.length))
         val out = Seq.newBuilder[Row]
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
-          val (s2, m) =
-            advance(stepsArr, st, r.getLong(tIdx), r.getDouble(vIdx))
+          val (s2, ms) = advance(stepsArr, skip, withinUs, st,
+            r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
-          m.foreach { case (a, b, c) =>
+          ms.foreach { case (a, b, c) =>
             out += Row.fromSeq(key.get(0) +: a +: b +: c)
           }
         }

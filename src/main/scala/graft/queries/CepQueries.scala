@@ -171,6 +171,127 @@ object CepQueries {
           ON u.user_id = d.user_id AND d.dir = 'D' AND u.dir = 'U'
              AND u.first_idx = d.last_idx + 1 AND d.n >= 2
         ORDER BY d.user_id, start_us
+      """.stripMargin.trim)),
+
+    // WITHIN bound: the V-shape must complete inside 24 hours. Matches are
+    // disjoint maximal run pairs, so completion-time filtering (the
+    // documented WITHIN semantics) is exactly a duration predicate over
+    // the islands formulation.
+    QueryDef(
+      "q_match_recognize_within",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        PatternMatch(d, "user_id", "ts_us", "value", Seq(
+          PatternStep("down", (p, c) => c < p, greedy = true),
+          PatternStep("up", (p, c) => c > p, greedy = true)),
+          withinUs = Some(86400000000L))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu, lag(value) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN value < pv THEN 'D'
+                              WHEN value > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir IS NOT NULL
+                                  AND (pdir IS NULL OR pdir <> dir)
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, runid, dir,
+                 COUNT(*) AS n,
+                 MIN(idx) AS first_idx, MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_tu,
+                 arg_max(tu, idx) AS end_tu
+          FROM r GROUP BY user_id, runid, dir)
+        SELECT d.user_id, d.start_tu AS start_us, u.end_tu AS end_us,
+               d.n AS n_down, u.n AS n_up
+        FROM runs d JOIN runs u
+          ON u.user_id = d.user_id AND d.dir = 'D' AND u.dir = 'U'
+             AND u.first_idx = d.last_idx + 1
+             AND u.end_tu - d.start_tu <= 86400000000
+        ORDER BY d.user_id, start_us
+      """.stripMargin.trim)),
+
+    // AFTER MATCH SKIP TO NEXT ROW: pattern `down+ up` (single rise) with
+    // overlapping matches — every anchor inside the falling run yields its
+    // own suffix match. The oracle enumerates, per completed run pair, the
+    // run-start anchor plus one anchor per interior D-row.
+    QueryDef(
+      "q_match_recognize_skipnext",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        PatternMatch(d, "user_id", "ts_us", "value", Seq(
+          PatternStep("down", (p, c) => c < p, greedy = true),
+          PatternStep("up", (p, c) => c > p, greedy = false)),
+          skip = graft.operators.AfterMatchSkip.ToNextRow)
+          .orderBy(col("user_id"), col("start_us"), col("n_down"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu, lag(value) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN value < pv THEN 'D'
+                              WHEN value > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir IS NOT NULL
+                                  AND (pdir IS NULL OR pdir <> dir)
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, runid, dir,
+                 COUNT(*) AS n,
+                 MIN(idx) AS first_idx, MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_tu
+          FROM r GROUP BY user_id, runid, dir),
+        matches AS (
+          SELECT dr.user_id, dr.runid, dr.n, dr.first_idx, dr.last_idx,
+                 dr.start_tu, nxt.tu AS end_tu
+          FROM runs dr JOIN r nxt
+            ON nxt.user_id = dr.user_id AND nxt.idx = dr.last_idx + 1
+               AND nxt.dir = 'U'
+          WHERE dr.dir = 'D')
+        SELECT user_id, start_tu AS start_us, end_tu AS end_us,
+               n AS n_down, CAST(1 AS BIGINT) AS n_up
+        FROM matches
+        UNION ALL
+        SELECT m.user_id, rr.tu, m.end_tu, m.last_idx - rr.idx,
+               CAST(1 AS BIGINT)
+        FROM matches m JOIN r rr
+          ON rr.user_id = m.user_id AND rr.runid = m.runid
+             AND rr.idx < m.last_idx
+        ORDER BY user_id, start_us, n_down
       """.stripMargin.trim))
   )
 }

@@ -223,6 +223,49 @@ class OperatorSpec extends SparkSpecBase {
     assert(uncapped.count() == cappedAll.count())
   }
 
+  test("PatternMatch WITHIN: over-budget matches discarded at completion") {
+    // two Vs on one key: a tight V (duration 2) and a slow V (duration 30)
+    val rows = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 3.0), (1L, 12L, 6.0),
+      (1L, 30L, 9.0), (1L, 45L, 4.0), (1L, 60L, 7.0))
+      .toDF("k", "t", "v")
+    val steps = Seq(
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = true),
+      PatternStep("up", (p: Double, c: Double) => c > p, greedy = true))
+    // the rise at t=30 extends the first V's up-run: (10,30) and (30,60)
+    val all = PatternMatch(rows, "k", "t", "v", steps)
+      .select($"start_us", $"end_us").as[(Long, Long)].collect().toSet
+    assert(all == Set((10L, 30L), (30L, 60L)))
+    val bounded = PatternMatch(rows, "k", "t", "v", steps,
+      withinUs = Some(25L))
+      .select($"start_us", $"end_us").as[(Long, Long)].collect().toSet
+    assert(bounded == Set((10L, 30L)))
+  }
+
+  test("PatternMatch SKIP TO NEXT ROW: overlapping suffix anchors emitted") {
+    // one falling run 8>6>4>2 then a rise: anchors at 8, 6, 4
+    val rows = Seq(
+      (1L, 1L, 8.0), (1L, 2L, 6.0), (1L, 3L, 4.0), (1L, 4L, 2.0),
+      (1L, 5L, 9.0)).toDF("k", "t", "v")
+    val steps = Seq(
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = true),
+      PatternStep("up", (p: Double, c: Double) => c > p, greedy = false))
+    val past = PatternMatch(rows, "k", "t", "v", steps)
+      .select($"start_us", $"end_us", $"n_down").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(past == Set((1L, 5L, 3L)))
+    val next = PatternMatch(rows, "k", "t", "v", steps,
+      skip = AfterMatchSkip.ToNextRow)
+      .select($"start_us", $"end_us", $"n_down").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(next == Set((1L, 5L, 3L), (2L, 5L, 2L), (3L, 5L, 1L)))
+    // WITHIN composes per anchor: only the short suffixes survive
+    val nextBounded = PatternMatch(rows, "k", "t", "v", steps,
+      withinUs = Some(3L), skip = AfterMatchSkip.ToNextRow)
+      .select($"start_us", $"n_down").as[(Long, Long)].collect().toSet
+    assert(nextBounded == Set((2L, 2L), (3L, 1L)))
+  }
+
   test("PatternMatch rejects unsatisfiable non-greedy minCount up front") {
     val rows = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
     val steps = Seq(
