@@ -48,20 +48,42 @@ object Bench {
       name -> times(times.size / 2) // median
     }
 
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: the driver captures only the tail of stdout,
-    // which truncated half of BENCH_r02 — the file survives intact.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def toJson(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum // always the FULL total
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","full":"BENCH_LAST.json"}"""
+    }
+    // Persist the complete per-query map to a file: the driver captures only
+    // the last ~2000 chars of stdout, which truncated BENCH_r02/r03 — the
+    // file survives intact (committed to the repo each round).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      toJson(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // Print a headline subset sized to fit the driver's tail window so the
+    // one-line contract JSON parses: TPC-H first, then the heavy custom ops,
+    // then everything else alphabetically, cut at the 1800-char budget.
+    val headline = Seq(
+      "q1_agg", "q_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+      "q_embedding_cosine_dup", "q_vector_topk", "q_vector_ivf_topk",
+      "q_changelog_join", "q_changelog_agg_chain", "q_match_recognize",
+      "q_over_rows", "q_topn", "q_salted_join", "q_multiset", "q_asof_join",
+      "q_interval_join", "q_session_agg", "q_unified_tumble", "q_retract_agg")
+    val byName = results.toMap
+    val prioritized =
+      results.filter(_._1.startsWith("q_tpch_")) ++
+        headline.flatMap(n => byName.get(n).map(n -> _)) ++
+        results.filterNot { case (n, _) =>
+          n.startsWith("q_tpch_") || headline.contains(n)
+        }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    prioritized.foreach { kv =>
+      if (toJson(kept.toSeq :+ kv).length <= 1800) kept += kv
+    }
+    println(toJson(kept.toSeq))
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.InetAtonExpr
+import graft.functions.{DotDoubleExpr, DotFixedExpr, InetAtonExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,5 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("inet_aton_native"),
       new ExpressionInfo(classOf[InetAtonExpr].getName, "inet_aton_native"),
       (children: Seq[Expression]) => InetAtonExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_fixed_native"),
+      new ExpressionInfo(classOf[DotFixedExpr].getName, "dot_fixed_native"),
+      (children: Seq[Expression]) =>
+        DotFixedExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_double_native"),
+      new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double_native"),
+      (children: Seq[Expression]) =>
+        DotDoubleExpr(children(0), children(1))))
   }
 }

@@ -30,13 +30,12 @@ object VectorOps {
   private val Scale = 1e12
 
   /** Exact (partitioning-independent) dot product of two float arrays:
-    * fixed-point at 1e-12, integer-summed. */
+    * fixed-point at 1e-12, integer-summed. Runs as the native codegen
+    * expression [[graft.functions.DotFixedExpr]] (the zip_with/aggregate
+    * HOF spelling is CodegenFallback — interpreted lambdas per element,
+    * ~10× slower on 64-dim embeddings). */
   def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * lit(Scale)).cast("long")),
-      lit(0L),
-      (acc, v) => acc + v).cast("double") / lit(Scale)
+    call_function("dot_fixed_native", a, b)
 
   /** L2 norm via the exact dot product. */
   def norm(a: Column): Column = sqrt(dotDec(a, a))
@@ -48,9 +47,7 @@ object VectorOps {
     * double/decimal divergence (≲1e-9 relative) is far below any sensible
     * margin. */
   def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("dot_double_native", a, b)
 
   /** Approximate cosine for prefiltering (see [[dotDouble]]). */
   def cosineApprox(a: Column, b: Column, na: Column, nb: Column): Column =

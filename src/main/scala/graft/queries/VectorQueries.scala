@@ -84,34 +84,57 @@ object VectorQueries {
     QueryDef(
       "q_vector_ivf_topk",
       (s, dir) => {
-        val n = normed(s, dir)
-        val cents = n.where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
-            col("nrm").as("cnrm"))
-        val ap = Tables.embeddings(s, dir)
+        val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
-          .join(broadcast(cents))
+        val cents = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+            norm(col("cemb")).as("cnrm"))
+        // Assignment: corpus × broadcast(centroids) cheap double ranking,
+        // reduced per vector by a map-side max(struct) partial aggregate —
+        // the shuffle carries |corpus| pre-reduced rows, never the
+        // |corpus|×|cents| scored relation, and there is NO global sort
+        // (the r2/r3 window ranking shuffled+sorted the full scored
+        // relation; at 100 TB that sort is the whole job).
+        val assign = emb.join(broadcast(cents))
           .select(col("vec_id"), col("cent_id"),
             (dotDouble(col("embedding"), col("cemb")) / col("cnrm"))
               .as("score"))
-        val wv = Window.partitionBy(col("vec_id"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("score"), (-col("cent_id")).as("nc")))
+            .as("best"))
+          .select(col("vec_id"), (-col("best.nc")).as("cent_id"))
+        // Probe: the tiny query set × centroids (|Q|·|cents| rows — the
+        // filter reaches the scan), top-2 clusters per query.
+        val wq2 = Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("cent_id").asc)
-        val ranked = ap.withColumn("rk", row_number().over(wv))
+        val probe = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .join(broadcast(cents))
+          .select(col("qid"), col("cent_id"),
+            (dotDouble(col("qe"), col("cemb")) / col("cnrm")).as("score"))
+          .withColumn("rk", row_number().over(wq2))
           .where(col("rk") <= 2)
-        val assign = ranked.where(col("rk") === 1)
-          .select(col("vec_id"), col("cent_id"))
-        val probe = ranked.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("cent_id"))
-        val cand = probe.join(assign, "cent_id")
+          .select(col("qid"), col("cent_id"))
+        // (qid, cid) pairs are unique by construction — assign keeps ONE
+        // cluster per cid and probe's ≤2 clusters per qid are distinct —
+        // so no dedup shuffle is needed; probe (≤ |Q|·2 rows) broadcasts
+        // into the assignment, keeping the candidate join shuffle-free.
+        val cand = assign.join(broadcast(probe), "cent_id")
           .where(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("cid")).distinct()
-        val scored = cand
-          .join(n.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn")), "qid")
-          .join(n.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn")), "cid")
+          .select(col("qid"), col("vec_id").as("cid"))
+        // Exact decimal norms only where they are consumed: inline on the
+        // candidate rows (a cid recomputes at most once per probing query)
+        // and on the 10 broadcast queries — not the whole corpus twice as
+        // in r3. cand→emb is a broadcast hash join over the corpus scan.
+        val qn = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            norm(col("embedding")).as("qn"))
+        val scored = emb.withColumnRenamed("vec_id", "cid")
+          .join(broadcast(cand), "cid")
+          .join(broadcast(qn), "qid")
           .select(col("qid"), col("cid"),
-            cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+            cosine(col("qe"), col("embedding"), col("qn"),
+              norm(col("embedding"))).as("cos"))
         val wq = Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("cid").asc)
         scored.withColumn("rnk", row_number().over(wq))

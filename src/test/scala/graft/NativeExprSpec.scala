@@ -41,6 +41,37 @@ class NativeExprSpec extends SparkSpecBase {
     assert(lit3 == 255L * (1L << 24) + (1L << 16) + (2L << 8) + 3L)
   }
 
+  test("dot_fixed_native / dot_double_native: codegen, parity, nulls") {
+    // Parity with the HOF spelling they replaced, on real embedding rows.
+    val emb = Tables.embeddings(spark, sf).limit(64)
+      .select(col("vec_id"), col("embedding"))
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double") / lit(1e12)
+    val cmp = emb.select(
+      expr("dot_fixed_native(embedding, embedding)").as("nat"),
+      hof.as("hof"))
+    assert(cmp.where(col("nat") =!= col("hof")).count() == 0)
+    // The whole projection stays inside one WholeStageCodegen span.
+    val plan = cmp.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"codegen broken:\n$plan")
+    // Null semantics: null array, length mismatch, null element → null.
+    val r = spark.sql(
+      """SELECT
+        |  dot_double_native(CAST(NULL AS ARRAY<FLOAT>),
+        |                    array(CAST(1.0 AS FLOAT))) AS a,
+        |  dot_double_native(array(CAST(1.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS b,
+        |  dot_double_native(array(CAST(NULL AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT))) AS c,
+        |  dot_double_native(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                    array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d
+        |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 23.0)
+  }
+
   test("MatchRecognize: falling run then rise, skip past last row") {
     val rows = Seq(
       // key 1: 5 4 3 6 → match (start t1, end t4, n_down=2, depth 5-3=2)
