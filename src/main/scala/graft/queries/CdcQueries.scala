@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.changelog.{CdcFormats, UpsertMaterialize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC format queries: Debezium / Canal / Maxwell JSON envelopes parsed
+  * into the `__rowkind` changelog convention (graft.changelog.CdcFormats).
+  *
+  * Each query builds a deterministic CDC feed from `orders` IN-QUERY
+  * (to_json of envelope structs — the same bytes a real connector would
+  * put on a topic), parses it back, and either emits the changelog or
+  * materializes final state. The oracle states the expected rows directly
+  * from `orders`, so a parse defect anywhere (envelope shape, op mapping,
+  * pre-image overlay, batched arrays) breaks the hash match.
+  *
+  * Feed semantics (mirrors ChangelogQueries' upsert feed):
+  *   ts 1: snapshot insert of every order at its original price
+  *   ts 2: update to half price where o_orderkey % 5 = 0
+  *   ts 3: delete where o_orderkey % 7 = 0
+  */
+object CdcQueries {
+
+  private val valueSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+
+  // Current price after the ts-2 update — the delete's pre-image.
+  private def curPrice =
+    when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 0.5)
+      .otherwise(col("o_totalprice"))
+
+  private def row(price: org.apache.spark.sql.Column) =
+    struct(col("o_orderkey"), price.as("o_totalprice"))
+
+  /** The full-changelog oracle shared by the debezium and canal faces. */
+  private val changelogOracle = """
+    WITH feed AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p FROM orders)
+    SELECT * FROM (
+      SELECT k AS o_orderkey, p AS o_totalprice, '+I' AS __rowkind,
+             CAST(1 AS BIGINT) AS __seq FROM feed
+      UNION ALL
+      SELECT k, p, '-U', 2 FROM feed WHERE k % 5 = 0
+      UNION ALL
+      SELECT k, p * 0.5, '+U', 2 FROM feed WHERE k % 5 = 0
+      UNION ALL
+      SELECT k, CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END, '-D', 3
+      FROM feed WHERE k % 7 = 0)
+    ORDER BY o_orderkey, __seq, __rowkind""".stripMargin.trim
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Debezium: per-row before/after/op envelopes.
+    QueryDef(
+      "q_cdc_debezium",
+      (s, dir) => {
+        val b = base(s, dir)
+        val feed = b.select(to_json(struct(
+            row(col("o_totalprice")).as("after"),
+            lit("c").as("op"), lit(1L).as("ts_ms"))).as("payload"))
+          .unionByName(b.where(col("o_orderkey") % 5 === 0)
+            .select(to_json(struct(
+              row(col("o_totalprice")).as("before"),
+              row(col("o_totalprice") * 0.5).as("after"),
+              lit("u").as("op"), lit(2L).as("ts_ms"))).as("payload")))
+          .unionByName(b.where(col("o_orderkey") % 7 === 0)
+            .select(to_json(struct(
+              row(curPrice).as("before"),
+              lit("d").as("op"), lit(3L).as("ts_ms"))).as("payload")))
+        CdcFormats.fromDebezium(feed, "payload", valueSchema)
+          .orderBy(col("o_orderkey"), col("__seq"), col("__rowkind"))
+      },
+      Some(changelogOracle)),
+
+    // Canal: batched `data` arrays (snapshot pairs two orders per message
+    // — exercises the posexplode path) and changed-columns-only `old`
+    // pre-images (exercises the overlay).
+    QueryDef(
+      "q_cdc_canal",
+      (s, dir) => {
+        val b = base(s, dir)
+        val ins = b
+          .groupBy(expr("o_orderkey div 2").as("g"))
+          .agg(sort_array(collect_list(row(col("o_totalprice")))).as("data"))
+          .select(to_json(struct(col("data"), lit("INSERT").as("type"),
+            lit(1L).as("ts"))).as("payload"))
+        val upd = b.where(col("o_orderkey") % 5 === 0)
+          .select(to_json(struct(
+            array(row(col("o_totalprice") * 0.5)).as("data"),
+            // old carries ONLY the changed column, like the real connector
+            array(struct((col("o_totalprice")).as("o_totalprice"))).as("old"),
+            lit("UPDATE").as("type"), lit(2L).as("ts"))).as("payload"))
+        val del = b.where(col("o_orderkey") % 7 === 0)
+          .select(to_json(struct(
+            array(row(curPrice)).as("data"),
+            lit("DELETE").as("type"), lit(3L).as("ts"))).as("payload"))
+        CdcFormats.fromCanal(ins.unionByName(upd).unionByName(del),
+            "payload", valueSchema)
+          .orderBy(col("o_orderkey"), col("__seq"), col("__rowkind"))
+      },
+      Some(changelogOracle)),
+
+    // Maxwell: per-row envelopes, parsed changelog folded straight into
+    // final table state — the topic→table CDC round trip.
+    QueryDef(
+      "q_cdc_maxwell",
+      (s, dir) => {
+        val b = base(s, dir)
+        val feed = b.select(to_json(struct(
+            row(col("o_totalprice")).as("data"),
+            lit("insert").as("type"), lit(1L).as("ts"))).as("payload"))
+          .unionByName(b.where(col("o_orderkey") % 5 === 0)
+            .select(to_json(struct(
+              row(col("o_totalprice") * 0.5).as("data"),
+              struct(col("o_totalprice").as("o_totalprice")).as("old"),
+              lit("update").as("type"), lit(2L).as("ts"))).as("payload")))
+          .unionByName(b.where(col("o_orderkey") % 7 === 0)
+            .select(to_json(struct(
+              row(curPrice).as("data"),
+              lit("delete").as("type"), lit(3L).as("ts"))).as("payload")))
+        UpsertMaterialize(
+          CdcFormats.fromMaxwell(feed, "payload", valueSchema),
+          Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH feed AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+          FROM orders)
+        SELECT k AS o_orderkey,
+               CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS o_totalprice
+        FROM feed WHERE k % 7 <> 0 ORDER BY o_orderkey
+      """.stripMargin.trim))
+  )
+}

@@ -33,6 +33,7 @@ object Registry {
     PipelineQueries.defs,
     StreamQueries.defs,
     ChangelogQueries.defs,
+    CdcQueries.defs,
     MiscOpQueries.defs,
     CepQueries.defs,
     TriggerQueries.defs,

@@ -469,6 +469,73 @@ class ChangelogSpec extends SparkSpecBase {
       (2L, 1L, 7.0, 7.0, 7.0)))
   }
 
+  test("CdcFormats: envelope edge cases parse to the right changelog rows") {
+    import org.apache.spark.sql.types._
+    val vs = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+
+    // Debezium: snapshot read op "r" → +I; malformed JSON → dropped.
+    val dbz = Seq(
+      """{"after":{"id":1,"v":5.0},"op":"r","ts_ms":1}""",
+      """{"before":{"id":1,"v":5.0},"after":{"id":1,"v":6.0},"op":"u","ts_ms":2}""",
+      """not json at all""").toDF("payload")
+    val dOut = CdcFormats.fromDebezium(dbz, "payload", vs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getLong(3))).sortBy(x => (x._4, x._3))
+    assert(dOut.toSeq == Seq(
+      (1L, 5.0, "+I", 1L), (1L, 6.0, "+U", 2L), (1L, 5.0, "-U", 2L)))
+
+    // Canal: multi-row data+old UPDATE — old[i] overlays data[i] by
+    // position, carrying only the changed column.
+    val canal = Seq(
+      """{"data":[{"id":1,"v":10.0},{"id":2,"v":20.0}],
+         |"old":[{"v":1.0},{"v":2.0}],"type":"UPDATE","ts":7}"""
+        .stripMargin.replace("\n", "")).toDF("payload")
+    val cOut = CdcFormats.fromCanal(canal, "payload", vs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(x => (x._1, x._3))
+    assert(cOut.toSeq == Seq(
+      (1L, 10.0, "+U"), (1L, 1.0, "-U"),
+      (2L, 20.0, "+U"), (2L, 2.0, "-U")))
+
+    // Maxwell: update with no old (no changed columns recorded) — the
+    // pre-image falls back to the new row field-wise.
+    val mx = Seq(
+      """{"data":{"id":3,"v":9.0},"type":"update","ts":4}""").toDF("payload")
+    val mOut = CdcFormats.fromMaxwell(mx, "payload", vs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._3)
+    assert(mOut.toSeq == Seq((3L, 9.0, "+U"), (3L, 9.0, "-U")))
+  }
+
+  test("CdcFormats: streaming parse equals batch parse") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val vs = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val payloads = Seq(
+      """{"after":{"id":1,"v":5.0},"op":"c","ts_ms":1}""",
+      """{"before":{"id":1,"v":5.0},"after":{"id":1,"v":6.0},"op":"u","ts_ms":2}""",
+      """{"before":{"id":1,"v":6.0},"op":"d","ts_ms":3}""")
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
+    val q = CdcFormats.fromDebezium(input.toDF().toDF("payload"),
+        "payload", vs)
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      payloads.foreach { p => input.addData(p); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("cdc_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._4, x._3)).toSeq
+    val batch = CdcFormats.fromDebezium(payloads.toDF("payload"), "payload", vs)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._4, x._3)).toSeq
+    assert(streamed == batch && batch.size == 4)
+  }
+
   test("ChangelogJoin rejects mismatched join key types up front") {
     // Int vs Long join keys used to surface only later as an opaque
     // unionByName failure on the __jk envelope column (ADVICE r3).
