@@ -10,12 +10,28 @@ import org.apache.spark.sql.types._
   * the measure column, `greedy` makes it a one-or-more `X+` quantifier
   * (false = exactly one row), and `minCount` raises the quantifier to
   * `X{n,}` — the step must match at least `n` rows before the pattern may
-  * advance past it or complete. */
+  * advance past it or complete.
+  *
+  * `minCount = 0` makes the step OPTIONAL: `X?` when non-greedy (zero or
+  * one row), `X*` when greedy (zero or more). An optional step may be
+  * skipped entirely when the pattern advances past it, and trailing
+  * optional steps do not block completion. The first step may not be
+  * optional (it anchors the match). */
 final case class PatternStep(
     name: String,
     pred: (Double, Double) => Boolean,
     greedy: Boolean,
     minCount: Int = 1) extends Serializable
+
+object PatternStep {
+
+  /** OR-combined condition — the reference's `SimpleCondition.or`
+    * (flink-libraries/flink-cep/…/cep/pattern/conditions/RichOrCondition
+    * .java): the step matches when ANY branch predicate holds. This is
+    * Flink CEP's alternation form for single steps. */
+  def or(preds: ((Double, Double) => Boolean)*): (Double, Double) => Boolean =
+    (p, c) => preds.exists(_(p, c))
+}
 
 /** AFTER MATCH SKIP strategy — reference:
   * flink-libraries/flink-cep/…/cep/nfa/aftermatch/AfterMatchSkipStrategy.java.
@@ -95,8 +111,16 @@ object PatternMatch {
       s"non-greedy steps match exactly one row; minCount > 1 is " +
         s"unsatisfiable for: ${bad.map(_.name).mkString(", ")} " +
         "(make the step greedy to use X{n,})")
+    require(steps.head.minCount >= 1,
+      "the first step may not be optional (minCount = 0): it anchors the " +
+        "match start")
     require(withinUs.forall(_ > 0), "withinUs must be positive")
   }
+
+  /** Steps after `i` are all optional → a match sitting at `i` may
+    * complete. */
+  private def canComplete(steps: IndexedSeq[PatternStep], i: Int): Boolean =
+    (i + 1 until steps.length).forall(steps(_).minCount == 0)
 
   /** Expand one completed raw match into emitted matches per the skip
     * strategy, applying the WITHIN bound per anchor. */
@@ -157,22 +181,38 @@ object PatternMatch {
         s = s.copy(counts = s.counts.updated(s.stepIdx, s.counts(s.stepIdx) + 1),
           anchors = if (trackAnchors && s.stepIdx == 0) s.anchors :+ s.prevT
                     else s.anchors)
-      } else if (minMet && s.stepIdx + 1 < steps.length &&
-          steps(s.stepIdx + 1).pred(p, v)) {
-        val ni = s.stepIdx + 1
-        s = s.copy(stepIdx = ni, counts = s.counts.updated(ni, 1L))
-        if (ni == steps.length - 1 && !steps(ni).greedy &&
-            steps(ni).minCount <= 1) {
-          out = emitMatches(steps, skip, withinUs, s.startT, t, s.counts,
-            s.anchors) // non-greedy final: done here
-          s = s.copy(stepIdx = -1, anchors = Vector.empty)
-        }
-      } else if (s.stepIdx == steps.length - 1 && minMet) {
-        out = emitMatches(steps, skip, withinUs, s.startT, s.prevT, s.counts,
-          s.anchors) // greedy final ended at prev
-        s = tryStart(s.copy(stepIdx = -1)) // SKIP PAST LAST ROW resume
       } else {
-        s = tryStart(s.copy(stepIdx = -1)) // abort, re-test as fresh start
+        // Advance to the next ENTERABLE step: optional (minCount = 0)
+        // steps whose predicate fails are skipped over; the walk stops at
+        // the first required step that fails.
+        var ni = -1
+        if (minMet) {
+          var j = s.stepIdx + 1
+          var blocked = false
+          while (ni < 0 && !blocked && j < steps.length) {
+            if (steps(j).pred(p, v)) ni = j
+            else if (steps(j).minCount == 0) j += 1
+            else blocked = true
+          }
+        }
+        if (ni >= 0) {
+          s = s.copy(stepIdx = ni, counts = s.counts.updated(ni, 1L))
+          if (ni == steps.length - 1 && !steps(ni).greedy &&
+              steps(ni).minCount <= 1) {
+            out = emitMatches(steps, skip, withinUs, s.startT, t, s.counts,
+              s.anchors) // non-greedy final: done here
+            s = s.copy(stepIdx = -1, anchors = Vector.empty)
+          }
+          // entering a non-greedy NON-final step (trailing optionals
+          // remain) defers completion: the next row may still extend the
+          // match into them — prefer-longer, like the greedy finals
+        } else if (minMet && canComplete(steps, s.stepIdx)) {
+          out = emitMatches(steps, skip, withinUs, s.startT, s.prevT, s.counts,
+            s.anchors) // match ended at prev (trailing optionals unmatched)
+          s = tryStart(s.copy(stepIdx = -1)) // SKIP PAST LAST ROW resume
+        } else {
+          s = tryStart(s.copy(stepIdx = -1)) // abort, re-test as fresh start
+        }
       }
     }
     (s.copy(prevT = t, prevV = v, havePrev = true), out)
@@ -184,8 +224,13 @@ object PatternMatch {
       skip: AfterMatchSkip,
       withinUs: Option[Long],
       st: NfaState): List[(Long, Long, Vector[Long])] =
-    if (st.stepIdx == steps.length - 1 && steps(st.stepIdx).greedy &&
-        st.counts(st.stepIdx) >= steps(st.stepIdx).minCount)
+    if (st.stepIdx >= 0 &&
+        st.counts(st.stepIdx) >= steps(st.stepIdx).minCount &&
+        canComplete(steps, st.stepIdx) &&
+        (steps(st.stepIdx).greedy || st.stepIdx < steps.length - 1))
+      // greedy final still open at input end, or a non-greedy step whose
+      // trailing optional steps stayed unmatched (a non-greedy FINAL step
+      // completes immediately on entry and never reaches here)
       emitMatches(steps, skip, withinUs, st.startT, st.prevT, st.counts,
         st.anchors)
     else Nil

@@ -292,6 +292,145 @@ object CepQueries {
           ON rr.user_id = m.user_id AND rr.runid = m.runid
              AND rr.idx < m.last_idx
         ORDER BY user_id, start_us, n_down
+      """.stripMargin.trim)),
+
+    // Optional step `down+ flat? up+` on 25-bucketed values: a falling
+    // run, AT MOST ONE plateau row, then a rising run. Without
+    // backtracking a 2+-row plateau aborts the partial match — exactly
+    // the islands formulation's f.n = 1 restriction.
+    QueryDef(
+      "q_match_recognize_opt",
+      (s, dir) => {
+        PatternMatch(bucketed(s, dir), "user_id", "ts_us", "vb", Seq(
+          PatternStep("down", (p, c) => c < p, greedy = true),
+          PatternStep("flat", (p, c) => c == p, greedy = false, minCount = 0),
+          PatternStep("up", (p, c) => c > p, greedy = true)))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""
+        WITH $bucketedRunsSql
+        SELECT d.user_id, d.start_tu AS start_us, u.end_tu AS end_us,
+               d.n AS n_down, CAST(0 AS BIGINT) AS n_flat, u.n AS n_up
+        FROM runs d JOIN runs u
+          ON u.user_id = d.user_id AND d.dir = 'D' AND u.dir = 'U'
+             AND u.first_idx = d.last_idx + 1
+        UNION ALL
+        SELECT d.user_id, d.start_tu, u.end_tu, d.n, f.n, u.n
+        FROM runs d
+        JOIN runs f ON f.user_id = d.user_id AND d.dir = 'D' AND f.dir = 'E'
+                   AND f.first_idx = d.last_idx + 1 AND f.n = 1
+        JOIN runs u ON u.user_id = d.user_id AND u.dir = 'U'
+                   AND u.first_idx = f.last_idx + 1
+        ORDER BY user_id, start_us
+      """.stripMargin.trim)),
+
+    // Kleene star `down+ flat* up+`: any-length plateau (including none)
+    // between the falling and rising runs; n_flat counts the plateau rows.
+    QueryDef(
+      "q_match_recognize_star",
+      (s, dir) => {
+        PatternMatch(bucketed(s, dir), "user_id", "ts_us", "vb", Seq(
+          PatternStep("down", (p, c) => c < p, greedy = true),
+          PatternStep("flat", (p, c) => c == p, greedy = true, minCount = 0),
+          PatternStep("up", (p, c) => c > p, greedy = true)))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""
+        WITH $bucketedRunsSql
+        SELECT d.user_id, d.start_tu AS start_us, u.end_tu AS end_us,
+               d.n AS n_down, CAST(0 AS BIGINT) AS n_flat, u.n AS n_up
+        FROM runs d JOIN runs u
+          ON u.user_id = d.user_id AND d.dir = 'D' AND u.dir = 'U'
+             AND u.first_idx = d.last_idx + 1
+        UNION ALL
+        SELECT d.user_id, d.start_tu, u.end_tu, d.n, f.n, u.n
+        FROM runs d
+        JOIN runs f ON f.user_id = d.user_id AND d.dir = 'D' AND f.dir = 'E'
+                   AND f.first_idx = d.last_idx + 1
+        JOIN runs u ON u.user_id = d.user_id AND u.dir = 'U'
+                   AND u.first_idx = f.last_idx + 1
+        ORDER BY user_id, start_us
+      """.stripMargin.trim)),
+
+    // OR-combined condition (Flink CEP's RichOrCondition alternation):
+    // `calm+ spike` where spike is a >=2-bucket jump in EITHER direction.
+    QueryDef(
+      "q_match_recognize_alt",
+      (s, dir) => {
+        PatternMatch(bucketed(s, dir), "user_id", "ts_us", "vb", Seq(
+          PatternStep("calm", (p, c) => math.abs(c - p) < 2, greedy = true),
+          PatternStep("spike", PatternStep.or(
+            (p, c) => c - p >= 2,
+            (p, c) => p - c >= 2), greedy = false)))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""
+        WITH $bucketedPrologueSql,
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN abs(vb - pv) >= 2 THEN 'S'
+                              ELSE 'C' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir IS NOT NULL
+                                  AND (pdir IS NULL OR pdir <> dir)
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, runid, dir, COUNT(*) AS n,
+                 MIN(idx) AS first_idx, MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_tu, arg_max(tu, idx) AS end_tu
+          FROM r GROUP BY user_id, runid, dir)
+        SELECT c.user_id, c.start_tu AS start_us, sp.tu AS end_us,
+               c.n AS n_calm, CAST(1 AS BIGINT) AS n_spike
+        FROM runs c JOIN r sp
+          ON sp.user_id = c.user_id AND sp.idx = c.last_idx + 1
+             AND sp.dir = 'S'
+        WHERE c.dir = 'C'
+        ORDER BY c.user_id, start_us
       """.stripMargin.trim))
   )
+
+  /** Deduped events with the 25-bucketed measure column `vb`. */
+  private def bucketed(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    Dedup.keepFirst(e, Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+      .withColumn("vb", floor(col("value") / 25).cast("double"))
+  }
+
+  /** Shared oracle prologue: dedup + bucket + lag/idx frame. */
+  private def bucketedPrologueSql = """e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(floor(value / 25) AS DOUBLE) AS vb,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vb FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vb,
+                lag(tu) OVER w AS ptu, lag(vb) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu))"""
+
+  /** Prologue + D/E/U classification + maximal-run islands. */
+  private def bucketedRunsSql = s"""$bucketedPrologueSql,
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vb < pv THEN 'D'
+                              WHEN vb > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir IS NOT NULL
+                                  AND (pdir IS NULL OR pdir <> dir)
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, runid, dir, COUNT(*) AS n,
+                 MIN(idx) AS first_idx, MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_tu, arg_max(tu, idx) AS end_tu
+          FROM r GROUP BY user_id, runid, dir)"""
 }

@@ -266,6 +266,58 @@ class OperatorSpec extends SparkSpecBase {
     assert(nextBounded == Set((2L, 2L), (3L, 1L)))
   }
 
+  test("PatternMatch optional and star quantifiers") {
+    val downUpSteps = (flatGreedy: Boolean) => Seq(
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = true),
+      PatternStep("flat", (p: Double, c: Double) => c == p,
+        greedy = flatGreedy, minCount = 0),
+      PatternStep("up", (p: Double, c: Double) => c > p, greedy = true))
+    val rows = Seq(
+      // key 1: D U (no plateau) → matches both ? and *
+      (1L, 1L, 5.0), (1L, 2L, 3.0), (1L, 3L, 6.0),
+      // key 2: D E U (1-row plateau) → matches both, n_flat = 1
+      (2L, 1L, 5.0), (2L, 2L, 3.0), (2L, 3L, 3.0), (2L, 4L, 6.0),
+      // key 3: D E E U (2-row plateau) → star only (n_flat = 2); the
+      // non-backtracking optional aborts at the second plateau row
+      (3L, 1L, 5.0), (3L, 2L, 3.0), (3L, 3L, 3.0), (3L, 4L, 3.0),
+      (3L, 5L, 6.0))
+      .toDF("k", "t", "v")
+    def run(flatGreedy: Boolean) =
+      PatternMatch(rows, "k", "t", "v", downUpSteps(flatGreedy))
+        .select($"k", $"n_down", $"n_flat", $"n_up")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(false) == Set((1L, 1L, 0L, 1L), (2L, 1L, 1L, 1L)))
+    assert(run(true) == Set(
+      (1L, 1L, 0L, 1L), (2L, 1L, 1L, 1L), (3L, 1L, 2L, 1L)))
+
+    // Trailing optional: down+ up* — a bare falling run at input end
+    // completes with n_up = 0 via flush.
+    val tail = Seq((9L, 1L, 5.0), (9L, 2L, 4.0), (9L, 3L, 3.0))
+      .toDF("k", "t", "v")
+    val tOut = PatternMatch(tail, "k", "t", "v", Seq(
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = true),
+      PatternStep("up", (p: Double, c: Double) => c > p, greedy = true,
+        minCount = 0)))
+      .select($"k", $"n_down", $"n_up").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(tOut == Set((9L, 2L, 0L)))
+
+    // The first step may not be optional.
+    val ex = intercept[IllegalArgumentException](
+      PatternMatch(rows, "k", "t", "v", Seq(
+        PatternStep("a", (_: Double, _: Double) => true, greedy = true,
+          minCount = 0),
+        PatternStep("b", (p: Double, c: Double) => c > p, greedy = false))))
+    assert(ex.getMessage.contains("may not be optional"))
+  }
+
+  test("PatternStep.or combines branch conditions") {
+    val spike = PatternStep.or(
+      (p: Double, c: Double) => c - p >= 2,
+      (p: Double, c: Double) => p - c >= 2)
+    assert(spike(1.0, 3.5) && spike(3.5, 1.0) && !spike(1.0, 2.0))
+  }
+
   test("PatternMatch rejects unsatisfiable non-greedy minCount up front") {
     val rows = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
     val steps = Seq(
