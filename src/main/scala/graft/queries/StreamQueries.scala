@@ -210,6 +210,97 @@ object StreamQueries {
             PARTITION BY user_id ORDER BY $castTs
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         FROM events ORDER BY user_id, event_id
+      """.trim)),
+
+    // Tumbling windows with a 3-minute start offset (TUMBLE(…, offset)):
+    // boundaries at hh:03, hh:13, … instead of hh:00.
+    QueryDef(
+      "q_tumble_offset",
+      (s, dir) => {
+        StreamingWindows.tumbleOffset(Tables.events(s, dir), "ts",
+          "10 minutes", "3 minutes", "10 seconds", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value")))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some(s"""
+        SELECT time_bucket(INTERVAL '10 minutes',
+                 $castTs - INTERVAL '3 minutes')
+                 + INTERVAL '3 minutes' AS window_start,
+               event_type, COUNT(*) AS n, ${sqlSum("value", 6)} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    // Dynamic-gap session windows (SessionWindowTimeGapExtractor): clicks
+    // extend a session by 60 s, everything else by 180 s; sessions are the
+    // interval-union islands of [ts, ts+gap). The oracle re-derives the
+    // islands with a running MAX(ts+gap) break condition.
+    QueryDef(
+      "q_session_dynamic",
+      (s, dir) => {
+        // session_window's gap expression must be CalendarIntervalType;
+        // make_interval is the producer (INTERVAL literals are DayTime)
+        val gap = expr("CASE WHEN event_type = 'click' " +
+          "THEN make_interval(0,0,0,0,0,0,60) " +
+          "ELSE make_interval(0,0,0,0,0,3,0) END")
+        StreamingWindows.sessionDynamic(Tables.events(s, dir), "ts", gap,
+          "10 seconds", Seq(col("user_id")),
+          Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value")))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start"),
+            unix_micros(col("session_window.end")).as("session_end"),
+            col("n"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 CASE WHEN event_type = 'click' THEN 60000000
+                      ELSE 180000000 END AS gap_us
+          FROM events),
+        c AS (SELECT *, MAX(tu + gap_us) OVER (
+                PARTITION BY user_id ORDER BY tu
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS cum_end
+              FROM e),
+        b AS (SELECT *, CASE WHEN cum_end IS NULL OR tu >= cum_end
+                             THEN 1 ELSE 0 END AS brk FROM c),
+        g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+                ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+        SELECT user_id, MIN(tu) AS session_start,
+               MAX(tu + gap_us) AS session_end,
+               COUNT(*) AS n, ${sqlSum("value", 6)} AS sum_value
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start
+      """.trim)),
+
+    // Tumbling COUNT windows per key (KeyedStream.countWindow(5)): only
+    // FULL windows of exactly 5 rows fire; the trailing partial window is
+    // silent. Deterministic order via the (user, ts_us) dedup.
+    QueryDef(
+      "q_count_window",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = graft.operators.Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        CountWindows(d, Seq("user_id"), "ts_us", "value", size = 5)
+          .orderBy(col("user_id"), col("win_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value,
+                CAST((row_number() OVER (PARTITION BY user_id ORDER BY tu)
+                      - 1) // 5 AS BIGINT) AS win_id
+              FROM e WHERE dd = 1)
+        SELECT user_id, win_id, COUNT(*) AS n_rows,
+               ${sqlSum("value")} AS sum_v
+        FROM d GROUP BY user_id, win_id HAVING COUNT(*) = 5
+        ORDER BY user_id, win_id
       """.trim))
   )
 }

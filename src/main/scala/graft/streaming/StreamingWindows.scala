@@ -56,6 +56,39 @@ object StreamingWindows {
       .groupBy(window(col(tsCol), size, slide) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Tumbling window aggregate with a start OFFSET (the reference's
+    * `TUMBLE(…, offset)` / TumblingEventTimeWindows.of(size, offset)):
+    * window boundaries shift by `offset` — e.g. size 10 min, offset 3 min
+    * → windows [hh:03, hh:13), [hh:13, hh:23), … */
+  def tumbleOffset(
+      df: DataFrame,
+      tsCol: String,
+      size: String,
+      offset: String,
+      delay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    EventTime.withWatermark(df, tsCol, delay)
+      .groupBy(window(col(tsCol), size, size, offset) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session window with a PER-ROW dynamic gap (the reference's
+    * DynamicSessionWindows / SessionWindowTimeGapExtractor — gap computed
+    * from each element): sessions are the interval-union islands of
+    * `[ts, ts + gap(row))`. Maps onto Spark's native
+    * `session_window(ts, gapExpr)` — watermark-evicted state in streaming,
+    * exact islands semantics in batch. */
+  def sessionDynamic(
+      df: DataFrame,
+      tsCol: String,
+      gapExpr: Column,
+      delay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    EventTime.withWatermark(df, tsCol, delay)
+      .groupBy(session_window(col(tsCol), gapExpr) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Session window aggregate (gap-merged). */
   def session(
       df: DataFrame,

@@ -462,6 +462,82 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
   }
 
+  test("sessionDynamic: streaming matches batch islands") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    val gap = fexpr("CASE WHEN kind = 'short' " +
+      "THEN make_interval(0,0,0,0,0,0,30) ELSE make_interval(0,0,0,0,0,2,0) END")
+    // key 1: 30 s gaps chain at 20 s spacing, break at the 40 s jump;
+    // key 2: the 2-min gap bridges 0→60 but breaks at 60→300
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val rows = Seq(
+      (1L, ts(0), "short"), (1L, ts(20), "short"), (1L, ts(60), "short"),
+      (2L, ts(0), "long"), (2L, ts(60), "long"), (2L, ts(300), "long"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      StreamingWindows.sessionDynamic(df, "ts", gap, "5 seconds",
+        Seq(col("k")), Seq(count(lit(1)).as("n")))
+        .select(col("k"), unix_micros(col("session_window.start")).as("st"),
+          col("n"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-").toString
+    val q = agg(input.toDF().toDF("k", "ts", "kind"))
+      .writeStream.format("memory").queryName("sd_stream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq((9L, ts(100000), "short"))) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sd_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 != 9L).sortBy(x => (x._1, x._2)).toSeq
+    val batch = agg(rows.toDF("k", "ts", "kind")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed == batch)
+    // islands: key 1 → {0,20} then {60} (30 s gap breaks at the 40 s
+    // jump); key 2 → the 2-min gap bridges 0→60 but not 60→300
+    assert(batch == Seq((1L, 0L, 2L), (1L, 60000000L, 1L),
+      (2L, 0L, 2L), (2L, 300000000L, 1L)))
+  }
+
+  test("CountWindows: streaming matches batch, partial window silent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 2 keys, 12 rows each fed in uneven micro-batches (5/4/3): windows of
+    // 5 must fire twice per key and the trailing 2 rows stay silent.
+    val rows = for (k <- Seq(1L, 2L); i <- 0L until 12L)
+      yield (k, i * 1000L, (k * 100 + i).toDouble)
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cw-").toString
+    val q = CountWindows(df, Seq("user_id"), "ts_us", "value", size = 5)
+      .writeStream.format("memory").queryName("cw_stream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // per-key arrival order preserved across batches
+      val byBatch = rows.groupBy(_._1).values.toSeq
+        .map(ks => ks.sortBy(_._2))
+      Seq(0 until 5, 5 until 9, 9 until 12).foreach { slice =>
+        input.addData(byBatch.flatMap(ks => slice.map(ks)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cw_stream")
+      .select("user_id", "win_id", "n_rows", "sum_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    val batch = CountWindows(
+      rows.toDF("user_id", "ts_us", "value"),
+      Seq("user_id"), "ts_us", "value", size = 5)
+      .select("user_id", "win_id", "n_rows", "sum_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed == batch)
+    assert(batch.map(x => (x._1, x._2)) ==
+      Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
