@@ -394,6 +394,72 @@ object MiscOpQueries {
           TRUE AS bad_is_null,
           TRUE AS null_literal
         FROM events ORDER BY event_id
+      """.stripMargin.trim)),
+
+    // CoGroup (DataStream.coGroup): whole groups from both sides per key,
+    // including keys present on only one side — orders×lineitem counts
+    // plus an exact quantity sum computed inside the cogroup function.
+    QueryDef(
+      "q_cogroup",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"))
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+        val outSchema = StructType(Seq(
+          StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+          StructField("n_orders", org.apache.spark.sql.types.LongType),
+          StructField("n_lines", org.apache.spark.sql.types.LongType),
+          StructField("sum_qty", org.apache.spark.sql.types.DoubleType)))
+        graft.operators.CoGroup(o, l, "o_orderkey", "l_orderkey", outSchema) {
+          (k, os, ls) =>
+            var n = 0L
+            var cents = 0L // exact scale-2 fixed point, like Exact.dsum
+            ls.foreach { r =>
+              n += 1
+              cents += new java.math.BigDecimal(r.getDouble(1))
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
+            }
+            Seq(org.apache.spark.sql.Row(
+              k, os.size.toLong, n, cents.toDouble / 100))
+        }.orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT COALESCE(o.k, l.k) AS o_orderkey,
+               COALESCE(o.n, 0) AS n_orders,
+               COALESCE(l.n, 0) AS n_lines,
+               COALESCE(l.sq, 0.0) AS sum_qty
+        FROM (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) o
+        FULL JOIN (SELECT l_orderkey AS k, COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+                       AS sq
+                   FROM lineitem GROUP BY 1) l ON o.k = l.k
+        ORDER BY 1
+      """.stripMargin.trim)),
+
+    // Broadcast state pattern: per-type mean thresholds (the small rules
+    // relation) broadcast onto the events stream; no shuffle of the main
+    // side. Streaming rule refresh is spec-asserted in StreamingSpec.
+    QueryDef(
+      "q_broadcast_rules",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val rules = e.groupBy(col("event_type"))
+          .agg(Exact.davg(col("value"), 6).as("threshold"))
+        graft.streaming.BroadcastRules(e, rules, Seq("event_type"))
+          .where(col("value") > col("threshold"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH rules AS (
+          SELECT event_type, ${Exact.sqlAvg("value", 6)} AS threshold
+          FROM events GROUP BY 1)
+        SELECT e.event_type, COUNT(*) AS n_above
+        FROM events e JOIN rules r ON e.event_type = r.event_type
+        WHERE e.value > r.threshold
+        GROUP BY 1 ORDER BY 1
       """.stripMargin.trim))
   )
 }

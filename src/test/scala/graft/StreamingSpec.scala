@@ -462,6 +462,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
   }
 
+  test("BroadcastRules: rules refresh per micro-batch, broadcast plan") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rulesDir = java.nio.file.Files.createTempDirectory("graft-rules-")
+      .toString
+    def writeRules(thr: Double): Unit =
+      Seq(("a", thr)).toDF("k", "threshold")
+        .write.mode("overwrite").parquet(rulesDir)
+    writeRules(10.0)
+
+    // batch face: the rule application is a broadcast hash join (the main
+    // side never shuffles)
+    val main = Seq(("a", 5.0)).toDF("k", "v")
+    val plan = BroadcastRules(main, spark.read.parquet(rulesDir), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"not broadcast:\n$plan")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val input = MemoryStream[(String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-br-").toString
+    val q = BroadcastRules.stream(
+      input.toDF().toDF("k", "v"),
+      s => s.read.parquet(rulesDir),
+      Seq("k"),
+      (joined, id) => {
+        joined.collect().foreach(r => seen.synchronized {
+          seen += ((id, r.getDouble(1) > r.getDouble(2)))
+        })
+      })
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(("a", 5.0)); q.processAllAvailable()
+      writeRules(1.0) // the broadcast-state update
+      input.addData(("a", 5.0)); q.processAllAvailable()
+    } finally q.stop()
+    // same row, different verdict per rules version
+    assert(seen.map(_._2).toSeq == Seq(false, true), seen.toSeq)
+  }
+
   test("sessionDynamic: streaming matches batch islands") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.{expr => fexpr}
