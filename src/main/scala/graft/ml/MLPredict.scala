@@ -86,7 +86,9 @@ object MLPredict {
       maxInFlight: Int = 4,
       timeoutMs: Long = graft.operators.AsyncWait.DefaultTimeoutMs,
       onTimeout: graft.operators.AsyncWait.Policy =
-        graft.operators.AsyncWait.Fail): DataFrame = {
+        graft.operators.AsyncWait.Fail,
+      retry: graft.operators.AsyncWait.Retry =
+        graft.operators.AsyncWait.NoRetry): DataFrame = {
     val outSchema = appended(df, provider,
       forceNullable = onTimeout == graft.operators.AsyncWait.Nulls)
     val nulls = provider.outputSchema.fields.map(_ => null).toSeq
@@ -95,16 +97,17 @@ object MLPredict {
       provider.open()
       val batches = it.grouped(batchSize)
       // Sliding window of in-flight futures: submit eagerly, await oldest.
-      val inFlight =
-        scala.collection.mutable.Queue.empty[(Seq[Row], Future[Seq[Row]])]
+      val inFlight = scala.collection.mutable.Queue
+        .empty[(Seq[Row], Future[Seq[Row]], () => Future[Seq[Row]])]
       def submit(): Unit =
         while (inFlight.size < maxInFlight && batches.hasNext) {
           val batch = batches.next()
-          inFlight.enqueue(batch -> Future {
+          def run(): Future[Seq[Row]] = Future {
             val preds = provider.predictBatch(batch)
             batch.lazyZip(preds).map((r, p) =>
               Row.fromSeq(r.toSeq ++ p.toSeq)).toSeq
-          })
+          }
+          inFlight.enqueue((batch, run(), () => run()))
         }
       new Iterator[Seq[Row]] {
         def hasNext: Boolean = {
@@ -114,9 +117,9 @@ object MLPredict {
           h
         }
         def next(): Seq[Row] = {
-          val (batch, fut) = inFlight.dequeue()
-          graft.operators.AsyncWait(fut, timeoutMs, onTimeout,
-            batch.map(r => Row.fromSeq(r.toSeq ++ nulls)))
+          val (batch, fut, rerun) = inFlight.dequeue()
+          graft.operators.AsyncWait.retrying(fut, rerun, retry, timeoutMs,
+            onTimeout, batch.map(r => Row.fromSeq(r.toSeq ++ nulls)))
         }
       }.flatten
     }(Encoders.row(outSchema))

@@ -30,7 +30,8 @@ object AsyncCalc {
       batchSize: Int = 64,
       maxInFlight: Int = 4,
       timeoutMs: Long = AsyncWait.DefaultTimeoutMs,
-      onTimeout: AsyncWait.Policy = AsyncWait.Fail): DataFrame = {
+      onTimeout: AsyncWait.Policy = AsyncWait.Fail,
+      retry: AsyncWait.Retry = AsyncWait.NoRetry): DataFrame = {
     // the Nulls policy emits null results on timeout, so the declared
     // output field must admit them regardless of what the caller passed
     val outF =
@@ -40,20 +41,21 @@ object AsyncCalc {
     df.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global
       val batches = it.grouped(batchSize)
-      val inFlight =
-        scala.collection.mutable.Queue.empty[(Seq[Row], Future[Seq[Row]])]
+      val inFlight = scala.collection.mutable.Queue
+        .empty[(Seq[Row], Future[Seq[Row]], () => Future[Seq[Row]])]
       def submit(): Unit =
         while (inFlight.size < maxInFlight && batches.hasNext) {
           val batch = batches.next()
-          inFlight.enqueue(batch -> Future {
+          def run(): Future[Seq[Row]] = Future {
             batch.map(r => Row.fromSeq(r.toSeq :+ f(r)))
-          })
+          }
+          inFlight.enqueue((batch, run(), () => run()))
         }
       new Iterator[Seq[Row]] {
         def hasNext: Boolean = { submit(); inFlight.nonEmpty }
         def next(): Seq[Row] = {
-          val (batch, fut) = inFlight.dequeue()
-          AsyncWait(fut, timeoutMs, onTimeout,
+          val (batch, fut, rerun) = inFlight.dequeue()
+          AsyncWait.retrying(fut, rerun, retry, timeoutMs, onTimeout,
             batch.map(r => Row.fromSeq(r.toSeq :+ null)))
         }
       }.flatten
@@ -82,4 +84,57 @@ object AsyncWait {
         case Nulls => fallback
       }
     }
+
+  /** Retry strategy for FAILED async attempts — the reference's
+    * AsyncRetryStrategies tier (flink-runtime/…/streaming/util/retryable/
+    * AsyncRetryStrategies.java: FixedDelayRetryStrategy,
+    * ExponentialBackoffDelayRetryStrategy). Exceptions thrown by the
+    * client are retried per the delay schedule then rethrown; TIMEOUTS
+    * follow the timeout [[Policy]] per attempt and are never retried (a
+    * hung endpoint should not multiply its own hang). */
+  sealed trait Retry extends Serializable { def delaysMs: Seq[Long] }
+
+  case object NoRetry extends Retry { val delaysMs: Seq[Long] = Nil }
+
+  final case class FixedDelay(retries: Int, delayMs: Long) extends Retry {
+    require(retries >= 1 && delayMs >= 0, "retries >= 1, delayMs >= 0")
+    val delaysMs: Seq[Long] = Seq.fill(retries)(delayMs)
+  }
+
+  final case class ExpBackoff(
+      retries: Int,
+      initialMs: Long,
+      multiplier: Double = 2.0,
+      capMs: Long = 10000L) extends Retry {
+    require(retries >= 1 && initialMs >= 1 && multiplier >= 1.0 &&
+      capMs >= initialMs, "bad backoff parameters")
+    val delaysMs: Seq[Long] =
+      Iterator.iterate(initialMs.toDouble)(_ * multiplier)
+        .take(retries).map(d => math.min(d.toLong, capMs)).toSeq
+  }
+
+  /** Await `first`; on client failure re-submit via `resubmit` per the
+    * retry schedule. Each attempt gets the full `timeoutMs` budget. */
+  def retrying[A](
+      first: Future[A],
+      resubmit: () => Future[A],
+      retry: Retry,
+      timeoutMs: Long,
+      policy: Policy,
+      fallback: => A): A = {
+    var remaining = retry.delaysMs
+    var fut = first
+    while (true) {
+      try return apply(fut, timeoutMs, policy, fallback)
+      catch {
+        case e: java.util.concurrent.TimeoutException => throw e
+        case scala.util.control.NonFatal(e) =>
+          if (remaining.isEmpty) throw e
+          Thread.sleep(remaining.head)
+          remaining = remaining.tail
+          fut = resubmit()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -115,7 +115,8 @@ object LookupJoin {
       maxInFlight: Int = 4,
       prefix: String = "lk_",
       timeoutMs: Long = AsyncWait.DefaultTimeoutMs,
-      onTimeout: AsyncWait.Policy = AsyncWait.Fail): DataFrame = {
+      onTimeout: AsyncWait.Policy = AsyncWait.Fail,
+      retry: AsyncWait.Retry = AsyncWait.NoRetry): DataFrame = {
     require(Seq("inner", "left").contains(joinType))
     val keyIdx = df.schema.fieldIndex(keyCol)
     val schema = outSchema(df, payloadSchema, prefix)
@@ -124,12 +125,12 @@ object LookupJoin {
       implicit val ec: ExecutionContext = ExecutionContext.global
       client.open()
       val batches = it.grouped(batchSize)
-      val inFlight =
-        scala.collection.mutable.Queue.empty[(Seq[Row], Future[Seq[Row]])]
+      val inFlight = scala.collection.mutable.Queue
+        .empty[(Seq[Row], Future[Seq[Row]], () => Future[Seq[Row]])]
       def submit(): Unit =
         while (inFlight.size < maxInFlight && batches.hasNext) {
           val batch = batches.next()
-          inFlight.enqueue(batch -> Future {
+          def run(): Future[Seq[Row]] = Future {
             batch.flatMap { r =>
               client.lookup(r.get(keyIdx)) match {
                 case Some(p) => Some(Row.fromSeq(r.toSeq ++ p))
@@ -138,7 +139,8 @@ object LookupJoin {
                 case None => None
               }
             }
-          })
+          }
+          inFlight.enqueue((batch, run(), () => run()))
         }
       new Iterator[Seq[Row]] {
         def hasNext: Boolean = {
@@ -148,8 +150,8 @@ object LookupJoin {
           h
         }
         def next(): Seq[Row] = {
-          val (batch, fut) = inFlight.dequeue()
-          AsyncWait(fut, timeoutMs, onTimeout,
+          val (batch, fut, rerun) = inFlight.dequeue()
+          AsyncWait.retrying(fut, rerun, retry, timeoutMs, onTimeout,
             if (joinType == "left")
               batch.map(r => Row.fromSeq(r.toSeq ++ nulls))
             else Nil)

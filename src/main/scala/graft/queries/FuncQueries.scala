@@ -44,6 +44,69 @@ object FuncQueries {
         FROM part ORDER BY p_partkey
       """.trim)),
 
+    // REGEXP pack (reference string family: REGEXP_COUNT / REGEXP_EXTRACT
+    // / REGEXP_EXTRACT_ALL / REGEXP_REPLACE / RLIKE) over documents text.
+    QueryDef(
+      "q_regexp_funcs",
+      (s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("\\bthe\\b")).as("n_the"),
+          regexp_extract(col("text"), "([A-Za-z]+)ing", 1).as("first_ing"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .as("n_nums"),
+          regexp_replace(col("text"), "[aeiou]", "").as("no_vowels"),
+          col("text").rlike("data").as("has_data"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\bthe\b')) AS INT) AS n_the,
+          regexp_extract(text, '([A-Za-z]+)ing', 1) AS first_ing,
+          CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+          regexp_replace(text, '[aeiou]', '', 'g') AS no_vowels,
+          regexp_matches(text, 'data') AS has_data
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // Remaining reference string rows that ARE Spark built-ins — exercised
+    // against DuckDB equivalents (OVERLAY / TRANSLATE3 / BTRIM / ELT /
+    // PRINTF) and constant-oracled where DuckDB lacks the function
+    // (URL_ENCODE / URL_DECODE round trip, UTF8 validators).
+    QueryDef(
+      "q_string_gap2",
+      (s, dir) => {
+        Tables.nation(s, dir).select(
+          col("n_nationkey"),
+          expr("overlay(n_name placing 'XX' from 2)").as("ov"),
+          translate(col("n_name"), "AEI", "aei").as("tr"),
+          expr("btrim(concat('**', n_name, '**'), '*')").as("bt"),
+          expr("elt(1 + CAST(n_nationkey % 3 AS INT), 'alpha', 'beta', 'gamma')")
+            .as("e"),
+          format_string("%s-%03d", col("n_name"), col("n_nationkey"))
+            .as("fmt"),
+          expr("url_decode(url_encode(concat(n_name, ' & co')))")
+            .as("url_rt"),
+          expr("url_encode('a b&c')").as("url_enc"),
+          expr("is_valid_utf8(n_name)").as("utf_ok"),
+          expr("make_valid_utf8(n_name)").as("utf_fix"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey,
+          substr(n_name, 1, 1) || 'XX' || substr(n_name, 4) AS ov,
+          translate(n_name, 'AEI', 'aei') AS tr,
+          trim('**' || n_name || '**', '*') AS bt,
+          CASE 1 + n_nationkey % 3 WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
+               ELSE 'gamma' END AS e,
+          printf('%s-%03d', n_name, n_nationkey) AS fmt,
+          n_name || ' & co' AS url_rt,
+          'a+b%26c' AS url_enc,
+          TRUE AS utf_ok,
+          n_name AS utf_fix
+        FROM nation ORDER BY n_nationkey
+      """.trim)),
+
     QueryDef(
       "q_datetime_funcs",
       (s, dir) => {

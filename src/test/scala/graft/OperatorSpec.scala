@@ -337,4 +337,45 @@ class OperatorSpec extends SparkSpecBase {
       timeoutMs = 150, onTimeout = AsyncWait.Nulls).collect()
     assert(out.length == 2 && out.forall(r => r.get(2) == null))
   }
+
+  test("AsyncWait retry: flaky client recovers, NoRetry propagates") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val df = Seq(1L, 2L).toDF("k").repartition(1)
+    // fails the first two attempts, then succeeds — a transient endpoint
+    FlakyCounter.n.set(0)
+    def flaky(r: org.apache.spark.sql.Row): Any = {
+      if (FlakyCounter.n.incrementAndGet() <= 2)
+        throw new RuntimeException("transient")
+      s"ok${r.getLong(0)}"
+    }
+    val out = AsyncCalc(df, flaky, StructField("v", StringType),
+      batchSize = 8, retry = AsyncWait.FixedDelay(retries = 3, delayMs = 5))
+      .collect().map(_.getString(1)).sorted
+    assert(out.toSeq == Seq("ok1", "ok2"))
+
+    FlakyCounter.n.set(0)
+    val ex = intercept[org.apache.spark.SparkException](
+      AsyncCalc(df, flaky, StructField("v", StringType), batchSize = 8)
+        .collect())
+    assert(ex.getMessage.contains("transient") ||
+      Option(ex.getCause).exists(_.getMessage.contains("transient")))
+
+    // exhausted retries rethrow the last failure
+    FlakyCounter.n.set(-1000)
+    val ex2 = intercept[org.apache.spark.SparkException](
+      AsyncCalc(df, flaky, StructField("v", StringType), batchSize = 8,
+        retry = AsyncWait.FixedDelay(retries = 2, delayMs = 1)).collect())
+    assert(ex2.getMessage.contains("transient") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("transient")))
+
+    // backoff schedule: doubling, capped
+    assert(AsyncWait.ExpBackoff(5, 100, 2.0, 500).delaysMs ==
+      Seq(100L, 200L, 400L, 500L, 500L))
+  }
+}
+
+/** Partition-local failure counter for the flaky-client retry spec (object
+  * so the closure serializes; local[*] tests share the JVM). */
+object FlakyCounter {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
 }
