@@ -9,15 +9,20 @@ import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Avro FILE format support built directly on the avro-mapred Hadoop I/O
   * formats bundled with Spark — the `spark-avro` DataSource connector is
   * not in this container, but the format itself needs nothing more than
   * these public classes (reference: flink-formats/flink-avro's
   * AvroInputFormat/AvroOutputFormat pair, the same Hadoop-format route).
   *
-  * Supported column types: boolean/int/long/float/double/string (nullable
-  * → Avro union with null) — the flat-record core of the format. Complex
-  * nesting stays on parquet (the primary columnar format here).
+  * Supported column types: boolean/int/long/float/double/string plus
+  * arbitrarily NESTED struct (Avro record), array, and string-keyed map —
+  * nullable anywhere via the `["null", T]` union, the same mapping
+  * flink-avro's AvroSchemaConverter performs. Not mapped: decimal /
+  * timestamp logical types and binary (stay on parquet, the primary
+  * columnar format here).
   *
   * Scale: both directions are straight `mapPartitions` over Hadoop file
   * splits — no shuffle, partition-parallel, same execution shape as any
@@ -25,28 +30,91 @@ import org.apache.spark.sql.types._
   */
 object AvroIO {
 
-  private def avroType(dt: DataType): String = dt match {
-    case BooleanType => "boolean"
-    case IntegerType => "int"
-    case LongType => "long"
-    case FloatType => "float"
-    case DoubleType => "double"
-    case StringType => "string"
-    case other => throw new IllegalArgumentException(
-      s"AvroIO supports flat primitive columns only, got $other")
+  /** Avro schema JSON for a Spark type; `nullable` wraps in a null union.
+    * Record names are path-derived for uniqueness. */
+  private def avroTypeJson(dt: DataType, nullable: Boolean,
+      path: String): String = {
+    val core = dt match {
+      case BooleanType => "\"boolean\""
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case StructType(fields) =>
+        val fs = fields.map(f => s"""{"name": "${f.name}", "type": ${
+          avroTypeJson(f.dataType, f.nullable, s"${path}_${f.name}")}}""")
+        s"""{"type": "record", "name": "rec_$path", "fields": [${fs.mkString(",")}]}"""
+      case ArrayType(elem, containsNull) =>
+        s"""{"type": "array", "items": ${
+          avroTypeJson(elem, containsNull, s"${path}_item")}}"""
+      case MapType(StringType, v, valueContainsNull) =>
+        s"""{"type": "map", "values": ${
+          avroTypeJson(v, valueContainsNull, s"${path}_value")}}"""
+      case other => throw new IllegalArgumentException(
+        s"AvroIO cannot map $other (decimal/timestamp/binary stay on parquet)")
+    }
+    if (nullable) s"""["null", $core]""" else core
   }
 
-  /** Avro record schema JSON for a flat StructType. */
+  /** Avro record schema JSON for a StructType (nested types included). */
   def avroSchemaJson(schema: StructType, name: String = "row"): String = {
     val fields = schema.fields.map { f =>
-      val t = "\"" + avroType(f.dataType) + "\""
-      val tj = if (f.nullable) s"""["null", $t]""" else t
-      s"""{"name": "${f.name}", "type": $tj}"""
+      s"""{"name": "${f.name}", "type": ${
+        avroTypeJson(f.dataType, f.nullable, f.name)}}"""
     }
     s"""{"type": "record", "name": "$name", "fields": [${fields.mkString(",")}]}"""
   }
 
-  /** Write a flat DataFrame as Avro container files under `path`. */
+  /** The non-null branch of a `["null", T]` union (or the schema itself). */
+  private def actual(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Spark external value → Avro datum, recursively. */
+  private def toAvro(v: Any, dt: DataType, s: Schema): Any = v match {
+    case null => null
+    case row: Row =>
+      val rs = actual(s)
+      val st = dt.asInstanceOf[StructType]
+      val rec = new GenericData.Record(rs)
+      var i = 0
+      while (i < st.fields.length) {
+        rec.put(i, toAvro(row.get(i), st.fields(i).dataType,
+          rs.getFields.get(i).schema()))
+        i += 1
+      }
+      rec
+    case seq: scala.collection.Seq[_] =>
+      val es = actual(s).getElementType
+      val et = dt.asInstanceOf[ArrayType].elementType
+      seq.map(toAvro(_, et, es)).asJava
+    case m: scala.collection.Map[_, _] =>
+      val vs = actual(s).getValueType
+      val vt = dt.asInstanceOf[MapType].valueType
+      m.map { case (k, mv) => k.toString -> toAvro(mv, vt, vs) }.asJava
+    case other => other
+  }
+
+  /** Avro datum → Spark external value, recursively. */
+  private def fromAvro(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case rec: GenericRecord =>
+      val st = dt.asInstanceOf[StructType]
+      Row.fromSeq(st.fields.indices.map(i =>
+        fromAvro(rec.get(i), st.fields(i).dataType)))
+    case list: java.util.Collection[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      list.asScala.map(fromAvro(_, et)).toSeq
+    case m: java.util.Map[_, _] =>
+      val vt = dt.asInstanceOf[MapType].valueType
+      m.asScala.map { case (k, mv) => k.toString -> fromAvro(mv, vt) }.toMap
+    case other => other
+  }
+
+  /** Write a DataFrame (nested types included) as Avro container files. */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val json = avroSchemaJson(sparkSchema)
@@ -60,7 +128,11 @@ object AvroIO {
         it.map { row =>
           val rec: GenericRecord = new GenericData.Record(schema)
           var i = 0
-          while (i < n) { rec.put(i, row.get(i)); i += 1 }
+          while (i < n) {
+            rec.put(i, toAvro(row.get(i), sparkSchema.fields(i).dataType,
+              schema.getFields.get(i).schema()))
+            i += 1
+          }
           (new AvroKey[GenericRecord](rec), NullWritable.get())
         }
       }
@@ -72,8 +144,8 @@ object AvroIO {
         job.getConfiguration)
   }
 
-  /** Read Avro container files written by [[write]] (or any flat-record
-    * Avro data matching `schema`). */
+  /** Read Avro container files written by [[write]] (or any Avro data
+    * matching `schema`, nested records/arrays/maps included). */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val json = avroSchemaJson(schema)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
@@ -88,12 +160,8 @@ object AvroIO {
         job.getConfiguration)
       .map { case (k, _) =>
         val rec = k.datum()
-        Row.fromSeq(fields.indices.map { i =>
-          rec.get(i) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case other => other
-          }
-        })
+        Row.fromSeq(fields.indices.map(i =>
+          fromAvro(rec.get(i), fields(i).dataType)))
       }
     spark.createDataFrame(rdd, schema)
   }

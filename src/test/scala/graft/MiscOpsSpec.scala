@@ -107,6 +107,40 @@ class MiscOpsSpec extends SparkSpecBase {
       withNull.where(col("c_name").isNull).count())
   }
 
+  test("formats: NESTED avro round-trip (struct / array / map / nulls)") {
+    val src = Tables.orders(spark, sf).limit(200)
+      .select(
+        col("o_orderkey"),
+        struct(col("o_custkey"), col("o_orderstatus"),
+          struct(col("o_totalprice")).as("inner")).as("hdr"),
+        array(col("o_orderkey"), col("o_orderkey") + 1).as("ks"),
+        map(lit("status"), col("o_orderstatus"),
+          lit("prio"), col("o_orderpriority")).as("meta"),
+        when(col("o_orderkey") % 3 === 0,
+          struct(col("o_custkey"))).as("opt_struct"),
+        when(col("o_orderkey") % 4 === 0,
+          array(col("o_orderstatus"))).as("opt_arr"))
+    val path = java.nio.file.Files.createTempDirectory("graft-avron-")
+      .toString + "/o"
+    graft.sources.AvroIO.write(src, path)
+    val back = graft.sources.AvroIO.read(spark, path, src.schema)
+    // canonicalize the map (hash-order differs across the round trip)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("meta", sort_array(map_entries(col("meta"))))
+        .collect().map(_.toString).sorted
+    val exp = canon(src)
+    val got = canon(back)
+    assert(got.sameElements(exp), "nested avro round-trip mismatch")
+    assert(back.where(col("opt_struct").isNull).count() ==
+      src.where(col("opt_struct").isNull).count())
+    // nested field survives with values intact (exact sum via decimal)
+    val s1 = src.agg(sum(col("hdr.inner.o_totalprice")
+      .cast("decimal(25,2)"))).head().getDecimal(0)
+    val s2 = back.agg(sum(col("hdr.inner.o_totalprice")
+      .cast("decimal(25,2)"))).head().getDecimal(0)
+    assert(s1 == s2)
+  }
+
   test("script transform: TRANSFORM ... USING an external command") {
     Tables.nation(spark, sf).createOrReplaceTempView("nation_v")
     val out = spark.sql("""
