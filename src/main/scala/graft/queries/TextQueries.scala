@@ -418,6 +418,81 @@ object TextQueries {
         JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
         WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
         ORDER BY doc_a, doc_b
+      """.stripMargin.trim)),
+
+    // PII redaction — the scrubbing pass every training-data pipeline runs
+    // before a corpus ships. Deterministic PII (an email + a phone per
+    // doc) is synthesized in-query so the regexes exercise real matches;
+    // both engines build the identical string, then count and redact.
+    QueryDef(
+      "q_pii_redact",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        Tables.documents(s, dir)
+          .withColumn("pii_text", concat(
+            col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .select(
+            col("doc_id"),
+            regexp_count(col("pii_text"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("pii_text"), lit(phoneRe)).as("n_phones"),
+            regexp_replace(
+              regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com or 555-' ||
+            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(pii_text,
+            '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+          regexp_replace(regexp_replace(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        FROM p ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Repetition-based quality filter (the Gopher-style duplicate-token
+    // gate): documents whose duplicate-word fraction exceeds the threshold
+    // are flagged for removal before training.
+    QueryDef(
+      "q_repetition_filter",
+      (s, dir) => {
+        val t = split(col("text"), " +")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(t).cast("long").as("n_words"),
+            size(array_distinct(t)).cast("long").as("n_distinct"))
+          .withColumn("dup_ratio",
+            (col("n_words") - col("n_distinct")).cast("double") /
+              col("n_words").cast("double"))
+          .withColumn("keep", col("dup_ratio") <= 0.55)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_words,
+            CAST(len(list_distinct(string_split_regex(text, ' +')))
+              AS BIGINT) AS n_distinct
+          FROM documents)
+        SELECT doc_id, n_words, n_distinct,
+          CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+            AS dup_ratio,
+          (CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
+            <= 0.55 AS keep
+        FROM w ORDER BY doc_id
       """.stripMargin.trim))
   )
 }
