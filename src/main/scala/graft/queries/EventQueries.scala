@@ -175,6 +175,40 @@ object EventQueries {
         GROUP BY 1 ORDER BY 1
       """.trim)),
 
+    // LEFT OUTER window join (the reference's window join supports all
+    // outer types): clicks keep their window row even when no purchase
+    // shares the (user, window) — matched and unmatched counted per window.
+    QueryDef(
+      "q_window_join_left",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val win = 15 * NS_MIN
+        val c = Windows.withTumble(
+          e.where(col("event_type") === "click"), "ts_ns", win)
+          .select(col("user_id"), col("window_start"))
+        val p = Windows.withTumble(
+          e.where(col("event_type") === "purchase"), "ts_ns", win)
+          .select(col("user_id").as("p_user"), col("window_start").as("p_win"))
+        c.join(p, col("user_id") === col("p_user") &&
+            col("window_start") === col("p_win"), "left")
+          .groupBy(col("window_start"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("p_user")).as("n_matched"))
+          .orderBy(col("window_start"))
+      },
+      Some("""
+        SELECT epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000 AS window_start,
+               COUNT(*) AS n_rows,
+               COUNT(p.user_id) AS n_matched
+        FROM events c LEFT JOIN events p
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000
+             = epoch_ns(p.ts) - epoch_ns(p.ts) % 900000000000
+        WHERE c.event_type = 'click'
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
     // Temporal as-of join: each click sees the user's latest purchase at or
     // before it (FOR SYSTEM_TIME AS OF semantics).
     QueryDef(

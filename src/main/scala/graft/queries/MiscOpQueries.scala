@@ -396,6 +396,41 @@ object MiscOpQueries {
         FROM events ORDER BY event_id
       """.stripMargin.trim)),
 
+    // Structured types: OBJECT_OF construction and OBJECT_UPDATE
+    // (reference structural functions, §2.8) → named_struct + Column
+    // .withField / .dropFields. Fields are re-extracted to scalars so the
+    // oracle states plain expressions.
+    QueryDef(
+      "q_row_object",
+      (s, dir) => {
+        Tables.nation(s, dir)
+          .select(col("n_nationkey"),
+            struct(col("n_nationkey").as("key"), col("n_name").as("name"),
+              struct(col("n_regionkey").as("r")).as("geo")).as("obj"))
+          // OBJECT_UPDATE: replace a field, add a field, drop a field,
+          // update inside a nested struct
+          .select(col("n_nationkey"),
+            col("obj")
+              .withField("name", lower(col("obj.name")))
+              .withField("tag", concat(lit("n"), col("obj.key")))
+              .withField("geo.r2", col("obj.geo.r") * 10)
+              .dropFields("key").as("obj2"))
+          .select(col("n_nationkey"),
+            col("obj2.name").as("lname"),
+            col("obj2.tag").as("tag"),
+            col("obj2.geo.r2").as("r2"),
+            size(array(col("obj2.name"), col("obj2.tag"))).as("n_fields_used"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey,
+          lower(n_name) AS lname,
+          'n' || n_nationkey AS tag,
+          n_regionkey * 10 AS r2,
+          2 AS n_fields_used
+        FROM nation ORDER BY n_nationkey
+      """.stripMargin.trim)),
+
     // CoGroup (DataStream.coGroup): whole groups from both sides per key,
     // including keys present on only one side — orders×lineitem counts
     // plus an exact quantity sum computed inside the cogroup function.

@@ -234,6 +234,48 @@ object OverQueries {
       Some("""
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+      """.trim)),
+
+    // IGNORE NULLS over frames (the reference's FIRST_VALUE/LAST_VALUE/
+    // LAG ignore-null forms): "latest click value so far" per user — a
+    // sparse signal carried forward across non-click rows.
+    QueryDef(
+      "q_over_ignore_nulls",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("click_v",
+            when(col("event_type") === "click", col("value")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        e.select(
+          col("user_id"), col("event_id"),
+          last(col("click_v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("last_click_v"),
+          lag(col("click_v"), 1, null, ignoreNulls = true).over(w)
+            .as("prev_click_v"),
+          first(col("click_v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("first_click_v"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tu,
+            CASE WHEN event_type = 'click' THEN value END AS click_v
+          FROM events)
+        SELECT user_id, event_id,
+          last_value(click_v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY tu, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_click_v,
+          lag(click_v, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY tu, event_id) AS prev_click_v,
+          first_value(click_v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY tu, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS first_click_v
+        FROM e ORDER BY user_id, event_id
       """.trim))
   )
 }
