@@ -139,12 +139,15 @@ class PtfSpec extends SparkSpecBase {
       while (WatermarkTracker.watermarkMs(q.id).isEmpty && waited < 100) {
         Thread.sleep(100); waited += 1
       }
+      // read BEFORE stop(): the tracker drops a query's entry on its
+      // terminated event (running-query semantics, like the reference's
+      // CURRENT_WATERMARK), so post-stop reads race the listener bus
+      val wm = WatermarkTracker.watermarkMs(q.id)
+      assert(wm.exists(_ >= base + 60000 - 1000), s"watermark not tracked: $wm")
+      // the Column face renders the latest watermark as a timestamp literal
+      val c = WatermarkTracker.currentWatermark()
+      val v = spark.range(1).select(c.as("wm")).head().getTimestamp(0)
+      assert(v != null && v.getTime >= base + 59000)
     } finally q.stop()
-    val wm = WatermarkTracker.watermarkMs(q.id)
-    assert(wm.exists(_ >= base + 60000 - 1000), s"watermark not tracked: $wm")
-    // the Column face renders the latest watermark as a timestamp literal
-    val c = WatermarkTracker.currentWatermark()
-    val v = spark.range(1).select(c.as("wm")).head().getTimestamp(0)
-    assert(v != null && v.getTime >= base + 59000)
   }
 }
