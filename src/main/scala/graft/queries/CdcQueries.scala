@@ -137,6 +137,45 @@ object CdcQueries {
         SELECT k AS o_orderkey,
                CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS o_totalprice
         FROM feed WHERE k % 7 <> 0 ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
+    // Composition depth: CDC topic → parsed changelog → retract-consuming
+    // aggregate, the ingestion→aggregation pipeline a CDC consumer runs.
+    // The parsed -U/+U/-D rows feed RetractableAgg directly; the oracle
+    // aggregates the final table state.
+    QueryDef(
+      "q_cdc_pipeline",
+      (s, dir) => {
+        val b = base(s, dir)
+        val feed = b.select(to_json(struct(
+            row(col("o_totalprice")).as("after"),
+            lit("c").as("op"), lit(1L).as("ts_ms"))).as("payload"))
+          .unionByName(b.where(col("o_orderkey") % 5 === 0)
+            .select(to_json(struct(
+              row(col("o_totalprice")).as("before"),
+              row(col("o_totalprice") * 0.5).as("after"),
+              lit("u").as("op"), lit(2L).as("ts_ms"))).as("payload")))
+          .unionByName(b.where(col("o_orderkey") % 7 === 0)
+            .select(to_json(struct(
+              row(curPrice).as("before"),
+              lit("d").as("op"), lit(3L).as("ts_ms"))).as("payload")))
+        val log = CdcFormats.fromDebezium(feed, "payload", valueSchema)
+          .withColumn("bucket", col("o_orderkey") % 10)
+        graft.changelog.RetractableAgg(log, Seq("bucket"), "o_totalprice")
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH feed AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+          FROM orders),
+        final AS (
+          SELECT k % 10 AS bucket,
+                 CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS p2
+          FROM feed WHERE k % 7 <> 0)
+        SELECT bucket, COUNT(*) AS n_live,
+               CAST(SUM(CAST(p2 AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+               MIN(p2) AS min_v, MAX(p2) AS max_v
+        FROM final GROUP BY bucket ORDER BY bucket
       """.stripMargin.trim))
   )
 }

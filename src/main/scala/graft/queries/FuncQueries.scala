@@ -107,6 +107,41 @@ object FuncQueries {
         FROM nation ORDER BY n_nationkey
       """.trim)),
 
+    // TIMESTAMPDIFF / TIMESTAMPADD arithmetic (reference temporal pack):
+    // whole-unit diffs on date-resolution timestamps are crossing-count
+    // identical across engines.
+    QueryDef(
+      "q_ts_arith",
+      (s, dir) => {
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          expr("timestampdiff(HOUR, o_orderdate, timestamp'1998-12-01 00:00:00')")
+            .as("hours_to_cutoff"),
+          expr("timestampdiff(MONTH, o_orderdate, timestamp'1998-12-01 00:00:00')")
+            .as("months_to_cutoff"),
+          expr("timestampadd(MONTH, 3, o_orderdate)").as("plus3m"),
+          expr("timestampadd(DAY, -7, o_orderdate)").as("minus7d"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          from_unixtime(lit(86400)).as("day2_str"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          date_diff('hour', o_orderdate, TIMESTAMP '1998-12-01 00:00:00')
+            AS hours_to_cutoff,
+          date_diff('month', o_orderdate, TIMESTAMP '1998-12-01 00:00:00')
+            - CASE WHEN day(o_orderdate) > 1 AND
+                date_diff('month', o_orderdate,
+                          TIMESTAMP '1998-12-01 00:00:00') > 0
+              THEN 1 ELSE 0 END
+            AS months_to_cutoff,
+          o_orderdate + INTERVAL 3 MONTH AS plus3m,
+          o_orderdate - INTERVAL 7 DAY AS minus7d,
+          CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+          '1970-01-02 00:00:00' AS day2_str
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
     QueryDef(
       "q_datetime_funcs",
       (s, dir) => {

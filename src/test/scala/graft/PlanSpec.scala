@@ -73,6 +73,45 @@ class PlanSpec extends SparkSpecBase {
       "Q21 must decorrelate without a nested loop")
   }
 
+  test("q_vector_ivf_topk: no global sort for assignment; broadcasts, codegen dots") {
+    val p = planOf("q_vector_ivf_topk")
+    // r4 shape: assignment reduces per vector via max(struct) partial
+    // aggregation — the corpus-by-centroid relation must never feed a
+    // global Window sort (the r3 shape's scale killer)
+    // max(struct) plans as Sort/ObjectHashAggregate (struct keys aren't
+    // hash-aggregable) — any partial+final aggregate pair qualifies
+    assert(p.linesIterator.count(_.contains("Aggregate")) >= 2,
+      s"assignment must be partial+final aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids/candidates must broadcast")
+    // the native dot expressions keep scoring inside codegen — no
+    // interpreted zip_with/aggregate lambdas in the plan
+    assert(!p.contains("zip_with"), s"interpreted HOF dot in plan:\n$p")
+  }
+
+  test("q_ngram_jaccard: grouped postings, no self-join of the shingle subtree") {
+    val p = planOf("q_ngram_jaccard")
+    // candidate pairs come from ONE grouped pass + explode, not a
+    // posting-list self-join (SortMergeJoin/ShuffledHashJoin on s)
+    assert(!p.contains("SortMergeJoin"), s"self-join shape is back:\n$p")
+    // shingle explode ×2 (postings + the two broadcast size instances
+    // share one), pair explode ×1, sizes instance ×1 — measured faster
+    // than the join-free carry-sizes-in-postings variant (struct posting
+    // lists tripled the grouped-aggregation cost)
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 4,
+      s"unexpected explode count:\n$p")
+  }
+
+  test("q_cdc_debezium: single parse pass, codegen JSON, no UDF boundary") {
+    val p = planOf("q_cdc_debezium")
+    // one explode-of-candidates per envelope row — not four scans of the
+    // parsed column
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"CDC parse must be a single explode pass:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"CDC parse must stay declarative:\n$p")
+  }
+
   test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
