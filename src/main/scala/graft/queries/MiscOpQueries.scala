@@ -396,6 +396,38 @@ object MiscOpQueries {
         FROM events ORDER BY event_id
       """.stripMargin.trim)),
 
+    // Delta join (StreamExecDeltaJoin.java:204): arriving deltas probe the
+    // other side's STORED table instead of operator state. The query runs
+    // two real delta batches (odd/even split of both sides) through the
+    // store-probe-append cycle; the union of the two batch outputs must
+    // equal the plain join of the full tables — each pair exactly once.
+    QueryDef(
+      "q_delta_join",
+      (s, dir) => {
+        import graft.operators.DeltaJoin
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-deltajoin-").toString
+        val out1 = DeltaJoin.processBatch(s,
+          o.where(col("o_orderkey") % 2 === 0),
+          c.where(col("c_custkey") % 2 === 0),
+          "o_custkey", "c_custkey", s"$base/l", s"$base/r")
+        val out2 = DeltaJoin.processBatch(s,
+          o.where(col("o_orderkey") % 2 === 1),
+          c.where(col("c_custkey") % 2 === 1),
+          "o_custkey", "c_custkey", s"$base/l", s"$base/r")
+        out1.unionByName(out2)
+          .orderBy(col("o_orderkey"), col("c_custkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, c_custkey, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey, c_custkey
+      """.stripMargin.trim)),
+
     // Structured types: OBJECT_OF construction and OBJECT_UPDATE
     // (reference structural functions, §2.8) → named_struct + Column
     // .withField / .dropFields. Fields are re-extracted to scalars so the

@@ -462,6 +462,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
   }
 
+  test("DeltaJoin: streamed deltas accumulate to the full join, no duplicates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dj-").toString
+    val lIn = MemoryStream[(Long, String)]
+    val rIn = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-djc-").toString
+    val q = graft.operators.DeltaJoin.stream(
+      lIn.toDF().toDF("lk", "lv"),
+      rIn.toDF().toDF("rk", "rv"),
+      "lk", "rk", s"$base/l", s"$base/r",
+      (out, _) => out.collect().foreach(r => acc.synchronized {
+        acc += ((r.getLong(0), r.getString(1), r.getString(3)))
+      }))
+      .option("checkpointLocation", ckpt).start()
+    val ls = Seq((1L, "a1"), (1L, "a2"), (2L, "b1"), (3L, "c1"))
+    val rs = Seq((1L, "x1"), (2L, "y1"), (2L, "y2"), (4L, "z1"))
+    try {
+      // batch 1: half of each side; batch 2: the rest — cross-batch pairs
+      // must come from the store probes
+      lIn.addData(ls.take(2)); rIn.addData(rs.take(1))
+      q.processAllAvailable()
+      lIn.addData(ls.drop(2)); rIn.addData(rs.drop(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = (for ((lk, lv) <- ls; (rk, rv) <- rs if lk == rk)
+      yield (lk, lv, rv)).sorted
+    assert(acc.sorted.toSeq == expected, s"got ${acc.sorted}")
+  }
+
   test("BroadcastRules: rules refresh per micro-batch, broadcast plan") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
