@@ -17,12 +17,12 @@ import scala.jdk.CollectionConverters._
   * these public classes (reference: flink-formats/flink-avro's
   * AvroInputFormat/AvroOutputFormat pair, the same Hadoop-format route).
   *
-  * Supported column types: boolean/int/long/float/double/string plus
-  * arbitrarily NESTED struct (Avro record), array, and string-keyed map —
-  * nullable anywhere via the `["null", T]` union, the same mapping
-  * flink-avro's AvroSchemaConverter performs. Not mapped: decimal /
-  * timestamp logical types and binary (stay on parquet, the primary
-  * columnar format here).
+  * Supported column types: boolean/int/long/float/double/string/binary,
+  * decimal / timestamp / timestamp_ntz / date via the standard Avro
+  * logical types (bytes-decimal, timestamp-micros, local-timestamp-micros,
+  * date), plus arbitrarily NESTED struct (Avro record), array, and
+  * string-keyed map — nullable anywhere via the `["null", T]` union, the
+  * same mapping flink-avro's AvroSchemaConverter performs.
   *
   * Scale: both directions are straight `mapPartitions` over Hadoop file
   * splits — no shuffle, partition-parallel, same execution shape as any
@@ -41,6 +41,16 @@ object AvroIO {
       case FloatType => "\"float\""
       case DoubleType => "\"double\""
       case StringType => "\"string\""
+      case BinaryType => "\"bytes\""
+      case d: DecimalType =>
+        s"""{"type": "bytes", "logicalType": "decimal", "precision": ${
+          d.precision}, "scale": ${d.scale}}"""
+      case TimestampType =>
+        """{"type": "long", "logicalType": "timestamp-micros"}"""
+      case TimestampNTZType =>
+        """{"type": "long", "logicalType": "local-timestamp-micros"}"""
+      case DateType =>
+        """{"type": "int", "logicalType": "date"}"""
       case StructType(fields) =>
         val fs = fields.map(f => s"""{"name": "${f.name}", "type": ${
           avroTypeJson(f.dataType, f.nullable, s"${path}_${f.name}")}}""")
@@ -52,7 +62,7 @@ object AvroIO {
         s"""{"type": "map", "values": ${
           avroTypeJson(v, valueContainsNull, s"${path}_value")}}"""
       case other => throw new IllegalArgumentException(
-        s"AvroIO cannot map $other (decimal/timestamp/binary stay on parquet)")
+        s"AvroIO cannot map $other")
     }
     if (nullable) s"""["null", $core]""" else core
   }
@@ -72,9 +82,22 @@ object AvroIO {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
     else s
 
-  /** Spark external value → Avro datum, recursively. */
+  /** Spark external value → Avro datum, recursively. Decimal/timestamp/
+    * date use the standard Avro logical-type encodings (unscaled
+    * big-endian bytes, epoch micros, epoch days). */
   private def toAvro(v: Any, dt: DataType, s: Schema): Any = v match {
     case null => null
+    case d: java.math.BigDecimal =>
+      val scaled = d.setScale(dt.asInstanceOf[DecimalType].scale)
+      java.nio.ByteBuffer.wrap(scaled.unscaledValue().toByteArray)
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case dte: java.sql.Date =>
+      dte.toLocalDate.toEpochDay.toInt
+    case ldt: java.time.LocalDateTime =>
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
     case row: Row =>
       val rs = actual(s)
       val st = dt.asInstanceOf[StructType]
@@ -98,20 +121,36 @@ object AvroIO {
   }
 
   /** Avro datum → Spark external value, recursively. */
-  private def fromAvro(v: Any, dt: DataType): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case rec: GenericRecord =>
-      val st = dt.asInstanceOf[StructType]
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, _) => u.toString
+    case (bb: java.nio.ByteBuffer, d: DecimalType) =>
+      val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
+    case (micros: java.lang.Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
+      ts
+    case (micros: java.lang.Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000).toInt,
+        java.time.ZoneOffset.UTC)
+    case (days: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+      bytes
+    case (rec: GenericRecord, st: StructType) =>
       Row.fromSeq(st.fields.indices.map(i =>
         fromAvro(rec.get(i), st.fields(i).dataType)))
-    case list: java.util.Collection[_] =>
-      val et = dt.asInstanceOf[ArrayType].elementType
-      list.asScala.map(fromAvro(_, et)).toSeq
-    case m: java.util.Map[_, _] =>
-      val vt = dt.asInstanceOf[MapType].valueType
-      m.asScala.map { case (k, mv) => k.toString -> fromAvro(mv, vt) }.toMap
-    case other => other
+    case (list: java.util.Collection[_], at: ArrayType) =>
+      list.asScala.map(fromAvro(_, at.elementType)).toSeq
+    case (m: java.util.Map[_, _], mt: MapType) =>
+      m.asScala.map { case (k, mv) =>
+        k.toString -> fromAvro(mv, mt.valueType)
+      }.toMap
+    case (other, _) => other
   }
 
   /** Write a DataFrame (nested types included) as Avro container files. */

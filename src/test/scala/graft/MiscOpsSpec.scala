@@ -141,6 +141,28 @@ class MiscOpsSpec extends SparkSpecBase {
     assert(s1 == s2)
   }
 
+  test("formats: avro logical types (decimal / timestamp / date / binary)") {
+    val src = Tables.orders(spark, sf).limit(100)
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(15,2)").as("dec"),
+        col("o_orderdate").as("tsv"),
+        to_date(col("o_orderdate")).as("dt"),
+        unhex(md5(col("o_orderkey").cast("string"))).as("bin"))
+    val path = java.nio.file.Files.createTempDirectory("graft-avrol-")
+      .toString + "/o"
+    graft.sources.AvroIO.write(src, path)
+    val back = graft.sources.AvroIO.read(spark, path, src.schema)
+    def extract(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDecimal(1),
+        r.getAs[Any](2).toString, r.getDate(3).toString,
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]](4))))
+        .sortBy(_._1)
+    val exp = extract(src)
+    val got = extract(back)
+    assert(got.sameElements(exp), "avro logical-type round-trip mismatch")
+  }
+
   test("script transform: TRANSFORM ... USING an external command") {
     Tables.nation(spark, sf).createOrReplaceTempView("nation_v")
     val out = spark.sql("""
