@@ -243,6 +243,34 @@ object PatternMatch {
         StructField("end_us", LongType) +:
         steps.map(s => StructField(s"n_${s.name}", LongType)))
 
+  /** PERMUTE over MUTUALLY EXCLUSIVE steps (reference:
+    * flink-cep GroupPattern / MATCH_RECOGNIZE `PERMUTE(A, B)`): the
+    * `permuted` steps may match in any order between `prefix` and
+    * `suffix`. Expanded to the union of all orderings, each run through
+    * the linear NFA independently — EXACT when at any position at most
+    * one ordering's next step can accept a row (mutually exclusive step
+    * predicates, e.g. a +2 jump vs a -2 drop), which is the documented
+    * restriction; non-exclusive steps could double-emit where a true
+    * multi-branch NFA would consume. Factorial expansion — keep the
+    * permuted set small (the reference's PERMUTE carries the same
+    * combinatorial cost inside its NFA). */
+  def permute(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      prefix: Seq[PatternStep],
+      permuted: Seq[PatternStep],
+      suffix: Seq[PatternStep] = Nil,
+      withinUs: Option[Long] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+    require(permuted.size >= 2, "PERMUTE needs at least two steps")
+    permuted.permutations
+      .map(perm => apply(df, keyCol, timeCol, valCol,
+        prefix ++ perm ++ suffix, withinUs, skip))
+      .reduce(_.unionByName(_))
+  }
+
   /** Batch face. `timeCol` must be LongType (exact micros); ties must be
     * pre-deduplicated for determinism. */
   def apply(

@@ -390,6 +390,56 @@ object CepQueries {
              AND sp.dir = 'S'
         WHERE c.dir = 'C'
         ORDER BY c.user_id, start_us
+      """.stripMargin.trim)),
+
+    // PERMUTE(up, down) after a calm run: a >=2-bucket jump and a
+    // >=2-bucket drop in EITHER order — the two orderings are mutually
+    // exclusive per row, so the union expansion is exact. The oracle takes
+    // each maximal calm run and checks the next two rows for
+    // opposite-direction spikes.
+    QueryDef(
+      "q_match_recognize_permute",
+      (s, dir) => {
+        PatternMatch.permute(bucketed(s, dir), "user_id", "ts_us", "vb",
+          prefix = Seq(
+            PatternStep("calm", (p, c) => math.abs(c - p) < 2, greedy = true)),
+          permuted = Seq(
+            PatternStep("up", (p, c) => c - p >= 2, greedy = false),
+            PatternStep("down", (p, c) => p - c >= 2, greedy = false)))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""
+        WITH $bucketedPrologueSql,
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vb - pv >= 2 THEN 'U'
+                              WHEN pv - vb >= 2 THEN 'D'
+                              ELSE 'C' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir IS NOT NULL
+                                  AND (pdir IS NULL OR pdir <> dir)
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, runid, dir, COUNT(*) AS n,
+                 MIN(idx) AS first_idx, MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_tu
+          FROM r GROUP BY user_id, runid, dir)
+        SELECT c.user_id, c.start_tu AS start_us, s2nd.tu AS end_us,
+               c.n AS n_calm, CAST(1 AS BIGINT) AS n_up,
+               CAST(1 AS BIGINT) AS n_down
+        FROM runs c
+        JOIN r s1st ON s1st.user_id = c.user_id
+                   AND s1st.idx = c.last_idx + 1
+                   AND s1st.dir IN ('U', 'D')
+        JOIN r s2nd ON s2nd.user_id = c.user_id
+                   AND s2nd.idx = c.last_idx + 2
+                   AND s2nd.dir IN ('U', 'D') AND s2nd.dir <> s1st.dir
+        WHERE c.dir = 'C'
+        ORDER BY c.user_id, start_us
       """.stripMargin.trim))
   )
 

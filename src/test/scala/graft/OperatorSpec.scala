@@ -311,6 +311,26 @@ class OperatorSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("may not be optional"))
   }
 
+  test("PatternMatch.permute: both orderings match, overlaps impossible") {
+    // key 1: calm calm UP DOWN; key 2: calm calm DOWN UP; key 3: calm UP UP
+    // (same direction twice → no permutation matches)
+    val rows = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 9.0), (1L, 4L, 5.0),
+      (2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 1.0), (2L, 4L, 5.0),
+      (3L, 1L, 5.0), (3L, 2L, 5.0), (3L, 3L, 9.0), (3L, 4L, 13.0))
+      .toDF("k", "t", "v")
+    val out = PatternMatch.permute(rows, "k", "t", "v",
+      prefix = Seq(PatternStep("calm",
+        (p: Double, c: Double) => math.abs(c - p) < 2, greedy = true)),
+      permuted = Seq(
+        PatternStep("up", (p: Double, c: Double) => c - p >= 2, greedy = false),
+        PatternStep("down", (p: Double, c: Double) => p - c >= 2,
+          greedy = false)))
+      .select($"k", $"n_calm", $"n_up", $"n_down")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 1L, 1L), (2L, 1L, 1L, 1L)))
+  }
+
   test("PatternStep.or combines branch conditions") {
     val spike = PatternStep.or(
       (p: Double, c: Double) => c - p >= 2,
