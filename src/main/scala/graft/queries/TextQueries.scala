@@ -420,6 +420,44 @@ object TextQueries {
         ORDER BY doc_a, doc_b
       """.stripMargin.trim)),
 
+    // Duplicate CLUSTERING: the end of the near-dup pipeline — Jaccard
+    // candidate pairs → connected components → keep the minimum doc_id
+    // per cluster. The oracle recomputes components with a recursive CTE
+    // (transitive closure, min reachable id).
+    QueryDef(
+      "q_dedup_cluster",
+      (s, dir) => {
+        val pairs = graft.operators.NgramJaccard(Tables.documents(s, dir))
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("label").as("cluster"),
+            (col("node") === col("label")).as("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        $shOracle,
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        e AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN (SELECT doc_id AS doc_a, n AS na FROM sizes) USING (doc_a)
+          JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
+          WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+                >= 0.5),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM e
+                UNION SELECT doc_b, doc_a FROM e),
+        reach AS (
+          SELECT DISTINCT a AS node, a AS r FROM sym
+          UNION
+          SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node)
+        SELECT node AS doc_id, MIN(r) AS cluster,
+               node = MIN(r) AS is_kept
+        FROM reach GROUP BY node ORDER BY doc_id
+      """.stripMargin.trim.replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // PII redaction — the scrubbing pass every training-data pipeline runs
     // before a corpus ships. Deterministic PII (an email + a phone per
     // doc) is synthesized in-query so the regexes exercise real matches;

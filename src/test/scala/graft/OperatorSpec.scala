@@ -311,6 +311,96 @@ class OperatorSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("may not be optional"))
   }
 
+  test("KMeans: recovers separated clusters, bit-identical across runs") {
+    import org.apache.spark.sql.functions.{array => farr}
+    // 3 well-separated clusters in 4 dims, 20 points each
+    val pts = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val base = Array.fill(4)(0.0f)
+      base(c) = 10.0f
+      (c * 20L + i, base.toSeq.zipWithIndex
+        .map { case (v, d) => v + ((i * 7 + d) % 5) * 0.1f })
+    }
+    val df = pts.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    def run() = graft.operators.KMeans(df, "vec_id", "embedding",
+      k = 3, iters = 5)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(d => math.rint(d * 1e9) / 1e9)))
+      .sortBy(_._1).toSeq
+    val c1 = run()
+    assert(c1.size == 3)
+    // each centroid sits near one corner: exactly one dim ~10, rest ~0.2
+    val corners = c1.map(_._2.indexWhere(_ > 5.0)).toSet
+    assert(corners == Set(0, 1, 2), s"centroids not separated: $c1")
+    // determinism: a second run is bit-identical
+    assert(run() == c1)
+  }
+
+  test("KMeans-trained IVF: recall vs brute force on real embeddings") {
+    import graft.operators.VectorOps._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // brute-force ground truth: top-5 per query (10 queries)
+    val n = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val q = n.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    def top5(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+    val truth = top5(n.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("nrm").as("cn")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // trained IVF: k-means centroids, probe top-3 of 8 clusters
+    val cents = graft.operators.KMeans(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+      .select(col("cent_id"),
+        transform(col("centroid"), _.cast("float")).as("cemb"))
+    val scoredAll = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        dotDouble(col("embedding"), col("cemb")).as("score"))
+    val assign = scoredAll.groupBy(col("vec_id"), col("embedding"))
+      .agg(max(struct(col("score"), (-col("cent_id")).as("nc"))).as("b"))
+      .select(col("vec_id"), col("embedding"), (-col("b.nc")).as("cent_id"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cent_id").asc)
+    val probe = scoredAll.where(col("vec_id") < 10)
+      .withColumn("rk", row_number().over(wq)).where(col("rk") <= 3)
+      .select(col("vec_id").as("qid"), col("cent_id"))
+    val cand = assign.join(broadcast(probe), "cent_id")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        col("embedding").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val ivf = cand.join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect ivf).size.toDouble / truth.size
+    assert(recall >= 0.6, s"trained-IVF recall too low: $recall")
+  }
+
+  test("ConnectedComponents: multi-hop chains collapse to min label") {
+    // a 4-node chain (diameter 3), a separate pair, directed edges only
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("s", "d")
+    val out = graft.operators.ConnectedComponents(edges, "s", "d")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
   test("PatternMatch.permute: both orderings match, overlaps impossible") {
     // key 1: calm calm UP DOWN; key 2: calm calm DOWN UP; key 3: calm UP UP
     // (same direction twice → no permutation matches)
