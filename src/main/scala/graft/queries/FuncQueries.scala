@@ -258,6 +258,51 @@ object FuncQueries {
         FROM events ORDER BY event_id
       """.trim)),
 
+    // The rest of the reference's JSON pack (§2.8): IS_JSON, JSON_EXISTS,
+    // JSON_VALUE, JSON_QUERY (subtree as text), JSON_LENGTH, object keys,
+    // json_tuple. The nested object is built with identical string concat
+    // on both sides so subtree extraction compares byte-exact.
+    QueryDef(
+      "q_json_funcs2",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .withColumn("obj", concat(lit("{\"k\":"), col("k"),
+            lit(",\"arr\":["), col("k"), lit(","), col("k") + 1, lit("]}")))
+          .select(
+            col("event_id"),
+            expr("try_parse_json(props) IS NOT NULL").as("is_json"),
+            expr("try_parse_json('not json') IS NOT NULL").as("bad_json"),
+            col("k").as("v_k"),
+            get_json_object(col("props"), "$.missing").isNull
+              .as("missing_null"),
+            get_json_object(col("obj"), "$.arr").as("arr_txt"),
+            json_array_length(get_json_object(col("obj"), "$.arr"))
+              .as("arr_len"),
+            concat_ws(",", json_object_keys(col("obj"))).as("keys_csv"),
+            json_tuple(col("props"), "k").as("jt_k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, props,
+            CAST(props->>'$.k' AS INT) AS k,
+            '{"k":' || CAST(props->>'$.k' AS INT) || ',"arr":[' ||
+              CAST(props->>'$.k' AS INT) || ',' ||
+              (CAST(props->>'$.k' AS INT) + 1) || ']}' AS obj
+          FROM events)
+        SELECT event_id,
+          json_valid(props) AS is_json,
+          FALSE AS bad_json,
+          k AS v_k,
+          props->>'$.missing' IS NULL AS missing_null,
+          CAST(json_extract(obj, '$.arr') AS VARCHAR) AS arr_txt,
+          CAST(json_array_length(obj, '$.arr') AS INT) AS arr_len,
+          array_to_string(json_keys(obj), ',') AS keys_csv,
+          props->>'$.k' AS jt_k
+        FROM e ORDER BY event_id
+      """.trim)),
+
     // Correlate / UNNEST (reference: StreamExecCorrelate.java:53) — explode
     // of a per-row generated array.
     QueryDef(
