@@ -87,4 +87,18 @@ class FunctionSpec extends SparkSpecBase {
     val arr = spark.sql("SELECT json_arrayagg(k) FROM ja_in").head().getString(0)
     assert(arr == """["a","b","c"]""")
   }
+
+  test("CONVERT_TZ maps to convert_timezone (DST-aware, JVM tzdata)") {
+    // spec-gated rather than DuckDB-oracled: the offline DuckDB build has
+    // no ICU timezone support. Winter = UTC-5, summer = UTC-4.
+    val r = spark.sql("""
+      SELECT
+        convert_timezone('UTC', 'America/New_York',
+          TIMESTAMP_NTZ '2024-01-15 12:00:00') AS winter,
+        convert_timezone('UTC', 'America/New_York',
+          TIMESTAMP_NTZ '2024-07-15 12:00:00') AS summer
+    """).head()
+    assert(r.getAs[java.time.LocalDateTime](0).getHour == 7)
+    assert(r.getAs[java.time.LocalDateTime](1).getHour == 8)
+  }
 }
