@@ -176,6 +176,77 @@ object CdcQueries {
                CAST(SUM(CAST(p2 AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
                MIN(p2) AS min_v, MAX(p2) AS max_v
         FROM final GROUP BY bucket ORDER BY bucket
+      """.stripMargin.trim)),
+
+    // The full CDC story: TWO Debezium topics (orders with updates +
+    // deletes, customers with deletes) parsed into full changelogs —
+    // Debezium carries -U pre-images, so no normalize step is needed —
+    // joined by the changelog-consuming join, materialized to final
+    // state. Oracle: join of the two final table states.
+    QueryDef(
+      "q_cdc_join",
+      (s, dir) => {
+        import graft.changelog.ChangelogJoin
+        val oSchema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType)))
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        def orow(price: org.apache.spark.sql.Column) =
+          struct(col("o_orderkey"), col("o_custkey"),
+            price.as("o_totalprice"))
+        val ofeed = ob.select(to_json(struct(
+            orow(col("o_totalprice")).as("after"),
+            lit("c").as("op"), lit(10L).as("ts_ms"))).as("payload"))
+          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+            .select(to_json(struct(
+              orow(col("o_totalprice")).as("before"),
+              orow(col("o_totalprice") * 0.5).as("after"),
+              lit("u").as("op"), lit(20L).as("ts_ms"))).as("payload")))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(to_json(struct(
+              orow(curPrice).as("before"),
+              lit("d").as("op"), lit(30L).as("ts_ms"))).as("payload")))
+        val lcl = CdcFormats.fromDebezium(ofeed, "payload", oSchema)
+
+        val cSchema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_acctbal", DoubleType)))
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+        val crow = struct(col("c_custkey"), col("c_acctbal"))
+        val cfeed = cb.select(to_json(struct(
+            crow.as("after"), lit("c").as("op"), lit(11L).as("ts_ms")))
+            .as("payload"))
+          .unionByName(cb.where(col("c_custkey") % 3 === 0)
+            .select(to_json(struct(
+              crow.as("before"), lit("d").as("op"), lit(21L).as("ts_ms")))
+              .as("payload")))
+        val rcl = CdcFormats.fromDebezium(cfeed, "payload", cSchema)
+
+        graft.changelog.UpsertMaterialize(
+          ChangelogJoin(lcl, rcl, "o_custkey", "c_custkey",
+            "o_orderkey", "c_custkey"),
+          Seq("o_orderkey", "c_custkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 0.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        cfinal AS (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          FROM customer WHERE c_custkey % 3 <> 0)
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_custkey, c.c_acctbal
+        FROM ofinal o JOIN cfinal c ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey
       """.stripMargin.trim))
   )
 }

@@ -274,6 +274,38 @@ object StreamQueries {
         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start
       """.trim)),
 
+    // SLIDING count windows (countWindow(6, 3)): window w covers rows
+    // (3w-6, 3w] per key; fires only when full.
+    QueryDef(
+      "q_count_window_sliding",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = graft.operators.Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        CountWindows.sliding(d, Seq("user_id"), "ts_us", "value",
+          size = 6, slide = 3)
+          .orderBy(col("user_id"), col("win_id"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY tu) AS rn,
+                COUNT(*) OVER (PARTITION BY user_id) AS tot
+              FROM e WHERE dd = 1),
+        x AS (SELECT user_id, value, tot,
+                unnest(range((rn + 2) // 3, (rn + 5) // 3 + 1)) AS win_id
+              FROM d)
+        SELECT user_id, win_id, COUNT(*) AS n_rows,
+               ${sqlSum("value")} AS sum_v
+        FROM x WHERE win_id * 3 >= 6 AND win_id * 3 <= tot
+        GROUP BY user_id, win_id ORDER BY user_id, win_id
+      """.trim)),
+
     // Tumbling COUNT windows per key (KeyedStream.countWindow(5)): only
     // FULL windows of exactly 5 rows fire; the trailing partial window is
     // silent. Deterministic order via the (user, ts_us) dedup.

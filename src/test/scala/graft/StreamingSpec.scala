@@ -609,6 +609,38 @@ class StreamingSpec extends SparkSpecBase {
       Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
   }
 
+  test("CountWindows.sliding: streaming matches batch across batch splits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 10 rows, size 4 slide 2 → windows at totals 4,6,8,10 (ids 2,3,4,5)
+    val rows = (0L until 10L).map(i => (1L, i * 1000L, i.toDouble))
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cws-").toString
+    val q = CountWindows.sliding(df, Seq("user_id"), "ts_us", "value",
+        size = 4, slide = 2)
+      .writeStream.format("memory").queryName("cws_stream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      Seq(rows.take(3), rows.slice(3, 7), rows.drop(7)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def norm(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._2).toSeq
+    val streamed = norm(spark.table("cws_stream")
+      .select("user_id", "win_id", "n_rows", "sum_v").collect())
+    val batch = norm(CountWindows.sliding(
+      rows.toDF("user_id", "ts_us", "value"),
+      Seq("user_id"), "ts_us", "value", size = 4, slide = 2)
+      .select("user_id", "win_id", "n_rows", "sum_v").collect())
+    assert(streamed == batch)
+    // window 2 covers rows 1..4 (values 0+1+2+3), window 5 rows 7..10
+    assert(batch == Seq(
+      (1L, 2L, 4L, 6.0), (1L, 3L, 4L, 14.0),
+      (1L, 4L, 4L, 22.0), (1L, 5L, 4L, 30.0)))
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
