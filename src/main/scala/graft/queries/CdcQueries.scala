@@ -39,6 +39,28 @@ object CdcQueries {
   private def row(price: org.apache.spark.sql.Column) =
     struct(col("o_orderkey"), price.as("o_totalprice"))
 
+  /** Single-scan Debezium feed: all three phases' envelopes explode from
+    * ONE pass over the base table (the r4-final union-of-three-branches
+    * rescanned it three times). The envelope candidates are to_json
+    * STRINGS, so the array is homogeneous; non-applicable phases are null
+    * and filtered. */
+  private def debeziumFeed(
+      b: DataFrame,
+      rowOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      ts: (Long, Long, Long)): DataFrame =
+    b.select(explode(array(
+      to_json(struct(rowOf(col("o_totalprice")).as("after"),
+        lit("c").as("op"), lit(ts._1).as("ts_ms"))),
+      when(col("o_orderkey") % 5 === 0, to_json(struct(
+        rowOf(col("o_totalprice")).as("before"),
+        rowOf(col("o_totalprice") * 0.5).as("after"),
+        lit("u").as("op"), lit(ts._2).as("ts_ms")))),
+      when(col("o_orderkey") % 7 === 0, to_json(struct(
+        rowOf(curPrice).as("before"),
+        lit("d").as("op"), lit(ts._3).as("ts_ms"))))))
+      .as("payload"))
+      .where(col("payload").isNotNull)
+
   /** The full-changelog oracle shared by the debezium and canal faces. */
   private val changelogOracle = """
     WITH feed AS (
@@ -61,19 +83,7 @@ object CdcQueries {
     QueryDef(
       "q_cdc_debezium",
       (s, dir) => {
-        val b = base(s, dir)
-        val feed = b.select(to_json(struct(
-            row(col("o_totalprice")).as("after"),
-            lit("c").as("op"), lit(1L).as("ts_ms"))).as("payload"))
-          .unionByName(b.where(col("o_orderkey") % 5 === 0)
-            .select(to_json(struct(
-              row(col("o_totalprice")).as("before"),
-              row(col("o_totalprice") * 0.5).as("after"),
-              lit("u").as("op"), lit(2L).as("ts_ms"))).as("payload")))
-          .unionByName(b.where(col("o_orderkey") % 7 === 0)
-            .select(to_json(struct(
-              row(curPrice).as("before"),
-              lit("d").as("op"), lit(3L).as("ts_ms"))).as("payload")))
+        val feed = debeziumFeed(base(s, dir), row, (1L, 2L, 3L))
         CdcFormats.fromDebezium(feed, "payload", valueSchema)
           .orderBy(col("o_orderkey"), col("__seq"), col("__rowkind"))
       },
@@ -112,19 +122,18 @@ object CdcQueries {
     QueryDef(
       "q_cdc_maxwell",
       (s, dir) => {
-        val b = base(s, dir)
-        val feed = b.select(to_json(struct(
-            row(col("o_totalprice")).as("data"),
-            lit("insert").as("type"), lit(1L).as("ts"))).as("payload"))
-          .unionByName(b.where(col("o_orderkey") % 5 === 0)
-            .select(to_json(struct(
+        val feed = base(s, dir).select(explode(array(
+            to_json(struct(row(col("o_totalprice")).as("data"),
+              lit("insert").as("type"), lit(1L).as("ts"))),
+            when(col("o_orderkey") % 5 === 0, to_json(struct(
               row(col("o_totalprice") * 0.5).as("data"),
               struct(col("o_totalprice").as("o_totalprice")).as("old"),
-              lit("update").as("type"), lit(2L).as("ts"))).as("payload")))
-          .unionByName(b.where(col("o_orderkey") % 7 === 0)
-            .select(to_json(struct(
+              lit("update").as("type"), lit(2L).as("ts")))),
+            when(col("o_orderkey") % 7 === 0, to_json(struct(
               row(curPrice).as("data"),
-              lit("delete").as("type"), lit(3L).as("ts"))).as("payload")))
+              lit("delete").as("type"), lit(3L).as("ts"))))))
+            .as("payload"))
+          .where(col("payload").isNotNull)
         UpsertMaterialize(
           CdcFormats.fromMaxwell(feed, "payload", valueSchema),
           Seq("o_orderkey"))
@@ -146,19 +155,7 @@ object CdcQueries {
     QueryDef(
       "q_cdc_pipeline",
       (s, dir) => {
-        val b = base(s, dir)
-        val feed = b.select(to_json(struct(
-            row(col("o_totalprice")).as("after"),
-            lit("c").as("op"), lit(1L).as("ts_ms"))).as("payload"))
-          .unionByName(b.where(col("o_orderkey") % 5 === 0)
-            .select(to_json(struct(
-              row(col("o_totalprice")).as("before"),
-              row(col("o_totalprice") * 0.5).as("after"),
-              lit("u").as("op"), lit(2L).as("ts_ms"))).as("payload")))
-          .unionByName(b.where(col("o_orderkey") % 7 === 0)
-            .select(to_json(struct(
-              row(curPrice).as("before"),
-              lit("d").as("op"), lit(3L).as("ts_ms"))).as("payload")))
+        val feed = debeziumFeed(base(s, dir), row, (1L, 2L, 3L))
         val log = CdcFormats.fromDebezium(feed, "payload", valueSchema)
           .withColumn("bucket", col("o_orderkey") % 10)
         graft.changelog.RetractableAgg(log, Seq("bucket"), "o_totalprice")
@@ -197,19 +194,8 @@ object CdcQueries {
         def orow(price: org.apache.spark.sql.Column) =
           struct(col("o_orderkey"), col("o_custkey"),
             price.as("o_totalprice"))
-        val ofeed = ob.select(to_json(struct(
-            orow(col("o_totalprice")).as("after"),
-            lit("c").as("op"), lit(10L).as("ts_ms"))).as("payload"))
-          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
-            .select(to_json(struct(
-              orow(col("o_totalprice")).as("before"),
-              orow(col("o_totalprice") * 0.5).as("after"),
-              lit("u").as("op"), lit(20L).as("ts_ms"))).as("payload")))
-          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
-            .select(to_json(struct(
-              orow(curPrice).as("before"),
-              lit("d").as("op"), lit(30L).as("ts_ms"))).as("payload")))
-        val lcl = CdcFormats.fromDebezium(ofeed, "payload", oSchema)
+        val lcl = CdcFormats.fromDebezium(
+          debeziumFeed(ob, orow, (10L, 20L, 30L)), "payload", oSchema)
 
         val cSchema = StructType(Seq(
           StructField("c_custkey", LongType),
@@ -218,13 +204,13 @@ object CdcQueries {
           .select(col("c_custkey"),
             col("c_acctbal").cast("double").as("c_acctbal"))
         val crow = struct(col("c_custkey"), col("c_acctbal"))
-        val cfeed = cb.select(to_json(struct(
-            crow.as("after"), lit("c").as("op"), lit(11L).as("ts_ms")))
-            .as("payload"))
-          .unionByName(cb.where(col("c_custkey") % 3 === 0)
-            .select(to_json(struct(
-              crow.as("before"), lit("d").as("op"), lit(21L).as("ts_ms")))
-              .as("payload")))
+        val cfeed = cb.select(explode(array(
+            to_json(struct(crow.as("after"), lit("c").as("op"),
+              lit(11L).as("ts_ms"))),
+            when(col("c_custkey") % 3 === 0, to_json(struct(
+              crow.as("before"), lit("d").as("op"),
+              lit(21L).as("ts_ms")))))).as("payload"))
+          .where(col("payload").isNotNull)
         val rcl = CdcFormats.fromDebezium(cfeed, "payload", cSchema)
 
         graft.changelog.UpsertMaterialize(
