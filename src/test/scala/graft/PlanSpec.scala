@@ -105,9 +105,14 @@ class PlanSpec extends SparkSpecBase {
   test("q_cdc_debezium: single parse pass, codegen JSON, no UDF boundary") {
     val p = planOf("q_cdc_debezium")
     // one explode-of-candidates per envelope row — not four scans of the
-    // parsed column
-    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+    // parsed column. The feed builder contributes its own explode
+    // (single-scan envelope generation), so count only the parse pass:
+    // the Generate whose candidates carry the rowkind envelope markers.
+    assert(p.linesIterator.count(l =>
+        l.contains("Generate explode") && l.contains("kind, +I")) == 1,
       s"CDC parse must be a single explode pass:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
+      s"expected exactly feed-build + parse explodes:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"CDC parse must stay declarative:\n$p")
   }
