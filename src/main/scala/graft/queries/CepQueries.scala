@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, MatchRecognize, PatternMatch, PatternStep}
+import graft.operators.{CepNfa, Dedup, MatchRecognize, PatternMatch, PatternStep}
 import org.apache.spark.sql.functions._
 
 /** MATCH_RECOGNIZE-lite (CEP) queries. The Spark side runs the per-key
@@ -390,6 +390,52 @@ object CepQueries {
              AND sp.dir = 'S'
         WHERE c.dir = 'C'
         ORDER BY c.user_id, start_us
+      """.stripMargin.trim)),
+
+    // Concurrent-run NFA (CepNfa): pattern `a+ b` where a = non-increasing
+    // and b = flat — every flat pair satisfies BOTH steps, so the match
+    // requires greedy BACKTRACKING (the deterministic engine finds nothing:
+    // a+ swallows the flats and dies at the rise). A match is a maximal
+    // non-rising island whose LAST flat pair becomes b; n_a counts the
+    // pairs before it. The oracle derives exactly that via islands of
+    // non-U pairs and their last E position (rel position >= 2).
+    QueryDef(
+      "q_cep_backtrack",
+      (s, dir) => {
+        CepNfa.single(bucketed(s, dir), "user_id", "ts_us", "vb", Seq(
+          PatternStep("a", (p, c) => c <= p, greedy = true),
+          PatternStep("b", (p, c) => c == p, greedy = false)))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""
+        WITH $bucketedPrologueSql,
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vb > pv THEN 'U'
+                              WHEN vb < pv THEN 'D' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir <> 'U'
+                                  AND (pdir IS NULL OR pdir = 'U')
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        ni AS (SELECT * FROM r WHERE dir <> 'U'),
+        isl AS (SELECT user_id, runid, MIN(idx) AS first_idx,
+                       arg_min(ptu, idx) AS start_tu
+                FROM ni GROUP BY user_id, runid),
+        le AS (SELECT user_id, runid, MAX(idx) AS e_idx
+               FROM ni WHERE dir = 'E' GROUP BY user_id, runid)
+        SELECT i.user_id, i.start_tu AS start_us, x.tu AS end_us,
+               CAST(le.e_idx - i.first_idx AS BIGINT) AS n_a,
+               CAST(1 AS BIGINT) AS n_b
+        FROM isl i
+        JOIN le ON le.user_id = i.user_id AND le.runid = i.runid
+        JOIN ni x ON x.user_id = i.user_id AND x.runid = i.runid
+               AND x.idx = le.e_idx
+        WHERE le.e_idx >= i.first_idx + 1
+        ORDER BY i.user_id, start_us
       """.stripMargin.trim)),
 
     // PERMUTE(up, down) after a calm run: a >=2-bucket jump and a

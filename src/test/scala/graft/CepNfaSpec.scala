@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{AfterMatchSkip, CepNfa, Dedup, PatternMatch, PatternStep}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The concurrent-run NFA engine: run-splitting (greedy backtracking),
+  * alternation branches, exact PERMUTE without the exclusivity
+  * restriction, eager WITHIN pruning, and parity with the deterministic
+  * engine on the transition-exclusive patterns it is exact for. */
+class CepNfaSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val down = PatternStep("down", (p: Double, c: Double) => c < p,
+    greedy = true)
+  private val upOnce = PatternStep("up", (p: Double, c: Double) => c > p,
+    greedy = false)
+  private val upRun = PatternStep("up", (p: Double, c: Double) => c > p,
+    greedy = true)
+  // overlapping pair: every flat pair satisfies BOTH steps
+  private val nonIncThenFlat = Seq(
+    PatternStep("a", (p: Double, c: Double) => c <= p, greedy = true),
+    PatternStep("b", (p: Double, c: Double) => c == p, greedy = false))
+
+  test("run split recovers the greedy-backtracking match") {
+    // 5,4,3,3,7 with pattern a+(c<=p) b(c==p): greedy a+ swallows the
+    // flat (3,3) pair; backtracking gives it back as b.
+    val rows = Seq((1L, 1L, 5.0), (1L, 2L, 4.0), (1L, 3L, 3.0),
+      (1L, 4L, 3.0), (1L, 5L, 7.0)).toDF("k", "t", "v")
+    val nfa = CepNfa.single(rows, "k", "t", "v", nonIncThenFlat)
+      .select($"start_us", $"end_us", $"n_a", $"n_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(nfa == Set((1L, 4L, 2L, 1L)))
+    // the deterministic engine misses it — the defect this engine fixes
+    assert(PatternMatch(rows, "k", "t", "v", nonIncThenFlat).count() == 0)
+  }
+
+  test("held candidate emitted only when the longer sibling dies") {
+    // pairs D,E,E,D then rise: candidates (a=1,b=1 at the first flat) and
+    // (a=2,b=1 at the second) are held while the greedy take-branch lives;
+    // the lexicographically larger (a=2, ending at the LAST flat pair)
+    // wins once the run dies at the rise.
+    val rows = Seq((1L, 1L, 9.0), (1L, 2L, 7.0), (1L, 3L, 7.0),
+      (1L, 4L, 7.0), (1L, 5L, 5.0), (1L, 6L, 8.0)).toDF("k", "t", "v")
+    val nfa = CepNfa.single(rows, "k", "t", "v", nonIncThenFlat)
+      .select($"start_us", $"end_us", $"n_a", $"n_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(nfa == Set((1L, 4L, 2L, 1L)))
+  }
+
+  test("parity with the deterministic engine on exclusive patterns") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    val d = Dedup.keepFirst(e,
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+    val steps = Seq(down, upRun)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val det = PatternMatch(d, "user_id", "ts_us", "value", steps)
+      .collect().map(key).toSet
+    val nfa = CepNfa.single(d, "user_id", "ts_us", "value", steps)
+      .collect().map(key).toSet
+    assert(det == nfa && det.nonEmpty)
+
+    // SKIP TO NEXT ROW: suffix anchors match the anchor-vector emission
+    val detN = PatternMatch(d, "user_id", "ts_us", "value", Seq(down, upOnce),
+      skip = AfterMatchSkip.ToNextRow).collect().map(key).toSet
+    val nfaN = CepNfa.single(d, "user_id", "ts_us", "value",
+      Seq(down, upOnce), skip = AfterMatchSkip.ToNextRow)
+      .collect().map(key).toSet
+    assert(detN == nfaN && detN.size > det.size)
+  }
+
+  test("PERMUTE with overlapping steps emits one winner per anchor") {
+    // x and y are the SAME predicate — maximal overlap. The union
+    // expansion double-emits; per-anchor resolution picks one branch.
+    val rows = Seq((1L, 1L, 0.0), (1L, 2L, 0.0), (1L, 3L, 1.0),
+      (1L, 4L, 2.0)).toDF("k", "t", "v")
+    val calm = PatternStep("calm", (p: Double, c: Double) => c == p,
+      greedy = true)
+    val x = PatternStep("x", (p: Double, c: Double) => c - p >= 1,
+      greedy = false)
+    val y = PatternStep("y", (p: Double, c: Double) => c - p >= 1,
+      greedy = false)
+    val union = PatternMatch.permute(rows, "k", "t", "v",
+      prefix = Seq(calm), permuted = Seq(x, y))
+    assert(union.count() == 2) // the documented double-emission defect
+    val nfa = CepNfa.permute(rows, "k", "t", "v",
+      prefix = Seq(calm), permuted = Seq(x, y))
+      .select($"start_us", $"end_us", $"n_calm", $"n_x", $"n_y")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(nfa == Set((1L, 4L, 1L, 1L, 1L)))
+  }
+
+  test("eager WITHIN recovers later anchors inside an over-budget run") {
+    val rows = Seq((1L, 0L, 10.0), (1L, 1L, 9.0), (1L, 2L, 8.0),
+      (1L, 3L, 7.0), (1L, 4L, 9.0)).toDF("k", "t", "v")
+    val steps = Seq(down, upOnce)
+    // completion-time check: the single run is over budget and its
+    // consumed rows are lost
+    assert(PatternMatch(rows, "k", "t", "v", steps,
+      withinUs = Some(3L)).count() == 0)
+    // eager pruning: the anchor at t=1 stays in budget and matches
+    val nfa = CepNfa.single(rows, "k", "t", "v", steps,
+      withinUs = Some(3L))
+      .select($"start_us", $"end_us", $"n_down", $"n_up")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(nfa == Set((1L, 4L, 2L, 1L)))
+  }
+
+  test("alternation branches: V and inverted-V both found, no overlap") {
+    // 5,4,3,6,9,7,5: a V (down,down,up) then an inverted V (up,down) —
+    // PastLastRow lets the second match re-anchor AT the first's end row.
+    val rows = Seq((1L, 1L, 5.0), (1L, 2L, 4.0), (1L, 3L, 3.0),
+      (1L, 4L, 6.0), (1L, 5L, 9.0), (1L, 6L, 7.0), (1L, 7L, 5.0))
+      .toDF("k", "t", "v")
+    val v = Seq(down, upOnce)
+    val lambda = Seq(upRun,
+      PatternStep("down", (p: Double, c: Double) => c < p, greedy = false))
+    val out = CepNfa(rows, "k", "t", "v", Seq(v, lambda))
+      .select($"start_us", $"end_us", $"n_down", $"n_up")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 4L, 2L, 1L), (4L, 6L, 1L, 1L)))
+  }
+
+  test("streaming parity: NFA state (runs + held candidates) crosses batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sequences end in a sharp rise so every run dies and all held
+    // candidates drain (streams have no end-of-input flush)
+    val series = Seq(
+      1L -> Seq(10.0, 8.0, 5.0, 5.0, 9.0, 7.0, 6.0, 6.0, 12.0),
+      2L -> Seq(4.0, 4.0, 3.0, 3.0, 8.0))
+    val rows = series.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, (i + 1) * 1000L, v) }
+    }
+    val batch = CepNfa.single(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", nonIncThenFlat)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nfa-").toString
+    val q = CepNfa.streaming(df, "user_id", "ts_us", "value",
+      Seq(nonIncThenFlat))
+      .writeStream.format("memory").queryName("nfa_t")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("nfa_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+}
