@@ -56,12 +56,57 @@ import org.apache.spark.sql.types._
   */
 object CepNfa {
 
+  /** One element of a nested pattern: a plain step or a quantified GROUP
+    * of steps — the reference's GroupPattern
+    * (flink-libraries/flink-cep/…/cep/pattern/GroupPattern.java): a
+    * sub-pattern under its own `oneOrMore()`/`times(n)` quantifier, e.g.
+    * `(A B)+` or `(A+ B){2,}`. One nesting level (groups hold plain
+    * steps); `greedy = true` lets the group iterate beyond `minIters`
+    * preferring more iterations, `false` pins it at exactly `minIters`. */
+  sealed trait PatternElem extends Serializable
+  final case class Atom(step: PatternStep) extends PatternElem
+  final case class GroupElem(
+      steps: Seq[PatternStep],
+      minIters: Int = 1,
+      greedy: Boolean = true) extends PatternElem
+
+  /** Flattened branch: per-step group id (-1 = not grouped) + group
+    * boundaries over flat step indices. */
+  private final case class GroupSpec(
+      start: Int, end: Int, minIters: Long, greedy: Boolean)
+  private final case class Branch(
+      steps: IndexedSeq[PatternStep],
+      grp: IndexedSeq[Int],
+      groups: IndexedSeq[GroupSpec]) extends Serializable
+
+  private def compile(elems: Seq[PatternElem]): Branch = {
+    val steps = IndexedSeq.newBuilder[PatternStep]
+    val grp = IndexedSeq.newBuilder[Int]
+    val groups = IndexedSeq.newBuilder[GroupSpec]
+    var i = 0
+    var g = 0
+    elems.foreach {
+      case Atom(s) => steps += s; grp += -1; i += 1
+      case GroupElem(ss, minIters, greedy) =>
+        groups += GroupSpec(i, i + ss.size - 1, minIters.toLong, greedy)
+        ss.foreach { s => steps += s; grp += g; i += 1 }
+        g += 1
+    }
+    Branch(steps.result(), grp.result(), groups.result())
+  }
+
   /** One live partial match. `startT` is the anchor row's time (the prev
-    * row of the first matched pair, as in [[PatternMatch]]). */
+    * row of the first matched pair, as in [[PatternMatch]]). `counts` is
+    * CUMULATIVE per step (the output), `iterCounts` counts only the
+    * current group iteration (what step minimums are checked against;
+    * mirrors `counts` outside groups), `iters` is the number of COMPLETED
+    * iterations of the group containing `stepIdx` (0 outside groups). */
   final case class Run(
       branch: Int,
       stepIdx: Int,
       counts: Vector[Long],
+      iterCounts: Vector[Long],
+      iters: Long,
       startT: Long)
 
   /** A completed match held until no live run can outrank it. */
@@ -82,29 +127,71 @@ object CepNfa {
   private val empty = NfaState(Nil, Nil, 0L, 0.0, havePrev = false)
 
   private def validate(
-      branches: Seq[Seq[PatternStep]], withinUs: Option[Long]): Unit = {
+      branches: Seq[Seq[PatternElem]], withinUs: Option[Long]): Unit = {
     require(branches.nonEmpty, "pattern needs at least one branch")
-    branches.foreach { steps =>
+    branches.foreach { elems =>
+      require(elems.nonEmpty, "pattern needs at least one element")
+      val steps = elems.flatMap {
+        case Atom(s) => Seq(s)
+        case GroupElem(ss, minIters, greedy) =>
+          require(ss.nonEmpty, "a group needs at least one step")
+          require(minIters >= 0, "group minIters must be >= 0")
+          require(greedy || minIters >= 1,
+            "a non-greedy group with minIters = 0 can never be entered")
+          require(ss.head.minCount >= 1,
+            s"the first step of a group may not be optional " +
+              s"(${ss.head.name}): it anchors each iteration")
+          ss
+      }
       require(steps.nonEmpty, "pattern needs at least one step")
       val bad = steps.filter(s => !s.greedy && s.minCount > 1)
       require(bad.isEmpty,
         s"non-greedy steps match exactly one row; minCount > 1 is " +
           s"unsatisfiable for: ${bad.map(_.name).mkString(", ")}")
-      require(steps.head.minCount >= 1,
-        "the first step may not be optional: it anchors the match start")
+      val anchorOk = elems.head match {
+        case Atom(s) => s.minCount >= 1
+        case GroupElem(_, minIters, _) => minIters >= 1
+      }
+      require(anchorOk,
+        "the first element may not be optional: it anchors the match start")
     }
     require(withinUs.forall(_ > 0), "withinUs must be positive")
   }
 
   /** The pure engine over one branch set — shared by both faces. */
   private final class Engine(
-      branches: IndexedSeq[IndexedSeq[PatternStep]],
+      branches: IndexedSeq[Branch],
       withinUs: Option[Long],
       skip: AfterMatchSkip) extends Serializable {
 
-    private def canComplete(b: Int, i: Int): Boolean = {
-      val steps = branches(b)
-      (i + 1 until steps.length).forall(steps(_).minCount == 0)
+    /** Everything from flat index `j` on is skippable: plain steps must be
+      * optional; a group (always hit at its start by construction) is
+      * skipped whole iff its minIters is 0. */
+    @tailrec private def tailSkippable(b: Branch, j: Int): Boolean =
+      j >= b.steps.length || {
+        val g = b.grp(j)
+        if (g >= 0) b.groups(g).minIters == 0 &&
+          tailSkippable(b, b.groups(g).end + 1)
+        else b.steps(j).minCount == 0 && tailSkippable(b, j + 1)
+      }
+
+    /** Steps after `i` to the end of group `g` are all optional — the
+      * current iteration may close at `i`. */
+    private def iterTailOptional(b: Branch, g: Int, i: Int): Boolean =
+      (i + 1 to b.groups(g).end).forall(b.steps(_).minCount == 0)
+
+    /** The run's current position admits a match ending at its last
+      * matched row: step minimum met; inside a group also the iteration
+      * tail must be optional and the iteration minimum met. */
+    private def canCompleteRun(r: Run): Boolean = {
+      val b = branches(r.branch)
+      val g = b.grp(r.stepIdx)
+      r.iterCounts(r.stepIdx) >= b.steps(r.stepIdx).minCount && {
+        if (g < 0) tailSkippable(b, r.stepIdx + 1)
+        else iterTailOptional(b, g, r.stepIdx) &&
+          r.iters + 1 >= b.groups(g).minIters &&
+          tailSkippable(b, b.groups(g).end + 1)
+      }
     }
 
     private def inBudget(start: Long, end: Long): Boolean =
@@ -126,14 +213,21 @@ object CepNfa {
     }
 
     /** Upper bound on the counts this run could still reach: frozen below
-      * the current step, unbounded where a greedy quantifier can extend. */
+      * the current step, unbounded where a greedy quantifier (step- or
+      * group-level loop-back) can extend. */
     private def potential(r: Run): Vector[Long] = {
-      val steps = branches(r.branch)
+      val b = branches(r.branch)
+      val steps = b.steps
+      val ag = b.grp(r.stepIdx)
+      val loopPossible = ag >= 0 &&
+        (b.groups(ag).greedy || r.iters + 1 < b.groups(ag).minIters)
       Vector.tabulate(steps.length) { i =>
-        if (i < r.stepIdx) r.counts(i)
+        if (loopPossible && i >= b.groups(ag).start && i <= b.groups(ag).end)
+          Long.MaxValue
+        else if (i < r.stepIdx) r.counts(i)
         else if (i == r.stepIdx)
           if (steps(i).greedy) Long.MaxValue else r.counts(i)
-        else if (steps(i).greedy) Long.MaxValue
+        else if (steps(i).greedy || b.grp(i) >= 0) Long.MaxValue
         else 1L
       }
     }
@@ -144,50 +238,124 @@ object CepNfa {
       else if (r.branch != c.branch) r.branch < c.branch
       else cmpCounts(potential(r), c.counts) < 0
 
-    /** Completion available when a run dies: all remaining steps optional,
-      * minimum met, budget holds for a match ending at `endT`. */
-    private def deathCand(r: Run, endT: Long): Option[Cand] = {
-      val steps = branches(r.branch)
-      if (r.counts(r.stepIdx) >= steps(r.stepIdx).minCount &&
-          canComplete(r.branch, r.stepIdx) && inBudget(r.startT, endT))
+    /** Completion available when a run dies: position admits completion
+      * and the budget holds for a match ending at `endT`. */
+    private def deathCand(r: Run, endT: Long): Option[Cand] =
+      if (canCompleteRun(r) && inBudget(r.startT, endT))
         Some(Cand(r.branch, r.counts, r.startT, endT))
       else None
+
+    /** Forward walk from flat index `from` over ELEMENTS (outside any
+      * group): plain optional steps may be entered or skipped; a later
+      * group is enterable only at its start (fresh iteration) and
+      * walkable-past only when its minIters is 0. Appends successors /
+      * final-step candidates; returns whether the walk ran off the end. */
+    private def walkElems(
+        r: Run, from: Int, p: Double, v: Double, t: Long, budget: Boolean,
+        succ: scala.collection.mutable.ListBuffer[Run],
+        cands: scala.collection.mutable.ListBuffer[Cand]): Boolean = {
+      val b = branches(r.branch)
+      val steps = b.steps
+      var k = from
+      var walking = true
+      while (walking && k < steps.length) {
+        val g2 = b.grp(k)
+        val sk = steps(k)
+        if (g2 >= 0) {
+          val gk = b.groups(g2)
+          if (budget && sk.pred(p, v))
+            succ += Run(r.branch, k,
+              r.counts.updated(k, r.counts(k) + 1L),
+              Vector.fill(steps.length)(0L).updated(k, 1L),
+              0L, r.startT)
+          walking = gk.minIters == 0
+          k = gk.end + 1
+        } else {
+          if (budget && sk.pred(p, v)) {
+            val c2 = r.counts.updated(k, r.counts(k) + 1L)
+            if (k == steps.length - 1 && !sk.greedy)
+              cands += Cand(r.branch, c2, r.startT, t)
+            else succ += r.copy(stepIdx = k, counts = c2,
+              iterCounts = r.iterCounts.updated(k, r.iterCounts(k) + 1L),
+              iters = 0L)
+          }
+          walking = sk.minCount == 0
+          k += 1
+        }
+      }
+      walking
     }
 
     /** Successors + completions of one run for the pair (p, v) at `t`.
       * `prevT` is the time of the pair's left row (= match end if the run
-      * dies here). */
+      * dies here). Group semantics: when the current iteration may close
+      * (step min met, iteration tail optional) the run splits three ways —
+      * loop back into a fresh iteration, exit past the group into later
+      * elements, or keep the exit-now interpretation as a HELD candidate
+      * (so a later mid-iteration death cannot lose the shorter match). */
     private def evolve(r: Run, p: Double, v: Double, t: Long, prevT: Long)
         : (List[Run], List[Cand]) = {
-      val steps = branches(r.branch)
+      val b = branches(r.branch)
+      val steps = b.steps
       val s = steps(r.stepIdx)
-      var succ: List[Run] = Nil
-      var cands: List[Cand] = Nil
-      if (s.greedy && s.pred(p, v) && inBudget(r.startT, t))
-        succ ::= r.copy(counts =
-          r.counts.updated(r.stepIdx, r.counts(r.stepIdx) + 1L))
-      if (r.counts(r.stepIdx) >= s.minCount) {
-        // branch into every ENTERABLE later step: optional steps may be
-        // entered or skipped over (both successors are kept — this is the
-        // run split the deterministic engine lacks); the walk stops after
-        // the first required step.
-        var j = r.stepIdx + 1
-        var walking = true
-        while (walking && j < steps.length) {
-          val sj = steps(j)
-          if (sj.pred(p, v) && inBudget(r.startT, t)) {
-            val c2 = r.counts.updated(j, 1L)
-            if (j == steps.length - 1 && !sj.greedy)
-              cands ::= Cand(r.branch, c2, r.startT, t)
-            else succ ::= r.copy(stepIdx = j, counts = c2)
+      val g = b.grp(r.stepIdx)
+      val budget = inBudget(r.startT, t)
+      val succ = scala.collection.mutable.ListBuffer.empty[Run]
+      val cands = scala.collection.mutable.ListBuffer.empty[Cand]
+      if (s.greedy && budget && s.pred(p, v))
+        succ += r.copy(
+          counts = r.counts.updated(r.stepIdx, r.counts(r.stepIdx) + 1L),
+          iterCounts =
+            r.iterCounts.updated(r.stepIdx, r.iterCounts(r.stepIdx) + 1L))
+      if (r.iterCounts(r.stepIdx) >= s.minCount) {
+        if (g < 0) {
+          // linear step: run-split into every enterable later element
+          walkElems(r, r.stepIdx + 1, p, v, t, budget, succ, cands)
+        } else {
+          // in-group step: walk the rest of the ITERATION first (plain
+          // steps only; bounded by the group end)
+          val gi = b.groups(g)
+          var j = r.stepIdx + 1
+          var walking = true
+          while (walking && j <= gi.end) {
+            val sj = steps(j)
+            if (budget && sj.pred(p, v))
+              succ += r.copy(stepIdx = j,
+                counts = r.counts.updated(j, r.counts(j) + 1L),
+                iterCounts = r.iterCounts.updated(j, r.iterCounts(j) + 1L))
+            walking = sj.minCount == 0
+            j += 1
           }
-          walking = sj.minCount == 0
-          j += 1
+          if (walking) {
+            // the iteration may close at this position
+            val itersDone = r.iters + 1
+            // (a) loop back into a fresh iteration (greedy groups may
+            // always iterate; non-greedy only while under their minimum)
+            if ((gi.greedy || itersDone < gi.minIters) && budget &&
+                steps(gi.start).pred(p, v)) {
+              val reset = Vector.tabulate(steps.length) { i =>
+                if (i >= gi.start && i <= gi.end) 0L else r.iterCounts(i)
+              }
+              succ += r.copy(
+                stepIdx = gi.start,
+                counts = r.counts.updated(gi.start, r.counts(gi.start) + 1L),
+                iterCounts = reset.updated(gi.start, 1L),
+                iters = itersDone)
+            }
+            if (itersDone >= gi.minIters) {
+              // (b) exit the group into later elements
+              walkElems(r, gi.end + 1, p, v, t, budget, succ, cands)
+              // (c) exit-now: the match ending at the previous row stays
+              // a held candidate while successors explore longer ones
+              if (succ.nonEmpty && tailSkippable(b, gi.end + 1) &&
+                  inBudget(r.startT, prevT))
+                cands += Cand(r.branch, r.counts, r.startT, prevT)
+            }
+          }
         }
       }
-      if (succ.isEmpty && cands.isEmpty)
-        cands = deathCand(r, prevT).toList
-      (succ, cands)
+      if (succ.isEmpty && cands.isEmpty) (Nil, deathCand(r, prevT).toList)
+      else (succ.toList, cands.toList)
     }
 
     /** Emit every pending candidate no live run can outrank; apply the
@@ -231,12 +399,13 @@ object CepNfa {
       }
       // fresh anchor per branch (every row is a potential match start)
       branches.indices.foreach { b =>
-        val steps = branches(b)
+        val br = branches(b)
+        val steps = br.steps
         if (steps(0).pred(p, v)) {
           val c0 = Vector.tabulate(steps.length)(i => if (i == 0) 1L else 0L)
-          if (steps.length == 1 && !steps(0).greedy) {
+          if (steps.length == 1 && !steps(0).greedy && br.grp(0) < 0) {
             if (steps(0).minCount <= 1) cands ::= Cand(b, c0, st.prevT, t)
-          } else runs ::= Run(b, 0, c0, st.prevT)
+          } else runs ::= Run(b, 0, c0, c0, 0L, st.prevT)
         }
       }
       val (r2, p2, emitted) =
@@ -255,11 +424,11 @@ object CepNfa {
   }
 
   /** Output step names: union across branches in first-seen order. */
-  private def outNames(branches: Seq[Seq[PatternStep]]): Seq[String] =
-    branches.flatMap(_.map(_.name)).distinct
+  private def outNames(branches: Seq[Branch]): Seq[String] =
+    branches.flatMap(_.steps.map(_.name)).distinct
 
   private def outSchema(df: DataFrame, keyCol: String,
-      branches: Seq[Seq[PatternStep]]): StructType =
+      branches: Seq[Branch]): StructType =
     StructType(
       df.schema(keyCol) +:
         StructField("start_us", LongType) +:
@@ -267,13 +436,42 @@ object CepNfa {
         outNames(branches).map(n => StructField(s"n_$n", LongType)))
 
   private def candRow(key: Any, c: Cand, names: Seq[String],
-      branches: IndexedSeq[IndexedSeq[PatternStep]]): Row = {
-    val steps = branches(c.branch)
+      branches: IndexedSeq[Branch]): Row = {
+    val steps = branches(c.branch).steps
     val byName = names.map { n =>
       steps.iterator.zipWithIndex
         .filter(_._1.name == n).map(x => c.counts(x._2)).sum
     }
     Row.fromSeq(key +: c.startT +: c.endT +: byName)
+  }
+
+  /** Batch face over nested-pattern branches. `timeCol` must be LongType
+    * (exact micros); ties must be pre-deduplicated for determinism. */
+  def nested(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      branches: Seq[Seq[PatternElem]],
+      withinUs: Option[Long] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+    validate(branches, withinUs)
+    val tIdx = df.schema.fieldIndex(timeCol)
+    val vIdx = df.schema.fieldIndex(valCol)
+    val br = branches.map(compile).toIndexedSeq
+    val names = outNames(br)
+    val eng = new Engine(br, withinUs, skip)
+    SecondarySort.mapOrderedGroups(
+      df, Seq(keyCol), Seq(col(timeCol)), outSchema(df, keyCol, br)) {
+      (key, rows) =>
+        var st = empty
+        val matched = rows.flatMap { r =>
+          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          st = s2
+          ms.map(candRow(key.head, _, names, br))
+        }
+        matched ++ eng.flush(st).iterator.map(candRow(key.head, _, names, br))
+    }
   }
 
   /** Batch face. `timeCol` must be LongType (exact micros); ties must be
@@ -285,25 +483,9 @@ object CepNfa {
       valCol: String,
       branches: Seq[Seq[PatternStep]],
       withinUs: Option[Long] = None,
-      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
-    validate(branches, withinUs)
-    val tIdx = df.schema.fieldIndex(timeCol)
-    val vIdx = df.schema.fieldIndex(valCol)
-    val br = branches.map(_.toIndexedSeq).toIndexedSeq
-    val names = outNames(branches)
-    val eng = new Engine(br, withinUs, skip)
-    SecondarySort.mapOrderedGroups(
-      df, Seq(keyCol), Seq(col(timeCol)), outSchema(df, keyCol, branches)) {
-      (key, rows) =>
-        var st = empty
-        val matched = rows.flatMap { r =>
-          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
-          st = s2
-          ms.map(candRow(key.head, _, names, br))
-        }
-        matched ++ eng.flush(st).iterator.map(candRow(key.head, _, names, br))
-    }
-  }
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame =
+    nested(df, keyCol, timeCol, valCol,
+      branches.map(_.map(Atom(_): PatternElem)), withinUs, skip)
 
   /** Single-branch convenience (generalizes [[PatternMatch.apply]]). */
   def single(
@@ -349,14 +531,26 @@ object CepNfa {
       valCol: String,
       branches: Seq[Seq[PatternStep]],
       withinUs: Option[Long] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame =
+    nestedStreaming(df, keyCol, timeCol, valCol,
+      branches.map(_.map(Atom(_): PatternElem)), withinUs, skip)
+
+  /** Streaming face over nested-pattern branches (see [[streaming]]). */
+  def nestedStreaming(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      branches: Seq[Seq[PatternElem]],
+      withinUs: Option[Long] = None,
       skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
     validate(branches, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
-    val br = branches.map(_.toIndexedSeq).toIndexedSeq
-    val names = outNames(branches)
+    val br = branches.map(compile).toIndexedSeq
+    val names = outNames(br)
     val eng = new Engine(br, withinUs, skip)
-    val schema = outSchema(df, keyCol, branches)
+    val schema = outSchema(df, keyCol, br)
     val ptf = new GraftPTF[NfaState] {
       def process(
           key: Row,

@@ -486,6 +486,42 @@ object CepQueries {
                    AND s2nd.dir IN ('U', 'D') AND s2nd.dir <> s1st.dir
         WHERE c.dir = 'C'
         ORDER BY c.user_id, start_us
+      """.stripMargin.trim)),
+
+    // Nested GROUP pattern `(down up)+` (GroupPattern.java): a maximal
+    // alternating sequence of strictly-falling then strictly-rising pairs,
+    // greedy in the iteration count, matches non-overlapping with
+    // earliest-anchor priority. The oracle is an independent REGEX
+    // formulation: classify each consecutive pair D/U/E, concatenate per
+    // user in time order, and take the leftmost non-overlapping greedy
+    // matches of (DU)+ — exactly the NFA's PastLastRow semantics in pair
+    // space. Compared as the per-user multiset of match sizes.
+    QueryDef(
+      "q_cep_group",
+      (s, dir) => {
+        val m = CepNfa.nested(bucketed(s, dir), "user_id", "ts_us", "vb",
+          Seq(Seq(CepNfa.GroupElem(Seq(
+            PatternStep("down", (p, c) => c < p, greedy = false),
+            PatternStep("up", (p, c) => c > p, greedy = false))))))
+        m.groupBy(col("user_id"), col("n_down"), col("n_up"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("user_id"), col("n_down"))
+      },
+      Some(s"""
+        WITH $bucketedPrologueSql,
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vb < pv THEN 'D'
+                              WHEN vb > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        pstr AS (SELECT user_id, string_agg(dir, '' ORDER BY tu) AS ps
+                 FROM sd WHERE dir IS NOT NULL GROUP BY user_id),
+        m AS (SELECT user_id, unnest(regexp_extract_all(ps, '(?:DU)+')) AS mm
+              FROM pstr)
+        SELECT user_id, CAST(length(mm) // 2 AS BIGINT) AS n_down,
+               CAST(length(mm) // 2 AS BIGINT) AS n_up,
+               COUNT(*) AS cnt
+        FROM m GROUP BY 1, 2, 3
+        ORDER BY user_id, n_down
       """.stripMargin.trim))
   )
 

@@ -159,4 +159,121 @@ class CepNfaSpec extends SparkSpecBase {
         r.getLong(3), r.getLong(4))).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  // ----- nested group patterns (GroupPattern.java) -----
+
+  private val downOne = PatternStep("down", (p: Double, c: Double) => c < p,
+    greedy = false)
+  private val upOne2 = PatternStep("up", (p: Double, c: Double) => c > p,
+    greedy = false)
+  private val duGroup = CepNfa.GroupElem(Seq(downOne, upOne2))
+
+  private def nestedMatches(
+      rows: Seq[(Long, Long, Double)],
+      elems: Seq[CepNfa.PatternElem]): Set[Seq[Long]] =
+    CepNfa.nested(rows.toDF("k", "t", "v"), "k", "t", "v", Seq(elems))
+      .collect().map(_.toSeq.map(_.asInstanceOf[Long]).tail.toSeq).toSet
+
+  private def series(vs: Double*): Seq[(Long, Long, Double)] =
+    vs.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+
+  test("group (down up)+ iterates greedily across iterations") {
+    // pairs D,U,D,U,D → two full iterations, the trailing D dies
+    val m = nestedMatches(series(5, 3, 6, 2, 9, 1), Seq(duGroup))
+    assert(m == Set(Seq(1L, 5L, 2L, 2L)))
+  }
+
+  test("mid-iteration death falls back to the completed iterations") {
+    // pairs D,U,D: the loop-back consumes the trailing D and dies — the
+    // exit-now held candidate recovers the 1-iteration match
+    val m = nestedMatches(series(5, 3, 6, 2), Seq(duGroup))
+    assert(m == Set(Seq(1L, 3L, 1L, 1L)))
+  }
+
+  test("group minIters gates the match") {
+    val two = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 2)
+    assert(nestedMatches(series(5, 3, 6, 2), Seq(two)).isEmpty)
+    assert(nestedMatches(series(5, 3, 6, 2, 9), Seq(two)) ==
+      Set(Seq(1L, 5L, 2L, 2L)))
+  }
+
+  test("non-greedy group stops at exactly minIters iterations") {
+    // pairs D,U,D,U,D,U — three iterations available
+    val rows = series(5, 3, 6, 2, 9, 1, 7)
+    val greedy = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 2)
+    assert(nestedMatches(rows, Seq(greedy)) == Set(Seq(1L, 7L, 3L, 3L)))
+    val exact = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 2,
+      greedy = false)
+    // stops after two iterations; the leftover single D,U pair at the
+    // boundary can't reach minIters again
+    assert(nestedMatches(rows, Seq(exact)) == Set(Seq(1L, 5L, 2L, 2L)))
+  }
+
+  test("group followed by a required suffix step") {
+    val flat = PatternStep("flat", (p: Double, c: Double) => c == p,
+      greedy = false)
+    val elems = Seq(duGroup, CepNfa.Atom(flat))
+    // pairs D,U,D,U,E → both iterations then the flat suffix
+    assert(nestedMatches(series(5, 3, 6, 2, 9, 9), elems) ==
+      Set(Seq(1L, 6L, 2L, 2L, 1L)))
+    // no flat → no match (exit-now is not a valid completion here)
+    assert(nestedMatches(series(5, 3, 6, 2, 9), elems).isEmpty)
+  }
+
+  test("optional group (minIters = 0) is entered or skipped over") {
+    val calm = PatternStep("calm", (p: Double, c: Double) => c == p,
+      greedy = true)
+    val opt = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 0)
+    val elems = Seq(CepNfa.Atom(calm), opt)
+    // pairs E,D,U → calm then one iteration (greedy prefers entering)
+    assert(nestedMatches(series(7, 7, 5, 8), elems) ==
+      Set(Seq(1L, 4L, 1L, 1L, 1L)))
+    // pairs E,U → the group never opens; the match is calm alone
+    assert(nestedMatches(series(7, 7, 9), elems) ==
+      Set(Seq(1L, 2L, 1L, 0L, 0L)))
+  }
+
+  test("greedy inner step within a group") {
+    // (down+ up)+ : pairs D,D,U,D,U → iter1 has two downs, iter2 one
+    val downRun = PatternStep("down", (p: Double, c: Double) => c < p,
+      greedy = true)
+    val g = CepNfa.GroupElem(Seq(downRun, upOne2))
+    assert(nestedMatches(series(9, 7, 5, 8, 2, 6), Seq(g)) ==
+      Set(Seq(1L, 6L, 3L, 2L)))
+  }
+
+  test("streaming parity for group patterns across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // each key ends on a flat (E) pair so every run dies and all held
+    // candidates drain — streams have no end-of-input flush
+    val series2 = Seq(
+      1L -> Seq(5.0, 3.0, 6.0, 2.0, 9.0, 1.0, 7.0, 7.0, 20.0, 20.0),
+      2L -> Seq(4.0, 2.0, 8.0, 8.0, 1.0, 9.0, 9.0))
+    val rows = series2.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, (i + 1) * 1000L, v) }
+    }
+    val elems = Seq(duGroup)
+    val batch = CepNfa.nested(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", Seq(elems))
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nfg-").toString
+    val q = CepNfa.nestedStreaming(df, "user_id", "ts_us", "value",
+      Seq(elems))
+      .writeStream.format("memory").queryName("nfa_g")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("nfa_g").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
