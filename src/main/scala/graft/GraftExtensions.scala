@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{DotDoubleExpr, DotFixedExpr, InetAtonExpr}
+import graft.sources.ProtobufLite.{PbDecodeExpr, PbEncodeExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,5 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double_native"),
       (children: Seq[Expression]) =>
         DotDoubleExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pb_decode"),
+      new ExpressionInfo(classOf[PbDecodeExpr].getName, "pb_decode"),
+      (children: Seq[Expression]) =>
+        PbDecodeExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pb_encode"),
+      new ExpressionInfo(classOf[PbEncodeExpr].getName, "pb_encode"),
+      (children: Seq[Expression]) =>
+        PbEncodeExpr(children(0), children(1))))
   }
 }

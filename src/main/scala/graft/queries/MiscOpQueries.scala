@@ -275,6 +275,47 @@ object MiscOpQueries {
         FROM t ORDER BY p_partkey
       """.stripMargin.trim)),
 
+    // Protobuf format (flink-formats/flink-protobuf): per-row wire-format
+    // encode → decode round trip over five orders columns — int64 varint,
+    // sint64 zigzag, two strings, one double — then an aggregate over the
+    // DECODED fields; the oracle computes the same aggregate from the
+    // original columns directly. The wire format itself is pinned by
+    // golden byte vectors in ProtobufSpec.
+    QueryDef(
+      "q_protobuf",
+      (s, dir) => {
+        import graft.sources.ProtobufLite._
+        val msg = PbMessage(Seq(
+          PbField(1, "okey", PbInt64),
+          PbField(2, "ckey", PbSInt64),
+          PbField(3, "status", PbString),
+          PbField(4, "price", PbDouble),
+          PbField(5, "prio", PbString)))
+        val d = render(msg)
+        Tables.orders(s, dir)
+          .select(expr(
+            s"""pb_decode(pb_encode(named_struct(
+               |  'okey', o_orderkey, 'ckey', o_custkey,
+               |  'status', o_orderstatus, 'price', o_totalprice,
+               |  'prio', o_orderpriority), '$d'), '$d')""".stripMargin)
+            .as("m"))
+          .groupBy(col("m.status").as("o_status"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("m.okey")).as("sum_key"),
+            sum(col("m.ckey")).as("sum_ckey"),
+            max(col("m.price")).as("max_price"),
+            min(col("m.prio")).as("min_prio"))
+          .orderBy(col("o_status"))
+      },
+      Some("""
+        SELECT o_orderstatus AS o_status, COUNT(*) AS cnt,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_ckey,
+               MAX(o_totalprice) AS max_price,
+               MIN(o_orderpriority) AS min_prio
+        FROM orders GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim)),
+
     // Collection pack, arrays: sort/distinct/slice/union/intersect/except/
     // contains/element_at/min/max/join over per-order quantity arrays.
     QueryDef(
