@@ -173,6 +173,78 @@ object TriggerQueries {
                CAST(cnt // 25 + 1 AS BIGINT), TRUE, LEAST(cnt, 50), win_sum
         FROM r WHERE rn = cnt
         ORDER BY event_type, w_start, fire_seq
+      """.stripMargin.trim)),
+
+    // DeltaTrigger(|v - v_atLastFire| > 100 units): the comparison point
+    // seeds at the window's first element and moves to the firing element
+    // at each fire — inherently sequential state, so the oracle WALKS each
+    // window with a recursive CTE (one iteration per in-window position).
+    QueryDef(
+      "q_window_trigger_delta",
+      (s, dir) => ordered(TriggeredWindows(
+        scaled(s, dir), "event_type", "ts_us", "v", W,
+        WindowTrigger.DeltaOver(100000000L), WindowEvictor.KeepAll, "sum",
+        Seq(col("event_id")))),
+      Some(s"""
+        WITH RECURSIVE e AS ($E),
+        r AS (
+          SELECT *,
+                 ROW_NUMBER() OVER w AS rn,
+                 SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS run_sum,
+                 COUNT(*) OVER (PARTITION BY event_type, w_start) AS cnt,
+                 SUM(v) OVER (PARTITION BY event_type, w_start) AS tot
+          FROM e
+          WINDOW w AS (PARTITION BY event_type, w_start
+                       ORDER BY ts_us, event_id)),
+        walk AS (
+          SELECT event_type, w_start, rn, v AS trigv,
+                 CAST(0 AS BIGINT) AS fire_seq, FALSE AS fired,
+                 run_sum, cnt, tot
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.event_type, r.w_start, r.rn,
+                 CASE WHEN ABS(r.v - w.trigv) > 100000000
+                      THEN r.v ELSE w.trigv END,
+                 w.fire_seq + CASE WHEN ABS(r.v - w.trigv) > 100000000
+                                   THEN 1 ELSE 0 END,
+                 ABS(r.v - w.trigv) > 100000000,
+                 r.run_sum, r.cnt, r.tot
+          FROM walk w
+          JOIN r ON r.event_type = w.event_type
+                AND r.w_start = w.w_start AND r.rn = w.rn + 1)
+        SELECT event_type, w_start, w_start + $W AS w_end, fire_seq,
+               FALSE AS is_final, rn AS n_rows, run_sum AS agg_val
+        FROM walk WHERE fired
+        UNION ALL
+        SELECT event_type, w_start, w_start + $W, fire_seq + 1, TRUE,
+               cnt, tot
+        FROM walk WHERE rn = cnt
+        ORDER BY event_type, w_start, fire_seq
+      """.stripMargin.trim)),
+
+    // DeltaEvictor(|v - v_last| < 100 units): the close fire aggregates
+    // only elements whose value is near the window's LAST element's value.
+    QueryDef(
+      "q_window_evict_delta",
+      (s, dir) => ordered(TriggeredWindows(
+        scaled(s, dir), "event_type", "ts_us", "v", W,
+        WindowTrigger.OnClose, WindowEvictor.DeltaLast(100000000L), "sum",
+        Seq(col("event_id")))),
+      Some(s"""
+        WITH e AS ($E),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, w_start
+                     ORDER BY ts_us DESC, event_id DESC) AS rd
+          FROM e),
+        lastv AS (SELECT event_type, w_start, v AS lv FROM r WHERE rd = 1)
+        SELECT r.event_type, r.w_start, r.w_start + $W AS w_end,
+               CAST(1 AS BIGINT) AS fire_seq, TRUE AS is_final,
+               COUNT(*) AS n_rows, SUM(r.v) AS agg_val
+        FROM r JOIN lastv l
+          ON l.event_type = r.event_type AND l.w_start = r.w_start
+        WHERE ABS(r.v - l.lv) < 100000000
+        GROUP BY r.event_type, r.w_start
+        ORDER BY r.event_type, r.w_start, fire_seq
       """.stripMargin.trim))
   )
 }

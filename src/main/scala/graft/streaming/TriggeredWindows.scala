@@ -33,6 +33,16 @@ object WindowTrigger {
   final case class ContinuousEventTime(intervalUs: Long) extends WindowTrigger {
     require(intervalUs > 0, "ContinuousEventTime needs intervalUs > 0")
   }
+
+  /** Additionally fire when the value moves more than `threshold` away
+    * from the value at the LAST fire (DeltaTrigger.java with the absolute
+    * delta function; the reference seeds the comparison point with the
+    * first element and replaces it at each fire). The firing element is
+    * included in the fired contents, as Trigger.onElement runs after the
+    * element is added. */
+  final case class DeltaOver(threshold: Long) extends WindowTrigger {
+    require(threshold > 0, "DeltaOver needs threshold > 0")
+  }
 }
 
 /** Pre-aggregation element filter applied at every fire — the reference's
@@ -57,6 +67,14 @@ object WindowEvictor {
     * time seen so far (TimeEvictor.java). */
   final case class TimeLast(deltaUs: Long) extends WindowEvictor {
     require(deltaUs > 0, "TimeLast needs deltaUs > 0")
+  }
+
+  /** Aggregate only elements whose value is within `threshold` of the
+    * LAST element's value — by event time — at fire time
+    * (DeltaEvictor.java with the absolute delta function: evict when
+    * delta >= threshold). */
+  final case class DeltaLast(threshold: Long) extends WindowEvictor {
+    require(threshold > 0, "DeltaLast needs threshold > 0")
   }
 }
 
@@ -97,14 +115,17 @@ object TriggeredWindows {
       cnt: Long, sum: Long, min: Long, max: Long,
       buf: Vector[(Long, Long)], // (tsUs, v) — only when evictor != KeepAll
       fireSeq: Long,
-      lastBucket: Long) {
+      lastBucket: Long,
+      trigSet: Boolean, // DeltaOver: comparison point initialized?
+      trigV: Long) { // DeltaOver: value at the last fire (or first element)
     def add(t: Long, v: Long, keepRaw: Boolean): Acc = copy(
       cnt = cnt + 1, sum = sum + v, min = math.min(min, v),
       max = math.max(max, v),
       buf = if (keepRaw) buf :+ (t -> v) else buf)
   }
   private val empty =
-    Acc(0L, 0L, Long.MaxValue, Long.MinValue, Vector.empty, 0L, Long.MinValue)
+    Acc(0L, 0L, Long.MaxValue, Long.MinValue, Vector.empty, 0L,
+      Long.MinValue, trigSet = false, 0L)
 
   /** Aggregate the (possibly evicted) contents; returns (nRows, value). */
   private def evaluate(
@@ -116,6 +137,12 @@ object TriggeredWindows {
       case WindowEvictor.TimeLast(d) =>
         val maxTs = if (a.buf.isEmpty) Long.MinValue else a.buf.map(_._1).max
         a.buf.filter(_._1 > maxTs - d).map(_._2)
+      case WindowEvictor.DeltaLast(thr) =>
+        if (a.buf.isEmpty) Seq.empty
+        else {
+          val lastV = a.buf.maxBy(_._1)._2
+          a.buf.filter(e => math.abs(e._2 - lastV) < thr).map(_._2)
+        }
     }
     evictor match {
       case WindowEvictor.KeepAll =>
@@ -182,6 +209,14 @@ object TriggeredWindows {
         val a1 = (if (fire.isDefined) a0.copy(fireSeq = a0.fireSeq + 1)
                   else a0).add(t, v, keepRaw)
         (a1.copy(lastBucket = math.max(a1.lastBucket, bucket)), fire)
+      case WindowTrigger.DeltaOver(thr) =>
+        val a = a0.add(t, v, keepRaw)
+        if (!a0.trigSet) (a.copy(trigSet = true, trigV = v), None)
+        else if (math.abs(v - a0.trigV) > thr) {
+          val f = a.copy(fireSeq = a.fireSeq + 1, trigV = v)
+          (f, Some(fireRow(key, wStart, sizeUs, f, isFinal = false,
+            evictor, aggKind)))
+        } else (a, None)
     }
   }
 

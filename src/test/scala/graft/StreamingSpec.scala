@@ -462,6 +462,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
   }
 
+  test("TriggeredWindows DeltaOver + DeltaLast: close fires match batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-delta-").toString
+    // delta trigger (fires when the value moves > 100 units from the last
+    // fire point) composed with the delta evictor (close keeps only values
+    // near the window's last element)
+    val q = TriggeredWindows.streaming(
+      triggeredPrep(df), "event_type", "ts_us", "v", 600000000L,
+      WindowTrigger.DeltaOver(100000000L),
+      WindowEvictor.DeltaLast(100000000L), "sum")
+      .writeStream.format("memory").queryName("s_delta")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val (h1, h2) = fixture.splitAt(fixture.size / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      input.addData(Seq((flushTs, -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((new Timestamp(flushTs.getTime + 1000), -1L,
+        "flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_delta").where(col("event_type") =!= "flush")
+    val exp = TriggeredWindows(
+      triggeredPrep(batchInput), "event_type", "ts_us", "v", 600000000L,
+      WindowTrigger.DeltaOver(100000000L),
+      WindowEvictor.DeltaLast(100000000L), "sum",
+      Seq(col("user_id")))
+    // the DeltaLast kept-set and close totals are arrival-order-independent
+    assert(sortedRows(streamed.where(col("is_final")))
+      == sortedRows(exp.where(col("is_final"))))
+    assert(streamed.where(col("is_final")).count() > 0)
+  }
+
   test("DeltaJoin: streamed deltas accumulate to the full join, no duplicates") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
