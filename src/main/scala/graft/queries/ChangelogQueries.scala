@@ -181,6 +181,63 @@ object ChangelogQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // Upsert-only inputs whose updates CHANGE the join key: the second
+    // wave relocates every fifth order to a different customer (o_custkey
+    // rewritten). ChangelogNormalize turns each upsert into a full
+    // -U(old row)/+U(new row) pair, so the join sees the retraction under
+    // the OLD join key and the insert under the NEW one — the row moves
+    // between join buckets and the materialized output must equal the
+    // join of final states. This is the composition the README contract
+    // requires for upsert feeds with key-changing updates.
+    QueryDef(
+      "q_changelog_join_rekey",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val ofeed = ob
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"),
+              (col("o_custkey") % 100 + 1).as("o_custkey"),
+              (col("o_totalprice") * 0.5).as("o_totalprice"),
+              lit(20L).as("__seq"), lit(RowKind.UpdateAfter).as("kind")))
+        val lcl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+        val cfeed = cb
+          .select(col("c_custkey"), col("c_acctbal"),
+            lit(11L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+        val rcl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+
+        UpsertMaterialize(
+          ChangelogJoin(lcl, rcl, "o_custkey", "c_custkey",
+            "o_orderkey", "c_custkey"),
+          Seq("o_orderkey", "c_custkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN o_custkey % 100 + 1 ELSE o_custkey
+                 END AS o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 0.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+          FROM orders),
+        cfinal AS (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          FROM customer)
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_custkey, c.c_acctbal
+        FROM ofinal o JOIN cfinal c ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // LEFT OUTER changelog join: orders of deleted customers stay as
     // null-padded rows; the padding appears/retracts as matches come and
     // go. Oracle: LEFT JOIN of the two final states.
