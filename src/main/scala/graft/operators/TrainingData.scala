@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.TextAnalysis.hexDigit
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly primitives: deterministic weighted mixing and
+  * epoch-salted global shuffle — the two operations between "cleaned
+  * corpus" and "training order" in every large-scale data pipeline.
+  *
+  * Everything is hash-deterministic (md5 over a key + salt), so mixes and
+  * shuffles are REPRODUCIBLE across runs, engines, and partitionings —
+  * no `rand()`, whose per-partition seeding ties results to the physical
+  * plan. The md5-derived buckets are uniform to ~1/256 per step.
+  *
+  * Scale: `sample`/`mix` are pure per-row filters (no shuffle — a mixed
+  * corpus never moves data until something downstream asks);
+  * `epochShuffle` is ONE range exchange + in-partition sort, the scalable
+  * form of a global ORDER BY (no single-task sort, no row_number
+  * bottleneck), re-saltable per epoch.
+  */
+object TrainingData {
+
+  /** Uniform bucket 0..99 from md5(key ":" salt) — first two hex chars. */
+  def bucket(key: Column, salt: String): Column =
+    (hexDigit(md5(concat(key.cast("string"), lit(":" + salt))), lit(1)) * 16 +
+      hexDigit(md5(concat(key.cast("string"), lit(":" + salt))), lit(2))) % 100
+
+  /** Keep each row with probability `weightPct`/100, deterministically by
+    * key: keep iff bucket(key, salt) < weightPct. `weightPct` may be a
+    * per-row column (per-source weights) or a literal. */
+  def sample(df: DataFrame, key: Column, weightPct: Column,
+      salt: String): DataFrame =
+    df.where(bucket(key, salt) < weightPct)
+
+  /** Weighted mixture of sources: each (frame, weightPct) contributes its
+    * deterministic sample; frames must be union-compatible. A weight over
+    * 100 means "take everything" (upsampling beyond 1× is a caller-side
+    * union of re-salted samples). */
+  def mix(sources: Seq[(DataFrame, Double)], key: String,
+      salt: String): DataFrame =
+    sources.map { case (df, w) => sample(df, col(key), lit(w), salt) }
+      .reduce(_ unionByName _)
+
+  /** Epoch-salted deterministic global shuffle: ORDER BY
+    * md5(key ":" epoch) as a range exchange + in-partition sort. Distinct
+    * epochs give independent orders; the same epoch always gives the same
+    * order. */
+  def epochShuffle(df: DataFrame, key: Column, epoch: String): DataFrame = {
+    val out = df.withColumn("__shuffle_key",
+      md5(concat(key.cast("string"), lit(":" + epoch))))
+    out.repartitionByRange(col("__shuffle_key"))
+      .sortWithinPartitions(col("__shuffle_key"))
+  }
+}

@@ -110,6 +110,64 @@ object PipelineQueries {
           md5(substr(text, CAST(frame_idx * (n_bytes // n_frames) AS BIGINT) + 1, 16))
             AS frame_hash
         FROM f ORDER BY doc_id, frame_idx
+      """.stripMargin.trim)),
+
+    // Deterministic weighted dataset mixing: per-source weights (derived
+    // from the source number: (k*37) % 101 percent), rows kept by md5
+    // bucket — reproducible across runs/engines/partitionings, no rand().
+    // The oracle recomputes the identical buckets; the per-source count +
+    // doc_id sum pin exact sample MEMBERSHIP, not just sizes.
+    QueryDef(
+      "q_dataset_mix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("w",
+            (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+              * 37) % 101)
+        graft.operators.TrainingData
+          .sample(docs, col("doc_id"), col("w"), "mix1")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("sum_ids"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT *,
+            (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) * 37) % 101
+              AS w,
+            ((strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 1)) - 1)
+              * 16 +
+             (strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 2, 1)) - 1))
+              % 100 AS bucket
+          FROM documents)
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM d WHERE bucket < w
+        GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // Epoch-salted deterministic global shuffle: the training order is
+    // md5(doc_id ":" epoch) — a range exchange + in-partition sort (the
+    // scalable ORDER BY; plan shape locked in PlanSpec). Two epochs give
+    // two independent orders; both are reproducible.
+    QueryDef(
+      "q_train_shuffle",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        graft.operators.TrainingData
+          .epochShuffle(docs, col("doc_id"), "e1")
+          .withColumnRenamed("__shuffle_key", "k1")
+          .withColumn("k2",
+            md5(concat(col("doc_id").cast("string"), lit(":e2"))))
+      },
+      Some("""
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':e1') AS k1,
+               md5(CAST(doc_id AS VARCHAR) || ':e2') AS k2
+        FROM documents
       """.stripMargin.trim))
   )
 }

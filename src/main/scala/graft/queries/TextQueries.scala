@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis._
+import graft.operators.Decontaminate
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over the `documents` table: statistics,
@@ -531,6 +532,36 @@ object TextQueries {
           (CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
             <= 0.55 AS keep
         FROM w ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Benchmark decontamination: corpus docs sharing >= 20% of their
+    // distinct 3-gram shingles with a benchmark doc (every 10th doc plays
+    // the benchmark; 7 contaminated pairs at sf0.01, so the oracle checks
+    // real positives). The benchmark shingle set is BROADCAST — the
+    // corpus never shuffles for the probe (asserted in PlanSpec).
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontaminate(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          minOverlap = 0.2)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some(s"""
+        $shOracle,
+        c AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 10 = 0),
+        tot AS (SELECT doc_id, COUNT(*) AS total FROM c GROUP BY doc_id),
+        m AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS matched
+              FROM c JOIN b USING (s) GROUP BY 1, 2)
+        SELECT m.doc_id, m.bench_id, m.matched, t.total,
+               CAST(m.matched AS DOUBLE) / CAST(t.total AS DOUBLE) AS overlap
+        FROM m JOIN tot t ON t.doc_id = m.doc_id
+        WHERE CAST(m.matched AS DOUBLE) / CAST(t.total AS DOUBLE) >= 0.2
+        ORDER BY m.doc_id, m.bench_id
       """.stripMargin.trim))
   )
 }

@@ -117,6 +117,27 @@ class PlanSpec extends SparkSpecBase {
       s"CDC parse must stay declarative:\n$p")
   }
 
+  test("q_decontaminate: benchmark shingles broadcast, corpus probe unshuffled") {
+    val p = planOf("q_decontaminate")
+    // the benchmark side must reach the probe as a broadcast relation —
+    // the corpus-sized shingle stream never shuffles for the join
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the benchmark probe:\n$p")
+  }
+
+  test("q_train_shuffle: range exchange + in-partition sort, no global sort") {
+    val p = planOf("q_train_shuffle")
+    assert(p.contains("rangepartitioning"),
+      s"epoch shuffle must be a range exchange:\n$p")
+    // the sort must stay within partitions (global=false ⇒ no single-task
+    // final sort); formatted plans print in-partition sorts as non-global
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Sort ") && l.contains("global=true")),
+      s"global sort would bottleneck one task:\n$p")
+  }
+
   test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
