@@ -145,6 +145,40 @@ object EventQueries {
         GROUP BY 1 ORDER BY 1
       """.trim)),
 
+    // LEFT OUTER interval join (StreamExecIntervalJoin outer emission):
+    // every click appears; clicks with no purchase inside the 30-minute
+    // window carry zero counts — in streaming the unmatched row emits when
+    // the watermark passes the interval bound, in batch it's the plain
+    // outer join Spark plans natively.
+    QueryDef(
+      "q_interval_join_left",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val c = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            col("event_id").as("click_id"))
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"),
+            col("value"))
+        c.join(p, col("user_id") === col("p_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("c_ts") + lit(30 * US_MIN), "left")
+          .groupBy(col("click_id"))
+          .agg(count(col("p_user")).as("n_purchases"),
+            dsum(coalesce(col("value"), lit(0.0)), 6).as("sum_value"))
+          .orderBy(col("click_id"))
+      },
+      Some(s"""
+        SELECT c.event_id AS click_id, COUNT(p.user_id) AS n_purchases,
+               ${sqlSum("COALESCE(p.value, 0.0)", 6)} AS sum_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND epoch_us(p.ts) > epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
     // Window join: clicks ⋈ purchases in the same 15-min tumble window —
     // a plain equi-join on (window, key), shuffle-friendly.
     QueryDef(

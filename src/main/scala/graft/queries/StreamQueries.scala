@@ -212,6 +212,29 @@ object StreamQueries {
         FROM events ORDER BY user_id, event_id
       """.trim)),
 
+    // Time-RANGE-bounded streaming OVER (RowTimeRangeBoundedPrecedingFunction):
+    // running 5-minute-interval sum per user, peer rows (equal timestamps)
+    // sharing one frame. Values fixed-point-scaled to BIGINT so sums are
+    // bit-identical in any accumulation order.
+    QueryDef(
+      "q_unified_over_range",
+      (s, dir) => {
+        val in = Tables.events(s, dir)
+          .withColumn("v", floor(col("value") * 1e6).cast("long"))
+        StreamingOver.range(in, Seq("user_id"), "ts", "v",
+          precedingMs = 300000L, delay = "10 seconds")
+          .select(col("user_id"), col("event_id"), col("run_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_ms($castTs)
+            RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS run_sum
+        FROM events ORDER BY user_id, event_id
+      """.trim)),
+
     // Tumbling windows with a 3-minute start offset (TUMBLE(…, offset)):
     // boundaries at hh:03, hh:13, … instead of hh:00.
     QueryDef(

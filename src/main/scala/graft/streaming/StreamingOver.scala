@@ -99,4 +99,94 @@ object StreamingOver {
           out.result().iterator
       }(sEnc, oEnc)
   }
+
+  /** Time-RANGE-bounded streaming OVER: per key, event-time-ordered
+    * running SUM over rows within `precedingMs` of the current row
+    * (RANGE BETWEEN interval PRECEDING AND CURRENT ROW) — the reference's
+    * RowTimeRangeBoundedPrecedingFunction.java:56 (298 LoC), the
+    * time-interval sibling of the rows-bounded form above.
+    *
+    * SQL RANGE semantics include PEERS: rows sharing a timestamp all see
+    * the same frame, containing every one of them — so emission processes
+    * each distinct timestamp as a group, exactly as the reference fires
+    * one timer per timestamp and emits all its rows together.
+    *
+    * `valCol` must be LongType (callers fixed-point-scale doubles) so the
+    * running sums are bit-identical across engines and arrival orders.
+    * State per key = pending rows beyond the watermark + the frame tail
+    * (rows within `precedingMs` of the last emitted timestamp) — bounded
+    * by the interval span, never by stream length.
+    */
+  def range(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      precedingMs: Long,
+      delay: String,
+      idleRetentionMs: Long = 3600000L): DataFrame = {
+    require(precedingMs > 0, "precedingMs must be positive")
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("run_sum", LongType))
+
+    if (!df.isStreaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(unix_millis(col(tsCol)))
+        .rangeBetween(-precedingMs, 0)
+      return df.withColumn("run_sum", sum(col(valCol)).over(w))
+    }
+
+    val wm = df.withWatermark(tsCol, delay)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val valIdx = df.schema.fieldIndex(valCol)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+
+    val kEnc: Encoder[Row] = StatefulOps.rowEnc(keySchema)
+    val vEnc: Encoder[Row] = StatefulOps.rowEnc(df.schema)
+    // state: (pending rows beyond watermark, frame rows (tsMs, v))
+    type S = (List[(Long, Seq[Any])], List[(Long, Long)])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = StatefulOps.rowEnc(outSchema)
+
+    wm.as[Row](vEnc)
+      .groupByKey(r => StatefulOps.keyOf(keyIdx)(r))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          var (pending, frame) = state.getOption.getOrElse((Nil, Nil))
+
+          if (!state.hasTimedOut) rows.foreach { r =>
+            pending = (StatefulOps.tsMsOf(r, tsIdx), r.toSeq) :: pending
+          }
+
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, stillPending) = pending.partition(_._1 <= wmMs)
+          val out = Seq.newBuilder[Row]
+          // one pass per DISTINCT timestamp: peers enter the frame
+          // together and share one sum (SQL RANGE peer semantics)
+          ready.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (t, group) =>
+            group.foreach { case (_, vals) =>
+              frame = (t, vals(valIdx).asInstanceOf[Long]) :: frame
+            }
+            frame = frame.filter(_._1 >= t - precedingMs)
+            val s = frame.iterator.map(_._2).sum
+            group.foreach { case (_, vals) =>
+              out += Row.fromSeq(vals :+ s)
+            }
+          }
+
+          if (stillPending.isEmpty &&
+            (frame.isEmpty || (state.hasTimedOut && ready.isEmpty))) {
+            state.remove()
+          } else {
+            state.update((stillPending, frame))
+            val wake = stillPending.map(_._1).minOption
+              .getOrElse(wmMs + idleRetentionMs)
+            if (wake > wmMs) state.setTimeoutTimestamp(wake)
+          }
+          out.result().iterator
+      }(sEnc, oEnc)
+  }
 }

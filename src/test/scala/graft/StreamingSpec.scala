@@ -145,6 +145,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() > 0)
   }
 
+  test("StreamingOver.range (time-interval preceding sum) matches batch") {
+    def prep(d: DataFrame): DataFrame =
+      d.withColumn("v", floor(col("value") * 1e6).cast("long"))
+    val out = runStream("s_over_rg", df =>
+      StreamingOver.range(prep(df), Seq("user_id"), "ts", "v",
+        300000L, "5 seconds"))
+      .where(col("user_id") =!= -1L)
+    val exp = StreamingOver.range(prep(batchInput), Seq("user_id"), "ts",
+      "v", 300000L, "")
+      .where(col("user_id") =!= -1L)
+      .select(out.columns.map(col): _*)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
   test("StreamingTemporalJoin matches batch AsOfJoin") {
     // probe = click events; build (versioned) = purchase events per user
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -209,6 +224,43 @@ class StreamingSpec extends SparkSpecBase {
       expr("uid = ruid AND rts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
     assert(sortedRows(out) == sortedRows(exp.select(out.columns.map(col): _*)))
     assert(out.count() > 0)
+  }
+
+  test("stream-stream LEFT OUTER interval join emits unmatched after bound") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Timestamp, Long, Double)]
+    val rIn = MemoryStream[(Timestamp, Long, Double)]
+    val lDf = lIn.toDF().toDF("ts", "uid", "value")
+      .withWatermark("ts", "5 seconds")
+    val rDf = rIn.toDF().toDF("rts", "ruid", "rvalue")
+      .withWatermark("rts", "5 seconds")
+    val joined = lDf.join(rDf,
+      expr("uid = ruid AND rts BETWEEN ts - INTERVAL 1 HOUR AND ts"),
+      "left_outer")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lsj-").toString
+    val q = joined.writeStream.format("memory").queryName("lsj_t")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val l = fixture.filter(_._3 == "click").map(t => (t._1, t._2, t._4))
+    val r = fixture.filter(_._3 == "view").map(t => (t._1, t._2, t._4))
+    try {
+      lIn.addData(l); rIn.addData(r)
+      q.processAllAvailable()
+      // push the watermark far past every interval bound so unmatched
+      // left rows are emitted with null right sides
+      lIn.addData(Seq((flushTs, -1L, 0.0))); rIn.addData(Seq((flushTs, -1L, 0.0)))
+      q.processAllAvailable()
+      lIn.addData(Seq((new Timestamp(flushTs.getTime + 10000), -1L, 0.0)))
+      rIn.addData(Seq((new Timestamp(flushTs.getTime + 10000), -1L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("lsj_t").where(col("uid") =!= -1L)
+    val exp = l.toDF("ts", "uid", "value").join(
+      r.toDF("rts", "ruid", "rvalue"),
+      expr("uid = ruid AND rts BETWEEN ts - INTERVAL 1 HOUR AND ts"),
+      "left_outer")
+    assert(sortedRows(out) == sortedRows(exp.select(out.columns.map(col): _*)))
+    assert(out.where(col("ruid").isNull).count() > 0,
+      "no null-padded unmatched rows emitted")
   }
 
   test("StreamingSort emits per-key rows in event-time order") {
