@@ -27,23 +27,40 @@ object Decontaminate {
     * @param benchmark  frame with `bench_id` and `text` (small side)
     * @param n          shingle width in tokens
     * @param minOverlap flag pairs with matched/total >= this fraction
+    * @param benchDfCap drop shingles shared by more than this many
+    *   BENCHMARK docs: probe multiplicity per corpus posting equals the
+    *   shingle's benchmark df, so one boilerplate shingle across the
+    *   whole benchmark multiplies the join output by |benchmark| — the
+    *   NgramJaccard hot-shingle blow-up on the probe side. Ubiquitous
+    *   shingles carry no contamination signal; the cap is far above any
+    *   real df at test scale (max 6 at sf0.1), so oracles are unaffected.
     * @return (doc_id, bench_id, matched, total, overlap)
     */
   def apply(
       corpus: DataFrame,
       benchmark: DataFrame,
       n: Int = 3,
-      minOverlap: Double = 0.5): DataFrame = {
+      minOverlap: Double = 0.5,
+      benchDfCap: Int = 1000): DataFrame = {
     val cs = corpus
       .select(col("doc_id"), tokens(col("text")).as("__t"))
       .select(col("doc_id"), explode(shingles(col("__t"), n)).as("s"))
-    val bs = benchmark
+    val bsAll = benchmark
       .select(col("bench_id"), tokens(col("text")).as("__t"))
       .select(col("bench_id"), explode(shingles(col("__t"), n)).as("s"))
-    // per-doc totals without a shuffle: |distinct shingles| inline
+    // benchmark-side df cap (cheap: the benchmark is the small side)
+    val bs = bsAll.join(
+      bsAll.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= benchDfCap).select(col("s")),
+      Seq("s"), "left_semi")
+    // per-doc totals without a shuffle: |distinct shingles| inline.
+    // Tokens are projected BEFORE the shingle lambda — inlining
+    // tokens(text) into shingles() re-evaluates the split per lambda
+    // element, O(tokens²) per doc (same note as NgramJaccard).
     val totals = corpus
+      .select(col("doc_id"), tokens(col("text")).as("__t"))
       .select(col("doc_id"),
-        size(shingles(tokens(col("text")), n)).cast("long").as("total"))
+        size(shingles(col("__t"), n)).cast("long").as("total"))
     val matched = cs.join(broadcast(bs), "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("matched"))
