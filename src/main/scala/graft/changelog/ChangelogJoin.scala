@@ -76,7 +76,26 @@ object ChangelogJoin {
       rightJoinKey: String,
       leftKey: String,
       rightKey: String,
-      joinType: String): DataFrame = {
+      joinType: String): DataFrame =
+    apply(left, right, leftJoinKey, rightJoinKey, leftKey, rightKey,
+      joinType, idleTtlMs = None)
+
+  /** @param idleTtlMs streaming-face idle-state retention — the
+    *        reference's `table.exec.state.ttl` (processing-time based):
+    *        a join key receiving no events for this long has BOTH sides'
+    *        live-row state dropped. The documented correctness trade is
+    *        the reference's own: events arriving after expiry re-pair
+    *        against the post-expiry state only. None (default) keeps
+    *        state for the stream's lifetime — exact join semantics. */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftJoinKey: String,
+      rightJoinKey: String,
+      leftKey: String,
+      rightKey: String,
+      joinType: String,
+      idleTtlMs: Option[Long]): DataFrame = {
     require(Seq("inner", "left", "right", "full").contains(joinType),
       s"unsupported joinType: $joinType")
     // padLeft: unmatched LEFT rows survive null-padded (left/full outer);
@@ -242,24 +261,37 @@ object ChangelogJoin {
     val sEnc: Encoder[S] = Encoders.kryo[S]
     val oEnc: Encoder[Row] = Encoders.row(outSchema)
 
+    val timeoutConf = idleTtlMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     env.as[Row](vEnc)
       .groupByKey(r => Row(r.get(0)))(kEnc)
       .flatMapGroupsWithState[S, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          val old = state.getOption.getOrElse(
-            (Map.empty[Any, Seq[Any]], Map.empty[Any, Seq[Any]]))
-          val lState: SideState =
-            scala.collection.mutable.LinkedHashMap.from(old._1)
-          val rState: SideState =
-            scala.collection.mutable.LinkedHashMap.from(old._2)
-          // order within the micro-batch slice (bounded by batch size)
-          val out = rows.toSeq
-            .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
-            .flatMap(e => step(e, lState, rState))
-          if (lState.isEmpty && rState.isEmpty) state.remove()
-          else state.update((lState.toMap, rState.toMap))
-          out.iterator
+          if (state.hasTimedOut) {
+            // idle TTL expired: drop both sides' live rows (state.ttl)
+            state.remove()
+            Iterator.empty
+          } else {
+            val old = state.getOption.getOrElse(
+              (Map.empty[Any, Seq[Any]], Map.empty[Any, Seq[Any]]))
+            val lState: SideState =
+              scala.collection.mutable.LinkedHashMap.from(old._1)
+            val rState: SideState =
+              scala.collection.mutable.LinkedHashMap.from(old._2)
+            // order within the micro-batch slice (bounded by batch size)
+            val out = rows.toSeq
+              .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
+              .flatMap(e => step(e, lState, rState))
+            if (lState.isEmpty && rState.isEmpty) state.remove()
+            else {
+              state.update((lState.toMap, rState.toMap))
+              idleTtlMs.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
       }(sEnc, oEnc)
   }
 }

@@ -34,13 +34,24 @@ object TrainingData {
     df.where(bucket(key, salt) < weightPct)
 
   /** Weighted mixture of sources: each (frame, weightPct) contributes its
-    * deterministic sample; frames must be union-compatible. A weight over
-    * 100 means "take everything" (upsampling beyond 1× is a caller-side
-    * union of re-salted samples). */
+    * deterministic sample; frames must be union-compatible. Weights over
+    * 100 UPSAMPLE: floor(w/100) full copies plus a re-salted fractional
+    * sample of the remainder (w = 230 → every row twice + a 30% sample),
+    * so epoch-level duplication is explicit and reproducible. */
   def mix(sources: Seq[(DataFrame, Double)], key: String,
-      salt: String): DataFrame =
-    sources.map { case (df, w) => sample(df, col(key), lit(w), salt) }
-      .reduce(_ unionByName _)
+      salt: String): DataFrame = {
+    require(sources.nonEmpty, "mix needs at least one source")
+    sources.flatMap { case (df, w) =>
+      require(w >= 0, s"negative mix weight: $w")
+      val full = (w / 100).toInt
+      val rem = w - full * 100
+      Seq.fill(full)(df) ++
+        (if (rem > 0)
+           Seq(sample(df, col(key), lit(rem),
+             if (full == 0) salt else s"$salt#u$full"))
+         else Nil)
+    }.reduce(_ unionByName _)
+  }
 
   /** Epoch-salted deterministic global shuffle: ORDER BY
     * md5(key ":" epoch) as a range exchange + in-partition sort. Distinct

@@ -149,6 +149,49 @@ object PipelineQueries {
         GROUP BY source ORDER BY source
       """.stripMargin.trim)),
 
+    // UPSAMPLING mix (weights > 100): even doc_ids at weight 230 — two
+    // full copies plus a re-salted 30% fractional sample — odd doc_ids
+    // downsampled to 60%. Counts and id sums pin the exact multiset.
+    QueryDef(
+      "q_dataset_mix_upsample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        graft.operators.TrainingData.mix(Seq(
+          docs.where(col("doc_id") % 2 === 0) -> 230.0,
+          docs.where(col("doc_id") % 2 === 1) -> 60.0), "doc_id", "mix2")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH bk AS (
+          SELECT doc_id, source,
+            ((strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2'), 1, 1)) - 1)
+              * 16 +
+             (strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2'), 2, 1)) - 1))
+              % 100 AS b1,
+            ((strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2#u2'), 1, 1)) - 1)
+              * 16 +
+             (strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2#u2'), 2, 1)) - 1))
+              % 100 AS b2
+          FROM documents),
+        ev AS (SELECT doc_id, source FROM bk WHERE doc_id % 2 = 0),
+        m AS (
+          SELECT doc_id, source FROM ev
+          UNION ALL SELECT doc_id, source FROM ev
+          UNION ALL SELECT doc_id, source FROM bk
+            WHERE doc_id % 2 = 0 AND b2 < 30
+          UNION ALL SELECT doc_id, source FROM bk
+            WHERE doc_id % 2 = 1 AND b1 < 60)
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM m GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
     // Epoch-salted deterministic global shuffle: the training order is
     // md5(doc_id ":" epoch) — a range exchange + in-partition sort (the
     // scalable ORDER BY; plan shape locked in PlanSpec). Two epochs give

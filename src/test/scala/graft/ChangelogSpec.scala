@@ -354,6 +354,55 @@ class ChangelogSpec extends SparkSpecBase {
     assert(mat.toSeq == Seq((1L, None)))
   }
 
+  test("ChangelogJoin idle TTL drops state; late arrivals re-pair fresh") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val rIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val lDf = lIn.toDF().toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val rDf = rIn.toDF().toDF("rk", "rjk", "w", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cjttl-").toString
+    // NOTE: processing-time timeouts keep the micro-batch loop running
+    // (pending timers = pending work), so processAllAvailable/AvailableNow
+    // never quiesce — synchronize on SINK signals instead: each stage
+    // includes a pairing that must appear before the next stage starts.
+    val q = ChangelogJoin(lDf, rDf, "ljk", "rjk", "lk", "rk", "inner",
+      idleTtlMs = Some(200L))
+      .writeStream.format("memory").queryName("cl_ttl")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def eventually(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      // stage 1: left row for key 100 (the one that will expire) plus an
+      // immediately-pairing insert pair on key 300 as the batch signal
+      lIn.addData(Seq((1L, 100L, 10.0, 1L, RowKind.Insert),
+        (5L, 300L, 50.0, 2L, RowKind.Insert)))
+      rIn.addData(Seq((8L, 300L, 2.5, 3L, RowKind.Insert)))
+      eventually("stage-1 pairing") {
+        spark.table("cl_ttl").where(col("lk") === 5L).count() > 0
+      }
+      // idle past the TTL; pending timers make the engine run empty
+      // batches, so key 100's timer fires and its state drops
+      val b0 = q.lastProgress.batchId
+      Thread.sleep(600)
+      eventually("an empty timer batch") { q.lastProgress.batchId > b0 }
+      // stage 2: the late right row for the EXPIRED key 100, plus a fresh
+      // insert+insert pairing on key 301 as the batch signal
+      rIn.addData(Seq((9L, 100L, 1.5, 4L, RowKind.Insert)))
+      lIn.addData(Seq((7L, 301L, 70.0, 5L, RowKind.Insert)))
+      rIn.addData(Seq((10L, 301L, 3.5, 6L, RowKind.Insert)))
+      eventually("stage-2 pairing") {
+        spark.table("cl_ttl").where(col("lk") === 7L).count() > 0
+      }
+    } finally q.stop()
+    assert(spark.table("cl_ttl").where(col("ljk") === 100L).count() == 0,
+      "expired key state must not pair with late arrivals")
+  }
+
   test("ChangelogJoin: NULL join keys never pair (SQL inner-join semantics)") {
     val l = Seq(
       (1L, Some(100L), 1.0, 1L, RowKind.Insert),
