@@ -95,26 +95,53 @@ object CepNfa {
     Branch(steps.result(), grp.result(), groups.result())
   }
 
+  /** Per-step measure accumulator over matched row values — the engine
+    * side of MATCH_RECOGNIZE MEASURES (first/last/min/max/sum per pattern
+    * variable). A step's matched rows are the `cur` rows of its accepted
+    * pairs, in match order. */
+  final case class Meas(
+      first: Double, last: Double, mn: Double, mx: Double,
+      sum: Double, n: Long) {
+    def add(v: Double): Meas = Meas(
+      if (n == 0) v else first, v,
+      if (n == 0) v else math.min(mn, v),
+      if (n == 0) v else math.max(mx, v),
+      sum + v, n + 1)
+  }
+  private val emptyMeas = Meas(0.0, 0.0, 0.0, 0.0, 0.0, 0L)
+
+  /** One MEASURES output column: `agg` of step `step`'s matched values,
+    * emitted as column `as` (DoubleType; NULL when the step matched no
+    * rows). `agg`: first | last | min | max | sum. A name shared by steps
+    * in several positions combines in declaration order. */
+  final case class MeasureSpec(agg: String, step: String, as: String) {
+    require(Seq("first", "last", "min", "max", "sum").contains(agg),
+      s"unknown measure agg: $agg")
+  }
+
   /** One live partial match. `startT` is the anchor row's time (the prev
     * row of the first matched pair, as in [[PatternMatch]]). `counts` is
     * CUMULATIVE per step (the output), `iterCounts` counts only the
     * current group iteration (what step minimums are checked against;
     * mirrors `counts` outside groups), `iters` is the number of COMPLETED
-    * iterations of the group containing `stepIdx` (0 outside groups). */
+    * iterations of the group containing `stepIdx` (0 outside groups),
+    * `meas` accumulates per-step measures in lockstep with `counts`. */
   final case class Run(
       branch: Int,
       stepIdx: Int,
       counts: Vector[Long],
       iterCounts: Vector[Long],
       iters: Long,
-      startT: Long)
+      startT: Long,
+      meas: Vector[Meas])
 
   /** A completed match held until no live run can outrank it. */
   final case class Cand(
       branch: Int,
       counts: Vector[Long],
       startT: Long,
-      endT: Long)
+      endT: Long,
+      meas: Vector[Meas])
 
   /** Full NFA registers — keyed state on the streaming face. */
   final case class NfaState(
@@ -242,7 +269,7 @@ object CepNfa {
       * and the budget holds for a match ending at `endT`. */
     private def deathCand(r: Run, endT: Long): Option[Cand] =
       if (canCompleteRun(r) && inBudget(r.startT, endT))
-        Some(Cand(r.branch, r.counts, r.startT, endT))
+        Some(Cand(r.branch, r.counts, r.startT, endT, r.meas))
       else None
 
     /** Forward walk from flat index `from` over ELEMENTS (outside any
@@ -267,17 +294,19 @@ object CepNfa {
             succ += Run(r.branch, k,
               r.counts.updated(k, r.counts(k) + 1L),
               Vector.fill(steps.length)(0L).updated(k, 1L),
-              0L, r.startT)
+              0L, r.startT,
+              r.meas.updated(k, r.meas(k).add(v)))
           walking = gk.minIters == 0
           k = gk.end + 1
         } else {
           if (budget && sk.pred(p, v)) {
             val c2 = r.counts.updated(k, r.counts(k) + 1L)
+            val m2 = r.meas.updated(k, r.meas(k).add(v))
             if (k == steps.length - 1 && !sk.greedy)
-              cands += Cand(r.branch, c2, r.startT, t)
+              cands += Cand(r.branch, c2, r.startT, t, m2)
             else succ += r.copy(stepIdx = k, counts = c2,
               iterCounts = r.iterCounts.updated(k, r.iterCounts(k) + 1L),
-              iters = 0L)
+              iters = 0L, meas = m2)
           }
           walking = sk.minCount == 0
           k += 1
@@ -306,7 +335,8 @@ object CepNfa {
         succ += r.copy(
           counts = r.counts.updated(r.stepIdx, r.counts(r.stepIdx) + 1L),
           iterCounts =
-            r.iterCounts.updated(r.stepIdx, r.iterCounts(r.stepIdx) + 1L))
+            r.iterCounts.updated(r.stepIdx, r.iterCounts(r.stepIdx) + 1L),
+          meas = r.meas.updated(r.stepIdx, r.meas(r.stepIdx).add(v)))
       if (r.iterCounts(r.stepIdx) >= s.minCount) {
         if (g < 0) {
           // linear step: run-split into every enterable later element
@@ -322,7 +352,8 @@ object CepNfa {
             if (budget && sj.pred(p, v))
               succ += r.copy(stepIdx = j,
                 counts = r.counts.updated(j, r.counts(j) + 1L),
-                iterCounts = r.iterCounts.updated(j, r.iterCounts(j) + 1L))
+                iterCounts = r.iterCounts.updated(j, r.iterCounts(j) + 1L),
+                meas = r.meas.updated(j, r.meas(j).add(v)))
             walking = sj.minCount == 0
             j += 1
           }
@@ -340,7 +371,8 @@ object CepNfa {
                 stepIdx = gi.start,
                 counts = r.counts.updated(gi.start, r.counts(gi.start) + 1L),
                 iterCounts = reset.updated(gi.start, 1L),
-                iters = itersDone)
+                iters = itersDone,
+                meas = r.meas.updated(gi.start, r.meas(gi.start).add(v)))
             }
             if (itersDone >= gi.minIters) {
               // (b) exit the group into later elements
@@ -349,7 +381,7 @@ object CepNfa {
               // a held candidate while successors explore longer ones
               if (succ.nonEmpty && tailSkippable(b, gi.end + 1) &&
                   inBudget(r.startT, prevT))
-                cands += Cand(r.branch, r.counts, r.startT, prevT)
+                cands += Cand(r.branch, r.counts, r.startT, prevT, r.meas)
             }
           }
         }
@@ -403,9 +435,11 @@ object CepNfa {
         val steps = br.steps
         if (steps(0).pred(p, v)) {
           val c0 = Vector.tabulate(steps.length)(i => if (i == 0) 1L else 0L)
+          val m0 = Vector.fill(steps.length)(emptyMeas)
+            .updated(0, emptyMeas.add(v))
           if (steps.length == 1 && !steps(0).greedy && br.grp(0) < 0) {
-            if (steps(0).minCount <= 1) cands ::= Cand(b, c0, st.prevT, t)
-          } else runs ::= Run(b, 0, c0, c0, 0L, st.prevT)
+            if (steps(0).minCount <= 1) cands ::= Cand(b, c0, st.prevT, t, m0)
+          } else runs ::= Run(b, 0, c0, c0, 0L, st.prevT, m0)
         }
       }
       val (r2, p2, emitted) =
@@ -428,21 +462,41 @@ object CepNfa {
     branches.flatMap(_.steps.map(_.name)).distinct
 
   private def outSchema(df: DataFrame, keyCol: String,
-      branches: Seq[Branch]): StructType =
+      branches: Seq[Branch], measures: Seq[MeasureSpec]): StructType =
     StructType(
-      df.schema(keyCol) +:
+      (df.schema(keyCol) +:
         StructField("start_us", LongType) +:
         StructField("end_us", LongType) +:
-        outNames(branches).map(n => StructField(s"n_$n", LongType)))
+        outNames(branches).map(n => StructField(s"n_$n", LongType))) ++
+        measures.map(m => StructField(m.as, DoubleType)))
+
+  /** MEASURES value for one spec: combine the branch's same-name steps
+    * that matched at least one row, in declaration order. */
+  private def measValue(c: Cand, b: Branch, spec: MeasureSpec): Any = {
+    val ms = b.steps.zipWithIndex
+      .filter(_._1.name == spec.step)
+      .map(x => c.meas(x._2))
+      .filter(_.n > 0)
+    if (ms.isEmpty) null
+    else spec.agg match {
+      case "first" => ms.head.first
+      case "last" => ms.last.last
+      case "min" => ms.map(_.mn).min
+      case "max" => ms.map(_.mx).max
+      case "sum" => ms.map(_.sum).sum
+    }
+  }
 
   private def candRow(key: Any, c: Cand, names: Seq[String],
-      branches: IndexedSeq[Branch]): Row = {
-    val steps = branches(c.branch).steps
+      branches: IndexedSeq[Branch], measures: Seq[MeasureSpec]): Row = {
+    val b = branches(c.branch)
+    val steps = b.steps
     val byName = names.map { n =>
       steps.iterator.zipWithIndex
         .filter(_._1.name == n).map(x => c.counts(x._2)).sum
     }
-    Row.fromSeq(key +: c.startT +: c.endT +: byName)
+    Row.fromSeq((key +: c.startT +: c.endT +: byName) ++
+      measures.map(measValue(c, b, _)))
   }
 
   /** Batch face over nested-pattern branches. `timeCol` must be LongType
@@ -454,7 +508,8 @@ object CepNfa {
       valCol: String,
       branches: Seq[Seq[PatternElem]],
       withinUs: Option[Long] = None,
-      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
+      measures: Seq[MeasureSpec] = Nil): DataFrame = {
     validate(branches, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
@@ -462,15 +517,17 @@ object CepNfa {
     val names = outNames(br)
     val eng = new Engine(br, withinUs, skip)
     SecondarySort.mapOrderedGroups(
-      df, Seq(keyCol), Seq(col(timeCol)), outSchema(df, keyCol, br)) {
+      df, Seq(keyCol), Seq(col(timeCol)),
+      outSchema(df, keyCol, br, measures)) {
       (key, rows) =>
         var st = empty
         val matched = rows.flatMap { r =>
           val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
-          ms.map(candRow(key.head, _, names, br))
+          ms.map(candRow(key.head, _, names, br, measures))
         }
-        matched ++ eng.flush(st).iterator.map(candRow(key.head, _, names, br))
+        matched ++
+          eng.flush(st).iterator.map(candRow(key.head, _, names, br, measures))
     }
   }
 
@@ -543,14 +600,15 @@ object CepNfa {
       valCol: String,
       branches: Seq[Seq[PatternElem]],
       withinUs: Option[Long] = None,
-      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
+      measures: Seq[MeasureSpec] = Nil): DataFrame = {
     validate(branches, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
     val br = branches.map(compile).toIndexedSeq
     val names = outNames(br)
     val eng = new Engine(br, withinUs, skip)
-    val schema = outSchema(df, keyCol, br)
+    val schema = outSchema(df, keyCol, br, measures)
     val ptf = new GraftPTF[NfaState] {
       def process(
           key: Row,
@@ -562,7 +620,7 @@ object CepNfa {
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
           val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
-          ms.foreach(c => out += candRow(key.get(0), c, names, br))
+          ms.foreach(c => out += candRow(key.get(0), c, names, br, measures))
         }
         (Some(st), out.result(), None)
       }

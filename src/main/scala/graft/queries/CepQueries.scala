@@ -522,6 +522,70 @@ object CepQueries {
                COUNT(*) AS cnt
         FROM m GROUP BY 1, 2, 3
         ORDER BY user_id, n_down
+      """.stripMargin.trim)),
+
+    // MEASURES clause: per-variable aggregates over each match's rows —
+    // min/sum/first of the falling run's values and the rise row's value
+    // (FIRST/LAST/aggregate per CLASSIFIER in the reference). Values are
+    // floored to integers so sums are exact in any accumulation order.
+    QueryDef(
+      "q_cep_measures",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("vf", floor(col("value")).cast("double"))
+        CepNfa.nested(d, "user_id", "ts_us", "vf", Seq(Seq(
+          CepNfa.Atom(PatternStep("down", (p, c) => c < p, greedy = true)),
+          CepNfa.Atom(PatternStep("up", (p, c) => c > p, greedy = false)))),
+          measures = Seq(
+            CepNfa.MeasureSpec("min", "down", "min_down"),
+            CepNfa.MeasureSpec("sum", "down", "sum_down"),
+            CepNfa.MeasureSpec("first", "down", "first_down"),
+            CepNfa.MeasureSpec("last", "up", "last_up")))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(FLOOR(value) AS DOUBLE) AS vf,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vf FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vf,
+                lag(tu) OVER w AS ptu, lag(vf) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vf < pv THEN 'D'
+                              WHEN vf > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir = 'D'
+                                  AND (pdir IS NULL OR pdir <> 'D')
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2),
+        druns AS (
+          SELECT user_id, runid,
+                 COUNT(*) AS n_down,
+                 MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_us,
+                 MIN(vf) AS min_down,
+                 SUM(vf) AS sum_down,
+                 arg_min(vf, idx) AS first_down
+          FROM r WHERE dir = 'D' GROUP BY user_id, runid)
+        SELECT d.user_id, d.start_us, nxt.tu AS end_us, d.n_down,
+               CAST(1 AS BIGINT) AS n_up, d.min_down, d.sum_down,
+               d.first_down, nxt.vf AS last_up
+        FROM druns d JOIN r nxt
+          ON nxt.user_id = d.user_id AND nxt.idx = d.last_idx + 1
+             AND nxt.dir = 'U'
+        ORDER BY d.user_id, d.start_us
       """.stripMargin.trim))
   )
 
