@@ -179,6 +179,76 @@ object EventQueries {
         GROUP BY 1 ORDER BY 1
       """.trim)),
 
+    // HOP-window join (Flink's window join on a sliding TVF): clicks ⋈
+    // purchases sharing a 10-min/5-min hop window and user — each row
+    // expands into its two windows, then a plain (window, key) equi-join.
+    QueryDef(
+      "q_window_join_hop",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val c = Windows.withHops(
+          e.where(col("event_type") === "click"), "ts_ns",
+          10 * NS_MIN, 5 * NS_MIN)
+          .select(col("user_id"), col("window_start"))
+        val p = Windows.withHops(
+          e.where(col("event_type") === "purchase"), "ts_ns",
+          10 * NS_MIN, 5 * NS_MIN)
+          .select(col("user_id").as("p_user"),
+            col("window_start").as("p_win"))
+        c.join(p, col("user_id") === col("p_user") &&
+            col("window_start") === col("p_win"))
+          .groupBy(col("window_start"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("window_start"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - epoch_ns(ts) % 300000000000)
+                   - i * 300000000000 AS ws
+          FROM events CROSS JOIN generate_series(0, 1) g(i)
+          WHERE event_type = 'click'),
+        p AS (
+          SELECT user_id,
+                 (epoch_ns(ts) - epoch_ns(ts) % 300000000000)
+                   - i * 300000000000 AS ws
+          FROM events CROSS JOIN generate_series(0, 1) g(i)
+          WHERE event_type = 'purchase')
+        SELECT c.ws AS window_start, COUNT(*) AS n_pairs
+        FROM c JOIN p ON c.user_id = p.user_id AND c.ws = p.ws
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Window TVF aggregate under GROUPING SETS (the reference's window
+    // agg supports grouping sets): per-window totals and per-window
+    // per-type splits in one pass through Catalyst's Expand.
+    QueryDef(
+      "q_window_grouping_sets",
+      (s, dir) => {
+        Windows.withTumble(Tables.events(s, dir), "ts_ns", 15 * NS_MIN)
+          .createOrReplaceTempView("ev_win")
+        s.sql(s"""
+          SELECT window_start,
+                 COALESCE(event_type, 'ALL') AS et,
+                 COUNT(*) AS n, ${sqlSum("value", 6)} AS sum_value
+          FROM ev_win
+          GROUP BY GROUPING SETS ((window_start, event_type),
+                                  (window_start))
+          ORDER BY window_start, et
+        """)
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT event_type, value,
+                 epoch_ns(ts) - epoch_ns(ts) % 900000000000 AS window_start
+          FROM events)
+        SELECT window_start, COALESCE(event_type, 'ALL') AS et,
+               COUNT(*) AS n, ${sqlSum("value", 6)} AS sum_value
+        FROM w
+        GROUP BY GROUPING SETS ((window_start, event_type), (window_start))
+        ORDER BY window_start, et
+      """.trim)),
+
     // Window join: clicks ⋈ purchases in the same 15-min tumble window —
     // a plain equi-join on (window, key), shuffle-friendly.
     QueryDef(
