@@ -236,6 +236,50 @@ object OverQueries {
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
       """.trim)),
 
+    // SortLimit with OFFSET (the reference's fetch/offset pair).
+    QueryDef(
+      "q_sort_limit_offset",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .offset(5)
+          .limit(10)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5
+      """.trim)),
+
+    // The remaining rank family: DENSE_RANK / PERCENT_RANK / CUME_DIST /
+    // NTILE over a totally-ordered partition (unique order keys make all
+    // four deterministic and engine-portable).
+    QueryDef(
+      "q_over_rank2",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            dense_rank().over(w).as("drk"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("nt"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(dense_rank() OVER w AS BIGINT) AS drk,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS INT) AS nt
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+        ORDER BY o_orderkey
+      """.trim)),
+
     // IGNORE NULLS over frames (the reference's FIRST_VALUE/LAST_VALUE/
     // LAG ignore-null forms): "latest click value so far" per user — a
     // sparse signal carried forward across non-click rows.

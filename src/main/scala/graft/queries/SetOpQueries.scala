@@ -78,6 +78,41 @@ object SetOpQueries {
         ORDER BY user_id
       """.trim)),
 
+    // Multiset set-ops (the reference's EXCEPT ALL / INTERSECT ALL forms,
+    // rewritten by its planner via REPLICATE_ROWS): multiplicity-aware
+    // membership over per-event user occurrences.
+    QueryDef(
+      "q_except_all",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.where(col("event_type") === "click").select(col("user_id"))
+          .exceptAll(
+            e.where(col("event_type") === "view").select(col("user_id")))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'view'
+        ORDER BY user_id
+      """.trim)),
+
+    QueryDef(
+      "q_intersect_all",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.where(col("event_type") === "click").select(col("user_id"))
+          .intersectAll(
+            e.where(col("event_type") === "view").select(col("user_id")))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'view'
+        ORDER BY user_id
+      """.trim)),
+
     // Inline literal rows (LocalRelation — no scan at all).
     QueryDef(
       "q_values",
