@@ -395,7 +395,8 @@ object RetractingChangelogAgg {
       keyCols: Seq[String],
       valCol: String,
       orderCols: Seq[Column] = Seq(col(RowKind.seqCol)),
-      seqFromInput: Boolean = false): DataFrame = {
+      seqFromInput: Boolean = false,
+      idleTtlMs: Option[Long] = None): DataFrame = {
 
     val keyIdx = keyCols.map(df.schema.fieldIndex)
     val valIdx = df.schema.fieldIndex(valCol)
@@ -461,30 +462,45 @@ object RetractingChangelogAgg {
     val sEnc: Encoder[S] = Encoders.kryo[S]
     val oEnc: Encoder[Row] = Encoders.row(outSchema)
 
+    val timeoutConf = idleTtlMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     df.as[Row](vEnc)
       .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(kEnc)
       .flatMapGroupsWithState[S, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          val old = state.getOption
-          val acc = old.map(s => accOf(s._3)).getOrElse(new Acc())
-          var maxSeq = 0L
-          rows.foreach { r =>
-            acc.update(
-              r.getAs[Number](valIdx).doubleValue(),
-              isRetract(r.getString(kindIdx)))
-            if (seqFromInput) maxSeq = math.max(maxSeq, r.getLong(seqIdx))
+          if (state.hasTimedOut) {
+            // idle TTL expired: drop the accumulator (state.ttl)
+            state.remove()
+            Iterator.empty
+          } else {
+            val old = state.getOption
+            val acc = old.map(s => accOf(s._3)).getOrElse(new Acc())
+            var maxSeq = 0L
+            rows.foreach { r =>
+              acc.update(
+                r.getAs[Number](valIdx).doubleValue(),
+                isRetract(r.getString(kindIdx)))
+              if (seqFromInput) maxSeq = math.max(maxSeq, r.getLong(seqIdx))
+            }
+            val emitted = old.flatMap(s => Option(s._2))
+            val seq0 = old.map(_._1).getOrElse(1L)
+            val (retSeq, accSeq) =
+              if (seqFromInput) (4 * maxSeq + 2, 4 * maxSeq + 3)
+              else (seq0, seq0 + 1)
+            val (e2, outs) =
+              transitions(key.toSeq, emitted, acc, retSeq, accSeq)
+            if (!acc.live && e2.isEmpty) state.remove()
+            else {
+              state.update(
+                (seq0 + (if (outs.nonEmpty) 2 else 0), e2.orNull,
+                  acc.snapshot))
+              idleTtlMs.foreach(state.setTimeoutDuration)
+            }
+            outs.iterator
           }
-          val emitted = old.flatMap(s => Option(s._2))
-          val seq0 = old.map(_._1).getOrElse(1L)
-          val (retSeq, accSeq) =
-            if (seqFromInput) (4 * maxSeq + 2, 4 * maxSeq + 3)
-            else (seq0, seq0 + 1)
-          val (e2, outs) = transitions(key.toSeq, emitted, acc, retSeq, accSeq)
-          if (!acc.live && e2.isEmpty) state.remove()
-          else state.update(
-            (seq0 + (if (outs.nonEmpty) 2 else 0), e2.orNull, acc.snapshot))
-          outs.iterator
       }(sEnc, oEnc)
   }
 }

@@ -199,6 +199,47 @@ class ChangelogSpec extends SparkSpecBase {
     assert(mat.toSeq == direct)
   }
 
+  test("RetractingChangelogAgg idle TTL drops the accumulator") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cattl-").toString
+    val q = RetractingChangelogAgg(df, Seq("g"), "v",
+      idleTtlMs = Some(200L))
+      .writeStream.format("memory").queryName("ca_ttl")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def eventually(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(Seq((7L, 10.0, 1L, RowKind.Insert)))
+      eventually("first emission") {
+        spark.table("ca_ttl").where(col("g") === 7L).count() >= 1
+      }
+      // idle past the TTL; pending timers keep batches running, so the
+      // accumulator for g=7 is dropped before the next event
+      val b0 = q.lastProgress.batchId
+      Thread.sleep(600)
+      eventually("a timer batch") { q.lastProgress.batchId > b0 }
+      input.addData(Seq((7L, 5.0, 2L, RowKind.Insert)))
+      eventually("second emission") {
+        spark.table("ca_ttl").where(col("g") === 7L).count() >= 2
+      }
+    } finally q.stop()
+    val rows = spark.table("ca_ttl").where(col("g") === 7L)
+      .select(col(RowKind.kindCol), col("n_live"), col("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the aggregate RESTARTED: two independent +I emissions with n=1 —
+    // not the -U/+U pair (n=2) an unexpired accumulator would produce
+    assert(rows == Set((RowKind.Insert, 1L, 10.0), (RowKind.Insert, 1L, 5.0)),
+      s"unexpected emissions: $rows")
+  }
+
   test("streaming RetractingChangelogAgg seqFromInput keeps the global domain") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Double, Long, String)]
