@@ -366,6 +366,43 @@ object MiscOpQueries {
         FROM g ORDER BY l_orderkey
       """.stripMargin.trim)),
 
+    // Collection pack 2: the remaining §2.8 array rows — FLATTEN,
+    // ARRAY_REPEAT, ARRAY_POSITION, ARRAY_APPEND/PREPEND, REVERSE.
+    QueryDef(
+      "q_array_funcs2",
+      (s, dir) => {
+        val probe = array(lit(1), lit(2), lit(3))
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_quantity").cast("int")))
+            .as("qs"))
+          .select(
+            col("l_orderkey"),
+            csvOf(flatten(array(col("qs"), probe))).as("flat"),
+            csvOf(array_repeat(element_at(col("qs"), 1), 3)).as("rep3"),
+            array_position(col("qs"), 25).as("pos25"),
+            csvOf(array_append(col("qs"), 99)).as("app"),
+            csvOf(array_prepend(col("qs"), 0)).as("prep"),
+            csvOf(reverse(col("qs"))).as("rev"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT l_orderkey,
+                 list_sort(list(CAST(l_quantity AS INT))) AS qs
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT l_orderkey,
+          COALESCE(array_to_string(flatten([qs, [1, 2, 3]]), ','), '')
+            AS flat,
+          COALESCE(array_to_string(
+            list_transform(range(1, 4), i -> qs[1]), ','), '') AS rep3,
+          CAST(COALESCE(list_position(qs, 25), 0) AS BIGINT) AS pos25,
+          COALESCE(array_to_string(list_append(qs, 99), ','), '') AS app,
+          COALESCE(array_to_string(list_prepend(0, qs), ','), '') AS prep,
+          COALESCE(array_to_string(list_reverse(qs), ','), '') AS rev
+        FROM g ORDER BY l_orderkey
+      """.stripMargin.trim)),
+
     // Collection pack, maps: map_from_arrays/keys/values/element_at/
     // map_filter/transform_values over per-order position→quantity maps
     // (keys are 1..n over the SORTED quantity array, so entry order and

@@ -138,6 +138,24 @@ class PlanSpec extends SparkSpecBase {
       s"global sort would bottleneck one task:\n$p")
   }
 
+  test("q_window_join_hop: windowed equi-join, no cartesian, two explodes") {
+    val p = planOf("q_window_join_hop")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"hop-window join must stay an equi-join:\n$p")
+    // one hop-expansion explode per side — not re-derived per reference
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
+      s"expected exactly one hop explode per side:\n$p")
+  }
+
+  test("q_protobuf: codec stays expression-level, single scan") {
+    val p = planOf("q_protobuf")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"protobuf codec must be a native expression:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"round trip must read orders once:\n$p")
+  }
+
   test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
