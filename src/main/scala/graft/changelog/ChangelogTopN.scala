@@ -1,0 +1,188 @@
+package graft.changelog
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** RETRACTABLE streaming Top-N — the reference's RetractableTopNFunction
+  * (RT/operators/rank/RetractableTopNFunction.java:56): Top-N over a
+  * CHANGELOG input, where updates and deletes of ranked rows re-rank the
+  * partition and emit the difference as retraction pairs. This closes the
+  * rank-tier sub-row the append-only StreamingTopN (state capped at N)
+  * cannot express: an append-only Top-N can ignore rows below the
+  * threshold forever; a retractable one must know what RE-ENTERS the
+  * top when a leader retracts.
+  *
+  * Input: a full changelog with `__rowkind`/`__seq` (one global seq
+  * domain per partition key; an update is a -U/+U pair). Ranking is by
+  * value DESC with the upsert key as the deterministic tie-break.
+  *
+  * Output: a changelog of rank assignments keyed by (partition, rank):
+  * +I when a rank first fills, -U/+U when a rank's occupant or value
+  * changes, -D when the partition shrinks below a rank. Materializing
+  * with keep-last by (partition, rank) yields exactly the Top-N of the
+  * final state — the oracle's formulation.
+  *
+  * State per partition key: the FULL live-row map (upsertKey → value) +
+  * the N emitted assignments — the reference's own bound (its ranked
+  * treemap also holds every live row; that is the price of retractable
+  * semantics, and the reason the append-only variant exists).
+  * One hash shuffle on the partition key; emission diffs are O(N) per
+  * batch after an O(live) re-rank bounded by the partition's live rows.
+  */
+object ChangelogTopN {
+
+  def apply(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      upsertKeyCol: String,
+      valCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val pIdx = partitionCols.map(df.schema.fieldIndex)
+    val ukIdx = df.schema.fieldIndex(upsertKeyCol)
+    val vIdx = df.schema.fieldIndex(valCol)
+    val kindIdx = df.schema.fieldIndex(RowKind.kindCol)
+    val seqIdx = df.schema.fieldIndex(RowKind.seqCol)
+
+    val outSchema = StructType(
+      pIdx.map(df.schema.fields(_)) ++ Seq(
+        StructField("rank", IntegerType),
+        df.schema.fields(ukIdx),
+        StructField(valCol, DoubleType),
+        StructField(RowKind.kindCol, StringType),
+        StructField(RowKind.seqCol, LongType)))
+
+    // ranking: value DESC, upsert key string form ASC (deterministic)
+    def topOf(live: Map[Any, Double]): Vector[(Any, Double)] =
+      live.toVector
+        .sortBy { case (uk, v) => (-v, String.valueOf(uk)) }
+        .take(n)
+
+    def isRetract(kind: String): Boolean =
+      kind == RowKind.UpdateBefore || kind == RowKind.Delete
+
+    /** Diff two rank assignments into changelog rows; the per-key
+      * emission counter stamps `__seq` (2 slots per change so -U < +U). */
+    def diff(
+        keyVals: Seq[Any],
+        old: Vector[(Any, Double)],
+        nw: Vector[(Any, Double)],
+        seq0: Long): (Long, Seq[Row]) = {
+      var seq = seq0
+      val out = Seq.newBuilder[Row]
+      val m = math.max(old.length, nw.length)
+      var r = 0
+      while (r < m) {
+        val o = old.lift(r)
+        val w = nw.lift(r)
+        (o, w) match {
+          case (Some(ov), Some(nv)) if ov == nv => ()
+          case (Some(ov), Some(nv)) =>
+            out += Row.fromSeq(keyVals ++ Seq(r + 1, ov._1, ov._2,
+              RowKind.UpdateBefore, seq))
+            out += Row.fromSeq(keyVals ++ Seq(r + 1, nv._1, nv._2,
+              RowKind.UpdateAfter, seq + 1))
+            seq += 2
+          case (None, Some(nv)) =>
+            out += Row.fromSeq(keyVals ++ Seq(r + 1, nv._1, nv._2,
+              RowKind.Insert, seq + 1))
+            seq += 2
+          case (Some(ov), None) =>
+            out += Row.fromSeq(keyVals ++ Seq(r + 1, ov._1, ov._2,
+              RowKind.Delete, seq))
+            seq += 2
+          case (None, None) => ()
+        }
+        r += 1
+      }
+      (seq, out.result())
+    }
+
+    def applyEnvelope(
+        live: scala.collection.mutable.Map[Any, Double], e: Row): Unit = {
+      val uk = e.get(ukIdx)
+      val v = e.getAs[Number](vIdx).doubleValue()
+      if (isRetract(e.getString(kindIdx))) {
+        // remove only if the stored value matches the pre-image (a stale
+        // -U for an already-replaced row must not kill the newer value)
+        if (live.get(uk).contains(v)) live.remove(uk)
+      } else live.update(uk, v)
+    }
+
+    if (!df.isStreaming) {
+      // per-envelope re-rank must NOT re-sort the live set (that is
+      // O(E·L log L) — quadratic in a partition's envelope count): keep
+      // an ordered set of (-value, key) so each envelope costs O(log L)
+      // to update and O(N) to read the top
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        df, partitionCols,
+        Seq(col(RowKind.seqCol),
+          when(col(RowKind.kindCol) === RowKind.UpdateBefore ||
+            col(RowKind.kindCol) === RowKind.Delete, 0).otherwise(1)),
+        outSchema) { (keyVals, rows) =>
+        val byStr =
+          scala.collection.mutable.Map.empty[String, (Any, Double)]
+        val ranked = scala.collection.mutable.TreeSet
+          .empty[(Double, String)](
+            Ordering.by { case (v, k) => (-v, k) })
+        var top = Vector.empty[(Any, Double)]
+        var seq = 1L
+        rows.flatMap { e =>
+          val uk = e.get(ukIdx)
+          val str = String.valueOf(uk)
+          val v = e.getAs[Number](vIdx).doubleValue()
+          if (isRetract(e.getString(kindIdx))) {
+            if (byStr.get(str).exists(_._2 == v)) {
+              ranked.remove((v, str))
+              byStr.remove(str)
+            }
+          } else {
+            byStr.get(str).foreach { case (_, ov) =>
+              ranked.remove((ov, str))
+            }
+            byStr.update(str, (uk, v))
+            ranked.add((v, str))
+          }
+          val nw = ranked.iterator.take(n)
+            .map { case (vv, kk) => (byStr(kk)._1, vv) }.toVector
+          val (s2, outs) = diff(keyVals, top, nw, seq)
+          top = nw
+          seq = s2
+          outs
+        }
+      }
+    }
+
+    val keySchema = StructType(pIdx.map(df.schema.fields(_)))
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    // state: (emission seq, live rows, emitted top assignments)
+    type S = (Long, Map[Any, Double], Vector[(Any, Double)])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(pIdx.map(r.get)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          val (seq0, liveM, top0) = state.getOption.getOrElse(
+            (1L, Map.empty[Any, Double], Vector.empty[(Any, Double)]))
+          val live = scala.collection.mutable.Map.from(liveM)
+          // order within the micro-batch slice; retracts before the
+          // accumulate sharing their seq
+          val ordered = rows.toSeq.sortBy { e =>
+            (e.getLong(seqIdx),
+              if (isRetract(e.getString(kindIdx))) 0 else 1)
+          }
+          ordered.foreach(applyEnvelope(live, _))
+          val nw = topOf(live.toMap)
+          val (seq2, outs) = diff(key.toSeq, top0, nw, seq0)
+          if (live.isEmpty && nw.isEmpty) state.remove()
+          else state.update((seq2, live.toMap, nw))
+          outs.iterator
+      }(sEnc, oEnc)
+  }
+}

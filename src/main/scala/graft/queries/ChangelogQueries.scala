@@ -238,6 +238,54 @@ object ChangelogQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // RETRACTABLE Top-N (RetractableTopNFunction.java): top-3 orders by
+    // price per priority over a changelog — price updates DEMOTE ranked
+    // rows and deletes PROMOTE lower ones, each re-rank emitted as
+    // retraction pairs keyed by (priority, rank). Materializing keep-last
+    // by (priority, rank) must equal the Top-N of the final state.
+    QueryDef(
+      "q_changelog_topn",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("price"))
+        val feed = ob
+          .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+            lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              (col("price") * 0.5).as("price"),
+              lit(20L).as("__seq"), lit(RowKind.UpdateAfter).as("kind")))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+              lit(30L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val cl = ChangelogNormalize(feed, Seq("o_orderkey"), "kind", "__seq")
+        UpsertMaterialize(
+          ChangelogTopN(cl, Seq("o_orderpriority"), "o_orderkey",
+            "price", 3),
+          Seq("o_orderpriority", "rank"))
+          .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+            col("price"))
+          .orderBy(col("o_orderpriority"), col("rank"))
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 0.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS price
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY price DESC, CAST(o_orderkey AS VARCHAR) ASC)
+                 AS rank
+          FROM ofinal)
+        SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, price
+        FROM r WHERE rank <= 3
+        ORDER BY o_orderpriority, rank
+      """.stripMargin.trim)),
+
     // LEFT OUTER changelog join: orders of deleted customers stay as
     // null-padded rows; the padding appears/retracts as matches come and
     // go. Oracle: LEFT JOIN of the two final states.

@@ -395,6 +395,56 @@ class ChangelogSpec extends SparkSpecBase {
     assert(mat.toSeq == Seq((1L, None)))
   }
 
+  test("streaming ChangelogTopN re-ranks on retractions, matches batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one partition 'p': inserts build a leaderboard, then the leader's
+    // value drops (demotion), then the new leader is deleted (promotion
+    // of the row below) — every re-rank crosses a batch boundary
+    val feed = Seq(
+      ("p", 1L, 50.0, 1L, RowKind.Insert),
+      ("p", 2L, 40.0, 2L, RowKind.Insert),
+      ("p", 3L, 30.0, 3L, RowKind.Insert),
+      ("p", 4L, 20.0, 4L, RowKind.Insert),
+      // leader 1 drops to 25 → order becomes 2,3,1
+      ("p", 1L, 50.0, 5L, RowKind.UpdateBefore),
+      ("p", 1L, 25.0, 5L, RowKind.UpdateAfter),
+      // new leader 2 deleted → 3,1,4 (4 promoted into the top 3)
+      ("p", 2L, 40.0, 6L, RowKind.Delete))
+    val input = MemoryStream[(String, Long, Double, Long, String)]
+    val df = input.toDF()
+      .toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ctopn-").toString
+    val q = ChangelogTopN(df, Seq("pk"), "uk", "v", 3)
+      .writeStream.format("memory").queryName("c_topn")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      Seq(feed.take(4), feed.slice(4, 6), feed.drop(6)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("c_topn")
+    // raw changelog must contain real retractions (demotion + deletion)
+    val kinds = streamed.select(col(RowKind.kindCol)).as[String]
+      .collect().toSet
+    assert(kinds.contains(RowKind.UpdateBefore) &&
+      kinds.contains(RowKind.UpdateAfter), s"no retraction pairs: $kinds")
+    // materialized: rank 1..3 = uk 3 (30), 1 (25), 4 (20)
+    val mat = UpsertMaterialize(streamed, Seq("pk", "rank"))
+      .select("rank", "uk", "v").as[(Int, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(mat == Seq((1, 3L, 30.0), (2, 1L, 25.0), (3, 4L, 20.0)),
+      s"unexpected final top-3: $mat")
+    // batch face over the same feed materializes identically
+    val batchMat = UpsertMaterialize(
+      ChangelogTopN(
+        feed.toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol),
+        Seq("pk"), "uk", "v", 3),
+      Seq("pk", "rank"))
+      .select("rank", "uk", "v").as[(Int, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(batchMat == mat)
+  }
+
   test("ChangelogJoin idle TTL drops state; late arrivals re-pair fresh") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lIn = MemoryStream[(Long, Long, Double, Long, String)]
