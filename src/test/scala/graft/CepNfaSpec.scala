@@ -242,6 +242,22 @@ class CepNfaSpec extends SparkSpecBase {
       Set(Seq(1L, 6L, 3L, 2L)))
   }
 
+  test("MEASURES accumulate across group iterations") {
+    // (down up)+ over 5,3,6,2,9: two iterations — sum_down = 3+2,
+    // min_down = 2, last_up = 9, first_down = 3
+    val rows = series(5, 3, 6, 2, 9, 1)
+    val m = CepNfa.nested(rows.toDF("k", "t", "v"), "k", "t", "v",
+      Seq(Seq(duGroup)),
+      measures = Seq(
+        CepNfa.MeasureSpec("sum", "down", "sum_down"),
+        CepNfa.MeasureSpec("min", "down", "min_down"),
+        CepNfa.MeasureSpec("first", "down", "first_down"),
+        CepNfa.MeasureSpec("last", "up", "last_up")))
+      .select($"sum_down", $"min_down", $"first_down", $"last_up")
+      .as[(Double, Double, Double, Double)].collect().toSet
+    assert(m == Set((5.0, 2.0, 3.0, 9.0)), s"got $m")
+  }
+
   test("streaming parity for group patterns across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // each key ends on a flat (E) pair so every run dies and all held

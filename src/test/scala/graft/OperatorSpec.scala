@@ -482,6 +482,54 @@ class OperatorSpec extends SparkSpecBase {
     assert(AsyncWait.ExpBackoff(5, 100, 2.0, 500).delaysMs ==
       Seq(100L, 200L, 400L, 500L, 500L))
   }
+
+  test("Decontaminate benchDfCap drops ubiquitous benchmark shingles") {
+    // boilerplate shared by EVERY benchmark doc would multiply the probe
+    // by |benchmark|; with the cap it contributes nothing, and the doc
+    // whose only overlap is boilerplate is no longer flagged
+    val boiler = "shared license header boilerplate"
+    val bench = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"$boiler iota kappa lambda mu")).toDF("bench_id", "text")
+    val corpus = Seq(
+      // real contamination: shares the unique tail of bench 1
+      (10L, "alpha beta gamma delta unrelated tail words here"),
+      // boilerplate-only overlap
+      (11L, s"$boiler completely different content words")).toDF("doc_id", "text")
+    val capped = Decontaminate(corpus, bench, minOverlap = 0.2, benchDfCap = 2)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(capped.contains((10L, 1L)), s"real overlap lost: $capped")
+    assert(!capped.exists(_._1 == 11L),
+      s"boilerplate-only doc flagged despite the cap: $capped")
+    // uncapped, the boilerplate doc IS flagged against all three
+    val uncapped = Decontaminate(corpus, bench, minOverlap = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped.contains(11L))
+  }
+
+  test("TrainingData sampling is independent of physical partitioning") {
+    val docs = Tables.documents(TestSpark.spark, sf)
+      .select(col("doc_id"), col("source"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      TrainingData.sample(df, col("doc_id"), lit(40), "ptest")
+        .select("doc_id").as[Long].collect().toSet
+    val a = ids(docs.repartition(7))
+    val b = ids(docs.repartition(3, col("source")))
+    val c = ids(docs.coalesce(1))
+    assert(a == b && b == c && a.nonEmpty && a.size < 500,
+      "deterministic sample must not depend on partitioning")
+    // epoch shuffle: same epoch = same order; different epoch = different
+    val o1 = TrainingData.epochShuffle(docs, col("doc_id"), "e1")
+      .select("doc_id").as[Long].collect().toSeq
+    val o1b = TrainingData.epochShuffle(docs.repartition(5),
+      col("doc_id"), "e1").select("doc_id").as[Long].collect().toSeq
+    val o2 = TrainingData.epochShuffle(docs, col("doc_id"), "e2")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(o1 == o1b, "epoch order must be partitioning-independent")
+    assert(o1 != o2, "distinct epochs must reorder")
+    assert(o1.toSet == o2.toSet)
+  }
 }
 
 /** Partition-local failure counter for the flaky-client retry spec (object
