@@ -238,6 +238,48 @@ object ChangelogQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // WINDOWED retractable aggregation: CDC corrections (a -U/+U pair
+    // doubling every tenth event's value) re-aggregate their 15-minute
+    // tumble window — the retracting agg keyed by (type, window), the
+    // window TVF × changelog composition. Materialized per-window totals
+    // must equal the corrected batch aggregate.
+    QueryDef(
+      "q_changelog_window_agg",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"),
+            (col("ts_us") - col("ts_us") % lit(900000000L)).as("wstart"))
+        val corr = e.where(col("event_id") % 10 === 0)
+        val feed = e
+          .select(col("event_type"), col("wstart"), col("value").as("v"),
+            lit(1L).as(RowKind.seqCol), lit(RowKind.Insert).as(RowKind.kindCol))
+          .unionByName(corr.select(col("event_type"), col("wstart"),
+            col("value").as("v"), lit(2L).as(RowKind.seqCol),
+            lit(RowKind.UpdateBefore).as(RowKind.kindCol)))
+          .unionByName(corr.select(col("event_type"), col("wstart"),
+            (col("value") * 2).as("v"), lit(3L).as(RowKind.seqCol),
+            lit(RowKind.UpdateAfter).as(RowKind.kindCol)))
+        UpsertMaterialize(
+          RetractingChangelogAgg(feed, Seq("event_type", "wstart"), "v"),
+          Seq("event_type", "wstart"))
+          .select(col("event_type"), col("wstart"), col("n_live"),
+            col("sum_v"), col("min_v"), col("max_v"))
+          .orderBy(col("event_type"), col("wstart"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % 900000000 AS wstart,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END
+                   AS v
+          FROM events)
+        SELECT event_type, wstart, COUNT(*) AS n_live,
+               CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+               MIN(v) AS min_v, MAX(v) AS max_v
+        FROM e GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.stripMargin.trim)),
+
     // RETRACTABLE Top-N (RetractableTopNFunction.java): top-3 orders by
     // price per priority over a changelog — price updates DEMOTE ranked
     // rows and deletes PROMOTE lower ones, each re-rank emitted as
