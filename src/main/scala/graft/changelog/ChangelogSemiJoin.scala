@@ -1,0 +1,160 @@
+package graft.changelog
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Changelog-consuming SEMI / ANTI join — the reference's
+  * StreamingSemiAntiJoinOperator (RT/operators/join/stream/
+  * StreamingSemiAntiJoinOperator.java:38): IN / EXISTS (semi) and
+  * NOT EXISTS (anti) over two changelog inputs. A left row is LIVE in
+  * the output while the right side has ≥1 (semi) / exactly 0 (anti)
+  * live rows under its join key — and right-side changes FLIP whole
+  * key groups: the first right insert emits every held left row (semi)
+  * or retracts it (anti), the last right delete does the inverse.
+  *
+  * Inputs follow the [[ChangelogJoin]] contract: full changelogs with
+  * `__rowkind`/`__seq` on one global seq domain (an update is a -U/+U
+  * pair; `-U` must reach the OLD join-key group). Left value updates
+  * surface as -D/+I pairs in the output (equivalent under keep-last
+  * materialization by the left upsert key, which reproduces exactly
+  * `SELECT * FROM left_final WHERE [NOT] EXISTS right_final`).
+  *
+  * State: left live rows + the right live upsert-key set per join key —
+  * the reference's bound (it keeps right rows with counters). One hash
+  * shuffle on the join key; a right 0↔1 flip costs O(left rows under
+  * that key) emissions, which is the semantic output size.
+  */
+object ChangelogSemiJoin {
+
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftJoinKey: String,
+      rightJoinKey: String,
+      rightKey: String,
+      anti: Boolean): DataFrame = {
+    val metaCols = Set(RowKind.kindCol, RowKind.seqCol)
+    val lPayF = left.schema.fields.filterNot(f => metaCols(f.name))
+    require(left.schema(leftJoinKey).dataType ==
+      right.schema(rightJoinKey).dataType,
+      "join key types differ — cast one side explicitly")
+
+    val outSchema = StructType(
+      lPayF :+
+        StructField(RowKind.kindCol, StringType) :+
+        StructField(RowKind.seqCol, LongType))
+
+    val krank = when(
+      col(RowKind.kindCol) === RowKind.UpdateBefore ||
+        col(RowKind.kindCol) === RowKind.Delete, 0).otherwise(1)
+    val lNn = left.where(col(leftJoinKey).isNotNull)
+    val rNn = right.where(col(rightJoinKey).isNotNull)
+    val lEnv = lNn.select(
+      col(leftJoinKey).as("__jk"),
+      lit(0).as("__side"),
+      col(RowKind.seqCol).as("__seqe"),
+      col(RowKind.kindCol).as("__kind"),
+      krank.as("__krank"),
+      struct(lPayF.map(f => col(f.name)): _*).as("__l"),
+      col(leftJoinKey).cast("string").as("__ruk")) // unused on left
+    val rEnv = rNn.select(
+      col(rightJoinKey).as("__jk"),
+      lit(1).as("__side"),
+      col(RowKind.seqCol).as("__seqe"),
+      col(RowKind.kindCol).as("__kind"),
+      krank.as("__krank"),
+      lit(null).cast(StructType(lPayF)).as("__l"),
+      col(rightKey).cast("string").as("__ruk"))
+    val env = lEnv.unionByName(rEnv)
+
+    val lIdx = 5
+    val rukIdx = 6
+
+    def isRetract(kind: String): Boolean =
+      kind == RowKind.UpdateBefore || kind == RowKind.Delete
+
+    // shared replay step: returns output rows for one envelope.
+    // lState: left payloads by their full value (a multiset via count);
+    // rSet: live right upsert keys. `cond` = does a left row belong in
+    // the output right now.
+    final case class St(
+        var seq: Long,
+        lState: scala.collection.mutable.LinkedHashMap[Seq[Any], Long],
+        rSet: scala.collection.mutable.LinkedHashSet[String])
+
+    def cond(st: St): Boolean = if (anti) st.rSet.isEmpty else st.rSet.nonEmpty
+
+    def emit(st: St, pay: Seq[Any], kind: String): Row = {
+      st.seq += 1
+      Row.fromSeq(pay :+ kind :+ st.seq)
+    }
+
+    def step(st: St, e: Row): Seq[Row] = {
+      val retract = isRetract(e.getString(3))
+      if (e.getInt(1) == 0) {
+        // left row
+        val pay = e.getStruct(lIdx).toSeq
+        if (retract) {
+          st.lState.get(pay).foreach { c =>
+            if (c <= 1) st.lState.remove(pay) else st.lState.update(pay, c - 1)
+          }
+          if (cond(st)) Seq(emit(st, pay, RowKind.Delete)) else Nil
+        } else {
+          st.lState.update(pay, st.lState.getOrElse(pay, 0L) + 1)
+          if (cond(st)) Seq(emit(st, pay, RowKind.Insert)) else Nil
+        }
+      } else {
+        // right row: only 0 <-> >0 transitions flip the key group
+        val before = cond(st)
+        val ruk = e.getString(rukIdx)
+        if (retract) st.rSet.remove(ruk) else st.rSet.add(ruk)
+        val after = cond(st)
+        if (before == after) Nil
+        else {
+          val kind = if (after) RowKind.Insert else RowKind.Delete
+          st.lState.iterator.flatMap { case (pay, c) =>
+            (1L to c).map(_ => emit(st, pay, kind))
+          }.toSeq
+        }
+      }
+    }
+
+    if (!env.isStreaming) {
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        env, Seq("__jk"), Seq(col("__seqe"), col("__krank"), col("__side")),
+        outSchema) { (_, rows) =>
+        val st = St(0L,
+          scala.collection.mutable.LinkedHashMap.empty,
+          scala.collection.mutable.LinkedHashSet.empty)
+        rows.flatMap(step(st, _))
+      }
+    }
+
+    val jkField = env.schema.fields(0)
+    val kEnc: Encoder[Row] = Encoders.row(StructType(Seq(jkField)))
+    val vEnc: Encoder[Row] = Encoders.row(env.schema)
+    type S = (Long, Map[Seq[Any], Long], Set[String])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    env.as[Row](vEnc)
+      .groupByKey(r => Row(r.get(0)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          val (seq0, lM, rS) = state.getOption.getOrElse(
+            (0L, Map.empty[Seq[Any], Long], Set.empty[String]))
+          val st = St(seq0,
+            scala.collection.mutable.LinkedHashMap.from(lM),
+            scala.collection.mutable.LinkedHashSet.from(rS))
+          val out = rows.toSeq
+            .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
+            .flatMap(step(st, _))
+          if (st.lState.isEmpty && st.rSet.isEmpty) state.remove()
+          else state.update((st.seq, st.lState.toMap, st.rSet.toSet))
+          out.iterator
+      }(sEnc, oEnc)
+  }
+}

@@ -33,6 +33,52 @@ object ChangelogQueries {
     feed AS (
       SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p FROM orders)"""
 
+  /** Order + customer upsert feeds for the semi/anti join queries: order
+    * updates (halved price for %5), order deletes (%7), customer deletes
+    * (%3) — one global seq domain. */
+  private def semiFeeds(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ob = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val ofeed = ob
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+      .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 0.5).as("o_totalprice"),
+          lit(20L).as("__seq"), lit(RowKind.UpdateAfter).as("kind")))
+      .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(30L).as("__seq"), lit(RowKind.Delete).as("kind")))
+    val cb = Tables.customer(s, dir).select(col("c_custkey"))
+    val cfeed = cb
+      .select(col("c_custkey"), lit(11L).as("__seq"),
+        lit(RowKind.UpdateAfter).as("kind"))
+      .unionByName(cb.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit(21L).as("__seq"),
+          lit(RowKind.Delete).as("kind")))
+    (ofeed, cfeed)
+  }
+
+  private def semiOracle(exists: Boolean): String = {
+    val pred = if (exists) "" else "NOT "
+    s"""
+      WITH ofinal AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN CAST(o_totalprice AS DOUBLE) * 0.5
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      cfinal AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM ofinal o
+      WHERE ${pred}EXISTS (SELECT 1 FROM cfinal c
+                           WHERE c.c_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """.stripMargin.trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ChangelogNormalize: upsert feed → full changelog with -U pre-images.
@@ -237,6 +283,42 @@ object ChangelogQueries {
         FROM ofinal o JOIN cfinal c ON o.o_custkey = c.c_custkey
         ORDER BY o_orderkey
       """.stripMargin.trim)),
+
+    // Changelog SEMI join (StreamingSemiAntiJoinOperator.java): orders
+    // whose customer is LIVE — customer deletes retract whole key groups,
+    // order updates surface as -D/+I pairs. Materialized output = EXISTS
+    // over the two final states.
+    QueryDef(
+      "q_changelog_join_semi",
+      (s, dir) => {
+        val (ofeed, cfeed) = semiFeeds(s, dir)
+        val lcl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+        val rcl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+        UpsertMaterialize(
+          ChangelogSemiJoin(lcl, rcl, "o_custkey", "c_custkey",
+            "c_custkey", anti = false),
+          Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(semiOracle(exists = true))),
+
+    // Changelog ANTI join: orders whose customer is gone (or never
+    // existed) — the inverse flip protocol. Materialized = NOT EXISTS.
+    QueryDef(
+      "q_changelog_join_anti",
+      (s, dir) => {
+        val (ofeed, cfeed) = semiFeeds(s, dir)
+        val lcl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+        val rcl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+        UpsertMaterialize(
+          ChangelogSemiJoin(lcl, rcl, "o_custkey", "c_custkey",
+            "c_custkey", anti = true),
+          Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(semiOracle(exists = false))),
 
     // WINDOWED retractable aggregation: CDC corrections (a -U/+U pair
     // doubling every tenth event's value) re-aggregate their 15-minute

@@ -395,6 +395,56 @@ class ChangelogSpec extends SparkSpecBase {
     assert(mat.toSeq == Seq((1L, None)))
   }
 
+  test("streaming ChangelogSemiJoin flips key groups on right-side changes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // left: items on join keys 100/200; right: dims appearing LATE and
+    // being deleted — the 0↔1 transitions must flip held left rows
+    val leftFeed = Seq(
+      (1L, 100L, 10.0, 1L, RowKind.Insert),
+      (2L, 100L, 20.0, 2L, RowKind.Insert),
+      (3L, 200L, 30.0, 3L, RowKind.Insert))
+    val rightFeed = Seq(
+      (7L, 100L, 4L, RowKind.Insert), // flips key 100 in (semi)
+      (8L, 200L, 5L, RowKind.Insert),
+      (8L, 200L, 6L, RowKind.Delete)) // flips key 200 back out
+    val lIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val rIn = MemoryStream[(Long, Long, Long, String)]
+    val lDf = lIn.toDF().toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val rDf = rIn.toDF().toDF("rk", "rjk", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-csemi-").toString
+    val q = ChangelogSemiJoin(lDf, rDf, "ljk", "rjk", "rk", anti = false)
+      .writeStream.format("memory").queryName("c_semi")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      lIn.addData(leftFeed); q.processAllAvailable()
+      rIn.addData(rightFeed.take(2)); q.processAllAvailable()
+      rIn.addData(rightFeed.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("c_semi")
+    // key 200 was emitted then retracted across batches
+    assert(streamed.where(col(RowKind.kindCol) === RowKind.Delete)
+      .count() > 0, "no flip retraction emitted")
+    val mat = UpsertMaterialize(streamed, Seq("lk"))
+      .select("lk", "v").as[(Long, Double)].collect().toSet
+    assert(mat == Set((1L, 10.0), (2L, 20.0)), s"semi mismatch: $mat")
+    // batch face parity on the same feeds
+    val batchMat = UpsertMaterialize(
+      ChangelogSemiJoin(
+        leftFeed.toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol),
+        rightFeed.toDF("rk", "rjk", RowKind.seqCol, RowKind.kindCol),
+        "ljk", "rjk", "rk", anti = false),
+      Seq("lk")).select("lk", "v").as[(Long, Double)].collect().toSet
+    assert(batchMat == mat)
+    // anti inverse on the batch face
+    val antiMat = UpsertMaterialize(
+      ChangelogSemiJoin(
+        leftFeed.toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol),
+        rightFeed.toDF("rk", "rjk", RowKind.seqCol, RowKind.kindCol),
+        "ljk", "rjk", "rk", anti = true),
+      Seq("lk")).select("lk", "v").as[(Long, Double)].collect().toSet
+    assert(antiMat == Set((3L, 30.0)), s"anti mismatch: $antiMat")
+  }
+
   test("streaming ChangelogTopN re-ranks on retractions, matches batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // one partition 'p': inserts build a leaderboard, then the leader's
