@@ -472,8 +472,16 @@ object RetractingChangelogAgg {
         OutputMode.Append(), timeoutConf) {
         (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
           if (state.hasTimedOut) {
-            // idle TTL expired: drop the accumulator (state.ttl)
-            state.remove()
+            // idle TTL expired: drop the accumulator (state.ttl). In
+            // counter mode the per-key emission seq must SURVIVE expiry —
+            // a post-expiry +I restarting at seq 1 would lose keep-last
+            // materialization to stale pre-expiry output — so expiry
+            // leaves a seq-only tombstone (a Long; the accumulator, which
+            // is what TTL exists to bound, is dropped). Input-derived
+            // seqs live on the global domain and need nothing kept.
+            if (seqFromInput) state.remove()
+            else state.getOption.foreach(s =>
+              state.update((s._1, null, new Acc().snapshot)))
             Iterator.empty
           } else {
             val old = state.getOption
@@ -492,8 +500,14 @@ object RetractingChangelogAgg {
               else (seq0, seq0 + 1)
             val (e2, outs) =
               transitions(key.toSeq, emitted, acc, retSeq, accSeq)
-            if (!acc.live && e2.isEmpty) state.remove()
-            else {
+            if (!acc.live && e2.isEmpty) {
+              // key is dead. Counter mode keeps a seq-only tombstone for
+              // the same reason as the TTL path: a later re-insert must
+              // out-seq the -D this key already emitted.
+              val seqNext = seq0 + (if (outs.nonEmpty) 2 else 0)
+              if (seqFromInput || seqNext == 1L) state.remove()
+              else state.update((seqNext, null, new Acc().snapshot))
+            } else {
               state.update(
                 (seq0 + (if (outs.nonEmpty) 2 else 0), e2.orNull,
                   acc.snapshot))

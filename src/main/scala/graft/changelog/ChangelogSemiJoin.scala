@@ -21,6 +21,15 @@ import org.apache.spark.sql.types._
   * materialization by the left upsert key, which reproduces exactly
   * `SELECT * FROM left_final WHERE [NOT] EXISTS right_final`).
   *
+  * Output `__seq` = 2 × (triggering envelope's input `__seq`) + krank
+  * (0 retract / 1 accumulate) — [[ChangelogJoin]]'s scheme, NOT a
+  * per-key-group counter: a left update whose -U and +U land in
+  * DIFFERENT join-key groups must still order its output -D before its
+  * +I on the one global domain, or keep-last materialization by the
+  * left upsert key could keep the -D over the +I (dropping a live semi
+  * row / resurrecting a dead anti row). Same 2^k-per-tier headroom
+  * contract as ChangelogJoin.
+  *
   * State: left live rows + the right live upsert-key set per join key —
   * the reference's bound (it keeps right rows with counters). One hash
   * shuffle on the join key; a right 0↔1 flip costs O(left rows under
@@ -80,19 +89,18 @@ object ChangelogSemiJoin {
     // rSet: live right upsert keys. `cond` = does a left row belong in
     // the output right now.
     final case class St(
-        var seq: Long,
         lState: scala.collection.mutable.LinkedHashMap[Seq[Any], Long],
         rSet: scala.collection.mutable.LinkedHashSet[String])
 
     def cond(st: St): Boolean = if (anti) st.rSet.isEmpty else st.rSet.nonEmpty
 
-    def emit(st: St, pay: Seq[Any], kind: String): Row = {
-      st.seq += 1
-      Row.fromSeq(pay :+ kind :+ st.seq)
-    }
+    def emit(pay: Seq[Any], kind: String, seq: Long): Row =
+      Row.fromSeq(pay :+ kind :+ seq)
 
     def step(st: St, e: Row): Seq[Row] = {
       val retract = isRetract(e.getString(3))
+      // global output seq: 2·(input seq) + krank — cross-group ordered
+      val outSeq = 2L * e.getLong(2) + e.getInt(4)
       if (e.getInt(1) == 0) {
         // left row
         val pay = e.getStruct(lIdx).toSeq
@@ -100,10 +108,10 @@ object ChangelogSemiJoin {
           st.lState.get(pay).foreach { c =>
             if (c <= 1) st.lState.remove(pay) else st.lState.update(pay, c - 1)
           }
-          if (cond(st)) Seq(emit(st, pay, RowKind.Delete)) else Nil
+          if (cond(st)) Seq(emit(pay, RowKind.Delete, outSeq)) else Nil
         } else {
           st.lState.update(pay, st.lState.getOrElse(pay, 0L) + 1)
-          if (cond(st)) Seq(emit(st, pay, RowKind.Insert)) else Nil
+          if (cond(st)) Seq(emit(pay, RowKind.Insert, outSeq)) else Nil
         }
       } else {
         // right row: only 0 <-> >0 transitions flip the key group
@@ -115,7 +123,7 @@ object ChangelogSemiJoin {
         else {
           val kind = if (after) RowKind.Insert else RowKind.Delete
           st.lState.iterator.flatMap { case (pay, c) =>
-            (1L to c).map(_ => emit(st, pay, kind))
+            (1L to c).map(_ => emit(pay, kind, outSeq))
           }.toSeq
         }
       }
@@ -125,7 +133,7 @@ object ChangelogSemiJoin {
       return graft.operators.SecondarySort.mapOrderedGroups(
         env, Seq("__jk"), Seq(col("__seqe"), col("__krank"), col("__side")),
         outSchema) { (_, rows) =>
-        val st = St(0L,
+        val st = St(
           scala.collection.mutable.LinkedHashMap.empty,
           scala.collection.mutable.LinkedHashSet.empty)
         rows.flatMap(step(st, _))
@@ -135,7 +143,7 @@ object ChangelogSemiJoin {
     val jkField = env.schema.fields(0)
     val kEnc: Encoder[Row] = Encoders.row(StructType(Seq(jkField)))
     val vEnc: Encoder[Row] = Encoders.row(env.schema)
-    type S = (Long, Map[Seq[Any], Long], Set[String])
+    type S = (Map[Seq[Any], Long], Set[String])
     val sEnc: Encoder[S] = Encoders.kryo[S]
     val oEnc: Encoder[Row] = Encoders.row(outSchema)
 
@@ -144,16 +152,16 @@ object ChangelogSemiJoin {
       .flatMapGroupsWithState[S, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          val (seq0, lM, rS) = state.getOption.getOrElse(
-            (0L, Map.empty[Seq[Any], Long], Set.empty[String]))
-          val st = St(seq0,
+          val (lM, rS) = state.getOption.getOrElse(
+            (Map.empty[Seq[Any], Long], Set.empty[String]))
+          val st = St(
             scala.collection.mutable.LinkedHashMap.from(lM),
             scala.collection.mutable.LinkedHashSet.from(rS))
           val out = rows.toSeq
             .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
             .flatMap(step(st, _))
           if (st.lState.isEmpty && st.rSet.isEmpty) state.remove()
-          else state.update((st.seq, st.lState.toMap, st.rSet.toSet))
+          else state.update((st.lState.toMap, st.rSet.toSet))
           out.iterator
       }(sEnc, oEnc)
   }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextAnalysis.hexDigit
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -11,7 +10,9 @@ import org.apache.spark.sql.functions._
   * Everything is hash-deterministic (md5 over a key + salt), so mixes and
   * shuffles are REPRODUCIBLE across runs, engines, and partitionings —
   * no `rand()`, whose per-partition seeding ties results to the physical
-  * plan. The md5-derived buckets are uniform to ~1/256 per step.
+  * plan. Buckets come from 32 hash bits % 10000, so the modulo bias is
+  * ≤ 10⁴/2³² ≈ 2·10⁻⁶ — sample rates track the requested weight to well
+  * under 0.01% (two hex digits % 100 would be off by up to ~17%).
   *
   * Scale: `sample`/`mix` are pure per-row filters (no shuffle — a mixed
   * corpus never moves data until something downstream asks);
@@ -21,17 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object TrainingData {
 
-  /** Uniform bucket 0..99 from md5(key ":" salt) — first two hex chars. */
+  /** Uniform bucket 0..9999 from md5(key ":" salt) — first eight hex
+    * chars (32 bits) % 10000. */
   def bucket(key: Column, salt: String): Column =
-    (hexDigit(md5(concat(key.cast("string"), lit(":" + salt))), lit(1)) * 16 +
-      hexDigit(md5(concat(key.cast("string"), lit(":" + salt))), lit(2))) % 100
+    (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long") % 10000).cast("int")
 
   /** Keep each row with probability `weightPct`/100, deterministically by
-    * key: keep iff bucket(key, salt) < weightPct. `weightPct` may be a
-    * per-row column (per-source weights) or a literal. */
+    * key: keep iff bucket(key, salt) < weightPct·100. `weightPct` may be
+    * a per-row column (per-source weights) or a literal, fractional
+    * percentages resolve to basis points (w = 12.5 → 1250/10000). */
   def sample(df: DataFrame, key: Column, weightPct: Column,
       salt: String): DataFrame =
-    df.where(bucket(key, salt) < weightPct)
+    df.where(bucket(key, salt) < weightPct * 100)
 
   /** Weighted mixture of sources: each (frame, weightPct) contributes its
     * deterministic sample; frames must be union-compatible. Weights over

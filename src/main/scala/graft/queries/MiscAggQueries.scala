@@ -204,16 +204,29 @@ object MiscAggQueries {
         ORDER BY l_returnflag
       """.trim)),
 
-    // HyperLogLog++ approx distinct — algorithms differ across engines, so
-    // no value oracle; the spec asserts <5% relative error vs exact.
+    // HyperLogLog++ approx distinct — sketch values differ across engines,
+    // so the oracled columns are deterministic: the exact NDV plus a
+    // bounded-error boolean (rsd=0.005 → 2% is a 4-sigma bound, so the
+    // check is stable). The oracle asserts the same exact NDV and TRUE.
     QueryDef(
       "q_approx_distinct",
       (s, dir) => {
         Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("apx_part"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_part"),
+            approx_count_distinct(col("l_partkey"), 0.005).as("apx_part"))
+          .select(
+            col("l_returnflag"), col("exact_part"),
+            (abs(col("apx_part") - col("exact_part")) <=
+              col("exact_part") * 0.02).as("within_2pct"))
           .orderBy(col("l_returnflag"))
       },
-      None)
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_part,
+               TRUE AS within_2pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """.trim))
   )
 }

@@ -136,16 +136,12 @@ object PipelineQueries {
           SELECT *,
             (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) * 37) % 101
               AS w,
-            ((strpos('0123456789abcdef',
-                substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 1)) - 1)
-              * 16 +
-             (strpos('0123456789abcdef',
-                substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 2, 1)) - 1))
-              % 100 AS bucket
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8))
+              ::BIGINT % 10000 AS bucket
           FROM documents)
         SELECT source, COUNT(*) AS n_kept,
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
-        FROM d WHERE bucket < w
+        FROM d WHERE bucket < w * 100
         GROUP BY source ORDER BY source
       """.stripMargin.trim)),
 
@@ -166,27 +162,19 @@ object PipelineQueries {
       Some("""
         WITH bk AS (
           SELECT doc_id, source,
-            ((strpos('0123456789abcdef',
-                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2'), 1, 1)) - 1)
-              * 16 +
-             (strpos('0123456789abcdef',
-                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2'), 2, 1)) - 1))
-              % 100 AS b1,
-            ((strpos('0123456789abcdef',
-                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2#u2'), 1, 1)) - 1)
-              * 16 +
-             (strpos('0123456789abcdef',
-                substr(md5(CAST(doc_id AS VARCHAR) || ':mix2#u2'), 2, 1)) - 1))
-              % 100 AS b2
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix2'), 1, 8))
+              ::BIGINT % 10000 AS b1,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix2#u2'), 1, 8))
+              ::BIGINT % 10000 AS b2
           FROM documents),
         ev AS (SELECT doc_id, source FROM bk WHERE doc_id % 2 = 0),
         m AS (
           SELECT doc_id, source FROM ev
           UNION ALL SELECT doc_id, source FROM ev
           UNION ALL SELECT doc_id, source FROM bk
-            WHERE doc_id % 2 = 0 AND b2 < 30
+            WHERE doc_id % 2 = 0 AND b2 < 3000
           UNION ALL SELECT doc_id, source FROM bk
-            WHERE doc_id % 2 = 1 AND b1 < 60)
+            WHERE doc_id % 2 = 1 AND b1 < 6000)
         SELECT source, COUNT(*) AS n_kept,
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         FROM m GROUP BY source ORDER BY source

@@ -45,9 +45,9 @@ object TriggerQueries {
         r AS (
           SELECT *,
                  ROW_NUMBER() OVER w AS rn,
-                 SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS run_sum,
+                 CAST(SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum,
                  COUNT(*) OVER (PARTITION BY event_type, w_start) AS cnt,
-                 SUM(v) OVER (PARTITION BY event_type, w_start) AS tot
+                 CAST(SUM(v) OVER (PARTITION BY event_type, w_start) AS BIGINT) AS tot
           FROM e
           WINDOW w AS (PARTITION BY event_type, w_start
                        ORDER BY ts_us, event_id))
@@ -76,9 +76,9 @@ object TriggerQueries {
         r AS (
           SELECT *, ts_us // $IV AS bucket,
                  ROW_NUMBER() OVER w AS rn,
-                 SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS run_sum,
+                 CAST(SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum,
                  COUNT(*) OVER (PARTITION BY event_type, w_start) AS cnt,
-                 SUM(v) OVER (PARTITION BY event_type, w_start) AS tot
+                 CAST(SUM(v) OVER (PARTITION BY event_type, w_start) AS BIGINT) AS tot
           FROM e
           WINDOW w AS (PARTITION BY event_type, w_start
                        ORDER BY ts_us, event_id)),
@@ -118,7 +118,7 @@ object TriggerQueries {
           FROM e)
         SELECT event_type, w_start, w_start + $W AS w_end,
                CAST(1 AS BIGINT) AS fire_seq, TRUE AS is_final,
-               COUNT(*) AS n_rows, SUM(v) AS agg_val
+               COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS agg_val
         FROM r WHERE rd <= 30
         GROUP BY event_type, w_start
         ORDER BY event_type, w_start, fire_seq
@@ -159,7 +159,7 @@ object TriggerQueries {
         r AS (
           SELECT *,
                  ROW_NUMBER() OVER w AS rn,
-                 SUM(v) OVER (w ROWS 49 PRECEDING) AS win_sum,
+                 CAST(SUM(v) OVER (w ROWS 49 PRECEDING) AS BIGINT) AS win_sum,
                  COUNT(*) OVER (PARTITION BY event_type, w_start) AS cnt
           FROM e
           WINDOW w AS (PARTITION BY event_type, w_start
@@ -190,9 +190,9 @@ object TriggerQueries {
         r AS (
           SELECT *,
                  ROW_NUMBER() OVER w AS rn,
-                 SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS run_sum,
+                 CAST(SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum,
                  COUNT(*) OVER (PARTITION BY event_type, w_start) AS cnt,
-                 SUM(v) OVER (PARTITION BY event_type, w_start) AS tot
+                 CAST(SUM(v) OVER (PARTITION BY event_type, w_start) AS BIGINT) AS tot
           FROM e
           WINDOW w AS (PARTITION BY event_type, w_start
                        ORDER BY ts_us, event_id)),
@@ -239,7 +239,7 @@ object TriggerQueries {
         lastv AS (SELECT event_type, w_start, v AS lv FROM r WHERE rd = 1)
         SELECT r.event_type, r.w_start, r.w_start + $W AS w_end,
                CAST(1 AS BIGINT) AS fire_seq, TRUE AS is_final,
-               COUNT(*) AS n_rows, SUM(r.v) AS agg_val
+               COUNT(*) AS n_rows, CAST(SUM(r.v) AS BIGINT) AS agg_val
         FROM r JOIN lastv l
           ON l.event_type = r.event_type AND l.w_start = r.w_start
         WHERE ABS(r.v - l.lv) < 100000000

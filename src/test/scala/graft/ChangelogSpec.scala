@@ -238,6 +238,18 @@ class ChangelogSpec extends SparkSpecBase {
     // not the -U/+U pair (n=2) an unexpired accumulator would produce
     assert(rows == Set((RowKind.Insert, 1L, 10.0), (RowKind.Insert, 1L, 5.0)),
       s"unexpected emissions: $rows")
+    // the seq epoch survives expiry: the post-expiry +I carries a LARGER
+    // __seq than the pre-expiry one, so keep-last materialization lands
+    // on the post-expiry aggregate, not the stale one
+    val seqs = spark.table("ca_ttl").where(col("g") === 7L)
+      .select(col("sum_v"), col(RowKind.seqCol))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(seqs(5.0) > seqs(10.0),
+      s"post-expiry seq ${seqs(5.0)} must beat pre-expiry ${seqs(10.0)}")
+    val mat = UpsertMaterialize(spark.table("ca_ttl"), Seq("g"))
+      .where(col("g") === 7L).select("sum_v")
+      .as[Double].collect().toSeq
+    assert(mat == Seq(5.0), s"keep-last must keep the post-expiry row: $mat")
   }
 
   test("streaming RetractingChangelogAgg seqFromInput keeps the global domain") {
@@ -443,6 +455,59 @@ class ChangelogSpec extends SparkSpecBase {
         "ljk", "rjk", "rk", anti = true),
       Seq("lk")).select("lk", "v").as[(Long, Double)].collect().toSet
     assert(antiMat == Set((3L, 30.0)), s"anti mismatch: $antiMat")
+  }
+
+  test("ChangelogSemiJoin left key-move keeps the live row under keep-last") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // left row 1 moves join key 100 → 200 via a -U/+U pair sharing input
+    // seq 5; BOTH groups have a live right row, so the move emits -D in
+    // the old key group and +I in the new one. Output seqs must be on one
+    // global domain (2·seq+krank) — a per-group counter can order the -D
+    // after the +I and keep-last by lk would drop the live row.
+    val leftFeed = Seq(
+      (1L, 100L, 10.0, 1L, RowKind.Insert),
+      (1L, 100L, 10.0, 5L, RowKind.UpdateBefore),
+      (1L, 200L, 10.0, 5L, RowKind.UpdateAfter))
+    val rightFeed = Seq(
+      (7L, 100L, 2L, RowKind.Insert),
+      (8L, 200L, 3L, RowKind.Insert))
+    val lDf = leftFeed.toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val rDf = rightFeed.toDF("rk", "rjk", RowKind.seqCol, RowKind.kindCol)
+    val out = ChangelogSemiJoin(lDf, rDf, "ljk", "rjk", "rk", anti = false)
+    // the old group's -D must carry a globally smaller seq than the new
+    // group's +I (they are emitted by different key groups)
+    val byKind = out.collect()
+      .map(r => (r.getString(3), r.getLong(1), r.getLong(4)))
+    val dSeq = byKind.collect { case (k, 100L, s) if k == RowKind.Delete => s }
+    val iSeq = byKind.collect { case (k, 200L, s) if k == RowKind.Insert => s }
+    assert(dSeq.nonEmpty && iSeq.nonEmpty, s"missing flip rows: ${byKind.toSeq}")
+    assert(dSeq.max < iSeq.max,
+      s"key-move -D seq ${dSeq.max} not before +I seq ${iSeq.max}")
+    val mat = UpsertMaterialize(out, Seq("lk"))
+      .select("lk", "ljk").as[(Long, Long)].collect().toSet
+    assert(mat == Set((1L, 200L)), s"semi key-move mismatch: $mat")
+    // anti inverse: both groups occupied → no live anti rows
+    val antiMat = UpsertMaterialize(
+      ChangelogSemiJoin(lDf, rDf, "ljk", "rjk", "rk", anti = true),
+      Seq("lk")).select("lk", "ljk").as[(Long, Long)].collect().toSet
+    assert(antiMat.isEmpty, s"anti key-move mismatch: $antiMat")
+    // streaming face: the key-move pair arrives a batch after the inserts
+    val lIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val rIn = MemoryStream[(Long, Long, Long, String)]
+    val lS = lIn.toDF().toDF("lk", "ljk", "v", RowKind.seqCol, RowKind.kindCol)
+    val rS = rIn.toDF().toDF("rk", "rjk", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckm-").toString
+    val q = ChangelogSemiJoin(lS, rS, "ljk", "rjk", "rk", anti = false)
+      .writeStream.format("memory").queryName("c_semi_km")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      lIn.addData(leftFeed.take(1)); rIn.addData(rightFeed)
+      q.processAllAvailable()
+      lIn.addData(leftFeed.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val sMat = UpsertMaterialize(spark.table("c_semi_km"), Seq("lk"))
+      .select("lk", "ljk").as[(Long, Long)].collect().toSet
+    assert(sMat == Set((1L, 200L)), s"streaming key-move mismatch: $sMat")
   }
 
   test("streaming ChangelogTopN re-ranks on retractions, matches batch") {

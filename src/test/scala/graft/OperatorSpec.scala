@@ -530,6 +530,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(o1 != o2, "distinct epochs must reorder")
     assert(o1.toSet == o2.toSet)
   }
+
+  test("TrainingData sample keep-rate tracks the weight within 0.5%") {
+    // 100k keys; weights straddling 56 — the two-hex-digit bucket's bias
+    // cliff (buckets 0-55 were 3/256 vs 2/256 above, ~17% over-keep) —
+    // must all land within 0.5% of the requested percentage.
+    val keys = TestSpark.spark.range(100000).toDF("k")
+    for (w <- Seq(7, 40, 50, 56, 93)) {
+      val kept =
+        TrainingData.sample(keys, col("k"), lit(w), "biascheck").count()
+      val rate = kept / 1000.0 // percent
+      assert(math.abs(rate - w) < 0.5,
+        s"weight $w%: empirical keep-rate $rate%")
+    }
+  }
 }
 
 /** Partition-local failure counter for the flaky-client retry spec (object

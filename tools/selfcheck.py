@@ -27,6 +27,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def type_family(x):
+    """Coarse type family for dtype-strict compare (mirrors the driver's
+    type-sensitive hash): int-like, float-like, decimal, bool, str, etc."""
+    import decimal
+
+    import numpy as np
+    if isinstance(x, (bool, np.bool_)):
+        return "bool"
+    if isinstance(x, (int, np.integer)):
+        return "int"
+    if isinstance(x, (float, np.floating)):
+        return "float"
+    if isinstance(x, decimal.Decimal):
+        return "decimal"
+    return type(x).__name__
+
+
 def cell_eq(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -39,16 +56,19 @@ def cell_eq(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        la, lb = list(a), list(b)
+    import numpy as np
+    if isinstance(a, (list, tuple, np.ndarray)) or \
+            isinstance(b, (list, tuple, np.ndarray)):
+        try:
+            la, lb = list(a), list(b)
+        except TypeError:
+            return False
         return len(la) == len(lb) and all(cell_eq(x, y) for x, y in zip(la, lb))
-    if a == b:
-        return True
-    # numeric cross-type (decimal vs float vs int)
-    try:
-        return float(a) == float(b)
-    except (TypeError, ValueError):
+    # dtype-strict: an int64 engine value vs a float64/Decimal oracle value
+    # is a FAIL even when numerically equal — the driver's hash is typed.
+    if type_family(a) != type_family(b):
         return False
+    return a == b
 
 
 def main():
