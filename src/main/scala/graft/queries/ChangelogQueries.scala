@@ -575,6 +575,67 @@ object ChangelogQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // N-ARY changelog join in ONE stateful operator
+    // (StreamingMultiJoinOperator.java): a 3-way star on custkey —
+    // orders × customer × a second customer-derived feed — where the
+    // operator's state is the three inputs' live rows, never the
+    // intermediate orders⋈customer product the binary chain
+    // (q_changelog_join3) materializes. Deletes on every side exercise
+    // the cross-product retraction walk.
+    QueryDef(
+      "q_changelog_join_nary",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val ofeed = ob
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              lit(30L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val ocl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val cfeed = cb
+          .select(col("c_custkey"), col("c_nationkey"),
+            lit(11L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(cb.where(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), col("c_nationkey"),
+              lit(21L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val ccl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+
+        val ab = Tables.customer(s, dir)
+          .select(col("c_custkey").as("a_custkey"),
+            col("c_mktsegment").as("a_mktsegment"))
+        val afeed = ab
+          .select(col("a_custkey"), col("a_mktsegment"),
+            lit(12L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ab.where(col("a_custkey") % 5 === 0)
+            .select(col("a_custkey"), col("a_mktsegment"),
+              lit(22L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val acl = ChangelogNormalize(afeed, Seq("a_custkey"), "kind", "__seq")
+
+        UpsertMaterialize(
+          ChangelogMultiJoin(Seq(
+            ocl -> "o_custkey", ccl -> "c_custkey", acl -> "a_custkey")),
+          Seq("o_orderkey", "c_custkey", "a_custkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               c.c_custkey, c.c_nationkey,
+               a.c_custkey AS a_custkey, a.c_mktsegment AS a_mktsegment
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN customer a ON o.o_custkey = a.c_custkey
+        WHERE o.o_orderkey % 7 <> 0 AND c.c_custkey % 3 <> 0
+          AND a.c_custkey % 5 <> 0
+        ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // Agg→agg changelog CHAIN (VERDICT r2 gap #2): normalize the upsert
     // feed into a full changelog, aggregate it per bucket with the
     // retract-consuming+emitting agg (whose batch face replays the FULL

@@ -510,6 +510,70 @@ class ChangelogSpec extends SparkSpecBase {
     assert(sMat == Set((1L, 200L)), s"streaming key-move mismatch: $sMat")
   }
 
+  test("ChangelogMultiJoin: 3-way star in ONE stateful operator") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // star on jk=100/200: two live c rows under 100 (multiplicity), a
+    // delete on each of o and c (cross-product retraction walk)
+    val oFeed = Seq(
+      (1L, 100L, 10.0, 1L, RowKind.Insert),
+      (2L, 100L, 20.0, 2L, RowKind.Insert),
+      (3L, 200L, 30.0, 3L, RowKind.Insert),
+      (2L, 100L, 20.0, 8L, RowKind.Delete))
+    val cFeed = Seq(
+      (7L, 100L, 4L, RowKind.Insert),
+      (9L, 100L, 5L, RowKind.Insert),
+      (8L, 200L, 6L, RowKind.Insert),
+      (8L, 200L, 9L, RowKind.Delete))
+    val aFeed = Seq((11L, 100L, 7L, RowKind.Insert))
+    val o = oFeed.toDF("o_id", "o_jk", "o_v", RowKind.seqCol, RowKind.kindCol)
+    val c = cFeed.toDF("c_id", "c_jk", RowKind.seqCol, RowKind.kindCol)
+    val a = aFeed.toDF("a_id", "a_jk", RowKind.seqCol, RowKind.kindCol)
+    val multi = ChangelogMultiJoin(Seq(o -> "o_jk", c -> "c_jk", a -> "a_jk"))
+    // o2's delete must retract BOTH its (c7, a11) and (c9, a11) combos
+    val retracted = multi.where(col(RowKind.kindCol) === RowKind.Delete &&
+      col("o_id") === 2L).select("c_id").as[Long].collect().toSeq.sorted
+    assert(retracted == Seq(7L, 9L), s"retraction walk: $retracted")
+    val mat = UpsertMaterialize(multi, Seq("o_id", "c_id", "a_id"))
+      .select("o_id", "c_id", "a_id").as[(Long, Long, Long)]
+      .collect().toSet
+    // final live states: o {1@100, 3@200}, c {7@100, 9@100}, a {11@100}
+    assert(mat == Set((1L, 7L, 11L), (1L, 9L, 11L)), s"nary mismatch: $mat")
+
+    // streaming face: the 3-way join is ONE FlatMapGroupsWithState —
+    // state is per-INPUT live rows, no orders⋈customer intermediate (a
+    // binary chain plans two stateful joins plus a re-normalize between)
+    val oIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val cIn = MemoryStream[(Long, Long, Long, String)]
+    val aIn = MemoryStream[(Long, Long, Long, String)]
+    val sMulti = ChangelogMultiJoin(Seq(
+      oIn.toDF().toDF("o_id", "o_jk", "o_v", RowKind.seqCol, RowKind.kindCol)
+        -> "o_jk",
+      cIn.toDF().toDF("c_id", "c_jk", RowKind.seqCol, RowKind.kindCol)
+        -> "c_jk",
+      aIn.toDF().toDF("a_id", "a_jk", RowKind.seqCol, RowKind.kindCol)
+        -> "a_jk"))
+    val nStateful = sMulti.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical
+          .FlatMapGroupsWithState => f
+    }.size
+    assert(nStateful == 1, s"expected 1 stateful operator, got $nStateful")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cnary-").toString
+    val q = sMulti.writeStream.format("memory").queryName("c_nary")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      oIn.addData(oFeed.take(3)); cIn.addData(cFeed.take(2))
+      q.processAllAvailable()
+      aIn.addData(aFeed); cIn.addData(cFeed.drop(2))
+      q.processAllAvailable()
+      oIn.addData(oFeed.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val sMat = UpsertMaterialize(spark.table("c_nary"),
+      Seq("o_id", "c_id", "a_id"))
+      .select("o_id", "c_id", "a_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(sMat == mat, s"streaming/batch parity: $sMat vs $mat")
+  }
+
   test("streaming ChangelogTopN re-ranks on retractions, matches batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // one partition 'p': inserts build a leaderboard, then the leader's
