@@ -316,6 +316,40 @@ object MiscOpQueries {
         FROM orders GROUP BY 1 ORDER BY 1
       """.stripMargin.trim)),
 
+    // Protobuf descriptor FILE: the schema comes from a checked-in
+    // compiled FileDescriptorSet (protoc --descriptor_set_out output,
+    // decoded by the engine's own wire codec — reference parity with
+    // flink-formats/flink-protobuf's descriptor support), including a
+    // nested message and a repeated field; customer rows round-trip
+    // through encode/decode under the loaded descriptor.
+    QueryDef(
+      "q_protobuf_descfile",
+      (s, dir) => {
+        import graft.sources.ProtobufLite._
+        val in = getClass.getResourceAsStream("/graft/fixtures/person.desc")
+        val bytes =
+          try in.readAllBytes()
+          finally in.close()
+        val d = render(fromDescriptorSet(bytes, "Person"))
+        Tables.customer(s, dir)
+          .select(expr(
+            s"""pb_decode(pb_encode(named_struct(
+               |  'name', c_name, 'id', c_custkey,
+               |  'scores', array(c_nationkey),
+               |  'addr', named_struct('city', c_mktsegment)), '$d'), '$d')"""
+              .stripMargin).as("m"))
+          .select(
+            col("m.id").as("id"), col("m.name").as("name"),
+            element_at(col("m.scores"), 1).as("nk"),
+            col("m.addr.city").as("city"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+               c_mktsegment AS city
+        FROM customer ORDER BY id
+      """.stripMargin.trim)),
+
     // Collection pack, arrays: sort/distinct/slice/union/intersect/except/
     // contains/element_at/min/max/join over per-order quantity arrays.
     QueryDef(

@@ -269,6 +269,120 @@ object ProtobufLite {
     out.toByteArray
   }
 
+  // ---- compiled descriptor files (protoc --descriptor_set_out) ----
+  //
+  // A `.desc` file is a FileDescriptorSet — itself a protobuf message
+  // (public schema: google/protobuf/descriptor.proto), so the wire codec
+  // above decodes it. The meta-descriptors below declare descriptor
+  // .proto's shapes in our own PbMessage form; the one recursive spot
+  // (DescriptorProto.nested_type / FileDescriptorProto.message_type) is
+  // read as raw bytes and recursed in Scala. Reference parity:
+  // flink-formats/flink-protobuf accepts compiled descriptors the same
+  // way (via protoc-generated classes; here via the self-hosted codec).
+
+  private val metaField = PbMessage(Seq(
+    PbField(1, "name", PbString),
+    PbField(3, "number", PbInt32),
+    PbField(4, "label", PbInt32), // 1 optional, 2 required, 3 repeated
+    PbField(5, "type", PbInt32),
+    PbField(6, "type_name", PbString)))
+  private val metaMessage = PbMessage(Seq(
+    PbField(1, "name", PbString),
+    PbField(2, "field", metaField, repeated = true),
+    PbField(3, "nested_type", PbBytes, repeated = true)))
+  private val metaFile = PbMessage(Seq(
+    PbField(1, "name", PbString),
+    PbField(2, "package", PbString),
+    PbField(4, "message_type", PbBytes, repeated = true)))
+  private val metaFileSet = PbMessage(Seq(
+    PbField(1, "file", PbBytes, repeated = true)))
+
+  private def decMeta(b: Array[Byte], m: PbMessage): InternalRow =
+    decodeInto(new Reader(b, 0, b.length), m)
+
+  /** Parse a compiled FileDescriptorSet (`protoc --descriptor_set_out`)
+    * and return the descriptor of `messageName` (fully qualified, or a
+    * unique simple-name suffix). Groups and recursive message types are
+    * rejected; enums decode as their int32 wire value. */
+  def fromDescriptorSet(bytes: Array[Byte], messageName: String): PbMessage = {
+    // fully-qualified message name -> its FieldDescriptorProto rows
+    val fieldsOf =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[InternalRow]]
+    def addMsg(prefix: String, blob: Array[Byte]): Unit = {
+      val m = decMeta(blob, metaMessage)
+      require(!m.isNullAt(0), "descriptor message without a name")
+      val fq = prefix + m.getUTF8String(0).toString
+      fieldsOf(fq) =
+        if (m.isNullAt(1)) Seq.empty
+        else {
+          val a = m.getArray(1)
+          (0 until a.numElements()).map(j => a.getStruct(j, 5).copy())
+        }
+      if (!m.isNullAt(2)) {
+        val a = m.getArray(2)
+        (0 until a.numElements()).foreach(j => addMsg(fq + ".", a.getBinary(j)))
+      }
+    }
+    val set = decMeta(bytes, metaFileSet)
+    require(!set.isNullAt(0), "empty FileDescriptorSet")
+    val files = set.getArray(0)
+    (0 until files.numElements()).foreach { i =>
+      val f = decMeta(files.getBinary(i), metaFile)
+      val pkg = if (f.isNullAt(1)) "" else f.getUTF8String(1).toString + "."
+      if (!f.isNullAt(2)) {
+        val a = f.getArray(2)
+        (0 until a.numElements()).foreach(j => addMsg(pkg, a.getBinary(j)))
+      }
+    }
+    // FieldDescriptorProto.Type numbers (descriptor.proto)
+    def resolve(fq: String, stack: Set[String]): PbMessage = {
+      require(!stack(fq), s"recursive message type unsupported: $fq")
+      val rows = fieldsOf.getOrElse(fq, throw new IllegalArgumentException(
+        s"message not in descriptor set: $fq"))
+      PbMessage(rows.map { r =>
+        val name = r.getUTF8String(0).toString
+        val repeated = !r.isNullAt(2) && r.getInt(2) == 3
+        val t = r.getInt(3) match {
+          case 1 => PbDouble
+          case 2 => PbFloat
+          case 3 | 4 => PbInt64 // int64 / uint64 (varint)
+          case 5 | 13 | 14 => PbInt32 // int32 / uint32 / enum
+          case 6 => PbFixed64
+          case 7 => PbFixed32
+          case 8 => PbBool
+          case 9 => PbString
+          case 11 =>
+            resolve(r.getUTF8String(4).toString.stripPrefix("."), stack + fq)
+          case 12 => PbBytes
+          case 15 => PbFixed32 // sfixed32
+          case 16 => PbFixed64 // sfixed64
+          case 17 => PbSInt32
+          case 18 => PbSInt64
+          case other => throw new IllegalArgumentException(
+            s"unsupported descriptor field type $other for '$name'")
+        }
+        PbField(r.getInt(1), name, t, repeated)
+      })
+    }
+    val fq =
+      if (fieldsOf.contains(messageName)) messageName
+      else {
+        val cands = fieldsOf.keys
+          .filter(_.endsWith("." + messageName)).toSeq
+        require(cands.size == 1,
+          s"message '$messageName' matches ${cands.size} of: " +
+            fieldsOf.keys.mkString(", "))
+        cands.head
+      }
+    resolve(fq, Set.empty)
+  }
+
+  /** [[fromDescriptorSet]] over a `.desc` file on the local filesystem. */
+  def fromDescriptorFile(path: String, messageName: String): PbMessage =
+    fromDescriptorSet(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      messageName)
+
   // ---- descriptor string form (SQL-usable literal) ----
 
   /** Render a descriptor as the literal grammar accepted by [[parse]]:

@@ -149,4 +149,35 @@ class ProtobufSpec extends SparkSpecBase {
       PbField(7, "meta", meta)))
     assert(ProtobufLite.parse(render(msg)) == msg)
   }
+
+  test("fromDescriptorSet parses a compiled .desc file") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/person.desc")
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val expected = PbMessage(Seq(
+      PbField(1, "name", PbString),
+      PbField(2, "id", PbInt64),
+      PbField(3, "scores", PbInt32, repeated = true),
+      PbField(4, "addr", PbMessage(Seq(PbField(1, "city", PbString))))))
+    // fully-qualified, simple-name suffix, and the nested message itself
+    assert(ProtobufLite.fromDescriptorSet(bytes, "graft.Person") == expected)
+    assert(ProtobufLite.fromDescriptorSet(bytes, "Person") == expected)
+    assert(ProtobufLite.fromDescriptorSet(bytes, "Address") ==
+      PbMessage(Seq(PbField(1, "city", PbString))))
+    intercept[IllegalArgumentException] {
+      ProtobufLite.fromDescriptorSet(bytes, "NoSuchMessage")
+    }
+    // the loaded descriptor drives a real encode/decode round trip
+    val d = render(ProtobufLite.fromDescriptorSet(bytes, "Person"))
+    val row = Seq(("ada", 7L, Seq(1, 2), "paris")).toDF("n", "i", "sc", "ci")
+      .select(expr(
+        s"""pb_decode(pb_encode(named_struct(
+           |  'name', n, 'id', i, 'scores', sc,
+           |  'addr', named_struct('city', ci)), '$d'), '$d')""".stripMargin)
+        .as("m"))
+      .select($"m.name", $"m.id", $"m.scores", $"m.addr.city")
+      .as[(String, Long, Seq[Int], String)].head()
+    assert(row == (("ada", 7L, Seq(1, 2), "paris")))
+  }
 }
