@@ -208,14 +208,28 @@ object MiscAggQueries {
     // so the oracled columns are deterministic: the exact NDV plus a
     // bounded-error boolean (rsd=0.005 → 2% is a 4-sigma bound, so the
     // check is stable). The oracle asserts the same exact NDV and TRUE.
+    //
+    // Plan shape: pre-distinct the (flag, partkey) pairs, then feed BOTH
+    // the exact count and the sketch from that set in one tiny aggregate.
+    // A combined countDistinct+sketch agg would plan the sketch buffer
+    // inside the per-(flag, partkey) distinct aggregate — ~200K groups ×
+    // ~48 KB of HLL buffer at sf0.1 (r6's 37× breach), OOM at 100×. Here
+    // the wide aggregate is a bare distinct (no buffer) and the sketch
+    // exists for 3 groups only; one scan total. The sketch is the
+    // DataSketches-backed hll_sketch_agg (byte-array buffer) rather than
+    // approx_count_distinct(rsd=0.005), whose ~6150-LongType-field buffer
+    // schema breaks codegen (3.8 MiB task binaries, 2.8 s for 3 groups).
+    // lgK=16 → RSE ≈ 0.4%, so the 2% oracle bound is a ~5σ check.
     QueryDef(
       "q_approx_distinct",
       (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_partkey")).distinct()
+        pairs.groupBy(col("l_returnflag"))
           .agg(
-            countDistinct(col("l_partkey")).as("exact_part"),
-            approx_count_distinct(col("l_partkey"), 0.005).as("apx_part"))
+            count(lit(1)).as("exact_part"),
+            hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 16))
+              .as("apx_part"))
           .select(
             col("l_returnflag"), col("exact_part"),
             (abs(col("apx_part") - col("exact_part")) <=

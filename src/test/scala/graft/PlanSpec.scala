@@ -156,6 +156,29 @@ class PlanSpec extends SparkSpecBase {
       s"round trip must read orders once:\n$p")
   }
 
+  test("q_approx_distinct: HLL sketch never rides the per-distinct-key aggregate") {
+    val p = planOf("q_approx_distinct")
+    // if the sketch's partial aggregate is keyed by (l_returnflag,
+    // l_partkey) — the expand-based combined distinct plan — that's one
+    // sketch buffer per distinct key (r6's 37× breach, OOM at 100×). The
+    // sketch must aggregate keyed by l_returnflag alone. l_partkey
+    // legitimately appears as the sketch's ARGUMENT; only its presence in
+    // the keys=[…] segment marks the bad plan. Matches both sketch
+    // spellings (hll_sketch_agg / approx_count_distinct) so a future
+    // rewrite can't silently regress the shape.
+    val offending = p.linesIterator.filter { l =>
+      (l.contains("hll_sketch_agg") || l.contains("approx_count_distinct")) && {
+        val i = l.indexOf("keys=[")
+        val j = if (i >= 0) l.indexOf("]", i) else -1
+        i >= 0 && j > i && l.substring(i, j).contains("l_partkey")
+      }
+    }
+    assert(offending.isEmpty,
+      s"HLL partial rides the per-partkey aggregate:\n${offending.mkString("\n")}")
+    assert(p.contains("hll_sketch_agg"),
+      s"sketch must still be computed:\n$p")
+  }
+
   test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
