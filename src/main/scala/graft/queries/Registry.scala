@@ -36,6 +36,7 @@ object Registry {
     CdcQueries.defs,
     MiscOpQueries.defs,
     CepQueries.defs,
+    SqlQueries.defs,
     TriggerQueries.defs,
     TpchQueries.defs
   )

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import graft.sql.FlinkSql
+import org.apache.spark.sql.functions._
+
+/** Flink-SQL-dialect TEXT entry queries — the same semantics as the DSL
+  * siblings (`q_tumble_agg`, `q_hop_agg`, `q_cumulate_agg`,
+  * `q_session_agg`, `q_cep_measures`, `q_cep_group`), but produced by
+  * feeding SQL text through [[graft.sql.FlinkSql]]. The oracles are the
+  * siblings' oracles: two entry paths, one answer.
+  *
+  * Reference: flink-table/flink-sql-parser/src/main/codegen/data/Parser.tdd
+  * (TVF window + matchRecognize productions).
+  */
+object SqlQueries {
+
+  private val dsum6 = "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_sql_tumble",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT window_start, event_type, COUNT(*) AS n,
+           |       $dsum6 AS sum_value
+           |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts_ns),
+           |                  INTERVAL '10' MINUTE))
+           |GROUP BY window_start, event_type
+           |ORDER BY window_start, event_type""".stripMargin,
+        Map("events" -> Tables.events(s, dir))),
+      Some("""
+        SELECT epoch_ns(ts) - epoch_ns(ts) % 600000000000 AS window_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    QueryDef(
+      "q_sql_hop",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT window_start, COUNT(*) AS n, $dsum6 AS sum_value
+           |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts_ns),
+           |               INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
+           |GROUP BY window_start
+           |ORDER BY window_start""".stripMargin,
+        Map("events" -> Tables.events(s, dir))),
+      Some("""
+        SELECT (epoch_ns(ts) - epoch_ns(ts) % 300000000000) - i * 300000000000 AS window_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events CROSS JOIN generate_series(0, 1) g(i)
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    QueryDef(
+      "q_sql_cumulate",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT window_start, window_end, COUNT(*) AS n,
+           |       $dsum6 AS sum_value
+           |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts_ns),
+           |                    INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+           |GROUP BY window_start, window_end
+           |ORDER BY window_start, window_end""".stripMargin,
+        Map("events" -> Tables.events(s, dir))),
+      Some("""
+        WITH x AS (
+          SELECT value, epoch_ns(ts) AS t,
+                 epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS s
+          FROM events),
+        ex AS (
+          SELECT s AS window_start, value,
+                 unnest(generate_series(t - t % 900000000000 + 900000000000,
+                                        s + 3600000000000, 900000000000)) AS window_end
+          FROM x)
+        SELECT window_start, window_end, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    QueryDef(
+      "q_sql_session",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT user_id, window_start AS session_start,
+           |       COUNT(*) AS session_rows, $dsum6 AS sum_value
+           |FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+           |                   DESCRIPTOR(ts_ns), INTERVAL '30' MINUTE))
+           |GROUP BY user_id, window_start
+           |ORDER BY user_id, session_start""".stripMargin,
+        // µs-truncated nanos: session_start is a raw MIN over the time
+        // column, and the DuckDB oracle sees only µs precision
+        // (epoch_ns(ts) of a µs TIMESTAMP) — sub-µs tails would differ.
+        Map("events" -> Tables.events(s, dir)
+          .withColumn("ts_ns", expr("ts_us * 1000")))),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events),
+        m AS (SELECT *, CASE WHEN t - LAG(t) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        sess AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT user_id, MIN(t) AS session_start, COUNT(*) AS session_rows,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+      """.trim)),
+
+    // MATCH_RECOGNIZE from SQL text: q_cep_measures' pattern + MEASURES
+    // clause (falling run then one rise, per-variable aggregates).
+    QueryDef(
+      "q_sql_match",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("vf", floor(col("value")).cast("double"))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, n_down, n_up,
+            |       min_down, sum_down, first_down, last_up
+            |FROM events_d MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  MEASURES MIN(down.vf) AS min_down, SUM(down.vf) AS sum_down,
+            |           FIRST(down.vf) AS first_down, LAST(up.vf) AS last_up
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (down+ up)
+            |  DEFINE down AS vf < PREV(vf), up AS vf > PREV(vf)
+            |)
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("events_d" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(FLOOR(value) AS DOUBLE) AS vf,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vf FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vf,
+                lag(tu) OVER w AS ptu, lag(vf) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vf < pv THEN 'D'
+                              WHEN vf > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir = 'D'
+                                  AND (pdir IS NULL OR pdir <> 'D')
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2),
+        druns AS (
+          SELECT user_id, runid,
+                 COUNT(*) AS n_down,
+                 MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_us,
+                 MIN(vf) AS min_down,
+                 SUM(vf) AS sum_down,
+                 arg_min(vf, idx) AS first_down
+          FROM r WHERE dir = 'D' GROUP BY user_id, runid)
+        SELECT d.user_id, d.start_us, nxt.tu AS end_us, d.n_down,
+               CAST(1 AS BIGINT) AS n_up, d.min_down, d.sum_down,
+               d.first_down, nxt.vf AS last_up
+        FROM druns d JOIN r nxt
+          ON nxt.user_id = d.user_id AND nxt.idx = d.last_idx + 1
+             AND nxt.dir = 'U'
+        ORDER BY d.user_id, d.start_us
+      """.stripMargin.trim)),
+
+    // Quantified group pattern from SQL text: q_cep_group's ((down up)+).
+    QueryDef(
+      "q_sql_match_groups",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val b = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("vb", floor(col("value") / 25).cast("double"))
+        FlinkSql.sql(s,
+          """SELECT user_id, n_down, n_up, COUNT(*) AS cnt
+            |FROM events_b MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN ((down up)+)
+            |  DEFINE down AS vb < PREV(vb), up AS vb > PREV(vb)
+            |)
+            |GROUP BY user_id, n_down, n_up
+            |ORDER BY user_id, n_down""".stripMargin,
+          Map("events_b" -> b))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(floor(value / 25) AS DOUBLE) AS vb,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vb FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vb,
+                lag(tu) OVER w AS ptu, lag(vb) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vb < pv THEN 'D'
+                              WHEN vb > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        pstr AS (SELECT user_id, string_agg(dir, '' ORDER BY tu) AS ps
+                 FROM sd WHERE dir IS NOT NULL GROUP BY user_id),
+        m AS (SELECT user_id, unnest(regexp_extract_all(ps, '(?:DU)+')) AS mm
+              FROM pstr)
+        SELECT user_id, CAST(length(mm) // 2 AS BIGINT) AS n_down,
+               CAST(length(mm) // 2 AS BIGINT) AS n_up,
+               COUNT(*) AS cnt
+        FROM m GROUP BY 1, 2, 3
+        ORDER BY user_id, n_down
+      """.stripMargin.trim))
+  )
+}

@@ -1,0 +1,170 @@
+package graft
+
+import graft.operators.{AfterMatchSkip, CepNfa, Dedup, PatternStep, Windows}
+import graft.sql.FlinkSql
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flink-SQL-dialect text entry ([[graft.sql.FlinkSql]]): SQL text must
+  * reproduce the DSL operators' answers exactly — the surface the DuckDB
+  * oracles don't reach (timestamp descriptors, WITHIN, SKIP TO NEXT ROW,
+  * alternation, quantifier forms, passthrough, parse errors).
+  */
+class FlinkSqlSpec extends SparkSpecBase {
+
+  private val NS_MIN = 60L * 1000000000L
+
+  private def events: DataFrame = Tables.events(spark, sf)
+
+  private def deduped: DataFrame = {
+    val e = events.select(col("user_id"), col("ts_us"), col("value"),
+      col("event_id"))
+    Dedup.keepFirst(e, Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema.fieldNames.toSeq == b.schema.fieldNames.toSeq,
+      s"schemas differ: ${a.schema.fieldNames.toSeq} vs ${b.schema.fieldNames.toSeq}")
+    val av = a.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val bv = b.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(av.length == bv.length, s"${av.length} vs ${bv.length} rows")
+    av.zip(bv).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
+  test("TUMBLE SQL text matches the DSL window assignment") {
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts_ns), INTERVAL '10' MINUTE))
+        |GROUP BY window_start""".stripMargin,
+      Map("events" -> events))
+    val viaDsl = Windows.withTumble(events, "ts_ns", 10 * NS_MIN)
+      .groupBy(col("window_start")).agg(count(lit(1)).as("n"))
+    assertSame(viaSql, viaDsl)
+  }
+
+  test("TUMBLE offset shifts the window grid") {
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT window_start, window_end, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts_ns),
+        |                  INTERVAL '10' MINUTE, INTERVAL '3' MINUTE))
+        |GROUP BY window_start, window_end""".stripMargin,
+      Map("events" -> events))
+    val off = 3 * NS_MIN
+    val viaDsl = events
+      .withColumn("window_start",
+        Windows.tumbleStart(col("ts_ns") - off, 10 * NS_MIN) + off)
+      .withColumn("window_end", col("window_start") + lit(10 * NS_MIN))
+      .groupBy(col("window_start"), col("window_end"))
+      .agg(count(lit(1)).as("n"))
+    assertSame(viaSql, viaDsl)
+  }
+
+  test("TIMESTAMP descriptor yields timestamp window bounds") {
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |GROUP BY window_start""".stripMargin,
+      Map("events" -> events))
+    assert(viaSql.schema("window_start").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val viaNative = events.groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+    assertSame(viaSql, viaNative)
+  }
+
+  test("MATCH_RECOGNIZE WITHIN bounds match the DSL withinUs") {
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_down, n_up
+        |FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  PATTERN (down+ up+)
+        |  WITHIN INTERVAL '12' HOUR
+        |  DEFINE down AS value < PREV(value), up AS value > PREV(value))""".stripMargin,
+      Map("d" -> deduped))
+    val withinUs = 12L * 3600L * 1000000L
+    val viaDsl = CepNfa(deduped, "user_id", "ts_us", "value", Seq(Seq(
+      PatternStep("down", (p, c) => c < p, greedy = true),
+      PatternStep("up", (p, c) => c > p, greedy = true))),
+      withinUs = Some(withinUs))
+    assertSame(viaSql, viaDsl)
+    // the bound must bite: some matches exist and all are in budget
+    val rows = viaSql.collect()
+    assert(rows.nonEmpty, "WITHIN test needs at least one match")
+    assert(rows.forall(r => r.getLong(2) - r.getLong(1) <= withinUs))
+  }
+
+  test("MATCH_RECOGNIZE SKIP TO NEXT ROW matches the DSL strategy") {
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_down
+        |FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (down{2,})
+        |  DEFINE down AS value < PREV(value))""".stripMargin,
+      Map("d" -> deduped))
+    val viaDsl = CepNfa(deduped, "user_id", "ts_us", "value", Seq(Seq(
+      PatternStep("down", (p, c) => c < p, greedy = true, minCount = 2))),
+      skip = AfterMatchSkip.ToNextRow)
+    assertSame(viaSql, viaDsl)
+  }
+
+  test("PATTERN alternation splits branches like the DSL branch set") {
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_down, n_flat, n_up
+        |FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  PATTERN (down flat | up flat)
+        |  DEFINE down AS value < PREV(value), up AS value > PREV(value),
+        |         flat AS value = PREV(value))""".stripMargin,
+      Map("d" -> deduped))
+    val down = PatternStep("down", (p, c) => c < p, greedy = false)
+    val up = PatternStep("up", (p, c) => c > p, greedy = false)
+    val flat = PatternStep("flat", (p, c) => c == p, greedy = false)
+    val viaDsl = CepNfa(deduped, "user_id", "ts_us", "value",
+      Seq(Seq(down, flat), Seq(up, flat)))
+    assertSame(viaSql, viaDsl)
+  }
+
+  test("undefined pattern symbols default to always-true") {
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_down, n_x
+        |FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  PATTERN (down x)
+        |  DEFINE down AS value < PREV(value))""".stripMargin,
+      Map("d" -> deduped))
+    val viaDsl = CepNfa(deduped, "user_id", "ts_us", "value", Seq(Seq(
+      PatternStep("down", (p, c) => c < p, greedy = false),
+      PatternStep("x", (_, _) => true, greedy = false))))
+    assertSame(viaSql, viaDsl)
+  }
+
+  test("plain SQL with no Flink FROM item passes through to Spark SQL") {
+    val df = FlinkSql.sql(spark,
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+      Map("events" -> events))
+    assert(df.count() == events.select("event_type").distinct().count())
+  }
+
+  test("parse errors are reported with context") {
+    def bad(sqlText: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        FlinkSql.sql(spark, sqlText, Map("d" -> deduped,
+          "events" -> events)))
+      assert(e.getMessage.contains(fragment), s"got: ${e.getMessage}")
+    }
+    bad("""SELECT 1 FROM TABLE(TUMBLE(TABLE nope, DESCRIPTOR(ts_ns),
+          INTERVAL '10' MINUTE))""", "unknown table")
+    bad("""SELECT 1 FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts_ns),
+          INTERVAL '30' MINUTE))""", "PARTITION BY")
+    bad("""SELECT 1 FROM d MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            PATTERN (down{2,4})
+            DEFINE down AS value < PREV(value))""", "{n,m}")
+    bad("""SELECT 1 FROM d MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            PATTERN (down)
+            DEFINE down AS value < other)""", "one value column")
+  }
+}
