@@ -57,42 +57,56 @@ import org.apache.spark.sql.types._
 object CepNfa {
 
   /** One element of a nested pattern: a plain step or a quantified GROUP
-    * of steps — the reference's GroupPattern
-    * (flink-libraries/flink-cep/…/cep/pattern/GroupPattern.java): a
-    * sub-pattern under its own `oneOrMore()`/`times(n)` quantifier, e.g.
-    * `(A B)+` or `(A+ B){2,}`. One nesting level (groups hold plain
-    * steps); `greedy = true` lets the group iterate beyond `minIters`
-    * preferring more iterations, `false` pins it at exactly `minIters`. */
+    * of elements — the reference's GroupPattern
+    * (flink-libraries/flink-cep/…/cep/pattern/GroupPattern.java), which
+    * nests ARBITRARILY (`((A B)+ C)+`): a group's elements may themselves
+    * be quantified groups. `greedy = true` lets the group iterate beyond
+    * `minIters` preferring more iterations, `false` pins it at exactly
+    * `minIters`. */
   sealed trait PatternElem extends Serializable
   final case class Atom(step: PatternStep) extends PatternElem
   final case class GroupElem(
-      steps: Seq[PatternStep],
+      elems: Seq[PatternElem],
       minIters: Int = 1,
       greedy: Boolean = true) extends PatternElem
 
-  /** Flattened branch: per-step group id (-1 = not grouped) + group
-    * boundaries over flat step indices. */
+  /** Plain-steps group — the common single-level form. */
+  def groupOf(
+      steps: Seq[PatternStep],
+      minIters: Int = 1,
+      greedy: Boolean = true): GroupElem =
+    GroupElem(steps.map(Atom(_): PatternElem), minIters, greedy)
+
+  /** Flattened branch: the step array plus a LAMINAR group forest over
+    * flat indices. `grpIn(i)` is the INNERMOST group containing step i
+    * (-1 = none); `groups` are in pre-order (outer before inner, so a
+    * lower id is never nested inside a higher one); `startsAt(p)` lists
+    * the groups starting at flat position p, outermost first. */
   private final case class GroupSpec(
-      start: Int, end: Int, minIters: Long, greedy: Boolean)
+      start: Int, end: Int, minIters: Long, greedy: Boolean, parent: Int)
   private final case class Branch(
       steps: IndexedSeq[PatternStep],
-      grp: IndexedSeq[Int],
-      groups: IndexedSeq[GroupSpec]) extends Serializable
+      grpIn: IndexedSeq[Int],
+      groups: IndexedSeq[GroupSpec],
+      startsAt: Map[Int, List[Int]]) extends Serializable
 
   private def compile(elems: Seq[PatternElem]): Branch = {
     val steps = IndexedSeq.newBuilder[PatternStep]
-    val grp = IndexedSeq.newBuilder[Int]
-    val groups = IndexedSeq.newBuilder[GroupSpec]
+    val grpIn = IndexedSeq.newBuilder[Int]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[GroupSpec]
     var i = 0
-    var g = 0
-    elems.foreach {
-      case Atom(s) => steps += s; grp += -1; i += 1
-      case GroupElem(ss, minIters, greedy) =>
-        groups += GroupSpec(i, i + ss.size - 1, minIters.toLong, greedy)
-        ss.foreach { s => steps += s; grp += g; i += 1 }
-        g += 1
+    def walk(es: Seq[PatternElem], encl: Int): Unit = es.foreach {
+      case Atom(s) => steps += s; grpIn += encl; i += 1
+      case GroupElem(inner, minIters, greedy) =>
+        val gid = groups.length
+        groups += GroupSpec(i, -1, minIters.toLong, greedy, encl)
+        walk(inner, gid)
+        groups(gid) = groups(gid).copy(end = i - 1)
     }
-    Branch(steps.result(), grp.result(), groups.result())
+    walk(elems, -1)
+    val starts = groups.indices.toList.groupBy(groups(_).start)
+      .map { case (p, gs) => p -> gs.sorted } // pre-order id = outer first
+    Branch(steps.result(), grpIn.result(), groups.toIndexedSeq, starts)
   }
 
   /** Per-step measure accumulator over matched row values — the engine
@@ -123,15 +137,17 @@ object CepNfa {
     * row of the first matched pair, as in [[PatternMatch]]). `counts` is
     * CUMULATIVE per step (the output), `iterCounts` counts only the
     * current group iteration (what step minimums are checked against;
-    * mirrors `counts` outside groups), `iters` is the number of COMPLETED
-    * iterations of the group containing `stepIdx` (0 outside groups),
-    * `meas` accumulates per-step measures in lockstep with `counts`. */
+    * mirrors `counts` outside groups), `iters(g)` is the number of
+    * COMPLETED iterations of group g within its current enclosing
+    * iteration context (reset whenever an ancestor group starts a fresh
+    * iteration), `meas` accumulates per-step measures in lockstep with
+    * `counts`. */
   final case class Run(
       branch: Int,
       stepIdx: Int,
       counts: Vector[Long],
       iterCounts: Vector[Long],
-      iters: Long,
+      iters: Vector[Long],
       startT: Long,
       meas: Vector[Meas])
 
@@ -153,33 +169,44 @@ object CepNfa {
 
   private val empty = NfaState(Nil, Nil, 0L, 0.0, havePrev = false)
 
+  /** The element consumes at least one row when entered — the anchor
+    * property a group's (and the pattern's) FIRST element must have. */
+  private def anchored(e: PatternElem): Boolean = e match {
+    case Atom(s) => s.minCount >= 1
+    case GroupElem(es, minIters, _) =>
+      minIters >= 1 && es.nonEmpty && anchored(es.head)
+  }
+
+  private def flatSteps(e: PatternElem): Seq[PatternStep] = e match {
+    case Atom(s) => Seq(s)
+    case GroupElem(es, _, _) => es.flatMap(flatSteps)
+  }
+
   private def validate(
       branches: Seq[Seq[PatternElem]], withinUs: Option[Long]): Unit = {
     require(branches.nonEmpty, "pattern needs at least one branch")
     branches.foreach { elems =>
       require(elems.nonEmpty, "pattern needs at least one element")
-      val steps = elems.flatMap {
-        case Atom(s) => Seq(s)
-        case GroupElem(ss, minIters, greedy) =>
-          require(ss.nonEmpty, "a group needs at least one step")
+      def check(e: PatternElem): Unit = e match {
+        case Atom(_) => ()
+        case g @ GroupElem(es, minIters, greedy) =>
+          require(es.nonEmpty, "a group needs at least one element")
           require(minIters >= 0, "group minIters must be >= 0")
           require(greedy || minIters >= 1,
             "a non-greedy group with minIters = 0 can never be entered")
-          require(ss.head.minCount >= 1,
-            s"the first step of a group may not be optional " +
-              s"(${ss.head.name}): it anchors each iteration")
-          ss
+          require(anchored(es.head),
+            s"the first element of a group may not be optional: it " +
+              s"anchors each iteration (${flatSteps(g).head.name})")
+          es.foreach(check)
       }
+      elems.foreach(check)
+      val steps = elems.flatMap(flatSteps)
       require(steps.nonEmpty, "pattern needs at least one step")
       val bad = steps.filter(s => !s.greedy && s.minCount > 1)
       require(bad.isEmpty,
         s"non-greedy steps match exactly one row; minCount > 1 is " +
           s"unsatisfiable for: ${bad.map(_.name).mkString(", ")}")
-      val anchorOk = elems.head match {
-        case Atom(s) => s.minCount >= 1
-        case GroupElem(_, minIters, _) => minIters >= 1
-      }
-      require(anchorOk,
+      require(anchored(elems.head),
         "the first element may not be optional: it anchors the match start")
     }
     require(withinUs.forall(_ > 0), "withinUs must be positive")
@@ -191,34 +218,86 @@ object CepNfa {
       withinUs: Option[Long],
       skip: AfterMatchSkip) extends Serializable {
 
-    /** Everything from flat index `j` on is skippable: plain steps must be
-      * optional; a group (always hit at its start by construction) is
-      * skipped whole iff its minIters is 0. */
-    @tailrec private def tailSkippable(b: Branch, j: Int): Boolean =
-      j >= b.steps.length || {
-        val g = b.grp(j)
-        if (g >= 0) b.groups(g).minIters == 0 &&
-          tailSkippable(b, b.groups(g).end + 1)
-        else b.steps(j).minCount == 0 && tailSkippable(b, j + 1)
-      }
+    /** One enterable target when walking INTO a position range: the step
+      * index plus the chain of groups entered at a fresh first iteration
+      * on the way (outermost first). */
+    private final case class Entry(k: Int, fresh: List[Int])
 
-    /** Steps after `i` to the end of group `g` are all optional — the
-      * current iteration may close at `i`. */
-    private def iterTailOptional(b: Branch, g: Int, i: Int): Boolean =
-      (i + 1 to b.groups(g).end).forall(b.steps(_).minCount == 0)
+    /** Walk the elements of level `lvl` (a group id or -1 for the root)
+      * from flat position `j` to the level's inclusive end: enterable
+      * entries in order plus whether the walk may run PAST the end
+      * (everything from `j` on is skippable). A nested group is enterable
+      * at its start (recursing into its own first iteration) and
+      * walkable-past only when its minIters is 0. */
+    private def walkLevel(
+        b: Branch, j: Int, end: Int, lvl: Int): (List[Entry], Boolean) = {
+      val entries = scala.collection.mutable.ListBuffer.empty[Entry]
+      var k = j
+      while (k <= end) {
+        b.startsAt.getOrElse(k, Nil)
+          .find(g => g != lvl && b.groups(g).end <= end) match {
+          case Some(g) =>
+            entries ++= walkInto(b, g)
+            if (b.groups(g).minIters == 0) k = b.groups(g).end + 1
+            else return (entries.toList, false)
+          case None =>
+            entries += Entry(k, Nil)
+            if (b.steps(k).minCount == 0) k += 1
+            else return (entries.toList, false)
+        }
+      }
+      (entries.toList, true)
+    }
+
+    /** Fresh-first-iteration entries of group `g`. */
+    private def walkInto(b: Branch, g: Int): List[Entry] =
+      walkLevel(b, b.groups(g).start, b.groups(g).end, g)._1
+        .map(e => e.copy(fresh = g :: e.fresh))
+
+    /** Move targets after the element at flat position `pos` closes on
+      * level `lvl`: forward entries within the level; when the rest of
+      * the level is skippable and the level is a group whose iteration
+      * minimum is met, the close CASCADES — loop back into a fresh
+      * iteration and/or exit into the parent level, recursively. Each
+      * target carries the loop-back group (if that move anchors one). */
+    private def cascade(
+        b: Branch, iters: Vector[Long], pos: Int, lvl: Int)
+        : List[(Entry, Option[Int])] = {
+      val end = if (lvl < 0) b.steps.length - 1 else b.groups(lvl).end
+      val (entries, canPass) = walkLevel(b, pos + 1, end, lvl)
+      var all: List[(Entry, Option[Int])] = entries.map((_, None))
+      if (canPass && lvl >= 0) {
+        val g = b.groups(lvl)
+        val done = iters(lvl) + 1
+        if (g.greedy || done < g.minIters)
+          // the loop group leaves `fresh` (its counter BUMPS, it doesn't
+          // reset); nested groups entered on the way stay fresh
+          all = all ++ walkInto(b, lvl)
+            .map(e => (e.copy(fresh = e.fresh.filterNot(_ == lvl)), Some(lvl)))
+        if (done >= g.minIters)
+          all = all ++ cascade(b, iters, g.end, g.parent)
+      }
+      all
+    }
+
+    /** The close at `pos` can cascade past the pattern end: every level
+      * up the chain has a skippable tail and a met iteration minimum. */
+    @tailrec private def canCascadeEnd(
+        b: Branch, iters: Vector[Long], pos: Int, lvl: Int): Boolean = {
+      val end = if (lvl < 0) b.steps.length - 1 else b.groups(lvl).end
+      val (_, canPass) = walkLevel(b, pos + 1, end, lvl)
+      canPass && (lvl < 0 || {
+        val g = b.groups(lvl)
+        iters(lvl) + 1 >= g.minIters && canCascadeEnd(b, iters, g.end, g.parent)
+      })
+    }
 
     /** The run's current position admits a match ending at its last
-      * matched row: step minimum met; inside a group also the iteration
-      * tail must be optional and the iteration minimum met. */
+      * matched row. */
     private def canCompleteRun(r: Run): Boolean = {
       val b = branches(r.branch)
-      val g = b.grp(r.stepIdx)
-      r.iterCounts(r.stepIdx) >= b.steps(r.stepIdx).minCount && {
-        if (g < 0) tailSkippable(b, r.stepIdx + 1)
-        else iterTailOptional(b, g, r.stepIdx) &&
-          r.iters + 1 >= b.groups(g).minIters &&
-          tailSkippable(b, b.groups(g).end + 1)
-      }
+      r.iterCounts(r.stepIdx) >= b.steps(r.stepIdx).minCount &&
+        canCascadeEnd(b, r.iters, r.stepIdx, b.grpIn(r.stepIdx))
     }
 
     private def inBudget(start: Long, end: Long): Boolean =
@@ -241,20 +320,29 @@ object CepNfa {
 
     /** Upper bound on the counts this run could still reach: frozen below
       * the current step, unbounded where a greedy quantifier (step- or
-      * group-level loop-back) can extend. */
+      * group-level loop-back at ANY enclosing depth) can extend. The
+      * outermost still-loopable enclosing group widens the unbounded span
+      * (a conservative bound: an outer loop-back resets everything inside
+      * it). */
     private def potential(r: Run): Vector[Long] = {
       val b = branches(r.branch)
       val steps = b.steps
-      val ag = b.grp(r.stepIdx)
-      val loopPossible = ag >= 0 &&
-        (b.groups(ag).greedy || r.iters + 1 < b.groups(ag).minIters)
+      var loopStart = -1
+      var loopEnd = -1
+      var g = b.grpIn(r.stepIdx)
+      while (g >= 0) {
+        val gs = b.groups(g)
+        if (gs.greedy || r.iters(g) + 1 < gs.minIters) {
+          loopStart = gs.start; loopEnd = gs.end
+        }
+        g = gs.parent
+      }
       Vector.tabulate(steps.length) { i =>
-        if (loopPossible && i >= b.groups(ag).start && i <= b.groups(ag).end)
-          Long.MaxValue
+        if (loopStart >= 0 && i >= loopStart && i <= loopEnd) Long.MaxValue
         else if (i < r.stepIdx) r.counts(i)
         else if (i == r.stepIdx)
           if (steps(i).greedy) Long.MaxValue else r.counts(i)
-        else if (steps(i).greedy || b.grp(i) >= 0) Long.MaxValue
+        else if (steps(i).greedy || b.grpIn(i) >= 0) Long.MaxValue
         else 1L
       }
     }
@@ -272,62 +360,20 @@ object CepNfa {
         Some(Cand(r.branch, r.counts, r.startT, endT, r.meas))
       else None
 
-    /** Forward walk from flat index `from` over ELEMENTS (outside any
-      * group): plain optional steps may be entered or skipped; a later
-      * group is enterable only at its start (fresh iteration) and
-      * walkable-past only when its minIters is 0. Appends successors /
-      * final-step candidates; returns whether the walk ran off the end. */
-    private def walkElems(
-        r: Run, from: Int, p: Double, v: Double, t: Long, budget: Boolean,
-        succ: scala.collection.mutable.ListBuffer[Run],
-        cands: scala.collection.mutable.ListBuffer[Cand]): Boolean = {
-      val b = branches(r.branch)
-      val steps = b.steps
-      var k = from
-      var walking = true
-      while (walking && k < steps.length) {
-        val g2 = b.grp(k)
-        val sk = steps(k)
-        if (g2 >= 0) {
-          val gk = b.groups(g2)
-          if (budget && sk.pred(p, v))
-            succ += Run(r.branch, k,
-              r.counts.updated(k, r.counts(k) + 1L),
-              Vector.fill(steps.length)(0L).updated(k, 1L),
-              0L, r.startT,
-              r.meas.updated(k, r.meas(k).add(v)))
-          walking = gk.minIters == 0
-          k = gk.end + 1
-        } else {
-          if (budget && sk.pred(p, v)) {
-            val c2 = r.counts.updated(k, r.counts(k) + 1L)
-            val m2 = r.meas.updated(k, r.meas(k).add(v))
-            if (k == steps.length - 1 && !sk.greedy)
-              cands += Cand(r.branch, c2, r.startT, t, m2)
-            else succ += r.copy(stepIdx = k, counts = c2,
-              iterCounts = r.iterCounts.updated(k, r.iterCounts(k) + 1L),
-              iters = 0L, meas = m2)
-          }
-          walking = sk.minCount == 0
-          k += 1
-        }
-      }
-      walking
-    }
-
     /** Successors + completions of one run for the pair (p, v) at `t`.
       * `prevT` is the time of the pair's left row (= match end if the run
-      * dies here). Group semantics: when the current iteration may close
-      * (step min met, iteration tail optional) the run splits three ways —
-      * loop back into a fresh iteration, exit past the group into later
-      * elements, or keep the exit-now interpretation as a HELD candidate
-      * (so a later mid-iteration death cannot lose the shorter match). */
+      * dies here). Close semantics at any depth: when the current
+      * element's minimum is met, the run splits into every enterable
+      * later target from [[cascade]] — forward within the level, a fresh
+      * loop-back iteration at each closable enclosing group, or an exit
+      * into the parent level — and, when a match could also end RIGHT
+      * HERE, the exit-now interpretation is kept as a HELD candidate (so
+      * a later mid-iteration death cannot lose the shorter match). */
     private def evolve(r: Run, p: Double, v: Double, t: Long, prevT: Long)
         : (List[Run], List[Cand]) = {
       val b = branches(r.branch)
       val steps = b.steps
       val s = steps(r.stepIdx)
-      val g = b.grp(r.stepIdx)
       val budget = inBudget(r.startT, t)
       val succ = scala.collection.mutable.ListBuffer.empty[Run]
       val cands = scala.collection.mutable.ListBuffer.empty[Cand]
@@ -338,53 +384,53 @@ object CepNfa {
             r.iterCounts.updated(r.stepIdx, r.iterCounts(r.stepIdx) + 1L),
           meas = r.meas.updated(r.stepIdx, r.meas(r.stepIdx).add(v)))
       if (r.iterCounts(r.stepIdx) >= s.minCount) {
-        if (g < 0) {
-          // linear step: run-split into every enterable later element
-          walkElems(r, r.stepIdx + 1, p, v, t, budget, succ, cands)
-        } else {
-          // in-group step: walk the rest of the ITERATION first (plain
-          // steps only; bounded by the group end)
-          val gi = b.groups(g)
-          var j = r.stepIdx + 1
-          var walking = true
-          while (walking && j <= gi.end) {
-            val sj = steps(j)
-            if (budget && sj.pred(p, v))
-              succ += r.copy(stepIdx = j,
-                counts = r.counts.updated(j, r.counts(j) + 1L),
-                iterCounts = r.iterCounts.updated(j, r.iterCounts(j) + 1L),
-                meas = r.meas.updated(j, r.meas(j).add(v)))
-            walking = sj.minCount == 0
-            j += 1
-          }
-          if (walking) {
-            // the iteration may close at this position
-            val itersDone = r.iters + 1
-            // (a) loop back into a fresh iteration (greedy groups may
-            // always iterate; non-greedy only while under their minimum)
-            if ((gi.greedy || itersDone < gi.minIters) && budget &&
-                steps(gi.start).pred(p, v)) {
-              val reset = Vector.tabulate(steps.length) { i =>
-                if (i >= gi.start && i <= gi.end) 0L else r.iterCounts(i)
+        cascade(b, r.iters, r.stepIdx, b.grpIn(r.stepIdx)).foreach {
+          case (Entry(k, fresh), loopOf) =>
+            if (budget && steps(k).pred(p, v)) {
+              val c2 = r.counts.updated(k, r.counts(k) + 1L)
+              val m2 = r.meas.updated(k, r.meas(k).add(v))
+              if (k == steps.length - 1 && !steps(k).greedy &&
+                  b.grpIn(k) < 0)
+                // root-level final non-greedy step: completes right here
+                cands += Cand(r.branch, c2, r.startT, t, m2)
+              else {
+                // iteration counters: a loop-back bumps its group and
+                // resets everything nested inside; a freshly entered
+                // group resets itself and everything nested inside
+                var it = r.iters
+                loopOf.foreach { gl =>
+                  b.groups.indices.foreach { h =>
+                    if (h != gl && b.groups(h).start >= b.groups(gl).start &&
+                        b.groups(h).end <= b.groups(gl).end)
+                      it = it.updated(h, 0L)
+                  }
+                  it = it.updated(gl, it(gl) + 1L)
+                }
+                fresh.foreach { hf =>
+                  b.groups.indices.foreach { h =>
+                    if (b.groups(h).start >= b.groups(hf).start &&
+                        b.groups(h).end <= b.groups(hf).end)
+                      it = it.updated(h, 0L)
+                  }
+                }
+                // per-iteration step counts: reset the spans of every
+                // group whose iteration restarts, then count the target
+                val spans = (loopOf.toList ++ fresh).map(b.groups(_))
+                val ic0 =
+                  if (spans.isEmpty) r.iterCounts
+                  else Vector.tabulate(steps.length) { i =>
+                    if (spans.exists(sp => i >= sp.start && i <= sp.end)) 0L
+                    else r.iterCounts(i)
+                  }
+                succ += Run(r.branch, k, c2,
+                  ic0.updated(k, ic0(k) + 1L), it, r.startT, m2)
               }
-              succ += r.copy(
-                stepIdx = gi.start,
-                counts = r.counts.updated(gi.start, r.counts(gi.start) + 1L),
-                iterCounts = reset.updated(gi.start, 1L),
-                iters = itersDone,
-                meas = r.meas.updated(gi.start, r.meas(gi.start).add(v)))
             }
-            if (itersDone >= gi.minIters) {
-              // (b) exit the group into later elements
-              walkElems(r, gi.end + 1, p, v, t, budget, succ, cands)
-              // (c) exit-now: the match ending at the previous row stays
-              // a held candidate while successors explore longer ones
-              if (succ.nonEmpty && tailSkippable(b, gi.end + 1) &&
-                  inBudget(r.startT, prevT))
-                cands += Cand(r.branch, r.counts, r.startT, prevT, r.meas)
-            }
-          }
         }
+        // exit-now: the match ending at the previous row stays a held
+        // candidate while successors explore longer interpretations
+        if (succ.nonEmpty && canCompleteRun(r) && inBudget(r.startT, prevT))
+          cands += Cand(r.branch, r.counts, r.startT, prevT, r.meas)
       }
       if (succ.isEmpty && cands.isEmpty) (Nil, deathCand(r, prevT).toList)
       else (succ.toList, cands.toList)
@@ -429,7 +475,8 @@ object CepNfa {
         runs :::= s2
         cands :::= c2
       }
-      // fresh anchor per branch (every row is a potential match start)
+      // fresh anchor per branch (every row is a potential match start);
+      // validate guarantees the first enterable position is flat step 0
       branches.indices.foreach { b =>
         val br = branches(b)
         val steps = br.steps
@@ -437,9 +484,10 @@ object CepNfa {
           val c0 = Vector.tabulate(steps.length)(i => if (i == 0) 1L else 0L)
           val m0 = Vector.fill(steps.length)(emptyMeas)
             .updated(0, emptyMeas.add(v))
-          if (steps.length == 1 && !steps(0).greedy && br.grp(0) < 0) {
+          val it0 = Vector.fill(br.groups.length)(0L)
+          if (steps.length == 1 && !steps(0).greedy && br.grpIn(0) < 0) {
             if (steps(0).minCount <= 1) cands ::= Cand(b, c0, st.prevT, t, m0)
-          } else runs ::= Run(b, 0, c0, c0, 0L, st.prevT, m0)
+          } else runs ::= Run(b, 0, c0, c0, it0, st.prevT, m0)
         }
       }
       val (r2, p2, emitted) =

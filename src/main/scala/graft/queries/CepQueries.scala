@@ -500,7 +500,7 @@ object CepQueries {
       "q_cep_group",
       (s, dir) => {
         val m = CepNfa.nested(bucketed(s, dir), "user_id", "ts_us", "vb",
-          Seq(Seq(CepNfa.GroupElem(Seq(
+          Seq(Seq(CepNfa.groupOf(Seq(
             PatternStep("down", (p, c) => c < p, greedy = false),
             PatternStep("up", (p, c) => c > p, greedy = false))))))
         m.groupBy(col("user_id"), col("n_down"), col("n_up"))
@@ -522,6 +522,50 @@ object CepQueries {
                COUNT(*) AS cnt
         FROM m GROUP BY 1, 2, 3
         ORDER BY user_id, n_down
+      """.stripMargin.trim)),
+
+    // Groups INSIDE groups — ((D U)+ E){2,}: at least two outer
+    // iterations, each a maximal run of strictly-alternating down/up
+    // pairs closed by a flat pair. The alphabet (vb<pv / vb>pv / vb=pv)
+    // is transition-exclusive, so the NFA's greedy PastLastRow matches
+    // are exactly the leftmost greedy non-overlapping regex matches of
+    // ((DU)+E){2,} over the per-user pair string — an independent
+    // formulation. Compared as the per-user multiset of step counts.
+    QueryDef(
+      "q_cep_nested2",
+      (s, dir) => {
+        val down = PatternStep("down", (p, c) => c < p, greedy = false)
+        val up = PatternStep("up", (p, c) => c > p, greedy = false)
+        val flat = PatternStep("flat", (p, c) => c == p, greedy = false)
+        val m = CepNfa.nested(bucketed(s, dir), "user_id", "ts_us", "vb",
+          Seq(Seq(CepNfa.GroupElem(Seq(
+            CepNfa.groupOf(Seq(down, up)),
+            CepNfa.Atom(flat)), minIters = 2))))
+        m.groupBy(col("user_id"), col("n_down"), col("n_up"), col("n_flat"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("user_id"), col("n_down"), col("n_flat"))
+      },
+      Some(s"""
+        WITH $bucketedPrologueSql,
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vb < pv THEN 'D'
+                              WHEN vb > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        pstr AS (SELECT user_id, string_agg(dir, '' ORDER BY tu) AS ps
+                 FROM sd WHERE dir IS NOT NULL GROUP BY user_id),
+        m AS (SELECT user_id,
+                     unnest(regexp_extract_all(ps, '(?:(?:DU)+E){2,}')) AS mm
+              FROM pstr),
+        c AS (SELECT user_id,
+                     length(mm) - length(replace(mm, 'E', '')) AS ne,
+                     length(mm) AS lm
+              FROM m)
+        SELECT user_id, CAST((lm - ne) // 2 AS BIGINT) AS n_down,
+               CAST((lm - ne) // 2 AS BIGINT) AS n_up,
+               CAST(ne AS BIGINT) AS n_flat,
+               COUNT(*) AS cnt
+        FROM c GROUP BY 1, 2, 3, 4
+        ORDER BY user_id, n_down, n_flat
       """.stripMargin.trim)),
 
     // MEASURES clause: per-variable aggregates over each match's rows —

@@ -368,12 +368,7 @@ object FlinkSql {
     def toElems(es: Seq[PElem]): Seq[CepNfa.PatternElem] = es.map {
       case a: PAtom => CepNfa.Atom(stepOf(a))
       case PGroup(inner, minIters, greedy) =>
-        val steps = inner.map {
-          case a: PAtom => stepOf(a)
-          case _: PGroup => throw new IllegalArgumentException(
-            "groups inside groups are not supported in PATTERN yet")
-        }
-        CepNfa.GroupElem(steps, minIters, greedy)
+        CepNfa.GroupElem(toElems(inner), minIters, greedy)
     }
     val specs = measures.map { case (agg, sym, _, alias) =>
       CepNfa.MeasureSpec(agg, sym, alias)

@@ -166,7 +166,7 @@ class CepNfaSpec extends SparkSpecBase {
     greedy = false)
   private val upOne2 = PatternStep("up", (p: Double, c: Double) => c > p,
     greedy = false)
-  private val duGroup = CepNfa.GroupElem(Seq(downOne, upOne2))
+  private val duGroup = CepNfa.groupOf(Seq(downOne, upOne2))
 
   private def nestedMatches(
       rows: Seq[(Long, Long, Double)],
@@ -191,7 +191,7 @@ class CepNfaSpec extends SparkSpecBase {
   }
 
   test("group minIters gates the match") {
-    val two = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 2)
+    val two = CepNfa.groupOf(Seq(downOne, upOne2), minIters = 2)
     assert(nestedMatches(series(5, 3, 6, 2), Seq(two)).isEmpty)
     assert(nestedMatches(series(5, 3, 6, 2, 9), Seq(two)) ==
       Set(Seq(1L, 5L, 2L, 2L)))
@@ -200,9 +200,9 @@ class CepNfaSpec extends SparkSpecBase {
   test("non-greedy group stops at exactly minIters iterations") {
     // pairs D,U,D,U,D,U — three iterations available
     val rows = series(5, 3, 6, 2, 9, 1, 7)
-    val greedy = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 2)
+    val greedy = CepNfa.groupOf(Seq(downOne, upOne2), minIters = 2)
     assert(nestedMatches(rows, Seq(greedy)) == Set(Seq(1L, 7L, 3L, 3L)))
-    val exact = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 2,
+    val exact = CepNfa.groupOf(Seq(downOne, upOne2), minIters = 2,
       greedy = false)
     // stops after two iterations; the leftover single D,U pair at the
     // boundary can't reach minIters again
@@ -223,7 +223,7 @@ class CepNfaSpec extends SparkSpecBase {
   test("optional group (minIters = 0) is entered or skipped over") {
     val calm = PatternStep("calm", (p: Double, c: Double) => c == p,
       greedy = true)
-    val opt = CepNfa.GroupElem(Seq(downOne, upOne2), minIters = 0)
+    val opt = CepNfa.groupOf(Seq(downOne, upOne2), minIters = 0)
     val elems = Seq(CepNfa.Atom(calm), opt)
     // pairs E,D,U → calm then one iteration (greedy prefers entering)
     assert(nestedMatches(series(7, 7, 5, 8), elems) ==
@@ -237,7 +237,7 @@ class CepNfaSpec extends SparkSpecBase {
     // (down+ up)+ : pairs D,D,U,D,U → iter1 has two downs, iter2 one
     val downRun = PatternStep("down", (p: Double, c: Double) => c < p,
       greedy = true)
-    val g = CepNfa.GroupElem(Seq(downRun, upOne2))
+    val g = CepNfa.groupOf(Seq(downRun, upOne2))
     assert(nestedMatches(series(9, 7, 5, 8, 2, 6), Seq(g)) ==
       Set(Seq(1L, 6L, 3L, 2L)))
   }
@@ -256,6 +256,80 @@ class CepNfaSpec extends SparkSpecBase {
       .select($"sum_down", $"min_down", $"first_down", $"last_up")
       .as[(Double, Double, Double, Double)].collect().toSet
     assert(m == Set((5.0, 2.0, 3.0, 9.0)), s"got $m")
+  }
+
+  // ----- groups INSIDE groups (GroupPattern.java nests arbitrarily) -----
+
+  private val flatOne = PatternStep("flat", (p: Double, c: Double) => c == p,
+    greedy = false)
+
+  /** ((down up)+ flat) under an outer quantifier. */
+  private def nested2(outerMin: Int): Seq[CepNfa.PatternElem] = Seq(
+    CepNfa.GroupElem(Seq(duGroup, CepNfa.Atom(flatOne)), minIters = outerMin))
+
+  test("depth-2: ((down up)+ flat)+ spans two outer iterations") {
+    // pairs D,U,E,D,U,E → outer iterations (DU E)(DU E)
+    val m = nestedMatches(series(5, 3, 6, 6, 2, 9, 9), nested2(1))
+    assert(m == Set(Seq(1L, 7L, 2L, 2L, 2L)), s"got $m")
+  }
+
+  test("depth-2: outer minIters gates; greedy inner iterations counted") {
+    // pairs D,U,D,U,E — one outer iteration with TWO inner iterations
+    assert(nestedMatches(series(5, 3, 6, 2, 9, 9), nested2(1)) ==
+      Set(Seq(1L, 6L, 2L, 2L, 1L)))
+    // {2,}: a single outer iteration is not a match
+    assert(nestedMatches(series(5, 3, 6, 2, 9, 9), nested2(2)).isEmpty)
+    // two full outer iterations satisfy {2,}
+    assert(nestedMatches(series(5, 3, 6, 6, 2, 9, 9), nested2(2)) ==
+      Set(Seq(1L, 7L, 2L, 2L, 2L)))
+  }
+
+  test("depth-2: mid-outer-iteration death falls back to completed iterations") {
+    // pairs D,U,E,D,U then input end: the second outer iteration never
+    // sees its flat — the held 1-iteration match survives
+    val m = nestedMatches(series(5, 3, 6, 6, 2, 9), nested2(1))
+    assert(m == Set(Seq(1L, 4L, 1L, 1L, 1L)), s"got $m")
+  }
+
+  test("depth-2: inner iteration counters reset on outer loop-back") {
+    val duMin2 = CepNfa.groupOf(Seq(downOne, upOne2), minIters = 2)
+    val elems = Seq(
+      CepNfa.GroupElem(Seq(duMin2, CepNfa.Atom(flatOne)), minIters = 1))
+    // ((down up){2,} flat)+ : pairs D,U,D,U,E,D,U,E — the second outer
+    // iteration has only ONE du pair; if the inner counter leaked from
+    // iteration 1 the engine would wrongly exit to flat and match long
+    val m = nestedMatches(series(5, 3, 6, 2, 9, 9, 7, 8, 8), elems)
+    assert(m == Set(Seq(1L, 6L, 2L, 2L, 1L)), s"got $m")
+    // and a genuine double-du second iteration DOES extend the match
+    val m2 = nestedMatches(series(5, 3, 6, 2, 9, 9, 7, 8, 6, 9, 9), elems)
+    assert(m2 == Set(Seq(1L, 11L, 4L, 4L, 2L)), s"got $m2")
+  }
+
+  test("depth-2: streaming face matches batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // trailing lone U pair kills every live run (a flat would leave the
+    // outer loop alive — streams have no end-of-input flush)
+    val rows = series(5, 3, 6, 6, 2, 9, 9, 1, 4, 4, 9)
+    val elems = nested2(1)
+    val batch = CepNfa.nested(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", Seq(elems))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nf2-").toString
+    val q = CepNfa.nestedStreaming(df, "user_id", "ts_us", "value",
+      Seq(elems))
+      .writeStream.format("memory").queryName("nfa_n2")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("nfa_n2").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
   }
 
   test("streaming parity for group patterns across batches") {

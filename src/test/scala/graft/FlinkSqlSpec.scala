@@ -126,6 +126,32 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaDsl)
   }
 
+  test("nested group PATTERN from SQL matches the DSL nested engine") {
+    import spark.implicits._
+    // pairs D,U,E,D,U,E — two outer iterations of ((down up)+ flat)
+    val rows = Seq(5.0, 3.0, 6.0, 6.0, 2.0, 9.0, 9.0).zipWithIndex
+      .map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("user_id", "ts_us", "vb")
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_down, n_up, n_flat
+        |FROM b MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  PATTERN (((down up)+ flat){2,})
+        |  DEFINE down AS vb < PREV(vb), up AS vb > PREV(vb),
+        |         flat AS vb = PREV(vb))""".stripMargin,
+      Map("b" -> rows))
+    val down = PatternStep("down", (p, c) => c < p, greedy = false)
+    val up = PatternStep("up", (p, c) => c > p, greedy = false)
+    val flat = PatternStep("flat", (p, c) => c == p, greedy = false)
+    val viaDsl = CepNfa.nested(rows, "user_id", "ts_us", "vb",
+      Seq(Seq(CepNfa.GroupElem(Seq(
+        CepNfa.groupOf(Seq(down, up)),
+        CepNfa.Atom(flat)), minIters = 2))))
+    assertSame(viaSql, viaDsl)
+    val got = viaSql.collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(1L, 1L, 7L, 2L, 2L, 2L)), s"got $got")
+  }
+
   test("undefined pattern symbols default to always-true") {
     val viaSql = FlinkSql.sql(spark,
       """SELECT user_id, start_us, end_us, n_down, n_x
