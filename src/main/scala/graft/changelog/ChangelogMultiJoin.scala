@@ -94,8 +94,13 @@ object ChangelogMultiJoin extends Serializable {
       val pay = e.getStruct(5 + side).toSeq
       val own = st(side)
       if (retract) {
-        own.get(pay).foreach { c =>
-          if (c <= 1) own.remove(pay) else own.update(pay, c - 1)
+        own.get(pay) match {
+          // a retract for a row not in the live multiset is an upstream
+          // contract violation (lossy changelog) — skip rather than emit
+          // phantom -D deltas for combos that were never inserted
+          case None => return Nil
+          case Some(c) =>
+            if (c <= 1) own.remove(pay) else own.update(pay, c - 1)
         }
       } else own.update(pay, own.getOrElse(pay, 0L) + 1)
       val kind = if (retract) RowKind.Delete else RowKind.Insert
@@ -146,6 +151,272 @@ object ChangelogMultiJoin extends Serializable {
             .flatMap(step(st, _))
           if (st.forall(_.isEmpty)) state.remove()
           else state.update(st.map(_.toMap).toSeq)
+          out.iterator
+      }(sEnc, oEnc)
+  }
+
+  /** One equi-link of a per-pair key chain: the input this condition is
+    * registered under (the MAP KEY in [[chain]]'s `conds`) joins an
+    * EARLIER input `leftInput` on `leftCol = rightCol`. Mirrors one
+    * ConditionAttributeRef of the reference's joinAttributeMap
+    * (flink-table-planner/…/exec/stream/StreamExecMultiJoin.java:84,101).
+    */
+  final case class ChainCond(leftInput: Int, leftCol: String, rightCol: String)
+
+  /** N-ary changelog inner join with PER-PAIR join keys — lifts [[apply]]'s
+    * common-key restriction the way the reference's multi-join does
+    * (`StreamExecMultiJoin.java:84`'s `joinAttributeMap`): each input i ≥ 1
+    * declares equi-conditions against earlier inputs, so chain shapes
+    * (A—B on k1, B—C on k2) run as ONE stateful operator with per-INPUT
+    * state — no materialized intermediate join.
+    *
+    * Partitioning mirrors the reference's
+    * AttributeBasedJoinKeyExtractor.initializeCommonJoinKeyStructures:
+    * union-find over the condition attributes; an equivalence class that
+    * touches every input is the COMMON key and keys the one shuffle.
+    * Without one (a true chain) all rows share a single key group — the
+    * reference's empty-common-key behavior — so per-pair-key joins trade
+    * shuffle parallelism for single-operator state; prefer [[apply]]
+    * whenever a common key exists.
+    *
+    * Within a key group the walk IMPROVES on the reference's left-to-right
+    * scan (`StreamingMultiJoinOperator.java:557` iterates depth-0 state
+    * unkeyed): inputs are visited in BFS order from the TRIGGERING side
+    * along the join graph, and each input keeps one hash index per
+    * neighbor pair, so every lookup is keyed by already-bound rows —
+    * per-event work is the size of the emitted delta, not the state.
+    */
+  def chain(
+      inputs: Seq[DataFrame],
+      conds: Map[Int, Seq[ChainCond]]): DataFrame = {
+    val n = inputs.size
+    require(n >= 2, "multi-join needs at least two inputs")
+    require(conds.keySet == (1 until n).toSet,
+      s"conds must cover inputs 1..${n - 1}, got ${conds.keySet.toSeq.sorted}")
+    (1 until n).foreach { i =>
+      require(conds(i).nonEmpty, s"input $i needs at least one condition")
+      conds(i).foreach { c =>
+        require(c.leftInput >= 0 && c.leftInput < i,
+          s"condition on input $i must reference an earlier input")
+        require(inputs(c.leftInput).schema(c.leftCol).dataType ==
+            inputs(i).schema(c.rightCol).dataType,
+          s"join key types differ on ${c.leftCol}=${c.rightCol}")
+      }
+    }
+    val metaCols = Set(RowKind.kindCol, RowKind.seqCol)
+    val payF: Seq[Array[StructField]] = inputs.map { df =>
+      df.schema.fields.filterNot(f => metaCols(f.name))
+    }
+    val allNames = payF.flatten.map(_.name)
+    require(allNames.distinct.size == allNames.size,
+      s"payload column names must be unique across inputs: " +
+        allNames.diff(allNames.distinct).distinct.mkString(", "))
+    val payIdx: Seq[Map[String, Int]] =
+      payF.map(_.map(_.name).zipWithIndex.toMap)
+
+    // every condition as an undirected edge (l, r, leftCol, rightCol)
+    val edges: Seq[(Int, Int, String, String)] =
+      (1 until n).flatMap(i => conds(i).map(c =>
+        (c.leftInput, i, c.leftCol, c.rightCol)))
+
+    // ---- common-key discovery (union-find over condition attributes) ----
+    type Attr = (Int, String)
+    val parent = scala.collection.mutable.Map.empty[Attr, Attr]
+    def find(a: Attr): Attr = {
+      val p = parent.getOrElse(a, a)
+      if (p == a) a else { val r = find(p); parent(a) = r; r }
+    }
+    edges.foreach { case (l, r, lc, rc) =>
+      val (ra, rb) = (find((l, lc)), find((r, rc)))
+      if (ra != rb) parent(ra) = rb
+    }
+    val allAttrs = edges.flatMap { case (l, r, lc, rc) =>
+      Seq((l, lc), (r, rc)) }.distinct
+    val commonClass = allAttrs.groupBy(find).values
+      .find(cls => (0 until n).forall(i => cls.exists(_._1 == i)))
+      .map(_.sortBy(a => (a._1, a._2)))
+    val jkOf: Int => org.apache.spark.sql.Column = commonClass match {
+      case Some(cls) => i => col(cls.find(_._1 == i).get._2)
+      case None => _ => lit(0L) // reference's empty-common-key fallback
+    }
+
+    // ---- per-input indexes: one per incident neighbor pair ----
+    // pairs touching input i, each with i's attrs in that pair's conds
+    // (condition declaration order — the canonical key layout)
+    val pairsOf: Seq[Seq[(Int, Seq[Int])]] = (0 until n).map { i =>
+      edges.filter(e => e._1 == i || e._2 == i)
+        .groupBy(e => if (e._1 == i) e._2 else e._1).toSeq.sortBy(_._1)
+        .map { case (nbr, es) =>
+          nbr -> es.map(e =>
+            if (e._1 == i) payIdx(i)(e._3) else payIdx(i)(e._4))
+        }
+    }
+    // BFS visit plan per triggering side: (input, viaNeighbor,
+    // residualConds) where residualConds are conds to OTHER already-bound
+    // inputs, applied as post-filters (only non-tree edges hit this)
+    val planOf: Seq[Seq[(Int, Int, Seq[(Int, Int, Int)])]] =
+      (0 until n).map { s =>
+        val visited = scala.collection.mutable.LinkedHashSet(s)
+        val plan = Seq.newBuilder[(Int, Int, Seq[(Int, Int, Int)])]
+        while (visited.size < n) {
+          // deterministic: smallest unvisited input adjacent to visited
+          val cand = (0 until n).filter(d => !visited(d) &&
+            edges.exists(e => (e._1 == d && visited(e._2)) ||
+              (e._2 == d && visited(e._1))))
+          require(cand.nonEmpty, "join graph must be connected")
+          val d = cand.min
+          val via = edges.collect {
+            case e if e._1 == d && visited(e._2) => e._2
+            case e if e._2 == d && visited(e._1) => e._1
+          }.min
+          // residual: conds from d to visited inputs OTHER than via:
+          // (otherInput, otherColIdx, dColIdx)
+          val residual = edges.collect {
+            case (l, r, lc, rc) if l == d && visited(r) && r != via =>
+              (r, payIdx(r)(rc), payIdx(d)(lc))
+            case (l, r, lc, rc) if r == d && visited(l) && l != via =>
+              (l, payIdx(l)(lc), payIdx(d)(rc))
+          }
+          plan += ((d, via, residual))
+          visited += d
+        }
+        plan.result()
+      }
+    // lookup key VALUES for visiting d via neighbor p: p's attr indices
+    // in (d, p) cond order — must align with pairsOf(d)(p)'s layout
+    val lookupIdx: Map[(Int, Int), Seq[Int]] =
+      (for {
+        d <- 0 until n
+        (p, _) <- pairsOf(d)
+      } yield (d, p) -> edges
+        .filter(e => (e._1 == d && e._2 == p) || (e._1 == p && e._2 == d))
+        .map(e => if (e._1 == p) payIdx(p)(e._3) else payIdx(p)(e._4))
+      ).toMap
+
+    val outSchema = StructType(
+      payF.flatten :+
+        StructField(RowKind.kindCol, StringType) :+
+        StructField(RowKind.seqCol, LongType))
+    val krank = when(
+      col(RowKind.kindCol) === RowKind.UpdateBefore ||
+        col(RowKind.kindCol) === RowKind.Delete, 0).otherwise(1)
+    // join-attr nulls never match an inner join — drop them at the scan
+    val env = inputs.zipWithIndex.map { case (df, i) =>
+      val attrs = edges.collect {
+        case (l, _, lc, _) if l == i => lc
+        case (_, r, _, rc) if r == i => rc
+      }.distinct
+      df.where(attrs.map(col(_).isNotNull).reduce(_ && _)).select(
+        Seq(
+          jkOf(i).as("__jk"),
+          lit(i).as("__side"),
+          col(RowKind.seqCol).as("__seqe"),
+          col(RowKind.kindCol).as("__kind"),
+          krank.as("__krank")) ++
+          payF.zipWithIndex.map { case (fs, j) =>
+            if (j == i) struct(fs.map(f => col(f.name)).toSeq: _*).as(s"__p$j")
+            else lit(null).cast(StructType(fs)).as(s"__p$j")
+          }: _*)
+    }.reduce(_ unionByName _)
+
+    def isRetract(kind: String): Boolean =
+      kind == RowKind.UpdateBefore || kind == RowKind.Delete
+
+    // state per input: neighborPair -> keyVals -> payload -> multiplicity
+    type Bucket = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]
+    type Side =
+      scala.collection.mutable.LinkedHashMap[(Int, Seq[Any]), Bucket]
+    def emptySt: Array[Side] = Array.fill(n)(
+      scala.collection.mutable.LinkedHashMap.empty[(Int, Seq[Any]), Bucket])
+
+    def indexKeys(i: Int, pay: Seq[Any]): Seq[(Int, Seq[Any])] =
+      pairsOf(i).map { case (nbr, idxs) => (nbr, idxs.map(pay(_))) }
+
+    def step(st: Array[Side], e: Row): Seq[Row] = {
+      val side = e.getInt(1)
+      val retract = isRetract(e.getString(3))
+      val outSeq = 2L * e.getLong(2) + e.getInt(4)
+      val pay = e.getStruct(5 + side).toSeq
+      val own = st(side)
+      val keys = indexKeys(side, pay)
+      if (retract) {
+        // a retract for a row not in the live multiset is an upstream
+        // contract violation (lossy changelog) — skip rather than emit
+        // phantom -D deltas that would corrupt keep-last materialization
+        if (!keys.headOption.flatMap(own.get).exists(_.contains(pay)))
+          return Nil
+        keys.foreach { k =>
+          own.get(k).foreach { b =>
+            b.get(pay).foreach { c =>
+              if (c <= 1) { b.remove(pay); if (b.isEmpty) own.remove(k) }
+              else b.update(pay, c - 1)
+            }
+          }
+        }
+      } else keys.foreach { k =>
+        val b = own.getOrElseUpdate(k,
+          scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long])
+        b.update(pay, b.getOrElse(pay, 0L) + 1)
+      }
+      val kind = if (retract) RowKind.Delete else RowKind.Insert
+      val bound = new Array[Seq[Any]](n)
+      bound(side) = pay
+      val plan = planOf(side)
+      val out = Seq.newBuilder[Row]
+      def walk(stepNo: Int, mult: Long): Unit =
+        if (stepNo == plan.length) {
+          var k = 0L
+          while (k < mult) { // multiset multiplicity
+            out += Row.fromSeq(bound.toSeq.flatten :+ kind :+ outSeq)
+            k += 1
+          }
+        } else {
+          val (d, via, residual) = plan(stepNo)
+          val key = lookupIdx((d, via)).map(bound(via)(_))
+          st(d).get((via, key)).foreach(_.foreach { case (p, c) =>
+            if (residual.forall { case (o, oi, di) => bound(o)(oi) == p(di) }) {
+              bound(d) = p
+              walk(stepNo + 1, mult * c)
+            }
+          })
+        }
+      walk(0, 1L)
+      out.result()
+    }
+
+    if (!env.isStreaming) {
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        env, Seq("__jk"), Seq(col("__seqe"), col("__krank"), col("__side")),
+        outSchema) { (_, rows) =>
+        val st = emptySt
+        rows.flatMap(step(st, _))
+      }
+    }
+
+    val jkField = env.schema.fields(0)
+    val kEnc: Encoder[Row] = Encoders.row(StructType(Seq(jkField)))
+    val vEnc: Encoder[Row] = Encoders.row(env.schema)
+    type S = Seq[Map[(Int, Seq[Any]), Map[Seq[Any], Long]]]
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    env.as[Row](vEnc)
+      .groupByKey(r => Row(r.get(0)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          val st = emptySt
+          state.getOption.foreach(_.zipWithIndex.foreach { case (m, i) =>
+            st(i) = scala.collection.mutable.LinkedHashMap.from(
+              m.view.mapValues(b =>
+                scala.collection.mutable.LinkedHashMap.from(b)).toMap)
+          })
+          val out = rows.toSeq
+            .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
+            .flatMap(step(st, _))
+          if (st.forall(_.isEmpty)) state.remove()
+          else state.update(
+            st.map(_.view.mapValues(_.toMap).toMap).toSeq)
           out.iterator
       }(sEnc, oEnc)
   }

@@ -636,6 +636,71 @@ object ChangelogQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // N-ary changelog join with PER-PAIR keys — the chain shape the
+    // common-key operator can't take: nation—customer on nationkey,
+    // customer—orders on custkey (two DIFFERENT customer columns, so no
+    // attribute class touches every input and no common shuffle key
+    // exists — the reference's joinAttributeMap case,
+    // StreamExecMultiJoin.java:84). Still ONE stateful operator holding
+    // per-input state; deletes on every side exercise the cross-product
+    // retraction walk through both link keys.
+    QueryDef(
+      "q_changelog_join_nary_chain",
+      (s, dir) => {
+        val nb = Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))
+        val nfeed = nb
+          .select(col("n_nationkey"), col("n_name"),
+            lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(nb.where(col("n_nationkey") % 5 === 0)
+            .select(col("n_nationkey"), col("n_name"),
+              lit(30L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val ncl = ChangelogNormalize(nfeed, Seq("n_nationkey"), "kind", "__seq")
+
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val cfeed = cb
+          .select(col("c_custkey"), col("c_nationkey"),
+            lit(11L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(cb.where(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), col("c_nationkey"),
+              lit(21L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val ccl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val ofeed = ob
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(12L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              lit(22L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val ocl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+
+        UpsertMaterialize(
+          ChangelogMultiJoin.chain(
+            Seq(ncl, ccl, ocl),
+            Map(
+              1 -> Seq(ChangelogMultiJoin.ChainCond(
+                0, "n_nationkey", "c_nationkey")),
+              2 -> Seq(ChangelogMultiJoin.ChainCond(
+                1, "c_custkey", "o_custkey")))),
+          Seq("n_nationkey", "c_custkey", "o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_nationkey,
+               o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM nation n
+        JOIN customer c ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE n.n_nationkey % 5 <> 0 AND c.c_custkey % 3 <> 0
+          AND o.o_orderkey % 7 <> 0
+        ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // Agg→agg changelog CHAIN (VERDICT r2 gap #2): normalize the upsert
     // feed into a full changelog, aggregate it per bucket with the
     // retract-consuming+emitting agg (whose batch face replays the FULL

@@ -574,6 +574,82 @@ class ChangelogSpec extends SparkSpecBase {
     assert(sMat == mat, s"streaming/batch parity: $sMat vs $mat")
   }
 
+  test("ChangelogMultiJoin.chain: per-pair keys, ONE stateful operator") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // chain A—B on k1, B—C on k2 (two DIFFERENT b columns → no common
+    // key); deletes on every side exercise both link keys
+    val aFeed = Seq(
+      (1L, 100L, 1L, RowKind.Insert),
+      (2L, 200L, 2L, RowKind.Insert),
+      (2L, 200L, 30L, RowKind.Delete))
+    val bFeed = Seq(
+      (11L, 100L, 77L, 3L, RowKind.Insert),
+      (12L, 100L, 88L, 4L, RowKind.Insert),
+      (13L, 200L, 77L, 5L, RowKind.Insert))
+    val cFeed = Seq(
+      (21L, 77L, 0.5, 6L, RowKind.Insert),
+      (22L, 88L, 1.5, 7L, RowKind.Insert),
+      (23L, 77L, 2.5, 8L, RowKind.Insert),
+      (21L, 77L, 0.5, 31L, RowKind.Delete))
+    val a = aFeed.toDF("a_id", "a_k1", RowKind.seqCol, RowKind.kindCol)
+    val b = bFeed.toDF("b_id", "b_k1", "b_k2", RowKind.seqCol, RowKind.kindCol)
+    val c = cFeed.toDF("c_id", "c_k2", "c_v", RowKind.seqCol, RowKind.kindCol)
+    val conds = Map(
+      1 -> Seq(ChangelogMultiJoin.ChainCond(0, "a_k1", "b_k1")),
+      2 -> Seq(ChangelogMultiJoin.ChainCond(1, "b_k2", "c_k2")))
+    val multi = ChangelogMultiJoin.chain(Seq(a, b, c), conds)
+    // a2's delete must retract its (b13, c21) and (b13, c23) combos
+    val retracted = multi.where(col(RowKind.kindCol) === RowKind.Delete &&
+      col("a_id") === 2L).select("c_id").as[Long].collect().toSeq.sorted
+    assert(retracted == Seq(21L, 23L), s"retraction walk: $retracted")
+    val mat = UpsertMaterialize(multi, Seq("a_id", "b_id", "c_id"))
+      .select("a_id", "b_id", "c_id").as[(Long, Long, Long)]
+      .collect().toSet
+    // final live: a{1@100}, b{11:(100,77), 12:(100,88), 13:(200,77)},
+    // c{22@88, 23@77}; a1—b11—c23, a1—b12—c22 (c21 deleted, a2 deleted)
+    assert(mat == Set((1L, 11L, 23L), (1L, 12L, 22L)),
+      s"chain mismatch: $mat")
+
+    // a retract that was never inserted is skipped, not a phantom -D
+    val phantom = ChangelogMultiJoin.chain(Seq(
+      Seq((9L, 100L, 40L, RowKind.Delete))
+        .toDF("a_id", "a_k1", RowKind.seqCol, RowKind.kindCol),
+      b, c), conds)
+      .where(col("a_id") === 9L).count()
+    assert(phantom == 0L, "phantom delete must not emit")
+
+    // streaming face: ONE FlatMapGroupsWithState, batch parity
+    val aIn = MemoryStream[(Long, Long, Long, String)]
+    val bIn = MemoryStream[(Long, Long, Long, Long, String)]
+    val cIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val sMulti = ChangelogMultiJoin.chain(Seq(
+      aIn.toDF().toDF("a_id", "a_k1", RowKind.seqCol, RowKind.kindCol),
+      bIn.toDF().toDF("b_id", "b_k1", "b_k2", RowKind.seqCol, RowKind.kindCol),
+      cIn.toDF().toDF("c_id", "c_k2", "c_v", RowKind.seqCol, RowKind.kindCol)),
+      conds)
+    val nStateful = sMulti.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical
+          .FlatMapGroupsWithState => f
+    }.size
+    assert(nStateful == 1, s"expected 1 stateful operator, got $nStateful")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chain-").toString
+    val q = sMulti.writeStream.format("memory").queryName("c_chain")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      aIn.addData(aFeed.take(2)); bIn.addData(bFeed.take(2))
+      q.processAllAvailable()
+      cIn.addData(cFeed.take(3)); bIn.addData(bFeed.drop(2))
+      q.processAllAvailable()
+      aIn.addData(aFeed.drop(2)); cIn.addData(cFeed.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sMat = UpsertMaterialize(spark.table("c_chain"),
+      Seq("a_id", "b_id", "c_id"))
+      .select("a_id", "b_id", "c_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(sMat == mat, s"streaming/batch parity: $sMat vs $mat")
+  }
+
   test("streaming ChangelogTopN re-ranks on retractions, matches batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // one partition 'p': inserts build a leaderboard, then the leader's
