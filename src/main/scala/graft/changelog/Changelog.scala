@@ -477,11 +477,21 @@ object RetractingChangelogAgg {
             // a post-expiry +I restarting at seq 1 would lose keep-last
             // materialization to stale pre-expiry output — so expiry
             // leaves a seq-only tombstone (a Long; the accumulator, which
-            // is what TTL exists to bound, is dropped). Input-derived
-            // seqs live on the global domain and need nothing kept.
+            // is what TTL exists to bound, is dropped). The tombstone
+            // re-arms a LONGER (4×) timeout and its own expiry drops it,
+            // so TTL bounds state cardinality too, not only accumulator
+            // size — a key silent for 5×TTL may restart at seq 1
+            // (documented: downstream keep-last is assumed compacted by
+            // then). Input-derived seqs live on the global domain and
+            // need nothing kept.
             if (seqFromInput) state.remove()
-            else state.getOption.foreach(s =>
-              state.update((s._1, null, new Acc().snapshot)))
+            else state.getOption.foreach { s =>
+              if (s._2 == null && !accOf(s._3).live) state.remove()
+              else {
+                state.update((s._1, null, new Acc().snapshot))
+                idleTtlMs.foreach(ms => state.setTimeoutDuration(ms * 4))
+              }
+            }
             Iterator.empty
           } else {
             val old = state.getOption
@@ -503,10 +513,15 @@ object RetractingChangelogAgg {
             if (!acc.live && e2.isEmpty) {
               // key is dead. Counter mode keeps a seq-only tombstone for
               // the same reason as the TTL path: a later re-insert must
-              // out-seq the -D this key already emitted.
+              // out-seq the -D this key already emitted. With a TTL the
+              // tombstone times out too (4× grace, dropped on expiry) so
+              // dead keys don't accumulate forever.
               val seqNext = seq0 + (if (outs.nonEmpty) 2 else 0)
               if (seqFromInput || seqNext == 1L) state.remove()
-              else state.update((seqNext, null, new Acc().snapshot))
+              else {
+                state.update((seqNext, null, new Acc().snapshot))
+                idleTtlMs.foreach(ms => state.setTimeoutDuration(ms * 4))
+              }
             } else {
               state.update(
                 (seq0 + (if (outs.nonEmpty) 2 else 0), e2.orNull,

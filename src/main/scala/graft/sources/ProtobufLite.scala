@@ -303,7 +303,13 @@ object ProtobufLite {
   /** Parse a compiled FileDescriptorSet (`protoc --descriptor_set_out`)
     * and return the descriptor of `messageName` (fully qualified, or a
     * unique simple-name suffix). Groups and recursive message types are
-    * rejected; enums decode as their int32 wire value. */
+    * rejected; enums decode as their int32 wire value. A field whose
+    * `type` is unset but whose `type_name` is set (legal per
+    * descriptor.proto) resolves as a message type. proto3 MAP fields —
+    * which protoc emits as a repeated synthetic `*Entry` message — decode
+    * as repeated {key, value} structs, NOT as a Spark MapType (documented
+    * representation delta; `map_entries_to_map` in Spark SQL converts when
+    * map semantics are needed). */
   def fromDescriptorSet(bytes: Array[Byte], messageName: String): PbMessage = {
     // fully-qualified message name -> its FieldDescriptorProto rows
     val fieldsOf =
@@ -342,7 +348,13 @@ object ProtobufLite {
       PbMessage(rows.map { r =>
         val name = r.getUTF8String(0).toString
         val repeated = !r.isNullAt(2) && r.getInt(2) == 3
-        val t = r.getInt(3) match {
+        // type may legally be UNSET when type_name is set (descriptor
+        // .proto: "If type_name is set, this need not be set") — resolve
+        // it as a message type; an enum type_name fails resolution with
+        // the message-not-found error below.
+        val t = if (r.isNullAt(3) && !r.isNullAt(4))
+          resolve(r.getUTF8String(4).toString.stripPrefix("."), stack + fq)
+        else r.getInt(3) match {
           case 1 => PbDouble
           case 2 => PbFloat
           case 3 | 4 => PbInt64 // int64 / uint64 (varint)

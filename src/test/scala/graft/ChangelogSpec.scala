@@ -204,8 +204,12 @@ class ChangelogSpec extends SparkSpecBase {
     val input = MemoryStream[(Long, Double, Long, String)]
     val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cattl-").toString
+    // TTL 400ms: the accumulator expires at ~400ms and the seq tombstone
+    // survives until ~400 + 4×400 = 2s — the re-insert below must land
+    // INSIDE that window (after expiry, before the tombstone drops), so
+    // the window is kept wide against slow micro-batches
     val q = RetractingChangelogAgg(df, Seq("g"), "v",
-      idleTtlMs = Some(200L))
+      idleTtlMs = Some(400L))
       .writeStream.format("memory").queryName("ca_ttl")
       .outputMode("append").option("checkpointLocation", ckpt).start()
     def eventually(what: String)(cond: => Boolean): Unit = {
@@ -223,7 +227,7 @@ class ChangelogSpec extends SparkSpecBase {
       // idle past the TTL; pending timers keep batches running, so the
       // accumulator for g=7 is dropped before the next event
       val b0 = q.lastProgress.batchId
-      Thread.sleep(600)
+      Thread.sleep(700)
       eventually("a timer batch") { q.lastProgress.batchId > b0 }
       input.addData(Seq((7L, 5.0, 2L, RowKind.Insert)))
       eventually("second emission") {
@@ -250,6 +254,50 @@ class ChangelogSpec extends SparkSpecBase {
       .where(col("g") === 7L).select("sum_v")
       .as[Double].collect().toSeq
     assert(mat == Seq(5.0), s"keep-last must keep the post-expiry row: $mat")
+  }
+
+  test("RetractingChangelogAgg tombstones expire on the second TTL") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // TTL must bound state CARDINALITY, not only accumulator size: the
+    // first expiry leaves the seq-only tombstone (4× grace), the
+    // tombstone's own expiry drops it. Observable contract: after
+    // TTL + 4×TTL of silence a re-insert restarts the per-key seq
+    // domain (same __seq as the first-ever emission) — with a permanent
+    // tombstone it would keep counting up.
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cttl2-").toString
+    val q = RetractingChangelogAgg(df, Seq("g"), "v",
+      idleTtlMs = Some(150L))
+      .writeStream.format("memory").queryName("ca_ttl2")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def eventually(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(Seq((3L, 10.0, 1L, RowKind.Insert)))
+      eventually("first emission") {
+        spark.table("ca_ttl2").where(col("g") === 3L).count() >= 1
+      }
+      // two timer firings: accumulator expiry (tombstone), then the
+      // tombstone's own expiry
+      val b0 = q.lastProgress.batchId
+      eventually("two timer batches") { q.lastProgress.batchId >= b0 + 2 }
+      Thread.sleep(500)
+      input.addData(Seq((3L, 5.0, 2L, RowKind.Insert)))
+      eventually("second emission") {
+        spark.table("ca_ttl2").where(col("g") === 3L).count() >= 2
+      }
+    } finally q.stop()
+    val seqs = spark.table("ca_ttl2").where(col("g") === 3L)
+      .select(col("sum_v"), col(RowKind.seqCol))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(seqs(5.0) == seqs(10.0),
+      s"dropped tombstone must restart the seq domain: $seqs")
   }
 
   test("streaming RetractingChangelogAgg seqFromInput keeps the global domain") {

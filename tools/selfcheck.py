@@ -41,6 +41,10 @@ def type_family(x):
         return "float"
     if isinstance(x, decimal.Decimal):
         return "decimal"
+    # normalize remaining numpy scalars (np.str_, np.bytes_, ...) to their
+    # Python equivalents so np.str_ vs str compare as the same family
+    if isinstance(x, np.generic):
+        return type(x.item()).__name__
     return type(x).__name__
 
 
