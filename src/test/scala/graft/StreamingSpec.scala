@@ -729,6 +729,49 @@ class StreamingSpec extends SparkSpecBase {
       (1L, 4L, 4L, 22.0), (1L, 5L, 4L, 30.0)))
   }
 
+  test("WatermarkAlign: fast source held to maxDrift past the group minimum") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two "sources" in one alignment group — Spark's multi-source
+    // watermark is the MIN across them (the alignment-group minimum)
+    val fast = MemoryStream[(Long, Long)] // (src, epochSec)
+    val slow = MemoryStream[(Long, Long)]
+    def shaped(s: MemoryStream[(Long, Long)]): DataFrame =
+      s.toDF().toDF("src", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "0 seconds")
+    val aligned = WatermarkAlign(
+      shaped(fast).unionByName(shaped(slow)), "src", "ts",
+      maxDriftMs = 5000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wal-").toString
+    val q = aligned.writeStream.format("memory").queryName("wal")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def seen(): Set[Long] =
+      spark.table("wal").select("sec").as[Long].collect().toSet
+    try {
+      // fast source runs to t=100s while slow sits at t=10s; watermark
+      // after this batch = min(100, 10) = 10s (the group minimum)
+      fast.addData((1L, 100L)); slow.addData((2L, 10L))
+      q.processAllAvailable()
+      // next batch runs at wm 10s: horizon 15s releases the 10s row,
+      // the fast rows (100s, 101s) stay HELD — drift bounded at 5s
+      fast.addData((1L, 101L)); q.processAllAvailable()
+      assert(seen() == Set(10L), s"fast rows must be held: ${seen()}")
+      // slow catches up to 96s -> wm 96s after this batch
+      slow.addData((2L, 96L)); q.processAllAvailable()
+      // horizon 101s: timers release 96s, 100s, 101s; 97s passes through
+      slow.addData((2L, 97L)); q.processAllAvailable()
+      assert(seen() == Set(10L, 96L, 97L, 100L, 101L),
+        s"release after catch-up: ${seen()}")
+    } finally q.stop()
+
+    // batch face: pass-through (watermark at +infinity)
+    val b = Seq((1L, 100L), (2L, 10L)).toDF("src", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = WatermarkAlign(b, "src", "ts", 5000L)
+      .select("sec").as[Long].collect().toSet
+    assert(got == Set(100L, 10L), s"batch face must pass through: $got")
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
