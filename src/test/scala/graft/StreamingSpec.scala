@@ -772,6 +772,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set(100L, 10L), s"batch face must pass through: $got")
   }
 
+  test("StateServer: live RPC lookups track the changelog") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.changelog.RowKind
+    def get(url: String): (Int, String) = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(is).mkString
+      conn.disconnect()
+      (code, body)
+    }
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssrv-").toString
+    val port = 18652
+    val q = StateServer.serve(df, "acct", Seq("k"), port, ckpt)
+    try {
+      input.addData(Seq(
+        (7L, 10.0, 1L, RowKind.Insert),
+        (8L, 20.0, 2L, RowKind.Insert)))
+      q.processAllAvailable()
+      val (c1, b1) = get(s"http://localhost:$port/state/acct?key=7")
+      assert(c1 == 200 && b1.contains("\"v\":10.0"), s"$c1 $b1")
+      // update replaces, delete removes
+      input.addData(Seq(
+        (7L, 11.5, 3L, RowKind.UpdateAfter),
+        (8L, 20.0, 4L, RowKind.Delete)))
+      q.processAllAvailable()
+      val (c2, b2) = get(s"http://localhost:$port/state/acct?key=7")
+      assert(c2 == 200 && b2.contains("\"v\":11.5"), s"$c2 $b2")
+      val (c3, _) = get(s"http://localhost:$port/state/acct?key=8")
+      assert(c3 == 404, s"deleted key must 404, got $c3")
+      // registry summary + unknown state
+      val (c4, b4) = get(s"http://localhost:$port/state/acct")
+      assert(c4 == 200 && b4.contains("\"keys\":1"), s"$c4 $b4")
+      assert(get(s"http://localhost:$port/state/nope")._1 == 404)
+      // in-process client face
+      assert(StateServer.lookup("acct", Seq("7"))
+        .exists(_("v") == 11.5))
+      assert(StateServer.lookup("acct", Seq("8")).isEmpty)
+    } finally {
+      q.stop()
+      StateServer.stop()
+    }
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
