@@ -104,6 +104,49 @@ object SqlQueries {
         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
       """.trim)),
 
+    // Legacy (pre-TVF) group-window syntax — GROUP BY TUMBLE(ts, …) with
+    // TUMBLE_START/TUMBLE_END in the select list (Parser.tdd group-window
+    // productions). Same oracle family as the TVF form.
+    QueryDef(
+      "q_sql_tumble_legacy",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT TUMBLE_START(ts_ns, INTERVAL '10' MINUTE) AS window_start,
+           |       TUMBLE_END(ts_ns, INTERVAL '10' MINUTE) AS window_end,
+           |       event_type, COUNT(*) AS n, $dsum6 AS sum_value
+           |FROM events
+           |GROUP BY TUMBLE(ts_ns, INTERVAL '10' MINUTE), event_type
+           |ORDER BY window_start, event_type""".stripMargin,
+        Map("events" -> Tables.events(s, dir))),
+      Some("""
+        SELECT epoch_ns(ts) - epoch_ns(ts) % 600000000000 AS window_start,
+               epoch_ns(ts) - epoch_ns(ts) % 600000000000 + 600000000000 AS window_end,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
+      """.trim)),
+
+    QueryDef(
+      "q_sql_session_legacy",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT user_id,
+           |       SESSION_START(ts_ns, INTERVAL '30' MINUTE) AS session_start,
+           |       COUNT(*) AS session_rows, $dsum6 AS sum_value
+           |FROM events
+           |GROUP BY SESSION(ts_ns, INTERVAL '30' MINUTE), user_id
+           |ORDER BY user_id, session_start""".stripMargin,
+        Map("events" -> Tables.events(s, dir)
+          .withColumn("ts_ns", expr("ts_us * 1000")))),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events),
+        m AS (SELECT *, CASE WHEN t - LAG(t) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        sess AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT user_id, MIN(t) AS session_start, COUNT(*) AS session_rows,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+      """.trim)),
+
     // MATCH_RECOGNIZE from SQL text: q_cep_measures' pattern + MEASURES
     // clause (falling run then one rise, per-variable aggregates).
     QueryDef(

@@ -58,7 +58,10 @@ object FlinkSql {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val toks = tokenize(text)
     findRewrite(toks) match {
-      case None => spark.sql(text)
+      case None =>
+        if (hasLegacyWindowCall(toks))
+          translateLegacyWindows(spark, text, toks, tables)
+        else spark.sql(text)
       case Some((start, fn)) =>
         val p = new P(toks, text)
         p.i = start
@@ -209,13 +212,26 @@ object FlinkSql {
     p.eat(")")
     val endTok = p.eat(")").end
 
-    val src = resolve(tables, tableName)
+    require(partitionKey.isEmpty || fn == "SESSION",
+      s"PARTITION BY inside $fn is only valid for SESSION")
+    (assignWindows(resolve(tables, tableName), fn, tsCol, args.toSeq,
+      partitionKey), endTok)
+  }
+
+  /** Window-assignment core shared by the TVF and legacy paths: adds
+    * `window_start` / `window_end` columns to `src`. */
+  private def assignWindows(
+      src: DataFrame,
+      fn: String,
+      tsCol: String,
+      args: Seq[Long],
+      partitionKey: Option[String]): DataFrame = {
     val isTs = src.schema(tsCol).dataType match {
       case LongType => false
       case TimestampType => true
       case other => throw new IllegalArgumentException(
-        s"DESCRIPTOR($tsCol) must be LongType epoch nanos or TIMESTAMP, " +
-          s"found $other")
+        s"window time column $tsCol must be LongType epoch nanos or " +
+          s"TIMESTAMP, found $other")
     }
     // Internal arithmetic is exact epoch nanos; a TIMESTAMP descriptor is
     // converted in (micros precision) and the window bounds converted back.
@@ -257,7 +273,7 @@ object FlinkSql {
       case "SESSION" =>
         require(args.size == 1, s"SESSION takes gap, got $args")
         val key = partitionKey.getOrElse(throw new IllegalArgumentException(
-          "SESSION requires PARTITION BY (keyed sessions)"))
+          "SESSION requires a partition key (keyed sessions)"))
         val gap = args(0)
         Sessionize(in, key, nsCol, gap)
           .withColumnRenamed("__session_start", "window_start")
@@ -267,9 +283,120 @@ object FlinkSql {
       case other =>
         throw new IllegalArgumentException(s"unknown window TVF $other")
     }
-    require(partitionKey.isEmpty || fn == "SESSION",
-      s"PARTITION BY inside $fn is only valid for SESSION")
-    (emit(out), endTok)
+    emit(out)
+  }
+
+  // ------------------------------------------- legacy group windows
+
+  private val legacyBases = Set("TUMBLE", "HOP", "SESSION")
+  private val legacyFns = legacyBases ++
+    legacyBases.flatMap(b => Seq(b + "_START", b + "_END"))
+
+  /** A legacy call NOT in TVF form (`TUMBLE(TABLE …)` is the TVF). */
+  private def hasLegacyWindowCall(toks: IndexedSeq[Tok]): Boolean =
+    toks.indices.exists { k =>
+      legacyFns(toks(k).up) && k + 2 < toks.length &&
+        toks(k + 1).s == "(" && toks(k + 2).up != "TABLE"
+    }
+
+  /** Flink's pre-TVF group-window syntax — `GROUP BY TUMBLE(ts,
+    * INTERVAL …)` with `TUMBLE_START`/`TUMBLE_END` (and the HOP/SESSION
+    * families) in the select list; grammar in the reference's
+    * Parser.tdd group-window productions, planned by
+    * LogicalWindowAggregate. Every call site is spliced onto the
+    * window-assigned view: the grouping call and `*_START` become
+    * `window_start`, `*_END` becomes `max(window_end)` (functionally
+    * dependent on the group, valid in the aggregate context these
+    * windows always appear in). All calls in one statement must share
+    * one window spec, as the reference requires; legacy SESSION derives
+    * its key from the single non-window GROUP BY column. */
+  private def translateLegacyWindows(
+      spark: SparkSession,
+      text: String,
+      toks: IndexedSeq[Tok],
+      tables: Map[String, DataFrame]): DataFrame = {
+    // collect every legacy call: (fn, variant, tsCol, args, span)
+    final case class Call(base: String, variant: String, tsCol: String,
+        args: Seq[Long], from: Int, until: Int)
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Call]
+    var k = 0
+    while (k < toks.length) {
+      if (legacyFns(toks(k).up) && k + 1 < toks.length &&
+          toks(k + 1).s == "(") {
+        val p = new P(toks, text)
+        p.i = k
+        val fname = p.ident().toUpperCase
+        val base = legacyBases.find(fname.startsWith).get
+        val variant = fname.stripPrefix(base)
+        p.eat("(")
+        val tsCol = p.ident()
+        val args = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (p.opt(",")) args += interval(p)
+        val end = p.eat(")").end
+        calls += Call(base, variant, tsCol, args.toSeq, toks(k).start, end)
+        k = p.i
+      } else k += 1
+    }
+    require(calls.nonEmpty, "no legacy window calls found")
+    val specs = calls.map(c => (c.base, c.tsCol, c.args)).distinct
+    require(specs.size == 1,
+      s"all group-window calls must share one window spec, got $specs")
+    val (base, tsCol, args) = specs.head
+
+    // the FROM item must be a plain table name
+    val fromIdx = toks.indices.find { i =>
+      toks(i).up == "FROM" && {
+        var depth = 0
+        toks.take(i).foreach(t => if (t.s == "(") depth += 1
+          else if (t.s == ")") depth -= 1)
+        depth == 0
+      }
+    }.getOrElse(throw new IllegalArgumentException("no FROM clause"))
+    val tableTok = toks(fromIdx + 1)
+    val src = resolve(tables, tableTok.s)
+
+    // legacy SESSION keys on the single non-window GROUP BY column
+    val partitionKey = if (base == "SESSION") {
+      val gbIdx = toks.indices.find(i => toks(i).up == "GROUP" &&
+        i + 1 < toks.length && toks(i + 1).up == "BY").getOrElse(
+        throw new IllegalArgumentException("SESSION window needs GROUP BY"))
+      val stop = Set("ORDER", "HAVING", "LIMIT", "WINDOW")
+      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = gbIdx + 2
+      while (i < toks.length && !stop(toks(i).up)) {
+        if (toks(i).up == "SESSION") { // skip the window call
+          var depth = 0
+          i += 1 // at '('
+          do {
+            if (toks(i).s == "(") depth += 1
+            else if (toks(i).s == ")") depth -= 1
+            i += 1
+          } while (depth > 0)
+        } else if (toks(i).s == ",") i += 1
+        else { keys += toks(i).s; i += 1 }
+      }
+      require(keys.size == 1,
+        s"legacy SESSION supports exactly one non-window group key, " +
+          s"got $keys")
+      Some(keys.head)
+    } else None
+
+    val windowed = assignWindows(src, base, tsCol, args, partitionKey)
+    val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
+    windowed.createOrReplaceTempView(view)
+
+    // splice call sites (descending offsets), then the FROM table
+    val repls = calls.map { c =>
+      val r = c.variant match {
+        case "" | "_START" => "window_start"
+        case "_END" => "max(window_end)"
+      }
+      (c.from, c.until, r)
+    } :+ ((tableTok.start, tableTok.end, view))
+    val spliced = repls.sortBy(-_._1).foldLeft(text) {
+      case (t, (from, until, r)) => t.substring(0, from) + r + t.substring(until)
+    }
+    spark.sql(spliced)
   }
 
   // ------------------------------------------------------ MATCH_RECOGNIZE

@@ -73,6 +73,24 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaNative)
   }
 
+  test("legacy HOP group window matches the TVF form") {
+    val legacy = FlinkSql.sql(spark,
+      """SELECT HOP_START(ts_ns, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS ws,
+        |       HOP_END(ts_ns, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS we,
+        |       COUNT(*) AS n
+        |FROM events
+        |GROUP BY HOP(ts_ns, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)""".stripMargin,
+      Map("events" -> events))
+    val tvf = FlinkSql.sql(spark,
+      """SELECT window_start AS ws, window_end AS we, COUNT(*) AS n
+        |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts_ns),
+        |               INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end""".stripMargin,
+      Map("events" -> events))
+    assertSame(legacy, tvf)
+    assert(legacy.count() > 0)
+  }
+
   test("MATCH_RECOGNIZE WITHIN bounds match the DSL withinUs") {
     val viaSql = FlinkSql.sql(spark,
       """SELECT user_id, start_us, end_us, n_down, n_up
@@ -183,7 +201,7 @@ class FlinkSqlSpec extends SparkSpecBase {
     bad("""SELECT 1 FROM TABLE(TUMBLE(TABLE nope, DESCRIPTOR(ts_ns),
           INTERVAL '10' MINUTE))""", "unknown table")
     bad("""SELECT 1 FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts_ns),
-          INTERVAL '30' MINUTE))""", "PARTITION BY")
+          INTERVAL '30' MINUTE))""", "partition key")
     bad("""SELECT 1 FROM d MATCH_RECOGNIZE (
             PARTITION BY user_id ORDER BY ts_us
             PATTERN (down{2,4})
