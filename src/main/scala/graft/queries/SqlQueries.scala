@@ -215,6 +215,74 @@ object SqlQueries {
         ORDER BY d.user_id, d.start_us
       """.stripMargin.trim)),
 
+    // PERMUTE from SQL text — q_match_recognize_permute's calm run then a
+    // >=2-bucket spike in EITHER order; DEFINE deltas exercise the +/-
+    // arithmetic of the condition grammar.
+    QueryDef(
+      "q_sql_match_permute",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val b = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("vb", floor(col("value") / 25).cast("double"))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, n_calm, n_up, n_down
+            |FROM events_b MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  PATTERN (calm+ PERMUTE(up, down))
+            |  DEFINE calm AS vb - PREV(vb) < 2 AND PREV(vb) - vb < 2,
+            |         up AS vb - PREV(vb) >= 2,
+            |         down AS PREV(vb) - vb >= 2
+            |)
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("events_b" -> b))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(floor(value / 25) AS DOUBLE) AS vb,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vb FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vb,
+                lag(tu) OVER w AS ptu, lag(vb) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN vb - pv >= 2 THEN 'U'
+                              WHEN pv - vb >= 2 THEN 'D'
+                              ELSE 'C' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir IS NOT NULL
+                                  AND (pdir IS NULL OR pdir <> dir)
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2 WHERE dir IS NOT NULL),
+        runs AS (
+          SELECT user_id, runid, dir, COUNT(*) AS n,
+                 MIN(idx) AS first_idx, MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_tu
+          FROM r GROUP BY user_id, runid, dir)
+        SELECT c.user_id, c.start_tu AS start_us, s2nd.tu AS end_us,
+               c.n AS n_calm, CAST(1 AS BIGINT) AS n_up,
+               CAST(1 AS BIGINT) AS n_down
+        FROM runs c
+        JOIN r s1st ON s1st.user_id = c.user_id
+                   AND s1st.idx = c.last_idx + 1
+                   AND s1st.dir IN ('U', 'D')
+        JOIN r s2nd ON s2nd.user_id = c.user_id
+                   AND s2nd.idx = c.last_idx + 2
+                   AND s2nd.dir IN ('U', 'D') AND s2nd.dir <> s1st.dir
+        WHERE c.dir = 'C'
+        ORDER BY c.user_id, start_us
+      """.stripMargin.trim)),
+
     // Quantified group pattern from SQL text: q_cep_group's ((down up)+).
     QueryDef(
       "q_sql_match_groups",

@@ -410,6 +410,22 @@ object FlinkSql {
       extends PElem
   private final case class PGroup(elems: Seq[PElem], minIters: Int,
       greedy: Boolean) extends PElem
+  private final case class PPermute(syms: Seq[String]) extends PElem
+
+  /** `PERMUTE(A, B, …)` expands into one branch per ordering (each symbol
+    * exactly once) — Calcite's row-pattern PERMUTE, run as alternation
+    * branches so overlapping predicates emit one winner per anchor. */
+  private def expandPermute(branch: Seq[PElem]): Seq[Seq[PElem]] =
+    branch.indexWhere(_.isInstanceOf[PPermute]) match {
+      case -1 => Seq(branch)
+      case i =>
+        val pp = branch(i).asInstanceOf[PPermute]
+        pp.syms.permutations.toSeq.flatMap { perm =>
+          expandPermute(branch.take(i) ++
+            perm.map(s => PAtom(s, greedy = false, min = 1)) ++
+            branch.drop(i + 1))
+        }
+    }
 
   /** `t MATCH_RECOGNIZE ( PARTITION BY k ORDER BY t [MEASURES …]
     * [ONE ROW PER MATCH] [AFTER MATCH SKIP …] PATTERN (…) [WITHIN …]
@@ -458,7 +474,7 @@ object FlinkSql {
     }
 
     p.eat("PATTERN"); p.eat("(")
-    val branches = parseBranches(p)
+    val branches = parseBranches(p).flatMap(expandPermute)
     p.eat(")")
 
     val withinUs =
@@ -496,6 +512,8 @@ object FlinkSql {
       case a: PAtom => CepNfa.Atom(stepOf(a))
       case PGroup(inner, minIters, greedy) =>
         CepNfa.GroupElem(toElems(inner), minIters, greedy)
+      case _: PPermute => throw new IllegalArgumentException(
+        "PERMUTE inside a group is not supported")
     }
     val specs = measures.map { case (agg, sym, _, alias) =>
       CepNfa.MeasureSpec(agg, sym, alias)
@@ -532,6 +550,13 @@ object FlinkSql {
         case (q, _) => throw new IllegalArgumentException(
           s"unsupported group quantifier $q")
       }
+    } else if (p.peek == "PERMUTE") {
+      p.next(); p.eat("(")
+      val syms = scala.collection.mutable.ArrayBuffer(p.ident().toLowerCase)
+      while (p.opt(",")) syms += p.ident().toLowerCase
+      p.eat(")")
+      require(syms.size >= 2, "PERMUTE needs at least two symbols")
+      PPermute(syms.toSeq)
     } else {
       val sym = p.ident().toLowerCase
       quantifier(p) match {
@@ -567,19 +592,27 @@ object FlinkSql {
   // ----------------------------------------------- DEFINE condition exprs
 
   /** Tiny condition AST over (PREV value, value) — the engine's pair
-    * predicate space. `Ref(prev = true)` is `PREV([sym.]col)`.
+    * predicate space. `Ref(prev = true)` is `PREV([sym.]col)`; `Arith`
+    * covers the +/- terms DEFINE deltas need (`vb - PREV(vb) >= 2`).
     */
   private sealed trait Expr
   private final case class Num(v: Double) extends Expr
   private final case class Ref(col: String, prev: Boolean) extends Expr
+  private final case class Arith(l: Expr, plus: Boolean, r: Expr) extends Expr
   private sealed trait Cond
   private final case class Cmp(l: Expr, op: String, r: Expr) extends Cond
   private final case class And(l: Cond, r: Cond) extends Cond
   private final case class Or(l: Cond, r: Cond) extends Cond
   private final case class Not(c: Cond) extends Cond
 
+  private def exprCols(e: Expr): Seq[String] = e match {
+    case Ref(n, _) => Seq(n)
+    case Arith(l, _, r) => exprCols(l) ++ exprCols(r)
+    case Num(_) => Nil
+  }
+
   private def condCols(c: Cond): Seq[String] = c match {
-    case Cmp(l, _, r) => Seq(l, r).collect { case Ref(n, _) => n }
+    case Cmp(l, _, r) => exprCols(l) ++ exprCols(r)
     case And(l, r) => condCols(l) ++ condCols(r)
     case Or(l, r) => condCols(l) ++ condCols(r)
     case Not(x) => condCols(x)
@@ -611,6 +644,12 @@ object FlinkSql {
       Cmp(l, op, operand())
     }
     def operand(): Expr = {
+      var l = unary()
+      while (p.peek == "+" || p.peek == "-")
+        l = Arith(l, p.next().s == "+", unary())
+      l
+    }
+    def unary(): Expr = {
       if (p.opt("-")) return Num(-p.next().s.toDouble)
       val t = p.peekRaw
       if (t.nonEmpty && (t.head.isDigit || t.head == '.'))
@@ -656,5 +695,9 @@ object FlinkSql {
   private def compileExpr(e: Expr): (Double, Double) => Double = e match {
     case Num(n) => (_, _) => n
     case Ref(_, prev) => if (prev) (p, _) => p else (_, v) => v
+    case Arith(l, plus, r) =>
+      val lf = compileExpr(l); val rf = compileExpr(r)
+      if (plus) (p, v) => lf(p, v) + rf(p, v)
+      else (p, v) => lf(p, v) - rf(p, v)
   }
 }

@@ -305,6 +305,20 @@ class CepNfaSpec extends SparkSpecBase {
     assert(m2 == Set(Seq(1L, 11L, 4L, 4L, 2L)), s"got $m2")
   }
 
+  test("depth-3: (((down up)+ flat)+ jump)+ nests three levels") {
+    val jump = PatternStep("jump", (p: Double, c: Double) => c - p >= 10,
+      greedy = false)
+    val elems: Seq[CepNfa.PatternElem] = Seq(
+      CepNfa.GroupElem(Seq(
+        CepNfa.GroupElem(Seq(duGroup, CepNfa.Atom(flatOne)), minIters = 1),
+        CepNfa.Atom(jump)), minIters = 1))
+    // pairs D,U,E,D,U,E,J | D,U,E,J — two outer iterations, the first
+    // with two mid-level ((down up)+ flat) iterations
+    val m = nestedMatches(
+      series(5, 3, 6, 6, 2, 9, 9, 25, 20, 26, 26, 40), elems)
+    assert(m == Set(Seq(1L, 12L, 3L, 3L, 3L, 2L)), s"got $m")
+  }
+
   test("depth-2: streaming face matches batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // trailing lone U pair kills every live run (a flat would leave the
