@@ -215,6 +215,38 @@ object SqlQueries {
         ORDER BY d.user_id, d.start_us
       """.stripMargin.trim)),
 
+    // Window JOIN from SQL text — two tumble TVFs joined on (window, key),
+    // q_window_join's semantics: clicks ⋈ purchases in the same 15-min
+    // window. Exercises multi-TVF rewriting in one statement.
+    QueryDef(
+      "q_sql_window_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        FlinkSql.sql(s,
+          """SELECT w1.window_start AS window_start, COUNT(*) AS n_pairs
+            |FROM TABLE(TUMBLE(TABLE clicks, DESCRIPTOR(ts_ns),
+            |                  INTERVAL '15' MINUTE)) w1
+            |JOIN TABLE(TUMBLE(TABLE purchases, DESCRIPTOR(ts_ns),
+            |                  INTERVAL '15' MINUTE)) w2
+            |  ON w1.user_id = w2.user_id
+            | AND w1.window_start = w2.window_start
+            |GROUP BY w1.window_start
+            |ORDER BY window_start""".stripMargin,
+          Map(
+            "clicks" -> e.where(col("event_type") === "click"),
+            "purchases" -> e.where(col("event_type") === "purchase")))
+      },
+      Some("""
+        SELECT epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000 AS window_start,
+               COUNT(*) AS n_pairs
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000
+             = epoch_ns(p.ts) - epoch_ns(p.ts) % 900000000000
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
     // PERMUTE from SQL text — q_match_recognize_permute's calm run then a
     // >=2-bucket spike in EITHER order; DEFINE deltas exercise the +/-
     // arithmetic of the condition grammar.

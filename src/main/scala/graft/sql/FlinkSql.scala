@@ -56,22 +56,31 @@ object FlinkSql {
       text: String,
       tables: Map[String, DataFrame]): DataFrame = {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-    val toks = tokenize(text)
-    findRewrite(toks) match {
-      case None =>
-        if (hasLegacyWindowCall(toks))
-          translateLegacyWindows(spark, text, toks, tables)
-        else spark.sql(text)
-      case Some((start, fn)) =>
-        val p = new P(toks, text)
-        p.i = start
-        val (df, endTok) = fn(p, tables)
-        val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
-        df.createOrReplaceTempView(view)
-        val spliced = text.substring(0, toks(start).start) + view +
-          text.substring(endTok)
-        spark.sql(spliced)
+    // several Flink FROM items (e.g. a window JOIN of two TVFs, or a TVF
+    // feeding MATCH_RECOGNIZE) rewrite one at a time until none remain
+    var cur = text
+    var guard = 0
+    while (guard < 16) {
+      val toks = tokenize(cur)
+      findRewrite(toks) match {
+        case None =>
+          return (
+            if (hasLegacyWindowCall(toks))
+              translateLegacyWindows(spark, cur, toks, tables)
+            else spark.sql(cur))
+        case Some((start, fn)) =>
+          val p = new P(toks, cur)
+          p.i = start
+          val (df, endTok) = fn(spark, p, tables)
+          val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(view)
+          cur = cur.substring(0, toks(start).start) + view +
+            cur.substring(endTok)
+          guard += 1
+      }
     }
+    throw new IllegalArgumentException(
+      s"more than $guard Flink FROM items in one statement")
   }
 
   // ---------------------------------------------------------------- tokens
@@ -87,7 +96,16 @@ object FlinkSql {
     while (i < n) {
       val c = text(i)
       if (c.isWhitespace) i += 1
-      else if (c.isLetter || c == '_') {
+      else if (c == '-' && i + 1 < n && text(i + 1) == '-') {
+        // line comment
+        val j = text.indexOf('\n', i)
+        i = if (j < 0) n else j + 1
+      } else if (c == '/' && i + 1 < n && text(i + 1) == '*') {
+        // block comment
+        val j = text.indexOf("*/", i + 2)
+        require(j >= 0, s"unterminated block comment at offset $i")
+        i = j + 2
+      } else if (c.isLetter || c == '_') {
         val j = text.indexWhere(ch => !ch.isLetterOrDigit && ch != '_', i)
         val e = if (j < 0) n else j
         out += Tok(text.substring(i, e), i, e); i = e
@@ -133,22 +151,24 @@ object FlinkSql {
     }
   }
 
-  /** Locate the single Flink-specific FROM item: returns its first token
-    * index and the sub-translator. `None` → plain Spark SQL.
+  /** Locate the next Flink-specific FROM/JOIN item: returns its first
+    * token index and the sub-translator. `None` → plain Spark SQL.
     */
-  private def findRewrite(toks: IndexedSeq[Tok])
-      : Option[(Int, (P, Map[String, DataFrame]) => (DataFrame, Int))] = {
+  private def findRewrite(toks: IndexedSeq[Tok]): Option[
+      (Int, (SparkSession, P, Map[String, DataFrame]) => (DataFrame, Int))] = {
     var depth = 0
     var k = 0
     while (k < toks.length) {
       val t = toks(k).up
       if (t == "(") depth += 1
       else if (t == ")") depth -= 1
-      else if (t == "FROM" && depth == 0 && k + 1 < toks.length) {
+      else if ((t == "FROM" || t == "JOIN") && depth == 0 &&
+          k + 1 < toks.length) {
         if (toks(k + 1).up == "TABLE" && k + 2 < toks.length &&
             toks(k + 2).s == "(")
           return Some((k + 1, translateWindowTvf))
-        if (k + 2 < toks.length && toks(k + 2).up == "MATCH_RECOGNIZE")
+        if (t == "FROM" && k + 2 < toks.length &&
+            toks(k + 2).up == "MATCH_RECOGNIZE")
           return Some((k + 1, translateMatchRecognize))
       }
       k += 1
@@ -180,11 +200,21 @@ object FlinkSql {
     v * m
   }
 
-  private def resolve(tables: Map[String, DataFrame], name: String): DataFrame =
+  private def resolve(
+      spark: SparkSession,
+      tables: Map[String, DataFrame],
+      name: String): DataFrame =
     tables.getOrElse(name, tables.collectFirst {
       case (k, v) if k.equalsIgnoreCase(name) => v
-    }.getOrElse(throw new IllegalArgumentException(
-      s"unknown table $name; registered: ${tables.keys.mkString(", ")}")))
+    }.getOrElse {
+      // temp views too, so an already-spliced TVF result can feed a later
+      // Flink item (e.g. a windowed view into MATCH_RECOGNIZE)
+      try spark.table(name)
+      catch {
+        case _: Exception => throw new IllegalArgumentException(
+          s"unknown table $name; registered: ${tables.keys.mkString(", ")}")
+      }
+    })
 
   // ---------------------------------------------------------- window TVFs
 
@@ -194,7 +224,9 @@ object FlinkSql {
     * `)`.
     */
   private def translateWindowTvf(
-      p: P, tables: Map[String, DataFrame]): (DataFrame, Int) = {
+      spark: SparkSession,
+      p: P,
+      tables: Map[String, DataFrame]): (DataFrame, Int) = {
     p.eat("TABLE"); p.eat("(")
     val fn = p.ident().toUpperCase
     p.eat("(")
@@ -214,7 +246,7 @@ object FlinkSql {
 
     require(partitionKey.isEmpty || fn == "SESSION",
       s"PARTITION BY inside $fn is only valid for SESSION")
-    (assignWindows(resolve(tables, tableName), fn, tsCol, args.toSeq,
+    (assignWindows(resolve(spark, tables, tableName), fn, tsCol, args.toSeq,
       partitionKey), endTok)
   }
 
@@ -353,7 +385,7 @@ object FlinkSql {
       }
     }.getOrElse(throw new IllegalArgumentException("no FROM clause"))
     val tableTok = toks(fromIdx + 1)
-    val src = resolve(tables, tableTok.s)
+    val src = resolve(spark, tables, tableTok.s)
 
     // legacy SESSION keys on the single non-window GROUP BY column
     val partitionKey = if (base == "SESSION") {
@@ -432,7 +464,9 @@ object FlinkSql {
     * DEFINE … )` onto [[CepNfa.nested]].
     */
   private def translateMatchRecognize(
-      p: P, tables: Map[String, DataFrame]): (DataFrame, Int) = {
+      spark: SparkSession,
+      p: P,
+      tables: Map[String, DataFrame]): (DataFrame, Int) = {
     val tableName = p.ident()
     p.eat("MATCH_RECOGNIZE"); p.eat("(")
 
@@ -502,7 +536,7 @@ object FlinkSql {
       s"MATCH_RECOGNIZE needs exactly one value column, found $valCols")
     val valCol = valCols.head
 
-    val src = resolve(tables, tableName)
+    val src = resolve(spark, tables, tableName)
     val preds: Map[String, (Double, Double) => Boolean] =
       defines.iterator.map { case (s, c) => s -> compileCond(c) }.toMap
     def stepOf(a: PAtom): PatternStep =

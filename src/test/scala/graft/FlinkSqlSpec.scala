@@ -184,6 +184,19 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaDsl)
   }
 
+  test("comments are skipped in translated statements") {
+    val viaSql = FlinkSql.sql(spark,
+      """-- tumbling count per window
+        |SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, /* time attribute */ DESCRIPTOR(ts_ns),
+        |                  INTERVAL '10' MINUTE)) -- ten minutes
+        |GROUP BY window_start""".stripMargin,
+      Map("events" -> events))
+    val viaDsl = Windows.withTumble(events, "ts_ns", 10 * NS_MIN)
+      .groupBy(col("window_start")).agg(count(lit(1)).as("n"))
+    assertSame(viaSql, viaDsl)
+  }
+
   test("plain SQL with no Flink FROM item passes through to Spark SQL") {
     val df = FlinkSql.sql(spark,
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
