@@ -179,6 +179,20 @@ class PlanSpec extends SparkSpecBase {
       s"sketch must still be computed:\n$p")
   }
 
+  test("q_sql_tumble: the SQL text path adds no execution overhead") {
+    // the translator only splices a temp view — the plan must be the DSL
+    // plan: one scan, two-phase agg, no UDF boundary, no extra shuffle
+    val p = planOf("q_sql_tumble")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"SQL path must scan events once:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"SQL path must stay declarative:\n$p")
+    // window assignment is a pure projection: exchanges are only the agg
+    // hash-partition and the ORDER BY range-partition
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"unexpected exchanges in the SQL path:\n$p")
+  }
+
   test("scale configs: AQE, skew join, DPP, runtime bloom filters active") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
