@@ -698,6 +698,37 @@ class ChangelogSpec extends SparkSpecBase {
     assert(sMat == mat, s"streaming/batch parity: $sMat vs $mat")
   }
 
+  test("ChangelogMultiJoin.chain: common key found by union-find keys the shuffle") {
+    // star-shaped conds (one transitive attribute class touching every
+    // input) must partition on the class attribute — the single-key-group
+    // fallback (lit(0) AS __jk) is only for true chains
+    val a = Seq((1L, 100L, 1L, RowKind.Insert))
+      .toDF("a_id", "a_k", RowKind.seqCol, RowKind.kindCol)
+    val b = Seq((11L, 100L, 2L, RowKind.Insert))
+      .toDF("b_id", "b_k", RowKind.seqCol, RowKind.kindCol)
+    val c = Seq((21L, 100L, 3L, RowKind.Insert))
+      .toDF("c_id", "c_k", RowKind.seqCol, RowKind.kindCol)
+    val star = ChangelogMultiJoin.chain(Seq(a, b, c), Map(
+      1 -> Seq(ChangelogMultiJoin.ChainCond(0, "a_k", "b_k")),
+      2 -> Seq(ChangelogMultiJoin.ChainCond(1, "b_k", "c_k"))))
+    // b_k joins both a_k and c_k -> one class {a_k, b_k, c_k} -> common
+    assert(!star.queryExecution.analyzed.toString.contains("0 AS __jk"),
+      "star conds must shuffle on the common key, not one group")
+    assert(star.select("a_id", "b_id", "c_id").as[(Long, Long, Long)]
+      .collect().toSet == Set((1L, 11L, 21L)))
+
+    // true chain (two classes, neither touches every input) -> fallback
+    val b2 = Seq((11L, 100L, 7L, 2L, RowKind.Insert))
+      .toDF("b_id", "b_k1", "b_k2", RowKind.seqCol, RowKind.kindCol)
+    val c2 = Seq((21L, 7L, 3L, RowKind.Insert))
+      .toDF("c_id", "c_k2", RowKind.seqCol, RowKind.kindCol)
+    val chain = ChangelogMultiJoin.chain(Seq(a, b2, c2), Map(
+      1 -> Seq(ChangelogMultiJoin.ChainCond(0, "a_k", "b_k1")),
+      2 -> Seq(ChangelogMultiJoin.ChainCond(1, "b_k2", "c_k2"))))
+    assert(chain.queryExecution.analyzed.toString.contains("0 AS __jk"),
+      "a keyless chain must fall back to one key group")
+  }
+
   test("streaming ChangelogTopN re-ranks on retractions, matches batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // one partition 'p': inserts build a leaderboard, then the leader's

@@ -170,6 +170,24 @@ class FlinkSqlSpec extends SparkSpecBase {
     assert(got == Set(Seq(1L, 1L, 7L, 2L, 2L, 2L)), s"got $got")
   }
 
+  test("a TVF result chains into MATCH_RECOGNIZE in one statement") {
+    val d = deduped.withColumn("ts_ns", expr("ts_us * 1000"))
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_down
+        |FROM TABLE(TUMBLE(TABLE d, DESCRIPTOR(ts_ns), INTERVAL '1' HOUR))
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  PATTERN (down{2,})
+        |  DEFINE down AS value < PREV(value))""".stripMargin,
+      Map("d" -> d))
+    // tumble assignment adds columns without changing rows — the matches
+    // are those of the raw input
+    val viaDsl = CepNfa(deduped, "user_id", "ts_us", "value", Seq(Seq(
+      PatternStep("down", (p, c) => c < p, greedy = true, minCount = 2))))
+    assertSame(viaSql, viaDsl)
+    assert(viaSql.count() > 0)
+  }
+
   test("undefined pattern symbols default to always-true") {
     val viaSql = FlinkSql.sql(spark,
       """SELECT user_id, start_us, end_us, n_down, n_x
