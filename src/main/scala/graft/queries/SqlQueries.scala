@@ -215,6 +215,52 @@ object SqlQueries {
         ORDER BY d.user_id, d.start_us
       """.stripMargin.trim)),
 
+    // Temporal join from SQL text — FOR SYSTEM_TIME AS OF onto AsOfJoin:
+    // each click attaches the latest same-user purchase at or before its
+    // time. The build side is pre-deduped per (user, time) so the lookup
+    // is deterministic without a tie-break (the SQL form has no way to
+    // spell one).
+    QueryDef(
+      "q_sql_asof",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = Dedup.keepFirst(
+          e.where(col("event_type") === "purchase"),
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        FlinkSql.sql(s,
+          """SELECT c.event_id, c.user_id, p.value AS asof_value,
+            |       p.ts_us AS asof_ts
+            |FROM clicks AS c
+            |JOIN purchases FOR SYSTEM_TIME AS OF c.ts_us AS p
+            |  ON c.user_id = p.user_id
+            |ORDER BY c.event_id""".stripMargin,
+          Map(
+            "clicks" -> e.where(col("event_type") === "click"),
+            "purchases" -> purchases))
+      },
+      Some("""
+        WITH p0 AS (
+          SELECT user_id, epoch_us(ts) AS t, value, event_id,
+                 row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                    ORDER BY event_id) AS dd
+          FROM events WHERE event_type = 'purchase'),
+        u AS (
+          SELECT user_id AS k, epoch_us(ts) AS t, 1 AS side, event_id,
+                 CAST(NULL AS DOUBLE) AS pval, CAST(NULL AS BIGINT) AS pt
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, t, 0, event_id, value, t FROM p0 WHERE dd = 1),
+        w AS (
+          SELECT *,
+            LAST_VALUE(pval IGNORE NULLS) OVER win AS asof_value,
+            LAST_VALUE(pt IGNORE NULLS) OVER win AS asof_ts
+          FROM u
+          WINDOW win AS (PARTITION BY k ORDER BY t, side, CAST(event_id AS VARCHAR)
+                         ROWS UNBOUNDED PRECEDING))
+        SELECT event_id, k AS user_id, asof_value, asof_ts
+        FROM w WHERE side = 1 ORDER BY event_id
+      """.trim)),
+
     // Window JOIN from SQL text — two tumble TVFs joined on (window, key),
     // q_window_join's semantics: clicks ⋈ purchases in the same 15-min
     // window. Exercises multi-TVF rewriting in one statement.

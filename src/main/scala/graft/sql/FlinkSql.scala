@@ -64,6 +64,8 @@ object FlinkSql {
       val toks = tokenize(cur)
       findRewrite(toks) match {
         case None =>
+          if (hasTemporalJoin(toks))
+            return translateTemporalJoin(spark, cur, toks, tables)
           return (
             if (hasLegacyWindowCall(toks))
               translateLegacyWindows(spark, cur, toks, tables)
@@ -316,6 +318,96 @@ object FlinkSql {
         throw new IllegalArgumentException(s"unknown window TVF $other")
     }
     emit(out)
+  }
+
+  // ----------------------------------------------- temporal (AS OF) join
+
+  private def hasTemporalJoin(toks: IndexedSeq[Tok]): Boolean =
+    toks.indices.exists(k => toks(k).up == "FOR" &&
+      k + 1 < toks.length && toks(k + 1).up == "SYSTEM_TIME")
+
+  /** Flink's temporal-join syntax — `FROM l [AS] a JOIN r FOR SYSTEM_TIME
+    * AS OF a.t [AS] b ON a.k = b.k` (Parser.tdd `tableRefWithHintsOpt`
+    * temporal production, planned by StreamExecTemporalJoin.java:77) —
+    * onto [[graft.operators.AsOfJoin]]: for each probe row the latest
+    * version of the build side with the same key and buildTime <=
+    * probeTime. Restrictions (documented): one equi-key with the SAME
+    * column name on both sides; the build side's time attribute is the
+    * column NAMED like the AS OF column (the query text carries no build
+    * DDL to declare it); a single equality in ON. Build columns are
+    * exposed as `asof_<col>` — references `b.<col>` in the rest of the
+    * statement are rewritten accordingly.
+    */
+  private def translateTemporalJoin(
+      spark: SparkSession,
+      text: String,
+      toks: IndexedSeq[Tok],
+      tables: Map[String, DataFrame]): DataFrame = {
+    val fromIdx = toks.indices.find(i => toks(i).up == "FROM").getOrElse(
+      throw new IllegalArgumentException("temporal join needs a FROM clause"))
+    val p = new P(toks, text)
+    p.i = fromIdx
+    p.eat("FROM")
+    val lt = p.ident()
+    p.opt("AS")
+    val la = if (p.peek == "JOIN") lt else p.ident()
+    p.eat("JOIN")
+    val rt = p.ident()
+    p.eat("FOR")
+    require(p.ident().toUpperCase == "SYSTEM_TIME",
+      "expected FOR SYSTEM_TIME AS OF")
+    p.eat("AS"); p.eat("OF")
+    val ofQ = p.ident(); p.eat(".")
+    val timeCol = p.ident()
+    require(ofQ == la,
+      s"AS OF must reference the probe side's time column ($la.<col>)")
+    p.opt("AS")
+    val ra = if (p.peek == "ON") rt else p.ident()
+    p.eat("ON")
+    val q1 = p.ident(); p.eat("."); val c1 = p.ident()
+    p.eat("=")
+    val q2 = p.ident(); p.eat("."); val c2 = p.ident()
+    val condEnd = toks(p.i - 1).end
+    require(p.peek != "AND",
+      "temporal join supports a single equi-key condition")
+    val (lk, rk) =
+      if (q1 == la && q2 == ra) (c1, c2)
+      else if (q1 == ra && q2 == la) (c2, c1)
+      else throw new IllegalArgumentException(
+        s"ON must join $la and $ra, got $q1.$c1 = $q2.$c2")
+    require(lk == rk,
+      s"temporal join requires the SAME key column name on both sides " +
+        s"(got $lk vs $rk) — alias upstream")
+
+    val left = resolve(spark, tables, lt)
+    val right = resolve(spark, tables, rt)
+    require(right.columns.contains(timeCol),
+      s"build side $rt needs a time column named $timeCol (the AS OF " +
+        "column names the version attribute)")
+    val joined = graft.operators.AsOfJoin(
+      left, right, lk, timeCol, timeCol,
+      payloadCols = right.columns.filterNot(_ == lk).toSeq)
+    val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
+    joined.createOrReplaceTempView(view)
+
+    // splice the FROM … ON segment, then rewrite build-alias references
+    // (`b.c` → `asof_c`) everywhere outside it
+    val repls = scala.collection.mutable.ArrayBuffer[(Int, Int, String)](
+      (toks(fromIdx).start, condEnd, s"FROM $view AS $la"))
+    var k = 0
+    while (k + 2 < toks.length) {
+      val inSpan = toks(k).start >= toks(fromIdx).start &&
+        toks(k).end <= condEnd
+      if (!inSpan && toks(k).s == ra && toks(k + 1).s == "." &&
+          (toks(k + 2).s.head.isLetter || toks(k + 2).s.head == '_')) {
+        repls += ((toks(k).start, toks(k + 2).end, s"asof_${toks(k + 2).s}"))
+        k += 3
+      } else k += 1
+    }
+    val spliced = repls.sortBy(-_._1).foldLeft(text) {
+      case (t, (from, until, r)) => t.substring(0, from) + r + t.substring(until)
+    }
+    sql(spark, spliced, tables) // legacy windows etc. may still follow
   }
 
   // ------------------------------------------- legacy group windows
