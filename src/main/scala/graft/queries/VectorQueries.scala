@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`array<float>` column):
   * brute-force cosine top-k (the correctness baseline), IVF-bucketed top-k
-  * (the 100 TB path: probe nprobe clusters instead of the full corpus), and
-  * sign-LSH banded near-duplicate pairs (candidate generation by equality
-  * join on band keys — never all-pairs).
+  * and LSH-bucketed top-k (the two 100 TB paths: probe nprobe clusters /
+  * matching sign-band buckets instead of the full corpus), and sign-LSH
+  * banded near-duplicate pairs (candidate generation by equality join on
+  * band keys — never all-pairs).
   *
   * Reference: StreamExecVectorSearchTableFunction.java:55,
   * VectorSearchTableSource.java (the VECTOR_SEARCH table function surface).
@@ -161,6 +162,74 @@ object VectorQueries {
         cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid
                  FROM probe p JOIN assign a ON a.cent_id = p.cent_id
                  WHERE a.vec_id <> p.qid),
+        scored AS (
+          SELECT cand.qid, cand.cid,
+            ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos
+          FROM cand JOIN n q ON q.vec_id = cand.qid
+                    JOIN n c ON c.vec_id = cand.cid)
+        SELECT qid, cid, CAST(rnk AS INT) AS rnk, cos FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid ASC) AS rnk
+          FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk
+      """.stripMargin.trim)),
+
+    // LSH-bucketed ANN top-k — the second scale path next to IVF: 8 bands
+    // × 8 sign bits over the 64 dims; a corpus vector is a candidate for
+    // a query when ANY band key matches (multi-probe recall without
+    // all-pairs); exact decimal cosine re-scores the candidate set and a
+    // per-query window takes the top 5. Deterministic axis-sign planes
+    // keep the whole pipeline relational, so the oracle mirrors it
+    // exactly. At scale: band keys are map-side projections, candidates
+    // an equi-join on (band, key) against the BROADCAST query bands, the
+    // re-score a broadcast join — the corpus never shuffles.
+    QueryDef(
+      "q_vector_lsh_topk",
+      (s, dir) => {
+        val n = normed(s, dir)
+        def bit(i: Int) =
+          when(call_function("element_at", col("embedding"),
+            col("band") * 8 + lit(i + 1)) >= 0, 1).otherwise(0) * lit(1 << i)
+        val bands = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("band", explode(lit((0 until 8).toArray)))
+          .withColumn("key",
+            (0 until 8).map(bit).reduce((a, b) => a + b))
+          .select(col("vec_id"), col("band"), col("key"))
+        val qb = bands.where(col("vec_id") < 10)
+          .select(col("band"), col("key"), col("vec_id").as("qid"))
+        val cand = bands.join(broadcast(qb), Seq("band", "key"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid")).distinct()
+        val q = n.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val scored = n
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+          .join(cand, "cid")
+          .join(broadcast(q), "qid")
+          .select(col("qid"), col("cid"),
+            cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        scored.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("cid"), col("rnk"), col("cos"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH $nOracle,
+        k AS (
+          SELECT vec_id, band,
+            ${(0 until 8).map(i =>
+              s"(CASE WHEN embedding[band*8 + ${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+              .mkString(" + ")} AS key
+          FROM embeddings CROSS JOIN generate_series(0, 7) g(band)),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+          FROM k q JOIN k c ON q.band = c.band AND q.key = c.key
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
         scored AS (
           SELECT cand.qid, cand.cid,
             ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos
