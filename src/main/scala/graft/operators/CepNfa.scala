@@ -234,8 +234,12 @@ object CepNfa {
       val entries = scala.collection.mutable.ListBuffer.empty[Entry]
       var k = j
       while (k <= end) {
+        // Only a DIRECT child of this level is enterable here — matching
+        // by span (`g != lvl && end <= end`) would re-enter the enclosing
+        // group from inside a same-span single-child group (e.g.
+        // PATTERN (((down)+)+)) and recurse forever with walkInto.
         b.startsAt.getOrElse(k, Nil)
-          .find(g => g != lvl && b.groups(g).end <= end) match {
+          .find(g => b.groups(g).parent == lvl) match {
           case Some(g) =>
             entries ++= walkInto(b, g)
             if (b.groups(g).minIters == 0) k = b.groups(g).end + 1

@@ -60,7 +60,7 @@ object FlinkSql {
     // feeding MATCH_RECOGNIZE) rewrite one at a time until none remain
     var cur = text
     var guard = 0
-    while (guard < 16) {
+    while (true) {
       val toks = tokenize(cur)
       findRewrite(toks) match {
         case None =>
@@ -71,6 +71,10 @@ object FlinkSql {
               translateLegacyWindows(spark, cur, toks, tables)
             else spark.sql(cur))
         case Some((start, fn)) =>
+          // the cap guards runaway self-rewrites, not statement size: it
+          // only fires when ANOTHER Flink FROM item still remains
+          if (guard >= 64) throw new IllegalArgumentException(
+            s"more than $guard Flink FROM items in one statement")
           val p = new P(toks, cur)
           p.i = start
           val (df, endTok) = fn(spark, p, tables)
@@ -81,8 +85,7 @@ object FlinkSql {
           guard += 1
       }
     }
-    throw new IllegalArgumentException(
-      s"more than $guard Flink FROM items in one statement")
+    throw new IllegalStateException("unreachable")
   }
 
   // ---------------------------------------------------------------- tokens
@@ -116,8 +119,10 @@ object FlinkSql {
         while (e < n && (text(e).isDigit || text(e) == '.')) e += 1
         out += Tok(text.substring(i, e), i, e); i = e
       } else if (c == '\'') {
+        // a doubled quote ('') inside the literal is an escaped quote
         var e = i + 1
-        while (e < n && text(e) != '\'') e += 1
+        while (e < n && (text(e) != '\'' ||
+            (e + 1 < n && text(e + 1) == '\'' && { e += 1; true }))) e += 1
         require(e < n, s"unterminated string literal at offset $i")
         out += Tok(text.substring(i, e + 1), i, e + 1); i = e + 1
       } else {
@@ -343,8 +348,13 @@ object FlinkSql {
       text: String,
       toks: IndexedSeq[Tok],
       tables: Map[String, DataFrame]): DataFrame = {
-    val fromIdx = toks.indices.find(i => toks(i).up == "FROM").getOrElse(
-      throw new IllegalArgumentException("temporal join needs a FROM clause"))
+    // anchor on FOR SYSTEM_TIME and take the nearest FROM before it — the
+    // first FROM in the text may belong to a subquery in the SELECT list
+    val forIdx = toks.indices.find(i => toks(i).up == "FOR" &&
+      i + 1 < toks.length && toks(i + 1).up == "SYSTEM_TIME").get
+    val fromIdx = (forIdx to 0 by -1).find(i => toks(i).up == "FROM")
+      .getOrElse(
+        throw new IllegalArgumentException("temporal join needs a FROM clause"))
     val p = new P(toks, text)
     p.i = fromIdx
     p.eat("FROM")
@@ -359,7 +369,7 @@ object FlinkSql {
     p.eat("AS"); p.eat("OF")
     val ofQ = p.ident(); p.eat(".")
     val timeCol = p.ident()
-    require(ofQ == la,
+    require(ofQ.equalsIgnoreCase(la),
       s"AS OF must reference the probe side's time column ($la.<col>)")
     p.opt("AS")
     val ra = if (p.peek == "ON") rt else p.ident()
@@ -371,8 +381,8 @@ object FlinkSql {
     require(p.peek != "AND",
       "temporal join supports a single equi-key condition")
     val (lk, rk) =
-      if (q1 == la && q2 == ra) (c1, c2)
-      else if (q1 == ra && q2 == la) (c2, c1)
+      if (q1.equalsIgnoreCase(la) && q2.equalsIgnoreCase(ra)) (c1, c2)
+      else if (q1.equalsIgnoreCase(ra) && q2.equalsIgnoreCase(la)) (c2, c1)
       else throw new IllegalArgumentException(
         s"ON must join $la and $ra, got $q1.$c1 = $q2.$c2")
     require(lk == rk,
@@ -391,14 +401,33 @@ object FlinkSql {
     joined.createOrReplaceTempView(view)
 
     // splice the FROM … ON segment, then rewrite build-alias references
-    // (`b.c` → `asof_c`) everywhere outside it
+    // (`b.c` → `asof_c`) in the SAME query block: SQL identifiers are
+    // case-insensitive, and tokens nested deeper in parens (subqueries
+    // that may reuse the alias) are left alone
+    // a token is out of scope when it sits inside a SUBQUERY — a paren
+    // group whose first token is SELECT — which may rebind the alias;
+    // plain function-call parens in the same block stay in scope
+    val inSubquery = {
+      val m = new Array[Boolean](toks.length)
+      val stack = scala.collection.mutable.Stack.empty[Boolean]
+      var k = 0
+      while (k < toks.length) {
+        if (toks(k).s == ")" && stack.nonEmpty) stack.pop()
+        if (stack.exists(identity)) m(k) = true
+        if (toks(k).s == "(")
+          stack.push(k + 1 < toks.length && toks(k + 1).up == "SELECT")
+        k += 1
+      }
+      m
+    }
     val repls = scala.collection.mutable.ArrayBuffer[(Int, Int, String)](
       (toks(fromIdx).start, condEnd, s"FROM $view AS $la"))
     var k = 0
     while (k + 2 < toks.length) {
       val inSpan = toks(k).start >= toks(fromIdx).start &&
         toks(k).end <= condEnd
-      if (!inSpan && toks(k).s == ra && toks(k + 1).s == "." &&
+      if (!inSpan && !inSubquery(k) &&
+          toks(k).s.equalsIgnoreCase(ra) && toks(k + 1).s == "." &&
           (toks(k + 2).s.head.isLetter || toks(k + 2).s.head == '_')) {
         repls += ((toks(k).start, toks(k + 2).end, s"asof_${toks(k + 2).s}"))
         k += 3
@@ -776,7 +805,12 @@ object FlinkSql {
       l
     }
     def unary(): Expr = {
-      if (p.opt("-")) return Num(-p.next().s.toDouble)
+      // unary minus negates a FULL operand (-PREV(x), -(a - b)), not
+      // just a numeric literal
+      if (p.opt("-")) return Arith(Num(0.0), plus = false, unary())
+      if (p.peek == "(") {
+        p.eat("("); val e = operand(); p.eat(")"); return e
+      }
       val t = p.peekRaw
       if (t.nonEmpty && (t.head.isDigit || t.head == '.'))
         Num(p.next().s.toDouble)

@@ -44,6 +44,20 @@ object StateServer {
   private val registries = new ConcurrentHashMap[String, Registry]()
   @volatile private var server: HttpServer = _
 
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+
   /** Start (or reuse) the HTTP server on `port` and register `name`:
     * the changelog `df` (kind + seq columns, streaming) is upsert-
     * materialized per micro-batch into the registry. Returns the
@@ -92,12 +106,21 @@ object StateServer {
   }
 
   private def ensureServer(port: Int): Unit = synchronized {
+    if (server != null) {
+      // one server per process — a second serve() must agree on the port
+      // or the caller's requested port would be silently ignored
+      val bound = server.getAddress.getPort
+      require(bound == port,
+        s"state server already bound to port $bound; requested $port — " +
+          "stop() it first or reuse the bound port")
+    }
     if (server == null) {
       server = HttpServer.create(new InetSocketAddress(port), 0)
       server.createContext("/state", (ex: HttpExchange) => {
         val resp =
           try handle(ex)
-          catch { case e: Exception => (500, s"""{"error":"${e.getMessage}"}""") }
+          catch { case e: Exception =>
+            (500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""") }
         val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")
         ex.sendResponseHeaders(resp._1, bytes.length)
@@ -112,22 +135,27 @@ object StateServer {
   private def handle(ex: HttpExchange): (Int, String) = {
     val path = ex.getRequestURI.getPath.stripPrefix("/state").stripPrefix("/")
     val reg = registries.get(path)
-    if (reg == null) return (404, s"""{"error":"unknown state $path"}""")
-    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    if (reg == null)
+      return (404, s"""{"error":"unknown state ${jsonEscape(path)}"}""")
+    // getRawQuery: components are %-decoded INDIVIDUALLY after splitting,
+    // so a key part containing ',' (%2C) or '&' (%26) stays addressable
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val key = query.split("&").collectFirst {
       case kv if kv.startsWith("key=") =>
-        kv.stripPrefix("key=").split(",").toSeq
+        kv.stripPrefix("key=").split(",", -1).toSeq
+          .map(java.net.URLDecoder.decode(_, StandardCharsets.UTF_8))
     }
     key match {
-      case None => (200, s"""{"state":"$path","keys":${reg.rows.size}}""")
+      case None => (200, s"""{"state":"${jsonEscape(path)}","keys":${reg.rows.size}}""")
       case Some(k) =>
         Option(reg.rows.get(k)) match {
-          case None => (404, s"""{"error":"no live row for key ${k.mkString(",")}"}""")
+          case None =>
+            (404, s"""{"error":"no live row for key ${jsonEscape(k.mkString(","))}"}""")
           case Some(vs) =>
             val fields = reg.schema.zip(vs).map { case (n, v) =>
               val j = v match {
                 case null => "null"
-                case s: String => "\"" + s.replace("\"", "\\\"") + "\""
+                case s: String => "\"" + jsonEscape(s) + "\""
                 case other => String.valueOf(other)
               }
               s""""$n":$j"""

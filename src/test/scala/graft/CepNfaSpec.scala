@@ -233,6 +233,20 @@ class CepNfaSpec extends SparkSpecBase {
       Set(Seq(1L, 2L, 1L, 0L, 0L)))
   }
 
+  test("same-span single-child group (((down)+)+) terminates and matches") {
+    // regression: walkInto(outer) → walkInto(inner) used to recurse
+    // forever when a group's body is exactly one nested group with the
+    // same flat span; entry is now restricted to DIRECT children
+    val inner = CepNfa.groupOf(Seq(downOne))
+    val outer = CepNfa.GroupElem(Seq(inner))
+    // pairs D,D,D → the down step accumulates across iterations
+    val m = nestedMatches(series(9, 7, 5, 3), Seq(outer))
+    assert(m == Set(Seq(1L, 4L, 3L)))
+    // and the plain singly-wrapped form agrees on the counts
+    assert(nestedMatches(series(9, 7, 5, 3), Seq(inner)) ==
+      Set(Seq(1L, 4L, 3L)))
+  }
+
   test("greedy inner step within a group") {
     // (down+ up)+ : pairs D,D,U,D,U → iter1 has two downs, iter2 one
     val downRun = PatternStep("down", (p: Double, c: Double) => c < p,

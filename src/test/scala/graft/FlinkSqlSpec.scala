@@ -222,6 +222,77 @@ class FlinkSqlSpec extends SparkSpecBase {
     assert(df.count() == events.select("event_type").distinct().count())
   }
 
+  test("temporal-join alias references are case-insensitive") {
+    // regression: `P.value` with alias `p` was left unrewritten (raw
+    // token compared case-sensitively) and failed as unresolved
+    val e = events
+    val purchases = Dedup.keepFirst(
+      e.where(col("event_type") === "purchase"),
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+    def q(t: String) = FlinkSql.sql(spark, t, Map(
+      "clicks" -> e.where(col("event_type") === "click"),
+      "purchases" -> purchases))
+    val mixed = q(
+      """SELECT c.event_id, P.value AS asof_value
+        |FROM clicks AS c
+        |JOIN purchases FOR SYSTEM_TIME AS OF C.ts_us AS p
+        |  ON c.user_id = p.user_id
+        |ORDER BY c.event_id""".stripMargin)
+    val plain = q(
+      """SELECT c.event_id, p.value AS asof_value
+        |FROM clicks AS c
+        |JOIN purchases FOR SYSTEM_TIME AS OF c.ts_us AS p
+        |  ON c.user_id = p.user_id
+        |ORDER BY c.event_id""".stripMargin)
+    assertSame(mixed, plain)
+    assert(plain.count() > 0)
+  }
+
+  test("temporal-join rewrite leaves subqueries reusing the alias alone") {
+    val e = events
+    val purchases = Dedup.keepFirst(
+      e.where(col("event_type") === "purchase"),
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+    // the scalar subquery rebinds `p` over a different table; its `p.value`
+    // must NOT be rewritten to asof_value
+    val df = FlinkSql.sql(spark,
+      """SELECT c.event_id, p.value AS asof_value,
+        |  (SELECT MAX(p.value) FROM all_events AS p) AS global_max
+        |FROM clicks AS c
+        |JOIN purchases FOR SYSTEM_TIME AS OF c.ts_us AS p
+        |  ON c.user_id = p.user_id""".stripMargin,
+      Map(
+        "clicks" -> e.where(col("event_type") === "click"),
+        "purchases" -> purchases,
+        "all_events" -> e))
+    val expectedMax = e.agg(max(col("value"))).collect()(0).getDouble(0)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) == expectedMax))
+  }
+
+  test("DEFINE accepts unary minus over PREV and parenthesized terms") {
+    // -PREV(value) > -value  ⇔  value > PREV(value)
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_up
+        |FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  PATTERN (up+)
+        |  DEFINE up AS -PREV(value) > -(value))""".stripMargin,
+      Map("d" -> deduped))
+    val viaDsl = CepNfa(deduped, "user_id", "ts_us", "value", Seq(Seq(
+      PatternStep("up", (p, c) => c > p, greedy = true))))
+    assertSame(viaSql, viaDsl)
+    assert(viaSql.count() > 0)
+  }
+
+  test("doubled-quote escapes inside string literals tokenize") {
+    val df = FlinkSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM events WHERE event_type <> 'it''s'",
+      Map("events" -> events))
+    assert(df.collect()(0).getLong(0) == events.count())
+  }
+
   test("parse errors are reported with context") {
     def bad(sqlText: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](
