@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.Tables
+import graft.ml.HashScoreModel
 import graft.operators.Dedup
-import graft.sql.FlinkSql
+import graft.operators.VectorOps.{sqlCos, sqlNorm}
+import graft.sql.{FlinkDdl, FlinkSql}
 import org.apache.spark.sql.functions._
 
 /** Flink-SQL-dialect TEXT entry queries — the same semantics as the DSL
@@ -409,6 +411,143 @@ object SqlQueries {
                COUNT(*) AS cnt
         FROM m GROUP BY 1, 2, 3
         ORDER BY user_id, n_down
+      """.stripMargin.trim)),
+
+    // Full Flink-SQL SCRIPT: CREATE TABLE (physical + computed columns +
+    // WATERMARK DDL) over the raw parquet, two filesystem sinks, an
+    // EXECUTE STATEMENT SET with two INSERT OVERWRITEs (one through the
+    // TUMBLE TVF), and a final SELECT joining both sinks back — the
+    // migrating user's whole-script shape from DDL to result
+    // (SqlCreateTable.java:57, SqlWatermark.java, StatementSetImpl.java:42).
+    QueryDef(
+      "q_sql_ddl_pipeline",
+      (s, dir) => {
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_ddl_sink").toString
+        FlinkDdl.run(s,
+          s"""CREATE TABLE events_raw (
+             |  event_id BIGINT,
+             |  user_id BIGINT,
+             |  event_type STRING,
+             |  value DOUBLE,
+             |  ts BIGINT,
+             |  ts_ltz AS TO_TIMESTAMP_LTZ(ts DIV 1000000, 3),
+             |  WATERMARK FOR ts_ltz AS ts_ltz - INTERVAL '5' SECOND
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/events.parquet',
+             |  'format' = 'parquet'
+             |);
+             |
+             |CREATE TABLE agg_sink (
+             |  window_start BIGINT,
+             |  event_type STRING,
+             |  n BIGINT,
+             |  sum_value DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$sink/agg',
+             |  'format' = 'parquet'
+             |);
+             |
+             |CREATE TABLE cnt_sink (
+             |  event_type STRING,
+             |  total BIGINT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$sink/cnt',
+             |  'format' = 'parquet'
+             |);
+             |
+             |EXECUTE STATEMENT SET
+             |BEGIN
+             |  INSERT OVERWRITE agg_sink
+             |  SELECT window_start, event_type, COUNT(*) AS n,
+             |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+             |  FROM TABLE(TUMBLE(TABLE events_raw, DESCRIPTOR(ts),
+             |                    INTERVAL '10' MINUTE))
+             |  GROUP BY window_start, event_type;
+             |  INSERT OVERWRITE cnt_sink
+             |  SELECT event_type, COUNT(*) AS total
+             |  FROM events_raw GROUP BY event_type;
+             |END;
+             |
+             |SELECT a.window_start, a.event_type, a.n, a.sum_value, c.total
+             |FROM agg_sink a JOIN cnt_sink c ON a.event_type = c.event_type
+             |ORDER BY a.window_start, a.event_type""".stripMargin)
+      },
+      Some("""
+        WITH a AS (
+          SELECT epoch_ns(ts) - epoch_ns(ts) % 600000000000 AS window_start,
+                 event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, COUNT(*) AS total FROM events GROUP BY 1)
+        SELECT a.window_start, a.event_type, a.n, a.sum_value, c.total
+        FROM a JOIN c ON a.event_type = c.event_type
+        ORDER BY a.window_start, a.event_type
+      """.trim)),
+
+    // ML_PREDICT TVF spelling (model-inference.md syntax,
+    // StreamExecMLPredictTableFunction.java:55): same provider and oracle
+    // as q_ml_predict, entered through SQL text with a registered MODEL.
+    QueryDef(
+      "q_sql_ml_predict",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        FlinkSql.sql(s,
+          """SELECT doc_id, score, pred_label
+            |FROM ML_PREDICT(
+            |  TABLE docs,
+            |  MODEL hash_score,
+            |  DESCRIPTOR(n_chars)
+            |)
+            |ORDER BY doc_id""".stripMargin,
+          Map("docs" -> docs),
+          Map("hash_score" -> new HashScoreModel("n_chars")))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST((n_chars * 2654435761) % 1000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS score,
+          CASE WHEN CAST((n_chars * 2654435761) % 1000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) >= 0.5
+               THEN 'high' ELSE 'low' END AS pred_label
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // VECTOR_SEARCH TVF spelling (vector-search.md syntax,
+    // StreamExecVectorSearchTableFunction.java:55): brute index through
+    // the VectorIndex SPI; q_vector_topk's oracle with `score` naming.
+    QueryDef(
+      "q_sql_vector_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        FlinkSql.sql(s,
+          """SELECT vec_id AS qid, search_vec_id AS cid, rnk, score
+            |FROM emb_q, LATERAL TABLE(VECTOR_SEARCH(
+            |  TABLE embeddings,
+            |  emb_q.embedding,
+            |  DESCRIPTOR(embedding),
+            |  5))
+            |ORDER BY qid, rnk""".stripMargin,
+          Map(
+            "embeddings" -> emb,
+            "emb_q" -> emb.where(col("vec_id") < 10)
+              .select(col("vec_id"), col("embedding"))))
+      },
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+                   FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        SELECT qid, cid, CAST(rnk AS INT) AS rnk, cos AS score FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid ASC) AS rnk
+          FROM pairs) WHERE rnk <= 5 ORDER BY qid, rnk
       """.stripMargin.trim))
   )
 }

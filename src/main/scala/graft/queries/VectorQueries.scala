@@ -34,25 +34,15 @@ object VectorQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-5 for a 10-query set: the exact baseline every
-    // ANN variant is measured against.
+    // ANN variant is measured against. Routed through the VectorIndex SPI
+    // (operators/VectorIndex.scala) — same plan as the pre-SPI inline body.
     QueryDef(
       "q_vector_topk",
       (s, dir) => {
-        val n = normed(s, dir)
-        val q = n.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val c = n.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          col("nrm").as("cn"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid").asc)
-        c.join(broadcast(q), col("cid") =!= col("qid"))
-          .select(col("qid"), col("cid"),
-            cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= 5)
-          .select(col("qid"), col("cid"), col("rnk"), col("cos"))
-          .orderBy(col("qid"), col("rnk"))
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.VectorIndexes("brute")
+          .topK(emb, emb.where(col("vec_id") < 10), 5)
       },
       Some(s"""
         WITH $nOracle,
@@ -87,61 +77,8 @@ object VectorQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
-        val cents = emb.where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
-            norm(col("cemb")).as("cnrm"))
-        // Assignment: corpus × broadcast(centroids) cheap double ranking,
-        // reduced per vector by a map-side max(struct) partial aggregate —
-        // the shuffle carries |corpus| pre-reduced rows, never the
-        // |corpus|×|cents| scored relation, and there is NO global sort
-        // (the r2/r3 window ranking shuffled+sorted the full scored
-        // relation; at 100 TB that sort is the whole job).
-        val assign = emb.join(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            (dotDouble(col("embedding"), col("cemb")) / col("cnrm"))
-              .as("score"))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("score"), (-col("cent_id")).as("nc")))
-            .as("best"))
-          .select(col("vec_id"), (-col("best.nc")).as("cent_id"))
-        // Probe: the tiny query set × centroids (|Q|·|cents| rows — the
-        // filter reaches the scan), top-2 clusters per query.
-        val wq2 = Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("cent_id").asc)
-        val probe = emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .join(broadcast(cents))
-          .select(col("qid"), col("cent_id"),
-            (dotDouble(col("qe"), col("cemb")) / col("cnrm")).as("score"))
-          .withColumn("rk", row_number().over(wq2))
-          .where(col("rk") <= 2)
-          .select(col("qid"), col("cent_id"))
-        // (qid, cid) pairs are unique by construction — assign keeps ONE
-        // cluster per cid and probe's ≤2 clusters per qid are distinct —
-        // so no dedup shuffle is needed; probe (≤ |Q|·2 rows) broadcasts
-        // into the assignment, keeping the candidate join shuffle-free.
-        val cand = assign.join(broadcast(probe), "cent_id")
-          .where(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("cid"))
-        // Exact decimal norms only where they are consumed: inline on the
-        // candidate rows (a cid recomputes at most once per probing query)
-        // and on the 10 broadcast queries — not the whole corpus twice as
-        // in r3. cand→emb is a broadcast hash join over the corpus scan.
-        val qn = emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            norm(col("embedding")).as("qn"))
-        val scored = emb.withColumnRenamed("vec_id", "cid")
-          .join(broadcast(cand), "cid")
-          .join(broadcast(qn), "qid")
-          .select(col("qid"), col("cid"),
-            cosine(col("qe"), col("embedding"), col("qn"),
-              norm(col("embedding"))).as("cos"))
-        val wq = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid").asc)
-        scored.withColumn("rnk", row_number().over(wq))
-          .where(col("rnk") <= 5)
-          .select(col("qid"), col("cid"), col("rnk"), col("cos"))
-          .orderBy(col("qid"), col("rnk"))
+        graft.operators.VectorIndexes("ivf")
+          .topK(emb, emb.where(col("vec_id") < 10), 5)
       },
       Some(s"""
         WITH $nOracle,
@@ -186,37 +123,10 @@ object VectorQueries {
     QueryDef(
       "q_vector_lsh_topk",
       (s, dir) => {
-        val n = normed(s, dir)
-        def bit(i: Int) =
-          when(call_function("element_at", col("embedding"),
-            col("band") * 8 + lit(i + 1)) >= 0, 1).otherwise(0) * lit(1 << i)
-        val bands = Tables.embeddings(s, dir)
+        val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
-          .withColumn("band", explode(lit((0 until 8).toArray)))
-          .withColumn("key",
-            (0 until 8).map(bit).reduce((a, b) => a + b))
-          .select(col("vec_id"), col("band"), col("key"))
-        val qb = bands.where(col("vec_id") < 10)
-          .select(col("band"), col("key"), col("vec_id").as("qid"))
-        val cand = bands.join(broadcast(qb), Seq("band", "key"))
-          .where(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("cid")).distinct()
-        val q = n.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val scored = n
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
-          .join(cand, "cid")
-          .join(broadcast(q), "qid")
-          .select(col("qid"), col("cid"),
-            cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid").asc)
-        scored.withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= 5)
-          .select(col("qid"), col("cid"), col("rnk"), col("cos"))
-          .orderBy(col("qid"), col("rnk"))
+        graft.operators.VectorIndexes("lsh")
+          .topK(emb, emb.where(col("vec_id") < 10), 5)
       },
       Some(s"""
         WITH $nOracle,

@@ -1,0 +1,559 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Flink-SQL DDL + DML script runner — the front half of a migrating user's
+  * script that [[FlinkSql]] (queries only) could not parse: `CREATE TABLE`
+  * with physical/computed columns, `WATERMARK FOR … AS …`, `PRIMARY KEY …
+  * NOT ENFORCED` and a `WITH ('connector'=…)` clause; `CREATE
+  * [TEMPORARY] VIEW`; `INSERT INTO | OVERWRITE`; `EXECUTE STATEMENT SET
+  * BEGIN …; …; END`; `SET 'k'='v'`; and trailing queries.
+  *
+  * Reference surface: flink-sql-parser/…/ddl/table/SqlCreateTable.java:57
+  * (column list, computed columns, watermark, constraint, WITH options),
+  * …/ddl/SqlWatermark.java (WATERMARK FOR rowtime AS expr), statement sets
+  * …/api/internal/StatementSetImpl.java:42.
+  *
+  * Spark-first mapping — a registered table is a *recipe*, not data:
+  *  - `'connector'='filesystem'` → `spark.read.format(fmt).load(path)` at
+  *    statement-execution time (so an INSERT earlier in the script is
+  *    visible to a later SELECT). Filters/pruning push into the scan
+  *    exactly as any other Spark source — DDL adds no materialization.
+  *  - `'connector'='datagen'` → `spark.range` + deterministic column
+  *    generators (sequence / md5-hash "random": reproducible across
+  *    partitionings, unlike a true RNG).
+  *  - computed columns are Spark SQL expressions (`expr(...)`), evaluated
+  *    after the physical read; Flink's `TO_TIMESTAMP_LTZ(x, p)` spelling is
+  *    rewritten to the Spark equivalent.
+  *  - `WATERMARK FOR c AS c - INTERVAL '...' u` is recorded on the table
+  *    and applied as `withWatermark` whenever the table is read as a
+  *    stream ([[streamingSource]]); batch reads carry it as metadata only
+  *    (same as the reference's batch planner, which ignores watermarks).
+  *  - `INSERT INTO` appends / `INSERT OVERWRITE` replaces through the
+  *    normal Spark writer (partitioned parquet/csv/json/orc), after
+  *    aligning and casting the select output to the sink's declared
+  *    schema. A statement set runs its inserts in order — each one is an
+  *    independent Spark job, which on a cluster is the same resource
+  *    envelope as the reference's merged DAG for non-overlapping sinks.
+  *
+  * The query halves of INSERT/SELECT statements run through
+  * [[FlinkSql.sql]], so every Flink FROM-item shape (window TVFs,
+  * MATCH_RECOGNIZE, temporal joins, ML_PREDICT, VECTOR_SEARCH) works
+  * inside a DDL script.
+  */
+object FlinkDdl {
+
+  // ------------------------------------------------------------- catalog
+
+  /** `WATERMARK FOR col AS col - INTERVAL '<n>' <unit>` (or bare `col`:
+    * zero delay). `delay` is a Spark interval string ("5 seconds"). */
+  final case class WatermarkSpec(col: String, delay: String)
+
+  final case class ColumnSpec(
+      name: String,
+      dataType: Option[DataType], // physical column
+      computedExpr: Option[String], // computed column (Spark SQL text)
+      isMetadata: Boolean = false)
+
+  final case class TableSpec(
+      name: String,
+      columns: Seq[ColumnSpec],
+      watermark: Option[WatermarkSpec],
+      primaryKey: Seq[String],
+      options: Map[String, String],
+      temporary: Boolean) {
+    def connector: String = options.getOrElse("connector",
+      throw new IllegalArgumentException(
+        s"table $name has no 'connector' option"))
+    def format: String = options.getOrElse("format", "parquet")
+    def path: String = options.getOrElse("path",
+      throw new IllegalArgumentException(
+        s"filesystem table $name needs a 'path' option"))
+  }
+
+  /** Result of a script run: the catalog it built plus the value of the
+    * last query statement (or, if the script ends on an INSERT, the sink
+    * read back). */
+  final class ScriptResult(
+      val catalog: Map[String, TableSpec],
+      val lastQuery: Option[DataFrame],
+      val lastSink: Option[String],
+      private val spark: SparkSession) {
+    def dataFrame: DataFrame = lastQuery.getOrElse {
+      val sink = lastSink.getOrElse(throw new IllegalStateException(
+        "script had no query and no INSERT — nothing to return"))
+      sourceDf(spark, catalog(sink))
+    }
+  }
+
+  /** Run a multi-statement Flink SQL script; returns the last SELECT's
+    * DataFrame (or the final sink read back). `extra` tables are visible
+    * under their map names, as in [[FlinkSql.sql]]. */
+  def run(
+      spark: SparkSession,
+      script: String,
+      extra: Map[String, DataFrame] = Map.empty,
+      models: Map[String, graft.ml.ModelProvider] = Map.empty): DataFrame =
+    runScript(spark, script, extra, models).dataFrame
+
+  /** As [[run]] but returning the full [[ScriptResult]] (catalog + result),
+    * for callers that need the table specs (e.g. watermark assertions). */
+  def runScript(
+      spark: SparkSession,
+      script: String,
+      extra: Map[String, DataFrame] = Map.empty,
+      models: Map[String, graft.ml.ModelProvider] = Map.empty): ScriptResult = {
+    val catalog = scala.collection.mutable.LinkedHashMap.empty[String, TableSpec]
+    var lastQuery: Option[DataFrame] = None
+    var lastSink: Option[String] = None
+
+    // a registered but not-yet-written sink (empty path) cannot be read;
+    // it simply isn't visible to queries until an INSERT creates it
+    def tables(): Map[String, DataFrame] =
+      extra ++ catalog.iterator.flatMap { case (n, spec) =>
+        if (spec.connector == "print" || spec.connector == "blackhole") None
+        else scala.util.Try(n -> sourceDf(spark, spec)).toOption
+      }
+
+    def runInsert(stmtText: String): Unit = {
+      val (sink, query, overwrite) = splitInsert(stmtText)
+      val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
+        s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
+      val result = FlinkSql.sql(spark, query, tables(), models)
+      writeSink(spark, spec, result, overwrite)
+      lastSink = Some(sink)
+      lastQuery = None
+    }
+
+    for (stmt <- splitStatements(script)) {
+      val toks = FlinkSql.tokenize(stmt)
+      if (toks.nonEmpty) toks.head.up match {
+        case "CREATE" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("CREATE")
+          val temporary = p.opt("TEMPORARY")
+          if (p.opt("VIEW")) {
+            if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS") }
+            val name = p.ident()
+            p.eat("AS")
+            val body = stmt.substring(p.toks(p.i).start)
+            FlinkSql.sql(spark, body, tables(), models)
+              .createOrReplaceTempView(name)
+          } else {
+            p.eat("TABLE")
+            val spec = parseCreateTable(p, stmt, temporary)
+            catalog(spec.name) = spec
+          }
+        case "INSERT" => runInsert(stmt)
+        case "EXECUTE" | "BEGIN" =>
+          // EXECUTE STATEMENT SET BEGIN <insert>; …; END  (or the legacy
+          // BEGIN STATEMENT SET; … END spelling)
+          for (inner <- statementSetInserts(stmt)) runInsert(inner)
+        case "SET" => () // session config — accepted, not interpreted
+        case "DROP" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("DROP"); p.opt("TEMPORARY")
+          if (p.opt("TABLE")) { p.opt("IF"); p.opt("EXISTS")
+            catalog.remove(p.ident()) }
+          else { p.eat("VIEW"); p.opt("IF"); p.opt("EXISTS")
+            spark.catalog.dropTempView(p.ident()) }
+        case _ =>
+          lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), models))
+      }
+    }
+    new ScriptResult(catalog.toMap, lastQuery, lastSink, spark)
+  }
+
+  // -------------------------------------------------------- source/sink
+
+  /** Materialize a registered table as a batch DataFrame: physical read,
+    * then computed columns in declared order. */
+  def sourceDf(spark: SparkSession, spec: TableSpec): DataFrame = {
+    val base = spec.connector match {
+      case "filesystem" => fsRead(spark, spec)
+      case "datagen" => datagen(spark, spec)
+      case other => throw new IllegalArgumentException(
+        s"unsupported source connector '$other' for table ${spec.name}")
+    }
+    withDerived(base, spec)
+  }
+
+  /** Streaming face: same recipe via `readStream`, with the declared
+    * watermark applied (`WATERMARK FOR c AS c - INTERVAL …` →
+    * `withWatermark(c, delay)`). */
+  def streamingSource(spark: SparkSession, spec: TableSpec): DataFrame = {
+    require(spec.connector == "filesystem",
+      s"streaming source supports the filesystem connector, not ${spec.connector}")
+    val physical = StructType(spec.columns.collect {
+      case ColumnSpec(n, Some(t), _, false) => StructField(n, t)
+    })
+    val base = spark.readStream.format(spec.format).schema(physical)
+      .load(spec.path)
+    val derived = withDerived(base, spec)
+    spec.watermark.fold(derived)(w => derived.withWatermark(w.col, w.delay))
+  }
+
+  private def withDerived(base: DataFrame, spec: TableSpec): DataFrame = {
+    val physicalNames = spec.columns.collect {
+      case ColumnSpec(n, Some(_), _, false) => n }
+    // keep only declared physical columns (schema projection, so column
+    // pruning starts from the declared shape), then computed/metadata
+    val projected =
+      if (physicalNames.forall(n => base.columns.exists(_.equalsIgnoreCase(n))))
+        base.select(physicalNames.map(col): _*)
+      else base // datagen already emits exactly the declared columns
+    spec.columns.foldLeft(projected) {
+      case (df, ColumnSpec(n, _, Some(e), _)) => df.withColumn(n, expr(e))
+      case (df, ColumnSpec(n, Some(t), _, true)) =>
+        df.withColumn(n, lit(null).cast(t)) // metadata col without a source
+      case (df, _) => df
+    }
+  }
+
+  private def fsRead(spark: SparkSession, spec: TableSpec): DataFrame = {
+    val physical = StructType(spec.columns.collect {
+      case ColumnSpec(n, Some(t), _, false) => StructField(n, t)
+    })
+    spec.format match {
+      case "parquet" | "orc" =>
+        // self-describing formats: trust the files, project to declaration
+        spark.read.format(spec.format).load(spec.path)
+      case "csv" =>
+        spark.read.options(Map(
+            "header" -> spec.options.getOrElse("csv.include-header", "false"),
+            "sep" -> spec.options.getOrElse("csv.field-delimiter", ",")))
+          .schema(physical).csv(spec.path)
+      case "json" => spark.read.schema(physical).json(spec.path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported filesystem format '$other'")
+    }
+  }
+
+  /** Deterministic datagen: `'number-of-rows'`, per-field
+    * `'fields.<f>.kind'` = `sequence` (`.start`/`.end`) | `random`
+    * (`.min`/`.max`, md5-hash pseudo-random — reproducible across runs and
+    * partitionings, which a true RNG is not). */
+  private def datagen(spark: SparkSession, spec: TableSpec): DataFrame = {
+    val rows = spec.options.getOrElse("number-of-rows", "1000").toLong
+    val base = spark.range(rows).toDF("__seq")
+    val out = spec.columns.collect { case ColumnSpec(n, Some(t), _, false) =>
+      val kind = spec.options.getOrElse(s"fields.$n.kind", "random")
+      val c = kind match {
+        case "sequence" =>
+          val start = spec.options.getOrElse(s"fields.$n.start", "0").toLong
+          (col("__seq") + lit(start)).cast(t)
+        case "random" =>
+          val min = spec.options.getOrElse(s"fields.$n.min", "0").toLong
+          val max = spec.options.getOrElse(s"fields.$n.max", "10000").toLong
+          (lit(min) + pmod(xxhash64(concat_ws(":", lit(spec.name), lit(n),
+            col("__seq"))), lit(max - min + 1))).cast(t)
+        case other => throw new IllegalArgumentException(
+          s"unsupported datagen kind '$other' for field $n")
+      }
+      c.as(n)
+    }
+    base.select(out: _*)
+  }
+
+  private def writeSink(
+      spark: SparkSession,
+      spec: TableSpec,
+      df: DataFrame,
+      overwrite: Boolean): Unit = {
+    // align to the sink's declared physical schema: match by name when the
+    // names line up, positionally otherwise, casting to declared types
+    val declared = spec.columns.collect {
+      case ColumnSpec(n, Some(t), _, false) => (n, t) }
+    val aligned =
+      if (declared.isEmpty) df
+      else {
+        require(df.columns.length == declared.size,
+          s"INSERT into ${spec.name}: query has ${df.columns.length} " +
+            s"columns, sink declares ${declared.size}")
+        val byName = declared.forall { case (n, _) =>
+          df.columns.exists(_.equalsIgnoreCase(n)) }
+        df.select(declared.zipWithIndex.map { case ((n, t), i) =>
+          (if (byName) col(df.columns.find(_.equalsIgnoreCase(n)).get)
+           else col(df.columns(i))).cast(t).as(n)
+        }: _*)
+      }
+    spec.connector match {
+      case "filesystem" =>
+        val w = aligned.write
+          .mode(if (overwrite) "overwrite" else "append")
+          .format(spec.format)
+        spec.options.get("partition-keys") match {
+          case Some(keys) => w.partitionBy(keys.split(",").map(_.trim): _*)
+            .save(spec.path)
+          case None => w.save(spec.path)
+        }
+      case "print" => aligned.show(numRows = 20, truncate = false)
+      case "blackhole" => aligned.foreach(_ => ())
+      case other => throw new IllegalArgumentException(
+        s"unsupported sink connector '$other' for table ${spec.name}")
+    }
+  }
+
+  // ----------------------------------------------------------- splitting
+
+  /** Split a script on top-level `;`, keeping `EXECUTE STATEMENT SET
+    * BEGIN … END` blocks (which contain `;`) as one statement. The
+    * tokenizer has already stripped comments and respects string
+    * literals. */
+  private[sql] def splitStatements(script: String): Seq[String] = {
+    val toks = FlinkSql.tokenize(script)
+    val stmts = Seq.newBuilder[String]
+    var begin = 0 // token index of the current statement's first token
+    var inSet = false
+    var k = 0
+    while (k < toks.length) {
+      val t = toks(k).up
+      if (begin == k && (t == "EXECUTE" || t == "BEGIN")) inSet = true
+      if (t == "END" && inSet) inSet = false
+      if (t == ";" && !inSet) {
+        if (k > begin)
+          stmts += script.substring(toks(begin).start, toks(k - 1).end)
+        begin = k + 1
+      }
+      k += 1
+    }
+    if (begin < toks.length)
+      stmts += script.substring(toks(begin).start, toks.last.end)
+    stmts.result()
+  }
+
+  /** Extract the INSERT statements from a statement-set block. */
+  private[sql] def statementSetInserts(stmt: String): Seq[String] = {
+    val toks = FlinkSql.tokenize(stmt)
+    val p = new FlinkSql.P(toks, stmt)
+    if (p.opt("EXECUTE")) { p.eat("STATEMENT"); p.eat("SET"); p.eat("BEGIN") }
+    else { p.eat("BEGIN"); p.eat("STATEMENT"); p.eat("SET"); p.opt(";") }
+    val inserts = Seq.newBuilder[String]
+    var start = p.i
+    var k = p.i
+    while (k < toks.length && toks(k).up != "END") {
+      if (toks(k).up == ";") {
+        if (k > start)
+          inserts += stmt.substring(toks(start).start, toks(k - 1).end)
+        start = k + 1
+      }
+      k += 1
+    }
+    if (k > start && toks(start).up != "END")
+      inserts += stmt.substring(toks(start).start, toks(k - 1).end)
+    inserts.result()
+  }
+
+  /** `INSERT INTO|OVERWRITE name [(c1, …)] <query>` →
+    * (sink, query text with any column list folded into a SELECT, overwrite). */
+  private[sql] def splitInsert(stmt: String): (String, String, Boolean) = {
+    val toks = FlinkSql.tokenize(stmt)
+    val p = new FlinkSql.P(toks, stmt)
+    p.eat("INSERT")
+    val overwrite =
+      if (p.opt("OVERWRITE")) true
+      else { p.eat("INTO"); false }
+    val sink = p.ident()
+    // optional explicit column list — reorder via a wrapping SELECT
+    val colList =
+      if (p.peek == "(") {
+        p.eat("(")
+        val cs = scala.collection.mutable.ArrayBuffer(p.ident())
+        while (p.opt(",")) cs += p.ident()
+        p.eat(")")
+        Some(cs.toSeq)
+      } else None
+    val query = stmt.substring(toks(p.i).start)
+    (sink, colList.fold(query)(cs =>
+      s"SELECT ${cs.mkString(", ")} FROM (\n$query\n)"), overwrite)
+  }
+
+  // ----------------------------------------------------- CREATE TABLE
+
+  private def parseCreateTable(
+      p: FlinkSql.P,
+      stmt: String,
+      temporary: Boolean): TableSpec = {
+    if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS") }
+    val name = p.ident()
+    p.eat("(")
+    val cols = Seq.newBuilder[ColumnSpec]
+    var watermark: Option[WatermarkSpec] = None
+    var pk: Seq[String] = Nil
+    var more = true
+    while (more) {
+      p.peek match {
+        case "WATERMARK" =>
+          p.eat("WATERMARK"); p.eat("FOR")
+          val c = p.ident()
+          p.eat("AS")
+          watermark = Some(parseWatermarkExpr(p, c))
+        case "PRIMARY" =>
+          p.eat("PRIMARY"); p.eat("KEY"); p.eat("(")
+          val ks = scala.collection.mutable.ArrayBuffer(p.ident())
+          while (p.opt(",")) ks += p.ident()
+          p.eat(")")
+          p.eat("NOT"); p.eat("ENFORCED") // Flink's only allowed mode
+          pk = ks.toSeq
+        case "CONSTRAINT" =>
+          p.eat("CONSTRAINT"); p.ident() // named constraint → same path
+        case _ =>
+          val cname = p.ident()
+          if (p.opt("AS")) {
+            // computed column: capture raw text to the next top-level , or )
+            val from = p.toks(p.i).start
+            var depth = 0
+            while (!p.done && !(depth == 0 &&
+                (p.peek == "," || p.peek == ")"))) {
+              if (p.peek == "(") depth += 1
+              else if (p.peek == ")") depth -= 1
+              p.next()
+            }
+            val until = p.toks(p.i - 1).end
+            cols += ColumnSpec(cname, None,
+              Some(rewriteExpr(stmt.substring(from, until))))
+          } else {
+            val t = parseType(p)
+            val isMeta = p.opt("METADATA")
+            if (isMeta) {
+              if (p.opt("FROM")) p.next() // metadata key literal
+              p.opt("VIRTUAL")
+            }
+            if (p.opt("NOT")) p.eat("NULL")
+            if (p.opt("COMMENT")) p.next()
+            cols += ColumnSpec(cname, Some(t), None, isMeta)
+          }
+      }
+      more = p.opt(",")
+    }
+    p.eat(")")
+    if (p.opt("COMMENT")) p.next()
+    val options =
+      if (p.opt("WITH")) {
+        p.eat("(")
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var go = true
+        while (go) {
+          val k = unquote(p.next().s)
+          p.eat("=")
+          m(k) = unquote(p.next().s)
+          go = p.opt(",")
+        }
+        p.eat(")")
+        m.toMap
+      } else Map.empty[String, String]
+    TableSpec(name, cols.result(), watermark, pk, options, temporary)
+  }
+
+  /** `c - INTERVAL '<n>' <unit>` (bounded-out-of-orderness) or bare `c`
+    * (strictly ascending → zero delay). */
+  private def parseWatermarkExpr(p: FlinkSql.P, declared: String): WatermarkSpec = {
+    val c = p.ident()
+    require(c.equalsIgnoreCase(declared),
+      s"WATERMARK FOR $declared must be an expression over $declared, got $c")
+    if (p.opt("-")) {
+      p.eat("INTERVAL")
+      val lit = unquote(p.next().s)
+      val unit = p.ident().toLowerCase.stripSuffix("s")
+      WatermarkSpec(declared, s"$lit ${unit}s")
+    } else WatermarkSpec(declared, "0 seconds")
+  }
+
+  /** Flink type name → Spark type. Nested ARRAY/MAP/ROW supported. */
+  private[sql] def parseType(p: FlinkSql.P): DataType = {
+    val base = p.ident().toUpperCase
+    def intArgs(): Seq[Int] =
+      if (p.opt("(")) {
+        val a = scala.collection.mutable.ArrayBuffer(p.next().s.toInt)
+        while (p.opt(",")) a += p.next().s.toInt
+        p.eat(")")
+        a.toSeq
+      } else Nil
+    base match {
+      case "STRING" => StringType
+      case "VARCHAR" | "CHAR" => intArgs(); StringType
+      case "BOOLEAN" => BooleanType
+      case "TINYINT" => ByteType
+      case "SMALLINT" => ShortType
+      case "INT" | "INTEGER" => IntegerType
+      case "BIGINT" => LongType
+      case "FLOAT" => FloatType
+      case "DOUBLE" => if (p.opt("PRECISION")) DoubleType else DoubleType
+      case "DECIMAL" | "NUMERIC" =>
+        val a = intArgs()
+        DecimalType(if (a.nonEmpty) a.head else 10,
+          if (a.size > 1) a(1) else 0)
+      case "DATE" => DateType
+      case "TIMESTAMP" | "TIMESTAMP_LTZ" =>
+        intArgs()
+        if (p.opt("WITH") || p.opt("WITHOUT")) {
+          p.opt("LOCAL"); p.eat("TIME"); p.eat("ZONE")
+        }
+        TimestampType
+      case "BYTES" | "VARBINARY" | "BINARY" => intArgs(); BinaryType
+      case "ARRAY" =>
+        p.eat("<"); val e = parseType(p); p.eat(">")
+        ArrayType(e)
+      case "MAP" =>
+        p.eat("<"); val k = parseType(p); p.eat(",")
+        val v = parseType(p); p.eat(">")
+        MapType(k, v)
+      case "ROW" =>
+        p.eat("<")
+        val fs = scala.collection.mutable.ArrayBuffer.empty[StructField]
+        var go = true
+        while (go) {
+          val n = p.ident()
+          fs += StructField(n, parseType(p))
+          go = p.opt(",")
+        }
+        p.eat(">")
+        StructType(fs.toSeq)
+      case other => throw new IllegalArgumentException(
+        s"unsupported column type $other")
+    }
+  }
+
+  /** Flink-only function spellings in computed-column expressions →
+    * Spark equivalents. `TO_TIMESTAMP_LTZ(x, 0|3|6)` →
+    * `timestamp_seconds|millis|micros(x)`. */
+  private[graft] def rewriteExpr(e: String): String = {
+    val ltz = "(?i)TO_TIMESTAMP_LTZ\\s*\\(".r
+    ltz.findFirstMatchIn(e) match {
+      case None => e
+      case Some(m) =>
+        // find the matching close paren and the trailing precision arg
+        var depth = 1
+        var i = m.end
+        var lastComma = -1
+        while (depth > 0 && i < e.length) {
+          e(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => lastComma = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(depth == 0 && lastComma > 0,
+          s"malformed TO_TIMESTAMP_LTZ call in: $e")
+        val arg = e.substring(m.end, lastComma).trim
+        val prec = e.substring(lastComma + 1, i - 1).trim.toInt
+        val fn = prec match {
+          case 0 => "timestamp_seconds"
+          case 3 => "timestamp_millis"
+          case 6 => "timestamp_micros"
+          case p => throw new IllegalArgumentException(
+            s"unsupported TO_TIMESTAMP_LTZ precision $p")
+        }
+        rewriteExpr(e.substring(0, m.start) + s"$fn($arg)" + e.substring(i))
+    }
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
+    else s
+}

@@ -49,12 +49,15 @@ object FlinkSql {
 
   /** Run one Flink-dialect statement over the given input tables. Tables
     * are registered as temp views under their map names; statements with
-    * no Flink-specific FROM item run on Spark SQL directly.
+    * no Flink-specific FROM item run on Spark SQL directly. `models`
+    * supplies the providers `ML_PREDICT(…, MODEL name, …)` resolves
+    * against (the catalog's model namespace in the reference).
     */
   def sql(
       spark: SparkSession,
       text: String,
-      tables: Map[String, DataFrame]): DataFrame = {
+      tables: Map[String, DataFrame],
+      models: Map[String, graft.ml.ModelProvider] = Map.empty): DataFrame = {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     // several Flink FROM items (e.g. a window JOIN of two TVFs, or a TVF
     // feeding MATCH_RECOGNIZE) rewrite one at a time until none remain
@@ -65,7 +68,7 @@ object FlinkSql {
       findRewrite(toks) match {
         case None =>
           if (hasTemporalJoin(toks))
-            return translateTemporalJoin(spark, cur, toks, tables)
+            return translateTemporalJoin(spark, cur, toks, tables, models)
           return (
             if (hasLegacyWindowCall(toks))
               translateLegacyWindows(spark, cur, toks, tables)
@@ -77,7 +80,7 @@ object FlinkSql {
             s"more than $guard Flink FROM items in one statement")
           val p = new P(toks, cur)
           p.i = start
-          val (df, endTok) = fn(spark, p, tables)
+          val (df, endTok) = fn(spark, p, Ctx(tables, models))
           val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
           df.createOrReplaceTempView(view)
           cur = cur.substring(0, toks(start).start) + view +
@@ -88,13 +91,18 @@ object FlinkSql {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Per-statement context threaded into the FROM-item translators. */
+  private final case class Ctx(
+      tables: Map[String, DataFrame],
+      models: Map[String, graft.ml.ModelProvider])
+
   // ---------------------------------------------------------------- tokens
 
-  private final case class Tok(s: String, start: Int, end: Int) {
+  private[sql] final case class Tok(s: String, start: Int, end: Int) {
     def up: String = s.toUpperCase
   }
 
-  private def tokenize(text: String): IndexedSeq[Tok] = {
+  private[sql] def tokenize(text: String): IndexedSeq[Tok] = {
     val out = IndexedSeq.newBuilder[Tok]
     var i = 0
     val n = text.length
@@ -137,7 +145,7 @@ object FlinkSql {
     out.result()
   }
 
-  private final class P(val toks: IndexedSeq[Tok], val text: String) {
+  private[sql] final class P(val toks: IndexedSeq[Tok], val text: String) {
     var i = 0
     def done: Boolean = i >= toks.length
     def peek: String = if (done) "" else toks(i).up
@@ -162,7 +170,7 @@ object FlinkSql {
     * token index and the sub-translator. `None` → plain Spark SQL.
     */
   private def findRewrite(toks: IndexedSeq[Tok]): Option[
-      (Int, (SparkSession, P, Map[String, DataFrame]) => (DataFrame, Int))] = {
+      (Int, (SparkSession, P, Ctx) => (DataFrame, Int))] = {
     var depth = 0
     var k = 0
     while (k < toks.length) {
@@ -177,6 +185,28 @@ object FlinkSql {
         if (t == "FROM" && k + 2 < toks.length &&
             toks(k + 2).up == "MATCH_RECOGNIZE")
           return Some((k + 1, translateMatchRecognize))
+        if (toks(k + 1).up == "ML_PREDICT" && k + 2 < toks.length &&
+            toks(k + 2).s == "(")
+          return Some((k + 1, translateMlPredict))
+        // `FROM input, LATERAL TABLE(VECTOR_SEARCH(…))` — the rewrite span
+        // starts at the input table reference (it is consumed too)
+        if (t == "FROM" && {
+          var j = k + 1
+          // skip `name [AS] [alias] ,`
+          var ok = false
+          if (j < toks.length && (toks(j).s.head.isLetter || toks(j).s.head == '_')) {
+            j += 1
+            if (j < toks.length && toks(j).up == "AS") j += 1
+            if (j < toks.length && (toks(j).s.head.isLetter || toks(j).s.head == '_') &&
+                j + 1 < toks.length && toks(j + 1).s == ",") j += 1
+            ok = j + 3 < toks.length && toks(j).s == "," &&
+              toks(j + 1).up == "LATERAL" && toks(j + 2).up == "TABLE" &&
+              j + 4 < toks.length && toks(j + 3).s == "(" &&
+              toks(j + 4).up == "VECTOR_SEARCH"
+          }
+          ok
+        })
+          return Some((k + 1, translateVectorSearch))
       }
       k += 1
     }
@@ -233,7 +263,8 @@ object FlinkSql {
   private def translateWindowTvf(
       spark: SparkSession,
       p: P,
-      tables: Map[String, DataFrame]): (DataFrame, Int) = {
+      ctx: Ctx): (DataFrame, Int) = {
+    val tables = ctx.tables
     p.eat("TABLE"); p.eat("(")
     val fn = p.ident().toUpperCase
     p.eat("(")
@@ -325,6 +356,166 @@ object FlinkSql {
     emit(out)
   }
 
+  // --------------------------------------- ML_PREDICT / VECTOR_SEARCH TVFs
+
+  /** `MAP['k','v', …]` (optionally prefixed `CONFIG =>`) → Map. */
+  private def parseConfigMap(p: P): Map[String, String] = {
+    if (p.peek == "CONFIG") { p.next(); p.eat("="); p.eat(">") }
+    p.eat("MAP"); p.eat("[")
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var go = p.peek != "]"
+    while (go) {
+      val k = unquoteLit(p.next().s)
+      p.eat(",")
+      m(k) = unquoteLit(p.next().s)
+      go = p.opt(",")
+    }
+    p.eat("]")
+    m.toMap
+  }
+
+  private def unquoteLit(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
+    else s
+
+  /** `'10s' | '1500ms' | '2min'`-style duration → millis. */
+  private def durationMs(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("ms")) t.dropRight(2).trim.toLong
+    else if (t.endsWith("min")) t.dropRight(3).trim.toLong * 60000L
+    else if (t.endsWith("s")) t.dropRight(1).trim.toLong * 1000L
+    else t.toLong
+  }
+
+  /** Optional `NAME =>` prefix on a TVF argument (the named-parameter call
+    * form in the reference grammar). */
+  private def optNamedArg(p: P): Unit =
+    if (!p.done && p.i + 2 < p.toks.length &&
+        (p.toks(p.i).s.head.isLetter || p.toks(p.i).s.head == '_') &&
+        p.toks(p.i + 1).s == "=" && p.toks(p.i + 2).s == ">") {
+      p.next(); p.next(); p.next()
+    }
+
+  /** `ML_PREDICT(TABLE t, MODEL m, DESCRIPTOR(c1, …) [, MAP[…]])` →
+    * [[graft.ml.MLPredict]] over the provider registered under `m`
+    * (reference: StreamExecMLPredictTableFunction.java:55; runtime config
+    * keys `async`, `timeout`, `capacity`, `batch-size` follow the
+    * documented ML_PREDICT runtime config). Output = input columns +
+    * the provider's prediction columns, as in the reference. */
+  private def translateMlPredict(
+      spark: SparkSession,
+      p: P,
+      ctx: Ctx): (DataFrame, Int) = {
+    require(p.ident().equalsIgnoreCase("ML_PREDICT"), "expected ML_PREDICT")
+    p.eat("(")
+    optNamedArg(p)
+    p.eat("TABLE")
+    val tableName = p.ident()
+    p.eat(",")
+    optNamedArg(p)
+    p.eat("MODEL")
+    val modelName = p.ident()
+    p.eat(",")
+    optNamedArg(p)
+    p.eat("DESCRIPTOR"); p.eat("(")
+    val features = scala.collection.mutable.ArrayBuffer(p.ident())
+    while (p.opt(",")) features += p.ident()
+    p.eat(")")
+    val config = if (p.opt(",")) parseConfigMap(p) else Map.empty[String, String]
+    val endTok = p.eat(")").end
+
+    val input = resolve(spark, ctx.tables, tableName)
+    features.foreach(f => require(
+      input.columns.exists(_.equalsIgnoreCase(f)),
+      s"ML_PREDICT feature column $f not in ${input.columns.mkString(", ")}"))
+    val provider = ctx.models.getOrElse(modelName,
+      ctx.models.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(modelName) => v
+      }.getOrElse(throw new IllegalArgumentException(
+        s"unknown MODEL $modelName; registered: ${ctx.models.keys.mkString(", ")}")))
+    val batchSize = config.get("batch-size").map(_.toInt).getOrElse(64)
+    val out =
+      if (config.get("async").contains("true"))
+        graft.ml.MLPredict.async(input, provider,
+          batchSize = batchSize,
+          maxInFlight = config.get("capacity").map(_.toInt).getOrElse(4),
+          timeoutMs = config.get("timeout").map(durationMs)
+            .getOrElse(graft.operators.AsyncWait.DefaultTimeoutMs))
+      else graft.ml.MLPredict(input, provider, batchSize = batchSize)
+    (out, endTok)
+  }
+
+  /** `FROM input, LATERAL TABLE(VECTOR_SEARCH(TABLE corpus, input.vecCol,
+    * DESCRIPTOR(indexCol), k [, MAP[…]]))` → [[graft.operators
+    * .VectorIndexes]] top-k (reference: VectorSearchTableSource.java,
+    * StreamExecVectorSearchTableFunction.java:55). Output = input columns
+    * + corpus columns (clash-renamed `search_<col>`) + `rnk` + `score`.
+    *
+    * Restrictions (documented, like the temporal join's): the FIRST column
+    * of the input table and of the corpus table is each side's unique id;
+    * self-matches (same id) are excluded. Config key `index` picks the
+    * strategy (`brute` default, `ivf`, `lsh`, or any registered custom
+    * index). */
+  private def translateVectorSearch(
+      spark: SparkSession,
+      p: P,
+      ctx: Ctx): (DataFrame, Int) = {
+    val inputName = p.ident()
+    p.opt("AS")
+    val inputAlias = if (p.peek != ",") p.ident() else inputName
+    p.eat(",")
+    p.eat("LATERAL"); p.eat("TABLE"); p.eat("(")
+    require(p.ident().equalsIgnoreCase("VECTOR_SEARCH"),
+      "expected VECTOR_SEARCH")
+    p.eat("(")
+    optNamedArg(p)
+    p.eat("TABLE")
+    val corpusName = p.ident()
+    p.eat(",")
+    optNamedArg(p)
+    val q1 = p.ident(); p.eat(".")
+    val vecCol = p.ident()
+    require(q1.equalsIgnoreCase(inputAlias) || q1.equalsIgnoreCase(inputName),
+      s"VECTOR_SEARCH query column must come from $inputName, got $q1.$vecCol")
+    p.eat(",")
+    optNamedArg(p)
+    p.eat("DESCRIPTOR"); p.eat("(")
+    val indexCol = p.ident()
+    p.eat(")")
+    p.eat(",")
+    optNamedArg(p)
+    val k = p.next().s.toInt
+    val config = if (p.opt(",")) parseConfigMap(p) else Map.empty[String, String]
+    p.eat(")")
+    val endTok = p.eat(")").end
+
+    val input = resolve(spark, ctx.tables, inputName)
+    val corpus = resolve(spark, ctx.tables, corpusName)
+    val inputId = input.columns.head
+    val corpusId = corpus.columns.head
+    val index = graft.operators.VectorIndexes(
+      config.getOrElse("index", "brute"))
+    val topk = index.topK(
+      corpus.select(col(corpusId), col(indexCol)),
+      input.select(col(inputId), col(vecCol)), k)
+    // input columns + corpus columns (clash-renamed) + rnk + score
+    val clash = input.columns.map(_.toLowerCase).toSet +
+      "rnk" + "score" + "qid" + "cid"
+    val renamed = corpus.columns.map(c =>
+      if (clash(c.toLowerCase)) s"search_$c" else c)
+    val corpusOut = corpus.toDF(renamed: _*)
+    val searchId = renamed(corpus.columns.indexOf(corpusId))
+    val joined = input
+      .join(topk.withColumnRenamed("cos", "score"),
+        input(inputId) === topk("qid"))
+      .drop("qid")
+      .join(corpusOut, col("cid") === col(searchId))
+      .drop("cid")
+    (joined.select((input.columns.map(col) ++ renamed.map(col) ++
+      Seq(col("rnk"), col("score"))): _*), endTok)
+  }
+
   // ----------------------------------------------- temporal (AS OF) join
 
   private def hasTemporalJoin(toks: IndexedSeq[Tok]): Boolean =
@@ -347,7 +538,8 @@ object FlinkSql {
       spark: SparkSession,
       text: String,
       toks: IndexedSeq[Tok],
-      tables: Map[String, DataFrame]): DataFrame = {
+      tables: Map[String, DataFrame],
+      models: Map[String, graft.ml.ModelProvider]): DataFrame = {
     // anchor on FOR SYSTEM_TIME and take the nearest FROM before it — the
     // first FROM in the text may belong to a subquery in the SELECT list
     val forIdx = toks.indices.find(i => toks(i).up == "FOR" &&
@@ -385,48 +577,56 @@ object FlinkSql {
       else if (q1.equalsIgnoreCase(ra) && q2.equalsIgnoreCase(la)) (c2, c1)
       else throw new IllegalArgumentException(
         s"ON must join $la and $ra, got $q1.$c1 = $q2.$c2")
-    require(lk == rk,
+    // SQL identifiers are case-insensitive throughout: the key-name match
+    // and the build-side time-column lookup resolve like Spark does
+    // (ADVICE r8: `ON c.USER_ID = p.user_id` must pass all three checks)
+    require(lk.equalsIgnoreCase(rk),
       s"temporal join requires the SAME key column name on both sides " +
         s"(got $lk vs $rk) — alias upstream")
 
     val left = resolve(spark, tables, lt)
     val right = resolve(spark, tables, rt)
-    require(right.columns.contains(timeCol),
-      s"build side $rt needs a time column named $timeCol (the AS OF " +
-        "column names the version attribute)")
+    val rightTime = right.columns.find(_.equalsIgnoreCase(timeCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"build side $rt needs a time column named $timeCol (the AS OF " +
+          "column names the version attribute)"))
+    val rightKey = right.columns.find(_.equalsIgnoreCase(rk)).getOrElse(rk)
     val joined = graft.operators.AsOfJoin(
-      left, right, lk, timeCol, timeCol,
-      payloadCols = right.columns.filterNot(_ == lk).toSeq)
+      left, right, lk, timeCol, rightTime,
+      payloadCols = right.columns.filterNot(_.equalsIgnoreCase(rightKey)).toSeq)
     val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
     joined.createOrReplaceTempView(view)
 
     // splice the FROM … ON segment, then rewrite build-alias references
     // (`b.c` → `asof_c`) in the SAME query block: SQL identifiers are
-    // case-insensitive, and tokens nested deeper in parens (subqueries
-    // that may reuse the alias) are left alone
-    // a token is out of scope when it sits inside a SUBQUERY — a paren
-    // group whose first token is SELECT — which may rebind the alias;
-    // plain function-call parens in the same block stay in scope
-    val inSubquery = {
-      val m = new Array[Boolean](toks.length)
+    // case-insensitive, and tokens inside subqueries NESTED BELOW the
+    // join's own query block (which may rebind the alias) are left alone.
+    // Scope is relative to the join's block, not the statement root
+    // (ADVICE r8): when the temporal join itself sits inside a subquery,
+    // references in its own block still rewrite.
+    val subDepth = {
+      // per token: how many SELECT-paren groups (subqueries) enclose it;
+      // plain function-call parens don't count
+      val d = new Array[Int](toks.length)
       val stack = scala.collection.mutable.Stack.empty[Boolean]
       var k = 0
       while (k < toks.length) {
         if (toks(k).s == ")" && stack.nonEmpty) stack.pop()
-        if (stack.exists(identity)) m(k) = true
+        d(k) = stack.count(identity)
         if (toks(k).s == "(")
           stack.push(k + 1 < toks.length && toks(k + 1).up == "SELECT")
         k += 1
       }
-      m
+      d
     }
+    val joinDepth = subDepth(fromIdx)
     val repls = scala.collection.mutable.ArrayBuffer[(Int, Int, String)](
       (toks(fromIdx).start, condEnd, s"FROM $view AS $la"))
     var k = 0
     while (k + 2 < toks.length) {
       val inSpan = toks(k).start >= toks(fromIdx).start &&
         toks(k).end <= condEnd
-      if (!inSpan && !inSubquery(k) &&
+      if (!inSpan && subDepth(k) == joinDepth &&
           toks(k).s.equalsIgnoreCase(ra) && toks(k + 1).s == "." &&
           (toks(k + 2).s.head.isLetter || toks(k + 2).s.head == '_')) {
         repls += ((toks(k).start, toks(k + 2).end, s"asof_${toks(k + 2).s}"))
@@ -436,7 +636,7 @@ object FlinkSql {
     val spliced = repls.sortBy(-_._1).foldLeft(text) {
       case (t, (from, until, r)) => t.substring(0, from) + r + t.substring(until)
     }
-    sql(spark, spliced, tables) // legacy windows etc. may still follow
+    sql(spark, spliced, tables, models) // legacy windows etc. may still follow
   }
 
   // ------------------------------------------- legacy group windows
@@ -587,7 +787,8 @@ object FlinkSql {
   private def translateMatchRecognize(
       spark: SparkSession,
       p: P,
-      tables: Map[String, DataFrame]): (DataFrame, Int) = {
+      ctx: Ctx): (DataFrame, Int) = {
+    val tables = ctx.tables
     val tableName = p.ident()
     p.eat("MATCH_RECOGNIZE"); p.eat("(")
 

@@ -1,0 +1,217 @@
+package graft
+
+import graft.ml.HashScoreModel
+import graft.operators.{VectorIndex, VectorIndexes}
+import graft.sql.{FlinkDdl, FlinkSql}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+import org.apache.spark.sql.functions._
+
+/** DDL + DML script runner ([[graft.sql.FlinkDdl]]) and the ML_PREDICT /
+  * VECTOR_SEARCH TVF spellings: CREATE TABLE parses into working sources,
+  * WATERMARK DDL reaches `withWatermark` on the streaming face, statement
+  * sets execute every INSERT, and custom vector indexes plug in through
+  * the registry.
+  */
+class FlinkDdlSpec extends SparkSpecBase {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_ddl_spec").toString
+
+  test("CREATE TABLE over parquet + computed column + final SELECT") {
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE ev (
+         |  event_id BIGINT,
+         |  user_id BIGINT,
+         |  value DOUBLE,
+         |  ts BIGINT,
+         |  ts_ltz AS TO_TIMESTAMP_LTZ(ts DIV 1000000, 3)
+         |) WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
+         |        'format'='parquet');
+         |SELECT COUNT(*) AS n, COUNT(ts_ltz) AS n_ts FROM ev""".stripMargin)
+    val r = out.collect().head
+    assert(r.getLong(0) > 0 && r.getLong(0) == r.getLong(1))
+  }
+
+  test("WATERMARK DDL applies withWatermark on the streaming source") {
+    // stage the parquet in its own dir (streaming read wants a directory)
+    val dir = tmpDir()
+    Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+        col("value"), col("ts_ns"))
+      .write.mode("overwrite").parquet(s"$dir/ev")
+    val res = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE ev (
+         |  event_id BIGINT,
+         |  user_id BIGINT,
+         |  value DOUBLE,
+         |  ts_ns BIGINT,
+         |  ts_ltz AS TO_TIMESTAMP_LTZ(ts_ns DIV 1000000000, 0),
+         |  WATERMARK FOR ts_ltz AS ts_ltz - INTERVAL '5' SECOND
+         |) WITH ('connector'='filesystem', 'path'='$dir/ev',
+         |        'format'='parquet')""".stripMargin)
+    val spec = res.catalog("ev")
+    assert(spec.watermark.contains(FlinkDdl.WatermarkSpec("ts_ltz", "5 seconds")))
+    val stream = FlinkDdl.streamingSource(spark, spec)
+    assert(stream.isStreaming)
+    val wms = stream.queryExecution.analyzed.collect {
+      case e: EventTimeWatermark => (e.eventTime.name, e.delay.microseconds)
+    }
+    assert(wms == Seq(("ts_ltz", 5000000L)))
+  }
+
+  test("statement set runs every INSERT; INTO appends, OVERWRITE replaces") {
+    val dir = tmpDir()
+    def script(insert: String) =
+      s"""CREATE TABLE src (k BIGINT, v BIGINT) WITH (
+         |  'connector'='datagen', 'number-of-rows'='10',
+         |  'fields.k.kind'='sequence', 'fields.k.start'='0',
+         |  'fields.v.kind'='sequence', 'fields.v.start'='100');
+         |CREATE TABLE s1 (k BIGINT, v BIGINT) WITH (
+         |  'connector'='filesystem', 'path'='$dir/s1', 'format'='parquet');
+         |CREATE TABLE s2 (k BIGINT, v BIGINT) WITH (
+         |  'connector'='filesystem', 'path'='$dir/s2', 'format'='parquet');
+         |EXECUTE STATEMENT SET
+         |BEGIN
+         |  $insert s1 SELECT k, v FROM src;
+         |  $insert s2 SELECT k, v + 1 FROM src;
+         |END;
+         |SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         |       (SELECT COUNT(*) FROM s2) AS n2""".stripMargin
+    val first = FlinkDdl.run(spark, script("INSERT INTO")).collect().head
+    assert((first.getLong(0), first.getLong(1)) == ((10L, 10L)))
+    val second = FlinkDdl.run(spark, script("INSERT INTO")).collect().head
+    assert((second.getLong(0), second.getLong(1)) == ((20L, 20L)),
+      "INSERT INTO must append")
+    val third = FlinkDdl.run(spark, script("INSERT OVERWRITE")).collect().head
+    assert((third.getLong(0), third.getLong(1)) == ((10L, 10L)),
+      "INSERT OVERWRITE must replace")
+  }
+
+  test("INSERT with explicit column list reorders to the sink schema") {
+    val dir = tmpDir()
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE src (a BIGINT, b BIGINT) WITH (
+         |  'connector'='datagen', 'number-of-rows'='5',
+         |  'fields.a.kind'='sequence', 'fields.a.start'='1',
+         |  'fields.b.kind'='sequence', 'fields.b.start'='10');
+         |CREATE TABLE snk (b BIGINT, a BIGINT) WITH (
+         |  'connector'='filesystem', 'path'='$dir/snk', 'format'='parquet');
+         |INSERT INTO snk (a, b) SELECT a, b FROM src;
+         |SELECT MIN(a) AS mina, MIN(b) AS minb FROM snk""".stripMargin)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1)) == ((1L, 10L)))
+  }
+
+  test("datagen random fields are deterministic across runs") {
+    val script =
+      """CREATE TABLE g (k BIGINT, r BIGINT) WITH (
+        |  'connector'='datagen', 'number-of-rows'='100',
+        |  'fields.k.kind'='sequence', 'fields.k.start'='0',
+        |  'fields.r.kind'='random', 'fields.r.min'='0', 'fields.r.max'='9');
+        |SELECT SUM(r) AS s, MIN(r) AS mn, MAX(r) AS mx FROM g""".stripMargin
+    val a = FlinkDdl.run(spark, script).collect().head
+    val b = FlinkDdl.run(spark, script).collect().head
+    assert(a == b)
+    assert(a.getLong(1) >= 0 && a.getLong(2) <= 9)
+  }
+
+  test("CREATE VIEW and DROP TABLE work in a script") {
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE ev (event_id BIGINT, value DOUBLE) WITH (
+         |  'connector'='filesystem', 'path'='$sf/events.parquet',
+         |  'format'='parquet');
+         |CREATE VIEW big AS SELECT * FROM ev WHERE value > 50;
+         |SELECT COUNT(*) AS n FROM big""".stripMargin)
+    assert(out.collect().head.getLong(0) > 0)
+  }
+
+  test("TO_TIMESTAMP_LTZ precisions rewrite to the Spark spellings") {
+    assert(FlinkDdl.rewriteExpr("TO_TIMESTAMP_LTZ(x, 0)") ==
+      "timestamp_seconds(x)")
+    assert(FlinkDdl.rewriteExpr("TO_TIMESTAMP_LTZ(f(a, b), 3)") ==
+      "timestamp_millis(f(a, b))")
+    assert(FlinkDdl.rewriteExpr("1 + TO_TIMESTAMP_LTZ(x, 6) IS NOT NULL") ==
+      "1 + timestamp_micros(x) IS NOT NULL")
+  }
+
+  test("ML_PREDICT SQL with async config matches the sync path") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val models: Map[String, graft.ml.ModelProvider] =
+      Map("m" -> new HashScoreModel("n_chars"))
+    def q(cfg: String) = FlinkSql.sql(spark,
+      s"""SELECT doc_id, score FROM ML_PREDICT(
+         |  TABLE docs, MODEL m, DESCRIPTOR(n_chars)$cfg)
+         |ORDER BY doc_id""".stripMargin,
+      Map("docs" -> docs), models)
+    val sync = q("").collect()
+    val async = q(", MAP['async', 'true', 'timeout', '30s']").collect()
+    assert(sync.sameElements(async))
+    // unknown model name must fail clearly
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        "SELECT doc_id FROM ML_PREDICT(TABLE docs, MODEL nope, DESCRIPTOR(n_chars))",
+        Map("docs" -> docs), models)
+    }
+  }
+
+  test("a custom VectorIndex plugs in through the registry") {
+    // custom index: delegates candidate generation to brute force but tags
+    // itself — proves the SPI seam (registry + config routing) end to end
+    object EchoIndex extends VectorIndex {
+      override def name: String = "custom-echo"
+      override def topK(corpus: DataFrame, queries: DataFrame, k: Int)
+          : DataFrame =
+        VectorIndexes("brute").topK(corpus, queries, k)
+    }
+    VectorIndexes.register(EchoIndex)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") < 3)
+    def viaSql(idx: String) = FlinkSql.sql(spark,
+      s"""SELECT vec_id AS qid, search_vec_id AS cid, rnk, score
+         |FROM q, LATERAL TABLE(VECTOR_SEARCH(
+         |  TABLE emb, q.embedding, DESCRIPTOR(embedding), 3,
+         |  MAP['index', '$idx']))
+         |ORDER BY qid, rnk""".stripMargin,
+      Map("emb" -> emb, "q" -> q))
+    val brute = viaSql("brute").collect()
+    val custom = viaSql("custom-echo").collect()
+    assert(brute.nonEmpty && brute.sameElements(custom))
+    intercept[IllegalArgumentException](VectorIndexes("no-such-index"))
+  }
+
+  test("temporal join keys and time column resolve case-insensitively") {
+    val e = Tables.events(spark, sf)
+    val purchases = graft.operators.Dedup.keepFirst(
+      e.where(col("event_type") === "purchase"),
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+    def run(on: String) = FlinkSql.sql(spark,
+      s"""SELECT c.event_id, p.value AS v
+         |FROM clicks AS c
+         |JOIN purchases FOR SYSTEM_TIME AS OF c.ts_us AS p
+         |  ON $on
+         |ORDER BY c.event_id""".stripMargin,
+      Map("clicks" -> e.where(col("event_type") === "click"),
+        "purchases" -> purchases))
+    val lower = run("c.user_id = p.user_id").collect()
+    val upper = run("c.USER_ID = p.user_id").collect()
+    assert(lower.nonEmpty && lower.sameElements(upper))
+  }
+
+  test("temporal join inside a subquery rewrites its own block's aliases") {
+    val e = Tables.events(spark, sf)
+    val purchases = graft.operators.Dedup.keepFirst(
+      e.where(col("event_type") === "purchase"),
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+    val out = FlinkSql.sql(spark,
+      """SELECT event_id, v FROM (
+        |  SELECT c.event_id AS event_id, p.value AS v
+        |  FROM clicks AS c
+        |  JOIN purchases FOR SYSTEM_TIME AS OF c.ts_us AS p
+        |    ON c.user_id = p.user_id
+        |) WHERE v IS NOT NULL ORDER BY event_id""".stripMargin,
+      Map("clicks" -> e.where(col("event_type") === "click"),
+        "purchases" -> purchases))
+    assert(out.count() > 0)
+  }
+}
