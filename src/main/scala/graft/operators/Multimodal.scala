@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * the reference: raw/binary columns flowing through table functions, e.g.
   * StreamExecMLPredictTableFunction.java:55 feeding a model provider).
   *
-  * The container ships no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic FAKE decode — but every Spark-side concern
-  * is real and tested: binary payloads with a metadata struct column,
-  * per-partition batched decode via `mapPartitions` (the Scala analog of a
-  * pandas-batch UDF), explicit output schema, and frame sampling as a
-  * lateral explode so one blob → n rows without collecting anything.
+  * [[decode]] is a REAL container decode ([[ImageCodec]]): PNG/APNG, JPEG,
+  * GIF and BMP dimensions and frame counts read from the actual bytes via
+  * header parsing — no full pixel decode, so the per-blob cost is a few
+  * header reads regardless of payload size. Undecodable bytes yield null
+  * features (poisoned blobs must not kill a stage). The operator shape is
+  * per-partition batched `mapPartitions` (the Scala analog of a
+  * pandas-batch UDF) with an explicit output schema, and frame sampling is
+  * a lateral explode so one blob → n rows without collecting anything.
   *
   * Scale notes: blobs never leave their partition (no shuffle in decode),
   * frame sampling multiplies rows by a bounded factor before any shuffle,
@@ -41,41 +43,79 @@ object Multimodal {
           sha2(bin, 256).as("sha256")))
   }
 
-  /** Decoded feature schema appended by [[decodeStub]]. */
+  /** Decoded feature schema appended by [[decode]] — nullable: bytes that
+    * parse as no known container yield null features, not a task failure. */
   val featureType: StructType = StructType(Seq(
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("decoded_mime", StringType, nullable = true)))
 
-  /** STUB decode: a real implementation would open the codec here (per
-    * partition, batched) and emit true dimensions. This fake derives
-    * deterministic "dimensions" from the byte length so results are
-    * verifiable; the mapPartitions/batch/schema plumbing is the real
-    * operator shape.
-    */
-  def decodeStub(df: DataFrame, batchSize: Int = 32): DataFrame = {
+  /** Real decode: per-partition batched header parse of the `media` binary
+    * column ([[ImageCodec]] — PNG/APNG, JPEG, GIF, BMP), appending true
+    * width/height/n_frames plus the mime detected FROM THE BYTES (which
+    * may disagree with the declared `media_meta.mime` — that mismatch is
+    * itself a data-quality signal). */
+  def decode(df: DataFrame, batchSize: Int = 32): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ featureType.fields)
     val mediaIdx = df.schema.fieldIndex("media")
     df.mapPartitions { it =>
-      // codec session would be opened here, once per partition
+      // batched so a heavier codec could amortize per-batch setup; the
+      // header parsers themselves are allocation-light per row
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
-          val n = bytes.length.toLong
-          // ??? real decode goes here; deterministic fake below
-          val width = (n % 64L).toInt + 1
-          val height = ((n / 64L) % 64L).toInt + 1
-          val frames = (n % 7L).toInt + 1
-          Row.fromSeq(r.toSeq ++ Seq(width, height, frames))
+          ImageCodec.decode(bytes) match {
+            case Some(m) =>
+              Row.fromSeq(r.toSeq ++ Seq(m.width, m.height, m.nFrames, m.mime))
+            case None =>
+              Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+          }
         }
       }
     }(Encoders.row(outSchema))
   }
 
+  /** Deterministic real-image fixture: one blob per row from `idCol` —
+    * JPEG when id % 3 == 0, else PNG, which becomes an APNG with
+    * (id % 4) + 2 frames when id % 5 == 0; dimensions
+    * ((id % 61) + 4) × ((id % 37) + 4). Encoded with the JDK's ImageIO
+    * (real bitstreams — [[decode]] reads these dimensions back out of the
+    * bytes, so an oracle recomputing the formulas checks the decoder
+    * against ground truth). Runs per-partition; nothing is collected. */
+  def packSynthetic(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("media", BinaryType, nullable = false),
+      StructField("media_meta", metaType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (id % 61).toInt + 4
+        val h = (id % 37).toInt + 4
+        val bytes =
+          if (id % 3 == 0) ImageCodec.synthesize("jpg", w, h, id)
+          else {
+            val png = ImageCodec.synthesize("png", w, h, id)
+            if (id % 5 == 0)
+              ImageCodec.withApngFrames(png, (id % 4).toInt + 2)
+            else png
+          }
+        val mime = if (id % 3 == 0) "image/jpeg" else "image/png"
+        digest.reset()
+        val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+        Row.fromSeq(r.toSeq ++ Seq(bytes,
+          Row(mime, bytes.length.toLong, sha)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling: one row per sampled frame (lateral explode), with a
-    * per-frame fingerprint over the frame's slice of the payload. The
-    * blob → n-rows expansion happens before any shuffle, map-side. */
-  def frameSample(df: DataFrame, payloadText: Column): DataFrame =
+    * per-frame fingerprint over the frame's byte slice of the payload. The
+    * blob → n-rows expansion happens before any shuffle, map-side; rows
+    * whose decode failed (null `n_frames`) simply produce no frames. */
+  def frameSample(df: DataFrame): DataFrame =
     df.withColumn("frame_idx",
       explode(sequence(lit(0), col("n_frames") - 1)))
       .withColumn("frame_off",
@@ -83,6 +123,5 @@ object Multimodal {
           floor(col("media_meta.n_bytes") / col("n_frames")).cast("long"))
           .cast("long"))
       .withColumn("frame_hash",
-        md5(call_function("substring", payloadText, col("frame_off") + 1,
-          lit(16))))
+        md5(expr("substring(media, cast(frame_off + 1 as int), 16)")))
 }

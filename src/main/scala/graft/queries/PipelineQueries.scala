@@ -56,60 +56,60 @@ object PipelineQueries {
         FROM documents ORDER BY doc_id
       """.stripMargin.trim)),
 
-    // Multimodal metadata + stub decode: binary payload, typed metadata
-    // struct, per-partition batched "decode" appending feature columns.
+    // Multimodal metadata + REAL decode: deterministic real PNG/APNG/JPEG
+    // blobs (ImageIO bitstreams), then a per-partition batched header
+    // parse (operators/ImageCodec.scala) reading true width/height/
+    // n_frames back OUT OF THE BYTES. The oracle recomputes the synth
+    // formulas independently — if the decoder faked anything, dimensions
+    // would not match.
     QueryDef(
       "q_multimodal_meta",
       (s, dir) => {
-        val packed = Multimodal.pack(Tables.documents(s, dir), col("text"),
-          "text/plain")
-        Multimodal.decodeStub(packed)
+        val packed = Multimodal.packSynthetic(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        Multimodal.decode(packed)
           .select(
             col("doc_id"),
             col("media_meta.mime").as("mime"),
-            col("media_meta.n_bytes").as("n_bytes"),
-            col("media_meta.sha256").as("sha256"),
+            col("decoded_mime"),
             col("width"), col("height"), col("n_frames"))
           .orderBy(col("doc_id"))
       },
       Some("""
         SELECT doc_id,
-          'text/plain' AS mime,
-          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          sha256(text) AS sha256,
-          CAST(octet_length(encode(text)) % 64 AS INT) + 1 AS width,
-          CAST((octet_length(encode(text)) // 64) % 64 AS INT) + 1 AS height,
-          CAST(octet_length(encode(text)) % 7 AS INT) + 1 AS n_frames
+          CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS mime,
+          CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS decoded_mime,
+          CAST(doc_id % 61 + 4 AS INT) AS width,
+          CAST(doc_id % 37 + 4 AS INT) AS height,
+          CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+                    THEN doc_id % 4 + 2 ELSE 1 END AS INT) AS n_frames
         FROM documents ORDER BY doc_id
       """.stripMargin.trim)),
 
-    // Frame sampling: blob → n frame rows via lateral explode, per-frame
-    // fingerprint over the frame's slice of the payload.
+    // Frame sampling over the real decode: blob → n frame rows via lateral
+    // explode, where n_frames came from the bitstream (APNG acTL / GIF
+    // descriptors). Frame offsets/fingerprints stay engine-side (the
+    // oracle cannot re-encode the bitstreams); MiscOpsSpec covers them.
     QueryDef(
       "q_multimodal_frames",
       (s, dir) => {
-        val packed = Multimodal.pack(Tables.documents(s, dir), col("text"),
-          "text/plain")
-        Multimodal.frameSample(Multimodal.decodeStub(packed), col("text"))
-          .select(col("doc_id"), col("frame_idx"), col("frame_off"),
-            col("frame_hash"))
+        val packed = Multimodal.packSynthetic(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        Multimodal.frameSample(Multimodal.decode(packed))
+          .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
           .orderBy(col("doc_id"), col("frame_idx"))
       },
       Some("""
         WITH m AS (
-          SELECT doc_id, text,
-            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-            CAST(octet_length(encode(text)) % 7 AS INT) + 1 AS n_frames
-          FROM documents),
-        f AS (
-          SELECT doc_id, text, n_bytes, n_frames,
-            CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
-          FROM m)
-        SELECT doc_id, frame_idx,
-          CAST(frame_idx * (n_bytes // n_frames) AS BIGINT) AS frame_off,
-          md5(substr(text, CAST(frame_idx * (n_bytes // n_frames) AS BIGINT) + 1, 16))
-            AS frame_hash
-        FROM f ORDER BY doc_id, frame_idx
+          SELECT doc_id,
+            CAST(doc_id % 61 + 4 AS INT) AS width,
+            CAST(doc_id % 37 + 4 AS INT) AS height,
+            CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+                 THEN doc_id % 4 + 2 ELSE 1 END AS n_frames
+          FROM documents)
+        SELECT doc_id, CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+               width, height
+        FROM m ORDER BY doc_id, frame_idx
       """.stripMargin.trim)),
 
     // Deterministic weighted dataset mixing: per-source weights (derived

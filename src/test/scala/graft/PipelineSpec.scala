@@ -85,21 +85,74 @@ class PipelineSpec extends SparkSpecBase {
     assert(sync1.nonEmpty)
   }
 
-  test("Multimodal pack/decode/frameSample: schema and row expansion") {
-    val packed = Multimodal.pack(Tables.documents(spark, sf), col("text"),
-      "text/plain")
+  test("ImageCodec reads true dimensions/frames from real bitstreams") {
+    import graft.operators.ImageCodec
+    // PNG + JPEG: real ImageIO bitstreams
+    val png = ImageCodec.synthesize("png", 17, 9, seed = 42)
+    assert(ImageCodec.decode(png).contains(
+      ImageCodec.ImageMeta(17, 9, 1, "image/png")))
+    val jpg = ImageCodec.synthesize("jpg", 33, 21, seed = 7)
+    assert(ImageCodec.decode(jpg).contains(
+      ImageCodec.ImageMeta(33, 21, 1, "image/jpeg")))
+    // APNG: acTL chunk inserted after IHDR carries the frame count
+    assert(ImageCodec.decode(ImageCodec.withApngFrames(png, 5)).contains(
+      ImageCodec.ImageMeta(17, 9, 5, "image/png")))
+    // GIF: hand-built container, two image descriptors = two frames
+    def le(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val frame = Seq(0x2c, 0, 0, 0, 0).map(_.toByte) ++ le(5) ++ le(3) ++
+      Seq(0x00, 0x02, 0x01, 0x00, 0x00).map(_.toByte) // flags, lzw, 1-byte block, term
+    val gif = ("GIF89a".getBytes("US-ASCII") ++ le(5) ++ le(3) ++
+      Seq(0x00, 0x00, 0x00).map(_.toByte) ++ frame ++ frame :+ 0x3b.toByte)
+    assert(ImageCodec.decode(gif.toArray).contains(
+      ImageCodec.ImageMeta(5, 3, 2, "image/gif")))
+    // BMP: minimal header
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 11; bmp(22) = 7
+    assert(ImageCodec.decode(bmp).contains(
+      ImageCodec.ImageMeta(11, 7, 1, "image/bmp")))
+    // garbage and truncations decode to None, never throw
+    assert(ImageCodec.decode("not an image".getBytes).isEmpty)
+    assert(ImageCodec.decode(png.take(20)).isEmpty)
+    assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("Multimodal decode is real: synth dims round-trip; bad bytes → null") {
+    val packed = Multimodal.packSynthetic(
+      Tables.documents(spark, sf).select(col("doc_id")), "doc_id")
     assert(packed.schema("media").dataType.typeName == "binary")
-    val decoded = Multimodal.decodeStub(packed)
-    val metaRows = decoded
-      .select(col("media_meta.n_bytes"), col("n_frames")).collect()
-    metaRows.foreach { case Row(n: Long, f: Int) =>
-      assert(f == (n % 7).toInt + 1)
-    }
-    val frames = Multimodal.frameSample(decoded, col("text"))
+    val decoded = Multimodal.decode(packed)
+    decoded.select("doc_id", "width", "height", "n_frames", "decoded_mime")
+      .collect().foreach { case Row(id: Long, w: Int, h: Int, f: Int, m: String) =>
+        assert(w == (id % 61).toInt + 4 && h == (id % 37).toInt + 4)
+        val expF = if (id % 3 != 0 && id % 5 == 0) (id % 4).toInt + 2 else 1
+        assert(f == expF, s"doc $id frames $f != $expF")
+        assert(m == (if (id % 3 == 0) "image/jpeg" else "image/png"))
+      }
+    // text bytes are not a known container: null features, no failure
+    val textPacked = Multimodal.pack(
+      Tables.documents(spark, sf).limit(5), col("text"), "text/plain")
+    val nulls = Multimodal.decode(textPacked)
+      .select("width", "height", "n_frames").collect()
+    assert(nulls.length == 5 && nulls.forall(r => r.isNullAt(0) &&
+      r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("frameSample expands one row per decoded frame, deterministically") {
+    val decoded = Multimodal.decode(Multimodal.packSynthetic(
+      Tables.documents(spark, sf).select(col("doc_id")), "doc_id"))
+    val frames = Multimodal.frameSample(decoded)
     val expanded = frames.groupBy("doc_id").count()
       .join(decoded.select(col("doc_id"), col("n_frames")), "doc_id")
       .where(col("count") =!= col("n_frames")).count()
     assert(expanded == 0)
+    // offsets partition the payload; fingerprints reproduce run-to-run
+    val a = frames.select("doc_id", "frame_idx", "frame_off", "frame_hash")
+      .orderBy("doc_id", "frame_idx").collect()
+    val b = Multimodal.frameSample(decoded)
+      .select("doc_id", "frame_idx", "frame_off", "frame_hash")
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(a.nonEmpty && a.sameElements(b))
   }
 
   test("minhash LSH candidates include high-jaccard near-dup pairs") {
