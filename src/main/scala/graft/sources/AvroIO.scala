@@ -85,7 +85,7 @@ object AvroIO {
   /** Spark external value → Avro datum, recursively. Decimal/timestamp/
     * date use the standard Avro logical-type encodings (unscaled
     * big-endian bytes, epoch micros, epoch days). */
-  private def toAvro(v: Any, dt: DataType, s: Schema): Any = v match {
+  private[sources] def toAvro(v: Any, dt: DataType, s: Schema): Any = v match {
     case null => null
     case d: java.math.BigDecimal =>
       val scaled = d.setScale(dt.asInstanceOf[DecimalType].scale)
@@ -121,7 +121,7 @@ object AvroIO {
   }
 
   /** Avro datum → Spark external value, recursively. */
-  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+  private[sources] def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (u: org.apache.avro.util.Utf8, _) => u.toString
     case (bb: java.nio.ByteBuffer, d: DecimalType) =>

@@ -163,6 +163,73 @@ class MiscOpsSpec extends SparkSpecBase {
     assert(got.sameElements(exp), "avro logical-type round-trip mismatch")
   }
 
+  test("formats: Confluent-framed avro round-trip through a file registry") {
+    import graft.sources.ConfluentAvro
+    val regDir = java.nio.file.Files.createTempDirectory("graft-reg-").toString
+    val registry = new ConfluentAvro.FileRegistry(regDir)
+    val src = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")).limit(100)
+    val framed = ConfluentAvro.encode(src, registry, "customers-value")
+    // wire shape: magic 0x00 + int32 schema id + avro body
+    val first = framed.select(col("framed")).head().getAs[Array[Byte]](0)
+    assert(first(0) == 0x00 &&
+      java.nio.ByteBuffer.wrap(first, 1, 4).getInt == 1)
+    val decoded = ConfluentAvro.decode(
+      framed.select(col("framed")), "framed", registry, src.schema)
+    val got = decoded.select(col("decoded.*")).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val exp = src.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(exp), "framed avro round-trip mismatch")
+    // same subject + same schema re-registers idempotently
+    assert(registry.register("customers-value",
+      graft.sources.AvroIO.avroSchemaJson(src.schema)) == 1)
+  }
+
+  test("formats: framed avro malformed frames decode to null, not failure") {
+    import graft.sources.ConfluentAvro
+    val regDir = java.nio.file.Files.createTempDirectory("graft-reg2-").toString
+    val registry = new ConfluentAvro.FileRegistry(regDir)
+    val src = Tables.region(spark, sf).select(col("r_regionkey"), col("r_name"))
+    val framed = ConfluentAvro.encode(src, registry, "regions-value")
+      .select(col("r_regionkey"), col("framed"))
+    val good = framed.head().getAs[Array[Byte]](1)
+    import spark.implicits._
+    val mangled = Seq(
+      ("good", good),
+      ("wrong-magic", { val b = good.clone(); b(0) = 1; b }),
+      ("unknown-id", { val b = good.clone(); b(4) = 99; b }),
+      ("truncated", good.take(7)),
+      ("empty", Array.empty[Byte]),
+      ("null", null)).toDF("kind", "framed")
+    val out = ConfluentAvro.decode(mangled, "framed", registry, src.schema)
+      .select(col("kind"), col("decoded")).collect()
+      .map(r => r.getString(0) -> (r.get(1) != null)).toMap
+    assert(out("good"))
+    assert(!out("wrong-magic") && !out("unknown-id") && !out("truncated") &&
+      !out("empty") && !out("null"))
+  }
+
+  test("formats: framed avro schema evolution via writer/reader resolution") {
+    import graft.sources.ConfluentAvro
+    import org.apache.spark.sql.types._
+    val regDir = java.nio.file.Files.createTempDirectory("graft-reg3-").toString
+    val registry = new ConfluentAvro.FileRegistry(regDir)
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val framed = ConfluentAvro.encode(src, registry, "nations-value")
+    // reader requests a PROJECTION of the writer schema (column dropped)
+    val readerSchema = StructType(Seq(
+      StructField("n_nationkey", src.schema("n_nationkey").dataType),
+      StructField("n_name", StringType)))
+    val got = ConfluentAvro.decode(
+      framed.select(col("framed")), "framed", registry, readerSchema)
+      .select(col("decoded.*")).collect()
+      .map(r => (r.get(0).toString, r.getString(1))).sorted
+    val exp = src.collect()
+      .map(r => (r.get(0).toString, r.getString(1))).sorted
+    assert(got.sameElements(exp), "projected decode mismatch")
+  }
+
   test("script transform: TRANSFORM ... USING an external command") {
     Tables.nation(spark, sf).createOrReplaceTempView("nation_v")
     val out = spark.sql("""
