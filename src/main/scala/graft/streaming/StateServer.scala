@@ -72,8 +72,10 @@ object StateServer {
     val payCols = df.schema.fieldNames
       .filterNot(Set(RowKind.kindCol, RowKind.seqCol)).toSeq
     val reg = new Registry(keyCols, payCols)
-    registries.put(name, reg)
+    // bind (or port-check) the server FIRST: if ensureServer throws on a
+    // port mismatch, no stale registry entry is left behind (ADVICE r8)
     ensureServer(port)
+    registries.put(name, reg)
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -143,7 +145,11 @@ object StateServer {
     val key = query.split("&").collectFirst {
       case kv if kv.startsWith("key=") =>
         kv.stripPrefix("key=").split(",", -1).toSeq
-          .map(java.net.URLDecoder.decode(_, StandardCharsets.UTF_8))
+          // PERCENT-decode only: URLDecoder applies form decoding, which
+          // would turn a literal '+' into a space (ADVICE r8) — shield
+          // raw '+' as %2B first so keys containing '+' stay addressable
+          .map(part => java.net.URLDecoder.decode(
+            part.replace("+", "%2B"), StandardCharsets.UTF_8))
     }
     key match {
       case None => (200, s"""{"state":"${jsonEscape(path)}","keys":${reg.rows.size}}""")

@@ -819,6 +819,46 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("StateServer: literal '+' in keys and port-mismatch hygiene (ADVICE r8)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.changelog.RowKind
+    def get(url: String): (Int, String) = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(is).mkString
+      conn.disconnect()
+      (code, body)
+    }
+    val input = MemoryStream[(String, Double, Long, String)]
+    val df = input.toDF().toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssrv2-").toString
+    val port = 18653
+    val q = StateServer.serve(df, "plus", Seq("k"), port, ckpt)
+    try {
+      input.addData(Seq(("a+b", 1.5, 1L, RowKind.Insert)))
+      q.processAllAvailable()
+      // percent-decode only: %2B must hit key "a+b"; a raw '+' must too
+      // (it is a literal in a query string under percent-decoding, not a
+      // form-encoded space)
+      val (c1, b1) = get(s"http://localhost:$port/state/plus?key=a%2Bb")
+      assert(c1 == 200 && b1.contains("\"v\":1.5"), s"$c1 $b1")
+      val (c2, _) = get(s"http://localhost:$port/state/plus?key=a+b")
+      assert(c2 == 200, s"raw '+' must stay a literal, got $c2")
+      // a serve() on a mismatched port must throw AND leave no stale
+      // registry entry behind
+      intercept[IllegalArgumentException] {
+        StateServer.serve(df, "stale", Seq("k"), port + 1, ckpt + "x")
+      }
+      assert(get(s"http://localhost:$port/state/stale")._1 == 404,
+        "failed serve() must not register its state name")
+    } finally {
+      q.stop()
+      StateServer.stop()
+    }
+  }
+
   test("stateful ops leave no residual state after windows close") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
