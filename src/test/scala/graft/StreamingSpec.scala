@@ -442,6 +442,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(st == Set((1L, 2.5), (2L, 3.5)), s"state mismatch: $st")
   }
 
+  test("StateBootstrap: batch-authored checkpoint warm-starts a streaming agg") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot-in-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-boot-ck-").toString
+    // WRITE side of the state-processor surface: author batch-0 state from
+    // a plain batch DataFrame (one row per key: key cols then buffer cols)
+    val seed = Seq(("a", 5L), ("b", 3L)).toDF("k", "count")
+    StateBootstrap.writeAggCheckpoint(seed, ckpt, Seq("k"),
+      numShufflePartitions = 4)
+    // files that arrive AFTER bootstrap — the only ones the stream reads
+    Seq("a", "c", "c").toDF("k").write.mode("append").parquet(dir)
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("k", StringType))))
+      .parquet(dir)
+      .groupBy("k").count()
+      .writeStream.format("memory").queryName("boot_t")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("boot_t").as[(String, Long)].collect().toMap
+      assert(got == Map("a" -> 6L, "b" -> 3L, "c" -> 2L),
+        s"first real batch must CONTINUE bootstrapped counts: $got")
+      // state persists batch-over-batch on top of the bootstrap
+      Seq("b").toDF("k").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got2 = spark.table("boot_t").as[(String, Long)].collect().toMap
+      assert(got2 == Map("a" -> 6L, "b" -> 4L, "c" -> 2L), s"batch 2: $got2")
+    } finally q.stop()
+    // round trip with the READ side: the running query's checkpoint is a
+    // normal statestore checkpoint
+    val back = StateQuery(spark, ckpt)
+      .selectExpr("key.k AS k", "value.count AS c")
+      .as[(String, Long)].collect().toMap
+    assert(back == Map("a" -> 6L, "b" -> 4L, "c" -> 2L),
+      s"StateQuery must read back the continued state: $back")
+  }
+
   private def triggeredPrep(d: DataFrame): DataFrame =
     EventTime.withWatermark(d, "ts", "5 seconds")
       .withColumn("ts_us", unix_micros(col("ts")))
