@@ -42,6 +42,35 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaDsl)
   }
 
+  test("TUMBLE SQL text runs on a STREAMING table: stream/batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("ts_ns"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("ts_ns", "user_id", "value")
+    val stmt =
+      """SELECT window_start, window_end, COUNT(*) AS n, SUM(value) AS sv
+        |FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts_ns), INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end""".stripMargin
+    // the SAME statement through the SAME entry, streaming substrate in
+    val out = FlinkSql.sql(spark, stmt, Map("ev" -> sdf))
+    assert(out.isStreaming, "SQL entry must keep a streaming input streaming")
+    val q = out.writeStream.format("memory").queryName("sql_stream_tumble")
+      .outputMode("complete").start()
+    val got =
+      try {
+        val (h1, h2) = rows.splitAt(rows.size / 2)
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        spark.table("sql_stream_tumble")
+      } finally q.stop()
+    val batch = FlinkSql.sql(spark, stmt,
+      Map("ev" -> rows.toDF("ts_ns", "user_id", "value")))
+    assertSame(got, batch)
+  }
+
   test("TUMBLE offset shifts the window grid") {
     val viaSql = FlinkSql.sql(spark,
       """SELECT window_start, window_end, COUNT(*) AS n
