@@ -488,6 +488,60 @@ object SqlQueries {
         ORDER BY a.window_start, a.event_type
       """.trim)),
 
+    // PARTITIONED BY + CTAS script shape (SqlCreateTable.java:57's
+    // PARTITIONED BY production + CreateTableAsUtil): INSERT into a
+    // partition-keyed filesystem sink (hive-style dirs → partition-pruned
+    // reads), then CTAS over the partitioned sink, then a SELECT with a
+    // partition-column predicate that prunes at the scan.
+    QueryDef(
+      "q_sql_ddl_partitioned",
+      (s, dir) => {
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_ddl_part").toString
+        FlinkDdl.run(s,
+          s"""CREATE TABLE events_raw (
+             |  event_id BIGINT,
+             |  user_id BIGINT,
+             |  event_type STRING,
+             |  value DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/events.parquet',
+             |  'format' = 'parquet'
+             |);
+             |
+             |CREATE TABLE by_user (
+             |  user_id BIGINT,
+             |  n BIGINT,
+             |  event_type STRING
+             |) PARTITIONED BY (event_type) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$sink/by_user',
+             |  'format' = 'parquet'
+             |);
+             |
+             |INSERT OVERWRITE by_user
+             |SELECT user_id, COUNT(*) AS n, event_type
+             |FROM events_raw GROUP BY user_id, event_type;
+             |
+             |CREATE TABLE totals WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$sink/totals',
+             |  'format' = 'parquet'
+             |) AS SELECT event_type, SUM(n) AS total, COUNT(*) AS n_users
+             |     FROM by_user GROUP BY event_type;
+             |
+             |SELECT event_type, total, n_users FROM totals
+             |WHERE event_type <> 'view'
+             |ORDER BY event_type""".stripMargin)
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS total,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events WHERE event_type <> 'view'
+        GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
     // ML_PREDICT TVF spelling (model-inference.md syntax,
     // StreamExecMLPredictTableFunction.java:55): same provider and oracle
     // as q_ml_predict, entered through SQL text with a registered MODEL.

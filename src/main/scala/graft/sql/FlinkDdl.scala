@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Flink-SQL DDL + DML script runner — the front half of a migrating user's
   * script that [[FlinkSql]] (queries only) could not parse: `CREATE TABLE`
   * with physical/computed columns, `WATERMARK FOR … AS …`, `PRIMARY KEY …
-  * NOT ENFORCED` and a `WITH ('connector'=…)` clause; `CREATE
-  * [TEMPORARY] VIEW`; `INSERT INTO | OVERWRITE`; `EXECUTE STATEMENT SET
-  * BEGIN …; …; END`; `SET 'k'='v'`; and trailing queries.
+  * NOT ENFORCED`, `PARTITIONED BY (…)` and a `WITH ('connector'=…)`
+  * clause; `CREATE TABLE … AS SELECT` (CTAS, authored immediately);
+  * `CREATE TABLE … LIKE base (merge clauses)`; `CREATE [TEMPORARY] VIEW`;
+  * `INSERT INTO | OVERWRITE`; `EXECUTE STATEMENT SET BEGIN …; …; END`;
+  * `SET 'k'='v'`; and trailing queries.
   *
   * Reference surface: flink-sql-parser/…/ddl/table/SqlCreateTable.java:57
   * (column list, computed columns, watermark, constraint, WITH options),
@@ -143,8 +145,28 @@ object FlinkDdl {
               .createOrReplaceTempView(name)
           } else {
             p.eat("TABLE")
-            val spec = parseCreateTable(p, stmt, temporary)
-            catalog(spec.name) = spec
+            val parsed = parseCreateTable(p, stmt, temporary)
+            val spec = parsed.like.fold(parsed.spec) { case (base, merge) =>
+              val baseSpec = catalog.getOrElse(base,
+                throw new IllegalArgumentException(
+                  s"LIKE references unknown table $base; " +
+                    s"known: ${catalog.keys.mkString(", ")}"))
+              mergeLike(parsed.spec, baseSpec, merge)
+            }
+            parsed.ctasQuery match {
+              case None => catalog(spec.name) = spec
+              case Some(q) =>
+                // CTAS authors the table NOW (reference: CreateTableAsUtil):
+                // run the query, derive the declared schema from its result,
+                // write through the normal sink path
+                val result = FlinkSql.sql(spark, q, tables(), models)
+                val derived = spec.copy(columns = result.schema.fields.toSeq
+                  .map(f => ColumnSpec(f.name, Some(f.dataType), None)))
+                catalog(derived.name) = derived
+                writeSink(spark, derived, result, overwrite = true)
+                lastSink = Some(derived.name)
+                lastQuery = None
+            }
           }
         case "INSERT" => runInsert(stmt)
         case "EXECUTE" | "BEGIN" =>
@@ -201,7 +223,8 @@ object FlinkDdl {
     // keep only declared physical columns (schema projection, so column
     // pruning starts from the declared shape), then computed/metadata
     val projected =
-      if (physicalNames.forall(n => base.columns.exists(_.equalsIgnoreCase(n))))
+      if (physicalNames.nonEmpty &&
+          physicalNames.forall(n => base.columns.exists(_.equalsIgnoreCase(n))))
         base.select(physicalNames.map(col): _*)
       else base // datagen already emits exactly the declared columns
     spec.columns.foldLeft(projected) {
@@ -372,16 +395,124 @@ object FlinkDdl {
 
   // ----------------------------------------------------- CREATE TABLE
 
+  /** How a `LIKE base` clause merges the base spec into the new table
+    * (reference: flink-sql-parser/…/ddl/table/SqlTableLike.java — merging
+    * strategies per feature). Defaults mirror the reference: INCLUDING
+    * ALL with OVERWRITING OPTIONS (child keys win). */
+  private[sql] final case class LikeMerge(
+      excludeAll: Boolean = false,
+      excludeOptions: Boolean = false,
+      excludeWatermarks: Boolean = false,
+      excludeConstraints: Boolean = false,
+      excludeGenerated: Boolean = false,
+      excludePartitions: Boolean = false)
+
+  private[sql] final case class CreateTable(
+      spec: TableSpec,
+      like: Option[(String, LikeMerge)],
+      ctasQuery: Option[String])
+
+  private[sql] def mergeLike(
+      child: TableSpec,
+      base: TableSpec,
+      m: LikeMerge): TableSpec = {
+    if (m.excludeAll) return child
+    val baseCols = base.columns
+      .filterNot(c => m.excludeGenerated && c.computedExpr.isDefined)
+      .filterNot(c => child.columns.exists(_.name.equalsIgnoreCase(c.name)))
+    val baseOpts =
+      if (m.excludeOptions) Map.empty[String, String]
+      else if (m.excludePartitions) base.options - "partition-keys"
+      else base.options
+    child.copy(
+      columns = baseCols ++ child.columns,
+      watermark = child.watermark.orElse(
+        if (m.excludeWatermarks) None else base.watermark),
+      primaryKey =
+        if (child.primaryKey.nonEmpty) child.primaryKey
+        else if (m.excludeConstraints) Nil else base.primaryKey,
+      options = baseOpts ++ child.options) // child (OVERWRITING) wins
+  }
+
+  /** `[( { INCLUDING | EXCLUDING | OVERWRITING } { ALL | OPTIONS |
+    * WATERMARKS | CONSTRAINTS | GENERATED | PARTITIONS } … )]` after
+    * `LIKE base`. INCLUDING and OVERWRITING both copy (child overrides on
+    * key conflicts — the reference's strict duplicate-key error under
+    * INCLUDING OPTIONS is relaxed to overwrite). */
+  private def parseLikeClauses(p: FlinkSql.P): LikeMerge = {
+    var m = LikeMerge()
+    if (p.opt("(")) {
+      while (p.peek != ")") {
+        val mode = p.ident().toUpperCase
+        val what = p.ident().toUpperCase
+        require(Set("INCLUDING", "EXCLUDING", "OVERWRITING")(mode),
+          s"unknown LIKE merge mode $mode")
+        val excl = mode == "EXCLUDING"
+        what match {
+          case "ALL" => m = m.copy(excludeAll = excl)
+          case "OPTIONS" => m = m.copy(excludeOptions = excl)
+          case "WATERMARKS" => m = m.copy(excludeWatermarks = excl)
+          case "CONSTRAINTS" => m = m.copy(excludeConstraints = excl)
+          case "GENERATED" => m = m.copy(excludeGenerated = excl)
+          case "PARTITIONS" => m = m.copy(excludePartitions = excl)
+          case other => throw new IllegalArgumentException(
+            s"unknown LIKE merge feature $other")
+        }
+        p.opt(",")
+      }
+      p.eat(")")
+    }
+    m
+  }
+
   private def parseCreateTable(
       p: FlinkSql.P,
       stmt: String,
-      temporary: Boolean): TableSpec = {
+      temporary: Boolean): CreateTable = {
     if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS") }
     val name = p.ident()
-    p.eat("(")
     val cols = Seq.newBuilder[ColumnSpec]
     var watermark: Option[WatermarkSpec] = None
     var pk: Seq[String] = Nil
+    // the column list is optional: CTAS and pure-LIKE forms omit it
+    if (p.opt("(")) parseColumnList(p, stmt, cols,
+      watermark = w => watermark = Some(w), pkOut = ks => pk = ks)
+    if (p.opt("COMMENT")) p.next()
+    // PARTITIONED BY (c1, …) → the sink writer's partition-keys option
+    // (Spark writer .partitionBy → hive-style dirs; reads prune on them)
+    var partitionKeys: Seq[String] = Nil
+    if (p.opt("PARTITIONED")) {
+      p.eat("BY"); p.eat("(")
+      val ks = scala.collection.mutable.ArrayBuffer(p.ident())
+      while (p.opt(",")) ks += p.ident()
+      p.eat(")")
+      partitionKeys = ks.toSeq
+    }
+    val options =
+      if (p.opt("WITH")) parseOptions(p) else Map.empty[String, String]
+    val like =
+      if (p.opt("LIKE")) {
+        val base = p.ident()
+        Some((base, parseLikeClauses(p)))
+      } else None
+    val ctas =
+      if (p.opt("AS")) Some(stmt.substring(p.toks(p.i).start)) else None
+    val withParts =
+      if (partitionKeys.isEmpty) options
+      else options + ("partition-keys" -> partitionKeys.mkString(","))
+    CreateTable(
+      TableSpec(name, cols.result(), watermark, pk, withParts, temporary),
+      like, ctas)
+  }
+
+  /** The parenthesized column/constraint/watermark list body (cursor just
+    * past the opening paren; consumes the closing paren). */
+  private def parseColumnList(
+      p: FlinkSql.P,
+      stmt: String,
+      cols: scala.collection.mutable.Builder[ColumnSpec, Seq[ColumnSpec]],
+      watermark: WatermarkSpec => Unit,
+      pkOut: Seq[String] => Unit): Unit = {
     var more = true
     while (more) {
       p.peek match {
@@ -389,14 +520,14 @@ object FlinkDdl {
           p.eat("WATERMARK"); p.eat("FOR")
           val c = p.ident()
           p.eat("AS")
-          watermark = Some(parseWatermarkExpr(p, c))
+          watermark(parseWatermarkExpr(p, c))
         case "PRIMARY" =>
           p.eat("PRIMARY"); p.eat("KEY"); p.eat("(")
           val ks = scala.collection.mutable.ArrayBuffer(p.ident())
           while (p.opt(",")) ks += p.ident()
           p.eat(")")
           p.eat("NOT"); p.eat("ENFORCED") // Flink's only allowed mode
-          pk = ks.toSeq
+          pkOut(ks.toSeq)
         case "CONSTRAINT" =>
           p.eat("CONSTRAINT"); p.ident() // named constraint → same path
         case _ =>
@@ -429,22 +560,21 @@ object FlinkDdl {
       more = p.opt(",")
     }
     p.eat(")")
-    if (p.opt("COMMENT")) p.next()
-    val options =
-      if (p.opt("WITH")) {
-        p.eat("(")
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
-        var go = true
-        while (go) {
-          val k = unquote(p.next().s)
-          p.eat("=")
-          m(k) = unquote(p.next().s)
-          go = p.opt(",")
-        }
-        p.eat(")")
-        m.toMap
-      } else Map.empty[String, String]
-    TableSpec(name, cols.result(), watermark, pk, options, temporary)
+  }
+
+  /** `( 'k' = 'v' [, …] )` (cursor just past WITH). */
+  private def parseOptions(p: FlinkSql.P): Map[String, String] = {
+    p.eat("(")
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var go = true
+    while (go) {
+      val k = unquote(p.next().s)
+      p.eat("=")
+      m(k) = unquote(p.next().s)
+      go = p.opt(",")
+    }
+    p.eat(")")
+    m.toMap
   }
 
   /** `c - INTERVAL '<n>' <unit>` (bounded-out-of-orderness) or bare `c`

@@ -198,6 +198,90 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(lower.nonEmpty && lower.sameElements(upper))
   }
 
+  test("PARTITIONED BY writes hive-style dirs and reads prune on them") {
+    val dir = tmpDir()
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='100', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE sink (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/sink',
+         |        'format'='parquet');
+         |INSERT INTO sink SELECT k,
+         |  CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS tag FROM src;
+         |SELECT tag, COUNT(*) AS n FROM sink GROUP BY tag
+         |""".stripMargin)
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("even" -> 50L, "odd" -> 50L), s"$got")
+    // physical layout: hive-style partition directories
+    assert(new java.io.File(s"$dir/sink/tag=even").isDirectory &&
+      new java.io.File(s"$dir/sink/tag=odd").isDirectory)
+    // a filter on the partition column must prune at the scan, not filter
+    // rows post-read
+    val res = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE sink (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/sink',
+         |        'format'='parquet')""".stripMargin)
+    val pruned = FlinkDdl.sourceDf(spark, res.catalog("sink"))
+      .where(col("tag") === "even")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^]]*tag[^]]*\\].*"),
+      s"partition filter must reach the scan:\n$plan")
+    assert(pruned.count() == 50)
+  }
+
+  test("CTAS authors the table immediately and registers its schema") {
+    val dir = tmpDir()
+    val res = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='100', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE agg WITH ('connector'='filesystem',
+         |  'path'='$dir/agg', 'format'='parquet')
+         |AS SELECT k % 10 AS g, COUNT(*) AS n FROM src GROUP BY k % 10;
+         |SELECT COUNT(*) AS groups, SUM(n) AS total FROM agg
+         |""".stripMargin)
+    val r = res.dataFrame.collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((10L, 100L)), s"$r")
+    // CTAS derived the declared schema from the query result
+    val spec = res.catalog("agg")
+    assert(spec.columns.map(_.name) == Seq("g", "n"))
+    // a CTAS-terminated script returns the authored table
+    val tail = FlinkDdl.run(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='7', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE copy2 WITH ('connector'='filesystem',
+         |  'path'='$dir/copy2', 'format'='parquet')
+         |AS SELECT k FROM src
+         |""".stripMargin)
+    assert(tail.count() == 7)
+  }
+
+  test("CREATE TABLE LIKE merges base spec per clause") {
+    val res = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE base (k BIGINT, v DOUBLE,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='/tmp/p1',
+         |        'format'='parquet');
+         |CREATE TABLE derived (extra STRING)
+         |  WITH ('path'='/tmp/p2')
+         |  LIKE base (EXCLUDING CONSTRAINTS)""".stripMargin)
+    val d = res.catalog("derived")
+    assert(d.columns.map(_.name) == Seq("k", "v", "extra"), s"${d.columns}")
+    assert(d.options("connector") == "filesystem" &&
+      d.options("path") == "/tmp/p2" && d.primaryKey.isEmpty)
+    // EXCLUDING ALL keeps only the child's own declaration
+    val res2 = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE base (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='/tmp/p1', 'format'='parquet');
+         |CREATE TABLE solo (x INT) WITH ('connector'='blackhole')
+         |  LIKE base (EXCLUDING ALL)""".stripMargin)
+    val s = res2.catalog("solo")
+    assert(s.columns.map(_.name) == Seq("x") && s.options.size == 1)
+  }
+
   test("temporal join inside a subquery rewrites its own block's aliases") {
     val e = Tables.events(spark, sf)
     val purchases = graft.operators.Dedup.keepFirst(
