@@ -129,6 +129,91 @@ object FlinkDdl {
       lastQuery = None
     }
 
+    runStatements(spark, script, catalog, tables, models,
+      onInsert = runInsert,
+      onCtas = (spec, q) => {
+        // CTAS authors the table NOW (reference: CreateTableAsUtil): run
+        // the query, derive the declared schema from its result, write
+        // through the normal sink path
+        val result = FlinkSql.sql(spark, q, tables(), models)
+        val derived = spec.copy(columns = result.schema.fields.toSeq
+          .map(f => ColumnSpec(f.name, Some(f.dataType), None)))
+        catalog(derived.name) = derived
+        writeSink(spark, derived, result, overwrite = true)
+        lastSink = Some(derived.name)
+        lastQuery = None
+      },
+      onQuery = stmt => {
+        lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), models))
+      })
+    new ScriptResult(catalog.toMap, lastQuery, lastSink, spark)
+  }
+
+  /** Execute a script in STREAMING mode — the reference's default
+    * execution mode for a SQL script (EnvironmentSettings.inStreamingMode;
+    * [[run]]/[[runScript]] are the inBatchMode face): every filesystem
+    * source reads as a stream with its declared watermark applied, and
+    * every `INSERT INTO` starts a CONTINUOUS query writing to its sink.
+    * Returns the started queries in statement order — the caller owns
+    * their lifecycle (the reference returns a TableResult per insert /
+    * statement set the same way).
+    *
+    * Sink checkpointing: the sink table's `'sink.checkpoint-dir'` option,
+    * or a fresh temp dir when absent. Trailing SELECT statements are
+    * built (they must parse and resolve) but not executed — attach them
+    * via [[streamingSource]] + your own writeStream instead. Streaming
+    * CTAS is rejected, as in the reference's streaming CTAS w/o
+    * exactly-once sink support. INSERT queries must be append-capable
+    * under Spark semantics (projections, filters, stream-stream/static
+    * joins, dedup); windowed aggregations stream through the
+    * [[graft.streaming.StreamingWindows]] DSL face.
+    */
+  def runStreaming(
+      spark: SparkSession,
+      script: String,
+      extra: Map[String, DataFrame] = Map.empty,
+      models: Map[String, graft.ml.ModelProvider] = Map.empty)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val catalog = scala.collection.mutable.LinkedHashMap.empty[String, TableSpec]
+    val started =
+      Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
+
+    def tables(): Map[String, DataFrame] =
+      extra ++ catalog.iterator.flatMap { case (n, spec) =>
+        if (spec.connector == "filesystem")
+          scala.util.Try(n -> streamingSource(spark, spec)).toOption
+        else None
+      }
+
+    def startInsert(stmtText: String): Unit = {
+      val (sink, query, overwrite) = splitInsert(stmtText)
+      require(!overwrite, "INSERT OVERWRITE is a batch-mode statement; " +
+        "streaming inserts append")
+      val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
+        s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
+      val result = FlinkSql.sql(spark, query, tables(), models)
+      started += startStreamSink(spec, alignToSink(spec, result))
+    }
+
+    runStatements(spark, script, catalog, tables, models,
+      onInsert = startInsert,
+      onCtas = (spec, _) => throw new IllegalArgumentException(
+        s"CREATE TABLE ${spec.name} AS SELECT is not supported in " +
+          "streaming mode — declare the sink and INSERT INTO it"),
+      onQuery = stmt => { FlinkSql.sql(spark, stmt, tables(), models); () })
+    started.result()
+  }
+
+  /** Shared statement loop for the batch and streaming faces. */
+  private def runStatements(
+      spark: SparkSession,
+      script: String,
+      catalog: scala.collection.mutable.LinkedHashMap[String, TableSpec],
+      tables: () => Map[String, DataFrame],
+      models: Map[String, graft.ml.ModelProvider],
+      onInsert: String => Unit,
+      onCtas: (TableSpec, String) => Unit,
+      onQuery: String => Unit): Unit = {
     for (stmt <- splitStatements(script)) {
       val toks = FlinkSql.tokenize(stmt)
       if (toks.nonEmpty) toks.head.up match {
@@ -155,24 +240,14 @@ object FlinkDdl {
             }
             parsed.ctasQuery match {
               case None => catalog(spec.name) = spec
-              case Some(q) =>
-                // CTAS authors the table NOW (reference: CreateTableAsUtil):
-                // run the query, derive the declared schema from its result,
-                // write through the normal sink path
-                val result = FlinkSql.sql(spark, q, tables(), models)
-                val derived = spec.copy(columns = result.schema.fields.toSeq
-                  .map(f => ColumnSpec(f.name, Some(f.dataType), None)))
-                catalog(derived.name) = derived
-                writeSink(spark, derived, result, overwrite = true)
-                lastSink = Some(derived.name)
-                lastQuery = None
+              case Some(q) => onCtas(spec, q)
             }
           }
-        case "INSERT" => runInsert(stmt)
+        case "INSERT" => onInsert(stmt)
         case "EXECUTE" | "BEGIN" =>
           // EXECUTE STATEMENT SET BEGIN <insert>; …; END  (or the legacy
           // BEGIN STATEMENT SET; … END spelling)
-          for (inner <- statementSetInserts(stmt)) runInsert(inner)
+          for (inner <- statementSetInserts(stmt)) onInsert(inner)
         case "SET" => () // session config — accepted, not interpreted
         case "DROP" =>
           val p = new FlinkSql.P(toks, stmt)
@@ -181,11 +256,9 @@ object FlinkDdl {
             catalog.remove(p.ident()) }
           else { p.eat("VIEW"); p.opt("IF"); p.opt("EXISTS")
             spark.catalog.dropTempView(p.ident()) }
-        case _ =>
-          lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), models))
+        case _ => onQuery(stmt)
       }
     }
-    new ScriptResult(catalog.toMap, lastQuery, lastSink, spark)
   }
 
   // -------------------------------------------------------- source/sink
@@ -280,28 +353,59 @@ object FlinkDdl {
     base.select(out: _*)
   }
 
+  /** Align a query result to the sink's declared physical schema: match
+    * by name when the names line up, positionally otherwise, casting to
+    * declared types. */
+  private def alignToSink(spec: TableSpec, df: DataFrame): DataFrame = {
+    val declared = spec.columns.collect {
+      case ColumnSpec(n, Some(t), _, false) => (n, t) }
+    if (declared.isEmpty) df
+    else {
+      require(df.columns.length == declared.size,
+        s"INSERT into ${spec.name}: query has ${df.columns.length} " +
+          s"columns, sink declares ${declared.size}")
+      val byName = declared.forall { case (n, _) =>
+        df.columns.exists(_.equalsIgnoreCase(n)) }
+      df.select(declared.zipWithIndex.map { case ((n, t), i) =>
+        (if (byName) col(df.columns.find(_.equalsIgnoreCase(n)).get)
+         else col(df.columns(i))).cast(t).as(n)
+      }: _*)
+    }
+  }
+
+  /** Continuous write of an (aligned) streaming result into a sink table. */
+  private def startStreamSink(
+      spec: TableSpec,
+      aligned: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckpt = spec.options.getOrElse("sink.checkpoint-dir",
+      java.nio.file.Files
+        .createTempDirectory(s"graft_ddl_ck_${spec.name}_").toString)
+    spec.connector match {
+      case "filesystem" =>
+        val w = aligned.writeStream.format(spec.format)
+          .option("path", spec.path)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+        spec.options.get("partition-keys")
+          .fold(w)(ks => w.partitionBy(ks.split(",").map(_.trim): _*))
+          .start()
+      case "print" =>
+        aligned.writeStream.format("console")
+          .option("checkpointLocation", ckpt).start()
+      case "blackhole" =>
+        aligned.writeStream.format("noop")
+          .option("checkpointLocation", ckpt).start()
+      case other => throw new IllegalArgumentException(
+        s"unsupported streaming sink connector '$other' for ${spec.name}")
+    }
+  }
+
   private def writeSink(
       spark: SparkSession,
       spec: TableSpec,
       df: DataFrame,
       overwrite: Boolean): Unit = {
-    // align to the sink's declared physical schema: match by name when the
-    // names line up, positionally otherwise, casting to declared types
-    val declared = spec.columns.collect {
-      case ColumnSpec(n, Some(t), _, false) => (n, t) }
-    val aligned =
-      if (declared.isEmpty) df
-      else {
-        require(df.columns.length == declared.size,
-          s"INSERT into ${spec.name}: query has ${df.columns.length} " +
-            s"columns, sink declares ${declared.size}")
-        val byName = declared.forall { case (n, _) =>
-          df.columns.exists(_.equalsIgnoreCase(n)) }
-        df.select(declared.zipWithIndex.map { case ((n, t), i) =>
-          (if (byName) col(df.columns.find(_.equalsIgnoreCase(n)).get)
-           else col(df.columns(i))).cast(t).as(n)
-        }: _*)
-      }
+    val aligned = alignToSink(spec, df)
     spec.connector match {
       case "filesystem" =>
         val w = aligned.write

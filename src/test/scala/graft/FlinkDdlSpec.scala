@@ -259,6 +259,61 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(tail.count() == 7)
   }
 
+  test("runStreaming: INSERT INTO starts a continuous query on file streams") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (
+         |  event_id BIGINT, user_id BIGINT, value DOUBLE
+         |) WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE snk (event_id BIGINT, big DOUBLE)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO snk
+         |SELECT event_id, value * 2 AS big FROM src WHERE user_id % 2 = 0
+         |""".stripMargin)
+    assert(qs.size == 1 && qs.head.isActive)
+    try {
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val (h1, h2) = (ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1))
+      val expected = ev.where(col("user_id") % 2 === 0).count()
+      h1.write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      val afterFirst = spark.read.parquet(s"$dir/snk").count()
+      assert(afterFirst > 0 && afterFirst < expected,
+        s"first file batch only: $afterFirst of $expected")
+      // a file arriving later is picked up by the SAME running query
+      h2.write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/snk")
+      assert(out.count() == expected, s"${out.count()} vs $expected")
+      // the transform ran, not just a copy
+      val chk = out.as[(Long, Double)].collect().toMap
+      val src = ev.where(col("user_id") % 2 === 0)
+        .as[(Long, Long, Double)].collect()
+      src.foreach { case (id, _, v) => assert(chk(id) == v * 2) }
+    } finally qs.foreach(_.stop())
+  }
+
+  test("runStreaming rejects batch-only statements") {
+    val dir = tmpDir()
+    intercept[IllegalArgumentException] {
+      FlinkDdl.runStreaming(spark,
+        s"""CREATE TABLE snk (k BIGINT) WITH ('connector'='filesystem',
+           |  'path'='$dir/x', 'format'='parquet');
+           |INSERT OVERWRITE snk SELECT 1 AS k""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      FlinkDdl.runStreaming(spark,
+        s"""CREATE TABLE c WITH ('connector'='filesystem',
+           |  'path'='$dir/y', 'format'='parquet') AS SELECT 1 AS k""".stripMargin)
+    }
+  }
+
   test("CREATE TABLE LIKE merges base spec per clause") {
     val res = FlinkDdl.runScript(spark,
       s"""CREATE TABLE base (k BIGINT, v DOUBLE,
