@@ -32,4 +32,45 @@ object StateBootstrap {
       operatorId: Long = 0): Unit =
     org.apache.spark.sql.execution.streaming.state.GraftStateBootstrapCore
       .writeAggState(df, checkpoint, keyCols, numShufflePartitions, operatorId)
+
+  /** Author a `dropDuplicates(keyCols)` checkpoint: every key in `df` is
+    * treated as already seen (and therefore suppressed) by the resuming
+    * streaming dedup. */
+  def writeDedupCheckpoint(
+      df: DataFrame,
+      checkpoint: String,
+      keyCols: Seq[String],
+      numShufflePartitions: Int,
+      operatorId: Long = 0): Unit =
+    org.apache.spark.sql.execution.streaming.state.GraftStateBootstrapCore
+      .writeDedupState(df, checkpoint, keyCols, numShufflePartitions,
+        operatorId)
+
+  /** Prepare a FILE-SINK output directory for a bootstrap-resumed query:
+    * the sink's transaction log (`_spark_metadata`) needs an (empty)
+    * entry for the committed batch 0, or readers of the output directory
+    * fail on the gap once batch 1 commits. Call once per file-sink
+    * destination before starting the resumed query. */
+  def prepareFileSink(outputDir: String): Unit = {
+    val p = java.nio.file.Paths.get(outputDir, "_spark_metadata", "0")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, "v1")
+  }
+
+  /** Author a `mapGroupsWithState`/`flatMapGroupsWithState` checkpoint —
+    * the reference state-processor API's headline use (bootstrap a custom
+    * keyed process function's state). `df` carries the key columns, then
+    * the user state-encoder's fields in declaration order, then (only if
+    * the resuming query configures a GroupStateTimeout) `timeoutCol` in
+    * epoch millis (-1 = no timeout armed for the key). */
+  def writeGroupStateCheckpoint(
+      df: DataFrame,
+      checkpoint: String,
+      keyCols: Seq[String],
+      numShufflePartitions: Int,
+      operatorId: Long = 0,
+      timeoutCol: Option[String] = None): Unit =
+    org.apache.spark.sql.execution.streaming.state.GraftStateBootstrapCore
+      .writeGroupState(df, checkpoint, keyCols, numShufflePartitions,
+        operatorId, timeoutCol)
 }

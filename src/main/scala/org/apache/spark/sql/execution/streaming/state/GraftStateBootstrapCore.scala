@@ -1,17 +1,26 @@
 package org.apache.spark.sql.execution.streaming.state
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Expression, Literal, UnsafeProjection}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
 /** Core of the state BOOTSTRAP WRITE path (graft.streaming.StateBootstrap
-  * is the public face): author a Structured Streaming aggregation
-  * checkpoint — state delta files plus the offsets/commits/metadata logs —
-  * from a batch DataFrame of pre-aggregated rows, so a streaming query
-  * started against that checkpoint resumes "from" the batch data and
-  * continues its counts.
+  * is the public face): author a Structured Streaming checkpoint — state
+  * delta files plus the offsets/commits/metadata logs — from a batch
+  * DataFrame of pre-computed state rows, so a streaming query started
+  * against that checkpoint resumes "from" the batch data.
+  *
+  * Three state layouts, one per stateful operator family:
+  *  - aggregation (`groupBy.agg`, state format v2): value row = the
+  *    aggregation buffer columns (key columns NOT repeated);
+  *  - deduplication (`dropDuplicates`): value row = the EMPTY row — the
+  *    store is a key-presence set;
+  *  - flatMapGroupsWithState / mapGroupsWithState (state format v2):
+  *    value row = `groupState` struct of the user state's encoder fields,
+  *    plus a `timeoutTimestamp` LONG only when the resuming query uses a
+  *    GroupStateTimeout (the engine's conditional schema).
   *
   * This is the reverse of the state READ path (graft.streaming.StateQuery
   * over `format("statestore")`) and the Spark-native analog of the
@@ -30,7 +39,7 @@ import org.apache.spark.util.SerializableConfiguration
   * partitioned rows — each task writes exactly its partition's delta, no
   * driver involvement, no shuffle beyond the one key repartition (which is
   * REQUIRED: rows must land in the same partition the streaming
-  * aggregation's HashPartitioning will later look them up in — same
+  * operator's HashPartitioning will later look them up in — same
   * Murmur3 hash, same modulus).
   */
 object GraftStateBootstrapCore {
@@ -46,14 +55,76 @@ object GraftStateBootstrapCore {
       keyCols: Seq[String],
       numShufflePartitions: Int,
       operatorId: Long): Unit = {
-    val spark = df.sparkSession
     val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+    writeState(df, checkpoint, keyCols, valueCols, numShufflePartitions,
+      operatorId) { (fields, idx) =>
+        idx.map(i => BoundReference(i, fields(i).dataType, fields(i).nullable))
+      }
+  }
+
+  /** Write `df`'s key columns (one row per distinct key) as streaming
+    * deduplication state: `dropDuplicates(keyCols)` started on the
+    * checkpoint treats every bootstrapped key as already emitted. The
+    * stored value is the engine's presence sentinel (a single-NullType
+    * row — StreamingDeduplicateExec.EMPTY_ROW). */
+  def writeDedupState(
+      df: DataFrame,
+      checkpoint: String,
+      keyCols: Seq[String],
+      numShufflePartitions: Int,
+      operatorId: Long): Unit =
+    writeState(df.select(keyCols.map(col): _*), checkpoint, keyCols, Nil,
+      numShufflePartitions, operatorId)((_, _) =>
+        Seq(Literal(null, org.apache.spark.sql.types.NullType)))
+
+  /** Write `df` (key columns + user-state columns [+ `timeoutCol`]) as
+    * `mapGroupsWithState` / `flatMapGroupsWithState` keyed state (state
+    * format v2): the non-key columns must match the resuming query's
+    * state-encoder fields in order and type. Pass `timeoutCol` iff the
+    * resuming query sets a GroupStateTimeout (the engine only adds the
+    * `timeoutTimestamp` slot to the state schema then); epoch millis, or
+    * -1 for "no timeout set on this key". */
+  def writeGroupState(
+      df: DataFrame,
+      checkpoint: String,
+      keyCols: Seq[String],
+      numShufflePartitions: Int,
+      operatorId: Long,
+      timeoutCol: Option[String]): Unit = {
+    val stateCols = df.columns
+      .filterNot(keyCols.contains).filterNot(timeoutCol.contains).toSeq
+    writeState(df, checkpoint, keyCols, stateCols ++ timeoutCol,
+      numShufflePartitions, operatorId) { (fields, idx) =>
+        val stateIdx = timeoutCol.fold(idx)(_ => idx.dropRight(1))
+        val nested = CreateNamedStruct(stateIdx.flatMap { i =>
+          Seq(Literal(fields(i).name),
+            BoundReference(i, fields(i).dataType, fields(i).nullable))
+        })
+        val timeout = timeoutCol.map(_ => BoundReference(idx.last,
+          fields(idx.last).dataType, nullable = false))
+        Seq(nested) ++ timeout
+      }
+  }
+
+  /** Shared writer: repartition by key hash, write each partition's
+    * version-1 delta through the provider API, author the batch-0 logs.
+    * `valueExprs(fields, valueIdx)` builds the bound value-row
+    * projection expressions from the shaped schema. */
+  private def writeState(
+      df: DataFrame,
+      checkpoint: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      numShufflePartitions: Int,
+      operatorId: Long)(
+      valueExprs: (Array[org.apache.spark.sql.types.StructField], Seq[Int])
+        => Seq[Expression]): Unit = {
+    val spark = df.sparkSession
     val shaped = df.select((keyCols ++ valueCols).map(col): _*)
       .repartition(numShufflePartitions, keyCols.map(col): _*)
     val schema = shaped.schema
     val nKeys = keyCols.length
     val keySchema = StructType(schema.fields.take(nKeys))
-    val valueSchema = StructType(schema.fields.drop(nKeys))
     val stateRoot = new org.apache.hadoop.fs.Path(checkpoint, "state").toString
     val conf0 = spark.sessionState.newHadoopConf()
     // the provider derives its instance identity from the streaming run id
@@ -63,6 +134,11 @@ object GraftStateBootstrapCore {
       java.util.UUID.randomUUID().toString)
     val hadoopConf = new SerializableConfiguration(conf0)
     val fields = schema.fields
+    val valueIdx = nKeys until fields.length
+    val vExprs = valueExprs(fields, valueIdx.toSeq)
+    val valueSchema = StructType(vExprs.zipWithIndex.map { case (e, i) =>
+      org.apache.spark.sql.types.StructField(s"_$i", e.dataType, e.nullable)
+    })
 
     shaped.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val provider = new HDFSBackedStateStoreProvider()
@@ -76,8 +152,7 @@ object GraftStateBootstrapCore {
       val store = provider.getStore(0)
       val keyProj = UnsafeProjection.create((0 until nKeys).map(i =>
         BoundReference(i, fields(i).dataType, fields(i).nullable)))
-      val valProj = UnsafeProjection.create((nKeys until fields.length).map(i =>
-        BoundReference(i, fields(i).dataType, fields(i).nullable)))
+      val valProj = UnsafeProjection.create(vExprs)
       it.foreach { row =>
         // projections reuse buffers; the store keeps references → copy
         store.put(keyProj(row).copy(), valProj(row).copy())
