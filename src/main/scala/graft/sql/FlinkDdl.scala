@@ -145,7 +145,8 @@ object FlinkDdl {
       },
       onQuery = stmt => {
         lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), models))
-      })
+      },
+      onResult = df => { lastQuery = Some(df); lastSink = None })
     new ScriptResult(catalog.toMap, lastQuery, lastSink, spark)
   }
 
@@ -200,8 +201,22 @@ object FlinkDdl {
       onCtas = (spec, _) => throw new IllegalArgumentException(
         s"CREATE TABLE ${spec.name} AS SELECT is not supported in " +
           "streaming mode — declare the sink and INSERT INTO it"),
-      onQuery = stmt => { FlinkSql.sql(spark, stmt, tables(), models); () })
+      onQuery = stmt => { FlinkSql.sql(spark, stmt, tables(), models); () },
+      onResult = _ => ())
     started.result()
+  }
+
+  /** Small local-metadata result (SHOW/DESCRIBE/EXPLAIN output). */
+  private def metaDf(
+      spark: SparkSession,
+      cols: Seq[(String, DataType)],
+      rows: Seq[Seq[Any]]): DataFrame = {
+    val schema = StructType(cols.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t) })
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        rows.map(r => org.apache.spark.sql.Row(r: _*)): _*),
+      schema)
   }
 
   /** Shared statement loop for the batch and streaming faces. */
@@ -213,7 +228,8 @@ object FlinkDdl {
       models: Map[String, graft.ml.ModelProvider],
       onInsert: String => Unit,
       onCtas: (TableSpec, String) => Unit,
-      onQuery: String => Unit): Unit = {
+      onQuery: String => Unit,
+      onResult: DataFrame => Unit): Unit = {
     for (stmt <- splitStatements(script)) {
       val toks = FlinkSql.tokenize(stmt)
       if (toks.nonEmpty) toks.head.up match {
@@ -249,6 +265,49 @@ object FlinkDdl {
           // BEGIN STATEMENT SET; … END spelling)
           for (inner <- statementSetInserts(stmt)) onInsert(inner)
         case "SET" => () // session config — accepted, not interpreted
+        case "SHOW" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("SHOW")
+          require(p.ident().equalsIgnoreCase("TABLES"),
+            "only SHOW TABLES is supported")
+          onResult(metaDf(spark, Seq("table name" -> StringType),
+            catalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+        case "DESCRIBE" | "DESC" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.next()
+          val name = p.ident()
+          val spec = catalog.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"DESCRIBE of unknown table $name"))
+          // the reference's DESCRIBE shape: name, type, null, key,
+          // extras, watermark
+          val wmText = spec.watermark
+            .map(w => s"${w.col} - INTERVAL '${w.delay}'").getOrElse(null)
+          onResult(metaDf(spark,
+            Seq("name" -> StringType, "type" -> StringType,
+              "null" -> BooleanType, "key" -> StringType,
+              "extras" -> StringType, "watermark" -> StringType),
+            spec.columns.map { c =>
+              Seq[Any](
+                c.name,
+                c.dataType.map(_.sql).getOrElse("COMPUTED"),
+                true,
+                if (spec.primaryKey.contains(c.name))
+                  s"PRI(${spec.primaryKey.mkString(", ")})" else null,
+                c.computedExpr.map(e => s"AS $e")
+                  .getOrElse(if (c.isMetadata) "METADATA" else null),
+                if (spec.watermark.exists(_.col == c.name)) wmText else null)
+            }))
+        case "EXPLAIN" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("EXPLAIN")
+          if (p.opt("PLAN")) p.eat("FOR")
+          val q = stmt.substring(p.toks(p.i).start)
+          val plan = FlinkSql.sql(spark, q, tables(), models)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.SimpleMode)
+          onResult(metaDf(spark, Seq("plan" -> StringType),
+            Seq(Seq[Any](plan))))
         case "DROP" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("DROP"); p.opt("TEMPORARY")

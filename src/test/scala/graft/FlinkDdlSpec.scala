@@ -314,6 +314,35 @@ class FlinkDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("SHOW TABLES / DESCRIBE / EXPLAIN script statements") {
+    val ddl =
+      s"""CREATE TABLE ev (
+         |  event_id BIGINT,
+         |  user_id BIGINT,
+         |  value DOUBLE,
+         |  ts BIGINT,
+         |  ts_ltz AS TO_TIMESTAMP_LTZ(ts DIV 1000000, 3),
+         |  WATERMARK FOR ts_ltz AS ts_ltz - INTERVAL '5' SECOND,
+         |  PRIMARY KEY (event_id) NOT ENFORCED
+         |) WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
+         |        'format'='parquet');
+         |CREATE TABLE other (k INT) WITH ('connector'='blackhole');""".stripMargin
+    val shown = FlinkDdl.run(spark, s"$ddl\nSHOW TABLES")
+      .collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("ev", "other"), s"$shown")
+    val desc = FlinkDdl.run(spark, s"$ddl\nDESCRIBE ev").collect()
+    assert(desc.length == 5)
+    val byName = desc.map(r => r.getString(0) -> r).toMap
+    assert(byName("event_id").getString(1) == "BIGINT" &&
+      byName("event_id").getString(3) != null) // key column
+    assert(byName("ts_ltz").getString(1) == "COMPUTED" &&
+      byName("ts_ltz").getString(5) != null) // watermark column
+    val plan = FlinkDdl.run(spark,
+      s"$ddl\nEXPLAIN SELECT user_id, COUNT(*) AS n FROM ev GROUP BY user_id")
+      .collect().head.getString(0)
+    assert(plan.contains("Physical Plan"), s"plan text: $plan")
+  }
+
   test("CREATE TABLE LIKE merges base spec per clause") {
     val res = FlinkDdl.runScript(spark,
       s"""CREATE TABLE base (k BIGINT, v DOUBLE,
