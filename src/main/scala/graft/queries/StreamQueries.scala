@@ -24,6 +24,47 @@ object StreamQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // State bootstrap WRITE path (flink-state-processing-api/…/
+    // StateBootstrapTransformation.java:63, SavepointWriter): batch
+    // pre-aggregate HALF the events, author a committed-batch-0
+    // checkpoint from it, then stream the OTHER half into a groupBy-count
+    // that resumes from the bootstrapped state — the final counts must
+    // equal a flat aggregate over ALL events, which is the oracle.
+    QueryDef(
+      "q_state_bootstrap",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"))
+        val seedSrc = ev.where(pmod(col("event_id"), lit(2)) === 0)
+        val rest = ev.where(pmod(col("event_id"), lit(2)) === 1)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_bs_ck").toString
+        val inDir = java.nio.file.Files
+          .createTempDirectory("graft_bs_in").toString
+        StateBootstrap.writeAggCheckpoint(
+          seedSrc.groupBy("user_id").agg(count(lit(1)).as("cnt")),
+          ckpt, Seq("user_id"),
+          numShufflePartitions =
+            s.conf.get("spark.sql.shuffle.partitions").toInt)
+        rest.select("user_id").write.mode("append").parquet(inDir)
+        val name =
+          s"bs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType))))
+          .parquet(inDir)
+          .groupBy("user_id").count()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("user_id"), col("count").as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n FROM events
+        GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
     QueryDef(
       "q_unified_tumble",
       (s, dir) => {
