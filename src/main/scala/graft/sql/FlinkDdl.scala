@@ -265,6 +265,26 @@ object FlinkDdl {
           // BEGIN STATEMENT SET; … END spelling)
           for (inner <- statementSetInserts(stmt)) onInsert(inner)
         case "SET" => () // session config — accepted, not interpreted
+        case "ALTER" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("ALTER"); p.eat("TABLE")
+          if (p.opt("IF")) p.eat("EXISTS")
+          val name = p.ident()
+          val spec = catalog.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"ALTER of unknown table $name; known: " +
+                catalog.keys.mkString(", ")))
+          if (p.opt("RENAME")) {
+            p.eat("TO")
+            val to = p.ident()
+            catalog.remove(name)
+            catalog(to) = spec.copy(name = to)
+          } else {
+            p.eat("SET")
+            // ALTER TABLE t SET ('k'='v', …) — merge, new keys win
+            catalog(name) = spec.copy(options =
+              spec.options ++ parseOptions(p))
+          }
         case "SHOW" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("SHOW")

@@ -258,7 +258,10 @@ object FlinkSql {
   /** `TABLE( TUMBLE|HOP|CUMULATE|SESSION( TABLE t [PARTITION BY k],
     * DESCRIPTOR(c), INTERVAL … [, INTERVAL …]) )` — returns the
     * window-assigned DataFrame plus the char offset just past the final
-    * `)`.
+    * `)`. Each argument may carry the reference grammar's named-parameter
+    * prefix (`DATA =>`, `TIMECOL =>`, `SIZE =>`, `SLIDE =>`, `STEP =>`,
+    * `GAP =>`, `OFFSET =>`) — names are positional sugar, as in the
+    * reference's TVF call form.
     */
   private def translateWindowTvf(
       spark: SparkSession,
@@ -268,17 +271,20 @@ object FlinkSql {
     p.eat("TABLE"); p.eat("(")
     val fn = p.ident().toUpperCase
     p.eat("(")
+    optNamedArg(p) // DATA =>
     p.eat("TABLE")
     val tableName = p.ident()
     val partitionKey =
       if (p.opt("PARTITION")) { p.eat("BY"); Some(p.ident()) } else None
     p.eat(",")
+    optNamedArg(p) // TIMECOL =>
     p.eat("DESCRIPTOR"); p.eat("(")
     val tsCol = p.ident()
     p.eat(")")
     p.eat(",")
+    optNamedArg(p) // SIZE => / SLIDE => / STEP => / GAP =>
     val args = scala.collection.mutable.ArrayBuffer[Long](interval(p))
-    while (p.opt(",")) args += interval(p)
+    while (p.opt(",")) { optNamedArg(p); args += interval(p) }
     p.eat(")")
     val endTok = p.eat(")").end
 
@@ -342,14 +348,20 @@ object FlinkSql {
             explode(Windows.cumulateEnds(col(nsCol), maxSize, step)))
       case "SESSION" =>
         require(args.size == 1, s"SESSION takes gap, got $args")
-        val key = partitionKey.getOrElse(throw new IllegalArgumentException(
-          "SESSION requires a partition key (keyed sessions)"))
         val gap = args(0)
-        Sessionize(in, key, nsCol, gap)
+        // no PARTITION BY → GLOBAL sessions (the reference's unkeyed
+        // session TVF): one island chain over the whole table, via a
+        // constant key that never reaches the output
+        val (keyed, key) = partitionKey match {
+          case Some(k) => (in, k)
+          case None => (in.withColumn("__graft_gk", lit(0)), "__graft_gk")
+        }
+        val sessioned = Sessionize(keyed, key, nsCol, gap)
           .withColumnRenamed("__session_start", "window_start")
           .withColumn("window_end",
             max(col(nsCol)).over(
               Window.partitionBy(col(key), col("window_start"))) + lit(gap))
+        if (partitionKey.isEmpty) sessioned.drop("__graft_gk") else sessioned
       case other =>
         throw new IllegalArgumentException(s"unknown window TVF $other")
     }

@@ -314,6 +314,55 @@ class FlinkDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("ALTER TABLE SET / RENAME TO and INSERT INTO VALUES") {
+    val dir = tmpDir()
+    val res = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE t1 (k BIGINT, v STRING) WITH (
+         |  'connector'='filesystem', 'path'='$dir/a', 'format'='parquet');
+         |ALTER TABLE t1 SET ('path'='$dir/b', 'custom'='x');
+         |ALTER TABLE t1 RENAME TO t2;
+         |INSERT INTO t2 VALUES (1, 'one'), (2, 'two');
+         |SELECT k, v FROM t2 ORDER BY k""".stripMargin)
+    assert(!res.catalog.contains("t1") &&
+      res.catalog("t2").options("path") == s"$dir/b" &&
+      res.catalog("t2").options("custom") == "x")
+    val rows = res.dataFrame.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "one"), (2L, "two")), s"${rows.toSeq}")
+    // the VALUES write landed under the ALTERed path
+    assert(new java.io.File(s"$dir/b").isDirectory &&
+      !new java.io.File(s"$dir/a").exists())
+  }
+
+  test("named-argument window TVF calls and global SESSION") {
+    val ev = Tables.events(spark, sf)
+    // named-parameter call form == positional form
+    val named = FlinkSql.sql(spark,
+      """SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(DATA => TABLE events,
+        |                  TIMECOL => DESCRIPTOR(ts_ns),
+        |                  SIZE => INTERVAL '10' MINUTE))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+      Map("events" -> ev))
+    val positional = FlinkSql.sql(spark,
+      """SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts_ns),
+        |                  INTERVAL '10' MINUTE))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+      Map("events" -> ev))
+    assert(named.collect().toSeq == positional.collect().toSeq)
+    // SESSION without PARTITION BY = one global island chain
+    val global = FlinkSql.sql(spark,
+      """SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts_ns),
+        |                   INTERVAL '30' SECOND))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+      Map("events" -> ev))
+    val gRows = global.collect()
+    assert(gRows.nonEmpty && !global.columns.contains("__graft_gk"))
+    assert(gRows.map(_.getLong(1)).sum == ev.count(),
+      "global sessions must cover every row exactly once")
+  }
+
   test("SHOW TABLES / DESCRIBE / EXPLAIN script statements") {
     val ddl =
       s"""CREATE TABLE ev (

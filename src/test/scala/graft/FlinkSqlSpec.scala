@@ -331,8 +331,10 @@ class FlinkSqlSpec extends SparkSpecBase {
     }
     bad("""SELECT 1 FROM TABLE(TUMBLE(TABLE nope, DESCRIPTOR(ts_ns),
           INTERVAL '10' MINUTE))""", "unknown table")
-    bad("""SELECT 1 FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts_ns),
-          INTERVAL '30' MINUTE))""", "partition key")
+    // (SESSION without PARTITION BY is now the GLOBAL-session form, no
+    // longer an error — covered in FlinkDdlSpec)
+    bad("""SELECT 1 FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts_ns),
+          INTERVAL '30' MINUTE))""", "HOP takes slide, size")
     bad("""SELECT 1 FROM d MATCH_RECOGNIZE (
             PARTITION BY user_id ORDER BY ts_us
             PATTERN (down{2,4})
