@@ -488,6 +488,30 @@ object SqlQueries {
         ORDER BY a.window_start, a.event_type
       """.trim)),
 
+    // Flink's table-function join spelling (TableFunction.java:136,
+    // StreamExecCorrelate.java:53): `, LATERAL TABLE(F(args)) AS T(c)` →
+    // Spark LATERAL VIEW correlate; q_udtf_shingles' oracle, entered
+    // through the Flink syntax.
+    QueryDef(
+      "q_sql_lateral_udtf",
+      (s, dir) => FlinkSql.sql(s,
+        """SELECT doc_id, sh
+          |FROM documents, LATERAL TABLE(word_shingles(text, 3)) AS t(sh)
+          |ORDER BY doc_id, sh""".stripMargin,
+        Map("documents" -> Tables.documents(s, dir))),
+      Some("""
+        WITH d AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents)
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+            THEN list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS sh
+          FROM d)
+        ORDER BY doc_id, sh
+      """.stripMargin.trim)),
+
     // PARTITIONED BY + CTAS script shape (SqlCreateTable.java:57's
     // PARTITIONED BY production + CreateTableAsUtil): INSERT into a
     // partition-keyed filesystem sink (hive-style dirs → partition-pruned

@@ -61,7 +61,7 @@ object FlinkSql {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     // several Flink FROM items (e.g. a window JOIN of two TVFs, or a TVF
     // feeding MATCH_RECOGNIZE) rewrite one at a time until none remain
-    var cur = text
+    var cur = rewriteLateralTables(text)
     var guard = 0
     while (true) {
       val toks = tokenize(cur)
@@ -89,6 +89,68 @@ object FlinkSql {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Flink's table-function join syntax (TableFunction.java:136 — `FROM
+    * t, LATERAL TABLE(F(args)) AS T(c1[, c2…])` and the left-outer `t
+    * LEFT JOIN LATERAL TABLE(F(args)) AS T(…) ON TRUE`) → Spark's
+    * LATERAL VIEW correlate over the registered SQL function: one output
+    * column → `explode(F(args))` (array-returning UDTF), several →
+    * `inline(F(args))` (array-of-struct-returning). The left-outer form
+    * becomes `LATERAL VIEW OUTER` (empty result keeps the row,
+    * null-padded — the reference's ON TRUE semantics).
+    * `LATERAL TABLE(VECTOR_SEARCH(…))` is NOT touched here — that
+    * spelling routes to the vector-index translator. */
+  private[graft] def rewriteLateralTables(text: String): String = {
+    val toks = tokenize(text)
+    var k = 0
+    while (k + 2 < toks.length) {
+      if (toks(k).up == "LATERAL" && toks(k + 1).up == "TABLE" &&
+          toks(k + 2).s == "(" &&
+          (k + 3 >= toks.length || toks(k + 3).up != "VECTOR_SEARCH")) {
+        val isComma = k >= 1 && toks(k - 1).s == ","
+        val isLeftJoin = k >= 2 && toks(k - 1).up == "JOIN" &&
+          toks(k - 2).up == "LEFT"
+        require(isComma || isLeftJoin,
+          "LATERAL TABLE must follow ',' or LEFT JOIN (ON TRUE)")
+        // matching close paren of TABLE(
+        var depth = 1
+        var m = k + 3
+        while (depth > 0 && m < toks.length) {
+          if (toks(m).s == "(") depth += 1
+          else if (toks(m).s == ")") depth -= 1
+          m += 1
+        }
+        require(depth == 0, "unbalanced parens in LATERAL TABLE(…)")
+        val callText = text.substring(toks(k + 3).start, toks(m - 2).end)
+        val p = new P(toks, text)
+        p.i = m
+        p.opt("AS")
+        require(!p.done && p.peek != "ON" && p.peek != ",",
+          "LATERAL TABLE needs an alias with a column list: AS T(c1, …)")
+        val alias = p.ident()
+        p.eat("(")
+        val cols = scala.collection.mutable.ArrayBuffer(p.ident())
+        while (p.opt(",")) cols += p.ident()
+        p.eat(")")
+        if (isLeftJoin) {
+          p.eat("ON")
+          require(p.ident().equalsIgnoreCase("TRUE"),
+            "LEFT JOIN LATERAL TABLE supports only ON TRUE")
+        }
+        val startChar =
+          if (isLeftJoin) toks(k - 2).start else toks(k - 1).start
+        val fn = if (cols.size == 1) "explode" else "inline"
+        val outer = if (isLeftJoin) "OUTER " else ""
+        val repl = s" LATERAL VIEW $outer$fn($callText) $alias " +
+          s"AS ${cols.mkString(", ")}"
+        return rewriteLateralTables(
+          text.substring(0, startChar) + repl +
+            text.substring(toks(p.i - 1).end))
+      }
+      k += 1
+    }
+    text
   }
 
   /** Per-statement context threaded into the FROM-item translators. */

@@ -315,6 +315,41 @@ class FlinkSqlSpec extends SparkSpecBase {
     assert(viaSql.count() > 0)
   }
 
+  test("LATERAL TABLE correlate: inner, left-outer ON TRUE, multi-column") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "")).toDF("id", "txt")
+    // inner: empty table-function result drops the row
+    val inner = FlinkSql.sql(spark,
+      """SELECT id, w FROM docs, LATERAL TABLE(split(txt, ' ')) AS t(w)
+        |ORDER BY id, w""".stripMargin,
+      Map("docs" -> docs))
+    assert(inner.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, "")))
+    // left-outer ON TRUE: empty result keeps the row, null-padded
+    val outer = FlinkSql.sql(spark,
+      """SELECT id, w FROM docs
+        |LEFT JOIN LATERAL TABLE(filter(split(txt, ' '), x -> x <> ''))
+        |  AS t(w) ON TRUE
+        |ORDER BY id, w""".stripMargin,
+      Map("docs" -> docs))
+    assert(outer.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, null)))
+    // several output columns → array-of-struct inline
+    val multi = FlinkSql.sql(spark,
+      """SELECT id, p, w
+        |FROM docs, LATERAL TABLE(
+        |  transform(filter(split(txt, ' '), x -> x <> ''),
+        |            (x, i) -> struct(i, x))) AS t(p, w)
+        |ORDER BY id, p""".stripMargin,
+      Map("docs" -> docs))
+    assert(multi.as[(Long, Int, String)].collect().toSeq ==
+      Seq((1L, 0, "a"), (1L, 1, "b")))
+    // the vector-search spelling is untouched by the generic rewrite
+    assert(FlinkSql.rewriteLateralTables(
+      "SELECT 1 FROM q, LATERAL TABLE(VECTOR_SEARCH(TABLE e, q.v, DESCRIPTOR(v), 5))")
+      .contains("LATERAL TABLE(VECTOR_SEARCH"))
+  }
+
   test("doubled-quote escapes inside string literals tokenize") {
     val df = FlinkSql.sql(spark,
       "SELECT COUNT(*) AS n FROM events WHERE event_type <> 'it''s'",
