@@ -181,7 +181,7 @@ object FlinkDdl {
 
     def tables(): Map[String, DataFrame] =
       extra ++ catalog.iterator.flatMap { case (n, spec) =>
-        if (spec.connector == "filesystem")
+        if (spec.connector == "filesystem" || spec.connector == "datagen")
           scala.util.Try(n -> streamingSource(spark, spec)).toOption
         else None
       }
@@ -356,16 +356,30 @@ object FlinkDdl {
 
   /** Streaming face: same recipe via `readStream`, with the declared
     * watermark applied (`WATERMARK FOR c AS c - INTERVAL …` →
-    * `withWatermark(c, delay)`). */
+    * `withWatermark(c, delay)`). The `datagen` connector streams through
+    * Spark's rate source — the rate stream's monotone `value` drives the
+    * SAME deterministic per-row generators as the batch face, so a
+    * row's content depends only on its sequence number, not on timing. */
   def streamingSource(spark: SparkSession, spec: TableSpec): DataFrame = {
-    require(spec.connector == "filesystem",
-      s"streaming source supports the filesystem connector, not ${spec.connector}")
-    val physical = StructType(spec.columns.collect {
-      case ColumnSpec(n, Some(t), _, false) => StructField(n, t)
-    })
-    val base = spark.readStream.format(spec.format).schema(physical)
-      .load(spec.path)
-    val derived = withDerived(base, spec)
+    val derived = spec.connector match {
+      case "filesystem" =>
+        val physical = StructType(spec.columns.collect {
+          case ColumnSpec(n, Some(t), _, false) => StructField(n, t)
+        })
+        withDerived(
+          spark.readStream.format(spec.format).schema(physical)
+            .load(spec.path),
+          spec)
+      case "datagen" =>
+        val rps = spec.options.getOrElse("rows-per-second", "1000")
+        val base = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps).load()
+          .withColumnRenamed("value", "__seq")
+        withDerived(base.select(datagenCols(spec, base): _*), spec)
+      case other => throw new IllegalArgumentException(
+        s"streaming source supports filesystem and datagen connectors, " +
+          s"not '$other'")
+    }
     spec.watermark.fold(derived)(w => derived.withWatermark(w.col, w.delay))
   }
 
@@ -413,7 +427,15 @@ object FlinkDdl {
   private def datagen(spark: SparkSession, spec: TableSpec): DataFrame = {
     val rows = spec.options.getOrElse("number-of-rows", "1000").toLong
     val base = spark.range(rows).toDF("__seq")
-    val out = spec.columns.collect { case ColumnSpec(n, Some(t), _, false) =>
+    base.select(datagenCols(spec, base): _*)
+  }
+
+  /** Per-field generator columns over a `__seq` sequence column — shared
+    * by the batch (`spark.range`) and streaming (rate source) faces. */
+  private def datagenCols(
+      spec: TableSpec,
+      base: DataFrame): Seq[org.apache.spark.sql.Column] =
+    spec.columns.collect { case ColumnSpec(n, Some(t), _, false) =>
       val kind = spec.options.getOrElse(s"fields.$n.kind", "random")
       val c = kind match {
         case "sequence" =>
@@ -429,8 +451,6 @@ object FlinkDdl {
       }
       c.as(n)
     }
-    base.select(out: _*)
-  }
 
   /** Align a query result to the sink's declared physical schema: match
     * by name when the names line up, positionally otherwise, casting to

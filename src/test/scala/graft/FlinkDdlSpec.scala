@@ -299,6 +299,41 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("runStreaming: datagen connector streams via the rate source") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE gen (id BIGINT, grp BIGINT) WITH (
+         |  'connector'='datagen', 'rows-per-second'='500',
+         |  'fields.id.kind'='sequence', 'fields.id.start'='100',
+         |  'fields.grp.kind'='random', 'fields.grp.min'='0',
+         |  'fields.grp.max'='4');
+         |CREATE TABLE snk (id BIGINT, grp BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO snk SELECT id, grp FROM gen""".stripMargin)
+    try {
+      // rate-source rows accrue with wall time — poll until some land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        qs.head.processAllAvailable()
+        n = scala.util.Try(spark.read.parquet(s"$dir/snk").count())
+          .getOrElse(0L)
+      }
+      assert(n > 0, "datagen stream must produce rows")
+      val rows = spark.read.parquet(s"$dir/snk")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      // deterministic generators over the sequence: ids start at 100 and
+      // are consecutive; grp is the seeded hash, within bounds
+      assert(rows.head._1 == 100L &&
+        rows.map(_._1).toSeq == (100L until 100L + rows.length).toSeq,
+        s"sequence field must be consecutive from start: ${rows.take(5).toSeq}")
+      assert(rows.forall(r => r._2 >= 0 && r._2 <= 4))
+    } finally qs.foreach(_.stop())
+  }
+
   test("runStreaming rejects batch-only statements") {
     val dir = tmpDir()
     intercept[IllegalArgumentException] {
