@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * which would leave a fully-deleted bucket directory in place and
   * resurrect its keys on the next merge (ADVICE r3).
   */
-private[changelog] object FsOps {
+private[graft] object FsOps {
 
   private def resolve(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)

@@ -146,7 +146,8 @@ object FlinkDdl {
       onQuery = stmt => {
         lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), models))
       },
-      onResult = df => { lastQuery = Some(df); lastSink = None })
+      onResult = df => { lastQuery = Some(df); lastSink = None },
+      onMutate = stmt => executeRowLevel(spark, catalog, stmt))
     new ScriptResult(catalog.toMap, lastQuery, lastSink, spark)
   }
 
@@ -202,8 +203,125 @@ object FlinkDdl {
         s"CREATE TABLE ${spec.name} AS SELECT is not supported in " +
           "streaming mode — declare the sink and INSERT INTO it"),
       onQuery = stmt => { FlinkSql.sql(spark, stmt, tables(), models); () },
-      onResult = _ => ())
+      onResult = _ => (),
+      onMutate = stmt => throw new IllegalArgumentException(
+        s"row-level statement is batch-mode only: ${stmt.take(40)}…"))
     started.result()
+  }
+
+  /** Batch row-level statements over filesystem tables — the reference's
+    * SupportsRowLevelUpdate / SupportsRowLevelDelete sink abilities plus
+    * TRUNCATE TABLE (Flink 1.17/1.18 batch DML), re-expressed for plain
+    * parquet/csv/json directories:
+    *  - `DELETE FROM t WHERE cond` — when the table is PARTITIONED and
+    *    `cond` references only partition columns, matching partition
+    *    directories are DROPPED outright (metadata-scale, no rewrite);
+    *    otherwise kept rows are rewritten to a temp dir that atomically
+    *    swaps in (write I/O proportional to the table, as for any
+    *    rewriting row-level sink on a non-transactional format).
+    *  - `UPDATE t SET c = e[, …] [WHERE cond]` — rewrite-and-swap with
+    *    `when(cond, e)` per assignment.
+    *  - `TRUNCATE TABLE t` — removes the table's files.
+    * (The bucketed upsert layout has its own in-place path:
+    * [[graft.changelog.RowLevelOps]].)
+    */
+  private def executeRowLevel(
+      spark: SparkSession,
+      catalog: scala.collection.mutable.LinkedHashMap[String, TableSpec],
+      stmt: String): Unit = {
+    val toks = FlinkSql.tokenize(stmt)
+    val p = new FlinkSql.P(toks, stmt)
+    def spec(name: String): TableSpec = {
+      val s = catalog.getOrElse(name, throw new IllegalArgumentException(
+        s"row-level statement on unknown table $name; known: " +
+          catalog.keys.mkString(", ")))
+      require(s.connector == "filesystem",
+        s"row-level statements need a filesystem table, not ${s.connector}")
+      s
+    }
+    def restFrom(i: Int): String = stmt.substring(toks(i).start)
+
+    toks.head.up match {
+      case "TRUNCATE" =>
+        p.eat("TRUNCATE"); p.eat("TABLE")
+        graft.changelog.FsOps.deleteRecursive(spark, spec(p.ident()).path)
+
+      case "DELETE" =>
+        p.eat("DELETE"); p.eat("FROM")
+        val s = spec(p.ident())
+        if (!p.opt("WHERE")) {
+          graft.changelog.FsOps.deleteRecursive(spark, s.path)
+          return
+        }
+        val condText = rewriteExpr(restFrom(p.i))
+        val partKeys = s.options.get("partition-keys")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        val condRefs = spark.sessionState.sqlParser
+          .parseExpression(condText).references.map(_.name).toSeq
+        if (partKeys.nonEmpty &&
+            condRefs.forall(r => partKeys.exists(_.equalsIgnoreCase(r)))) {
+          // partition-drop fast path: list matching partition tuples from
+          // the partition columns only (metadata-scale), drop their dirs
+          spark.read.format(s.format).load(s.path)
+            .select(partKeys.map(col): _*).distinct()
+            .where(expr(condText))
+            .collect().foreach { r =>
+              val rel = partKeys.zipWithIndex.map { case (k, i) =>
+                s"$k=${String.valueOf(r.get(i))}" }.mkString("/")
+              graft.changelog.FsOps
+                .deleteRecursive(spark, s"${s.path}/$rel")
+            }
+        } else rewriteSwap(spark, s,
+          _.where(!coalesce(expr(condText), lit(false))))
+
+      case "UPDATE" =>
+        p.eat("UPDATE")
+        val s = spec(p.ident())
+        p.eat("SET")
+        // assignments: ident = <expr text up to top-level ',' or WHERE>
+        val assigns = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var more = true
+        while (more) {
+          val c = p.ident()
+          p.eat("=")
+          val from = p.toks(p.i).start
+          var depth = 0
+          while (!p.done && !(depth == 0 &&
+              (p.peek == "," || p.peek == "WHERE"))) {
+            if (p.peek == "(") depth += 1
+            else if (p.peek == ")") depth -= 1
+            p.next()
+          }
+          assigns += ((c, rewriteExpr(
+            stmt.substring(from, p.toks(p.i - 1).end))))
+          more = p.opt(",")
+        }
+        val cond =
+          if (p.opt("WHERE")) expr(rewriteExpr(restFrom(p.i))) else lit(true)
+        rewriteSwap(spark, s, df => assigns.foldLeft(df) {
+          case (d, (c, e)) =>
+            d.withColumn(c, when(coalesce(cond, lit(false)), expr(e))
+              .otherwise(col(c)))
+        })
+    }
+  }
+
+  /** Rewrite a filesystem table through `transform` into a temp sibling
+    * dir, then atomically swap it in (overwriting a path being read is
+    * not safe in-place). */
+  private def rewriteSwap(
+      spark: SparkSession,
+      spec: TableSpec,
+      transform: DataFrame => DataFrame): Unit = {
+    val tmp = spec.path + ".__graft_rewrite"
+    graft.changelog.FsOps.deleteRecursive(spark, tmp)
+    val w = transform(fsRead(spark, spec)).write.mode("overwrite")
+      .format(spec.format)
+    spec.options.get("partition-keys")
+      .fold(w)(ks => w.partitionBy(ks.split(",").map(_.trim): _*))
+      .save(tmp)
+    graft.changelog.FsOps.deleteRecursive(spark, spec.path)
+    graft.changelog.FsOps.rename(spark, tmp, spec.path)
   }
 
   /** Small local-metadata result (SHOW/DESCRIBE/EXPLAIN output). */
@@ -229,7 +347,8 @@ object FlinkDdl {
       onInsert: String => Unit,
       onCtas: (TableSpec, String) => Unit,
       onQuery: String => Unit,
-      onResult: DataFrame => Unit): Unit = {
+      onResult: DataFrame => Unit,
+      onMutate: String => Unit): Unit = {
     for (stmt <- splitStatements(script)) {
       val toks = FlinkSql.tokenize(stmt)
       if (toks.nonEmpty) toks.head.up match {
@@ -265,6 +384,7 @@ object FlinkDdl {
           // BEGIN STATEMENT SET; … END spelling)
           for (inner <- statementSetInserts(stmt)) onInsert(inner)
         case "SET" => () // session config — accepted, not interpreted
+        case "DELETE" | "UPDATE" | "TRUNCATE" => onMutate(stmt)
         case "ALTER" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("ALTER"); p.eat("TABLE")

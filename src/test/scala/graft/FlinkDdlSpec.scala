@@ -398,6 +398,58 @@ class FlinkDdlSpec extends SparkSpecBase {
       "global sessions must cover every row exactly once")
   }
 
+  test("row-level UPDATE / DELETE / TRUNCATE script statements") {
+    val dir = tmpDir()
+    val setup =
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='100', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE t (k BIGINT, v BIGINT, tag STRING)
+         |  PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/t',
+         |        'format'='parquet');
+         |INSERT INTO t SELECT k, k * 10 AS v,
+         |  CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+         |FROM src;""".stripMargin
+    // UPDATE with predicate: only matching rows change
+    val upd = FlinkDdl.run(spark,
+      s"""$setup
+         |UPDATE t SET v = v + 1 WHERE k < 10;
+         |SELECT SUM(v) AS sv, COUNT(*) AS n FROM t""".stripMargin)
+      .collect().head
+    // base sum = 10*(0+..+99) = 49500; +1 on the 10 rows with k<10
+    assert((upd.getLong(0), upd.getLong(1)) == ((49510L, 100L)), s"$upd")
+    // partition-only DELETE takes the partition-drop fast path
+    val del = FlinkDdl.run(spark,
+      s"""CREATE TABLE t (k BIGINT, v BIGINT, tag STRING)
+         |  PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/t',
+         |        'format'='parquet');
+         |DELETE FROM t WHERE tag = 'odd';
+         |SELECT COUNT(*) AS n FROM t""".stripMargin)
+      .collect().head
+    assert(del.getLong(0) == 50L, s"$del")
+    assert(!new java.io.File(s"$dir/t/tag=odd").exists() &&
+      new java.io.File(s"$dir/t/tag=even").isDirectory,
+      "partition-only DELETE must drop the directory, keep the other")
+    // row-level DELETE rewrites; TRUNCATE empties
+    val after = FlinkDdl.run(spark,
+      s"""CREATE TABLE t (k BIGINT, v BIGINT, tag STRING)
+         |  PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/t',
+         |        'format'='parquet');
+         |DELETE FROM t WHERE k >= 50;
+         |SELECT COUNT(*) AS n, MAX(k) AS mx FROM t""".stripMargin)
+      .collect().head
+    assert((after.getLong(0), after.getLong(1)) == ((25L, 48L)), s"$after")
+    FlinkDdl.runScript(spark,
+      s"""CREATE TABLE t (k BIGINT, v BIGINT, tag STRING)
+         |  WITH ('connector'='filesystem', 'path'='$dir/t',
+         |        'format'='parquet');
+         |TRUNCATE TABLE t""".stripMargin)
+    assert(!new java.io.File(s"$dir/t").exists())
+  }
+
   test("SHOW TABLES / DESCRIBE / EXPLAIN script statements") {
     val ddl =
       s"""CREATE TABLE ev (
