@@ -363,6 +363,12 @@ object FlinkDdl {
             val body = stmt.substring(p.toks(p.i).start)
             FlinkSql.sql(spark, body, tables(), models)
               .createOrReplaceTempView(name)
+          } else if (p.peek.equalsIgnoreCase("FUNCTION") ||
+              (p.peek.equalsIgnoreCase("SYSTEM") )) {
+            throw new IllegalArgumentException(
+              "CREATE FUNCTION loads a user class, which this runner " +
+                "cannot do — register the function on the SparkSession " +
+                "(spark.udf.register) and reference it directly")
           } else {
             p.eat("TABLE")
             val parsed = parseCreateTable(p, stmt, temporary)
@@ -384,6 +390,8 @@ object FlinkDdl {
           // BEGIN STATEMENT SET; … END spelling)
           for (inner <- statementSetInserts(stmt)) onInsert(inner)
         case "SET" => () // session config — accepted, not interpreted
+        case "ANALYZE" => () // stats live in the files; accepted as no-op
+        case "USE" => () // single implicit catalog/database
         case "DELETE" | "UPDATE" | "TRUNCATE" => onMutate(stmt)
         case "ALTER" =>
           val p = new FlinkSql.P(toks, stmt)
@@ -900,7 +908,8 @@ object FlinkDdl {
     m.toMap
   }
 
-  /** `c - INTERVAL '<n>' <unit>` (bounded-out-of-orderness) or bare `c`
+  /** `c - INTERVAL '<n>' <unit>` (bounded-out-of-orderness, fractional
+    * values allowed: `INTERVAL '0.001' SECOND` → 1 ms) or bare `c`
     * (strictly ascending → zero delay). */
   private def parseWatermarkExpr(p: FlinkSql.P, declared: String): WatermarkSpec = {
     val c = p.ident()
@@ -910,7 +919,20 @@ object FlinkDdl {
       p.eat("INTERVAL")
       val lit = unquote(p.next().s)
       val unit = p.ident().toLowerCase.stripSuffix("s")
-      WatermarkSpec(declared, s"$lit ${unit}s")
+      if (lit.contains('.')) {
+        val unitMs = unit match {
+          case "millisecond" => java.math.BigDecimal.ONE
+          case "second" => new java.math.BigDecimal(1000)
+          case "minute" => new java.math.BigDecimal(60000)
+          case "hour" => new java.math.BigDecimal(3600000)
+          case "day" => new java.math.BigDecimal(86400000)
+          case other => throw new IllegalArgumentException(
+            s"unsupported fractional interval unit $other")
+        }
+        val ms = new java.math.BigDecimal(lit).multiply(unitMs)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        WatermarkSpec(declared, s"$ms milliseconds")
+      } else WatermarkSpec(declared, s"$lit ${unit}s")
     } else WatermarkSpec(declared, "0 seconds")
   }
 

@@ -398,6 +398,24 @@ class FlinkDdlSpec extends SparkSpecBase {
       "global sessions must cover every row exactly once")
   }
 
+  test("fractional watermark intervals, ANALYZE/USE no-ops, CREATE FUNCTION error") {
+    val res = FlinkDdl.runScript(spark,
+      s"""USE CATALOG default_catalog;
+         |CREATE TABLE ev (
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '0.25' SECOND
+         |) WITH ('connector'='filesystem', 'path'='/tmp/nowhere',
+         |        'format'='parquet');
+         |ANALYZE TABLE ev COMPUTE STATISTICS""".stripMargin)
+    assert(res.catalog("ev").watermark
+      .contains(FlinkDdl.WatermarkSpec("ts", "250 milliseconds")))
+    val e = intercept[IllegalArgumentException] {
+      FlinkDdl.runScript(spark,
+        "CREATE TEMPORARY FUNCTION f AS 'com.example.MyUdf'")
+    }
+    assert(e.getMessage.contains("spark.udf.register"))
+  }
+
   test("row-level UPDATE / DELETE / TRUNCATE script statements") {
     val dir = tmpDir()
     val setup =
