@@ -867,9 +867,8 @@ object FlinkSql {
     p.eat("MATCH_RECOGNIZE"); p.eat("(")
 
     p.eat("PARTITION"); p.eat("BY")
-    val keyCol = p.ident()
-    require(p.peek != ",",
-      "the CEP engine keys on ONE partition column; combine keys upstream")
+    val keyCols = scala.collection.mutable.ArrayBuffer(p.ident())
+    while (p.opt(",")) keyCols += p.ident()
     p.eat("ORDER"); p.eat("BY")
     val timeCol = p.ident()
     p.opt("ASC")
@@ -932,7 +931,14 @@ object FlinkSql {
       s"MATCH_RECOGNIZE needs exactly one value column, found $valCols")
     val valCol = valCols.head
 
-    val src = resolve(spark, tables, tableName)
+    val src0 = resolve(spark, tables, tableName)
+    // several PARTITION BY columns → one synthetic composite key through
+    // the engine (a JSON struct, deterministic per tuple), split back
+    // into the original typed columns on the way out
+    val (src, keyCol) =
+      if (keyCols.size == 1) (src0, keyCols.head)
+      else (src0.withColumn("__cep_key",
+        to_json(struct(keyCols.map(col).toSeq: _*))), "__cep_key")
     val preds: Map[String, (Double, Double) => Boolean] =
       defines.iterator.map { case (s, c) => s -> compileCond(c) }.toMap
     def stepOf(a: PAtom): PatternStep =
@@ -949,8 +955,20 @@ object FlinkSql {
       CepNfa.MeasureSpec(agg, sym, alias)
     }.toSeq
 
-    (CepNfa.nested(src, keyCol, timeCol, valCol, branches.map(toElems),
-      withinUs, skip, specs), endTok)
+    val matched = CepNfa.nested(src, keyCol, timeCol, valCol,
+      branches.map(toElems), withinUs, skip, specs)
+    val out =
+      if (keyCols.size == 1) matched
+      else {
+        val keySchema = org.apache.spark.sql.types.StructType(
+          keyCols.map(k => src0.schema(src0.schema.fieldNames
+            .find(_.equalsIgnoreCase(k)).getOrElse(k))).toSeq)
+        matched
+          .withColumn("__k", from_json(col("__cep_key"), keySchema))
+          .select(keyCols.map(k => col(s"__k.$k").as(k)).toSeq ++
+            matched.columns.filterNot(_ == "__cep_key").map(col): _*)
+      }
+    (out, endTok)
   }
 
   /** Pattern branches split on top-level `|`. */

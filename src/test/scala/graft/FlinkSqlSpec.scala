@@ -350,6 +350,36 @@ class FlinkSqlSpec extends SparkSpecBase {
       .contains("LATERAL TABLE(VECTOR_SEARCH"))
   }
 
+  test("MATCH_RECOGNIZE with several PARTITION BY columns") {
+    val clicks = events.where(col("event_type") === "click")
+    def mr(partition: String, src: org.apache.spark.sql.DataFrame) =
+      FlinkSql.sql(spark,
+        s"""SELECT * FROM d MATCH_RECOGNIZE (
+           |  PARTITION BY $partition
+           |  ORDER BY ts_us
+           |  MEASURES min(down.value) AS bottom
+           |  PATTERN (down+ up+)
+           |  DEFINE down AS down.value < PREV(down.value),
+           |         up AS up.value > PREV(up.value)
+           |)""".stripMargin,
+        Map("d" -> src))
+    // composite key over a single-event_type subset == single key on it,
+    // modulo the extra (constant) key column
+    val single = mr("user_id", Dedup.keepFirst(clicks,
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id"))))
+    val multi = mr("user_id, event_type", Dedup.keepFirst(clicks,
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id"))))
+    assert(multi.columns.take(2).toSeq == Seq("user_id", "event_type"))
+    val a = single.orderBy(col("user_id"), col("start_us"))
+      .collect().map(_.toSeq)
+    val b = multi.drop("event_type").orderBy(col("user_id"), col("start_us"))
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b),
+      s"${a.length} vs ${b.length}: ${a.take(2).toSeq} vs ${b.take(2).toSeq}")
+    assert(multi.select("event_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("click"))
+  }
+
   test("doubled-quote escapes inside string literals tokenize") {
     val df = FlinkSql.sql(spark,
       "SELECT COUNT(*) AS n FROM events WHERE event_type <> 'it''s'",
