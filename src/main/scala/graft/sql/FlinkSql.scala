@@ -955,8 +955,14 @@ object FlinkSql {
       CepNfa.MeasureSpec(agg, sym, alias)
     }.toSeq
 
-    val matched = CepNfa.nested(src, keyCol, timeCol, valCol,
-      branches.map(toElems), withinUs, skip, specs)
+    // a streaming table routes to the keyed-state NFA face (the input
+    // must carry a watermark, e.g. from WATERMARK DDL / withWatermark)
+    val matched =
+      if (src.isStreaming)
+        CepNfa.nestedStreaming(src, keyCol, timeCol, valCol,
+          branches.map(toElems), withinUs, skip, specs)
+      else CepNfa.nested(src, keyCol, timeCol, valCol,
+        branches.map(toElems), withinUs, skip, specs)
     val out =
       if (keyCols.size == 1) matched
       else {
