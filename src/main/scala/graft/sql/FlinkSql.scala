@@ -665,9 +665,15 @@ object FlinkSql {
         s"build side $rt needs a time column named $timeCol (the AS OF " +
           "column names the version attribute)"))
     val rightKey = right.columns.find(_.equalsIgnoreCase(rk)).getOrElse(rk)
-    val joined = graft.operators.AsOfJoin(
-      left, right, lk, timeCol, rightTime,
-      payloadCols = right.columns.filterNot(_.equalsIgnoreCase(rightKey)).toSeq)
+    val payload = right.columns.filterNot(_.equalsIgnoreCase(rightKey)).toSeq
+    // streaming inputs route to the versioned-state streaming face (zero
+    // extra disorder bound — the inputs' own watermarks set the pace)
+    val joined =
+      if (left.isStreaming || right.isStreaming)
+        graft.streaming.StreamingTemporalJoin(
+          left, right, lk, timeCol, rightTime, payload, delay = "0 seconds")
+      else graft.operators.AsOfJoin(
+        left, right, lk, timeCol, rightTime, payloadCols = payload)
     val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
     joined.createOrReplaceTempView(view)
 

@@ -423,6 +423,48 @@ class FlinkSqlSpec extends SparkSpecBase {
     assert(streamed.nonEmpty, "some matches must complete in-stream")
   }
 
+  test("temporal join SQL on STREAMING tables routes to the streaming face") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val lIn = MemoryStream[(Timestamp, Long, Double)]
+    val rIn = MemoryStream[(Timestamp, Long, Double)]
+    val stmt =
+      """SELECT c.user_id, c.value, p.rvalue AS rv
+        |FROM clicks AS c
+        |JOIN purchases FOR SYSTEM_TIME AS OF c.ts AS p
+        |  ON c.user_id = p.user_id""".stripMargin
+    val out = FlinkSql.sql(spark, stmt, Map(
+      "clicks" -> lIn.toDF().toDF("ts", "user_id", "value"),
+      "purchases" -> rIn.toDF().toDF("ts", "user_id", "rvalue")))
+    assert(out.isStreaming, "streaming inputs must stay streaming")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqltj-").toString
+    val q = out.writeStream.format("memory").queryName("sql_tj_stream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      lIn.addData(Seq((ts(10), 1L, 1.0), (ts(20), 1L, 2.0), (ts(15), 2L, 3.0)))
+      rIn.addData(Seq((ts(5), 1L, 100.0), (ts(12), 1L, 200.0),
+        (ts(1), 2L, 300.0)))
+      q.processAllAvailable()
+      // advance the watermark past every probe so held rows emit
+      lIn.addData(Seq((ts(1000), -1L, 0.0)))
+      rIn.addData(Seq((ts(1000), -1L, 0.0)))
+      q.processAllAvailable()
+      lIn.addData(Seq((ts(1001), -1L, 0.0)))
+      rIn.addData(Seq((ts(1001), -1L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sql_tj_stream")
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("value"), col("rv"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1L, 1.0, 100.0), (1L, 2.0, 200.0), (2L, 3.0, 300.0)),
+      s"$got")
+  }
+
   test("doubled-quote escapes inside string literals tokenize") {
     val df = FlinkSql.sql(spark,
       "SELECT COUNT(*) AS n FROM events WHERE event_type <> 'it''s'",
