@@ -64,7 +64,10 @@ object CepNfa {
     * `minIters` preferring more iterations, `false` pins it at exactly
     * `minIters`. */
   sealed trait PatternElem extends Serializable
-  final case class Atom(step: PatternStep) extends PatternElem
+  /** `colIdx` selects which value column (of the face's `valCols`) this
+    * step's predicate reads — 0 for the single-column faces. */
+  final case class Atom(step: PatternStep, colIdx: Int = 0)
+    extends PatternElem
   final case class GroupElem(
       elems: Seq[PatternElem],
       minIters: Int = 1,
@@ -86,17 +89,19 @@ object CepNfa {
       start: Int, end: Int, minIters: Long, greedy: Boolean, parent: Int)
   private final case class Branch(
       steps: IndexedSeq[PatternStep],
+      stepCol: IndexedSeq[Int],
       grpIn: IndexedSeq[Int],
       groups: IndexedSeq[GroupSpec],
       startsAt: Map[Int, List[Int]]) extends Serializable
 
   private def compile(elems: Seq[PatternElem]): Branch = {
     val steps = IndexedSeq.newBuilder[PatternStep]
+    val stepCol = IndexedSeq.newBuilder[Int]
     val grpIn = IndexedSeq.newBuilder[Int]
     val groups = scala.collection.mutable.ArrayBuffer.empty[GroupSpec]
     var i = 0
     def walk(es: Seq[PatternElem], encl: Int): Unit = es.foreach {
-      case Atom(s) => steps += s; grpIn += encl; i += 1
+      case Atom(s, c) => steps += s; stepCol += c; grpIn += encl; i += 1
       case GroupElem(inner, minIters, greedy) =>
         val gid = groups.length
         groups += GroupSpec(i, -1, minIters.toLong, greedy, encl)
@@ -106,7 +111,8 @@ object CepNfa {
     walk(elems, -1)
     val starts = groups.indices.toList.groupBy(groups(_).start)
       .map { case (p, gs) => p -> gs.sorted } // pre-order id = outer first
-    Branch(steps.result(), grpIn.result(), groups.toIndexedSeq, starts)
+    Branch(steps.result(), stepCol.result(), grpIn.result(),
+      groups.toIndexedSeq, starts)
   }
 
   /** Per-step measure accumulator over matched row values — the engine
@@ -127,8 +133,11 @@ object CepNfa {
   /** One MEASURES output column: `agg` of step `step`'s matched values,
     * emitted as column `as` (DoubleType; NULL when the step matched no
     * rows). `agg`: first | last | min | max | sum. A name shared by steps
-    * in several positions combines in declaration order. */
-  final case class MeasureSpec(agg: String, step: String, as: String) {
+    * in several positions combines in declaration order. `colIdx`
+    * selects which value column the measure reads (0 for single-column
+    * faces). */
+  final case class MeasureSpec(
+      agg: String, step: String, as: String, colIdx: Int = 0) {
     require(Seq("first", "last", "min", "max", "sum").contains(agg),
       s"unknown measure agg: $agg")
   }
@@ -149,7 +158,7 @@ object CepNfa {
       iterCounts: Vector[Long],
       iters: Vector[Long],
       startT: Long,
-      meas: Vector[Meas])
+      meas: Vector[Vector[Meas]]) // step × value column
 
   /** A completed match held until no live run can outrank it. */
   final case class Cand(
@@ -157,28 +166,28 @@ object CepNfa {
       counts: Vector[Long],
       startT: Long,
       endT: Long,
-      meas: Vector[Meas])
+      meas: Vector[Vector[Meas]])
 
   /** Full NFA registers — keyed state on the streaming face. */
   final case class NfaState(
       runs: List[Run],
       pending: List[Cand],
       prevT: Long,
-      prevV: Double,
+      prevV: Vector[Double],
       havePrev: Boolean)
 
-  private val empty = NfaState(Nil, Nil, 0L, 0.0, havePrev = false)
+  private val empty = NfaState(Nil, Nil, 0L, Vector.empty, havePrev = false)
 
   /** The element consumes at least one row when entered — the anchor
     * property a group's (and the pattern's) FIRST element must have. */
   private def anchored(e: PatternElem): Boolean = e match {
-    case Atom(s) => s.minCount >= 1
+    case Atom(s, _) => s.minCount >= 1
     case GroupElem(es, minIters, _) =>
       minIters >= 1 && es.nonEmpty && anchored(es.head)
   }
 
   private def flatSteps(e: PatternElem): Seq[PatternStep] = e match {
-    case Atom(s) => Seq(s)
+    case Atom(s, _) => Seq(s)
     case GroupElem(es, _, _) => es.flatMap(flatSteps)
   }
 
@@ -188,7 +197,7 @@ object CepNfa {
     branches.foreach { elems =>
       require(elems.nonEmpty, "pattern needs at least one element")
       def check(e: PatternElem): Unit = e match {
-        case Atom(_) => ()
+        case Atom(_, _) => ()
         case g @ GroupElem(es, minIters, greedy) =>
           require(es.nonEmpty, "a group needs at least one element")
           require(minIters >= 0, "group minIters must be >= 0")
@@ -216,7 +225,13 @@ object CepNfa {
   private final class Engine(
       branches: IndexedSeq[Branch],
       withinUs: Option[Long],
-      skip: AfterMatchSkip) extends Serializable {
+      skip: AfterMatchSkip,
+      nVals: Int = 1) extends Serializable {
+
+    /** Per-step register row: one accumulator per value column. */
+    private val emptyMeasRow: Vector[Meas] = Vector.fill(nVals)(emptyMeas)
+    private def addAll(ms: Vector[Meas], v: Vector[Double]): Vector[Meas] =
+      Vector.tabulate(nVals)(ci => ms(ci).add(v(ci)))
 
     /** One enterable target when walking INTO a position range: the step
       * index plus the chain of groups entered at a fresh first iteration
@@ -373,26 +388,28 @@ object CepNfa {
       * into the parent level — and, when a match could also end RIGHT
       * HERE, the exit-now interpretation is kept as a HELD candidate (so
       * a later mid-iteration death cannot lose the shorter match). */
-    private def evolve(r: Run, p: Double, v: Double, t: Long, prevT: Long)
+    private def evolve(
+        r: Run, p: Vector[Double], v: Vector[Double], t: Long, prevT: Long)
         : (List[Run], List[Cand]) = {
       val b = branches(r.branch)
       val steps = b.steps
       val s = steps(r.stepIdx)
+      val sc = b.stepCol(r.stepIdx)
       val budget = inBudget(r.startT, t)
       val succ = scala.collection.mutable.ListBuffer.empty[Run]
       val cands = scala.collection.mutable.ListBuffer.empty[Cand]
-      if (s.greedy && budget && s.pred(p, v))
+      if (s.greedy && budget && s.pred(p(sc), v(sc)))
         succ += r.copy(
           counts = r.counts.updated(r.stepIdx, r.counts(r.stepIdx) + 1L),
           iterCounts =
             r.iterCounts.updated(r.stepIdx, r.iterCounts(r.stepIdx) + 1L),
-          meas = r.meas.updated(r.stepIdx, r.meas(r.stepIdx).add(v)))
+          meas = r.meas.updated(r.stepIdx, addAll(r.meas(r.stepIdx), v)))
       if (r.iterCounts(r.stepIdx) >= s.minCount) {
         cascade(b, r.iters, r.stepIdx, b.grpIn(r.stepIdx)).foreach {
           case (Entry(k, fresh), loopOf) =>
-            if (budget && steps(k).pred(p, v)) {
+            if (budget && steps(k).pred(p(b.stepCol(k)), v(b.stepCol(k)))) {
               val c2 = r.counts.updated(k, r.counts(k) + 1L)
-              val m2 = r.meas.updated(k, r.meas(k).add(v))
+              val m2 = r.meas.updated(k, addAll(r.meas(k), v))
               if (k == steps.length - 1 && !steps(k).greedy &&
                   b.grpIn(k) < 0)
                 // root-level final non-greedy step: completes right here
@@ -465,7 +482,8 @@ object CepNfa {
       }
 
     /** Feed one row; returns the advanced state and emitted matches. */
-    def advance(st: NfaState, t: Long, v: Double): (NfaState, List[Cand]) = {
+    def advance(st: NfaState, t: Long, v: Vector[Double])
+        : (NfaState, List[Cand]) = {
       if (!st.havePrev)
         return (st.copy(prevT = t, prevV = v, havePrev = true), Nil)
       val p = st.prevV
@@ -484,10 +502,11 @@ object CepNfa {
       branches.indices.foreach { b =>
         val br = branches(b)
         val steps = br.steps
-        if (steps(0).pred(p, v)) {
+        val c0i = br.stepCol(0)
+        if (steps(0).pred(p(c0i), v(c0i))) {
           val c0 = Vector.tabulate(steps.length)(i => if (i == 0) 1L else 0L)
-          val m0 = Vector.fill(steps.length)(emptyMeas)
-            .updated(0, emptyMeas.add(v))
+          val m0 = Vector.fill(steps.length)(emptyMeasRow)
+            .updated(0, addAll(emptyMeasRow, v))
           val it0 = Vector.fill(br.groups.length)(0L)
           if (steps.length == 1 && !steps(0).greedy && br.grpIn(0) < 0) {
             if (steps(0).minCount <= 1) cands ::= Cand(b, c0, st.prevT, t, m0)
@@ -527,7 +546,7 @@ object CepNfa {
   private def measValue(c: Cand, b: Branch, spec: MeasureSpec): Any = {
     val ms = b.steps.zipWithIndex
       .filter(_._1.name == spec.step)
-      .map(x => c.meas(x._2))
+      .map(x => c.meas(x._2)(spec.colIdx))
       .filter(_.n > 0)
     if (ms.isEmpty) null
     else spec.agg match {
@@ -561,20 +580,36 @@ object CepNfa {
       branches: Seq[Seq[PatternElem]],
       withinUs: Option[Long] = None,
       skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
+      measures: Seq[MeasureSpec] = Nil): DataFrame =
+    nestedMulti(df, keyCol, timeCol, Seq(valCol), branches, withinUs, skip,
+      measures)
+
+  /** As [[nested]] with SEVERAL value columns: each Atom / MeasureSpec
+    * addresses its column via `colIdx` into `valCols` (the reference's
+    * DEFINE/MEASURES over different row attributes). */
+  def nestedMulti(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCols: Seq[String],
+      branches: Seq[Seq[PatternElem]],
+      withinUs: Option[Long] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
       measures: Seq[MeasureSpec] = Nil): DataFrame = {
     validate(branches, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
-    val vIdx = df.schema.fieldIndex(valCol)
+    val vIdxs = valCols.map(df.schema.fieldIndex).toVector
     val br = branches.map(compile).toIndexedSeq
     val names = outNames(br)
-    val eng = new Engine(br, withinUs, skip)
+    val eng = new Engine(br, withinUs, skip, valCols.length)
     SecondarySort.mapOrderedGroups(
       df, Seq(keyCol), Seq(col(timeCol)),
       outSchema(df, keyCol, br, measures)) {
       (key, rows) =>
         var st = empty
         val matched = rows.flatMap { r =>
-          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          val (s2, ms) =
+            eng.advance(st, r.getLong(tIdx), vIdxs.map(r.getDouble))
           st = s2
           ms.map(candRow(key.head, _, names, br, measures))
         }
@@ -653,13 +688,27 @@ object CepNfa {
       branches: Seq[Seq[PatternElem]],
       withinUs: Option[Long] = None,
       skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
+      measures: Seq[MeasureSpec] = Nil): DataFrame =
+    nestedStreamingMulti(df, keyCol, timeCol, Seq(valCol), branches,
+      withinUs, skip, measures)
+
+  /** As [[nestedStreaming]] with SEVERAL value columns (see
+    * [[nestedMulti]]). */
+  def nestedStreamingMulti(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCols: Seq[String],
+      branches: Seq[Seq[PatternElem]],
+      withinUs: Option[Long] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
       measures: Seq[MeasureSpec] = Nil): DataFrame = {
     validate(branches, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
-    val vIdx = df.schema.fieldIndex(valCol)
+    val vIdxs = valCols.map(df.schema.fieldIndex).toVector
     val br = branches.map(compile).toIndexedSeq
     val names = outNames(br)
-    val eng = new Engine(br, withinUs, skip)
+    val eng = new Engine(br, withinUs, skip, valCols.length)
     val schema = outSchema(df, keyCol, br, measures)
     val ptf = new GraftPTF[NfaState] {
       def process(
@@ -670,7 +719,8 @@ object CepNfa {
         var st = state.getOrElse(empty)
         val out = Seq.newBuilder[Row]
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
-          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          val (s2, ms) =
+            eng.advance(st, r.getLong(tIdx), vIdxs.map(r.getDouble))
           st = s2
           ms.foreach(c => out += candRow(key.get(0), c, names, br, measures))
         }

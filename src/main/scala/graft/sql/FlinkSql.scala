@@ -928,14 +928,23 @@ object FlinkSql {
     }
     val endTok = p.eat(")").end
 
-    // One value column across DEFINE + MEASURES (the engine's measure
-    // column); symbol qualifiers select the row, not the column.
-    val valCols =
-      (defines.valuesIterator.flatMap(condCols).toSet ++
-        measures.iterator.map(_._3)).filterNot(_ == timeCol)
-    require(valCols.size == 1,
-      s"MATCH_RECOGNIZE needs exactly one value column, found $valCols")
-    val valCol = valCols.head
+    // Value columns: each DEFINE condition reads ONE column (its PREV
+    // pair semantics), but different DEFINEs and MEASURES may read
+    // DIFFERENT columns — the engine addresses them by index into
+    // `valCols` (Atom.colIdx / MeasureSpec.colIdx).
+    val defCol: Map[String, String] = defines.iterator.map { case (s, c) =>
+      val cs = condCols(c).filterNot(_.equalsIgnoreCase(timeCol)).distinct
+      require(cs.size <= 1,
+        s"DEFINE $s reads several columns ($cs) — one condition, one column")
+      s -> cs.headOption
+    }.collect { case (s, Some(c)) => s -> c }.toMap
+    val valCols0 =
+      (defCol.valuesIterator ++ measures.iterator.map(_._3))
+        .filterNot(_.equalsIgnoreCase(timeCol)).toSeq.distinct.sorted
+    // all-TRUE defines with no measures: feed a constant value column
+    val constCol = valCols0.isEmpty
+    val valCols = if (constCol) Seq("__cep_const") else valCols0
+    val colIdx: Map[String, Int] = valCols.zipWithIndex.toMap
 
     val src0 = resolve(spark, tables, tableName)
     // several PARTITION BY columns → one synthetic composite key through
@@ -951,23 +960,36 @@ object FlinkSql {
       PatternStep(a.sym, preds.getOrElse(a.sym, (_: Double, _: Double) => true),
         a.greedy, a.min)
     def toElems(es: Seq[PElem]): Seq[CepNfa.PatternElem] = es.map {
-      case a: PAtom => CepNfa.Atom(stepOf(a))
+      case a: PAtom => CepNfa.Atom(stepOf(a),
+        defCol.get(a.sym).map(colIdx).getOrElse(0))
       case PGroup(inner, minIters, greedy) =>
         CepNfa.GroupElem(toElems(inner), minIters, greedy)
       case _: PPermute => throw new IllegalArgumentException(
         "PERMUTE inside a group is not supported")
     }
-    val specs = measures.map { case (agg, sym, _, alias) =>
-      CepNfa.MeasureSpec(agg, sym, alias)
+    val specs = measures.map { case (agg, sym, vcol, alias) =>
+      CepNfa.MeasureSpec(agg, sym, alias, colIdx.getOrElse(vcol,
+        throw new IllegalArgumentException(
+          s"MEASURES over the ORDER BY column ($vcol) is not supported — " +
+            "measure a value column")))
     }.toSeq
 
+    // value columns reach the engine as doubles (exact for the long/int
+    // attributes in range); the synthetic constant backs all-TRUE defines
+    val srcV = {
+      val withConst =
+        if (constCol) src.withColumn("__cep_const", lit(0.0)) else src
+      valCols.filterNot(_ == "__cep_const").foldLeft(withConst) { (d, c) =>
+        d.withColumn(c, col(c).cast("double"))
+      }
+    }
     // a streaming table routes to the keyed-state NFA face (the input
     // must carry a watermark, e.g. from WATERMARK DDL / withWatermark)
     val matched =
       if (src.isStreaming)
-        CepNfa.nestedStreaming(src, keyCol, timeCol, valCol,
+        CepNfa.nestedStreamingMulti(srcV, keyCol, timeCol, valCols,
           branches.map(toElems), withinUs, skip, specs)
-      else CepNfa.nested(src, keyCol, timeCol, valCol,
+      else CepNfa.nestedMulti(srcV, keyCol, timeCol, valCols,
         branches.map(toElems), withinUs, skip, specs)
     val out =
       if (keyCols.size == 1) matched

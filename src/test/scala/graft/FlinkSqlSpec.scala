@@ -465,6 +465,36 @@ class FlinkSqlSpec extends SparkSpecBase {
       s"$got")
   }
 
+  test("MATCH_RECOGNIZE with DEFINE/MEASURES over several value columns") {
+    import spark.implicits._
+    // price falls twice then volume spikes; qty measured independently
+    val rows = Seq(
+      // k, t,  price, vol
+      (1L, 1L, 10.0, 5.0),
+      (1L, 2L, 8.0, 5.0),   // down (price 8 < 10)
+      (1L, 3L, 6.0, 5.0),   // down (price 6 < 8)
+      (1L, 4L, 6.5, 50.0),  // spike (vol 50 > 5)
+      (1L, 5L, 7.0, 2.0),
+      (2L, 1L, 9.0, 1.0),
+      (2L, 2L, 9.5, 1.0)    // no match: price never falls
+    ).toDF("k", "ts_us", "price", "vol")
+    val out = FlinkSql.sql(spark,
+      """SELECT * FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY k
+        |  ORDER BY ts_us
+        |  MEASURES min(down.price) AS bottom, max(spike.vol) AS peak
+        |  PATTERN (down+ spike)
+        |  DEFINE down AS down.price < PREV(down.price),
+        |         spike AS spike.vol > PREV(spike.vol)
+        |)""".stripMargin,
+      Map("d" -> rows))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // one match for k=1: down×2 (prices 8, 6), spike×1 (vol 50)
+    assert(got == Seq((1L, 2L, 1L, 6.0, 50.0)),
+      s"cols=${out.columns.toSeq} got=$got")
+  }
+
   test("doubled-quote escapes inside string literals tokenize") {
     val df = FlinkSql.sql(spark,
       "SELECT COUNT(*) AS n FROM events WHERE event_type <> 'it''s'",
@@ -492,6 +522,6 @@ class FlinkSqlSpec extends SparkSpecBase {
     bad("""SELECT 1 FROM d MATCH_RECOGNIZE (
             PARTITION BY user_id ORDER BY ts_us
             PATTERN (down)
-            DEFINE down AS value < other)""", "one value column")
+            DEFINE down AS value < other)""", "one condition, one column")
   }
 }
