@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{LookupJoin, MapBackedClient, TableAgg}
+import graft.sources.{JdbcFixtures, JdbcLookupClient}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -53,6 +54,33 @@ object MiscOpQueries {
             .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
           "s_nationkey", nationStore(s, dir), nNamePayload,
           batchSize = 16, maxInFlight = 4, prefix = "")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(lookupOracle)),
+
+    // REAL external-store lookup: the dim table lives in embedded Derby
+    // (the JDBC driver bundled with Spark) and every probe is a genuine
+    // PreparedStatement round trip — the flink-connector-jdbc lookup shape
+    // over the same LookupJoinRunner.java:35 cache/lifecycle plumbing.
+    QueryDef(
+      "q_lookup_join_jdbc",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir", "/tmp")}" +
+          s"/graft_derby_nation_$tag/db;create=true"
+        JdbcFixtures.ensure(url) {
+          Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+            .write.mode("overwrite").format("jdbc")
+            .option("url", url).option("dbtable", "nation").save()
+        }
+        LookupJoin(
+          Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+          "s_nationkey",
+          new JdbcLookupClient(url,
+            """SELECT "n_name" FROM nation WHERE "n_nationkey" = ?"""),
+          nNamePayload, prefix = "")
           .select(col("s_suppkey"), col("s_name"), col("n_name"))
           .orderBy(col("s_suppkey"))
       },

@@ -566,6 +566,52 @@ object SqlQueries {
         GROUP BY event_type ORDER BY event_type
       """.trim)),
 
+    // JDBC connector in DDL (the flink-connector-jdbc option surface:
+    // 'url' / 'table-name'): INSERT OVERWRITE materializes an aggregate
+    // into embedded Derby, the final SELECT scans it back through Spark's
+    // native jdbc source with the filter pushed to the store.
+    QueryDef(
+      "q_sql_ddl_jdbc",
+      (s, dir) => {
+        val db = java.nio.file.Files
+          .createTempDirectory("graft_ddl_jdbc").toString
+        FlinkDdl.run(s,
+          s"""CREATE TABLE supplier (
+             |  s_suppkey BIGINT,
+             |  s_name STRING,
+             |  s_nationkey INT,
+             |  s_acctbal DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/supplier.parquet',
+             |  'format' = 'parquet'
+             |);
+             |
+             |CREATE TABLE nation_stats (
+             |  s_nationkey INT,
+             |  n_sup BIGINT,
+             |  total_bal DOUBLE
+             |) WITH (
+             |  'connector' = 'jdbc',
+             |  'url' = 'jdbc:derby:$db/db;create=true',
+             |  'table-name' = 'nation_stats'
+             |);
+             |
+             |INSERT OVERWRITE nation_stats
+             |SELECT s_nationkey, COUNT(*) AS n_sup,
+             |       ROUND(SUM(s_acctbal), 2) AS total_bal
+             |FROM supplier GROUP BY s_nationkey;
+             |
+             |SELECT s_nationkey, n_sup, total_bal FROM nation_stats
+             |WHERE n_sup > 1 ORDER BY s_nationkey""".stripMargin)
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n_sup,
+               ROUND(SUM(s_acctbal), 2) AS total_bal
+        FROM supplier GROUP BY s_nationkey
+        HAVING COUNT(*) > 1 ORDER BY s_nationkey
+      """.trim)),
+
     // ML_PREDICT TVF spelling (model-inference.md syntax,
     // StreamExecMLPredictTableFunction.java:55): same provider and oracle
     // as q_ml_predict, entered through SQL text with a registered MODEL.

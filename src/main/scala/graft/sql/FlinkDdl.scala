@@ -476,6 +476,7 @@ object FlinkDdl {
     val base = spec.connector match {
       case "filesystem" => fsRead(spark, spec)
       case "datagen" => datagen(spark, spec)
+      case "jdbc" => jdbcRead(spark, spec)
       case other => throw new IllegalArgumentException(
         s"unsupported source connector '$other' for table ${spec.name}")
     }
@@ -546,6 +547,27 @@ object FlinkDdl {
       case other => throw new IllegalArgumentException(
         s"unsupported filesystem format '$other'")
     }
+  }
+
+  /** JDBC scan via Spark's native jdbc source (predicate pushdown and
+    * column pruning reach the store). Flink option names
+    * (`'url'`, `'table-name'`, `'driver'`, `'username'`, `'password'` —
+    * the flink-connector-jdbc surface) map onto Spark's reader options;
+    * `withDerived` then projects onto the declared column names, which
+    * also normalizes stores that report upper-cased identifiers. */
+  private def jdbcRead(spark: SparkSession, spec: TableSpec): DataFrame = {
+    graft.sources.JdbcLookupClient.quietDerby()
+    val url = spec.options.getOrElse("url", throw new IllegalArgumentException(
+      s"jdbc table ${spec.name} needs a 'url' option"))
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", spec.options.getOrElse("table-name", spec.name))
+    val withOpt = Seq(
+      "driver" -> "driver", "username" -> "user", "password" -> "password")
+      .foldLeft(reader) { case (r, (flinkKey, sparkKey)) =>
+        spec.options.get(flinkKey).fold(r)(v => r.option(sparkKey, v))
+      }
+    withOpt.load()
   }
 
   /** Deterministic datagen: `'number-of-rows'`, per-field
@@ -643,6 +665,21 @@ object FlinkDdl {
             .save(spec.path)
           case None => w.save(spec.path)
         }
+      case "jdbc" =>
+        graft.sources.JdbcLookupClient.quietDerby()
+        val url = spec.options.getOrElse("url",
+          throw new IllegalArgumentException(
+            s"jdbc table ${spec.name} needs a 'url' option"))
+        val w = aligned.write
+          .mode(if (overwrite) "overwrite" else "append")
+          .format("jdbc")
+          .option("url", url)
+          .option("dbtable", spec.options.getOrElse("table-name", spec.name))
+        Seq("driver" -> "driver", "username" -> "user",
+            "password" -> "password")
+          .foldLeft(w) { case (wr, (flinkKey, sparkKey)) =>
+            spec.options.get(flinkKey).fold(wr)(v => wr.option(sparkKey, v))
+          }.save()
       case "print" => aligned.show(numRows = 20, truncate = false)
       case "blackhole" => aligned.foreach(_ => ())
       case other => throw new IllegalArgumentException(
