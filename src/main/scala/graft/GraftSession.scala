@@ -30,6 +30,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver-generated parquet stores naive (isAdjustedToUTC=false)
+      // microsecond timestamps; read them as TimestampType in the UTC
+      // session rather than TIMESTAMP_NTZ so time arithmetic (unix_micros,
+      // windows, watermarks) keeps working and matches the DuckDB oracle.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // plan strings truncate PushedFilters at 100 chars by default, which
+      // hides pushed timestamp-range predicates from plan audits
+      .config("spark.sql.maxMetadataStringLength", "1000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 

@@ -430,9 +430,8 @@ object SqlQueries {
              |  user_id BIGINT,
              |  event_type STRING,
              |  value DOUBLE,
-             |  ts BIGINT,
-             |  ts_ltz AS TO_TIMESTAMP_LTZ(ts DIV 1000000, 3),
-             |  WATERMARK FOR ts_ltz AS ts_ltz - INTERVAL '5' SECOND
+             |  ts TIMESTAMP(6),
+             |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
              |) WITH (
              |  'connector' = 'filesystem',
              |  'path' = '$dir/events.parquet',
@@ -462,7 +461,8 @@ object SqlQueries {
              |EXECUTE STATEMENT SET
              |BEGIN
              |  INSERT OVERWRITE agg_sink
-             |  SELECT window_start, event_type, COUNT(*) AS n,
+             |  SELECT UNIX_TIMESTAMP(window_start) * 1000000000 AS window_start,
+             |         event_type, COUNT(*) AS n,
              |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
              |  FROM TABLE(TUMBLE(TABLE events_raw, DESCRIPTOR(ts),
              |                    INTERVAL '10' MINUTE))

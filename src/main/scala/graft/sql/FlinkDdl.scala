@@ -513,14 +513,23 @@ object FlinkDdl {
   }
 
   private def withDerived(base: DataFrame, spec: TableSpec): DataFrame = {
-    val physicalNames = spec.columns.collect {
-      case ColumnSpec(n, Some(_), _, false) => n }
+    val physical = spec.columns.collect {
+      case ColumnSpec(n, Some(t), _, false) => n -> t }
     // keep only declared physical columns (schema projection, so column
-    // pruning starts from the declared shape), then computed/metadata
+    // pruning starts from the declared shape) and cast each to its declared
+    // type — the declaration wins over what the file happens to store, as in
+    // the reference's connector schema contract. Casts are a no-op when the
+    // file already matches, so pushdown/pruning are unaffected.
     val projected =
-      if (physicalNames.nonEmpty &&
-          physicalNames.forall(n => base.columns.exists(_.equalsIgnoreCase(n))))
-        base.select(physicalNames.map(col): _*)
+      if (physical.nonEmpty &&
+          physical.forall { case (n, _) =>
+            base.columns.exists(_.equalsIgnoreCase(n)) })
+        base.select(physical.map { case (n, t) =>
+          val c = col(n)
+          if (base.schema.exists(f =>
+              f.name.equalsIgnoreCase(n) && f.dataType == t)) c
+          else c.cast(t).as(n)
+        }: _*)
       else base // datagen already emits exactly the declared columns
     spec.columns.foldLeft(projected) {
       case (df, ColumnSpec(n, _, Some(e), _)) => df.withColumn(n, expr(e))

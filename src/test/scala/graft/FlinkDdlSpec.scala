@@ -24,8 +24,8 @@ class FlinkDdlSpec extends SparkSpecBase {
          |  event_id BIGINT,
          |  user_id BIGINT,
          |  value DOUBLE,
-         |  ts BIGINT,
-         |  ts_ltz AS TO_TIMESTAMP_LTZ(ts DIV 1000000, 3)
+         |  ts TIMESTAMP(6),
+         |  ts_ltz AS TO_TIMESTAMP_LTZ(UNIX_TIMESTAMP(ts), 0)
          |) WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
          |        'format'='parquet');
          |SELECT COUNT(*) AS n, COUNT(ts_ltz) AS n_ts FROM ev""".stripMargin)
@@ -474,8 +474,8 @@ class FlinkDdlSpec extends SparkSpecBase {
          |  event_id BIGINT,
          |  user_id BIGINT,
          |  value DOUBLE,
-         |  ts BIGINT,
-         |  ts_ltz AS TO_TIMESTAMP_LTZ(ts DIV 1000000, 3),
+         |  ts TIMESTAMP(6),
+         |  ts_ltz AS TO_TIMESTAMP_LTZ(UNIX_TIMESTAMP(ts), 0),
          |  WATERMARK FOR ts_ltz AS ts_ltz - INTERVAL '5' SECOND,
          |  PRIMARY KEY (event_id) NOT ENFORCED
          |) WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
