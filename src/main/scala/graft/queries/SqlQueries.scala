@@ -639,6 +639,90 @@ object SqlQueries {
         FROM documents ORDER BY doc_id
       """.trim)),
 
+    // Materialized table script (SqlCreateMaterializedTable.java:55,
+    // statements.md): declare, materialize from the defining query,
+    // REFRESH after the base table changes, and read the result back.
+    // FULL refresh mode — the deterministic batch face; the continuous
+    // face is spec-covered in FlinkDdlSpec (runStreaming).
+    QueryDef(
+      "q_sql_materialized",
+      (s, dir) => {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_mt_oracle").toString
+        FlinkDdl.run(s,
+          s"""CREATE TABLE events_raw (
+             |  event_id BIGINT,
+             |  user_id BIGINT,
+             |  event_type STRING,
+             |  value DOUBLE
+             |) WITH ('connector' = 'filesystem',
+             |        'path' = '$dir/events.parquet',
+             |        'format' = 'parquet');
+             |
+             |CREATE TABLE base (user_id BIGINT, event_type STRING,
+             |  value DOUBLE)
+             |  WITH ('connector' = 'filesystem', 'path' = '$work/base',
+             |        'format' = 'parquet');
+             |
+             |INSERT INTO base
+             |SELECT user_id, event_type, value FROM events_raw
+             |WHERE event_type <> 'purchase';
+             |
+             |CREATE MATERIALIZED TABLE user_stats
+             |  (uid, etype, n BIGINT, sum_value)
+             |  FRESHNESS = INTERVAL '1' HOUR
+             |  REFRESH_MODE = FULL
+             |  AS SELECT user_id, event_type, COUNT(*) AS n,
+             |            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+             |              AS sum_value
+             |     FROM base GROUP BY user_id, event_type;
+             |
+             |INSERT INTO base
+             |SELECT user_id, event_type, value FROM events_raw
+             |WHERE event_type = 'purchase';
+             |
+             |ALTER MATERIALIZED TABLE user_stats REFRESH;
+             |
+             |SELECT uid, etype, n, sum_value FROM user_stats
+             |ORDER BY uid, etype""".stripMargin)
+      },
+      Some("""
+        SELECT user_id AS uid, event_type AS etype, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY user_id, event_type
+        ORDER BY uid, etype
+      """.trim)),
+
+    // CREATE MODEL DDL (SqlCreateModel.java:49) + ML_PREDICT end-to-end:
+    // the model is declared in SQL with INPUT/OUTPUT schema and a
+    // 'provider' option (ModelProviderFactory dispatch, as the reference's
+    // FactoryUtil does for 'openai'/'triton'), then bound to the
+    // DESCRIPTOR column at the ML_PREDICT site. Deterministic hash-score
+    // provider so DuckDB can replicate it.
+    QueryDef(
+      "q_sql_create_model",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        FlinkDdl.run(s,
+          """CREATE MODEL scorer
+            |  INPUT (n_chars BIGINT)
+            |  OUTPUT (score DOUBLE, pred_label STRING)
+            |  COMMENT 'deterministic multiplicative-hash scorer'
+            |  WITH ('provider' = 'hash-score');
+            |SELECT doc_id, score, pred_label
+            |FROM ML_PREDICT(TABLE docs, MODEL scorer, DESCRIPTOR(n_chars))
+            |ORDER BY doc_id""".stripMargin,
+          Map("docs" -> docs))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST((n_chars * 2654435761) % 1000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS score,
+          CASE WHEN CAST((n_chars * 2654435761) % 1000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) >= 0.5
+               THEN 'high' ELSE 'low' END AS pred_label
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
     // VECTOR_SEARCH TVF spelling (vector-search.md syntax,
     // StreamExecVectorSearchTableFunction.java:55): brute index through
     // the VectorIndex SPI; q_vector_topk's oracle with `score` naming.

@@ -82,7 +82,8 @@ object FlinkDdl {
       val catalog: Map[String, TableSpec],
       val lastQuery: Option[DataFrame],
       val lastSink: Option[String],
-      private val spark: SparkSession) {
+      private val spark: SparkSession,
+      val models: Map[String, graft.ml.ModelSpec] = Map.empty) {
     def dataFrame: DataFrame = lastQuery.getOrElse {
       val sink = lastSink.getOrElse(throw new IllegalStateException(
         "script had no query and no INSERT — nothing to return"))
@@ -108,6 +109,8 @@ object FlinkDdl {
       extra: Map[String, DataFrame] = Map.empty,
       models: Map[String, graft.ml.ModelProvider] = Map.empty): ScriptResult = {
     val catalog = scala.collection.mutable.LinkedHashMap.empty[String, TableSpec]
+    val modelCatalog =
+      scala.collection.mutable.LinkedHashMap.empty[String, graft.ml.ModelSpec]
     var lastQuery: Option[DataFrame] = None
     var lastSink: Option[String] = None
 
@@ -119,23 +122,29 @@ object FlinkDdl {
         else scala.util.Try(n -> sourceDf(spark, spec)).toOption
       }
 
+    // DDL-declared models join the caller's map as unbound specs;
+    // ML_PREDICT binds them to its DESCRIPTOR column(s)
+    def allModels(): Map[String, graft.ml.ModelProvider] =
+      models ++ modelCatalog.iterator.map { case (n, s) =>
+        n -> new graft.ml.UnboundModel(s) }
+
     def runInsert(stmtText: String): Unit = {
       val (sink, query, overwrite) = splitInsert(stmtText)
       val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
         s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
-      val result = FlinkSql.sql(spark, query, tables(), models)
+      val result = FlinkSql.sql(spark, query, tables(), allModels())
       writeSink(spark, spec, result, overwrite)
       lastSink = Some(sink)
       lastQuery = None
     }
 
-    runStatements(spark, script, catalog, tables, models,
+    runStatements(spark, script, catalog, modelCatalog, tables, allModels,
       onInsert = runInsert,
       onCtas = (spec, q) => {
         // CTAS authors the table NOW (reference: CreateTableAsUtil): run
         // the query, derive the declared schema from its result, write
         // through the normal sink path
-        val result = FlinkSql.sql(spark, q, tables(), models)
+        val result = FlinkSql.sql(spark, q, tables(), allModels())
         val derived = spec.copy(columns = result.schema.fields.toSeq
           .map(f => ColumnSpec(f.name, Some(f.dataType), None)))
         catalog(derived.name) = derived
@@ -144,11 +153,97 @@ object FlinkDdl {
         lastQuery = None
       },
       onQuery = stmt => {
-        lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), models))
+        lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), allModels()))
       },
       onResult = df => { lastQuery = Some(df); lastSink = None },
-      onMutate = stmt => executeRowLevel(spark, catalog, stmt))
-    new ScriptResult(catalog.toMap, lastQuery, lastSink, spark)
+      onMutate = stmt => executeRowLevel(spark, catalog, stmt),
+      onMaterialized = (spec, query) => {
+        materializeFull(spark, spec, query, tables, allModels, catalog)
+        lastSink = Some(spec.name); lastQuery = None
+      },
+      onMtAlter = (name, action) => {
+        def spec = catalog.get(name)
+          .filter(_.options.contains(MtQueryOpt))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name is not a materialized table"))
+        action match {
+          case MtRefresh(partition) =>
+            refreshMaterialized(spark, spec, partition, tables, allModels)
+            lastSink = Some(name); lastQuery = None
+          case MtSuspend =>
+            catalog(name) = spec.copy(options =
+              spec.options + (MtStatusOpt -> "suspended"))
+          case MtResume =>
+            // resuming a FULL-mode table re-materializes (the reference
+            // resumes the refresh workflow, whose first run catches up)
+            catalog(name) = spec.copy(options =
+              spec.options + (MtStatusOpt -> "active"))
+            refreshMaterialized(spark, catalog(name), Map.empty,
+              tables, allModels)
+          case MtAsQuery(q) =>
+            // modify the query definition, then refresh under it
+            materializeFull(spark,
+              spec.copy(options = spec.options + (MtQueryOpt -> q)), q,
+              tables, allModels, catalog)
+          case MtDrop => () // dispatcher removes the catalog entry
+        }
+      })
+    new ScriptResult(catalog.toMap, lastQuery, lastSink, spark,
+      modelCatalog.toMap)
+  }
+
+  /** Author (or re-author) a materialized table: run the defining query,
+    * shape it onto the declared schema, derive the stored column specs,
+    * and overwrite the managed storage (CreateTableAsUtil-style). */
+  private def materializeFull(
+      spark: SparkSession,
+      spec: TableSpec,
+      query: String,
+      tables: () => Map[String, DataFrame],
+      models: () => Map[String, graft.ml.ModelProvider],
+      catalog: scala.collection.mutable.LinkedHashMap[String, TableSpec])
+      : Unit = {
+    val result = FlinkSql.sql(spark, query, tables(), models())
+    val shaped = shapeToDeclared(spec, result)
+    val derived = spec.copy(columns = shaped.schema.fields.toSeq
+      .map(f => ColumnSpec(f.name, Some(f.dataType), None)))
+    catalog(derived.name) = derived
+    writeSink(spark, derived, shaped, overwrite = true)
+  }
+
+  /** `ALTER MATERIALIZED TABLE t REFRESH [PARTITION (k=v,…)]`: re-run the
+    * defining query; a PARTITION spec narrows the recompute to matching
+    * rows and swaps only those partitions in (dynamic partition
+    * overwrite — the reference's partition-scoped refresh). */
+  private def refreshMaterialized(
+      spark: SparkSession,
+      spec: TableSpec,
+      partition: Map[String, String],
+      tables: () => Map[String, DataFrame],
+      models: () => Map[String, graft.ml.ModelProvider]): Unit = {
+    val result = FlinkSql.sql(spark, spec.options(MtQueryOpt),
+      tables(), models())
+    val shaped = shapeToDeclared(spec, result)
+    if (partition.isEmpty) writeSink(spark, spec, shaped, overwrite = true)
+    else {
+      val keys = spec.options.getOrElse("partition-keys",
+        throw new IllegalArgumentException(
+          s"REFRESH PARTITION on ${spec.name}, which is not partitioned"))
+        .split(",").map(_.trim).toSet
+      partition.keys.foreach(k => require(keys.contains(k),
+        s"$k is not a partition column of ${spec.name} ($keys)"))
+      val filtered = partition.foldLeft(shaped) { case (df, (k, v)) =>
+        df.where(col(k).cast(StringType) === lit(v))
+      }
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try writeSink(spark, spec, filtered, overwrite = true)
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 
   /** Execute a script in STREAMING mode — the reference's default
@@ -177,6 +272,8 @@ object FlinkDdl {
       models: Map[String, graft.ml.ModelProvider] = Map.empty)
       : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val catalog = scala.collection.mutable.LinkedHashMap.empty[String, TableSpec]
+    val modelCatalog =
+      scala.collection.mutable.LinkedHashMap.empty[String, graft.ml.ModelSpec]
     val started =
       Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
 
@@ -187,25 +284,81 @@ object FlinkDdl {
         else None
       }
 
+    def allModels(): Map[String, graft.ml.ModelProvider] =
+      models ++ modelCatalog.iterator.map { case (n, s) =>
+        n -> new graft.ml.UnboundModel(s) }
+
     def startInsert(stmtText: String): Unit = {
       val (sink, query, overwrite) = splitInsert(stmtText)
       require(!overwrite, "INSERT OVERWRITE is a batch-mode statement; " +
         "streaming inserts append")
       val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
         s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
-      val result = FlinkSql.sql(spark, query, tables(), models)
+      val result = FlinkSql.sql(spark, query, tables(), allModels())
       started += startStreamSink(spec, alignToSink(spec, result))
     }
 
-    runStatements(spark, script, catalog, tables, models,
+    // continuous materialized tables: name → live refresh job, so
+    // SUSPEND/RESUME/DROP can manage its lifecycle (the reference's
+    // continuous-mode refresh job on the table)
+    val mtJobs = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.streaming.StreamingQuery]
+
+    def startMaterialized(spec: TableSpec): Unit = {
+      val result = FlinkSql.sql(spark, spec.options(MtQueryOpt),
+        tables(), allModels())
+      val q = startStreamSink(spec, alignToSink(spec,
+        shapeToDeclared(spec, result)))
+      mtJobs(spec.name) = q
+      started += q
+    }
+
+    runStatements(spark, script, catalog, modelCatalog, tables, allModels,
       onInsert = startInsert,
       onCtas = (spec, _) => throw new IllegalArgumentException(
         s"CREATE TABLE ${spec.name} AS SELECT is not supported in " +
           "streaming mode — declare the sink and INSERT INTO it"),
-      onQuery = stmt => { FlinkSql.sql(spark, stmt, tables(), models); () },
+      onQuery = stmt => { FlinkSql.sql(spark, stmt, tables(), allModels()); () },
       onResult = _ => (),
       onMutate = stmt => throw new IllegalArgumentException(
-        s"row-level statement is batch-mode only: ${stmt.take(40)}…"))
+        s"row-level statement is batch-mode only: ${stmt.take(40)}…"),
+      onMaterialized = (spec, _) => {
+        // in the streaming runner every materialized table refreshes
+        // continuously — FULL mode's scheduled batch runs are the batch
+        // runner's job ([[runScript]] + ALTER … REFRESH). Pin a stable
+        // checkpoint dir so SUSPEND → RESUME continues, not restarts.
+        val stored = spec.copy(options = spec.options +
+          (MtModeOpt -> "continuous") +
+          ("sink.checkpoint-dir" -> spec.options.getOrElse(
+            "sink.checkpoint-dir", java.nio.file.Files
+              .createTempDirectory(s"graft_mt_ck_${spec.name}_").toString)))
+        catalog(stored.name) = stored
+        startMaterialized(stored)
+      },
+      onMtAlter = (name, action) => {
+        def spec = catalog.get(name)
+          .filter(_.options.contains(MtQueryOpt))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name is not a materialized table"))
+        action match {
+          case MtSuspend =>
+            mtJobs.remove(name).foreach(_.stop())
+            catalog(name) = spec.copy(options =
+              spec.options + (MtStatusOpt -> "suspended"))
+          case MtResume =>
+            val s = spec.copy(options =
+              spec.options + (MtStatusOpt -> "active"))
+            catalog(name) = s
+            if (!mtJobs.contains(name)) startMaterialized(s)
+          case MtDrop => mtJobs.remove(name).foreach(_.stop())
+          case MtRefresh(_) => throw new IllegalArgumentException(
+            "ALTER MATERIALIZED TABLE … REFRESH is a batch (FULL-mode) " +
+              "statement; the continuous job refreshes on its own")
+          case MtAsQuery(_) => throw new IllegalArgumentException(
+            "ALTER MATERIALIZED TABLE … AS is batch-mode only here — " +
+              "SUSPEND, redefine, and RESUME instead")
+        }
+      })
     started.result()
   }
 
@@ -342,13 +495,20 @@ object FlinkDdl {
       spark: SparkSession,
       script: String,
       catalog: scala.collection.mutable.LinkedHashMap[String, TableSpec],
+      modelCatalog: scala.collection.mutable.LinkedHashMap[String, graft.ml.ModelSpec],
       tables: () => Map[String, DataFrame],
-      models: Map[String, graft.ml.ModelProvider],
+      models: () => Map[String, graft.ml.ModelProvider],
       onInsert: String => Unit,
       onCtas: (TableSpec, String) => Unit,
       onQuery: String => Unit,
       onResult: DataFrame => Unit,
-      onMutate: String => Unit): Unit = {
+      onMutate: String => Unit,
+      onMaterialized: (TableSpec, String) => Unit =
+        (s, _) => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED TABLE ${s.name} is not supported here"),
+      onMtAlter: (String, MtAction) => Unit =
+        (n, _) => throw new IllegalArgumentException(
+          s"ALTER MATERIALIZED TABLE $n is not supported here")): Unit = {
     for (stmt <- splitStatements(script)) {
       val toks = FlinkSql.tokenize(stmt)
       if (toks.nonEmpty) toks.head.up match {
@@ -356,13 +516,28 @@ object FlinkDdl {
           val p = new FlinkSql.P(toks, stmt)
           p.eat("CREATE")
           val temporary = p.opt("TEMPORARY")
-          if (p.opt("VIEW")) {
+          if (p.opt("MATERIALIZED")) {
+            // CREATE MATERIALIZED TABLE (SqlCreateMaterializedTable.java:55)
+            require(!temporary,
+              "TEMPORARY MATERIALIZED TABLE is not supported")
+            p.eat("TABLE")
+            val (spec, query) = parseCreateMaterialized(p, stmt)
+            onMaterialized(spec, query)
+          } else if (p.opt("VIEW")) {
             if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS") }
             val name = p.ident()
             p.eat("AS")
             val body = stmt.substring(p.toks(p.i).start)
-            FlinkSql.sql(spark, body, tables(), models)
+            FlinkSql.sql(spark, body, tables(), models())
               .createOrReplaceTempView(name)
+          } else if (p.opt("MODEL")) {
+            // CREATE [TEMPORARY] MODEL [IF NOT EXISTS] name
+            //   [INPUT (c T, …)] [OUTPUT (c T, …)] [COMMENT '…'] WITH (…)
+            // (SqlCreateModel.java:49; CREATE MODEL … AS <query> — model
+            // training, SqlCreateModelAs — is out of scope for a query
+            // engine and rejected explicitly)
+            val spec = parseCreateModel(p, temporary)
+            modelCatalog(spec.name) = spec
           } else if (p.peek.equalsIgnoreCase("FUNCTION") ||
               (p.peek.equalsIgnoreCase("SYSTEM") )) {
             throw new IllegalArgumentException(
@@ -395,31 +570,98 @@ object FlinkDdl {
         case "DELETE" | "UPDATE" | "TRUNCATE" => onMutate(stmt)
         case "ALTER" =>
           val p = new FlinkSql.P(toks, stmt)
-          p.eat("ALTER"); p.eat("TABLE")
-          if (p.opt("IF")) p.eat("EXISTS")
-          val name = p.ident()
-          val spec = catalog.getOrElse(name,
-            throw new IllegalArgumentException(
-              s"ALTER of unknown table $name; known: " +
-                catalog.keys.mkString(", ")))
-          if (p.opt("RENAME")) {
-            p.eat("TO")
-            val to = p.ident()
-            catalog.remove(name)
-            catalog(to) = spec.copy(name = to)
+          p.eat("ALTER")
+          if (p.opt("MATERIALIZED")) {
+            // ALTER MATERIALIZED TABLE t REFRESH [PARTITION (k=v,…)] |
+            // SUSPEND | RESUME [WITH (…)] | AS <query>
+            // (SqlAlterMaterializedTableRefresh/Suspend/Resume/AsQuery)
+            p.eat("TABLE")
+            val name = p.ident()
+            val action: MtAction =
+              if (p.opt("REFRESH")) {
+                val part = scala.collection.mutable.LinkedHashMap
+                  .empty[String, String]
+                if (p.opt("PARTITION")) {
+                  p.eat("(")
+                  var go = true
+                  while (go) {
+                    val k = p.ident(); p.eat("=")
+                    part(k) = unquote(p.next().s)
+                    go = p.opt(",")
+                  }
+                  p.eat(")")
+                }
+                MtRefresh(part.toMap)
+              } else if (p.opt("SUSPEND")) MtSuspend
+              else if (p.opt("RESUME")) {
+                if (p.opt("WITH")) parseOptions(p) // accepted, job hints
+                MtResume
+              } else if (p.opt("AS")) {
+                MtAsQuery(stmt.substring(p.toks(p.i).start))
+              } else throw new IllegalArgumentException(
+                "ALTER MATERIALIZED TABLE supports REFRESH [PARTITION]," +
+                  " SUSPEND, RESUME, and AS <query>")
+            onMtAlter(name, action)
+          } else if (p.opt("MODEL")) {
+            // ALTER MODEL [IF EXISTS] m RENAME TO n | SET (…) | RESET (…)
+            // (SqlAlterModelRename/Set/Reset.java)
+            if (p.opt("IF")) p.eat("EXISTS")
+            val name = p.ident()
+            val spec = modelCatalog.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"ALTER of unknown model $name; known: " +
+                  modelCatalog.keys.mkString(", ")))
+            if (p.opt("RENAME")) {
+              p.eat("TO")
+              val to = p.ident()
+              modelCatalog.remove(name)
+              modelCatalog(to) = spec.copy(name = to)
+            } else if (p.opt("RESET")) {
+              p.eat("(")
+              val dropped = scala.collection.mutable.ArrayBuffer(
+                unquote(p.next().s))
+              while (p.opt(",")) dropped += unquote(p.next().s)
+              p.eat(")")
+              modelCatalog(name) = spec.copy(options =
+                spec.options -- dropped)
+            } else {
+              p.eat("SET")
+              modelCatalog(name) = spec.copy(options =
+                spec.options ++ parseOptions(p))
+            }
           } else {
-            p.eat("SET")
-            // ALTER TABLE t SET ('k'='v', …) — merge, new keys win
-            catalog(name) = spec.copy(options =
-              spec.options ++ parseOptions(p))
+            p.eat("TABLE")
+            if (p.opt("IF")) p.eat("EXISTS")
+            val name = p.ident()
+            val spec = catalog.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"ALTER of unknown table $name; known: " +
+                  catalog.keys.mkString(", ")))
+            if (p.opt("RENAME")) {
+              p.eat("TO")
+              val to = p.ident()
+              catalog.remove(name)
+              catalog(to) = spec.copy(name = to)
+            } else {
+              p.eat("SET")
+              // ALTER TABLE t SET ('k'='v', …) — merge, new keys win
+              catalog(name) = spec.copy(options =
+                spec.options ++ parseOptions(p))
+            }
           }
         case "SHOW" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("SHOW")
-          require(p.ident().equalsIgnoreCase("TABLES"),
-            "only SHOW TABLES is supported")
-          onResult(metaDf(spark, Seq("table name" -> StringType),
-            catalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+          val what = p.ident()
+          if (what.equalsIgnoreCase("MODELS"))
+            onResult(metaDf(spark, Seq("model name" -> StringType),
+              modelCatalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+          else {
+            require(what.equalsIgnoreCase("TABLES"),
+              "only SHOW TABLES and SHOW MODELS are supported")
+            onResult(metaDf(spark, Seq("table name" -> StringType),
+              catalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+          }
         case "DESCRIBE" | "DESC" =>
           val p = new FlinkSql.P(toks, stmt)
           p.next()
@@ -451,7 +693,7 @@ object FlinkDdl {
           p.eat("EXPLAIN")
           if (p.opt("PLAN")) p.eat("FOR")
           val q = stmt.substring(p.toks(p.i).start)
-          val plan = FlinkSql.sql(spark, q, tables(), models)
+          val plan = FlinkSql.sql(spark, q, tables(), models())
             .queryExecution.explainString(
               org.apache.spark.sql.execution.SimpleMode)
           onResult(metaDf(spark, Seq("plan" -> StringType),
@@ -459,8 +701,15 @@ object FlinkDdl {
         case "DROP" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("DROP"); p.opt("TEMPORARY")
-          if (p.opt("TABLE")) { p.opt("IF"); p.opt("EXISTS")
+          if (p.opt("MATERIALIZED")) { p.eat("TABLE")
+            p.opt("IF"); p.opt("EXISTS")
+            val name = p.ident()
+            onMtAlter(name, MtDrop)
+            catalog.remove(name) }
+          else if (p.opt("TABLE")) { p.opt("IF"); p.opt("EXISTS")
             catalog.remove(p.ident()) }
+          else if (p.opt("MODEL")) { p.opt("IF"); p.opt("EXISTS")
+            modelCatalog.remove(p.ident()) }
           else { p.eat("VIEW"); p.opt("IF"); p.opt("EXISTS")
             spark.catalog.dropTempView(p.ident()) }
         case _ => onQuery(stmt)
@@ -880,6 +1129,201 @@ object FlinkDdl {
     CreateTable(
       TableSpec(name, cols.result(), watermark, pk, withParts, temporary),
       like, ctas)
+  }
+
+  // ------------------------------------------------- materialized tables
+
+  /** ALTER MATERIALIZED TABLE actions (SqlAlterMaterializedTable*.java). */
+  sealed trait MtAction
+  final case class MtRefresh(partition: Map[String, String]) extends MtAction
+  case object MtSuspend extends MtAction
+  case object MtResume extends MtAction
+  final case class MtAsQuery(query: String) extends MtAction
+  case object MtDrop extends MtAction
+
+  /** Option keys a materialized table carries on its [[TableSpec]] —
+    * definition metadata rides the ordinary catalog so the table is
+    * readable/describable like any other. */
+  val MtQueryOpt = "materialized.query"
+  val MtFreshnessOpt = "materialized.freshness"
+  val MtModeOpt = "materialized.refresh-mode"
+  val MtStatusOpt = "materialized.status"
+
+  /** The documented refresh-mode inference threshold
+    * (materialized-table.refresh-mode.freshness-threshold, 30 minutes):
+    * freshness below it → CONTINUOUS, at/above → FULL. */
+  private val MtContinuousThresholdMs = 30L * 60 * 1000
+
+  private[sql] def intervalMs(interval: String): Long = {
+    val Array(n, unit) = interval.trim.split("\\s+")
+    val ms = unit.toLowerCase.stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+      case other =>
+        throw new IllegalArgumentException(s"unsupported interval unit $other")
+    }
+    n.toLong * ms
+  }
+
+  /** `CREATE MATERIALIZED TABLE [IF NOT EXISTS] name [(schema…)] [COMMENT]
+    * [PARTITIONED BY (…)] [WITH (…)] [FRESHNESS = INTERVAL '<n>' <unit>]
+    * [REFRESH_MODE = FULL | CONTINUOUS] AS <select>` — cursor just past
+    * TABLE (SqlCreateMaterializedTable.java:55; statements.md grammar).
+    * The schema block allows bare column identifiers (rename the query's
+    * columns positionally) or typed columns (rename + cast), plus
+    * WATERMARK / PRIMARY KEY … NOT ENFORCED entries. Storage defaults to
+    * managed parquet under a fresh directory when no 'path' option is
+    * given. */
+  private def parseCreateMaterialized(
+      p: FlinkSql.P,
+      stmt: String): (TableSpec, String) = {
+    if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS") }
+    val name = p.ident()
+    val cols = Seq.newBuilder[ColumnSpec]
+    var watermark: Option[WatermarkSpec] = None
+    var pk: Seq[String] = Nil
+    if (p.opt("(")) {
+      var more = true
+      while (more) {
+        p.peek match {
+          case "WATERMARK" =>
+            p.eat("WATERMARK"); p.eat("FOR")
+            val c = p.ident()
+            p.eat("AS")
+            watermark = Some(parseWatermarkExpr(p, c))
+          case "PRIMARY" =>
+            p.eat("PRIMARY"); p.eat("KEY"); p.eat("(")
+            val ks = scala.collection.mutable.ArrayBuffer(p.ident())
+            while (p.opt(",")) ks += p.ident()
+            p.eat(")")
+            p.eat("NOT"); p.eat("ENFORCED")
+            pk = ks.toSeq
+          case "CONSTRAINT" =>
+            p.eat("CONSTRAINT"); p.ident()
+          case _ =>
+            val cname = p.ident()
+            if (p.peek == "," || p.peek == ")")
+              cols += ColumnSpec(cname, None, None) // identifier-only
+            else {
+              val t = parseType(p)
+              if (p.opt("NOT")) p.eat("NULL")
+              if (p.opt("COMMENT")) p.next()
+              cols += ColumnSpec(cname, Some(t), None)
+            }
+        }
+        more = p.opt(",")
+      }
+      p.eat(")")
+    }
+    if (p.opt("COMMENT")) p.next()
+    var partitionKeys: Seq[String] = Nil
+    if (p.opt("PARTITIONED")) {
+      p.eat("BY"); p.eat("(")
+      val ks = scala.collection.mutable.ArrayBuffer(p.ident())
+      while (p.opt(",")) ks += p.ident()
+      p.eat(")")
+      partitionKeys = ks.toSeq
+    }
+    val options =
+      if (p.opt("WITH")) parseOptions(p) else Map.empty[String, String]
+    var freshness: Option[String] = None
+    if (p.opt("FRESHNESS")) {
+      p.eat("="); p.eat("INTERVAL")
+      val lit = unquote(p.next().s)
+      val unit = p.ident().toLowerCase.stripSuffix("s")
+      require(Set("second", "minute", "hour", "day")(unit),
+        s"FRESHNESS unit must be SECOND/MINUTE/HOUR/DAY, got $unit")
+      require(lit.matches("\\d+") && lit.toLong > 0,
+        s"FRESHNESS must be a positive integer interval, got '$lit'")
+      freshness = Some(s"$lit ${unit}s")
+    }
+    var mode: Option[String] = None
+    if (p.opt("REFRESH_MODE")) {
+      p.eat("=")
+      val m = p.ident().toUpperCase
+      require(m == "FULL" || m == "CONTINUOUS",
+        s"REFRESH_MODE must be FULL or CONTINUOUS, got $m")
+      mode = Some(m.toLowerCase)
+    }
+    p.eat("AS")
+    val query = stmt.substring(p.toks(p.i).start)
+    // explicit mode wins; else infer from freshness vs the documented
+    // 30-minute threshold; with neither, streaming-first default
+    val resolvedMode = mode.getOrElse(freshness match {
+      case Some(f) =>
+        if (intervalMs(f) < MtContinuousThresholdMs) "continuous" else "full"
+      case None => "continuous"
+    })
+    // default freshness per mode (materialized-table.default-freshness.*:
+    // 3 minutes continuous, 1 hour full)
+    val resolvedFreshness = freshness.getOrElse(
+      if (resolvedMode == "continuous") "3 minutes" else "1 hours")
+    val path = options.getOrElse("path",
+      java.nio.file.Files.createTempDirectory(s"graft_mt_$name").toString)
+    val merged = options ++ Map(
+      "connector" -> options.getOrElse("connector", "filesystem"),
+      "format" -> options.getOrElse("format", "parquet"),
+      "path" -> path,
+      MtQueryOpt -> query,
+      MtFreshnessOpt -> resolvedFreshness,
+      MtModeOpt -> resolvedMode,
+      MtStatusOpt -> "active") ++
+      (if (partitionKeys.isEmpty) Map.empty[String, String]
+       else Map("partition-keys" -> partitionKeys.mkString(",")))
+    (TableSpec(name, cols.result(), watermark, pk, merged,
+      temporary = false), query)
+  }
+
+  /** Rename (and cast, when typed) the defining query's columns onto the
+    * declared schema, positionally — the statement's column list names the
+    * query's output, as in the reference's schema derivation. */
+  private[sql] def shapeToDeclared(spec: TableSpec, df: DataFrame): DataFrame =
+    if (spec.columns.isEmpty) df
+    else {
+      require(spec.columns.size == df.columns.length,
+        s"materialized table ${spec.name} declares ${spec.columns.size} " +
+          s"column(s) but its query produces ${df.columns.length}")
+      df.select(df.columns.toSeq.zip(spec.columns).map { case (src, c) =>
+        c.dataType.fold(col(src).as(c.name))(t => col(src).cast(t).as(c.name))
+      }: _*)
+    }
+
+  /** `CREATE [TEMPORARY] MODEL [IF NOT EXISTS] name [INPUT (c T, …)]
+    * [OUTPUT (c T, …)] [COMMENT '…'] WITH ('provider'=…, …)` — cursor just
+    * past MODEL (SqlCreateModel.java:49; the INPUT/OUTPUT pair must be
+    * both present or both absent, mirroring its validate()). */
+  private def parseCreateModel(
+      p: FlinkSql.P,
+      temporary: Boolean): graft.ml.ModelSpec = {
+    if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS") }
+    val name = p.ident()
+    def colList(): Seq[(String, DataType)] = {
+      p.eat("(")
+      val cols = scala.collection.mutable.ArrayBuffer.empty[(String, DataType)]
+      var go = true
+      while (go) {
+        val c = p.ident()
+        cols += (c -> parseType(p))
+        go = p.opt(",")
+      }
+      p.eat(")")
+      cols.toSeq
+    }
+    val inputs = if (p.opt("INPUT")) colList() else Nil
+    val outputs = if (p.opt("OUTPUT")) colList() else Nil
+    require(inputs.isEmpty == outputs.isEmpty,
+      s"model $name: INPUT and OUTPUT column lists must be declared " +
+        "together (SqlCreateModel.validate)")
+    val comment = if (p.opt("COMMENT")) Some(unquote(p.next().s)) else None
+    p.eat("WITH")
+    val options = parseOptions(p)
+    require(p.done || p.peek != "AS",
+      s"CREATE MODEL $name AS <query> trains a model, which a query " +
+        "engine cannot do — create the model from its provider options")
+    graft.ml.ModelSpec(name, inputs, outputs, options, comment, temporary)
   }
 
   /** The parenthesized column/constraint/watermark list body (cursor just

@@ -503,11 +503,17 @@ object FlinkSql {
     features.foreach(f => require(
       input.columns.exists(_.equalsIgnoreCase(f)),
       s"ML_PREDICT feature column $f not in ${input.columns.mkString(", ")}"))
-    val provider = ctx.models.getOrElse(modelName,
+    val registered = ctx.models.getOrElse(modelName,
       ctx.models.collectFirst {
         case (k, v) if k.equalsIgnoreCase(modelName) => v
       }.getOrElse(throw new IllegalArgumentException(
         s"unknown MODEL $modelName; registered: ${ctx.models.keys.mkString(", ")}")))
+    // a DDL-declared model (CREATE MODEL … WITH ('provider'=…)) binds to
+    // this call's DESCRIPTOR column(s); pre-built providers pass through
+    val provider = registered match {
+      case u: graft.ml.UnboundModel => u.bind(features.toSeq)
+      case p => p
+    }
     val batchSize = config.get("batch-size").map(_.toInt).getOrElse(64)
     val out =
       if (config.get("async").contains("true"))

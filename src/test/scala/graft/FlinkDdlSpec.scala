@@ -497,6 +497,179 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(plan.contains("Physical Plan"), s"plan text: $plan")
   }
 
+  test("CREATE MATERIALIZED TABLE: schema shaping, catalog metadata, " +
+      "and reads like a table") {
+    val res = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE ev (event_id BIGINT, user_id BIGINT, value DOUBLE,
+         |  event_type STRING) WITH ('connector'='filesystem',
+         |  'path'='$sf/events.parquet', 'format'='parquet');
+         |CREATE MATERIALIZED TABLE by_type (etype, n BIGINT, sv)
+         |  FRESHNESS = INTERVAL '1' HOUR
+         |  REFRESH_MODE = FULL
+         |  AS SELECT event_type, COUNT(*) AS cnt, SUM(value) AS s
+         |     FROM ev GROUP BY event_type;
+         |SELECT etype, n, sv FROM by_type ORDER BY etype""".stripMargin)
+    val spec = res.catalog("by_type")
+    assert(spec.options(FlinkDdl.MtModeOpt) == "full")
+    assert(spec.options(FlinkDdl.MtFreshnessOpt) == "1 hours")
+    assert(spec.options(FlinkDdl.MtStatusOpt) == "active")
+    assert(spec.options.contains(FlinkDdl.MtQueryOpt))
+    // bare identifiers rename positionally; typed columns also cast
+    assert(spec.columns.map(_.name) == Seq("etype", "n", "sv"))
+    val rows = res.dataFrame.collect()
+    val expect = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    rows.foreach(r => assert(r.getLong(1) == expect(r.getString(0))))
+    // freshness inference: under the 30-minute threshold → continuous
+    val inferred = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE ev (event_id BIGINT) WITH (
+         |  'connector'='filesystem', 'path'='$sf/events.parquet',
+         |  'format'='parquet');
+         |CREATE MATERIALIZED TABLE fast
+         |  FRESHNESS = INTERVAL '30' SECOND
+         |  AS SELECT COUNT(*) AS n FROM ev""".stripMargin)
+    assert(inferred.catalog("fast").options(FlinkDdl.MtModeOpt) == "continuous")
+  }
+
+  test("ALTER MATERIALIZED TABLE REFRESH recomputes; SUSPEND/RESUME " +
+      "track status; DROP removes") {
+    val dir = tmpDir()
+    val r = FlinkDdl.run(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='50', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE base (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/base', 'format'='parquet');
+         |INSERT INTO base SELECT k FROM src;
+         |CREATE MATERIALIZED TABLE stats REFRESH_MODE = FULL
+         |  AS SELECT COUNT(*) AS n, SUM(k) AS sk FROM base;
+         |INSERT INTO base SELECT k + 100 AS k FROM src;
+         |ALTER MATERIALIZED TABLE stats REFRESH;
+         |SELECT n, sk FROM stats""".stripMargin).collect().head
+    assert(r.getLong(0) == 100, s"refresh must see both inserts: $r")
+    // without the REFRESH the materialization is the create-time snapshot
+    val stale = FlinkDdl.run(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='50', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE base (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/base2', 'format'='parquet');
+         |INSERT INTO base SELECT k FROM src;
+         |CREATE MATERIALIZED TABLE stats REFRESH_MODE = FULL
+         |  AS SELECT COUNT(*) AS n FROM base;
+         |INSERT INTO base SELECT k + 100 AS k FROM src;
+         |SELECT n FROM stats""".stripMargin).collect().head
+    assert(stale.getLong(0) == 50, s"snapshot must be create-time: $stale")
+    val lifecycle = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE base (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/base', 'format'='parquet');
+         |CREATE MATERIALIZED TABLE s1 REFRESH_MODE = FULL
+         |  AS SELECT COUNT(*) AS n FROM base;
+         |CREATE MATERIALIZED TABLE s2 REFRESH_MODE = FULL
+         |  AS SELECT SUM(k) AS sk FROM base;
+         |ALTER MATERIALIZED TABLE s1 SUSPEND;
+         |DROP MATERIALIZED TABLE s2""".stripMargin)
+    assert(lifecycle.catalog("s1").options(FlinkDdl.MtStatusOpt) == "suspended")
+    assert(!lifecycle.catalog.contains("s2"))
+  }
+
+  test("ALTER MATERIALIZED TABLE REFRESH PARTITION swaps only the " +
+      "matching partition") {
+    val dir = tmpDir()
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='40', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE base (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/base', 'format'='parquet');
+         |INSERT INTO base SELECT k FROM src;
+         |CREATE MATERIALIZED TABLE pm PARTITIONED BY (tag)
+         |  REFRESH_MODE = FULL
+         |  AS SELECT k, CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+         |     FROM base;
+         |INSERT INTO base SELECT k + 1000 AS k FROM src;
+         |ALTER MATERIALIZED TABLE pm REFRESH PARTITION (tag = 'even');
+         |SELECT tag, COUNT(*) AS n FROM pm GROUP BY tag ORDER BY tag
+         |""".stripMargin).collect()
+    val byTag = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag("even") == 40, s"even partition refreshed: $byTag")
+    assert(byTag("odd") == 20, s"odd partition untouched: $byTag")
+  }
+
+  test("runStreaming: a materialized table refreshes continuously; " +
+      "SUSPEND stops its job") {
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (event_id BIGINT, value DOUBLE) WITH (
+         |  'connector'='filesystem', 'path'='$dir/src',
+         |  'format'='parquet');
+         |CREATE MATERIALIZED TABLE doubled
+         |  WITH ('path'='$dir/mt', 'sink.checkpoint-dir'='$dir/ck')
+         |  FRESHNESS = INTERVAL '10' SECOND
+         |  AS SELECT event_id, value * 2 AS big FROM src""".stripMargin)
+    assert(qs.size == 1 && qs.head.isActive)
+    try {
+      Tables.events(spark, sf).select(col("event_id"), col("value"))
+        .limit(200).write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/mt")
+      assert(got.count() == 200)
+      assert(got.columns.toSeq == Seq("event_id", "big"))
+    } finally qs.foreach(_.stop())
+  }
+
+  test("CREATE MODEL DDL binds ML_PREDICT to the DESCRIPTOR column") {
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE docs (doc_id BIGINT, n_chars BIGINT) WITH (
+         |  'connector'='filesystem', 'path'='$sf/documents.parquet',
+         |  'format'='parquet');
+         |CREATE MODEL scorer
+         |  INPUT (n_chars BIGINT)
+         |  OUTPUT (score DOUBLE, pred_label STRING)
+         |  COMMENT 'deterministic scorer'
+         |  WITH ('provider' = 'hash-score');
+         |SELECT doc_id, score, pred_label
+         |FROM ML_PREDICT(TABLE docs, MODEL scorer, DESCRIPTOR(n_chars))
+         |ORDER BY doc_id""".stripMargin).collect()
+    assert(out.nonEmpty)
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.take(20).foreach { r =>
+      val expect =
+        ((chars(r.getLong(0)) * 2654435761L) % 1000L).toDouble / 1000.0
+      assert(r.getDouble(1) == expect, s"row $r")
+      assert(r.getString(2) == (if (expect >= 0.5) "high" else "low"))
+    }
+  }
+
+  test("model catalog statements: SHOW / ALTER / DROP MODEL") {
+    val ddl =
+      """CREATE MODEL m1 WITH ('provider'='hash-score');
+        |CREATE MODEL m2 WITH ('provider'='openai',
+        |  'endpoint'='http://localhost:1/v1/embeddings',
+        |  'model'='e', 'api-key'='k');""".stripMargin
+    val shown = FlinkDdl.run(spark, s"$ddl\nSHOW MODELS")
+      .collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("m1", "m2"), s"$shown")
+    val res = FlinkDdl.runScript(spark,
+      s"""$ddl
+         |ALTER MODEL m2 SET ('model'='e2');
+         |ALTER MODEL m2 RESET ('api-key');
+         |ALTER MODEL m1 RENAME TO scorer;
+         |DROP MODEL m2""".stripMargin)
+    assert(res.models.keySet == Set("scorer"))
+    assert(res.models("scorer").provider == "hash-score")
+    // the INPUT/OUTPUT pair must come together (SqlCreateModel.validate)
+    val e = intercept[IllegalArgumentException] {
+      FlinkDdl.runScript(spark,
+        "CREATE MODEL bad INPUT (x BIGINT) WITH ('provider'='hash-score')")
+    }
+    assert(e.getMessage.contains("INPUT and OUTPUT"))
+  }
+
   test("CREATE TABLE LIKE merges base spec per clause") {
     val res = FlinkDdl.runScript(spark,
       s"""CREATE TABLE base (k BIGINT, v DOUBLE,

@@ -174,4 +174,50 @@ class OpenAIModelSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("CREATE MODEL 'openai' dispatches chat vs embedding on the " +
+      "endpoint suffix") {
+    withServer() { (url, _) =>
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang")).limit(5)
+      // chat/completions suffix → chat provider
+      val chat = graft.sql.FlinkDdl.run(spark,
+        s"""CREATE MODEL chat
+           |  INPUT (lang STRING) OUTPUT (response STRING)
+           |  WITH ('provider'='openai', 'endpoint'='$url/chat/completions',
+           |        'model'='test-model', 'api-key'='k');
+           |SELECT doc_id, lang, response
+           |FROM ML_PREDICT(TABLE docs, MODEL chat, DESCRIPTOR(lang))
+           |ORDER BY doc_id""".stripMargin,
+        Map("docs" -> docs)).collect()
+      assert(chat.length == 5)
+      chat.foreach(r => assert(r.getString(2) == s"echo:${r.getString(1)}"))
+      // embeddings suffix → embedding provider; OUTPUT renames the column
+      val emb = graft.sql.FlinkDdl.run(spark,
+        s"""CREATE MODEL emb
+           |  INPUT (lang STRING) OUTPUT (vec ARRAY<FLOAT>)
+           |  WITH ('provider'='openai', 'endpoint'='$url/embeddings',
+           |        'model'='test-model', 'api-key'='k');
+           |SELECT doc_id, lang, vec
+           |FROM ML_PREDICT(TABLE docs, MODEL emb, DESCRIPTOR(lang))
+           |ORDER BY doc_id""".stripMargin,
+        Map("docs" -> docs)).collect()
+      assert(emb.length == 5)
+      emb.foreach { r =>
+        val vec = r.getAs[scala.collection.Seq[Float]]("vec")
+        assert(vec.length == 2 && vec(1) == 42.5f &&
+          vec(0) == r.getString(1).length.toFloat)
+      }
+      // an unknown suffix is rejected, as in the reference factory
+      val e = intercept[UnsupportedOperationException] {
+        graft.sql.FlinkDdl.run(spark,
+          s"""CREATE MODEL bad WITH ('provider'='openai',
+             |  'endpoint'='$url/images', 'model'='m', 'api-key'='k');
+             |SELECT doc_id FROM ML_PREDICT(TABLE docs, MODEL bad,
+             |                              DESCRIPTOR(lang))""".stripMargin,
+          Map("docs" -> docs)).collect()
+      }
+      assert(e.getMessage.contains("Unsupported endpoint"))
+    }
+  }
 }
