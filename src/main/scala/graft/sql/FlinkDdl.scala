@@ -515,6 +515,34 @@ object FlinkDdl {
         case "CREATE" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("CREATE")
+          if (p.opt("OR")) {
+            if (p.opt("ALTER")) {
+              // CREATE OR ALTER MATERIALIZED TABLE
+              // (SqlCreateOrAlterMaterializedTable.java): redefinition
+              // when it exists — schema/options/query all come from this
+              // statement; engine-managed storage keeps its identity
+              p.eat("MATERIALIZED"); p.eat("TABLE")
+              val (parsed, query) = parseCreateMaterialized(p, stmt)
+              val spec = catalog.get(parsed.name) match {
+                case Some(old)
+                    if parsed.options.contains(MtManagedOpt) &&
+                      old.options.contains("path") =>
+                  parsed.copy(options =
+                    parsed.options + ("path" -> old.options("path")))
+                case _ => parsed
+              }
+              onMaterialized(spec, query)
+            } else {
+              // CREATE OR REPLACE TABLE … AS <query>
+              // (SqlReplaceTableAs.java): CTAS that overwrites
+              p.eat("REPLACE"); p.opt("TEMPORARY"); p.eat("TABLE")
+              val parsed = parseCreateTable(p, stmt, temporary = false)
+              val q = parsed.ctasQuery.getOrElse(
+                throw new IllegalArgumentException(
+                  "CREATE OR REPLACE TABLE requires AS <query>"))
+              onCtas(parsed.spec, q)
+            }
+          } else {
           val temporary = p.opt("TEMPORARY")
           if (p.opt("MATERIALIZED")) {
             // CREATE MATERIALIZED TABLE (SqlCreateMaterializedTable.java:55)
@@ -559,12 +587,33 @@ object FlinkDdl {
               case Some(q) => onCtas(spec, q)
             }
           }
+          }
         case "INSERT" => onInsert(stmt)
         case "EXECUTE" | "BEGIN" =>
           // EXECUTE STATEMENT SET BEGIN <insert>; …; END  (or the legacy
           // BEGIN STATEMENT SET; … END spelling)
           for (inner <- statementSetInserts(stmt)) onInsert(inner)
-        case "SET" => () // session config — accepted, not interpreted
+        case "SET" =>
+          // `SET 'k' = 'v'` (SqlSet.java). Spark-namespaced keys apply to
+          // the live session conf; Flink-namespaced keys are accepted as
+          // metadata (their engine knobs have no Spark counterpart).
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("SET")
+          if (!p.done) {
+            val k = unquote(p.next().s)
+            p.eat("=")
+            val v = unquote(p.next().s)
+            if (k.startsWith("spark.")) spark.conf.set(k, v)
+          }
+        case "RESET" =>
+          // `RESET 'k'` / bare `RESET` (SqlReset.java)
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("RESET")
+          if (!p.done) {
+            val k = unquote(p.next().s)
+            if (k.startsWith("spark."))
+              scala.util.Try(spark.conf.unset(k))
+          }
         case "ANALYZE" => () // stats live in the files; accepted as no-op
         case "USE" => () // single implicit catalog/database
         case "DELETE" | "UPDATE" | "TRUNCATE" => onMutate(stmt)
@@ -652,15 +701,43 @@ object FlinkDdl {
         case "SHOW" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("SHOW")
-          val what = p.ident()
-          if (what.equalsIgnoreCase("MODELS"))
-            onResult(metaDf(spark, Seq("model name" -> StringType),
-              modelCatalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
-          else {
-            require(what.equalsIgnoreCase("TABLES"),
-              "only SHOW TABLES and SHOW MODELS are supported")
-            onResult(metaDf(spark, Seq("table name" -> StringType),
-              catalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+          val what = p.ident().toUpperCase
+          what match {
+            case "MODELS" =>
+              onResult(metaDf(spark, Seq("model name" -> StringType),
+                modelCatalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+            case "TABLES" =>
+              onResult(metaDf(spark, Seq("table name" -> StringType),
+                catalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+            case "VIEWS" =>
+              val names = spark.catalog.listTables().collect()
+                .filter(_.tableType == "TEMPORARY").map(_.name)
+                .filterNot(_.startsWith("__graft")).sorted.toSeq
+              onResult(metaDf(spark, Seq("view name" -> StringType),
+                names.map(n => Seq[Any](n))))
+            case "DATABASES" =>
+              onResult(metaDf(spark, Seq("database name" -> StringType),
+                Seq(Seq[Any]("default_database"))))
+            case "CATALOGS" =>
+              onResult(metaDf(spark, Seq("catalog name" -> StringType),
+                Seq(Seq[Any]("default_catalog"))))
+            case "FUNCTIONS" =>
+              val names = spark.catalog.listFunctions().collect()
+                .map(_.name).sorted.toSeq
+              onResult(metaDf(spark, Seq("function name" -> StringType),
+                names.map(n => Seq[Any](n))))
+            case "CREATE" =>
+              // SHOW CREATE TABLE t — reconstruct runnable DDL text
+              p.eat("TABLE")
+              val name = p.ident()
+              val spec = catalog.getOrElse(name,
+                throw new IllegalArgumentException(
+                  s"SHOW CREATE TABLE of unknown table $name"))
+              onResult(metaDf(spark, Seq("result" -> StringType),
+                Seq(Seq[Any](showCreateTable(spec)))))
+            case other => throw new IllegalArgumentException(
+              s"SHOW $other is not supported (TABLES, VIEWS, MODELS, " +
+                "DATABASES, CATALOGS, FUNCTIONS, CREATE TABLE)")
           }
         case "DESCRIBE" | "DESC" =>
           val p = new FlinkSql.P(toks, stmt)
@@ -1131,6 +1208,41 @@ object FlinkDdl {
       like, ctas)
   }
 
+  /** Reconstruct runnable `CREATE TABLE` DDL from a registered spec
+    * (`SHOW CREATE TABLE`, ShowCreateUtil in the reference): columns in
+    * declared order (computed columns as `AS expr`), watermark, primary
+    * key, and the WITH options minus the internal materialized-table
+    * bookkeeping keys. */
+  private[sql] def showCreateTable(spec: TableSpec): String = {
+    val colLines = spec.columns.map {
+      case ColumnSpec(n, _, Some(e), _) => s"  `$n` AS $e"
+      case ColumnSpec(n, Some(t), _, true) => s"  `$n` ${t.sql} METADATA"
+      case ColumnSpec(n, Some(t), _, _) => s"  `$n` ${t.sql}"
+      case ColumnSpec(n, None, None, _) => s"  `$n`"
+    } ++
+      spec.watermark.map { w =>
+        val Array(n, unit) = w.delay.trim.split("\\s+")
+        s"  WATERMARK FOR `${w.col}` AS `${w.col}` - " +
+          s"INTERVAL '$n' ${unit.stripSuffix("s").toUpperCase}"
+      } ++
+      (if (spec.primaryKey.isEmpty) Nil
+       else Seq(s"  PRIMARY KEY (${spec.primaryKey.map(k => s"`$k`")
+         .mkString(", ")}) NOT ENFORCED"))
+    val partitioned = spec.options.get("partition-keys")
+      .map(ks => s"\nPARTITIONED BY (${ks.split(",").map(_.trim)
+        .map(k => s"`$k`").mkString(", ")})").getOrElse("")
+    val shownOptions = spec.options.removedAll(Seq("partition-keys",
+      MtQueryOpt, MtFreshnessOpt, MtModeOpt, MtStatusOpt, MtManagedOpt))
+    val withClause = shownOptions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n")
+    s"""CREATE TABLE `${spec.name}` (
+       |${colLines.mkString(",\n")}
+       |)$partitioned
+       |WITH (
+       |$withClause
+       |)""".stripMargin
+  }
+
   // ------------------------------------------------- materialized tables
 
   /** ALTER MATERIALIZED TABLE actions (SqlAlterMaterializedTable*.java). */
@@ -1148,6 +1260,9 @@ object FlinkDdl {
   val MtFreshnessOpt = "materialized.freshness"
   val MtModeOpt = "materialized.refresh-mode"
   val MtStatusOpt = "materialized.status"
+  /** Set when no 'path' option was declared (engine-managed storage) —
+    * CREATE OR ALTER keeps the existing table's storage in that case. */
+  val MtManagedOpt = "materialized.managed-path"
 
   /** The documented refresh-mode inference threshold
     * (materialized-table.refresh-mode.freshness-threshold, 30 minutes):
@@ -1261,8 +1376,11 @@ object FlinkDdl {
     // 3 minutes continuous, 1 hour full)
     val resolvedFreshness = freshness.getOrElse(
       if (resolvedMode == "continuous") "3 minutes" else "1 hours")
-    val path = options.getOrElse("path",
-      java.nio.file.Files.createTempDirectory(s"graft_mt_$name").toString)
+    val (path, managed) = options.get("path") match {
+      case Some(pp) => (pp, false)
+      case None => (java.nio.file.Files
+        .createTempDirectory(s"graft_mt_$name").toString, true)
+    }
     val merged = options ++ Map(
       "connector" -> options.getOrElse("connector", "filesystem"),
       "format" -> options.getOrElse("format", "parquet"),
@@ -1271,6 +1389,8 @@ object FlinkDdl {
       MtFreshnessOpt -> resolvedFreshness,
       MtModeOpt -> resolvedMode,
       MtStatusOpt -> "active") ++
+      (if (managed) Map(MtManagedOpt -> "true")
+       else Map.empty[String, String]) ++
       (if (partitionKeys.isEmpty) Map.empty[String, String]
        else Map("partition-keys" -> partitionKeys.mkString(",")))
     (TableSpec(name, cols.result(), watermark, pk, merged,

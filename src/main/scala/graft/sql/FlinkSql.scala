@@ -188,6 +188,13 @@ object FlinkSql {
         var e = i
         while (e < n && (text(e).isDigit || text(e) == '.')) e += 1
         out += Tok(text.substring(i, e), i, e); i = e
+      } else if (c == '`') {
+        // backtick-quoted identifier: one token carrying the INNER text
+        // (positions span the quotes, so text splicing keeps them for
+        // Spark, which quotes identifiers the same way)
+        val j = text.indexOf('`', i + 1)
+        require(j >= 0, s"unterminated quoted identifier at offset $i")
+        out += Tok(text.substring(i + 1, j), i, j + 1); i = j + 1
       } else if (c == '\'') {
         // a doubled quote ('') inside the literal is an escaped quote
         var e = i + 1

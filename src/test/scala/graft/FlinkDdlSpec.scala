@@ -620,6 +620,77 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("SHOW CREATE TABLE reconstructs runnable DDL; SET applies " +
+      "spark-namespaced keys") {
+    val ddl =
+      s"""CREATE TABLE ev (
+         |  event_id BIGINT,
+         |  ts TIMESTAMP(6),
+         |  doubled AS event_id * 2,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+         |  PRIMARY KEY (event_id) NOT ENFORCED
+         |) PARTITIONED BY (event_id)
+         |  WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
+         |        'format'='parquet')""".stripMargin
+    val shown = FlinkDdl.run(spark, s"$ddl;\nSHOW CREATE TABLE ev")
+      .collect().head.getString(0)
+    assert(shown.contains("CREATE TABLE `ev`"), shown)
+    assert(shown.contains("`event_id` BIGINT"), shown)
+    assert(shown.contains("`doubled` AS event_id * 2"), shown)
+    assert(shown.contains("WATERMARK FOR `ts`"), shown)
+    assert(shown.contains("PRIMARY KEY (`event_id`) NOT ENFORCED"), shown)
+    assert(shown.contains("PARTITIONED BY (`event_id`)"), shown)
+    assert(shown.contains("'connector' = 'filesystem'"), shown)
+    // the reconstructed DDL round-trips through the runner
+    val again = FlinkDdl.run(spark,
+      s"$shown;\nSELECT COUNT(*) AS n, MAX(doubled) AS d FROM ev")
+      .collect().head
+    assert(again.getLong(0) > 0 && again.getLong(1) > 0)
+    // SET with a spark.* key reaches the session conf; RESET restores
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      FlinkDdl.run(spark,
+        s"""SET 'spark.sql.shuffle.partitions' = '7';
+           |SET 'table.exec.mini-batch.enabled' = 'true';
+           |$ddl;
+           |SELECT COUNT(*) AS n FROM ev""".stripMargin).collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("CREATE OR ALTER MATERIALIZED TABLE redefines in place; " +
+      "CREATE OR REPLACE TABLE AS overwrites") {
+    val dir = tmpDir()
+    val res = FlinkDdl.runScript(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='30', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE base (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/base', 'format'='parquet');
+         |INSERT INTO base SELECT k FROM src;
+         |CREATE MATERIALIZED TABLE m REFRESH_MODE = FULL
+         |  AS SELECT COUNT(*) AS n FROM base;
+         |CREATE OR ALTER MATERIALIZED TABLE m REFRESH_MODE = FULL
+         |  AS SELECT COUNT(*) AS n, SUM(k) AS sk FROM base;
+         |SELECT n, sk FROM m""".stripMargin)
+    val r = res.dataFrame.collect().head
+    assert(r.getLong(0) == 30 && r.getLong(1) == 435, s"$r")
+    // managed storage kept its identity across the redefinition
+    assert(res.catalog("m").options.contains(FlinkDdl.MtManagedOpt))
+    val rep = FlinkDdl.run(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='10', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE OR REPLACE TABLE t WITH ('connector'='filesystem',
+         |  'path'='$dir/t', 'format'='parquet')
+         |  AS SELECT k, k * k AS sq FROM src;
+         |CREATE OR REPLACE TABLE t WITH ('connector'='filesystem',
+         |  'path'='$dir/t', 'format'='parquet')
+         |  AS SELECT k, k * k * k AS cube FROM src;
+         |SELECT SUM(cube) AS sc FROM t""".stripMargin).collect().head
+    assert(rep.getLong(0) == (0 until 10).map(k => k.toLong * k * k).sum)
+  }
+
   test("CREATE MODEL DDL binds ML_PREDICT to the DESCRIPTOR column") {
     val out = FlinkDdl.run(spark,
       s"""CREATE TABLE docs (doc_id BIGINT, n_chars BIGINT) WITH (
