@@ -99,6 +99,29 @@ object CdcFormats {
       (col("t") === "DELETE", col("d"), Delete)))
   }
 
+  /** Ogg (GoldenGate) JSON
+    * (`…/json/ogg/OggJsonDeserializationSchema.java`): `{"before":R|null,
+    * "after":R|null,"op_type":"I|U|D","op_ts":"yyyy-MM-dd
+    * HH:mm:ss[.ffffff]"}`. I → +I(after); U → -U(before) +U(after);
+    * D → -D(before) — Ogg, unlike Debezium, deletes by PRE-image and
+    * stamps a STRING timestamp, parsed here to epoch seconds for
+    * `__seq`. */
+  def fromOgg(df: DataFrame, jsonCol: String,
+      valueSchema: StructType): DataFrame = {
+    val env = StructType(Seq(
+      StructField("before", valueSchema),
+      StructField("after", valueSchema),
+      StructField("op_type", StringType),
+      StructField("op_ts", StringType)))
+    val p = df.select(from_json(col(jsonCol), env).as("c"))
+    val op = col("c.op_type")
+    emit(p, unix_timestamp(to_timestamp(col("c.op_ts"))), valueSchema, Seq(
+      (op === "I", col("c.after"), Insert),
+      (op === "U", col("c.before"), UpdateBefore),
+      (op === "U", col("c.after"), UpdateAfter),
+      (op === "D", col("c.before"), Delete)))
+  }
+
   /** Maxwell JSON: `{"data":R,"old":R_changed|null,
     * "type":"insert|update|delete","ts":N}` — `old` holds the changed
     * columns of the pre-image. */

@@ -117,6 +117,31 @@ object CdcQueries {
       },
       Some(changelogOracle)),
 
+    // Ogg (GoldenGate): per-row before/after envelopes with op_type
+    // letters and STRING op_ts timestamps — deletes carry the pre-image
+    // (unlike Debezium's d/before conventions the letters and the string
+    // timestamp are the format-specific bits this exercises).
+    QueryDef(
+      "q_cdc_ogg",
+      (s, dir) => {
+        val tsStr = (sec: Int) => lit(f"1970-01-01 00:00:0$sec%d.000000")
+        val feed = base(s, dir).select(explode(array(
+            to_json(struct(row(col("o_totalprice")).as("after"),
+              lit("I").as("op_type"), tsStr(1).as("op_ts"))),
+            when(col("o_orderkey") % 5 === 0, to_json(struct(
+              row(col("o_totalprice")).as("before"),
+              row(col("o_totalprice") * 0.5).as("after"),
+              lit("U").as("op_type"), tsStr(2).as("op_ts")))),
+            when(col("o_orderkey") % 7 === 0, to_json(struct(
+              row(curPrice).as("before"),
+              lit("D").as("op_type"), tsStr(3).as("op_ts"))))))
+            .as("payload"))
+          .where(col("payload").isNotNull)
+        CdcFormats.fromOgg(feed, "payload", valueSchema)
+          .orderBy(col("o_orderkey"), col("__seq"), col("__rowkind"))
+      },
+      Some(changelogOracle)),
+
     // Maxwell: per-row envelopes, parsed changelog folded straight into
     // final table state — the topic→table CDC round trip.
     QueryDef(

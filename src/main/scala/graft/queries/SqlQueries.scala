@@ -18,6 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object SqlQueries {
 
+  /** A [[graft.streaming.SqlPtf]] for the PTF SQL spelling oracle: per
+    * partition key, order rows by `order_col` and emit the first
+    * `threshold` with a 1-based `seq` — deterministic (the sort happens
+    * inside the per-key call), so DuckDB can restate it as ROW_NUMBER.
+    * Scale note: a PTF call holds one key's batch, as in the reference's
+    * per-key PTF invocation. */
+  private final class RunningSeqPtf extends graft.streaming.SqlPtf {
+    override def name: String = "running_seq"
+    override def apply(
+        input: org.apache.spark.sql.DataFrame,
+        call: graft.streaming.PtfCall): org.apache.spark.sql.DataFrame = {
+      val orderCol = call.arg("order_col", 0).getOrElse(
+        throw new IllegalArgumentException("running_seq needs order_col"))
+      val limit = call.arg("threshold", 1).map(_.toInt).getOrElse(Int.MaxValue)
+      val oi = input.schema.fieldIndex(orderCol)
+      val outSchema = input.schema
+        .add("seq", org.apache.spark.sql.types.IntegerType, nullable = false)
+      graft.streaming.ProcessTableFunction[Unit](
+        input, call.partitionBy, outSchema,
+        new graft.streaming.GraftPTF[Unit] {
+          override def process(
+              key: org.apache.spark.sql.Row,
+              rows: Iterator[org.apache.spark.sql.Row],
+              state: Option[Unit],
+              watermarkMs: Long) = {
+            val taken = rows.toIndexedSeq.sortBy(_.getLong(oi)).take(limit)
+            (None, taken.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }, None)
+          }
+        })
+    }
+  }
+
   private val dsum6 = "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
 
   val defs: Seq[QueryDef] = Seq(
@@ -637,6 +670,31 @@ object SqlQueries {
           CASE WHEN CAST((n_chars * 2654435761) % 1000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) >= 0.5
                THEN 'high' ELSE 'low' END AS pred_label
         FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // PTF SQL spelling (ptfs.md; StreamExecProcessTableFunction.java:103):
+    // a registered process table function invoked as a FROM item with a
+    // PARTITION BY table argument and named scalar arguments.
+    QueryDef(
+      "q_sql_ptf",
+      (s, dir) => {
+        graft.streaming.SqlPtfs.register(new RunningSeqPtf)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"))
+        FlinkSql.sql(s,
+          """SELECT user_id, event_id, seq
+            |FROM running_seq(input => TABLE ev PARTITION BY user_id,
+            |                 order_col => 'event_id', threshold => 3)
+            |ORDER BY user_id, event_id""".stripMargin,
+          Map("ev" -> ev))
+      },
+      Some("""
+        SELECT user_id, event_id, CAST(rn AS INT) AS seq FROM (
+          SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS rn
+          FROM events) WHERE rn <= 3
+        ORDER BY user_id, event_id
       """.trim)),
 
     // Materialized table script (SqlCreateMaterializedTable.java:55,

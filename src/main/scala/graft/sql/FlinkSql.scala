@@ -257,6 +257,11 @@ object FlinkSql {
         if (toks(k + 1).up == "ML_PREDICT" && k + 2 < toks.length &&
             toks(k + 2).s == "(")
           return Some((k + 1, translateMlPredict))
+        // `FROM f(…)` where f is a registered process table function
+        if (k + 2 < toks.length && toks(k + 2).s == "(" &&
+            (toks(k + 1).s.headOption.exists(c => c.isLetter || c == '_')) &&
+            graft.streaming.SqlPtfs.get(toks(k + 1).s).isDefined)
+          return Some((k + 1, translatePtf))
         // `FROM input, LATERAL TABLE(VECTOR_SEARCH(…))` — the rewrite span
         // starts at the input table reference (it is consumed too)
         if (t == "FROM" && {
@@ -531,6 +536,81 @@ object FlinkSql {
             .getOrElse(graft.operators.AsyncWait.DefaultTimeoutMs))
       else graft.ml.MLPredict(input, provider, batchSize = batchSize)
     (out, endTok)
+  }
+
+  /** `FROM f(input => TABLE t [PARTITION BY (k, …)],
+    * [on_time => DESCRIPTOR(ts),] [name => literal | literal | DEFAULT]…)`
+    * — the PTF SQL spelling (ptfs.md;
+    * StreamExecProcessTableFunction.java:103) against the
+    * [[graft.streaming.SqlPtfs]] registry. Restrictions (documented): one
+    * table argument; `ORDER BY` set-semantics inside the table argument is
+    * not supported. */
+  private def translatePtf(
+      spark: SparkSession,
+      p: P,
+      ctx: Ctx): (DataFrame, Int) = {
+    val fname = p.ident()
+    val f = graft.streaming.SqlPtfs.get(fname).getOrElse(
+      throw new IllegalArgumentException(s"unknown PTF $fname"))
+    p.eat("(")
+    var input: Option[DataFrame] = None
+    var partitionBy = Seq.empty[String]
+    var onTime: Option[String] = None
+    val named = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var go = p.peek != ")"
+    while (go) {
+      // `name =>` prefix (the tokenizer reads => as '=' '>')
+      val argName: Option[String] =
+        if (p.peekRaw.headOption.exists(c => c.isLetter || c == '_') &&
+            !Set("TABLE", "DESCRIPTOR", "DEFAULT", "TRUE", "FALSE")(p.peek) &&
+            p.i + 2 < p.toks.length && p.toks(p.i + 1).s == "=" &&
+            p.toks(p.i + 2).s == ">") {
+          val n = p.ident(); p.eat("="); p.eat(">")
+          Some(n.toLowerCase)
+        } else None
+      if (p.opt("TABLE")) {
+        val tn = p.ident()
+        input = Some(resolve(spark, ctx.tables, tn))
+        if (p.opt("PARTITION")) {
+          p.eat("BY")
+          val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+          if (p.opt("(")) {
+            cols += p.ident()
+            while (p.opt(",")) cols += p.ident()
+            p.eat(")")
+          } else cols += p.ident()
+          partitionBy = cols.toSeq
+        }
+      } else if (p.opt("DESCRIPTOR")) {
+        p.eat("(")
+        val c = p.ident()
+        p.eat(")")
+        argName match {
+          case Some(n) if n != "on_time" => named(n) = c
+          case _ => onTime = Some(c)
+        }
+      } else if (p.opt("DEFAULT")) {
+        () // explicit default — leave the argument unset
+      } else {
+        // scalar literal: 'string' | [-]number | TRUE/FALSE
+        val neg = p.opt("-")
+        val raw = p.next().s
+        val v = (if (neg) "-" else "") + (
+          if (raw.length >= 2 && raw.head == '\'' && raw.last == '\'')
+            raw.substring(1, raw.length - 1) else raw)
+        argName match {
+          case Some(n) => named(n) = v
+          case None => positional += v
+        }
+      }
+      go = p.opt(",")
+    }
+    val endTok = p.eat(")").end
+    val in = input.getOrElse(throw new IllegalArgumentException(
+      s"PTF $fname needs a table argument (… => TABLE t)"))
+    (f(in, graft.streaming.PtfCall(partitionBy, onTime, named.toMap,
+      positional.toSeq)), endTok)
   }
 
   /** `FROM input, LATERAL TABLE(VECTOR_SEARCH(TABLE corpus, input.vecCol,

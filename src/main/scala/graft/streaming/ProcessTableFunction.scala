@@ -75,3 +75,38 @@ object ProcessTableFunction {
     }
   }
 }
+
+/** A process table function registered for SQL use — the reference's
+  * PTF SQL spelling (ptfs.md; StreamExecProcessTableFunction.java:103):
+  * `SELECT * FROM f(input => TABLE t PARTITION BY k,
+  * on_time => DESCRIPTOR(ts), threshold => 100)`, positional arguments
+  * and `DEFAULT` included. The SQL layer parses the call and hands the
+  * resolved pieces here; implementations typically delegate to
+  * [[ProcessTableFunction.apply]] with a [[GraftPTF]].
+  */
+trait SqlPtf extends Serializable {
+  def name: String
+  def apply(input: DataFrame, call: PtfCall): DataFrame
+}
+
+/** A parsed PTF call site: partition columns from the table argument's
+  * `PARTITION BY`, the `on_time` DESCRIPTOR column if any, named scalar
+  * arguments (lower-cased names, raw literal text with string quotes
+  * stripped), and positional scalars in order (`DEFAULT`s dropped). */
+final case class PtfCall(
+    partitionBy: Seq[String],
+    onTime: Option[String],
+    named: Map[String, String],
+    positional: Seq[String]) {
+  def arg(name: String, position: Int): Option[String] =
+    named.get(name.toLowerCase).orElse(positional.lift(position))
+}
+
+/** Registry the SQL entry resolves PTF names against (case-insensitive),
+  * like the session's function catalog in the reference. */
+object SqlPtfs {
+  private val reg =
+    scala.collection.concurrent.TrieMap.empty[String, SqlPtf]
+  def register(f: SqlPtf): Unit = reg(f.name.toLowerCase) = f
+  def get(name: String): Option[SqlPtf] = reg.get(name.toLowerCase)
+}

@@ -524,4 +524,48 @@ class FlinkSqlSpec extends SparkSpecBase {
             PATTERN (down)
             DEFINE down AS value < other)""", "one condition, one column")
   }
+
+  test("PTF SQL spelling: named, positional, and DEFAULT argument forms") {
+    graft.streaming.SqlPtfs.register(new graft.streaming.SqlPtf {
+      override val name = "take_first"
+      override def apply(input: DataFrame,
+          call: graft.streaming.PtfCall): DataFrame = {
+        val limit = call.arg("threshold", 0).map(_.toInt).getOrElse(1)
+        val tag = call.arg("uid", 1).getOrElse("none")
+        val oi = input.schema.fieldIndex("event_id")
+        val out = input.schema
+          .add("seq", org.apache.spark.sql.types.IntegerType, false)
+          .add("tag", org.apache.spark.sql.types.StringType, false)
+        graft.streaming.ProcessTableFunction[Unit](input,
+          call.partitionBy, out, new graft.streaming.GraftPTF[Unit] {
+            override def process(key: org.apache.spark.sql.Row,
+                rows: Iterator[org.apache.spark.sql.Row],
+                state: Option[Unit], watermarkMs: Long) =
+              (None, rows.toIndexedSeq.sortBy(_.getLong(oi)).take(limit)
+                .zipWithIndex.map { case (r, i) =>
+                  org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i + 1, tag))
+                }, None)
+          })
+      }
+    })
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id")).limit(500)
+    val t = Map("ev" -> ev)
+    val named = FlinkSql.sql(spark,
+      """SELECT user_id, event_id, seq, tag
+        |FROM take_first(input => TABLE ev PARTITION BY user_id,
+        |                threshold => 2, uid => 'named-run')
+        |ORDER BY user_id, event_id""".stripMargin, t).collect()
+    assert(named.nonEmpty)
+    assert(named.forall(r => r.getInt(2) <= 2 && r.getString(3) == "named-run"))
+    val keys = named.map(_.getLong(0)).distinct.length
+    assert(named.length <= keys * 2)
+    // positional + DEFAULT: threshold positional, uid defaulted
+    val pos = FlinkSql.sql(spark,
+      """SELECT user_id, seq, tag
+        |FROM take_first(TABLE ev PARTITION BY user_id, 1, DEFAULT)
+        |ORDER BY user_id""".stripMargin, t).collect()
+    assert(pos.length == keys)
+    assert(pos.forall(r => r.getInt(1) == 1 && r.getString(2) == "none"))
+  }
 }
