@@ -697,6 +697,60 @@ object SqlQueries {
         ORDER BY user_id, event_id
       """.trim)),
 
+    // Built-in changelog PTFs (changelog.md; BuiltInFunctionDefinitions
+    // .FROM_CHANGELOG/TO_CHANGELOG): an append feed with op CODES →
+    // FROM_CHANGELOG (custom comma-grouped op_mapping, op DESCRIPTOR,
+    // ORDER BY driving __seq) → TO_CHANGELOG (custom output codes;
+    // unmapped UPDATE_BEFORE dropped) → append rows.
+    QueryDef(
+      "q_sql_changelog_ptf",
+      (s, dir) => {
+        val b = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        val cur = when(col("o_orderkey") % 5 === 0,
+          col("o_totalprice") * 0.5).otherwise(col("o_totalprice"))
+        def entry(price: org.apache.spark.sql.Column, code: String, ts: Long) =
+          struct(col("o_orderkey"), price.as("o_totalprice"),
+            lit(code).as("opcode"), lit(ts).as("ts"))
+        val feed = b.select(explode(array(
+            entry(col("o_totalprice"), "c", 1L),
+            when(col("o_orderkey") % 5 === 0,
+              entry(col("o_totalprice"), "ub", 2L)),
+            when(col("o_orderkey") % 5 === 0,
+              entry(col("o_totalprice") * 0.5, "ua", 2L)),
+            when(col("o_orderkey") % 7 === 0, entry(cur, "d", 3L))))
+            .as("e"))
+          .where(col("e").isNotNull).select(col("e.*"))
+        val changelog = FlinkSql.sql(s,
+          """SELECT * FROM FROM_CHANGELOG(
+            |  input => TABLE feed PARTITION BY o_orderkey ORDER BY ts,
+            |  op => DESCRIPTOR(opcode),
+            |  op_mapping => MAP['c, r', 'INSERT', 'ub', 'UPDATE_BEFORE',
+            |                    'ua', 'UPDATE_AFTER', 'd', 'DELETE'])
+            |""".stripMargin,
+          Map("feed" -> feed))
+        FlinkSql.sql(s,
+          """SELECT op, o_orderkey, o_totalprice FROM TO_CHANGELOG(
+            |  input => TABLE cl PARTITION BY o_orderkey,
+            |  op_mapping => MAP['INSERT, UPDATE_AFTER', 'upsert',
+            |                    'DELETE', 'delete'])
+            |ORDER BY o_orderkey, op, o_totalprice""".stripMargin,
+          Map("cl" -> changelog))
+      },
+      Some("""
+        WITH feed AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+          FROM orders)
+        SELECT * FROM (
+          SELECT 'upsert' AS op, k AS o_orderkey, p AS o_totalprice FROM feed
+          UNION ALL
+          SELECT 'upsert', k, p * 0.5 FROM feed WHERE k % 5 = 0
+          UNION ALL
+          SELECT 'delete', k, CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END
+          FROM feed WHERE k % 7 = 0)
+        ORDER BY o_orderkey, op, o_totalprice
+      """.trim)),
+
     // Materialized table script (SqlCreateMaterializedTable.java:55,
     // statements.md): declare, materialize from the defining query,
     // REFRESH after the base table changes, and read the result back.

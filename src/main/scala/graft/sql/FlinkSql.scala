@@ -555,9 +555,12 @@ object FlinkSql {
     p.eat("(")
     var input: Option[DataFrame] = None
     var partitionBy = Seq.empty[String]
+    var orderBy = Seq.empty[String]
     var onTime: Option[String] = None
     val named = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    val maps = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(String, String)]]
     var go = p.peek != ")"
     while (go) {
       // `name =>` prefix (the tokenizer reads => as '=' '>')
@@ -582,6 +585,35 @@ object FlinkSql {
           } else cols += p.ident()
           partitionBy = cols.toSeq
         }
+        if (p.opt("ORDER")) {
+          p.eat("BY")
+          require(partitionBy.nonEmpty,
+            "ORDER BY in a PTF table argument requires PARTITION BY")
+          val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+          def one(): Unit = { cols += p.ident(); p.opt("ASC") }
+          if (p.opt("(")) {
+            one(); while (p.opt(",")) one(); p.eat(")")
+          } else one()
+          orderBy = cols.toSeq
+        }
+      } else if (p.peek == "MAP") {
+        // MAP['k1','v1','k2','v2',…] literal argument
+        p.eat("MAP"); p.eat("[")
+        val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        def str(): String = {
+          val raw = p.next().s
+          require(raw.length >= 2 && raw.head == '\'' && raw.last == '\'',
+            s"MAP[...] in a PTF call takes string literals, got $raw")
+          raw.substring(1, raw.length - 1)
+        }
+        var m = p.peek != "]"
+        while (m) {
+          val k = str(); p.eat(","); val v = str()
+          entries += (k -> v)
+          m = p.opt(",")
+        }
+        p.eat("]")
+        maps(argName.getOrElse(s"map${maps.size}")) = entries.toSeq
       } else if (p.opt("DESCRIPTOR")) {
         p.eat("(")
         val c = p.ident()
@@ -610,7 +642,7 @@ object FlinkSql {
     val in = input.getOrElse(throw new IllegalArgumentException(
       s"PTF $fname needs a table argument (… => TABLE t)"))
     (f(in, graft.streaming.PtfCall(partitionBy, onTime, named.toMap,
-      positional.toSeq)), endTok)
+      positional.toSeq, orderBy, maps.toMap)), endTok)
   }
 
   /** `FROM input, LATERAL TABLE(VECTOR_SEARCH(TABLE corpus, input.vecCol,

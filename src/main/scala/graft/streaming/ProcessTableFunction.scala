@@ -90,23 +90,30 @@ trait SqlPtf extends Serializable {
 }
 
 /** A parsed PTF call site: partition columns from the table argument's
-  * `PARTITION BY`, the `on_time` DESCRIPTOR column if any, named scalar
-  * arguments (lower-cased names, raw literal text with string quotes
-  * stripped), and positional scalars in order (`DEFAULT`s dropped). */
+  * `PARTITION BY`, per-partition `ORDER BY` columns (when given), the
+  * `on_time` DESCRIPTOR column if any, named scalar arguments
+  * (lower-cased names, raw literal text with string quotes stripped),
+  * positional scalars in order (`DEFAULT`s dropped), and `MAP['k','v',…]`
+  * literal arguments by name. */
 final case class PtfCall(
     partitionBy: Seq[String],
     onTime: Option[String],
     named: Map[String, String],
-    positional: Seq[String]) {
+    positional: Seq[String],
+    orderBy: Seq[String] = Nil,
+    maps: Map[String, Seq[(String, String)]] = Map.empty) {
   def arg(name: String, position: Int): Option[String] =
     named.get(name.toLowerCase).orElse(positional.lift(position))
 }
 
 /** Registry the SQL entry resolves PTF names against (case-insensitive),
-  * like the session's function catalog in the reference. */
+  * like the session's function catalog in the reference. Ships with the
+  * built-in changelog PTFs (FROM_CHANGELOG / TO_CHANGELOG). */
 object SqlPtfs {
   private val reg =
-    scala.collection.concurrent.TrieMap.empty[String, SqlPtf]
+    scala.collection.concurrent.TrieMap[String, SqlPtf](
+      "from_changelog" -> graft.changelog.ChangelogPtfs.FromChangelog,
+      "to_changelog" -> graft.changelog.ChangelogPtfs.ToChangelog)
   def register(f: SqlPtf): Unit = reg(f.name.toLowerCase) = f
   def get(name: String): Option[SqlPtf] = reg.get(name.toLowerCase)
 }

@@ -525,6 +525,42 @@ class FlinkSqlSpec extends SparkSpecBase {
             DEFINE down AS value < other)""", "one condition, one column")
   }
 
+  test("FROM_CHANGELOG error handling and TO_CHANGELOG partial deletes") {
+    import spark.implicits._
+    val feed = Seq((1L, 10.0, "c"), (1L, 20.0, "x"), (2L, 5.0, "d"))
+      .toDF("k", "v", "op")
+    // unknown code + default FAIL → runtime error
+    val failing = FlinkSql.sql(spark,
+      "SELECT * FROM FROM_CHANGELOG(input => TABLE feed PARTITION BY k)",
+      Map("feed" -> feed))
+    val e = intercept[Exception](failing.collect())
+    assert(e.getMessage.contains("unmapped op code") ||
+      Option(e.getCause).exists(_.getMessage.contains("unmapped op code")))
+    // SKIP drops the unmapped row; custom mapping applies
+    val skipped = FlinkSql.sql(spark,
+      """SELECT * FROM FROM_CHANGELOG(
+        |  input => TABLE feed PARTITION BY k,
+        |  op_mapping => MAP['c', 'INSERT', 'd', 'DELETE'],
+        |  error_handling => 'SKIP')""".stripMargin,
+      Map("feed" -> feed)).collect()
+    assert(skipped.length == 2)
+    assert(skipped.map(_.getAs[String]("__rowkind")).sorted.toSeq ==
+      Seq("+I", "-D"))
+    // TO_CHANGELOG with produces_full_deletes => false nulls non-key cols
+    val cl = Seq((1L, 10.0, "+I", 1L), (2L, 5.0, "-D", 2L))
+      .toDF("k", "v", "__rowkind", "__seq")
+    val partial = FlinkSql.sql(spark,
+      """SELECT op, k, v FROM TO_CHANGELOG(
+        |  input => TABLE cl PARTITION BY k,
+        |  produces_full_deletes => FALSE)
+        |ORDER BY k""".stripMargin,
+      Map("cl" -> cl)).collect()
+    assert(partial.length == 2)
+    assert(partial(0).getString(0) == "INSERT" && partial(0).getDouble(2) == 10.0)
+    assert(partial(1).getString(0) == "DELETE" && partial(1).isNullAt(2),
+      s"delete row must null non-key columns: ${partial(1)}")
+  }
+
   test("PTF SQL spelling: named, positional, and DEFAULT argument forms") {
     graft.streaming.SqlPtfs.register(new graft.streaming.SqlPtf {
       override val name = "take_first"
