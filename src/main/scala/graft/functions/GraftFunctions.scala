@@ -13,6 +13,7 @@ object GraftFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
     StringGapFunctions.register(spark)
+    CollectionGapFunctions.register(spark)
     BitmapFunctions.register(spark)
     JsonAggFunctions.register(spark)
     TextAnalysis.register(spark)

@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StructType}
 
 /** Catalog-declared model metadata — the repo's face of the reference's
   * `CREATE MODEL` DDL (flink-sql-parser/…/ddl/model/SqlCreateModel.java:49:
@@ -89,10 +89,82 @@ object ModelFactories {
     }
   }
 
+  /** `'10s' | '1500ms' | '2min' | '500'`-style duration → millis (the
+    * reference's Duration-typed options accept the same spellings). */
+  private def durationMs(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("ms")) t.dropRight(2).trim.toLong
+    else if (t.endsWith("min")) t.dropRight(3).trim.toLong * 60000L
+    else if (t.endsWith("s")) t.dropRight(1).trim.toLong * 1000L
+    else t.toLong
+  }
+
+  /** `'provider'='triton'` — the Triton Inference Server provider
+    * (flink-model-triton/…/TritonModelProviderFactory.java:99; option
+    * keys follow TritonOptions.java: `endpoint`, `model-name`,
+    * `model-version`, `timeout`, `auth-token`, `custom-headers`
+    * (`k1:v1;k2:v2`), `max-retries`, `retry-initial-backoff`,
+    * `retry-max-backoff`, `default-value` (JSON),
+    * `circuit-breaker-enabled` / `-failure-threshold` / `-timeout` /
+    * `-half-open-requests`). The request/response tensor names come from
+    * `input-name` / `output-name`, defaulting to the model DDL's INPUT /
+    * OUTPUT column names; the OUTPUT type picks the Spark-side landing
+    * type (ARRAY<FLOAT> by default). */
+  private object TritonFactory extends ModelProviderFactory {
+    override def identifier: String = "triton"
+
+    override def create(spec: ModelSpec, features: Seq[String]): ModelProvider = {
+      require(features.size == 1,
+        s"triton models take exactly one feature column, got $features")
+      val o = spec.options
+      def req(k: String): String = o.getOrElse(k,
+        throw new IllegalArgumentException(
+          s"model ${spec.name}: '$k' is required"))
+      val headers = o.get("custom-headers").map(_.split(";").iterator
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf(':')
+          require(i > 0, s"malformed custom-headers entry '$kv' (want k:v)")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }.toMap).getOrElse(Map.empty[String, String])
+      val cfg = TritonConfig(
+        endpoint = req("endpoint").replaceAll("/*$", ""),
+        modelName = req("model-name"),
+        modelVersion = o.getOrElse("model-version", "latest"),
+        inputName = o.getOrElse("input-name",
+          spec.inputs.headOption.map(_._1).getOrElse("input")),
+        outputName = o.getOrElse("output-name",
+          spec.outputs.headOption.map(_._1).getOrElse("")),
+        authToken = o.getOrElse("auth-token", ""),
+        customHeaders = headers,
+        requestTimeoutMs = o.get("timeout").map(durationMs).getOrElse(30000L),
+        maxRetries = o.get("max-retries").map(_.toInt).getOrElse(0),
+        retryInitialBackoffMs =
+          o.get("retry-initial-backoff").map(durationMs).getOrElse(100L),
+        retryMaxBackoffMs =
+          o.get("retry-max-backoff").map(durationMs).getOrElse(10000L),
+        defaultValue = o.get("default-value"),
+        breakerEnabled =
+          o.get("circuit-breaker-enabled").exists(_.toBoolean),
+        breakerFailureThreshold = o.get("circuit-breaker-failure-threshold")
+          .map(_.toDouble).getOrElse(0.5),
+        breakerMinRequests = o.get("circuit-breaker-min-requests")
+          .map(_.toInt).getOrElse(10),
+        breakerOpenMs =
+          o.get("circuit-breaker-timeout").map(durationMs).getOrElse(60000L),
+        breakerHalfOpenRequests = o.get("circuit-breaker-half-open-requests")
+          .map(_.toInt).getOrElse(3))
+      new TritonModel(cfg, features.head,
+        outputCol = spec.outputs.headOption.map(_._1).getOrElse("output"),
+        outputType = spec.outputs.headOption.map(_._2)
+          .getOrElse(ArrayType(FloatType)))
+    }
+  }
+
   private val reg =
     scala.collection.concurrent.TrieMap[String, ModelProviderFactory](
       OpenAIFactory.identifier -> OpenAIFactory,
-      HashScoreFactory.identifier -> HashScoreFactory)
+      HashScoreFactory.identifier -> HashScoreFactory,
+      TritonFactory.identifier -> TritonFactory)
 
   def register(factory: ModelProviderFactory): Unit =
     reg(factory.identifier) = factory

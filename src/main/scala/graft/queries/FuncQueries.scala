@@ -107,6 +107,43 @@ object FuncQueries {
         FROM nation ORDER BY n_nationkey
       """.trim)),
 
+    // Gap pack #3 — the last inventory deltas vs
+    // BuiltInFunctionDefinitions.java: JSON_STRING / ARRAY_SLICE (graft
+    // compositions, see functions.CollectionGapFunctions) and the
+    // Spark-native REGEXP_SUBSTR / REGEXP_INSTR / REGEXP_COUNT / IFNULL
+    // demonstrated against independent DuckDB formulations.
+    QueryDef(
+      "q_func_gap3",
+      (s, dir) => {
+        Tables.nation(s, dir).select(
+          col("n_nationkey"),
+          graft.functions.CollectionGapFunctions.jsonString(col("n_name"))
+            .as("js"),
+          graft.functions.CollectionGapFunctions
+            .jsonString(col("n_nationkey")).as("js_num"),
+          concat_ws(",", transform(
+            graft.functions.CollectionGapFunctions.arraySlice(
+              sequence(lit(1L), lit(1L) + col("n_nationkey") % 5),
+              lit(2), lit(3)),
+            x => x.cast("string"))).as("sl"),
+          expr("regexp_substr(n_name, '[AEIOU]+')").as("rs"),
+          expr("regexp_instr(n_name, '[AEIOU]+')").as("ri"),
+          expr("ifnull(nullif(n_name, 'ALGERIA'), 'DEFAULT')").as("ifn"),
+          expr("regexp_count(n_name, '[AEIOU]')").as("rc"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey,
+          CAST(to_json(n_name) AS VARCHAR) AS js,
+          CAST(to_json(n_nationkey) AS VARCHAR) AS js_num,
+          coalesce(array_to_string((range(1, 2 + n_nationkey % 5))[2:3], ','), '') AS sl,
+          regexp_extract(n_name, '[AEIOU]+') AS rs,
+          strpos(n_name, regexp_extract(n_name, '[AEIOU]+')) AS ri,
+          ifnull(nullif(n_name, 'ALGERIA'), 'DEFAULT') AS ifn,
+          len(regexp_extract_all(n_name, '[AEIOU]')) AS rc
+        FROM nation ORDER BY n_nationkey
+      """.trim)),
+
     // TIMESTAMPDIFF / TIMESTAMPADD arithmetic (reference temporal pack):
     // whole-unit diffs on date-resolution timestamps are crossing-count
     // identical across engines.

@@ -966,7 +966,7 @@ object FlinkDdl {
         .createTempDirectory(s"graft_ddl_ck_${spec.name}_").toString)
     spec.connector match {
       case "filesystem" =>
-        val w = aligned.writeStream.format(spec.format)
+        val w = bucketed(spec, aligned).writeStream.format(spec.format)
           .option("path", spec.path)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
@@ -992,7 +992,7 @@ object FlinkDdl {
     val aligned = alignToSink(spec, df)
     spec.connector match {
       case "filesystem" =>
-        val w = aligned.write
+        val w = bucketed(spec, aligned).write
           .mode(if (overwrite) "overwrite" else "append")
           .format(spec.format)
         spec.options.get("partition-keys") match {
@@ -1168,6 +1168,60 @@ object FlinkDdl {
     m
   }
 
+  /** `DISTRIBUTED INTO n BUCKETS | DISTRIBUTED BY [HASH|RANGE] (c, …)
+    * [INTO n BUCKETS]` (reference grammar: parserImpls.ftl SqlDistribution
+    * production, AST SqlDistribution.java:57) → bucketing options on the
+    * spec. Spark-first mapping, applied at write time ([[bucketed]]): HASH
+    * (the default kind, as in the reference) repartitions on the bucket
+    * columns, RANGE range-partitions on them, a bare bucket count
+    * round-robins — so each sink file holds one bucket and a downstream
+    * reader gets bounded, evenly sized files co-located by key. */
+  private def parseDistribution(p: FlinkSql.P): Map[String, String] = {
+    if (!p.opt("DISTRIBUTED")) return Map.empty
+    def intoBuckets(): Option[String] =
+      if (p.opt("INTO")) {
+        val n = p.next().s
+        require(n.forall(_.isDigit) && n.toInt > 0,
+          s"INTO $n BUCKETS: bucket count must be a positive integer")
+        p.eat("BUCKETS")
+        Some(n)
+      } else None
+    if (p.peek == "INTO") {
+      Map("distribution-buckets" -> intoBuckets().get)
+    } else {
+      p.eat("BY")
+      val kind =
+        if (p.opt("HASH")) "hash"
+        else if (p.opt("RANGE")) "range"
+        else "hash" // unspecified kind is hash, as in the reference
+      p.eat("(")
+      val ks = scala.collection.mutable.ArrayBuffer(p.ident())
+      while (p.opt(",")) ks += p.ident()
+      p.eat(")")
+      Map("distribution-kind" -> kind,
+        "distribution-keys" -> ks.mkString(",")) ++
+        intoBuckets().map("distribution-buckets" -> _)
+    }
+  }
+
+  /** Apply a spec's DISTRIBUTED clause to a batch or streaming write. */
+  private def bucketed(spec: TableSpec, df: DataFrame): DataFrame = {
+    val keys = spec.options.get("distribution-keys")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val buckets = spec.options.get("distribution-buckets").map(_.toInt)
+    (keys, buckets) match {
+      case (Nil, None) => df
+      case (Nil, Some(n)) => df.repartition(n)
+      case (ks, n) if spec.options.get("distribution-kind")
+          .contains("range") =>
+        n.fold(df.repartitionByRange(ks.map(col): _*))(b =>
+          df.repartitionByRange(b, ks.map(col): _*))
+      case (ks, n) =>
+        n.fold(df.repartition(ks.map(col): _*))(b =>
+          df.repartition(b, ks.map(col): _*))
+    }
+  }
+
   private def parseCreateTable(
       p: FlinkSql.P,
       stmt: String,
@@ -1181,6 +1235,7 @@ object FlinkDdl {
     if (p.opt("(")) parseColumnList(p, stmt, cols,
       watermark = w => watermark = Some(w), pkOut = ks => pk = ks)
     if (p.opt("COMMENT")) p.next()
+    val distribution = parseDistribution(p)
     // PARTITIONED BY (c1, …) → the sink writer's partition-keys option
     // (Spark writer .partitionBy → hive-style dirs; reads prune on them)
     var partitionKeys: Seq[String] = Nil
@@ -1191,8 +1246,9 @@ object FlinkDdl {
       p.eat(")")
       partitionKeys = ks.toSeq
     }
-    val options =
+    val options0 =
       if (p.opt("WITH")) parseOptions(p) else Map.empty[String, String]
+    val options = options0 ++ distribution
     val like =
       if (p.opt("LIKE")) {
         val base = p.ident()
@@ -1228,16 +1284,31 @@ object FlinkDdl {
       (if (spec.primaryKey.isEmpty) Nil
        else Seq(s"  PRIMARY KEY (${spec.primaryKey.map(k => s"`$k`")
          .mkString(", ")}) NOT ENFORCED"))
+    val distributed = {
+      val keys = spec.options.get("distribution-keys")
+        .map(_.split(",").map(_.trim).map(k => s"`$k`").mkString(", "))
+      val into = spec.options.get("distribution-buckets")
+        .map(n => s" INTO $n BUCKETS").getOrElse("")
+      keys match {
+        case Some(ks) =>
+          val kind = spec.options.getOrElse("distribution-kind", "hash")
+            .toUpperCase
+          s"\nDISTRIBUTED BY $kind($ks)$into"
+        case None if into.nonEmpty => s"\nDISTRIBUTED$into"
+        case None => ""
+      }
+    }
     val partitioned = spec.options.get("partition-keys")
       .map(ks => s"\nPARTITIONED BY (${ks.split(",").map(_.trim)
         .map(k => s"`$k`").mkString(", ")})").getOrElse("")
     val shownOptions = spec.options.removedAll(Seq("partition-keys",
+      "distribution-kind", "distribution-keys", "distribution-buckets",
       MtQueryOpt, MtFreshnessOpt, MtModeOpt, MtStatusOpt, MtManagedOpt))
     val withClause = shownOptions.toSeq.sortBy(_._1)
       .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n")
     s"""CREATE TABLE `${spec.name}` (
        |${colLines.mkString(",\n")}
-       |)$partitioned
+       |)$distributed$partitioned
        |WITH (
        |$withClause
        |)""".stripMargin

@@ -780,4 +780,66 @@ class FlinkDdlSpec extends SparkSpecBase {
         "purchases" -> purchases))
     assert(out.count() > 0)
   }
+
+  test("DISTRIBUTED BY buckets the sink write; SHOW CREATE round-trips") {
+    val dir = tmpDir()
+    // HASH(k) INTO 4 BUCKETS: one file per bucket, co-located keys
+    FlinkDdl.run(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='100', 'fields.k.kind'='sequence',
+         |  'fields.k.start'='0');
+         |CREATE TABLE sink (k BIGINT, v BIGINT)
+         |  DISTRIBUTED BY HASH(k) INTO 4 BUCKETS
+         |  WITH ('connector'='filesystem', 'path'='$dir/sink',
+         |        'format'='parquet');
+         |INSERT INTO sink SELECT k, k * 2 AS v FROM src;
+         |SELECT COUNT(*) AS n FROM sink""".stripMargin)
+    val files = new java.io.File(s"$dir/sink").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 bucket files, got ${files.length}")
+    // the same key always lands in the same bucket file
+    val byFile = files.map(f => spark.read.parquet(f.getPath)
+      .select("k").collect().map(_.getLong(0)).toSet)
+    assert(byFile.map(_.size).sum == 100, "buckets must partition the keys")
+    // bare DISTRIBUTED INTO n BUCKETS round-robins into n files
+    FlinkDdl.run(spark,
+      s"""CREATE TABLE sink2 (k BIGINT)
+         |  DISTRIBUTED INTO 3 BUCKETS
+         |  WITH ('connector'='filesystem', 'path'='$dir/sink2',
+         |        'format'='parquet');
+         |INSERT INTO sink2 SELECT k FROM g_src;""".stripMargin,
+      Map("g_src" -> spark.range(30).toDF("k")))
+    assert(new java.io.File(s"$dir/sink2").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 3)
+    // SHOW CREATE TABLE reconstructs the clause, and the text re-parses
+    val shown = FlinkDdl.run(spark,
+      s"""CREATE TABLE sink (k BIGINT, v BIGINT)
+         |  DISTRIBUTED BY HASH(k) INTO 4 BUCKETS
+         |  WITH ('connector'='filesystem', 'path'='$dir/sink',
+         |        'format'='parquet');
+         |SHOW CREATE TABLE sink""".stripMargin)
+      .collect().head.getString(0)
+    assert(shown.contains("DISTRIBUTED BY HASH(`k`) INTO 4 BUCKETS"), shown)
+    val back = FlinkDdl.runScript(spark, shown)
+    assert(back.catalog("sink").options("distribution-buckets") == "4")
+    assert(back.catalog("sink").options("distribution-keys") == "k")
+    // RANGE kind range-partitions: bucket key ranges must not overlap
+    FlinkDdl.run(spark,
+      s"""CREATE TABLE sink3 (k BIGINT)
+         |  DISTRIBUTED BY RANGE(k) INTO 4 BUCKETS
+         |  WITH ('connector'='filesystem', 'path'='$dir/sink3',
+         |        'format'='parquet');
+         |INSERT INTO sink3 SELECT k FROM g_src;""".stripMargin,
+      Map("g_src" -> spark.range(100).toDF("k")))
+    val ranges = new java.io.File(s"$dir/sink3").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val ks = spark.read.parquet(f.getPath).collect().map(_.getLong(0))
+        (ks.min, ks.max)
+      }.sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"range buckets overlap: $ranges")
+    }
+  }
 }

@@ -101,4 +101,66 @@ class FunctionSpec extends SparkSpecBase {
     assert(r.getAs[java.time.LocalDateTime](0).getHour == 7)
     assert(r.getAs[java.time.LocalDateTime](1).getHour == 8)
   }
+
+  test("mapUnion: later maps override, null in null out") {
+    import graft.functions.{CollectionGapFunctions => CG}
+    val df = Seq(1).toDF("i").select(
+      CG.mapUnion(
+        map(lit("a"), lit(1), lit("b"), lit(2)),
+        map(lit("b"), lit(20), lit("c"), lit(30)),
+        map(lit("c"), lit(300))).as("m"),
+      CG.mapUnion(map(lit("a"), lit(1)),
+        lit(null).cast("map<string,int>")).as("n"))
+    val r = df.collect().head
+    assert(r.getAs[Map[String, Int]]("m") ==
+      Map("a" -> 1, "b" -> 20, "c" -> 300))
+    assert(r.isNullAt(1), "MAP_UNION with a NULL argument is NULL")
+  }
+
+  test("arraySlice: negative indices, open end, empty intersection") {
+    import graft.functions.{CollectionGapFunctions => CG}
+    val df = Seq(Seq(10L, 20L, 30L, 40L, 50L)).toDF("a")
+    val out = df.select(
+      CG.arraySlice($"a", lit(2), lit(4)).as("mid"),
+      CG.arraySlice($"a", lit(-2)).as("tail2"),
+      CG.arraySlice($"a", lit(1), lit(-3)).as("headToNeg"),
+      CG.arraySlice($"a", lit(4), lit(2)).as("empty"),
+      CG.arraySlice($"a", lit(-99), lit(99)).as("clamped")).collect().head
+    assert(out.getAs[scala.collection.Seq[Long]]("mid") == Seq(20L, 30L, 40L))
+    assert(out.getAs[scala.collection.Seq[Long]]("tail2") == Seq(40L, 50L))
+    assert(out.getAs[scala.collection.Seq[Long]]("headToNeg") == Seq(10L, 20L, 30L))
+    assert(out.getAs[scala.collection.Seq[Long]]("empty").isEmpty)
+    assert(out.getAs[scala.collection.Seq[Long]]("clamped") == Seq(10L, 20L, 30L, 40L, 50L))
+  }
+
+  test("randInteger: bounded, and seeded form is reproducible") {
+    import graft.functions.{CollectionGapFunctions => CG}
+    val df = TestSpark.spark.range(1000).toDF("i")
+    val vals = df.select(CG.randInteger(lit(7)).as("r"))
+      .as[Int].collect()
+    assert(vals.forall(v => v >= 0 && v < 7))
+    assert(vals.distinct.length > 1, "must actually vary")
+    val a = df.select(CG.randInteger(42L, lit(100)).as("r")).as[Int].collect()
+    val b = df.select(CG.randInteger(42L, lit(100)).as("r")).as[Int].collect()
+    assert(a.toSeq == b.toSeq, "seeded rand_integer must be reproducible")
+  }
+
+  test("json_string SQL wrapper and jsonString on nested types") {
+    import graft.functions.{CollectionGapFunctions => CG}
+    graft.functions.GraftFunctions.registerAll(TestSpark.spark)
+    val df = Seq(("x\"y", 3)).toDF("s", "n")
+    val r = df.select(
+      CG.jsonString($"s").as("js"),
+      CG.jsonString($"n").as("jn"),
+      CG.jsonString(array(lit(1), lit(2))).as("ja"),
+      CG.jsonString(struct(lit(1).as("a"))).as("jo"),
+      CG.jsonString(lit(null).cast("string")).as("jnull"),
+      expr("json_string('plain')").as("sqljs")).collect().head
+    assert(r.getString(0) == "\"x\\\"y\"")
+    assert(r.getString(1) == "3")
+    assert(r.getString(2) == "[1,2]")
+    assert(r.getString(3) == "{\"a\":1}")
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "\"plain\"")
+  }
 }
