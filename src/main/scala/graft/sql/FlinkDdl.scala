@@ -274,8 +274,19 @@ object FlinkDdl {
     val catalog = scala.collection.mutable.LinkedHashMap.empty[String, TableSpec]
     val modelCatalog =
       scala.collection.mutable.LinkedHashMap.empty[String, graft.ml.ModelSpec]
-    val started =
-      Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
+    val started = scala.collection.mutable
+      .ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+    // job id → (job name, query) for SHOW JOBS / STOP JOB (the
+    // reference's cluster job surface mapped onto the session's live
+    // StreamingQuery set)
+    val jobs = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, org.apache.spark.sql.streaming.StreamingQuery)]
+    def registerJob(
+        name: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      started += q
+      jobs(q.id.toString) = (name, q)
+    }
 
     def tables(): Map[String, DataFrame] =
       extra ++ catalog.iterator.flatMap { case (n, spec) =>
@@ -295,7 +306,8 @@ object FlinkDdl {
       val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
         s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
       val result = FlinkSql.sql(spark, query, tables(), allModels())
-      started += startStreamSink(spec, alignToSink(spec, result))
+      registerJob(s"insert-into_$sink",
+        startStreamSink(spec, alignToSink(spec, result)))
     }
 
     // continuous materialized tables: name → live refresh job, so
@@ -310,7 +322,7 @@ object FlinkDdl {
       val q = startStreamSink(spec, alignToSink(spec,
         shapeToDeclared(spec, result)))
       mtJobs(spec.name) = q
-      started += q
+      registerJob(s"materialized_${spec.name}", q)
     }
 
     runStatements(spark, script, catalog, modelCatalog, tables, allModels,
@@ -358,8 +370,23 @@ object FlinkDdl {
             "ALTER MATERIALIZED TABLE … AS is batch-mode only here — " +
               "SUSPEND, redefine, and RESUME instead")
         }
-      })
-    started.result()
+      },
+      // the reference addresses jobs by cluster job id; script-side the
+      // stable handle is the job NAME (ids are generated), so both match
+      onStopJob = id => {
+        val found = jobs.get(id)
+          .orElse(jobs.values.find(_._1 == id).map(v => ("", v._2)))
+        found match {
+          case Some((_, q)) => q.stop()
+          case None => throw new IllegalArgumentException(
+            s"STOP JOB '$id': unknown job; running: " +
+              jobs.map { case (i, (n, _)) => s"$i ($n)" }.mkString(", "))
+        }
+      },
+      onListJobs = () => jobs.iterator.map { case (id, (name, q)) =>
+        Seq[Any](id, name, if (q.isActive) "RUNNING" else "FINISHED")
+      }.toSeq)
+    started.toSeq
   }
 
   /** Batch row-level statements over filesystem tables — the reference's
@@ -508,7 +535,39 @@ object FlinkDdl {
           s"CREATE MATERIALIZED TABLE ${s.name} is not supported here"),
       onMtAlter: (String, MtAction) => Unit =
         (n, _) => throw new IllegalArgumentException(
-          s"ALTER MATERIALIZED TABLE $n is not supported here")): Unit = {
+          s"ALTER MATERIALIZED TABLE $n is not supported here"),
+      onStopJob: String => Unit = id => throw new IllegalArgumentException(
+        s"STOP JOB '$id': no streaming jobs in batch mode"),
+      onListJobs: () => Seq[Seq[Any]] = () => Nil): Unit = {
+    // Namespace + connection registries (reference DDL:
+    // ddl/catalog/SqlCreateCatalog.java, SqlUseCatalog.java,
+    // SqlCreateDatabase.java, ddl/connection/SqlCreateConnection.java).
+    // Scope: these manage defaults and visibility — the physical table
+    // namespace stays FLAT (the Spark temp-view model), so one table
+    // name cannot exist in two databases at once (rejected explicitly).
+    val catalogs = scala.collection.mutable.LinkedHashMap(
+      "default_catalog" -> Map.empty[String, String])
+    val databases = scala.collection.mutable.LinkedHashSet(
+      "default_catalog.default_database")
+    val connections =
+      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    var curCatalog = "default_catalog"
+    var curDatabase = "default_database"
+    def dbTag(spec: TableSpec): String =
+      spec.options.getOrElse("database", "default_catalog.default_database")
+    def curDbTag: String = s"$curCatalog.$curDatabase"
+    /** Merge a `USING CONNECTION` reference into WITH options (explicit
+      * options win; the marker is replaced by the resolved values). */
+    def mergeConnection(options: Map[String, String]): Map[String, String] =
+      options.get("connection") match {
+        case None => options
+        case Some(cn) =>
+          val conn = connections.getOrElse(cn,
+            throw new IllegalArgumentException(
+              s"unknown connection $cn; known: " +
+                connections.keys.mkString(", ")))
+          conn ++ (options - "connection")
+      }
     for (stmt <- splitStatements(script)) {
       val toks = FlinkSql.tokenize(stmt)
       if (toks.nonEmpty) toks.head.up match {
@@ -560,12 +619,60 @@ object FlinkDdl {
               .createOrReplaceTempView(name)
           } else if (p.opt("MODEL")) {
             // CREATE [TEMPORARY] MODEL [IF NOT EXISTS] name
-            //   [INPUT (c T, …)] [OUTPUT (c T, …)] [COMMENT '…'] WITH (…)
+            //   [INPUT (c T, …)] [OUTPUT (c T, …)] [COMMENT '…']
+            //   [USING CONNECTION conn] WITH (…)
             // (SqlCreateModel.java:49; CREATE MODEL … AS <query> — model
             // training, SqlCreateModelAs — is out of scope for a query
             // engine and rejected explicitly)
             val spec = parseCreateModel(p, temporary)
-            modelCatalog(spec.name) = spec
+            modelCatalog(spec.name) =
+              spec.copy(options = mergeConnection(spec.options))
+          } else if (p.opt("CATALOG")) {
+            // CREATE CATALOG [IF NOT EXISTS] c [COMMENT '…'] [WITH (…)]
+            // (catalog/SqlCreateCatalog.java)
+            val ifNotExists =
+              if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS"); true }
+              else false
+            val name = p.ident()
+            if (p.opt("COMMENT")) p.next()
+            val opts = if (p.opt("WITH")) parseOptions(p)
+            else Map.empty[String, String]
+            require(ifNotExists || !catalogs.contains(name),
+              s"catalog $name already exists")
+            if (!catalogs.contains(name)) {
+              catalogs(name) = opts
+              databases += s"$name.default_database"
+            }
+          } else if (p.opt("DATABASE")) {
+            // CREATE DATABASE [IF NOT EXISTS] [cat.]db [COMMENT '…']
+            // [WITH (…)] (SqlCreateDatabase.java)
+            val ifNotExists =
+              if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS"); true }
+              else false
+            val n1 = p.ident()
+            val (cat, db) =
+              if (p.opt(".")) (n1, p.ident()) else (curCatalog, n1)
+            if (p.opt("COMMENT")) p.next()
+            if (p.opt("WITH")) parseOptions(p)
+            require(catalogs.contains(cat), s"unknown catalog $cat")
+            require(ifNotExists || !databases.contains(s"$cat.$db"),
+              s"database $cat.$db already exists")
+            databases += s"$cat.$db"
+          } else if (p.opt("CONNECTION")) {
+            // CREATE CONNECTION [IF NOT EXISTS] c [COMMENT '…'] WITH (…)
+            // (connection/SqlCreateConnection.java) — a named, reusable
+            // option bundle (endpoint/auth) that CREATE TABLE/MODEL pull
+            // in via USING CONNECTION
+            val ifNotExists =
+              if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS"); true }
+              else false
+            val name = p.ident()
+            if (p.opt("COMMENT")) p.next()
+            p.eat("WITH")
+            val opts = parseOptions(p)
+            require(ifNotExists || !connections.contains(name),
+              s"connection $name already exists")
+            if (!connections.contains(name)) connections(name) = opts
           } else if (p.peek.equalsIgnoreCase("FUNCTION") ||
               (p.peek.equalsIgnoreCase("SYSTEM") )) {
             throw new IllegalArgumentException(
@@ -575,13 +682,25 @@ object FlinkDdl {
           } else {
             p.eat("TABLE")
             val parsed = parseCreateTable(p, stmt, temporary)
-            val spec = parsed.like.fold(parsed.spec) { case (base, merge) =>
+            val spec0 = parsed.like.fold(parsed.spec) { case (base, merge) =>
               val baseSpec = catalog.getOrElse(base,
                 throw new IllegalArgumentException(
                   s"LIKE references unknown table $base; " +
                     s"known: ${catalog.keys.mkString(", ")}"))
               mergeLike(parsed.spec, baseSpec, merge)
             }
+            // tag the owning database; reject a same-name table in a
+            // DIFFERENT database (flat physical namespace, see above)
+            catalog.get(spec0.name).foreach { old =>
+              require(dbTag(old) == curDbTag,
+                s"table ${spec0.name} already exists in ${dbTag(old)} — " +
+                  "the runner keeps one flat table namespace across " +
+                  "databases")
+            }
+            val merged = mergeConnection(spec0.options)
+            val spec = spec0.copy(options =
+              if (curDbTag == "default_catalog.default_database") merged
+              else merged + ("database" -> curDbTag))
             parsed.ctasQuery match {
               case None => catalog(spec.name) = spec
               case Some(q) => onCtas(spec, q)
@@ -615,7 +734,35 @@ object FlinkDdl {
               scala.util.Try(spark.conf.unset(k))
           }
         case "ANALYZE" => () // stats live in the files; accepted as no-op
-        case "USE" => () // single implicit catalog/database
+        case "USE" =>
+          // USE CATALOG c (SqlUseCatalog.java) | USE [db] (SqlUseDatabase)
+          // | USE MODULES … (SqlUseModules — accepted, module resolution
+          // order has no Spark counterpart)
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("USE")
+          if (p.opt("CATALOG")) {
+            val name = p.ident()
+            require(catalogs.contains(name),
+              s"unknown catalog $name; known: ${catalogs.keys.mkString(", ")}")
+            curCatalog = name
+            curDatabase = "default_database"
+          } else if (p.opt("MODULES")) {
+            ()
+          } else if (!p.done) {
+            val n1 = p.ident()
+            val (cat, db) =
+              if (p.opt(".")) (n1, p.ident()) else (curCatalog, n1)
+            require(databases.contains(s"$cat.$db"),
+              s"unknown database $cat.$db; known: ${databases.mkString(", ")}")
+            curCatalog = cat
+            curDatabase = db
+          }
+        case "STOP" =>
+          // STOP JOB 'id' [WITH SAVEPOINT] [WITH DRAIN] (SqlStopJob.java)
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("STOP"); p.eat("JOB")
+          val id = unquote(p.next().s)
+          onStopJob(id)
         case "DELETE" | "UPDATE" | "TRUNCATE" => onMutate(stmt)
         case "ALTER" =>
           val p = new FlinkSql.P(toks, stmt)
@@ -678,6 +825,31 @@ object FlinkDdl {
               modelCatalog(name) = spec.copy(options =
                 spec.options ++ parseOptions(p))
             }
+          } else if (p.opt("CONNECTION")) {
+            // ALTER CONNECTION c SET (…) | RESET (…) | RENAME TO n
+            // (connection/SqlAlterConnectionSet/Reset/Rename.java)
+            if (p.opt("IF")) p.eat("EXISTS")
+            val name = p.ident()
+            val opts = connections.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"ALTER of unknown connection $name; known: " +
+                  connections.keys.mkString(", ")))
+            if (p.opt("RENAME")) {
+              p.eat("TO")
+              val to = p.ident()
+              connections.remove(name)
+              connections(to) = opts
+            } else if (p.opt("RESET")) {
+              p.eat("(")
+              val dropped = scala.collection.mutable.ArrayBuffer(
+                unquote(p.next().s))
+              while (p.opt(",")) dropped += unquote(p.next().s)
+              p.eat(")")
+              connections(name) = opts -- dropped
+            } else {
+              p.eat("SET")
+              connections(name) = opts ++ parseOptions(p)
+            }
           } else {
             p.eat("TABLE")
             if (p.opt("IF")) p.eat("EXISTS")
@@ -691,6 +863,44 @@ object FlinkDdl {
               val to = p.ident()
               catalog.remove(name)
               catalog(to) = spec.copy(name = to)
+            } else if (p.peek == "ADD" || p.peek == "DROP") {
+              // ALTER TABLE t ADD|DROP [IF (NOT) EXISTS] PARTITION (k=v,…)
+              // (SqlAddPartitions.java / SqlDropPartitions.java) against
+              // the filesystem table's hive-style layout: ADD creates the
+              // partition directory (registers the location), DROP
+              // removes the directory AND its data — both metadata-scale,
+              // no table rewrite.
+              val adding = p.next().up == "ADD"
+              if (p.opt("IF")) { if (adding) p.eat("NOT"); p.eat("EXISTS") }
+              p.eat("PARTITION")
+              val partKeys = spec.options.getOrElse("partition-keys",
+                throw new IllegalArgumentException(
+                  s"$name is not partitioned")).split(",").map(_.trim)
+              p.eat("(")
+              val kv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+              var go = true
+              while (go) {
+                val k = p.ident(); p.eat("=")
+                kv(k) = unquote(p.next().s)
+                go = p.opt(",")
+              }
+              p.eat(")")
+              kv.keys.foreach(k => require(
+                partKeys.exists(_.equalsIgnoreCase(k)),
+                s"$k is not a partition column of $name ($partKeys)"))
+              // hive-style dir path in declared key order
+              val dir = new java.io.File(spec.path,
+                partKeys.flatMap(k => kv.collectFirst {
+                  case (kk, v) if kk.equalsIgnoreCase(k) => s"$k=$v"
+                }).mkString("/"))
+              if (adding) dir.mkdirs()
+              else if (dir.isDirectory) {
+                def rm(f: java.io.File): Unit = {
+                  Option(f.listFiles()).foreach(_.foreach(rm))
+                  f.delete()
+                }
+                rm(dir)
+              }
             } else {
               p.eat("SET")
               // ALTER TABLE t SET ('k'='v', …) — merge, new keys win
@@ -707,8 +917,11 @@ object FlinkDdl {
               onResult(metaDf(spark, Seq("model name" -> StringType),
                 modelCatalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
             case "TABLES" =>
+              // scoped to the database in use, as in the reference
               onResult(metaDf(spark, Seq("table name" -> StringType),
-                catalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+                catalog.iterator.collect {
+                  case (n, s) if dbTag(s) == curDbTag => n
+                }.toSeq.sorted.map(n => Seq[Any](n))))
             case "VIEWS" =>
               val names = spark.catalog.listTables().collect()
                 .filter(_.tableType == "TEMPORARY").map(_.name)
@@ -717,10 +930,37 @@ object FlinkDdl {
                 names.map(n => Seq[Any](n))))
             case "DATABASES" =>
               onResult(metaDf(spark, Seq("database name" -> StringType),
-                Seq(Seq[Any]("default_database"))))
+                databases.toSeq.collect {
+                  case d if d.startsWith(s"$curCatalog.") =>
+                    d.stripPrefix(s"$curCatalog.")
+                }.sorted.map(n => Seq[Any](n))))
             case "CATALOGS" =>
               onResult(metaDf(spark, Seq("catalog name" -> StringType),
-                Seq(Seq[Any]("default_catalog"))))
+                catalogs.keys.toSeq.sorted.map(n => Seq[Any](n))))
+            case "CONNECTIONS" =>
+              onResult(metaDf(spark, Seq("connection name" -> StringType),
+                connections.keys.toSeq.sorted.map(n => Seq[Any](n))))
+            case "CURRENT" =>
+              val which = p.ident().toUpperCase
+              which match {
+                case "CATALOG" =>
+                  onResult(metaDf(spark,
+                    Seq("current catalog name" -> StringType),
+                    Seq(Seq[Any](curCatalog))))
+                case "DATABASE" =>
+                  onResult(metaDf(spark,
+                    Seq("current database name" -> StringType),
+                    Seq(Seq[Any](curDatabase))))
+                case other => throw new IllegalArgumentException(
+                  s"SHOW CURRENT $other (want CATALOG or DATABASE)")
+              }
+            case "JOBS" =>
+              // SHOW JOBS (SqlShowJobs) — the streaming runner's live
+              // queries; empty in batch mode
+              onResult(metaDf(spark,
+                Seq("job id" -> StringType, "job name" -> StringType,
+                  "status" -> StringType),
+                onListJobs()))
             case "FUNCTIONS" =>
               val names = spark.catalog.listFunctions().collect()
                 .map(_.name).sorted.toSeq
@@ -737,7 +977,8 @@ object FlinkDdl {
                 Seq(Seq[Any](showCreateTable(spec)))))
             case other => throw new IllegalArgumentException(
               s"SHOW $other is not supported (TABLES, VIEWS, MODELS, " +
-                "DATABASES, CATALOGS, FUNCTIONS, CREATE TABLE)")
+                "DATABASES, CATALOGS, CONNECTIONS, FUNCTIONS, JOBS, " +
+                "CURRENT CATALOG/DATABASE, CREATE TABLE)")
           }
         case "DESCRIBE" | "DESC" =>
           val p = new FlinkSql.P(toks, stmt)
@@ -787,6 +1028,23 @@ object FlinkDdl {
             catalog.remove(p.ident()) }
           else if (p.opt("MODEL")) { p.opt("IF"); p.opt("EXISTS")
             modelCatalog.remove(p.ident()) }
+          else if (p.opt("CATALOG")) { p.opt("IF"); p.opt("EXISTS")
+            val name = p.ident()
+            require(name != curCatalog, s"cannot drop the catalog in use")
+            require(name != "default_catalog", "cannot drop default_catalog")
+            catalogs.remove(name)
+            databases.filterInPlace(!_.startsWith(s"$name.")) }
+          else if (p.opt("DATABASE")) { p.opt("IF"); p.opt("EXISTS")
+            val n1 = p.ident()
+            val (cat, db) =
+              if (p.opt(".")) (n1, p.ident()) else (curCatalog, n1)
+            require(!(cat == curCatalog && db == curDatabase),
+              "cannot drop the database in use")
+            require(db != "default_database",
+              "cannot drop a default_database")
+            databases.remove(s"$cat.$db") }
+          else if (p.opt("CONNECTION")) { p.opt("IF"); p.opt("EXISTS")
+            connections.remove(p.ident()) }
           else { p.eat("VIEW"); p.opt("IF"); p.opt("EXISTS")
             spark.catalog.dropTempView(p.ident()) }
         case _ => onQuery(stmt)
@@ -1246,9 +1504,16 @@ object FlinkDdl {
       p.eat(")")
       partitionKeys = ks.toSeq
     }
+    // USING CONNECTION conn (reference grammar: parserImpls.ftl CREATE
+    // TABLE production; connection DDL SqlCreateConnection.java) — the
+    // name is recorded here and the connection's options are merged in
+    // by the dispatcher, where the connection registry lives.
+    val usingConn =
+      if (p.opt("USING")) { p.eat("CONNECTION"); Some(p.ident()) } else None
     val options0 =
       if (p.opt("WITH")) parseOptions(p) else Map.empty[String, String]
-    val options = options0 ++ distribution
+    val options = options0 ++ distribution ++
+      usingConn.map("connection" -> _)
     val like =
       if (p.opt("LIKE")) {
         val base = p.ident()
@@ -1303,6 +1568,7 @@ object FlinkDdl {
         .map(k => s"`$k`").mkString(", ")})").getOrElse("")
     val shownOptions = spec.options.removedAll(Seq("partition-keys",
       "distribution-kind", "distribution-keys", "distribution-buckets",
+      "database",
       MtQueryOpt, MtFreshnessOpt, MtModeOpt, MtStatusOpt, MtManagedOpt))
     val withClause = shownOptions.toSeq.sortBy(_._1)
       .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n")
@@ -1509,8 +1775,10 @@ object FlinkDdl {
       s"model $name: INPUT and OUTPUT column lists must be declared " +
         "together (SqlCreateModel.validate)")
     val comment = if (p.opt("COMMENT")) Some(unquote(p.next().s)) else None
+    val usingConn =
+      if (p.opt("USING")) { p.eat("CONNECTION"); Some(p.ident()) } else None
     p.eat("WITH")
-    val options = parseOptions(p)
+    val options = parseOptions(p) ++ usingConn.map("connection" -> _)
     require(p.done || p.peek != "AS",
       s"CREATE MODEL $name AS <query> trains a model, which a query " +
         "engine cannot do — create the model from its provider options")

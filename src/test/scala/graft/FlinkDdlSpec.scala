@@ -842,4 +842,141 @@ class FlinkDdlSpec extends SparkSpecBase {
       assert(hi < lo, s"range buckets overlap: $ranges")
     }
   }
+
+  test("catalog and database DDL: registries, USE scoping, flat namespace") {
+    val dir = tmpDir()
+    // SHOW CATALOGS reflects CREATE CATALOG; USE switches the default
+    val cats = FlinkDdl.run(spark,
+      """CREATE CATALOG c2 WITH ('type'='generic_in_memory');
+        |SHOW CATALOGS""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(cats == Seq("c2", "default_catalog"))
+    // databases are per catalog; SHOW TABLES is scoped to the db in use
+    val tabs = FlinkDdl.run(spark,
+      s"""CREATE DATABASE marts;
+         |CREATE TABLE t_default (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='1');
+         |USE marts;
+         |CREATE TABLE t_marts (k BIGINT) WITH ('connector'='datagen',
+         |  'number-of-rows'='1');
+         |SHOW TABLES""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(tabs == Seq("t_marts"), s"scoped to marts: $tabs")
+    // SHOW CURRENT DATABASE tracks USE
+    val cur = FlinkDdl.run(spark,
+      """CREATE DATABASE marts; USE marts;
+        |SHOW CURRENT DATABASE""".stripMargin)
+      .collect().head.getString(0)
+    assert(cur == "marts")
+    // one flat physical namespace: the same table name in a second
+    // database is rejected, not shadowed
+    val e = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      """CREATE DATABASE a; CREATE DATABASE b;
+        |USE a; CREATE TABLE t (k BIGINT) WITH ('connector'='datagen');
+        |USE b; CREATE TABLE t (k BIGINT) WITH ('connector'='datagen');
+        |SHOW TABLES""".stripMargin))
+    assert(e.getMessage.contains("flat table namespace"))
+    // USE of an unknown database/catalog fails; dropping the db in use fails
+    intercept[IllegalArgumentException](
+      FlinkDdl.run(spark, "USE nope; SHOW TABLES"))
+    intercept[IllegalArgumentException](
+      FlinkDdl.run(spark, "USE CATALOG nope; SHOW TABLES"))
+    intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      "CREATE DATABASE d1; USE d1; DROP DATABASE d1; SHOW TABLES"))
+  }
+
+  test("CREATE CONNECTION + USING CONNECTION merges options, WITH wins") {
+    val dir = tmpDir()
+    spark.range(5).toDF("k").write.mode("overwrite").parquet(s"$dir/t")
+    // the connection carries the connector/format; the table adds path
+    val out = FlinkDdl.run(spark,
+      s"""CREATE CONNECTION pq WITH ('connector'='filesystem',
+         |  'format'='parquet');
+         |CREATE TABLE t (k BIGINT) USING CONNECTION pq
+         |  WITH ('path'='$dir/t');
+         |SELECT COUNT(*) AS n FROM t""".stripMargin)
+    assert(out.collect().head.getLong(0) == 5)
+    // a model picks its provider options up from the connection
+    val m = FlinkDdl.run(spark,
+      """CREATE CONNECTION scorer_conn WITH ('provider'='hash-score');
+        |CREATE MODEL scorer INPUT (k BIGINT)
+        |  OUTPUT (score DOUBLE, pred_label STRING)
+        |  USING CONNECTION scorer_conn WITH ('note'='x');
+        |SELECT k, score FROM ML_PREDICT(TABLE src, MODEL scorer,
+        |  DESCRIPTOR(k)) ORDER BY k""".stripMargin,
+      Map("src" -> spark.range(4).toDF("k")))
+    assert(m.collect().length == 4)
+    // ALTER CONNECTION SET/RESET/RENAME manage the registry
+    val shown = FlinkDdl.run(spark,
+      """CREATE CONNECTION c1 WITH ('a'='1');
+        |ALTER CONNECTION c1 SET ('b'='2');
+        |ALTER CONNECTION c1 RESET ('a');
+        |ALTER CONNECTION c1 RENAME TO c9;
+        |SHOW CONNECTIONS""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("c9"))
+    // an unknown connection fails at CREATE TABLE time
+    val e = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      "CREATE TABLE x (k BIGINT) USING CONNECTION missing WITH ('a'='1');" +
+        "SHOW TABLES"))
+    assert(e.getMessage.contains("unknown connection"))
+  }
+
+  test("STOP JOB stops a streaming insert by name; batch SHOW JOBS empty") {
+    val dir = tmpDir()
+    spark.range(10).select(col("id").as("k"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/in', 'format'='parquet');
+         |CREATE TABLE snk (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/out', 'format'='parquet');
+         |INSERT INTO snk SELECT k FROM src;
+         |STOP JOB 'insert-into_snk'""".stripMargin)
+    assert(qs.length == 1)
+    assert(!qs.head.isActive, "STOP JOB must stop the named insert job")
+    // unknown job id errors and lists what runs
+    intercept[IllegalArgumentException](FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/in', 'format'='parquet');
+         |STOP JOB 'nope'""".stripMargin))
+    // batch runner: SHOW JOBS is empty, STOP JOB is an error
+    val jobs = FlinkDdl.run(spark, "SHOW JOBS")
+    assert(jobs.columns.toSeq ==
+      Seq("job id", "job name", "status") && jobs.count() == 0)
+    intercept[IllegalArgumentException](
+      FlinkDdl.run(spark, "STOP JOB 'x'"))
+  }
+
+  test("ALTER TABLE ADD / DROP PARTITION against the hive-style layout") {
+    val dir = tmpDir()
+    FlinkDdl.run(spark,
+      s"""CREATE TABLE snk (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/p',
+         |        'format'='parquet');
+         |INSERT INTO snk SELECT k,
+         |  CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS tag FROM g;
+         |ALTER TABLE snk DROP PARTITION (tag='odd');
+         |SELECT COUNT(*) AS n FROM snk""".stripMargin,
+      Map("g" -> spark.range(10).toDF("k")))
+      .collect().head.getLong(0) match {
+        case n => assert(n == 5, s"odd partition must be gone, got $n rows")
+      }
+    assert(!new java.io.File(s"$dir/p/tag=odd").exists())
+    // ADD PARTITION registers (creates) the directory
+    FlinkDdl.run(spark,
+      s"""CREATE TABLE snk (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/p',
+         |        'format'='parquet');
+         |ALTER TABLE snk ADD PARTITION (tag='new');
+         |SHOW TABLES""".stripMargin)
+    assert(new java.io.File(s"$dir/p/tag=new").isDirectory)
+    // a non-partition column is rejected
+    val e = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      s"""CREATE TABLE snk (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/p',
+         |        'format'='parquet');
+         |ALTER TABLE snk DROP PARTITION (k='1')""".stripMargin))
+    assert(e.getMessage.contains("not a partition column"))
+  }
 }
