@@ -129,11 +129,25 @@ object FlinkDdl {
         n -> new graft.ml.UnboundModel(s) }
 
     def runInsert(stmtText: String): Unit = {
-      val (sink, query, overwrite) = splitInsert(stmtText)
+      val (sink, query, overwrite, static) = splitInsert(stmtText)
       val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
         s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
-      val result = FlinkSql.sql(spark, query, tables(), allModels())
-      writeSink(spark, spec, result, overwrite)
+      val result = withStaticPartition(spec,
+        FlinkSql.sql(spark, query, tables(), allModels()), static)
+      if (overwrite && static.nonEmpty) {
+        // static-partition OVERWRITE replaces only the matching
+        // partitions — dynamic partition overwrite, like MT REFRESH
+        val prev = spark.conf.getOption(
+          "spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try writeSink(spark, spec, result, overwrite = true)
+        finally prev match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset(
+            "spark.sql.sources.partitionOverwriteMode")
+        }
+      } else writeSink(spark, spec, result, overwrite)
       lastSink = Some(sink)
       lastQuery = None
     }
@@ -300,12 +314,13 @@ object FlinkDdl {
         n -> new graft.ml.UnboundModel(s) }
 
     def startInsert(stmtText: String): Unit = {
-      val (sink, query, overwrite) = splitInsert(stmtText)
+      val (sink, query, overwrite, static) = splitInsert(stmtText)
       require(!overwrite, "INSERT OVERWRITE is a batch-mode statement; " +
         "streaming inserts append")
       val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
         s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
-      val result = FlinkSql.sql(spark, query, tables(), allModels())
+      val result = withStaticPartition(spec,
+        FlinkSql.sql(spark, query, tables(), allModels()), static)
       registerJob(s"insert-into_$sink",
         startStreamSink(spec, alignToSink(spec, result)))
     }
@@ -515,6 +530,32 @@ object FlinkDdl {
       java.util.Arrays.asList(
         rows.map(r => org.apache.spark.sql.Row(r: _*)): _*),
       schema)
+  }
+
+  /** The reference's DESCRIBE shape (name, type, null, key, extras,
+    * watermark) over a subset of a table's columns — shared by DESCRIBE
+    * and SHOW COLUMNS. */
+  private def describeDf(
+      spark: SparkSession,
+      spec: TableSpec,
+      cols: Seq[ColumnSpec]): DataFrame = {
+    val wmText = spec.watermark
+      .map(w => s"${w.col} - INTERVAL '${w.delay}'").getOrElse(null)
+    metaDf(spark,
+      Seq("name" -> StringType, "type" -> StringType,
+        "null" -> BooleanType, "key" -> StringType,
+        "extras" -> StringType, "watermark" -> StringType),
+      cols.map { c =>
+        Seq[Any](
+          c.name,
+          c.dataType.map(_.sql).getOrElse("COMPUTED"),
+          true,
+          if (spec.primaryKey.contains(c.name))
+            s"PRI(${spec.primaryKey.mkString(", ")})" else null,
+          c.computedExpr.map(e => s"AS $e")
+            .getOrElse(if (c.isMetadata) "METADATA" else null),
+          if (spec.watermark.exists(_.col == c.name)) wmText else null)
+      })
   }
 
   /** Shared statement loop for the batch and streaming faces. */
@@ -912,34 +953,61 @@ object FlinkDdl {
           val p = new FlinkSql.P(toks, stmt)
           p.eat("SHOW")
           val what = p.ident().toUpperCase
+          // trailing `[NOT] LIKE 'pattern'` on the listing statements
+          // (SqlShowTables.java:35 — SQL LIKE with % and _)
+          def likeFilter(): String => Boolean = {
+            val negated = p.opt("NOT")
+            if (p.opt("LIKE")) {
+              val pat = unquote(p.next().s)
+              val rx = ("(?s)" + pat.flatMap {
+                case '%' => ".*"
+                case '_' => "."
+                case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
+                case c => c.toString
+              } + "").r
+              n => rx.matches(n) != negated
+            } else {
+              require(!negated, "NOT must be followed by LIKE")
+              _ => true
+            }
+          }
+          def listOf(col: String, names: Seq[String]): Unit = {
+            val f = likeFilter()
+            onResult(metaDf(spark, Seq(col -> StringType),
+              names.filter(f).sorted.map(n => Seq[Any](n))))
+          }
           what match {
-            case "MODELS" =>
-              onResult(metaDf(spark, Seq("model name" -> StringType),
-                modelCatalog.keys.toSeq.sorted.map(n => Seq[Any](n))))
+            case "MODELS" => listOf("model name", modelCatalog.keys.toSeq)
             case "TABLES" =>
               // scoped to the database in use, as in the reference
-              onResult(metaDf(spark, Seq("table name" -> StringType),
-                catalog.iterator.collect {
-                  case (n, s) if dbTag(s) == curDbTag => n
-                }.toSeq.sorted.map(n => Seq[Any](n))))
+              listOf("table name", catalog.iterator.collect {
+                case (n, s) if dbTag(s) == curDbTag => n
+              }.toSeq)
             case "VIEWS" =>
-              val names = spark.catalog.listTables().collect()
+              listOf("view name", spark.catalog.listTables().collect()
                 .filter(_.tableType == "TEMPORARY").map(_.name)
-                .filterNot(_.startsWith("__graft")).sorted.toSeq
-              onResult(metaDf(spark, Seq("view name" -> StringType),
-                names.map(n => Seq[Any](n))))
+                .filterNot(_.startsWith("__graft")).toSeq)
             case "DATABASES" =>
-              onResult(metaDf(spark, Seq("database name" -> StringType),
-                databases.toSeq.collect {
-                  case d if d.startsWith(s"$curCatalog.") =>
-                    d.stripPrefix(s"$curCatalog.")
-                }.sorted.map(n => Seq[Any](n))))
-            case "CATALOGS" =>
-              onResult(metaDf(spark, Seq("catalog name" -> StringType),
-                catalogs.keys.toSeq.sorted.map(n => Seq[Any](n))))
+              listOf("database name", databases.toSeq.collect {
+                case d if d.startsWith(s"$curCatalog.") =>
+                  d.stripPrefix(s"$curCatalog.")
+              })
+            case "CATALOGS" => listOf("catalog name", catalogs.keys.toSeq)
             case "CONNECTIONS" =>
-              onResult(metaDf(spark, Seq("connection name" -> StringType),
-                connections.keys.toSeq.sorted.map(n => Seq[Any](n))))
+              listOf("connection name", connections.keys.toSeq)
+            case "COLUMNS" =>
+              // SHOW COLUMNS FROM|IN t [[NOT] LIKE 'p']
+              // (dql/SqlShowColumns.java) — the DESCRIBE six-column
+              // shape, filterable by column name
+              require(p.opt("FROM") || p.opt("IN"),
+                "SHOW COLUMNS needs FROM or IN <table>")
+              val name = p.ident()
+              val spec = catalog.getOrElse(name,
+                throw new IllegalArgumentException(
+                  s"SHOW COLUMNS of unknown table $name"))
+              val f = likeFilter()
+              onResult(describeDf(spark, spec,
+                spec.columns.filter(c => f(c.name))))
             case "CURRENT" =>
               val which = p.ident().toUpperCase
               which match {
@@ -961,11 +1029,29 @@ object FlinkDdl {
                 Seq("job id" -> StringType, "job name" -> StringType,
                   "status" -> StringType),
                 onListJobs()))
+            case "PARTITIONS" =>
+              // SHOW PARTITIONS t (dql/SqlShowPartitions.java) — the
+              // hive-style partition specs present on disk
+              val name = p.ident()
+              val spec = catalog.getOrElse(name,
+                throw new IllegalArgumentException(
+                  s"SHOW PARTITIONS of unknown table $name"))
+              val keys = spec.options.getOrElse("partition-keys",
+                throw new IllegalArgumentException(
+                  s"$name is not partitioned")).split(",").map(_.trim)
+              def walk(dir: java.io.File, depth: Int): Seq[String] =
+                if (depth == keys.length) Seq("")
+                else Option(dir.listFiles()).toSeq.flatten
+                  .filter(f => f.isDirectory &&
+                    f.getName.startsWith(s"${keys(depth)}="))
+                  .flatMap(d => walk(d, depth + 1).map(rest =>
+                    if (rest.isEmpty) d.getName else s"${d.getName}/$rest"))
+              onResult(metaDf(spark, Seq("partition name" -> StringType),
+                walk(new java.io.File(spec.path), 0).sorted
+                  .map(s => Seq[Any](s))))
             case "FUNCTIONS" =>
-              val names = spark.catalog.listFunctions().collect()
-                .map(_.name).sorted.toSeq
-              onResult(metaDf(spark, Seq("function name" -> StringType),
-                names.map(n => Seq[Any](n))))
+              listOf("function name", spark.catalog.listFunctions()
+                .collect().map(_.name).toSeq)
             case "CREATE" =>
               // SHOW CREATE TABLE t — reconstruct runnable DDL text
               p.eat("TABLE")
@@ -983,37 +1069,86 @@ object FlinkDdl {
         case "DESCRIBE" | "DESC" =>
           val p = new FlinkSql.P(toks, stmt)
           p.next()
-          val name = p.ident()
-          val spec = catalog.getOrElse(name,
-            throw new IllegalArgumentException(
-              s"DESCRIBE of unknown table $name"))
-          // the reference's DESCRIBE shape: name, type, null, key,
-          // extras, watermark
-          val wmText = spec.watermark
-            .map(w => s"${w.col} - INTERVAL '${w.delay}'").getOrElse(null)
-          onResult(metaDf(spark,
-            Seq("name" -> StringType, "type" -> StringType,
-              "null" -> BooleanType, "key" -> StringType,
-              "extras" -> StringType, "watermark" -> StringType),
-            spec.columns.map { c =>
-              Seq[Any](
-                c.name,
-                c.dataType.map(_.sql).getOrElse("COMPUTED"),
-                true,
-                if (spec.primaryKey.contains(c.name))
-                  s"PRI(${spec.primaryKey.mkString(", ")})" else null,
-                c.computedExpr.map(e => s"AS $e")
-                  .getOrElse(if (c.isMetadata) "METADATA" else null),
-                if (spec.watermark.exists(_.col == c.name)) wmText else null)
-            }))
+          if (p.opt("MODEL")) {
+            // DESCRIBE MODEL m (dql/SqlRichDescribeModel.java) — the
+            // declared INPUT/OUTPUT columns with their role
+            val name = p.ident()
+            val spec = modelCatalog.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"DESCRIBE of unknown model $name"))
+            onResult(metaDf(spark,
+              Seq("name" -> StringType, "type" -> StringType,
+                "role" -> StringType),
+              spec.inputs.map { case (n, t) =>
+                Seq[Any](n, t.sql, "INPUT") } ++
+                spec.outputs.map { case (n, t) =>
+                  Seq[Any](n, t.sql, "OUTPUT") }))
+          } else if (p.opt("CATALOG")) {
+            // DESCRIBE CATALOG c (dql/SqlDescribeCatalog.java)
+            val name = p.ident()
+            require(catalogs.contains(name), s"unknown catalog $name")
+            onResult(metaDf(spark,
+              Seq("info name" -> StringType, "info value" -> StringType),
+              Seq(Seq[Any]("name", name),
+                Seq[Any]("type", catalogs(name)
+                  .getOrElse("type", "generic_in_memory")))))
+          } else if (p.opt("DATABASE")) {
+            // DESCRIBE DATABASE [cat.]db (dql/SqlDescribeDatabase.java)
+            val n1 = p.ident()
+            val (cat, db) =
+              if (p.opt(".")) (n1, p.ident()) else (curCatalog, n1)
+            require(databases.contains(s"$cat.$db"),
+              s"unknown database $cat.$db")
+            onResult(metaDf(spark,
+              Seq("info name" -> StringType, "info value" -> StringType),
+              Seq(Seq[Any]("name", db), Seq[Any]("catalog", cat))))
+          } else if (p.opt("CONNECTION")) {
+            // DESCRIBE CONNECTION c (dql/SqlRichDescribeConnection.java)
+            // — option keys only; values stay hidden (credentials)
+            val name = p.ident()
+            val opts = connections.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"unknown connection $name"))
+            onResult(metaDf(spark,
+              Seq("option key" -> StringType),
+              opts.keys.toSeq.sorted.map(k => Seq[Any](k))))
+          } else {
+            p.opt("TABLE")
+            val name = p.ident()
+            val spec = catalog.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"DESCRIBE of unknown table $name"))
+            onResult(describeDf(spark, spec, spec.columns))
+          }
         case "EXPLAIN" =>
+          // EXPLAIN [PLAN FOR | <details> ] query — the detail list
+          // (dql/SqlRichExplain.java: ESTIMATED_COST, CHANGELOG_MODE,
+          // JSON_EXECUTION_PLAN, PLAN_ADVICE) maps onto Spark's explain
+          // modes: ESTIMATED_COST → cost mode, JSON_EXECUTION_PLAN →
+          // formatted physical plan, CHANGELOG_MODE / PLAN_ADVICE →
+          // simple (the plan carries no separate changelog annotation
+          // here — graft changelogs are explicit __rowkind columns)
           val p = new FlinkSql.P(toks, stmt)
           p.eat("EXPLAIN")
           if (p.opt("PLAN")) p.eat("FOR")
+          val details = Set("ESTIMATED_COST", "CHANGELOG_MODE",
+            "JSON_EXECUTION_PLAN", "PLAN_ADVICE")
+          var mode: org.apache.spark.sql.execution.ExplainMode =
+            org.apache.spark.sql.execution.SimpleMode
+          var go = details(p.peek)
+          while (go) {
+            p.ident().toUpperCase match {
+              case "ESTIMATED_COST" =>
+                mode = org.apache.spark.sql.execution.CostMode
+              case "JSON_EXECUTION_PLAN" =>
+                mode = org.apache.spark.sql.execution.FormattedMode
+              case _ => () // CHANGELOG_MODE / PLAN_ADVICE: simple plan
+            }
+            go = p.opt(",") && details(p.peek)
+          }
           val q = stmt.substring(p.toks(p.i).start)
           val plan = FlinkSql.sql(spark, q, tables(), models())
-            .queryExecution.explainString(
-              org.apache.spark.sql.execution.SimpleMode)
+            .queryExecution.explainString(mode)
           onResult(metaDf(spark, Seq("plan" -> StringType),
             Seq(Seq[Any](plan))))
         case "DROP" =>
@@ -1332,7 +1467,15 @@ object FlinkDdl {
 
   /** `INSERT INTO|OVERWRITE name [(c1, …)] <query>` →
     * (sink, query text with any column list folded into a SELECT, overwrite). */
-  private[sql] def splitInsert(stmt: String): (String, String, Boolean) = {
+  /** `INSERT { INTO | OVERWRITE } t [PARTITION (k=v, …)] [(c, …)] query`
+    * → (sink, query text, overwrite?, static partition values). The
+    * PARTITION clause is the reference's static-partition insert
+    * (Parser.tdd RichSqlInsert / SupportsPartitioning): the listed
+    * values are constants appended to every row, and with OVERWRITE only
+    * the matching partitions are replaced (dynamic partition overwrite),
+    * never the whole table. */
+  private[sql] def splitInsert(
+      stmt: String): (String, String, Boolean, Seq[(String, String)]) = {
     val toks = FlinkSql.tokenize(stmt)
     val p = new FlinkSql.P(toks, stmt)
     p.eat("INSERT")
@@ -1340,6 +1483,17 @@ object FlinkDdl {
       if (p.opt("OVERWRITE")) true
       else { p.eat("INTO"); false }
     val sink = p.ident()
+    val static = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    if (p.opt("PARTITION")) {
+      p.eat("(")
+      var go = true
+      while (go) {
+        val k = p.ident(); p.eat("=")
+        static += (k -> unquote(p.next().s))
+        go = p.opt(",")
+      }
+      p.eat(")")
+    }
     // optional explicit column list — reorder via a wrapping SELECT
     val colList =
       if (p.peek == "(") {
@@ -1351,7 +1505,26 @@ object FlinkDdl {
       } else None
     val query = stmt.substring(toks(p.i).start)
     (sink, colList.fold(query)(cs =>
-      s"SELECT ${cs.mkString(", ")} FROM (\n$query\n)"), overwrite)
+      s"SELECT ${cs.mkString(", ")} FROM (\n$query\n)"), overwrite,
+      static.toSeq)
+  }
+
+  /** Append an insert's static PARTITION values as constant columns
+    * (validated against the sink's declared partition keys). */
+  private def withStaticPartition(
+      spec: TableSpec,
+      df: DataFrame,
+      static: Seq[(String, String)]): DataFrame = {
+    if (static.isEmpty) return df
+    val partKeys = spec.options.getOrElse("partition-keys",
+      throw new IllegalArgumentException(
+        s"INSERT … PARTITION into ${spec.name}, which is not partitioned"))
+      .split(",").map(_.trim)
+    static.foreach { case (k, _) => require(
+      partKeys.exists(_.equalsIgnoreCase(k)),
+      s"$k is not a partition column of ${spec.name} " +
+        s"(${partKeys.mkString(", ")})") }
+    static.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
   }
 
   // ----------------------------------------------------- CREATE TABLE

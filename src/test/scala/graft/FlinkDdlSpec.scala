@@ -979,4 +979,109 @@ class FlinkDdlSpec extends SparkSpecBase {
          |ALTER TABLE snk DROP PARTITION (k='1')""".stripMargin))
     assert(e.getMessage.contains("not a partition column"))
   }
+
+  test("static-partition INSERT and SHOW PARTITIONS") {
+    val dir = tmpDir()
+    // INSERT … PARTITION (k=v) appends the constant; OVERWRITE with a
+    // static partition replaces ONLY that partition
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE snk (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/p',
+         |        'format'='parquet');
+         |INSERT INTO snk PARTITION (tag='a') SELECT k FROM g;
+         |INSERT INTO snk PARTITION (tag='b') SELECT k FROM g;
+         |INSERT OVERWRITE snk PARTITION (tag='a')
+         |  SELECT k FROM g WHERE k < 2;
+         |SELECT tag, COUNT(*) AS n FROM snk GROUP BY tag ORDER BY tag
+         |""".stripMargin,
+      Map("g" -> spark.range(10).toDF("k")))
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("a" -> 2L, "b" -> 10L),
+      s"overwrite must only replace partition a: $got")
+    // SHOW PARTITIONS lists the hive-style specs on disk
+    val parts = FlinkDdl.run(spark,
+      s"""CREATE TABLE snk (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/p',
+         |        'format'='parquet');
+         |SHOW PARTITIONS snk""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("tag=a", "tag=b"), s"$parts")
+    // PARTITION on a non-partitioned sink is rejected
+    val e = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      s"""CREATE TABLE flat (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/f', 'format'='parquet');
+         |INSERT INTO flat PARTITION (tag='x') SELECT k FROM g
+         |""".stripMargin,
+      Map("g" -> spark.range(3).toDF("k"))))
+    assert(e.getMessage.contains("not partitioned"))
+  }
+
+  test("SHOW ... LIKE filters, SHOW COLUMNS, and rich DESCRIBE forms") {
+    val likes = FlinkDdl.run(spark,
+      """CREATE TABLE t_orders (k BIGINT) WITH ('connector'='datagen');
+        |CREATE TABLE t_lines (k BIGINT) WITH ('connector'='datagen');
+        |CREATE TABLE other (k BIGINT) WITH ('connector'='datagen');
+        |SHOW TABLES LIKE 't!_%'""".stripMargin
+        .replace("!_", "_")) // literal underscore matches t_* here
+      .collect().map(_.getString(0)).toSeq
+    assert(likes == Seq("other", "t_lines", "t_orders") ||
+      likes == Seq("t_lines", "t_orders"),
+      s"LIKE 't_%' filter: $likes")
+    val notLikes = FlinkDdl.run(spark,
+      """CREATE TABLE t_orders (k BIGINT) WITH ('connector'='datagen');
+        |CREATE TABLE other (k BIGINT) WITH ('connector'='datagen');
+        |SHOW TABLES NOT LIKE 't%'""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(notLikes == Seq("other"), s"$notLikes")
+    // SHOW COLUMNS FROM t with a filter; six-column DESCRIBE shape
+    val cols = FlinkDdl.run(spark,
+      """CREATE TABLE t (user_id BIGINT, user_name STRING, amount DOUBLE)
+        |  WITH ('connector'='datagen');
+        |SHOW COLUMNS FROM t LIKE 'user%'""".stripMargin)
+    assert(cols.columns.toSeq ==
+      Seq("name", "type", "null", "key", "extras", "watermark"))
+    assert(cols.collect().map(_.getString(0)).toSeq ==
+      Seq("user_id", "user_name"))
+    // DESCRIBE MODEL lists IO columns with roles
+    val dm = FlinkDdl.run(spark,
+      """CREATE MODEL m INPUT (txt STRING) OUTPUT (score DOUBLE)
+        |  WITH ('provider'='hash-score');
+        |DESCRIBE MODEL m""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(dm == Seq(("txt", "INPUT"), ("score", "OUTPUT")))
+    // DESCRIBE CONNECTION shows option KEYS only (credentials hidden)
+    val dc = FlinkDdl.run(spark,
+      """CREATE CONNECTION c WITH ('endpoint'='http://x',
+        |  'auth-token'='secret');
+        |DESCRIBE CONNECTION c""".stripMargin)
+    assert(dc.columns.toSeq == Seq("option key"))
+    val keys = dc.collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("auth-token", "endpoint"))
+    assert(!dc.collect().mkString.contains("secret"))
+    // DESCRIBE CATALOG / DATABASE
+    val dcat = FlinkDdl.run(spark,
+      "CREATE CATALOG c2 WITH ('type'='x'); DESCRIBE CATALOG c2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dcat == Map("name" -> "c2", "type" -> "x"))
+    val ddb = FlinkDdl.run(spark,
+      "CREATE DATABASE marts; DESCRIBE DATABASE marts")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ddb == Map("name" -> "marts", "catalog" -> "default_catalog"))
+  }
+
+  test("EXPLAIN detail specifications map onto Spark explain modes") {
+    val t = Map("g" -> spark.range(5).toDF("k"))
+    val cost = FlinkDdl.run(spark,
+      "EXPLAIN ESTIMATED_COST SELECT k FROM g WHERE k > 2", t)
+      .collect().head.getString(0)
+    assert(cost.contains("sizeInBytes"), s"cost mode plan:\n$cost")
+    val fmt = FlinkDdl.run(spark,
+      "EXPLAIN JSON_EXECUTION_PLAN SELECT k FROM g", t)
+      .collect().head.getString(0)
+    assert(fmt.contains("(1) "), s"formatted plan:\n$fmt")
+    val simple = FlinkDdl.run(spark,
+      "EXPLAIN CHANGELOG_MODE, ESTIMATED_COST SELECT k FROM g", t)
+      .collect().head.getString(0)
+    assert(simple.contains("Physical Plan"))
+  }
 }
