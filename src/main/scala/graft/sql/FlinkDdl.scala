@@ -592,6 +592,12 @@ object FlinkDdl {
       "default_catalog.default_database")
     val connections =
       scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    // LOAD/UNLOAD MODULE manage resolution-order metadata only (the
+    // function surface is the session's; SqlLoadModule/SqlUnloadModule).
+    // `modules` = loaded, `usedModules` = the USE MODULES resolution
+    // order (a loaded module can be out of use, as in the reference).
+    val modules = scala.collection.mutable.LinkedHashSet("core")
+    var usedModules: Seq[String] = Seq("core")
     var curCatalog = "default_catalog"
     var curDatabase = "default_database"
     def dbTag(spec: TableSpec): String =
@@ -788,7 +794,14 @@ object FlinkDdl {
             curCatalog = name
             curDatabase = "default_database"
           } else if (p.opt("MODULES")) {
-            ()
+            // USE MODULES m1[, m2…] — declares the resolution order;
+            // loaded modules left off the list fall out of use
+            // (SqlUseModules.java)
+            val order = scala.collection.mutable.ArrayBuffer(p.ident())
+            while (p.opt(",")) order += p.ident()
+            order.foreach(m => require(modules.contains(m),
+              s"module $m is not loaded; loaded: ${modules.mkString(", ")}"))
+            usedModules = order.toSeq
           } else if (!p.done) {
             val n1 = p.ident()
             val (cat, db) =
@@ -804,6 +817,19 @@ object FlinkDdl {
           p.eat("STOP"); p.eat("JOB")
           val id = unquote(p.next().s)
           onStopJob(id)
+        case "LOAD" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("LOAD"); p.eat("MODULE")
+          val name = p.ident()
+          if (p.opt("WITH")) parseOptions(p)
+          if (modules.add(name)) usedModules = usedModules :+ name
+        case "UNLOAD" =>
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("UNLOAD"); p.eat("MODULE")
+          val name = p.ident()
+          require(modules.remove(name),
+            s"module $name is not loaded; loaded: ${modules.mkString(", ")}")
+          usedModules = usedModules.filterNot(_ == name)
         case "DELETE" | "UPDATE" | "TRUNCATE" => onMutate(stmt)
         case "ALTER" =>
           val p = new FlinkSql.P(toks, stmt)
@@ -995,6 +1021,17 @@ object FlinkDdl {
             case "CATALOGS" => listOf("catalog name", catalogs.keys.toSeq)
             case "CONNECTIONS" =>
               listOf("connection name", connections.keys.toSeq)
+            case "MODULES" =>
+              // used modules in resolution order, not sorted
+              onResult(metaDf(spark, Seq("module name" -> StringType),
+                usedModules.map(n => Seq[Any](n))))
+            case "FULL" =>
+              require(p.ident().equalsIgnoreCase("MODULES"),
+                "SHOW FULL supports only SHOW FULL MODULES")
+              onResult(metaDf(spark,
+                Seq("module name" -> StringType, "used" -> BooleanType),
+                modules.toSeq.map(n =>
+                  Seq[Any](n, usedModules.contains(n)))))
             case "COLUMNS" =>
               // SHOW COLUMNS FROM|IN t [[NOT] LIKE 'p']
               // (dql/SqlShowColumns.java) — the DESCRIBE six-column
@@ -1053,14 +1090,49 @@ object FlinkDdl {
               listOf("function name", spark.catalog.listFunctions()
                 .collect().map(_.name).toSeq)
             case "CREATE" =>
-              // SHOW CREATE TABLE t — reconstruct runnable DDL text
-              p.eat("TABLE")
-              val name = p.ident()
-              val spec = catalog.getOrElse(name,
-                throw new IllegalArgumentException(
-                  s"SHOW CREATE TABLE of unknown table $name"))
-              onResult(metaDf(spark, Seq("result" -> StringType),
-                Seq(Seq[Any](showCreateTable(spec)))))
+              // SHOW CREATE TABLE | MATERIALIZED TABLE | MODEL |
+              // CONNECTION — reconstruct runnable DDL text
+              // (dql/SqlShowCreate*.java family)
+              def emit(ddl: String): Unit = onResult(metaDf(spark,
+                Seq("result" -> StringType), Seq(Seq[Any](ddl))))
+              if (p.opt("MATERIALIZED")) {
+                p.eat("TABLE")
+                val name = p.ident()
+                val spec = catalog.get(name)
+                  .filter(_.options.contains(MtQueryOpt))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"$name is not a materialized table"))
+                emit(showCreateMaterialized(spec))
+              } else if (p.opt("MODEL")) {
+                val name = p.ident()
+                val spec = modelCatalog.getOrElse(name,
+                  throw new IllegalArgumentException(
+                    s"SHOW CREATE MODEL of unknown model $name"))
+                val io =
+                  if (spec.inputs.isEmpty) ""
+                  else s"\nINPUT (${spec.inputs.map { case (n, t) =>
+                    s"`$n` ${t.sql}" }.mkString(", ")})" +
+                    s"\nOUTPUT (${spec.outputs.map { case (n, t) =>
+                      s"`$n` ${t.sql}" }.mkString(", ")})"
+                emit(s"CREATE MODEL `${spec.name}`$io\nWITH (\n" +
+                  spec.options.toSeq.sortBy(_._1).map { case (k, v) =>
+                    s"  '$k' = '$v'" }.mkString(",\n") + "\n)")
+              } else if (p.opt("CONNECTION")) {
+                val name = p.ident()
+                val opts = connections.getOrElse(name,
+                  throw new IllegalArgumentException(
+                    s"SHOW CREATE CONNECTION of unknown connection $name"))
+                emit(s"CREATE CONNECTION `$name`\nWITH (\n" +
+                  opts.toSeq.sortBy(_._1).map { case (k, v) =>
+                    s"  '$k' = '$v'" }.mkString(",\n") + "\n)")
+              } else {
+                p.eat("TABLE")
+                val name = p.ident()
+                val spec = catalog.getOrElse(name,
+                  throw new IllegalArgumentException(
+                    s"SHOW CREATE TABLE of unknown table $name"))
+                emit(showCreateTable(spec))
+              }
             case other => throw new IllegalArgumentException(
               s"SHOW $other is not supported (TABLES, VIEWS, MODELS, " +
                 "DATABASES, CATALOGS, CONNECTIONS, FUNCTIONS, JOBS, " +
@@ -1751,6 +1823,37 @@ object FlinkDdl {
        |WITH (
        |$withClause
        |)""".stripMargin
+  }
+
+  /** Reconstruct runnable `CREATE MATERIALIZED TABLE` DDL
+    * (SqlShowCreateMaterializedTable.java): declared columns, partition
+    * keys, user WITH options, FRESHNESS / REFRESH_MODE, and the defining
+    * query — the bookkeeping option keys stay internal. */
+  private[sql] def showCreateMaterialized(spec: TableSpec): String = {
+    val colLines = spec.columns.collect {
+      case ColumnSpec(n, Some(t), _, _) => s"  `$n` ${t.sql}"
+      case ColumnSpec(n, None, None, _) => s"  `$n`"
+    }
+    val colBlock =
+      if (colLines.isEmpty) "" else s" (\n${colLines.mkString(",\n")}\n)"
+    val partitioned = spec.options.get("partition-keys")
+      .map(ks => s"\nPARTITIONED BY (${ks.split(",").map(_.trim)
+        .map(k => s"`$k`").mkString(", ")})").getOrElse("")
+    val shownOptions = spec.options.removedAll(Seq("partition-keys",
+      "database", "connection", "sink.checkpoint-dir",
+      MtQueryOpt, MtFreshnessOpt, MtModeOpt, MtStatusOpt, MtManagedOpt))
+    val withClause =
+      if (shownOptions.isEmpty) ""
+      else "\nWITH (\n" + shownOptions.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n") + "\n)"
+    val freshness = spec.options.get(MtFreshnessOpt).map { f =>
+      val Array(n, unit) = f.trim.split("\\s+")
+      s"\nFRESHNESS = INTERVAL '$n' ${unit.stripSuffix("s").toUpperCase}"
+    }.getOrElse("")
+    val mode = spec.options.get(MtModeOpt)
+      .map(m => s"\nREFRESH_MODE = ${m.toUpperCase}").getOrElse("")
+    s"CREATE MATERIALIZED TABLE `${spec.name}`$colBlock$partitioned" +
+      s"$withClause$freshness$mode\nAS ${spec.options(MtQueryOpt)}"
   }
 
   // ------------------------------------------------- materialized tables

@@ -1084,4 +1084,67 @@ class FlinkDdlSpec extends SparkSpecBase {
       .collect().head.getString(0)
     assert(simple.contains("Physical Plan"))
   }
+
+  test("SHOW CREATE MODEL / CONNECTION / MATERIALIZED TABLE round-trip") {
+    val dir = tmpDir()
+    // model DDL reconstructs and re-parses
+    val m = FlinkDdl.run(spark,
+      """CREATE MODEL m INPUT (txt STRING) OUTPUT (score DOUBLE,
+        |  pred_label STRING) WITH ('provider'='hash-score');
+        |SHOW CREATE MODEL m""".stripMargin)
+      .collect().head.getString(0)
+    assert(m.contains("CREATE MODEL `m`") && m.contains("INPUT (`txt` STRING)")
+      && m.contains("'provider' = 'hash-score'"), m)
+    val back = FlinkDdl.runScript(spark, m)
+    assert(back.models("m").outputs.map(_._1) == Seq("score", "pred_label"))
+    // connection DDL reconstructs
+    val c = FlinkDdl.run(spark,
+      """CREATE CONNECTION api WITH ('endpoint'='http://x', 'k'='v');
+        |SHOW CREATE CONNECTION api""".stripMargin)
+      .collect().head.getString(0)
+    assert(c.contains("CREATE CONNECTION `api`") &&
+      c.contains("'endpoint' = 'http://x'"), c)
+    // materialized table DDL reconstructs with FRESHNESS/REFRESH_MODE and
+    // the defining query, and the text re-parses through the runner
+    val mt = FlinkDdl.run(spark,
+      s"""CREATE MATERIALIZED TABLE mv
+         |  PARTITIONED BY (tag)
+         |  WITH ('path'='$dir/mv')
+         |  FRESHNESS = INTERVAL '1' HOUR
+         |  REFRESH_MODE = FULL
+         |  AS SELECT k, CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+         |     FROM g;
+         |SHOW CREATE MATERIALIZED TABLE mv""".stripMargin,
+      Map("g" -> spark.range(6).toDF("k")))
+      .collect().head.getString(0)
+    assert(mt.contains("CREATE MATERIALIZED TABLE `mv`"), mt)
+    assert(mt.contains("FRESHNESS = INTERVAL '1' HOUR"), mt)
+    assert(mt.contains("REFRESH_MODE = FULL"), mt)
+    assert(mt.contains("AS SELECT k,"), mt)
+    assert(mt.contains("PARTITIONED BY (`tag`)"), mt)
+  }
+
+  test("LOAD/UNLOAD/USE MODULES manage the module registries") {
+    val shown = FlinkDdl.run(spark,
+      """LOAD MODULE hive WITH ('hive-version'='3.1.3');
+        |SHOW MODULES""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("core", "hive"))
+    // USE MODULES reorders and disables what is left off
+    val full = FlinkDdl.run(spark,
+      """LOAD MODULE hive;
+        |USE MODULES hive;
+        |SHOW FULL MODULES""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(full == Seq("core" -> false, "hive" -> true), s"$full")
+    // UNLOAD drops it everywhere; unknown module errors
+    val after = FlinkDdl.run(spark,
+      """LOAD MODULE hive; UNLOAD MODULE hive; SHOW MODULES""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("core"))
+    intercept[IllegalArgumentException](
+      FlinkDdl.run(spark, "UNLOAD MODULE nope; SHOW MODULES"))
+    intercept[IllegalArgumentException](
+      FlinkDdl.run(spark, "USE MODULES nope; SHOW MODULES"))
+  }
 }
