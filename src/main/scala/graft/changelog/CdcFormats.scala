@@ -140,4 +140,126 @@ object CdcFormats {
       (col("c.type") === "update", col("c.data"), UpdateAfter),
       (col("c.type") === "delete", col("c.data"), Delete)))
   }
+
+  // ----------------------------------------------------------- write side
+
+  // The reference's CDC formats SERIALIZE too (DebeziumJson/CanalJson/
+  // MaxwellJson/OggJson SerializationSchema + the Avro-Confluent
+  // DebeziumAvroSerializationSchema): a changelog-producing query can
+  // write envelopes back to a Kafka-style sink. All four map the same
+  // way (DebeziumJsonSerializationSchema.java:78): +I/+U become the
+  // format's INSERT envelope carrying the row as the new image, -U/-D
+  // become its DELETE envelope carrying the row as the old image — an
+  // update degrades to delete+insert, exactly as on the read side's
+  // reverse. Serializers are pure `to_json(struct(...))` projections
+  // (nulls kept explicit so the envelopes parse back), map-side only.
+
+  /** The non-metadata value columns of a changelog frame. */
+  private def valueCols(df: DataFrame): Seq[Column] =
+    df.columns.filterNot(Set(kindCol, seqCol)).map(col).toSeq
+
+  /** Struct type of those value columns (for typed null literals). */
+  private def valueType(df: DataFrame): StructType =
+    StructType(df.schema.fields.filterNot(f => Set(kindCol, seqCol)(f.name)))
+
+  private def jsonOpts = Map("ignoreNullFields" -> "false")
+
+  /** Changelog → Debezium JSON envelopes (`before`/`after`/`op`/`ts_ms`;
+    * ts_ms carries `__seq` so a round trip preserves order). */
+  def toDebezium(df: DataFrame, outCol: String = "json"): DataFrame = {
+    val row = struct(valueCols(df): _*)
+    val isNew = col(kindCol).isin(RowKind.Insert, RowKind.UpdateAfter)
+    df.select(to_json(struct(
+      when(!isNew, row).as("before"),
+      when(isNew, row).as("after"),
+      when(isNew, lit("c")).otherwise(lit("d")).as("op"),
+      col(seqCol).as("ts_ms")), jsonOpts).as(outCol))
+  }
+
+  /** Changelog → Canal JSON envelopes (`data` is a one-row batch). */
+  def toCanal(df: DataFrame, outCol: String = "json"): DataFrame = {
+    val row = struct(valueCols(df): _*)
+    val isNew = col(kindCol).isin(RowKind.Insert, RowKind.UpdateAfter)
+    df.select(to_json(struct(
+      array(row).as("data"),
+      lit(null).cast(ArrayType(valueType(df))).as("old"),
+      when(isNew, lit("INSERT")).otherwise(lit("DELETE")).as("type"),
+      col(seqCol).as("ts")), jsonOpts).as(outCol))
+  }
+
+  /** Changelog → Maxwell JSON envelopes. */
+  def toMaxwell(df: DataFrame, outCol: String = "json"): DataFrame = {
+    val row = struct(valueCols(df): _*)
+    val isNew = col(kindCol).isin(RowKind.Insert, RowKind.UpdateAfter)
+    df.select(to_json(struct(
+      row.as("data"),
+      lit(null).cast(valueType(df)).as("old"),
+      when(isNew, lit("insert")).otherwise(lit("delete")).as("type"),
+      col(seqCol).as("ts")), jsonOpts).as(outCol))
+  }
+
+  /** Changelog → Ogg JSON envelopes (`op_ts` formats `__seq` as Ogg's
+    * string timestamp, epoch seconds). */
+  def toOgg(df: DataFrame, outCol: String = "json"): DataFrame = {
+    val row = struct(valueCols(df): _*)
+    val isNew = col(kindCol).isin(RowKind.Insert, RowKind.UpdateAfter)
+    df.select(to_json(struct(
+      when(!isNew, row).as("before"),
+      when(isNew, row).as("after"),
+      when(isNew, lit("I")).otherwise(lit("D")).as("op_type"),
+      date_format(to_timestamp(col(seqCol)),
+        "yyyy-MM-dd HH:mm:ss").as("op_ts")), jsonOpts).as(outCol))
+  }
+
+  // ------------------------------------------- debezium-avro-confluent
+
+  private def debeziumEnvelope(valueSchema: StructType): StructType =
+    StructType(Seq(
+      StructField("before", valueSchema),
+      StructField("after", valueSchema),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+
+  /** Debezium over Confluent-framed AVRO
+    * (flink-avro-confluent-registry/…/debezium/
+    * DebeziumAvroDeserializationSchema.java): the binary column holds
+    * magic-byte + schema-id framed Avro envelopes; schema resolution and
+    * malformed-frame null policy come from
+    * [[graft.sources.ConfluentAvro]], the envelope → changelog mapping is
+    * the same as the JSON face. */
+  def fromDebeziumAvro(
+      df: DataFrame,
+      binCol: String,
+      registry: graft.sources.ConfluentAvro.SchemaRegistryClient,
+      valueSchema: StructType): DataFrame = {
+    val p = graft.sources.ConfluentAvro
+      .decode(df, binCol, registry, debeziumEnvelope(valueSchema),
+        outCol = "__dbz")
+      .select(col("__dbz").as("c"))
+    val op = col("c.op")
+    emit(p, col("c.ts_ms"), valueSchema, Seq(
+      (op.isin("c", "r"), col("c.after"), Insert),
+      (op === "u", col("c.before"), UpdateBefore),
+      (op === "u", col("c.after"), UpdateAfter),
+      (op === "d", col("c.before"), Delete)))
+  }
+
+  /** Changelog → Confluent-framed Avro Debezium envelopes (binary column
+    * `framed`; schema registered under `subject` —
+    * DebeziumAvroSerializationSchema.java:108's mapping). */
+  def toDebeziumAvro(
+      df: DataFrame,
+      registry: graft.sources.ConfluentAvro.SchemaRegistryClient,
+      subject: String,
+      outCol: String = "framed"): DataFrame = {
+    val row = struct(valueCols(df): _*)
+    val isNew = col(kindCol).isin(RowKind.Insert, RowKind.UpdateAfter)
+    val env = df.select(
+      when(!isNew, row).as("before"),
+      when(isNew, row).as("after"),
+      when(isNew, lit("c")).otherwise(lit("d")).as("op"),
+      col(seqCol).as("ts_ms"))
+    graft.sources.ConfluentAvro.encode(env, registry, subject, outCol)
+      .select(col(outCol))
+  }
 }

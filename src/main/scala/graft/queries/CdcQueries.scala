@@ -200,6 +200,33 @@ object CdcQueries {
         FROM final GROUP BY bucket ORDER BY bucket
       """.stripMargin.trim)),
 
+    // Write side: the changelog SERIALIZES back to Debezium envelopes
+    // (CdcFormats.toDebezium — the reference's
+    // DebeziumJsonSerializationSchema mapping: updates degrade to
+    // delete+insert) and re-parses to the same final state. Envelope
+    // order is made total first (seq*2 + new-image bit — the offset a
+    // real topic would assign), because the degraded -D/+I pair shares
+    // its source timestamp.
+    QueryDef(
+      "q_cdc_writeback",
+      (s, dir) => {
+        val feed = debeziumFeed(base(s, dir), row, (1L, 2L, 3L))
+        val log = CdcFormats.fromDebezium(feed, "payload", valueSchema)
+          .withColumn("__seq", col("__seq") * 2 +
+            when(col("__rowkind").isin("+I", "+U"), 1).otherwise(0))
+        val rt = CdcFormats.fromDebezium(
+          CdcFormats.toDebezium(log).toDF("payload"), "payload", valueSchema)
+        UpsertMaterialize(rt, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN p * 0.5 ELSE p END
+                 AS o_totalprice
+        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p
+              FROM orders)
+        WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // The full CDC story: TWO Debezium topics (orders with updates +
     // deletes, customers with deletes) parsed into full changelogs —
     // Debezium carries -U pre-images, so no normalize step is needed —

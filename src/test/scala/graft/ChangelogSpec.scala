@@ -1021,4 +1021,83 @@ class ChangelogSpec extends SparkSpecBase {
       ChangelogJoin(l, r, "ljk", "rjk", "lk", "rk"))
     assert(ex.getMessage.contains("join key types differ"))
   }
+
+  test("CdcFormats write side: envelopes serialize and round-trip") {
+    import org.apache.spark.sql.types._
+    val vs = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val log = Seq(
+      (1L, 5.0, "+I", 1L), (1L, 5.0, "-U", 2L), (1L, 6.0, "+U", 3L),
+      (1L, 6.0, "-D", 4L))
+      .toDF("id", "v", "__rowkind", "__seq")
+
+    // Debezium: +I/+U -> op c with after; -U/-D -> op d with before
+    // (DebeziumJsonSerializationSchema.java:78), nulls explicit
+    val dbz = CdcFormats.toDebezium(log).collect().map(_.getString(0))
+    assert(dbz(0).contains("\"op\":\"c\"") &&
+      dbz(0).contains("\"before\":null") &&
+      dbz(0).contains("\"after\":{\"id\":1,\"v\":5.0}"), dbz(0))
+    assert(dbz(1).contains("\"op\":\"d\"") &&
+      dbz(1).contains("\"before\":{\"id\":1,\"v\":5.0}"), dbz(1))
+    // round trip: parse back; updates degrade to -D/+I as documented,
+    // so the MATERIALIZED state must match
+    val rt = CdcFormats.fromDebezium(
+      CdcFormats.toDebezium(log).toDF("payload"), "payload", vs)
+    val finalState = graft.changelog.UpsertMaterialize(rt, Seq("id"))
+    assert(finalState.collect().isEmpty,
+      "after -D the key must be gone from the materialized state")
+    // same check without the trailing delete: last image survives
+    val rt2 = CdcFormats.fromDebezium(
+      CdcFormats.toDebezium(log.where(col("__rowkind") =!= "-D"))
+        .toDF("payload"), "payload", vs)
+    val live = graft.changelog.UpsertMaterialize(rt2, Seq("id"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(live.toSeq == Seq((1L, 6.0)))
+
+    // Canal / Maxwell / Ogg: envelope type mapping
+    val canal = CdcFormats.toCanal(log).collect().map(_.getString(0))
+    assert(canal(0).contains("\"type\":\"INSERT\"") &&
+      canal(0).contains("\"data\":[{\"id\":1,\"v\":5.0}]"), canal(0))
+    assert(canal(3).contains("\"type\":\"DELETE\""), canal(3))
+    val mx = CdcFormats.toMaxwell(log).collect().map(_.getString(0))
+    assert(mx(0).contains("\"type\":\"insert\"") &&
+      mx(3).contains("\"type\":\"delete\""), mx.mkString("\n"))
+    val ogg = CdcFormats.toOgg(log).collect().map(_.getString(0))
+    assert(ogg(0).contains("\"op_type\":\"I\"") &&
+      ogg(3).contains("\"op_type\":\"D\"") &&
+      ogg(0).contains("1970-01-01 00:00:01"), ogg.mkString("\n"))
+    // ogg round trip preserves the second-resolution seq
+    val ort = CdcFormats.fromOgg(
+      CdcFormats.toOgg(log).toDF("payload"), "payload", vs)
+      .where(col("__rowkind") === "+I").collect().head
+    assert(ort.getAs[Long]("__seq") == 1L)
+  }
+
+  test("CdcFormats: debezium-avro-confluent framed round trip") {
+    import org.apache.spark.sql.types._
+    val vs = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dbzavro-").toString
+    val registry = new graft.sources.ConfluentAvro.FileRegistry(dir)
+    val log = Seq(
+      (1L, 5.0, "+I", 1L), (1L, 5.0, "-U", 2L), (1L, 6.0, "+U", 3L),
+      (2L, 7.0, "+I", 4L))
+      .toDF("id", "v", "__rowkind", "__seq")
+    val framed = CdcFormats.toDebeziumAvro(log, registry, "orders-value")
+    val bytes = framed.collect().map(_.getAs[Array[Byte]](0))
+    assert(bytes.forall(b => b(0) == 0.toByte), "confluent magic byte")
+    val back = CdcFormats.fromDebeziumAvro(framed, "framed", registry, vs)
+    val state = graft.changelog.UpsertMaterialize(back, Seq("id"))
+      .select("id", "v").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(state.toSeq == Seq((1L, 6.0), (2L, 7.0)))
+    // a corrupted frame decodes to null and is dropped, not fatal
+    val poisoned = framed.union(
+      Seq(Array[Byte](9, 9, 9)).toDF("framed"))
+    val survived = CdcFormats.fromDebeziumAvro(
+      poisoned, "framed", registry, vs)
+    assert(survived.count() == back.count())
+  }
+
 }
