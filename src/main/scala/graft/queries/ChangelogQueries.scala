@@ -81,6 +81,45 @@ object ChangelogQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Upsert key/value records (the upsert-kafka connector convention:
+    // serialized key + value, NULL value = tombstone) decoded through
+    // UpsertEnvelope → ChangelogNormalize → materialized final state.
+    // The topic is synthesized in-query with to_json — the same bytes a
+    // real upsert topic would carry.
+    QueryDef(
+      "q_upsert_envelope",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val b = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        def rec(value: org.apache.spark.sql.Column, seq: Long) = Seq(
+          to_json(struct(col("o_orderkey"))).as("key"),
+          value.as("value"), lit(seq).as("offset"))
+        val topic = b.select(rec(
+            to_json(struct(col("o_orderkey"), col("o_totalprice"))), 1L): _*)
+          .unionByName(b.where(col("o_orderkey") % 5 === 0).select(rec(
+            to_json(struct(col("o_orderkey"),
+              (col("o_totalprice") * 0.5).as("o_totalprice"))), 2L): _*))
+          .unionByName(b.where(col("o_orderkey") % 7 === 0).select(rec(
+            lit(null).cast("string"), 3L): _*))
+        val keySchema = StructType(Seq(StructField("o_orderkey", LongType)))
+        val valueSchema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType)))
+        val log = graft.changelog.UpsertEnvelope.decode(
+          topic, "key", "value", keySchema, valueSchema, "offset")
+        UpsertMaterialize(log, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN p * 0.5 ELSE p END
+                 AS o_totalprice
+        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p
+              FROM orders)
+        WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // ChangelogNormalize: upsert feed → full changelog with -U pre-images.
     QueryDef(
       "q_changelog_normalize",

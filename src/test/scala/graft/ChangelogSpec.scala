@@ -1100,4 +1100,53 @@ class ChangelogSpec extends SparkSpecBase {
     assert(survived.count() == back.count())
   }
 
+
+  test("UpsertEnvelope: key/value records with tombstones round-trip") {
+    import org.apache.spark.sql.types._
+    val keySchema = StructType(Seq(StructField("id", LongType)))
+    val valueSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    // a topic: insert id=1, update id=1, insert id=2, tombstone id=1
+    val topic = Seq(
+      ("""{"id":1}""", """{"id":1,"v":5.0}""", 1L),
+      ("""{"id":1}""", """{"id":1,"v":6.0}""", 2L),
+      ("""{"id":2}""", """{"id":2,"v":7.0}""", 3L),
+      ("""{"id":1}""", null, 4L))
+      .toDF("key", "value", "offset")
+    val log = UpsertEnvelope.decode(topic, "key", "value",
+      keySchema, valueSchema, "offset")
+    val rows = log.orderBy("__seq", "__rowkind")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("__rowkind"),
+        r.getAs[Long]("__seq"))).toSeq
+    // normalize reconstructs +I / -U,+U / -D with pre-images
+    assert(rows == Seq(
+      (1L, "+I", 1L), (1L, "+U", 2L), (1L, "-U", 2L),
+      (2L, "+I", 3L), (1L, "-D", 4L)), s"$rows")
+    // the -U pre-image carries the OLD value
+    val pre = log.where(col("__rowkind") === "-U").collect().head
+    assert(pre.getAs[Double]("v") == 5.0)
+    // materialized state: id=2 only
+    val state = UpsertMaterialize(log, Seq("id"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(state.toSeq == Seq((2L, 7.0)))
+
+    // encode: changelog back to key/value records; -D becomes a
+    // tombstone, -U drops
+    val out = UpsertEnvelope.encode(log, Seq("id"))
+      .orderBy("__seq").collect()
+    assert(out.length == 4, "the -U row must not produce a record")
+    assert(out(0).getString(0) == """{"id":1}""" &&
+      out(0).getString(1).contains("\"v\":5.0"))
+    assert(out(3).getString(0) == """{"id":1}""" && out(3).isNullAt(1),
+      "delete must emit a tombstone")
+    // full round trip: decode(encode(log)) materializes identically
+    val rt = UpsertEnvelope.decode(
+      UpsertEnvelope.encode(log, Seq("id"))
+        .toDF("key", "value", "offset"),
+      "key", "value", keySchema, valueSchema, "offset")
+    val rtState = UpsertMaterialize(rt, Seq("id"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rtState.toSeq == Seq((2L, 7.0)))
+  }
+
 }
