@@ -1498,11 +1498,18 @@ object FlinkDdl {
     val stmts = Seq.newBuilder[String]
     var begin = 0 // token index of the current statement's first token
     var inSet = false
+    // a CASE expression's END must not close the statement-set block —
+    // track CASE nesting so only the block's own END ends it
+    var caseDepth = 0
     var k = 0
     while (k < toks.length) {
       val t = toks(k).up
       if (begin == k && (t == "EXECUTE" || t == "BEGIN")) inSet = true
-      if (t == "END" && inSet) inSet = false
+      if (t == "CASE") caseDepth += 1
+      if (t == "END") {
+        if (caseDepth > 0) caseDepth -= 1
+        else if (inSet) inSet = false
+      }
       if (t == ";" && !inSet) {
         if (k > begin)
           stmts += script.substring(toks(begin).start, toks(k - 1).end)
@@ -1524,13 +1531,20 @@ object FlinkDdl {
     val inserts = Seq.newBuilder[String]
     var start = p.i
     var k = p.i
-    while (k < toks.length && toks(k).up != "END") {
-      if (toks(k).up == ";") {
-        if (k > start)
-          inserts += stmt.substring(toks(start).start, toks(k - 1).end)
-        start = k + 1
+    var caseDepth = 0 // CASE…END nesting, as in splitStatements
+    var done = false
+    while (k < toks.length && !done) {
+      toks(k).up match {
+        case "CASE" => caseDepth += 1
+        case "END" if caseDepth > 0 => caseDepth -= 1
+        case "END" => done = true
+        case ";" =>
+          if (k > start)
+            inserts += stmt.substring(toks(start).start, toks(k - 1).end)
+          start = k + 1
+        case _ => ()
       }
-      k += 1
+      if (!done) k += 1
     }
     if (k > start && toks(start).up != "END")
       inserts += stmt.substring(toks(start).start, toks(k - 1).end)
