@@ -1449,6 +1449,58 @@ object FlinkDdl {
     }
   }
 
+  /** `'128MB' | '1gb' | '64 kb' | '1048576'` → bytes (the reference's
+    * MemorySize spellings for `compaction.file-size`). */
+  private[sql] def memoryBytes(s: String): Long = {
+    val t = s.trim.toLowerCase.replace(" ", "")
+    val (num, mult) =
+      if (t.endsWith("gb")) (t.dropRight(2), 1L << 30)
+      else if (t.endsWith("mb")) (t.dropRight(2), 1L << 20)
+      else if (t.endsWith("kb")) (t.dropRight(2), 1L << 10)
+      else if (t.endsWith("b")) (t.dropRight(1), 1L)
+      else (t, 1L)
+    num.toLong * mult
+  }
+
+  /** Post-write small-file compaction (FileSystemConnectorOptions
+    * `auto-compaction` + `compaction.file-size`): each leaf directory
+    * whose data files outnumber ceil(bytes / target) is rewritten
+    * coalesced to that count and swapped in — metadata-scale decision,
+    * rewrite I/O proportional to the compacted partition only, one leaf
+    * at a time (never the whole table at once). */
+  private def compactDir(spark: SparkSession, spec: TableSpec): Unit = {
+    val target = spec.options.get("compaction.file-size")
+      .map(memoryBytes).getOrElse(128L << 20)
+    def leaves(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).toSeq.flatten
+      val subs = kids.filter(f => f.isDirectory && f.getName.contains("="))
+      if (subs.isEmpty) Seq(d) else subs.flatMap(leaves)
+    }
+    leaves(new java.io.File(spec.path)).foreach { dir =>
+      val files = Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      val bytes = files.map(_.length()).sum
+      val desired = math.max(1L, (bytes + target - 1) / target).toInt
+      if (files.length > desired) {
+        val data = spark.read.format(spec.format).load(dir.getPath)
+        val staging = dir.getPath + ".compact"
+        data.coalesce(desired).write.mode("overwrite")
+          .format(spec.format).save(staging)
+        files.foreach(_.delete())
+        Option(new java.io.File(staging).listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .foreach(f => java.nio.file.Files.move(f.toPath,
+            new java.io.File(dir, f.getName).toPath))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(staging))
+      }
+    }
+  }
+
   private def writeSink(
       spark: SparkSession,
       spec: TableSpec,
@@ -1457,7 +1509,15 @@ object FlinkDdl {
     val aligned = alignToSink(spec, df)
     spec.connector match {
       case "filesystem" =>
-        val w = bucketed(spec, aligned).write
+        // sink.parallelism (FactoryUtil.SINK_PARALLELISM) sizes the write
+        // when no DISTRIBUTED clause took over the layout
+        val sized = spec.options.get("sink.parallelism") match {
+          case Some(n) if !spec.options.contains("distribution-keys") &&
+              !spec.options.contains("distribution-buckets") =>
+            aligned.repartition(n.toInt)
+          case _ => aligned
+        }
+        val w = bucketed(spec, sized).write
           .mode(if (overwrite) "overwrite" else "append")
           .format(spec.format)
         spec.options.get("partition-keys") match {
@@ -1465,6 +1525,8 @@ object FlinkDdl {
             .save(spec.path)
           case None => w.save(spec.path)
         }
+        if (spec.options.get("auto-compaction").exists(_.toBoolean))
+          compactDir(spark, spec)
       case "jdbc" =>
         graft.sources.JdbcLookupClient.quietDerby()
         val url = spec.options.getOrElse("url",

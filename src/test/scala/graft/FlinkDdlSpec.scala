@@ -1147,4 +1147,43 @@ class FlinkDdlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       FlinkDdl.run(spark, "USE MODULES nope; SHOW MODULES"))
   }
+
+  test("sink.parallelism sizes the write; auto-compaction merges small files") {
+    val dir = tmpDir()
+    // sink.parallelism=3 -> three output files
+    FlinkDdl.run(spark,
+      s"""CREATE TABLE snk (k BIGINT) WITH ('connector'='filesystem',
+         |  'path'='$dir/par', 'format'='parquet', 'sink.parallelism'='3');
+         |INSERT INTO snk SELECT k FROM g;""".stripMargin,
+      Map("g" -> spark.range(90).toDF("k")))
+    assert(new java.io.File(s"$dir/par").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 3)
+    // auto-compaction: a fragmented write (32 shuffle partitions) merges
+    // down to ceil(bytes/target) files per leaf dir — tiny target keeps
+    // it >1 but far below the input fragment count
+    FlinkDdl.run(spark,
+      s"""CREATE TABLE frag (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/cmp',
+         |        'format'='parquet', 'auto-compaction'='true',
+         |        'compaction.file-size'='1MB');
+         |INSERT INTO frag SELECT k,
+         |  CASE WHEN k % 2 = 0 THEN 'a' ELSE 'b' END AS tag
+         |FROM g;""".stripMargin,
+      Map("g" -> spark.range(2000).toDF("k").repartition(32)))
+    for (tag <- Seq("a", "b")) {
+      val files = new java.io.File(s"$dir/cmp/tag=$tag").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 2,
+        s"tag=$tag should compact to <=2 files, has ${files.length}")
+    }
+    // the data survives compaction intact
+    val total = FlinkDdl.run(spark,
+      s"""CREATE TABLE frag (k BIGINT, tag STRING) PARTITIONED BY (tag)
+         |  WITH ('connector'='filesystem', 'path'='$dir/cmp',
+         |        'format'='parquet');
+         |SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS d FROM frag"""
+        .stripMargin)
+      .collect().head
+    assert(total.getLong(0) == 2000 && total.getLong(1) == 2000)
+  }
 }
