@@ -66,4 +66,60 @@ object TrainingData {
     out.repartitionByRange(col("__shuffle_key"))
       .sortWithinPartitions(col("__shuffle_key"))
   }
+
+  /** Greedy sequence packing — assemble documents into training
+    * sequences of at most `maxTokens` tokens (the context-window packing
+    * step of an LLM data pipeline; no reference counterpart — this is a
+    * north-star extension like the dedup pack).
+    *
+    * Deterministic and cluster-parallel by construction: each document
+    * lands in bin `id % numBins`; bins pack INDEPENDENTLY (one shuffle on
+    * the bin key, then a per-partition linear scan in id order — no
+    * driver state, no global sequential pass), so throughput scales with
+    * `numBins` while any given (corpus, numBins, maxTokens) triple always
+    * yields the same packs. Within a bin the greedy rule is: take docs in
+    * id order, start a new pack when the running token count would exceed
+    * `maxTokens`; an oversized document gets a pack of its own (the
+    * trainer's truncation decision stays downstream).
+    *
+    * Output: (bin, pack, id, n_tokens) — one row per document with its
+    * pack assignment; `pack` numbers are per-bin, so (bin, pack) is the
+    * global sequence key.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      maxTokens: Long,
+      numBins: Int): DataFrame = {
+    require(maxTokens > 0 && numBins > 0)
+    val sorted = df
+      .select(pmod(col(idCol).cast("long"), lit(numBins.toLong)).as("bin"),
+        col(idCol), col(tokenCol).cast("long").as("n_tokens"))
+      .repartition(numBins min 200, col("bin"))
+      .sortWithinPartitions(col("bin"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pack",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      sorted.schema(idCol),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType)))
+    sorted.mapPartitions { rows =>
+      // a partition holds whole bins (hash-partitioned on bin) in
+      // (bin, id) order — linear scan with per-bin reset
+      var curBin = Long.MinValue
+      var pack = 0L
+      var acc = 0L
+      rows.map { r =>
+        val bin = r.getLong(0)
+        val t = r.getLong(2)
+        if (bin != curBin) { curBin = bin; pack = 0L; acc = t }
+        else if (acc + t <= maxTokens) acc += t
+        else { pack += 1L; acc = t }
+        org.apache.spark.sql.Row(bin, pack, r.get(1), t)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

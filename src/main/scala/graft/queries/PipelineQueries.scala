@@ -132,6 +132,48 @@ object PipelineQueries {
         FROM m ORDER BY doc_id, frame_idx
       """.stripMargin.trim)),
 
+    // Greedy sequence packing (TrainingData.packSequences): documents
+    // assemble into <=512-token training sequences, bin-parallel and
+    // deterministic. The oracle replays the same greedy scan with a
+    // recursive CTE per bin — any drift in binning, ordering, or the
+    // reset rule breaks the hash.
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          size(graft.functions.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_toks"))
+        graft.operators.TrainingData
+          .packSequences(docs, "doc_id", "n_toks",
+            maxTokens = 512, numBins = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, doc_id % 8 AS bin,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        ordered AS (
+          SELECT bin, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rn
+          FROM tok),
+        packed AS (
+          SELECT bin, rn, doc_id, n_tokens, n_tokens AS acc,
+                 CAST(0 AS BIGINT) AS pack
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.bin, o.rn, o.doc_id, o.n_tokens,
+                 CASE WHEN p.acc + o.n_tokens <= 512
+                      THEN p.acc + o.n_tokens ELSE o.n_tokens END,
+                 CASE WHEN p.acc + o.n_tokens <= 512
+                      THEN p.pack ELSE p.pack + 1 END
+          FROM ordered o JOIN packed p
+            ON o.bin = p.bin AND o.rn = p.rn + 1)
+        SELECT bin, pack, doc_id, n_tokens
+        FROM packed ORDER BY doc_id
+      """.stripMargin.trim)),
+
     // Deterministic weighted dataset mixing: per-source weights (derived
     // from the source number: (k*37) % 101 percent), rows kept by md5
     // bucket — reproducible across runs/engines/partitionings, no rand().

@@ -166,4 +166,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(strong.nonEmpty)
     strong.foreach(p => assert(cands.contains(p), s"LSH missed $p"))
   }
+
+  test("packSequences: packs respect the budget; oversized docs isolate") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, 100L), (8L, 200L), (16L, 300L), (24L, 150L), // bin 0
+      (1L, 600L), (9L, 50L), // bin 1: first doc oversized
+      (2L, 512L), (10L, 1L)) // bin 2: exact fit then overflow
+      .toDF("doc_id", "n_toks")
+    val packed = graft.operators.TrainingData
+      .packSequences(docs, "doc_id", "n_toks", maxTokens = 512, numBins = 8)
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    // bin 0: 100+200 fits (300+300>512 -> new pack), 300+150 fits
+    assert(rows.filter(_._1 == 0).map(r => (r._3, r._2)).toSeq ==
+      Seq((0L, 0L), (8L, 0L), (16L, 1L), (24L, 1L)))
+    // bin 1: oversized 600 alone in pack 0; 50 starts pack 1
+    assert(rows.filter(_._1 == 1).map(r => (r._3, r._2)).toSeq ==
+      Seq((1L, 0L), (9L, 1L)))
+    // bin 2: exactly 512 fills pack 0; the next token opens pack 1
+    assert(rows.filter(_._1 == 2).map(r => (r._3, r._2)).toSeq ==
+      Seq((2L, 0L), (10L, 1L)))
+    // invariant on real data: no multi-doc pack exceeds the budget, and
+    // the result is identical across partitionings
+    val real = Tables.documents(spark, sf).select(col("doc_id"),
+      size(graft.functions.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_toks"))
+    val a = graft.operators.TrainingData
+      .packSequences(real, "doc_id", "n_toks", 512, 8)
+    val sums = a.groupBy("bin", "pack")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n")).collect()
+    sums.foreach { r =>
+      assert(r.getLong(2) <= 512 || r.getLong(3) == 1,
+        s"overfull multi-doc pack: $r")
+    }
+    val b = graft.operators.TrainingData
+      .packSequences(real.repartition(17), "doc_id", "n_toks", 512, 8)
+    assert(a.collect().toSet == b.collect().toSet,
+      "packing must not depend on the input partitioning")
+  }
 }
