@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,7 +57,8 @@ object FlinkDdl {
       name: String,
       dataType: Option[DataType], // physical column
       computedExpr: Option[String], // computed column (Spark SQL text)
-      isMetadata: Boolean = false)
+      isMetadata: Boolean = false,
+      metadataKey: Option[String] = None) // METADATA [FROM 'key']
 
   final case class TableSpec(
       name: String,
@@ -1284,7 +1285,7 @@ object FlinkDdl {
     val derived = spec.connector match {
       case "filesystem" =>
         val physical = StructType(spec.columns.collect {
-          case ColumnSpec(n, Some(t), _, false) => StructField(n, t)
+          case ColumnSpec(n, Some(t), _, false, _) => StructField(n, t)
         })
         withDerived(
           spark.readStream.format(spec.format).schema(physical)
@@ -1305,12 +1306,16 @@ object FlinkDdl {
 
   private def withDerived(base: DataFrame, spec: TableSpec): DataFrame = {
     val physical = spec.columns.collect {
-      case ColumnSpec(n, Some(t), _, false) => n -> t }
+      case ColumnSpec(n, Some(t), _, false, _) => n -> t }
     // keep only declared physical columns (schema projection, so column
     // pruning starts from the declared shape) and cast each to its declared
     // type — the declaration wins over what the file happens to store, as in
     // the reference's connector schema contract. Casts are a no-op when the
     // file already matches, so pushdown/pruning are unaffected.
+    // filesystem metadata columns read the hidden `_metadata` struct —
+    // carry it through the projection, drop it at the end
+    val needsMeta = spec.connector == "filesystem" &&
+      spec.columns.exists(c => c.isMetadata)
     val projected =
       if (physical.nonEmpty &&
           physical.forall { case (n, _) =>
@@ -1320,19 +1325,43 @@ object FlinkDdl {
           if (base.schema.exists(f =>
               f.name.equalsIgnoreCase(n) && f.dataType == t)) c
           else c.cast(t).as(n)
-        }: _*)
+        } ++ (if (needsMeta) Seq(col("_metadata")) else Nil): _*)
       else base // datagen already emits exactly the declared columns
-    spec.columns.foldLeft(projected) {
-      case (df, ColumnSpec(n, _, Some(e), _)) => df.withColumn(n, expr(e))
-      case (df, ColumnSpec(n, Some(t), _, true)) =>
-        df.withColumn(n, lit(null).cast(t)) // metadata col without a source
+    val derived = spec.columns.foldLeft(projected) {
+      case (df, ColumnSpec(n, _, Some(e), _, _)) => df.withColumn(n, expr(e))
+      case (df, ColumnSpec(n, Some(t), _, true, key)) =>
+        df.withColumn(n, metadataValue(spec, key.getOrElse(n)).cast(t))
       case (df, _) => df
     }
+    if (needsMeta) derived.drop("_metadata") else derived
   }
+
+  /** A METADATA column's value expression — the reference's readable
+    * filesystem metadata keys (FileSystemTableSource.ReadableFileInfo:
+    * `file.path`, `file.name`, `file.size`, `file.modification-time`)
+    * mapped onto Spark's `_metadata` pseudo-column (available on batch
+    * AND streaming file scans; no extra I/O — the values come from the
+    * split, exactly like the reference's FileInfoAccessor). `file.path`
+    * strips the URI scheme to match the reference's Path.getPath shape
+    * (single-authority local/posix paths). Non-filesystem connectors and
+    * unknown keys surface NULL, the reference's unsupported-metadata
+    * behavior for optional keys. */
+  private def metadataValue(spec: TableSpec, key: String): Column =
+    if (spec.connector != "filesystem") lit(null)
+    else key match {
+      case "file.path" =>
+        regexp_replace(col("_metadata.file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+      case "file.name" => col("_metadata.file_name")
+      case "file.size" => col("_metadata.file_size")
+      case "file.modification-time" =>
+        col("_metadata.file_modification_time")
+      case _ => lit(null)
+    }
 
   private def fsRead(spark: SparkSession, spec: TableSpec): DataFrame = {
     val physical = StructType(spec.columns.collect {
-      case ColumnSpec(n, Some(t), _, false) => StructField(n, t)
+      case ColumnSpec(n, Some(t), _, false, _) => StructField(n, t)
     })
     spec.format match {
       case "parquet" | "orc" =>
@@ -1385,7 +1414,7 @@ object FlinkDdl {
   private def datagenCols(
       spec: TableSpec,
       base: DataFrame): Seq[org.apache.spark.sql.Column] =
-    spec.columns.collect { case ColumnSpec(n, Some(t), _, false) =>
+    spec.columns.collect { case ColumnSpec(n, Some(t), _, false, _) =>
       val kind = spec.options.getOrElse(s"fields.$n.kind", "random")
       val c = kind match {
         case "sequence" =>
@@ -1407,7 +1436,7 @@ object FlinkDdl {
     * declared types. */
   private def alignToSink(spec: TableSpec, df: DataFrame): DataFrame = {
     val declared = spec.columns.collect {
-      case ColumnSpec(n, Some(t), _, false) => (n, t) }
+      case ColumnSpec(n, Some(t), _, false, _) => (n, t) }
     if (declared.isEmpty) df
     else {
       require(df.columns.length == declared.size,
@@ -1857,10 +1886,12 @@ object FlinkDdl {
     * bookkeeping keys. */
   private[sql] def showCreateTable(spec: TableSpec): String = {
     val colLines = spec.columns.map {
-      case ColumnSpec(n, _, Some(e), _) => s"  `$n` AS $e"
-      case ColumnSpec(n, Some(t), _, true) => s"  `$n` ${t.sql} METADATA"
-      case ColumnSpec(n, Some(t), _, _) => s"  `$n` ${t.sql}"
-      case ColumnSpec(n, None, None, _) => s"  `$n`"
+      case ColumnSpec(n, _, Some(e), _, _) => s"  `$n` AS $e"
+      case ColumnSpec(n, Some(t), _, true, k) =>
+        s"  `$n` ${t.sql} METADATA" +
+          k.filterNot(_ == n).map(key => s" FROM '$key'").getOrElse("")
+      case ColumnSpec(n, Some(t), _, _, _) => s"  `$n` ${t.sql}"
+      case ColumnSpec(n, None, None, _, _) => s"  `$n`"
     } ++
       spec.watermark.map { w =>
         val Array(n, unit) = w.delay.trim.split("\\s+")
@@ -1907,8 +1938,8 @@ object FlinkDdl {
     * query — the bookkeeping option keys stay internal. */
   private[sql] def showCreateMaterialized(spec: TableSpec): String = {
     val colLines = spec.columns.collect {
-      case ColumnSpec(n, Some(t), _, _) => s"  `$n` ${t.sql}"
-      case ColumnSpec(n, None, None, _) => s"  `$n`"
+      case ColumnSpec(n, Some(t), _, _, _) => s"  `$n` ${t.sql}"
+      case ColumnSpec(n, None, None, _, _) => s"  `$n`"
     }
     val colBlock =
       if (colLines.isEmpty) "" else s" (\n${colLines.mkString(",\n")}\n)"
@@ -2180,13 +2211,15 @@ object FlinkDdl {
           } else {
             val t = parseType(p)
             val isMeta = p.opt("METADATA")
+            var metaKey: Option[String] = None
             if (isMeta) {
-              if (p.opt("FROM")) p.next() // metadata key literal
+              metaKey = Some(
+                if (p.opt("FROM")) unquote(p.next().s) else cname)
               p.opt("VIRTUAL")
             }
             if (p.opt("NOT")) p.eat("NULL")
             if (p.opt("COMMENT")) p.next()
-            cols += ColumnSpec(cname, Some(t), None, isMeta)
+            cols += ColumnSpec(cname, Some(t), None, isMeta, metaKey)
           }
       }
       more = p.opt(",")

@@ -1186,4 +1186,57 @@ class FlinkDdlSpec extends SparkSpecBase {
       .collect().head
     assert(total.getLong(0) == 2000 && total.getLong(1) == 2000)
   }
+
+  test("METADATA columns surface the filesystem file info") {
+    val dir = tmpDir()
+    spark.range(20).toDF("k").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE t (
+         |  k BIGINT,
+         |  fpath STRING METADATA FROM 'file.path' VIRTUAL,
+         |  fname STRING METADATA FROM 'file.name',
+         |  fsize BIGINT METADATA FROM 'file.size',
+         |  mtime TIMESTAMP(3) METADATA FROM 'file.modification-time'
+         |) WITH ('connector'='filesystem', 'path'='$dir/t',
+         |        'format'='parquet');
+         |SELECT * FROM t""".stripMargin)
+    val rows = out.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val p = r.getAs[String]("fpath")
+      assert(p.startsWith("/") && p.endsWith(".parquet") &&
+        !p.contains("file:"), s"scheme-stripped path: $p")
+      assert(r.getAs[String]("fname").endsWith(".parquet"))
+      assert(r.getAs[Long]("fsize") > 0)
+      assert(r.getAs[java.sql.Timestamp]("mtime") != null)
+    }
+    assert(rows.map(_.getAs[String]("fname")).distinct.length == 2,
+      "two files -> two distinct file names")
+    // the declared key round-trips through SHOW CREATE TABLE
+    val shown = FlinkDdl.run(spark,
+      s"""CREATE TABLE t (k BIGINT,
+         |  fname STRING METADATA FROM 'file.name')
+         |  WITH ('connector'='filesystem', 'path'='$dir/t',
+         |        'format'='parquet');
+         |SHOW CREATE TABLE t""".stripMargin).collect().head.getString(0)
+    assert(shown.contains("METADATA FROM 'file.name'"), shown)
+    // streaming face carries the same metadata
+    val dir2 = tmpDir()
+    spark.range(5).toDF("k").write.mode("overwrite").parquet(s"$dir2/in")
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k BIGINT,
+         |  fname STRING METADATA FROM 'file.name')
+         |  WITH ('connector'='filesystem', 'path'='$dir2/in',
+         |        'format'='parquet');
+         |CREATE TABLE snk (k BIGINT, fname STRING)
+         |  WITH ('connector'='filesystem', 'path'='$dir2/out',
+         |        'format'='parquet');
+         |INSERT INTO snk SELECT k, fname FROM src""".stripMargin)
+    try qs.foreach(_.processAllAvailable())
+    finally qs.foreach(_.stop())
+    val got = spark.read.parquet(s"$dir2/out")
+    assert(got.count() == 5 &&
+      got.collect().forall(_.getAs[String]("fname").endsWith(".parquet")))
+  }
 }
