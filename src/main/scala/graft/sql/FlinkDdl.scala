@@ -1185,6 +1185,17 @@ object FlinkDdl {
             onResult(metaDf(spark,
               Seq("option key" -> StringType),
               opts.keys.toSeq.sorted.map(k => Seq[Any](k))))
+          } else if (p.opt("JOB")) {
+            // DESCRIBE JOB 'id' (dql/SqlDescribeJob.java) — one row of
+            // the SHOW JOBS shape, matched by id or job name
+            val id = unquote(p.next().s)
+            val job = onListJobs().find(j =>
+              j.headOption.contains(id) || j.lift(1).contains(id))
+              .getOrElse(throw new IllegalArgumentException(
+                s"DESCRIBE JOB '$id': unknown job"))
+            onResult(metaDf(spark,
+              Seq("job id" -> StringType, "job name" -> StringType,
+                "status" -> StringType), Seq(job)))
           } else {
             p.opt("TABLE")
             val name = p.ident()
@@ -2327,8 +2338,13 @@ object FlinkDdl {
 
   /** Flink-only function spellings in computed-column expressions →
     * Spark equivalents. `TO_TIMESTAMP_LTZ(x, 0|3|6)` →
-    * `timestamp_seconds|millis|micros(x)`. */
-  private[graft] def rewriteExpr(e: String): String = {
+    * `timestamp_seconds|millis|micros(x)`; `PROCTIME()` →
+    * `current_timestamp()` (processing time in a micro-batch engine is
+    * the batch's evaluation time — same semantics class as the
+    * reference's per-record wall clock, coarser granularity; documented
+    * delta). */
+  private[graft] def rewriteExpr(e0: String): String = {
+    val e = e0.replaceAll("(?i)PROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
     val ltz = "(?i)TO_TIMESTAMP_LTZ\\s*\\(".r
     ltz.findFirstMatchIn(e) match {
       case None => e

@@ -1239,4 +1239,21 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(got.count() == 5 &&
       got.collect().forall(_.getAs[String]("fname").endsWith(".parquet")))
   }
+
+  test("PROCTIME() computed column and DESCRIBE JOB") {
+    val dir = tmpDir()
+    spark.range(4).toDF("k").write.mode("overwrite").parquet(s"$dir/t")
+    // PROCTIME() becomes the batch evaluation time
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE t (k BIGINT, pt AS PROCTIME())
+         |  WITH ('connector'='filesystem', 'path'='$dir/t',
+         |        'format'='parquet');
+         |SELECT k, pt FROM t""".stripMargin)
+    val pts = out.collect().map(_.getAs[java.sql.Timestamp]("pt"))
+    assert(pts.forall(_ != null))
+    assert(math.abs(pts.head.getTime - System.currentTimeMillis()) < 600000)
+    // DESCRIBE JOB errors in batch (no jobs), resolves in streaming
+    intercept[IllegalArgumentException](
+      FlinkDdl.run(spark, "DESCRIBE JOB 'nope'"))
+  }
 }
