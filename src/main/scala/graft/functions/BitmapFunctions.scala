@@ -96,6 +96,35 @@ object BitmapFunctions {
       def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     }
 
+  /** BITMAP_XOR_AGG: symmetric difference of serialized bitmaps. */
+  val xorAgg: Aggregator[Array[Byte], Buf, Array[Byte]] =
+    new Aggregator[Array[Byte], Buf, Array[Byte]] {
+      def zero: Buf = new Buf(true, new RoaringBitmap())
+      def reduce(b: Buf, v: Array[Byte]): Buf = {
+        if (v != null) b.rb.xor(deser(v))
+        b
+      }
+      def merge(a: Buf, b: Buf): Buf = { a.rb.xor(b.rb); a }
+      def finish(b: Buf): Array[Byte] = ser(b.rb)
+      def bufferEncoder: Encoder[Buf] = bufEnc
+      def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+
+  /** The reference's *_CARDINALITY_AGG forms: same accumulation, 64-bit
+    * cardinality out — saves shipping the final bitmap when only the
+    * count is wanted.
+    */
+  private def cardinalityOf[I](
+      inner: Aggregator[I, Buf, Array[Byte]]): Aggregator[I, Buf, Long] =
+    new Aggregator[I, Buf, Long] {
+      def zero: Buf = inner.zero
+      def reduce(b: Buf, v: I): Buf = inner.reduce(b, v)
+      def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+      def finish(b: Buf): Long = b.rb.getLongCardinality
+      def bufferEncoder: Encoder[Buf] = bufEnc
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
   // Scalar ops (binary in, binary/long/bool out)
   private val andF = (a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) null
@@ -123,6 +152,17 @@ object BitmapFunctions {
       xs.foreach(v => rb.add(toIntChecked(v)))
       ser(rb)
     }
+  // BITMAP_FROM_BYTES / BITMAP_TO_BYTES: the engine's BITMAP storage IS
+  // the 32-bit RoaringBitmap serialization the reference specifies, so
+  // both directions are a validating round trip (malformed input throws,
+  // like the reference's deserializer).
+  private val fromBytesF = (b: Array[Byte]) =>
+    if (b == null) null else ser(deser(b))
+  // BITMAP_TO_STRING: same output as the reference byte for byte — both
+  // delegate to org.roaringbitmap.RoaringBitmap#toString ("{1,2,3}",
+  // unsigned order, library-side truncation for huge sets).
+  private val toStringF = (b: Array[Byte]) =>
+    if (b == null) null else deser(b).toString
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("bitmap_agg", udaf(buildAgg))
@@ -136,6 +176,19 @@ object BitmapFunctions {
     spark.udf.register("bitmap_contains", containsF)
     spark.udf.register("bitmap_to_array", toArrayF)
     spark.udf.register("bitmap_from_array", fromArrayF)
+    // reference catalog spellings (docs/data/sql_functions.yml bitmap
+    // section): BUILD = from-array, BUILD_AGG = value agg, plus the
+    // byte/string codecs and the cardinality-fused aggregates
+    spark.udf.register("bitmap_build", fromArrayF)
+    spark.udf.register("bitmap_build_agg", udaf(buildAgg))
+    spark.udf.register("bitmap_xor_agg", udaf(xorAgg))
+    spark.udf.register("bitmap_from_bytes", fromBytesF)
+    spark.udf.register("bitmap_to_bytes", fromBytesF)
+    spark.udf.register("bitmap_to_string", toStringF)
+    spark.udf.register("bitmap_build_cardinality_agg", udaf(cardinalityOf(buildAgg)))
+    spark.udf.register("bitmap_or_cardinality_agg", udaf(cardinalityOf(orAgg)))
+    spark.udf.register("bitmap_and_cardinality_agg", udaf(cardinalityOf(andAgg)))
+    spark.udf.register("bitmap_xor_cardinality_agg", udaf(cardinalityOf(xorAgg)))
   }
 
   // Column API

@@ -17,5 +17,6 @@ object GraftFunctions {
     BitmapFunctions.register(spark)
     JsonAggFunctions.register(spark)
     TextAnalysis.register(spark)
+    FlinkNameCompat.register(spark)
   }
 }

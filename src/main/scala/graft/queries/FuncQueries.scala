@@ -359,6 +359,43 @@ object FuncQueries {
       """.trim)),
 
     // UNNEST WITH ORDINALITY → posexplode.
+    // Flink-name compat pack (FlinkNameCompat + FlinkSql scalar-syntax
+    // rewrites): the reference catalog's own spellings — TRUNCATE, WEEK,
+    // SHA256, FROM/TO_BASE64, IS_ALPHA/IS_DECIMAL, ELEMENT, the
+    // JSON_OBJECT KEY…VALUE constructor, JSON_VALUE, JSON_LENGTH — run as
+    // SQL TEXT through the entry and oracle-checked value by value.
+    QueryDef(
+      "q_flink_fn_compat",
+      (s, dir) => graft.sql.FlinkSql.sql(s,
+        """SELECT o_orderkey,
+          |  TRUNCATE(CAST(o_totalprice AS DOUBLE)) AS tp_trunc,
+          |  WEEK(o_orderdate) AS wk,
+          |  SHA256(o_orderpriority) AS prio_sha,
+          |  FROM_BASE64(TO_BASE64(o_orderpriority)) AS prio_rt,
+          |  IS_ALPHA(o_orderstatus) AS alpha_st,
+          |  IS_DECIMAL(CAST(o_totalprice AS STRING)) AS dec_tp,
+          |  ELEMENT(ARRAY(o_orderkey)) AS elem_k,
+          |  JSON_VALUE(JSON_OBJECT(KEY 'k' VALUE o_orderkey), '$.k') AS jv,
+          |  JSON_LENGTH(JSON_ARRAY(o_orderkey, o_custkey)) AS jl
+          |FROM orders
+          |ORDER BY o_orderkey""".stripMargin,
+        Map("orders" -> Tables.orders(s, dir))),
+      Some("""
+        SELECT o_orderkey,
+          trunc(CAST(o_totalprice AS DOUBLE)) AS tp_trunc,
+          weekofyear(o_orderdate) AS wk,
+          sha256(o_orderpriority) AS prio_sha,
+          o_orderpriority AS prio_rt,
+          regexp_full_match(o_orderstatus, '[A-Za-z]+') AS alpha_st,
+          regexp_full_match(CAST(o_totalprice AS VARCHAR),
+            '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') AS dec_tp,
+          o_orderkey AS elem_k,
+          CAST(o_orderkey AS VARCHAR) AS jv,
+          2 AS jl
+        FROM orders
+        ORDER BY o_orderkey
+      """.trim)),
+
     QueryDef(
       "q_unnest_ordinality",
       (s, dir) => {

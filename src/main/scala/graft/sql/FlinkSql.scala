@@ -61,7 +61,7 @@ object FlinkSql {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     // several Flink FROM items (e.g. a window JOIN of two TVFs, or a TVF
     // feeding MATCH_RECOGNIZE) rewrite one at a time until none remain
-    var cur = rewriteLateralTables(text)
+    var cur = rewriteLateralTables(rewriteScalarSyntax(text))
     var guard = 0
     while (true) {
       val toks = tokenize(cur)
@@ -149,6 +149,196 @@ object FlinkSql {
             text.substring(toks(p.i - 1).end))
       }
       k += 1
+    }
+    text
+  }
+
+  /** Parse-level scalar-syntax compatibility: SQL/JSON syntax the
+    * reference's parser accepts that Spark's doesn't, rewritten onto the
+    * registered compat functions ([[graft.functions.FlinkNameCompat]]):
+    *   - `JSON_OBJECT([KEY] k VALUE v, … [NULL|ABSENT ON NULL])`
+    *   - `JSON_ARRAY(v, … [NULL|ABSENT ON NULL])`
+    *   - `x IS [NOT] JSON [VALUE|SCALAR|ARRAY|OBJECT]`
+    * (reference: flink-sql-parser JSON_OBJECT/JSON_ARRAY constructors and
+    * the SqlJsonValueFunction family; docs/data/sql_functions.yml JSON
+    * section.)
+    */
+  private[graft] def rewriteScalarSyntax(text: String): String =
+    rewriteIsJson(rewriteJsonCtor(rewriteSplitLiteral(text)))
+
+  /** The reference's SPLIT takes a LITERAL delimiter; Spark's takes a
+    * regex. Inside the Flink-dialect entry the literal reading is the
+    * faithful one, so bare `SPLIT(` calls route to the quoting wrapper
+    * (`split_literal` in FlinkNameCompat). DataFrame/spark.sql users
+    * keep Spark's regex split untouched.
+    */
+  private def rewriteSplitLiteral(text: String): String = {
+    val toks = tokenize(text)
+    val hits = (0 until toks.length - 1).filter { k =>
+      bareKw(text, toks(k), "SPLIT") && toks(k + 1).s == "("
+    }
+    if (hits.isEmpty) text
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      hits.foreach { k =>
+        sb.append(text.substring(pos, toks(k).start)).append("split_literal")
+        pos = toks(k).end
+      }
+      sb.append(text.substring(pos))
+      sb.toString
+    }
+  }
+
+  /** True when token `t` is the bare keyword `w` (not a backtick-quoted
+    * identifier and not a string literal spelling the same word).
+    */
+  private def bareKw(text: String, t: Tok, w: String): Boolean =
+    t.up == w && text.charAt(t.start) != '`' && text.charAt(t.start) != '\''
+
+  private def rewriteJsonCtor(text: String): String = {
+    val toks = tokenize(text)
+    var k = 0
+    while (k + 1 < toks.length) {
+      val name = toks(k).up
+      val ctorNames =
+        Set("JSON_OBJECT", "JSON_ARRAY", "JSON_OBJECTAGG", "JSON_ARRAYAGG")
+      if (ctorNames.contains(name) &&
+          text.charAt(toks(k).start) != '`' && toks(k + 1).s == "(") {
+        // indices of the call's depth-1 tokens + the matching close paren
+        var depth = 1
+        var m = k + 2
+        val level1 = scala.collection.mutable.ArrayBuffer[Int]()
+        var close = -1
+        while (close < 0 && m < toks.length) {
+          val s = toks(m).s
+          if (s == "(") depth += 1
+          else if (s == ")") { depth -= 1; if (depth == 0) close = m }
+          if (close < 0 && depth == 1) level1 += m
+          m += 1
+        }
+        require(close >= 0, s"unbalanced parens in $name(…)")
+        // trailing [NULL|ABSENT] ON NULL member clause
+        var endArgs = level1.length
+        var onNull: Option[String] = None
+        if (level1.length >= 3) {
+          val t3 = level1.takeRight(3).map(toks)
+          if (bareKw(text, t3(1), "ON") && bareKw(text, t3(2), "NULL") &&
+              (bareKw(text, t3(0), "NULL") || bareKw(text, t3(0), "ABSENT"))) {
+            onNull = Some(t3(0).up)
+            endArgs = level1.length - 3
+          }
+        }
+        // [KEY] k VALUE v member structure (JSON_OBJECT only): drop KEY,
+        // turn the first VALUE of each member into the ',' separator
+        final case class Edit(start: Int, end: Int, repl: String)
+        val edits = scala.collection.mutable.ArrayBuffer[Edit]()
+        if (name == "JSON_OBJECT" || name == "JSON_OBJECTAGG") {
+          var idx = 0
+          var memberStart = true
+          var sawValue = false
+          while (idx < endArgs) {
+            val t = toks(level1(idx))
+            if (memberStart && bareKw(text, t, "KEY")) {
+              edits += Edit(t.start, t.end, "")
+              memberStart = false
+            } else if (!sawValue && bareKw(text, t, "VALUE")) {
+              edits += Edit(t.start, t.end, ",")
+              sawValue = true
+              memberStart = false
+            } else if (t.s == ",") {
+              memberStart = true; sawValue = false
+            } else memberStart = false
+            idx += 1
+          }
+        }
+        if (edits.nonEmpty || onNull.nonEmpty) {
+          val newName = name match {
+            case "JSON_OBJECT" =>
+              if (onNull.contains("ABSENT")) "json_object_absent"
+              else "json_object"
+            case "JSON_ARRAY" =>
+              if (onNull.contains("NULL")) "json_array_null" else "json_array"
+            // the agg forms keep one null policy each (the reference's
+            // defaults); the clause is accepted and stripped
+            case "JSON_OBJECTAGG" => "json_objectagg"
+            case _ => "json_arrayagg"
+          }
+          val argsStart = toks(k + 1).end
+          val argsEnd =
+            if (onNull.isDefined) toks(level1(endArgs)).start
+            else toks(close).start
+          val sb = new StringBuilder
+          var pos = argsStart
+          edits.sortBy(_.start).foreach { e =>
+            sb.append(text.substring(pos, e.start)).append(e.repl)
+            pos = e.end
+          }
+          sb.append(text.substring(pos, argsEnd))
+          return rewriteJsonCtor(
+            text.substring(0, toks(k).start) + newName + "(" + sb + ")" +
+              text.substring(toks(close).end))
+        }
+      }
+      k += 1
+    }
+    text
+  }
+
+  /** Keywords that can directly precede a parenthesized operand without
+    * being a function name (`WHERE (x) IS JSON`).
+    */
+  private val NotCallNames = Set(
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "ON",
+    "IN", "AS", "BY", "FROM", "JOIN", "CASE", "END", "HAVING", "LIKE",
+    "SET", "VALUES", "DISTINCT", "ALL", "BETWEEN", "EXISTS", "OVER")
+
+  private def rewriteIsJson(text: String): String = {
+    val toks = tokenize(text)
+    var i = 0
+    while (i < toks.length) {
+      if (bareKw(text, toks(i), "IS")) {
+        var j = i + 1
+        val neg = j < toks.length && bareKw(text, toks(j), "NOT")
+        if (neg) j += 1
+        if (j < toks.length && bareKw(text, toks(j), "JSON")) {
+          val types = Set("VALUE", "SCALAR", "ARRAY", "OBJECT")
+          var end = j
+          var t = "value"
+          if (j + 1 < toks.length && types.contains(toks(j + 1).up) &&
+              text.charAt(toks(j + 1).start) != '`') {
+            t = toks(j + 1).up.toLowerCase
+            end = j + 1
+          }
+          // operand extent, scanning back from the IS
+          require(i > 0, "IS JSON without an operand")
+          var s = i - 1
+          if (toks(s).s == ")") {
+            var d = 1
+            s -= 1
+            while (d > 0 && s >= 0) {
+              if (toks(s).s == ")") d += 1
+              else if (toks(s).s == "(") d -= 1
+              if (d > 0) s -= 1
+            }
+            require(d == 0, "unbalanced parens before IS JSON")
+            // a function call's name belongs to the operand
+            if (s > 0 && (toks(s - 1).s.head.isLetter ||
+                toks(s - 1).s.head == '_') &&
+                !NotCallNames.contains(toks(s - 1).up)) s -= 1
+          } else {
+            // identifier / literal, including a dotted chain a.b.c
+            while (s >= 2 && toks(s - 1).s == ".") s -= 2
+          }
+          val operand = text.substring(toks(s).start, toks(i - 1).end)
+          val repl =
+            (if (neg) "NOT " else "") + s"is_json_$t($operand)"
+          return rewriteIsJson(
+            text.substring(0, toks(s).start) + repl +
+              text.substring(toks(end).end))
+        }
+      }
+      i += 1
     }
     text
   }
