@@ -72,6 +72,28 @@ object SqlQueries {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
       """.trim)),
 
+    // The reference's THIRD window TVF column: `window_time` = window_end
+    // - 1ms, the event-time attribute a windowed result carries
+    // (WindowProperties / window-tvf docs). Grouped alongside the bounds
+    // and oracle-checked value by value.
+    QueryDef(
+      "q_sql_window_time",
+      (s, dir) => FlinkSql.sql(s,
+        """SELECT window_start, window_end, window_time, COUNT(*) AS n
+          |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts_ns),
+          |                  INTERVAL '10' MINUTE))
+          |GROUP BY window_start, window_end, window_time
+          |ORDER BY window_start""".stripMargin,
+        Map("events" -> Tables.events(s, dir))),
+      Some("""
+        SELECT epoch_ns(ts) - epoch_ns(ts) % 600000000000 AS window_start,
+               epoch_ns(ts) - epoch_ns(ts) % 600000000000 + 600000000000 AS window_end,
+               epoch_ns(ts) - epoch_ns(ts) % 600000000000 + 600000000000
+                 - 1000000 AS window_time,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1
+      """.trim)),
+
     QueryDef(
       "q_sql_hop",
       (s, dir) => FlinkSql.sql(s,

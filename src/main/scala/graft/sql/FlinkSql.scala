@@ -164,7 +164,72 @@ object FlinkSql {
     * section.)
     */
   private[graft] def rewriteScalarSyntax(text: String): String =
-    rewriteIsJson(rewriteJsonCtor(rewriteSplitLiteral(text)))
+    rewriteIsJson(rewriteJsonCtor(rewriteSplitLiteral(translateHints(text))))
+
+  /** Flink query hints (`/*+ … */`, reference: docs/dev/table/sql/queries/
+    * hints.md) → Spark hints. Join-strategy names map across engines
+    * (BROADCAST and SHUFFLE_HASH are spelled the same; SHUFFLE_MERGE →
+    * MERGE; NEST_LOOP → SHUFFLE_REPLICATE_NL). Flink-only tuning hints
+    * with no Spark analog — OPTIONS (per-scan connector options),
+    * STATE_TTL, LOOKUP (retry/async shaping our LookupJoin takes as API
+    * options) — are stripped so scripts run; they tune execution, not
+    * results. An emptied hint comment is removed entirely.
+    */
+  private[graft] def translateHints(text: String): String = {
+    // locate /*+ … */ spans OUTSIDE string literals (a quoted '/*+ x */'
+    // must survive untouched — same contract as the tokenizer)
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < text.length && (text.charAt(i) != '\'' ||
+              (i + 1 < text.length && text.charAt(i + 1) == '\'' &&
+                { i += 1; true }))) i += 1
+          i += 1
+        case '/' if text.startsWith("/*+", i) =>
+          val close = text.indexOf("*/", i + 3)
+          require(close >= 0, s"unterminated hint comment at offset $i")
+          spans += ((i, close + 2))
+          i = close + 2
+        case _ => i += 1
+      }
+    }
+    if (spans.isEmpty) return text
+    val sb = new StringBuilder
+    var last = 0
+    val renames = Map(
+      "SHUFFLE_MERGE" -> "MERGE", "NEST_LOOP" -> "SHUFFLE_REPLICATE_NL")
+    val dropped = Set("OPTIONS", "STATE_TTL", "LOOKUP")
+    spans.foreach { case (start, end) =>
+      sb.append(text.substring(last, start))
+      val body = text.substring(start + 3, end - 2)
+      // split the hint list on top-level commas
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      var depth = 0
+      var seg = new StringBuilder
+      body.foreach {
+        case '(' => depth += 1; seg += '('
+        case ')' => depth -= 1; seg += ')'
+        case ',' if depth == 0 => parts += seg.toString; seg = new StringBuilder
+        case c => seg += c
+      }
+      parts += seg.toString
+      val kept = parts.map(_.trim).filter(_.nonEmpty).flatMap { h =>
+        val name = h.takeWhile(c => c.isLetterOrDigit || c == '_').toUpperCase
+        if (dropped.contains(name)) None
+        else renames.get(name) match {
+          case Some(to) => Some(to + h.substring(name.length))
+          case None => Some(h)
+        }
+      }
+      if (kept.nonEmpty) sb.append("/*+ ").append(kept.mkString(", ")).append(" */")
+      last = end
+    }
+    sb.append(text.substring(last))
+    sb.toString
+  }
 
   /** The reference's SPLIT takes a LITERAL delimiter; Spark's takes a
     * regex. Inside the Flink-dialect entry the literal reading is the
@@ -580,13 +645,20 @@ object FlinkSql {
       if (isTs) src.withColumn(nsCol, unix_micros(col(tsCol)) * 1000L)
       else src.withColumn(nsCol, col(tsCol))
     def emit(df: DataFrame): DataFrame = {
+      // the reference's THIRD window TVF column: `window_time`, the
+      // window's event-time attribute = window_end - 1ms (the row-time
+      // the window's result carries downstream)
+      val timed =
+        df.withColumn("window_time", col("window_end") - lit(1000000L))
       val back =
         if (isTs)
-          df.withColumn("window_start",
+          timed.withColumn("window_start",
               expr("timestamp_micros(window_start div 1000)"))
             .withColumn("window_end",
               expr("timestamp_micros(window_end div 1000)"))
-        else df
+            .withColumn("window_time",
+              expr("timestamp_micros(window_time div 1000)"))
+        else timed
       back.drop(nsCol)
     }
 
