@@ -151,6 +151,17 @@ object CepNfa {
     * iteration context (reset whenever an ancestor group starts a fresh
     * iteration), `meas` accumulates per-step measures in lockstep with
     * `counts`. */
+  /** Per-step matched-ROW-TIME register: first/last row time a step
+    * matched plus the match count — what SKIP TO FIRST/LAST `var` prunes
+    * against (the reference's per-variable EventId lists, reduced to the
+    * two ends the strategies read). Maintained in lockstep with
+    * `counts`. */
+  final case class StepTimes(firstT: Long, lastT: Long, n: Long) {
+    def add(t: Long): StepTimes =
+      StepTimes(if (n == 0) t else firstT, t, n + 1)
+  }
+  private val emptyTimes = StepTimes(0L, 0L, 0L)
+
   final case class Run(
       branch: Int,
       stepIdx: Int,
@@ -158,7 +169,8 @@ object CepNfa {
       iterCounts: Vector[Long],
       iters: Vector[Long],
       startT: Long,
-      meas: Vector[Vector[Meas]]) // step × value column
+      meas: Vector[Vector[Meas]], // step × value column
+      stepT: Vector[StepTimes])
 
   /** A completed match held until no live run can outrank it. */
   final case class Cand(
@@ -166,7 +178,8 @@ object CepNfa {
       counts: Vector[Long],
       startT: Long,
       endT: Long,
-      meas: Vector[Vector[Meas]])
+      meas: Vector[Vector[Meas]],
+      stepT: Vector[StepTimes])
 
   /** Full NFA registers — keyed state on the streaming face. */
   final case class NfaState(
@@ -376,8 +389,33 @@ object CepNfa {
       * and the budget holds for a match ending at `endT`. */
     private def deathCand(r: Run, endT: Long): Option[Cand] =
       if (canCompleteRun(r) && inBudget(r.startT, endT))
-        Some(Cand(r.branch, r.counts, r.startT, endT, r.meas))
+        Some(Cand(r.branch, r.counts, r.startT, endT, r.meas, r.stepT))
       else None
+
+    /** Time of a match's (or partial match's) FIRST matched row. */
+    private def firstRowT(st: Vector[StepTimes]): Long = {
+      var best = Long.MaxValue
+      st.foreach(s => if (s.n > 0 && s.firstT < best) best = s.firstT)
+      best
+    }
+
+    /** SKIP TO FIRST/LAST pruning row for `c`, per the reference's
+      * SkipToElementStrategy.getPruningId: the first (or last) row the
+      * named variable matched; None when the variable matched nothing
+      * (non-throwing default → prune nothing). */
+    private def skipBoundary(
+        c: Cand, variable: String, toFirst: Boolean): Option[Long] = {
+      val b = branches(c.branch)
+      var out: Option[Long] = None
+      b.steps.indices.foreach { i =>
+        if (b.steps(i).name == variable && c.stepT(i).n > 0) {
+          val t = if (toFirst) c.stepT(i).firstT else c.stepT(i).lastT
+          out = Some(out.fold(t)(prev =>
+            if (toFirst) math.min(prev, t) else math.max(prev, t)))
+        }
+      }
+      out
+    }
 
     /** Successors + completions of one run for the pair (p, v) at `t`.
       * `prevT` is the time of the pair's left row (= match end if the run
@@ -403,17 +441,19 @@ object CepNfa {
           counts = r.counts.updated(r.stepIdx, r.counts(r.stepIdx) + 1L),
           iterCounts =
             r.iterCounts.updated(r.stepIdx, r.iterCounts(r.stepIdx) + 1L),
-          meas = r.meas.updated(r.stepIdx, addAll(r.meas(r.stepIdx), v)))
+          meas = r.meas.updated(r.stepIdx, addAll(r.meas(r.stepIdx), v)),
+          stepT = r.stepT.updated(r.stepIdx, r.stepT(r.stepIdx).add(t)))
       if (r.iterCounts(r.stepIdx) >= s.minCount) {
         cascade(b, r.iters, r.stepIdx, b.grpIn(r.stepIdx)).foreach {
           case (Entry(k, fresh), loopOf) =>
             if (budget && steps(k).pred(p(b.stepCol(k)), v(b.stepCol(k)))) {
               val c2 = r.counts.updated(k, r.counts(k) + 1L)
               val m2 = r.meas.updated(k, addAll(r.meas(k), v))
+              val st2 = r.stepT.updated(k, r.stepT(k).add(t))
               if (k == steps.length - 1 && !steps(k).greedy &&
                   b.grpIn(k) < 0)
                 // root-level final non-greedy step: completes right here
-                cands += Cand(r.branch, c2, r.startT, t, m2)
+                cands += Cand(r.branch, c2, r.startT, t, m2, st2)
               else {
                 // iteration counters: a loop-back bumps its group and
                 // resets everything nested inside; a freshly entered
@@ -444,14 +484,14 @@ object CepNfa {
                     else r.iterCounts(i)
                   }
                 succ += Run(r.branch, k, c2,
-                  ic0.updated(k, ic0(k) + 1L), it, r.startT, m2)
+                  ic0.updated(k, ic0(k) + 1L), it, r.startT, m2, st2)
               }
             }
         }
         // exit-now: the match ending at the previous row stays a held
         // candidate while successors explore longer interpretations
         if (succ.nonEmpty && canCompleteRun(r) && inBudget(r.startT, prevT))
-          cands += Cand(r.branch, r.counts, r.startT, prevT, r.meas)
+          cands += Cand(r.branch, r.counts, r.startT, prevT, r.meas, r.stepT)
       }
       if (succ.isEmpty && cands.isEmpty) (Nil, deathCand(r, prevT).toList)
       else (succ.toList, cands.toList)
@@ -477,6 +517,20 @@ object CepNfa {
             resolve(
               runs.filter(_.startT != best.startT),
               pending.filter(_.startT != best.startT),
+              best :: out)
+          case AfterMatchSkip.ToFirst(v) =>
+            val bd = skipBoundary(best, v, toFirst = true)
+            resolve(
+              runs.filter(r => bd.forall(firstRowT(r.stepT) >= _)),
+              pending.filter(c => c != best &&
+                bd.forall(firstRowT(c.stepT) >= _)),
+              best :: out)
+          case AfterMatchSkip.ToLast(v) =>
+            val bd = skipBoundary(best, v, toFirst = false)
+            resolve(
+              runs.filter(r => bd.forall(firstRowT(r.stepT) >= _)),
+              pending.filter(c => c != best &&
+                bd.forall(firstRowT(c.stepT) >= _)),
               best :: out)
         }
       }
@@ -507,10 +561,13 @@ object CepNfa {
           val c0 = Vector.tabulate(steps.length)(i => if (i == 0) 1L else 0L)
           val m0 = Vector.fill(steps.length)(emptyMeasRow)
             .updated(0, addAll(emptyMeasRow, v))
+          val st0 = Vector.fill(steps.length)(emptyTimes)
+            .updated(0, emptyTimes.add(t))
           val it0 = Vector.fill(br.groups.length)(0L)
           if (steps.length == 1 && !steps(0).greedy && br.grpIn(0) < 0) {
-            if (steps(0).minCount <= 1) cands ::= Cand(b, c0, st.prevT, t, m0)
-          } else runs ::= Run(b, 0, c0, c0, it0, st.prevT, m0)
+            if (steps(0).minCount <= 1)
+              cands ::= Cand(b, c0, st.prevT, t, m0, st0)
+          } else runs ::= Run(b, 0, c0, c0, it0, st.prevT, m0, st0)
         }
       }
       val (r2, p2, emitted) =

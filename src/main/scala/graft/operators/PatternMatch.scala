@@ -51,6 +51,18 @@ object AfterMatchSkip {
     * first step's anchor timestamps (the reference's shared-buffer cost,
     * bounded by one run). */
   case object ToNextRow extends AfterMatchSkip
+
+  /** Resume at the FIRST row the given pattern variable matched
+    * (SkipToFirstStrategy.java): after a match emits, partial matches
+    * whose first row precedes that row are pruned; ones starting AT it
+    * survive. A match where the variable matched nothing prunes nothing
+    * (the reference's non-throwing default). Supported by the
+    * concurrent-run engine ([[CepNfa]]). */
+  final case class ToFirst(variable: String) extends AfterMatchSkip
+
+  /** Resume at the LAST row the given pattern variable matched
+    * (SkipToLastStrategy.java); otherwise as [[ToFirst]]. */
+  final case class ToLast(variable: String) extends AfterMatchSkip
 }
 
 /** Generalized MATCH_RECOGNIZE over measure-based consecutive-row
@@ -146,6 +158,8 @@ object PatternMatch {
           }
           .map { case (a, k) => (a, end, counts.updated(0, n0 - k)) }
           .toList
+      case other => throw new IllegalArgumentException(
+        s"$other requires the concurrent-run engine — use CepNfa")
     }
   }
 

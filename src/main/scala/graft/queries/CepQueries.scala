@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{CepNfa, Dedup, MatchRecognize, PatternMatch, PatternStep}
+import graft.operators.{AfterMatchSkip, CepNfa, Dedup, MatchRecognize, PatternMatch, PatternStep}
 import org.apache.spark.sql.functions._
 
 /** MATCH_RECOGNIZE-lite (CEP) queries. The Spark side runs the per-key
@@ -630,6 +630,98 @@ object CepQueries {
           ON nxt.user_id = d.user_id AND nxt.idx = d.last_idx + 1
              AND nxt.dir = 'U'
         ORDER BY d.user_id, d.start_us
+      """.stripMargin.trim)),
+
+    // AFTER MATCH SKIP TO LAST <var> (SkipToLastStrategy.java): pattern
+    // `low+ high` over absolute value buckets (low: vb<=7, high: vb>=12;
+    // 8..11 neutral). Per low-island of m matchable rows followed
+    // immediately by a high row, the strategy emits the greedy full match
+    // AND the overlap restarting at the last low row (m>=2) — partials
+    // whose first row precedes the last low row are pruned, ones starting
+    // AT it survive. The oracle replays exactly that island algebra.
+    QueryDef(
+      "q_cep_skip_to_last",
+      (s, dir) => {
+        CepNfa.single(bucketed(s, dir), "user_id", "ts_us", "vb", Seq(
+          PatternStep("low", (_, c) => c <= 7.0, greedy = true),
+          PatternStep("high", (_, c) => c >= 12.0, greedy = false)),
+          None, AfterMatchSkip.ToLast("low"))
+          .orderBy(col("user_id"), col("start_us"), col("n_low"))
+      },
+      Some(s"""
+        WITH $bucketedPrologueSql,
+        cl AS (SELECT *, CASE WHEN vb <= 7 THEN 'L'
+                              WHEN vb >= 12 THEN 'H' ELSE 'N' END AS cls,
+                      lag(CASE WHEN vb <= 7 THEN 'L'
+                               WHEN vb >= 12 THEN 'H' ELSE 'N' END)
+                        OVER (PARTITION BY user_id ORDER BY tu) AS pcls
+               FROM s),
+        r AS (SELECT *, SUM(CASE WHEN cls = 'L'
+                                  AND (pcls IS NULL OR pcls <> 'L')
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM cl),
+        isl AS (
+          SELECT user_id, runid, MAX(idx) AS last_idx,
+                 COUNT(*) FILTER (WHERE idx >= 2) AS m,
+                 arg_min(ptu, idx) FILTER (WHERE idx >= 2) AS start_full,
+                 arg_max(ptu, idx) AS start_sfx
+          FROM r WHERE cls = 'L' GROUP BY user_id, runid),
+        sel AS (
+          SELECT i.user_id, i.m, i.start_full, i.start_sfx, h.tu AS end_tu
+          FROM isl i JOIN r h
+            ON h.user_id = i.user_id AND h.idx = i.last_idx + 1
+               AND h.cls = 'H'
+          WHERE i.m >= 1)
+        SELECT user_id, start_full AS start_us, end_tu AS end_us,
+               CAST(m AS BIGINT) AS n_low, CAST(1 AS BIGINT) AS n_high
+        FROM sel
+        UNION ALL
+        SELECT user_id, start_sfx, end_tu, 1, 1 FROM sel WHERE m >= 2
+        ORDER BY user_id, start_us, n_low
+      """.stripMargin.trim)),
+
+    // AFTER MATCH SKIP TO FIRST <var> (SkipToFirstStrategy.java): with
+    // the skip target at the match's own first row, every later anchor
+    // survives each emission — the full overlap set. Per island, every
+    // matchable low row anchors one emitted match covering the lows from
+    // it through the high row.
+    QueryDef(
+      "q_cep_skip_to_first",
+      (s, dir) => {
+        CepNfa.single(bucketed(s, dir), "user_id", "ts_us", "vb", Seq(
+          PatternStep("low", (_, c) => c <= 7.0, greedy = true),
+          PatternStep("high", (_, c) => c >= 12.0, greedy = false)),
+          None, AfterMatchSkip.ToFirst("low"))
+          .orderBy(col("user_id"), col("start_us"), col("n_low"))
+      },
+      Some(s"""
+        WITH $bucketedPrologueSql,
+        cl AS (SELECT *, CASE WHEN vb <= 7 THEN 'L'
+                              WHEN vb >= 12 THEN 'H' ELSE 'N' END AS cls,
+                      lag(CASE WHEN vb <= 7 THEN 'L'
+                               WHEN vb >= 12 THEN 'H' ELSE 'N' END)
+                        OVER (PARTITION BY user_id ORDER BY tu) AS pcls
+               FROM s),
+        r AS (SELECT *, SUM(CASE WHEN cls = 'L'
+                                  AND (pcls IS NULL OR pcls <> 'L')
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM cl),
+        isl AS (
+          SELECT user_id, runid, MAX(idx) AS last_idx
+          FROM r WHERE cls = 'L' GROUP BY user_id, runid)
+        SELECT l.user_id, l.ptu AS start_us, h.tu AS end_us,
+               CAST(i.last_idx - l.idx + 1 AS BIGINT) AS n_low,
+               CAST(1 AS BIGINT) AS n_high
+        FROM r l
+        JOIN isl i ON i.user_id = l.user_id AND i.runid = l.runid
+        JOIN r h ON h.user_id = i.user_id AND h.idx = i.last_idx + 1
+               AND h.cls = 'H'
+        WHERE l.cls = 'L' AND l.idx >= 2
+        ORDER BY l.user_id, start_us, n_low
       """.stripMargin.trim))
   )
 

@@ -1291,8 +1291,16 @@ object FlinkSql {
     if (p.opt("AFTER")) {
       p.eat("MATCH"); p.eat("SKIP")
       if (p.opt("PAST")) { p.eat("LAST"); p.eat("ROW") }
-      else { p.eat("TO"); p.eat("NEXT"); p.eat("ROW")
-        skip = AfterMatchSkip.ToNextRow }
+      else {
+        p.eat("TO")
+        if (p.opt("NEXT")) { p.eat("ROW"); skip = AfterMatchSkip.ToNextRow }
+        else if (p.opt("FIRST"))
+          skip = AfterMatchSkip.ToFirst(p.ident().toLowerCase)
+        else if (p.opt("LAST"))
+          skip = AfterMatchSkip.ToLast(p.ident().toLowerCase)
+        else throw new IllegalArgumentException(
+          "AFTER MATCH SKIP TO expects NEXT ROW | FIRST <var> | LAST <var>")
+      }
     }
 
     p.eat("PATTERN"); p.eat("(")

@@ -394,4 +394,76 @@ class CepNfaSpec extends SparkSpecBase {
     val streamed = spark.table("nfa_g").collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  // ---------------------------------------------- SKIP TO FIRST / LAST
+
+  private val bPlusC = Seq(
+    PatternStep("b", (_: Double, c: Double) => c == 2.0, greedy = true),
+    PatternStep("c", (_: Double, c: Double) => c == 3.0, greedy = false))
+
+  test("SKIP TO FIRST/LAST variable prunes by the variable's row times") {
+    // b+ c over 2,2,2,2,3: anchors at t0,t1,t2 all complete on the 3.
+    val rows = Seq((1L, 0L, 2.0), (1L, 1L, 2.0), (1L, 2L, 2.0),
+      (1L, 3L, 2.0), (1L, 4L, 3.0)).toDF("k", "t", "v")
+    def run(skip: AfterMatchSkip) =
+      CepNfa.single(rows, "k", "t", "v", bPlusC, None, skip)
+        .select($"start_us", $"n_b").as[(Long, Long)].collect().toSet
+    // the default consumes the matched rows: one (greedy-longest) match
+    assert(run(AfterMatchSkip.PastLastRow) == Set((0L, 3L)))
+    // TO FIRST b: the emitted match's first b row IS its first row, so
+    // every later anchor survives — full overlap (SkipToFirstStrategy)
+    assert(run(AfterMatchSkip.ToFirst("b")) ==
+      Set((0L, 3L), (1L, 2L), (2L, 1L)))
+    // TO LAST b: only the partial starting AT the last b row survives
+    assert(run(AfterMatchSkip.ToLast("b")) == Set((0L, 3L), (2L, 1L)))
+    // a variable the match never bound prunes nothing — the reference's
+    // non-throwing default (SkipToElementStrategy.getPruningId miss)
+    assert(run(AfterMatchSkip.ToFirst("nope")) ==
+      Set((0L, 3L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("SKIP TO LAST via the MATCH_RECOGNIZE SQL entry") {
+    val rows = Seq((1L, 0L, 2.0), (1L, 1L, 2.0), (1L, 2L, 2.0),
+      (1L, 3L, 2.0), (1L, 4L, 3.0)).toDF("k", "t", "v")
+    val out = graft.sql.FlinkSql.sql(spark,
+      """SELECT k, start_us, n_b FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY t
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST b
+        |  PATTERN (b+ c)
+        |  DEFINE b AS v = 2, c AS v = 3
+        |) ORDER BY start_us""".stripMargin,
+      Map("t" -> rows))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 3L), (1L, 2L, 1L)))
+  }
+
+  test("streaming parity for SKIP TO LAST across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, 1000L, 2.0), (1L, 2000L, 2.0), (1L, 3000L, 2.0),
+      (1L, 4000L, 2.0), (1L, 5000L, 3.0), (2L, 1000L, 2.0),
+      (2L, 2000L, 2.0), (2L, 3000L, 3.0))
+    val batch = CepNfa.single(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", bPlusC, None,
+      AfterMatchSkip.ToLast("b")).collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nfs-").toString
+    val q = CepNfa.streaming(df, "user_id", "ts_us", "value",
+      Seq(bPlusC), None, AfterMatchSkip.ToLast("b"))
+      .writeStream.format("memory").queryName("nfa_skip")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("nfa_skip").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
