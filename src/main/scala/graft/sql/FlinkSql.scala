@@ -164,7 +164,152 @@ object FlinkSql {
     * section.)
     */
   private[graft] def rewriteScalarSyntax(text: String): String =
-    rewriteIsJson(rewriteJsonCtor(rewriteSplitLiteral(translateHints(text))))
+    rewriteIsJson(rewriteJsonCtor(rewriteJsonClauses(
+      rewriteSplitLiteral(translateHints(text)))))
+
+  /** SQL/JSON behavior clauses on JSON_VALUE / JSON_QUERY / JSON_EXISTS
+    * (the reference's SqlJsonValueFunction grammar): `RETURNING <type>`,
+    * `DEFAULT <expr> | NULL | ERROR ON EMPTY/ERROR`, `EMPTY ARRAY/OBJECT
+    * ON EMPTY/ERROR`, and JSON_QUERY's `WITH[OUT] [CONDITIONAL|
+    * UNCONDITIONAL] [ARRAY] WRAPPER` — rewritten onto the registered
+    * base functions with CAST / COALESCE / CASE composition. The
+    * composed base functions return NULL for both a missing path and
+    * malformed JSON, so the EMPTY and ERROR behaviors collapse onto one
+    * null: ON EMPTY wins when both are given (documented delta).
+    * `ERROR ON …` raises via raise_error.
+    */
+  private def rewriteJsonClauses(text: String): String = {
+    val fns = Set("JSON_VALUE", "JSON_QUERY", "JSON_EXISTS")
+    val toks = tokenize(text)
+    var k = 0
+    while (k + 1 < toks.length) {
+      val name = toks(k).up
+      if (fns.contains(name) && text.charAt(toks(k).start) != '`' &&
+          toks(k + 1).s == "(") {
+        var depth = 1
+        var m = k + 2
+        val level1 = scala.collection.mutable.ArrayBuffer[Int]()
+        var close = -1
+        while (close < 0 && m < toks.length) {
+          val s = toks(m).s
+          if (s == "(") depth += 1
+          else if (s == ")") { depth -= 1; if (depth == 0) close = m }
+          if (close < 0 && depth == 1) level1 += m
+          m += 1
+        }
+        require(close >= 0, s"unbalanced parens in $name(…)")
+        def tk(i: Int): Tok = toks(level1(i))
+        def up(i: Int): String =
+          if (i < level1.length && text.charAt(tk(i).start) != '`' &&
+              text.charAt(tk(i).start) != '\'') tk(i).up
+          else if (i < level1.length) "" else ""
+        def isClauseStart(i: Int): Boolean = {
+          val t = up(i); val n = up(i + 1)
+          t == "RETURNING" || t == "DEFAULT" ||
+            ((t == "NULL" || t == "ERROR" || t == "TRUE" || t == "FALSE" ||
+              t == "UNKNOWN") && n == "ON") ||
+            (t == "EMPTY" && (n == "ARRAY" || n == "OBJECT")) ||
+            ((t == "WITH" || t == "WITHOUT") &&
+              Set("CONDITIONAL", "UNCONDITIONAL", "ARRAY", "WRAPPER")
+                .contains(n))
+        }
+        level1.indices.find(isClauseStart) match {
+          case None => ()
+          case Some(ci) =>
+            val args = text.substring(toks(k + 1).end, tk(ci).start).trim
+            var returning: Option[String] = None
+            var onEmpty: Option[String] = None
+            var onError: Option[String] = None
+            var wrapper: String = "without" // without|cond|uncond
+            var i = ci
+            def spanUntil(s0: Int, stop: Int => Boolean): (String, Int) = {
+              var j = s0
+              while (j < level1.length && !stop(j)) j += 1
+              val endCh =
+                if (j < level1.length) tk(j).start else toks(close).start
+              (text.substring(tk(s0).start, endCh).trim, j)
+            }
+            while (i < level1.length) up(i) match {
+              case "RETURNING" =>
+                val (t, j) = spanUntil(i + 1, isClauseStart)
+                returning = Some(t); i = j
+              case "DEFAULT" =>
+                val (d, j) = spanUntil(i + 1, x => up(x) == "ON")
+                require(j + 1 < level1.length,
+                  s"DEFAULT … needs ON EMPTY|ERROR in $name")
+                if (up(j + 1) == "EMPTY") onEmpty = Some("default:" + d)
+                else onError = Some("default:" + d)
+                i = j + 2
+              case b @ ("NULL" | "ERROR" | "TRUE" | "FALSE" | "UNKNOWN") =>
+                require(up(i + 1) == "ON" && i + 2 < level1.length,
+                  s"$b needs ON EMPTY|ERROR in $name")
+                if (up(i + 2) == "EMPTY") onEmpty = Some(b.toLowerCase)
+                else onError = Some(b.toLowerCase)
+                i += 3
+              case "EMPTY" =>
+                val b = "empty_" + up(i + 1).toLowerCase
+                require(up(i + 2) == "ON" && i + 3 < level1.length,
+                  s"EMPTY ARRAY|OBJECT needs ON EMPTY|ERROR in $name")
+                if (up(i + 3) == "EMPTY") onEmpty = Some(b)
+                else onError = Some(b)
+                i += 4
+              case w @ ("WITH" | "WITHOUT") =>
+                var j = i + 1
+                wrapper =
+                  if (w == "WITHOUT") "without"
+                  else if (up(j) == "CONDITIONAL") "cond"
+                  else "uncond"
+                while (j < level1.length && up(j) != "WRAPPER") j += 1
+                require(j < level1.length, s"$w … needs WRAPPER in $name")
+                i = j + 1
+              case other => throw new IllegalArgumentException(
+                s"unexpected '$other' in $name behavior clauses")
+            }
+            // compose the replacement
+            def withDefault(inner: String, b: Option[String]): String =
+              b match {
+                case Some(s) if s.startsWith("default:") =>
+                  s"coalesce($inner, ${s.substring(8)})"
+                case Some("error") => s"coalesce($inner, raise_error(" +
+                  s"'$name: no result and ERROR ON EMPTY/ERROR given'))"
+                case Some("empty_array") => s"coalesce($inner, '[]')"
+                case Some("empty_object") => s"coalesce($inner, '{}')"
+                case Some("false") => s"coalesce($inner, false)"
+                case Some("true") => s"coalesce($inner, true)"
+                case _ => inner // null / unknown / unset
+              }
+            val behavior = onEmpty.orElse(onError)
+            val core = name match {
+              case "JSON_EXISTS" => withDefault(s"json_exists($args)", behavior)
+              case "JSON_VALUE" => withDefault(s"json_value($args)", behavior)
+              case "JSON_QUERY" =>
+                val q = s"json_query($args)"
+                val any = s"coalesce(json_query($args), json_value($args))"
+                val wrapped = wrapper match {
+                  case "without" => q
+                  case "cond" =>
+                    s"(CASE WHEN $q RLIKE '^\\\\s*\\\\[' THEN $q " +
+                      s"WHEN $any IS NULL THEN NULL " +
+                      s"ELSE concat('[', $any, ']') END)"
+                  case _ =>
+                    s"(CASE WHEN $any IS NULL THEN NULL " +
+                      s"ELSE concat('[', $any, ']') END)"
+                }
+                withDefault(wrapped, behavior)
+            }
+            val whole = returning match {
+              case Some(t) => s"CAST($core AS $t)"
+              case None => core
+            }
+            return rewriteJsonClauses(
+              text.substring(0, toks(k).start) + whole +
+                text.substring(toks(close).end))
+        }
+      }
+      k += 1
+    }
+    text
+  }
 
   /** Flink query hints (`/*+ … */`, reference: docs/dev/table/sql/queries/
     * hints.md) → Spark hints. Join-strategy names map across engines

@@ -176,6 +176,30 @@ class FunctionCatalogSpec extends SparkSpecBase {
     assert(one("SELECT JSON_LENGTH('5') FROM t") == 1)
   }
 
+  test("SQL/JSON behavior clauses: RETURNING, defaults, wrappers") {
+    assert(one("SELECT JSON_VALUE(js, '$.a' RETURNING INT) FROM t") == 1)
+    assert(one("SELECT JSON_VALUE(js, 'lax $.zz' DEFAULT 'none' ON EMPTY) FROM t")
+      == "none")
+    assert(one("SELECT JSON_VALUE(js, '$.zz' RETURNING INT DEFAULT -1 ON EMPTY) FROM t")
+      == -1)
+    // scalar wrapped; existing array NOT double-wrapped conditionally
+    assert(one("SELECT JSON_QUERY(js, '$.a' WITH WRAPPER) FROM t") == "[1]")
+    assert(one("SELECT JSON_QUERY(js, '$.b' WITH CONDITIONAL ARRAY WRAPPER) FROM t")
+      == "[1,2]")
+    assert(one("SELECT JSON_QUERY(js, '$.b' WITH UNCONDITIONAL WRAPPER) FROM t")
+      == "[[1,2]]")
+    assert(one("SELECT JSON_QUERY(js, '$.zz' EMPTY ARRAY ON EMPTY) FROM t")
+      == "[]")
+    assert(one("SELECT JSON_QUERY(js, '$.zz' EMPTY OBJECT ON ERROR) FROM t")
+      == "{}")
+    assert(one("SELECT JSON_EXISTS(js, '$.a' FALSE ON ERROR) FROM t") == true)
+    val err = intercept[Exception] {
+      run("SELECT JSON_VALUE(js, '$.zz' ERROR ON EMPTY) FROM t")
+    }
+    assert(err.getMessage.contains("JSON_VALUE") ||
+      Option(err.getCause).exists(_.getMessage.contains("JSON_VALUE")))
+  }
+
   test("IS JSON predicate family rewrites") {
     val r = run("SELECT js IS JSON, s IS NOT JSON, js IS JSON OBJECT, " +
       "jarr IS JSON ARRAY, digits IS JSON SCALAR, " +
