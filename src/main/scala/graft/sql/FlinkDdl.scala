@@ -723,10 +723,30 @@ object FlinkDdl {
             if (!connections.contains(name)) connections(name) = opts
           } else if (p.peek.equalsIgnoreCase("FUNCTION") ||
               (p.peek.equalsIgnoreCase("SYSTEM") )) {
-            throw new IllegalArgumentException(
-              "CREATE FUNCTION loads a user class, which this runner " +
-                "cannot do — register the function on the SparkSession " +
-                "(spark.udf.register) and reference it directly")
+            // CREATE [TEMPORARY] [SYSTEM] FUNCTION [IF NOT EXISTS]
+            // [cat.][db.]name AS 'class' [LANGUAGE JAVA|SCALA]
+            // [USING JAR 'p' [, JAR 'p2']…] (ddl/SqlCreateFunction.java)
+            p.opt("SYSTEM"); p.eat("FUNCTION")
+            if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS") }
+            var name = p.ident()
+            while (p.opt(".")) name = p.ident() // catalog/db qualifiers
+            p.eat("AS")
+            val className = unquote(p.next().s)
+            if (p.opt("LANGUAGE")) {
+              val lang = p.ident().toUpperCase
+              require(lang == "JAVA" || lang == "SCALA",
+                s"LANGUAGE $lang is not runnable here (JVM classes only)")
+            }
+            val jars = scala.collection.mutable.ArrayBuffer.empty[String]
+            if (p.opt("USING")) {
+              var more = true
+              while (more) {
+                p.eat("JAR")
+                jars += unquote(p.next().s)
+                more = p.opt(",")
+              }
+            }
+            JvmFunctions.register(spark, name, className, jars.toSeq)
           } else {
             p.eat("TABLE")
             val parsed = parseCreateTable(p, stmt, temporary)
@@ -917,6 +937,23 @@ object FlinkDdl {
             } else {
               p.eat("SET")
               connections(name) = opts ++ parseOptions(p)
+            }
+          } else if (p.opt("VIEW")) {
+            // ALTER VIEW v RENAME TO v2 | AS <query>
+            // (ddl/SqlAlterViewRename.java / SqlAlterViewAs.java)
+            if (p.opt("IF")) p.eat("EXISTS")
+            val name = p.ident()
+            require(spark.catalog.tableExists(name),
+              s"ALTER of unknown view $name")
+            if (p.opt("RENAME")) {
+              p.eat("TO")
+              val to = p.ident()
+              spark.table(name).createOrReplaceTempView(to)
+              spark.catalog.dropTempView(name)
+            } else {
+              p.eat("AS")
+              FlinkSql.sql(spark, stmt.substring(p.toks(p.i).start),
+                tables(), models()).createOrReplaceTempView(name)
             }
           } else {
             p.eat("TABLE")
@@ -1264,6 +1301,12 @@ object FlinkDdl {
             databases.remove(s"$cat.$db") }
           else if (p.opt("CONNECTION")) { p.opt("IF"); p.opt("EXISTS")
             connections.remove(p.ident()) }
+          else if (p.opt("SYSTEM") || p.peek.equalsIgnoreCase("FUNCTION")) {
+            p.eat("FUNCTION"); p.opt("IF"); p.opt("EXISTS")
+            var name = p.ident()
+            while (p.opt(".")) name = p.ident()
+            spark.sessionState.catalog.dropTempFunction(
+              name, ignoreIfNotExists = true) }
           else { p.eat("VIEW"); p.opt("IF"); p.opt("EXISTS")
             spark.catalog.dropTempView(p.ident()) }
         case _ => onQuery(stmt)

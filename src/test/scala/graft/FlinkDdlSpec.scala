@@ -398,7 +398,7 @@ class FlinkDdlSpec extends SparkSpecBase {
       "global sessions must cover every row exactly once")
   }
 
-  test("fractional watermark intervals, ANALYZE/USE no-ops, CREATE FUNCTION error") {
+  test("fractional watermark intervals, ANALYZE/USE no-ops, CREATE FUNCTION unknown class") {
     val res = FlinkDdl.runScript(spark,
       s"""USE CATALOG default_catalog;
          |CREATE TABLE ev (
@@ -409,11 +409,13 @@ class FlinkDdlSpec extends SparkSpecBase {
          |ANALYZE TABLE ev COMPUTE STATISTICS""".stripMargin)
     assert(res.catalog("ev").watermark
       .contains(FlinkDdl.WatermarkSpec("ts", "250 milliseconds")))
+    // CREATE FUNCTION now loads JVM classes (JvmFunctionSpec); a class
+    // that doesn't resolve still errors clearly
     val e = intercept[IllegalArgumentException] {
       FlinkDdl.runScript(spark,
         "CREATE TEMPORARY FUNCTION f AS 'com.example.MyUdf'")
     }
-    assert(e.getMessage.contains("spark.udf.register"))
+    assert(e.getMessage.contains("not found"))
   }
 
   test("row-level UPDATE / DELETE / TRUNCATE script statements") {
