@@ -291,16 +291,17 @@ object FlinkDdl {
       scala.collection.mutable.LinkedHashMap.empty[String, graft.ml.ModelSpec]
     val started = scala.collection.mutable
       .ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
-    // job id → (job name, query) for SHOW JOBS / STOP JOB (the
-    // reference's cluster job surface mapped onto the session's live
-    // StreamingQuery set)
-    val jobs = scala.collection.mutable.LinkedHashMap
-      .empty[String, (String, org.apache.spark.sql.streaming.StreamingQuery)]
+    // job id → (job name, query, checkpoint dir) for SHOW JOBS /
+    // STOP JOB [WITH SAVEPOINT] (the reference's cluster job surface
+    // mapped onto the session's live StreamingQuery set)
+    val jobs = scala.collection.mutable.LinkedHashMap.empty[
+      String,
+      (String, org.apache.spark.sql.streaming.StreamingQuery, String)]
     def registerJob(
         name: String,
-        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-      started += q
-      jobs(q.id.toString) = (name, q)
+        qc: (org.apache.spark.sql.streaming.StreamingQuery, String)): Unit = {
+      started += qc._1
+      jobs(qc._1.id.toString) = (name, qc._1, qc._2)
     }
 
     def tables(): Map[String, DataFrame] =
@@ -335,10 +336,10 @@ object FlinkDdl {
     def startMaterialized(spec: TableSpec): Unit = {
       val result = FlinkSql.sql(spark, spec.options(MtQueryOpt),
         tables(), allModels())
-      val q = startStreamSink(spec, alignToSink(spec,
+      val qc = startStreamSink(spec, alignToSink(spec,
         shapeToDeclared(spec, result)))
-      mtJobs(spec.name) = q
-      registerJob(s"materialized_${spec.name}", q)
+      mtJobs(spec.name) = qc._1
+      registerJob(s"materialized_${spec.name}", qc)
     }
 
     runStatements(spark, script, catalog, modelCatalog, tables, allModels,
@@ -389,17 +390,36 @@ object FlinkDdl {
       },
       // the reference addresses jobs by cluster job id; script-side the
       // stable handle is the job NAME (ids are generated), so both match
-      onStopJob = id => {
+      onStopJob = (id, savepoint, drain) => {
         val found = jobs.get(id)
-          .orElse(jobs.values.find(_._1 == id).map(v => ("", v._2)))
+          .orElse(jobs.values.find(_._1 == id).map(v => ("", v._2, v._3)))
         found match {
-          case Some((_, q)) => q.stop()
+          case Some((_, q, ckpt)) =>
+            // WITH DRAIN: flush everything already available before the
+            // stop (the reference's drain = process remaining records)
+            if (drain) scala.util.Try(q.processAllAvailable())
+            q.stop()
+            q.awaitTermination(30000)
+            if (savepoint) {
+              // WITH SAVEPOINT: snapshot the (now-quiescent) checkpoint
+              // to the configured savepoint dir — a Structured Streaming
+              // checkpoint IS the restorable savepoint artifact; resume =
+              // start a query on the copied location
+              val baseDir = spark.conf.getOption(
+                "spark.graft.flink.execution.checkpointing.savepoint-dir")
+                .getOrElse(java.nio.file.Files
+                  .createTempDirectory("graft_savepoints_").toString)
+              val dst = java.nio.file.Paths.get(baseDir,
+                s"savepoint-${q.id.toString.take(8)}")
+              copyTree(java.nio.file.Paths.get(ckpt), dst)
+              Some(dst.toString)
+            } else None
           case None => throw new IllegalArgumentException(
             s"STOP JOB '$id': unknown job; running: " +
-              jobs.map { case (i, (n, _)) => s"$i ($n)" }.mkString(", "))
+              jobs.map { case (i, (n, _, _)) => s"$i ($n)" }.mkString(", "))
         }
       },
-      onListJobs = () => jobs.iterator.map { case (id, (name, q)) =>
+      onListJobs = () => jobs.iterator.map { case (id, (name, q, _)) =>
         Seq[Any](id, name, if (q.isActive) "RUNNING" else "FINISHED")
       }.toSeq)
     started.toSeq
@@ -578,8 +598,9 @@ object FlinkDdl {
       onMtAlter: (String, MtAction) => Unit =
         (n, _) => throw new IllegalArgumentException(
           s"ALTER MATERIALIZED TABLE $n is not supported here"),
-      onStopJob: String => Unit = id => throw new IllegalArgumentException(
-        s"STOP JOB '$id': no streaming jobs in batch mode"),
+      onStopJob: (String, Boolean, Boolean) => Option[String] =
+        (id, _, _) => throw new IllegalArgumentException(
+          s"STOP JOB '$id': no streaming jobs in batch mode"),
       onListJobs: () => Seq[Seq[Any]] = () => Nil): Unit = {
     // Namespace + connection registries (reference DDL:
     // ddl/catalog/SqlCreateCatalog.java, SqlUseCatalog.java,
@@ -791,6 +812,10 @@ object FlinkDdl {
             p.eat("=")
             val v = unquote(p.next().s)
             if (k.startsWith("spark.")) spark.conf.set(k, v)
+            // Flink-namespaced keys persist under a conf prefix so later
+            // statements (e.g. STOP JOB … WITH SAVEPOINT reading
+            // execution.checkpointing.savepoint-dir) can read them back
+            else spark.conf.set(s"spark.graft.flink.$k", v)
           }
         case "RESET" =>
           // `RESET 'k'` / bare `RESET` (SqlReset.java)
@@ -800,6 +825,7 @@ object FlinkDdl {
             val k = unquote(p.next().s)
             if (k.startsWith("spark."))
               scala.util.Try(spark.conf.unset(k))
+            else scala.util.Try(spark.conf.unset(s"spark.graft.flink.$k"))
           }
         case "ANALYZE" => () // stats live in the files; accepted as no-op
         case "USE" =>
@@ -837,7 +863,16 @@ object FlinkDdl {
           val p = new FlinkSql.P(toks, stmt)
           p.eat("STOP"); p.eat("JOB")
           val id = unquote(p.next().s)
-          onStopJob(id)
+          var savepoint = false
+          var drain = false
+          while (p.opt("WITH")) {
+            if (p.opt("SAVEPOINT")) savepoint = true
+            else { p.eat("DRAIN"); drain = true }
+          }
+          val sp = onStopJob(id, savepoint, drain)
+          if (savepoint)
+            onResult(metaDf(spark, Seq("savepoint path" -> StringType),
+              Seq(Seq[Any](sp.getOrElse("")))))
         case "LOAD" =>
           val p = new FlinkSql.P(toks, stmt)
           p.eat("LOAD"); p.eat("MODULE")
@@ -1508,11 +1543,12 @@ object FlinkDdl {
   /** Continuous write of an (aligned) streaming result into a sink table. */
   private def startStreamSink(
       spec: TableSpec,
-      aligned: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+      aligned: DataFrame)
+      : (org.apache.spark.sql.streaming.StreamingQuery, String) = {
     val ckpt = spec.options.getOrElse("sink.checkpoint-dir",
       java.nio.file.Files
         .createTempDirectory(s"graft_ddl_ck_${spec.name}_").toString)
-    spec.connector match {
+    val q = spec.connector match {
       case "filesystem" =>
         val w = bucketed(spec, aligned).writeStream.format(spec.format)
           .option("path", spec.path)
@@ -1529,6 +1565,26 @@ object FlinkDdl {
           .option("checkpointLocation", ckpt).start()
       case other => throw new IllegalArgumentException(
         s"unsupported streaming sink connector '$other' for ${spec.name}")
+    }
+    (q, ckpt)
+  }
+
+  /** Recursive copy for the savepoint snapshot (STOP JOB WITH
+    * SAVEPOINT): the stopped query's checkpoint tree is copied verbatim
+    * — a Structured Streaming checkpoint is self-contained and
+    * restart-able from the copy. */
+  private def copyTree(
+      src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val it = Files.walk(src).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 

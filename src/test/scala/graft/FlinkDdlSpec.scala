@@ -299,6 +299,36 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("STOP JOB WITH SAVEPOINT WITH DRAIN snapshots the checkpoint") {
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // seed BEFORE the script so DRAIN has data to flush at stop time
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .limit(100).write.mode("append").parquet(s"$dir/src")
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""SET 'execution.checkpointing.savepoint-dir' = '$dir/sp';
+         |CREATE TABLE src (
+         |  event_id BIGINT, user_id BIGINT, value DOUBLE
+         |) WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE snk (event_id BIGINT, v DOUBLE)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO snk SELECT event_id, value AS v FROM src;
+         |STOP JOB 'insert-into_snk' WITH SAVEPOINT WITH DRAIN
+         |""".stripMargin)
+    assert(qs.size == 1 && !qs.head.isActive)
+    // drained: the seeded rows reached the sink before the stop
+    assert(spark.read.parquet(s"$dir/snk").count() == 100)
+    // the savepoint is a full checkpoint copy (offsets + commits)
+    val sps = new java.io.File(s"$dir/sp").listFiles()
+    assert(sps != null && sps.length == 1 &&
+      sps.head.getName.startsWith("savepoint-"))
+    val entries = sps.head.listFiles().map(_.getName).toSet
+    assert(entries.contains("offsets") && entries.contains("commits"))
+  }
+
   test("runStreaming: datagen connector streams via the rate source") {
     import spark.implicits._
     val dir = tmpDir()
