@@ -313,6 +313,102 @@ object EventQueries {
         GROUP BY 1 ORDER BY 1
       """.trim)),
 
+    // SEMI window join (StreamExecWindowJoin supports semi/anti): clicks
+    // with at least one purchase in the same (user, 15-min window) —
+    // Spark's left_semi on the (window, key) equi-pair.
+    QueryDef(
+      "q_window_join_semi",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val win = 15 * NS_MIN
+        val c = Windows.withTumble(
+          e.where(col("event_type") === "click"), "ts_ns", win)
+          .select(col("user_id"), col("window_start"))
+        val p = Windows.withTumble(
+          e.where(col("event_type") === "purchase"), "ts_ns", win)
+          .select(col("user_id").as("p_user"), col("window_start").as("p_win"))
+        c.join(p, col("user_id") === col("p_user") &&
+            col("window_start") === col("p_win"), "left_semi")
+          .groupBy(col("window_start"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("window_start"))
+      },
+      Some("""
+        SELECT epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000 AS window_start,
+               COUNT(*) AS n_clicks
+        FROM events c
+        WHERE c.event_type = 'click' AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND epoch_ns(p.ts) - epoch_ns(p.ts) % 900000000000
+                = epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000)
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // ANTI window join: clicks with NO purchase in the same window.
+    QueryDef(
+      "q_window_join_anti",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val win = 15 * NS_MIN
+        val c = Windows.withTumble(
+          e.where(col("event_type") === "click"), "ts_ns", win)
+          .select(col("user_id"), col("window_start"))
+        val p = Windows.withTumble(
+          e.where(col("event_type") === "purchase"), "ts_ns", win)
+          .select(col("user_id").as("p_user"), col("window_start").as("p_win"))
+        c.join(p, col("user_id") === col("p_user") &&
+            col("window_start") === col("p_win"), "left_anti")
+          .groupBy(col("window_start"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("window_start"))
+      },
+      Some("""
+        SELECT epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000 AS window_start,
+               COUNT(*) AS n_clicks
+        FROM events c
+        WHERE c.event_type = 'click' AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND epoch_ns(p.ts) - epoch_ns(p.ts) % 900000000000
+                = epoch_ns(c.ts) - epoch_ns(c.ts) % 900000000000)
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // FULL OUTER window join: both sides keep their window rows;
+    // per-window totals count presence of each side.
+    QueryDef(
+      "q_window_join_full",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val win = 15 * NS_MIN
+        val c = Windows.withTumble(
+          e.where(col("event_type") === "click"), "ts_ns", win)
+          .select(col("user_id"), col("window_start"))
+        val p = Windows.withTumble(
+          e.where(col("event_type") === "purchase"), "ts_ns", win)
+          .select(col("user_id").as("p_user"), col("window_start").as("p_win"))
+        c.join(p, col("user_id") === col("p_user") &&
+            col("window_start") === col("p_win"), "full")
+          .groupBy(coalesce(col("window_start"), col("p_win")).as("w"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("user_id")).as("n_left"),
+            count(col("p_user")).as("n_right"))
+          .orderBy(col("w"))
+      },
+      Some("""
+        WITH c AS (SELECT user_id,
+                     epoch_ns(ts) - epoch_ns(ts) % 900000000000 AS w
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id,
+                     epoch_ns(ts) - epoch_ns(ts) % 900000000000 AS w
+                   FROM events WHERE event_type = 'purchase')
+        SELECT COALESCE(c.w, p.w) AS w, COUNT(*) AS n_rows,
+               COUNT(c.user_id) AS n_left, COUNT(p.user_id) AS n_right
+        FROM c FULL JOIN p ON c.user_id = p.user_id AND c.w = p.w
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
     // Temporal as-of join: each click sees the user's latest purchase at or
     // before it (FOR SYSTEM_TIME AS OF semantics).
     QueryDef(

@@ -161,6 +161,54 @@ object SqlQueries {
         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
       """.trim)),
 
+    // SESSION TVF with SEVERAL partition keys (the reference's session
+    // TVF takes a key list): islands per (user, event_type).
+    QueryDef(
+      "q_sql_session_multikey",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT user_id, event_type, window_start AS session_start,
+           |       COUNT(*) AS session_rows
+           |FROM TABLE(SESSION(TABLE events PARTITION BY user_id, event_type,
+           |                   DESCRIPTOR(ts_ns), INTERVAL '30' MINUTE))
+           |GROUP BY user_id, event_type, window_start
+           |ORDER BY user_id, event_type, session_start""".stripMargin,
+        Map("events" -> Tables.events(s, dir)
+          .withColumn("ts_ns", expr("ts_us * 1000")))),
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+                   FROM events),
+        m AS (SELECT *, CASE WHEN t - LAG(t) OVER w > 1800000000000
+                             THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)),
+        sess AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id, event_type
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT user_id, event_type, MIN(t) AS session_start,
+               COUNT(*) AS session_rows
+        FROM sess GROUP BY user_id, event_type, sid
+        ORDER BY user_id, event_type, session_start
+      """.trim)),
+
+    // HOP TVF with the optional OFFSET argument (HOP(…, slide, size,
+    // offset) — window boundaries shifted by the offset).
+    QueryDef(
+      "q_sql_hop_offset",
+      (s, dir) => FlinkSql.sql(s,
+        s"""SELECT window_start, COUNT(*) AS n
+           |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts_ns),
+           |               INTERVAL '5' MINUTE, INTERVAL '10' MINUTE,
+           |               INTERVAL '2' MINUTE))
+           |GROUP BY window_start
+           |ORDER BY window_start""".stripMargin,
+        Map("events" -> Tables.events(s, dir))),
+      Some("""
+        SELECT ((epoch_ns(ts) - 120000000000)
+                - (epoch_ns(ts) - 120000000000) % 300000000000)
+               - i * 300000000000 + 120000000000 AS window_start,
+               COUNT(*) AS n
+        FROM events CROSS JOIN generate_series(0, 1) g(i)
+        GROUP BY 1 ORDER BY 1
+      """.trim)),
+
     // Legacy (pre-TVF) group-window syntax — GROUP BY TUMBLE(ts, …) with
     // TUMBLE_START/TUMBLE_END in the select list (Parser.tdd group-window
     // productions). Same oracle family as the TVF form.

@@ -749,7 +749,19 @@ object FlinkSql {
     p.eat("TABLE")
     val tableName = p.ident()
     val partitionKey =
-      if (p.opt("PARTITION")) { p.eat("BY"); Some(p.ident()) } else None
+      if (p.opt("PARTITION")) {
+        p.eat("BY")
+        val ks = scala.collection.mutable.ArrayBuffer(p.ident())
+        // the key list and the next TVF argument share the comma — only
+        // take another key when the lookahead isn't the DESCRIPTOR arg
+        while (p.peek == "," && p.i + 1 < p.toks.length &&
+            p.toks(p.i + 1).up != "DESCRIPTOR" &&
+            p.toks(p.i + 1).up != "TIMECOL") {
+          p.eat(",")
+          ks += p.ident()
+        }
+        Some(ks.toSeq)
+      } else None
     p.eat(",")
     optNamedArg(p) // TIMECOL =>
     p.eat("DESCRIPTOR"); p.eat("(")
@@ -775,7 +787,7 @@ object FlinkSql {
       fn: String,
       tsCol: String,
       args: Seq[Long],
-      partitionKey: Option[String]): DataFrame = {
+      partitionKey: Option[Seq[String]]): DataFrame = {
     val isTs = src.schema(tsCol).dataType match {
       case LongType => false
       case TimestampType => true
@@ -816,11 +828,20 @@ object FlinkSql {
             Windows.tumbleStart(col(nsCol) - lit(off), size) + lit(off))
           .withColumn("window_end", col("window_start") + lit(size))
       case "HOP" =>
-        require(args.size == 2, s"HOP takes slide, size, got $args")
+        require(args.size == 2 || args.size == 3,
+          s"HOP takes slide, size [, offset], got $args")
         val (slide, size) = (args(0), args(1))
-        in.withColumn("window_start",
-            explode(Windows.hopStarts(col(nsCol), size, slide)))
-          .withColumn("window_end", col("window_start") + lit(size))
+        val off = if (args.size > 2) args(2) else 0L
+        val hopped =
+          if (off == 0L)
+            in.withColumn("window_start",
+              explode(Windows.hopStarts(col(nsCol), size, slide)))
+          else
+            in.withColumn("__graft_ws0",
+                explode(Windows.hopStarts(col(nsCol) - lit(off), size, slide)))
+              .withColumn("window_start", col("__graft_ws0") + lit(off))
+              .drop("__graft_ws0")
+        hopped.withColumn("window_end", col("window_start") + lit(size))
       case "CUMULATE" =>
         require(args.size == 2, s"CUMULATE takes step, maxSize, got $args")
         val (step, maxSize) = (args(0), args(1))
@@ -832,17 +853,22 @@ object FlinkSql {
         val gap = args(0)
         // no PARTITION BY → GLOBAL sessions (the reference's unkeyed
         // session TVF): one island chain over the whole table, via a
-        // constant key that never reaches the output
-        val (keyed, key) = partitionKey match {
-          case Some(k) => (in, k)
-          case None => (in.withColumn("__graft_gk", lit(0)), "__graft_gk")
+        // constant key that never reaches the output. Several keys fold
+        // into one synthetic separator-joined key the same way.
+        val (keyed, key, synthetic) = partitionKey match {
+          case Some(Seq(k)) => (in, k, false)
+          case Some(ks) => (in.withColumn("__graft_gk",
+            concat_ws("\u0001", ks.map(k => col(k).cast("string")): _*)),
+            "__graft_gk", true)
+          case None =>
+            (in.withColumn("__graft_gk", lit(0)), "__graft_gk", true)
         }
         val sessioned = Sessionize(keyed, key, nsCol, gap)
           .withColumnRenamed("__session_start", "window_start")
           .withColumn("window_end",
             max(col(nsCol)).over(
               Window.partitionBy(col(key), col("window_start"))) + lit(gap))
-        if (partitionKey.isEmpty) sessioned.drop("__graft_gk") else sessioned
+        if (synthetic) sessioned.drop("__graft_gk") else sessioned
       case other =>
         throw new IllegalArgumentException(s"unknown window TVF $other")
     }
@@ -1340,10 +1366,9 @@ object FlinkSql {
         } else if (toks(i).s == ",") i += 1
         else { keys += toks(i).s; i += 1 }
       }
-      require(keys.size == 1,
-        s"legacy SESSION supports exactly one non-window group key, " +
-          s"got $keys")
-      Some(keys.head)
+      require(keys.nonEmpty,
+        "legacy SESSION needs at least one non-window group key")
+      Some(keys.toSeq)
     } else None
 
     val windowed = assignWindows(src, base, tsCol, args, partitionKey)
