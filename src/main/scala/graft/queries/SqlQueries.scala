@@ -161,6 +161,41 @@ object SqlQueries {
         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
       """.trim)),
 
+    // Legacy TEMPORAL TABLE FUNCTION join (Table
+    // .createTemporalTableFunction + `FROM l, LATERAL TABLE (f(t))`):
+    // each click sees the user's latest purchase version at its time —
+    // the key filter lives in WHERE, as in the reference's canonical
+    // rates example; same answer family as q_asof_join.
+    QueryDef(
+      "q_sql_temporal_fn",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"),
+            col("value").as("p_value"), col("event_id").as("p_eid"))
+        FlinkSql.registerTemporalFunction("purch_rates",
+          FlinkSql.TemporalFnSpec("purchases", "p_ts", Seq("p_user"),
+            tieBreak = Seq("p_eid")))
+        FlinkSql.sql(s,
+          """SELECT event_id, p_value, p_ts
+            |FROM clicks, LATERAL TABLE (purch_rates(ts_us))
+            |WHERE user_id = p_user
+            |ORDER BY event_id""".stripMargin,
+          Map("clicks" -> clicks, "purchases" -> purchases))
+      },
+      Some("""
+        SELECT c.event_id, p.value AS p_value,
+               epoch_ns(p.ts) // 1000 AS p_ts
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id AND p.ts <= c.ts
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
+          ORDER BY p.ts DESC, p.event_id DESC) = 1
+        ORDER BY c.event_id
+      """.trim)),
+
     // SESSION TVF with SEVERAL partition keys (the reference's session
     // TVF takes a key list): islands per (user, event_type).
     QueryDef(

@@ -107,7 +107,8 @@ object FlinkSql {
     while (k + 2 < toks.length) {
       if (toks(k).up == "LATERAL" && toks(k + 1).up == "TABLE" &&
           toks(k + 2).s == "(" &&
-          (k + 3 >= toks.length || toks(k + 3).up != "VECTOR_SEARCH")) {
+          (k + 3 >= toks.length || (toks(k + 3).up != "VECTOR_SEARCH" &&
+            temporalFn(toks(k + 3).s).isEmpty))) {
         val isComma = k >= 1 && toks(k - 1).s == ","
         val isLeftJoin = k >= 2 && toks(k - 1).up == "JOIN" &&
           toks(k - 2).up == "LEFT"
@@ -553,6 +554,141 @@ object FlinkSql {
     text
   }
 
+  /** A registered TEMPORAL TABLE FUNCTION (the reference's
+    * Table.createTemporalTableFunction + registerFunction path,
+    * flink-table-api: TemporalTableFunction): `table`'s rows are
+    * versions, `timeCol` the version time, `keyCols` the primary key,
+    * `tieBreak` a deterministic order among equal version times.
+    */
+  final case class TemporalFnSpec(
+      table: String,
+      timeCol: String,
+      keyCols: Seq[String],
+      tieBreak: Seq[String] = Nil)
+
+  private val temporalFns =
+    new java.util.concurrent.ConcurrentHashMap[String, TemporalFnSpec]()
+
+  /** Register (or replace) a temporal table function for the legacy
+    * `FROM l, LATERAL TABLE (f(time_expr))` spelling. The modern
+    * `FOR SYSTEM_TIME AS OF` join is the preferred (and scale) path —
+    * this form materializes the per-row snapshot via a time-bounded
+    * join + per-(row, key) latest-version filter, so the build side
+    * should be dimension-sized (it broadcasts).
+    */
+  def registerTemporalFunction(name: String, spec: TemporalFnSpec): Unit =
+    temporalFns.put(name.toLowerCase, spec)
+
+  def dropTemporalFunction(name: String): Unit =
+    temporalFns.remove(name.toLowerCase)
+
+  private def temporalFn(name: String): Option[TemporalFnSpec] =
+    Option(temporalFns.get(name.toLowerCase))
+
+  /** `FROM l [AS a], LATERAL TABLE (f(timeExpr)) [AS t]` where `f` is a
+    * registered temporal table function: each left row sees every key's
+    * latest build version at its time attribute — the key filter lives
+    * in the statement's WHERE, as in the reference's canonical usage,
+    * and Catalyst pushes that equality into the join. */
+  private def translateTemporalFn(
+      spark: SparkSession,
+      p: P,
+      ctx: Ctx): (DataFrame, Int) = {
+    val leftName = p.ident()
+    val leftAlias =
+      if (p.opt("AS")) Some(p.ident())
+      else if (!p.done && p.peek != "," &&
+          (p.peekRaw.headOption.exists(c => c.isLetter || c == '_')))
+        Some(p.ident())
+      else None
+    p.eat(",")
+    p.eat("LATERAL"); p.eat("TABLE"); p.eat("(")
+    val fnName = p.ident()
+    val spec = temporalFn(fnName).getOrElse(throw new IllegalStateException(
+      s"$fnName is not a registered temporal table function"))
+    p.eat("(")
+    // argument: a (possibly qualified) left-side column reference
+    var argTok = p.ident()
+    if (p.opt(".")) {
+      require(leftAlias.contains(argTok) ||
+        argTok.equalsIgnoreCase(leftName),
+        s"temporal function argument qualifier '$argTok' is not the " +
+          s"left table")
+      argTok = p.ident()
+    }
+    p.eat(")")
+    p.eat(")")
+    var endTok = p.i
+    if (p.opt("AS")) { p.ident(); endTok = p.i }
+    else if (!p.done && p.peek != "," && p.peek != "WHERE" &&
+        p.peek != "GROUP" && p.peek != "ORDER" && p.peek != "JOIN" &&
+        p.peek != "LIMIT" && p.peek != ")" && p.peek != "" &&
+        p.peekRaw.headOption.exists(c => c.isLetter || c == '_') &&
+        !Set("LEFT", "RIGHT", "FULL", "INNER", "CROSS", "HAVING",
+          "UNION", "EXCEPT", "INTERSECT").contains(p.peek)) {
+      p.ident(); endTok = p.i
+    }
+    val left = resolve(spark, ctx.tables, leftName)
+    val build = resolve(spark, ctx.tables, spec.table)
+    val clash = build.columns.map(_.toLowerCase)
+      .intersect(left.columns.map(_.toLowerCase))
+    require(clash.isEmpty,
+      s"temporal function ${spec.table} and $leftName share columns " +
+        s"${clash.mkString(", ")} — rename the build side (the " +
+        "reference's canonical pattern uses disjoint names)")
+    // Harvest the key-equality conjuncts from the statement's WHERE (the
+    // reference REQUIRES them for this join to translate at all) and
+    // fold them into the join condition — the latest-version window then
+    // sees only the matched key, and the plan is an equi-join instead of
+    // a nested loop. The WHERE text stays as-is (the re-applied equality
+    // is idempotent).
+    val leftCols = left.columns.map(_.toLowerCase).toSet
+    val keySet = spec.keyCols.map(_.toLowerCase).toSet
+    val equiConds = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = endTok
+      var depth = 0
+      while (i < p.toks.length && !(depth == 0 &&
+          Set("GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "EXCEPT",
+            "INTERSECT").contains(p.toks(i).up))) {
+        val s = p.toks(i).s
+        if (s == "(") depth += 1
+        else if (s == ")") depth -= 1
+        else if (depth == 0 && s == "=" && i > 0 && i + 1 < p.toks.length) {
+          val a = p.toks(i - 1).s
+          val b = p.toks(i + 1).s
+          def isIdent(x: String) =
+            x.headOption.exists(c => c.isLetter || c == '_')
+          if (isIdent(a) && isIdent(b)) {
+            val (al, bl) = (a.toLowerCase, b.toLowerCase)
+            if (leftCols.contains(al) && keySet.contains(bl)) out += ((a, b))
+            else if (leftCols.contains(bl) && keySet.contains(al))
+              out += ((b, a))
+          }
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    val lid = "__graft_tf_lid"
+    val l2 = left.withColumn(lid, monotonically_increasing_id())
+    val timeCond = col(spec.timeCol) <= col(argTok)
+    val cond = equiConds.foldLeft(timeCond) {
+      case (c, (lc, kc)) => c && col(lc) === col(kc)
+    }
+    val joined = l2.join(build, cond)
+    val order = col(spec.timeCol).desc +:
+      spec.tieBreak.map(c => col(c).desc)
+    val w = Window
+      .partitionBy((col(lid) +: spec.keyCols.map(col)): _*)
+      .orderBy(order: _*)
+    val out = joined
+      .withColumn("__graft_tf_rn", row_number().over(w))
+      .where(col("__graft_tf_rn") === 1)
+      .drop("__graft_tf_rn", lid)
+    (out, p.toks(endTok - 1).end)
+  }
+
   /** Per-statement context threaded into the FROM-item translators. */
   private final case class Ctx(
       tables: Map[String, DataFrame],
@@ -681,6 +817,24 @@ object FlinkSql {
           ok
         })
           return Some((k + 1, translateVectorSearch))
+        // `FROM l [AS a], LATERAL TABLE(f(…))` with f a registered
+        // TEMPORAL table function (the legacy temporal-join spelling)
+        if (t == "FROM" && {
+          var j = k + 1
+          var ok = false
+          if (j < toks.length && (toks(j).s.head.isLetter || toks(j).s.head == '_')) {
+            j += 1
+            if (j < toks.length && toks(j).up == "AS") j += 1
+            if (j < toks.length && (toks(j).s.head.isLetter || toks(j).s.head == '_') &&
+                j + 1 < toks.length && toks(j + 1).s == ",") j += 1
+            ok = j + 4 < toks.length && toks(j).s == "," &&
+              toks(j + 1).up == "LATERAL" && toks(j + 2).up == "TABLE" &&
+              toks(j + 3).s == "(" &&
+              temporalFn(toks(j + 4).s).isDefined
+          }
+          ok
+        })
+          return Some((k + 1, translateTemporalFn))
       }
       k += 1
     }

@@ -71,6 +71,27 @@ class SqlHintsSpec extends SparkSpecBase {
     assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3))
   }
 
+  test("temporal table function: legacy LATERAL spelling, equi-pushdown") {
+    val versions = Seq(
+      (1, 1000L, 10.0), (1, 3000L, 30.0), (2, 1000L, 99.0))
+      .toDF("r_key", "r_time", "r_rate")
+    val probes = Seq((1, 2000L), (1, 4000L), (2, 500L))
+      .toDF("k", "t")
+    FlinkSql.registerTemporalFunction("rates_v",
+      FlinkSql.TemporalFnSpec("rates", "r_time", Seq("r_key")))
+    val df = FlinkSql.sql(spark,
+      """SELECT k, t, r_rate FROM probes, LATERAL TABLE (rates_v(t))
+        |WHERE k = r_key ORDER BY k, t""".stripMargin,
+      Map("probes" -> probes, "rates" -> versions))
+    val rows = df.as[(Int, Long, Double)].collect().toSeq
+    // (1,2000) sees the 1000-version; (1,4000) the 3000-version;
+    // (2,500) has no version at/before it → dropped (inner semantics)
+    assert(rows == Seq((1, 2000L, 10.0), (1, 4000L, 30.0)))
+    // the WHERE key equality reaches the join: no nested-loop plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("window TVF emits window_time = window_end - 1ms, both time faces") {
     val ev = Seq(
       ("2024-01-01 00:03:00", 1L),
