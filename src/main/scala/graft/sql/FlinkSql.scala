@@ -69,10 +69,12 @@ object FlinkSql {
         case None =>
           if (hasTemporalJoin(toks))
             return translateTemporalJoin(spark, cur, toks, tables, models)
-          return (
-            if (hasLegacyWindowCall(toks))
-              translateLegacyWindows(spark, cur, toks, tables)
-            else spark.sql(cur))
+          if (hasLegacyWindowCall(toks))
+            return translateLegacyWindows(spark, cur, toks, tables)
+          return rewriteStreamingDedup(spark, cur, toks, tables) match {
+            case Some(t2) => spark.sql(t2)
+            case None => spark.sql(cur)
+          }
         case Some((start, fn)) =>
           // the cap guards runaway self-rewrites, not statement size: it
           // only fires when ANOTHER Flink FROM item still remains
@@ -687,6 +689,136 @@ object FlinkSql {
       .where(col("__graft_tf_rn") === 1)
       .drop("__graft_tf_rn", lid)
     (out, p.toks(endTok - 1).end)
+  }
+
+  /** Flink's streaming DEDUPLICATION SQL pattern (docs
+    * dev/table/sql/queries/deduplication.md; StreamExecDeduplicate.java):
+    * `SELECT … FROM (SELECT …, ROW_NUMBER() OVER (PARTITION BY k ORDER
+    * BY t) AS rn FROM s) WHERE rn = 1`. Spark rejects ranking windows on
+    * streams, so on a STREAMING source the keep-first form routes to
+    * `dropDuplicates` (`…WithinWatermark` when the source carries one) —
+    * append-only emission, exactly the reference's keep-first dedup; the
+    * spliced view carries `rn = 1` so the outer text runs unchanged.
+    * Keep-last (`ORDER BY … DESC`) and Top-N (`rn <= N`) emit
+    * retractions — rejected with a pointer at the changelog tier. Batch
+    * inputs are untouched (Spark runs the window natively).
+    */
+  private def rewriteStreamingDedup(
+      spark: SparkSession,
+      text: String,
+      toks: IndexedSeq[Tok],
+      tables: Map[String, DataFrame]): Option[String] = {
+    val k = toks.indexWhere(_.up == "ROW_NUMBER")
+    if (k < 0) return None
+    // parse ROW_NUMBER() OVER (PARTITION BY … ORDER BY ord [dir]) AS rn
+    val p = new P(toks, text)
+    p.i = k
+    try {
+      p.eat("ROW_NUMBER"); p.eat("("); p.eat(")")
+      p.eat("OVER"); p.eat("(")
+      p.eat("PARTITION"); p.eat("BY")
+      val keys = scala.collection.mutable.ArrayBuffer(p.ident())
+      while (p.opt(",")) keys += p.ident()
+      p.eat("ORDER"); p.eat("BY")
+      p.ident()
+      val desc = p.opt("DESC")
+      if (!desc) p.opt("ASC")
+      p.eat(")")
+      p.opt("AS")
+      val rnAlias = p.ident()
+      // enclosing `( SELECT` of the subquery holding the ROW_NUMBER
+      var depth = 0
+      var i = k - 1
+      var selStart = -1
+      while (selStart < 0 && i >= 0) {
+        val s = toks(i).s
+        if (s == ")") depth += 1
+        else if (s == "(") {
+          if (depth == 0) selStart = i else depth -= 1
+        }
+        i -= 1
+      }
+      if (selStart < 0 || toks(selStart + 1).up != "SELECT") return None
+      // matching close + the bare inner table: … FROM tbl )
+      var d2 = 1
+      var m = selStart + 1
+      var closeIdx = -1
+      while (closeIdx < 0 && m < toks.length) {
+        val s = toks(m).s
+        if (s == "(") d2 += 1
+        else if (s == ")") { d2 -= 1; if (d2 == 0) closeIdx = m }
+        m += 1
+      }
+      if (closeIdx < 0 || closeIdx < 2 || toks(closeIdx - 2).up != "FROM")
+        return None
+      val tblName = toks(closeIdx - 1).s
+      val src = tables.collectFirst {
+        case (n, df) if n.equalsIgnoreCase(tblName) => df
+      }.getOrElse(return None)
+      if (!src.isStreaming) return None
+      // streaming source confirmed: unsupported shapes now ERROR clearly
+      // (plain spark.sql would reject the window with a generic message)
+      require(!desc,
+        "streaming keep-LAST deduplication emits updates — use the " +
+          "changelog tier (UpsertMaterialize) or StreamingDedupLast " +
+          "(windowed)")
+      // WHERE <rn> = 1 directly after the subquery('s alias)
+      val q = new P(toks, text)
+      q.i = closeIdx + 1
+      if (q.opt("AS")) q.ident()
+      else if (!q.done && q.peek != "WHERE" &&
+          q.peekRaw.headOption.exists(c => c.isLetter || c == '_')) q.ident()
+      val aliasEnd = q.i
+      q.eat("WHERE")
+      val lhs = q.ident()
+      require(lhs.equalsIgnoreCase(rnAlias),
+        s"expected the rank filter on $rnAlias, found $lhs")
+      if (q.peek == "<" || q.peek == "<=") throw new IllegalArgumentException(
+        "streaming Top-N emits retractions — use ChangelogTopN " +
+          "(changelog tier) or StreamingTopN (windowed)")
+      q.eat("=")
+      require(q.next().s == "1", s"streaming dedup expects $rnAlias = 1")
+      // inner select list: '*' or bare [aliased] columns + the rn item
+      val listText = text.substring(toks(selStart + 2).start,
+        toks(closeIdx - 2).start)
+      val items = {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var dep = 0
+        val sb = new StringBuilder
+        listText.foreach {
+          case '(' => dep += 1; sb += '('
+          case ')' => dep -= 1; sb += ')'
+          case ',' if dep == 0 => parts += sb.toString; sb.clear()
+          case c => sb += c
+        }
+        parts += sb.toString
+        parts.map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      val plain = items.filterNot(_.toUpperCase.contains("ROW_NUMBER"))
+      val proj =
+        if (plain == Seq("*")) src
+        else {
+          require(plain.forall(_.matches(
+            "(?i)[A-Za-z_][A-Za-z_0-9]*(\\s+AS\\s+[A-Za-z_][A-Za-z_0-9]*)?")),
+            "streaming dedup supports '*' or plain [aliased] columns in " +
+              s"the inner select, got: ${plain.mkString(", ")}")
+          src.selectExpr(plain: _*)
+        }
+      val hasWm = src.queryExecution.analyzed.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical
+          .EventTimeWatermark => e
+      }.isDefined
+      val dd =
+        if (hasWm) proj.dropDuplicatesWithinWatermark(keys.toSeq)
+        else proj.dropDuplicates(keys.toSeq)
+      val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
+      dd.withColumn(rnAlias, lit(1)).createOrReplaceTempView(view)
+      Some(text.substring(0, toks(selStart).start) + view + " " +
+        text.substring(toks(aliasEnd - 1).end))
+    } catch {
+      case _: IllegalArgumentException
+          if !tables.values.exists(_.isStreaming) => None
+    }
   }
 
   /** Per-statement context threaded into the FROM-item translators. */
