@@ -276,6 +276,30 @@ object StreamQueries {
         FROM events ORDER BY user_id, event_id
       """.trim)),
 
+    // UNBOUNDED PRECEDING streaming OVER
+    // (RowTimeRangeUnboundedPrecedingOverFunction): running
+    // since-forever sum per user, peer rows (equal timestamps) sharing
+    // one frame; per-key state is just the accumulator — O(1). Values
+    // fixed-point-scaled to BIGINT for bit-identical sums.
+    QueryDef(
+      "q_unified_over_unbounded",
+      (s, dir) => {
+        val in = Tables.events(s, dir)
+          .withColumn("v", floor(col("value") * 1e6).cast("long"))
+        StreamingOver.unbounded(in, Seq("user_id"), "ts", "v",
+          delay = "10 seconds")
+          .select(col("user_id"), col("event_id"), col("run_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_ms($castTs)
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS run_sum
+        FROM events ORDER BY user_id, event_id
+      """.trim)),
+
     // Tumbling windows with a 3-minute start offset (TUMBLE(…, offset)):
     // boundaries at hh:03, hh:13, … instead of hh:00.
     QueryDef(

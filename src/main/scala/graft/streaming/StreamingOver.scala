@@ -189,4 +189,101 @@ object StreamingOver {
           out.result().iterator
       }(sEnc, oEnc)
   }
+
+  /** UNBOUNDED PRECEDING streaming OVER: per key, event-time-ordered
+    * running SUM over every row since the stream began (RANGE BETWEEN
+    * UNBOUNDED PRECEDING AND CURRENT ROW) — the reference's
+    * RT/operators/over/RowTimeRangeUnboundedPrecedingOverFunction.java:52
+    * (the unbounded sibling of the bounded frames above): rows buffer
+    * until the watermark passes them, fire in row-time order, and the
+    * ONLY retained per-key state is the running accumulator — O(1) per
+    * key, never growing with stream length (vs the bounded frames' tail).
+    *
+    * RANGE peer semantics: rows sharing a timestamp all see the same
+    * frame containing every one of them, exactly as the reference fires
+    * one timer per timestamp and emits its rows together.
+    *
+    * `valCol` must be LongType (callers fixed-point-scale doubles) so the
+    * running sums are bit-identical across engines and arrival orders.
+    *
+    * Idle cleanup (the reference's state-retention contract,
+    * `KeyedProcessFunctionWithCleanupState`): after `idleRetentionMs`
+    * past the watermark with no pending rows the accumulator is dropped;
+    * a key that resumes later restarts its running total from zero —
+    * identical to the reference's documented TTL behavior.
+    */
+  def unbounded(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      delay: String,
+      idleRetentionMs: Long = 3600000L): DataFrame = {
+    val outSchema = StructType(
+      df.schema.fields :+ StructField("run_sum", LongType))
+
+    if (!df.isStreaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(unix_millis(col(tsCol)))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      return df.withColumn("run_sum", sum(col(valCol)).over(w))
+    }
+
+    val wm = df.withWatermark(tsCol, delay)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val valIdx = df.schema.fieldIndex(valCol)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val keySchema = StructType(keyIdx.map(df.schema.fields(_)))
+
+    val kEnc: Encoder[Row] = StatefulOps.rowEnc(keySchema)
+    val vEnc: Encoder[Row] = StatefulOps.rowEnc(df.schema)
+    // state: (pending rows beyond watermark, running accumulator, the
+    // accumulator has absorbed at least one row — acc == 0 alone cannot
+    // distinguish "never fired" from "values cancelled out")
+    type S = (List[(Long, Seq[Any])], Long, Boolean)
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = StatefulOps.rowEnc(outSchema)
+
+    wm.as[Row](vEnc)
+      .groupByKey(r => StatefulOps.keyOf(keyIdx)(r))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          var (pending, acc, fired) =
+            state.getOption.getOrElse((Nil, 0L, false))
+
+          if (!state.hasTimedOut) rows.foreach { r =>
+            pending = (StatefulOps.tsMsOf(r, tsIdx), r.toSeq) :: pending
+          }
+
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, stillPending) = pending.partition(_._1 <= wmMs)
+          val out = Seq.newBuilder[Row]
+          // one pass per DISTINCT timestamp: peers enter the accumulator
+          // together and share one sum (SQL RANGE peer semantics)
+          ready.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, group) =>
+            group.foreach { case (_, vals) =>
+              acc += vals(valIdx).asInstanceOf[Long]
+              fired = true
+            }
+            group.foreach { case (_, vals) =>
+              out += Row.fromSeq(vals :+ acc)
+            }
+          }
+
+          if (stillPending.isEmpty &&
+            (!fired || (state.hasTimedOut && ready.isEmpty))) {
+            // nothing buffered and nothing ever accumulated, or
+            // idle-retention expired with nothing new: drop the state
+            state.remove()
+          } else {
+            state.update((stillPending, acc, fired))
+            val wake = stillPending.map(_._1).minOption
+              .getOrElse(wmMs + idleRetentionMs) // idle cleanup timer
+            if (wake > wmMs) state.setTimeoutTimestamp(wake)
+          }
+          out.result().iterator
+      }(sEnc, oEnc)
+  }
 }

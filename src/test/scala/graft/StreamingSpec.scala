@@ -163,6 +163,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() > 0)
   }
 
+  test("StreamingOver.unbounded (since-forever running sum) matches batch") {
+    def prep(d: DataFrame): DataFrame =
+      d.withColumn("v", floor(col("value") * 1e6).cast("long"))
+    val out = runStream("s_over_ub", df =>
+      StreamingOver.unbounded(prep(df), Seq("user_id"), "ts", "v",
+        "5 seconds"))
+      .where(col("user_id") =!= -1L)
+    val exp = StreamingOver.unbounded(prep(batchInput), Seq("user_id"), "ts",
+      "v", "")
+      .where(col("user_id") =!= -1L)
+      .select(out.columns.map(col): _*)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
   test("StreamingTemporalJoin matches batch AsOfJoin") {
     // probe = click events; build (versioned) = purchase events per user
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
