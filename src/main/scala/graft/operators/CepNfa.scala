@@ -64,9 +64,64 @@ object CepNfa {
     * `minIters` preferring more iterations, `false` pins it at exactly
     * `minIters`. */
   sealed trait PatternElem extends Serializable
+
+  /** Iterative condition — the reference's IterativeCondition
+    * (flink-libraries/flink-cep/src/main/java/org/apache/flink/cep/
+    * pattern/conditions/IterativeCondition.java:63,
+    * `ctx.getEventsForPattern`): evaluated with the FULL (prev row, cur
+    * row) value vectors (indexed like the face's `valCols`) plus a
+    * [[MatchCtx]] exposing running aggregates over the rows ALREADY
+    * matched by each pattern variable in this partial match — what
+    * `DEFINE B AS B.price < AVG(A.price)` needs. Aggregates exclude the
+    * row under test (the reference's contract: the context serves
+    * previously ACCEPTED events); a running self-aggregate that should
+    * include it combines the context value with `cur` explicitly. */
+  type IterCond = (Vector[Double], Vector[Double], MatchCtx) => Boolean
+
+  /** Running per-variable aggregates of one partial match. Aggregates
+    * over a variable that has matched no rows yet return NaN (count: 0),
+    * so comparisons fail — matching the reference, where an aggregate
+    * over an empty pattern set is null and the condition is false. */
+  final class MatchCtx private[operators] (
+      names: IndexedSeq[String],
+      meas: Vector[Vector[Meas]]) {
+    private def ms(v: String, col: Int): List[Meas] = {
+      var out = List.empty[Meas]
+      var i = names.length - 1
+      while (i >= 0) {
+        if (names(i) == v && meas(i)(col).n > 0) out = meas(i)(col) :: out
+        i -= 1
+      }
+      out
+    }
+    def count(v: String, col: Int = 0): Long = ms(v, col).map(_.n).sum
+    def sum(v: String, col: Int = 0): Double = {
+      val l = ms(v, col); if (l.isEmpty) Double.NaN else l.map(_.sum).sum
+    }
+    def avg(v: String, col: Int = 0): Double = {
+      val l = ms(v, col)
+      if (l.isEmpty) Double.NaN else l.map(_.sum).sum / l.map(_.n).sum
+    }
+    def min(v: String, col: Int = 0): Double = {
+      val l = ms(v, col); if (l.isEmpty) Double.NaN else l.map(_.mn).min
+    }
+    def max(v: String, col: Int = 0): Double = {
+      val l = ms(v, col); if (l.isEmpty) Double.NaN else l.map(_.mx).max
+    }
+    def first(v: String, col: Int = 0): Double =
+      ms(v, col) match { case h :: _ => h.first; case _ => Double.NaN }
+    def last(v: String, col: Int = 0): Double =
+      ms(v, col) match {
+        case l if l.nonEmpty => l.last.last; case _ => Double.NaN
+      }
+  }
+
   /** `colIdx` selects which value column (of the face's `valCols`) this
-    * step's predicate reads — 0 for the single-column faces. */
-  final case class Atom(step: PatternStep, colIdx: Int = 0)
+    * step's predicate reads — 0 for the single-column faces. When `iter`
+    * is set it REPLACES the step's pair predicate: the step accepts a row
+    * iff the iterative condition holds. */
+  final case class Atom(step: PatternStep, colIdx: Int = 0,
+      iter: Option[IterCond] = None)
     extends PatternElem
   final case class GroupElem(
       elems: Seq[PatternElem],
@@ -90,18 +145,23 @@ object CepNfa {
   private final case class Branch(
       steps: IndexedSeq[PatternStep],
       stepCol: IndexedSeq[Int],
+      stepIter: IndexedSeq[Option[IterCond]],
       grpIn: IndexedSeq[Int],
       groups: IndexedSeq[GroupSpec],
-      startsAt: Map[Int, List[Int]]) extends Serializable
+      startsAt: Map[Int, List[Int]]) extends Serializable {
+    val stepNames: IndexedSeq[String] = steps.map(_.name)
+  }
 
   private def compile(elems: Seq[PatternElem]): Branch = {
     val steps = IndexedSeq.newBuilder[PatternStep]
     val stepCol = IndexedSeq.newBuilder[Int]
+    val stepIter = IndexedSeq.newBuilder[Option[IterCond]]
     val grpIn = IndexedSeq.newBuilder[Int]
     val groups = scala.collection.mutable.ArrayBuffer.empty[GroupSpec]
     var i = 0
     def walk(es: Seq[PatternElem], encl: Int): Unit = es.foreach {
-      case Atom(s, c) => steps += s; stepCol += c; grpIn += encl; i += 1
+      case Atom(s, c, it) =>
+        steps += s; stepCol += c; stepIter += it; grpIn += encl; i += 1
       case GroupElem(inner, minIters, greedy) =>
         val gid = groups.length
         groups += GroupSpec(i, -1, minIters.toLong, greedy, encl)
@@ -111,8 +171,8 @@ object CepNfa {
     walk(elems, -1)
     val starts = groups.indices.toList.groupBy(groups(_).start)
       .map { case (p, gs) => p -> gs.sorted } // pre-order id = outer first
-    Branch(steps.result(), stepCol.result(), grpIn.result(),
-      groups.toIndexedSeq, starts)
+    Branch(steps.result(), stepCol.result(), stepIter.result(),
+      grpIn.result(), groups.toIndexedSeq, starts)
   }
 
   /** Per-step measure accumulator over matched row values — the engine
@@ -194,13 +254,13 @@ object CepNfa {
   /** The element consumes at least one row when entered — the anchor
     * property a group's (and the pattern's) FIRST element must have. */
   private def anchored(e: PatternElem): Boolean = e match {
-    case Atom(s, _) => s.minCount >= 1
+    case Atom(s, _, _) => s.minCount >= 1
     case GroupElem(es, minIters, _) =>
       minIters >= 1 && es.nonEmpty && anchored(es.head)
   }
 
   private def flatSteps(e: PatternElem): Seq[PatternStep] = e match {
-    case Atom(s, _) => Seq(s)
+    case Atom(s, _, _) => Seq(s)
     case GroupElem(es, _, _) => es.flatMap(flatSteps)
   }
 
@@ -210,7 +270,7 @@ object CepNfa {
     branches.foreach { elems =>
       require(elems.nonEmpty, "pattern needs at least one element")
       def check(e: PatternElem): Unit = e match {
-        case Atom(_, _) => ()
+        case Atom(_, _, _) => ()
         case g @ GroupElem(es, minIters, greedy) =>
           require(es.nonEmpty, "a group needs at least one element")
           require(minIters >= 0, "group minIters must be >= 0")
@@ -245,6 +305,25 @@ object CepNfa {
     private val emptyMeasRow: Vector[Meas] = Vector.fill(nVals)(emptyMeas)
     private def addAll(ms: Vector[Meas], v: Vector[Double]): Vector[Meas] =
       Vector.tabulate(nVals)(ci => ms(ci).add(v(ci)))
+
+    /** Empty per-branch registers — what a fresh anchor's iterative
+      * condition reads (no rows matched yet). */
+    private val emptyMeasFor: IndexedSeq[Vector[Vector[Meas]]] =
+      branches.map(b => Vector.fill(b.steps.length)(emptyMeasRow))
+
+    /** Step `k` of branch `b` accepts the (prev, cur) pair given the
+      * partial match's registers: the plain pair predicate, or — when the
+      * Atom carries an iterative condition — that condition over the full
+      * value vectors plus the running per-variable aggregates. */
+    private def accepts(
+        b: Branch, k: Int, p: Vector[Double], v: Vector[Double],
+        meas: Vector[Vector[Meas]]): Boolean =
+      b.stepIter(k) match {
+        case Some(f) => f(p, v, new MatchCtx(b.stepNames, meas))
+        case None =>
+          val sc = b.stepCol(k)
+          b.steps(k).pred(p(sc), v(sc))
+      }
 
     /** One enterable target when walking INTO a position range: the step
       * index plus the chain of groups entered at a fresh first iteration
@@ -432,11 +511,10 @@ object CepNfa {
       val b = branches(r.branch)
       val steps = b.steps
       val s = steps(r.stepIdx)
-      val sc = b.stepCol(r.stepIdx)
       val budget = inBudget(r.startT, t)
       val succ = scala.collection.mutable.ListBuffer.empty[Run]
       val cands = scala.collection.mutable.ListBuffer.empty[Cand]
-      if (s.greedy && budget && s.pred(p(sc), v(sc)))
+      if (s.greedy && budget && accepts(b, r.stepIdx, p, v, r.meas))
         succ += r.copy(
           counts = r.counts.updated(r.stepIdx, r.counts(r.stepIdx) + 1L),
           iterCounts =
@@ -446,7 +524,7 @@ object CepNfa {
       if (r.iterCounts(r.stepIdx) >= s.minCount) {
         cascade(b, r.iters, r.stepIdx, b.grpIn(r.stepIdx)).foreach {
           case (Entry(k, fresh), loopOf) =>
-            if (budget && steps(k).pred(p(b.stepCol(k)), v(b.stepCol(k)))) {
+            if (budget && accepts(b, k, p, v, r.meas)) {
               val c2 = r.counts.updated(k, r.counts(k) + 1L)
               val m2 = r.meas.updated(k, addAll(r.meas(k), v))
               val st2 = r.stepT.updated(k, r.stepT(k).add(t))
@@ -556,8 +634,7 @@ object CepNfa {
       branches.indices.foreach { b =>
         val br = branches(b)
         val steps = br.steps
-        val c0i = br.stepCol(0)
-        if (steps(0).pred(p(c0i), v(c0i))) {
+        if (accepts(br, 0, p, v, emptyMeasFor(b))) {
           val c0 = Vector.tabulate(steps.length)(i => if (i == 0) 1L else 0L)
           val m0 = Vector.fill(steps.length)(emptyMeasRow)
             .updated(0, addAll(emptyMeasRow, v))

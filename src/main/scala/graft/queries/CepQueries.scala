@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{AfterMatchSkip, CepNfa, Dedup, MatchRecognize, PatternMatch, PatternStep}
+import graft.sql.FlinkSql
 import org.apache.spark.sql.functions._
 
 /** MATCH_RECOGNIZE-lite (CEP) queries. The Spark side runs the per-key
@@ -63,6 +64,63 @@ object CepQueries {
           ON nxt.user_id = d.user_id AND nxt.idx = d.last_idx + 1
              AND nxt.dir = 'U'
         ORDER BY d.user_id, d.start_us
+      """.stripMargin.trim)),
+
+    // Aggregate (iterative) DEFINE condition — the reference's
+    // IterativeCondition (flink-cep/…/pattern/conditions/
+    // IterativeCondition.java:63) / the aggregate-DEFINE cases of
+    // MatchRecognizeITCase: `a{3,}` extends while the RUNNING SUM of the
+    // rows matched so far (including the row under test — SQL running
+    // semantics) stays within budget. SKIP TO NEXT ROW → every anchor
+    // emits its own maximal in-budget run. Values fixed-point-scaled
+    // (×100) so running sums are exact integers in double. The oracle
+    // replays the same matches relationally: positive values make the
+    // per-key cumulative sum monotone, so an anchor's run is the
+    // contiguous prefix with csum_j <= csum_{anchor-1} + budget.
+    QueryDef(
+      "q_match_recognize_aggcond",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("v100", round(col("value") * 100).cast("double"))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, n_a, sum_a
+            |FROM events_v MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  MEASURES SUM(a.v100) AS sum_a
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (a{3,})
+            |  DEFINE a AS SUM(a.v100) <= 10000
+            |)
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("events_v" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, v FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, v, row_number() OVER w AS idx,
+                     SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS c,
+                     lag(tu) OVER w AS ptu
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        m AS (SELECT a.user_id, a.idx, a.ptu AS start_us,
+                     COUNT(*) AS n_a, MAX(b.tu) AS end_us, SUM(b.v) AS sum_v
+              FROM s a JOIN s b
+                ON b.user_id = a.user_id AND b.idx >= a.idx
+               AND b.c <= a.c - a.v + 10000
+              WHERE a.idx >= 2
+              GROUP BY a.user_id, a.idx, a.ptu)
+        SELECT user_id, start_us, end_us, CAST(n_a AS BIGINT) AS n_a,
+               CAST(sum_v AS DOUBLE) AS sum_a
+        FROM m WHERE n_a >= 3 ORDER BY user_id, start_us
       """.stripMargin.trim)),
 
     // Generalized pattern A+ B+ (full V: maximal falling run then maximal

@@ -1789,8 +1789,14 @@ object FlinkSql {
         s"DEFINE $s reads several columns ($cs) — one condition, one column")
       s -> cs.headOption
     }.collect { case (s, Some(c)) => s -> c }.toMap
+    // aggregate calls inside DEFINE (iterative conditions): their columns
+    // join the value-column set, and the condition compiles onto the
+    // engine's IterCond form instead of the pair predicate
+    val defAggs: Map[String, Seq[AggE]] =
+      defines.iterator.map { case (s, c) => s -> condAggs(c) }.toMap
     val valCols0 =
-      (defCol.valuesIterator ++ measures.iterator.map(_._3))
+      (defCol.valuesIterator ++ measures.iterator.map(_._3) ++
+        defAggs.valuesIterator.flatten.map(_.col))
         .filterNot(_.equalsIgnoreCase(timeCol)).toSeq.distinct.sorted
     // all-TRUE defines with no measures: feed a constant value column
     val constCol = valCols0.isEmpty
@@ -1806,13 +1812,21 @@ object FlinkSql {
       else (src0.withColumn("__cep_key",
         to_json(struct(keyCols.map(col).toSeq: _*))), "__cep_key")
     val preds: Map[String, (Double, Double) => Boolean] =
-      defines.iterator.map { case (s, c) => s -> compileCond(c) }.toMap
+      defines.iterator.collect {
+        case (s, c) if defAggs(s).isEmpty => s -> compileCond(c)
+      }.toMap
+    val iterPreds: Map[String, CepNfa.IterCond] =
+      defines.iterator.collect {
+        case (s, c) if defAggs(s).nonEmpty =>
+          s -> compileCondIter(c, s, colIdx)
+      }.toMap
     def stepOf(a: PAtom): PatternStep =
       PatternStep(a.sym, preds.getOrElse(a.sym, (_: Double, _: Double) => true),
         a.greedy, a.min)
     def toElems(es: Seq[PElem]): Seq[CepNfa.PatternElem] = es.map {
       case a: PAtom => CepNfa.Atom(stepOf(a),
-        defCol.get(a.sym).map(colIdx).getOrElse(0))
+        defCol.get(a.sym).map(colIdx).getOrElse(0),
+        iterPreds.get(a.sym))
       case PGroup(inner, minIters, greedy) =>
         CepNfa.GroupElem(toElems(inner), minIters, greedy)
       case _: PPermute => throw new IllegalArgumentException(
@@ -1932,16 +1946,42 @@ object FlinkSql {
   private final case class Num(v: Double) extends Expr
   private final case class Ref(col: String, prev: Boolean) extends Expr
   private final case class Arith(l: Expr, plus: Boolean, r: Expr) extends Expr
+  /** Running aggregate over a pattern variable's matched rows —
+    * `SUM(A.price)` / `AVG(A.price)` inside DEFINE, the reference's
+    * iterative conditions (IterativeCondition.java:63; the aggregate
+    * DEFINE cases of MatchRecognizeITCase). SQL running semantics: for
+    * the variable BEING defined the aggregate includes the row under
+    * test; for any other variable it covers its matched rows only (none
+    * yet → NULL → the comparison is false). */
+  private final case class AggE(fn: String, sym: String, col: String)
+    extends Expr
   private sealed trait Cond
   private final case class Cmp(l: Expr, op: String, r: Expr) extends Cond
   private final case class And(l: Cond, r: Cond) extends Cond
   private final case class Or(l: Cond, r: Cond) extends Cond
   private final case class Not(c: Cond) extends Cond
 
+  /** Pair-predicate columns only — AggE columns are addressed through
+    * the measure registers, not the (prev, cur) pair, so they don't
+    * count toward the one-column pair restriction. */
   private def exprCols(e: Expr): Seq[String] = e match {
     case Ref(n, _) => Seq(n)
     case Arith(l, _, r) => exprCols(l) ++ exprCols(r)
     case Num(_) => Nil
+    case AggE(_, _, _) => Nil
+  }
+
+  private def exprAggs(e: Expr): Seq[AggE] = e match {
+    case a: AggE => Seq(a)
+    case Arith(l, _, r) => exprAggs(l) ++ exprAggs(r)
+    case _ => Nil
+  }
+
+  private def condAggs(c: Cond): Seq[AggE] = c match {
+    case Cmp(l, _, r) => exprAggs(l) ++ exprAggs(r)
+    case And(l, r) => condAggs(l) ++ condAggs(r)
+    case Or(l, r) => condAggs(l) ++ condAggs(r)
+    case Not(x) => condAggs(x)
   }
 
   private def condCols(c: Cond): Seq[String] = c match {
@@ -1950,6 +1990,12 @@ object FlinkSql {
     case Or(l, r) => condCols(l) ++ condCols(r)
     case Not(x) => condCols(x)
   }
+
+  /** Aggregates accepted inside DEFINE (running over a variable's
+    * matched rows). Recognized only as `FN(sym.col)` — a bare column
+    * named like one of these still parses as a column ref. */
+  private val defineAggFns =
+    Set("SUM", "AVG", "COUNT", "MIN", "MAX", "FIRST", "LAST")
 
   private def parseCond(p: P): Cond = {
     def orExpr(): Cond = {
@@ -1997,6 +2043,15 @@ object FlinkSql {
         val r = ref(prev = true)
         p.eat(")")
         r
+      } else if (defineAggFns.contains(p.peek) &&
+          p.i + 1 < p.toks.length && p.toks(p.i + 1).up == "(") {
+        val fn = p.next().up.toLowerCase
+        p.eat("(")
+        val sym = p.ident().toLowerCase
+        p.eat(".")
+        val c = p.ident()
+        p.eat(")")
+        AggE(fn, sym, c)
       } else ref(prev = false)
     }
     def ref(prev: Boolean): Expr = {
@@ -2037,5 +2092,77 @@ object FlinkSql {
       val lf = compileExpr(l); val rf = compileExpr(r)
       if (plus) (p, v) => lf(p, v) + rf(p, v)
       else (p, v) => lf(p, v) - rf(p, v)
+    case AggE(_, _, _) => throw new IllegalArgumentException(
+      "aggregate DEFINE conditions compile through compileCondIter")
+  }
+
+  /** Compile a DEFINE condition containing aggregates onto the engine's
+    * iterative-condition form ([[CepNfa.IterCond]]): `dsym` is the
+    * variable being defined — its OWN aggregates run including the row
+    * under test (SQL running semantics); other variables' aggregates
+    * cover their already-matched rows only (none → NaN → comparison
+    * false, the reference's null-aggregate behavior; COUNT of none is 0,
+    * as in SQL). `ci` maps column names to valCols indices. */
+  private def compileCondIter(
+      c: Cond, dsym: String, ci: Map[String, Int]): CepNfa.IterCond = {
+    type F = (Vector[Double], Vector[Double], CepNfa.MatchCtx) => Double
+    def expr(e: Expr): F = e match {
+      case Num(n) => (_, _, _) => n
+      case Ref(col, prev) =>
+        val k = ci(col)
+        if (prev) (p, _, _) => p(k) else (_, v, _) => v(k)
+      case Arith(l, plus, r) =>
+        val lf = expr(l); val rf = expr(r)
+        if (plus) (p, v, x) => lf(p, v, x) + rf(p, v, x)
+        else (p, v, x) => lf(p, v, x) - rf(p, v, x)
+      case AggE(fn, sym, col) =>
+        val k = ci(col)
+        if (sym == dsym) fn match {
+          case "sum" => (_, v, x) =>
+            { val s = x.sum(sym, k); (if (s.isNaN) 0.0 else s) + v(k) }
+          case "count" => (_, _, x) => x.count(sym, k) + 1.0
+          case "avg" => (_, v, x) => {
+            val s = x.sum(sym, k)
+            ((if (s.isNaN) 0.0 else s) + v(k)) / (x.count(sym, k) + 1.0)
+          }
+          case "min" => (_, v, x) =>
+            { val m = x.min(sym, k); if (m.isNaN) v(k) else math.min(m, v(k)) }
+          case "max" => (_, v, x) =>
+            { val m = x.max(sym, k); if (m.isNaN) v(k) else math.max(m, v(k)) }
+          case "first" => (_, v, x) =>
+            { val f = x.first(sym, k); if (f.isNaN) v(k) else f }
+          case "last" => (_, v, _) => v(k)
+        } else fn match {
+          case "sum" => (_, _, x) => x.sum(sym, k)
+          case "count" => (_, _, x) => x.count(sym, k).toDouble
+          case "avg" => (_, _, x) => x.avg(sym, k)
+          case "min" => (_, _, x) => x.min(sym, k)
+          case "max" => (_, _, x) => x.max(sym, k)
+          case "first" => (_, _, x) => x.first(sym, k)
+          case "last" => (_, _, x) => x.last(sym, k)
+        }
+    }
+    def cond(c: Cond): CepNfa.IterCond = c match {
+      case Cmp(l, op, r) =>
+        val lf = expr(l); val rf = expr(r)
+        op match {
+          case "=" => (p, v, x) => lf(p, v, x) == rf(p, v, x)
+          case "<>" => (p, v, x) => lf(p, v, x) != rf(p, v, x)
+          case "<" => (p, v, x) => lf(p, v, x) < rf(p, v, x)
+          case "<=" => (p, v, x) => lf(p, v, x) <= rf(p, v, x)
+          case ">" => (p, v, x) => lf(p, v, x) > rf(p, v, x)
+          case ">=" => (p, v, x) => lf(p, v, x) >= rf(p, v, x)
+        }
+      case And(l, r) =>
+        val lf = cond(l); val rf = cond(r)
+        (p, v, x) => lf(p, v, x) && rf(p, v, x)
+      case Or(l, r) =>
+        val lf = cond(l); val rf = cond(r)
+        (p, v, x) => lf(p, v, x) || rf(p, v, x)
+      case Not(y) =>
+        val f = cond(y)
+        (p, v, x) => !f(p, v, x)
+    }
+    cond(c)
   }
 }

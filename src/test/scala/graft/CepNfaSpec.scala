@@ -466,4 +466,80 @@ class CepNfaSpec extends SparkSpecBase {
     val streamed = spark.table("nfa_skip").collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  // ----- iterative (aggregate) conditions (IterativeCondition.java:63) -----
+
+  /** `a{2,}` extending while the running sum INCLUDING the row under test
+    * stays within budget — `DEFINE A AS SUM(A.v) <= 10`. */
+  private val sumBudgetElems: Seq[CepNfa.PatternElem] = Seq(
+    CepNfa.Atom(
+      PatternStep("a", (_: Double, _: Double) => true, greedy = true,
+        minCount = 2),
+      0,
+      Some((_: Vector[Double], cv: Vector[Double], ctx: CepNfa.MatchCtx) => {
+        val s = ctx.sum("a")
+        (if (s.isNaN) 0.0 else s) + cv(0) <= 10.0
+      })))
+
+  test("aggregate DEFINE: running self-sum budget gates extension") {
+    // 5,3,2,4,9,20: anchor@t2 takes 3,2,4 (sum 9; +9 busts), anchor@t3
+    // takes 2,4 (sum 6; +9 busts); later anchors never reach minCount.
+    val rows = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (1L, 3L, 2.0),
+      (1L, 4L, 4.0), (1L, 5L, 9.0), (1L, 6L, 20.0)).toDF("k", "t", "v")
+    val got = CepNfa.nested(rows, "k", "t", "v", Seq(sumBudgetElems),
+      skip = AfterMatchSkip.ToNextRow)
+      .select($"start_us", $"end_us", $"n_a")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 3L), (2L, 4L, 2L)))
+  }
+
+  test("aggregate DEFINE: cross-variable AVG(A) read from matched rows") {
+    // a{2,} (always true) then b with cur < AVG(a): 8,6,7,3 → a=[6,7]
+    // (avg 6.5), b=3 completes; greedy prefer-longer picks the maximal a.
+    val avgElems: Seq[CepNfa.PatternElem] = Seq(
+      CepNfa.Atom(
+        PatternStep("a", (_: Double, _: Double) => true, greedy = true,
+          minCount = 2)),
+      CepNfa.Atom(
+        PatternStep("b", (_: Double, _: Double) => true, greedy = false),
+        0,
+        Some((_: Vector[Double], cv: Vector[Double], c: CepNfa.MatchCtx) =>
+          cv(0) < c.avg("a"))))
+    val rows = Seq((1L, 1L, 8.0), (1L, 2L, 6.0), (1L, 3L, 7.0),
+      (1L, 4L, 3.0)).toDF("k", "t", "v")
+    val got = CepNfa.nested(rows, "k", "t", "v", Seq(avgElems))
+      .select($"start_us", $"end_us", $"n_a", $"n_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 2L, 1L)))
+  }
+
+  test("streaming parity for iterative conditions across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, 1000L, 5.0), (1L, 2000L, 3.0), (1L, 3000L, 2.0),
+      (1L, 4000L, 4.0), (1L, 5000L, 9.0), (1L, 6000L, 20.0),
+      (2L, 1000L, 1.0), (2L, 2000L, 2.0), (2L, 3000L, 3.0),
+      (2L, 4000L, 30.0))
+    val batch = CepNfa.nested(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", Seq(sumBudgetElems),
+      skip = AfterMatchSkip.ToNextRow).collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nfi-").toString
+    val q = CepNfa.nestedStreaming(df, "user_id", "ts_us", "value",
+      Seq(sumBudgetElems), None, AfterMatchSkip.ToNextRow)
+      .writeStream.format("memory").queryName("nfa_iter")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("nfa_iter").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
