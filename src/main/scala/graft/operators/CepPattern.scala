@@ -1,0 +1,399 @@
+package graft.operators
+
+import graft.streaming.{GraftPTF, ProcessTableFunction}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** The Pattern-API tier of CEP — the reference's fluent `Pattern`
+  * (flink-libraries/flink-cep/src/main/java/org/apache/flink/cep/pattern/
+  * Pattern.java:349-430): RELAXED contiguity (`followedBy` skips
+  * non-matching events, `followedByAny` additionally branches on every
+  * later match) and NEGATIVE patterns (`notNext`, `notFollowedBy`, with
+  * the trailing-`notFollowedBy`-requires-`within` restriction of
+  * Pattern.java:298) — the contiguity/negation surface MATCH_RECOGNIZE
+  * (strict contiguity, [[CepNfa]]) does not model.
+  *
+  * Conditions are single-event predicates over one value column
+  * (`SimpleCondition.of(event -> …)`), not the pair predicates of the
+  * MATCH_RECOGNIZE engines — matching the reference API, where a
+  * condition sees the event alone.
+  *
+  * Semantics (documented contract, mirroring the reference's NO_SKIP
+  * default — every match is reported):
+  *  - Every row matching the first step's condition anchors a run.
+  *  - `next`: the step must match immediately after the previous step's
+  *    last row; a non-matching row kills that branch.
+  *  - `followedBy`: non-matching rows in the gap are skipped; the FIRST
+  *    matching row advances the run (per branch).
+  *  - `followedByAny`: every matching row in the gap advances a COPY of
+  *    the run — later matches yield their own matches too.
+  *  - `notNext(N)`: the first row after the previous step must not match
+  *    N (checked once, before the next positive step's entry test).
+  *  - `notFollowedBy(N)`: while waiting in the gap, a row matching N
+  *    kills the run (checked only when the row does not advance the
+  *    step — an advancing row is consumed by the positive step first,
+  *    as the reference's NFA consumes before testing the NOT state).
+  *  - Quantifiers: `times(n)` exact, `oneOrMore` (internally strict —
+  *    the reference's `consecutive()`; min 1, unbounded). Non-final
+  *    quantifiers are NON-greedy (the reference's default): every
+  *    interpretation emits. A final-step `greedy` emits only the
+  *    maximal extension (on run death or input end).
+  *  - `within`: the whole match (first to last row) must fit the bound;
+  *    over-budget runs die eagerly. A trailing `notFollowedBy` HOLDS the
+  *    completed match until the within deadline passes without the
+  *    negative condition matching (emitted at input end otherwise) —
+  *    the reference's timeout-release behavior for ending NOT patterns.
+  *
+  * Output: one row per match — key, start_us (first matched row), end_us
+  * (last matched row), one `n_<name>` count per positive step.
+  *
+  * Batch face: [[SecondarySort]] streamed replay. Streaming face: the
+  * PTF hook with runs + held candidates as keyed state.
+  */
+object CepPattern {
+
+  /** Gap contiguity of a step relative to its predecessor. */
+  sealed trait Link extends Serializable
+  case object Strict extends Link
+  case object Relaxed extends Link
+  case object RelaxedAny extends Link
+
+  /** One positive step. `notNextCond`/`notDuringCond` are the negative
+    * patterns declared between the previous step and this one. */
+  final case class Step(
+      name: String,
+      where: Double => Boolean,
+      link: Link,
+      minTimes: Int = 1,
+      maxTimes: Int = 1,
+      greedy: Boolean = false,
+      notNextCond: Option[Double => Boolean] = None,
+      notDuringCond: Option[Double => Boolean] = None) extends Serializable
+
+  /** Compiled pattern: positive steps + optional trailing negative +
+    * optional within bound (µs). */
+  final case class Pattern(
+      steps: IndexedSeq[Step],
+      trailingNot: Option[Double => Boolean],
+      withinUs: Option[Long]) extends Serializable
+
+  // ------------------------------------------------------------ builder
+
+  /** Fluent builder mirroring the reference's Pattern API. */
+  final class Builder private[CepPattern] (firstName: String) {
+    private val steps = scala.collection.mutable.ArrayBuffer(
+      Step(firstName, _ => true, Strict))
+    private var pendingNotNext: Option[Double => Boolean] = None
+    private var pendingNotDuring: Option[Double => Boolean] = None
+    private var lastWasNot = false
+    private var notIsNext = false
+    private var withinUs: Option[Long] = None
+
+    /** Condition for the most recently declared step (positive or NOT). */
+    def where(f: Double => Boolean): Builder = {
+      if (lastWasNot) {
+        if (notIsNext) pendingNotNext = Some(f) else pendingNotDuring = Some(f)
+      } else steps(steps.length - 1) =
+        steps.last.copy(where = f)
+      this
+    }
+
+    private def addPositive(name: String, link: Link): Builder = {
+      steps += Step(name, _ => true, link,
+        notNextCond = pendingNotNext, notDuringCond = pendingNotDuring)
+      pendingNotNext = None; pendingNotDuring = None; lastWasNot = false
+      this
+    }
+
+    def next(name: String): Builder = addPositive(name, Strict)
+    def followedBy(name: String): Builder = addPositive(name, Relaxed)
+    def followedByAny(name: String): Builder = addPositive(name, RelaxedAny)
+
+    def notNext(name: String): Builder = {
+      require(pendingNotNext.isEmpty && pendingNotDuring.isEmpty,
+        "consecutive NOT patterns are not supported")
+      lastWasNot = true; notIsNext = true
+      pendingNotNext = Some(_ => true)
+      this
+    }
+
+    def notFollowedBy(name: String): Builder = {
+      require(pendingNotNext.isEmpty && pendingNotDuring.isEmpty,
+        "consecutive NOT patterns are not supported")
+      lastWasNot = true; notIsNext = false
+      pendingNotDuring = Some(_ => true)
+      this
+    }
+
+    /** Quantifier on the most recent POSITIVE step. */
+    def times(n: Int): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(n >= 1, "times(n) needs n >= 1")
+      steps(steps.length - 1) = steps.last.copy(minTimes = n, maxTimes = n)
+      this
+    }
+
+    def oneOrMore(): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      steps(steps.length - 1) =
+        steps.last.copy(minTimes = 1, maxTimes = Int.MaxValue)
+      this
+    }
+
+    def greedy(): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      steps(steps.length - 1) = steps.last.copy(greedy = true)
+      this
+    }
+
+    def within(us: Long): Builder = {
+      require(us > 0, "within must be positive")
+      withinUs = Some(us)
+      this
+    }
+
+    def build(): Pattern = {
+      val trailing =
+        if (lastWasNot) {
+          require(!notIsNext, "a pattern may not end with notNext")
+          require(withinUs.isDefined,
+            "a pattern ending in notFollowedBy requires within " +
+              "(Pattern.java:298)")
+          val f = pendingNotDuring
+          pendingNotDuring = None
+          f
+        } else None
+      val ss = steps.toIndexedSeq
+      ss.foreach { s =>
+        require(s.greedy || s.minTimes <= s.maxTimes, s"bad quantifier on ${s.name}")
+      }
+      ss.init.foreach { s =>
+        require(!s.greedy,
+          s"greedy is supported on the final step only (${s.name}) — " +
+            "non-final quantifiers are non-greedy, the reference default")
+      }
+      Pattern(ss, trailing, withinUs)
+    }
+  }
+
+  def begin(name: String): Builder = new Builder(name)
+
+  // ------------------------------------------------------------- engine
+
+  /** One live partial match. `idx` is the step being filled (cnt >= 1)
+    * or entered (cnt == 0 → waiting in the gap before it); `gapFirst` is
+    * true until the first gap row has been seen (notNext window). */
+  final case class PRun(
+      idx: Int,
+      cnt: Int,
+      gapFirst: Boolean,
+      startT: Long,
+      endT: Long,
+      counts: Vector[Long],
+      best: Option[(Long, Vector[Long])]) // greedy-final maximal snapshot
+
+  /** A completed match held for a trailing notFollowedBy. */
+  final case class Held(
+      startT: Long, endT: Long, counts: Vector[Long], deadline: Long)
+
+  final case class PatState(
+      runs: List[PRun], held: List[Held]) extends Serializable
+
+  private val emptyState = PatState(Nil, Nil)
+
+  private final class Engine(pat: Pattern) extends Serializable {
+    private val steps = pat.steps
+    private val last = steps.length - 1
+
+    private def inBudget(start: Long, t: Long): Boolean =
+      pat.withinUs.forall(t - start <= _)
+
+    /** Emit or hold a completed snapshot. */
+    private def complete(
+        startT: Long, endT: Long, counts: Vector[Long],
+        out: scala.collection.mutable.ListBuffer[(Long, Long, Vector[Long])],
+        held: scala.collection.mutable.ListBuffer[Held]): Unit =
+      pat.trailingNot match {
+        case None => out += ((startT, endT, counts))
+        case Some(_) =>
+          held += Held(startT, endT, counts, startT + pat.withinUs.get)
+      }
+
+    /** Row (t, v) against run r → successor runs; completions appended. */
+    private def evolve(
+        r: PRun, t: Long, v: Double,
+        out: scala.collection.mutable.ListBuffer[(Long, Long, Vector[Long])],
+        held: scala.collection.mutable.ListBuffer[Held]): List[PRun] = {
+      if (!inBudget(r.startT, t)) {
+        // eager WITHIN: flush a greedy-final best before dying
+        r.best.foreach { case (e, c) => complete(r.startT, e, c, out, held) }
+        return Nil
+      }
+      val succ = scala.collection.mutable.ListBuffer.empty[PRun]
+      var died = true // becomes false if any branch survives
+
+      def enterGapOrStep(i: Int, from: PRun, gapFirst: Boolean): Unit = {
+        // test row v against step i's entry from the gap
+        val s = steps(i)
+        if (gapFirst && s.notNextCond.exists(_(v))) return // notNext kills
+        if (s.where(v)) {
+          val advanced = from.copy(idx = i, cnt = 1, gapFirst = false,
+            endT = t, counts = from.counts.updated(i, from.counts(i) + 1L))
+          if (i == last && 1 >= s.minTimes) {
+            if (s.greedy)
+              succ += advanced.copy(best = Some((t, advanced.counts)))
+            else {
+              complete(advanced.startT, t, advanced.counts, out, held)
+              if (s.maxTimes > 1) succ += advanced // more emissions may follow
+            }
+          } else succ += advanced
+          if (s.link == RelaxedAny)
+            succ += from.copy(idx = i, cnt = 0, gapFirst = false)
+        } else s.link match {
+          case Strict => () // this branch dies
+          case _ =>
+            if (!s.notDuringCond.exists(_(v)))
+              succ += from.copy(idx = i, cnt = 0, gapFirst = false)
+        }
+      }
+
+      if (r.cnt == 0) {
+        // waiting in the gap before step r.idx
+        enterGapOrStep(r.idx, r, r.gapFirst)
+      } else {
+        val s = steps(r.idx)
+        // extend the quantifier (internally strict)
+        if (r.cnt < s.maxTimes && s.where(v)) {
+          val ext = r.copy(cnt = r.cnt + 1, endT = t,
+            counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L))
+          if (r.idx == last && ext.cnt >= s.minTimes) {
+            if (s.greedy) succ += ext.copy(best = Some((t, ext.counts)))
+            else { complete(ext.startT, t, ext.counts, out, held); succ += ext }
+          } else succ += ext
+        }
+        // advance into the next step's gap (branching — non-greedy)
+        if (r.cnt >= s.minTimes && r.idx < last)
+          enterGapOrStep(r.idx + 1, r, gapFirst = true)
+      }
+      died = succ.isEmpty
+      if (died)
+        r.best.foreach { case (e, c) => complete(r.startT, e, c, out, held) }
+      succ.toList
+    }
+
+    /** Feed one row; returns advanced state + emitted matches. */
+    def advance(st: PatState, t: Long, v: Double)
+        : (PatState, List[(Long, Long, Vector[Long])]) = {
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Vector[Long])]
+      val heldNew = scala.collection.mutable.ListBuffer.empty[Held]
+      var runs: List[PRun] = Nil
+      st.runs.foreach { r => runs :::= evolve(r, t, v, out, heldNew) }
+      // fresh anchor (every matching row may begin a match)
+      val s0 = steps(0)
+      if (s0.where(v)) {
+        val z = Vector.fill(steps.length)(0L)
+        val fresh = PRun(0, 1, gapFirst = false, t, t,
+          z.updated(0, 1L), None)
+        if (last == 0 && 1 >= s0.minTimes) {
+          if (s0.greedy) runs ::= fresh.copy(best = Some((t, fresh.counts)))
+          else {
+            complete(t, t, fresh.counts, out, heldNew)
+            if (s0.maxTimes > 1) runs ::= fresh
+          }
+        } else runs ::= fresh
+      }
+      // trailing-not candidates: release past-deadline, kill on match
+      var held: List[Held] = st.held
+      pat.trailingNot.foreach { nf =>
+        val (ripe, rest) = held.partition(_.deadline < t)
+        ripe.foreach(h => out += ((h.startT, h.endT, h.counts)))
+        held = if (nf(v)) rest.filterNot(h => t <= h.deadline) else rest
+      }
+      held = heldNew.toList ::: held
+      (PatState(runs.distinct, held), out.toList)
+    }
+
+    /** Input end: greedy-final bests and surviving held candidates. */
+    def flush(st: PatState): List[(Long, Long, Vector[Long])] = {
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Vector[Long])]
+      val heldNew = scala.collection.mutable.ListBuffer.empty[Held]
+      st.runs.foreach { r =>
+        r.best.foreach { case (e, c) => complete(r.startT, e, c, out, heldNew) }
+      }
+      (st.held ::: heldNew.toList).foreach(h =>
+        out += ((h.startT, h.endT, h.counts)))
+      out.toList
+    }
+  }
+
+  private def outSchema(df: DataFrame, keyCol: String,
+      pat: Pattern): StructType =
+    StructType(
+      df.schema(keyCol) +:
+        StructField("start_us", LongType) +:
+        StructField("end_us", LongType) +:
+        pat.steps.map(s => StructField(s"n_${s.name}", LongType)))
+
+  /** Batch face. `timeCol` must be LongType (exact micros); ties must be
+    * pre-deduplicated for determinism. */
+  def apply(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      pat: Pattern): DataFrame = {
+    val tIdx = df.schema.fieldIndex(timeCol)
+    val vIdx = df.schema.fieldIndex(valCol)
+    val eng = new Engine(pat)
+    SecondarySort.mapOrderedGroups(
+      df, Seq(keyCol), Seq(col(timeCol)), outSchema(df, keyCol, pat)) {
+      (key, rows) =>
+        var st = emptyState
+        val matched = rows.flatMap { r =>
+          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          st = s2
+          ms.map { case (a, b, c) => Row.fromSeq(key.head +: a +: b +: c) }
+        }
+        matched ++ eng.flush(st).iterator.map { case (a, b, c) =>
+          Row.fromSeq(key.head +: a +: b +: c)
+        }
+    }
+  }
+
+  /** Streaming face on the PTF hook: runs + held candidates persist as
+    * keyed state; rows are ordered within each micro-batch slice
+    * (cross-batch order is the source's responsibility). */
+  def streaming(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      pat: Pattern): DataFrame = {
+    val tIdx = df.schema.fieldIndex(timeCol)
+    val vIdx = df.schema.fieldIndex(valCol)
+    val eng = new Engine(pat)
+    val schema = outSchema(df, keyCol, pat)
+    val ptf = new GraftPTF[PatState] {
+      def process(
+          key: Row,
+          rows: Iterator[Row],
+          state: Option[PatState],
+          watermarkMs: Long): (Option[PatState], Seq[Row], Option[Long]) = {
+        var st = state.getOrElse(emptyState)
+        val out = Seq.newBuilder[Row]
+        rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
+          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          st = s2
+          ms.foreach { case (a, b, c) =>
+            out += Row.fromSeq(key.get(0) +: a +: b +: c)
+          }
+        }
+        (Some(st), out.result(), None)
+      }
+    }
+    ProcessTableFunction(df, Seq(keyCol), schema, ptf)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AfterMatchSkip, CepNfa, Dedup, MatchRecognize, PatternMatch, PatternStep}
+import graft.operators.{AfterMatchSkip, CepNfa, CepPattern, Dedup, MatchRecognize, PatternMatch, PatternStep}
 import graft.sql.FlinkSql
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,79 @@ object CepQueries {
           ON nxt.user_id = d.user_id AND nxt.idx = d.last_idx + 1
              AND nxt.dir = 'U'
         ORDER BY d.user_id, d.start_us
+      """.stripMargin.trim)),
+
+    // Relaxed contiguity (Pattern.followedBy, Pattern.java:349): a spike
+    // (value >= 150) followed — with any number of irrelevant events
+    // skipped in between — by the FIRST lull (value <= 2). The strict
+    // MATCH_RECOGNIZE engines cannot express the skip-gap: any
+    // non-matching row between the two would abort. Oracle: each spike
+    // pairs with the first later lull per user.
+    QueryDef(
+      "q_cep_followed_by",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        CepPattern(d, "user_id", "ts_us", "value",
+          CepPattern.begin("a").where(_ >= 150.0)
+            .followedBy("b").where(_ <= 2.0).build())
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        a AS (SELECT user_id, tu FROM d WHERE value >= 150),
+        b AS (SELECT user_id, tu FROM d WHERE value <= 2)
+        SELECT a.user_id, a.tu AS start_us, MIN(b.tu) AS end_us,
+               CAST(1 AS BIGINT) AS n_a, CAST(1 AS BIGINT) AS n_b
+        FROM a JOIN b ON b.user_id = a.user_id AND b.tu > a.tu
+        GROUP BY a.user_id, a.tu ORDER BY a.user_id, start_us
+      """.stripMargin.trim)),
+
+    // Negative pattern (Pattern.notFollowedBy, Pattern.java:298/:430): a
+    // spike followed by the first lull with NO elevated event
+    // (value >= 100) anywhere in the gap — the elevated event kills the
+    // partial match while it waits. Oracle: the followedBy pairs minus
+    // those with an intervening kill row (NOT EXISTS over the open
+    // interval).
+    QueryDef(
+      "q_cep_not_followed_by",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        CepPattern(d, "user_id", "ts_us", "value",
+          CepPattern.begin("a").where(_ >= 150.0)
+            .notFollowedBy("n").where(_ >= 100.0)
+            .followedBy("b").where(_ <= 2.0).build())
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        a AS (SELECT user_id, tu FROM d WHERE value >= 150),
+        b AS (SELECT user_id, tu FROM d WHERE value <= 2),
+        n AS (SELECT user_id, tu FROM d WHERE value >= 100),
+        m AS (SELECT a.user_id, a.tu AS start_us, MIN(b.tu) AS end_us
+              FROM a JOIN b ON b.user_id = a.user_id AND b.tu > a.tu
+              GROUP BY a.user_id, a.tu)
+        SELECT m.user_id, m.start_us, m.end_us,
+               CAST(1 AS BIGINT) AS n_a, CAST(1 AS BIGINT) AS n_b
+        FROM m
+        WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.user_id = m.user_id
+                          AND n.tu > m.start_us AND n.tu < m.end_us)
+        ORDER BY m.user_id, m.start_us
       """.stripMargin.trim)),
 
     // Aggregate (iterative) DEFINE condition — the reference's

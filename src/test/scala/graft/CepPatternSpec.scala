@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.CepPattern
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The Pattern-API tier (Pattern.java:349-430): relaxed contiguity
+  * (followedBy / followedByAny), negative patterns (notNext /
+  * notFollowedBy incl. the trailing-not-requires-within rule), NO_SKIP
+  * emission (all interpretations), and greedy-final maximality. */
+class CepPatternSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def df(vs: (Long, Double)*): DataFrame =
+    vs.map { case (t, v) => (1L, t, v) }.toDF("k", "t", "v")
+
+  private def run(d: DataFrame, p: CepPattern.Pattern): Set[Seq[Any]] =
+    CepPattern(d, "k", "t", "v", p).collect().map(_.toSeq.tail.toSeq).toSet
+
+  private val aFollowedByB = CepPattern.begin("a").where(_ >= 8.0)
+    .followedBy("b").where(_ <= 2.0).build()
+
+  test("followedBy skips gap events that strict next would abort on") {
+    val d = df(1L -> 9.0, 2L -> 5.0, 3L -> 1.0)
+    assert(run(d, aFollowedByB) == Set(Seq(1L, 3L, 1L, 1L)))
+    val strict = CepPattern.begin("a").where(_ >= 8.0)
+      .next("b").where(_ <= 2.0).build()
+    assert(run(d, strict).isEmpty)
+    // and strict DOES match when adjacent
+    assert(run(df(1L -> 9.0, 2L -> 1.0), strict) == Set(Seq(1L, 2L, 1L, 1L)))
+  }
+
+  test("followedBy takes the FIRST match; followedByAny branches on all") {
+    val d = df(1L -> 9.0, 2L -> 1.0, 3L -> 2.0)
+    assert(run(d, aFollowedByB) == Set(Seq(1L, 2L, 1L, 1L)))
+    val any = CepPattern.begin("a").where(_ >= 8.0)
+      .followedByAny("b").where(_ <= 2.0).build()
+    assert(run(d, any) ==
+      Set(Seq(1L, 2L, 1L, 1L), Seq(1L, 3L, 1L, 1L)))
+  }
+
+  test("notNext kills when the immediate successor matches") {
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .notNext("x").where(v => v >= 4.0 && v < 8.0)
+      .followedBy("b").where(_ <= 2.0).build()
+    // 9, 5(=x), 1 → killed; 9, 3, 1 → match (gap row is not x)
+    assert(run(df(1L -> 9.0, 2L -> 5.0, 3L -> 1.0), p).isEmpty)
+    assert(run(df(1L -> 9.0, 2L -> 3.0, 3L -> 1.0), p) ==
+      Set(Seq(1L, 3L, 1L, 1L)))
+  }
+
+  test("notFollowedBy kills anywhere in the gap") {
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .notFollowedBy("x").where(v => v >= 4.0 && v < 8.0)
+      .followedBy("b").where(_ <= 2.0).build()
+    // kill row deep in the gap (notNext would have allowed it)
+    assert(run(df(1L -> 9.0, 2L -> 3.0, 3L -> 5.0, 4L -> 1.0), p).isEmpty)
+    assert(run(df(1L -> 9.0, 2L -> 3.0, 3L -> 3.0, 4L -> 1.0), p) ==
+      Set(Seq(1L, 4L, 1L, 1L)))
+  }
+
+  test("trailing notFollowedBy requires within and honors the deadline") {
+    intercept[IllegalArgumentException] {
+      CepPattern.begin("a").where(_ >= 8.0)
+        .notFollowedBy("x").where(_ <= 2.0).build()
+    }
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .notFollowedBy("x").where(_ <= 2.0).within(10L).build()
+    // killed: a lull inside the 10µs window after the spike
+    assert(run(df(1L -> 9.0, 5L -> 1.0), p).isEmpty)
+    // released: the lull lands after the deadline (1+10 < 15)
+    assert(run(df(1L -> 9.0, 15L -> 1.0), p) == Set(Seq(1L, 1L, 1L)))
+    // released at input end when nothing followed
+    assert(run(df(1L -> 9.0), p) == Set(Seq(1L, 1L, 1L)))
+  }
+
+  test("non-final oneOrMore is non-greedy: every interpretation emits") {
+    val p = CepPattern.begin("a").where(_ >= 5.0).oneOrMore()
+      .followedBy("b").where(_ <= 2.0).build()
+    // 9, 8, 1: a=[9,8]+b, a=[9]+b (gap-skip branch), a=[8]+b
+    assert(run(df(1L -> 9.0, 2L -> 8.0, 3L -> 1.0), p) == Set(
+      Seq(1L, 3L, 2L, 1L), Seq(1L, 3L, 1L, 1L), Seq(2L, 3L, 1L, 1L)))
+    // greedy on a non-final step is rejected (reference default is
+    // non-greedy; greedy is final-step-only here)
+    intercept[IllegalArgumentException] {
+      CepPattern.begin("a").where(_ >= 5.0).oneOrMore().greedy()
+        .followedBy("b").where(_ <= 2.0).build()
+    }
+  }
+
+  test("greedy final oneOrMore emits only the maximal extension") {
+    val p = CepPattern.begin("a").where(_ >= 5.0).oneOrMore().greedy()
+      .build()
+    assert(run(df(1L -> 9.0, 2L -> 8.0, 3L -> 7.0, 4L -> 1.0), p) == Set(
+      Seq(1L, 3L, 3L), Seq(2L, 3L, 2L), Seq(3L, 3L, 1L)))
+  }
+
+  test("times(n) exact quantifier with strict internal contiguity") {
+    val p = CepPattern.begin("a").where(_ >= 5.0).times(2)
+      .followedBy("b").where(_ <= 2.0).build()
+    assert(run(df(1L -> 9.0, 2L -> 8.0, 3L -> 1.0), p) ==
+      Set(Seq(1L, 3L, 2L, 1L)))
+    // a run broken by a non-matching row cannot fill times(2); only the
+    // unbroken pair after the break anchors a match
+    assert(run(df(1L -> 9.0, 2L -> 3.0, 3L -> 8.0, 4L -> 8.0, 5L -> 1.0),
+      p) == Set(Seq(3L, 5L, 2L, 1L)))
+  }
+
+  test("within bounds the whole match") {
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(_ <= 2.0).within(5L).build()
+    assert(run(df(1L -> 9.0, 10L -> 1.0), p).isEmpty)
+    assert(run(df(1L -> 9.0, 4L -> 1.0), p) == Set(Seq(1L, 4L, 1L, 1L)))
+  }
+
+  test("streaming parity: runs and held candidates cross batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = CepPattern.begin("a").where(_ >= 150.0)
+      .notFollowedBy("n").where(_ >= 100.0)
+      .followedBy("b").where(_ <= 2.0).build()
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    val rows = graft.operators.Dedup.keepFirst(e,
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val batch = CepPattern(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", p).collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cpp-").toString
+    val q = CepPattern.streaming(sdf, "user_id", "ts_us", "value", p)
+      .writeStream.format("memory").queryName("cep_pat")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (x, y) = ordered.splitAt(ordered.length / 2)
+      input.addData(x); q.processAllAvailable()
+      input.addData(y); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("cep_pat").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+}
