@@ -596,15 +596,31 @@ object CepNfa {
               runs.filter(_.startT != best.startT),
               pending.filter(_.startT != best.startT),
               best :: out)
-          case AfterMatchSkip.ToFirst(v) =>
+          case AfterMatchSkip.ToFirst(v, strict) =>
             val bd = skipBoundary(best, v, toFirst = true)
+            if (strict) {
+              // the reference's SQL path (CommonExecMatch attaches
+              // throwExceptionOnMiss()): a miss, or skipping to the
+              // match's own first row, raises instead of silently
+              // emitting the overlap set
+              if (bd.isEmpty) throw new IllegalStateException(
+                s"AFTER MATCH SKIP TO FIRST $v: the variable matched no " +
+                  "rows in a match (the SQL path raises on miss)")
+              if (bd.contains(firstRowT(best.stepT)))
+                throw new IllegalStateException(
+                  s"AFTER MATCH SKIP TO FIRST $v would skip to the " +
+                    "match's own first row (the reference's loop guard)")
+            }
             resolve(
               runs.filter(r => bd.forall(firstRowT(r.stepT) >= _)),
               pending.filter(c => c != best &&
                 bd.forall(firstRowT(c.stepT) >= _)),
               best :: out)
-          case AfterMatchSkip.ToLast(v) =>
+          case AfterMatchSkip.ToLast(v, strict) =>
             val bd = skipBoundary(best, v, toFirst = false)
+            if (strict && bd.isEmpty) throw new IllegalStateException(
+              s"AFTER MATCH SKIP TO LAST $v: the variable matched no " +
+                "rows in a match (the SQL path raises on miss)")
             resolve(
               runs.filter(r => bd.forall(firstRowT(r.stepT) >= _)),
               pending.filter(c => c != best &&

@@ -55,14 +55,22 @@ object AfterMatchSkip {
   /** Resume at the FIRST row the given pattern variable matched
     * (SkipToFirstStrategy.java): after a match emits, partial matches
     * whose first row precedes that row are pruned; ones starting AT it
-    * survive. A match where the variable matched nothing prunes nothing
-    * (the reference's non-throwing default). Supported by the
-    * concurrent-run engine ([[CepNfa]]). */
-  final case class ToFirst(variable: String) extends AfterMatchSkip
+    * survive. With `throwOnMiss = false` (the DataStream API default) a
+    * match where the variable matched nothing prunes nothing; with
+    * `throwOnMiss = true` (what the reference's SQL path attaches —
+    * CommonExecMatch calls `throwExceptionOnMiss()`) such a match
+    * raises, as does skipping to the match's own first row (the
+    * reference's infinite-loop guard for SKIP TO FIRST of the first
+    * variable). Supported by the concurrent-run engine ([[CepNfa]]). */
+  final case class ToFirst(variable: String, throwOnMiss: Boolean = false)
+    extends AfterMatchSkip
 
   /** Resume at the LAST row the given pattern variable matched
-    * (SkipToLastStrategy.java); otherwise as [[ToFirst]]. */
-  final case class ToLast(variable: String) extends AfterMatchSkip
+    * (SkipToLastStrategy.java); otherwise as [[ToFirst]] (`throwOnMiss`
+    * raises on a variable miss only — a last-row boundary cannot loop).
+    */
+  final case class ToLast(variable: String, throwOnMiss: Boolean = false)
+    extends AfterMatchSkip
 }
 
 /** Generalized MATCH_RECOGNIZE over measure-based consecutive-row

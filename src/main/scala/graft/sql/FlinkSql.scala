@@ -656,6 +656,16 @@ object FlinkSql {
         val s = p.toks(i).s
         if (s == "(") depth += 1
         else if (s == ")") depth -= 1
+        else if (depth == 0 && p.toks(i).up == "OR")
+          // a top-level OR makes the depth-0 equalities non-conjunctive:
+          // folding one into the join would silently drop rows the OR
+          // branch keeps — reject, as the reference's planner does
+          // (ADVICE r9)
+          throw new IllegalArgumentException(
+            "temporal table function join: the WHERE clause contains a " +
+              "top-level OR, so its key equalities are not guaranteed " +
+              "conjuncts — rewrite the disjunction (e.g. UNION ALL of " +
+              "conjunctive branches), as the reference requires")
         else if (depth == 0 && s == "=" && i > 0 && i + 1 < p.toks.length) {
           val a = p.toks(i - 1).s
           val b = p.toks(i + 1).s
@@ -697,8 +707,13 @@ object FlinkSql {
     * BY t) AS rn FROM s) WHERE rn = 1`. Spark rejects ranking windows on
     * streams, so on a STREAMING source the keep-first form routes to
     * `dropDuplicates` (`…WithinWatermark` when the source carries one) —
-    * append-only emission, exactly the reference's keep-first dedup; the
-    * spliced view carries `rn = 1` so the outer text runs unchanged.
+    * append-only emission. DOCUMENTED APPROXIMATION (ADVICE r9): this
+    * keeps the first-ARRIVED row per key, which equals the reference's
+    * keep-first (smallest-rowtime) dedup only when arrival order matches
+    * event-time order per key — exact for proctime-ordered dedup, an
+    * approximation under out-of-order event-time arrivals (the parsed
+    * ORDER BY column is not replayed). The spliced view carries `rn = 1`
+    * so the outer text runs unchanged.
     * Keep-last (`ORDER BY … DESC`) and Top-N (`rn <= N`) emit
     * retractions — rejected with a pointer at the changelog tier. Batch
     * inputs are untouched (Spark runs the window natively).
@@ -756,9 +771,12 @@ object FlinkSql {
         case (n, df) if n.equalsIgnoreCase(tblName) => df
       }.getOrElse(return None)
       if (!src.isStreaming) return None
-      // streaming source confirmed: unsupported shapes now ERROR clearly
-      // (plain spark.sql would reject the window with a generic message)
-      require(!desc,
+      // streaming source confirmed: the DELIBERATE unsupported shapes
+      // (keep-last, Top-N) now error clearly; any other parse/shape
+      // mismatch still falls through to None so plain Spark handles the
+      // statement (ADVICE r9: a mini-parser miss must not break valid
+      // queries just because SOME registered table is streaming)
+      if (desc) throw new StreamingShapeError(
         "streaming keep-LAST deduplication emits updates — use the " +
           "changelog tier (UpsertMaterialize) or StreamingDedupLast " +
           "(windowed)")
@@ -773,7 +791,7 @@ object FlinkSql {
       val lhs = q.ident()
       require(lhs.equalsIgnoreCase(rnAlias),
         s"expected the rank filter on $rnAlias, found $lhs")
-      if (q.peek == "<" || q.peek == "<=") throw new IllegalArgumentException(
+      if (q.peek == "<" || q.peek == "<=") throw new StreamingShapeError(
         "streaming Top-N emits retractions — use ChangelogTopN " +
           "(changelog tier) or StreamingTopN (windowed)")
       q.eat("=")
@@ -816,10 +834,18 @@ object FlinkSql {
       Some(text.substring(0, toks(selStart).start) + view + " " +
         text.substring(toks(aliasEnd - 1).end))
     } catch {
-      case _: IllegalArgumentException
-          if !tables.values.exists(_.isStreaming) => None
+      case e: StreamingShapeError => throw e
+      case _: IllegalArgumentException => None
     }
   }
+
+  /** A DELIBERATE streaming-unsupported-shape rejection (keep-last,
+    * Top-N) raised only after the source is confirmed streaming — the
+    * only mini-parser error allowed to escape [[rewriteStreamingDedup]];
+    * plain parse/shape mismatches return None and fall through to Spark.
+    */
+  private final class StreamingShapeError(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** Per-statement context threaded into the FROM-item translators. */
   private final case class Ctx(
@@ -1140,11 +1166,15 @@ object FlinkSql {
         // no PARTITION BY → GLOBAL sessions (the reference's unkeyed
         // session TVF): one island chain over the whole table, via a
         // constant key that never reaches the output. Several keys fold
-        // into one synthetic separator-joined key the same way.
+        // into one synthetic JSON-struct key (the CEP composite-key
+        // encoding): field names + JSON escaping keep distinct tuples
+        // distinct — NULL vs value and separator-containing strings
+        // cannot collide (ADVICE r9 vs the former concat_ws, which
+        // drops NULL elements).
         val (keyed, key, synthetic) = partitionKey match {
           case Some(Seq(k)) => (in, k, false)
           case Some(ks) => (in.withColumn("__graft_gk",
-            concat_ws("\u0001", ks.map(k => col(k).cast("string")): _*)),
+            to_json(struct(ks.map(col): _*))),
             "__graft_gk", true)
           case None =>
             (in.withColumn("__graft_gk", lit(0)), "__graft_gk", true)
@@ -1750,10 +1780,15 @@ object FlinkSql {
       else {
         p.eat("TO")
         if (p.opt("NEXT")) { p.eat("ROW"); skip = AfterMatchSkip.ToNextRow }
+        // the SQL path raises on a variable miss / own-start skip, as the
+        // reference's CommonExecMatch attaches throwExceptionOnMiss()
+        // (the DataStream API keeps the non-throwing default)
         else if (p.opt("FIRST"))
-          skip = AfterMatchSkip.ToFirst(p.ident().toLowerCase)
+          skip = AfterMatchSkip.ToFirst(p.ident().toLowerCase,
+            throwOnMiss = true)
         else if (p.opt("LAST"))
-          skip = AfterMatchSkip.ToLast(p.ident().toLowerCase)
+          skip = AfterMatchSkip.ToLast(p.ident().toLowerCase,
+            throwOnMiss = true)
         else throw new IllegalArgumentException(
           "AFTER MATCH SKIP TO expects NEXT ROW | FIRST <var> | LAST <var>")
       }

@@ -604,4 +604,100 @@ class FlinkSqlSpec extends SparkSpecBase {
     assert(pos.length == keys)
     assert(pos.forall(r => r.getInt(1) == 1 && r.getString(2) == "none"))
   }
+
+  test("batch ROW_NUMBER outside the dedup shape survives a mixed session") {
+    // ADVICE r9: with a STREAMING table registered, a batch query whose
+    // ROW_NUMBER doesn't fit the dedup mini-parser (no PARTITION BY)
+    // must fall through to plain Spark SQL, not raise from the parser.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)].toDF().toDF("k", "v")
+    val b = Seq((1L, 5.0), (1L, 3.0), (2L, 7.0)).toDF("k", "v")
+    val out = FlinkSql.sql(spark,
+      """SELECT * FROM (SELECT k, v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+        |FROM b) WHERE rn = 1""".stripMargin,
+      Map("b" -> b, "s" -> stream))
+    assert(out.collect().map(_.toSeq).toSeq == Seq(Seq(1L, 3.0, 1)))
+  }
+
+  test("SQL SKIP TO FIRST/LAST raises on miss and own-start (SQL path only)") {
+    import spark.implicits._
+    // PATTERN (a b) SKIP TO FIRST a: the skip boundary is the match's
+    // own first row — CommonExecMatch raises (loop guard)
+    val d = Seq((1L, 1L, 5.0), (1L, 2L, 4.0), (1L, 3L, 6.0))
+      .toDF("user_id", "ts_us", "value")
+    val ownStart = intercept[Exception] {
+      FlinkSql.sql(spark,
+        """SELECT * FROM d MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts_us
+          |  AFTER MATCH SKIP TO FIRST a
+          |  PATTERN (a b)
+          |  DEFINE a AS a.value < PREV(a.value),
+          |         b AS b.value > PREV(b.value)
+          |)""".stripMargin, Map("d" -> d)).collect()
+    }
+    assert(ownStart.getMessage != null &&
+      ownStart.getMessage.contains("own first row") ||
+      ownStart.getCause != null &&
+        ownStart.getCause.getMessage.contains("own first row"))
+    // SKIP TO LAST of an optional variable that matched nothing: raises
+    // through the SQL path (the Scala API default stays non-throwing —
+    // covered by the 'nope' case in CepNfaSpec)
+    val miss = intercept[Exception] {
+      FlinkSql.sql(spark,
+        """SELECT * FROM d MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts_us
+          |  AFTER MATCH SKIP TO LAST c
+          |  PATTERN (a b c?)
+          |  DEFINE a AS a.value < PREV(a.value),
+          |         b AS b.value > PREV(b.value),
+          |         c AS c.value > 100
+          |)""".stripMargin, Map("d" -> d)).collect()
+    }
+    assert(miss.getMessage != null && miss.getMessage.contains("matched no") ||
+      miss.getCause != null && miss.getCause.getMessage.contains("matched no"))
+  }
+
+  test("multi-key SESSION keeps NULL-bearing key tuples distinct") {
+    import spark.implicits._
+    // (NULL,'a') and ('a',NULL) collapsed under the former concat_ws
+    // fold (it drops NULL elements); the JSON-struct key keeps them
+    // apart, so their sessions never merge
+    val rows = Seq(
+      (Option.empty[String], Option("a"), 1000L * 1000000L),
+      (Option("a"), Option.empty[String], 1001L * 1000000L),
+      (Option.empty[String], Option("a"), 1002L * 1000000L))
+      .toDF("k1", "k2", "ts_ns")
+    val out = FlinkSql.sql(spark,
+      """SELECT k1, k2, COUNT(*) AS n
+        |FROM TABLE(SESSION(TABLE e PARTITION BY k1, k2,
+        |                   DESCRIPTOR(ts_ns), INTERVAL '1' HOUR))
+        |GROUP BY k1, k2, window_start""".stripMargin,
+      Map("e" -> rows))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((null, "a", 2L), ("a", null, 1L)))
+  }
+
+  test("temporal table function rejects a top-level OR in WHERE") {
+    import spark.implicits._
+    val versions = Seq((1, 1000L, 10.0)).toDF("r_key", "r_time", "r_rate")
+    val probes = Seq((1, 2000L)).toDF("k", "t")
+    FlinkSql.registerTemporalFunction("rates_or",
+      FlinkSql.TemporalFnSpec("rates", "r_time", Seq("r_key")))
+    val e = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        """SELECT k, t, r_rate FROM probes, LATERAL TABLE (rates_or(t))
+          |WHERE k = r_key OR k = 0""".stripMargin,
+        Map("probes" -> probes, "rates" -> versions))
+    }
+    assert(e.getMessage.contains("top-level OR"))
+    // parenthesized OR below a conjunct is fine
+    val ok = FlinkSql.sql(spark,
+      """SELECT k, t, r_rate FROM probes, LATERAL TABLE (rates_or(t))
+        |WHERE k = r_key AND (t > 0 OR t < -5)""".stripMargin,
+      Map("probes" -> probes, "rates" -> versions))
+    assert(ok.collect().map(_.toSeq).toSeq == Seq(Seq(1, 2000L, 10.0)))
+  }
 }
