@@ -827,7 +827,56 @@ object FlinkDdl {
               scala.util.Try(spark.conf.unset(k))
             else scala.util.Try(spark.conf.unset(s"spark.graft.flink.$k"))
           }
-        case "ANALYZE" => () // stats live in the files; accepted as no-op
+        case "ANALYZE" =>
+          // ANALYZE TABLE t [PARTITION(…)] COMPUTE STATISTICS
+          // [FOR COLUMNS c1, c2 | FOR ALL COLUMNS] — the reference's
+          // SqlNodeToOperationConversion ANALYZE branch / the stats the
+          // TPC-DS harness feeds CBO (TpcdsStatsProvider.java). A
+          // filesystem spec gets a session-catalog parquet/orc table
+          // registered over its files, Spark's NATIVE statement computes
+          // the statistics onto it, and subsequent reads of the graft
+          // table go through that entry so row-count/column stats reach
+          // Catalyst's cost model. PARTITION specs are accepted and
+          // analyzed whole-table (documented: the flat-namespace model
+          // keeps per-partition stats in the files).
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("ANALYZE"); p.eat("TABLE")
+          val name = p.ident()
+          if (p.opt("PARTITION")) {
+            p.eat("(")
+            var d = 1
+            while (d > 0 && !p.done) {
+              val s = p.next().s
+              if (s == "(") d += 1 else if (s == ")") d -= 1
+            }
+          }
+          p.eat("COMPUTE"); p.eat("STATISTICS")
+          val forClause =
+            if (p.opt("FOR")) {
+              if (p.opt("ALL")) { p.eat("COLUMNS"); " FOR ALL COLUMNS" }
+              else {
+                p.eat("COLUMNS")
+                val cs = scala.collection.mutable.ArrayBuffer(p.ident())
+                while (p.opt(",")) cs += p.ident()
+                s" FOR COLUMNS ${cs.mkString(", ")}"
+              }
+            } else ""
+          val spec = catalog.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"ANALYZE TABLE $name: unknown table; known: " +
+                catalog.keys.mkString(", ")))
+          require(spec.connector == "filesystem" && spec.path != null,
+            s"ANALYZE TABLE $name: only filesystem tables carry " +
+              "file-backed statistics")
+          require(Seq("parquet", "orc").contains(spec.format),
+            s"ANALYZE TABLE $name: self-describing formats only " +
+              s"(parquet/orc), not ${spec.format}")
+          val backed = s"graft_analyzed_$name"
+          spark.sql(s"DROP TABLE IF EXISTS `$backed`")
+          spark.catalog.createTable(backed, spec.path, spec.format)
+          spark.sql(s"ANALYZE TABLE `$backed` COMPUTE STATISTICS$forClause")
+          catalog(name) =
+            spec.copy(options = spec.options + (AnalyzedOpt -> backed))
         case "USE" =>
           // USE CATALOG c (SqlUseCatalog.java) | USE [db] (SqlUseDatabase)
           // | USE MODULES … (SqlUseModules — accepted, module resolution
@@ -1316,7 +1365,10 @@ object FlinkDdl {
             onMtAlter(name, MtDrop)
             catalog.remove(name) }
           else if (p.opt("TABLE")) { p.opt("IF"); p.opt("EXISTS")
-            catalog.remove(p.ident()) }
+            catalog.remove(p.ident()).foreach(s =>
+              // drop the ANALYZE stats-carrier entry with its table
+              s.options.get(AnalyzedOpt).foreach(b =>
+                spark.sql(s"DROP TABLE IF EXISTS `$b`"))) }
           else if (p.opt("MODEL")) { p.opt("IF"); p.opt("EXISTS")
             modelCatalog.remove(p.ident()) }
           else if (p.opt("CATALOG")) { p.opt("IF"); p.opt("EXISTS")
@@ -1452,6 +1504,13 @@ object FlinkDdl {
     val physical = StructType(spec.columns.collect {
       case ColumnSpec(n, Some(t), _, false, _) => StructField(n, t)
     })
+    // an ANALYZEd table reads through its session-catalog backing entry
+    // so the computed statistics (row count, column stats) reach
+    // Catalyst's cost model — the reference's TpcdsStatsProvider path
+    spec.options.get(AnalyzedOpt).foreach { backed =>
+      if (spark.catalog.tableExists(backed))
+        return spark.table(backed)
+    }
     spec.format match {
       case "parquet" | "orc" =>
         // self-describing formats: trust the files, project to declaration
@@ -2093,6 +2152,10 @@ object FlinkDdl {
   /** Set when no 'path' option was declared (engine-managed storage) —
     * CREATE OR ALTER keeps the existing table's storage in that case. */
   val MtManagedOpt = "materialized.managed-path"
+
+  /** Spec-option key holding the session-catalog table name an ANALYZE
+    * registered over this spec's files (stats carrier for the reads). */
+  val AnalyzedOpt = "analyze.backing-table"
 
   /** The documented refresh-mode inference threshold
     * (materialized-table.refresh-mode.freshness-threshold, 30 minutes):

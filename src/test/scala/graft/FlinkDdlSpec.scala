@@ -428,13 +428,13 @@ class FlinkDdlSpec extends SparkSpecBase {
       "global sessions must cover every row exactly once")
   }
 
-  test("fractional watermark intervals, ANALYZE/USE no-ops, CREATE FUNCTION unknown class") {
+  test("fractional watermark intervals, ANALYZE/USE, CREATE FUNCTION unknown class") {
     val res = FlinkDdl.runScript(spark,
       s"""USE CATALOG default_catalog;
          |CREATE TABLE ev (
          |  ts TIMESTAMP(3),
          |  WATERMARK FOR ts AS ts - INTERVAL '0.25' SECOND
-         |) WITH ('connector'='filesystem', 'path'='/tmp/nowhere',
+         |) WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
          |        'format'='parquet');
          |ANALYZE TABLE ev COMPUTE STATISTICS""".stripMargin)
     assert(res.catalog("ev").watermark
@@ -1287,5 +1287,46 @@ class FlinkDdlSpec extends SparkSpecBase {
     // DESCRIBE JOB errors in batch (no jobs), resolves in streaming
     intercept[IllegalArgumentException](
       FlinkDdl.run(spark, "DESCRIBE JOB 'nope'"))
+  }
+
+  test("ANALYZE TABLE COMPUTE STATISTICS feeds the cost model") {
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val res = FlinkDdl.runScript(spark,
+        s"""CREATE TABLE an_ev (
+           |  event_id BIGINT, user_id BIGINT, value DOUBLE
+           |) WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
+           |        'format'='parquet');
+           |ANALYZE TABLE an_ev COMPUTE STATISTICS FOR COLUMNS user_id;
+           |SELECT COUNT(*) AS n FROM an_ev""".stripMargin)
+      assert(res.dataFrame.collect().head.getLong(0) > 0)
+      // the spec now reads through the stats-carrying catalog entry
+      val spec = res.catalog("an_ev")
+      val backed = spec.options(FlinkDdl.AnalyzedOpt)
+      assert(spark.catalog.tableExists(backed))
+      // native statistics landed: DESC EXTENDED shows them …
+      val desc = spark.sql(s"DESC EXTENDED `$backed`")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      assert(desc.exists(l => l.contains("Statistics") && l.contains("rows")),
+        desc.mkString("\n"))
+      // … and the CBO-visible row count reaches the source's plan
+      val stats = FlinkDdl.sourceDf(spark, spec)
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.longValue > 0), stats.toString)
+      // DROP TABLE removes the stats carrier with the table
+      FlinkDdl.runScript(spark,
+        s"""CREATE TABLE an_ev2 (event_id BIGINT)
+           |WITH ('connector'='filesystem', 'path'='$sf/events.parquet',
+           |      'format'='parquet');
+           |ANALYZE TABLE an_ev2 COMPUTE STATISTICS;
+           |DROP TABLE an_ev2;
+           |SELECT 1 AS one""".stripMargin)
+      assert(!spark.catalog.tableExists("graft_analyzed_an_ev2"))
+      // unknown table errors clearly
+      val e = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+        "ANALYZE TABLE nope COMPUTE STATISTICS"))
+      assert(e.getMessage.contains("unknown table"))
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 }
