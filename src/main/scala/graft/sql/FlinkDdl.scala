@@ -797,10 +797,78 @@ object FlinkDdl {
           }
           }
         case "INSERT" => onInsert(stmt)
+        case "EXECUTE" if toks.length > 1 && toks(1).up == "PLAN" =>
+          // EXECUTE PLAN 'file' (SqlExecutePlan in flink-sql-parser):
+          // load a persisted plan manifest and run its pipeline. The
+          // manifest embeds the referenced CREATE TABLE statements, so
+          // execution is self-contained — a fresh session (or a session
+          // whose catalog has drifted) runs the compiled pipeline as it
+          // was at compile time, the reference's compiled-plan contract.
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("EXECUTE"); p.eat("PLAN")
+          val path = unquote(p.next().s)
+          val (creates, inner) = readPlanManifest(path)
+          run(spark, (creates :+ inner).mkString(";\n"))
         case "EXECUTE" | "BEGIN" =>
           // EXECUTE STATEMENT SET BEGIN <insert>; …; END  (or the legacy
           // BEGIN STATEMENT SET; … END spelling)
           for (inner <- statementSetInserts(stmt)) onInsert(inner)
+        case "COMPILE" =>
+          // COMPILE [AND EXECUTE] PLAN [IF NOT EXISTS] 'file' FOR
+          // <insert> (SqlCompilePlan / SqlCompileAndExecutePlan): persist
+          // the pipeline as a JSON manifest — the statement plus the
+          // CREATE TABLE DDL of every catalog table it references
+          // (regenerated via the SHOW CREATE TABLE writer, the same
+          // round-trip contract). graft's plans are declarative SQL over
+          // self-describing specs, so the manifest IS the compiled plan;
+          // Spark/Catalyst re-derives the physical plan at execute time
+          // (the reference pins physical operators — documented delta).
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("COMPILE")
+          val andExec = p.opt("AND")
+          if (andExec) p.eat("EXECUTE")
+          p.eat("PLAN")
+          val ifNotExists =
+            if (p.opt("IF")) { p.eat("NOT"); p.eat("EXISTS"); true }
+            else false
+          val path = unquote(p.next().s)
+          p.eat("FOR")
+          require(!p.done, "COMPILE PLAN … FOR needs a statement")
+          val inner = stmt.substring(toks(p.i).start).trim
+          val innerToks = FlinkSql.tokenize(inner)
+          require(innerToks.nonEmpty && innerToks.head.up == "INSERT",
+            "COMPILE PLAN supports a single INSERT statement (the " +
+              "reference's restriction); for several sinks compile one " +
+              "plan per INSERT — STATEMENT SET compilation is not " +
+              "supported here")
+          val file = new java.io.File(path)
+          if (file.exists() && !ifNotExists)
+            throw new IllegalArgumentException(
+              s"COMPILE PLAN: $path already exists — use COMPILE PLAN " +
+                "IF NOT EXISTS to keep it, or delete the file")
+          if (!file.exists()) {
+            // serialize the referenced catalog tables (token-membership
+            // scan over the statement) + the statement
+            val refd = catalog.values.filter(s =>
+              innerToks.exists(_.s.equalsIgnoreCase(s.name))).toSeq
+            val sb = new StringBuilder
+            def js(s: String): String = "\"" + s.flatMap {
+              case '"' => "\\\""
+              case '\\' => "\\\\"
+              case '\n' => "\\n"
+              case '\r' => "\\r"
+              case '\t' => "\\t"
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c => c.toString
+            } + "\""
+            sb.append("{\"version\":1,\"kind\":\"graft-compiled-plan\",")
+            sb.append("\"tables\":[")
+            sb.append(refd.map(s => js(showCreateTable(s))).mkString(","))
+            sb.append("],\"statement\":").append(js(inner)).append("}")
+            Option(file.getParentFile).foreach(_.mkdirs())
+            java.nio.file.Files.writeString(file.toPath, sb.toString)
+          }
+          if (andExec) onInsert(inner)
         case "SET" =>
           // `SET 'k' = 'v'` (SqlSet.java). Spark-namespaced keys apply to
           // the live session conf; Flink-namespaced keys are accepted as
@@ -2156,6 +2224,24 @@ object FlinkDdl {
   /** Spec-option key holding the session-catalog table name an ANALYZE
     * registered over this spec's files (stats carrier for the reads). */
   val AnalyzedOpt = "analyze.backing-table"
+
+  /** Parse a compiled-plan manifest: (CREATE statements, the pipeline
+    * statement). Jackson (a Spark dependency) reads the JSON. */
+  private def readPlanManifest(path: String): (Seq[String], String) = {
+    val file = new java.io.File(path)
+    require(file.exists(), s"EXECUTE PLAN: no plan file at $path")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(file.toPath))
+    require(root.path("kind").asText("") == "graft-compiled-plan",
+      s"EXECUTE PLAN: $path is not a graft compiled plan")
+    val creates = {
+      val arr = root.path("tables")
+      (0 until arr.size()).map(arr.get(_).asText())
+    }
+    val st = root.path("statement").asText("")
+    require(st.nonEmpty, s"EXECUTE PLAN: $path has no statement")
+    (creates, st)
+  }
 
   /** The documented refresh-mode inference threshold
     * (materialized-table.refresh-mode.freshness-threshold, 30 minutes):

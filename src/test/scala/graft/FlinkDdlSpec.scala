@@ -1289,6 +1289,57 @@ class FlinkDdlSpec extends SparkSpecBase {
       FlinkDdl.run(spark, "DESCRIBE JOB 'nope'"))
   }
 
+  test("COMPILE PLAN persists a manifest; EXECUTE PLAN runs it standalone") {
+    val dir = tmpDir()
+    val plan = s"$dir/plan.json"
+    def ddl = s"""CREATE TABLE cp_src (k BIGINT, v BIGINT) WITH (
+       |  'connector'='datagen', 'number-of-rows'='10',
+       |  'fields.k.kind'='sequence', 'fields.k.start'='0',
+       |  'fields.v.kind'='sequence', 'fields.v.start'='100');
+       |CREATE TABLE cp_snk (k BIGINT, v BIGINT) WITH (
+       |  'connector'='filesystem', 'path'='$dir/snk',
+       |  'format'='parquet');""".stripMargin
+    FlinkDdl.runScript(spark,
+      s"""$ddl
+         |COMPILE PLAN '$plan' FOR INSERT INTO cp_snk
+         |SELECT k, v FROM cp_src;
+         |SELECT 1 AS one""".stripMargin)
+    assert(new java.io.File(plan).exists())
+    // compile alone does not execute
+    assert(!new java.io.File(s"$dir/snk").exists() ||
+      spark.read.parquet(s"$dir/snk").count() == 0)
+    // the manifest is self-contained: a FRESH runner with an empty
+    // catalog executes it
+    FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'")
+    assert(spark.read.parquet(s"$dir/snk").count() == 10)
+    // recompiling over an existing file errors; IF NOT EXISTS keeps it
+    val e = intercept[IllegalArgumentException](FlinkDdl.runScript(spark,
+      s"""$ddl
+         |COMPILE PLAN '$plan' FOR INSERT INTO cp_snk
+         |SELECT k, v FROM cp_src""".stripMargin))
+    assert(e.getMessage.contains("already exists"))
+    FlinkDdl.runScript(spark,
+      s"""$ddl
+         |COMPILE PLAN IF NOT EXISTS '$plan' FOR INSERT INTO cp_snk
+         |SELECT k, v FROM cp_src""".stripMargin)
+    // COMPILE AND EXECUTE runs the statement immediately
+    val plan2 = s"$dir/plan2.json"
+    FlinkDdl.runScript(spark,
+      s"""$ddl
+         |COMPILE AND EXECUTE PLAN '$plan2' FOR INSERT INTO cp_snk
+         |SELECT k + 100 AS k, v FROM cp_src""".stripMargin)
+    assert(new java.io.File(plan2).exists())
+    assert(spark.read.parquet(s"$dir/snk").count() == 20)
+    // unsupported shapes are rejected with an actionable message
+    val bad = intercept[IllegalArgumentException](FlinkDdl.runScript(spark,
+      s"""$ddl
+         |COMPILE PLAN '$dir/p3.json' FOR SELECT k FROM cp_src""".stripMargin))
+    assert(bad.getMessage.contains("single INSERT"))
+    val missing = intercept[IllegalArgumentException](
+      FlinkDdl.runScript(spark, s"EXECUTE PLAN '$dir/nope.json'"))
+    assert(missing.getMessage.contains("no plan file"))
+  }
+
   test("ANALYZE TABLE COMPUTE STATISTICS feeds the cost model") {
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
