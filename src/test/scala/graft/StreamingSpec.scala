@@ -946,6 +946,41 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("StateServer: heap-bounded registry spills cold keys, serves them back") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.changelog.RowKind
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val df = input.toDF().toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssbd-").toString
+    val port = 18654
+    // cap the hot tier far below the key count: 100 live keys, 8 in heap
+    val q = StateServer.serve(df, "big", Seq("k"), port, ckpt,
+      maxHotKeys = 8)
+    try {
+      input.addData((1L to 100L).map(i =>
+        (i, i * 1.5, i, RowKind.Insert)))
+      q.processAllAvailable()
+      // the heap bound holds; nothing was lost
+      assert(StateServer.hotKeys("big") <= 8, StateServer.hotKeys("big"))
+      assert(StateServer.liveKeys("big") == 100L)
+      // a cold (spilled) key reads through with its exact typed value
+      assert(StateServer.lookup("big", Seq("3")).exists(_("v") == 4.5))
+      // update of a spilled key serves the new value; delete 404s even
+      // though an older spill copy exists
+      input.addData(Seq(
+        (5L, 99.0, 200L, RowKind.UpdateAfter),
+        (6L, 9.0, 201L, RowKind.Delete)))
+      q.processAllAvailable()
+      assert(StateServer.lookup("big", Seq("5")).exists(_("v") == 99.0))
+      assert(StateServer.lookup("big", Seq("6")).isEmpty)
+      assert(StateServer.liveKeys("big") == 99L)
+      assert(StateServer.hotKeys("big") <= 8)
+    } finally {
+      q.stop()
+      StateServer.stop()
+    }
+  }
+
   test("StateServer: literal '+' in keys and port-mismatch hygiene (ADVICE r8)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.changelog.RowKind
