@@ -185,4 +185,133 @@ object ChangelogTopN {
           outs.iterator
       }(sEnc, oEnc)
   }
+
+  /** FastTop1 fast path — the reference's FastTop1Function.java:58 (the
+    * rank-strategy specialization StreamExecRank picks when N = 1 and
+    * the input is an UPSERT stream): state per partition key is the ONE
+    * current champion (upsertKey, value) instead of the full live-row
+    * map — O(1) versus O(live rows).
+    *
+    * Applicability contract (the reference's RankProcessStrategy
+    * conditions, enforced loudly here instead of by a planner rule):
+    *  - the input is upsert-only: +I/+U envelopes, no -U/-D — a
+    *    retraction requires knowing the runner-up, which O(1) state
+    *    cannot; such inputs must use [[apply]];
+    *  - a key's sort value never DECREASES (monotone improvement) — a
+    *    champion worsening below the runner-up is likewise unknowable
+    *    from O(1) state. A decreasing update for the current champion
+    *    raises; for a non-champion it is harmless (it cannot change the
+    *    top) and is absorbed.
+    *
+    * Output: the same rank-1 changelog envelope as [[apply]] with n = 1
+    * (+I on first fill, -U/+U on champion or value change), so sinks and
+    * materialization are interchangeable.
+    */
+  def top1Upsert(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      upsertKeyCol: String,
+      valCol: String): DataFrame = {
+    val pIdx = partitionCols.map(df.schema.fieldIndex)
+    val ukIdx = df.schema.fieldIndex(upsertKeyCol)
+    val vIdx = df.schema.fieldIndex(valCol)
+    val kindIdx = df.schema.fieldIndex(RowKind.kindCol)
+    val seqIdx = df.schema.fieldIndex(RowKind.seqCol)
+
+    val outSchema = StructType(
+      pIdx.map(df.schema.fields(_)) ++ Seq(
+        StructField("rank", IntegerType),
+        df.schema.fields(ukIdx),
+        StructField(valCol, DoubleType),
+        StructField(RowKind.kindCol, StringType),
+        StructField(RowKind.seqCol, LongType)))
+
+    /** (champion, value) after one envelope; None champ change. */
+    def advance(
+        champ: Option[(Any, Double)], e: Row): Option[(Any, Double)] = {
+      val kind = e.getString(kindIdx)
+      require(kind == RowKind.Insert || kind == RowKind.UpdateAfter,
+        s"FastTop1 is an UPSERT-only fast path; envelope kind $kind " +
+          "requires the retractable engine (ChangelogTopN.apply)")
+      val uk = e.get(ukIdx)
+      val v = e.getAs[Number](vIdx).doubleValue()
+      champ match {
+        case None => Some((uk, v))
+        case Some((cu, cv)) if String.valueOf(uk) == String.valueOf(cu) =>
+          require(v >= cv,
+            s"FastTop1 requires non-decreasing sort values per key; " +
+              s"champion $cu worsened $cv -> $v — use the retractable " +
+              "engine (ChangelogTopN.apply)")
+          Some((cu, v))
+        case Some((cu, cv)) =>
+          // deterministic order: value DESC, key string ASC (as apply())
+          if (v > cv || (v == cv && String.valueOf(uk) < String.valueOf(cu)))
+            Some((uk, v))
+          else champ
+      }
+    }
+
+    /** Rank-1 envelope diff, 2 seq slots per change (as apply's diff). */
+    def diff1(
+        keyVals: Seq[Any],
+        old: Option[(Any, Double)],
+        nw: Option[(Any, Double)],
+        seq0: Long): (Long, Seq[Row]) = (old, nw) match {
+      case (o, w) if o == w => (seq0, Nil)
+      case (None, Some((uk, v))) =>
+        (seq0 + 2, Seq(Row.fromSeq(keyVals ++ Seq(1, uk, v,
+          RowKind.Insert, seq0 + 1))))
+      case (Some((ou, ov)), Some((nu, nv))) =>
+        (seq0 + 2, Seq(
+          Row.fromSeq(keyVals ++ Seq(1, ou, ov, RowKind.UpdateBefore, seq0)),
+          Row.fromSeq(keyVals ++ Seq(1, nu, nv, RowKind.UpdateAfter,
+            seq0 + 1))))
+      case (Some((ou, ov)), None) =>
+        (seq0 + 2, Seq(Row.fromSeq(keyVals ++ Seq(1, ou, ov,
+          RowKind.Delete, seq0))))
+    }
+
+    if (!df.isStreaming) {
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        df, partitionCols, Seq(col(RowKind.seqCol)), outSchema) {
+        (keyVals, rows) =>
+          var champ: Option[(Any, Double)] = None
+          var seq = 1L
+          rows.flatMap { e =>
+            val nw = advance(champ, e)
+            val (s2, outs) = diff1(keyVals, champ, nw, seq)
+            champ = nw
+            seq = s2
+            outs
+          }
+      }
+    }
+
+    val keySchema = StructType(pIdx.map(df.schema.fields(_)))
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    // O(1) state: emission seq + the single champion
+    type S = (Long, Option[(Any, Double)])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(pIdx.map(r.get)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          var (seq, champ) = state.getOption.getOrElse(
+            (1L, Option.empty[(Any, Double)]))
+          val out = Seq.newBuilder[Row]
+          rows.toSeq.sortBy(_.getLong(seqIdx)).foreach { e =>
+            val nw = advance(champ, e)
+            val (s2, outs) = diff1(key.toSeq, champ, nw, seq)
+            champ = nw
+            seq = s2
+            outs.foreach(out += _)
+          }
+          state.update((seq, champ))
+          out.result().iterator
+      }(sEnc, oEnc)
+  }
 }

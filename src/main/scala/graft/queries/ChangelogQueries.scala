@@ -449,6 +449,50 @@ object ChangelogQueries {
         ORDER BY o_orderpriority, rank
       """.stripMargin.trim)),
 
+    // FastTop1 fast path (FastTop1Function.java): Top-1 over an
+    // UPSERT-only feed (inserts + improving updates, no retractions) —
+    // champion-only O(1) state per partition instead of the full
+    // live-row map. Oracle: rank-1 of the final upsert image.
+    QueryDef(
+      "q_changelog_top1_fast",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("price"))
+        val feed = ob
+          .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+            lit(10L).as(RowKind.seqCol), lit(RowKind.Insert).as(RowKind.kindCol))
+          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              (col("price") * 1.5).as("price"),
+              lit(20L).as(RowKind.seqCol),
+              lit(RowKind.UpdateAfter).as(RowKind.kindCol)))
+        UpsertMaterialize(
+          ChangelogTopN.top1Upsert(feed, Seq("o_orderpriority"),
+            "o_orderkey", "price"),
+          Seq("o_orderpriority", "rank"))
+          .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+            col("price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 1.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS price
+          FROM orders),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY price DESC, CAST(o_orderkey AS VARCHAR) ASC)
+                 AS rank
+          FROM ofinal)
+        SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, price
+        FROM r WHERE rank = 1
+        ORDER BY o_orderpriority
+      """.stripMargin.trim)),
+
     // LEFT OUTER changelog join: orders of deleted customers stay as
     // null-padded rows; the padding appears/retracts as matches come and
     // go. Oracle: LEFT JOIN of the two final states.

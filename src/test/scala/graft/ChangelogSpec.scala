@@ -1,6 +1,7 @@
 package graft
 
 import graft.changelog._
+import graft.streaming.StateQuery
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -777,6 +778,76 @@ class ChangelogSpec extends SparkSpecBase {
       .select("rank", "uk", "v").as[(Int, Long, Double)]
       .collect().sortBy(_._1).toSeq
     assert(batchMat == mat)
+  }
+
+  test("FastTop1 upsert fast path: parity with retractable engine, O(1) state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one partition, 200 distinct upsert keys (upsert-only, values never
+    // decrease per key) — the FastTop1Function applicability conditions
+    val feed = (1L to 200L).map(k =>
+      ("p", k, (k * 7 % 199).toDouble, k, RowKind.Insert)) ++ Seq(
+      // the current champion improves further (same champion, new value)
+      ("p", 170L, 500.0, 201L, RowKind.UpdateAfter),
+      // a challenger overtakes
+      ("p", 44L, 900.0, 202L, RowKind.UpdateAfter))
+    def mat(out: org.apache.spark.sql.DataFrame) =
+      UpsertMaterialize(out, Seq("pk", "rank"))
+        .select("rank", "uk", "v").as[(Int, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    val batchDf = feed.toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+    // batch parity: fast path == retractable engine at n = 1
+    val fastB = mat(ChangelogTopN.top1Upsert(batchDf, Seq("pk"), "uk", "v"))
+    val genB = mat(ChangelogTopN(batchDf, Seq("pk"), "uk", "v", 1))
+    assert(fastB == genB && fastB == Seq((1, 44L, 900.0)))
+
+    // streaming parity across batches + state-footprint comparison
+    def runStream(fast: Boolean): (Seq[(Int, Long, Double)], Long) = {
+      val input = MemoryStream[(String, Long, Double, Long, String)]
+      val df = input.toDF()
+        .toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-ft1-$fast-").toString
+      val name = if (fast) "ft1_fast" else "ft1_gen"
+      val out =
+        if (fast) ChangelogTopN.top1Upsert(df, Seq("pk"), "uk", "v")
+        else ChangelogTopN(df, Seq("pk"), "uk", "v", 1)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        val (a, b) = feed.splitAt(feed.size / 2)
+        input.addData(a); q.processAllAvailable()
+        input.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      // schema-agnostic state size: total JSON length of the state rows
+      val stateBytes = StateQuery(spark, ckpt).toJSON.collect()
+        .map(_.length.toLong).sum
+      (mat(spark.table(name)), stateBytes)
+    }
+    val (fastS, fastBytes) = runStream(fast = true)
+    val (genS, genBytes) = runStream(fast = false)
+    assert(fastS == genS && fastS == fastB)
+    // the fast path's champion-only state is an order of magnitude
+    // smaller than the full live-row map over 200 keys
+    assert(fastBytes * 10 < genBytes,
+      s"fast state $fastBytes bytes vs general $genBytes")
+
+    // applicability violations raise loudly instead of mis-answering
+    val retractFeed = Seq(("p", 1L, 5.0, 1L, RowKind.Insert),
+      ("p", 1L, 5.0, 2L, RowKind.Delete))
+      .toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      ChangelogTopN.top1Upsert(retractFeed, Seq("pk"), "uk", "v").collect()
+    }
+    assert(e1.getMessage.contains("UPSERT-only") ||
+      Option(e1.getCause).exists(_.getMessage.contains("UPSERT-only")))
+    val worseFeed = Seq(("p", 1L, 5.0, 1L, RowKind.Insert),
+      ("p", 1L, 3.0, 2L, RowKind.UpdateAfter))
+      .toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      ChangelogTopN.top1Upsert(worseFeed, Seq("pk"), "uk", "v").collect()
+    }
+    assert(e2.getMessage.contains("non-decreasing") ||
+      Option(e2.getCause).exists(_.getMessage.contains("non-decreasing")))
   }
 
   test("ChangelogJoin idle TTL drops state; late arrivals re-pair fresh") {
