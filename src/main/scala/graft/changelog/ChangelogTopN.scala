@@ -31,7 +31,47 @@ import org.apache.spark.sql.types._
   * One hash shuffle on the partition key; emission diffs are O(N) per
   * batch after an O(live) re-rank bounded by the partition's live rows.
   */
-object ChangelogTopN {
+object ChangelogTopN extends Serializable {
+
+  private def isRetract(kind: String): Boolean =
+    kind == RowKind.UpdateBefore || kind == RowKind.Delete
+
+  /** Diff two rank assignments into changelog rows; the per-key
+    * emission counter stamps `__seq` (2 slots per change so -U < +U). */
+  private def diff(
+      keyVals: Seq[Any],
+      old: Vector[(Any, Double)],
+      nw: Vector[(Any, Double)],
+      seq0: Long): (Long, Seq[Row]) = {
+    var seq = seq0
+    val out = Seq.newBuilder[Row]
+    val m = math.max(old.length, nw.length)
+    var r = 0
+    while (r < m) {
+      val o = old.lift(r)
+      val w = nw.lift(r)
+      (o, w) match {
+        case (Some(ov), Some(nv)) if ov == nv => ()
+        case (Some(ov), Some(nv)) =>
+          out += Row.fromSeq(keyVals ++ Seq(r + 1, ov._1, ov._2,
+            RowKind.UpdateBefore, seq))
+          out += Row.fromSeq(keyVals ++ Seq(r + 1, nv._1, nv._2,
+            RowKind.UpdateAfter, seq + 1))
+          seq += 2
+        case (None, Some(nv)) =>
+          out += Row.fromSeq(keyVals ++ Seq(r + 1, nv._1, nv._2,
+            RowKind.Insert, seq + 1))
+          seq += 2
+        case (Some(ov), None) =>
+          out += Row.fromSeq(keyVals ++ Seq(r + 1, ov._1, ov._2,
+            RowKind.Delete, seq))
+          seq += 2
+        case (None, None) => ()
+      }
+      r += 1
+    }
+    (seq, out.result())
+  }
 
   def apply(
       df: DataFrame,
@@ -59,46 +99,6 @@ object ChangelogTopN {
       live.toVector
         .sortBy { case (uk, v) => (-v, String.valueOf(uk)) }
         .take(n)
-
-    def isRetract(kind: String): Boolean =
-      kind == RowKind.UpdateBefore || kind == RowKind.Delete
-
-    /** Diff two rank assignments into changelog rows; the per-key
-      * emission counter stamps `__seq` (2 slots per change so -U < +U). */
-    def diff(
-        keyVals: Seq[Any],
-        old: Vector[(Any, Double)],
-        nw: Vector[(Any, Double)],
-        seq0: Long): (Long, Seq[Row]) = {
-      var seq = seq0
-      val out = Seq.newBuilder[Row]
-      val m = math.max(old.length, nw.length)
-      var r = 0
-      while (r < m) {
-        val o = old.lift(r)
-        val w = nw.lift(r)
-        (o, w) match {
-          case (Some(ov), Some(nv)) if ov == nv => ()
-          case (Some(ov), Some(nv)) =>
-            out += Row.fromSeq(keyVals ++ Seq(r + 1, ov._1, ov._2,
-              RowKind.UpdateBefore, seq))
-            out += Row.fromSeq(keyVals ++ Seq(r + 1, nv._1, nv._2,
-              RowKind.UpdateAfter, seq + 1))
-            seq += 2
-          case (None, Some(nv)) =>
-            out += Row.fromSeq(keyVals ++ Seq(r + 1, nv._1, nv._2,
-              RowKind.Insert, seq + 1))
-            seq += 2
-          case (Some(ov), None) =>
-            out += Row.fromSeq(keyVals ++ Seq(r + 1, ov._1, ov._2,
-              RowKind.Delete, seq))
-            seq += 2
-          case (None, None) => ()
-        }
-        r += 1
-      }
-      (seq, out.result())
-    }
 
     def applyEnvelope(
         live: scala.collection.mutable.Map[Any, Double], e: Row): Unit = {
@@ -311,6 +311,117 @@ object ChangelogTopN {
             outs.foreach(out += _)
           }
           state.update((seq, champ))
+          out.result().iterator
+      }(sEnc, oEnc)
+  }
+
+  /** Updatable Top-N fast path — the reference's
+    * UpdatableTopNFunction.java:63 (the rank strategy StreamExecRank
+    * picks for an UPSERT input whose sort field only improves): state
+    * per partition key is the N-row RANK BUFFER alone, not the full
+    * live-row map — O(N) versus O(live rows).
+    *
+    * Applicability contract (RankProcessStrategy, enforced loudly):
+    * upsert-only envelopes (+I/+U); a BUFFERED key's sort value never
+    * decreases (a decreasing update raises — the true successor is
+    * unknowable from buffer-only state). A non-buffered key below the
+    * buffer floor is ignored: values only improve, so an evicted or
+    * never-admitted key ranks below the floor until a LATER envelope
+    * lifts it in — which re-admits it then. Same changelog envelope as
+    * [[apply]], so sinks and materialization interchange.
+    */
+  def updatableTopN(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      upsertKeyCol: String,
+      valCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val pIdx = partitionCols.map(df.schema.fieldIndex)
+    val ukIdx = df.schema.fieldIndex(upsertKeyCol)
+    val vIdx = df.schema.fieldIndex(valCol)
+    val kindIdx = df.schema.fieldIndex(RowKind.kindCol)
+    val seqIdx = df.schema.fieldIndex(RowKind.seqCol)
+
+    val outSchema = StructType(
+      pIdx.map(df.schema.fields(_)) ++ Seq(
+        StructField("rank", IntegerType),
+        df.schema.fields(ukIdx),
+        StructField(valCol, DoubleType),
+        StructField(RowKind.kindCol, StringType),
+        StructField(RowKind.seqCol, LongType)))
+
+    def rankKey(uk: Any, v: Double): (Double, String) =
+      (-v, String.valueOf(uk))
+
+    /** Apply one envelope to the rank buffer. */
+    def advance(
+        buf: Vector[(Any, Double)], e: Row): Vector[(Any, Double)] = {
+      val kind = e.getString(kindIdx)
+      require(kind == RowKind.Insert || kind == RowKind.UpdateAfter,
+        s"UpdatableTopN is an UPSERT-only fast path; envelope kind " +
+          s"$kind requires the retractable engine (ChangelogTopN.apply)")
+      val uk = e.get(ukIdx)
+      val str = String.valueOf(uk)
+      val v = e.getAs[Number](vIdx).doubleValue()
+      val at = buf.indexWhere { case (bu, _) => String.valueOf(bu) == str }
+      if (at >= 0) {
+        require(v >= buf(at)._2,
+          s"UpdatableTopN requires non-decreasing sort values for " +
+            s"buffered keys; $uk worsened ${buf(at)._2} -> $v — use the " +
+            "retractable engine (ChangelogTopN.apply)")
+        (buf.updated(at, (uk, v))).sortBy { case (u, x) => rankKey(u, x) }
+      } else if (buf.length < n)
+        (buf :+ ((uk, v))).sortBy { case (u, x) => rankKey(u, x) }
+      else {
+        val floor = buf.last
+        if (Ordering[(Double, String)].lt(rankKey(uk, v),
+            rankKey(floor._1, floor._2)))
+          (buf.init :+ ((uk, v))).sortBy { case (u, x) => rankKey(u, x) }
+        else buf // below the floor: can only re-enter by improving later
+      }
+    }
+
+    if (!df.isStreaming) {
+      return graft.operators.SecondarySort.mapOrderedGroups(
+        df, partitionCols, Seq(col(RowKind.seqCol)), outSchema) {
+        (keyVals, rows) =>
+          var buf = Vector.empty[(Any, Double)]
+          var seq = 1L
+          rows.flatMap { e =>
+            val nw = advance(buf, e)
+            val (s2, outs) = diff(keyVals, buf, nw, seq)
+            buf = nw
+            seq = s2
+            outs
+          }
+      }
+    }
+
+    val keySchema = StructType(pIdx.map(df.schema.fields(_)))
+    val kEnc: Encoder[Row] = Encoders.row(keySchema)
+    val vEnc: Encoder[Row] = Encoders.row(df.schema)
+    // O(N) state: emission seq + the rank buffer
+    type S = (Long, Vector[(Any, Double)])
+    val sEnc: Encoder[S] = Encoders.kryo[S]
+    val oEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    df.as[Row](vEnc)
+      .groupByKey(r => Row.fromSeq(pIdx.map(r.get)))(kEnc)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
+          var (seq, buf) = state.getOption.getOrElse(
+            (1L, Vector.empty[(Any, Double)]))
+          val out = Seq.newBuilder[Row]
+          rows.toSeq.sortBy(_.getLong(seqIdx)).foreach { e =>
+            val nw = advance(buf, e)
+            val (s2, outs) = diff(key.toSeq, buf, nw, seq)
+            buf = nw
+            seq = s2
+            outs.foreach(out += _)
+          }
+          state.update((seq, buf))
           out.result().iterator
       }(sEnc, oEnc)
   }

@@ -198,7 +198,9 @@ object CepNfa {
     * faces). */
   final case class MeasureSpec(
       agg: String, step: String, as: String, colIdx: Int = 0) {
-    require(Seq("first", "last", "min", "max", "sum").contains(agg),
+    require(
+      Seq("first", "last", "min", "max", "sum", "count", "avg")
+        .contains(agg),
       s"unknown measure agg: $agg")
   }
 
@@ -705,6 +707,10 @@ object CepNfa {
       case "min" => ms.map(_.mn).min
       case "max" => ms.map(_.mx).max
       case "sum" => ms.map(_.sum).sum
+      // COUNT/AVG emit as DoubleType like every measure column (the
+      // engine's uniform measure type); SQL oracles CAST accordingly
+      case "count" => ms.map(_.n).sum.toDouble
+      case "avg" => ms.map(_.sum).sum / ms.map(_.n).sum
     }
   }
 

@@ -493,6 +493,49 @@ object ChangelogQueries {
         ORDER BY o_orderpriority
       """.stripMargin.trim)),
 
+    // Updatable Top-N fast path (UpdatableTopNFunction.java): Top-3
+    // over an upsert-only, monotone-improving feed — rank-buffer-only
+    // O(N) state. Oracle: ranks 1..3 of the final upsert image.
+    QueryDef(
+      "q_changelog_topn_updatable",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("price"))
+        val feed = ob
+          .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+            lit(10L).as(RowKind.seqCol), lit(RowKind.Insert).as(RowKind.kindCol))
+          .unionByName(ob.where(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              (col("price") * 1.5).as("price"),
+              lit(20L).as(RowKind.seqCol),
+              lit(RowKind.UpdateAfter).as(RowKind.kindCol)))
+        UpsertMaterialize(
+          ChangelogTopN.updatableTopN(feed, Seq("o_orderpriority"),
+            "o_orderkey", "price", 3),
+          Seq("o_orderpriority", "rank"))
+          .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+            col("price"))
+          .orderBy(col("o_orderpriority"), col("rank"))
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 1.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS price
+          FROM orders),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY price DESC, CAST(o_orderkey AS VARCHAR) ASC)
+                 AS rank
+          FROM ofinal)
+        SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, price
+        FROM r WHERE rank <= 3
+        ORDER BY o_orderpriority, rank
+      """.stripMargin.trim)),
+
     // LEFT OUTER changelog join: orders of deleted customers stay as
     // null-padded rows; the padding appears/retracts as matches come and
     // go. Oracle: LEFT JOIN of the two final states.

@@ -1758,7 +1758,9 @@ object FlinkSql {
       var more = true
       while (more) {
         val agg = p.ident().toLowerCase
-        require(Seq("first", "last", "min", "max", "sum").contains(agg),
+        require(
+          Seq("first", "last", "min", "max", "sum", "count", "avg")
+            .contains(agg),
           s"unsupported MEASURES aggregate $agg")
         p.eat("(")
         val sym = p.ident()

@@ -542,4 +542,22 @@ class CepNfaSpec extends SparkSpecBase {
     val streamed = spark.table("nfa_iter").collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("MEASURES COUNT and AVG aggregates through the SQL entry") {
+    val d = Seq((1L, 1L, 9.0), (1L, 2L, 7.0), (1L, 3L, 5.0), (1L, 4L, 8.0))
+      .toDF("user_id", "ts_us", "vf")
+    // down matches [7, 5]: COUNT = 2, AVG = 6 (emitted as DoubleType,
+    // the engine's uniform measure column type)
+    val out = graft.sql.FlinkSql.sql(spark,
+      """SELECT user_id, n_cnt, a_avg FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_us
+        |  MEASURES COUNT(down.vf) AS n_cnt, AVG(down.vf) AS a_avg
+        |  PATTERN (down+ up)
+        |  DEFINE down AS down.vf < PREV(down.vf),
+        |         up AS up.vf > PREV(up.vf)
+        |)""".stripMargin, Map("d" -> d))
+      .collect().map(_.toSeq).toSeq
+    assert(out == Seq(Seq(1L, 2.0, 6.0)), out)
+  }
 }

@@ -850,6 +850,67 @@ class ChangelogSpec extends SparkSpecBase {
       Option(e2.getCause).exists(_.getMessage.contains("non-decreasing")))
   }
 
+  test("UpdatableTopN fast path: buffer-only state matches retractable engine") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one partition, 50 upsert keys; improvements drive admission,
+    // in-buffer updates, and a below-floor ignore that later re-enters
+    val feed = (1L to 50L).map(k =>
+      ("p", k, (k * 13 % 47).toDouble, k, RowKind.Insert)) ++ Seq(
+      ("p", 10L, 100.0, 51L, RowKind.UpdateAfter), // admitted to the top
+      ("p", 10L, 120.0, 52L, RowKind.UpdateAfter), // in-buffer update
+      ("p", 3L, 48.0, 53L, RowKind.UpdateAfter),   // improves, enters
+      ("p", 51L, 1.0, 54L, RowKind.Insert),        // below-floor: ignored
+      ("p", 51L, 200.0, 55L, RowKind.UpdateAfter)) // re-enters from below
+    def mat(out: org.apache.spark.sql.DataFrame) =
+      UpsertMaterialize(out, Seq("pk", "rank"))
+        .select("rank", "uk", "v").as[(Int, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    val batchDf = feed.toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+    val fastB = mat(ChangelogTopN.updatableTopN(batchDf, Seq("pk"), "uk",
+      "v", 3))
+    val genB = mat(ChangelogTopN(batchDf, Seq("pk"), "uk", "v", 3))
+    assert(fastB == genB && fastB.head._2 == 51L, s"$fastB vs $genB")
+
+    def runStream(fast: Boolean): (Seq[(Int, Long, Double)], Long) = {
+      val input = MemoryStream[(String, Long, Double, Long, String)]
+      val df = input.toDF()
+        .toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-utn-$fast-").toString
+      val name = if (fast) "utn_fast" else "utn_gen"
+      val out =
+        if (fast) ChangelogTopN.updatableTopN(df, Seq("pk"), "uk", "v", 3)
+        else ChangelogTopN(df, Seq("pk"), "uk", "v", 3)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        val (a, b) = feed.splitAt(feed.size / 2)
+        input.addData(a); q.processAllAvailable()
+        input.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val stateBytes = StateQuery(spark, ckpt).toJSON.collect()
+        .map(_.length.toLong).sum
+      (mat(spark.table(name)), stateBytes)
+    }
+    val (fastS, fastBytes) = runStream(fast = true)
+    val (genS, genBytes) = runStream(fast = false)
+    assert(fastS == genS && fastS == fastB)
+    // N-row buffer vs 50-row live map
+    assert(fastBytes * 4 < genBytes,
+      s"fast state $fastBytes bytes vs general $genBytes")
+
+    // a buffered key worsening raises (buffer-only state cannot know
+    // the successor)
+    val worse = Seq(("p", 1L, 50.0, 1L, RowKind.Insert),
+      ("p", 1L, 10.0, 2L, RowKind.UpdateAfter))
+      .toDF("pk", "uk", "v", RowKind.seqCol, RowKind.kindCol)
+    val e = intercept[org.apache.spark.SparkException] {
+      ChangelogTopN.updatableTopN(worse, Seq("pk"), "uk", "v", 3).collect()
+    }
+    assert(e.getMessage.contains("non-decreasing") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-decreasing")))
+  }
+
   test("ChangelogJoin idle TTL drops state; late arrivals re-pair fresh") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lIn = MemoryStream[(Long, Long, Double, Long, String)]
