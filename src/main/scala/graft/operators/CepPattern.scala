@@ -134,10 +134,32 @@ object CepPattern {
       this
     }
 
+    /** `times(from, to)` range quantifier (Pattern.java times(int,int)):
+      * between `from` and `to` occurrences, strict internal contiguity,
+      * non-greedy (every count in range emits, the reference default). */
+    def times(from: Int, to: Int): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(from >= 0 && to >= 1 && from <= to,
+        s"times($from, $to) needs 0 <= from <= to, to >= 1")
+      steps(steps.length - 1) =
+        steps.last.copy(minTimes = from, maxTimes = to)
+      this
+    }
+
     def oneOrMore(): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
       steps(steps.length - 1) =
         steps.last.copy(minTimes = 1, maxTimes = Int.MaxValue)
+      this
+    }
+
+    /** `optional()` (Pattern.java:optional): the step may match zero
+      * times — `B?`; after [[oneOrMore]] it yields zero-or-more (`B*`),
+      * the reference's composition. Not allowed on the first step (it
+      * anchors the match). */
+    def optional(): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      steps(steps.length - 1) = steps.last.copy(minTimes = 0)
       this
     }
 
@@ -168,10 +190,29 @@ object CepPattern {
       ss.foreach { s =>
         require(s.greedy || s.minTimes <= s.maxTimes, s"bad quantifier on ${s.name}")
       }
+      require(ss.head.minTimes >= 1,
+        s"the first step (${ss.head.name}) may not be optional: it " +
+          "anchors the match")
       ss.init.foreach { s =>
         require(!s.greedy,
           s"greedy is supported on the final step only (${s.name}) — " +
             "non-final quantifiers are non-greedy, the reference default")
+      }
+      // optional steps and NOT patterns may not be adjacent: while a run
+      // waits at the gap before an optional step, the engine keeps ONE
+      // subsuming waiting state, which cannot distinguish which side of
+      // the skipped step a negative condition guards
+      ss.indices.foreach { i =>
+        if (ss(i).minTimes == 0) {
+          require(ss(i).notNextCond.isEmpty && ss(i).notDuringCond.isEmpty,
+            s"a NOT pattern directly before optional step ${ss(i).name} " +
+              "is not supported")
+          if (i < ss.length - 1)
+            require(ss(i + 1).notNextCond.isEmpty &&
+              ss(i + 1).notDuringCond.isEmpty,
+              s"a NOT pattern directly after optional step ${ss(i).name} " +
+                "is not supported")
+        }
       }
       Pattern(ss, trailing, withinUs)
     }
@@ -209,6 +250,13 @@ object CepPattern {
     private def inBudget(start: Long, t: Long): Boolean =
       pat.withinUs.forall(t - start <= _)
 
+    /** Every step after `i` is optional → a match may end at step `i`. */
+    private def tailOptional(i: Int): Boolean = {
+      var j = i + 1
+      while (j <= last && steps(j).minTimes == 0) j += 1
+      j > last
+    }
+
     /** Emit or hold a completed snapshot. */
     private def complete(
         startT: Long, endT: Long, counts: Vector[Long],
@@ -233,29 +281,49 @@ object CepPattern {
       val succ = scala.collection.mutable.ListBuffer.empty[PRun]
       var died = true // becomes false if any branch survives
 
-      def enterGapOrStep(i: Int, from: PRun, gapFirst: Boolean): Unit = {
+      /** `entryOnly` marks a skip-over recursion past an optional step:
+        * only step ENTRY is attempted there — the waiting state stays at
+        * the outermost gap position, which subsumes the deeper gaps (it
+        * re-runs this walk on every later row), so no duplicate waiting
+        * runs or duplicate emissions arise. */
+      def enterGapOrStep(
+          i: Int, from: PRun, gapFirst: Boolean,
+          entryOnly: Boolean = false): Unit = {
         // test row v against step i's entry from the gap
         val s = steps(i)
         if (gapFirst && s.notNextCond.exists(_(v))) return // notNext kills
         if (s.where(v)) {
           val advanced = from.copy(idx = i, cnt = 1, gapFirst = false,
             endT = t, counts = from.counts.updated(i, from.counts(i) + 1L))
-          if (i == last && 1 >= s.minTimes) {
-            if (s.greedy)
-              succ += advanced.copy(best = Some((t, advanced.counts)))
-            else {
-              complete(advanced.startT, t, advanced.counts, out, held)
-              if (s.maxTimes > 1) succ += advanced // more emissions may follow
-            }
-          } else succ += advanced
-          if (s.link == RelaxedAny)
-            succ += from.copy(idx = i, cnt = 0, gapFirst = false)
-        } else s.link match {
+          val done = 1 >= s.minTimes && tailOptional(i)
+          if (done && i == last && s.greedy)
+            succ += advanced.copy(best = Some((t, advanced.counts)))
+          else {
+            if (done) complete(advanced.startT, t, advanced.counts, out, held)
+            if (s.maxTimes > 1 || i < last || !done)
+              succ += advanced // longer interpretations may follow
+          }
+          if (!entryOnly) {
+            if (s.link == RelaxedAny)
+              // followedByAny: later matches of THIS step also branch
+              succ += from.copy(idx = i, cnt = 0, gapFirst = false)
+            else if (s.minTimes == 0 && i < last)
+              // optional take keeps the skip-it interpretation alive —
+              // waiting PAST the step (a b? c on a,b,c rows yields both
+              // (a,b,c) and (a,c); the skipped branch cannot take a
+              // later b, matching the reference's branch states)
+              succ += from.copy(idx = i + 1, cnt = 0, gapFirst = false)
+          }
+        } else if (!entryOnly) s.link match {
           case Strict => () // this branch dies
           case _ =>
             if (!s.notDuringCond.exists(_(v)))
               succ += from.copy(idx = i, cnt = 0, gapFirst = false)
         }
+        // optional step: the row may instead enter a LATER step —
+        // skip-over branch (both interpretations live, NO_SKIP)
+        if (s.minTimes == 0 && i < last)
+          enterGapOrStep(i + 1, from, gapFirst, entryOnly = true)
       }
 
       if (r.cnt == 0) {
@@ -267,10 +335,13 @@ object CepPattern {
         if (r.cnt < s.maxTimes && s.where(v)) {
           val ext = r.copy(cnt = r.cnt + 1, endT = t,
             counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L))
-          if (r.idx == last && ext.cnt >= s.minTimes) {
-            if (s.greedy) succ += ext.copy(best = Some((t, ext.counts)))
-            else { complete(ext.startT, t, ext.counts, out, held); succ += ext }
-          } else succ += ext
+          val done = ext.cnt >= s.minTimes && tailOptional(r.idx)
+          if (done && r.idx == last && s.greedy)
+            succ += ext.copy(best = Some((t, ext.counts)))
+          else {
+            if (done) complete(ext.startT, t, ext.counts, out, held)
+            succ += ext
+          }
         }
         // advance into the next step's gap (branching — non-greedy)
         if (r.cnt >= s.minTimes && r.idx < last)
@@ -296,13 +367,13 @@ object CepPattern {
         val z = Vector.fill(steps.length)(0L)
         val fresh = PRun(0, 1, gapFirst = false, t, t,
           z.updated(0, 1L), None)
-        if (last == 0 && 1 >= s0.minTimes) {
-          if (s0.greedy) runs ::= fresh.copy(best = Some((t, fresh.counts)))
-          else {
-            complete(t, t, fresh.counts, out, heldNew)
-            if (s0.maxTimes > 1) runs ::= fresh
-          }
-        } else runs ::= fresh
+        val done = 1 >= s0.minTimes && tailOptional(0)
+        if (done && last == 0 && s0.greedy)
+          runs ::= fresh.copy(best = Some((t, fresh.counts)))
+        else {
+          if (done) complete(t, t, fresh.counts, out, heldNew)
+          if (s0.maxTimes > 1 || last > 0 || !done) runs ::= fresh
+        }
       }
       // trailing-not candidates: release past-deadline, kill on match
       var held: List[Held] = st.held

@@ -114,6 +114,55 @@ class CepPatternSpec extends SparkSpecBase {
     assert(run(df(1L -> 9.0, 4L -> 1.0), p) == Set(Seq(1L, 4L, 1L, 1L)))
   }
 
+  test("times(from, to) range quantifier emits every in-range count") {
+    val p = CepPattern.begin("a").where(_ >= 5.0).times(2, 3)
+      .followedBy("b").where(_ <= 2.0).build()
+    // 9,8,7,1: anchors t1 (a=3 and the cnt-2 advance branch) and t2
+    // (a=2); anchor t3 never reaches the 2-minimum
+    assert(run(df(1L -> 9.0, 2L -> 8.0, 3L -> 7.0, 4L -> 1.0), p) == Set(
+      Seq(1L, 4L, 3L, 1L), Seq(1L, 4L, 2L, 1L), Seq(2L, 4L, 2L, 1L)))
+  }
+
+  test("optional middle step: take and skip interpretations both emit") {
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(v => v >= 4.0 && v < 8.0).optional()
+      .followedBy("c").where(_ <= 2.0).build()
+    // 9,5,1 → (a,b,c) and (a,c)
+    assert(run(df(1L -> 9.0, 2L -> 5.0, 3L -> 1.0), p) == Set(
+      Seq(1L, 3L, 1L, 1L, 1L), Seq(1L, 3L, 1L, 0L, 1L)))
+    // once b is taken or skipped, a LATER b cannot join that branch
+    // (the reference's branch states): no (a, b@3, c) interpretation
+    assert(run(df(1L -> 9.0, 2L -> 5.0, 3L -> 5.0, 4L -> 1.0), p) == Set(
+      Seq(1L, 4L, 1L, 1L, 1L), Seq(1L, 4L, 1L, 0L, 1L)))
+    // b absent entirely: the skip interpretation alone
+    assert(run(df(1L -> 9.0, 2L -> 3.0, 3L -> 1.0), p) == Set(
+      Seq(1L, 3L, 1L, 0L, 1L)))
+  }
+
+  test("optional trailing step completes early and extends") {
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(_ <= 2.0).optional().build()
+    // (a) emits at the anchor; (a,b) when the lull arrives
+    assert(run(df(1L -> 9.0, 2L -> 1.0), p) == Set(
+      Seq(1L, 1L, 1L, 0L), Seq(1L, 2L, 1L, 1L)))
+    // oneOrMore + optional = zero-or-more
+    val star = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(_ <= 2.0).oneOrMore().optional().build()
+    assert(run(df(1L -> 9.0, 2L -> 1.0, 3L -> 2.0), star) == Set(
+      Seq(1L, 1L, 1L, 0L), Seq(1L, 2L, 1L, 1L), Seq(1L, 3L, 1L, 2L)))
+    // the first step may not be optional
+    intercept[IllegalArgumentException] {
+      CepPattern.begin("a").where(_ >= 8.0).optional().build()
+    }
+    // NOT patterns adjacent to an optional step are rejected
+    intercept[IllegalArgumentException] {
+      CepPattern.begin("a").where(_ >= 8.0)
+        .notFollowedBy("n").where(_ > 100.0)
+        .followedBy("b").where(_ <= 2.0).optional()
+        .followedBy("c").where(_ <= 1.0).build()
+    }
+  }
+
   test("streaming parity: runs and held candidates cross batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = CepPattern.begin("a").where(_ >= 150.0)
