@@ -300,6 +300,34 @@ object StreamQueries {
         FROM events ORDER BY user_id, event_id
       """.trim)),
 
+    // The full monotone unbounded-OVER accumulator family: running
+    // SUM/COUNT/MIN/MAX since stream start per user — all O(1) state.
+    QueryDef(
+      "q_unified_over_unbounded_multi",
+      (s, dir) => {
+        val in = Tables.events(s, dir)
+          .withColumn("v", floor(col("value") * 1e6).cast("long"))
+        StreamingOver.unboundedMulti(in, Seq("user_id"), "ts", "v",
+          delay = "10 seconds")
+          .select(col("user_id"), col("event_id"), col("run_sum"),
+            col("run_cnt"), col("run_min"), col("run_max"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER w AS BIGINT)
+            AS run_sum,
+          CAST(COUNT(*) OVER w AS BIGINT) AS run_cnt,
+          CAST(MIN(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER w AS BIGINT)
+            AS run_min,
+          CAST(MAX(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER w AS BIGINT)
+            AS run_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms($castTs)
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+      """.trim)),
+
     // Tumbling windows with a 3-minute start offset (TUMBLE(…, offset)):
     // boundaries at hh:03, hh:13, … instead of hh:00.
     QueryDef(

@@ -229,6 +229,66 @@ object StreamingOver {
         .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       return df.withColumn("run_sum", sum(col(valCol)).over(w))
     }
+    unboundedStream(df, keyCols, tsCol, valCol, delay, idleRetentionMs,
+      outSchema, vals => Seq(java.lang.Long.valueOf(vals.sum)))
+  }
+
+  /** As [[unbounded]] with the FULL monotone accumulator family — SUM /
+    * COUNT / MIN / MAX since the stream began (the reference's
+    * unbounded-preceding over functions run arbitrary generated agg
+    * handlers; these four are the O(1)-state members — AVG derives as
+    * sum/cnt downstream). Emits `run_sum`, `run_cnt`, `run_min`,
+    * `run_max` (all LongType; `valCol` must be LongType). */
+  def unboundedMulti(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      delay: String,
+      idleRetentionMs: Long = 3600000L): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("run_sum", LongType), StructField("run_cnt", LongType),
+      StructField("run_min", LongType), StructField("run_max", LongType)))
+
+    if (!df.isStreaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(unix_millis(col(tsCol)))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      return df
+        .withColumn("run_sum", sum(col(valCol)).over(w))
+        .withColumn("run_cnt", count(col(valCol)).over(w))
+        .withColumn("run_min", min(col(valCol)).over(w))
+        .withColumn("run_max", max(col(valCol)).over(w))
+    }
+    unboundedStream(df, keyCols, tsCol, valCol, delay, idleRetentionMs,
+      outSchema, vals => Seq(
+        java.lang.Long.valueOf(vals.sum),
+        java.lang.Long.valueOf(vals.cnt),
+        java.lang.Long.valueOf(vals.mn),
+        java.lang.Long.valueOf(vals.mx)))
+  }
+
+  /** Monotone unbounded accumulator — O(1) per key. */
+  private final case class UnboundedAcc(
+      sum: Long, cnt: Long, mn: Long, mx: Long) {
+    def add(v: Long): UnboundedAcc =
+      if (cnt == 0L) UnboundedAcc(v, 1L, v, v)
+      else UnboundedAcc(sum + v, cnt + 1L, math.min(mn, v), math.max(mx, v))
+  }
+
+  /** Shared streaming body of the unbounded frames: buffer rows until
+    * the watermark, fire per distinct timestamp (RANGE peer semantics),
+    * fold into the O(1) accumulator, emit `emit(acc)` columns. */
+  private def unboundedStream(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      delay: String,
+      idleRetentionMs: Long,
+      outSchema: StructType,
+      emit: UnboundedAcc => Seq[Any]): DataFrame = {
 
     val wm = df.withWatermark(tsCol, delay)
     val tsIdx = df.schema.fieldIndex(tsCol)
@@ -238,20 +298,19 @@ object StreamingOver {
 
     val kEnc: Encoder[Row] = StatefulOps.rowEnc(keySchema)
     val vEnc: Encoder[Row] = StatefulOps.rowEnc(df.schema)
-    // state: (pending rows beyond watermark, running accumulator, the
-    // accumulator has absorbed at least one row — acc == 0 alone cannot
-    // distinguish "never fired" from "values cancelled out")
-    type S = (List[(Long, Seq[Any])], Long, Boolean)
+    // state: (pending rows beyond watermark, running accumulator);
+    // acc.cnt > 0 distinguishes "never fired" from "values cancelled"
+    type S = (List[(Long, Seq[Any])], UnboundedAcc)
     val sEnc: Encoder[S] = Encoders.kryo[S]
     val oEnc: Encoder[Row] = StatefulOps.rowEnc(outSchema)
+    val zero = UnboundedAcc(0L, 0L, 0L, 0L)
 
     wm.as[Row](vEnc)
       .groupByKey(r => StatefulOps.keyOf(keyIdx)(r))(kEnc)
       .flatMapGroupsWithState[S, Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          var (pending, acc, fired) =
-            state.getOption.getOrElse((Nil, 0L, false))
+          var (pending, acc) = state.getOption.getOrElse((Nil, zero))
 
           if (!state.hasTimedOut) rows.foreach { r =>
             pending = (StatefulOps.tsMsOf(r, tsIdx), r.toSeq) :: pending
@@ -261,24 +320,23 @@ object StreamingOver {
           val (ready, stillPending) = pending.partition(_._1 <= wmMs)
           val out = Seq.newBuilder[Row]
           // one pass per DISTINCT timestamp: peers enter the accumulator
-          // together and share one sum (SQL RANGE peer semantics)
+          // together and share one frame (SQL RANGE peer semantics)
           ready.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, group) =>
             group.foreach { case (_, vals) =>
-              acc += vals(valIdx).asInstanceOf[Long]
-              fired = true
+              acc = acc.add(vals(valIdx).asInstanceOf[Long])
             }
             group.foreach { case (_, vals) =>
-              out += Row.fromSeq(vals :+ acc)
+              out += Row.fromSeq(vals ++ emit(acc))
             }
           }
 
           if (stillPending.isEmpty &&
-            (!fired || (state.hasTimedOut && ready.isEmpty))) {
+            (acc.cnt == 0L || (state.hasTimedOut && ready.isEmpty))) {
             // nothing buffered and nothing ever accumulated, or
             // idle-retention expired with nothing new: drop the state
             state.remove()
           } else {
-            state.update((stillPending, acc, fired))
+            state.update((stillPending, acc))
             val wake = stillPending.map(_._1).minOption
               .getOrElse(wmMs + idleRetentionMs) // idle cleanup timer
             if (wake > wmMs) state.setTimeoutTimestamp(wake)

@@ -178,6 +178,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() > 0)
   }
 
+  test("StreamingOver.unboundedMulti (sum/cnt/min/max) matches batch") {
+    def prep(d: DataFrame): DataFrame =
+      d.withColumn("v", floor(col("value") * 1e6).cast("long"))
+    val out = runStream("s_over_ubm", df =>
+      StreamingOver.unboundedMulti(prep(df), Seq("user_id"), "ts", "v",
+        "5 seconds"))
+      .where(col("user_id") =!= -1L)
+    val exp = StreamingOver.unboundedMulti(prep(batchInput), Seq("user_id"),
+      "ts", "v", "")
+      .where(col("user_id") =!= -1L)
+      .select(out.columns.map(col): _*)
+    assert(sortedRows(out) == sortedRows(exp))
+    assert(out.count() > 0)
+  }
+
   test("StreamingTemporalJoin matches batch AsOfJoin") {
     // probe = click events; build (versioned) = purchase events per user
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
