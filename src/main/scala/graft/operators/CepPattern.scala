@@ -232,11 +232,28 @@ object CepPattern {
       startT: Long,
       endT: Long,
       counts: Vector[Long],
-      best: Option[(Long, Vector[Long])]) // greedy-final maximal snapshot
+      meas: Vector[CepNfa.Meas],
+      best: Option[Snap]) // greedy-final maximal snapshot
+
+  /** Completed-match snapshot: (end time, counts, measure registers). */
+  type Snap = (Long, Vector[Long], Vector[CepNfa.Meas])
 
   /** A completed match held for a trailing notFollowedBy. */
   final case class Held(
-      startT: Long, endT: Long, counts: Vector[Long], deadline: Long)
+      startT: Long, endT: Long, counts: Vector[Long],
+      meas: Vector[CepNfa.Meas], deadline: Long)
+
+  /** One measure column: `agg` of step `step`'s matched values as
+    * column `as` — the PatternSelectFunction tier's per-variable
+    * aggregates (the reference hands the select function each
+    * variable's matched events; these are their reductions). DoubleType
+    * output; NULL when the step matched no rows. */
+  final case class Measure(agg: String, step: String, as: String) {
+    require(
+      Seq("first", "last", "min", "max", "sum", "count", "avg")
+        .contains(agg),
+      s"unknown measure agg: $agg")
+  }
 
   final case class PatState(
       runs: List[PRun], held: List[Held]) extends Serializable
@@ -260,22 +277,24 @@ object CepPattern {
     /** Emit or hold a completed snapshot. */
     private def complete(
         startT: Long, endT: Long, counts: Vector[Long],
-        out: scala.collection.mutable.ListBuffer[(Long, Long, Vector[Long])],
+        meas: Vector[CepNfa.Meas],
+        out: scala.collection.mutable.ListBuffer[Done],
         held: scala.collection.mutable.ListBuffer[Held]): Unit =
       pat.trailingNot match {
-        case None => out += ((startT, endT, counts))
+        case None => out += ((startT, endT, counts, meas))
         case Some(_) =>
-          held += Held(startT, endT, counts, startT + pat.withinUs.get)
+          held += Held(startT, endT, counts, meas, startT + pat.withinUs.get)
       }
 
     /** Row (t, v) against run r → successor runs; completions appended. */
     private def evolve(
         r: PRun, t: Long, v: Double,
-        out: scala.collection.mutable.ListBuffer[(Long, Long, Vector[Long])],
+        out: scala.collection.mutable.ListBuffer[Done],
         held: scala.collection.mutable.ListBuffer[Held]): List[PRun] = {
       if (!inBudget(r.startT, t)) {
         // eager WITHIN: flush a greedy-final best before dying
-        r.best.foreach { case (e, c) => complete(r.startT, e, c, out, held) }
+        r.best.foreach { case (e, c, m) =>
+          complete(r.startT, e, c, m, out, held) }
         return Nil
       }
       val succ = scala.collection.mutable.ListBuffer.empty[PRun]
@@ -294,12 +313,15 @@ object CepPattern {
         if (gapFirst && s.notNextCond.exists(_(v))) return // notNext kills
         if (s.where(v)) {
           val advanced = from.copy(idx = i, cnt = 1, gapFirst = false,
-            endT = t, counts = from.counts.updated(i, from.counts(i) + 1L))
+            endT = t, counts = from.counts.updated(i, from.counts(i) + 1L),
+            meas = from.meas.updated(i, from.meas(i).add(v)))
           val done = 1 >= s.minTimes && tailOptional(i)
           if (done && i == last && s.greedy)
-            succ += advanced.copy(best = Some((t, advanced.counts)))
+            succ += advanced.copy(
+              best = Some((t, advanced.counts, advanced.meas)))
           else {
-            if (done) complete(advanced.startT, t, advanced.counts, out, held)
+            if (done) complete(advanced.startT, t, advanced.counts,
+              advanced.meas, out, held)
             if (s.maxTimes > 1 || i < last || !done)
               succ += advanced // longer interpretations may follow
           }
@@ -334,12 +356,13 @@ object CepPattern {
         // extend the quantifier (internally strict)
         if (r.cnt < s.maxTimes && s.where(v)) {
           val ext = r.copy(cnt = r.cnt + 1, endT = t,
-            counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L))
+            counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L),
+            meas = r.meas.updated(r.idx, r.meas(r.idx).add(v)))
           val done = ext.cnt >= s.minTimes && tailOptional(r.idx)
           if (done && r.idx == last && s.greedy)
-            succ += ext.copy(best = Some((t, ext.counts)))
+            succ += ext.copy(best = Some((t, ext.counts, ext.meas)))
           else {
-            if (done) complete(ext.startT, t, ext.counts, out, held)
+            if (done) complete(ext.startT, t, ext.counts, ext.meas, out, held)
             succ += ext
           }
         }
@@ -349,15 +372,18 @@ object CepPattern {
       }
       died = succ.isEmpty
       if (died)
-        r.best.foreach { case (e, c) => complete(r.startT, e, c, out, held) }
+        r.best.foreach { case (e, c, m) =>
+          complete(r.startT, e, c, m, out, held) }
       succ.toList
     }
 
+    /** Completion record: (start, end, counts, measure registers). */
+    type Done = (Long, Long, Vector[Long], Vector[CepNfa.Meas])
+
     /** Feed one row; returns advanced state + emitted matches. */
     def advance(st: PatState, t: Long, v: Double)
-        : (PatState, List[(Long, Long, Vector[Long])]) = {
-      val out = scala.collection.mutable.ListBuffer
-        .empty[(Long, Long, Vector[Long])]
+        : (PatState, List[Done]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[Done]
       val heldNew = scala.collection.mutable.ListBuffer.empty[Held]
       var runs: List[PRun] = Nil
       st.runs.foreach { r => runs :::= evolve(r, t, v, out, heldNew) }
@@ -365,13 +391,15 @@ object CepPattern {
       val s0 = steps(0)
       if (s0.where(v)) {
         val z = Vector.fill(steps.length)(0L)
+        val m0 = Vector.fill(steps.length)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
+          .updated(0, CepNfa.Meas(v, v, v, v, v, 1L))
         val fresh = PRun(0, 1, gapFirst = false, t, t,
-          z.updated(0, 1L), None)
+          z.updated(0, 1L), m0, None)
         val done = 1 >= s0.minTimes && tailOptional(0)
         if (done && last == 0 && s0.greedy)
-          runs ::= fresh.copy(best = Some((t, fresh.counts)))
+          runs ::= fresh.copy(best = Some((t, fresh.counts, fresh.meas)))
         else {
-          if (done) complete(t, t, fresh.counts, out, heldNew)
+          if (done) complete(t, t, fresh.counts, fresh.meas, out, heldNew)
           if (s0.maxTimes > 1 || last > 0 || !done) runs ::= fresh
         }
       }
@@ -379,7 +407,7 @@ object CepPattern {
       var held: List[Held] = st.held
       pat.trailingNot.foreach { nf =>
         val (ripe, rest) = held.partition(_.deadline < t)
-        ripe.foreach(h => out += ((h.startT, h.endT, h.counts)))
+        ripe.foreach(h => out += ((h.startT, h.endT, h.counts, h.meas)))
         held = if (nf(v)) rest.filterNot(h => t <= h.deadline) else rest
       }
       held = heldNew.toList ::: held
@@ -387,49 +415,79 @@ object CepPattern {
     }
 
     /** Input end: greedy-final bests and surviving held candidates. */
-    def flush(st: PatState): List[(Long, Long, Vector[Long])] = {
-      val out = scala.collection.mutable.ListBuffer
-        .empty[(Long, Long, Vector[Long])]
+    def flush(st: PatState): List[Done] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Done]
       val heldNew = scala.collection.mutable.ListBuffer.empty[Held]
       st.runs.foreach { r =>
-        r.best.foreach { case (e, c) => complete(r.startT, e, c, out, heldNew) }
+        r.best.foreach { case (e, c, m) =>
+          complete(r.startT, e, c, m, out, heldNew) }
       }
       (st.held ::: heldNew.toList).foreach(h =>
-        out += ((h.startT, h.endT, h.counts)))
+        out += ((h.startT, h.endT, h.counts, h.meas)))
       out.toList
     }
   }
 
   private def outSchema(df: DataFrame, keyCol: String,
-      pat: Pattern): StructType =
+      pat: Pattern, measures: Seq[Measure]): StructType =
     StructType(
-      df.schema(keyCol) +:
+      (df.schema(keyCol) +:
         StructField("start_us", LongType) +:
         StructField("end_us", LongType) +:
-        pat.steps.map(s => StructField(s"n_${s.name}", LongType)))
+        pat.steps.map(s => StructField(s"n_${s.name}", LongType))) ++
+        measures.map(m => StructField(m.as, DoubleType)))
+
+  /** One measure value: combine the same-name steps that matched at
+    * least one row, in declaration order (as CepNfa.measValue). */
+  private def measVal(
+      m: Measure, pat: Pattern, meas: Vector[CepNfa.Meas]): Any = {
+    val ms = pat.steps.zipWithIndex
+      .filter(_._1.name == m.step)
+      .map(x => meas(x._2))
+      .filter(_.n > 0)
+    if (ms.isEmpty) null
+    else m.agg match {
+      case "first" => ms.head.first
+      case "last" => ms.last.last
+      case "min" => ms.map(_.mn).min
+      case "max" => ms.map(_.mx).max
+      case "sum" => ms.map(_.sum).sum
+      case "count" => ms.map(_.n).sum.toDouble
+      case "avg" => ms.map(_.sum).sum / ms.map(_.n).sum
+    }
+  }
+
+  private def doneRow(key: Any, pat: Pattern, measures: Seq[Measure],
+      a: Long, b: Long, c: Vector[Long],
+      m: Vector[CepNfa.Meas]): Row =
+    Row.fromSeq((key +: a +: b +: c) ++ measures.map(measVal(_, pat, m)))
 
   /** Batch face. `timeCol` must be LongType (exact micros); ties must be
-    * pre-deduplicated for determinism. */
+    * pre-deduplicated for determinism. `measures` append per-variable
+    * aggregate columns (the PatternSelectFunction reductions). */
   def apply(
       df: DataFrame,
       keyCol: String,
       timeCol: String,
       valCol: String,
-      pat: Pattern): DataFrame = {
+      pat: Pattern,
+      measures: Seq[Measure] = Nil): DataFrame = {
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
     val eng = new Engine(pat)
     SecondarySort.mapOrderedGroups(
-      df, Seq(keyCol), Seq(col(timeCol)), outSchema(df, keyCol, pat)) {
+      df, Seq(keyCol), Seq(col(timeCol)),
+      outSchema(df, keyCol, pat, measures)) {
       (key, rows) =>
         var st = emptyState
         val matched = rows.flatMap { r =>
           val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
-          ms.map { case (a, b, c) => Row.fromSeq(key.head +: a +: b +: c) }
+          ms.map { case (a, b, c, m) =>
+            doneRow(key.head, pat, measures, a, b, c, m) }
         }
-        matched ++ eng.flush(st).iterator.map { case (a, b, c) =>
-          Row.fromSeq(key.head +: a +: b +: c)
+        matched ++ eng.flush(st).iterator.map { case (a, b, c, m) =>
+          doneRow(key.head, pat, measures, a, b, c, m)
         }
     }
   }
@@ -442,11 +500,12 @@ object CepPattern {
       keyCol: String,
       timeCol: String,
       valCol: String,
-      pat: Pattern): DataFrame = {
+      pat: Pattern,
+      measures: Seq[Measure] = Nil): DataFrame = {
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
     val eng = new Engine(pat)
-    val schema = outSchema(df, keyCol, pat)
+    val schema = outSchema(df, keyCol, pat, measures)
     val ptf = new GraftPTF[PatState] {
       def process(
           key: Row,
@@ -458,8 +517,8 @@ object CepPattern {
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
           val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
-          ms.foreach { case (a, b, c) =>
-            out += Row.fromSeq(key.get(0) +: a +: b +: c)
+          ms.foreach { case (a, b, c, m) =>
+            out += doneRow(key.get(0), pat, measures, a, b, c, m)
           }
         }
         (Some(st), out.result(), None)

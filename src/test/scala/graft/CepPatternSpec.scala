@@ -163,6 +163,26 @@ class CepPatternSpec extends SparkSpecBase {
     }
   }
 
+  test("measures: per-variable aggregates over matched rows") {
+    val p = CepPattern.begin("a").where(_ >= 5.0).oneOrMore()
+      .followedBy("b").where(_ <= 2.0).build()
+    val ms = Seq(
+      CepPattern.Measure("sum", "a", "sum_a"),
+      CepPattern.Measure("avg", "a", "avg_a"),
+      CepPattern.Measure("count", "a", "cnt_a"),
+      CepPattern.Measure("min", "a", "min_a"),
+      CepPattern.Measure("last", "b", "last_b"))
+    // 9,8,1: interpretations a=[9,8], a=[9], a=[8] — each with b=1
+    val got = CepPattern(df(1L -> 9.0, 2L -> 8.0, 3L -> 1.0),
+      "k", "t", "v", p, ms)
+      .select($"n_a", $"sum_a", $"avg_a", $"cnt_a", $"min_a", $"last_b")
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSet
+    assert(got == Set(
+      (2L, 17.0, 8.5, 2.0, 8.0, 1.0),
+      (1L, 9.0, 9.0, 1.0, 9.0, 1.0),
+      (1L, 8.0, 8.0, 1.0, 8.0, 1.0)))
+  }
+
   test("streaming parity: runs and held candidates cross batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = CepPattern.begin("a").where(_ >= 150.0)
