@@ -60,7 +60,11 @@ object CepPattern {
   case object RelaxedAny extends Link
 
   /** One positive step. `notNextCond`/`notDuringCond` are the negative
-    * patterns declared between the previous step and this one. */
+    * patterns declared between the previous step and this one. An
+    * `iterCond` REPLACES `where`: it additionally reads running
+    * per-variable aggregates of the partial match (the reference's
+    * IterativeCondition — the Pattern API's native condition class,
+    * IterativeCondition.java:63). */
   final case class Step(
       name: String,
       where: Double => Boolean,
@@ -69,7 +73,9 @@ object CepPattern {
       maxTimes: Int = 1,
       greedy: Boolean = false,
       notNextCond: Option[Double => Boolean] = None,
-      notDuringCond: Option[Double => Boolean] = None) extends Serializable
+      notDuringCond: Option[Double => Boolean] = None,
+      iterCond: Option[(Double, CepNfa.MatchCtx) => Boolean] = None)
+    extends Serializable
 
   /** Compiled pattern: positive steps + optional trailing negative +
     * optional within bound (µs). */
@@ -96,6 +102,18 @@ object CepPattern {
         if (notIsNext) pendingNotNext = Some(f) else pendingNotDuring = Some(f)
       } else steps(steps.length - 1) =
         steps.last.copy(where = f)
+      this
+    }
+
+    /** Iterative condition for the most recent POSITIVE step — sees the
+      * row's value plus running per-variable aggregates of the rows
+      * already matched by this partial match (IterativeCondition.java:63
+      * `ctx.getEventsForPattern`; aggregates exclude the row under
+      * test). Replaces any plain `where` on the step. */
+    def whereWith(f: (Double, CepNfa.MatchCtx) => Boolean): Builder = {
+      require(!lastWasNot,
+        "iterative conditions apply to positive steps only")
+      steps(steps.length - 1) = steps.last.copy(iterCond = Some(f))
       this
     }
 
@@ -267,6 +285,21 @@ object CepPattern {
     private def inBudget(start: Long, t: Long): Boolean =
       pat.withinUs.forall(t - start <= _)
 
+    private val stepNames = steps.map(_.name)
+
+    /** Step `i` accepts value `v` given the partial match's measure
+      * registers: the plain condition, or — when the step carries an
+      * iterative condition — that condition over the running
+      * per-variable aggregates (rows matched so far, excluding this
+      * one). */
+    private def accepts(
+        i: Int, v: Double, meas: Vector[CepNfa.Meas]): Boolean =
+      steps(i).iterCond match {
+        case Some(f) =>
+          f(v, new CepNfa.MatchCtx(stepNames, meas.map(Vector(_))))
+        case None => steps(i).where(v)
+      }
+
     /** Every step after `i` is optional → a match may end at step `i`. */
     private def tailOptional(i: Int): Boolean = {
       var j = i + 1
@@ -311,7 +344,7 @@ object CepPattern {
         // test row v against step i's entry from the gap
         val s = steps(i)
         if (gapFirst && s.notNextCond.exists(_(v))) return // notNext kills
-        if (s.where(v)) {
+        if (accepts(i, v, from.meas)) {
           val advanced = from.copy(idx = i, cnt = 1, gapFirst = false,
             endT = t, counts = from.counts.updated(i, from.counts(i) + 1L),
             meas = from.meas.updated(i, from.meas(i).add(v)))
@@ -354,7 +387,7 @@ object CepPattern {
       } else {
         val s = steps(r.idx)
         // extend the quantifier (internally strict)
-        if (r.cnt < s.maxTimes && s.where(v)) {
+        if (r.cnt < s.maxTimes && accepts(r.idx, v, r.meas)) {
           val ext = r.copy(cnt = r.cnt + 1, endT = t,
             counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L),
             meas = r.meas.updated(r.idx, r.meas(r.idx).add(v)))
@@ -380,6 +413,9 @@ object CepPattern {
     /** Completion record: (start, end, counts, measure registers). */
     type Done = (Long, Long, Vector[Long], Vector[CepNfa.Meas])
 
+    private val emptyMeasVec =
+      Vector.fill(steps.length)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
+
     /** Feed one row; returns advanced state + emitted matches. */
     def advance(st: PatState, t: Long, v: Double)
         : (PatState, List[Done]) = {
@@ -389,7 +425,7 @@ object CepPattern {
       st.runs.foreach { r => runs :::= evolve(r, t, v, out, heldNew) }
       // fresh anchor (every matching row may begin a match)
       val s0 = steps(0)
-      if (s0.where(v)) {
+      if (accepts(0, v, emptyMeasVec)) {
         val z = Vector.fill(steps.length)(0L)
         val m0 = Vector.fill(steps.length)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
           .updated(0, CepNfa.Meas(v, v, v, v, v, 1L))

@@ -183,6 +183,23 @@ class CepPatternSpec extends SparkSpecBase {
       (1L, 8.0, 8.0, 1.0, 8.0, 1.0)))
   }
 
+  test("iterative condition: running aggregate budget gates the quantifier") {
+    // the reference's canonical IterativeCondition example: b extends
+    // while the running sum of b's matched rows (plus this row) stays
+    // within budget
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").oneOrMore()
+      .whereWith((v, ctx) => {
+        val s = ctx.sum("b")
+        v >= 5.0 && (if (s.isNaN) 0.0 else s) + v <= 20.0
+      }).build()
+    // 9,7,6,8,1: b takes 7 (sum 7) then 6 (13); 8 busts (21) and kills
+    // the run; v=1 fails the floor for the t4-anchored run
+    val got = run(df(1L -> 9.0, 2L -> 7.0, 3L -> 6.0, 4L -> 8.0,
+      5L -> 1.0), p)
+    assert(got == Set(Seq(1L, 2L, 1L, 1L), Seq(1L, 3L, 1L, 2L)), got)
+  }
+
   test("streaming parity: runs and held candidates cross batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = CepPattern.begin("a").where(_ >= 150.0)
