@@ -59,6 +59,18 @@ object CepPattern {
   case object Relaxed extends Link
   case object RelaxedAny extends Link
 
+  /** AfterMatchSkipStrategy for the Pattern API
+    * (flink-libraries/flink-cep/…/nfa/aftermatch/AfterMatchSkipStrategy
+    * .java). NoSkip (the reference default) reports every
+    * interpretation; SkipToNext keeps ONE match per anchor (the most
+    * rows, discarding same-start partials on emission); SkipPastLast
+    * emits greedily non-overlapping matches earliest-anchor-first and
+    * discards partials starting at or before an emitted match's end. */
+  sealed trait SkipStrategy extends Serializable
+  case object NoSkip extends SkipStrategy
+  case object SkipToNext extends SkipStrategy
+  case object SkipPastLast extends SkipStrategy
+
   /** One positive step. `notNextCond`/`notDuringCond` are the negative
     * patterns declared between the previous step and this one. An
     * `iterCond` REPLACES `where`: it additionally reads running
@@ -78,11 +90,12 @@ object CepPattern {
     extends Serializable
 
   /** Compiled pattern: positive steps + optional trailing negative +
-    * optional within bound (µs). */
+    * optional within bound (µs) + after-match skip strategy. */
   final case class Pattern(
       steps: IndexedSeq[Step],
       trailingNot: Option[Double => Boolean],
-      withinUs: Option[Long]) extends Serializable
+      withinUs: Option[Long],
+      skip: SkipStrategy = NoSkip) extends Serializable
 
   // ------------------------------------------------------------ builder
 
@@ -95,6 +108,7 @@ object CepPattern {
     private var lastWasNot = false
     private var notIsNext = false
     private var withinUs: Option[Long] = None
+    private var skip: SkipStrategy = NoSkip
 
     /** Condition for the most recently declared step (positive or NOT). */
     def where(f: Double => Boolean): Builder = {
@@ -193,6 +207,15 @@ object CepPattern {
       this
     }
 
+    /** AfterMatchSkipStrategy (default NoSkip — every interpretation).
+      * SKIP pruning applies at emission time, so a greedy final step
+      * (whose match emits on run death) prunes later than a non-greedy
+      * one — the documented delta vs the reference's in-NFA pruning. */
+    def afterMatchSkip(strategy: SkipStrategy): Builder = {
+      skip = strategy
+      this
+    }
+
     def build(): Pattern = {
       val trailing =
         if (lastWasNot) {
@@ -232,7 +255,10 @@ object CepPattern {
                 "is not supported")
         }
       }
-      Pattern(ss, trailing, withinUs)
+      require(skip == NoSkip || trailing.isEmpty,
+        "a trailing notFollowedBy requires the NoSkip strategy (held " +
+          "candidates cannot re-order under skip pruning)")
+      Pattern(ss, trailing, withinUs, skip)
     }
   }
 
@@ -416,6 +442,37 @@ object CepPattern {
     private val emptyMeasVec =
       Vector.fill(steps.length)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
 
+    /** Apply the after-match skip strategy to one emission batch:
+      * SkipToNext keeps the most-rows match per anchor; SkipPastLast
+      * selects greedily non-overlapping matches, earliest anchor first,
+      * longest first at a tie. */
+    private def applySkip(out: List[Done]): List[Done] = pat.skip match {
+      case NoSkip => out
+      case SkipToNext =>
+        out.groupBy(_._1).toList.sortBy(_._1).map { case (_, ms) =>
+          ms.maxBy(m => (m._3.sum, -m._2))
+        }
+      case SkipPastLast =>
+        val sorted = out.sortBy(m => (m._1, -m._3.sum))
+        var kept = List.empty[Done]
+        var lastEnd = Long.MinValue
+        sorted.foreach { m =>
+          if (m._1 > lastEnd) { kept ::= m; lastEnd = m._2 }
+        }
+        kept.reverse
+    }
+
+    /** Discard partial runs the emitted matches consume. */
+    private def pruneRuns(runs: List[PRun], emitted: List[Done])
+        : List[PRun] = pat.skip match {
+      case NoSkip => runs
+      case SkipToNext =>
+        runs.filterNot(r => emitted.exists(_._1 == r.startT))
+      case SkipPastLast =>
+        val maxEnd = emitted.map(_._2).maxOption.getOrElse(Long.MinValue)
+        runs.filter(_.startT > maxEnd)
+    }
+
     /** Feed one row; returns advanced state + emitted matches. */
     def advance(st: PatState, t: Long, v: Double)
         : (PatState, List[Done]) = {
@@ -447,7 +504,8 @@ object CepPattern {
         held = if (nf(v)) rest.filterNot(h => t <= h.deadline) else rest
       }
       held = heldNew.toList ::: held
-      (PatState(runs.distinct, held), out.toList)
+      val emitted = applySkip(out.toList)
+      (PatState(pruneRuns(runs.distinct, emitted), held), emitted)
     }
 
     /** Input end: greedy-final bests and surviving held candidates. */
@@ -460,7 +518,7 @@ object CepPattern {
       }
       (st.held ::: heldNew.toList).foreach(h =>
         out += ((h.startT, h.endT, h.counts, h.meas)))
-      out.toList
+      applySkip(out.toList)
     }
   }
 

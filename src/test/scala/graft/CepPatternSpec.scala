@@ -200,6 +200,33 @@ class CepPatternSpec extends SparkSpecBase {
     assert(got == Set(Seq(1L, 2L, 1L, 1L), Seq(1L, 3L, 1L, 2L)), got)
   }
 
+  test("afterMatchSkip: SkipToNext and SkipPastLast prune interpretations") {
+    def pat(skip: CepPattern.SkipStrategy) =
+      CepPattern.begin("a").where(_ >= 5.0).oneOrMore()
+        .followedBy("b").where(_ <= 2.0)
+        .afterMatchSkip(skip).build()
+    val d = df(1L -> 9.0, 2L -> 8.0, 3L -> 1.0)
+    // NoSkip: all three interpretations (see the oneOrMore test)
+    assert(run(d, pat(CepPattern.NoSkip)).size == 3)
+    // SkipToNext: one match per anchor — the most-rows one at anchor 1
+    assert(run(d, pat(CepPattern.SkipToNext)) == Set(
+      Seq(1L, 3L, 2L, 1L), Seq(2L, 3L, 1L, 1L)))
+    // SkipPastLast: matches may not overlap — only the earliest-anchor
+    // longest match survives
+    assert(run(d, pat(CepPattern.SkipPastLast)) == Set(
+      Seq(1L, 3L, 2L, 1L)))
+    // cross-row pruning: a second disjoint occurrence still matches
+    val d2 = df(1L -> 9.0, 2L -> 1.0, 3L -> 7.0, 4L -> 2.0)
+    assert(run(d2, pat(CepPattern.SkipPastLast)) == Set(
+      Seq(1L, 2L, 1L, 1L), Seq(3L, 4L, 1L, 1L)))
+    // trailing notFollowedBy demands NoSkip
+    intercept[IllegalArgumentException] {
+      CepPattern.begin("a").where(_ >= 5.0)
+        .notFollowedBy("n").where(_ > 100.0).within(10L)
+        .afterMatchSkip(CepPattern.SkipPastLast).build()
+    }
+  }
+
   test("streaming parity: runs and held candidates cross batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = CepPattern.begin("a").where(_ >= 150.0)
