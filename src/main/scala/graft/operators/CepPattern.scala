@@ -86,7 +86,8 @@ object CepPattern {
       greedy: Boolean = false,
       notNextCond: Option[Double => Boolean] = None,
       notDuringCond: Option[Double => Boolean] = None,
-      iterCond: Option[(Double, CepNfa.MatchCtx) => Boolean] = None)
+      iterCond: Option[(Double, CepNfa.MatchCtx) => Boolean] = None,
+      internal: Link = Strict)
     extends Serializable
 
   /** Compiled pattern: positive steps + optional trailing negative +
@@ -182,6 +183,26 @@ object CepPattern {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
       steps(steps.length - 1) =
         steps.last.copy(minTimes = 1, maxTimes = Int.MaxValue)
+      this
+    }
+
+    /** RELAXED internal contiguity for the step's quantifier
+      * (Pattern.java's DEFAULT for oneOrMore/times — graft defaults to
+      * `consecutive()`-strict, the documented delta): non-matching rows
+      * between repetitions are skipped. */
+    def allowGaps(): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      steps(steps.length - 1) = steps.last.copy(internal = Relaxed)
+      this
+    }
+
+    /** NON-DETERMINISTIC relaxed internal contiguity
+      * (Pattern.allowCombinations): every later matching row can extend
+      * each earlier repetition state — combinatorial, as in the
+      * reference. */
+    def allowCombinations(): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      steps(steps.length - 1) = steps.last.copy(internal = RelaxedAny)
       this
     }
 
@@ -412,7 +433,9 @@ object CepPattern {
         enterGapOrStep(r.idx, r, r.gapFirst)
       } else {
         val s = steps(r.idx)
-        // extend the quantifier (internally strict)
+        // extend the quantifier (internal contiguity per Step.internal:
+        // Strict = consecutive(), Relaxed = skip non-matching rows,
+        // RelaxedAny = every later match extends each earlier state)
         if (r.cnt < s.maxTimes && accepts(r.idx, v, r.meas)) {
           val ext = r.copy(cnt = r.cnt + 1, endT = t,
             counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L),
@@ -424,6 +447,10 @@ object CepPattern {
             if (done) complete(ext.startT, t, ext.counts, ext.meas, out, held)
             succ += ext
           }
+          if (s.internal == RelaxedAny)
+            succ += r // combination branch: a LATER row may extend too
+        } else if (r.cnt < s.maxTimes && s.internal != Strict) {
+          succ += r // relaxed repetition gap: wait for a later match
         }
         // advance into the next step's gap (branching — non-greedy)
         if (r.cnt >= s.minTimes && r.idx < last)

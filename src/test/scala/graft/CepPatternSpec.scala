@@ -227,6 +227,29 @@ class CepPatternSpec extends SparkSpecBase {
     }
   }
 
+  test("internal contiguity: allowGaps and allowCombinations") {
+    def pat(f: CepPattern.Builder => CepPattern.Builder) =
+      f(CepPattern.begin("a").where(_ >= 5.0).oneOrMore())
+        .followedBy("b").where(_ <= 2.0).build()
+    // strict (consecutive, graft default): a gap row breaks the run
+    val gapped = df(1L -> 9.0, 2L -> 3.0, 3L -> 8.0, 4L -> 1.0)
+    assert(!run(gapped, pat(identity)).contains(Seq(1L, 4L, 2L, 1L)))
+    // allowGaps (the reference default): the run skips the gap row
+    assert(run(gapped, pat(_.allowGaps())).contains(Seq(1L, 4L, 2L, 1L)))
+    // allowCombinations additionally branches past MATCHING rows:
+    // a=[9,7] (skipping the matching 8, sum 16) exists only there —
+    // distinguish same-count interpretations by SUM(a)
+    val dense = df(1L -> 9.0, 2L -> 8.0, 3L -> 7.0, 4L -> 1.0)
+    def sums(f: CepPattern.Builder => CepPattern.Builder): Set[Double] =
+      CepPattern(dense, "k", "t", "v", pat(f),
+        Seq(CepPattern.Measure("sum", "a", "sum_a")))
+        .select($"sum_a").as[Double].collect().toSet
+    val relaxed = sums(_.allowGaps())
+    val combos = sums(_.allowCombinations())
+    assert(relaxed == Set(9.0, 17.0, 24.0, 8.0, 15.0, 7.0), relaxed)
+    assert(combos == relaxed + 16.0, combos)
+  }
+
   test("streaming parity: runs and held candidates cross batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = CepPattern.begin("a").where(_ >= 150.0)
