@@ -87,7 +87,8 @@ object CepPattern {
       notNextCond: Option[Double => Boolean] = None,
       notDuringCond: Option[Double => Boolean] = None,
       iterCond: Option[(Double, CepNfa.MatchCtx) => Boolean] = None,
-      internal: Link = Strict)
+      internal: Link = Strict,
+      untilCond: Option[Double => Boolean] = None)
     extends Serializable
 
   /** Compiled pattern: positive steps + optional trailing negative +
@@ -183,6 +184,27 @@ object CepPattern {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
       steps(steps.length - 1) =
         steps.last.copy(minTimes = 1, maxTimes = Int.MaxValue)
+      this
+    }
+
+    /** `timesOrMore(n)` (Pattern.java timesOrMore): at least `n`
+      * occurrences, unbounded above, strict internal contiguity unless
+      * relaxed via [[allowGaps]]/[[allowCombinations]]. */
+    def timesOrMore(n: Int): Builder = {
+      require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(n >= 1, "timesOrMore(n) needs n >= 1")
+      steps(steps.length - 1) =
+        steps.last.copy(minTimes = n, maxTimes = Int.MaxValue)
+      this
+    }
+
+    /** `until(condition)` (Pattern.java until): a row matching the stop
+      * condition ENDS the step's quantifier — no further repetitions
+      * accepted in that run (the row itself is not consumed by the
+      * quantifier; it may still advance the pattern). */
+    def until(f: Double => Boolean): Builder = {
+      require(!lastWasNot, "until applies to positive steps")
+      steps(steps.length - 1) = steps.last.copy(untilCond = Some(f))
       this
     }
 
@@ -325,7 +347,8 @@ object CepPattern {
 
   private val emptyState = PatState(Nil, Nil)
 
-  private final class Engine(pat: Pattern) extends Serializable {
+  private final class Engine(pat: Pattern,
+      emitTimeouts: Boolean = false) extends Serializable {
     private val steps = pat.steps
     private val last = steps.length - 1
 
@@ -370,9 +393,14 @@ object CepPattern {
     private def evolve(
         r: PRun, t: Long, v: Double,
         out: scala.collection.mutable.ListBuffer[Done],
-        held: scala.collection.mutable.ListBuffer[Held]): List[PRun] = {
+        held: scala.collection.mutable.ListBuffer[Held],
+        tout: scala.collection.mutable.ListBuffer[Done]): List[PRun] = {
       if (!inBudget(r.startT, t)) {
-        // eager WITHIN: flush a greedy-final best before dying
+        // eager WITHIN: flush a greedy-final best before dying; with
+        // timeout emission on, a partial with no completed best surfaces
+        // on the side output (TimedOutPartialMatchHandler.java)
+        if (emitTimeouts && r.best.isEmpty)
+          tout += ((r.startT, r.endT, r.counts, r.meas))
         r.best.foreach { case (e, c, m) =>
           complete(r.startT, e, c, m, out, held) }
         return Nil
@@ -391,7 +419,10 @@ object CepPattern {
         // test row v against step i's entry from the gap
         val s = steps(i)
         if (gapFirst && s.notNextCond.exists(_(v))) return // notNext kills
-        if (accepts(i, v, from.meas)) {
+        // a row matching the step's until-condition is never accepted
+        // into its quantifier (entry included)
+        val stopEntry = s.untilCond.exists(_(v))
+        if (!stopEntry && accepts(i, v, from.meas)) {
           val advanced = from.copy(idx = i, cnt = 1, gapFirst = false,
             endT = t, counts = from.counts.updated(i, from.counts(i) + 1L),
             meas = from.meas.updated(i, from.meas(i).add(v)))
@@ -436,7 +467,8 @@ object CepPattern {
         // extend the quantifier (internal contiguity per Step.internal:
         // Strict = consecutive(), Relaxed = skip non-matching rows,
         // RelaxedAny = every later match extends each earlier state)
-        if (r.cnt < s.maxTimes && accepts(r.idx, v, r.meas)) {
+        val stopped = s.untilCond.exists(_(v))
+        if (!stopped && r.cnt < s.maxTimes && accepts(r.idx, v, r.meas)) {
           val ext = r.copy(cnt = r.cnt + 1, endT = t,
             counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L),
             meas = r.meas.updated(r.idx, r.meas(r.idx).add(v)))
@@ -449,7 +481,7 @@ object CepPattern {
           }
           if (s.internal == RelaxedAny)
             succ += r // combination branch: a LATER row may extend too
-        } else if (r.cnt < s.maxTimes && s.internal != Strict) {
+        } else if (!stopped && r.cnt < s.maxTimes && s.internal != Strict) {
           succ += r // relaxed repetition gap: wait for a later match
         }
         // advance into the next step's gap (branching — non-greedy)
@@ -500,16 +532,19 @@ object CepPattern {
         runs.filter(_.startT > maxEnd)
     }
 
-    /** Feed one row; returns advanced state + emitted matches. */
+    /** Feed one row; returns advanced state + emitted matches +
+      * timed-out partials (empty unless timeout emission is on). */
     def advance(st: PatState, t: Long, v: Double)
-        : (PatState, List[Done]) = {
+        : (PatState, List[Done], List[Done]) = {
       val out = scala.collection.mutable.ListBuffer.empty[Done]
+      val tout = scala.collection.mutable.ListBuffer.empty[Done]
       val heldNew = scala.collection.mutable.ListBuffer.empty[Held]
       var runs: List[PRun] = Nil
-      st.runs.foreach { r => runs :::= evolve(r, t, v, out, heldNew) }
-      // fresh anchor (every matching row may begin a match)
+      st.runs.foreach { r => runs :::= evolve(r, t, v, out, heldNew, tout) }
+      // fresh anchor (every matching row may begin a match; a row
+      // matching the first step's until-condition cannot anchor)
       val s0 = steps(0)
-      if (accepts(0, v, emptyMeasVec)) {
+      if (!s0.untilCond.exists(_(v)) && accepts(0, v, emptyMeasVec)) {
         val z = Vector.fill(steps.length)(0L)
         val m0 = Vector.fill(steps.length)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
           .updated(0, CepNfa.Meas(v, v, v, v, v, 1L))
@@ -532,7 +567,8 @@ object CepPattern {
       }
       held = heldNew.toList ::: held
       val emitted = applySkip(out.toList)
-      (PatState(pruneRuns(runs.distinct, emitted), held), emitted)
+      (PatState(pruneRuns(runs.distinct, emitted), held), emitted,
+        tout.toList)
     }
 
     /** Input end: greedy-final bests and surviving held candidates. */
@@ -602,13 +638,56 @@ object CepPattern {
       (key, rows) =>
         var st = emptyState
         val matched = rows.flatMap { r =>
-          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          val (s2, ms, _) =
+            eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
           ms.map { case (a, b, c, m) =>
             doneRow(key.head, pat, measures, a, b, c, m) }
         }
         matched ++ eng.flush(st).iterator.map { case (a, b, c, m) =>
           doneRow(key.head, pat, measures, a, b, c, m)
+        }
+    }
+  }
+
+  /** Batch face WITH the timeout side output — the reference's
+    * TimedOutPartialMatchHandler (flink-libraries/flink-cep/…/functions/
+    * TimedOutPartialMatchHandler.java): a `within`-bounded partial match
+    * that exceeds the bound surfaces with `timed_out = true` (counts and
+    * measures of the rows it HAD consumed; end_us = its last matched
+    * row) when the first over-budget row arrives. Completed matches
+    * carry `timed_out = false`. Requires a within bound. */
+  def withTimeouts(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      pat: Pattern,
+      measures: Seq[Measure] = Nil): DataFrame = {
+    require(pat.withinUs.isDefined,
+      "the timeout side output requires a within bound")
+    val tIdx = df.schema.fieldIndex(timeCol)
+    val vIdx = df.schema.fieldIndex(valCol)
+    val eng = new Engine(pat, emitTimeouts = true)
+    val schema = StructType(outSchema(df, keyCol, pat, measures)
+      .fields :+ StructField("timed_out", BooleanType))
+    SecondarySort.mapOrderedGroups(
+      df, Seq(keyCol), Seq(col(timeCol)), schema) {
+      (key, rows) =>
+        def row(d: (Long, Vector[Long], Vector[CepNfa.Meas], Long),
+            flag: Boolean): Row = Row.fromSeq(
+          doneRow(key.head, pat, measures, d._4, d._1, d._2, d._3)
+            .toSeq :+ flag)
+        var st = emptyState
+        val emitted = rows.flatMap { r =>
+          val (s2, ms, ts) =
+            eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          st = s2
+          ms.map { case (a, b, c, m) => row((b, c, m, a), flag = false) } ++
+            ts.map { case (a, b, c, m) => row((b, c, m, a), flag = true) }
+        }
+        emitted ++ eng.flush(st).iterator.map { case (a, b, c, m) =>
+          row((b, c, m, a), flag = false)
         }
     }
   }
@@ -636,7 +715,8 @@ object CepPattern {
         var st = state.getOrElse(emptyState)
         val out = Seq.newBuilder[Row]
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
-          val (s2, ms) = eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+          val (s2, ms, _) =
+            eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
           ms.foreach { case (a, b, c, m) =>
             out += doneRow(key.get(0), pat, measures, a, b, c, m)

@@ -250,6 +250,39 @@ class CepPatternSpec extends SparkSpecBase {
     assert(combos == relaxed + 16.0, combos)
   }
 
+  test("timesOrMore and until bound the quantifier") {
+    val p = CepPattern.begin("a").where(_ >= 5.0).timesOrMore(2)
+      .followedBy("b").where(_ <= 2.0).build()
+    // 9,8,7,1: at-least-2 emits counts 2 and 3 (anchor 1) and 2 (anchor
+    // 2), never 1
+    val got = run(df(1L -> 9.0, 2L -> 8.0, 3L -> 7.0, 4L -> 1.0), p)
+    assert(got == Set(Seq(1L, 4L, 3L, 1L), Seq(1L, 4L, 2L, 1L),
+      Seq(2L, 4L, 2L, 1L)), got)
+    // until: the stop row ends the repetition (and is not consumed)
+    val pu = CepPattern.begin("a").where(_ >= 5.0).oneOrMore()
+      .until(_ >= 100.0)
+      .followedBy("b").where(_ <= 2.0).build()
+    // 9,8,200,7,1: the 200 stops every open quantifier — a can only be
+    // [9],[9,8],[8] (pre-stop) or [7] (fresh anchor after)
+    val gu = run(df(1L -> 9.0, 2L -> 8.0, 3L -> 200.0, 4L -> 7.0,
+      5L -> 1.0), pu)
+    assert(gu == Set(Seq(1L, 5L, 1L, 1L), Seq(1L, 5L, 2L, 1L),
+      Seq(2L, 5L, 1L, 1L), Seq(4L, 5L, 1L, 1L)), gu)
+  }
+
+  test("withTimeouts surfaces over-budget partials on the side output") {
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(_ <= 2.0).within(5L).build()
+    // anchor t1 never sees a b within 5µs; the row at t10 kills it and
+    // surfaces the partial; the t10 anchor completes normally at t12
+    val got = CepPattern.withTimeouts(
+      df(1L -> 9.0, 10L -> 9.0, 12L -> 1.0), "k", "t", "v", p)
+      .select($"start_us", $"end_us", $"n_a", $"n_b", $"timed_out")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, 1L, 0L, true), (10L, 12L, 1L, 1L, false)),
+      got)
+  }
+
   test("streaming parity: runs and held candidates cross batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = CepPattern.begin("a").where(_ >= 150.0)
