@@ -347,8 +347,14 @@ object CepPattern {
 
   private val emptyState = PatState(Nil, Nil)
 
+  /** `wmRelease` (streaming): trailing-not held candidates release on
+    * WATERMARK passage (via [[onWatermark]]) instead of on the next
+    * row's event time — a late negative row inside the watermark
+    * allowance can still kill them. Batch replays rows in order, so
+    * row-time release is exact there. */
   private final class Engine(pat: Pattern,
-      emitTimeouts: Boolean = false) extends Serializable {
+      emitTimeouts: Boolean = false,
+      wmRelease: Boolean = false) extends Serializable {
     private val steps = pat.steps
     private val last = steps.length - 1
 
@@ -558,17 +564,55 @@ object CepPattern {
           if (s0.maxTimes > 1 || last > 0 || !done) runs ::= fresh
         }
       }
-      // trailing-not candidates: release past-deadline, kill on match
+      // trailing-not candidates: release past-deadline (batch row-time
+      // mode only — streaming waits for the watermark), kill on match
       var held: List[Held] = st.held
       pat.trailingNot.foreach { nf =>
-        val (ripe, rest) = held.partition(_.deadline < t)
-        ripe.foreach(h => out += ((h.startT, h.endT, h.counts, h.meas)))
-        held = if (nf(v)) rest.filterNot(h => t <= h.deadline) else rest
+        if (!wmRelease) {
+          val (ripe, rest) = held.partition(_.deadline < t)
+          ripe.foreach(h => out += ((h.startT, h.endT, h.counts, h.meas)))
+          held = rest
+        }
+        // the negative condition guards the interval AFTER the match
+        // (endT, deadline]: an out-of-order negative row from before the
+        // match's end must not kill it
+        if (nf(v))
+          held = held.filterNot(h => t > h.endT && t <= h.deadline)
       }
       held = heldNew.toList ::: held
       val emitted = applySkip(out.toList)
       (PatState(pruneRuns(runs.distinct, emitted), held), emitted,
         tout.toList)
+    }
+
+    /** Watermark passage at `wmUs` (streaming): release matured held
+      * candidates, expire WITHIN-dead runs (their budget ends before the
+      * watermark — no future row can extend them; the reference's
+      * timer-based state cleanup), emitting greedy bests and — with
+      * timeout emission on — timed-out partials. Returns the advanced
+      * state, emissions, timeouts, and the next wake-up (µs). */
+    def onWatermark(st: PatState, wmUs: Long)
+        : (PatState, List[Done], List[Done], Option[Long]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[Done]
+      val tout = scala.collection.mutable.ListBuffer.empty[Done]
+      val heldNew = scala.collection.mutable.ListBuffer.empty[Held]
+      val (ripe, rest) = st.held.partition(_.deadline < wmUs)
+      ripe.foreach(h => out += ((h.startT, h.endT, h.counts, h.meas)))
+      val (dead, live) = st.runs.partition(r =>
+        pat.withinUs.exists(w => r.startT + w < wmUs))
+      dead.foreach { r =>
+        if (emitTimeouts && r.best.isEmpty)
+          tout += ((r.startT, r.endT, r.counts, r.meas))
+        r.best.foreach { case (e, c, m) =>
+          complete(r.startT, e, c, m, out, heldNew) }
+      }
+      val held2 = heldNew.toList ::: rest
+      val wake = (held2.map(_.deadline) ++
+        pat.withinUs.toList.flatMap(w => live.map(_.startT + w)))
+        .minOption.map(_ + 1)
+      val emitted = applySkip(out.toList)
+      (PatState(pruneRuns(live, emitted), held2), emitted, tout.toList,
+        wake)
     }
 
     /** Input end: greedy-final bests and surviving held candidates. */
@@ -701,11 +745,50 @@ object CepPattern {
       timeCol: String,
       valCol: String,
       pat: Pattern,
+      measures: Seq[Measure] = Nil): DataFrame =
+    streamingFace(df, keyCol, timeCol, valCol, pat, measures,
+      emitTimeouts = false)
+
+  /** Streaming face WITH the timeout side output (see [[withTimeouts]]):
+    * over-budget partials surface flagged when the WATERMARK passes
+    * their deadline (the reference's timer-driven
+    * TimedOutPartialMatchHandler). */
+  def streamingWithTimeouts(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      pat: Pattern,
       measures: Seq[Measure] = Nil): DataFrame = {
+    require(pat.withinUs.isDefined,
+      "the timeout side output requires a within bound")
+    streamingFace(df, keyCol, timeCol, valCol, pat, measures,
+      emitTimeouts = true)
+  }
+
+  /** Shared streaming body: rows advance the NFA; watermark passage
+    * (including timer wake-ups on silent keys) releases matured
+    * trailing-not candidates and expires WITHIN-dead runs — the
+    * reference's timer-based state cleanup, so per-key state cannot
+    * outlive its within bound. The engine time column is exact µs;
+    * the watermark maps as wmUs = watermarkMs * 1000 (the ts =
+    * timestamp_micros(ts_us) convention of every PTF operator). */
+  private def streamingFace(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      pat: Pattern,
+      measures: Seq[Measure],
+      emitTimeouts: Boolean): DataFrame = {
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
-    val eng = new Engine(pat)
-    val schema = outSchema(df, keyCol, pat, measures)
+    val eng = new Engine(pat, emitTimeouts, wmRelease = true)
+    val base = outSchema(df, keyCol, pat, measures)
+    val schema =
+      if (emitTimeouts)
+        StructType(base.fields :+ StructField("timed_out", BooleanType))
+      else base
     val ptf = new GraftPTF[PatState] {
       def process(
           key: Row,
@@ -714,15 +797,27 @@ object CepPattern {
           watermarkMs: Long): (Option[PatState], Seq[Row], Option[Long]) = {
         var st = state.getOrElse(emptyState)
         val out = Seq.newBuilder[Row]
+        def emit(d: (Long, Long, Vector[Long], Vector[CepNfa.Meas]),
+            flag: Boolean): Unit = {
+          val r = doneRow(key.get(0), pat, measures, d._1, d._2, d._3, d._4)
+          out += (if (emitTimeouts) Row.fromSeq(r.toSeq :+ flag) else r)
+        }
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
-          val (s2, ms, _) =
+          val (s2, ms, ts) =
             eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
           st = s2
-          ms.foreach { case (a, b, c, m) =>
-            out += doneRow(key.get(0), pat, measures, a, b, c, m)
-          }
+          ms.foreach(emit(_, flag = false))
+          ts.foreach(emit(_, flag = true))
         }
-        (Some(st), out.result(), None)
+        val wmUs =
+          if (watermarkMs == Long.MaxValue) Long.MaxValue
+          else watermarkMs * 1000L
+        val (s3, ms3, ts3, wakeUs) = eng.onWatermark(st, wmUs)
+        st = s3
+        ms3.foreach(emit(_, flag = false))
+        ts3.foreach(emit(_, flag = true))
+        val wakeMs = wakeUs.map(u => u / 1000L + 1L)
+        (Some(st), out.result(), wakeMs)
       }
     }
     ProcessTableFunction(df, Seq(keyCol), schema, ptf)

@@ -283,6 +283,73 @@ class CepPatternSpec extends SparkSpecBase {
       got)
   }
 
+  test("streaming: watermark timers fire timeouts on silent keys") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(_ <= 2.0).within(5000000L).build()
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("k", "ts_us", "v")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cpt-").toString
+    val q = CepPattern.streamingWithTimeouts(sdf, "k", "ts_us", "v", p)
+      .writeStream.format("memory").queryName("cep_tout")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // the k=1 anchor never sees a b; only OTHER-key rows push the
+      // watermark past its deadline — the timer must fire the timeout
+      input.addData(Seq((1L, 1000000L, 9.0))); q.processAllAvailable()
+      input.addData(Seq((2L, 20000000L, 0.0))); q.processAllAvailable()
+      input.addData(Seq((2L, 30000000L, 0.0))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cep_tout")
+      .select(col("k"), col("start_us"), col("timed_out"))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(1L, 1000000L, true)), got)
+  }
+
+  test("streaming: trailing-not releases on watermark, not row arrival") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .notFollowedBy("n").where(_ <= 2.0).within(5000000L).build()
+    def runCase(withLateKill: Boolean): Set[Seq[Any]] = {
+      val input = MemoryStream[(Long, Long, Double)]
+      val sdf = input.toDF().toDF("k", "ts_us", "v")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "3 seconds")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-cpn-$withLateKill-").toString
+      val name = s"cep_tnot_$withLateKill"
+      val q = CepPattern.streaming(sdf, "k", "ts_us", "v", p)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        input.addData(Seq((1L, 1000000L, 9.0))); q.processAllAvailable()
+        // a row PAST the deadline arrives while the watermark is still
+        // below it: row-time release would emit here; watermark release
+        // must hold the candidate
+        input.addData(Seq((1L, 7000000L, 50.0))); q.processAllAvailable()
+        if (withLateKill) {
+          // a LATE negative row (event time inside the deadline, still
+          // above the watermark) kills the held candidate
+          input.addData(Seq((1L, 5000000L, 1.0))); q.processAllAvailable()
+        }
+        input.addData(Seq((2L, 30000000L, 50.0))); q.processAllAvailable()
+        input.addData(Seq((2L, 40000000L, 50.0))); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).select(col("k"), col("start_us"))
+        .collect().map(_.toSeq).toSet
+    }
+    // without the late kill the candidate matures at the watermark
+    // (plus the t=7s spike's candidate and the k=2 t=30s one, whose own
+    // deadline the final row's watermark passes)
+    assert(runCase(withLateKill = false) ==
+      Set(Seq(1L, 1000000L), Seq(1L, 7000000L), Seq(2L, 30000000L)))
+    // the late kill removes exactly the first candidate
+    assert(runCase(withLateKill = true) ==
+      Set(Seq(1L, 7000000L), Seq(2L, 30000000L)))
+  }
+
   test("streaming parity: runs and held candidates cross batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = CepPattern.begin("a").where(_ >= 150.0)
