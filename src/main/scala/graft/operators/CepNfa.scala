@@ -678,6 +678,38 @@ object CepNfa {
         resolve(Nil, (st.pending ++ cands).distinct, Nil)
       emitted
     }
+
+    /** Last matched row time of a run (its completion end under
+      * watermark expiry). */
+    private def lastRowT(r: Run): Long = {
+      var best = Long.MinValue
+      r.stepT.foreach(s => if (s.n > 0 && s.lastT > best) best = s.lastT)
+      if (best == Long.MinValue) r.startT else best
+    }
+
+    /** Watermark passage at `wmUs` (streaming): runs whose WITHIN budget
+      * ends before the watermark can never extend again — they die
+      * (taking their in-budget completions), unblocking held candidates;
+      * the reference's timer-based partial-match pruning, so per-key
+      * state cannot outlive its within bound. With no WITHIN bound only
+      * `wmUs = Long.MaxValue` (the closed-stream end) drains. Returns
+      * the advanced state, emissions, and the next wake-up (µs). */
+    def expire(st: NfaState, wmUs: Long)
+        : (NfaState, List[Cand], Option[Long]) = {
+      val (dead, live) =
+        if (wmUs == Long.MaxValue) (st.runs, Nil)
+        else st.runs.partition(r =>
+          withinUs.exists(w => r.startT + w < wmUs))
+      if (dead.isEmpty && st.pending.isEmpty)
+        return (st, Nil,
+          withinUs.flatMap(w => live.map(_.startT + w).minOption.map(_ + 1)))
+      val cands = dead.flatMap(r => deathCand(r, lastRowT(r)))
+      val (r2, p2, emitted) =
+        resolve(live, (st.pending ++ cands).distinct, Nil)
+      val wake =
+        withinUs.flatMap(w => r2.map(_.startT + w).minOption.map(_ + 1))
+      (st.copy(runs = r2, pending = p2), emitted, wake)
+    }
   }
 
   /** Output step names: union across branches in first-seen order. */
@@ -880,7 +912,17 @@ object CepNfa {
           st = s2
           ms.foreach(c => out += candRow(key.get(0), c, names, br, measures))
         }
-        (Some(st), out.result(), None)
+        // watermark expiry (incl. timer wake-ups on silent keys): the
+        // engine time column is exact µs, the watermark maps as
+        // wmUs = watermarkMs * 1000 (the ts = timestamp_micros(ts_us)
+        // convention); Long.MaxValue = the closed-stream end drains all
+        val wmUs =
+          if (watermarkMs == Long.MaxValue) Long.MaxValue
+          else watermarkMs * 1000L
+        val (s3, ms3, wakeUs) = eng.expire(st, wmUs)
+        st = s3
+        ms3.foreach(c => out += candRow(key.get(0), c, names, br, measures))
+        (Some(st), out.result(), wakeUs.map(_ / 1000L + 1L))
       }
     }
     ProcessTableFunction(df, Seq(keyCol), schema, ptf)

@@ -543,6 +543,34 @@ class CepNfaSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming WITHIN expiry fires on watermark for silent keys") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // greedy down-run stays open (its match only emits when the run
+    // dies); the within bound expires via OTHER-key rows advancing the
+    // watermark — the timer must emit the in-budget completion
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nfw-").toString
+    val q = CepNfa.streaming(sdf, "user_id", "ts_us", "value",
+      Seq(Seq(down)), withinUs = Some(5000000L))
+      .writeStream.format("memory").queryName("nfa_wm")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq((1L, 1000000L, 10.0), (1L, 2000000L, 9.0),
+        (1L, 3000000L, 8.0)))
+      q.processAllAvailable()
+      // rising values for key 2: no down-pair ever matches there
+      input.addData(Seq((2L, 20000000L, 1.0))); q.processAllAvailable()
+      input.addData(Seq((2L, 21000000L, 2.0))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nfa_wm")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_down"))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(1L, 1000000L, 3000000L, 2L)), got)
+  }
+
   test("MEASURES COUNT and AVG aggregates through the SQL entry") {
     val d = Seq((1L, 1L, 9.0), (1L, 2L, 7.0), (1L, 3L, 5.0), (1L, 4L, 8.0))
       .toDF("user_id", "ts_us", "vf")
