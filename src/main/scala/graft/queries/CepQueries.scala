@@ -139,6 +139,82 @@ object CepQueries {
         ORDER BY m.user_id, m.start_us
       """.stripMargin.trim)),
 
+    // Non-deterministic relaxed contiguity (Pattern.followedByAny):
+    // EVERY later lull after a spike yields its own match — the full
+    // pair set, trivially relational.
+    QueryDef(
+      "q_cep_followed_by_any",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        CepPattern(d, "user_id", "ts_us", "value",
+          CepPattern.begin("a").where(_ >= 200.0)
+            .followedByAny("b").where(_ <= 1.0).build())
+          .orderBy(col("user_id"), col("start_us"), col("end_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        a AS (SELECT user_id, tu FROM d WHERE value >= 200),
+        b AS (SELECT user_id, tu FROM d WHERE value <= 1)
+        SELECT a.user_id, a.tu AS start_us, b.tu AS end_us,
+               CAST(1 AS BIGINT) AS n_a, CAST(1 AS BIGINT) AS n_b
+        FROM a JOIN b ON b.user_id = a.user_id AND b.tu > a.tu
+        ORDER BY a.user_id, start_us, end_us
+      """.stripMargin.trim)),
+
+    // Timeout side output (TimedOutPartialMatchHandler): spike →
+    // first lull within 24h, ELSE the partial surfaces timed_out=true
+    // once a row past the deadline proves the window empty (batch
+    // semantics: the timeout fires when the first over-budget row
+    // arrives, so a spike at the very end of a user's history with no
+    // later row emits nothing — replicated by the EXISTS guard).
+    QueryDef(
+      "q_cep_timeout",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        CepPattern.withTimeouts(d, "user_id", "ts_us", "value",
+          CepPattern.begin("a").where(_ >= 150.0)
+            .followedBy("b").where(_ <= 20.0)
+            .within(86400000000L).build())
+          .orderBy(col("user_id"), col("start_us"), col("timed_out"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        a AS (SELECT user_id, tu FROM d WHERE value >= 150),
+        b AS (SELECT user_id, tu FROM d WHERE value <= 20),
+        fb AS (SELECT a.user_id, a.tu AS start_us, MIN(b.tu) AS end_us
+               FROM a JOIN b ON b.user_id = a.user_id AND b.tu > a.tu
+                            AND b.tu <= a.tu + 86400000000
+               GROUP BY 1, 2)
+        SELECT user_id, start_us, end_us, CAST(1 AS BIGINT) AS n_a,
+               CAST(1 AS BIGINT) AS n_b, FALSE AS timed_out
+        FROM fb
+        UNION ALL
+        SELECT a.user_id, a.tu, a.tu, CAST(1 AS BIGINT),
+               CAST(0 AS BIGINT), TRUE
+        FROM a
+        WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+                          AND b.tu > a.tu AND b.tu <= a.tu + 86400000000)
+          AND EXISTS (SELECT 1 FROM d WHERE d.user_id = a.user_id
+                      AND d.tu > a.tu + 86400000000)
+        ORDER BY user_id, start_us, timed_out
+      """.stripMargin.trim)),
+
     // Aggregate (iterative) DEFINE condition — the reference's
     // IterativeCondition (flink-cep/…/pattern/conditions/
     // IterativeCondition.java:63) / the aggregate-DEFINE cases of
