@@ -973,6 +973,60 @@ object SqlQueries {
             row_number() OVER (PARTITION BY qid
                                ORDER BY cos DESC, cid ASC) AS rnk
           FROM pairs) WHERE rnk <= 5 ORDER BY qid, rnk
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // Multi-column DEFINE conditions (round 10): one condition reading
+    // SEVERAL row attributes (`b.vf < PREV(vf) AND b.sev > PREV(sev) - 3`)
+    // compiles onto the engine's iterative-condition face — the
+    // reference allows arbitrary row access in DEFINE
+    // (MatchRecognizeITCase multi-attribute conditions). Fixed-length
+    // (a b) with SKIP TO NEXT ROW → every qualifying pair emits, so the
+    // DuckDB replay is a lag/lead filter.
+    QueryDef(
+      "q_match_recognize_multicol",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("vf", floor(col("value")).cast("double"))
+          .withColumn("sev", (col("event_id") % 4).cast("double"))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, va, vb, sb
+            |FROM events_d MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  MEASURES FIRST(a.vf) AS va, LAST(b.vf) AS vb,
+            |           LAST(b.sev) AS sb
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (a b)
+            |  DEFINE a AS vf >= 40,
+            |         b AS vf < PREV(vf) AND sev > PREV(sev) - 3
+            |)
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("events_d" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(FLOOR(value) AS DOUBLE) AS vf,
+                 CAST(event_id % 4 AS DOUBLE) AS sev,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vf, sev FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vf, sev,
+                lag(tu)  OVER w AS ptu,
+                lead(tu) OVER w AS ntu, lead(vf) OVER w AS nv,
+                lead(sev) OVER w AS ns
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu))
+        SELECT user_id, ptu AS start_us, ntu AS end_us,
+               vf AS va, nv AS vb, ns AS sb
+        FROM s
+        WHERE ptu IS NOT NULL AND ntu IS NOT NULL
+          AND vf >= 40 AND nv < vf AND ns > sev - 3
+        ORDER BY user_id, start_us
+      """.trim))
   )
 }

@@ -1816,23 +1816,26 @@ object FlinkSql {
     }
     val endTok = p.eat(")").end
 
-    // Value columns: each DEFINE condition reads ONE column (its PREV
-    // pair semantics), but different DEFINEs and MEASURES may read
-    // DIFFERENT columns — the engine addresses them by index into
-    // `valCols` (Atom.colIdx / MeasureSpec.colIdx).
-    val defCol: Map[String, String] = defines.iterator.map { case (s, c) =>
-      val cs = condCols(c).filterNot(_.equalsIgnoreCase(timeCol)).distinct
-      require(cs.size <= 1,
-        s"DEFINE $s reads several columns ($cs) — one condition, one column")
-      s -> cs.headOption
-    }.collect { case (s, Some(c)) => s -> c }.toMap
+    // Value columns: the engine addresses columns by index into
+    // `valCols` (Atom.colIdx / MeasureSpec.colIdx). A DEFINE reading one
+    // column compiles onto the fast (prev, cur) pair predicate; one
+    // reading SEVERAL columns (`b.vf < PREV(vf) AND b.sev >= 2`) compiles
+    // onto the iterative-condition form, which sees the full value
+    // vectors — the same face aggregate conditions use.
+    val defCols: Map[String, Seq[String]] = defines.iterator.map {
+      case (s, c) =>
+        s -> condCols(c).filterNot(_.equalsIgnoreCase(timeCol)).distinct
+    }.toMap
     // aggregate calls inside DEFINE (iterative conditions): their columns
     // join the value-column set, and the condition compiles onto the
     // engine's IterCond form instead of the pair predicate
     val defAggs: Map[String, Seq[AggE]] =
       defines.iterator.map { case (s, c) => s -> condAggs(c) }.toMap
+    val defCol: Map[String, String] = defCols.collect {
+      case (s, Seq(c)) => s -> c
+    }
     val valCols0 =
-      (defCol.valuesIterator ++ measures.iterator.map(_._3) ++
+      (defCols.valuesIterator.flatten ++ measures.iterator.map(_._3) ++
         defAggs.valuesIterator.flatten.map(_.col))
         .filterNot(_.equalsIgnoreCase(timeCol)).toSeq.distinct.sorted
     // all-TRUE defines with no measures: feed a constant value column
@@ -1850,11 +1853,12 @@ object FlinkSql {
         to_json(struct(keyCols.map(col).toSeq: _*))), "__cep_key")
     val preds: Map[String, (Double, Double) => Boolean] =
       defines.iterator.collect {
-        case (s, c) if defAggs(s).isEmpty => s -> compileCond(c)
+        case (s, c) if defAggs(s).isEmpty && defCols(s).size <= 1 =>
+          s -> compileCond(c)
       }.toMap
     val iterPreds: Map[String, CepNfa.IterCond] =
       defines.iterator.collect {
-        case (s, c) if defAggs(s).nonEmpty =>
+        case (s, c) if defAggs(s).nonEmpty || defCols(s).size > 1 =>
           s -> compileCondIter(c, s, colIdx)
       }.toMap
     def stepOf(a: PAtom): PatternStep =

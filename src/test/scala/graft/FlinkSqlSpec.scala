@@ -156,6 +156,32 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaDsl)
   }
 
+  test("multi-column DEFINE compiles onto the iterative-condition face") {
+    val d = deduped
+      .withColumn("vf", floor(col("value")).cast("double"))
+      .withColumn("sev", (col("event_id") % 4).cast("double"))
+    val viaSql = FlinkSql.sql(spark,
+      """SELECT user_id, start_us, end_us, n_a, n_b
+        |FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (a b)
+        |  DEFINE a AS vf >= 40,
+        |         b AS vf < PREV(vf) AND sev > PREV(sev) - 3)""".stripMargin,
+      Map("d" -> d))
+    // DSL equivalent: valCols sorted = (sev, vf); the two-column condition
+    // is an explicit IterCond over the full value vectors
+    val viaDsl = CepNfa.nestedMulti(d, "user_id", "ts_us", Seq("sev", "vf"),
+      Seq(Seq(
+        CepNfa.Atom(PatternStep("a", (_, c) => c >= 40, greedy = false), 1),
+        CepNfa.Atom(PatternStep("b", (_, _) => true, greedy = false), 1,
+          Some((p, v, _) => v(1) < p(1) && v(0) > p(0) - 3)))),
+      skip = AfterMatchSkip.ToNextRow)
+      .select("user_id", "start_us", "end_us", "n_a", "n_b")
+    assertSame(viaSql, viaDsl)
+    assert(viaSql.count() > 0)
+  }
+
   test("PATTERN alternation splits branches like the DSL branch set") {
     val viaSql = FlinkSql.sql(spark,
       """SELECT user_id, start_us, end_us, n_down, n_flat, n_up
@@ -519,10 +545,15 @@ class FlinkSqlSpec extends SparkSpecBase {
             PARTITION BY user_id ORDER BY ts_us
             PATTERN (down{2,4})
             DEFINE down AS value < PREV(value))""", "{n,m}")
+    // (a DEFINE reading several columns is no longer an error — it
+    // compiles onto the iterative-condition face; see the multi-column
+    // DEFINE test)
     bad("""SELECT 1 FROM d MATCH_RECOGNIZE (
             PARTITION BY user_id ORDER BY ts_us
+            AFTER MATCH SKIP TO SOMEWHERE
             PATTERN (down)
-            DEFINE down AS value < other)""", "one condition, one column")
+            DEFINE down AS value < PREV(value))""",
+      "AFTER MATCH SKIP TO expects")
   }
 
   test("FROM_CHANGELOG error handling and TO_CHANGELOG partial deletes") {
