@@ -92,12 +92,17 @@ object CepPattern {
     extends Serializable
 
   /** Compiled pattern: positive steps + optional trailing negative +
-    * optional within bound (µs) + after-match skip strategy. */
+    * optional within bound (µs) + after-match skip strategy.
+    * `maxGapUs` is the `WithinType.PREVIOUS_AND_CURRENT` bound
+    * (Pattern.java `within(Duration, WithinType)`, Flink 1.16): the
+    * maximum time gap between CONSECUTIVE matched events, vs `withinUs`
+    * bounding first-to-last. Both may be set. */
   final case class Pattern(
       steps: IndexedSeq[Step],
       trailingNot: Option[Double => Boolean],
       withinUs: Option[Long],
-      skip: SkipStrategy = NoSkip) extends Serializable
+      skip: SkipStrategy = NoSkip,
+      maxGapUs: Option[Long] = None) extends Serializable
 
   // ------------------------------------------------------------ builder
 
@@ -110,6 +115,7 @@ object CepPattern {
     private var lastWasNot = false
     private var notIsNext = false
     private var withinUs: Option[Long] = None
+    private var maxGapUs: Option[Long] = None
     private var skip: SkipStrategy = NoSkip
 
     /** Condition for the most recently declared step (positive or NOT). */
@@ -250,6 +256,18 @@ object CepPattern {
       this
     }
 
+    /** `within(Duration, WithinType.PREVIOUS_AND_CURRENT)`: bound the
+      * gap between CONSECUTIVE matched events instead of first-to-last
+      * (Pattern.java:392, WithinType.java). A run whose last matched
+      * event is more than `us` behind the current row can never extend
+      * and dies (greedy bests flush; timeout side output surfaces the
+      * partial when enabled). */
+    def withinGap(us: Long): Builder = {
+      require(us > 0, "withinGap must be positive")
+      maxGapUs = Some(us)
+      this
+    }
+
     /** AfterMatchSkipStrategy (default NoSkip — every interpretation).
       * SKIP pruning applies at emission time, so a greedy final step
       * (whose match emits on run death) prunes later than a non-greedy
@@ -301,7 +319,7 @@ object CepPattern {
       require(skip == NoSkip || trailing.isEmpty,
         "a trailing notFollowedBy requires the NoSkip strategy (held " +
           "candidates cannot re-order under skip pruning)")
-      Pattern(ss, trailing, withinUs, skip)
+      Pattern(ss, trailing, withinUs, skip, maxGapUs)
     }
   }
 
@@ -361,6 +379,11 @@ object CepPattern {
     private def inBudget(start: Long, t: Long): Boolean =
       pat.withinUs.forall(t - start <= _)
 
+    /** PREVIOUS_AND_CURRENT expiry: row `t` is too far past the run's
+      * last matched event — no row from here on can ever extend it. */
+    private def gapDead(r: PRun, t: Long): Boolean =
+      pat.maxGapUs.exists(g => t - r.endT > g)
+
     private val stepNames = steps.map(_.name)
 
     /** Step `i` accepts value `v` given the partial match's measure
@@ -401,10 +424,10 @@ object CepPattern {
         out: scala.collection.mutable.ListBuffer[Done],
         held: scala.collection.mutable.ListBuffer[Held],
         tout: scala.collection.mutable.ListBuffer[Done]): List[PRun] = {
-      if (!inBudget(r.startT, t)) {
-        // eager WITHIN: flush a greedy-final best before dying; with
-        // timeout emission on, a partial with no completed best surfaces
-        // on the side output (TimedOutPartialMatchHandler.java)
+      if (!inBudget(r.startT, t) || gapDead(r, t)) {
+        // eager WITHIN / gap expiry: flush a greedy-final best before
+        // dying; with timeout emission on, a partial with no completed
+        // best surfaces on the side output (TimedOutPartialMatchHandler)
         if (emitTimeouts && r.best.isEmpty)
           tout += ((r.startT, r.endT, r.counts, r.meas))
         r.best.foreach { case (e, c, m) =>
@@ -599,7 +622,8 @@ object CepPattern {
       val (ripe, rest) = st.held.partition(_.deadline < wmUs)
       ripe.foreach(h => out += ((h.startT, h.endT, h.counts, h.meas)))
       val (dead, live) = st.runs.partition(r =>
-        pat.withinUs.exists(w => r.startT + w < wmUs))
+        pat.withinUs.exists(w => r.startT + w < wmUs) ||
+          pat.maxGapUs.exists(g => r.endT + g < wmUs))
       dead.foreach { r =>
         if (emitTimeouts && r.best.isEmpty)
           tout += ((r.startT, r.endT, r.counts, r.meas))
@@ -608,7 +632,8 @@ object CepPattern {
       }
       val held2 = heldNew.toList ::: rest
       val wake = (held2.map(_.deadline) ++
-        pat.withinUs.toList.flatMap(w => live.map(_.startT + w)))
+        pat.withinUs.toList.flatMap(w => live.map(_.startT + w)) ++
+        pat.maxGapUs.toList.flatMap(g => live.map(_.endT + g)))
         .minOption.map(_ + 1)
       val emitted = applySkip(out.toList)
       (PatState(pruneRuns(live, emitted), held2), emitted, tout.toList,

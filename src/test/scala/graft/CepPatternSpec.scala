@@ -382,4 +382,52 @@ class CepPatternSpec extends SparkSpecBase {
     val streamed = spark.table("cep_pat").collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("withinGap bounds consecutive-event gaps (PREVIOUS_AND_CURRENT)") {
+    def steps3 = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(v => v >= 4.0 && v < 8.0)
+      .followedBy("c").where(_ <= 2.0)
+    val pGap = steps3.withinGap(10L).build()
+    val pFl = steps3.within(10L).build()
+    // consecutive gaps of 8µs each fit the 10µs PREVIOUS_AND_CURRENT
+    // bound but blow the 10µs FIRST_AND_LAST budget (total 16)
+    val d = df(1L -> 9.0, 9L -> 5.0, 17L -> 1.0)
+    assert(run(d, pGap) == Set(Seq(1L, 17L, 1L, 1L, 1L)))
+    assert(run(d, pFl).isEmpty)
+    // one 12µs gap kills the gap-bounded pattern
+    assert(run(df(1L -> 9.0, 13L -> 5.0, 17L -> 1.0), pGap).isEmpty)
+  }
+
+  test("withinGap streaming parity with the batch face") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = CepPattern.begin("a").where(_ >= 150.0)
+      .followedBy("b").where(_ <= 2.0)
+      .withinGap(2L * 3600L * 1000000L).build()
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    val rows = graft.operators.Dedup.keepFirst(e,
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val batch = CepPattern(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", p).collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cpg-").toString
+    val q = CepPattern.streaming(sdf, "user_id", "ts_us", "value", p)
+      .writeStream.format("memory").queryName("cep_pat_gap")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (x, y) = ordered.splitAt(ordered.length / 2)
+      input.addData(x); q.processAllAvailable()
+      input.addData(y); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("cep_pat_gap").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
