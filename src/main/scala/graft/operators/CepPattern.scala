@@ -108,7 +108,7 @@ object CepPattern {
 
   /** Fluent builder mirroring the reference's Pattern API. */
   final class Builder private[CepPattern] (firstName: String) {
-    private val steps = scala.collection.mutable.ArrayBuffer(
+    private[CepPattern] val steps = scala.collection.mutable.ArrayBuffer(
       Step(firstName, _ => true, Strict))
     private var pendingNotNext: Option[Double => Boolean] = None
     private var pendingNotDuring: Option[Double => Boolean] = None
@@ -117,9 +117,20 @@ object CepPattern {
     private var withinUs: Option[Long] = None
     private var maxGapUs: Option[Long] = None
     private var skip: SkipStrategy = NoSkip
+    /** Group spans (GroupPattern tier): inclusive step ranges added by
+      * [[addGroup]], with their quantifier and iteration contiguity.
+      * Non-nested, in positional order. */
+    private val groups =
+      scala.collection.mutable.ArrayBuffer.empty[Grp]
+    /** Set right after a group is added — group quantifier calls
+      * (times/optional/consecutive) target it; any other declaration
+      * clears it. */
+    private var lastGroup: Option[Int] = None
 
     /** Condition for the most recently declared step (positive or NOT). */
     def where(f: Double => Boolean): Builder = {
+      require(lastGroup.isEmpty,
+        "conditions belong on the steps INSIDE a group")
       if (lastWasNot) {
         if (notIsNext) pendingNotNext = Some(f) else pendingNotDuring = Some(f)
       } else steps(steps.length - 1) =
@@ -135,6 +146,8 @@ object CepPattern {
     def whereWith(f: (Double, CepNfa.MatchCtx) => Boolean): Builder = {
       require(!lastWasNot,
         "iterative conditions apply to positive steps only")
+      require(lastGroup.isEmpty,
+        "conditions belong on the steps INSIDE a group")
       steps(steps.length - 1) = steps.last.copy(iterCond = Some(f))
       this
     }
@@ -143,12 +156,55 @@ object CepPattern {
       steps += Step(name, _ => true, link,
         notNextCond = pendingNotNext, notDuringCond = pendingNotDuring)
       pendingNotNext = None; pendingNotDuring = None; lastWasNot = false
+      lastGroup = None
       this
     }
 
     def next(name: String): Builder = addPositive(name, Strict)
     def followedBy(name: String): Builder = addPositive(name, Relaxed)
     def followedByAny(name: String): Builder = addPositive(name, RelaxedAny)
+
+    /** Append a GROUP (the reference's GroupPattern — Pattern.java
+      * begin/next/followedBy(Pattern)): the sub-pattern's steps join this
+      * pattern as a quantifiable span. `times(n)` / `times(from, to)` /
+      * `optional()` right after apply to the whole group; iterations
+      * chain with RELAXED contiguity (the reference's default) unless
+      * [[consecutive]] follows the quantifier. Restrictions (documented):
+      * groups do not nest, carry no own within/skip, and may not sit
+      * directly after a NOT pattern; unbounded group quantifiers
+      * (oneOrMore) are the MATCH_RECOGNIZE tier ([[CepNfa.nested]]). */
+    private[CepPattern] def addGroup(sub: Builder, link: Link): Builder = {
+      require(sub.groups.isEmpty, "nested group patterns are not supported")
+      require(!sub.lastWasNot && sub.pendingNotNext.isEmpty &&
+        sub.pendingNotDuring.isEmpty,
+        "a group may not end with a NOT pattern")
+      require(sub.withinUs.isEmpty && sub.maxGapUs.isEmpty &&
+        sub.skip == NoSkip,
+        "within/afterMatchSkip belong on the outer pattern, not a group")
+      require(pendingNotNext.isEmpty && pendingNotDuring.isEmpty &&
+        !lastWasNot,
+        "a NOT pattern directly before a group is not supported")
+      val start = steps.length
+      val ss = sub.steps.toIndexedSeq
+      steps += ss.head.copy(link = link)
+      steps ++= ss.tail
+      groups += Grp(start, steps.length - 1, 1, 1, Relaxed)
+      lastGroup = Some(groups.length - 1)
+      this
+    }
+
+    def next(sub: Builder): Builder = addGroup(sub, Strict)
+    def followedBy(sub: Builder): Builder = addGroup(sub, Relaxed)
+    def followedByAny(sub: Builder): Builder = addGroup(sub, RelaxedAny)
+
+    /** STRICT contiguity between group iterations (the reference's
+      * `consecutive()` on a looping GroupPattern; default is relaxed). */
+    def consecutive(): Builder = {
+      val g = lastGroup.getOrElse(throw new IllegalArgumentException(
+        "consecutive() applies to a quantified group"))
+      groups(g) = groups(g).copy(iterLink = Strict)
+      this
+    }
 
     def notNext(name: String): Builder = {
       require(pendingNotNext.isEmpty && pendingNotDuring.isEmpty,
@@ -166,28 +222,40 @@ object CepPattern {
       this
     }
 
-    /** Quantifier on the most recent POSITIVE step. */
+    /** Quantifier on the most recent POSITIVE step (or group). */
     def times(n: Int): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
       require(n >= 1, "times(n) needs n >= 1")
-      steps(steps.length - 1) = steps.last.copy(minTimes = n, maxTimes = n)
+      lastGroup match {
+        case Some(g) => groups(g) = groups(g).copy(min = n, max = n)
+        case None => steps(steps.length - 1) =
+          steps.last.copy(minTimes = n, maxTimes = n)
+      }
       this
     }
 
     /** `times(from, to)` range quantifier (Pattern.java times(int,int)):
       * between `from` and `to` occurrences, strict internal contiguity,
-      * non-greedy (every count in range emits, the reference default). */
+      * non-greedy (every count in range emits, the reference default).
+      * On a group: every iteration count in range emits (NoSkip only). */
     def times(from: Int, to: Int): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
       require(from >= 0 && to >= 1 && from <= to,
         s"times($from, $to) needs 0 <= from <= to, to >= 1")
-      steps(steps.length - 1) =
-        steps.last.copy(minTimes = from, maxTimes = to)
+      lastGroup match {
+        case Some(g) => groups(g) = groups(g).copy(min = from, max = to)
+        case None => steps(steps.length - 1) =
+          steps.last.copy(minTimes = from, maxTimes = to)
+      }
       this
     }
 
     def oneOrMore(): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(lastGroup.isEmpty,
+        "unbounded group quantifiers are not supported — use " +
+          "times(n)/times(from, to) on the group, or the " +
+          "MATCH_RECOGNIZE tier (CepNfa.nested) for unbounded iteration")
       steps(steps.length - 1) =
         steps.last.copy(minTimes = 1, maxTimes = Int.MaxValue)
       this
@@ -198,6 +266,9 @@ object CepPattern {
       * relaxed via [[allowGaps]]/[[allowCombinations]]. */
     def timesOrMore(n: Int): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(lastGroup.isEmpty,
+        "unbounded group quantifiers are not supported — use " +
+          "times(n)/times(from, to) on the group")
       require(n >= 1, "timesOrMore(n) needs n >= 1")
       steps(steps.length - 1) =
         steps.last.copy(minTimes = n, maxTimes = Int.MaxValue)
@@ -210,6 +281,7 @@ object CepPattern {
       * quantifier; it may still advance the pattern). */
     def until(f: Double => Boolean): Builder = {
       require(!lastWasNot, "until applies to positive steps")
+      require(lastGroup.isEmpty, "until applies to steps, not groups")
       steps(steps.length - 1) = steps.last.copy(untilCond = Some(f))
       this
     }
@@ -220,6 +292,9 @@ object CepPattern {
       * between repetitions are skipped. */
     def allowGaps(): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(lastGroup.isEmpty,
+        "group iteration contiguity is relaxed by default; " +
+          "consecutive() makes it strict")
       steps(steps.length - 1) = steps.last.copy(internal = Relaxed)
       this
     }
@@ -230,6 +305,8 @@ object CepPattern {
       * reference. */
     def allowCombinations(): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(lastGroup.isEmpty,
+        "allowCombinations applies to steps, not groups")
       steps(steps.length - 1) = steps.last.copy(internal = RelaxedAny)
       this
     }
@@ -240,12 +317,17 @@ object CepPattern {
       * anchors the match). */
     def optional(): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
-      steps(steps.length - 1) = steps.last.copy(minTimes = 0)
+      lastGroup match {
+        case Some(g) => groups(g) = groups(g).copy(min = 0)
+        case None =>
+          steps(steps.length - 1) = steps.last.copy(minTimes = 0)
+      }
       this
     }
 
     def greedy(): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
+      require(lastGroup.isEmpty, "greedy applies to steps, not groups")
       steps(steps.length - 1) = steps.last.copy(greedy = true)
       this
     }
@@ -277,18 +359,10 @@ object CepPattern {
       this
     }
 
-    def build(): Pattern = {
-      val trailing =
-        if (lastWasNot) {
-          require(!notIsNext, "a pattern may not end with notNext")
-          require(withinUs.isDefined,
-            "a pattern ending in notFollowedBy requires within " +
-              "(Pattern.java:298)")
-          val f = pendingNotDuring
-          pendingNotDuring = None
-          f
-        } else None
-      val ss = steps.toIndexedSeq
+    private def validateSteps(ss: IndexedSeq[Step]): Unit = {
+      require(ss.nonEmpty,
+        "the pattern is empty (a lone optional group's zero-iteration " +
+          "branch has no steps)")
       ss.foreach { s =>
         require(s.greedy || s.minTimes <= s.maxTimes, s"bad quantifier on ${s.name}")
       }
@@ -316,14 +390,89 @@ object CepPattern {
                 "is not supported")
         }
       }
+    }
+
+    def build(): Pattern = {
+      val all = buildAll()
+      require(all.size == 1,
+        "a ranged/optional group expands to several interpretation " +
+          "branches — use buildAll() and the Seq[Pattern] faces")
+      all.head
+    }
+
+    /** All interpretation branches: a group quantified `times(from, to)`
+      * (or `optional`) expands to one flat branch per iteration count —
+      * under NoSkip the union of branch matches IS the reference's
+      * every-interpretation emission set (GroupPattern.java semantics). */
+    def buildAll(): Seq[Pattern] = {
+      val trailing =
+        if (lastWasNot) {
+          require(!notIsNext, "a pattern may not end with notNext")
+          require(withinUs.isDefined,
+            "a pattern ending in notFollowedBy requires within " +
+              "(Pattern.java:298)")
+          val f = pendingNotDuring
+          pendingNotDuring = None
+          f
+        } else None
+      val branches =
+        if (groups.isEmpty) Seq(steps.toIndexedSeq)
+        else expandBranches(steps.toIndexedSeq, groups.toSeq)
+      branches.foreach(validateSteps)
+      require(branches.size == 1 || skip == NoSkip,
+        "ranged/optional groups require the NoSkip strategy (the " +
+          "branch union emits every interpretation)")
       require(skip == NoSkip || trailing.isEmpty,
         "a trailing notFollowedBy requires the NoSkip strategy (held " +
           "candidates cannot re-order under skip pruning)")
-      Pattern(ss, trailing, withinUs, skip, maxGapUs)
+      branches.map(ss => Pattern(ss, trailing, withinUs, skip, maxGapUs))
+    }
+  }
+
+  /** Group span over builder steps [start..end], quantified min..max
+    * iterations chaining with `iterLink` contiguity. */
+  private final case class Grp(
+      start: Int, end: Int, min: Int, max: Int, iterLink: Link)
+
+  /** One flat step sequence per group-iteration-count choice: group g
+    * repeated c times contributes its span c times, iterations 2+
+    * entering with the group's iteration contiguity. */
+  private def expandBranches(
+      ss: IndexedSeq[Step], gs: Seq[Grp]): Seq[IndexedSeq[Step]] = {
+    val choices = gs.foldLeft(Seq(Vector.empty[Int])) { (acc, g) =>
+      acc.flatMap(v => (g.min to g.max).map(v :+ _))
+    }
+    choices.map { counts =>
+      val out = IndexedSeq.newBuilder[Step]
+      var i = 0
+      while (i < ss.length) {
+        val gi = gs.indexWhere(_.start == i)
+        if (gi < 0) { out += ss(i); i += 1 }
+        else {
+          val g = gs(gi)
+          val span = ss.slice(g.start, g.end + 1)
+          (1 to counts(gi)).foreach { it =>
+            span.zipWithIndex.foreach { case (s, j) =>
+              out += (if (it > 1 && j == 0) s.copy(link = g.iterLink)
+                      else s)
+            }
+          }
+          i = g.end + 1
+        }
+      }
+      out.result()
     }
   }
 
   def begin(name: String): Builder = new Builder(name)
+
+  /** Begin with a GROUP (Pattern.begin(Pattern) — GroupPattern.java). */
+  def begin(sub: Builder): Builder = {
+    val b = new Builder("__group__")
+    b.steps.clear()
+    b.addGroup(sub, Strict)
+    b
+  }
 
   // ------------------------------------------------------------- engine
 
@@ -654,13 +803,18 @@ object CepPattern {
     }
   }
 
+  /** Output step names: union across branches in first-seen order —
+    * expanded group branches repeat names; counts merge per name. */
+  private def mergedNames(pats: Seq[Pattern]): Seq[String] =
+    pats.flatMap(_.steps.map(_.name)).distinct
+
   private def outSchema(df: DataFrame, keyCol: String,
-      pat: Pattern, measures: Seq[Measure]): StructType =
+      names: Seq[String], measures: Seq[Measure]): StructType =
     StructType(
       (df.schema(keyCol) +:
         StructField("start_us", LongType) +:
         StructField("end_us", LongType) +:
-        pat.steps.map(s => StructField(s"n_${s.name}", LongType))) ++
+        names.map(n => StructField(s"n_$n", LongType))) ++
         measures.map(m => StructField(m.as, DoubleType)))
 
   /** One measure value: combine the same-name steps that matched at
@@ -683,10 +837,16 @@ object CepPattern {
     }
   }
 
-  private def doneRow(key: Any, pat: Pattern, measures: Seq[Measure],
-      a: Long, b: Long, c: Vector[Long],
-      m: Vector[CepNfa.Meas]): Row =
-    Row.fromSeq((key +: a +: b +: c) ++ measures.map(measVal(_, pat, m)))
+  private def doneRow(key: Any, pat: Pattern, names: Seq[String],
+      measures: Seq[Measure], a: Long, b: Long, c: Vector[Long],
+      m: Vector[CepNfa.Meas]): Row = {
+    val byName = names.map { n =>
+      pat.steps.iterator.zipWithIndex
+        .filter(_._1.name == n).map(x => c(x._2)).sum
+    }
+    Row.fromSeq((key +: a +: b +: byName) ++
+      measures.map(measVal(_, pat, m)))
+  }
 
   /** Batch face. `timeCol` must be LongType (exact micros); ties must be
     * pre-deduplicated for determinism. `measures` append per-variable
@@ -697,24 +857,46 @@ object CepPattern {
       timeCol: String,
       valCol: String,
       pat: Pattern,
+      measures: Seq[Measure] = Nil): DataFrame =
+    applyAll(df, keyCol, timeCol, valCol, Seq(pat), measures)
+
+  /** Batch face over SEVERAL interpretation branches ([[Builder.buildAll]]
+    * — expanded ranged/optional groups): one secondary-sorted pass runs
+    * every branch's engine in lockstep; emissions union (NoSkip). Counts
+    * columns are per merged step name. */
+  def applyAll(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      pats: Seq[Pattern],
       measures: Seq[Measure] = Nil): DataFrame = {
+    require(pats.nonEmpty, "at least one pattern branch")
+    require(pats.size == 1 || pats.forall(_.skip == NoSkip),
+      "several branches require the NoSkip strategy")
+    val names = mergedNames(pats)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
-    val eng = new Engine(pat)
+    val engs = pats.map(new Engine(_)).toIndexedSeq
+    val patV = pats.toIndexedSeq
     SecondarySort.mapOrderedGroups(
       df, Seq(keyCol), Seq(col(timeCol)),
-      outSchema(df, keyCol, pat, measures)) {
+      outSchema(df, keyCol, names, measures)) {
       (key, rows) =>
-        var st = emptyState
+        val sts = Array.fill(engs.length)(emptyState)
         val matched = rows.flatMap { r =>
-          val (s2, ms, _) =
-            eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
-          st = s2
-          ms.map { case (a, b, c, m) =>
-            doneRow(key.head, pat, measures, a, b, c, m) }
+          val t = r.getLong(tIdx); val v = r.getDouble(vIdx)
+          engs.indices.iterator.flatMap { i =>
+            val (s2, ms, _) = engs(i).advance(sts(i), t, v)
+            sts(i) = s2
+            ms.map { case (a, b, c, m) =>
+              doneRow(key.head, patV(i), names, measures, a, b, c, m) }
+          }
         }
-        matched ++ eng.flush(st).iterator.map { case (a, b, c, m) =>
-          doneRow(key.head, pat, measures, a, b, c, m)
+        matched ++ engs.indices.iterator.flatMap { i =>
+          engs(i).flush(sts(i)).iterator.map { case (a, b, c, m) =>
+            doneRow(key.head, patV(i), names, measures, a, b, c, m)
+          }
         }
     }
   }
@@ -737,15 +919,16 @@ object CepPattern {
       "the timeout side output requires a within bound")
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
+    val names = mergedNames(Seq(pat))
     val eng = new Engine(pat, emitTimeouts = true)
-    val schema = StructType(outSchema(df, keyCol, pat, measures)
+    val schema = StructType(outSchema(df, keyCol, names, measures)
       .fields :+ StructField("timed_out", BooleanType))
     SecondarySort.mapOrderedGroups(
       df, Seq(keyCol), Seq(col(timeCol)), schema) {
       (key, rows) =>
         def row(d: (Long, Vector[Long], Vector[CepNfa.Meas], Long),
             flag: Boolean): Row = Row.fromSeq(
-          doneRow(key.head, pat, measures, d._4, d._1, d._2, d._3)
+          doneRow(key.head, pat, names, measures, d._4, d._1, d._2, d._3)
             .toSeq :+ flag)
         var st = emptyState
         val emitted = rows.flatMap { r =>
@@ -771,8 +954,24 @@ object CepPattern {
       valCol: String,
       pat: Pattern,
       measures: Seq[Measure] = Nil): DataFrame =
-    streamingFace(df, keyCol, timeCol, valCol, pat, measures,
+    streamingFace(df, keyCol, timeCol, valCol, Seq(pat), measures,
       emitTimeouts = false)
+
+  /** Streaming face over SEVERAL interpretation branches (see
+    * [[applyAll]]): per-key state is the vector of branch NFA states. */
+  def streamingAll(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCol: String,
+      pats: Seq[Pattern],
+      measures: Seq[Measure] = Nil): DataFrame = {
+    require(pats.nonEmpty, "at least one pattern branch")
+    require(pats.size == 1 || pats.forall(_.skip == NoSkip),
+      "several branches require the NoSkip strategy")
+    streamingFace(df, keyCol, timeCol, valCol, pats, measures,
+      emitTimeouts = false)
+  }
 
   /** Streaming face WITH the timeout side output (see [[withTimeouts]]):
     * over-budget partials surface flagged when the WATERMARK passes
@@ -787,7 +986,7 @@ object CepPattern {
       measures: Seq[Measure] = Nil): DataFrame = {
     require(pat.withinUs.isDefined,
       "the timeout side output requires a within bound")
-    streamingFace(df, keyCol, timeCol, valCol, pat, measures,
+    streamingFace(df, keyCol, timeCol, valCol, Seq(pat), measures,
       emitTimeouts = true)
   }
 
@@ -803,46 +1002,59 @@ object CepPattern {
       keyCol: String,
       timeCol: String,
       valCol: String,
-      pat: Pattern,
+      pats: Seq[Pattern],
       measures: Seq[Measure],
       emitTimeouts: Boolean): DataFrame = {
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdx = df.schema.fieldIndex(valCol)
-    val eng = new Engine(pat, emitTimeouts, wmRelease = true)
-    val base = outSchema(df, keyCol, pat, measures)
+    val names = mergedNames(pats)
+    val patV = pats.toIndexedSeq
+    val engs =
+      patV.map(new Engine(_, emitTimeouts, wmRelease = true))
+    val base = outSchema(df, keyCol, names, measures)
     val schema =
       if (emitTimeouts)
         StructType(base.fields :+ StructField("timed_out", BooleanType))
       else base
-    val ptf = new GraftPTF[PatState] {
+    val ptf = new GraftPTF[Vector[PatState]] {
       def process(
           key: Row,
           rows: Iterator[Row],
-          state: Option[PatState],
-          watermarkMs: Long): (Option[PatState], Seq[Row], Option[Long]) = {
-        var st = state.getOrElse(emptyState)
+          state: Option[Vector[PatState]],
+          watermarkMs: Long)
+          : (Option[Vector[PatState]], Seq[Row], Option[Long]) = {
+        val sts = state.getOrElse(
+          Vector.fill(engs.length)(emptyState)).toArray
         val out = Seq.newBuilder[Row]
-        def emit(d: (Long, Long, Vector[Long], Vector[CepNfa.Meas]),
+        def emit(i: Int,
+            d: (Long, Long, Vector[Long], Vector[CepNfa.Meas]),
             flag: Boolean): Unit = {
-          val r = doneRow(key.get(0), pat, measures, d._1, d._2, d._3, d._4)
+          val r = doneRow(key.get(0), patV(i), names, measures,
+            d._1, d._2, d._3, d._4)
           out += (if (emitTimeouts) Row.fromSeq(r.toSeq :+ flag) else r)
         }
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
-          val (s2, ms, ts) =
-            eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
-          st = s2
-          ms.foreach(emit(_, flag = false))
-          ts.foreach(emit(_, flag = true))
+          val t = r.getLong(tIdx); val v = r.getDouble(vIdx)
+          engs.indices.foreach { i =>
+            val (s2, ms, ts) = engs(i).advance(sts(i), t, v)
+            sts(i) = s2
+            ms.foreach(emit(i, _, flag = false))
+            ts.foreach(emit(i, _, flag = true))
+          }
         }
         val wmUs =
           if (watermarkMs == Long.MaxValue) Long.MaxValue
           else watermarkMs * 1000L
-        val (s3, ms3, ts3, wakeUs) = eng.onWatermark(st, wmUs)
-        st = s3
-        ms3.foreach(emit(_, flag = false))
-        ts3.foreach(emit(_, flag = true))
+        var wakeUs: Option[Long] = None
+        engs.indices.foreach { i =>
+          val (s3, ms3, ts3, w) = engs(i).onWatermark(sts(i), wmUs)
+          sts(i) = s3
+          ms3.foreach(emit(i, _, flag = false))
+          ts3.foreach(emit(i, _, flag = true))
+          wakeUs = (wakeUs.toList ++ w.toList).minOption
+        }
         val wakeMs = wakeUs.map(u => u / 1000L + 1L)
-        (Some(st), out.result(), wakeMs)
+        (Some(sts.toVector), out.result(), wakeMs)
       }
     }
     ProcessTableFunction(df, Seq(keyCol), schema, ptf)

@@ -929,6 +929,55 @@ object CepQueries {
                AND h.cls = 'H'
         WHERE l.cls = 'L' AND l.idx >= 2
         ORDER BY l.user_id, start_us, n_low
+      """.stripMargin.trim)),
+
+    // Group pattern (GroupPattern.java — Pattern.begin(Pattern).times):
+    // (spike lull){1,2} with relaxed first-match links. Each anchor's
+    // run is deterministic (followedBy takes the FIRST later match), so
+    // the replay is a chain of correlated min() lookups: b1 = first
+    // lull after the spike, a2 = first spike after b1, b2 = first lull
+    // after a2; the {1,2} range unions both iteration counts (NoSkip).
+    QueryDef(
+      "q_cep_group_times",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        val grp = CepPattern.begin("a").where(_ >= 150.0)
+          .followedBy("b").where(_ <= 2.0)
+        CepPattern.applyAll(d, "user_id", "ts_us", "value",
+          CepPattern.begin(grp).times(1, 2).buildAll())
+          .orderBy(col("user_id"), col("start_us"), col("n_a"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        a AS (SELECT user_id, tu FROM d WHERE value >= 150),
+        b AS (SELECT user_id, tu FROM d WHERE value <= 2),
+        m1 AS (SELECT a.user_id, a.tu AS t1,
+                 (SELECT min(b.tu) FROM b
+                  WHERE b.user_id = a.user_id AND b.tu > a.tu) AS t2
+               FROM a),
+        m2 AS (SELECT m1.user_id, t1, t2,
+                 (SELECT min(a2.tu) FROM a a2
+                  WHERE a2.user_id = m1.user_id AND a2.tu > t2) AS t3
+               FROM m1 WHERE t2 IS NOT NULL),
+        m3 AS (SELECT m2.user_id, t1, t2, t3,
+                 (SELECT min(b2.tu) FROM b b2
+                  WHERE b2.user_id = m2.user_id AND b2.tu > t3) AS t4
+               FROM m2 WHERE t3 IS NOT NULL)
+        SELECT user_id, t1 AS start_us, t2 AS end_us,
+               CAST(1 AS BIGINT) AS n_a, CAST(1 AS BIGINT) AS n_b
+        FROM m1 WHERE t2 IS NOT NULL
+        UNION ALL
+        SELECT user_id, t1, t4, CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+        FROM m3 WHERE t4 IS NOT NULL
+        ORDER BY user_id, start_us, n_a
       """.stripMargin.trim))
   )
 

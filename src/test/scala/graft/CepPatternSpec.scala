@@ -18,6 +18,11 @@ class CepPatternSpec extends SparkSpecBase {
   private def run(d: DataFrame, p: CepPattern.Pattern): Set[Seq[Any]] =
     CepPattern(d, "k", "t", "v", p).collect().map(_.toSeq.tail.toSeq).toSet
 
+  private def runAll(
+      d: DataFrame, ps: Seq[CepPattern.Pattern]): Set[Seq[Any]] =
+    CepPattern.applyAll(d, "k", "t", "v", ps)
+      .collect().map(_.toSeq.tail.toSeq).toSet
+
   private val aFollowedByB = CepPattern.begin("a").where(_ >= 8.0)
     .followedBy("b").where(_ <= 2.0).build()
 
@@ -428,6 +433,105 @@ class CepPatternSpec extends SparkSpecBase {
     } finally q.stop()
 
     val streamed = spark.table("cep_pat_gap").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  private def abGroup = CepPattern.begin("a").where(_ >= 8.0)
+    .followedBy("b").where(_ <= 2.0)
+
+  test("group patterns: times(n) repeats the whole group") {
+    val p = CepPattern.begin(abGroup).times(2).build()
+    // (a b){2} over a,b,a,b — one match spanning both iterations,
+    // counts merged per name
+    val d = df(1L -> 9.0, 2L -> 1.0, 3L -> 9.0, 4L -> 1.0)
+    assert(run(d, p) == Set(Seq(1L, 4L, 2L, 2L)))
+    // a single iteration is not enough
+    assert(run(df(1L -> 9.0, 2L -> 1.0), p).isEmpty)
+    // relaxed iteration contiguity (the default): a gap row between
+    // iterations is skipped
+    val dg = df(1L -> 9.0, 2L -> 1.0, 3L -> 5.0, 4L -> 9.0, 5L -> 1.0)
+    assert(run(dg, p) == Set(Seq(1L, 5L, 2L, 2L)))
+    // consecutive(): iterations must chain strictly — the gap row kills
+    val pc = CepPattern.begin(abGroup).times(2).consecutive().build()
+    assert(run(dg, pc).isEmpty)
+    assert(run(d, pc) == Set(Seq(1L, 4L, 2L, 2L)))
+  }
+
+  test("group patterns: times(from, to) emits every iteration count") {
+    val ps = CepPattern.begin(abGroup).times(1, 2).buildAll()
+    assert(ps.size == 2)
+    val d = df(1L -> 9.0, 2L -> 1.0, 3L -> 9.0, 4L -> 1.0)
+    assert(runAll(d, ps) == Set(
+      Seq(1L, 2L, 1L, 1L), Seq(3L, 4L, 1L, 1L), // one-iteration matches
+      Seq(1L, 4L, 2L, 2L))) // the two-iteration interpretation
+    // build() on a ranged group directs to buildAll
+    val e = intercept[IllegalArgumentException](
+      CepPattern.begin(abGroup).times(1, 2).build())
+    assert(e.getMessage.contains("buildAll"))
+  }
+
+  test("group patterns: optional group after a head step") {
+    val grp = CepPattern.begin("c").where(v => v >= 4.0 && v < 8.0)
+      .followedBy("d").where(_ <= 2.0)
+    val ps = CepPattern.begin("s").where(_ >= 8.0)
+      .followedBy(grp).optional().buildAll()
+    assert(ps.size == 2)
+    // s alone matches (zero-iteration branch); s c d matches too
+    val d = df(1L -> 9.0, 2L -> 5.0, 3L -> 1.0)
+    assert(runAll(d, ps) == Set(
+      Seq(1L, 1L, 1L, 0L, 0L), Seq(1L, 3L, 1L, 1L, 1L)))
+  }
+
+  test("group patterns: rejections") {
+    // nested groups
+    intercept[IllegalArgumentException] {
+      CepPattern.begin(CepPattern.begin(abGroup).times(2))
+    }
+    // unbounded group quantifier
+    intercept[IllegalArgumentException] {
+      CepPattern.begin(abGroup).oneOrMore()
+    }
+    // conditions on the group itself
+    intercept[IllegalArgumentException] {
+      CepPattern.begin(abGroup).where(_ > 0)
+    }
+    // ranged groups require NoSkip
+    intercept[IllegalArgumentException] {
+      CepPattern.begin(abGroup).times(1, 2)
+        .afterMatchSkip(CepPattern.SkipPastLast).buildAll()
+    }
+  }
+
+  test("group patterns: streaming parity via streamingAll") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val grp = CepPattern.begin("a").where(_ >= 150.0)
+      .followedBy("b").where(_ <= 2.0)
+    val ps = CepPattern.begin(grp).times(1, 2).buildAll()
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    val rows = graft.operators.Dedup.keepFirst(e,
+      Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val batch = CepPattern.applyAll(rows.toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", ps).collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cpgr-").toString
+    val q = CepPattern.streamingAll(sdf, "user_id", "ts_us", "value", ps)
+      .writeStream.format("memory").queryName("cep_pat_grp")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      val (x, y) = ordered.splitAt(ordered.length / 2)
+      input.addData(x); q.processAllAvailable()
+      input.addData(y); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("cep_pat_grp").collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
 }
