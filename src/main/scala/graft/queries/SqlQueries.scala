@@ -1027,6 +1027,56 @@ object SqlQueries {
         WHERE ptu IS NOT NULL AND ntu IS NOT NULL
           AND vf >= 40 AND nv < vf AND ns > sev - 3
         ORDER BY user_id, start_us
+      """.trim)),
+
+    // MEASURES / DEFINE over the ORDER BY column (round 10): rowtime
+    // measures (`FIRST(a.ts_us)`) and time-delta conditions
+    // (`ts_us - PREV(ts_us) <= gap`) route through a synthetic double
+    // value column — the reference allows rowtime access in both
+    // clauses. Same fixed-length SKIP TO NEXT ROW replay shape as
+    // q_match_recognize_multicol.
+    QueryDef(
+      "q_match_recognize_rowtime",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("vf", floor(col("value")).cast("double"))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, ta, tb
+            |FROM events_d MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  MEASURES FIRST(a.ts_us) AS ta, LAST(b.ts_us) AS tb
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (a b)
+            |  DEFINE a AS vf >= 40,
+            |         b AS vf < PREV(vf)
+            |              AND ts_us - PREV(ts_us) <= 36000000000
+            |)
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("events_d" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(FLOOR(value) AS DOUBLE) AS vf,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vf FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vf,
+                lag(tu)  OVER w AS ptu,
+                lead(tu) OVER w AS ntu, lead(vf) OVER w AS nv
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu))
+        SELECT user_id, ptu AS start_us, ntu AS end_us,
+               CAST(tu AS DOUBLE) AS ta, CAST(ntu AS DOUBLE) AS tb
+        FROM s
+        WHERE ptu IS NOT NULL AND ntu IS NOT NULL
+          AND vf >= 40 AND nv < vf AND ntu - tu <= 36000000000
+        ORDER BY user_id, start_us
       """.trim))
   )
 }

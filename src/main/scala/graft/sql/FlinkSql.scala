@@ -1816,6 +1816,31 @@ object FlinkSql {
     }
     val endTok = p.eat(")").end
 
+    // ORDER BY column references in DEFINE/MEASURES route through a
+    // synthetic DOUBLE value column (µs fit a double exactly below
+    // 2^53): `FIRST(a.ts_us)` measures and `ts_us - PREV(ts_us)` delta
+    // conditions work while the engine's time read stays LongType. The
+    // measure emits as DoubleType like every measure column.
+    val timeVal = "__cep_time_v"
+    def rwE(e: Expr): Expr = e match {
+      case Ref(c, prev) if c.equalsIgnoreCase(timeCol) => Ref(timeVal, prev)
+      case Arith(l, plus, r) => Arith(rwE(l), plus, rwE(r))
+      case AggE(fn, sym, c) if c.equalsIgnoreCase(timeCol) =>
+        AggE(fn, sym, timeVal)
+      case x => x
+    }
+    def rwC(c: Cond): Cond = c match {
+      case Cmp(l, op, r) => Cmp(rwE(l), op, rwE(r))
+      case And(l, r) => And(rwC(l), rwC(r))
+      case Or(l, r) => Or(rwC(l), rwC(r))
+      case Not(x) => Not(rwC(x))
+    }
+    defines.mapValuesInPlace((_, c) => rwC(c))
+    val measuresR = measures.map { case (agg, sym, vcol, alias) =>
+      (agg, sym,
+        if (vcol.equalsIgnoreCase(timeCol)) timeVal else vcol, alias)
+    }
+
     // Value columns: the engine addresses columns by index into
     // `valCols` (Atom.colIdx / MeasureSpec.colIdx). A DEFINE reading one
     // column compiles onto the fast (prev, cur) pair predicate; one
@@ -1835,7 +1860,7 @@ object FlinkSql {
       case (s, Seq(c)) => s -> c
     }
     val valCols0 =
-      (defCols.valuesIterator.flatten ++ measures.iterator.map(_._3) ++
+      (defCols.valuesIterator.flatten ++ measuresR.iterator.map(_._3) ++
         defAggs.valuesIterator.flatten.map(_.col))
         .filterNot(_.equalsIgnoreCase(timeCol)).toSeq.distinct.sorted
     // all-TRUE defines with no measures: feed a constant value column
@@ -1873,11 +1898,8 @@ object FlinkSql {
       case _: PPermute => throw new IllegalArgumentException(
         "PERMUTE inside a group is not supported")
     }
-    val specs = measures.map { case (agg, sym, vcol, alias) =>
-      CepNfa.MeasureSpec(agg, sym, alias, colIdx.getOrElse(vcol,
-        throw new IllegalArgumentException(
-          s"MEASURES over the ORDER BY column ($vcol) is not supported — " +
-            "measure a value column")))
+    val specs = measuresR.map { case (agg, sym, vcol, alias) =>
+      CepNfa.MeasureSpec(agg, sym, alias, colIdx(vcol))
     }.toSeq
 
     // value columns reach the engine as doubles (exact for the long/int
@@ -1885,9 +1907,14 @@ object FlinkSql {
     val srcV = {
       val withConst =
         if (constCol) src.withColumn("__cep_const", lit(0.0)) else src
-      valCols.filterNot(_ == "__cep_const").foldLeft(withConst) { (d, c) =>
-        d.withColumn(c, col(c).cast("double"))
-      }
+      val withTime =
+        if (valCols.contains(timeVal))
+          withConst.withColumn(timeVal, col(timeCol).cast("double"))
+        else withConst
+      valCols.filterNot(c => c == "__cep_const" || c == timeVal)
+        .foldLeft(withTime) { (d, c) =>
+          d.withColumn(c, col(c).cast("double"))
+        }
     }
     // a streaming table routes to the keyed-state NFA face (the input
     // must carry a watermark, e.g. from WATERMARK DDL / withWatermark)

@@ -156,6 +156,38 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaDsl)
   }
 
+  test("MEASURES and DEFINE may read the ORDER BY column") {
+    // the same pattern phrased over ts_us (the ORDER BY column — routed
+    // through the synthetic time value column) and over tsd (an
+    // explicit double copy) must agree exactly
+    def stmt(tc: String) =
+      s"""SELECT user_id, start_us, end_us, t_first, t_last
+         |FROM d MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts_us
+         |  MEASURES FIRST(down.$tc) AS t_first, LAST(up.$tc) AS t_last
+         |  PATTERN (down+ up)
+         |  DEFINE down AS value < PREV(value),
+         |         up AS value > PREV(value)
+         |               AND $tc - PREV($tc) <= 36000000000)""".stripMargin
+    val viaTime = FlinkSql.sql(spark, stmt("ts_us"), Map("d" -> deduped))
+    val viaCopy = FlinkSql.sql(spark, stmt("tsd"),
+      Map("d" -> deduped.withColumn("tsd", col("ts_us").cast("double"))))
+    assertSame(viaTime, viaCopy)
+    val rows = viaTime.collect()
+    assert(rows.nonEmpty)
+    // t_last is the up row's time = the match end; the bound must bite
+    // somewhere (fewer matches than the unconstrained pattern)
+    assert(rows.forall(r => r.getDouble(4) == r.getLong(2).toDouble))
+    val unconstrained = FlinkSql.sql(spark,
+      """SELECT user_id, start_us FROM d MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  PATTERN (down+ up)
+        |  DEFINE down AS value < PREV(value),
+        |         up AS value > PREV(value))""".stripMargin,
+      Map("d" -> deduped))
+    assert(rows.length < unconstrained.count())
+  }
+
   test("multi-column DEFINE compiles onto the iterative-condition face") {
     val d = deduped
       .withColumn("vf", floor(col("value")).cast("double"))
