@@ -138,6 +138,28 @@ object CepPattern {
       this
     }
 
+    /** OR-combine with the step's current condition (Pattern.java
+      * `or(IterativeCondition)` — RichOrCondition). On a NOT pattern the
+      * kill condition widens. `where` replaces; `or` composes. */
+    def or(f: Double => Boolean): Builder = {
+      require(lastGroup.isEmpty,
+        "conditions belong on the steps INSIDE a group")
+      if (lastWasNot) {
+        def widen(c: Option[Double => Boolean]): Option[Double => Boolean] =
+          c.map(g => (v: Double) => g(v) || f(v))
+        if (notIsNext) pendingNotNext = widen(pendingNotNext)
+        else pendingNotDuring = widen(pendingNotDuring)
+      } else {
+        val s = steps.last
+        require(s.iterCond.isEmpty,
+          "or() composes plain conditions — fold the disjunction into " +
+            "the whereWith iterative condition instead")
+        val g = s.where
+        steps(steps.length - 1) = s.copy(where = v => g(v) || f(v))
+      }
+      this
+    }
+
     /** Iterative condition for the most recent POSITIVE step — sees the
       * row's value plus running per-variable aggregates of the rows
       * already matched by this partial match (IterativeCondition.java:63

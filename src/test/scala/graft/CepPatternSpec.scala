@@ -436,6 +436,22 @@ class CepPatternSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("or() widens a step's condition (RichOrCondition)") {
+    val p = CepPattern.begin("a").where(_ >= 8.0).or(_ <= 1.0)
+      .next("b").where(v => v >= 4.0 && v < 8.0).build()
+    // both the high anchor (9) and the low anchor (1) start matches
+    val d = df(1L -> 9.0, 2L -> 5.0, 3L -> 1.0, 4L -> 6.0)
+    assert(run(d, p) ==
+      Set(Seq(1L, 2L, 1L, 1L), Seq(3L, 4L, 1L, 1L)))
+    // or() on a NOT pattern widens the kill set
+    val pn = CepPattern.begin("a").where(_ >= 8.0)
+      .notFollowedBy("x").where(_ <= 1.0).or(v => v >= 4.0 && v < 8.0)
+      .followedBy("b").where(_ <= 2.0).build()
+    assert(run(df(1L -> 9.0, 2L -> 5.0, 3L -> 2.0), pn).isEmpty)
+    assert(run(df(1L -> 9.0, 2L -> 3.0, 3L -> 2.0), pn) ==
+      Set(Seq(1L, 3L, 1L, 1L)))
+  }
+
   private def abGroup = CepPattern.begin("a").where(_ >= 8.0)
     .followedBy("b").where(_ <= 2.0)
 
