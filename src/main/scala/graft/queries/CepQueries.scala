@@ -931,6 +931,43 @@ object CepQueries {
         ORDER BY l.user_id, start_us, n_low
       """.stripMargin.trim)),
 
+    // PREVIOUS_AND_CURRENT within (Pattern.within(Duration, WithinType),
+    // Flink 1.16): spike followedBy lull with the CONSECUTIVE-event gap
+    // bounded by 12h. followedBy takes the FIRST later lull; a first
+    // lull beyond the gap kills the run (no retry with a closer row),
+    // so the replay is min-lookup + gap filter.
+    QueryDef(
+      "q_cep_within_gap",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        CepPattern(d, "user_id", "ts_us", "value",
+          CepPattern.begin("a").where(_ >= 150.0)
+            .followedBy("b").where(_ <= 2.0)
+            .withinGap(12L * 3600L * 1000000L).build())
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        a AS (SELECT user_id, tu FROM d WHERE value >= 150),
+        b AS (SELECT user_id, tu FROM d WHERE value <= 2)
+        SELECT user_id, start_us, end_us,
+               CAST(1 AS BIGINT) AS n_a, CAST(1 AS BIGINT) AS n_b
+        FROM (
+          SELECT a.user_id, a.tu AS start_us, MIN(b.tu) AS end_us
+          FROM a JOIN b ON b.user_id = a.user_id AND b.tu > a.tu
+          GROUP BY a.user_id, a.tu)
+        WHERE end_us - start_us <= 43200000000
+        ORDER BY user_id, start_us
+      """.stripMargin.trim)),
+
     // Group pattern (GroupPattern.java — Pattern.begin(Pattern).times):
     // (spike lull){1,2} with relaxed first-match links. Each anchor's
     // run is deterministic (followedBy takes the FIRST later match), so
