@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{AfterMatchSkip, CepNfa, PatternStep}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based fuzz of the concurrent-run NFA against an INDEPENDENT
+  * brute-force matcher. The brute force enumerates, per anchor, every
+  * assignment of consecutive rows to steps (largest counts first — the
+  * engine's documented per-anchor priority) and applies the skip
+  * strategy by simple scheduling:
+  *
+  *  - ToNextRow: every anchor emits its own highest-priority completion;
+  *  - PastLastRow: anchors in time order, an emitted match bars anchors
+  *    strictly before its end (re-anchoring AT the end allowed).
+  *
+  * Two independent formulations of MATCH_RECOGNIZE semantics agreeing on
+  * randomized inputs is the CEP analog of the DuckDB oracles (which can
+  * only phrase deterministic pattern shapes relationally).
+  */
+class CepNfaFuzzSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private case class StepSpec(
+      pred: (Double, Double) => Boolean,
+      greedy: Boolean,
+      min: Int)
+
+  /** Predicate pool — names keep failure messages readable. */
+  private val preds: Vector[(String, (Double, Double) => Boolean)] = Vector(
+    "lt_prev" -> ((p, c) => c < p),
+    "gt_prev" -> ((p, c) => c > p),
+    "ge2" -> ((_, c) => c >= 2.0),
+    "le1" -> ((_, c) => c <= 1.0),
+    "any" -> ((_, _) => true))
+
+  private def genCase: Gen[(Vector[Double], Vector[(String, StepSpec)],
+      Option[Long], Boolean)] = for {
+    n <- Gen.choose(8, 14)
+    vals <- Gen.listOfN(n, Gen.choose(0, 3).map(_.toDouble))
+    k <- Gen.choose(1, 3)
+    steps <- Gen.listOfN(k, for {
+      pi <- Gen.choose(0, preds.length - 1)
+      greedy <- Gen.oneOf(true, false)
+      min <- if (greedy) Gen.choose(1, 2) else Gen.choose(0, 1)
+    } yield (preds(pi)._1, StepSpec(preds(pi)._2, greedy, min)))
+    within <- Gen.option(Gen.choose(3L, 8L))
+    toNext <- Gen.oneOf(true, false)
+  } yield {
+    // first step anchors: min >= 1
+    val ss = steps.toVector
+    val fixed = ss.updated(0, (ss.head._1,
+      ss.head._2.copy(min = math.max(1, ss.head._2.min))))
+    (vals.toVector, fixed, within, toNext)
+  }
+
+  /** Highest-priority completion for one anchor (first matched row at
+    * index `s`): DFS over per-step counts, larger counts first. Returns
+    * (endIdx, counts). */
+  private def bestAt(vals: Vector[Double], s: Int,
+      steps: Vector[StepSpec], withinUs: Option[Long])
+      : Option[(Int, Vector[Long])] = {
+    val startT = s - 1 // row index IS its time
+    def ok(stepIdx: Int, rowIdx: Int): Boolean =
+      rowIdx < vals.length &&
+        withinUs.forall(w => rowIdx - startT <= w) &&
+        steps(stepIdx).pred(vals(rowIdx - 1), vals(rowIdx))
+    // returns counts for steps j.. consuming rows from r; None if no
+    // completion. Larger counts first = engine priority.
+    def dfs(j: Int, r: Int): Option[(Int, List[Long])] = {
+      if (j == steps.length)
+        return if (r > s) Some((r - 1, Nil)) else None
+      val st = steps(j)
+      // candidate counts, descending priority
+      val maxHere = {
+        var c = 0
+        while (ok(j, r + c)) c += 1
+        c
+      }
+      val counts: Seq[Int] =
+        if (st.greedy) (math.min(maxHere, vals.length) to st.min by -1) ++
+          (if (st.min == 0) Seq(0) else Nil)
+        else if (st.min == 0) Seq(math.min(1, maxHere), 0).distinct
+        else if (maxHere >= st.min) Seq(st.min)
+        else Nil
+      counts.filter(c => c <= maxHere || c == 0).foreach { c =>
+        dfs(j + 1, r + c) match {
+          case Some((end, rest)) => return Some((end, c.toLong :: rest))
+          case None => ()
+        }
+      }
+      None
+    }
+    dfs(0, s).map { case (end, cs) => (end, cs.toVector) }
+  }
+
+  /** All emitted matches under the skip strategy. Row index = time. */
+  private def brute(vals: Vector[Double], steps: Vector[StepSpec],
+      withinUs: Option[Long], toNext: Boolean)
+      : Set[(Long, Long, Vector[Long])] = {
+    var out = Set.empty[(Long, Long, Vector[Long])]
+    var barrier = Long.MinValue
+    (1 until vals.length).foreach { s =>
+      val anchorT = (s - 1).toLong
+      if (toNext || anchorT >= barrier) {
+        bestAt(vals, s, steps, withinUs).foreach { case (end, cs) =>
+          // a zero-row completion cannot happen (first step min >= 1)
+          out += ((anchorT, end.toLong, cs))
+          if (!toNext) barrier = math.max(barrier, end.toLong)
+        }
+      }
+    }
+    out
+  }
+
+  test("fuzz: CepNfa matches the brute-force matcher on random inputs") {
+    (1L to 30L).foreach { seed =>
+      val (vals, named, within, toNext) =
+        genCase.pureApply(Gen.Parameters.default, Seed(seed))
+      val steps = named.map(_._2)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
+      val engineSteps = steps.zipWithIndex.map { case (st, i) =>
+        PatternStep(s"s$i", st.pred, st.greedy, st.min)
+      }
+      val skip =
+        if (toNext) AfterMatchSkip.ToNextRow else AfterMatchSkip.PastLastRow
+      val got = CepNfa.single(df, "k", "t", "v", engineSteps,
+        withinUs = within, skip = skip)
+        .collect().map { r =>
+          (r.getLong(1), r.getLong(2),
+            steps.indices.map(i => r.getLong(3 + i)).toVector)
+        }.toSet
+      val exp = brute(vals, steps, within, toNext)
+      assert(got == exp,
+        s"seed $seed: pattern ${named.map(x => (x._1, x._2.greedy, x._2.min))}" +
+          s" within=$within toNext=$toNext vals=$vals\n" +
+          s"engine=${got.toSeq.sortBy(_._1)}\nbrute =${exp.toSeq.sortBy(_._1)}")
+    }
+  }
+}
