@@ -701,6 +701,43 @@ object MiscOpQueries {
         FROM events e JOIN rules r ON e.event_type = r.event_type
         WHERE e.value > r.threshold
         GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim)),
+
+    // Table API facade (round 10; graft.table — the reference's fluent
+    // Table.java/TableEnvironment.java surface over DataFrames): a
+    // join + filter + group-agg pipeline phrased ENTIRELY through the
+    // facade, proving a migrating Table-API program keeps its shape and
+    // hits the same Catalyst plan (DuckDB-oracled like every query).
+    QueryDef(
+      "q_table_api",
+      (s, dir) => {
+        import graft.table.api._
+        import org.apache.spark.sql.types.DecimalType
+        val env = graft.table.TableEnvironment.create(s)
+        env.createTemporaryView("orders", Tables.orders(s, dir))
+        env.createTemporaryView("customer", Tables.customer(s, dir))
+        env.from("orders")
+          .select($("o_orderkey"), $("o_custkey"), $("o_orderpriority"),
+            $("o_totalprice"))
+          .join(
+            env.from("customer")
+              .select($("c_custkey"), $("c_mktsegment")),
+            $("o_custkey").isEqual($("c_custkey")))
+          .filter($("c_mktsegment").isEqual(lit("BUILDING")))
+          .groupBy($("o_orderpriority"))
+          .select($("o_orderpriority"),
+            $("o_totalprice").cast(DecimalType(25, 2)).sum
+              .cast(org.apache.spark.sql.types.DoubleType).as("total"),
+            $("o_orderkey").count.as("n"))
+          .orderBy($("o_orderpriority").asc)
+          .toDataFrame
+      },
+      Some(s"""
+        SELECT o_orderpriority, ${Exact.sqlSum("o_totalprice")} AS total,
+               COUNT(o_orderkey) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.stripMargin.trim))
   )
 }

@@ -1,0 +1,366 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** The reference's fluent Table API re-expressed over DataFrames — the
+  * `TableEnvironment` / `Table` / expression-DSL surface
+  * (flink-table/flink-table-api-java/src/main/java/org/apache/flink/
+  * table/api/Table.java, TableEnvironment.java, Expressions.java), so a
+  * migrating Table-API program keeps its SHAPE:
+  *
+  * {{{
+  * val env = TableEnvironment.create(spark)
+  * env.createTemporaryView("orders", ordersDf)
+  * env.from("orders")
+  *   .filter($("o_totalprice").isGreater(lit(100.0)))
+  *   .groupBy($("o_orderpriority"))
+  *   .select($("o_orderpriority"), $("o_totalprice").sum.as("total"))
+  *   .orderBy($("o_orderpriority"))
+  * }}}
+  *
+  * Every operation is a thin, lazy mapping onto the equivalent
+  * DataFrame operation — Catalyst sees exactly the plan the DataFrame
+  * DSL would build (no extra execution layer), and streaming inputs
+  * stay streaming. Group windows mirror Tumble/Slide/Session
+  * (GroupWindow.java) onto Spark's native `window()` /
+  * `session_window()`; over windows map onto Spark Window specs.
+  *
+  * Deliberate deltas (documented): expression strings ("a + 1") are not
+  * parsed — the typed DSL only; `execute()` collects eagerly like the
+  * reference's `TableResult#collect` but returns plain Rows.
+  */
+object api {
+
+  /** Expressions.$ — a field reference. */
+  def $(name: String): Expr = new Expr(F.col(name), Some(name))
+
+  /** Expressions.lit. */
+  def lit(v: Any): Expr = new Expr(F.lit(v))
+
+  /** Expressions.nullOf analog (typed NULL literal). */
+  def nullOf(dt: org.apache.spark.sql.types.DataType): Expr =
+    new Expr(F.lit(null).cast(dt))
+
+  /** ApiExpression surface: Flink's fluent method names over a Spark
+    * Column. Each call returns a new immutable Expr. `name` tracks the
+    * statically-known output name (a field reference or an alias) —
+    * grouped/windowed selects resolve columns through it without
+    * touching Catalyst internals. */
+  final class Expr private[table] (
+      private[table] val col: Column,
+      private[table] val name: Option[String] = None) {
+    private def mk(c: Column) = new Expr(c)
+
+    // arithmetic (ApiExpression plus/minus/times/dividedBy/mod)
+    def plus(o: Expr): Expr = mk(col + o.col)
+    def minus(o: Expr): Expr = mk(col - o.col)
+    def times(o: Expr): Expr = mk(col * o.col)
+    def dividedBy(o: Expr): Expr = mk(col / o.col)
+    def mod(o: Expr): Expr = mk(col % o.col)
+
+    // comparison
+    def isEqual(o: Expr): Expr = mk(col === o.col)
+    def isNotEqual(o: Expr): Expr = mk(col =!= o.col)
+    def isGreater(o: Expr): Expr = mk(col > o.col)
+    def isGreaterOrEqual(o: Expr): Expr = mk(col >= o.col)
+    def isLess(o: Expr): Expr = mk(col < o.col)
+    def isLessOrEqual(o: Expr): Expr = mk(col <= o.col)
+    def isNull: Expr = mk(col.isNull)
+    def isNotNull: Expr = mk(col.isNotNull)
+    def between(lo: Expr, hi: Expr): Expr = mk(col.between(lo.col, hi.col))
+    def in(vs: Expr*): Expr = mk(col.isin(vs.map(_.col): _*))
+    def like(pattern: String): Expr = mk(col.like(pattern))
+
+    // logic
+    def and(o: Expr): Expr = mk(col && o.col)
+    def or(o: Expr): Expr = mk(col || o.col)
+    def not: Expr = mk(!col)
+
+    // naming / ordering / casting
+    def as(alias: String): Expr = new Expr(col.as(alias), Some(alias))
+    def asc: Expr = mk(col.asc)
+    def desc: Expr = mk(col.desc)
+    def cast(dt: org.apache.spark.sql.types.DataType): Expr =
+      mk(col.cast(dt))
+
+    // aggregates (ApiExpression sum/avg/count/max/min/…)
+    def sum: Expr = mk(F.sum(col))
+    def sum0: Expr = mk(F.coalesce(F.sum(col), F.lit(0)))
+    def avg: Expr = mk(F.avg(col))
+    def count: Expr = mk(F.count(col))
+    def max: Expr = mk(F.max(col))
+    def min: Expr = mk(F.min(col))
+    def stddevPop: Expr = mk(F.stddev_pop(col))
+    def stddevSamp: Expr = mk(F.stddev_samp(col))
+    def varPop: Expr = mk(F.var_pop(col))
+    def varSamp: Expr = mk(F.var_samp(col))
+    def collect: Expr = mk(F.collect_list(col))
+    def distinct: Expr = mk(F.count_distinct(col)) // count(DISTINCT x)
+
+    // scalar functions (the common ApiExpression names)
+    def upperCase: Expr = mk(F.upper(col))
+    def lowerCase: Expr = mk(F.lower(col))
+    def trim(): Expr = mk(F.trim(col))
+    def charLength: Expr = mk(F.length(col))
+    def substring(begin: Int, len: Int): Expr =
+      mk(F.substring(col, begin, len))
+    def abs: Expr = mk(F.abs(col))
+    def floor: Expr = mk(F.floor(col))
+    def ceil: Expr = mk(F.ceil(col))
+    def round(places: Int): Expr = mk(F.round(col, places))
+    def ifThenElse(thenE: Expr, elseE: Expr): Expr =
+      mk(F.when(col, thenE.col).otherwise(elseE.col))
+
+    // over-window application: agg.over($("w"))
+  }
+
+  /** Expressions.call — any Spark SQL function by name. */
+  def call(fn: String, args: Expr*): Expr =
+    new Expr(F.call_function(fn, args.map(_.col): _*))
+}
+
+/** TableEnvironment.java: view registry + `from` + `sqlQuery` (the
+  * latter through the graft SQL dialect entry, so TVF windows /
+  * MATCH_RECOGNIZE etc. work from the same environment). */
+final class TableEnvironment private (val spark: SparkSession) {
+  private val views =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  def createTemporaryView(name: String, df: DataFrame): Unit =
+    views(name) = df
+
+  def dropTemporaryView(name: String): Boolean =
+    views.remove(name).isDefined
+
+  def listTables(): Seq[String] = views.keys.toSeq
+
+  def from(name: String): Table =
+    new Table(views.getOrElse(name, throw new IllegalArgumentException(
+      s"Table `$name` was not found — createTemporaryView it first")), this)
+
+  def fromDataFrame(df: DataFrame): Table = new Table(df, this)
+
+  /** TableEnvironment#sqlQuery through the Flink-dialect SQL entry. */
+  def sqlQuery(sql: String): Table =
+    new Table(graft.sql.FlinkSql.sql(spark, sql, views.toMap), this)
+}
+
+object TableEnvironment {
+  def create(spark: SparkSession): TableEnvironment =
+    new TableEnvironment(spark)
+}
+
+/** Table.java: each method is the reference's name, each body the
+  * equivalent DataFrame operation. */
+final class Table private[table] (
+    private[table] val df: DataFrame,
+    private val env: TableEnvironment) {
+  import graft.table.api.Expr
+
+  private def mk(d: DataFrame) = new Table(d, env)
+
+  def select(exprs: Expr*): Table = mk(df.select(exprs.map(_.col): _*))
+
+  /** Table#as — positional rename of every field. */
+  def as(names: String*): Table = {
+    require(names.length == df.columns.length,
+      s"as() takes ${df.columns.length} names, got ${names.length}")
+    mk(df.toDF(names: _*))
+  }
+
+  def where(e: Expr): Table = mk(df.where(e.col))
+  def filter(e: Expr): Table = where(e)
+
+  def distinct(): Table = mk(df.distinct())
+
+  def groupBy(keys: Expr*): GroupedTable =
+    new GroupedTable(df, keys, env)
+
+  // joins (Table#join/leftOuterJoin/…): field names must be unique
+  // across both sides, the reference's own requirement
+  private def joined(right: Table, cond: Expr, how: String): Table = {
+    val clash = df.columns.toSet.intersect(right.df.columns.toSet)
+    require(clash.isEmpty,
+      s"join inputs share field names $clash — rename one side (as)")
+    mk(df.join(right.df, cond.col, how))
+  }
+  def join(right: Table, cond: Expr): Table = joined(right, cond, "inner")
+  def leftOuterJoin(right: Table, cond: Expr): Table =
+    joined(right, cond, "left")
+  def rightOuterJoin(right: Table, cond: Expr): Table =
+    joined(right, cond, "right")
+  def fullOuterJoin(right: Table, cond: Expr): Table =
+    joined(right, cond, "full")
+
+  // set operations (distinct + ALL multiset forms, as Table.java)
+  def union(o: Table): Table = mk(df.union(o.df).distinct())
+  def unionAll(o: Table): Table = mk(df.union(o.df))
+  def intersect(o: Table): Table = mk(df.intersect(o.df))
+  def intersectAll(o: Table): Table = mk(df.intersectAll(o.df))
+  def minus(o: Table): Table = mk(df.except(o.df))
+  def minusAll(o: Table): Table = mk(df.exceptAll(o.df))
+
+  def orderBy(exprs: Expr*): Table = mk(df.orderBy(exprs.map(_.col): _*))
+  def offset(n: Int): Table = mk(df.offset(n))
+  def fetch(n: Int): Table = mk(df.limit(n))
+  def limit(n: Int): Table = fetch(n)
+
+  // schema modification (Table#addColumns/renameColumns/dropColumns —
+  // aliased expressions carry the new names)
+  def addColumns(exprs: Expr*): Table =
+    mk(df.select((df.columns.map(F.col) ++ exprs.map(_.col)).toSeq: _*))
+  def addOrReplaceColumns(exprs: Expr*): Table =
+    mk(exprs.foldLeft(df) { (d, e) =>
+      val n = e.name.getOrElse(throw new IllegalArgumentException(
+        "addOrReplaceColumns needs aliased expressions (expr.as(name))"))
+      d.withColumn(n, e.col)
+    })
+  def renameColumns(pairs: (String, String)*): Table =
+    mk(pairs.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) })
+  def dropColumns(names: String*): Table = mk(df.drop(names: _*))
+
+  /** Group-window declaration (Tumble/Slide/Session over a TIMESTAMP
+    * time attribute — GroupWindow.java). */
+  def window(w: GroupWindow): WindowedTable = new WindowedTable(df, w, env)
+
+  def execute(): TableResult = new TableResult(df)
+  def toDataFrame: DataFrame = df
+  def printSchema(): Unit = df.printSchema()
+}
+
+/** Table#groupBy(...).select(aggregates) → DataFrame groupBy/agg. Keys
+  * appear in the select list by name; non-key expressions are
+  * aggregates (resolved positionally against the agg output). */
+final class GroupedTable private[table] (
+    df: DataFrame,
+    keys: Seq[graft.table.api.Expr],
+    env: TableEnvironment) {
+  import graft.table.api.Expr
+
+  def select(exprs: Expr*): Table = {
+    val keyNames = keys.flatMap(_.name).toSet
+    val (keySel, aggExprs) =
+      exprs.partition(e => e.name.exists(keyNames.contains))
+    require(aggExprs.nonEmpty, "groupBy().select needs an aggregate")
+    val aggd = df.groupBy(keys.map(_.col): _*)
+      .agg(aggExprs.head.col, aggExprs.tail.map(_.col): _*)
+    // agg outputs follow the keys in aggd.columns, in declaration order
+    val aggOut = aggd.columns.drop(keys.length)
+    var ai = 0
+    new Table(aggd.select(exprs.map { e =>
+      if (e.name.exists(keyNames.contains)) F.col(e.name.get)
+      else { val c = F.col(aggOut(ai)); ai += 1; c }
+    }: _*), env)
+  }
+}
+
+/** GroupWindow builders — Tumble.over(...).on(...).as("w"),
+  * Slide.over(...).every(...).on(...).as("w"),
+  * Session.withGap(...).on(...).as("w") (api/Tumble.java etc.).
+  * Durations are Spark interval strings ("10 minutes"). */
+sealed trait GroupWindow {
+  def timeCol: String
+  def alias: String
+}
+final case class TumbleWindow(size: String, timeCol: String,
+    alias: String) extends GroupWindow
+final case class SlideWindow(size: String, slide: String, timeCol: String,
+    alias: String) extends GroupWindow
+final case class SessionWindow(gap: String, timeCol: String,
+    alias: String) extends GroupWindow
+
+object Tumble {
+  final class B1(size: String) {
+    def on(time: graft.table.api.Expr): B2 = new B2(size, time.name.get)
+  }
+  final class B2(size: String, timeCol: String) {
+    def as(alias: String): TumbleWindow =
+      TumbleWindow(size, timeCol, alias)
+  }
+  def over(size: String): B1 = new B1(size)
+}
+object Slide {
+  final class B0(size: String) {
+    def every(slide: String): B1 = new B1(size, slide)
+  }
+  final class B1(size: String, slide: String) {
+    def on(time: graft.table.api.Expr): B2 =
+      new B2(size, slide, time.name.get)
+  }
+  final class B2(size: String, slide: String, timeCol: String) {
+    def as(alias: String): SlideWindow =
+      SlideWindow(size, slide, timeCol, alias)
+  }
+  def over(size: String): B0 = new B0(size)
+}
+object Session {
+  final class B1(gap: String) {
+    def on(time: graft.table.api.Expr): B2 = new B2(gap, time.name.get)
+  }
+  final class B2(gap: String, timeCol: String) {
+    def as(alias: String): SessionWindow = SessionWindow(gap, timeCol, alias)
+  }
+  def withGap(gap: String): B1 = new B1(gap)
+}
+
+/** windowed groupBy: keys may include the window alias; `w.start` /
+  * `w.end` surface as `<alias>_start` / `<alias>_end` columns
+  * (window_start/window_end renamed to the alias). */
+final class WindowedTable private[table] (
+    df: DataFrame,
+    w: GroupWindow,
+    env: TableEnvironment) {
+  import graft.table.api.Expr
+
+  def groupBy(keys: Expr*): WindowGroupedTable =
+    new WindowGroupedTable(df, w, keys, env)
+}
+
+final class WindowGroupedTable private[table] (
+    df: DataFrame,
+    w: GroupWindow,
+    keys: Seq[graft.table.api.Expr],
+    env: TableEnvironment) {
+  import graft.table.api.Expr
+
+  def select(exprs: Expr*): Table = {
+    val wcol = w match {
+      case TumbleWindow(size, tc, _) => F.window(F.col(tc), size)
+      case SlideWindow(size, slide, tc, _) =>
+        F.window(F.col(tc), size, slide)
+      case SessionWindow(gap, tc, _) => F.session_window(F.col(tc), gap)
+    }
+    val aliasNames = Set(w.alias, s"${w.alias}_start", s"${w.alias}_end")
+    val keyCols = keys.filterNot(e => e.name.exists(aliasNames.contains))
+    val keyNames = keyCols.flatMap(_.name).toSet
+    def isAgg(e: Expr): Boolean =
+      !e.name.exists(n => aliasNames.contains(n) || keyNames.contains(n))
+    val aggExprs = exprs.filter(isAgg)
+    require(aggExprs.nonEmpty, "windowed select needs an aggregate")
+    val structName = w match {
+      case _: SessionWindow => "session_window"
+      case _ => "window"
+    }
+    val grouped = df.groupBy(wcol +: keyCols.map(_.col): _*)
+      .agg(aggExprs.head.col, aggExprs.tail.map(_.col): _*)
+      .withColumn(s"${w.alias}_start", F.col(s"$structName.start"))
+      .withColumn(s"${w.alias}_end", F.col(s"$structName.end"))
+      .drop(structName)
+    // after the drop: keyNames ++ aggOutputs ++ (alias_start, alias_end)
+    val aggOut = grouped.columns.drop(keyCols.length)
+      .dropRight(2)
+    var ai = 0
+    new Table(grouped.select(exprs.map { e =>
+      if (!isAgg(e)) F.col(e.name.get)
+      else { val c = F.col(aggOut(ai)); ai += 1; c }
+    }: _*), env)
+  }
+}
+
+/** TableResult#collect / print. */
+final class TableResult private[table] (df: DataFrame) {
+  def collect(): Seq[Row] = df.collect().toSeq
+  def print(): Unit = df.show(truncate = false)
+}

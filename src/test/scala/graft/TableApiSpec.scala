@@ -1,0 +1,159 @@
+package graft
+
+import graft.table.{Session => TSession, Slide, Table, TableEnvironment, Tumble}
+import graft.table.api._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, sum}
+
+/** The Table API facade: every fluent operation must build exactly the
+  * plan the DataFrame DSL builds (value parity asserted; the facade is
+  * a name-for-name mapping of Table.java onto Dataset operations). */
+class TableApiSpec extends SparkSpecBase {
+
+  private lazy val env = {
+    val e = TableEnvironment.create(spark)
+    e.createTemporaryView("orders", Tables.orders(spark, sf))
+    e.createTemporaryView("customer", Tables.customer(spark, sf))
+    e.createTemporaryView("events", Tables.events(spark, sf))
+    e
+  }
+
+  private def assertSame(t: Table, d: DataFrame): Unit = {
+    val a = t.toDataFrame.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = d.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.length == b.length, s"${a.length} vs ${b.length} rows")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
+  test("select / filter / orderBy / fetch map onto the DataFrame plan") {
+    val t = env.from("orders")
+      .filter($("o_totalprice").isGreater(lit(100000.0)))
+      .select($("o_orderkey"), $("o_totalprice").times(lit(2)).as("dbl"))
+      .orderBy($("o_orderkey").asc)
+      .fetch(50)
+    val d = Tables.orders(spark, sf)
+      .where(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("dbl"))
+      .orderBy(col("o_orderkey").asc)
+      .limit(50)
+    assertSame(t, d)
+    assert(t.toDataFrame.count() > 0)
+  }
+
+  test("groupBy().select aggregates in declaration order") {
+    val t = env.from("orders")
+      .groupBy($("o_orderpriority"))
+      .select($("o_orderpriority"), $("o_totalprice").sum.as("total"),
+        $("o_orderkey").count.as("n"))
+    val d = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("total"),
+        count(col("o_orderkey")).as("n"))
+      .select("o_orderpriority", "total", "n")
+    assertSame(t, d)
+    // aggregate-first order also resolves
+    val t2 = env.from("orders").groupBy($("o_orderpriority"))
+      .select($("o_totalprice").sum.as("total"), $("o_orderpriority"))
+    assert(t2.toDataFrame.columns.toSeq ==
+      Seq("total", "o_orderpriority"))
+  }
+
+  test("joins require disjoint field names, as the reference does") {
+    val orders = env.from("orders")
+      .select($("o_orderkey"), $("o_custkey"), $("o_totalprice"))
+    val cust = env.from("customer")
+      .select($("c_custkey"), $("c_name"))
+    val t = orders.join(cust, $("o_custkey").isEqual($("c_custkey")))
+    val d = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+    assertSame(t, d)
+    val e = intercept[IllegalArgumentException](orders.join(
+      orders, $("o_custkey").isEqual($("o_custkey"))))
+    assert(e.getMessage.contains("share field names"))
+    // left outer keeps unmatched left rows
+    val lo = orders.leftOuterJoin(
+      cust.filter($("c_custkey").mod(lit(2)).isEqual(lit(0))),
+      $("o_custkey").isEqual($("c_custkey")))
+    assert(lo.toDataFrame.where(col("c_name").isNull).count() > 0)
+  }
+
+  test("set ops / distinct / rename / add / drop columns") {
+    val a = env.from("orders").select($("o_orderpriority"))
+    val b = env.from("orders").select($("o_orderpriority")).fetch(0)
+    assertSame(a.unionAll(a).minusAll(a),
+      Tables.orders(spark, sf).select("o_orderpriority"))
+    assertSame(a.union(b),
+      Tables.orders(spark, sf).select("o_orderpriority").distinct())
+    assertSame(a.intersect(a), a.distinct().toDataFrame)
+    val renamed = env.from("orders")
+      .select($("o_orderkey"), $("o_totalprice"))
+      .renameColumns("o_totalprice" -> "price")
+      .addColumns($("price").plus(lit(1.0)).as("p1"))
+      .dropColumns("price")
+    assert(renamed.toDataFrame.columns.toSeq == Seq("o_orderkey", "p1"))
+  }
+
+  test("Tumble / Slide / Session group windows match native window()") {
+    val ev = Tables.events(spark, sf)
+    val t = env.from("events")
+      .window(Tumble.over("10 minutes").on($("ts")).as("w"))
+      .groupBy($("w"), $("event_type"))
+      .select($("event_type"), $("w_start"), $("w_end"),
+        $("value").sum.as("sv"))
+    val d = ev.groupBy(
+      org.apache.spark.sql.functions.window(col("ts"), "10 minutes"),
+      col("event_type"))
+      .agg(sum(col("value")).as("sv"))
+      .select(col("event_type"), col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("sv"))
+    assertSame(t, d)
+
+    val s = env.from("events")
+      .window(Slide.over("10 minutes").every("5 minutes")
+        .on($("ts")).as("w"))
+      .groupBy($("w"))
+      .select($("w_start"), $("value").count.as("n"))
+    val sd = ev.groupBy(
+      org.apache.spark.sql.functions.window(col("ts"), "10 minutes",
+        "5 minutes"))
+      .agg(count(col("value")).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    assertSame(s, sd)
+
+    val g = env.from("events")
+      .window(TSession.withGap("30 minutes").on($("ts")).as("w"))
+      .groupBy($("w"), $("user_id"))
+      .select($("user_id"), $("w_start"), $("value").count.as("n"))
+    val gd = ev.groupBy(
+      org.apache.spark.sql.functions.session_window(col("ts"),
+        "30 minutes"),
+      col("user_id"))
+      .agg(count(col("value")).as("n"))
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("n"))
+    assertSame(g, gd)
+  }
+
+  test("sqlQuery runs the Flink dialect over registered views") {
+    val t = env.sqlQuery(
+      """SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts_ns),
+        |                  INTERVAL '10' MINUTE))
+        |GROUP BY window_start""".stripMargin)
+    assert(t.execute().collect().nonEmpty)
+  }
+
+  test("a streaming input stays streaming through the facade") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val sdf = input.toDF().toDF("k", "v")
+    val t = TableEnvironment.create(spark).fromDataFrame(sdf)
+      .filter($("v").isGreater(lit(1.0)))
+      .select($("k"), $("v").times(lit(10)).as("v10"))
+    assert(t.toDataFrame.isStreaming)
+  }
+}
