@@ -46,11 +46,19 @@ object api {
     * Column. Each call returns a new immutable Expr. `name` tracks the
     * statically-known output name (a field reference or an alias) —
     * grouped/windowed selects resolve columns through it without
-    * touching Catalyst internals. */
+    * touching Catalyst internals. `overMark` flags `agg.over($("w"))`
+    * calls: the over-window select applies the window spec (and then
+    * the alias) to marked expressions. */
   final class Expr private[table] (
       private[table] val col: Column,
-      private[table] val name: Option[String] = None) {
+      private[table] val name: Option[String] = None,
+      private[table] val overMark: Boolean = false) {
     private def mk(c: Column) = new Expr(c)
+
+    /** Apply this aggregate over the select's over-window (Table.java
+      * window(OverWindow).select; Flink allows exactly one over window
+      * per select, so the alias argument is positional sugar). */
+    def over(window: Expr): Expr = new Expr(col, name, overMark = true)
 
     // arithmetic (ApiExpression plus/minus/times/dividedBy/mod)
     def plus(o: Expr): Expr = mk(col + o.col)
@@ -77,8 +85,11 @@ object api {
     def or(o: Expr): Expr = mk(col || o.col)
     def not: Expr = mk(!col)
 
-    // naming / ordering / casting
-    def as(alias: String): Expr = new Expr(col.as(alias), Some(alias))
+    // naming / ordering / casting; on an over-marked expression the
+    // alias applies AFTER the window spec (at select time)
+    def as(alias: String): Expr =
+      if (overMark) new Expr(col, Some(alias), overMark = true)
+      else new Expr(col.as(alias), Some(alias))
     def asc: Expr = mk(col.asc)
     def desc: Expr = mk(col.desc)
     def cast(dt: org.apache.spark.sql.types.DataType): Expr =
@@ -118,6 +129,9 @@ object api {
   /** Expressions.call — any Spark SQL function by name. */
   def call(fn: String, args: Expr*): Expr =
     new Expr(F.call_function(fn, args.map(_.col): _*))
+
+  /** Expressions.rowInterval — a ROWS over-window preceding bound. */
+  def rowInterval(n: Long): RowInterval = RowInterval(n)
 }
 
 /** TableEnvironment.java: view registry + `from` + `sqlQuery` (the
@@ -224,6 +238,12 @@ final class Table private[table] (
   /** Group-window declaration (Tumble/Slide/Session over a TIMESTAMP
     * time attribute — GroupWindow.java). */
   def window(w: GroupWindow): WindowedTable = new WindowedTable(df, w, env)
+
+  /** Over-window declaration (Over.java / OverWindow.java): aggregates
+    * marked `.over($("w"))` in the following select are computed over
+    * the spec; unmarked expressions pass through per row. */
+  def window(w: OverWindow): OverWindowedTable =
+    new OverWindowedTable(df, w, env)
 
   def execute(): TableResult = new TableResult(df)
   def toDataFrame: DataFrame = df
@@ -355,6 +375,73 @@ final class WindowGroupedTable private[table] (
     new Table(grouped.select(exprs.map { e =>
       if (!isAgg(e)) F.col(e.name.get)
       else { val c = F.col(aggOut(ai)); ai += 1; c }
+    }: _*), env)
+  }
+}
+
+/** Over-window builders (api/Over.java): `Over.partitionBy($("k"))
+  * .orderBy($("ts")).preceding(UNBOUNDED_RANGE).as("w")`. Frames map
+  * onto Spark WindowSpec frames; the Flink default (no preceding
+  * clause) is UNBOUNDED_RANGE → CURRENT_ROW, as the reference. */
+sealed trait OverPreceding
+case object UNBOUNDED_RANGE extends OverPreceding
+case object UNBOUNDED_ROW extends OverPreceding
+case object CURRENT_RANGE extends OverPreceding
+case object CURRENT_ROW extends OverPreceding
+final case class RowInterval(n: Long) extends OverPreceding
+
+final case class OverWindow(
+    partKeys: Seq[graft.table.api.Expr],
+    orderE: graft.table.api.Expr,
+    preceding: OverPreceding,
+    alias: String)
+
+object Over {
+  final class B1(keys: Seq[graft.table.api.Expr]) {
+    def orderBy(e: graft.table.api.Expr): B2 = new B2(keys, e)
+  }
+  final class B2(keys: Seq[graft.table.api.Expr],
+      order: graft.table.api.Expr) {
+    def preceding(p: OverPreceding): B3 = new B3(keys, order, p)
+    def as(alias: String): OverWindow =
+      OverWindow(keys, order, UNBOUNDED_RANGE, alias)
+  }
+  final class B3(keys: Seq[graft.table.api.Expr],
+      order: graft.table.api.Expr, p: OverPreceding) {
+    def as(alias: String): OverWindow = OverWindow(keys, order, p, alias)
+  }
+  def partitionBy(keys: graft.table.api.Expr*): B1 = new B1(keys)
+  def orderBy(e: graft.table.api.Expr): B2 = new B2(Nil, e)
+}
+
+final class OverWindowedTable private[table] (
+    df: DataFrame,
+    w: OverWindow,
+    env: TableEnvironment) {
+  import graft.table.api.Expr
+  import org.apache.spark.sql.expressions.Window
+
+  def select(exprs: Expr*): Table = {
+    val base =
+      if (w.partKeys.isEmpty) Window.orderBy(w.orderE.col)
+      else Window.partitionBy(w.partKeys.map(_.col): _*)
+        .orderBy(w.orderE.col)
+    val spec = w.preceding match {
+      case UNBOUNDED_RANGE | CURRENT_RANGE =>
+        base.rangeBetween(
+          if (w.preceding == CURRENT_RANGE) Window.currentRow
+          else Window.unboundedPreceding, Window.currentRow)
+      case UNBOUNDED_ROW =>
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      case CURRENT_ROW =>
+        base.rowsBetween(Window.currentRow, Window.currentRow)
+      case RowInterval(n) => base.rowsBetween(-n, Window.currentRow)
+    }
+    new Table(df.select(exprs.map { e =>
+      if (e.overMark) {
+        val c = e.col.over(spec)
+        e.name.map(c.as).getOrElse(c)
+      } else e.col
     }: _*), env)
   }
 }

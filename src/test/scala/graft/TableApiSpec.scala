@@ -136,6 +136,35 @@ class TableApiSpec extends SparkSpecBase {
     assertSame(g, gd)
   }
 
+  test("Over windows: unbounded range, rows interval, marked aggs only") {
+    import graft.table.{Over, UNBOUNDED_RANGE}
+    import org.apache.spark.sql.expressions.Window
+    val t = env.from("events")
+      .window(Over.partitionBy($("user_id")).orderBy($("ts_us"))
+        .preceding(UNBOUNDED_RANGE).as("w"))
+      .select($("user_id"), $("ts_us"),
+        $("value").sum.over($("w")).as("running"),
+        $("value").count.over($("w")).as("cnt"))
+    val spec = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = Tables.events(spark, sf).select(
+      col("user_id"), col("ts_us"),
+      sum(col("value")).over(spec).as("running"),
+      count(col("value")).over(spec).as("cnt"))
+    assertSame(t, d)
+
+    val tr = env.from("events")
+      .window(Over.partitionBy($("user_id")).orderBy($("ts_us"))
+        .preceding(rowInterval(2)).as("w"))
+      .select($("user_id"), $("value").avg.over($("w")).as("ma3"))
+    val rspec = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rowsBetween(-2, Window.currentRow)
+    val rd = Tables.events(spark, sf).select(col("user_id"),
+      org.apache.spark.sql.functions.avg(col("value"))
+        .over(rspec).as("ma3"))
+    assertSame(tr, rd)
+  }
+
   test("sqlQuery runs the Flink dialect over registered views") {
     val t = env.sqlQuery(
       """SELECT window_start, COUNT(*) AS n
