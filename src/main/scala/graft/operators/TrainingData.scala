@@ -67,6 +67,30 @@ object TrainingData {
       .sortWithinPartitions(col("__shuffle_key"))
   }
 
+  /** Token-budget-bounded deterministic sampling — the per-domain
+    * token-budget draw of an LLM data mix: within each group, documents
+    * rank by md5(key ":" salt) and the prefix whose CUMULATIVE token
+    * count fits `budget` is kept. Deterministic (same salt → same
+    * draw) and monotone (a larger budget only ADDS documents — the
+    * prefix property mix re-balancing relies on).
+    *
+    * Scale: one hash shuffle on the group key; the cumulative count is
+    * a running-sum window inside each group partition — no global
+    * sort, no driver state. Skewed groups are bounded by their own
+    * budget, not the corpus. */
+  def sampleByBudget(df: DataFrame, group: Column, key: Column,
+      tokens: Column, budget: Long, salt: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(md5(concat(key.cast("string"), lit(":" + salt))))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum_tokens", sum(tokens).over(w))
+      .where(col("__cum_tokens") <= budget)
+      .drop("__cum_tokens")
+  }
+
   /** Greedy sequence packing — assemble documents into training
     * sequences of at most `maxTokens` tokens (the context-window packing
     * step of an LLM data pipeline; no reference counterpart — this is a

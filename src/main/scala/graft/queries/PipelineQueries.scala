@@ -261,6 +261,38 @@ object PipelineQueries {
                md5(CAST(doc_id AS VARCHAR) || ':e1') AS k1,
                md5(CAST(doc_id AS VARCHAR) || ':e2') AS k2
         FROM documents
+      """.stripMargin.trim)),
+
+    // Token-budget-bounded sampling (round 10): per-source deterministic
+    // draw keeping the md5-ordered prefix whose cumulative token count
+    // fits the budget — the per-domain token-budget stage of a data
+    // mix. Both engines rank by the identical md5 and running-sum the
+    // identical token counts, so the kept sets match exactly.
+    QueryDef(
+      "q_sample_budget",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("toks",
+            regexp_count(col("text"), lit("[a-z]+")).cast("long"))
+        graft.operators.TrainingData.sampleByBudget(
+          d, col("source"), col("doc_id"), col("toks"),
+          budget = 600L, salt = "bdgt")
+          .select(col("doc_id"), col("source"), col("toks"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+                   AS toks,
+                 md5(CAST(doc_id AS VARCHAR) || ':bdgt') AS h
+          FROM documents),
+        c AS (SELECT doc_id, source, toks,
+                SUM(toks) OVER (PARTITION BY source ORDER BY h
+                                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM docs)
+        SELECT doc_id, source, toks FROM c WHERE cum <= 600
+        ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

@@ -159,7 +159,47 @@ object VectorQueries {
     // compares all pairs.
     QueryDef(
       "q_embedding_cosine_dup",
+      (s, dir) => cosineDupPairs(s, dir, 0.3)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some(cosineDupPairsSql(0.3) +
+        "\n        SELECT vec_a, vec_b, cos FROM pairs" +
+        "\n        ORDER BY vec_a, vec_b")),
+
+    // SemDeDup-style embedding cluster dedup: the near-dup pairs feed
+    // min-label connected components; one representative (the min id)
+    // is kept per cluster — the embedding analog of `q_dedup_cluster`
+    // (semantic-dedup pipelines cluster near-identical embeddings and
+    // keep one exemplar). Same banded candidate generation: never
+    // all-pairs, CC is iterative joins with per-round lineage cuts.
+    QueryDef(
+      "q_embedding_dedup_cluster",
       (s, dir) => {
+        val pairs = cosineDupPairs(s, dir, 0.3)
+          .select(col("vec_a"), col("vec_b"))
+        graft.operators.ConnectedComponents(pairs, "vec_a", "vec_b")
+          .select(col("node").as("vec_id"), col("label").as("cluster"),
+            (col("node") === col("label")).as("is_kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some((cosineDupPairsSql(0.3) + """,
+        sym AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+                UNION SELECT vec_b, vec_a FROM pairs),
+        reach AS (
+          SELECT DISTINCT a AS node, a AS r FROM sym
+          UNION
+          SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node)
+        SELECT node AS vec_id, MIN(r) AS cluster,
+               node = MIN(r) AS is_kept
+        FROM reach GROUP BY node ORDER BY vec_id""")
+        .replaceFirst("WITH ", "WITH RECURSIVE ")))
+  )
+
+  /** Banded sign-LSH near-duplicate pairs (shared by the pair and the
+    * cluster queries): candidate generation by band-key equality, exact
+    * decimal re-score on survivors. Returns (vec_a, vec_b, cos). */
+  private def cosineDupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
         val n = normed(s, dir)
         // 8 bands x 8 sign bits (all 64 dims): 256 buckets per band. The
         // earlier 4-bit keys gave only 16 buckets — with 2k vectors that
@@ -197,13 +237,15 @@ object VectorQueries {
           // exact decimal re-score only on survivors — identical results,
           // ~40× less decimal work on the candidate bulk
           .where(cosineApprox(col("ea"), col("eb"), col("na"), col("nb"))
-            >= 0.3 - 1e-6)
+            >= threshold - 1e-6)
           .select(col("vec_a"), col("vec_b"),
             cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
-          .where(col("cos") >= 0.3)
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
-      Some(s"""
+          .where(col("cos") >= threshold)
+  }
+
+  /** DuckDB spelling of [[cosineDupPairs]] ending in a `pairs` CTE —
+    * callers append their SELECT (or further CTEs). */
+  private def cosineDupPairsSql(threshold: Double): String = s"""
         WITH $nOracle,
         sig AS (
           SELECT vec_id, band,
@@ -214,13 +256,13 @@ object VectorQueries {
         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                  FROM sig a JOIN sig b
                    ON a.band = b.band AND a.key = b.key
-                      AND a.vec_id < b.vec_id)
-        SELECT vec_a, vec_b,
-          ${sqlCos("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} AS cos
-        FROM cand JOIN n ea ON ea.vec_id = vec_a
-                  JOIN n eb ON eb.vec_id = vec_b
-        WHERE ${sqlCos("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} >= 0.3
-        ORDER BY vec_a, vec_b
-      """.stripMargin.trim))
-  )
+                      AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT vec_a, vec_b,
+            ${sqlCos("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")} AS cos
+          FROM cand JOIN n ea ON ea.vec_id = vec_a
+                    JOIN n eb ON eb.vec_id = vec_b
+          WHERE ${sqlCos("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")}
+                >= $threshold)
+      """.stripMargin.trim
 }
