@@ -113,6 +113,64 @@ class CepNfaFuzzSpec extends SparkSpecBase {
     out
   }
 
+  test("fuzz: streaming NFA matches the batch face across random splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    (101L to 106L).foreach { seed =>
+      val (vals, named0, within0, _) =
+        genCase.pureApply(Gen.Parameters.default, Seed(seed))
+      // streaming-parity constraints (streams have no end-of-input
+      // flush): a WITHIN bound always set, >= 2 steps, final step
+      // non-greedy with min >= 1 (completions emit eagerly; a trailing
+      // far-future row expires every run, so held candidates resolve
+      // before the stream stops — exactly what the batch flush does)
+      val named = {
+        val base = if (named0.length < 2) named0 ++ named0 else named0
+        base.updated(base.length - 1, (base.last._1,
+          base.last._2.copy(greedy = false, min = 1)))
+      }
+      val steps = named.map(_._2)
+      val within = Some(within0.getOrElse(6L))
+      // event times sit well above epoch: a t=0 µs row is ≤ the initial
+      // watermark (0 ms) and Spark's stateful-op late filter silently
+      // drops it — real tables live at ~1.7e15 µs, so shift the fixture
+      val base = 10_000_000L
+      val rows = vals.zipWithIndex
+        .map { case (v, i) => (1L, base + i.toLong, v) } :+
+        ((1L, base + vals.length + 1000L, 2.0))
+      val engineSteps = steps.zipWithIndex.map { case (st, i) =>
+        PatternStep(s"s$i", st.pred, st.greedy, st.min)
+      }
+      val batch = CepNfa.single(rows.toDF("k", "t", "v"),
+        "k", "t", "v", engineSteps, withinUs = within)
+        .collect().map(_.toSeq).toSet
+
+      val input = MemoryStream[(Long, Long, Double)]
+      val sdf = input.toDF().toDF("k", "t", "v")
+        .withColumn("ts", timestamp_micros(col("t")))
+        .withWatermark("ts", "1 second")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-nf$seed-").toString
+      val q = CepNfa.streaming(sdf, "k", "t", "v", Seq(engineSteps),
+        withinUs = within)
+        .writeStream.format("memory").queryName(s"nfz_$seed")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        val cut = ((seed % vals.length) + 1).toInt
+        Seq(rows.take(cut), rows.drop(cut)).foreach { chunk =>
+          input.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed =
+        spark.table(s"nfz_$seed").collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"seed $seed: pattern ${named.map(x => (x._1, x._2.greedy, x._2.min))}" +
+          s" within=$within vals=$vals\n" +
+          s"batch=$batch\nstream=$streamed")
+    }
+  }
+
   test("fuzz: CepNfa matches the brute-force matcher on random inputs") {
     (1L to 30L).foreach { seed =>
       val (vals, named, within, toNext) =
