@@ -43,7 +43,24 @@ object ChangelogSemiJoin {
       leftJoinKey: String,
       rightJoinKey: String,
       rightKey: String,
-      anti: Boolean): DataFrame = {
+      anti: Boolean): DataFrame =
+    apply(left, right, leftJoinKey, rightJoinKey, rightKey, anti,
+      idleTtlMs = None)
+
+  /** @param idleTtlMs streaming-face idle-state retention
+    *        (`table.exec.state.ttl`, processing-time based, as on
+    *        ChangelogJoin): a join key silent for this long drops BOTH
+    *        sides' state (live left rows + right key set); post-expiry
+    *        envelopes re-pair against post-expiry state only. None =
+    *        exact semantics, state for the stream's lifetime. */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftJoinKey: String,
+      rightJoinKey: String,
+      rightKey: String,
+      anti: Boolean,
+      idleTtlMs: Option[Long]): DataFrame = {
     val metaCols = Set(RowKind.kindCol, RowKind.seqCol)
     val lPayF = left.schema.fields.filterNot(f => metaCols(f.name))
     require(left.schema(leftJoinKey).dataType ==
@@ -150,19 +167,32 @@ object ChangelogSemiJoin {
     env.as[Row](vEnc)
       .groupByKey(r => Row(r.get(0)))(kEnc)
       .flatMapGroupsWithState[S, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), idleTtlMs match {
+          case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+          case None => GroupStateTimeout.NoTimeout()
+        }) {
         (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          val (lM, rS) = state.getOption.getOrElse(
-            (Map.empty[Seq[Any], Long], Set.empty[String]))
-          val st = St(
-            scala.collection.mutable.LinkedHashMap.from(lM),
-            scala.collection.mutable.LinkedHashSet.from(rS))
-          val out = rows.toSeq
-            .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
-            .flatMap(step(st, _))
-          if (st.lState.isEmpty && st.rSet.isEmpty) state.remove()
-          else state.update((st.lState.toMap, st.rSet.toSet))
-          out.iterator
+          if (state.hasTimedOut) {
+            // idle TTL: the reference's state.ttl drop — both sides'
+            // live state for the silent join key goes away
+            state.remove()
+            Iterator.empty
+          } else {
+            val (lM, rS) = state.getOption.getOrElse(
+              (Map.empty[Seq[Any], Long], Set.empty[String]))
+            val st = St(
+              scala.collection.mutable.LinkedHashMap.from(lM),
+              scala.collection.mutable.LinkedHashSet.from(rS))
+            val out = rows.toSeq
+              .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
+              .flatMap(step(st, _))
+            if (st.lState.isEmpty && st.rSet.isEmpty) state.remove()
+            else {
+              state.update((st.lState.toMap, st.rSet.toSet))
+              idleTtlMs.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
       }(sEnc, oEnc)
   }
 }

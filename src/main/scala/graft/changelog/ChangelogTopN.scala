@@ -78,7 +78,26 @@ object ChangelogTopN extends Serializable {
       partitionCols: Seq[String],
       upsertKeyCol: String,
       valCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    apply(df, partitionCols, upsertKeyCol, valCol, n, idleTtlMs = None)
+
+  /** @param idleTtlMs streaming-face idle-state retention — the
+    *        reference's `table.exec.state.ttl` (processing-time based,
+    *        as on ChangelogJoin/RetractingChangelogAgg): a partition
+    *        key receiving no envelopes for this long drops its live-row
+    *        map AND its emitted assignments. The documented trade is
+    *        the reference's own: post-expiry envelopes re-rank against
+    *        the post-expiry state only (the previously emitted ranks
+    *        are not retracted — downstream keep-last materialization is
+    *        assumed compacted). None keeps state for the stream's
+    *        lifetime — exact retractable Top-N. */
+  def apply(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      upsertKeyCol: String,
+      valCol: String,
+      n: Int,
+      idleTtlMs: Option[Long]): DataFrame = {
     require(n > 0, "n must be positive")
     val pIdx = partitionCols.map(df.schema.fieldIndex)
     val ukIdx = df.schema.fieldIndex(upsertKeyCol)
@@ -163,26 +182,50 @@ object ChangelogTopN extends Serializable {
     val sEnc: Encoder[S] = Encoders.kryo[S]
     val oEnc: Encoder[Row] = Encoders.row(outSchema)
 
+    val timeoutConf = idleTtlMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     df.as[Row](vEnc)
       .groupByKey(r => Row.fromSeq(pIdx.map(r.get)))(kEnc)
       .flatMapGroupsWithState[S, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          val (seq0, liveM, top0) = state.getOption.getOrElse(
-            (1L, Map.empty[Any, Double], Vector.empty[(Any, Double)]))
-          val live = scala.collection.mutable.Map.from(liveM)
-          // order within the micro-batch slice; retracts before the
-          // accumulate sharing their seq
-          val ordered = rows.toSeq.sortBy { e =>
-            (e.getLong(seqIdx),
-              if (isRetract(e.getString(kindIdx))) 0 else 1)
+          if (state.hasTimedOut) {
+            // idle TTL: drop the live-row map and assignments (the state
+            // TTL exists to bound); the emission seq survives as a
+            // tombstone so post-expiry output still orders after
+            // pre-expiry output under keep-last materialization. The
+            // tombstone re-arms a 4× timeout and then drops fully.
+            state.getOption.foreach { case (seq, liveM, top) =>
+              if (liveM.isEmpty && top.isEmpty) state.remove()
+              else {
+                state.update((seq, Map.empty[Any, Double],
+                  Vector.empty[(Any, Double)]))
+                idleTtlMs.foreach(ms => state.setTimeoutDuration(ms * 4))
+              }
+            }
+            Iterator.empty
+          } else {
+            val (seq0, liveM, top0) = state.getOption.getOrElse(
+              (1L, Map.empty[Any, Double], Vector.empty[(Any, Double)]))
+            val live = scala.collection.mutable.Map.from(liveM)
+            // order within the micro-batch slice; retracts before the
+            // accumulate sharing their seq
+            val ordered = rows.toSeq.sortBy { e =>
+              (e.getLong(seqIdx),
+                if (isRetract(e.getString(kindIdx))) 0 else 1)
+            }
+            ordered.foreach(applyEnvelope(live, _))
+            val nw = topOf(live.toMap)
+            val (seq2, outs) = diff(key.toSeq, top0, nw, seq0)
+            if (live.isEmpty && nw.isEmpty) state.remove()
+            else {
+              state.update((seq2, live.toMap, nw))
+              idleTtlMs.foreach(state.setTimeoutDuration)
+            }
+            outs.iterator
           }
-          ordered.foreach(applyEnvelope(live, _))
-          val nw = topOf(live.toMap)
-          val (seq2, outs) = diff(key.toSeq, top0, nw, seq0)
-          if (live.isEmpty && nw.isEmpty) state.remove()
-          else state.update((seq2, live.toMap, nw))
-          outs.iterator
       }(sEnc, oEnc)
   }
 

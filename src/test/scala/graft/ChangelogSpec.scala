@@ -1281,4 +1281,91 @@ class ChangelogSpec extends SparkSpecBase {
     assert(rtState.toSeq == Seq((2L, 7.0)))
   }
 
+  private def eventually(what: String)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (!cond) {
+      assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+      Thread.sleep(100)
+    }
+  }
+
+  test("ChangelogTopN idle TTL drops the live-row map") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double, Long, String)]
+    val df = input.toDF().toDF("p", "uk", "v", RowKind.seqCol,
+      RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tnttl-").toString
+    val q = ChangelogTopN(df, Seq("p"), "uk", "v", n = 2,
+      idleTtlMs = Some(400L))
+      .writeStream.format("memory").queryName("tn_ttl")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq((1L, 10L, 10.0, 1L, RowKind.Insert)))
+      eventually("first rank emission") {
+        spark.table("tn_ttl").count() >= 1
+      }
+      val b0 = q.lastProgress.batchId
+      Thread.sleep(700)
+      eventually("a timer batch") { q.lastProgress.batchId > b0 }
+      // post-expiry: the live map is gone, so a LOWER value takes rank 1
+      // (an unexpired state would have kept (10, 10.0) at rank 1 and put
+      // this row at rank 2)
+      input.addData(Seq((1L, 20L, 5.0, 2L, RowKind.Insert)))
+      eventually("post-expiry emission") {
+        spark.table("tn_ttl").where(col("uk") === 20L).count() >= 1
+      }
+    } finally q.stop()
+    val rows = spark.table("tn_ttl")
+      .select(col("rank"), col("uk"), col("v"), col(RowKind.kindCol))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(rows == Set(
+      (1, 10L, 10.0, RowKind.Insert),
+      (1, 20L, 5.0, RowKind.Insert)), s"unexpected emissions: $rows")
+    // the seq tombstone survives expiry: keep-last by (p, rank) lands on
+    // the post-expiry champion
+    val mat = UpsertMaterialize(spark.table("tn_ttl"), Seq("p", "rank"))
+      .select("rank", "uk").as[(Int, Long)].collect().toSet
+    assert(mat == Set((1, 20L)), s"keep-last mismatch: $mat")
+  }
+
+  test("ChangelogSemiJoin idle TTL drops both sides' state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Double, Long, String)]
+    val rIn = MemoryStream[(Long, Long, Long, String)]
+    val lDf = lIn.toDF().toDF("lk", "ljk", "v", RowKind.seqCol,
+      RowKind.kindCol)
+    val rDf = rIn.toDF().toDF("rk", "rjk", RowKind.seqCol, RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjttl-").toString
+    val q = ChangelogSemiJoin(lDf, rDf, "ljk", "rjk", "rk", anti = false,
+      idleTtlMs = Some(400L))
+      .writeStream.format("memory").queryName("sj_ttl")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      rIn.addData(Seq((7L, 100L, 1L, RowKind.Insert)))
+      lIn.addData(Seq((1L, 100L, 10.0, 2L, RowKind.Insert)))
+      eventually("pre-expiry emission") {
+        spark.table("sj_ttl").where(col("lk") === 1L).count() >= 1
+      }
+      val b0 = q.lastProgress.batchId
+      Thread.sleep(700)
+      eventually("a timer batch") { q.lastProgress.batchId > b0 }
+      // post-expiry: the right key set is gone — this left row must NOT
+      // emit on arrival (the pre-expiry right insert is forgotten; the
+      // reference's documented state.ttl correctness trade).
+      // processAllAvailable can block under continuous timer batches —
+      // poll batch progress instead (as the agg TTL test does)
+      val b1 = q.lastProgress.batchId
+      lIn.addData(Seq((2L, 100L, 20.0, 3L, RowKind.Insert)))
+      eventually("post-expiry row processed") {
+        q.lastProgress.batchId > b1 + 1
+      }
+      assert(spark.table("sj_ttl").where(col("lk") === 2L).count() == 0,
+        "expired right state must not satisfy the semi join")
+    } finally q.stop()
+    val lks = spark.table("sj_ttl")
+      .where(col(RowKind.kindCol) =!= RowKind.Delete)
+      .select("lk").as[Long].collect().toSet
+    assert(lks == Set(1L), s"unexpected emitted keys: $lks")
+  }
 }
