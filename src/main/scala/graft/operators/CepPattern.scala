@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * Pattern.java:298) — the contiguity/negation surface MATCH_RECOGNIZE
   * (strict contiguity, [[CepNfa]]) does not model.
   *
-  * Conditions are single-event predicates over one value column
-  * (`SimpleCondition.of(event -> …)`), not the pair predicates of the
-  * MATCH_RECOGNIZE engines — matching the reference API, where a
-  * condition sees the event alone.
+  * Conditions are single-event predicates over the event's VALUE VECTOR
+  * (`SimpleCondition.of(event -> …)` — the reference's conditions see
+  * the whole event), not the pair predicates of the MATCH_RECOGNIZE
+  * engines. `whereRow`/`orRow`/`untilRow`/`whereWithRow` receive one
+  * double per declared value column ([[applyCols]] order); the
+  * single-column `where(Double => Boolean)` family wraps index 0.
   *
   * Semantics (documented contract, mirroring the reference's NO_SKIP
   * default — every match is reported):
@@ -71,6 +73,13 @@ object CepPattern {
   case object SkipToNext extends SkipStrategy
   case object SkipPastLast extends SkipStrategy
 
+  /** Event values: one double per declared value column — the
+    * reference's conditions see the WHOLE event (SimpleCondition.of),
+    * so every condition here receives the full value vector. The
+    * single-column builder methods (`where(Double => Boolean)`) wrap
+    * onto index 0. */
+  type Vals = Vector[Double]
+
   /** One positive step. `notNextCond`/`notDuringCond` are the negative
     * patterns declared between the previous step and this one. An
     * `iterCond` REPLACES `where`: it additionally reads running
@@ -79,16 +88,16 @@ object CepPattern {
     * IterativeCondition.java:63). */
   final case class Step(
       name: String,
-      where: Double => Boolean,
+      where: Vals => Boolean,
       link: Link,
       minTimes: Int = 1,
       maxTimes: Int = 1,
       greedy: Boolean = false,
-      notNextCond: Option[Double => Boolean] = None,
-      notDuringCond: Option[Double => Boolean] = None,
-      iterCond: Option[(Double, CepNfa.MatchCtx) => Boolean] = None,
+      notNextCond: Option[Vals => Boolean] = None,
+      notDuringCond: Option[Vals => Boolean] = None,
+      iterCond: Option[(Vals, CepNfa.MatchCtx) => Boolean] = None,
       internal: Link = Strict,
-      untilCond: Option[Double => Boolean] = None)
+      untilCond: Option[Vals => Boolean] = None)
     extends Serializable
 
   /** Compiled pattern: positive steps + optional trailing negative +
@@ -99,7 +108,7 @@ object CepPattern {
     * bounding first-to-last. Both may be set. */
   final case class Pattern(
       steps: IndexedSeq[Step],
-      trailingNot: Option[Double => Boolean],
+      trailingNot: Option[Vals => Boolean],
       withinUs: Option[Long],
       skip: SkipStrategy = NoSkip,
       maxGapUs: Option[Long] = None) extends Serializable
@@ -110,8 +119,8 @@ object CepPattern {
   final class Builder private[CepPattern] (firstName: String) {
     private[CepPattern] val steps = scala.collection.mutable.ArrayBuffer(
       Step(firstName, _ => true, Strict))
-    private var pendingNotNext: Option[Double => Boolean] = None
-    private var pendingNotDuring: Option[Double => Boolean] = None
+    private var pendingNotNext: Option[Vals => Boolean] = None
+    private var pendingNotDuring: Option[Vals => Boolean] = None
     private var lastWasNot = false
     private var notIsNext = false
     private var withinUs: Option[Long] = None
@@ -127,8 +136,14 @@ object CepPattern {
       * clears it. */
     private var lastGroup: Option[Int] = None
 
-    /** Condition for the most recently declared step (positive or NOT). */
-    def where(f: Double => Boolean): Builder = {
+    /** Condition for the most recently declared step (positive or NOT),
+      * over the FIRST value column — the single-column convenience. */
+    def where(f: Double => Boolean): Builder = whereRow(vs => f(vs(0)))
+
+    /** Condition over the FULL value vector (the reference's
+      * SimpleCondition sees the whole event): one double per value
+      * column of the face (`applyCols`/`streamingCols` order). */
+    def whereRow(f: Vals => Boolean): Builder = {
       require(lastGroup.isEmpty,
         "conditions belong on the steps INSIDE a group")
       if (lastWasNot) {
@@ -141,12 +156,15 @@ object CepPattern {
     /** OR-combine with the step's current condition (Pattern.java
       * `or(IterativeCondition)` — RichOrCondition). On a NOT pattern the
       * kill condition widens. `where` replaces; `or` composes. */
-    def or(f: Double => Boolean): Builder = {
+    def or(f: Double => Boolean): Builder = orRow(vs => f(vs(0)))
+
+    /** [[or]] over the full value vector. */
+    def orRow(f: Vals => Boolean): Builder = {
       require(lastGroup.isEmpty,
         "conditions belong on the steps INSIDE a group")
       if (lastWasNot) {
-        def widen(c: Option[Double => Boolean]): Option[Double => Boolean] =
-          c.map(g => (v: Double) => g(v) || f(v))
+        def widen(c: Option[Vals => Boolean]): Option[Vals => Boolean] =
+          c.map(g => (v: Vals) => g(v) || f(v))
         if (notIsNext) pendingNotNext = widen(pendingNotNext)
         else pendingNotDuring = widen(pendingNotDuring)
       } else {
@@ -165,7 +183,11 @@ object CepPattern {
       * already matched by this partial match (IterativeCondition.java:63
       * `ctx.getEventsForPattern`; aggregates exclude the row under
       * test). Replaces any plain `where` on the step. */
-    def whereWith(f: (Double, CepNfa.MatchCtx) => Boolean): Builder = {
+    def whereWith(f: (Double, CepNfa.MatchCtx) => Boolean): Builder =
+      whereWithRow((vs, ctx) => f(vs(0), ctx))
+
+    /** [[whereWith]] over the full value vector. */
+    def whereWithRow(f: (Vals, CepNfa.MatchCtx) => Boolean): Builder = {
       require(!lastWasNot,
         "iterative conditions apply to positive steps only")
       require(lastGroup.isEmpty,
@@ -301,7 +323,10 @@ object CepPattern {
       * condition ENDS the step's quantifier — no further repetitions
       * accepted in that run (the row itself is not consumed by the
       * quantifier; it may still advance the pattern). */
-    def until(f: Double => Boolean): Builder = {
+    def until(f: Double => Boolean): Builder = untilRow(vs => f(vs(0)))
+
+    /** [[until]] over the full value vector. */
+    def untilRow(f: Vals => Boolean): Builder = {
       require(!lastWasNot, "until applies to positive steps")
       require(lastGroup.isEmpty, "until applies to steps, not groups")
       steps(steps.length - 1) = steps.last.copy(untilCond = Some(f))
@@ -508,23 +533,24 @@ object CepPattern {
       startT: Long,
       endT: Long,
       counts: Vector[Long],
-      meas: Vector[CepNfa.Meas],
+      meas: Vector[Vector[CepNfa.Meas]], // per step, per value column
       best: Option[Snap]) // greedy-final maximal snapshot
 
   /** Completed-match snapshot: (end time, counts, measure registers). */
-  type Snap = (Long, Vector[Long], Vector[CepNfa.Meas])
+  type Snap = (Long, Vector[Long], Vector[Vector[CepNfa.Meas]])
 
   /** A completed match held for a trailing notFollowedBy. */
   final case class Held(
       startT: Long, endT: Long, counts: Vector[Long],
-      meas: Vector[CepNfa.Meas], deadline: Long)
+      meas: Vector[Vector[CepNfa.Meas]], deadline: Long)
 
   /** One measure column: `agg` of step `step`'s matched values as
     * column `as` — the PatternSelectFunction tier's per-variable
     * aggregates (the reference hands the select function each
     * variable's matched events; these are their reductions). DoubleType
     * output; NULL when the step matched no rows. */
-  final case class Measure(agg: String, step: String, as: String) {
+  final case class Measure(agg: String, step: String, as: String,
+      colIdx: Int = 0) {
     require(
       Seq("first", "last", "min", "max", "sum", "count", "avg")
         .contains(agg),
@@ -543,9 +569,16 @@ object CepPattern {
     * row-time release is exact there. */
   private final class Engine(pat: Pattern,
       emitTimeouts: Boolean = false,
-      wmRelease: Boolean = false) extends Serializable {
+      wmRelease: Boolean = false,
+      nVals: Int = 1) extends Serializable {
     private val steps = pat.steps
     private val last = steps.length - 1
+
+    private val zeroMeasRow: Vector[CepNfa.Meas] =
+      Vector.fill(nVals)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
+    private def addAll(row: Vector[CepNfa.Meas],
+        v: Vals): Vector[CepNfa.Meas] =
+      Vector.tabulate(nVals)(ci => row(ci).add(v(ci)))
 
     private def inBudget(start: Long, t: Long): Boolean =
       pat.withinUs.forall(t - start <= _)
@@ -563,10 +596,10 @@ object CepPattern {
       * per-variable aggregates (rows matched so far, excluding this
       * one). */
     private def accepts(
-        i: Int, v: Double, meas: Vector[CepNfa.Meas]): Boolean =
+        i: Int, v: Vals, meas: Vector[Vector[CepNfa.Meas]]): Boolean =
       steps(i).iterCond match {
         case Some(f) =>
-          f(v, new CepNfa.MatchCtx(stepNames, meas.map(Vector(_))))
+          f(v, new CepNfa.MatchCtx(stepNames, meas))
         case None => steps(i).where(v)
       }
 
@@ -580,7 +613,7 @@ object CepPattern {
     /** Emit or hold a completed snapshot. */
     private def complete(
         startT: Long, endT: Long, counts: Vector[Long],
-        meas: Vector[CepNfa.Meas],
+        meas: Vector[Vector[CepNfa.Meas]],
         out: scala.collection.mutable.ListBuffer[Done],
         held: scala.collection.mutable.ListBuffer[Held]): Unit =
       pat.trailingNot match {
@@ -591,7 +624,7 @@ object CepPattern {
 
     /** Row (t, v) against run r → successor runs; completions appended. */
     private def evolve(
-        r: PRun, t: Long, v: Double,
+        r: PRun, t: Long, v: Vals,
         out: scala.collection.mutable.ListBuffer[Done],
         held: scala.collection.mutable.ListBuffer[Held],
         tout: scala.collection.mutable.ListBuffer[Done]): List[PRun] = {
@@ -625,7 +658,7 @@ object CepPattern {
         if (!stopEntry && accepts(i, v, from.meas)) {
           val advanced = from.copy(idx = i, cnt = 1, gapFirst = false,
             endT = t, counts = from.counts.updated(i, from.counts(i) + 1L),
-            meas = from.meas.updated(i, from.meas(i).add(v)))
+            meas = from.meas.updated(i, addAll(from.meas(i), v)))
           val done = 1 >= s.minTimes && tailOptional(i)
           if (done && i == last && s.greedy)
             succ += advanced.copy(
@@ -671,7 +704,7 @@ object CepPattern {
         if (!stopped && r.cnt < s.maxTimes && accepts(r.idx, v, r.meas)) {
           val ext = r.copy(cnt = r.cnt + 1, endT = t,
             counts = r.counts.updated(r.idx, r.counts(r.idx) + 1L),
-            meas = r.meas.updated(r.idx, r.meas(r.idx).add(v)))
+            meas = r.meas.updated(r.idx, addAll(r.meas(r.idx), v)))
           val done = ext.cnt >= s.minTimes && tailOptional(r.idx)
           if (done && r.idx == last && s.greedy)
             succ += ext.copy(best = Some((t, ext.counts, ext.meas)))
@@ -696,10 +729,9 @@ object CepPattern {
     }
 
     /** Completion record: (start, end, counts, measure registers). */
-    type Done = (Long, Long, Vector[Long], Vector[CepNfa.Meas])
+    type Done = (Long, Long, Vector[Long], Vector[Vector[CepNfa.Meas]])
 
-    private val emptyMeasVec =
-      Vector.fill(steps.length)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
+    private val emptyMeasVec = Vector.fill(steps.length)(zeroMeasRow)
 
     /** Apply the after-match skip strategy to one emission batch:
       * SkipToNext keeps the most-rows match per anchor; SkipPastLast
@@ -734,7 +766,7 @@ object CepPattern {
 
     /** Feed one row; returns advanced state + emitted matches +
       * timed-out partials (empty unless timeout emission is on). */
-    def advance(st: PatState, t: Long, v: Double)
+    def advance(st: PatState, t: Long, v: Vals)
         : (PatState, List[Done], List[Done]) = {
       val out = scala.collection.mutable.ListBuffer.empty[Done]
       val tout = scala.collection.mutable.ListBuffer.empty[Done]
@@ -746,8 +778,8 @@ object CepPattern {
       val s0 = steps(0)
       if (!s0.untilCond.exists(_(v)) && accepts(0, v, emptyMeasVec)) {
         val z = Vector.fill(steps.length)(0L)
-        val m0 = Vector.fill(steps.length)(CepNfa.Meas(0, 0, 0, 0, 0, 0L))
-          .updated(0, CepNfa.Meas(v, v, v, v, v, 1L))
+        val m0 = Vector.fill(steps.length)(zeroMeasRow)
+          .updated(0, addAll(zeroMeasRow, v))
         val fresh = PRun(0, 1, gapFirst = false, t, t,
           z.updated(0, 1L), m0, None)
         val done = 1 >= s0.minTimes && tailOptional(0)
@@ -842,10 +874,10 @@ object CepPattern {
   /** One measure value: combine the same-name steps that matched at
     * least one row, in declaration order (as CepNfa.measValue). */
   private def measVal(
-      m: Measure, pat: Pattern, meas: Vector[CepNfa.Meas]): Any = {
+      m: Measure, pat: Pattern, meas: Vector[Vector[CepNfa.Meas]]): Any = {
     val ms = pat.steps.zipWithIndex
       .filter(_._1.name == m.step)
-      .map(x => meas(x._2))
+      .map(x => meas(x._2)(m.colIdx))
       .filter(_.n > 0)
     if (ms.isEmpty) null
     else m.agg match {
@@ -861,7 +893,7 @@ object CepPattern {
 
   private def doneRow(key: Any, pat: Pattern, names: Seq[String],
       measures: Seq[Measure], a: Long, b: Long, c: Vector[Long],
-      m: Vector[CepNfa.Meas]): Row = {
+      m: Vector[Vector[CepNfa.Meas]]): Row = {
     val byName = names.map { n =>
       pat.steps.iterator.zipWithIndex
         .filter(_._1.name == n).map(x => c(x._2)).sum
@@ -892,14 +924,28 @@ object CepPattern {
       timeCol: String,
       valCol: String,
       pats: Seq[Pattern],
+      measures: Seq[Measure] = Nil): DataFrame =
+    applyCols(df, keyCol, timeCol, Seq(valCol), pats, measures)
+
+  /** Batch face over SEVERAL value columns: conditions declared with
+    * `whereRow`/`orRow`/`untilRow`/`whereWithRow` see one double per
+    * column, in `valCols` order (the reference's conditions see the
+    * whole event); measures address columns via `Measure.colIdx`. */
+  def applyCols(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCols: Seq[String],
+      pats: Seq[Pattern],
       measures: Seq[Measure] = Nil): DataFrame = {
     require(pats.nonEmpty, "at least one pattern branch")
     require(pats.size == 1 || pats.forall(_.skip == NoSkip),
       "several branches require the NoSkip strategy")
     val names = mergedNames(pats)
     val tIdx = df.schema.fieldIndex(timeCol)
-    val vIdx = df.schema.fieldIndex(valCol)
-    val engs = pats.map(new Engine(_)).toIndexedSeq
+    val vIdxs = valCols.map(df.schema.fieldIndex).toVector
+    val engs =
+      pats.map(new Engine(_, nVals = valCols.length)).toIndexedSeq
     val patV = pats.toIndexedSeq
     SecondarySort.mapOrderedGroups(
       df, Seq(keyCol), Seq(col(timeCol)),
@@ -907,7 +953,7 @@ object CepPattern {
       (key, rows) =>
         val sts = Array.fill(engs.length)(emptyState)
         val matched = rows.flatMap { r =>
-          val t = r.getLong(tIdx); val v = r.getDouble(vIdx)
+          val t = r.getLong(tIdx); val v = vIdxs.map(r.getDouble)
           engs.indices.iterator.flatMap { i =>
             val (s2, ms, _) = engs(i).advance(sts(i), t, v)
             sts(i) = s2
@@ -948,14 +994,14 @@ object CepPattern {
     SecondarySort.mapOrderedGroups(
       df, Seq(keyCol), Seq(col(timeCol)), schema) {
       (key, rows) =>
-        def row(d: (Long, Vector[Long], Vector[CepNfa.Meas], Long),
+        def row(d: (Long, Vector[Long], Vector[Vector[CepNfa.Meas]], Long),
             flag: Boolean): Row = Row.fromSeq(
           doneRow(key.head, pat, names, measures, d._4, d._1, d._2, d._3)
             .toSeq :+ flag)
         var st = emptyState
         val emitted = rows.flatMap { r =>
           val (s2, ms, ts) =
-            eng.advance(st, r.getLong(tIdx), r.getDouble(vIdx))
+            eng.advance(st, r.getLong(tIdx), Vector(r.getDouble(vIdx)))
           st = s2
           ms.map { case (a, b, c, m) => row((b, c, m, a), flag = false) } ++
             ts.map { case (a, b, c, m) => row((b, c, m, a), flag = true) }
@@ -976,7 +1022,7 @@ object CepPattern {
       valCol: String,
       pat: Pattern,
       measures: Seq[Measure] = Nil): DataFrame =
-    streamingFace(df, keyCol, timeCol, valCol, Seq(pat), measures,
+    streamingFace(df, keyCol, timeCol, Seq(valCol), Seq(pat), measures,
       emitTimeouts = false)
 
   /** Streaming face over SEVERAL interpretation branches (see
@@ -991,7 +1037,7 @@ object CepPattern {
     require(pats.nonEmpty, "at least one pattern branch")
     require(pats.size == 1 || pats.forall(_.skip == NoSkip),
       "several branches require the NoSkip strategy")
-    streamingFace(df, keyCol, timeCol, valCol, pats, measures,
+    streamingFace(df, keyCol, timeCol, Seq(valCol), pats, measures,
       emitTimeouts = false)
   }
 
@@ -1008,7 +1054,7 @@ object CepPattern {
       measures: Seq[Measure] = Nil): DataFrame = {
     require(pat.withinUs.isDefined,
       "the timeout side output requires a within bound")
-    streamingFace(df, keyCol, timeCol, valCol, Seq(pat), measures,
+    streamingFace(df, keyCol, timeCol, Seq(valCol), Seq(pat), measures,
       emitTimeouts = true)
   }
 
@@ -1023,16 +1069,16 @@ object CepPattern {
       df: DataFrame,
       keyCol: String,
       timeCol: String,
-      valCol: String,
+      valCols: Seq[String],
       pats: Seq[Pattern],
       measures: Seq[Measure],
       emitTimeouts: Boolean): DataFrame = {
     val tIdx = df.schema.fieldIndex(timeCol)
-    val vIdx = df.schema.fieldIndex(valCol)
+    val vIdxs = valCols.map(df.schema.fieldIndex).toVector
     val names = mergedNames(pats)
     val patV = pats.toIndexedSeq
-    val engs =
-      patV.map(new Engine(_, emitTimeouts, wmRelease = true))
+    val engs = patV.map(
+      new Engine(_, emitTimeouts, wmRelease = true, valCols.length))
     val base = outSchema(df, keyCol, names, measures)
     val schema =
       if (emitTimeouts)
@@ -1049,14 +1095,14 @@ object CepPattern {
           Vector.fill(engs.length)(emptyState)).toArray
         val out = Seq.newBuilder[Row]
         def emit(i: Int,
-            d: (Long, Long, Vector[Long], Vector[CepNfa.Meas]),
+            d: (Long, Long, Vector[Long], Vector[Vector[CepNfa.Meas]]),
             flag: Boolean): Unit = {
           val r = doneRow(key.get(0), patV(i), names, measures,
             d._1, d._2, d._3, d._4)
           out += (if (emitTimeouts) Row.fromSeq(r.toSeq :+ flag) else r)
         }
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
-          val t = r.getLong(tIdx); val v = r.getDouble(vIdx)
+          val t = r.getLong(tIdx); val v = vIdxs.map(r.getDouble)
           engs.indices.foreach { i =>
             val (s2, ms, ts) = engs(i).advance(sts(i), t, v)
             sts(i) = s2

@@ -931,6 +931,41 @@ object CepQueries {
         ORDER BY l.user_id, start_us, n_low
       """.stripMargin.trim)),
 
+    // Multi-attribute Pattern-API conditions (round 10): the reference's
+    // conditions see the WHOLE event (SimpleCondition.of(event -> …)) —
+    // a spike followed by the first event that is BOTH a lull (value)
+    // AND high-severity (event_id-derived attribute), via whereRow over
+    // the (value, sev) vector. Replay: first later row satisfying both.
+    QueryDef(
+      "q_cep_multicol",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("sev", (col("event_id") % 4).cast("double"))
+        CepPattern.applyCols(d, "user_id", "ts_us", Seq("value", "sev"),
+          Seq(CepPattern.begin("a").where(_ >= 150.0)
+            .followedBy("b").whereRow(vs => vs(0) <= 2.0 && vs(1) >= 2.0)
+            .build()))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 CAST(event_id % 4 AS DOUBLE) AS sev,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value, sev FROM e WHERE dd = 1),
+        a AS (SELECT user_id, tu FROM d WHERE value >= 150),
+        b AS (SELECT user_id, tu FROM d WHERE value <= 2 AND sev >= 2)
+        SELECT a.user_id, a.tu AS start_us, MIN(b.tu) AS end_us,
+               CAST(1 AS BIGINT) AS n_a, CAST(1 AS BIGINT) AS n_b
+        FROM a JOIN b ON b.user_id = a.user_id AND b.tu > a.tu
+        GROUP BY a.user_id, a.tu ORDER BY a.user_id, start_us
+      """.stripMargin.trim)),
+
     // PREVIOUS_AND_CURRENT within (Pattern.within(Duration, WithinType),
     // Flink 1.16): spike followedBy lull with the CONSECUTIVE-event gap
     // bounded by 12h. followedBy takes the FIRST later lull; a first

@@ -452,6 +452,31 @@ class CepPatternSpec extends SparkSpecBase {
       Set(Seq(1L, 3L, 1L, 1L)))
   }
 
+  test("whereRow conditions see the full value vector (multi-column)") {
+    // two value columns (v, w): a v-spike followed by the FIRST event
+    // that is BOTH low in v and high in w
+    val d = Seq(
+      (1L, 1L, 9.0, 0.0), (1L, 2L, 1.0, 0.0), // low v but low w — skipped
+      (1L, 3L, 1.0, 9.0), (1L, 4L, 1.0, 9.0))
+      .toDF("k", "t", "v", "w")
+    val p = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").whereRow(vs => vs(0) <= 2.0 && vs(1) >= 5.0)
+      .build()
+    val out = CepPattern.applyCols(d, "k", "t", Seq("v", "w"), Seq(p),
+      Seq(CepPattern.Measure("last", "b", "bw", colIdx = 1)))
+    assert(out.collect().map(_.toSeq).toSet ==
+      Set(Seq(1L, 1L, 3L, 1L, 1L, 9.0)))
+    // a single-column pattern through the SAME multi-column face agrees
+    // with the single-column face
+    val p1 = CepPattern.begin("a").where(_ >= 8.0)
+      .followedBy("b").where(_ <= 2.0).build()
+    val viaCols = CepPattern.applyCols(d, "k", "t", Seq("v"), Seq(p1))
+      .collect().map(_.toSeq).toSet
+    val viaSingle = CepPattern(d, "k", "t", "v", p1)
+      .collect().map(_.toSeq).toSet
+    assert(viaCols == viaSingle)
+  }
+
   private def abGroup = CepPattern.begin("a").where(_ >= 8.0)
     .followedBy("b").where(_ <= 2.0)
 
