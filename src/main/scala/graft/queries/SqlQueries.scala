@@ -1029,6 +1029,33 @@ object SqlQueries {
         ORDER BY user_id, start_us
       """.trim)),
 
+    // SQL LOOKUP JOIN spelling (round 10): `JOIN dim FOR SYSTEM_TIME AS
+    // OF l.proctime` against a PLAIN dimension table (no version
+    // column) — the reference's lookup join (joins.md "Lookup Join",
+    // StreamExecLookupJoin): probed at processing time = the dim's
+    // current snapshot, a plain broadcast-able equi-join on batch.
+    QueryDef(
+      "q_sql_lookup_join",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .withColumn("proc_time", current_timestamp())
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))
+        FlinkSql.sql(s,
+          """SELECT o_orderkey, o_custkey, asof_c_name AS c_name
+            |FROM orders AS o
+            |JOIN customer FOR SYSTEM_TIME AS OF o.proc_time AS c
+            |  ON o.o_custkey = c.c_custkey
+            |ORDER BY o_orderkey""".stripMargin,
+          Map("orders" -> o, "customer" -> c))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+      """.trim)),
+
     // MEASURES / DEFINE over the ORDER BY column (round 10): rowtime
     // measures (`FIRST(a.ts_us)`) and time-delta conditions
     // (`ts_us - PREV(ts_us) <= gap`) route through a synthetic double

@@ -1525,29 +1525,51 @@ object FlinkSql {
       else if (q1.equalsIgnoreCase(ra) && q2.equalsIgnoreCase(la)) (c2, c1)
       else throw new IllegalArgumentException(
         s"ON must join $la and $ra, got $q1.$c1 = $q2.$c2")
-    // SQL identifiers are case-insensitive throughout: the key-name match
-    // and the build-side time-column lookup resolve like Spark does
-    // (ADVICE r8: `ON c.USER_ID = p.user_id` must pass all three checks)
-    require(lk.equalsIgnoreCase(rk),
-      s"temporal join requires the SAME key column name on both sides " +
-        s"(got $lk vs $rk) — alias upstream")
-
     val left = resolve(spark, tables, lt)
     val right = resolve(spark, tables, rt)
-    val rightTime = right.columns.find(_.equalsIgnoreCase(timeCol)).getOrElse(
-      throw new IllegalArgumentException(
-        s"build side $rt needs a time column named $timeCol (the AS OF " +
-          "column names the version attribute)"))
     val rightKey = right.columns.find(_.equalsIgnoreCase(rk)).getOrElse(rk)
     val payload = right.columns.filterNot(_.equalsIgnoreCase(rightKey)).toSeq
-    // streaming inputs route to the versioned-state streaming face (zero
-    // extra disorder bound — the inputs' own watermarks set the pace)
-    val joined =
-      if (left.isStreaming || right.isStreaming)
-        graft.streaming.StreamingTemporalJoin(
-          left, right, lk, timeCol, rightTime, payload, delay = "0 seconds")
-      else graft.operators.AsOfJoin(
-        left, right, lk, timeCol, rightTime, payloadCols = payload)
+    // Build side carries a column named like the AS OF attribute →
+    // event-time (versioned) temporal join. Otherwise this is the
+    // LOOKUP-JOIN spelling — `FOR SYSTEM_TIME AS OF l.proctime` against
+    // a plain dimension table (docs/dev/table/sql/queries/joins.md
+    // "Lookup Join"; StreamExecLookupJoin): the build side is probed at
+    // processing time, i.e. each (micro-)batch joins the dim's CURRENT
+    // snapshot — Spark's stream-batch join re-reads the batch side per
+    // micro-batch, which IS that semantic; on batch inputs it is a plain
+    // (broadcast-able) equi-join. Build columns surface as `asof_<col>`
+    // either way, so alias rewriting downstream is uniform.
+    val joined = right.columns.find(_.equalsIgnoreCase(timeCol)) match {
+      case Some(rightTime) =>
+        // SQL identifiers are case-insensitive throughout: the key-name
+        // match and the build-side time-column lookup resolve like Spark
+        // does (ADVICE r8: `ON c.USER_ID = p.user_id` must pass)
+        require(lk.equalsIgnoreCase(rk),
+          s"versioned temporal join requires the SAME key column name " +
+            s"on both sides (got $lk vs $rk) — alias upstream")
+        // streaming inputs route to the versioned-state streaming face
+        // (zero extra disorder bound — the inputs' own watermarks pace)
+        if (left.isStreaming || right.isStreaming)
+          graft.streaming.StreamingTemporalJoin(
+            left, right, lk, timeCol, rightTime, payload, delay = "0 seconds")
+        else graft.operators.AsOfJoin(
+          left, right, lk, timeCol, rightTime, payloadCols = payload)
+      case None =>
+        require(left.columns.exists(_.equalsIgnoreCase(timeCol)),
+          s"AS OF column $timeCol must be an attribute of the probe " +
+            s"side $la (a proctime/rowtime column)")
+        require(!right.isStreaming,
+          "the lookup-join build side must be a (periodically re-read) " +
+            "TABLE, not a stream — declare a versioned build side for " +
+            "stream-stream temporal joins")
+        val lkCol = left.columns.find(_.equalsIgnoreCase(lk)).getOrElse(lk)
+        val dim = payload.foldLeft(
+          right.withColumnRenamed(rightKey, "__lookup_k")) { (d, c) =>
+          d.withColumnRenamed(c, s"asof_$c")
+        }
+        left.join(dim, col(lkCol) === col("__lookup_k"), "inner")
+          .drop("__lookup_k")
+    }
     val view = s"__graft_sql_${viewCounter.incrementAndGet()}"
     joined.createOrReplaceTempView(view)
 

@@ -156,6 +156,41 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaDsl)
   }
 
+  test("SQL lookup join: AS OF proctime against a plain dim table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val stmt =
+      """SELECT id, asof_name AS name
+        |FROM probe AS p
+        |JOIN dim FOR SYSTEM_TIME AS OF p.proc_time AS d
+        |  ON p.fk = d.k""".stripMargin
+    // batch: plain equi-join, dim broadcast-able
+    val probe = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "fk")
+      .withColumn("proc_time", current_timestamp())
+    val batch = FlinkSql.sql(spark, stmt,
+      Map("probe" -> probe, "dim" -> dim))
+    assert(batch.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((10L, "a"), (11L, "b")))
+    assert(batch.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // streaming probe: stays streaming (the dim snapshot joins per batch)
+    val input = MemoryStream[(Long, Long)]
+    val sdf = input.toDF().toDF("id", "fk")
+      .withColumn("proc_time", current_timestamp())
+    val out = FlinkSql.sql(spark, stmt, Map("probe" -> sdf, "dim" -> dim))
+    assert(out.isStreaming)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lkj-").toString
+    val q = out.writeStream.format("memory").queryName("sql_lookup")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq((20L, 1L), (21L, 9L))); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("sql_lookup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((20L, "a")))
+  }
+
   test("MEASURES and DEFINE may read the ORDER BY column") {
     // the same pattern phrased over ts_us (the ORDER BY column — routed
     // through the synthetic time value column) and over tsd (an
