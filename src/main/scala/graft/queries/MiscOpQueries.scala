@@ -703,6 +703,53 @@ object MiscOpQueries {
         GROUP BY 1 ORDER BY 1
       """.stripMargin.trim)),
 
+    // DataStream facade (round 10; graft.stream — the reference's typed
+    // DataStream/KeyedStream surface): keyBy + KeyedProcessFunction
+    // computing per-user running sums in event-time order, entirely
+    // through the facade. The oracle is the running-sum window — the
+    // canonical ProcessFunction exercise.
+    QueryDef(
+      "q_datastream_process",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = graft.operators.Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .select(col("user_id"), col("ts_us"),
+            floor(col("value")).cast("double").as("vf"))
+          .as[(Long, Long, Double)]
+        graft.stream.StreamExecutionEnvironment.create(s)
+          .fromDataset(d)
+          .keyBy(_._1)
+          .process[Unit, (Long, Long, Double)] { (key, rows, _, _) =>
+            // the user function orders its key's events by time and
+            // emits the running sum — state-free batch pass
+            var cum = 0.0
+            val outs = rows.toSeq.sortBy(_._2).map { r =>
+              cum += r._3
+              (key, r._2, cum)
+            }
+            (None, outs, None)
+          }
+          .toDataset
+          .toDF("user_id", "ts_us", "running")
+          .orderBy(col("user_id"), col("ts_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(FLOOR(value) AS DOUBLE) AS vf,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events)
+        SELECT user_id, tu AS ts_us,
+               SUM(vf) OVER (PARTITION BY user_id ORDER BY tu
+                             ROWS UNBOUNDED PRECEDING) AS running
+        FROM e WHERE dd = 1
+        ORDER BY user_id, ts_us
+      """.stripMargin.trim)),
+
     // Table API facade (round 10; graft.table — the reference's fluent
     // Table.java/TableEnvironment.java surface over DataFrames): a
     // join + filter + group-agg pipeline phrased ENTIRELY through the
