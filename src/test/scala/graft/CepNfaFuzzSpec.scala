@@ -172,7 +172,7 @@ class CepNfaFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: CepNfa matches the brute-force matcher on random inputs") {
-    (1L to 30L).foreach { seed =>
+    (1L to 50L).foreach { seed =>
       val (vals, named, within, toNext) =
         genCase.pureApply(Gen.Parameters.default, Seed(seed))
       val steps = named.map(_._2)
