@@ -703,6 +703,34 @@ object MiscOpQueries {
         GROUP BY 1 ORDER BY 1
       """.stripMargin.trim)),
 
+    // Table API group window (round 10): Tumble.over(...).on(...).as("w")
+    // with the w_start/w_end accessors, phrased entirely through the
+    // facade — the reference's Table-API windowed aggregation shape.
+    QueryDef(
+      "q_table_api_window",
+      (s, dir) => {
+        import graft.table.api._
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val env = graft.table.TableEnvironment.create(s)
+        env.createTemporaryView("events", Tables.events(s, dir))
+        env.from("events")
+          .window(graft.table.Tumble.over("10 minutes").on($("ts")).as("w"))
+          .groupBy($("w"), $("event_type"))
+          .select($("event_type"), $("w_start"),
+            $("value").cast(DecimalType(25, 6)).sum
+              .cast(DoubleType).as("sv"),
+            $("value").count.as("n"))
+          .orderBy($("event_type"), $("w_start"))
+          .toDataFrame
+      },
+      Some(s"""
+        SELECT event_type,
+               time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+               ${Exact.sqlSum("value", 6)} AS sv,
+               COUNT(value) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+      """.stripMargin.trim)),
+
     // DataStream facade (round 10; graft.stream — the reference's typed
     // DataStream/KeyedStream surface): keyBy + KeyedProcessFunction
     // computing per-user running sums in event-time order, entirely

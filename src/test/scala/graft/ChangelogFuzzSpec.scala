@@ -213,6 +213,47 @@ class ChangelogFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzz: outer ChangelogJoin padding materializes to the SQL outer join") {
+    (1L to 10L).foreach { seed =>
+      val all = sample(nEnt = 10, nOps = 44, groups = 3, seed)
+      val lRows = all.filter(_._1 % 2 == 0)
+      val rRows = all.filter(_._1 % 2 == 1)
+      val lf = finalState(lRows); val rf = finalState(rRows)
+      Seq("left", "right", "full").foreach { how =>
+        val out = ChangelogJoin(toDf(lRows, "l"), toDf(rRows, "r"),
+          "lg", "rg", "lid", "rid", how)
+        // padded rows materialize under (lid, NULL)/(NULL, rid): keep-last
+        // by the pair key yields exactly the SQL outer join of the final
+        // states (the operator's documented contract)
+        val got = UpsertMaterialize(out, Seq("lid", "rid"))
+          .select("lid", "lv", "rid", "rv")
+          .collect().map(_.toSeq).toSet
+        val inner = for {
+          (lid, (lg, lv)) <- lf.toSeq
+          (rid, (rg, rv)) <- rf.toSeq
+          if lg == rg
+        } yield Seq[Any](lid, lv, rid, rv)
+        val matchedL = inner.map(_.head).toSet
+        val matchedR = inner.map(_(2)).toSet
+        val padL = lf.toSeq.collect {
+          case (lid, (_, lv)) if !matchedL.contains(lid) =>
+            Seq[Any](lid, lv, null, null)
+        }
+        val padR = rf.toSeq.collect {
+          case (rid, (_, rv)) if !matchedR.contains(rid) =>
+            Seq[Any](null, null, rid, rv)
+        }
+        val exp = (how match {
+          case "left" => inner ++ padL
+          case "right" => inner ++ padR
+          case "full" => inner ++ padL ++ padR
+        }).toSet
+        assert(got == exp,
+          s"seed $seed $how: missing=${exp -- got} extra=${got -- exp}")
+      }
+    }
+  }
+
   test("fuzz: streaming face matches batch face across random splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
