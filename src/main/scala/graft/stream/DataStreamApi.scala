@@ -51,6 +51,15 @@ final class DataStream[T](val ds: Dataset[T]) {
     new DataStream(ds.union(o.ds))
   def keyBy[K: Encoder](f: T => K): KeyedStream[K, T] =
     new KeyedStream(ds, f)
+
+  /** WatermarkStrategy.forBoundedOutOfOrderness over an existing
+    * TIMESTAMP field (DataStream.assignTimestampsAndWatermarks): the
+    * watermark trails the max seen event time by `maxOutOfOrderness`
+    * (a Spark interval string, e.g. "5 seconds"). */
+  def assignTimestampsAndWatermarks(
+      eventTimeField: String, maxOutOfOrderness: String): DataStream[T] =
+    new DataStream(ds.withWatermark(eventTimeField, maxOutOfOrderness))
+
   def toDataset: Dataset[T] = ds
   def executeAndCollect(): Seq[T] = ds.collect().toSeq
 }

@@ -65,9 +65,9 @@ class DataStreamApiSpec extends SparkSpecBase {
     val input = MemoryStream[(Long, Long)] // (key, ts_us)
     val withTime = input.toDF().toDF("k", "ts_us")
       .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withWatermark("ts", "0 seconds")
       .as[(Long, Long, java.sql.Timestamp)]
     val q = env.fromDataset(withTime)
+      .assignTimestampsAndWatermarks("ts", "0 seconds")
       .keyBy(_._1)
       .process[(Long, Long), (Long, Long)] { (key, rows, st, wm) =>
         val (cnt0, maxTs) = st.getOrElse((0L, 0L))
