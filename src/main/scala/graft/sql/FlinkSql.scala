@@ -1500,7 +1500,14 @@ object FlinkSql {
     p.eat("FROM")
     val lt = p.ident()
     p.opt("AS")
-    val la = if (p.peek == "JOIN") lt else p.ident()
+    val la =
+      if (p.peek == "JOIN" || p.peek == "LEFT" || p.peek == "INNER") lt
+      else p.ident()
+    // LEFT keeps unmatched probe rows null-padded on the LOOKUP path;
+    // the versioned as-of operator already pads unmatched probes (its
+    // documented left-ish contract), so the keyword passes through there
+    val leftOuter = p.opt("LEFT")
+    p.opt("INNER")
     p.eat("JOIN")
     val rt = p.ident()
     p.eat("FOR")
@@ -1567,7 +1574,8 @@ object FlinkSql {
           right.withColumnRenamed(rightKey, "__lookup_k")) { (d, c) =>
           d.withColumnRenamed(c, s"asof_$c")
         }
-        left.join(dim, col(lkCol) === col("__lookup_k"), "inner")
+        left.join(dim, col(lkCol) === col("__lookup_k"),
+          if (leftOuter) "left" else "inner")
           .drop("__lookup_k")
     }
     val view = s"__graft_sql_${viewCounter.incrementAndGet()}"

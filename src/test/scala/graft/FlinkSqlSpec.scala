@@ -189,6 +189,16 @@ class FlinkSqlSpec extends SparkSpecBase {
     } finally q.stop()
     assert(spark.table("sql_lookup").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((20L, "a")))
+    // LEFT JOIN keeps unmatched probe rows null-padded
+    val leftOut = FlinkSql.sql(spark,
+      """SELECT id, asof_name AS name
+        |FROM probe AS p
+        |LEFT JOIN dim FOR SYSTEM_TIME AS OF p.proc_time AS d
+        |  ON p.fk = d.k""".stripMargin,
+      Map("probe" -> probe, "dim" -> dim))
+    assert(leftOut.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
+      Set((10L, Some("a")), (11L, Some("b")), (12L, None)))
   }
 
   test("MEASURES and DEFINE may read the ORDER BY column") {
