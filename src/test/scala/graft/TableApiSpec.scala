@@ -3,7 +3,7 @@ package graft
 import graft.table.{Session => TSession, Slide, Table, TableEnvironment, Tumble}
 import graft.table.api._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, sum}
+import org.apache.spark.sql.functions.{col, count, sum, timestamp_micros}
 
 /** The Table API facade: every fluent operation must build exactly the
   * plan the DataFrame DSL builds (value parity asserted; the facade is
@@ -172,6 +172,44 @@ class TableApiSpec extends SparkSpecBase {
         |                  INTERVAL '10' MINUTE))
         |GROUP BY window_start""".stripMargin)
     assert(t.execute().collect().nonEmpty)
+  }
+
+  test("Tumble group window runs streaming with batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("ts_us"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().toSeq
+    def viaFacade(df: org.apache.spark.sql.DataFrame) =
+      TableEnvironment.create(spark).fromDataFrame(df)
+        .window(Tumble.over("10 minutes").on($("ts")).as("w"))
+        .groupBy($("w"), $("event_type"))
+        .select($("event_type"), $("w_start"), $("value").count.as("n"))
+        .toDataFrame
+    val batch = viaFacade(rows.toDF("ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, String, Double)]
+    val sdf = input.toDF().toDF("ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val out = viaFacade(sdf)
+    assert(out.isStreaming)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-taw-").toString
+    val q = out.writeStream.format("memory").queryName("ta_win")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val ordered = rows.sortBy(_._1)
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    // append mode emits a window only once its watermark passes: the
+    // streamed set is the batch set minus the tail windows still open
+    val streamed = spark.table("ta_win").collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      s"streamed ${streamed.size} must be ⊆ batch ${batch.size}")
   }
 
   test("a streaming input stays streaming through the facade") {
