@@ -213,6 +213,29 @@ class ChangelogFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzz: 3-way ChangelogMultiJoin materializes to the triple join") {
+    (1L to 8L).foreach { seed =>
+      val all = sample(nEnt = 12, nOps = 48, groups = 2, seed)
+      val parts = (0 to 2).map(i => all.filter(_._1 % 3 == i))
+      val dfs = Seq(toDf(parts(0), "a"), toDf(parts(1), "b"),
+        toDf(parts(2), "c"))
+      val out = ChangelogMultiJoin(
+        Seq((dfs(0), "ag"), (dfs(1), "bg"), (dfs(2), "cg")))
+      val got = UpsertMaterialize(out, Seq("aid", "bid", "cid"))
+        .select("aid", "av", "bid", "bv", "cid", "cv")
+        .collect().map(_.toSeq).toSet
+      val fs = parts.map(finalState)
+      val exp = (for {
+        (aid, (ag, av)) <- fs(0).toSeq
+        (bid, (bg, bv)) <- fs(1).toSeq
+        if ag == bg
+        (cid, (cg, cv)) <- fs(2).toSeq
+        if bg == cg
+      } yield Seq[Any](aid, av, bid, bv, cid, cv)).toSet
+      assert(got == exp, s"seed $seed: ${got.size} vs ${exp.size}")
+    }
+  }
+
   test("fuzz: outer ChangelogJoin padding materializes to the SQL outer join") {
     (1L to 10L).foreach { seed =>
       val all = sample(nEnt = 10, nOps = 44, groups = 3, seed)
