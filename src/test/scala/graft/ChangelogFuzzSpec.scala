@@ -114,7 +114,7 @@ class ChangelogFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: RetractingChangelogAgg materializes to the batch aggregate") {
-    (1L to 12L).foreach { seed =>
+    (1L to 20L).foreach { seed =>
       val rows = sample(nEnt = 8, nOps = 40, groups = 3, seed)
       val cdf = toDf(rows)
       val out = RetractingChangelogAgg(cdf, Seq("g"), "v")
@@ -138,7 +138,7 @@ class ChangelogFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: ChangelogTopN materializes to the top-N of the final state") {
-    (1L to 12L).foreach { seed =>
+    (1L to 20L).foreach { seed =>
       val rows = sample(nEnt = 10, nOps = 40, groups = 2, seed)
       val cdf = toDf(rows)
       val out = ChangelogTopN(cdf, Seq("g"), "id", "v", n = 2)
@@ -185,7 +185,7 @@ class ChangelogFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: ChangelogJoin materializes to the join of final states") {
-    (1L to 10L).foreach { seed =>
+    (1L to 16L).foreach { seed =>
       val all = sample(nEnt = 10, nOps = 44, groups = 3, seed)
       // split entities across sides; ONE global seq domain (the
       // operator's documented input contract)
@@ -214,7 +214,7 @@ class ChangelogFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: 3-way ChangelogMultiJoin materializes to the triple join") {
-    (1L to 8L).foreach { seed =>
+    (1L to 12L).foreach { seed =>
       val all = sample(nEnt = 12, nOps = 48, groups = 2, seed)
       val parts = (0 to 2).map(i => all.filter(_._1 % 3 == i))
       val dfs = Seq(toDf(parts(0), "a"), toDf(parts(1), "b"),
@@ -237,7 +237,7 @@ class ChangelogFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: outer ChangelogJoin padding materializes to the SQL outer join") {
-    (1L to 10L).foreach { seed =>
+    (1L to 14L).foreach { seed =>
       val all = sample(nEnt = 10, nOps = 44, groups = 3, seed)
       val lRows = all.filter(_._1 % 2 == 0)
       val rRows = all.filter(_._1 % 2 == 1)
@@ -313,7 +313,7 @@ class ChangelogFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: ChangelogNormalize rebuilds the full changelog from upserts") {
-    (1L to 10L).foreach { seed =>
+    (1L to 16L).foreach { seed =>
       val rows = sample(nEnt = 8, nOps = 40, groups = 3, seed)
       // degrade to an upsert feed: keep +I/+U as upserts, -D as
       // deletes, drop -U (the upsert convention)
