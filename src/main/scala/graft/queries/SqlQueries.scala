@@ -1029,6 +1029,58 @@ object SqlQueries {
         ORDER BY user_id, start_us
       """.trim)),
 
+    // Bounded {n,m} quantifier (round 10): `a{2,3} b` compiles by
+    // expansion (a a a? b) — the engine's per-anchor lexicographic
+    // priority makes it greedy, the SQL row-pattern default. Replay:
+    // per anchor, prefer the 3-a completion, fall back to 2-a.
+    QueryDef(
+      "q_match_recognize_range",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+          .withColumn("vf", floor(col("value")).cast("double"))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, n_a, n_b
+            |FROM events_d MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (a{2,3} b)
+            |  DEFINE a AS vf >= 30, b AS vf <= 2
+            |)
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("events_d" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(FLOOR(value) AS DOUBLE) AS vf,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, vf FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, vf,
+                lag(tu) OVER w AS ptu,
+                lead(vf, 1) OVER w AS v1, lead(vf, 2) OVER w AS v2,
+                lead(vf, 3) OVER w AS v3,
+                lead(tu, 2) OVER w AS t2, lead(tu, 3) OVER w AS t3
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        m AS (SELECT user_id, ptu AS start_us,
+                CASE WHEN v2 >= 30 AND v3 <= 2 THEN t3
+                     WHEN v2 <= 2 THEN t2 END AS end_us,
+                CASE WHEN v2 >= 30 AND v3 <= 2 THEN 3
+                     WHEN v2 <= 2 THEN 2 END AS na
+              FROM s
+              WHERE ptu IS NOT NULL AND vf >= 30 AND v1 >= 30)
+        SELECT user_id, start_us, end_us,
+               CAST(na AS BIGINT) AS n_a, CAST(1 AS BIGINT) AS n_b
+        FROM m WHERE end_us IS NOT NULL
+        ORDER BY user_id, start_us
+      """.stripMargin.trim)),
+
     // SQL LOOKUP JOIN spelling (round 10): `JOIN dim FOR SYSTEM_TIME AS
     // OF l.proctime` against a PLAIN dimension table (no version
     // column) — the reference's lookup join (joins.md "Lookup Join",

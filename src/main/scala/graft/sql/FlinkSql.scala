@@ -1976,23 +1976,31 @@ object FlinkSql {
       if (p.opt("|")) {
         branches += cur.toSeq
         cur = scala.collection.mutable.ArrayBuffer.empty[PElem]
-      } else cur += parseElem(p)
+      } else cur ++= parseElems(p)
     }
     branches += cur.toSeq
     branches.toSeq
   }
 
-  private def parseElem(p: P): PElem =
+  /** One pattern element, possibly EXPANDED: exact `{n}` and bounded
+    * `{n,m}` quantifiers compile by replication — `a{2,4}` becomes
+    * `a a a? a?` (the engine merges same-name step counts and measures,
+    * and the per-anchor lexicographic-counts priority makes the
+    * expansion greedy, as SQL row-pattern quantifiers are); a group
+    * `(A B){n}` becomes n flat copies (group iterations are strictly
+    * contiguous in MATCH_RECOGNIZE, so replication is exact). */
+  private def parseElems(p: P): Seq[PElem] =
     if (p.opt("(")) {
       val inner = scala.collection.mutable.ArrayBuffer.empty[PElem]
-      while (p.peek != ")") inner += parseElem(p)
+      while (p.peek != ")") inner ++= parseElems(p)
       p.eat(")")
       quantifier(p) match {
-        case ("+", n) => PGroup(inner.toSeq, n, greedy = true)
-        case ("*", _) => PGroup(inner.toSeq, 0, greedy = true)
-        case ("", 1) => PGroup(inner.toSeq, 1, greedy = false)
-        case ("{n,}", n) => PGroup(inner.toSeq, n, greedy = true)
-        case (q, _) => throw new IllegalArgumentException(
+        case ("+", n, _) => Seq(PGroup(inner.toSeq, n, greedy = true))
+        case ("*", _, _) => Seq(PGroup(inner.toSeq, 0, greedy = true))
+        case ("", 1, _) => Seq(PGroup(inner.toSeq, 1, greedy = false))
+        case ("{n,}", n, _) => Seq(PGroup(inner.toSeq, n, greedy = true))
+        case ("{n}", n, _) => Seq.fill(n)(inner.toSeq).flatten
+        case (q, _, _) => throw new IllegalArgumentException(
           s"unsupported group quantifier $q")
       }
     } else if (p.peek == "PERMUTE") {
@@ -2001,38 +2009,50 @@ object FlinkSql {
       while (p.opt(",")) syms += p.ident().toLowerCase
       p.eat(")")
       require(syms.size >= 2, "PERMUTE needs at least two symbols")
-      PPermute(syms.toSeq)
+      Seq(PPermute(syms.toSeq))
     } else {
       val sym = p.ident().toLowerCase
       quantifier(p) match {
-        case ("+", n) => PAtom(sym, greedy = true, min = n)
-        case ("*", _) => PAtom(sym, greedy = true, min = 0)
-        case ("?", _) => PAtom(sym, greedy = false, min = 0)
-        case ("", 1) => PAtom(sym, greedy = false, min = 1)
-        case ("{n,}", n) => PAtom(sym, greedy = true, min = n)
-        case (q, _) => throw new IllegalArgumentException(
+        case ("+", n, _) => Seq(PAtom(sym, greedy = true, min = n))
+        case ("*", _, _) => Seq(PAtom(sym, greedy = true, min = 0))
+        case ("?", _, _) => Seq(PAtom(sym, greedy = false, min = 0))
+        case ("", 1, _) => Seq(PAtom(sym, greedy = false, min = 1))
+        case ("{n,}", n, _) => Seq(PAtom(sym, greedy = true, min = n))
+        case ("{n}", n, _) =>
+          Seq.fill(n)(PAtom(sym, greedy = false, min = 1))
+        case ("{n,m}", n, m) =>
+          require(n >= 1, s"$sym{$n,$m} needs n >= 1 (the first " +
+            "occurrence anchors; spell a{0,m} as a? repetitions)")
+          Seq.fill(n)(PAtom(sym, greedy = false, min = 1)) ++
+            Seq.fill(m - n)(PAtom(sym, greedy = false, min = 0))
+        case (q, _, _) => throw new IllegalArgumentException(
           s"unsupported quantifier $q for $sym")
       }
     }
 
-  /** Returns (kind, min): "" exactly-once, "+" with min (from `{n,}`-less
-    * `+` min=1), "*", "?", "{n,}" with its minimum.
+  /** Returns (kind, min, max): "" exactly-once, "+" with min (from
+    * `{n,}`-less `+` min=1), "*", "?", "{n,}" with its minimum,
+    * "{n}" exact, "{n,m}" bounded (max meaningful only there).
     */
-  private def quantifier(p: P): (String, Int) =
-    if (p.opt("+")) ("+", 1)
-    else if (p.opt("*")) ("*", 0)
-    else if (p.opt("?")) ("?", 0)
+  private def quantifier(p: P): (String, Int, Int) =
+    if (p.opt("+")) ("+", 1, Int.MaxValue)
+    else if (p.opt("*")) ("*", 0, Int.MaxValue)
+    else if (p.opt("?")) ("?", 0, 1)
     else if (p.opt("{")) {
       val n = p.next().s.toInt
-      val kind =
+      val (kind, max) =
         if (p.opt(",")) {
-          require(p.peek == "}", "bounded {n,m} quantifiers not supported")
-          "{n,}"
-        } else if (n == 1) "" // {1} ≡ exactly once
-        else "{n}"
+          if (p.peek == "}") ("{n,}", Int.MaxValue)
+          else {
+            val m = p.next().s.toInt
+            require(m >= n && m >= 1, s"bad quantifier {$n,$m}")
+            if (m == n) ("{n}", n) else ("{n,m}", m)
+          }
+        } else if (n == 1) ("", 1) // {1} ≡ exactly once
+        else ("{n}", n)
       p.eat("}")
-      (kind, n)
-    } else ("", 1)
+      (kind, n, max)
+    } else ("", 1, 1)
 
   // ----------------------------------------------- DEFINE condition exprs
 

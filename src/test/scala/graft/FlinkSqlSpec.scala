@@ -618,10 +618,11 @@ class FlinkSqlSpec extends SparkSpecBase {
     // longer an error — covered in FlinkDdlSpec)
     bad("""SELECT 1 FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts_ns),
           INTERVAL '30' MINUTE))""", "HOP takes slide, size")
+    // ({n,m} is now supported by expansion — an inverted range still errors)
     bad("""SELECT 1 FROM d MATCH_RECOGNIZE (
             PARTITION BY user_id ORDER BY ts_us
-            PATTERN (down{2,4})
-            DEFINE down AS value < PREV(value))""", "{n,m}")
+            PATTERN (down{4,2})
+            DEFINE down AS value < PREV(value))""", "bad quantifier")
     // (a DEFINE reading several columns is no longer an error — it
     // compiles onto the iterative-condition face; see the multi-column
     // DEFINE test)
