@@ -2034,9 +2034,14 @@ object FlinkSql {
     * `{n,}`-less `+` min=1), "*", "?", "{n,}" with its minimum,
     * "{n}" exact, "{n,m}" bounded (max meaningful only there).
     */
-  private def quantifier(p: P): (String, Int, Int) =
-    if (p.opt("+")) ("+", 1, Int.MaxValue)
-    else if (p.opt("*")) ("*", 0, Int.MaxValue)
+  private def quantifier(p: P): (String, Int, Int) = {
+    def noReluctant(q: String): Unit =
+      require(p.peek != "?",
+        s"reluctant quantifier $q? is not supported — matches resolve " +
+          "greedily per anchor (the SQL default); take the shortest " +
+          "match downstream instead")
+    if (p.opt("+")) { noReluctant("+"); ("+", 1, Int.MaxValue) }
+    else if (p.opt("*")) { noReluctant("*"); ("*", 0, Int.MaxValue) }
     else if (p.opt("?")) ("?", 0, 1)
     else if (p.opt("{")) {
       val n = p.next().s.toInt
@@ -2051,8 +2056,10 @@ object FlinkSql {
         } else if (n == 1) ("", 1) // {1} ≡ exactly once
         else ("{n}", n)
       p.eat("}")
+      noReluctant(s"{$n,…}")
       (kind, n, max)
     } else ("", 1, 1)
+  }
 
   // ----------------------------------------------- DEFINE condition exprs
 
