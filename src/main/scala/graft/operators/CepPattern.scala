@@ -254,6 +254,7 @@ object CepPattern {
       require(pendingNotNext.isEmpty && pendingNotDuring.isEmpty,
         "consecutive NOT patterns are not supported")
       lastWasNot = true; notIsNext = true
+      lastGroup = None // conditions now belong to the NOT step, not the group
       pendingNotNext = Some(_ => true)
       this
     }
@@ -262,6 +263,7 @@ object CepPattern {
       require(pendingNotNext.isEmpty && pendingNotDuring.isEmpty,
         "consecutive NOT patterns are not supported")
       lastWasNot = true; notIsNext = false
+      lastGroup = None // conditions now belong to the NOT step, not the group
       pendingNotDuring = Some(_ => true)
       this
     }

@@ -1546,7 +1546,14 @@ object FlinkSql {
     // micro-batch, which IS that semantic; on batch inputs it is a plain
     // (broadcast-able) equi-join. Build columns surface as `asof_<col>`
     // either way, so alias rewriting downstream is uniform.
-    val joined = right.columns.find(_.equalsIgnoreCase(timeCol)) match {
+    // Disambiguation (ADVICE r10): a proctime-conventional AS OF
+    // attribute (`proctime`/`proc_time`, the reference's PROCTIME()
+    // naming) ALWAYS means the lookup spelling — a dimension table that
+    // coincidentally carries a column of that name must not silently
+    // flip the plan to the event-time versioned join.
+    val asOfIsProctime = timeCol.toLowerCase.replace("_", "") == "proctime"
+    val joined = (if (asOfIsProctime) None
+      else right.columns.find(_.equalsIgnoreCase(timeCol))) match {
       case Some(rightTime) =>
         // SQL identifiers are case-insensitive throughout: the key-name
         // match and the build-side time-column lookup resolve like Spark

@@ -52,13 +52,19 @@ object api {
   final class Expr private[table] (
       private[table] val col: Column,
       private[table] val name: Option[String] = None,
-      private[table] val overMark: Boolean = false) {
+      private[table] val overMark: Boolean = false,
+      private[table] val overAlias: Option[String] = None,
+      private[table] val aggMark: Boolean = false) {
     private def mk(c: Column) = new Expr(c)
+    private def mkAgg(c: Column) = new Expr(c, aggMark = true)
 
     /** Apply this aggregate over the select's over-window (Table.java
-      * window(OverWindow).select; Flink allows exactly one over window
-      * per select, so the alias argument is positional sugar). */
-    def over(window: Expr): Expr = new Expr(col, name, overMark = true)
+      * window(OverWindow).select). The argument must name the declared
+      * OverWindow's alias — validated at select time, as the reference
+      * validates unresolved over-window references. */
+    def over(window: Expr): Expr =
+      new Expr(col, name, overMark = true,
+        overAlias = window.name, aggMark = aggMark)
 
     // arithmetic (ApiExpression plus/minus/times/dividedBy/mod)
     def plus(o: Expr): Expr = mk(col + o.col)
@@ -88,26 +94,28 @@ object api {
     // naming / ordering / casting; on an over-marked expression the
     // alias applies AFTER the window spec (at select time)
     def as(alias: String): Expr =
-      if (overMark) new Expr(col, Some(alias), overMark = true)
-      else new Expr(col.as(alias), Some(alias))
+      if (overMark)
+        new Expr(col, Some(alias), overMark = true, overAlias, aggMark)
+      else new Expr(col.as(alias), Some(alias), aggMark = aggMark)
     def asc: Expr = mk(col.asc)
     def desc: Expr = mk(col.desc)
     def cast(dt: org.apache.spark.sql.types.DataType): Expr =
       mk(col.cast(dt))
 
-    // aggregates (ApiExpression sum/avg/count/max/min/…)
-    def sum: Expr = mk(F.sum(col))
-    def sum0: Expr = mk(F.coalesce(F.sum(col), F.lit(0)))
-    def avg: Expr = mk(F.avg(col))
-    def count: Expr = mk(F.count(col))
-    def max: Expr = mk(F.max(col))
-    def min: Expr = mk(F.min(col))
-    def stddevPop: Expr = mk(F.stddev_pop(col))
-    def stddevSamp: Expr = mk(F.stddev_samp(col))
-    def varPop: Expr = mk(F.var_pop(col))
-    def varSamp: Expr = mk(F.var_samp(col))
-    def collect: Expr = mk(F.collect_list(col))
-    def distinct: Expr = mk(F.count_distinct(col)) // count(DISTINCT x)
+    // aggregates (ApiExpression sum/avg/count/max/min/…) — marked so
+    // grouped selects classify by aggregate-ness, never by name alone
+    def sum: Expr = mkAgg(F.sum(col))
+    def sum0: Expr = mkAgg(F.coalesce(F.sum(col), F.lit(0)))
+    def avg: Expr = mkAgg(F.avg(col))
+    def count: Expr = mkAgg(F.count(col))
+    def max: Expr = mkAgg(F.max(col))
+    def min: Expr = mkAgg(F.min(col))
+    def stddevPop: Expr = mkAgg(F.stddev_pop(col))
+    def stddevSamp: Expr = mkAgg(F.stddev_samp(col))
+    def varPop: Expr = mkAgg(F.var_pop(col))
+    def varSamp: Expr = mkAgg(F.var_samp(col))
+    def collect: Expr = mkAgg(F.collect_list(col))
+    def distinct: Expr = mkAgg(F.count_distinct(col)) // count(DISTINCT x)
 
     // scalar functions (the common ApiExpression names)
     def upperCase: Expr = mk(F.upper(col))
@@ -261,6 +269,12 @@ final class GroupedTable private[table] (
 
   def select(exprs: Expr*): Table = {
     val keyNames = keys.flatMap(_.name).toSet
+    // an aggregate aliased to a grouping-key name would silently shadow
+    // the key (ADVICE r10) — the reference rejects the ambiguity too
+    exprs.find(e => e.aggMark && e.name.exists(keyNames.contains))
+      .foreach { e => throw new IllegalArgumentException(
+        s"aggregate aliased to grouping-key name `${e.name.get}` — " +
+          "alias it to a non-key name") }
     val (keySel, aggExprs) =
       exprs.partition(e => e.name.exists(keyNames.contains))
     require(aggExprs.nonEmpty, "groupBy().select needs an aggregate")
@@ -422,6 +436,16 @@ final class OverWindowedTable private[table] (
   import org.apache.spark.sql.expressions.Window
 
   def select(exprs: Expr*): Table = {
+    // every `.over($("x"))` must reference THIS window's alias
+    // (ADVICE r10: the reference validates the alias; a typo'd or
+    // undeclared window name must not silently use the single window)
+    exprs.filter(_.overMark).foreach { e =>
+      val a = e.overAlias.getOrElse(throw new IllegalArgumentException(
+        "over(...) needs a window alias reference, e.g. .over($(\"w\"))"))
+      require(a == w.alias,
+        s"over window `$a` is not declared — the select's window is " +
+          s"`${w.alias}`")
+    }
     val base =
       if (w.partKeys.isEmpty) Window.orderBy(w.orderE.col)
       else Window.partitionBy(w.partKeys.map(_.col): _*)

@@ -523,6 +523,20 @@ class CepPatternSpec extends SparkSpecBase {
       Seq(1L, 1L, 1L, 0L, 0L), Seq(1L, 3L, 1L, 1L, 1L)))
   }
 
+  test("notFollowedBy after a group takes its own condition") {
+    // ADVICE r10: Pattern.begin(group).notFollowedBy(x).where(cond) is
+    // reference-legal — the condition belongs to the NOT step, not the
+    // group, so it must not be rejected
+    val p = CepPattern.begin(abGroup)
+      .notFollowedBy("x").where(v => v >= 4.0 && v < 8.0)
+      .followedBy("c").where(_ >= 8.0).build()
+    // kill row in the gap after the group
+    assert(run(df(1L -> 9.0, 2L -> 1.0, 3L -> 5.0, 4L -> 9.0), p).isEmpty)
+    // clean gap → match spans group + c
+    assert(run(df(1L -> 9.0, 2L -> 1.0, 3L -> 3.0, 4L -> 9.0), p) ==
+      Set(Seq(1L, 4L, 1L, 1L, 1L)))
+  }
+
   test("group patterns: rejections") {
     // nested groups
     intercept[IllegalArgumentException] {

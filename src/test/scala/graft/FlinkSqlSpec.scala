@@ -201,6 +201,26 @@ class FlinkSqlSpec extends SparkSpecBase {
       Set((10L, Some("a")), (11L, Some("b")), (12L, None)))
   }
 
+  test("lookup join wins when the dim coincidentally has a proctime " +
+      "column name") {
+    import spark.implicits._
+    // ADVICE r10: a dim carrying a column named like the probe's
+    // proctime attribute must NOT flip the plan to the event-time
+    // versioned join — AS OF <proctime-named col> is always lookup
+    val dim = Seq((1L, "a", 100L), (2L, "b", 200L))
+      .toDF("k", "name", "proc_time")
+    val probe = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "fk")
+      .withColumn("proc_time", current_timestamp())
+    val out = FlinkSql.sql(spark,
+      """SELECT id, asof_name AS name
+        |FROM probe AS p
+        |JOIN dim FOR SYSTEM_TIME AS OF p.proc_time AS d
+        |  ON p.fk = d.k""".stripMargin,
+      Map("probe" -> probe, "dim" -> dim))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((10L, "a"), (11L, "b")))
+  }
+
   test("MEASURES and DEFINE may read the ORDER BY column") {
     // the same pattern phrased over ts_us (the ORDER BY column — routed
     // through the synthetic time value column) and over tsd (an

@@ -165,6 +165,30 @@ class TableApiSpec extends SparkSpecBase {
     assertSame(tr, rd)
   }
 
+  test("over(...) validates the window alias; grouped select rejects " +
+      "aggregates aliased to key names") {
+    import graft.table.{Over, UNBOUNDED_RANGE}
+    // ADVICE r10: a wrong/undeclared over-window alias must throw, not
+    // silently use the select's single window
+    val e1 = intercept[IllegalArgumentException] {
+      env.from("events")
+        .window(Over.partitionBy($("user_id")).orderBy($("ts_us"))
+          .preceding(UNBOUNDED_RANGE).as("w"))
+        .select($("user_id"), $("value").sum.over($("typo")).as("s"))
+        .toDataFrame
+    }
+    assert(e1.getMessage.contains("typo"))
+    // ADVICE r10: sum(...).as(keyName) with groupBy(key) must throw,
+    // not be silently treated as a key passthrough
+    val e2 = intercept[IllegalArgumentException] {
+      env.from("orders").groupBy($("o_orderpriority"))
+        .select($("o_totalprice").sum.as("o_orderpriority"),
+          $("o_totalprice").avg.as("a"))
+        .toDataFrame
+    }
+    assert(e2.getMessage.contains("o_orderpriority"))
+  }
+
   test("sqlQuery runs the Flink dialect over registered views") {
     val t = env.sqlQuery(
       """SELECT window_start, COUNT(*) AS n
