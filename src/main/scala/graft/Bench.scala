@@ -41,11 +41,22 @@ object Bench {
       try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
     }
 
-    val results = ordered.map { case (name, fn) =>
-      val times =
-        try (1 to reps).map(_ => runOnce(spark, sfDir, fn)).sorted
-        catch { case _: Throwable => Seq(-1.0) }
-      name -> times(times.size / 2) // median
+    // Reps interleave round-robin (rep 1 of every query, then rep 2, …):
+    // a transient machine-load spike then dents one rep of many queries —
+    // which the median rejects — instead of all reps of one alphabetical
+    // neighborhood, which manufactured >2x false alarms in r9/r10 sweeps.
+    val timed = Array.fill(ordered.size)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    (1 to reps).foreach { _ =>
+      ordered.zipWithIndex.foreach { case ((_, fn), i) =>
+        val t = try runOnce(spark, sfDir, fn)
+          catch { case _: Throwable => -1.0 }
+        timed(i) += t
+      }
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val ok = timed(i).filter(_ >= 0).sorted
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2)) // median
     }
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
