@@ -77,8 +77,18 @@ object CepPattern {
     * reference's conditions see the WHOLE event (SimpleCondition.of),
     * so every condition here receives the full value vector. The
     * single-column builder methods (`where(Double => Boolean)`) wrap
-    * onto index 0. */
-  type Vals = Vector[Double]
+    * onto index 0. A primitive array (not Vector) so the NFA inner
+    * loop never boxes per row; built fresh per row and never retained
+    * past the row's `advance`, so the shared-mutable hazard is moot. */
+  type Vals = Array[Double]
+
+  /** Read the declared value columns of one event, unboxed. */
+  private def readVals(r: Row, vIdxs: Array[Int]): Vals = {
+    val a = new Array[Double](vIdxs.length)
+    var i = 0
+    while (i < vIdxs.length) { a(i) = r.getDouble(vIdxs(i)); i += 1 }
+    a
+  }
 
   /** One positive step. `notNextCond`/`notDuringCond` are the negative
     * patterns declared between the previous step and this one. An
@@ -945,7 +955,7 @@ object CepPattern {
       "several branches require the NoSkip strategy")
     val names = mergedNames(pats)
     val tIdx = df.schema.fieldIndex(timeCol)
-    val vIdxs = valCols.map(df.schema.fieldIndex).toVector
+    val vIdxs = valCols.map(df.schema.fieldIndex).toArray
     val engs =
       pats.map(new Engine(_, nVals = valCols.length)).toIndexedSeq
     val patV = pats.toIndexedSeq
@@ -955,7 +965,7 @@ object CepPattern {
       (key, rows) =>
         val sts = Array.fill(engs.length)(emptyState)
         val matched = rows.flatMap { r =>
-          val t = r.getLong(tIdx); val v = vIdxs.map(r.getDouble)
+          val t = r.getLong(tIdx); val v = readVals(r, vIdxs)
           engs.indices.iterator.flatMap { i =>
             val (s2, ms, _) = engs(i).advance(sts(i), t, v)
             sts(i) = s2
@@ -1003,7 +1013,7 @@ object CepPattern {
         var st = emptyState
         val emitted = rows.flatMap { r =>
           val (s2, ms, ts) =
-            eng.advance(st, r.getLong(tIdx), Vector(r.getDouble(vIdx)))
+            eng.advance(st, r.getLong(tIdx), Array(r.getDouble(vIdx)))
           st = s2
           ms.map { case (a, b, c, m) => row((b, c, m, a), flag = false) } ++
             ts.map { case (a, b, c, m) => row((b, c, m, a), flag = true) }
@@ -1076,7 +1086,7 @@ object CepPattern {
       measures: Seq[Measure],
       emitTimeouts: Boolean): DataFrame = {
     val tIdx = df.schema.fieldIndex(timeCol)
-    val vIdxs = valCols.map(df.schema.fieldIndex).toVector
+    val vIdxs = valCols.map(df.schema.fieldIndex).toArray
     val names = mergedNames(pats)
     val patV = pats.toIndexedSeq
     val engs = patV.map(
@@ -1104,7 +1114,7 @@ object CepPattern {
           out += (if (emitTimeouts) Row.fromSeq(r.toSeq :+ flag) else r)
         }
         rows.toSeq.sortBy(_.getLong(tIdx)).foreach { r =>
-          val t = r.getLong(tIdx); val v = vIdxs.map(r.getDouble)
+          val t = r.getLong(tIdx); val v = readVals(r, vIdxs)
           engs.indices.foreach { i =>
             val (s2, ms, ts) = engs(i).advance(sts(i), t, v)
             sts(i) = s2
