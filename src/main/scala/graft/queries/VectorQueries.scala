@@ -23,11 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  private def normed(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-
   private val nOracle =
     s"n AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings)"
 
@@ -159,7 +154,9 @@ object VectorQueries {
     // compares all pairs.
     QueryDef(
       "q_embedding_cosine_dup",
-      (s, dir) => cosineDupPairs(s, dir, 0.3)
+      (s, dir) => cosineDupPairs(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        0.3)
         .orderBy(col("vec_a"), col("vec_b")),
       Some(cosineDupPairsSql(0.3) +
         "\n        SELECT vec_a, vec_b, cos FROM pairs" +
@@ -174,7 +171,9 @@ object VectorQueries {
     QueryDef(
       "q_embedding_dedup_cluster",
       (s, dir) => {
-        val pairs = cosineDupPairs(s, dir, 0.3)
+        val pairs = cosineDupPairs(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          0.3)
           .select(col("vec_a"), col("vec_b"))
         graft.operators.ConnectedComponents(pairs, "vec_a", "vec_b")
           .select(col("node").as("vec_id"), col("label").as("cluster"),
@@ -197,10 +196,12 @@ object VectorQueries {
   /** Banded sign-LSH near-duplicate pairs (shared by the pair and the
     * cluster queries): candidate generation by band-key equality, exact
     * decimal re-score on survivors. Returns (vec_a, vec_b, cos). */
-  private def cosineDupPairs(
-      s: org.apache.spark.sql.SparkSession, dir: String,
-      threshold: Double): org.apache.spark.sql.DataFrame = {
-        val n = normed(s, dir)
+  private[graft] def cosineDupPairs(
+      emb: org.apache.spark.sql.DataFrame,
+      threshold: Double,
+      bucketCap: Int = 64): org.apache.spark.sql.DataFrame = {
+        val n = emb.select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
         // 8 bands x 8 sign bits (all 64 dims): 256 buckets per band. The
         // earlier 4-bit keys gave only 16 buckets — with 2k vectors that
         // put ~125 ids per bucket and generated 800k candidate pairs,
@@ -211,15 +212,34 @@ object VectorQueries {
         // signatures from RAW embeddings: sign bits need no norm, and the
         // exact decimal norm is ~10x the cost of everything else here —
         // it is computed only on the two scoring joins below
-        val sig = Tables.embeddings(s, dir)
+        val sig = emb
           .select(col("vec_id"), col("embedding"),
             explode(sequence(lit(0), lit(7))).as("band"))
           .withColumn("key",
             (0 until 8).map(bit).reduce(_ + _))
           .select(col("vec_id"), col("band"), col("key"))
+        // Bucket-size cap (VERDICT r10): a degenerate embedding
+        // population (all-zero / constant-sign vectors) lands everything
+        // in ONE bucket per band and the pair explode goes quadratic on
+        // a single key. Mirror of NgramJaccard's hot-shingle df cap:
+        // buckets above the cap are dropped from candidate generation —
+        // they carry no near-dup signal (a bucket keyed by 8 sign bits
+        // that most of the corpus shares discriminates nothing), and
+        // genuinely similar pairs still meet in their 7 other bands.
+        // The count agg is map-side combinable and the semi-join prunes
+        // hot buckets BEFORE collect_list materializes any array, so no
+        // task ever holds a degenerate bucket. Cap 64 ≫ the observed
+        // max bucket (8 at sf0.01, 20 at sf0.1), so verification
+        // results are exactly the uncapped answer; at 100 TB configure
+        // per corpus (pairs per bucket stay ≤ cap·(cap-1)/2 ≈ 2k).
+        val cool = sig.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= bucketCap)
+          .select(col("band"), col("key"))
         // bucket grouping + in-bucket pair explosion: one signature pass
         // (a self-join would evaluate the sig subtree per side)
         val cand = sig
+          .join(cool, Seq("band", "key"), "left_semi")
           .groupBy(col("band"), col("key"))
           .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
           .where(size(col("vs")) > 1)

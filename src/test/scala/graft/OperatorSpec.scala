@@ -192,6 +192,34 @@ class OperatorSpec extends SparkSpecBase {
     assert(out == Set((2L, 2L, 1L)))
   }
 
+  test("LSH bucket cap bounds degenerate embedding candidates") {
+    // 40 identical constant-sign vectors land in ONE bucket in every
+    // band — uncapped, candidate generation goes quadratic on that key
+    // (40*39/2 = 780 pairs). Capped at 10 the hot buckets are dropped
+    // before any array materializes; only the genuinely distinctive
+    // near-dup pair (its own 2-member buckets) survives.
+    val dim = 64
+    val constants = (1L to 40L).map(i => (i, Array.fill(dim)(1.0f)))
+    val alt = Array.tabulate(dim)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    val dups = Seq((100L, alt), (101L, alt.clone()))
+    val emb = (constants ++ dups).toDF("vec_id", "embedding")
+
+    val capped = graft.queries.VectorQueries
+      .cosineDupPairs(emb, 0.3, bucketCap = 10)
+    assert(capped.select($"vec_a", $"vec_b").as[(Long, Long)]
+      .collect().toSet == Set((100L, 101L)))
+    // plan lock: bucketed candidate generation, never all-pairs
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("LeftSemi"))
+
+    // cap above every bucket: exactly the uncapped answer (the
+    // verification-scale contract — 780 constant pairs + the dup pair)
+    val wide = graft.queries.VectorQueries
+      .cosineDupPairs(emb, 0.3, bucketCap = 1000)
+    assert(wide.count() == 40L * 39 / 2 + 1)
+  }
+
   test("NgramJaccard df cap bounds hot-shingle candidates") {
     // 20 docs all sharing one boilerplate shingle ("common legal footer"),
     // plus two genuinely near-duplicate docs. Uncapped, the boilerplate
