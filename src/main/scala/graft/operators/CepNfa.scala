@@ -416,27 +416,38 @@ object CepNfa {
     private def inBudget(start: Long, end: Long): Boolean =
       withinUs.forall(end - start <= _)
 
-    /** Greedy order at one anchor+branch: lexicographically larger counts
-      * rank higher. Returns <0 if a ranks before b. */
-    private def cmpCounts(a: Vector[Long], b: Vector[Long]): Int = {
+    /** Per-anchor order within one branch: lexicographic over step
+      * counts with a PER-STEP direction — larger first at greedy steps
+      * (the SQL default), smaller first at reluctant steps (`B*?` —
+      * the quantifier tries to match as few rows as possible, reference
+      * match_recognize.md:375). Returns <0 if a ranks before b. */
+    private def cmpCounts(
+        br: Branch, a: Vector[Long], b: Vector[Long]): Int = {
       var i = 0
       val n = math.min(a.length, b.length)
       while (i < n && a(i) == b(i)) i += 1
-      if (i == n) 0 else if (a(i) > b(i)) -1 else 1
+      if (i == n) 0
+      else if (br.steps(i).reluctant) { if (a(i) < b(i)) -1 else 1 }
+      else if (a(i) > b(i)) -1 else 1
     }
 
     private val candOrder: Ordering[Cand] = (a: Cand, b: Cand) => {
       if (a.startT != b.startT) java.lang.Long.compare(a.startT, b.startT)
       else if (a.branch != b.branch) Integer.compare(a.branch, b.branch)
-      else cmpCounts(a.counts, b.counts)
+      else cmpCounts(branches(a.branch), a.counts, b.counts)
     }
 
-    /** Upper bound on the counts this run could still reach: frozen below
-      * the current step, unbounded where a greedy quantifier (step- or
-      * group-level loop-back at ANY enclosing depth) can extend. The
-      * outermost still-loopable enclosing group widens the unbounded span
-      * (a conservative bound: an outer loop-back resets everything inside
-      * it). */
+    /** BEST-priority bound on the counts this run could still reach:
+      * frozen below the current step; where a greedy quantifier (step-
+      * or group-level loop-back at ANY enclosing depth) can extend, the
+      * bound is unbounded for greedy-direction steps. A RELUCTANT step
+      * prefers fewer rows, and counts never decrease — so its best
+      * reachable value is its CURRENT count (optimistically no further
+      * matches), at every position. Optimism only delays emission
+      * (candidates stay held while a run could still beat them), never
+      * reorders it. The outermost still-loopable enclosing group widens
+      * the unbounded span (a conservative bound: an outer loop-back
+      * resets everything inside it). */
     private def potential(r: Run): Vector[Long] = {
       val b = branches(r.branch)
       val steps = b.steps
@@ -451,7 +462,9 @@ object CepNfa {
         g = gs.parent
       }
       Vector.tabulate(steps.length) { i =>
-        if (loopStart >= 0 && i >= loopStart && i <= loopEnd) Long.MaxValue
+        if (steps(i).reluctant) r.counts(i)
+        else if (loopStart >= 0 && i >= loopStart && i <= loopEnd)
+          Long.MaxValue
         else if (i < r.stepIdx) r.counts(i)
         else if (i == r.stepIdx)
           if (steps(i).greedy) Long.MaxValue else r.counts(i)
@@ -464,7 +477,7 @@ object CepNfa {
     private def couldBeat(r: Run, c: Cand): Boolean =
       if (r.startT != c.startT) r.startT < c.startT
       else if (r.branch != c.branch) r.branch < c.branch
-      else cmpCounts(potential(r), c.counts) < 0
+      else cmpCounts(branches(r.branch), potential(r), c.counts) < 0
 
     /** Completion available when a run dies: position admits completion
       * and the budget holds for a match ending at `endT`. */

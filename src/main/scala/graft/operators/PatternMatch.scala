@@ -16,12 +16,20 @@ import org.apache.spark.sql.types._
   * one row), `X*` when greedy (zero or more). An optional step may be
   * skipped entirely when the pattern advances past it, and trailing
   * optional steps do not block completion. The first step may not be
-  * optional (it anchors the match). */
+  * optional (it anchors the match).
+  *
+  * `reluctant = true` INVERTS the step's match-resolution preference
+  * (the SQL `B*?`/`B+?`/`B{n,m}?` reluctant quantifiers — reference
+  * docs/content/docs/sql/reference/queries/match_recognize.md:375-446):
+  * among a branch's interpretations at one anchor, FEWER rows at this
+  * step rank higher instead of more. Reluctance only reorders candidate
+  * priority in [[CepNfa]] — which interpretations exist is unchanged. */
 final case class PatternStep(
     name: String,
     pred: (Double, Double) => Boolean,
     greedy: Boolean,
-    minCount: Int = 1) extends Serializable
+    minCount: Int = 1,
+    reluctant: Boolean = false) extends Serializable
 
 object PatternStep {
 

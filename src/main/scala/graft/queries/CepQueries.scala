@@ -436,6 +436,64 @@ object CepQueries {
         ORDER BY d.user_id, start_us
       """.stripMargin.trim)),
 
+    // Reluctant quantifier `b*?` (round 11 — reference
+    // match_recognize.md:375-446): a spike (value > 150) followed by as
+    // FEW sub-150 rows as possible before the first value > 100. The
+    // reluctant preference makes the match end at the FIRST row after
+    // the anchor with value > 100 (every gap row is <= 100, hence a
+    // valid B) — relationally the "next >100 row" join, which is how
+    // the oracle derives it. A greedy `b*` would instead swallow the
+    // whole sub-150 run; the two disagree wherever several >100 rows
+    // chain, so the oracle genuinely discriminates.
+    QueryDef(
+      "q_match_recognize_reluctant",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, n_a, n_b, n_c, c_val
+            |FROM ev MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts_us
+            |  MEASURES LAST(c.value) AS c_val
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (a b*? c)
+            |  DEFINE a AS a.value > 150, b AS b.value < 150,
+            |         c AS c.value > 100
+            |)
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("ev" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        s2 AS (SELECT *, MIN(CASE WHEN value > 100 THEN idx END)
+                 OVER (PARTITION BY user_id ORDER BY tu
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS nxt
+               FROM s)
+        SELECT a.user_id, a.ptu AS start_us, e2.tu AS end_us,
+               CAST(1 AS BIGINT) AS n_a,
+               CAST(e2.idx - a.idx - 1 AS BIGINT) AS n_b,
+               CAST(1 AS BIGINT) AS n_c,
+               e2.value AS c_val
+        FROM s2 a JOIN s2 e2
+          ON e2.user_id = a.user_id AND e2.idx = a.nxt
+        WHERE a.value > 150 AND a.ptu IS NOT NULL
+        ORDER BY a.user_id, start_us
+      """.stripMargin.trim)),
+
     // AFTER MATCH SKIP TO NEXT ROW: pattern `down+ up` (single rise) with
     // overlapping matches — every anchor inside the falling run yields its
     // own suffix match. The oracle enumerates, per completed run pair, the

@@ -1749,7 +1749,8 @@ object FlinkSql {
     * engine supports.
     */
   private sealed trait PElem
-  private final case class PAtom(sym: String, greedy: Boolean, min: Int)
+  private final case class PAtom(sym: String, greedy: Boolean, min: Int,
+      reluctant: Boolean = false)
       extends PElem
   private final case class PGroup(elems: Seq[PElem], minIters: Int,
       greedy: Boolean) extends PElem
@@ -1836,6 +1837,18 @@ object FlinkSql {
     p.eat("PATTERN"); p.eat("(")
     val branches = parseBranches(p).flatMap(expandPermute)
     p.eat(")")
+    // the reference forbids a reluctant quantifier on the LAST pattern
+    // variable (match_recognize.md:1119) — with nothing after it, "as
+    // few rows as possible" would always be the minimum and the spelling
+    // is a trap; reject like the reference instead of silently matching
+    branches.foreach(_.lastOption.foreach {
+      case PAtom(sym, _, _, true) => throw new IllegalArgumentException(
+        s"a reluctant quantifier on the last pattern variable ($sym) is " +
+          "not supported (the reference excludes it — " +
+          "match_recognize.md:1119); bound the pattern with a variable " +
+          "whose condition negates it instead")
+      case _ => ()
+    })
 
     val withinUs =
       if (p.opt("WITHIN")) Some(interval(p) / 1000L) // engine time is µs
@@ -1925,7 +1938,7 @@ object FlinkSql {
       }.toMap
     def stepOf(a: PAtom): PatternStep =
       PatternStep(a.sym, preds.getOrElse(a.sym, (_: Double, _: Double) => true),
-        a.greedy, a.min)
+        a.greedy, a.min, a.reluctant)
     def toElems(es: Seq[PElem]): Seq[CepNfa.PatternElem] = es.map {
       case a: PAtom => CepNfa.Atom(stepOf(a),
         defCol.get(a.sym).map(colIdx).getOrElse(0),
@@ -2002,12 +2015,15 @@ object FlinkSql {
       while (p.peek != ")") inner ++= parseElems(p)
       p.eat(")")
       quantifier(p) match {
-        case ("+", n, _) => Seq(PGroup(inner.toSeq, n, greedy = true))
-        case ("*", _, _) => Seq(PGroup(inner.toSeq, 0, greedy = true))
-        case ("", 1, _) => Seq(PGroup(inner.toSeq, 1, greedy = false))
-        case ("{n,}", n, _) => Seq(PGroup(inner.toSeq, n, greedy = true))
-        case ("{n}", n, _) => Seq.fill(n)(inner.toSeq).flatten
-        case (q, _, _) => throw new IllegalArgumentException(
+        case (q, _, _, true) => throw new IllegalArgumentException(
+          s"reluctant group quantifier ($q?) is not supported — apply " +
+            "reluctance to pattern variables, not groups")
+        case ("+", n, _, _) => Seq(PGroup(inner.toSeq, n, greedy = true))
+        case ("*", _, _, _) => Seq(PGroup(inner.toSeq, 0, greedy = true))
+        case ("", 1, _, _) => Seq(PGroup(inner.toSeq, 1, greedy = false))
+        case ("{n,}", n, _, _) => Seq(PGroup(inner.toSeq, n, greedy = true))
+        case ("{n}", n, _, _) => Seq.fill(n)(inner.toSeq).flatten
+        case (q, _, _, _) => throw new IllegalArgumentException(
           s"unsupported group quantifier $q")
       }
     } else if (p.peek == "PERMUTE") {
@@ -2020,37 +2036,49 @@ object FlinkSql {
     } else {
       val sym = p.ident().toLowerCase
       quantifier(p) match {
-        case ("+", n, _) => Seq(PAtom(sym, greedy = true, min = n))
-        case ("*", _, _) => Seq(PAtom(sym, greedy = true, min = 0))
-        case ("?", _, _) => Seq(PAtom(sym, greedy = false, min = 0))
-        case ("", 1, _) => Seq(PAtom(sym, greedy = false, min = 1))
-        case ("{n,}", n, _) => Seq(PAtom(sym, greedy = true, min = n))
-        case ("{n}", n, _) =>
+        case ("+", n, _, rel) =>
+          Seq(PAtom(sym, greedy = true, min = n, reluctant = rel))
+        case ("*", _, _, rel) =>
+          Seq(PAtom(sym, greedy = true, min = 0, reluctant = rel))
+        case ("?", _, _, _) => Seq(PAtom(sym, greedy = false, min = 0))
+        case ("", 1, _, _) => Seq(PAtom(sym, greedy = false, min = 1))
+        case ("{n,}", n, _, rel) =>
+          Seq(PAtom(sym, greedy = true, min = n, reluctant = rel))
+        // {n}? ≡ {n} — an exact count has a single interpretation, so
+        // reluctance is a no-op and the flag is accepted and dropped
+        case ("{n}", n, _, _) =>
           Seq.fill(n)(PAtom(sym, greedy = false, min = 1))
-        case ("{n,m}", n, m) =>
+        case ("{n,m}", n, m, rel) =>
           require(n >= 1, s"$sym{$n,$m} needs n >= 1 (the first " +
             "occurrence anchors; spell a{0,m} as a? repetitions)")
+          // reluctant bounded range: the (m-n) optional expansions carry
+          // the inverted preference — fewest extra occurrences rank first
           Seq.fill(n)(PAtom(sym, greedy = false, min = 1)) ++
-            Seq.fill(m - n)(PAtom(sym, greedy = false, min = 0))
-        case (q, _, _) => throw new IllegalArgumentException(
+            Seq.fill(m - n)(PAtom(sym, greedy = false, min = 0,
+              reluctant = rel))
+        case (q, _, _, _) => throw new IllegalArgumentException(
           s"unsupported quantifier $q for $sym")
       }
     }
 
-  /** Returns (kind, min, max): "" exactly-once, "+" with min (from
-    * `{n,}`-less `+` min=1), "*", "?", "{n,}" with its minimum,
+  /** Returns (kind, min, max, reluctant): "" exactly-once, "+" with min
+    * (from `{n,}`-less `+` min=1), "*", "?", "{n,}" with its minimum,
     * "{n}" exact, "{n,m}" bounded (max meaningful only there).
-    */
-  private def quantifier(p: P): (String, Int, Int) = {
-    def noReluctant(q: String): Unit =
+    * `reluctant` is the trailing `?` of `B*?`/`B+?`/`B{n,m}?` — the
+    * quantifier matches as FEW rows as possible (reference
+    * match_recognize.md:375-446). The reference's own exclusions hold:
+    * the reluctant-optional `A??` / `A{0,1}?` is rejected here
+    * (match_recognize.md:446), the reluctant LAST variable at the
+    * branch level (match_recognize.md:1119). */
+  private def quantifier(p: P): (String, Int, Int, Boolean) = {
+    if (p.opt("+")) ("+", 1, Int.MaxValue, p.opt("?"))
+    else if (p.opt("*")) ("*", 0, Int.MaxValue, p.opt("?"))
+    else if (p.opt("?")) {
       require(p.peek != "?",
-        s"reluctant quantifier $q? is not supported — matches resolve " +
-          "greedily per anchor (the SQL default); take the shortest " +
-          "match downstream instead")
-    if (p.opt("+")) { noReluctant("+"); ("+", 1, Int.MaxValue) }
-    else if (p.opt("*")) { noReluctant("*"); ("*", 0, Int.MaxValue) }
-    else if (p.opt("?")) ("?", 0, 1)
-    else if (p.opt("{")) {
+        "the reluctant-optional quantifier ?? is not supported (the " +
+          "reference excludes it — match_recognize.md:446)")
+      ("?", 0, 1, false)
+    } else if (p.opt("{")) {
       val n = p.next().s.toInt
       val (kind, max) =
         if (p.opt(",")) {
@@ -2063,9 +2091,12 @@ object FlinkSql {
         } else if (n == 1) ("", 1) // {1} ≡ exactly once
         else ("{n}", n)
       p.eat("}")
-      noReluctant(s"{$n,…}")
-      (kind, n, max)
-    } else ("", 1, 1)
+      val rel = p.opt("?")
+      require(!(rel && n == 0 && max == 1),
+        "the reluctant-optional quantifier {0,1}? is not supported " +
+          "(the reference excludes it — match_recognize.md:446)")
+      (kind, n, max, rel)
+    } else ("", 1, 1, false)
   }
 
   // ----------------------------------------------- DEFINE condition exprs

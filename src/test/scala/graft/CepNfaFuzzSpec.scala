@@ -24,7 +24,8 @@ class CepNfaFuzzSpec extends SparkSpecBase {
   private case class StepSpec(
       pred: (Double, Double) => Boolean,
       greedy: Boolean,
-      min: Int)
+      min: Int,
+      reluctant: Boolean = false)
 
   /** Predicate pool — names keep failure messages readable. */
   private val preds: Vector[(String, (Double, Double) => Boolean)] = Vector(
@@ -43,7 +44,8 @@ class CepNfaFuzzSpec extends SparkSpecBase {
       pi <- Gen.choose(0, preds.length - 1)
       greedy <- Gen.oneOf(true, false)
       min <- if (greedy) Gen.choose(1, 2) else Gen.choose(0, 1)
-    } yield (preds(pi)._1, StepSpec(preds(pi)._2, greedy, min)))
+      rel <- if (greedy) Gen.oneOf(true, false) else Gen.const(false)
+    } yield (preds(pi)._1, StepSpec(preds(pi)._2, greedy, min, rel)))
     within <- Gen.option(Gen.choose(3L, 8L))
     toNext <- Gen.oneOf(true, false)
   } yield {
@@ -78,7 +80,10 @@ class CepNfaFuzzSpec extends SparkSpecBase {
         c
       }
       val counts: Seq[Int] =
-        if (st.greedy) (math.min(maxHere, vals.length) to st.min by -1) ++
+        if (st.greedy && st.reluctant)
+          // reluctant: FEWEST rows first (ascending priority)
+          st.min to math.min(maxHere, vals.length)
+        else if (st.greedy) (math.min(maxHere, vals.length) to st.min by -1) ++
           (if (st.min == 0) Seq(0) else Nil)
         else if (st.min == 0) Seq(math.min(1, maxHere), 0).distinct
         else if (maxHere >= st.min) Seq(st.min)
@@ -140,7 +145,7 @@ class CepNfaFuzzSpec extends SparkSpecBase {
         .map { case (v, i) => (1L, base + i.toLong, v) } :+
         ((1L, base + vals.length + 1000L, 2.0))
       val engineSteps = steps.zipWithIndex.map { case (st, i) =>
-        PatternStep(s"s$i", st.pred, st.greedy, st.min)
+        PatternStep(s"s$i", st.pred, st.greedy, st.min, st.reluctant)
       }
       val batch = CepNfa.single(rows.toDF("k", "t", "v"),
         "k", "t", "v", engineSteps, withinUs = within)
@@ -179,7 +184,7 @@ class CepNfaFuzzSpec extends SparkSpecBase {
       val df = vals.zipWithIndex
         .map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
       val engineSteps = steps.zipWithIndex.map { case (st, i) =>
-        PatternStep(s"s$i", st.pred, st.greedy, st.min)
+        PatternStep(s"s$i", st.pred, st.greedy, st.min, st.reluctant)
       }
       val skip =
         if (toNext) AfterMatchSkip.ToNextRow else AfterMatchSkip.PastLastRow
@@ -191,7 +196,8 @@ class CepNfaFuzzSpec extends SparkSpecBase {
         }.toSet
       val exp = brute(vals, steps, within, toNext)
       assert(got == exp,
-        s"seed $seed: pattern ${named.map(x => (x._1, x._2.greedy, x._2.min))}" +
+        s"seed $seed: pattern ${named.map(x =>
+            (x._1, x._2.greedy, x._2.min, x._2.reluctant))}" +
           s" within=$within toNext=$toNext vals=$vals\n" +
           s"engine=${got.toSeq.sortBy(_._1)}\nbrute =${exp.toSeq.sortBy(_._1)}")
     }

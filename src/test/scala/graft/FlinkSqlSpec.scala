@@ -156,6 +156,50 @@ class FlinkSqlSpec extends SparkSpecBase {
     assertSame(viaSql, viaDsl)
   }
 
+  test("reluctant B*? matches as few rows as possible (docs example)") {
+    import spark.implicits._
+    // the reference's worked example (match_recognize.md:380-431):
+    // prices 10,11,12,13,14,16; A>10, B<15, C>12. Greedy B* swallows
+    // 12,13,14 → one match (16); reluctant B*? stops at the first
+    // possible C → matches 13 and 16
+    val ticker = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 16.0).zipWithIndex
+      .map { case (pr, i) => ("XYZ", (i + 2).toLong * 1000000L, pr) }
+      .toDF("symbol", "ts_us", "price")
+    def stmt(quant: String) =
+      s"""SELECT symbol, lastPrice
+         |FROM t MATCH_RECOGNIZE (
+         |  PARTITION BY symbol ORDER BY ts_us
+         |  MEASURES LAST(C.price) AS lastPrice
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (A B$quant C)
+         |  DEFINE A AS A.price > 10, B AS B.price < 15,
+         |         C AS C.price > 12)""".stripMargin
+    def run(q: String) = FlinkSql.sql(spark, stmt(q), Map("t" -> ticker))
+      .select("lastPrice").as[Double].collect().sorted.toSeq
+    assert(run("*") == Seq(16.0))
+    assert(run("*?") == Seq(13.0, 16.0))
+    // B+? / B{1,3}?: the second match would need zero B rows (A=14
+    // straight to C=16), which min 1 forbids — only the first survives
+    assert(run("+?") == Seq(13.0))
+    assert(run("{1,3}?") == Seq(13.0))
+    // the reference's exclusions hold: reluctant-optional and
+    // reluctant-last-variable are rejected with actionable messages
+    val e1 = intercept[IllegalArgumentException](run("?" + "?"))
+    assert(e1.getMessage.contains("reluctant-optional"))
+    val e2 = intercept[IllegalArgumentException](run("{0,1}?"))
+    assert(e2.getMessage.contains("not supported"))
+    val e3 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        """SELECT symbol FROM t MATCH_RECOGNIZE (
+          |  PARTITION BY symbol ORDER BY ts_us
+          |  PATTERN (A B*?)
+          |  DEFINE A AS A.price > 10, B AS B.price < 15)""".stripMargin,
+        Map("t" -> ticker))
+    }
+    assert(e3.getMessage.contains("last pattern variable"))
+  }
+
   test("SQL lookup join: AS OF proctime against a plain dim table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
