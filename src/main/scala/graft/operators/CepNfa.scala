@@ -278,9 +278,17 @@ object CepNfa {
           require(minIters >= 0, "group minIters must be >= 0")
           require(greedy || minIters >= 1,
             "a non-greedy group with minIters = 0 can never be entered")
-          require(anchored(es.head),
-            s"the first element of a group may not be optional: it " +
-              s"anchors each iteration (${flatSteps(g).head.name})")
+          // An OPTIONAL head (e.g. the Pattern-API tier's synthetic
+          // relaxed-contiguity gap steps) is fine as long as SOME
+          // element of the group is required: entering any element
+          // consumes the current row, so every iteration still
+          // advances by at least one row and the NFA cannot loop in
+          // place. (The pattern-initial element keeps the stricter
+          // anchored-head rule below — fresh anchors attach at flat
+          // step 0.)
+          require(es.exists(anchored),
+            s"a group needs at least one required element " +
+              s"(${flatSteps(g).head.name})")
           es.foreach(check)
       }
       elems.foreach(check)

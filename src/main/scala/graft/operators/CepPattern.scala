@@ -129,17 +129,17 @@ object CepPattern {
   final class Builder private[CepPattern] (firstName: String) {
     private[CepPattern] val steps = scala.collection.mutable.ArrayBuffer(
       Step(firstName, _ => true, Strict))
-    private var pendingNotNext: Option[Vals => Boolean] = None
-    private var pendingNotDuring: Option[Vals => Boolean] = None
-    private var lastWasNot = false
+    private[CepPattern] var pendingNotNext: Option[Vals => Boolean] = None
+    private[CepPattern] var pendingNotDuring: Option[Vals => Boolean] = None
+    private[CepPattern] var lastWasNot = false
     private var notIsNext = false
-    private var withinUs: Option[Long] = None
-    private var maxGapUs: Option[Long] = None
-    private var skip: SkipStrategy = NoSkip
+    private[CepPattern] var withinUs: Option[Long] = None
+    private[CepPattern] var maxGapUs: Option[Long] = None
+    private[CepPattern] var skip: SkipStrategy = NoSkip
     /** Group spans (GroupPattern tier): inclusive step ranges added by
       * [[addGroup]], with their quantifier and iteration contiguity.
       * Non-nested, in positional order. */
-    private val groups =
+    private[CepPattern] val groups =
       scala.collection.mutable.ArrayBuffer.empty[Grp]
     /** Set right after a group is added — group quantifier calls
       * (times/optional/consecutive) target it; any other declaration
@@ -223,12 +223,15 @@ object CepPattern {
       * pattern as a quantifiable span. `times(n)` / `times(from, to)` /
       * `optional()` right after apply to the whole group; iterations
       * chain with RELAXED contiguity (the reference's default) unless
-      * [[consecutive]] follows the quantifier. Restrictions (documented):
-      * groups do not nest, carry no own within/skip, and may not sit
-      * directly after a NOT pattern; unbounded group quantifiers
-      * (oneOrMore) are the MATCH_RECOGNIZE tier ([[CepNfa.nested]]). */
+      * [[consecutive]] follows the quantifier. Groups NEST (the
+      * reference's GroupPattern nests arbitrarily via
+      * Pattern.begin(Pattern)): a sub-builder that itself contains
+      * groups joins with its group forest intact — such patterns (and
+      * unbounded group quantifiers) run on the nested-NFA face
+      * ([[nested]]/[[nestedStreaming]]); build()/buildAll() serve
+      * single-level bounded patterns. Groups carry no own within/skip
+      * and may not sit directly after a NOT pattern. */
     private[CepPattern] def addGroup(sub: Builder, link: Link): Builder = {
-      require(sub.groups.isEmpty, "nested group patterns are not supported")
       require(!sub.lastWasNot && sub.pendingNotNext.isEmpty &&
         sub.pendingNotDuring.isEmpty,
         "a group may not end with a NOT pattern")
@@ -242,8 +245,16 @@ object CepPattern {
       val ss = sub.steps.toIndexedSeq
       steps += ss.head.copy(link = link)
       steps ++= ss.tail
+      val base = groups.length
       groups += Grp(start, steps.length - 1, 1, 1, Relaxed)
-      lastGroup = Some(groups.length - 1)
+      // the sub-pattern's own groups nest under the new outer group:
+      // spans shift by the insertion offset, parents remap (sub id j
+      // becomes base + 1 + j; sub's top level becomes the outer group)
+      sub.groups.foreach { g =>
+        groups += g.copy(start = g.start + start, end = g.end + start,
+          parent = if (g.parent < 0) base else base + 1 + g.parent)
+      }
+      lastGroup = Some(base)
       this
     }
 
@@ -308,12 +319,12 @@ object CepPattern {
 
     def oneOrMore(): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
-      require(lastGroup.isEmpty,
-        "unbounded group quantifiers are not supported — use " +
-          "times(n)/times(from, to) on the group, or the " +
-          "MATCH_RECOGNIZE tier (CepNfa.nested) for unbounded iteration")
-      steps(steps.length - 1) =
-        steps.last.copy(minTimes = 1, maxTimes = Int.MaxValue)
+      lastGroup match {
+        case Some(g) => // (G)+ — the nested-NFA face's tier
+          groups(g) = groups(g).copy(min = 1, max = Int.MaxValue)
+        case None => steps(steps.length - 1) =
+          steps.last.copy(minTimes = 1, maxTimes = Int.MaxValue)
+      }
       this
     }
 
@@ -322,12 +333,13 @@ object CepPattern {
       * relaxed via [[allowGaps]]/[[allowCombinations]]. */
     def timesOrMore(n: Int): Builder = {
       require(!lastWasNot, "a NOT pattern cannot be quantified")
-      require(lastGroup.isEmpty,
-        "unbounded group quantifiers are not supported — use " +
-          "times(n)/times(from, to) on the group")
       require(n >= 1, "timesOrMore(n) needs n >= 1")
-      steps(steps.length - 1) =
-        steps.last.copy(minTimes = n, maxTimes = Int.MaxValue)
+      lastGroup match {
+        case Some(g) => // (G){n,} — the nested-NFA face's tier
+          groups(g) = groups(g).copy(min = n, max = Int.MaxValue)
+        case None => steps(steps.length - 1) =
+          steps.last.copy(minTimes = n, maxTimes = Int.MaxValue)
+      }
       this
     }
 
@@ -474,6 +486,12 @@ object CepPattern {
           pendingNotDuring = None
           f
         } else None
+      require(groups.forall(_.parent < 0),
+        "nested group patterns run on the nested-NFA face — " +
+          "CepPattern.nested(df, keyCol, timeCol, valCols, builder)")
+      require(groups.forall(_.max != Int.MaxValue),
+        "unbounded group quantifiers run on the nested-NFA face — " +
+          "CepPattern.nested(df, keyCol, timeCol, valCols, builder)")
       val branches =
         if (groups.isEmpty) Seq(steps.toIndexedSeq)
         else expandBranches(steps.toIndexedSeq, groups.toSeq)
@@ -489,9 +507,13 @@ object CepPattern {
   }
 
   /** Group span over builder steps [start..end], quantified min..max
-    * iterations chaining with `iterLink` contiguity. */
-  private final case class Grp(
-      start: Int, end: Int, min: Int, max: Int, iterLink: Link)
+    * iterations chaining with `iterLink` contiguity. `parent` is the
+    * enclosing group's index (-1 at top level) — nested groups are the
+    * nested-NFA face's tier ([[nested]]); the expansion tier
+    * (build/buildAll) serves single-level patterns. */
+  private[CepPattern] final case class Grp(
+      start: Int, end: Int, min: Int, max: Int, iterLink: Link,
+      parent: Int = -1)
 
   /** One flat step sequence per group-iteration-count choice: group g
     * repeated c times contributes its span c times, iterations 2+
@@ -980,6 +1002,210 @@ object CepPattern {
         }
     }
   }
+
+  // ------------------------------------------- nested-NFA face (groups²)
+
+  /** Translate a Builder whose pattern NESTS groups (or quantifies one
+    * unboundedly) onto [[CepNfa]] nested elements — the reference's
+    * GroupPattern tier (GroupPattern.java nests arbitrarily via
+    * Pattern.begin(Pattern)).
+    *
+    * Encoding: relaxed contiguity becomes a synthetic RELUCTANT skip
+    * step — `followedBy X` is `(¬X)* X` under strict contiguity (the
+    * gap cannot consume a row the target would match, so the first
+    * match advances — the reference's skip-till-next semantics), and
+    * `followedByAny X` is `(any)*? X` (the run-splitting NFA branches
+    * on every later match; the reluctant gap makes the earliest one
+    * the per-anchor winner). Relaxed ITERATION contiguity unrolls:
+    * `(G)+` with relaxed chaining is `G ((gap) G)*`. Gap steps carry
+    * unique `__gap<i>` names and their count columns are dropped from
+    * the output.
+    *
+    * Emission follows MATCH_RECOGNIZE resolution (one best
+    * interpretation per anchor under the given [[AfterMatchSkip]]) —
+    * parity with [[CepNfa.nested]], a documented delta from the
+    * expansion tier's NoSkip every-interpretation emission. A second
+    * inherited delta: the NFA replays (prev, cur) pairs, so a
+    * partition's FIRST row cannot anchor a match (no PREV row exists),
+    * where this tier's own engine anchors on the first row.
+    *
+    * Not representable here (rejected with pointers): NOT patterns,
+    * until(), greedy-final emission, allowGaps/allowCombinations on
+    * quantified steps, PREVIOUS_AND_CURRENT within, bounded group
+    * ranges (`times(from, to)` on a group — the expansion tier serves
+    * those for single-level patterns), optional unbounded groups, and
+    * relaxed gaps into optional or iterative-condition targets. */
+  private def translateNested(b: Builder): Seq[CepNfa.PatternElem] = {
+    val ss = b.steps.toIndexedSeq
+    val gs = b.groups.toIndexedSeq
+    require(!b.lastWasNot && b.pendingNotNext.isEmpty &&
+      b.pendingNotDuring.isEmpty,
+      "NOT patterns are not supported on the nested-NFA face")
+    require(b.maxGapUs.isEmpty,
+      "within(PREVIOUS_AND_CURRENT) is not supported on the nested-NFA face")
+    require(b.skip == NoSkip,
+      "the nested-NFA face takes its own AfterMatchSkip parameter " +
+        "(MATCH_RECOGNIZE scheduling); builder-level skip strategies " +
+        "apply to the expansion tier")
+    ss.foreach { s =>
+      require(s.notNextCond.isEmpty && s.notDuringCond.isEmpty,
+        "NOT patterns are not supported on the nested-NFA face")
+      require(s.untilCond.isEmpty,
+        "until() is not supported on the nested-NFA face")
+      require(!s.greedy,
+        "greedy() final emission is not supported on the nested-NFA face")
+      require(s.internal == Strict || s.maxTimes <= 1,
+        s"allowGaps/allowCombinations on quantified step ${s.name} is " +
+          "not supported on the nested-NFA face")
+    }
+
+    var gapId = 0
+    // `loop = true` marks a gap at a group-iteration head: it must NOT
+    // be reluctant — a reluctant count there would dominate the
+    // lexicographic candidate order and prefer FEWER iterations,
+    // inverting the greedy group default. (For `¬X` gaps the length is
+    // forced — the gap cannot consume a row the head would match — so
+    // the direction only matters for this dominance.) Entry gaps ARE
+    // reluctant: for `(any)*` followedByAny gaps that makes the
+    // EARLIEST following match the per-anchor winner.
+    def gap(notPred: Option[Vals => Boolean],
+        loop: Boolean): CepNfa.PatternElem = {
+      gapId += 1
+      val iter: CepNfa.IterCond = notPred match {
+        case Some(f) => (_, cv, _) => !f(cv.toArray)
+        case None => (_, _, _) => true
+      }
+      CepNfa.Atom(
+        PatternStep(s"__gap$gapId", (_, _) => true, greedy = true,
+          minCount = 0, reluctant = !loop),
+        0, Some(iter))
+    }
+    def iterOf(s: Step): CepNfa.IterCond = s.iterCond match {
+      case Some(f) => (_, cv, ctx) => f(cv.toArray, ctx)
+      case None => val w = s.where; (_, cv, _) => w(cv.toArray)
+    }
+    def atomsOf(s: Step): Seq[CepNfa.PatternElem] = {
+      val it = Some(iterOf(s))
+      def one(min: Int, gr: Boolean) = CepNfa.Atom(
+        PatternStep(s.name, (_, _) => true, greedy = gr, minCount = min),
+        0, it)
+      if (s.maxTimes == Int.MaxValue) Seq(one(s.minTimes, gr = true))
+      else Seq.fill(s.minTimes)(one(1, gr = false)) ++
+        Seq.fill(s.maxTimes - s.minTimes)(one(0, gr = false))
+    }
+    // gap negation target: the condition of the element headed by step i
+    def entryWhere(i: Int): Vals => Boolean = {
+      val s = ss(i)
+      require(s.iterCond.isEmpty,
+        s"a relaxed gap into iterative-condition step ${s.name} cannot " +
+          "be negated — use followedByAny or next")
+      require(s.minTimes >= 1,
+        s"a relaxed gap into optional step ${s.name} is ambiguous — " +
+          "make the target required or use next")
+      s.where
+    }
+    def gapOf(link: Link, headIdx: Int,
+        loop: Boolean = false): Seq[CepNfa.PatternElem] =
+      link match {
+        case Strict => Nil
+        case Relaxed => Seq(gap(Some(entryWhere(headIdx)), loop))
+        case RelaxedAny => Seq(gap(None, loop))
+      }
+
+    /** Elements of one level (`parent` group id, -1 = root) between
+      * flat steps [lo..hi]. The level's FIRST element emits no entry
+      * gap — its link is carried by the caller (the group's entry or
+      * iteration gap, or the pattern start). */
+    def level(lo: Int, hi: Int, parent: Int): Seq[CepNfa.PatternElem] = {
+      val out = Seq.newBuilder[CepNfa.PatternElem]
+      var i = lo
+      var first = true
+      while (i <= hi) {
+        gs.indices.find(g => gs(g).start == i && gs(g).parent == parent)
+          match {
+          case Some(g) =>
+            val grp = gs(g)
+            val entry =
+              if (first) Nil else gapOf(ss(grp.start).link, grp.start)
+            val body = level(grp.start, grp.end, g)
+            def iterGap: Seq[CepNfa.PatternElem] =
+              gapOf(grp.iterLink, grp.start, loop = true)
+            (grp.min, grp.max) match {
+              case (1, 1) =>
+                out ++= entry; out ++= body
+              case (n, m) if n == m =>
+                if (grp.iterLink == Strict) {
+                  out ++= entry
+                  out += CepNfa.GroupElem(body, n, greedy = false)
+                } else {
+                  out ++= entry; out ++= body
+                  (2 to n).foreach { _ => out ++= iterGap; out ++= body }
+                }
+              case (n, Int.MaxValue) =>
+                require(n >= 1,
+                  "an optional unbounded group ((G)*) is not supported " +
+                    "on the nested-NFA face — anchor with a required " +
+                    "first iteration ((G)+ / timesOrMore)")
+                if (grp.iterLink == Strict) {
+                  out ++= entry
+                  out += CepNfa.GroupElem(body, n, greedy = true)
+                } else {
+                  out ++= entry; out ++= body
+                  (2 to n).foreach { _ => out ++= iterGap; out ++= body }
+                  out += CepNfa.GroupElem(iterGap ++ body, 0, greedy = true)
+                }
+              case (n, m) =>
+                throw new IllegalArgumentException(
+                  s"bounded group ranges times($n, $m) are served by the " +
+                    "expansion tier (buildAll) for single-level " +
+                    "patterns; on the nested-NFA face use an exact " +
+                    "count or oneOrMore/timesOrMore")
+            }
+            i = grp.end + 1
+          case None =>
+            val s = ss(i)
+            if (!first) out ++= gapOf(s.link, i)
+            out ++= atomsOf(s)
+            i += 1
+        }
+        first = false
+      }
+      out.result()
+    }
+    level(0, ss.length - 1, -1)
+  }
+
+  private def dropGapCols(out: DataFrame): DataFrame =
+    out.drop(out.columns.filter(_.startsWith("n___gap")).toSeq: _*)
+
+  /** Batch face for NESTED group patterns (see [[translateNested]]):
+    * `CepPattern.nested(df, "k", "t", Seq("v"),
+    * CepPattern.begin(inner).oneOrMore().followedBy("c").where(…))`.
+    * Within comes from the builder; skip is MATCH_RECOGNIZE
+    * [[AfterMatchSkip]] scheduling; measures address steps by name
+    * ([[CepNfa.MeasureSpec]]). */
+  def nested(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCols: Seq[String],
+      b: Builder,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
+      measures: Seq[CepNfa.MeasureSpec] = Nil): DataFrame =
+    dropGapCols(CepNfa.nestedMulti(df, keyCol, timeCol, valCols,
+      Seq(translateNested(b)), b.withinUs, skip, measures))
+
+  /** Streaming face for NESTED group patterns (see [[nested]]). */
+  def nestedStreaming(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valCols: Seq[String],
+      b: Builder,
+      skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
+      measures: Seq[CepNfa.MeasureSpec] = Nil): DataFrame =
+    dropGapCols(CepNfa.nestedStreamingMulti(df, keyCol, timeCol, valCols,
+      Seq(translateNested(b)), b.withinUs, skip, measures))
 
   /** Batch face WITH the timeout side output — the reference's
     * TimedOutPartialMatchHandler (flink-libraries/flink-cep/…/functions/

@@ -436,6 +436,77 @@ object CepQueries {
         ORDER BY d.user_id, start_us
       """.stripMargin.trim)),
 
+    // Nested-NFA Pattern-API face (round 11): an unbounded
+    // followedBy-linked group `(a b)+ c` — a spike (>=150) followed by
+    // the first lull (<=2) forms one iteration; iterations chain
+    // relaxedly (skip to the next spike); the match ends at the first
+    // >100 row after the last lull. Relaxed gaps force every
+    // interpretation's row assignment, so per anchor only the
+    // iteration count k varies and the greedy group picks the MAXIMUM
+    // k that still finds a c row. The oracle replays exactly that: a
+    // recursive chain walk over window-precomputed next-lull /
+    // next-spike / next->100 indices, keeping max k per anchor.
+    // SKIP TO NEXT ROW = every spike anchors its own chain.
+    QueryDef(
+      "q_cep_nested_group",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        val grp = CepPattern.begin("a").where(_ >= 150.0)
+          .followedBy("b").where(_ <= 2.0)
+        val pat = CepPattern.begin(grp).oneOrMore()
+          .followedBy("c").where(_ > 100.0)
+        CepPattern.nested(d, "user_id", "ts_us", Seq("value"), pat,
+          skip = AfterMatchSkip.ToNextRow)
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        nx AS (SELECT *,
+                MIN(CASE WHEN value <= 2 THEN idx END) OVER wf AS nxt_l,
+                MIN(CASE WHEN value >= 150 THEN idx END) OVER wf AS nxt_s,
+                MIN(CASE WHEN value > 100 THEN idx END) OVER wf AS nxt_c
+               FROM s WINDOW wf AS (PARTITION BY user_id ORDER BY tu
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        chain AS (
+          SELECT user_id, idx AS a_idx, ptu AS start_us, nxt_l AS l_idx,
+                 CAST(1 AS BIGINT) AS k
+          FROM nx
+          WHERE value >= 150 AND ptu IS NOT NULL AND nxt_l IS NOT NULL
+          UNION ALL
+          SELECT c.user_id, c.a_idx, c.start_us, ls.nxt_l, c.k + 1
+          FROM chain c
+          JOIN nx lrow ON lrow.user_id = c.user_id AND lrow.idx = c.l_idx
+          JOIN nx ls ON ls.user_id = c.user_id AND ls.idx = lrow.nxt_s
+          WHERE lrow.nxt_s IS NOT NULL AND ls.nxt_l IS NOT NULL),
+        scored AS (
+          SELECT ch.user_id, ch.a_idx, ch.start_us, ch.k, lr.nxt_c AS c_idx
+          FROM chain ch
+          JOIN nx lr ON lr.user_id = ch.user_id AND lr.idx = ch.l_idx
+          WHERE lr.nxt_c IS NOT NULL),
+        best AS (
+          SELECT user_id, a_idx, start_us, MAX(k) AS k
+          FROM scored GROUP BY user_id, a_idx, start_us)
+        SELECT b.user_id, b.start_us, cr.tu AS end_us,
+               b.k AS n_a, b.k AS n_b, CAST(1 AS BIGINT) AS n_c
+        FROM best b
+        JOIN scored sc ON sc.user_id = b.user_id AND sc.a_idx = b.a_idx
+                          AND sc.k = b.k
+        JOIN nx cr ON cr.user_id = b.user_id AND cr.idx = sc.c_idx
+        ORDER BY b.user_id, b.start_us
+      """.stripMargin.trim)),
+
     // Reluctant quantifier `b*?` (round 11 — reference
     // match_recognize.md:375-446): a spike (value > 150) followed by as
     // FEW sub-150 rows as possible before the first value > 100. The

@@ -538,14 +538,16 @@ class CepPatternSpec extends SparkSpecBase {
   }
 
   test("group patterns: rejections") {
-    // nested groups
-    intercept[IllegalArgumentException] {
-      CepPattern.begin(CepPattern.begin(abGroup).times(2))
+    // nested groups / unbounded group quantifiers build only on the
+    // nested-NFA face — the expansion tier rejects with a pointer
+    val e1 = intercept[IllegalArgumentException] {
+      CepPattern.begin(CepPattern.begin(abGroup).times(2)).build()
     }
-    // unbounded group quantifier
-    intercept[IllegalArgumentException] {
-      CepPattern.begin(abGroup).oneOrMore()
+    assert(e1.getMessage.contains("nested-NFA face"))
+    val e2 = intercept[IllegalArgumentException] {
+      CepPattern.begin(abGroup).oneOrMore().build()
     }
+    assert(e2.getMessage.contains("nested-NFA face"))
     // conditions on the group itself
     intercept[IllegalArgumentException] {
       CepPattern.begin(abGroup).where(_ > 0)
@@ -555,6 +557,102 @@ class CepPatternSpec extends SparkSpecBase {
       CepPattern.begin(abGroup).times(1, 2)
         .afterMatchSkip(CepPattern.SkipPastLast).buildAll()
     }
+  }
+
+  test("nested face: strict-iteration (a b)+ parity with CepNfa") {
+    import graft.operators.{CepNfa, PatternStep}
+    // (a b)+ strict chaining (all-strict links), then strict c —
+    // identical elements both ways; the nested face must build exactly
+    // the CepNfa plan
+    val sg = CepPattern.begin("a").where(_ >= 8.0)
+      .next("b").where(_ <= 2.0)
+    val b = CepPattern.begin(sg).oneOrMore().consecutive()
+      .next("c").where(_ >= 4.0)
+    val viaFace = CepPattern.nested(
+      df(1L -> 0.0, 2L -> 9.0, 3L -> 1.0, 4L -> 9.0, 5L -> 1.0, 6L -> 5.0),
+      "k", "t", Seq("v"), b)
+    val direct = CepNfa.nested(
+      df(1L -> 0.0, 2L -> 9.0, 3L -> 1.0, 4L -> 9.0, 5L -> 1.0, 6L -> 5.0),
+      "k", "t", "v", Seq(Seq(
+        CepNfa.GroupElem(Seq(
+          CepNfa.Atom(PatternStep("a", (_, c) => c >= 8.0, greedy = false)),
+          CepNfa.Atom(PatternStep("b", (_, c) => c <= 2.0, greedy = false))),
+          1, greedy = true),
+        CepNfa.Atom(PatternStep("c", (_, c) => c >= 4.0, greedy = false)))))
+    assert(viaFace.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    // and the match is the greedy two-iteration one
+    assert(viaFace.collect().map(_.toSeq).toSet ==
+      Set(Seq(1L, 1L, 6L, 2L, 2L, 1L)))
+  }
+
+  test("nested face: relaxed iteration and relaxed links") {
+    // (a b)+ with relaxed chaining (the default): the gap row 5.0
+    // between iterations is skipped; followedBy(c) skips nothing here
+    val b = CepPattern.begin(abGroup).oneOrMore()
+      .followedBy("c").where(_ == 7.0)
+    val out = CepPattern.nested(
+      df(1L -> 0.0, 2L -> 9.0, 3L -> 1.0, 4L -> 5.0, 5L -> 9.0,
+        6L -> 1.0, 7L -> 7.0),
+      "k", "t", Seq("v"), b)
+    // greedy iteration preference: BOTH (a b) iterations matched (the
+    // single-iteration interpretation with a long c-gap loses)
+    assert(out.collect().map(_.toSeq).toSet ==
+      Set(Seq(1L, 1L, 7L, 2L, 2L, 1L)))
+    // gap count columns are dropped from the output
+    assert(out.columns.toSeq ==
+      Seq("k", "start_us", "end_us", "n_a", "n_b", "n_c"))
+  }
+
+  test("nested face: groups of groups ((a b)+ c)+") {
+    import graft.operators.AfterMatchSkip
+    val inner = CepPattern.begin(abGroup).oneOrMore().consecutive()
+      .next("c").where(v => v >= 4.0 && v < 8.0)
+    val b = CepPattern.begin(inner).oneOrMore().consecutive()
+    val e = intercept[IllegalArgumentException](b.build())
+    assert(e.getMessage.contains("nested-NFA face"))
+    // two outer iterations: (a b c) (a b a b c)
+    val out = CepPattern.nested(
+      df(1L -> 0.0, 2L -> 9.0, 3L -> 1.0, 4L -> 5.0, 5L -> 9.0,
+        6L -> 1.0, 7L -> 9.0, 8L -> 1.0, 9L -> 5.0),
+      "k", "t", Seq("v"), b)
+    assert(out.collect().map(_.toSeq).toSet ==
+      Set(Seq(1L, 1L, 9L, 3L, 3L, 2L)))
+  }
+
+  test("nested face: streaming parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a within bound so streaming runs AGE OUT when the trailing far
+    // row arrives (eager WITHIN) and held candidates resolve — the
+    // batch face resolves at flush instead
+    val b = CepPattern.begin(abGroup).oneOrMore()
+      .followedBy("c").where(_ == 7.0).within(10L)
+    val base = 10_000_000L
+    val rows = Seq(0.0, 9.0, 1.0, 5.0, 9.0, 1.0, 7.0).zipWithIndex
+      .map { case (v, i) => (1L, base + i.toLong, v) } :+
+      ((1L, base + 1000L, 0.0)) // ages every run past the within bound
+    val batch = CepPattern.nested(
+      rows.toDF("k", "t", "v"), "k", "t", Seq("v"), b)
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("k", "t", "v")
+      .withColumn("ts", timestamp_micros(col("t")))
+      .withWatermark("ts", "1 second")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-nested-").toString
+    val q = CepPattern.nestedStreaming(sdf, "k", "t", Seq("v"), b)
+      .writeStream.format("memory").queryName("nested_stream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val (h1, h2) = rows.splitAt(4)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("nested_stream").collect().map(_.toSeq).toSet
+      == batch)
+    assert(batch.nonEmpty)
   }
 
   test("group patterns: streaming parity via streamingAll") {
