@@ -778,6 +778,52 @@ object MiscOpQueries {
         ORDER BY user_id, ts_us
       """.stripMargin.trim)),
 
+    // DataStream connect / CoProcessFunction facade (round 11;
+    // DataStream.java:237 connect + ConnectedStreams#keyBy#process):
+    // the high-value (>= 100) and low-value event streams of each user
+    // connect into ONE keyed hook with shared state, counting each
+    // side and summing the high side's cents — the canonical
+    // two-input enrichment shape. Values pre-scale to exact cents in
+    // SQL (round half-up parity with the oracle; summing raw doubles
+    // would be partition-order dependent).
+    QueryDef(
+      "q_datastream_connect",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("v100"))
+          .as[(Long, Long)]
+        val env = graft.stream.StreamExecutionEnvironment.create(s)
+        val high = env.fromDataset(e).filter(_._2 >= 10000L)
+        val low = env.fromDataset(e).filter(_._2 < 10000L)
+        high.connect(low).keyBy(_._1, _._1)
+          .process[Unit, (Long, Long, Long, Long)] { (k, rows, _, _) =>
+            var nh = 0L; var nl = 0L; var sh = 0L
+            rows.foreach {
+              case Left((_, v)) => nh += 1; sh += v
+              case Right(_) => nl += 1
+            }
+            (None, Seq((k, nh, nl, sh)), None)
+          }
+          .toDataset
+          .toDF("user_id", "n_high", "n_low", "sum_high_c")
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v100
+          FROM events)
+        SELECT user_id,
+          CAST(SUM(CASE WHEN v100 >= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_high,
+          CAST(SUM(CASE WHEN v100 < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_low,
+          CAST(COALESCE(SUM(CASE WHEN v100 >= 10000 THEN v100 END), 0)
+            AS BIGINT) AS sum_high_c
+        FROM e GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim)),
+
     // Table API facade (round 10; graft.table — the reference's fluent
     // Table.java/TableEnvironment.java surface over DataFrames): a
     // join + filter + group-agg pipeline phrased ENTIRELY through the

@@ -52,6 +52,17 @@ final class DataStream[T](val ds: Dataset[T]) {
   def keyBy[K: Encoder](f: T => K): KeyedStream[K, T] =
     new KeyedStream(ds, f)
 
+  /** DataStream.java:237 `connect`: pair this stream with another of a
+    * DIFFERENT element type. Unkeyed co-transforms (`map(f1, f2)` /
+    * `flatMap`) are per-element and translate to map-each-side + union;
+    * `keyBy(k1, k2).process(...)` is the CoProcessFunction tier — one
+    * keyed hook with SHARED state and timers seeing both inputs as
+    * `Either` (Left = this stream, Right = other). Each input keeps its
+    * own watermark; Spark takes the minimum across them, the
+    * reference's two-input watermark rule. */
+  def connect[U](other: DataStream[U]): ConnectedStreams[T, U] =
+    new ConnectedStreams(ds, other.ds)
+
   /** WatermarkStrategy.forBoundedOutOfOrderness over an existing
     * TIMESTAMP field (DataStream.assignTimestampsAndWatermarks): the
     * watermark trails the max seen event time by `maxOutOfOrderness`
@@ -64,10 +75,82 @@ final class DataStream[T](val ds: Dataset[T]) {
   def executeAndCollect(): Seq[T] = ds.collect().toSeq
 }
 
+/** ConnectedStreams.java: the two-input surface of [[DataStream.connect]]. */
+final class ConnectedStreams[A, B] private[stream] (
+    private[stream] val a: Dataset[A], private[stream] val b: Dataset[B]) {
+
+  /** CoMapFunction (ConnectedStreams#map): per-element, no shared
+    * state — each side maps independently and the results interleave. */
+  def map[U: Encoder](f1: A => U, f2: B => U): DataStream[U] =
+    new DataStream(a.map(f1).union(b.map(f2)))
+
+  /** CoFlatMapFunction (ConnectedStreams#flatMap). */
+  def flatMap[U: Encoder](
+      f1: A => IterableOnce[U], f2: B => IterableOnce[U]): DataStream[U] =
+    new DataStream(a.flatMap(x => f1(x).iterator.to(Iterable))
+      .union(b.flatMap(x => f2(x).iterator.to(Iterable))))
+
+  /** Key both inputs to the SAME key space (ConnectedStreams#keyBy) —
+    * the precondition for shared per-key state. */
+  def keyBy[K: Encoder](k1: A => K, k2: B => K): ConnectedKeyedStreams[K, A, B] =
+    new ConnectedKeyedStreams(a, b, k1, k2)
+}
+
+/** The CoProcessFunction tier (co-process over keyed connected
+  * streams): one hook, shared keyed state, inputs tagged Left/Right. */
+final class ConnectedKeyedStreams[K, A, B] private[stream] (
+    a: Dataset[A], b: Dataset[B], k1: A => K, k2: B => K)(
+    implicit kEnc: Encoder[K]) {
+
+  /** CoProcessFunction.java: `f(key, taggedElements, priorState,
+    * watermarkMs)` — same contract as [[KeyedStream.process]], with
+    * elements arriving as Left (first input) / Right (second). */
+  def process[S, U: Encoder](
+      f: (K, Iterator[Either[A, B]], Option[S], Long)
+        => (Option[S], Seq[U], Option[Long])): DataStream[U] = {
+    implicit val eEnc: Encoder[Either[A, B]] =
+      org.apache.spark.sql.Encoders.kryo[Either[A, B]]
+    val kf1 = k1; val kf2 = k2 // hoisted: the closure must not capture this
+    val u = a.map(x => Left(x): Either[A, B])
+      .union(b.map(x => Right(x): Either[A, B]))
+    new KeyedStream[K, Either[A, B]](u, _.fold(kf1, kf2)).process(f)
+  }
+}
+
+/** One element of a side-output-bearing stream: `tag` "" is the main
+  * output; OutputTag-named side outputs split off downstream (the
+  * reference's ProcessFunction.Context#output). Documented delta: one
+  * element TYPE per process call — heterogeneous tags encode into a
+  * common type (the reference's OutputTag is per-type). */
+final case class Tagged[U](tag: String, value: U)
+
+/** The result of [[KeyedStream.processWithSideOutputs]]: split into the
+  * main output and named side outputs. Each split is an independent
+  * downstream branch; in streaming, sinking several branches re-runs
+  * the stateful op per sink (standard Spark multi-sink behavior — use
+  * foreachBatch to fan one run out when that matters). */
+final class SideOutputStream[U] private[stream] (ds: Dataset[Tagged[U]])(
+    implicit uEnc: Encoder[U]) {
+  def mainOutput: DataStream[U] =
+    new DataStream(ds.filter(_.tag.isEmpty).map(_.value))
+  def getSideOutput(tag: String): DataStream[U] = {
+    require(tag.nonEmpty, "side output tags are non-empty strings")
+    new DataStream(ds.filter(_.tag == tag).map(_.value))
+  }
+  def all: DataStream[Tagged[U]] = new DataStream(ds)
+}
+
 /** KeyedStream.java: per-key stateful operations with unified
   * batch/stream execution. */
 final class KeyedStream[K, T] private[stream] (
-    ds: Dataset[T], keyF: T => K)(implicit kEnc: Encoder[K]) {
+    private[stream] val ds: Dataset[T],
+    private[stream] val keyF: T => K)(implicit kEnc: Encoder[K]) {
+
+  /** Two keyed streams over the same key space → the CoProcess tier
+    * (what [[IntervalJoined.process]] builds on). */
+  private[stream] def connectKeyed[U](
+      other: KeyedStream[K, U]): ConnectedKeyedStreams[K, T, U] =
+    new ConnectedKeyedStreams(ds, other.ds, keyF, other.keyF)
 
   /** Flink's running `reduce`: EVERY input element emits the reduce of
     * all elements seen so far for its key (KeyedStream.java reduce —
@@ -109,16 +192,24 @@ final class KeyedStream[K, T] private[stream] (
     implicit val sEnc: Encoder[Option[S]] =
       org.apache.spark.sql.Encoders.kryo[Option[S]]
     val isStream = ds.isStreaming // hoisted: the closure must not capture ds
+    // Event-time timers need the WATERMARKED COLUMN in this operator's
+    // input (Spark tracks watermarks per attribute; a typed map strips
+    // the metadata). Assign watermarks LAST — directly before keyBy —
+    // and keep the timestamp field in the element type. Without it the
+    // hook still runs, with no timers and the watermark pinned at 0.
+    val wmPresent = ds.schema.fields
+      .exists(_.metadata.contains("spark.watermarkDelayMs"))
     val timeout =
-      if (isStream) GroupStateTimeout.EventTimeTimeout()
+      if (isStream && wmPresent) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     val out = ds.groupByKey(keyF)
       .flatMapGroupsWithState[Option[S], U](
         OutputMode.Append(), timeout) {
         (key: K, rows: Iterator[T], state: GroupState[Option[S]]) =>
           val wm =
-            if (isStream) state.getCurrentWatermarkMs()
-            else Long.MaxValue
+            if (!isStream) Long.MaxValue
+            else if (wmPresent) state.getCurrentWatermarkMs()
+            else 0L
           val (next, outs, wake) = f(
             key,
             if (state.hasTimedOut) Iterator.empty else rows,
@@ -126,11 +217,250 @@ final class KeyedStream[K, T] private[stream] (
           next match {
             case Some(_) =>
               state.update(next)
-              wake.filter(_ > wm).foreach(state.setTimeoutTimestamp)
+              if (isStream && wmPresent)
+                wake.filter(_ > wm).foreach(state.setTimeoutTimestamp)
             case None => state.remove()
           }
           outs.iterator
       }
     new DataStream(out)
   }
+
+  /** [[process]] with SIDE OUTPUTS (ProcessFunction.Context#output):
+    * emitted elements carry an OutputTag name ("" = main); split the
+    * result with [[SideOutputStream.mainOutput]] / `getSideOutput`. */
+  def processWithSideOutputs[S, U: Encoder](
+      f: (K, Iterator[T], Option[S], Long)
+        => (Option[S], Seq[Tagged[U]], Option[Long]))
+      (implicit tEnc: Encoder[T]): SideOutputStream[U] = {
+    implicit val tgEnc: Encoder[Tagged[U]] =
+      org.apache.spark.sql.Encoders.kryo[Tagged[U]]
+    new SideOutputStream(process[S, Tagged[U]](f).ds)
+  }
+
+  /** KeyedStream.java:395 `intervalJoin`: pair elements of two keyed
+    * streams whose event times sit within a bounded interval —
+    * `left.intervalJoin(right).between(lo, hi)(timeOfL, timeOfR)
+    * .process(join)` emits (l, r) when `timeOfR(r) - timeOfL(l)` is in
+    * `[lo, hi]` ms and the keys match. Times come from extractor
+    * functions (Spark Datasets carry no per-element timestamp
+    * metadata — the reference reads the assigned timestamp).
+    * Implementation: the reference's own IntervalJoinOperator
+    * algorithm — both sides buffer in shared keyed state, each
+    * arriving element joins the other side's buffer, and the watermark
+    * prunes entries that can no longer pair. */
+  def intervalJoin[U](other: KeyedStream[K, U]): IntervalJoin[K, T, U] =
+    new IntervalJoin(this, other)
+
+  /** KeyedStream.java:705 `countWindow(size)`: tumbling COUNT window —
+    * every `size`-th element per key closes a window over the last
+    * `size` elements (state: the partial buffer; no watermark needed,
+    * count windows close on arrival). */
+  def countWindow(size: Int)(implicit tEnc: Encoder[T])
+      : CountWindowedStream[K, T] = {
+    require(size >= 1, "countWindow needs size >= 1")
+    new CountWindowedStream(this, size)
+  }
+
+  /** KeyedStream.java:676 `window(assigner)`: event-time windows on the
+    * typed face. `timeOf` extracts the element's event time (ms).
+    * Windows close when the watermark passes their end (streaming) or
+    * at input end (batch) — the reference's event-time trigger. */
+  def window(assigner: WindowAssigner)(timeOf: T => Long)
+      (implicit tEnc: Encoder[T]): WindowedStream[K, T] =
+    new WindowedStream(this, assigner, timeOf)
+
+  private[stream] def processHook[S, U: Encoder](
+      f: (K, Iterator[T], Option[S], Long) => (Option[S], Seq[U], Option[Long]))
+      (implicit tEnc: Encoder[T]): DataStream[U] = process(f)
+}
+
+/** Builder for [[KeyedStream.intervalJoin]]. `delay` is the watermark
+  * out-of-orderness bound the join assigns on its merged input (the
+  * reference infers it from the upstream assigners; Spark watermark
+  * metadata does not survive typed transforms, so the join re-assigns
+  * from the extracted element times). */
+final class IntervalJoin[K, T, U] private[stream] (
+    left: KeyedStream[K, T], right: KeyedStream[K, U]) {
+  def between(lowerMs: Long, upperMs: Long, delay: String = "0 seconds")(
+      timeOfL: T => Long, timeOfR: U => Long): IntervalJoined[K, T, U] = {
+    require(lowerMs <= upperMs, "between(lo, hi) needs lo <= hi")
+    new IntervalJoined(left, right, lowerMs, upperMs, delay,
+      timeOfL, timeOfR)
+  }
+}
+
+/** Java-serialization helpers for heterogeneous payload columns (the
+  * facade's elements are Serializable JVM objects — tuples and case
+  * classes; the hot operator tiers never pass through here). */
+private[stream] object Ser {
+  def ser(o: Any): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(o); oos.close()
+    bos.toByteArray
+  }
+  def deser[T](b: Array[Byte]): T = {
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try ois.readObject().asInstanceOf[T] finally ois.close()
+  }
+}
+
+final class IntervalJoined[K, T, U] private[stream] (
+    left: KeyedStream[K, T], right: KeyedStream[K, U],
+    lowerMs: Long, upperMs: Long, delay: String,
+    timeOfL: T => Long, timeOfR: U => Long) {
+
+  /** ProcessJoinFunction: map each in-interval pair. Each pair emits
+    * exactly once — when the later of its two elements arrives. The
+    * merged input carries an explicit watermarked time column, so the
+    * buffers prune by watermark exactly as the reference's
+    * IntervalJoinOperator cleans up its map state. */
+  def process[O: Encoder](f: (T, U) => O)(
+      implicit tEnc: Encoder[T], uEnc: Encoder[U],
+      kEnc: Encoder[K]): DataStream[O] = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val (lo, hi) = (lowerMs, upperMs)
+    val (tl, tr) = (timeOfL, timeOfR)
+    val (lk, rk) = (left.keyF, right.keyF)
+    implicit val rowEnc: Encoder[(K, Long, Boolean, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(kEnc,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.Encoders.BINARY)
+    val la = left.ds.map(x => (lk(x), tl(x), true, Ser.ser(x)))
+    val ra = right.ds.map(x => (rk(x), tr(x), false, Ser.ser(x)))
+    var u = la.toDF("k", "tms", "isL", "payload")
+      .union(ra.toDF("k", "tms", "isL", "payload"))
+      .withColumn("ts", timestamp_millis(col("tms")))
+    val isStream = u.isStreaming
+    if (isStream) u = u.withWatermark("ts", delay)
+    implicit val bufEnc
+        : Encoder[Option[(List[(Long, Array[Byte])], List[(Long, Array[Byte])])]] =
+      org.apache.spark.sql.Encoders
+        .kryo[Option[(List[(Long, Array[Byte])], List[(Long, Array[Byte])])]]
+    val out = u.groupByKey(r => r.getAs[K]("k"))
+      .flatMapGroupsWithState[
+        Option[(List[(Long, Array[Byte])], List[(Long, Array[Byte])])], O](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
+        val wm = if (isStream) state.getCurrentWatermarkMs() else Long.MaxValue
+        var (ls, rs) = state.getOption.flatten.getOrElse(
+          (List.empty[(Long, Array[Byte])], List.empty[(Long, Array[Byte])]))
+        val out = scala.collection.mutable.ListBuffer.empty[O]
+        rows.foreach { r =>
+          val t = r.getAs[Long]("tms")
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (r.getAs[Boolean]("isL")) {
+            rs.foreach { case (tu, rb) =>
+              if (tu - t >= lo && tu - t <= hi)
+                out += f(Ser.deser[T](payload), Ser.deser[U](rb)) }
+            ls = (t, payload) :: ls
+          } else {
+            ls.foreach { case (tt, lb) =>
+              if (t - tt >= lo && t - tt <= hi)
+                out += f(Ser.deser[T](lb), Ser.deser[U](payload)) }
+            rs = (t, payload) :: rs
+          }
+        }
+        // a left at tL pairs rights in [tL+lo, tL+hi]: dead once the
+        // watermark passes tL+hi (symmetrically tR-lo for rights)
+        if (wm != Long.MaxValue && wm > 0) {
+          ls = ls.filter { case (t, _) => t + hi >= wm }
+          rs = rs.filter { case (t, _) => t - lo >= wm }
+        }
+        if (wm == Long.MaxValue || (ls.isEmpty && rs.isEmpty))
+          state.remove()
+        else state.update(Some((ls, rs)))
+        out.iterator
+      }
+    new DataStream(out)
+  }
+}
+
+/** Window assigners for the typed face (assigners/TumblingEventTimeWindows
+  * .java, SlidingEventTimeWindows.java): map an event time to the
+  * windows containing it. */
+sealed trait WindowAssigner extends Serializable {
+  /** Start times of every window containing time `t` (ms). */
+  def windowsOf(t: Long): Seq[Long]
+  def sizeMs: Long
+}
+final case class TumblingEventTimeWindows(sizeMs: Long)
+    extends WindowAssigner {
+  require(sizeMs > 0, "window size must be positive")
+  def windowsOf(t: Long): Seq[Long] = Seq(t - math.floorMod(t, sizeMs))
+}
+final case class SlidingEventTimeWindows(sizeMs: Long, slideMs: Long)
+    extends WindowAssigner {
+  require(sizeMs > 0 && slideMs > 0 && sizeMs % slideMs == 0,
+    "sliding window needs size a positive multiple of slide")
+  def windowsOf(t: Long): Seq[Long] = {
+    val last = t - math.floorMod(t, slideMs)
+    (last - sizeMs + slideMs) to last by slideMs
+  }
+}
+
+/** Event-time windowed keyed stream: per-(key, window) buffers in keyed
+  * state, closing when the watermark passes the window end. */
+final class WindowedStream[K, T] private[stream] (
+    keyed: KeyedStream[K, T], assigner: WindowAssigner, timeOf: T => Long)(
+    implicit kEnc: Encoder[K], tEnc: Encoder[T]) {
+
+  /** WindowFunction: `f(key, windowStart, elements)` per closed window
+    * (elements in event-time order). */
+  def apply[U: Encoder](f: (K, Long, Seq[T]) => U): DataStream[U] = {
+    val asg = assigner; val tf = timeOf
+    type Buf = Map[Long, List[(Long, T)]]
+    keyed.processHook[Buf, U] { (key, rows, st, wm) =>
+      var buf = st.getOrElse(Map.empty)
+      rows.foreach { r =>
+        val t = tf(r)
+        asg.windowsOf(t).foreach { w =>
+          buf = buf.updated(w, (t, r) :: buf.getOrElse(w, Nil))
+        }
+      }
+      val (closed, open) = buf.partition {
+        case (w, _) => w + asg.sizeMs <= wm
+      }
+      val out = closed.toSeq.sortBy(_._1).map { case (w, elems) =>
+        f(key, w, elems.reverse.sortBy(_._1).map(_._2))
+      }
+      val wake = open.keys.map(_ + asg.sizeMs).minOption
+      (if (open.isEmpty) None else Some(open), out, wake)
+    }
+  }
+
+  /** WindowedStream#reduce: the reduce of each closed window's
+    * elements, emitted once per window (the reference's window-reduce
+    * contract; incremental in spirit, buffered here). */
+  def reduce(f: (T, T) => T): DataStream[T] =
+    apply[T]((_, _, elems) => elems.reduce(f))(tEnc)
+}
+
+/** Tumbling count windows ([[KeyedStream.countWindow]]). */
+final class CountWindowedStream[K, T] private[stream] (
+    keyed: KeyedStream[K, T], size: Int)(
+    implicit kEnc: Encoder[K], tEnc: Encoder[T]) {
+
+  /** `f(key, elements)` per FULL window of `size` elements, in arrival
+    * order; a trailing partial window never emits (the reference's
+    * count-trigger contract). */
+  def apply[U: Encoder](f: (K, Seq[T]) => U): DataStream[U] = {
+    val n = size
+    keyed.processHook[List[T], U] { (key, rows, st, _) =>
+      var buf = st.getOrElse(Nil) // reversed arrival order
+      val out = scala.collection.mutable.ListBuffer.empty[U]
+      rows.foreach { r =>
+        buf = r :: buf
+        if (buf.length == n) { out += f(key, buf.reverse); buf = Nil }
+      }
+      (if (buf.isEmpty) None else Some(buf), out.toList, None)
+    }
+  }
+
+  def reduce(f: (T, T) => T): DataStream[T] =
+    apply[T]((_, elems) => elems.reduce(f))(tEnc)
 }

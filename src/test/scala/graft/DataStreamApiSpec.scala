@@ -107,4 +107,136 @@ class DataStreamApiSpec extends SparkSpecBase {
       .executeAndCollect()
     assert(out.toSet == Set((1L, 30.0, true), (2L, 5.0, true)))
   }
+
+  test("connect: CoMap per side; keyed CoProcess shares per-key state") {
+    val a = env.fromElements((1L, 10.0), (2L, 20.0))
+    val b = env.fromElements((1L, "x"), (1L, "y"))
+    val m = a.connect(b).map(t => s"L${t._1}", s => s"R${s._2}")
+    assert(m.executeAndCollect().toSet == Set("L1", "L2", "Rx", "Ry"))
+    val joined = a.connect(b).keyBy(_._1, _._1)
+      .process[Unit, (Long, Double, Long)] { (k, rows, _, _) =>
+        var sum = 0.0; var n = 0L
+        rows.foreach {
+          case Left((_, v)) => sum += v
+          case Right(_) => n += 1
+        }
+        (None, Seq((k, sum, n)), None)
+      }
+    // one call per key seeing BOTH inputs tagged Left/Right
+    assert(joined.executeAndCollect().toSet ==
+      Set((1L, 10.0, 2L), (2L, 20.0, 0L)))
+  }
+
+  test("processWithSideOutputs routes tagged elements") {
+    import graft.stream.Tagged
+    val s = env.fromElements((1L, 5.0), (1L, -3.0), (2L, 7.0))
+      .keyBy(_._1)
+      .processWithSideOutputs[Unit, (Long, Double)] { (_, rows, _, _) =>
+        val outs = rows.map { r =>
+          if (r._2 < 0) Tagged("neg", r) else Tagged("", r)
+        }.toSeq
+        (None, outs, None)
+      }
+    assert(s.mainOutput.executeAndCollect().toSet ==
+      Set((1L, 5.0), (2L, 7.0)))
+    assert(s.getSideOutput("neg").executeAndCollect().toSet ==
+      Set((1L, -3.0)))
+  }
+
+  test("intervalJoin pairs in-bound elements once, batch and stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 10_000_000L // ms — keeps event times far above epoch
+    val l = Seq((1L, base + 100L), (1L, base + 200L), (2L, base + 100L))
+    val r = Seq((1L, base + 101L), (1L, base + 150L), (1L, base + 199L),
+      (2L, base + 300L))
+    // 1s out-of-orderness so the second batch's older rows are not
+    // dropped as late (the reference's bounded-out-of-orderness bound)
+    def run(lds: graft.stream.DataStream[(Long, Long)],
+        rds: graft.stream.DataStream[(Long, Long)]) =
+      lds.keyBy(_._1).intervalJoin(rds.keyBy(_._1))
+        .between(-2L, 2L, delay = "1 second")(_._2, _._2)
+        .process((a, b) => (a._1, a._2 - base, b._2 - base))
+    val expected = Set((1L, 100L, 101L), (1L, 200L, 199L))
+    assert(run(env.fromElements(l: _*), env.fromElements(r: _*))
+      .executeAndCollect().toSet == expected)
+
+    // streaming: same pairs across micro-batch splits, each once (the
+    // join assigns its own watermark from the extracted times)
+    val li = MemoryStream[(Long, Long)]
+    val ri = MemoryStream[(Long, Long)]
+    val q = run(env.fromDataset(li.toDS()), env.fromDataset(ri.toDS()))
+      .toDataset
+      .writeStream.format("memory").queryName("ds_ivj")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivj-").toString)
+      .start()
+    try {
+      li.addData(l.take(2)); ri.addData(r.take(2)); q.processAllAvailable()
+      li.addData(l.drop(2)); ri.addData(r.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("ds_ivj").as[(Long, Long, Long)]
+      .collect().toSet == expected)
+  }
+
+  test("event-time windows and countWindow close per contract") {
+    import graft.stream.{SlidingEventTimeWindows, TumblingEventTimeWindows}
+    val rows = Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (1L, 25L, 4.0),
+      (2L, 5L, 8.0))
+    val w = env.fromElements(rows: _*)
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows(10L))(_._2)
+      .apply((k, ws, elems) => (k, ws, elems.map(_._3).sum))
+    assert(w.executeAndCollect().toSet ==
+      Set((1L, 0L, 1.0), (1L, 10L, 2.0), (1L, 20L, 4.0), (2L, 0L, 8.0)))
+    // sliding: each element lands in size/slide windows
+    val sl = env.fromElements(rows: _*)
+      .keyBy(_._1)
+      .window(SlidingEventTimeWindows(20L, 10L))(_._2)
+      .apply((k, ws, elems) => (k, ws, elems.map(_._3).sum))
+    assert(sl.executeAndCollect().toSet == Set(
+      (1L, -10L, 1.0), (1L, 0L, 3.0), (1L, 10L, 6.0), (1L, 20L, 4.0),
+      (2L, -10L, 8.0), (2L, 0L, 8.0)))
+    // count windows: full windows only, arrival order
+    val c = env.fromElements(rows: _*)
+      .keyBy(_._1).countWindow(2)
+      .apply((k, es) => (k, es.map(_._3).sum))
+    assert(c.executeAndCollect().toSet == Set((1L, 3.0)))
+    val cr = env.fromElements(rows: _*)
+      .keyBy(_._1).countWindow(2)
+      .reduce((x, y) => (x._1, x._2, x._3 + y._3))
+    assert(cr.executeAndCollect().toSet == Set((1L, 5L, 3.0)))
+  }
+
+  test("streaming tumbling window closes when the watermark passes") {
+    import graft.stream.TumblingEventTimeWindows
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseMs = 10_000_000L
+    val input = MemoryStream[(Long, Long, Double)] // (k, tMs, v)
+    // the watermarked ts column must STAY in the element type (typed
+    // maps strip watermark metadata) — assign last, keyBy directly
+    val s = env.fromDataset(
+      input.toDF().toDF("k", "tms", "v")
+        .withColumn("ts", timestamp_micros(col("tms") * 1000L))
+        .as[(Long, Long, Double, java.sql.Timestamp)])
+      .assignTimestampsAndWatermarks("ts", "0 seconds")
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows(10L))(_._2)
+      .apply((k, ws, elems) => (k, ws - baseMs, elems.map(_._3).sum))
+    val q = s.toDataset.writeStream.format("memory").queryName("ds_win")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dsw-").toString)
+      .start()
+    try {
+      input.addData(Seq((1L, baseMs + 5L, 1.0), (1L, baseMs + 8L, 2.0)))
+      q.processAllAvailable()
+      // watermark still inside window [base, base+10) — nothing closed
+      assert(spark.table("ds_win").isEmpty)
+      input.addData(Seq((1L, baseMs + 25L, 4.0))) // wm jumps past +10
+      q.processAllAvailable()
+      assert(spark.table("ds_win").as[(Long, Long, Double)]
+        .collect().toSet == Set((1L, 0L, 3.0)))
+    } finally q.stop()
+  }
 }
