@@ -859,6 +859,35 @@ object MiscOpQueries {
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.stripMargin.trim)),
+
+    // Table API lateral join + row-level aggregate (round 11; Table
+    // #joinLateral — the UDTF correlate — and GroupedTable#aggregate
+    // with a ROW-producing call): split each order priority into its
+    // words, count orders per word. The correlate is a pure
+    // projection+explode (no join, no shuffle beyond the group-agg).
+    QueryDef(
+      "q_table_api_lateral",
+      (s, dir) => {
+        import graft.table.api._
+        val env = graft.table.TableEnvironment.create(s)
+        env.createTemporaryView("orders", Tables.orders(s, dir))
+        env.from("orders")
+          .select($("o_orderkey"), $("o_orderpriority"))
+          .joinLateral(
+            call("split", $("o_orderpriority"), lit("-")).as("part"))
+          .groupBy($("part"))
+          .aggregate(row($("o_orderkey").count.as("n")))
+          .orderBy($("part"))
+          .toDataFrame
+      },
+      Some("""
+        WITH p AS (
+          SELECT o_orderkey,
+                 unnest(str_split(o_orderpriority, '-')) AS part
+          FROM orders)
+        SELECT part, CAST(COUNT(o_orderkey) AS BIGINT) AS n
+        FROM p GROUP BY part ORDER BY part
       """.stripMargin.trim))
   )
 }

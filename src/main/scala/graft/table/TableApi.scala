@@ -138,6 +138,14 @@ object api {
   def call(fn: String, args: Expr*): Expr =
     new Expr(F.call_function(fn, args.map(_.col): _*))
 
+  /** Expressions.row — a ROW (struct) constructor; aliased arguments
+    * name the fields (what Table#map / aggregate consume). */
+  def row(exprs: Expr*): Expr = new Expr(F.struct(exprs.map(_.col): _*))
+
+  /** Expressions.array — an ARRAY constructor (what Table#flatMap /
+    * joinLateral consume). */
+  def array(exprs: Expr*): Expr = new Expr(F.array(exprs.map(_.col): _*))
+
   /** Expressions.rowInterval — a ROWS over-window preceding bound. */
   def rowInterval(n: Long): RowInterval = RowInterval(n)
 }
@@ -215,6 +223,33 @@ final class Table private[table] (
   def fullOuterJoin(right: Table, cond: Expr): Table =
     joined(right, cond, "full")
 
+  // lateral joins (Table#joinLateral / leftOuterJoinLateral — the UDTF
+  // correlate): the argument is an ARRAY-producing expression (a table
+  // function's collected rows); each element becomes one output row
+  // under the expression's alias. INNER drops rows with empty/null
+  // arrays; LEFT OUTER keeps them null-padded (explode vs
+  // explode_outer — exactly the reference's correlate semantics).
+  private def lateral(e: Expr, outer: Boolean): Table = {
+    val alias = e.name.getOrElse(throw new IllegalArgumentException(
+      "joinLateral needs an aliased expression (expr.as(name))"))
+    val ex = if (outer) F.explode_outer(e.col) else F.explode(e.col)
+    mk(df.select((df.columns.map(F.col) :+ ex.as(alias)).toSeq: _*))
+  }
+  def joinLateral(e: Expr): Table = lateral(e, outer = false)
+  def leftOuterJoinLateral(e: Expr): Table = lateral(e, outer = true)
+
+  /** Table#map: one scalar function call producing a ROW per input row
+    * — the argument must evaluate to a STRUCT; its fields become the
+    * output columns (the reference's map output type). */
+  def map(e: Expr): Table =
+    mk(df.select(e.col.as("__m")).select("__m.*"))
+
+  /** Table#flatMap: a table function producing ZERO OR MORE rows per
+    * input row — the argument must evaluate to an ARRAY of STRUCTs;
+    * each element's fields become one output row. */
+  def flatMap(e: Expr): Table =
+    mk(df.select(F.explode(e.col).as("__m")).select("__m.*"))
+
   // set operations (distinct + ALL multiset forms, as Table.java)
   def union(o: Table): Table = mk(df.union(o.df).distinct())
   def unionAll(o: Table): Table = mk(df.union(o.df))
@@ -287,6 +322,30 @@ final class GroupedTable private[table] (
       if (e.name.exists(keyNames.contains)) F.col(e.name.get)
       else { val c = F.col(aggOut(ai)); ai += 1; c }
     }: _*), env)
+  }
+
+  /** GroupedTable#aggregate (Table API row-level ops): one aggregate
+    * call producing a ROW (STRUCT) per group; the following select
+    * reads the group keys and the struct's fields
+    * (`groupBy($("k")).aggregate(agg.as("a")).select($("k"),
+    * $("a_f1"), …)` — struct fields surface flattened). */
+  def aggregate(e: Expr): Table = {
+    val aggd = df.groupBy(keys.map(_.col): _*).agg(e.col.as("__a"))
+    new Table(aggd.select(
+      (keys.flatMap(_.name).map(F.col) :+ F.col("__a.*")): _*), env)
+  }
+
+  /** GroupedTable#flatAggregate: a TABLE aggregate emitting zero or
+    * more rows per group — the argument must aggregate to an ARRAY of
+    * STRUCTs (e.g. a top-N accumulator); each element's fields become
+    * one output row next to the group keys. */
+  def flatAggregate(e: Expr): Table = {
+    val aggd = df.groupBy(keys.map(_.col): _*).agg(e.col.as("__fa"))
+    new Table(aggd
+      .select((keys.flatMap(_.name).map(F.col) :+
+        F.explode(F.col("__fa")).as("__r")): _*)
+      .select((keys.flatMap(_.name).map(F.col) :+ F.col("__r.*")): _*),
+      env)
   }
 }
 

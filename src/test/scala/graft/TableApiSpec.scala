@@ -189,6 +189,65 @@ class TableApiSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("o_orderpriority"))
   }
 
+  test("joinLateral / map / flatMap / aggregate / flatAggregate") {
+    import org.apache.spark.sql.functions.{split => fsplit, struct}
+    // joinLateral: UDTF correlate — split each priority into words
+    val lat = env.from("orders")
+      .select($("o_orderkey"), $("o_orderpriority"))
+      .joinLateral(call("split", $("o_orderpriority"), lit("-")).as("part"))
+    val d = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        org.apache.spark.sql.functions.explode(
+          fsplit(col("o_orderpriority"), "-")).as("part"))
+    assertSame(lat, d)
+
+    // map: scalar-function row output (struct fields become columns)
+    val mapped = env.from("orders")
+      .map(row($("o_orderkey").as("k"),
+        $("o_totalprice").times(lit(2)).as("dbl")))
+    val md = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("dbl"))
+    assertSame(mapped, md)
+
+    // flatMap: table-function rows (array of structs explode + expand)
+    val fm = env.from("orders").flatMap(array(
+      row($("o_orderkey").as("k")),
+      row(lit(0L).minus($("o_orderkey")).as("k"))))
+    assert(fm.toDataFrame.count() ==
+      2 * Tables.orders(spark, sf).count())
+
+    // aggregate: one ROW per group, fields flattened next to the keys
+    val agg = env.from("orders").groupBy($("o_orderpriority"))
+      .aggregate(row($("o_orderkey").count.as("n"),
+        $("o_totalprice").sum.as("total")))
+    val ad = Tables.orders(spark, sf).groupBy(col("o_orderpriority"))
+      .agg(count(col("o_orderkey")).as("n"),
+        sum(col("o_totalprice")).as("total"))
+    assertSame(agg, ad)
+
+    // flatAggregate: top-2 prices per priority (array-of-struct agg —
+    // the Table API spelling of the Top2 table aggregate)
+    val top2 = call("slice",
+      call("sort_array",
+        call("collect_list", row($("o_totalprice").as("price"))),
+        lit(false)),
+      lit(1), lit(2))
+    val fa = env.from("orders").groupBy($("o_orderpriority"))
+      .flatAggregate(top2)
+    val fd = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            struct(col("o_totalprice").as("price"))), asc = false),
+        1, 2).as("t2"))
+      .select(col("o_orderpriority"),
+        org.apache.spark.sql.functions.explode(col("t2")).as("r"))
+      .select(col("o_orderpriority"), col("r.price").as("price"))
+    assertSame(fa, fd)
+  }
+
   test("sqlQuery runs the Flink dialect over registered views") {
     val t = env.sqlQuery(
       """SELECT window_start, COUNT(*) AS n
