@@ -637,7 +637,68 @@ object FlinkDdl {
                 connections.keys.mkString(", ")))
           conn ++ (options - "connection")
       }
-    for (stmt <- splitStatements(script)) {
+    // JDBC-BACKED CATALOG dispatch (round 11 — the reference's
+    // JdbcCatalog: flink-connector-jdbc …/catalog/JdbcCatalog.java /
+    // AbstractJdbcCatalog.java surface): `CREATE CATALOG c WITH
+    // ('type'='jdbc', 'base-url'=…[, 'default-database'=…,
+    // 'username'=…, 'password'=…])`. Tables resolve THROUGH the
+    // connection: a `c.db.t` reference anywhere in a statement becomes
+    // a Spark jdbc scan of that table (registered under a flat view
+    // name — pushdown inherited from the JDBC source), and SHOW TABLES
+    // under a jdbc current catalog lists the connection's tables.
+    def jdbcOpts(cat: String): Option[Map[String, String]] =
+      catalogs.get(cat).filter(_.get("type").contains("jdbc"))
+    def jdbcUrl(opts: Map[String, String], db: String): String =
+      opts.getOrElse("url",
+        opts.getOrElse("base-url", throw new IllegalArgumentException(
+          "a jdbc catalog needs 'base-url' (or 'url')"))
+          .stripSuffix("/") + "/" + db)
+    def jdbcListTables(opts: Map[String, String], db: String): Seq[String] = {
+      val props = new java.util.Properties()
+      opts.get("username").foreach(props.setProperty("user", _))
+      opts.get("password").foreach(props.setProperty("password", _))
+      val conn =
+        java.sql.DriverManager.getConnection(jdbcUrl(opts, db), props)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) out += rs.getString("TABLE_NAME").toLowerCase
+        out.toSeq
+      } finally conn.close()
+    }
+    def rewriteJdbcRefs(stmtText: String): String = {
+      def identLike(t: FlinkSql.Tok): Boolean =
+        t.s.nonEmpty && (t.s.head.isLetter || t.s.head == '_')
+      var cur = stmtText
+      var changed = true
+      while (changed) {
+        changed = false
+        val ts = FlinkSql.tokenize(cur)
+        var k = 0
+        while (!changed && k + 4 < ts.length) {
+          if (ts(k + 1).s == "." && ts(k + 3).s == "." &&
+              identLike(ts(k)) && identLike(ts(k + 2)) &&
+              identLike(ts(k + 4)) && jdbcOpts(ts(k).s).isDefined) {
+            val opts = jdbcOpts(ts(k).s).get
+            val (db, tbl) = (ts(k + 2).s, ts(k + 4).s)
+            val flat = s"__jdbc_${ts(k).s}_${db}_$tbl"
+            var r = spark.read.format("jdbc")
+              .option("url", jdbcUrl(opts, db))
+              .option("dbtable", tbl)
+            opts.get("username").foreach(u => r = r.option("user", u))
+            opts.get("password").foreach(w => r = r.option("password", w))
+            r.load().createOrReplaceTempView(flat)
+            cur = cur.substring(0, ts(k).start) + flat +
+              cur.substring(ts(k + 4).end)
+            changed = true
+          }
+          k += 1
+        }
+      }
+      cur
+    }
+    for (stmt0 <- splitStatements(script)) {
+      val stmt = rewriteJdbcRefs(stmt0)
       val toks = FlinkSql.tokenize(stmt)
       if (toks.nonEmpty) toks.head.up match {
         case "CREATE" =>
@@ -1195,10 +1256,20 @@ object FlinkDdl {
           what match {
             case "MODELS" => listOf("model name", modelCatalog.keys.toSeq)
             case "TABLES" =>
-              // scoped to the database in use, as in the reference
-              listOf("table name", catalog.iterator.collect {
-                case (n, s) if dbTag(s) == curDbTag => n
-              }.toSeq)
+              jdbcOpts(curCatalog) match {
+                case Some(opts) =>
+                  // a jdbc catalog lists the CONNECTION's tables
+                  val db =
+                    if (curDatabase == "default_database")
+                      opts.getOrElse("default-database", "db")
+                    else curDatabase
+                  listOf("table name", jdbcListTables(opts, db))
+                case None =>
+                  // scoped to the database in use, as in the reference
+                  listOf("table name", catalog.iterator.collect {
+                    case (n, s) if dbTag(s) == curDbTag => n
+                  }.toSeq)
+              }
             case "VIEWS" =>
               listOf("view name", spark.catalog.listTables().collect()
                 .filter(_.tableType == "TEMPORARY").map(_.name)

@@ -1380,4 +1380,34 @@ class FlinkDdlSpec extends SparkSpecBase {
       assert(e.getMessage.contains("unknown table"))
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
+
+  test("CREATE CATALOG type=jdbc resolves tables through the connection") {
+    import spark.implicits._
+    // seed an embedded Derby store (the JDBC driver bundled with Spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby_cat")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "score")
+      .write.mode("overwrite").format("jdbc")
+      .option("url", s"jdbc:derby:$dir/db;create=true")
+      .option("dbtable", "store").save()
+    // c.db.t resolves through the catalog's connection as a jdbc scan
+    val out = FlinkDdl.run(spark,
+      s"""CREATE CATALOG jcat WITH
+         |  ('type' = 'jdbc', 'base-url' = 'jdbc:derby:$dir');
+         |SELECT name, score FROM jcat.db.store ORDER BY id
+         |""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      == Seq(("a", 10.0), ("b", 20.0)))
+    // SHOW TABLES under the jdbc catalog lists the connection's tables
+    val shown = FlinkDdl.run(spark,
+      s"""CREATE CATALOG jcat2 WITH ('type' = 'jdbc',
+         |  'base-url' = 'jdbc:derby:$dir', 'default-database' = 'db');
+         |USE CATALOG jcat2;
+         |SHOW TABLES
+         |""".stripMargin)
+    assert(shown.collect().map(_.getString(0)).contains("store"))
+    // a non-jdbc catalog keeps rejecting unknown references
+    val e = intercept[Exception](FlinkDdl.run(spark,
+      "SELECT * FROM nocat.db.t"))
+    assert(e != null)
+  }
 }
