@@ -2022,7 +2022,9 @@ object FlinkSql {
         case ("*", _, _, _) => Seq(PGroup(inner.toSeq, 0, greedy = true))
         case ("", 1, _, _) => Seq(PGroup(inner.toSeq, 1, greedy = false))
         case ("{n,}", n, _, _) => Seq(PGroup(inner.toSeq, n, greedy = true))
-        case ("{n}", n, _, _) => Seq.fill(n)(inner.toSeq).flatten
+        case ("{n}", n, _, _) =>
+          require(n >= 1, s"group quantifier {$n} needs n > 0")
+          Seq.fill(n)(inner.toSeq).flatten
         case (q, _, _, _) => throw new IllegalArgumentException(
           s"unsupported group quantifier $q")
       }
@@ -2047,10 +2049,13 @@ object FlinkSql {
         // {n}? ≡ {n} — an exact count has a single interpretation, so
         // reluctance is a no-op and the flag is accepted and dropped
         case ("{n}", n, _, _) =>
+          require(n >= 1, s"$sym{$n} needs n > 0 (match_recognize.md:362)")
           Seq.fill(n)(PAtom(sym, greedy = false, min = 1))
         case ("{n,m}", n, m, rel) =>
-          require(n >= 1, s"$sym{$n,$m} needs n >= 1 (the first " +
-            "occurrence anchors; spell a{0,m} as a? repetitions)")
+          // n = 0 (`{,m}` / `{0,m}`) expands to all-optional atoms —
+          // legal anywhere but pattern-initial, which the engine's
+          // first-element anchor rule rejects with its own message
+          // (matching the reference's no-empty-match restriction)
           // reluctant bounded range: the (m-n) optional expansions carry
           // the inverted preference — fewest extra occurrences rank first
           Seq.fill(n)(PAtom(sym, greedy = false, min = 1)) ++
@@ -2079,22 +2084,24 @@ object FlinkSql {
           "reference excludes it — match_recognize.md:446)")
       ("?", 0, 1, false)
     } else if (p.opt("{")) {
-      val n = p.next().s.toInt
+      // `{,m}` ≡ `{0,m}` (between 0 and m rows — match_recognize.md:365)
+      val n = if (p.peek == ",") 0 else p.next().s.toInt
       val (kind, max) =
         if (p.opt(",")) {
           if (p.peek == "}") ("{n,}", Int.MaxValue)
           else {
             val m = p.next().s.toInt
             require(m >= n && m >= 1, s"bad quantifier {$n,$m}")
-            if (m == n) ("{n}", n) else ("{n,m}", m)
+            if (m == n && m > 0) ("{n}", n) else ("{n,m}", m)
           }
         } else if (n == 1) ("", 1) // {1} ≡ exactly once
         else ("{n}", n)
       p.eat("}")
       val rel = p.opt("?")
-      require(!(rel && n == 0 && max == 1),
-        "the reluctant-optional quantifier {0,1}? is not supported " +
-          "(the reference excludes it — match_recognize.md:446)")
+      require(!(rel && n == 0),
+        "reluctant-optional quantifiers ({0,m}?) are not supported " +
+          "(the reference excludes the reluctant optional — " +
+          "match_recognize.md:446)")
       (kind, n, max, rel)
     } else ("", 1, 1, false)
   }

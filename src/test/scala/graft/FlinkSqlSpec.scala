@@ -198,6 +198,15 @@ class FlinkSqlSpec extends SparkSpecBase {
         Map("t" -> ticker))
     }
     assert(e3.getMessage.contains("last pattern variable"))
+
+    // `{,m}` ≡ `{0,m}` (match_recognize.md:365): up to two greedy B's
+    assert(run("{,2}") == Seq(14.0))
+    assert(run("{0,2}") == Seq(14.0))
+    // exact zero and reluctant-optional ranges stay rejected
+    val e4 = intercept[IllegalArgumentException](run("{0}"))
+    assert(e4.getMessage.contains("n > 0"))
+    val e5 = intercept[IllegalArgumentException](run("{,2}?"))
+    assert(e5.getMessage.contains("reluctant-optional"))
   }
 
   test("SQL lookup join: AS OF proctime against a plain dim table") {
