@@ -436,6 +436,55 @@ object CepQueries {
         ORDER BY d.user_id, start_us
       """.stripMargin.trim)),
 
+    // MATCH_ROWTIME / MATCH_PROCTIME time-attribute measures (round
+    // 11 — match_recognize.md:1038,1049): MATCH_ROWTIME() is the
+    // TIMESTAMP of the match's last mapped row (= end_us); the
+    // operand form returns the operand's type (the exact-micros long
+    // here). The oracle derives the same adjacent down-up matches
+    // relationally and stamps make_timestamp(end_us).
+    QueryDef(
+      "q_sql_match_rowtime",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, mrt, mrt_raw
+            |FROM d MATCH_RECOGNIZE (
+            |  PARTITION BY user_id ORDER BY ts_us
+            |  MEASURES MATCH_ROWTIME() AS mrt,
+            |           MATCH_ROWTIME(ts_us) AS mrt_raw
+            |  ONE ROW PER MATCH
+            |  PATTERN (down up)
+            |  DEFINE down AS value < PREV(value),
+            |         up AS value > PREV(value))
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("d" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu, lag(value) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN value < pv THEN 'D'
+                              WHEN value > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s)
+        SELECT dn.user_id, dn.ptu AS start_us, up.tu AS end_us,
+               make_timestamp(up.tu) AS mrt, up.tu AS mrt_raw
+        FROM sd dn JOIN sd up
+          ON up.user_id = dn.user_id AND up.idx = dn.idx + 1
+        WHERE dn.dir = 'D' AND up.dir = 'U'
+        ORDER BY dn.user_id, start_us
+      """.stripMargin.trim)),
+
     // Nested-NFA Pattern-API face (round 11): an unbounded
     // followedBy-linked group `(a b)+ c` — a spike (>=150) followed by
     // the first lull (<=2) forms one iteration; iterations chain

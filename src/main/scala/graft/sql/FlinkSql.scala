@@ -1790,24 +1790,45 @@ object FlinkSql {
     val timeCol = p.ident()
     p.opt("ASC")
 
-    // MEASURES agg(sym.col) AS alias, …
+    // MEASURES agg(sym.col) AS alias, … — plus the time-attribute
+    // functions MATCH_ROWTIME([rowtime_field]) (the timestamp of the
+    // match's last mapped row — match_recognize.md:1038; no operand →
+    // TIMESTAMP, an operand → the operand's type, i.e. the exact-micros
+    // long the engine orders by) and MATCH_PROCTIME()
+    // (match_recognize.md:1049), which post-project from end_us /
+    // processing time after the engine runs
     val measures = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+    // alias -> "rowtime_ts" | "rowtime_raw" | "proctime"
+    val timeMeasures =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     if (p.opt("MEASURES")) {
       var more = true
       while (more) {
         val agg = p.ident().toLowerCase
-        require(
-          Seq("first", "last", "min", "max", "sum", "count", "avg")
-            .contains(agg),
-          s"unsupported MEASURES aggregate $agg")
-        p.eat("(")
-        val sym = p.ident()
-        p.eat(".")
-        val vcol = p.ident()
-        p.eat(")")
-        p.eat("AS")
-        val alias = p.ident()
-        measures += ((agg, sym.toLowerCase, vcol, alias))
+        if (agg == "match_rowtime" || agg == "match_proctime") {
+          p.eat("(")
+          val kind =
+            if (agg == "match_proctime") { require(p.peek == ")",
+              "MATCH_PROCTIME takes no arguments"); "proctime" }
+            else if (p.peek == ")") "rowtime_ts"
+            else { p.ident(); "rowtime_raw" }
+          p.eat(")")
+          p.eat("AS")
+          timeMeasures += ((p.ident(), kind))
+        } else {
+          require(
+            Seq("first", "last", "min", "max", "sum", "count", "avg")
+              .contains(agg),
+            s"unsupported MEASURES aggregate $agg")
+          p.eat("(")
+          val sym = p.ident()
+          p.eat(".")
+          val vcol = p.ident()
+          p.eat(")")
+          p.eat("AS")
+          val alias = p.ident()
+          measures += ((agg, sym.toLowerCase, vcol, alias))
+        }
         more = p.opt(",")
       }
     }
@@ -1985,7 +2006,17 @@ object FlinkSql {
           .select(keyCols.map(k => col(s"__k.$k").as(k)).toSeq ++
             matched.columns.filterNot(_ == "__cep_key").map(col): _*)
       }
-    (out, endTok)
+    // time-attribute measures post-project from the engine's end_us
+    // (the match's last mapped row) / processing time
+    val withTimes = timeMeasures.foldLeft(out) {
+      case (d, (alias, kind)) => kind match {
+        case "rowtime_ts" =>
+          d.withColumn(alias, timestamp_micros(col("end_us")))
+        case "rowtime_raw" => d.withColumn(alias, col("end_us"))
+        case "proctime" => d.withColumn(alias, current_timestamp())
+      }
+    }
+    (withTimes, endTok)
   }
 
   /** Pattern branches split on top-level `|`. */

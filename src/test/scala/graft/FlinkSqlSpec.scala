@@ -254,6 +254,35 @@ class FlinkSqlSpec extends SparkSpecBase {
       Set((10L, Some("a")), (11L, Some("b")), (12L, None)))
   }
 
+  test("MATCH_ROWTIME / MATCH_PROCTIME time-attribute measures") {
+    import spark.implicits._
+    val t = Seq(10.0, 15.0, 11.0, 16.0).zipWithIndex
+      .map { case (pr, i) => ("S", (i + 1).toLong * 1000000L, pr) }
+      .toDF("symbol", "ts_us", "price")
+    val out = FlinkSql.sql(spark,
+      """SELECT end_us, mrt, mrt_raw, pt
+        |FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY symbol ORDER BY ts_us
+        |  MEASURES MATCH_ROWTIME() AS mrt,
+        |           MATCH_ROWTIME(ts_us) AS mrt_raw,
+        |           MATCH_PROCTIME() AS pt
+        |  ONE ROW PER MATCH
+        |  PATTERN (a b)
+        |  DEFINE a AS a.price >= 15, b AS b.price < 12)""".stripMargin,
+      Map("t" -> t)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val endUs = r.getLong(0)
+      // no-operand form: TIMESTAMP of the last mapped row
+      assert(r.getTimestamp(1).getTime == endUs / 1000L)
+      // operand form: the operand's type (exact-micros long)
+      assert(r.getLong(2) == endUs)
+      // proctime: a recent processing-time stamp
+      assert(math.abs(r.getTimestamp(3).getTime -
+        System.currentTimeMillis()) < 600000L)
+    }
+  }
+
   test("lookup join wins when the dim coincidentally has a proctime " +
       "column name") {
     import spark.implicits._
