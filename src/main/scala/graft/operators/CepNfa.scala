@@ -114,6 +114,21 @@ object CepNfa {
       ms(v, col) match {
         case l if l.nonEmpty => l.last.last; case _ => Double.NaN
       }
+    /** Logical offsets: the (off+1)-th matched value from the start /
+      * end of the variable's rows (NaN when fewer rows matched — the
+      * reference's null). Requires the engine's `recentCap` > off. */
+    def firstOff(v: String, col: Int = 0, off: Int): Double = {
+      val vs = ms(v, col).flatMap(_.early)
+      if (off < vs.length) vs(off) else Double.NaN
+    }
+    def lastOff(v: String, col: Int = 0, off: Int): Double = {
+      val vs = ms(v, col).flatMap(_.recent)
+      val i = vs.length - 1 - off
+      if (i >= 0) vs(i) else Double.NaN
+    }
+    /** Total matched-row count of the variable (offset bound checks). */
+    private[graft] def countAll(v: String, col: Int = 0): Long =
+      ms(v, col).map(_.n).sum
   }
 
   /** `colIdx` selects which value column (of the face's `valCols`) this
@@ -178,15 +193,23 @@ object CepNfa {
   /** Per-step measure accumulator over matched row values — the engine
     * side of MATCH_RECOGNIZE MEASURES (first/last/min/max/sum per pattern
     * variable). A step's matched rows are the `cur` rows of its accepted
-    * pairs, in match order. */
+    * pairs, in match order. `early`/`recent` retain the first/last
+    * `keep` matched values when the pattern uses LOGICAL OFFSETS
+    * (`FIRST/LAST(A.x, n)` — match_recognize.md logical-offsets
+    * section); keep = 0 (no offsets) stores nothing, so patterns
+    * without offsets pay no extra state. */
   final case class Meas(
       first: Double, last: Double, mn: Double, mx: Double,
-      sum: Double, n: Long) {
-    def add(v: Double): Meas = Meas(
+      sum: Double, n: Long,
+      early: Vector[Double] = Vector.empty,
+      recent: Vector[Double] = Vector.empty) {
+    def add(v: Double, keep: Int = 0): Meas = Meas(
       if (n == 0) v else first, v,
       if (n == 0) v else math.min(mn, v),
       if (n == 0) v else math.max(mx, v),
-      sum + v, n + 1)
+      sum + v, n + 1,
+      if (keep > 0 && early.length < keep) early :+ v else early,
+      if (keep > 0) (recent :+ v).takeRight(keep) else recent)
   }
   private val emptyMeas = Meas(0.0, 0.0, 0.0, 0.0, 0.0, 0L)
 
@@ -197,11 +220,15 @@ object CepNfa {
     * selects which value column the measure reads (0 for single-column
     * faces). */
   final case class MeasureSpec(
-      agg: String, step: String, as: String, colIdx: Int = 0) {
+      agg: String, step: String, as: String, colIdx: Int = 0,
+      off: Int = 0) {
     require(
       Seq("first", "last", "min", "max", "sum", "count", "avg")
         .contains(agg),
       s"unknown measure agg: $agg")
+    require(off == 0 || agg == "first" || agg == "last",
+      s"logical offsets apply to FIRST/LAST measures, not $agg")
+    require(off >= 0, "logical offset must be >= 0")
   }
 
   /** One live partial match. `startT` is the anchor row's time (the prev
@@ -309,12 +336,13 @@ object CepNfa {
       branches: IndexedSeq[Branch],
       withinUs: Option[Long],
       skip: AfterMatchSkip,
-      nVals: Int = 1) extends Serializable {
+      nVals: Int = 1,
+      recentCap: Int = 0) extends Serializable {
 
     /** Per-step register row: one accumulator per value column. */
     private val emptyMeasRow: Vector[Meas] = Vector.fill(nVals)(emptyMeas)
     private def addAll(ms: Vector[Meas], v: Vector[Double]): Vector[Meas] =
-      Vector.tabulate(nVals)(ci => ms(ci).add(v(ci)))
+      Vector.tabulate(nVals)(ci => ms(ci).add(v(ci), recentCap))
 
     /** Empty per-branch registers — what a fresh anchor's iterative
       * condition reads (no rows matched yet). */
@@ -755,6 +783,16 @@ object CepNfa {
       .filter(_.n > 0)
     if (ms.isEmpty) null
     else spec.agg match {
+      // logical offsets (FIRST/LAST(A.x, n)): the (n+1)-th matched
+      // value from the ends; beyond the matched rows -> NULL (the
+      // reference's null). Requires the face's recentCap > n.
+      case "first" if spec.off > 0 =>
+        val vs = ms.flatMap(_.early)
+        if (spec.off < vs.length) vs(spec.off) else null
+      case "last" if spec.off > 0 =>
+        val vs = ms.flatMap(_.recent)
+        val i = vs.length - 1 - spec.off
+        if (i >= 0) vs(i) else null
       case "first" => ms.head.first
       case "last" => ms.last.last
       case "min" => ms.map(_.mn).min
@@ -804,13 +842,14 @@ object CepNfa {
       branches: Seq[Seq[PatternElem]],
       withinUs: Option[Long] = None,
       skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
-      measures: Seq[MeasureSpec] = Nil): DataFrame = {
+      measures: Seq[MeasureSpec] = Nil,
+      recentCap: Int = 0): DataFrame = {
     validate(branches, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdxs = valCols.map(df.schema.fieldIndex).toVector
     val br = branches.map(compile).toIndexedSeq
     val names = outNames(br)
-    val eng = new Engine(br, withinUs, skip, valCols.length)
+    val eng = new Engine(br, withinUs, skip, valCols.length, recentCap)
     SecondarySort.mapOrderedGroups(
       df, Seq(keyCol), Seq(col(timeCol)),
       outSchema(df, keyCol, br, measures)) {
@@ -911,13 +950,14 @@ object CepNfa {
       branches: Seq[Seq[PatternElem]],
       withinUs: Option[Long] = None,
       skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
-      measures: Seq[MeasureSpec] = Nil): DataFrame = {
+      measures: Seq[MeasureSpec] = Nil,
+      recentCap: Int = 0): DataFrame = {
     validate(branches, withinUs)
     val tIdx = df.schema.fieldIndex(timeCol)
     val vIdxs = valCols.map(df.schema.fieldIndex).toVector
     val br = branches.map(compile).toIndexedSeq
     val names = outNames(br)
-    val eng = new Engine(br, withinUs, skip, valCols.length)
+    val eng = new Engine(br, withinUs, skip, valCols.length, recentCap)
     val schema = outSchema(df, keyCol, br, measures)
     val ptf = new GraftPTF[NfaState] {
       def process(

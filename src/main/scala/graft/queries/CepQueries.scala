@@ -436,6 +436,71 @@ object CepQueries {
         ORDER BY d.user_id, start_us
       """.stripMargin.trim)),
 
+    // Logical offsets (round 11 — match_recognize.md logical-offsets
+    // section): LAST(down.value, 1) is the SECOND-TO-LAST value the
+    // down variable matched (NULL for one-row runs — the reference's
+    // beyond-the-window null). Pattern: maximal falling run then a
+    // rise (the q_match_recognize islands shape); the oracle reads the
+    // run's value at last_idx - 1 when the run has >= 2 rows.
+    QueryDef(
+      "q_match_recognize_offsets",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+        val d = Dedup.keepFirst(e,
+          Seq(col("user_id"), col("ts_us")), Seq(col("event_id")))
+        FlinkSql.sql(s,
+          """SELECT user_id, start_us, end_us, n_down, second_last
+            |FROM d MATCH_RECOGNIZE (
+            |  PARTITION BY user_id ORDER BY ts_us
+            |  MEASURES LAST(down.value, 1) AS second_last
+            |  ONE ROW PER MATCH
+            |  PATTERN (down+ up)
+            |  DEFINE down AS value < PREV(value),
+            |         up AS value > PREV(value))
+            |ORDER BY user_id, start_us""".stripMargin,
+          Map("d" -> d))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu, value,
+                 row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                                    ORDER BY event_id) AS dd
+          FROM events),
+        d AS (SELECT user_id, tu, value FROM e WHERE dd = 1),
+        s AS (SELECT user_id, tu, value,
+                lag(tu) OVER w AS ptu, lag(value) OVER w AS pv,
+                row_number() OVER w AS idx
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        sd AS (SELECT *, CASE WHEN pv IS NULL THEN NULL
+                              WHEN value < pv THEN 'D'
+                              WHEN value > pv THEN 'U' ELSE 'E' END AS dir
+               FROM s),
+        s2 AS (SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY tu)
+                 AS pdir FROM sd),
+        r AS (SELECT *, SUM(CASE WHEN dir = 'D'
+                                  AND (pdir IS NULL OR pdir <> 'D')
+                                 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tu
+                      ROWS UNBOUNDED PRECEDING) AS runid
+              FROM s2),
+        druns AS (
+          SELECT user_id, runid,
+                 COUNT(*) AS n_down,
+                 MAX(idx) AS last_idx,
+                 arg_min(ptu, idx) AS start_us
+          FROM r WHERE dir = 'D' GROUP BY user_id, runid)
+        SELECT d.user_id, d.start_us, nxt.tu AS end_us,
+               CAST(d.n_down AS BIGINT) AS n_down,
+               CASE WHEN d.n_down >= 2 THEN sl.value END AS second_last
+        FROM druns d
+        JOIN r nxt ON nxt.user_id = d.user_id
+                  AND nxt.idx = d.last_idx + 1 AND nxt.dir = 'U'
+        LEFT JOIN r sl ON sl.user_id = d.user_id
+                      AND sl.idx = d.last_idx - 1
+        ORDER BY d.user_id, d.start_us
+      """.stripMargin.trim)),
+
     // MATCH_ROWTIME / MATCH_PROCTIME time-attribute measures (round
     // 11 — match_recognize.md:1038,1049): MATCH_ROWTIME() is the
     // TIMESTAMP of the match's last mapped row (= end_us); the

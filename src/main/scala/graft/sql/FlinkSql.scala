@@ -1797,7 +1797,8 @@ object FlinkSql {
     // long the engine orders by) and MATCH_PROCTIME()
     // (match_recognize.md:1049), which post-project from end_us /
     // processing time after the engine runs
-    val measures = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+    val measures = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Int)]
     // alias -> "rowtime_ts" | "rowtime_raw" | "proctime"
     val timeMeasures =
       scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -1824,10 +1825,18 @@ object FlinkSql {
           val sym = p.ident()
           p.eat(".")
           val vcol = p.ident()
+          // logical offset: FIRST/LAST(A.x, n)
+          val off = if (p.opt(",")) {
+            require(agg == "first" || agg == "last",
+              s"logical offsets apply to FIRST/LAST, not ${agg.toUpperCase}")
+            val n = p.next().s.toInt
+            require(n >= 0, "logical offset must be >= 0")
+            n
+          } else 0
           p.eat(")")
           p.eat("AS")
           val alias = p.ident()
-          measures += ((agg, sym.toLowerCase, vcol, alias))
+          measures += ((agg, sym.toLowerCase, vcol, alias, off))
         }
         more = p.opt(",")
       }
@@ -1896,8 +1905,8 @@ object FlinkSql {
     def rwE(e: Expr): Expr = e match {
       case Ref(c, prev) if c.equalsIgnoreCase(timeCol) => Ref(timeVal, prev)
       case Arith(l, plus, r) => Arith(rwE(l), plus, rwE(r))
-      case AggE(fn, sym, c) if c.equalsIgnoreCase(timeCol) =>
-        AggE(fn, sym, timeVal)
+      case AggE(fn, sym, c, off) if c.equalsIgnoreCase(timeCol) =>
+        AggE(fn, sym, timeVal, off)
       case x => x
     }
     def rwC(c: Cond): Cond = c match {
@@ -1907,9 +1916,9 @@ object FlinkSql {
       case Not(x) => Not(rwC(x))
     }
     defines.mapValuesInPlace((_, c) => rwC(c))
-    val measuresR = measures.map { case (agg, sym, vcol, alias) =>
+    val measuresR = measures.map { case (agg, sym, vcol, alias, off) =>
       (agg, sym,
-        if (vcol.equalsIgnoreCase(timeCol)) timeVal else vcol, alias)
+        if (vcol.equalsIgnoreCase(timeCol)) timeVal else vcol, alias, off)
     }
 
     // Value columns: the engine addresses columns by index into
@@ -1969,9 +1978,19 @@ object FlinkSql {
       case _: PPermute => throw new IllegalArgumentException(
         "PERMUTE inside a group is not supported")
     }
-    val specs = measuresR.map { case (agg, sym, vcol, alias) =>
-      CepNfa.MeasureSpec(agg, sym, alias, colIdx(vcol))
+    val specs = measuresR.map { case (agg, sym, vcol, alias, off) =>
+      CepNfa.MeasureSpec(agg, sym, alias, colIdx(vcol), off)
     }.toSeq
+    // logical offsets need the engine to retain the first/last
+    // (maxOff + 1) values per (step, column) register
+    val recentCap = {
+      val offs = measuresR.iterator.map(_._5) ++
+        defAggs.valuesIterator.flatten.map(_.off)
+      offs.foldLeft(0)(math.max) match {
+        case 0 => 0
+        case m => m + 1
+      }
+    }
 
     // value columns reach the engine as doubles (exact for the long/int
     // attributes in range); the synthetic constant backs all-TRUE defines
@@ -1992,9 +2011,9 @@ object FlinkSql {
     val matched =
       if (src.isStreaming)
         CepNfa.nestedStreamingMulti(srcV, keyCol, timeCol, valCols,
-          branches.map(toElems), withinUs, skip, specs)
+          branches.map(toElems), withinUs, skip, specs, recentCap)
       else CepNfa.nestedMulti(srcV, keyCol, timeCol, valCols,
-        branches.map(toElems), withinUs, skip, specs)
+        branches.map(toElems), withinUs, skip, specs, recentCap)
     val out =
       if (keyCols.size == 1) matched
       else {
@@ -2154,7 +2173,8 @@ object FlinkSql {
     * the variable BEING defined the aggregate includes the row under
     * test; for any other variable it covers its matched rows only (none
     * yet → NULL → the comparison is false). */
-  private final case class AggE(fn: String, sym: String, col: String)
+  private final case class AggE(fn: String, sym: String, col: String,
+      off: Int = 0)
     extends Expr
   private sealed trait Cond
   private final case class Cmp(l: Expr, op: String, r: Expr) extends Cond
@@ -2169,7 +2189,7 @@ object FlinkSql {
     case Ref(n, _) => Seq(n)
     case Arith(l, _, r) => exprCols(l) ++ exprCols(r)
     case Num(_) => Nil
-    case AggE(_, _, _) => Nil
+    case AggE(_, _, _, _) => Nil
   }
 
   private def exprAggs(e: Expr): Seq[AggE] = e match {
@@ -2251,8 +2271,17 @@ object FlinkSql {
         val sym = p.ident().toLowerCase
         p.eat(".")
         val c = p.ident()
+        // logical offset (match_recognize.md logical-offsets):
+        // FIRST/LAST(A.x, n) — the (n+1)-th mapped row from the ends
+        val off = if (p.opt(",")) {
+          require(fn == "first" || fn == "last",
+            s"logical offsets apply to FIRST/LAST, not ${fn.toUpperCase}")
+          val n = p.next().s.toInt
+          require(n >= 0, "logical offset must be >= 0")
+          n
+        } else 0
         p.eat(")")
-        AggE(fn, sym, c)
+        AggE(fn, sym, c, off)
       } else ref(prev = false)
     }
     def ref(prev: Boolean): Expr = {
@@ -2293,7 +2322,7 @@ object FlinkSql {
       val lf = compileExpr(l); val rf = compileExpr(r)
       if (plus) (p, v) => lf(p, v) + rf(p, v)
       else (p, v) => lf(p, v) - rf(p, v)
-    case AggE(_, _, _) => throw new IllegalArgumentException(
+    case AggE(_, _, _, _) => throw new IllegalArgumentException(
       "aggregate DEFINE conditions compile through compileCondIter")
   }
 
@@ -2316,7 +2345,23 @@ object FlinkSql {
         val lf = expr(l); val rf = expr(r)
         if (plus) (p, v, x) => lf(p, v, x) + rf(p, v, x)
         else (p, v, x) => lf(p, v, x) - rf(p, v, x)
-      case AggE(fn, sym, col) =>
+      case AggE(fn, sym, col, off) if off > 0 =>
+        // logical offsets: running semantics for the variable being
+        // defined — its rows INCLUDE the row under test, which is the
+        // newest, so LAST(d.x, n) reads n-1 back in the context and
+        // FIRST(d.x, n) is the current row exactly when n rows matched
+        // before it
+        val k = ci(col)
+        if (sym == dsym) fn match {
+          case "last" => (_, v, x) =>
+            if (off == 0) v(k) else x.lastOff(sym, k, off - 1)
+          case "first" => (_, v, x) =>
+            if (x.countAll(sym, k) == off) v(k) else x.firstOff(sym, k, off)
+        } else fn match {
+          case "last" => (_, _, x) => x.lastOff(sym, k, off)
+          case "first" => (_, _, x) => x.firstOff(sym, k, off)
+        }
+      case AggE(fn, sym, col, _) =>
         val k = ci(col)
         if (sym == dsym) fn match {
           case "sum" => (_, v, x) =>

@@ -254,6 +254,43 @@ class FlinkSqlSpec extends SparkSpecBase {
       Set((10L, Some("a")), (11L, Some("b")), (12L, None)))
   }
 
+  test("logical offsets: FIRST/LAST(A.x, n) in DEFINE and MEASURES") {
+    import spark.implicits._
+    // leading 0.0: the NFA replays (prev, cur) pairs, so the first
+    // row of a partition cannot anchor
+    def t(last: Double) = Seq(0.0, 100.0, 10.0, 50.0, 20.0, last)
+      .zipWithIndex
+      .map { case (pr, i) => ("S", (i + 1).toLong * 1000000L, pr) }
+      .toDF("symbol", "ts_us", "price")
+    def stmt = """SELECT n_b, second_last, second, far
+      |FROM t MATCH_RECOGNIZE (
+      |  PARTITION BY symbol ORDER BY ts_us
+      |  MEASURES LAST(b.price, 1) AS second_last,
+      |           FIRST(b.price, 1) AS second,
+      |           LAST(b.price, 5) AS far
+      |  ONE ROW PER MATCH
+      |  PATTERN (a b{3} c)
+      |  DEFINE a AS a.price >= 100, b AS b.price < 100,
+      |         c AS c.price > LAST(b.price, 1))""".stripMargin
+    // b rows are 10, 50, 20 -> LAST(b,1) = 50: c must exceed 50
+    val hit = FlinkSql.sql(spark, stmt, Map("t" -> t(60.0))).collect()
+    assert(hit.length == 1)
+    val r = hit.head
+    assert(r.getLong(0) == 3L) // n_b
+    assert(r.getDouble(1) == 50.0) // LAST(b, 1): one back from 20
+    assert(r.getDouble(2) == 50.0) // FIRST(b, 1): second from the start
+    assert(r.isNullAt(3)) // LAST(b, 5): beyond the matched rows
+    assert(FlinkSql.sql(spark, stmt, Map("t" -> t(30.0))).isEmpty)
+    // offsets reject on non-FIRST/LAST aggregates
+    val e = intercept[IllegalArgumentException](FlinkSql.sql(spark,
+      """SELECT n_a FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY symbol ORDER BY ts_us
+        |  MEASURES SUM(a.price, 1) AS s
+        |  PATTERN (a) DEFINE a AS a.price > 0)""".stripMargin,
+      Map("t" -> t(0.0))))
+    assert(e.getMessage.contains("FIRST/LAST"))
+  }
+
   test("MATCH_ROWTIME / MATCH_PROCTIME time-attribute measures") {
     import spark.implicits._
     val t = Seq(10.0, 15.0, 11.0, 16.0).zipWithIndex
