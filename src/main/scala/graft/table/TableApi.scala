@@ -174,6 +174,35 @@ final class TableEnvironment private (val spark: SparkSession) {
   /** TableEnvironment#sqlQuery through the Flink-dialect SQL entry. */
   def sqlQuery(sql: String): Table =
     new Table(graft.sql.FlinkSql.sql(spark, sql, views.toMap), this)
+
+  /** TableEnvironment#executeSql — the full statement/script entry
+    * (DDL, DML, queries, SHOW/DESCRIBE) through the graft DDL runner;
+    * the environment's temporary views are visible to the script. A
+    * script with neither a query nor a sink returns an empty OK result
+    * (the reference's TableResult.TABLE_RESULT_OK). */
+  def executeSql(stmt: String): TableResult = {
+    val res = graft.sql.FlinkDdl.runScript(spark, stmt, views.toMap)
+    new TableResult(res.lastQuery.getOrElse {
+      res.lastSink match {
+        case Some(_) => res.dataFrame
+        case None => // DDL-only: OK marker, as the reference
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          spark.createDataFrame(
+            java.util.Arrays.asList(Row("OK")),
+            StructType(Seq(StructField("result", StringType))))
+      }
+    })
+  }
+
+  /** StreamTableEnvironment#fromDataStream: bridge from the typed
+    * DataStream facade (streaming inputs stay streaming). */
+  def fromDataStream[T](s: graft.stream.DataStream[T]): Table =
+    new Table(s.ds.toDF(), this)
+
+  /** StreamTableEnvironment#toDataStream: the Table as a typed
+    * (Row-elementized) DataStream. */
+  def toDataStream(t: Table): graft.stream.DataStream[Row] =
+    new graft.stream.DataStream(t.df)
 }
 
 object TableEnvironment {

@@ -176,6 +176,41 @@ class CepNfaFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzz: exact-count nested groups match their flat expansion") {
+    // (S1 … Sk){n} as a GroupElem must equal the same steps repeated n
+    // times flat — two independent engine paths (group loop-back
+    // machinery vs plain step sequencing) over random inputs
+    import graft.operators.CepNfa.{Atom, GroupElem, PatternElem}
+    (201L to 220L).foreach { seed =>
+      val (vals, named, within, toNext) =
+        genCase.pureApply(Gen.Parameters.default, Seed(seed))
+      // group bodies need required single-match steps (loop iterations
+      // chain strictly, matching flat adjacency)
+      val steps = named.map(_._2.copy(greedy = false, min = 1))
+      val n = (seed % 3 + 1).toInt // 1..3 iterations
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
+      val atoms = steps.zipWithIndex.map { case (st, i) =>
+        Atom(PatternStep(s"s$i", st.pred, st.greedy, st.min)): PatternElem
+      }
+      val skip =
+        if (toNext) AfterMatchSkip.ToNextRow else AfterMatchSkip.PastLastRow
+      def runElems(elems: Seq[PatternElem]) =
+        CepNfa.nested(df, "k", "t", "v", Seq(elems),
+          withinUs = within, skip = skip)
+          .collect().map { r =>
+            // counts merge by name either way; compare (start, end, sum)
+            (r.getLong(1), r.getLong(2),
+              (3 until r.length).map(r.getLong).sum)
+          }.toSet
+      val grouped = runElems(Seq(GroupElem(atoms, n, greedy = false)))
+      val flat = runElems(Seq.fill(n)(atoms).flatten)
+      assert(grouped == flat,
+        s"seed $seed n=$n pattern ${named.map(_._1)} within=$within " +
+          s"toNext=$toNext vals=$vals\ngroup=$grouped\nflat =$flat")
+    }
+  }
+
   test("fuzz: CepNfa matches the brute-force matcher on random inputs") {
     (1L to 50L).foreach { seed =>
       val (vals, named, within, toNext) =

@@ -248,6 +248,27 @@ class TableApiSpec extends SparkSpecBase {
     assertSame(fa, fd)
   }
 
+  test("executeSql runs DDL scripts; DataStream bridges round-trip") {
+    // executeSql: a DDL + query script over the env's temporary views
+    val res = env.executeSql(
+      """CREATE VIEW big AS
+        |  SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |  WHERE o_totalprice > 100000 GROUP BY o_orderpriority;
+        |SELECT * FROM big ORDER BY o_orderpriority""".stripMargin)
+    assert(res.collect().nonEmpty)
+    // DDL-only scripts return the OK marker, as the reference
+    assert(env.executeSql("CREATE CATALOG c1 WITH ('k' = 'v')")
+      .collect().head.getString(0) == "OK")
+    // fromDataStream / toDataStream bridge the typed facade
+    val senv = graft.stream.StreamExecutionEnvironment.create(spark)
+    import spark.implicits._
+    val ds = senv.fromElements((1L, 2.0), (2L, 3.0))
+    val t = env.fromDataStream(ds)
+      .filter($("_2").isGreater(lit(2.0)))
+    assert(env.toDataStream(t).executeAndCollect()
+      .map(r => (r.getLong(0), r.getDouble(1))) == Seq((2L, 3.0)))
+  }
+
   test("sqlQuery runs the Flink dialect over registered views") {
     val t = env.sqlQuery(
       """SELECT window_start, COUNT(*) AS n
