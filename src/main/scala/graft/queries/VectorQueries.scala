@@ -226,20 +226,21 @@ object VectorQueries {
         // they carry no near-dup signal (a bucket keyed by 8 sign bits
         // that most of the corpus shares discriminates nothing), and
         // genuinely similar pairs still meet in their 7 other bands.
-        // The count agg is map-side combinable and the semi-join prunes
-        // hot buckets BEFORE collect_list materializes any array, so no
-        // task ever holds a degenerate bucket. Cap 64 ≫ the observed
-        // max bucket (8 at sf0.01, 20 at sf0.1), so verification
-        // results are exactly the uncapped answer; at 100 TB configure
-        // per corpus (pairs per bucket stay ≤ cap·(cap-1)/2 ≈ 2k).
-        val cool = sig.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("__n"))
-          .where(col("__n") <= bucketCap)
-          .select(col("band"), col("key"))
-        // bucket grouping + in-bucket pair explosion: one signature pass
-        // (a self-join would evaluate the sig subtree per side)
+        // The per-bucket count comes from a WINDOW over (band, key):
+        // its exchange is the SAME partitioning the grouping below
+        // needs, so Catalyst plans ONE shuffle and one signature pass
+        // (a count-aggregate + semi-join would re-evaluate sig and
+        // shuffle twice), and the filter drops hot buckets BEFORE
+        // collect_list materializes any array — a degenerate bucket
+        // costs one linear, spillable window partition, never a
+        // quadratic pair array. Cap 64 ≫ the observed max bucket (8 at
+        // sf0.01, 20 at sf0.1), so verification results are exactly
+        // the uncapped answer; at 100 TB configure per corpus (pairs
+        // per bucket stay ≤ cap·(cap-1)/2 ≈ 2k).
         val cand = sig
-          .join(cool, Seq("band", "key"), "left_semi")
+          .withColumn("__n", count(lit(1)).over(
+            Window.partitionBy(col("band"), col("key"))))
+          .where(col("__n") <= bucketCap)
           .groupBy(col("band"), col("key"))
           .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
           .where(size(col("vs")) > 1)

@@ -208,10 +208,13 @@ class OperatorSpec extends SparkSpecBase {
       .cosineDupPairs(emb, 0.3, bucketCap = 10)
     assert(capped.select($"vec_a", $"vec_b").as[(Long, Long)]
       .collect().toSet == Set((100L, 101L)))
-    // plan lock: bucketed candidate generation, never all-pairs
+    // plan lock: bucketed candidate generation, never all-pairs; the
+    // bucket-size filter rides a window over (band, key) whose
+    // exchange the grouping reuses — one shuffle, one signature pass
     val plan = capped.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("Window"))
+    assert(!plan.contains("LeftSemi"))
 
     // cap above every bucket: exactly the uncapped answer (the
     // verification-scale contract — 780 constant pairs + the dup pair)
