@@ -254,6 +254,51 @@ class FlinkSqlSpec extends SparkSpecBase {
       Set((10L, Some("a")), (11L, Some("b")), (12L, None)))
   }
 
+  test("AFTER MATCH strategies replay the reference docs' worked example") {
+    import spark.implicits._
+    // match_recognize.md:915-1013: prices 7,9,10,5,10,7,14, pattern
+    // (A+ C), DEFINE A AS SUM(A.price) < 30 — the docs print expected
+    // outputs per strategy. A leading sentinel row (price 1000, never
+    // an A) stands in for the reference's first-row anchor, since this
+    // engine replays (prev, cur) pairs.
+    val t = Seq(1000.0, 7.0, 9.0, 10.0, 5.0, 10.0, 7.0, 14.0).zipWithIndex
+      .map { case (pr, i) => ("XYZ", i.toLong * 1000000L, pr) }
+      .toDF("symbol", "ts_us", "price")
+    def stmt(strategy: String) =
+      s"""SELECT sumPrice, startT, end_us
+         |FROM t MATCH_RECOGNIZE (
+         |  PARTITION BY symbol ORDER BY ts_us
+         |  MEASURES SUM(a.price) AS sumPrice, FIRST(a.ts_us) AS startT
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH $strategy
+         |  PATTERN (a+ c)
+         |  DEFINE a AS SUM(a.price) < 30)""".stripMargin
+    def run(s: String) = FlinkSql.sql(spark, stmt(s), Map("t" -> t))
+      .collect().map(r =>
+        (r.getDouble(0), (r.getDouble(1) / 1000000L).toInt,
+          (r.getLong(2) / 1000000L).toInt)).toSet
+    // SKIP PAST LAST ROW: rows #1-#4 then #5-#7, exactly as printed
+    assert(run("SKIP PAST LAST ROW") == Set((26.0, 1, 4), (17.0, 5, 7)))
+    // SKIP TO LAST A / SKIP TO NEXT ROW: the docs' rows all emit; this
+    // engine follows the SQL standard's backtracking preferment, so it
+    // ALSO finds the rows #6-#7 match (A={7}, C=14) that the
+    // reference's non-backtracking greedy NFA leaves unmatched (its A
+    // swallows 14 and never backs off) — documented superset
+    val docsToLast = Set((26.0, 1, 4), (25.0, 3, 6), (17.0, 5, 7))
+    val gotToLast = run("SKIP TO LAST A")
+    assert(docsToLast.subsetOf(gotToLast))
+    assert((gotToLast -- docsToLast) == Set((7.0, 6, 7)))
+    val docsToNext = Set((26.0, 1, 4), (24.0, 2, 5), (25.0, 3, 6),
+      (22.0, 4, 7), (17.0, 5, 7))
+    val gotToNext = run("SKIP TO NEXT ROW")
+    assert(docsToNext.subsetOf(gotToNext))
+    assert((gotToNext -- docsToNext) == Set((7.0, 6, 7)))
+    // SKIP TO FIRST A: the own-start infinite loop is prohibited
+    val e = intercept[Exception](run("SKIP TO FIRST A"))
+    assert(e.getMessage.contains("own first row") ||
+      e.getCause != null)
+  }
+
   test("logical offsets: FIRST/LAST(A.x, n) in DEFINE and MEASURES") {
     import spark.implicits._
     // leading 0.0: the NFA replays (prev, cur) pairs, so the first
