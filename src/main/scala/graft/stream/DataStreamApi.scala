@@ -35,6 +35,17 @@ final class StreamExecutionEnvironment private (val spark: SparkSession) {
   def fromDataset[T](ds: Dataset[T]): DataStream[T] = new DataStream(ds)
   def fromElements[T: Encoder](xs: T*): DataStream[T] =
     new DataStream(spark.createDataset(xs))
+  /** StreamExecutionEnvironment#fromCollection. */
+  def fromCollection[T: Encoder](xs: Iterable[T]): DataStream[T] =
+    new DataStream(spark.createDataset(xs.toSeq))
+  /** StreamExecutionEnvironment#execute(jobName): in the reference this
+    * submits the assembled dataflow; here every transform is a lazy
+    * Dataset and ACTIONS run it (executeAndCollect / writeStream), so
+    * execute is a compatibility no-op for ported program shapes. */
+  def execute(jobName: String = ""): Unit = ()
+  /** setParallelism: advisory — Spark sizes stages from
+    * spark.sql.shuffle.partitions; recorded for API compatibility. */
+  def setParallelism(n: Int): StreamExecutionEnvironment = this
 }
 
 object StreamExecutionEnvironment {
@@ -51,6 +62,26 @@ final class DataStream[T](val ds: Dataset[T]) {
     new DataStream(ds.union(o.ds))
   def keyBy[K: Encoder](f: T => K): KeyedStream[K, T] =
     new KeyedStream(ds, f)
+
+  // Physical-partitioning verbs (DataStream.java rebalance/rescale/
+  // shuffle/global/forward): each maps onto the Spark redistribution
+  // with the same contract. `broadcast()` (replicate to every task) has
+  // no Dataset analog — broadcastness is a JOIN-side property in Spark;
+  // use graft.streaming.BroadcastRules for broadcast state.
+  def rebalance(): DataStream[T] = new DataStream(ds.repartition())
+  def shuffle(): DataStream[T] = new DataStream(ds.repartition())
+  def rescale(): DataStream[T] = new DataStream(
+    ds.coalesce(math.max(1,
+      ds.sparkSession.sparkContext.defaultParallelism / 2)))
+  def global(): DataStream[T] = new DataStream(ds.repartition(1))
+  def forward(): DataStream[T] = this
+  /** name/uid: operator metadata for checkpoint addressing in the
+    * reference — accepted and ignored (Spark state keys by operator
+    * position in the plan). */
+  def name(n: String): DataStream[T] = this
+  def uid(id: String): DataStream[T] = this
+  def setParallelism(n: Int): DataStream[T] =
+    new DataStream(ds.repartition(n))
 
   /** DataStream.java:237 `connect`: pair this stream with another of a
     * DIFFERENT element type. Unkeyed co-transforms (`map(f1, f2)` /
@@ -179,6 +210,15 @@ final class KeyedStream[K, T] private[stream] (
     * expressed through [[reduce]] with a numeric view. */
   def sumBy(num: (T, T) => T)(implicit tEnc: Encoder[T]): DataStream[T] =
     reduce(num)
+
+  /** KeyedStream#minBy / maxBy: the rolling element with the
+    * smallest/largest extracted value so far — ties keep the FIRST
+    * seen, the reference's default. One emission per input, like
+    * [[reduce]]. */
+  def minBy(f: T => Double)(implicit tEnc: Encoder[T]): DataStream[T] =
+    reduce((a, b) => if (f(b) < f(a)) b else a)
+  def maxBy(f: T => Double)(implicit tEnc: Encoder[T]): DataStream[T] =
+    reduce((a, b) => if (f(b) > f(a)) b else a)
 
   /** KeyedProcessFunction.java: per-key hook with persistent typed
     * state and an event-time timer. `f(key, newElements, priorState,

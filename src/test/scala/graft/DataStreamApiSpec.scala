@@ -108,6 +108,27 @@ class DataStreamApiSpec extends SparkSpecBase {
     assert(out.toSet == Set((1L, 30.0, true), (2L, 5.0, true)))
   }
 
+  test("partitioning verbs, name/uid, minBy/maxBy, fromCollection") {
+    val s = env.fromCollection(Seq((1L, 5.0), (1L, 2.0), (1L, 7.0)))
+      .name("source").uid("src-1")
+    // redistribution verbs preserve content
+    assert(s.rebalance().executeAndCollect().toSet ==
+      Set((1L, 5.0), (1L, 2.0), (1L, 7.0)))
+    assert(s.shuffle().executeAndCollect().size == 3)
+    assert(s.rescale().executeAndCollect().size == 3)
+    assert(s.global().toDataset.rdd.getNumPartitions == 1)
+    assert(s.forward().executeAndCollect().size == 3)
+    assert(s.setParallelism(2).toDataset.rdd.getNumPartitions == 2)
+    // rolling minBy/maxBy emit per element, first-seen tie-break
+    val mins = s.keyBy(_._1).minBy(_._2).executeAndCollect()
+      .map(_._2).sorted
+    assert(mins == Seq(2.0, 2.0, 5.0))
+    val maxs = s.keyBy(_._1).maxBy(_._2).executeAndCollect()
+      .map(_._2).sorted
+    assert(maxs == Seq(5.0, 5.0, 7.0))
+    env.execute("compat") // no-op
+  }
+
   test("connect: CoMap per side; keyed CoProcess shares per-key state") {
     val a = env.fromElements((1L, 10.0), (2L, 20.0))
     val b = env.fromElements((1L, "x"), (1L, "y"))
