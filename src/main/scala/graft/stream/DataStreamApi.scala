@@ -83,6 +83,14 @@ final class DataStream[T](val ds: Dataset[T]) {
   def setParallelism(n: Int): DataStream[T] =
     new DataStream(ds.repartition(n))
 
+  /** CoGroupedStreams.java: `a.coGroup(b).where(kA).equalTo(kB)
+    * .window(assigner)(timeOfA, timeOfB).apply(f)` — per (key, window)
+    * both sides' elements meet in one function call. Built like
+    * [[KeyedStream.intervalJoin]] on an explicitly watermarked merged
+    * input; windows close when the watermark passes their end. */
+  def coGroup[U](other: DataStream[U]): CoGroupWhere[T, U] =
+    new CoGroupWhere(ds, other.ds)
+
   /** DataStream.java:237 `connect`: pair this stream with another of a
     * DIFFERENT element type. Unkeyed co-transforms (`map(f1, f2)` /
     * `flatMap`) are per-element and translate to map-each-side + union;
@@ -415,6 +423,95 @@ final class IntervalJoined[K, T, U] private[stream] (
           state.remove()
         else state.update(Some((ls, rs)))
         out.iterator
+      }
+    new DataStream(out)
+  }
+}
+
+/** CoGroupedStreams.java builder chain: where → equalTo → window →
+  * apply. */
+final class CoGroupWhere[A, B] private[stream] (
+    a: Dataset[A], b: Dataset[B]) {
+  def where[K: Encoder](kA: A => K): CoGroupEqual[K, A, B] =
+    new CoGroupEqual(a, b, kA)
+}
+final class CoGroupEqual[K, A, B] private[stream] (
+    a: Dataset[A], b: Dataset[B], kA: A => K)(implicit kEnc: Encoder[K]) {
+  def equalTo(kB: B => K): CoGrouped[K, A, B] = new CoGrouped(a, b, kA, kB)
+}
+final class CoGrouped[K, A, B] private[stream] (
+    a: Dataset[A], b: Dataset[B], kA: A => K, kB: B => K)(
+    implicit kEnc: Encoder[K]) {
+
+  /** Event-time windowed co-group. `delay` is the watermark
+    * out-of-orderness bound on the merged input (see
+    * [[IntervalJoin]]). */
+  def window(assigner: WindowAssigner, delay: String = "0 seconds")(
+      timeOfA: A => Long, timeOfB: B => Long): CoGroupWindowed[K, A, B] =
+    new CoGroupWindowed(a, b, kA, kB, assigner, delay, timeOfA, timeOfB)
+}
+final class CoGroupWindowed[K, A, B] private[stream] (
+    a: Dataset[A], b: Dataset[B], kA: A => K, kB: B => K,
+    assigner: WindowAssigner, delay: String,
+    timeOfA: A => Long, timeOfB: B => Long)(implicit kEnc: Encoder[K]) {
+
+  /** CoGroupFunction: `f(key, windowStart, lefts, rights)` once per
+    * closed (key, window) — either side may be empty, the co-group
+    * contract (what makes outer joins expressible). Elements arrive in
+    * event-time order. */
+  def apply[O: Encoder](f: (K, Long, Seq[A], Seq[B]) => O): DataStream[O] = {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val (ka, kb, ta, tb, asg) = (kA, kB, timeOfA, timeOfB, assigner)
+    implicit val rowEnc: Encoder[(K, Long, Boolean, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(kEnc,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.Encoders.BINARY)
+    val la = a.map(x => (ka(x), ta(x), true, Ser.ser(x)))
+    val rb = b.map(x => (kb(x), tb(x), false, Ser.ser(x)))
+    var u = la.toDF("k", "tms", "isL", "payload")
+      .union(rb.toDF("k", "tms", "isL", "payload"))
+      .withColumn("ts", timestamp_millis(col("tms")))
+    val isStream = u.isStreaming
+    if (isStream) u = u.withWatermark("ts", delay)
+    // per (window, side): buffered (time, payload) lists
+    type Buf = Map[Long, (List[(Long, Array[Byte])], List[(Long, Array[Byte])])]
+    implicit val bufEnc: Encoder[Option[Buf]] =
+      org.apache.spark.sql.Encoders.kryo[Option[Buf]]
+    val out = u.groupByKey(r => r.getAs[K]("k"))
+      .flatMapGroupsWithState[Option[Buf], O](
+        OutputMode.Append(),
+        if (isStream) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        val wm = if (isStream) state.getCurrentWatermarkMs() else Long.MaxValue
+        var buf: Buf = state.getOption.flatten.getOrElse(Map.empty)
+        rows.foreach { r =>
+          val t = r.getAs[Long]("tms")
+          val payload = r.getAs[Array[Byte]]("payload")
+          val isLeft = r.getAs[Boolean]("isL")
+          asg.windowsOf(t).foreach { w =>
+            val (ls, rs) = buf.getOrElse(w, (Nil, Nil))
+            buf = buf.updated(w,
+              if (isLeft) ((t, payload) :: ls, rs)
+              else (ls, (t, payload) :: rs))
+          }
+        }
+        val (closed, open) = buf.partition {
+          case (w, _) => w + asg.sizeMs <= wm
+        }
+        val outs = closed.toSeq.sortBy(_._1).map { case (w, (ls, rs)) =>
+          f(key, w,
+            ls.reverse.sortBy(_._1).map(p => Ser.deser[A](p._2)),
+            rs.reverse.sortBy(_._1).map(p => Ser.deser[B](p._2)))
+        }
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(Some(open))
+          if (isStream)
+            open.keys.map(_ + asg.sizeMs).minOption
+              .filter(_ > wm).foreach(state.setTimeoutTimestamp)
+        }
+        outs.iterator
       }
     new DataStream(out)
   }

@@ -229,6 +229,48 @@ class DataStreamApiSpec extends SparkSpecBase {
     assert(cr.executeAndCollect().toSet == Set((1L, 5L, 3.0)))
   }
 
+  test("coGroup windows both sides per key, batch and stream") {
+    import graft.stream.TumblingEventTimeWindows
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 10_000_000L
+    val l = Seq((1L, base + 2L, "a"), (1L, base + 12L, "b"),
+      (2L, base + 3L, "c"))
+    val r = Seq((1L, base + 4L, 10.0), (1L, base + 15L, 20.0),
+      (3L, base + 5L, 30.0))
+    def run(lds: graft.stream.DataStream[(Long, Long, String)],
+        rds: graft.stream.DataStream[(Long, Long, Double)]) =
+      lds.coGroup(rds).where(_._1).equalTo(_._1)
+        .window(TumblingEventTimeWindows(10L), delay = "1 second")(
+          _._2, _._2)
+        .apply((k, w, ls, rs) =>
+          (k, w - base, ls.map(_._3).mkString("|"), rs.map(_._3).sum))
+    val expected = Set(
+      (1L, 0L, "a", 10.0), (1L, 10L, "b", 20.0),
+      (2L, 0L, "c", 0.0), (3L, 0L, "", 30.0)) // one-sided windows too
+    assert(run(env.fromElements(l: _*), env.fromElements(r: _*))
+      .executeAndCollect().toSet == expected)
+    val li = MemoryStream[(Long, Long, String)]
+    val ri = MemoryStream[(Long, Long, Double)]
+    val q = run(env.fromDataset(li.toDS()), env.fromDataset(ri.toDS()))
+      .toDataset.writeStream.format("memory").queryName("ds_cogrp")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cg-").toString)
+      .start()
+    try {
+      li.addData(l.take(2)); ri.addData(r.take(1)); q.processAllAvailable()
+      li.addData(l.drop(2)); ri.addData(r.drop(1)); q.processAllAvailable()
+      // push the watermark past every window end
+      li.addData(Seq((9L, base + 100_000L, "z"))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ds_cogrp")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(expected.subsetOf(streamed))
+    assert(streamed -- expected ==
+      Set((9L, 100_000L - math.floorMod(100_000L, 10L), "z", 0.0)) ||
+      (streamed -- expected).forall(_._1 == 9L))
+  }
+
   test("streaming tumbling window closes when the watermark passes") {
     import graft.stream.TumblingEventTimeWindows
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
