@@ -55,8 +55,12 @@ object Bench {
       }
     }
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
-      val ok = timed(i).filter(_ >= 0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2)) // median
+      // ANY failed rep marks the query failed (-1): a query that
+      // crashes intermittently must not report a healthy median of
+      // its surviving reps (review r11)
+      val ts = timed(i)
+      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
+        else { val ok = ts.sorted; ok(ok.size / 2) }) // median
     }
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"

@@ -1193,7 +1193,8 @@ object CepPattern {
       skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
       measures: Seq[CepNfa.MeasureSpec] = Nil): DataFrame =
     dropGapCols(CepNfa.nestedMulti(df, keyCol, timeCol, valCols,
-      Seq(translateNested(b)), b.withinUs, skip, measures))
+      Seq(translateNested(b)), b.withinUs, skip, measures,
+      recentCap = offsetCap(measures)))
 
   /** Streaming face for NESTED group patterns (see [[nested]]). */
   def nestedStreaming(
@@ -1205,7 +1206,17 @@ object CepPattern {
       skip: AfterMatchSkip = AfterMatchSkip.PastLastRow,
       measures: Seq[CepNfa.MeasureSpec] = Nil): DataFrame =
     dropGapCols(CepNfa.nestedStreamingMulti(df, keyCol, timeCol, valCols,
-      Seq(translateNested(b)), b.withinUs, skip, measures))
+      Seq(translateNested(b)), b.withinUs, skip, measures,
+      recentCap = offsetCap(measures)))
+
+  /** Logical-offset measures need the engine to retain the first/last
+    * (maxOff + 1) values per register (review r11: without this the
+    * offset measures silently emitted NULL on the nested faces). */
+  private def offsetCap(measures: Seq[CepNfa.MeasureSpec]): Int =
+    measures.map(_.off).foldLeft(0)(math.max) match {
+      case 0 => 0
+      case m => m + 1
+    }
 
   /** Batch face WITH the timeout side output — the reference's
     * TimedOutPartialMatchHandler (flink-libraries/flink-cep/…/functions/

@@ -676,7 +676,14 @@ object FlinkDdl {
         val ts = FlinkSql.tokenize(cur)
         var k = 0
         while (!changed && k + 4 < ts.length) {
-          if (ts(k + 1).s == "." && ts(k + 3).s == "." &&
+          // only a TABLE-REFERENCE position (after FROM or JOIN)
+          // rewrites: a bare ident.ident.ident elsewhere may be a
+          // struct-field path or a write target (review r11 — and the
+          // rewrite opens a live JDBC connection, which must not fire
+          // as a side effect of unrelated projections)
+          val refPos = k > 0 &&
+            (ts(k - 1).up == "FROM" || ts(k - 1).up == "JOIN")
+          if (refPos && ts(k + 1).s == "." && ts(k + 3).s == "." &&
               identLike(ts(k)) && identLike(ts(k + 2)) &&
               identLike(ts(k + 4)) && jdbcOpts(ts(k).s).isDefined) {
             val opts = jdbcOpts(ts(k).s).get

@@ -1870,8 +1870,15 @@ object FlinkSql {
     // the reference forbids a reluctant quantifier on the LAST pattern
     // variable (match_recognize.md:1119) — with nothing after it, "as
     // few rows as possible" would always be the minimum and the spelling
-    // is a trap; reject like the reference instead of silently matching
-    branches.foreach(_.lastOption.foreach {
+    // is a trap; reject like the reference instead of silently matching.
+    // The check recurses into trailing GROUPS: in (a (b c*?)) the c*?
+    // is effectively last too (review r11).
+    def lastAtom(es: Seq[PElem]): Option[PAtom] = es.lastOption.flatMap {
+      case a: PAtom => Some(a)
+      case PGroup(inner, _, _) => lastAtom(inner)
+      case _ => None
+    }
+    branches.foreach(b => lastAtom(b).foreach {
       case PAtom(sym, _, _, true) => throw new IllegalArgumentException(
         s"a reluctant quantifier on the last pattern variable ($sym) is " +
           "not supported (the reference excludes it — " +
@@ -2353,8 +2360,7 @@ object FlinkSql {
         // before it
         val k = ci(col)
         if (sym == dsym) fn match {
-          case "last" => (_, v, x) =>
-            if (off == 0) v(k) else x.lastOff(sym, k, off - 1)
+          case "last" => (_, _, x) => x.lastOff(sym, k, off - 1)
           case "first" => (_, v, x) =>
             if (x.countAll(sym, k) == off) v(k) else x.firstOff(sym, k, off)
         } else fn match {

@@ -191,6 +191,12 @@ final class KeyedStream[K, T] private[stream] (
       other: KeyedStream[K, U]): ConnectedKeyedStreams[K, T, U] =
     new ConnectedKeyedStreams(ds, other.ds, keyF, other.keyF)
 
+  /** The input still carries a watermarked column (typed maps strip
+    * the metadata) — the precondition for event-time timers. */
+  private[stream] def watermarked: Boolean = ds.schema.fields
+    .exists(_.metadata.contains("spark.watermarkDelayMs"))
+  private[stream] def isStreamingInput: Boolean = ds.isStreaming
+
   /** Flink's running `reduce`: EVERY input element emits the reduce of
     * all elements seen so far for its key (KeyedStream.java reduce —
     * the rolling aggregation contract). On batch the per-key fold
@@ -388,7 +394,15 @@ final class IntervalJoined[K, T, U] private[stream] (
         : Encoder[Option[(List[(Long, Array[Byte])], List[(Long, Array[Byte])])]] =
       org.apache.spark.sql.Encoders
         .kryo[Option[(List[(Long, Array[Byte])], List[(Long, Array[Byte])])]]
-    val out = u.groupByKey(r => r.getAs[K]("k"))
+    // key extraction re-derives K from the payload: reading the "k"
+    // column via getAs[K] returns a Row for struct-encoded keys
+    // (tuples, case classes) and only worked for primitives (review
+    // r11)
+    val out = u.groupByKey { r =>
+        val e = Ser.deser[Any](r.getAs[Array[Byte]]("payload"))
+        if (r.getAs[Boolean]("isL")) lk(e.asInstanceOf[T])
+        else rk(e.asInstanceOf[U])
+      }
       .flatMapGroupsWithState[
         Option[(List[(Long, Array[Byte])], List[(Long, Array[Byte])])], O](
         OutputMode.Append(),
@@ -421,7 +435,17 @@ final class IntervalJoined[K, T, U] private[stream] (
         }
         if (wm == Long.MaxValue || (ls.isEmpty && rs.isEmpty))
           state.remove()
-        else state.update(Some((ls, rs)))
+        else {
+          state.update(Some((ls, rs)))
+          // timer at the earliest prune deadline, so quiescent keys
+          // still shed state on watermark passage (review r11 — the
+          // reference's IntervalJoinOperator cleanup timers)
+          if (isStream) {
+            val wake = (ls.iterator.map(_._1 + hi) ++
+              rs.iterator.map(_._1 - lo)).min + 1
+            if (wake > wm) state.setTimeoutTimestamp(wake)
+          }
+        }
         out.iterator
       }
     new DataStream(out)
@@ -478,7 +502,11 @@ final class CoGroupWindowed[K, A, B] private[stream] (
     type Buf = Map[Long, (List[(Long, Array[Byte])], List[(Long, Array[Byte])])]
     implicit val bufEnc: Encoder[Option[Buf]] =
       org.apache.spark.sql.Encoders.kryo[Option[Buf]]
-    val out = u.groupByKey(r => r.getAs[K]("k"))
+    val out = u.groupByKey { r => // see IntervalJoined: payload-derived K
+        val e = Ser.deser[Any](r.getAs[Array[Byte]]("payload"))
+        if (r.getAs[Boolean]("isL")) ka(e.asInstanceOf[A])
+        else kb(e.asInstanceOf[B])
+      }
       .flatMapGroupsWithState[Option[Buf], O](
         OutputMode.Append(),
         if (isStream) GroupStateTimeout.EventTimeTimeout()
@@ -549,6 +577,14 @@ final class WindowedStream[K, T] private[stream] (
   /** WindowFunction: `f(key, windowStart, elements)` per closed window
     * (elements in event-time order). */
   def apply[U: Encoder](f: (K, Long, Seq[T]) => U): DataStream[U] = {
+    // fail fast (review r11): without the watermarked column the hook
+    // would see watermark 0 forever and no window would EVER close —
+    // a silently empty query is worse than an error
+    require(!keyed.isStreamingInput || keyed.watermarked,
+      "event-time windows on a stream need the watermarked column in " +
+        "the element type — call assignTimestampsAndWatermarks directly " +
+        "before keyBy and keep the timestamp field (typed maps strip " +
+        "watermark metadata)")
     val asg = assigner; val tf = timeOf
     type Buf = Map[Long, List[(Long, T)]]
     keyed.processHook[Buf, U] { (key, rows, st, wm) =>

@@ -55,7 +55,12 @@ object api {
       private[table] val overMark: Boolean = false,
       private[table] val overAlias: Option[String] = None,
       private[table] val aggMark: Boolean = false) {
-    private def mk(c: Column) = new Expr(c)
+    // derived expressions keep (and merge) aggregate-ness so the
+    // grouped-select key/aggregate classification cannot be bypassed by
+    // wrapping an aggregate in arithmetic (review r11)
+    private def mk(c: Column) = new Expr(c, aggMark = aggMark)
+    private def mk2(c: Column, o: Expr) =
+      new Expr(c, aggMark = aggMark || o.aggMark)
     private def mkAgg(c: Column) = new Expr(c, aggMark = true)
 
     /** Apply this aggregate over the select's over-window (Table.java
@@ -67,28 +72,30 @@ object api {
         overAlias = window.name, aggMark = aggMark)
 
     // arithmetic (ApiExpression plus/minus/times/dividedBy/mod)
-    def plus(o: Expr): Expr = mk(col + o.col)
-    def minus(o: Expr): Expr = mk(col - o.col)
-    def times(o: Expr): Expr = mk(col * o.col)
-    def dividedBy(o: Expr): Expr = mk(col / o.col)
-    def mod(o: Expr): Expr = mk(col % o.col)
+    def plus(o: Expr): Expr = mk2(col + o.col, o)
+    def minus(o: Expr): Expr = mk2(col - o.col, o)
+    def times(o: Expr): Expr = mk2(col * o.col, o)
+    def dividedBy(o: Expr): Expr = mk2(col / o.col, o)
+    def mod(o: Expr): Expr = mk2(col % o.col, o)
 
     // comparison
-    def isEqual(o: Expr): Expr = mk(col === o.col)
-    def isNotEqual(o: Expr): Expr = mk(col =!= o.col)
-    def isGreater(o: Expr): Expr = mk(col > o.col)
-    def isGreaterOrEqual(o: Expr): Expr = mk(col >= o.col)
-    def isLess(o: Expr): Expr = mk(col < o.col)
-    def isLessOrEqual(o: Expr): Expr = mk(col <= o.col)
+    def isEqual(o: Expr): Expr = mk2(col === o.col, o)
+    def isNotEqual(o: Expr): Expr = mk2(col =!= o.col, o)
+    def isGreater(o: Expr): Expr = mk2(col > o.col, o)
+    def isGreaterOrEqual(o: Expr): Expr = mk2(col >= o.col, o)
+    def isLess(o: Expr): Expr = mk2(col < o.col, o)
+    def isLessOrEqual(o: Expr): Expr = mk2(col <= o.col, o)
     def isNull: Expr = mk(col.isNull)
     def isNotNull: Expr = mk(col.isNotNull)
-    def between(lo: Expr, hi: Expr): Expr = mk(col.between(lo.col, hi.col))
+    def between(lo: Expr, hi: Expr): Expr =
+      new Expr(col.between(lo.col, hi.col),
+        aggMark = aggMark || lo.aggMark || hi.aggMark)
     def in(vs: Expr*): Expr = mk(col.isin(vs.map(_.col): _*))
     def like(pattern: String): Expr = mk(col.like(pattern))
 
     // logic
-    def and(o: Expr): Expr = mk(col && o.col)
-    def or(o: Expr): Expr = mk(col || o.col)
+    def and(o: Expr): Expr = mk2(col && o.col, o)
+    def or(o: Expr): Expr = mk2(col || o.col, o)
     def not: Expr = mk(!col)
 
     // naming / ordering / casting; on an over-marked expression the

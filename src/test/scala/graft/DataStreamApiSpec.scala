@@ -198,6 +198,30 @@ class DataStreamApiSpec extends SparkSpecBase {
     } finally q.stop()
     assert(spark.table("ds_ivj").as[(Long, Long, Long)]
       .collect().toSet == expected)
+
+    // struct-encoded (tuple) keys work too (review r11: the key is
+    // re-derived from the payload, not read back from the struct col)
+    val lt = Seq(((1L, "x"), base + 100L), ((2L, "y"), base + 100L))
+    val rt = Seq(((1L, "x"), base + 101L), ((2L, "z"), base + 101L))
+    val outT = env.fromElements(lt: _*).keyBy(_._1)
+      .intervalJoin(env.fromElements(rt: _*).keyBy(_._1))
+      .between(-2L, 2L)(_._2, _._2)
+      .process((a, b) => (a._1._1, a._1._2))
+      .executeAndCollect().toSet
+    assert(outT == Set((1L, "x"))) // (2,"y") vs (2,"z") keys differ
+  }
+
+  test("streaming event-time window without a watermark fails fast") {
+    import graft.stream.TumblingEventTimeWindows
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val e = intercept[IllegalArgumentException] {
+      env.fromDataset(input.toDS())
+        .keyBy(_._1)
+        .window(TumblingEventTimeWindows(10L))(_._2)
+        .apply((k, w, es) => (k, w, es.size))
+    }
+    assert(e.getMessage.contains("assignTimestampsAndWatermarks"))
   }
 
   test("event-time windows and countWindow close per contract") {

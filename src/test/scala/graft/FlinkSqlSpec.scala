@@ -198,6 +198,18 @@ class FlinkSqlSpec extends SparkSpecBase {
         Map("t" -> ticker))
     }
     assert(e3.getMessage.contains("last pattern variable"))
+    // ... including when the effectively-last variable sits inside a
+    // trailing GROUP (review r11)
+    val e3g = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        """SELECT symbol FROM t MATCH_RECOGNIZE (
+          |  PARTITION BY symbol ORDER BY ts_us
+          |  PATTERN (A (B C*?))
+          |  DEFINE A AS A.price > 10, B AS B.price < 15,
+          |         C AS C.price > 12)""".stripMargin,
+        Map("t" -> ticker))
+    }
+    assert(e3g.getMessage.contains("last pattern variable"))
 
     // `{,m}` ≡ `{0,m}` (match_recognize.md:365): up to two greedy B's
     assert(run("{,2}") == Seq(14.0))

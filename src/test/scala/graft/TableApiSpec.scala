@@ -187,6 +187,15 @@ class TableApiSpec extends SparkSpecBase {
         .toDataFrame
     }
     assert(e2.getMessage.contains("o_orderpriority"))
+    // ... and the aggregate mark survives derived expressions (review
+    // r11: sum.plus(1) is still an aggregate)
+    val e2b = intercept[IllegalArgumentException] {
+      env.from("orders").groupBy($("o_orderpriority"))
+        .select($("o_totalprice").sum.plus(lit(1.0)).as("o_orderpriority"),
+          $("o_totalprice").avg.as("a"))
+        .toDataFrame
+    }
+    assert(e2b.getMessage.contains("o_orderpriority"))
   }
 
   test("joinLateral / map / flatMap / aggregate / flatAggregate") {
