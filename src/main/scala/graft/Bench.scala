@@ -41,26 +41,33 @@ object Bench {
       try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
     }
 
-    // Reps interleave round-robin (rep 1 of every query, then rep 2, …):
-    // a transient machine-load spike then dents one rep of many queries —
-    // which the median rejects — instead of all reps of one alphabetical
-    // neighborhood, which manufactured >2x false alarms in r9/r10 sweeps.
+    // Rep schedule (r12): reps-1 SEQUENTIAL reps per query right after
+    // its warmup neighborhood (hot JIT/code cache — the state the
+    // baselines were recorded in), then ONE final round-robin rescue
+    // pass minutes later. Aggregate by MIN: a transient machine-load
+    // spike poisons either the sequential block or the rescue rep, never
+    // both, so the min rejects it — r11's fully-interleaved schedule
+    // fixed the false alarms but ran every rep cold (each one after 260
+    // other queries churned the JVM) and shifted the whole sweep's
+    // medians +26% vs baseline.
     val timed = Array.fill(ordered.size)(
       scala.collection.mutable.ArrayBuffer.empty[Double])
-    (1 to reps).foreach { _ =>
-      ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-        val t = try runOnce(spark, sfDir, fn)
-          catch { case _: Throwable => -1.0 }
-        timed(i) += t
+    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
+      (2 to reps).foreach { _ =>
+        timed(i) += (try runOnce(spark, sfDir, fn)
+          catch { case _: Throwable => -1.0 })
       }
+    }
+    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
+      timed(i) += (try runOnce(spark, sfDir, fn)
+        catch { case _: Throwable => -1.0 })
     }
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
       // ANY failed rep marks the query failed (-1): a query that
-      // crashes intermittently must not report a healthy median of
+      // crashes intermittently must not report a healthy min of
       // its surviving reps (review r11)
       val ts = timed(i)
-      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
-        else { val ok = ts.sorted; ok(ok.size / 2) }) // median
+      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.min)
     }
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"

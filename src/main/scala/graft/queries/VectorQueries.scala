@@ -221,25 +221,31 @@ object VectorQueries {
         // Bucket-size cap (VERDICT r10): a degenerate embedding
         // population (all-zero / constant-sign vectors) lands everything
         // in ONE bucket per band and the pair explode goes quadratic on
-        // a single key. Mirror of NgramJaccard's hot-shingle df cap:
-        // buckets above the cap are dropped from candidate generation —
-        // they carry no near-dup signal (a bucket keyed by 8 sign bits
-        // that most of the corpus shares discriminates nothing), and
-        // genuinely similar pairs still meet in their 7 other bands.
-        // The per-bucket count comes from a WINDOW over (band, key):
-        // its exchange is the SAME partitioning the grouping below
-        // needs, so Catalyst plans ONE shuffle and one signature pass
-        // (a count-aggregate + semi-join would re-evaluate sig and
-        // shuffle twice), and the filter drops hot buckets BEFORE
-        // collect_list materializes any array — a degenerate bucket
-        // costs one linear, spillable window partition, never a
-        // quadratic pair array. Cap 64 ≫ the observed max bucket (8 at
-        // sf0.01, 20 at sf0.1), so verification results are exactly
-        // the uncapped answer; at 100 TB configure per corpus (pairs
-        // per bucket stay ≤ cap·(cap-1)/2 ≈ 2k).
-        val cand = sig
-          .withColumn("__n", count(lit(1)).over(
-            Window.partitionBy(col("band"), col("key"))))
+        // a single key. Buckets at or under the cap generate ALL their
+        // pairs; buckets over it switch to REPRESENTATIVE pairing
+        // (ADVICE r11): each member pairs with the bucket's min-id rep —
+        // linear in bucket size, never quadratic, and exact-dup-heavy
+        // corpora (identical vectors hot in EVERY band at once, so no
+        // other band rescues them) still connect: every member scores
+        // cos 1.0 against the rep, so connected components keeps the
+        // whole cluster via the rep star. Recall in over-cap buckets is
+        // partial by design (member–member pairs not near the rep are
+        // missed) — the quadratic/recall trade at a stated boundary.
+        // The per-bucket count and rep come from ONE WINDOW over
+        // (band, key): its exchange is the SAME partitioning the
+        // grouping below needs, so Catalyst plans ONE shuffle and one
+        // signature pass, and the size gate runs BEFORE collect_list
+        // materializes any array — a degenerate bucket costs one
+        // linear, spillable window partition, never a quadratic pair
+        // array. Cap 64 ≫ the observed max bucket (8 at sf0.01, 20 at
+        // sf0.1), so verification results are exactly the uncapped
+        // answer; at 100 TB configure per corpus (pairs per bucket stay
+        // ≤ cap·(cap-1)/2 ≈ 2k full + linear rep pairs).
+        val bucketW = Window.partitionBy(col("band"), col("key"))
+        val withStats = sig
+          .withColumn("__n", count(lit(1)).over(bucketW))
+          .withColumn("__rep", min(col("vec_id")).over(bucketW))
+        val fullPairs = withStats
           .where(col("__n") <= bucketCap)
           .groupBy(col("band"), col("key"))
           .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
@@ -248,7 +254,10 @@ object VectorQueries {
             graft.functions.TextAnalysis.sortedPairs(col("vs"))).as("p"))
           .select(col("p").getItem(0).as("vec_a"),
             col("p").getItem(1).as("vec_b"))
-          .distinct()
+        val repPairs = withStats
+          .where(col("__n") > bucketCap && col("vec_id") =!= col("__rep"))
+          .select(col("__rep").as("vec_a"), col("vec_id").as("vec_b"))
+        val cand = fullPairs.union(repPairs).distinct()
         cand
           .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
             col("nrm").as("na")), "vec_a")

@@ -669,23 +669,58 @@ object FlinkDdl {
     def rewriteJdbcRefs(stmtText: String): String = {
       def identLike(t: FlinkSql.Tok): Boolean =
         t.s.nonEmpty && (t.s.head.isLetter || t.s.head == '_')
+      // clause keywords that END a FROM list at its own depth
+      val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+        "WINDOW", "UNION", "INTERSECT", "EXCEPT", "QUALIFY", "FETCH",
+        "OFFSET", "MATCH_RECOGNIZE")
       var cur = stmtText
       var changed = true
       while (changed) {
         changed = false
         val ts = FlinkSql.tokenize(cur)
+        // FROM-list scope per paren depth: a ',' inside an open FROM
+        // list is also a table-reference position (ADVICE r11 —
+        // comma-separated join lists `FROM a, cat.db.t`)
+        val fromScope = Array.ofDim[Boolean](ts.length + 1)
+        var depth = 0
+        val refPosAt = Array.ofDim[Boolean](ts.length)
         var k = 0
+        while (k < ts.length) {
+          val t = ts(k)
+          if (t.s == "(") { depth += 1; fromScope(depth) = false }
+          else if (t.s == ")") { if (depth > 0) depth -= 1 }
+          else if (t.up == "FROM") fromScope(depth) = true
+          else if (t.up == "JOIN") fromScope(depth) = true
+          else if (fromEnders.contains(t.up)) fromScope(depth) = false
+          if (k + 1 < ts.length)
+            refPosAt(k + 1) = t.up == "FROM" || t.up == "JOIN" ||
+              (t.s == "," && fromScope(depth))
+          k += 1
+        }
+        k = 0
         while (!changed && k + 4 < ts.length) {
-          // only a TABLE-REFERENCE position (after FROM or JOIN)
-          // rewrites: a bare ident.ident.ident elsewhere may be a
-          // struct-field path or a write target (review r11 — and the
-          // rewrite opens a live JDBC connection, which must not fire
-          // as a side effect of unrelated projections)
-          val refPos = k > 0 &&
-            (ts(k - 1).up == "FROM" || ts(k - 1).up == "JOIN")
-          if (refPos && ts(k + 1).s == "." && ts(k + 3).s == "." &&
-              identLike(ts(k)) && identLike(ts(k + 2)) &&
-              identLike(ts(k + 4)) && jdbcOpts(ts(k).s).isDefined) {
+          // only a TABLE-REFERENCE position (after FROM, JOIN, or a
+          // comma inside an open FROM list) rewrites: a bare
+          // ident.ident.ident elsewhere may be a struct-field path or a
+          // write target (review r11 — and the rewrite opens a live
+          // JDBC connection, which must not fire as a side effect of
+          // unrelated projections)
+          val refPos = k > 0 && refPosAt(k)
+          val tripleDotted = k + 4 < ts.length &&
+            ts(k + 1).s == "." && ts(k + 3).s == "." &&
+            identLike(ts(k)) && identLike(ts(k + 2)) && identLike(ts(k + 4))
+          // jdbc catalogs are READ-ONLY here: a jdbc write target gets
+          // an explicit error, not an unrelated 'table not found'
+          // (ADVICE r11)
+          if (k > 0 && (ts(k - 1).up == "INTO" ||
+              ts(k - 1).up == "OVERWRITE") && tripleDotted &&
+              jdbcOpts(ts(k).s).isDefined)
+            throw new IllegalArgumentException(
+              s"jdbc catalogs are read-only in this runner: " +
+                s"'${ts(k).s}.${ts(k + 2).s}.${ts(k + 4).s}' cannot be an " +
+                "INSERT target — write through a registered filesystem " +
+                "table or DataFrameWriter.jdbc instead")
+          if (refPos && tripleDotted && jdbcOpts(ts(k).s).isDefined) {
             val opts = jdbcOpts(ts(k).s).get
             val (db, tbl) = (ts(k + 2).s, ts(k + 4).s)
             val flat = s"__jdbc_${ts(k).s}_${db}_$tbl"

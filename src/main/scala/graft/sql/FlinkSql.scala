@@ -1796,7 +1796,14 @@ object FlinkSql {
     // TIMESTAMP, an operand → the operand's type, i.e. the exact-micros
     // long the engine orders by) and MATCH_PROCTIME()
     // (match_recognize.md:1049), which post-project from end_us /
-    // processing time after the engine runs
+    // processing time after the engine runs. MATCH_PROCTIME is
+    // approximated by current_timestamp() — a per-QUERY constant under
+    // Spark's semantics, not a per-row processing time (fine for its
+    // reference use as a downstream time-attribute carrier; a per-row
+    // wall clock would break Spark's deterministic re-execution
+    // contract). A MATCH_ROWTIME operand must be the ORDER BY rowtime
+    // column (validated below — the reference accepts only the input's
+    // rowtime attribute there)
     val measures = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String, String, Int)]
     // alias -> "rowtime_ts" | "rowtime_raw" | "proctime"
@@ -1812,7 +1819,13 @@ object FlinkSql {
             if (agg == "match_proctime") { require(p.peek == ")",
               "MATCH_PROCTIME takes no arguments"); "proctime" }
             else if (p.peek == ")") "rowtime_ts"
-            else { p.ident(); "rowtime_raw" }
+            else {
+              val operand = p.ident()
+              require(operand.equalsIgnoreCase(timeCol),
+                s"MATCH_ROWTIME operand '$operand' must be the ORDER BY " +
+                  s"rowtime column '$timeCol'")
+              "rowtime_raw"
+            }
           p.eat(")")
           p.eat("AS")
           timeMeasures += ((p.ident(), kind))

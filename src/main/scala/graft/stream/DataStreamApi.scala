@@ -268,6 +268,16 @@ final class KeyedStream[K, T] private[stream] (
             key,
             if (state.hasTimedOut) Iterator.empty else rows,
             state.getOption.flatten, wm)
+          // Fail fast instead of never firing (ADVICE r11): a requested
+          // wake-up on an unwatermarked streaming input would silently
+          // vanish (no event-time timeout available), mirroring the
+          // WindowedStream fail-fast for the same condition.
+          if (isStream && !wmPresent && wake.nonEmpty)
+            throw new IllegalStateException(
+              "KeyedStream.process requested an event-time timer but the " +
+                "streaming input carries no watermarked column — call " +
+                "assignTimestampsAndWatermarks directly before keyBy and " +
+                "keep the timestamp field in the element type")
           next match {
             case Some(_) =>
               state.update(next)

@@ -96,6 +96,33 @@ class DataStreamApiSpec extends SparkSpecBase {
     assert(flushed.contains((7L, 2L)), s"missing key-7 flush: $flushed")
   }
 
+  test("process on an unwatermarked stream fails fast on a wake timer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ADVICE r11: a requested event-time timer used to silently vanish
+    // when the streaming input carried no watermarked column (wm pinned
+    // to 0); a ported program's timers then never fired. Now it throws.
+    val input = MemoryStream[(Long, Long)]
+    val q = env.fromDataset(input.toDS())
+      .keyBy(_._1) // NO assignTimestampsAndWatermarks
+      .process[Long, (Long, Long)] { (key, rows, st, _) =>
+        val cnt = st.getOrElse(0L) + rows.size
+        (Some(cnt), Seq((key, cnt)), Some(12345L)) // wake requested
+      }
+      .toDataset
+      .writeStream.format("memory").queryName("ds_proc_nowm")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dspn-").toString)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input.addData(Seq((1L, 10L))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no watermarked column")), msgs(e))
+  }
+
   test("batch process runs each key once with the watermark at infinity") {
     val out = env.fromElements((1L, 10.0), (1L, 20.0), (2L, 5.0))
       .keyBy(_._1)

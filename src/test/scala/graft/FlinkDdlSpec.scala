@@ -1409,5 +1409,33 @@ class FlinkDdlSpec extends SparkSpecBase {
     val e = intercept[Exception](FlinkDdl.run(spark,
       "SELECT * FROM nocat.db.t"))
     assert(e != null)
+
+    // comma-separated FROM lists are table-reference positions too
+    // (ADVICE r11): `FROM a, jcat.db.t` resolves through the catalog
+    // (the catalog registry is per-script, so re-create it here)
+    val mkCat = s"""CREATE CATALOG jcat WITH
+                   |  ('type' = 'jdbc', 'base-url' = 'jdbc:derby:$dir');
+                   |""".stripMargin
+    spark.range(1, 3).toDF("id").createOrReplaceTempView("graft_jc_local")
+    val comma = FlinkDdl.run(spark, mkCat +
+      s"""SELECT l.id, s.name FROM graft_jc_local l, jcat.db.store s
+         |WHERE l.id = s.id ORDER BY l.id""".stripMargin)
+    assert(comma.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    // a three-dotted SELECT-list path whose head collides with the
+    // catalog name must NOT trigger the rewrite (struct-field access
+    // on an alias, not a table reference)
+    val noScope = FlinkDdl.run(spark, mkCat +
+      """SELECT jcat.db.store FROM
+        |  (SELECT named_struct('store', id) AS db FROM graft_jc_local)
+        |  AS jcat ORDER BY jcat.db.store""".stripMargin)
+    assert(noScope.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // jdbc catalogs are read-only: INSERT targets get an explicit
+    // error naming the limitation, not an unrelated 'table not found'
+    val ro = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      mkCat + "INSERT INTO jcat.db.store SELECT 3, 'c', 30.0"))
+    assert(ro.getMessage.contains("read-only"))
+    assert(ro.getMessage.contains("jcat.db.store"))
   }
 }

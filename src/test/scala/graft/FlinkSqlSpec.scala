@@ -375,6 +375,16 @@ class FlinkSqlSpec extends SparkSpecBase {
       assert(math.abs(r.getTimestamp(3).getTime -
         System.currentTimeMillis()) < 600000L)
     }
+    // an operand that is NOT the ORDER BY rowtime column is rejected
+    // (ADVICE r11: it used to parse-and-discard, silently yielding
+    // end_us for any name)
+    val bad = intercept[IllegalArgumentException](FlinkSql.sql(spark,
+      """SELECT mrt FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY symbol ORDER BY ts_us
+        |  MEASURES MATCH_ROWTIME(price) AS mrt
+        |  PATTERN (a) DEFINE a AS a.price > 0)""".stripMargin,
+      Map("t" -> t)))
+    assert(bad.getMessage.contains("ORDER BY rowtime"))
   }
 
   test("lookup join wins when the dim coincidentally has a proctime " +

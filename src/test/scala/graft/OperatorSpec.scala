@@ -195,9 +195,11 @@ class OperatorSpec extends SparkSpecBase {
   test("LSH bucket cap bounds degenerate embedding candidates") {
     // 40 identical constant-sign vectors land in ONE bucket in every
     // band — uncapped, candidate generation goes quadratic on that key
-    // (40*39/2 = 780 pairs). Capped at 10 the hot buckets are dropped
-    // before any array materializes; only the genuinely distinctive
-    // near-dup pair (its own 2-member buckets) survives.
+    // (40*39/2 = 780 pairs). Capped at 10 the hot buckets switch to
+    // representative pairing (ADVICE r11): each member pairs with the
+    // bucket's min-id rep, so the cluster stays CONNECTED through the
+    // rep star (identical vectors are hot in every band at once — no
+    // other band rescues them) while the pair count stays linear.
     val dim = 64
     val constants = (1L to 40L).map(i => (i, Array.fill(dim)(1.0f)))
     val alt = Array.tabulate(dim)(d => if (d % 2 == 0) 1.0f else -1.0f)
@@ -206,11 +208,21 @@ class OperatorSpec extends SparkSpecBase {
 
     val capped = graft.queries.VectorQueries
       .cosineDupPairs(emb, 0.3, bucketCap = 10)
-    assert(capped.select($"vec_a", $"vec_b").as[(Long, Long)]
-      .collect().toSet == Set((100L, 101L)))
+    val got = capped.select($"vec_a", $"vec_b").as[(Long, Long)]
+      .collect().toSet
+    // rep star (1, i) for every constant member + the genuine dup pair:
+    // linear (40 pairs), not quadratic (781)
+    assert(got ==
+      (2L to 40L).map(i => (1L, i)).toSet + ((100L, 101L)))
+    // cluster recall: connected components over the capped pairs still
+    // groups ALL 40 identical vectors into one cluster
+    val cc = graft.operators.ConnectedComponents(
+      capped.select($"vec_a", $"vec_b"), "vec_a", "vec_b")
+    assert(cc.where($"label" === 1L).count() == 40)
     // plan lock: bucketed candidate generation, never all-pairs; the
-    // bucket-size filter rides a window over (band, key) whose
-    // exchange the grouping reuses — one shuffle, one signature pass
+    // bucket-size gate and the rep ride ONE window over (band, key)
+    // whose exchange the grouping reuses — one shuffle, one signature
+    // pass
     val plan = capped.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("Window"))
