@@ -824,6 +824,82 @@ object MiscOpQueries {
         FROM e GROUP BY user_id ORDER BY user_id
       """.stripMargin.trim)),
 
+    // Typed session windows (round 12; EventTimeSessionWindows.java via
+    // the KeyedStream.window face): per-user sessions with a 30-minute
+    // gap over the events table — count + exact cent sum per session.
+    // The oracle derives the same sessions relationally: a session
+    // boundary is a gap > 30 min from the previous event, session id =
+    // running boundary count.
+    QueryDef(
+      "q_datastream_session",
+      (s, dir) => {
+        import s.implicits._
+        val gapUs = 30L * 60 * 1000000
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"),
+            round(col("value") * 100).cast("long").as("v100"))
+          .as[(Long, Long, Long)]
+        graft.stream.StreamExecutionEnvironment.create(s)
+          .fromDataset(e)
+          .keyBy(_._1)
+          .window(graft.stream.EventTimeSessionWindows.withGap(gapUs))(_._2)
+          .apply((k, start, es) =>
+            (k, start, es.size.toLong, es.map(_._3).sum))
+          .toDataset
+          .toDF("user_id", "sess_start_us", "n", "sum_c")
+          .orderBy(col("user_id"), col("sess_start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v100
+          FROM events),
+        b AS (
+          SELECT user_id, tu, v100,
+                 CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                      >= 30 * 60 * 1000000 OR
+                      lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        sid AS (
+          SELECT user_id, tu, v100,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tu
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM b)
+        SELECT user_id, MIN(tu) AS sess_start_us,
+               COUNT(*) AS n, CAST(SUM(v100) AS BIGINT) AS sum_c
+        FROM sid GROUP BY user_id, sess
+        ORDER BY user_id, sess_start_us
+      """.stripMargin.trim)),
+
+    // Typed async I/O (round 12; AsyncDataStream.java orderedWait): a
+    // pure async enrichment per order — the facade's bounded in-flight
+    // pool with ordered emission. The enrichment is deterministic
+    // arithmetic so DuckDB oracles it exactly.
+    QueryDef(
+      "q_datastream_async",
+      (s, dir) => {
+        import s.implicits._
+        import scala.concurrent.Future
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .as[(Long, String)]
+        val env = graft.stream.StreamExecutionEnvironment.create(s)
+        graft.stream.AsyncDataStream.orderedWait[(Long, String), (Long, Long)](
+          env.fromDataset(o),
+          t => Future((t._1, t._1 % 97 + t._2.length.toLong)).map(Seq(_)),
+          timeoutMs = 30000L, capacity = 32)
+          .toDataset
+          .toDF("o_orderkey", "enriched")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderkey % 97 + length(o_orderpriority)
+          AS enriched
+        FROM orders ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // Table API facade (round 10; graft.table — the reference's fluent
     // Table.java/TableEnvironment.java surface over DataFrames): a
     // join + filter + group-agg pipeline phrased ENTIRELY through the

@@ -26,10 +26,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the KeyedProcessFunction tier (state + event-time timers) as a typed
   * wrapper over the same hook the PTF operators use.
   *
-  * Deliberate deltas (documented): no iterate() (cyclic dataflow has no
-  * Catalyst analog — ConnectedComponents covers the iterative-algorithm
-  * use case); windows live on the Table/SQL tiers (graft.table windows,
-  * streaming ops) rather than on the typed stream.
+  * Deliberate deltas (documented): no iterate() (removed upstream in
+  * the reference's 2.x line; cyclic dataflow has no Catalyst analog —
+  * ConnectedComponents covers the iterative-algorithm use case); no
+  * processing-time window assigners (Spark SS is event-time-first —
+  * ProcessingTimeSessionWindows etc. map to the event-time forms over
+  * an ingestion timestamp).
   */
 final class StreamExecutionEnvironment private (val spark: SparkSession) {
   def fromDataset[T](ds: Dataset[T]): DataStream[T] = new DataStream(ds)
@@ -334,6 +336,14 @@ final class KeyedStream[K, T] private[stream] (
       (implicit tEnc: Encoder[T]): WindowedStream[K, T] =
     new WindowedStream(this, assigner, timeOf)
 
+  /** Session windows on the typed face (assigners/EventTimeSessionWindows
+    * .java, DynamicEventTimeSessionWindows.java): elements closer than
+    * the gap merge into one session; a session closes when the
+    * watermark passes its end (last element time + its gap). */
+  def window(assigner: SessionWindowAssigner[T])(timeOf: T => Long)
+      (implicit tEnc: Encoder[T]): SessionWindowedStream[K, T] =
+    new SessionWindowedStream(this, assigner, timeOf)
+
   private[stream] def processHook[S, U: Encoder](
       f: (K, Iterator[T], Option[S], Long) => (Option[S], Seq[U], Option[Long]))
       (implicit tEnc: Encoder[T]): DataStream[U] = process(f)
@@ -619,6 +629,87 @@ final class WindowedStream[K, T] private[stream] (
   /** WindowedStream#reduce: the reduce of each closed window's
     * elements, emitted once per window (the reference's window-reduce
     * contract; incremental in spirit, buffered here). */
+  def reduce(f: (T, T) => T): DataStream[T] =
+    apply[T]((_, _, elems) => elems.reduce(f))(tEnc)
+}
+
+/** Merging session assigners (WindowAssigner with merging semantics in
+  * the reference — MergingWindowAssigner.java): each element seeds a
+  * window `[t, t + gap)`; overlapping windows merge. `gapOf` is the
+  * element's gap in ms (constant or extracted — the
+  * SessionWindowTimeGapExtractor contract). */
+sealed trait SessionWindowAssigner[-T] extends Serializable {
+  def gapOf(e: T, t: Long): Long
+}
+/** EventTimeSessionWindows.java `withGap`: constant session gap. */
+final case class EventTimeSessionWindows(gapMs: Long)
+    extends SessionWindowAssigner[Any] {
+  require(gapMs > 0, "session gap must be positive")
+  def gapOf(e: Any, t: Long): Long = gapMs
+}
+object EventTimeSessionWindows {
+  def withGap(gapMs: Long): EventTimeSessionWindows =
+    EventTimeSessionWindows(gapMs)
+}
+/** DynamicEventTimeSessionWindows.java `withDynamicGap`: per-element
+  * gap from the SessionWindowTimeGapExtractor. */
+final case class DynamicEventTimeSessionWindows[T](extract: T => Long)
+    extends SessionWindowAssigner[T] {
+  def gapOf(e: T, t: Long): Long = {
+    val g = extract(e)
+    require(g > 0, s"dynamic session gap must be positive, got $g")
+    g
+  }
+}
+object DynamicEventTimeSessionWindows {
+  def withDynamicGap[T](extract: T => Long)
+      : DynamicEventTimeSessionWindows[T] =
+    DynamicEventTimeSessionWindows(extract)
+}
+
+/** Session-windowed keyed stream: open-session elements buffer in keyed
+  * state; each batch re-derives the session partition of the buffer
+  * (sort + gap split — sessions are a function of the element times, so
+  * merging needs no window bookkeeping), closes the ones the watermark
+  * passed, and keeps the rest. */
+final class SessionWindowedStream[K, T] private[stream] (
+    keyed: KeyedStream[K, T], assigner: SessionWindowAssigner[T],
+    timeOf: T => Long)(implicit kEnc: Encoder[K], tEnc: Encoder[T]) {
+
+  /** `f(key, sessionStart, elements)` per closed session, elements in
+    * event-time order; sessionStart is the first element's time. */
+  def apply[U: Encoder](f: (K, Long, Seq[T]) => U): DataStream[U] = {
+    require(!keyed.isStreamingInput || keyed.watermarked,
+      "event-time session windows on a stream need the watermarked " +
+        "column in the element type — call assignTimestampsAndWatermarks " +
+        "directly before keyBy and keep the timestamp field")
+    val asg = assigner; val tf = timeOf
+    type Buf = List[(Long, T)]
+    keyed.processHook[Buf, U] { (key, rows, st, wm) =>
+      var buf = st.getOrElse(Nil)
+      rows.foreach(r => buf = (tf(r), r) :: buf)
+      // gap-split the time-sorted buffer: element t extends the current
+      // session while t < its end; merged end = max(t_i + gap_i)
+      var sessions = List.empty[(Long, Long, List[(Long, T)])] // (start, end, rev elems)
+      buf.sortBy(_._1).foreach { case (t, e) =>
+        val end = t + asg.gapOf(e, t)
+        sessions match {
+          case (s0, e0, es) :: rest if t < e0 =>
+            sessions = (s0, math.max(e0, end), (t, e) :: es) :: rest
+          case _ => sessions = (t, end, List((t, e))) :: sessions
+        }
+      }
+      val (closed, open) = sessions.partition(_._2 <= wm)
+      val out = closed.sortBy(_._1).map { case (s, _, es) =>
+        f(key, s, es.reverse.map(_._2))
+      }
+      val keep = open.flatMap(_._3)
+      val wake = open.map(_._2).minOption
+      (if (keep.isEmpty) None else Some(keep), out, wake)
+    }
+  }
+
+  /** WindowedStream#reduce over each closed session. */
   def reduce(f: (T, T) => T): DataStream[T] =
     apply[T]((_, _, elems) => elems.reduce(f))(tEnc)
 }

@@ -322,6 +322,118 @@ class DataStreamApiSpec extends SparkSpecBase {
       (streamed -- expected).forall(_._1 == 9L))
   }
 
+  test("session windows merge by gap, constant and dynamic") {
+    import graft.stream.{DynamicEventTimeSessionWindows, EventTimeSessionWindows}
+    // key 1: 5,8,12 (one session: gaps < 10), 40 (own session)
+    val rows = Seq((1L, 5L, 1.0), (1L, 8L, 2.0), (1L, 12L, 4.0),
+      (1L, 40L, 8.0), (2L, 7L, 16.0))
+    val s = env.fromElements(rows: _*)
+      .keyBy(_._1)
+      .window(EventTimeSessionWindows.withGap(10L))(_._2)
+      .apply((k, start, es) => (k, start, es.map(_._3).sum))
+    assert(s.executeAndCollect().toSet ==
+      Set((1L, 5L, 7.0), (1L, 40L, 8.0), (2L, 7L, 16.0)))
+    // dynamic gap: the element's value IS its gap — (1, 5) gap 1 ends
+    // before 8 (split); (1, 8) gap 30 spans [8, 38) so 12 merges but
+    // 40 does not
+    val d = env.fromElements(
+      (1L, 5L, 1.0), (1L, 8L, 30.0), (1L, 12L, 4.0), (1L, 40L, 8.0))
+      .keyBy(_._1)
+      .window(DynamicEventTimeSessionWindows
+        .withDynamicGap[(Long, Long, Double)](_._3.toLong))(_._2)
+      .apply((k, start, es) => (k, start, es.map(_._3).sum))
+    assert(d.executeAndCollect().toSet ==
+      Set((1L, 5L, 1.0), (1L, 8L, 34.0), (1L, 40L, 8.0)))
+    // reduce face + empty-session never emitted
+    val r = env.fromElements(rows: _*)
+      .keyBy(_._1)
+      .window(EventTimeSessionWindows.withGap(10L))(_._2)
+      .reduce((a, b) => (a._1, a._2, a._3 + b._3))
+    assert(r.executeAndCollect().map(_._3).toSet == Set(7.0, 8.0, 16.0))
+  }
+
+  test("streaming session window closes when the watermark passes its end") {
+    import graft.stream.EventTimeSessionWindows
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseMs = 10_000_000L
+    val input = MemoryStream[(Long, Long, Double)]
+    val s = env.fromDataset(
+      input.toDF().toDF("k", "tms", "v")
+        .withColumn("ts", timestamp_micros(col("tms") * 1000L))
+        .as[(Long, Long, Double, java.sql.Timestamp)])
+      .assignTimestampsAndWatermarks("ts", "0 seconds")
+      .keyBy(_._1)
+      .window(EventTimeSessionWindows.withGap(10L))(_._2)
+      .apply((k, start, es) => (k, start - baseMs, es.map(_._3).sum))
+    val q = s.toDataset.writeStream.format("memory").queryName("ds_sess")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dss-").toString)
+      .start()
+    try {
+      input.addData(Seq((1L, baseMs + 5L, 1.0), (1L, baseMs + 12L, 2.0)))
+      q.processAllAvailable()
+      // wm at 12: session [5, 22) still open
+      assert(spark.table("ds_sess").isEmpty)
+      // 18 extends the session (gap from 12 is 6 < 10); wm stays inside
+      input.addData(Seq((1L, baseMs + 18L, 4.0)))
+      q.processAllAvailable()
+      assert(spark.table("ds_sess").isEmpty)
+      input.addData(Seq((1L, baseMs + 40L, 8.0))) // wm 40 > 18+10: closes
+      q.processAllAvailable()
+      assert(spark.table("ds_sess").as[(Long, Long, Double)]
+        .collect().toSet == Set((1L, 5L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("AsyncDataStream ordered/unordered waits, timeout and retry") {
+    import graft.stream.AsyncDataStream
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val in = env.fromCollection((1L to 40L).map(i => (i, i * 2)))
+    // ordered: input order survives even when early elements finish last
+    val ord = AsyncDataStream.orderedWait[(Long, Long), (Long, Long)](
+      in.rebalance().setParallelism(1),
+      t => Future { if (t._1 <= 3) Thread.sleep(40); (t._1, t._2 * 10) }
+        .map(Seq(_)),
+      timeoutMs = 30000L, capacity = 8)
+    assert(ord.executeAndCollect().map(_._1) == (1L to 40L))
+    // unordered: same multiset, plus a 1-to-many completion
+    val uno = AsyncDataStream.unorderedWait[(Long, Long), Long](
+      in, t => Future(Seq(t._1, -t._1)), timeoutMs = 30000L)
+    assert(uno.executeAndCollect().toSet ==
+      (1L to 40L).flatMap(i => Seq(i, -i)).toSet)
+    // timeout: the fallback hook completes overdue elements
+    val slow = AsyncDataStream.unorderedWait[(Long, Long), Long](
+      env.fromElements((1L, 0L), (2L, 0L)).setParallelism(1),
+      t => if (t._1 == 1L) Future { Thread.sleep(60000); Seq(t._1) }
+        else Future.successful(Seq(t._1)),
+      timeoutMs = 300L, onTimeout = t => Seq(-t._1))
+    assert(slow.executeAndCollect().toSet == Set(-1L, 2L))
+    // default timeout policy fails the task (reference default)
+    val failing = AsyncDataStream.orderedWait[(Long, Long), Long](
+      env.fromElements((1L, 0L)).setParallelism(1),
+      _ => Future { Thread.sleep(60000); Seq(0L) }, timeoutMs = 200L)
+    val e = intercept[org.apache.spark.SparkException] {
+      failing.executeAndCollect()
+    }
+    assert(e.getMessage.contains("timeout") ||
+      Option(e.getCause).exists(_.toString.contains("Timeout")))
+    // retry: first two attempts fail, third succeeds
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long,
+      java.util.concurrent.atomic.AtomicInteger]()
+    val rt = AsyncDataStream.orderedWaitWithRetry[(Long, Long), Long](
+      env.fromElements((7L, 0L)).setParallelism(1),
+      t => Future {
+        val n = attempts.computeIfAbsent(t._1,
+          _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+        if (n < 3) sys.error(s"flaky attempt $n") else Seq(t._1 * 100)
+      },
+      timeoutMs = 30000L, capacity = 4,
+      retry = graft.operators.AsyncWait.FixedDelay(retries = 3, delayMs = 10))
+    assert(rt.executeAndCollect() == Seq(700L))
+  }
+
   test("streaming tumbling window closes when the watermark passes") {
     import graft.stream.TumblingEventTimeWindows
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
