@@ -588,15 +588,58 @@ final case class SlidingEventTimeWindows(sizeMs: Long, slideMs: Long)
   }
 }
 
-/** Event-time windowed keyed stream: per-(key, window) buffers in keyed
-  * state, closing when the watermark passes the window end. */
+/** Event-time windowed keyed stream: per-(key, window) state closing
+  * when the watermark passes the window end.
+  *
+  * Late-element contract (WindowedStream.java:127 `allowedLateness`,
+  * :143 `sideOutputLateData`; WindowOperator's lateness rule): a window
+  * FIRES when the watermark passes its end; elements arriving after
+  * that but within `allowedLateness` of the end re-fire the window with
+  * its updated contents (one more emitted row per late firing — the
+  * reference's late-firing behavior in append mode); elements whose
+  * every assigned window is past end + lateness DROP — or route to the
+  * late side output when `sideOutputLateData()` is on. The lateness
+  * path assigns its own watermark from `timeOf` (Spark forbids
+  * redefining an upstream one), so the input must NOT be
+  * pre-watermarked; pass the out-of-orderness bound to
+  * `allowedLateness` instead.
+  *
+  * Trigger/evictor customization stays one tier down
+  * (`graft.streaming.TriggeredWindows` covers the count / continuous /
+  * delta trigger × evictor matrix) — documented delta of this face. */
 final class WindowedStream[K, T] private[stream] (
-    keyed: KeyedStream[K, T], assigner: WindowAssigner, timeOf: T => Long)(
+    keyed: KeyedStream[K, T], assigner: WindowAssigner, timeOf: T => Long,
+    latenessMs: Long = 0L, lateSide: Boolean = false,
+    delayMs: Long = 0L)(
     implicit kEnc: Encoder[K], tEnc: Encoder[T]) {
 
-  /** WindowFunction: `f(key, windowStart, elements)` per closed window
-    * (elements in event-time order). */
-  def apply[U: Encoder](f: (K, Long, Seq[T]) => U): DataStream[U] = {
+  /** WindowedStream.java:127: keep fired windows alive for `ms` more
+    * watermark time; in-lateness stragglers re-fire them.
+    *
+    * `outOfOrderness` is the watermark delay the LATENESS PATH assigns
+    * itself (Spark forbids redefining an upstream watermark, so — like
+    * the facade's intervalJoin/coGroup — this path derives its own
+    * watermark from `timeOf` and requires the input NOT pre-watermarked). */
+  def allowedLateness(ms: Long,
+      outOfOrdernessMs: Long = 0L): WindowedStream[K, T] = {
+    require(ms >= 0 && outOfOrdernessMs >= 0,
+      "allowedLateness and outOfOrderness must be >= 0")
+    new WindowedStream(keyed, assigner, timeOf, ms, lateSide,
+      outOfOrdernessMs)
+  }
+
+  /** WindowedStream.java:143: route too-late elements (every assigned
+    * window past end + lateness) to [[WindowOutput.lateOutput]] instead
+    * of dropping them. Note the admission bound: elements older than
+    * `outOfOrderness + lateness + windowSize` behind the max event time
+    * never reach this operator (Spark's watermark filter) — for exact
+    * unbounded late routing use `graft.streaming.LateData` one operator
+    * earlier (documented delta). */
+  def sideOutputLateData(): WindowedStream[K, T] =
+    new WindowedStream(keyed, assigner, timeOf, latenessMs,
+      lateSide = true, delayMs)
+
+  private def checkWatermarked(): Unit =
     // fail fast (review r11): without the watermarked column the hook
     // would see watermark 0 forever and no window would EVER close —
     // a silently empty query is worse than an error
@@ -605,32 +648,180 @@ final class WindowedStream[K, T] private[stream] (
         "the element type — call assignTimestampsAndWatermarks directly " +
         "before keyBy and keep the timestamp field (typed maps strip " +
         "watermark metadata)")
+
+  /** The full windows engine over generic per-window state: `init/add`
+    * accumulate, `emit` renders a firing. Buffered `apply` and
+    * incremental `aggregate` both ride it.
+    *
+    * Lateness plumbing: Spark's stateful operator drops rows older
+    * than the CURRENT watermark before the hook ever sees them, so
+    * in-lateness stragglers would never arrive. When lateness handling
+    * is on, the operator re-assigns the watermark with an extra
+    * `lateness + windowSize` delay (shifting Spark's admission down to
+    * exactly the rows the reference's WindowOperator#isElementLate
+    * still accepts — a row's latest window end exceeds its time by at
+    * most windowSize) and reconstructs the TRUE watermark inside the
+    * hook by adding the shift back. Firing and the late/drop rule then
+    * evaluate against the true watermark — the reference's exact
+    * semantics, at the cost of `shift` more retained input. */
+  private def run[S, U: Encoder](init: S, add: (S, Long, T) => S,
+      emit: (K, Long, S) => U): DataStream[Either[T, U]] = {
     val asg = assigner; val tf = timeOf
-    type Buf = Map[Long, List[(Long, T)]]
-    keyed.processHook[Buf, U] { (key, rows, st, wm) =>
-      var buf = st.getOrElse(Map.empty)
-      rows.foreach { r =>
-        val t = tf(r)
-        asg.windowsOf(t).foreach { w =>
-          buf = buf.updated(w, (t, r) :: buf.getOrElse(w, Nil))
+    val (late, sideOn) = (latenessMs, lateSide)
+    val shift =
+      if ((late > 0 || sideOn) && keyed.isStreamingInput)
+        late + asg.sizeMs
+      else 0L
+    implicit val outEnc: Encoder[Either[T, U]] =
+      org.apache.spark.sql.Encoders.kryo[Either[T, U]]
+    // per window: (fired once already?, dirty since last firing?, state)
+    type Buf = Map[Long, (Boolean, Boolean, S)]
+    // one per-key batch step, watermark already in the TRUE domain;
+    // wake deadline returned in the true domain too
+    def step(key: K, elems: Iterator[(Long, T)], st: Option[Buf],
+        fireWm: Long, ingestWm: Long)
+        : (Option[Buf], Seq[Either[T, U]], Option[Long]) = {
+      var buf = st.getOrElse(Map.empty: Buf)
+      val lateOut = scala.collection.mutable.ListBuffer.empty[Either[T, U]]
+      elems.foreach { case (t, r) =>
+        val ws = asg.windowsOf(t)
+        // the reference's drop rule: too late iff EVERY assigned window
+        // is past end + lateness (WindowOperator#isElementLate)
+        if (ws.forall(_ + asg.sizeMs + late <= ingestWm)) {
+          if (sideOn) lateOut += Left(r)
+        } else ws.foreach { w =>
+          if (w + asg.sizeMs + late > ingestWm) {
+            val (fired, _, s) = buf.getOrElse(w, (false, false, init))
+            buf = buf.updated(w, (fired, true, add(s, t, r)))
+          }
         }
       }
-      val (closed, open) = buf.partition {
-        case (w, _) => w + asg.sizeMs <= wm
+      // fire: unfired windows past their end, and fired windows that a
+      // late element dirtied (still within lateness by construction)
+      val out = buf.toSeq.sortBy(_._1).flatMap { case (w, (_, dirty, s)) =>
+        if (w + asg.sizeMs <= fireWm && dirty) {
+          buf = buf.updated(w, (true, false, s))
+          Some(Right(emit(key, w, s)): Either[T, U])
+        } else None
       }
-      val out = closed.toSeq.sortBy(_._1).map { case (w, elems) =>
-        f(key, w, elems.reverse.sortBy(_._1).map(_._2))
+      // retain while late elements can still arrive for the window
+      val keep = buf.filter { case (w, _) => w + asg.sizeMs + late > fireWm }
+      val wake = keep.flatMap { case (w, (fired, _, _)) =>
+        (if (fired) None else Some(w + asg.sizeMs)) ++
+          Some(w + asg.sizeMs + late)
+      }.minOption
+      (if (keep.isEmpty) None else Some(keep),
+        lateOut.toList ++ out, wake)
+    }
+    if (shift == 0L) {
+      // plain path: the upstream-assigned watermark drives everything
+      checkWatermarked()
+      keyed.processHook[Buf, Either[T, U]] { (key, rows, st, wm) =>
+        // batch runs with wm = +inf: every window fires, NO row is
+        // late (whole-input replay semantics)
+        val ingestWm = if (wm == Long.MaxValue) Long.MinValue else wm
+        step(key, rows.map(r => (tf(r), r)), st, wm, ingestWm)
       }
-      val wake = open.keys.map(_ + asg.sizeMs).minOption
-      (if (open.isEmpty) None else Some(open), out, wake)
+    } else {
+      // lateness path: Spark forbids redefining an upstream watermark,
+      // so this operator derives its OWN from timeOf — assigned with
+      // `outOfOrderness + lateness + windowSize` of delay, making
+      // Spark's late-row filter admit exactly the rows the reference's
+      // WindowOperator still accepts (a row's latest window end is at
+      // most windowSize past its time); the hook adds the shift back
+      // to recover the true watermark, and the explicit isElementLate
+      // rule above does the final drop/route.
+      require(!keyed.watermarked,
+        "allowedLateness/sideOutputLateData derive their own watermark " +
+          "from timeOf — do not call assignTimestampsAndWatermarks " +
+          "upstream; pass the out-of-orderness bound to allowedLateness")
+      import org.apache.spark.sql.functions.{col, timestamp_millis}
+      val kf = keyed.keyF
+      implicit val rowEnc: Encoder[(Long, Array[Byte])] =
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY)
+      implicit val bufEnc: Encoder[Option[Buf]] =
+        org.apache.spark.sql.Encoders.kryo[Option[Buf]]
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val out = keyed.ds.map(x => (tf(x), Ser.ser(x)))
+        .toDF("tms", "payload")
+        .withColumn("ts", timestamp_millis(col("tms")))
+        .withWatermark("ts", s"${delayMs + shift} milliseconds")
+        .groupByKey(r => kf(Ser.deser[T](r.getAs[Array[Byte]]("payload"))))
+        .flatMapGroupsWithState[Option[Buf], Either[T, U]](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (key, rows, state) =>
+            val wmShifted = state.getCurrentWatermarkMs()
+            val trueWm =
+              if (wmShifted == 0L) 0L else wmShifted + shift
+            val elems =
+              if (state.hasTimedOut) Iterator.empty
+              else rows.map { r =>
+                val t = r.getAs[Long]("tms")
+                (t, Ser.deser[T](r.getAs[Array[Byte]]("payload")))
+              }
+            val (next, outs, wake) = step(key, elems, state.getOption.flatten,
+              trueWm, if (trueWm == 0L) Long.MinValue else trueWm)
+            next match {
+              case Some(_) =>
+                state.update(next)
+                // back to the shifted domain the timer compares in;
+                // an open window's deadline stays > wmShifted because
+                // end > trueWm ⇔ end - shift > wmShifted
+                wake.map(_ - shift).filter(_ > wmShifted)
+                  .foreach(state.setTimeoutTimestamp)
+              case None => state.remove()
+            }
+            outs.iterator
+        }
+      new DataStream(out)
     }
   }
 
-  /** WindowedStream#reduce: the reduce of each closed window's
-    * elements, emitted once per window (the reference's window-reduce
-    * contract; incremental in spirit, buffered here). */
+  private def split[U: Encoder](
+      s: DataStream[Either[T, U]]): WindowOutput[T, U] =
+    new WindowOutput(s.ds)
+
+  /** WindowFunction: `f(key, windowStart, elements)` per firing
+    * (elements in event-time order). */
+  def apply[U: Encoder](f: (K, Long, Seq[T]) => U): DataStream[U] =
+    applyWithLateOutput(f).mainOutput
+
+  /** [[apply]] keeping the late side output ([[sideOutputLateData]]). */
+  def applyWithLateOutput[U: Encoder](
+      f: (K, Long, Seq[T]) => U): WindowOutput[T, U] =
+    split(run[List[(Long, T)], U](Nil, (s, t, r) => (t, r) :: s,
+      (k, w, s) => f(k, w, s.reverse.sortBy(_._1).map(_._2))))
+
+  /** WindowedStream.java:310 `aggregate(AggregateFunction)`: INCREMENTAL
+    * accumulation — per-(key, window) state is the accumulator alone,
+    * not the element buffer (the reference's state-size contract; what
+    * makes long windows over hot keys viable at scale). `add` applies
+    * in arrival order. */
+  def aggregate[ACC, U: Encoder](createAcc: () => ACC,
+      add: (ACC, T) => ACC, getResult: ACC => U): DataStream[U] =
+    split(run[Option[ACC], U](None,
+      (s, _, r) => Some(add(s.getOrElse(createAcc()), r)),
+      (_, _, s) => getResult(s.getOrElse(createAcc())))).mainOutput
+
+  /** WindowedStream#reduce: the reduce of each window's elements, one
+    * row per firing — incremental state like [[aggregate]]. */
   def reduce(f: (T, T) => T): DataStream[T] =
-    apply[T]((_, _, elems) => elems.reduce(f))(tEnc)
+    aggregate[Option[T], T](() => None,
+      (acc, r) => Some(acc.fold(r)(f(_, r))), _.get)(tEnc)
+}
+
+/** Result of a windowed apply with [[WindowedStream.sideOutputLateData]]
+  * on: the window outputs plus the too-late elements (the reference's
+  * OutputTag<T> late stream — heterogeneous types, so a split). */
+final class WindowOutput[T, U] private[stream] (
+    ds: Dataset[Either[T, U]])(
+    implicit tEnc: Encoder[T], uEnc: Encoder[U]) {
+  def mainOutput: DataStream[U] =
+    new DataStream(ds.flatMap(_.toOption.iterator.to(Iterable)))
+  def lateOutput: DataStream[T] =
+    new DataStream(ds.flatMap(_.left.toOption.iterator.to(Iterable)))
 }
 
 /** Merging session assigners (WindowAssigner with merging semantics in
@@ -712,6 +903,45 @@ final class SessionWindowedStream[K, T] private[stream] (
   /** WindowedStream#reduce over each closed session. */
   def reduce(f: (T, T) => T): DataStream[T] =
     apply[T]((_, _, elems) => elems.reduce(f))(tEnc)
+
+  /** WindowedStream.java:376 `aggregate` with a MERGING assigner: the
+    * reference requires the AggregateFunction's `merge` for session
+    * windows — per-session state is the accumulator alone; bridging
+    * elements merge neighbor sessions' accumulators (accumulators add
+    * in arrival order, merge when sessions fuse — the reference's
+    * merging-window-state contract). */
+  def aggregate[ACC, U: Encoder](createAcc: () => ACC,
+      add: (ACC, T) => ACC, getResult: ACC => U,
+      merge: (ACC, ACC) => ACC): DataStream[U] = {
+    require(!keyed.isStreamingInput || keyed.watermarked,
+      "event-time session windows on a stream need the watermarked " +
+        "column in the element type — call assignTimestampsAndWatermarks " +
+        "directly before keyBy and keep the timestamp field")
+    val asg = assigner; val tf = timeOf
+    type Buf = List[(Long, Long, ACC)] // open sessions: (start, end, acc)
+    keyed.processHook[Buf, U] { (key, rows, st, wm) =>
+      var spans = st.getOrElse(Nil)
+      rows.foreach { r =>
+        val t = tf(r)
+        spans = (t, t + asg.gapOf(r, t), add(createAcc(), r)) :: spans
+      }
+      // merge overlapping spans: [a, e1) fuses [b, e2) when b < e1
+      var merged = List.empty[(Long, Long, ACC)]
+      spans.sortBy(_._1).foreach { case (s, e, a) =>
+        merged match {
+          case (s0, e0, a0) :: rest if s < e0 =>
+            merged = (s0, math.max(e0, e), merge(a0, a)) :: rest
+          case _ => merged = (s, e, a) :: merged
+        }
+      }
+      val (closed, open) = merged.partition(_._2 <= wm)
+      val out = closed.sortBy(_._1).map { case (s, _, a) =>
+        getResult(a)
+      }
+      val wake = open.map(_._2).minOption
+      (if (open.isEmpty) None else Some(open), out, wake)
+    }
+  }
 }
 
 /** Tumbling count windows ([[KeyedStream.countWindow]]). */

@@ -386,6 +386,86 @@ class DataStreamApiSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("window aggregate is incremental; session aggregate merges accs") {
+    import graft.stream.{EventTimeSessionWindows, TumblingEventTimeWindows}
+    val rows = Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (1L, 25L, 4.0),
+      (2L, 5L, 8.0))
+    // (count, sum) accumulator — the canonical AggregateFunction
+    val a = env.fromElements(rows: _*)
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows(10L))(_._2)
+      .aggregate[(Long, Double), (Long, Double)](
+        () => (0L, 0.0), (acc, r) => (acc._1 + 1, acc._2 + r._3), identity)
+    assert(a.executeAndCollect().toSet ==
+      Set((1L, 1.0), (1L, 2.0), (1L, 4.0), (2L, 8.0)).map { case (k, s) =>
+        (1L, s) })
+    // windowed reduce rides the same incremental path
+    val r = env.fromElements(rows: _*)
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows(10L))(_._2)
+      .reduce((x, y) => (x._1, math.max(x._2, y._2), x._3 + y._3))
+    assert(r.executeAndCollect().map(_._3).toSet == Set(1.0, 2.0, 4.0, 8.0))
+    // session aggregate: bridging element merges neighbor accumulators
+    val s = env.fromElements(
+      (1L, 5L, 1.0), (1L, 30L, 2.0), (1L, 14L, 4.0)) // 14 bridges 5 & 30? gap 10: 5..15, 14 in; 14+10=24 < 30 → separate
+      .keyBy(_._1)
+      .window(EventTimeSessionWindows.withGap(10L))(_._2)
+      .aggregate[(Long, Double), (Long, Double)](
+        () => (0L, 0.0), (acc, r) => (acc._1 + 1, acc._2 + r._3),
+        identity, (x, y) => (x._1 + y._1, x._2 + y._2))
+    assert(s.executeAndCollect().toSet ==
+      Set((2L, 5.0), (1L, 2.0)))
+  }
+
+  test("allowedLateness re-fires; sideOutputLateData catches drops") {
+    import graft.stream.TumblingEventTimeWindows
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseMs = 10_000_000L
+    val input = MemoryStream[(Long, Long, Double)]
+    // NOT pre-watermarked: the lateness path derives its own watermark
+    // from timeOf with the 100ms out-of-orderness bound
+    def windowed(lateness: Long) = env.fromDataset(input.toDS())
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows(10L))(_._2)
+      .allowedLateness(lateness, outOfOrdernessMs = 100L)
+      .sideOutputLateData()
+      .applyWithLateOutput((k, ws, elems) =>
+        (k, ws - baseMs, elems.map(_._3).sum))
+    val out = windowed(20L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-")
+    val qm = out.mainOutput.toDataset.writeStream.format("memory")
+      .queryName("dsl_main").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/m").start()
+    val ql = out.lateOutput.toDataset.writeStream.format("memory")
+      .queryName("dsl_late").outputMode("append")
+      .option("checkpointLocation", s"$ckpt/l").start()
+    def sync(): Unit = { qm.processAllAvailable(); ql.processAllAvailable() }
+    try {
+      input.addData(Seq((1L, baseMs + 5L, 1.0)))
+      sync()
+      input.addData(Seq((1L, baseMs + 25L, 2.0))) // wm→~-75: nothing fires yet
+      input.addData(Seq((1L, baseMs + 120L, 0.5))) // wm→+20: [0,10) fires
+      sync()
+      // in-lateness straggler for [0,10): end 10, lateness 20 → wm 20 < 30
+      input.addData(Seq((1L, baseMs + 7L, 10.0)))
+      sync()
+      // push the true watermark to +100 (assigned delay is
+      // user 100ms + lateness 20 + size 10 = 130ms behind max event)
+      input.addData(Seq((1L, baseMs + 200L, 0.25)))
+      sync()
+      // too-late element: window [70,80) has end + lateness = 100 <= wm
+      input.addData(Seq((1L, baseMs + 75L, 100.0)))
+      sync()
+      val main = spark.table("dsl_main").as[(Long, Long, Double)]
+        .collect().toList
+      // [0,10) fired at 1.0, then RE-fired at 11.0 after the straggler
+      assert(main.filter(_._2 == 0L).map(_._3).sorted == List(1.0, 11.0))
+      val late = spark.table("dsl_late")
+        .as[(Long, Long, Double)].collect().toList
+      assert(late.map(_._3) == List(100.0))
+    } finally { qm.stop(); ql.stop() }
+  }
+
   test("AsyncDataStream ordered/unordered waits, timeout and retry") {
     import graft.stream.AsyncDataStream
     import scala.concurrent.Future
