@@ -900,6 +900,58 @@ object MiscOpQueries {
         FROM orders ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // DataStream API V2 facade (round 12; flink-datastream-api — the
+    // reference's next-generation building blocks): a non-keyed
+    // OneInputStreamProcessFunction filters and projects, keyBy
+    // repartitions, and a keyed process function accumulates per-key
+    // state flushed at endInput — the V2 canonical pipeline
+    // (building_blocks.md example shape).
+    QueryDef(
+      "q_datastream_v2",
+      (s, dir) => {
+        import s.implicits._
+        import graft.stream.v2._
+        import graft.stream.v2.Api._
+        val e = Tables.events(s, dir)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("v100"))
+          .as[(Long, Long)]
+        ExecutionEnvironment.getExecutionEnvironment(s)
+          .fromDataset(e)
+          .process(new OneInputStreamProcessFunction[(Long, Long), (Long, Long)] {
+            def processRecord(r: (Long, Long), out: Collector[(Long, Long)],
+                ctx: PartitionedContext): Unit =
+              if (r._2 >= 5000L) out.collect(r)
+          })
+          .keyBy(_._1)
+          .process(new OneInputStreamProcessFunction[(Long, Long), (Long, Long, Long)] {
+            def processRecord(r: (Long, Long), out: Collector[(Long, Long, Long)],
+                ctx: PartitionedContext): Unit = {
+              val sm = ctx.stateManager
+              sm.update("k", r._1)
+              sm.update("sum", sm.getState[Long]("sum").getOrElse(0L) + r._2)
+              sm.update("n", sm.getState[Long]("n").getOrElse(0L) + 1L)
+            }
+            override def endInput(out: Collector[(Long, Long, Long)],
+                ctx: PartitionedContext): Unit = {
+              val sm = ctx.stateManager
+              out.collect((sm.getState[Long]("k").get,
+                sm.getState[Long]("sum").get, sm.getState[Long]("n").get))
+            }
+          })
+          .toDataset
+          .toDF("user_id", "sum_c", "n")
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v100
+          FROM events)
+        SELECT user_id, CAST(SUM(v100) AS BIGINT) AS sum_c,
+               COUNT(*) AS n
+        FROM e WHERE v100 >= 5000 GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim)),
+
     // Table API facade (round 10; graft.table — the reference's fluent
     // Table.java/TableEnvironment.java surface over DataFrames): a
     // join + filter + group-agg pipeline phrased ENTIRELY through the
