@@ -99,8 +99,9 @@ object FlinkDdl {
       spark: SparkSession,
       script: String,
       extra: Map[String, DataFrame] = Map.empty,
-      models: Map[String, graft.ml.ModelProvider] = Map.empty): DataFrame =
-    runScript(spark, script, extra, models).dataFrame
+      models: Map[String, graft.ml.ModelProvider] = Map.empty,
+      procedures: Map[String, Procedure] = Procedures.builtin): DataFrame =
+    runScript(spark, script, extra, models, procedures).dataFrame
 
   /** As [[run]] but returning the full [[ScriptResult]] (catalog + result),
     * for callers that need the table specs (e.g. watermark assertions). */
@@ -108,7 +109,8 @@ object FlinkDdl {
       spark: SparkSession,
       script: String,
       extra: Map[String, DataFrame] = Map.empty,
-      models: Map[String, graft.ml.ModelProvider] = Map.empty): ScriptResult = {
+      models: Map[String, graft.ml.ModelProvider] = Map.empty,
+      procedures: Map[String, Procedure] = Procedures.builtin): ScriptResult = {
     val catalog = scala.collection.mutable.LinkedHashMap.empty[String, TableSpec]
     val modelCatalog =
       scala.collection.mutable.LinkedHashMap.empty[String, graft.ml.ModelSpec]
@@ -154,6 +156,7 @@ object FlinkDdl {
     }
 
     runStatements(spark, script, catalog, modelCatalog, tables, allModels,
+      procedures = procedures,
       onInsert = runInsert,
       onCtas = (spec, q) => {
         // CTAS authors the table NOW (reference: CreateTableAsUtil): run
@@ -601,7 +604,8 @@ object FlinkDdl {
       onStopJob: (String, Boolean, Boolean) => Option[String] =
         (id, _, _) => throw new IllegalArgumentException(
           s"STOP JOB '$id': no streaming jobs in batch mode"),
-      onListJobs: () => Seq[Seq[Any]] = () => Nil): Unit = {
+      onListJobs: () => Seq[Seq[Any]] = () => Nil,
+      procedures: Map[String, Procedure] = Procedures.builtin): Unit = {
     // Namespace + connection registries (reference DDL:
     // ddl/catalog/SqlCreateCatalog.java, SqlUseCatalog.java,
     // SqlCreateDatabase.java, ddl/connection/SqlCreateConnection.java).
@@ -972,6 +976,62 @@ object FlinkDdl {
             java.nio.file.Files.writeString(file.toPath, sb.toString)
           }
           if (andExec) onInsert(inner)
+        case "CALL" =>
+          // `CALL [catalog.][db.]proc(arg, …)` (docs
+          // dev/table/procedures.md; SqlCallProcedure / the planner's
+          // CallProcedureOperation): resolve the procedure from the
+          // registry (the reference's Catalog.getProcedure lookup),
+          // call it with the parsed literal arguments, surface the
+          // returned array as rows of one `result` column.
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("CALL")
+          val nameParts = scala.collection.mutable.ListBuffer.empty[String]
+          nameParts += unquote(p.next().s)
+          while (p.peek == ".") { p.next(); nameParts += unquote(p.next().s) }
+          val qname = nameParts.mkString(".")
+          p.eat("(")
+          val args = scala.collection.mutable.ListBuffer.empty[Any]
+          while (p.peek != ")") {
+            val t = p.next()
+            args += (t.up match {
+              case "NULL" => null
+              case "TRUE" => true
+              case "FALSE" => false
+              case s if s.headOption.exists(c => c.isDigit || c == '-') =>
+                if (s.contains('.') || s.contains('E')) s.toDouble
+                else s.toLong
+              case _ => unquote(t.s)
+            })
+            if (p.peek == ",") p.next()
+          }
+          p.eat(")")
+          val proc = procedures.get(qname)
+            .orElse(procedures.find { case (k, _) =>
+              k == nameParts.takeRight(2).mkString(".") ||
+                k.split('.').last == nameParts.last
+            }.map(_._2))
+            .getOrElse(throw new IllegalArgumentException(
+              s"procedure $qname does not exist; known: " +
+                procedures.keys.toSeq.sorted.mkString(", ")))
+          val out = proc.call(new ProcedureContext(spark), args.toList)
+          val colType: DataType = out.collectFirst {
+            case x if x != null => x
+          } match {
+            case Some(_: Long) | Some(_: Int) => LongType
+            case Some(_: Double) | Some(_: Float) => DoubleType
+            case Some(_: Boolean) => BooleanType
+            case _ => StringType
+          }
+          val rows = out.map {
+            case null => Seq(null)
+            case x: Int => Seq(x.toLong)
+            case x: Float => Seq(x.toDouble)
+            case x: Long => Seq(x)
+            case x: Double => Seq(x)
+            case x: Boolean => Seq(x)
+            case x => Seq(x.toString)
+          }
+          onResult(metaDf(spark, Seq("result" -> colType), rows))
         case "SET" =>
           // `SET 'k' = 'v'` (SqlSet.java). Spark-namespaced keys apply to
           // the live session conf; Flink-namespaced keys are accepted as

@@ -112,8 +112,56 @@ final class DataStream[T](val ds: Dataset[T]) {
       eventTimeField: String, maxOutOfOrderness: String): DataStream[T] =
     new DataStream(ds.withWatermark(eventTimeField, maxOutOfOrderness))
 
+  /** FLIP-380 `fullWindowPartition`
+    * (docs dev/datastream/operators/full_window_partition.md;
+    * DataStream#fullWindowPartition → PartitionWindowedStream): collect
+    * each subtask's records into one full window processed at end of
+    * input — mapPartition / sortPartition / aggregate / reduce. Bounded
+    * (batch) execution only, as in the reference. */
+  def fullWindowPartition(): PartitionWindowedStream[T] = {
+    require(!ds.isStreaming,
+      "fullWindowPartition collects whole partitions at end of input — " +
+        "bounded (batch) execution only, per the reference")
+    new PartitionWindowedStream(ds)
+  }
+
   def toDataset: Dataset[T] = ds
   def executeAndCollect(): Seq[T] = ds.collect().toSeq
+}
+
+/** PartitionWindowedStream (FLIP-380): each parallelism's records as
+  * one full window, processed at end of input. Every operation is a
+  * single per-partition pass — no shuffle. */
+final class PartitionWindowedStream[T] private[stream] (ds: Dataset[T]) {
+
+  /** MapPartitionFunction: the whole partition at once. */
+  def mapPartition[U: Encoder](f: Seq[T] => IterableOnce[U]): DataStream[U] =
+    new DataStream(ds.mapPartitions(it =>
+      f(it.toSeq).iterator.to(Iterable).iterator))
+
+  /** sortPartition(selector, order): partition-local sort — no
+    * exchange (the reference's subtask-local contract). */
+  def sortPartition[B](keyF: T => B, ascending: Boolean = true)(
+      implicit ord: Ordering[B], tEnc: Encoder[T]): DataStream[T] = {
+    val o = if (ascending) ord else ord.reverse
+    new DataStream(ds.mapPartitions(it => it.toSeq.sortBy(keyF)(o).iterator))
+  }
+
+  /** AggregateFunction over the partition window: incremental add,
+    * one result per partition. */
+  def aggregate[ACC, U: Encoder](createAcc: () => ACC,
+      add: (ACC, T) => ACC, getResult: ACC => U): DataStream[U] =
+    new DataStream(ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator.single(getResult(it.foldLeft(createAcc())(add)))
+    })
+
+  /** ReduceFunction over the partition window: one reduced element per
+    * non-empty partition. */
+  def reduce(f: (T, T) => T)(implicit tEnc: Encoder[T]): DataStream[T] =
+    new DataStream(ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty else Iterator.single(it.reduce(f))
+    })
 }
 
 /** ConnectedStreams.java: the two-input surface of [[DataStream.connect]]. */

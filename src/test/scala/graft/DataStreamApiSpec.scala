@@ -514,6 +514,33 @@ class DataStreamApiSpec extends SparkSpecBase {
     assert(rt.executeAndCollect() == Seq(700L))
   }
 
+  test("fullWindowPartition: per-subtask full-window ops, no shuffle") {
+    val s = env.fromCollection(1 to 10).global() // one partition
+      .toDataset
+    val one = new graft.stream.DataStream(s)
+    assert(one.fullWindowPartition()
+      .mapPartition(es => Seq(es.sum)).executeAndCollect() == Seq(55))
+    assert(one.fullWindowPartition()
+      .sortPartition((x: Int) => -x).executeAndCollect().take(3) ==
+      Seq(10, 9, 8))
+    assert(one.fullWindowPartition()
+      .aggregate[(Int, Int), Double](() => (0, 0),
+        (a, x) => (a._1 + x, a._2 + 1), a => a._1.toDouble / a._2)
+      .executeAndCollect() == Seq(5.5))
+    assert(one.fullWindowPartition()
+      .reduce(_ + _).executeAndCollect() == Seq(55))
+    // multi-partition: one result per non-empty partition, local only
+    val multi = env.fromDataset(spark.range(100).as[Long].repartition(4))
+      .fullWindowPartition().reduce(_ + _).executeAndCollect()
+    assert(multi.size == 4 && multi.sum == 4950)
+    // streaming input is rejected (bounded-only, per the reference)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Int]
+    val e = intercept[IllegalArgumentException](
+      env.fromDataset(input.toDS()).fullWindowPartition())
+    assert(e.getMessage.contains("bounded"))
+  }
+
   test("streaming tumbling window closes when the watermark passes") {
     import graft.stream.TumblingEventTimeWindows
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

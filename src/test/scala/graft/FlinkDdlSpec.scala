@@ -1438,4 +1438,32 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(ro.getMessage.contains("read-only"))
     assert(ro.getMessage.contains("jcat.db.store"))
   }
+
+  test("CALL runs catalog procedures (docs example + custom + unknown)") {
+    // the docs' GenerateSequenceProcedure through the full spelling
+    val seq = FlinkDdl.run(spark,
+      "CALL my_catalog.`system`.generate_n(4)")
+    assert(seq.columns.toSeq == Seq("result"))
+    assert(seq.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // bare-name resolution
+    assert(FlinkDdl.run(spark, "CALL generate_n(2)")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // a custom procedure with mixed literal args and string results
+    val custom = new graft.sql.Procedure {
+      def call(ctx: graft.sql.ProcedureContext,
+          args: Seq[Any]): Seq[Any] =
+        Seq(s"args=${args.mkString("|")}",
+          s"spark=${ctx.spark ne null}")
+    }
+    val out = FlinkDdl.run(spark,
+      "CALL cat.db.echo('x', 3, 2.5, true, null)",
+      procedures = graft.sql.Procedures.builtin + ("cat.db.echo" -> custom))
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("args=x|3|2.5|true|null", "spark=true"))
+    // unknown procedure: actionable error listing the registry
+    val e = intercept[IllegalArgumentException](
+      FlinkDdl.run(spark, "CALL nope.missing(1)"))
+    assert(e.getMessage.contains("does not exist"))
+    assert(e.getMessage.contains("generate_n"))
+  }
 }

@@ -1057,4 +1057,42 @@ class StreamingSpec extends SparkSpecBase {
       assert(remaining <= 2, s"state not cleaned: $remaining rows remain")
     } finally q.stop()
   }
+
+  test("HybridSource: bounded history first, then the live tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hyb-").toString
+    // bounded history: two files present BEFORE the stream starts
+    Seq((1L, "h1"), (2L, "h2")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "h3")).toDF("id", "v").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val src = graft.sources.HybridSource.fileBootstrap(spark, dir, schema)
+    assert(src.isStreaming)
+    val q = src.writeStream.format("memory").queryName("hyb_src")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-hybc-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val history = spark.table("hyb_src").as[(Long, String)].collect().toSet
+      assert(history == Set((1L, "h1"), (2L, "h2"), (3L, "h3")))
+      // the switch: a file arriving AFTER start streams in as the tail
+      Seq((4L, "t1")).toDF("id", "v").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("hyb_src").as[(Long, String)].collect().toSet ==
+        history + ((4L, "t1")))
+    } finally q.stop()
+
+    // bounded composition keeps declaration order via _source_index
+    val composed = graft.sources.HybridSource
+      .builder(Seq((1L, "a")).toDF("id", "v"))
+      .addSource(Seq((2L, "b")).toDF("id", "v"))
+      .build()
+    assert(composed.orderBy("_source_index").as[(Long, String, Int)]
+      .collect().toList == List((1L, "a", 0), (2L, "b", 1)))
+    val e = intercept[IllegalArgumentException](
+      graft.sources.HybridSource.builder(src))
+    assert(e.getMessage.contains("BOUNDED"))
+  }
 }
