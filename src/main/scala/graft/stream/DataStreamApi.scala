@@ -164,6 +164,23 @@ final class PartitionWindowedStream[T] private[stream] (ds: Dataset[T]) {
     })
 }
 
+/** DataStreamUtils (dev/datastream/experimental.md): the
+  * reinterpret-as-keyed escape hatch. */
+object DataStreamUtils {
+  /** `reinterpretAsKeyedStream(stream, keySelector)`: treat a stream
+    * that is ALREADY partitioned by key as keyed without a new
+    * shuffle. In graft the keyed view is (dataset, selector) — the
+    * exchange decision belongs to Catalyst, which already elides it
+    * when the child partitioning satisfies the required distribution
+    * (e.g. after `repartition(col)` on the same key); this spelling
+    * exists so ported programs keep their shape, with the same
+    * caveat as the reference: data NOT actually partitioned by the
+    * selector yields undefined window/state grouping. */
+  def reinterpretAsKeyedStream[K: Encoder, T](
+      stream: DataStream[T], keySelector: T => K): KeyedStream[K, T] =
+    new KeyedStream(stream.ds, keySelector)
+}
+
 /** ConnectedStreams.java: the two-input surface of [[DataStream.connect]]. */
 final class ConnectedStreams[A, B] private[stream] (
     private[stream] val a: Dataset[A], private[stream] val b: Dataset[B]) {

@@ -1,0 +1,101 @@
+package graft
+
+import graft.sql.SqlGateway
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The SQL Gateway REST endpoint (sql-gateway/overview.md flow): info →
+  * open session → execute → status → paged result fetch, with session
+  * catalog continuity and error surfacing. */
+class SqlGatewaySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def get(url: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def post(url: String, body: String = ""): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def field(json: String, name: String): String = {
+    val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]+)\"").r
+    m.findFirstMatchIn(json).map(_.group(1)).getOrElse(
+      sys.error(s"no $name in $json"))
+  }
+
+  test("gateway serves the documented REST flow end to end") {
+    val port = SqlGateway.serve(spark, 0,
+      extra = Map("gw_nums" -> spark.range(2500).toDF("n")))
+    try {
+      val base = s"http://localhost:$port/v1"
+      // GET /v1/info
+      val (ic, info) = get(s"$base/info")
+      assert(ic == 200 && info.contains("graft"))
+      // open a session
+      val (_, sj) = post(s"$base/sessions")
+      val s = field(sj, "sessionHandle")
+      // execute a query
+      val (_, oj) = post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT n FROM gw_nums ORDER BY n"}""")
+      val op = field(oj, "operationHandle")
+      assert(get(s"$base/sessions/$s/operations/$op/status")._2
+        .contains("FINISHED"))
+      // paged fetch: 2500 rows = 3 pages chained by nextResultUri
+      val (c0, p0) = get(s"$base/sessions/$s/operations/$op/result/0")
+      assert(c0 == 200)
+      assert(p0.contains(""""name":"n""""))
+      assert(p0.contains(""""type":"BIGINT""""))
+      assert(p0.contains("""{"kind":"INSERT","fields":[0]}"""))
+      assert(p0.contains(s""""nextResultUri":"/v1/sessions/$s/operations/$op/result/1""""))
+      val (_, p1) = get(s"$base/sessions/$s/operations/$op/result/1")
+      assert(p1.contains("""[1000]"""))
+      val (_, p2) = get(s"$base/sessions/$s/operations/$op/result/2")
+      assert(p2.contains(""""nextResultUri":null"""))
+      assert(p2.contains("""[2499]"""))
+
+      // session catalog continuity: DDL in one statement, DML in the
+      // next, query in a third
+      val dir = java.nio.file.Files.createTempDirectory("graft-gw-")
+      val ddl = s"""{"statement": "CREATE TABLE gw_t (id BIGINT, s STRING) WITH ('connector'='filesystem', 'path'='$dir/t', 'format'='parquet')"}"""
+      val (_, o1) = post(s"$base/sessions/$s/statements", ddl)
+      val o1h = field(o1, "operationHandle")
+      assert(get(s"$base/sessions/$s/operations/$o1h/status")._2
+        .contains("FINISHED"),
+        get(s"$base/sessions/$s/operations/$o1h/result/0")._2)
+      val (_, o2) = post(s"$base/sessions/$s/statements",
+        """{"statement": "INSERT INTO gw_t SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS v(id, s)"}""")
+      assert(get(s"$base/sessions/$s/operations/${field(o2, "operationHandle")}/status")._2.contains("FINISHED"))
+      val (_, o3) = post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT s FROM gw_t ORDER BY id"}""")
+      val op3 = field(o3, "operationHandle")
+      val (_, r3) = get(s"$base/sessions/$s/operations/$op3/result/0")
+      assert(r3.contains("""["a"]""") && r3.contains("""["b"]"""))
+
+      // errors: bad SQL → ERROR status, 500 on result fetch
+      val (_, oe) = post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT FROM nothing"}""")
+      val ope = field(oe, "operationHandle")
+      assert(get(s"$base/sessions/$s/operations/$ope/status")._2
+        .contains("ERROR"))
+      assert(get(s"$base/sessions/$s/operations/$ope/result/0")._1 == 500)
+
+      // unknown session
+      assert(post(s"$base/sessions/deadbeef/statements",
+        """{"statement": "SELECT 1"}""")._1 == 404)
+      // close
+      val del = http.send(HttpRequest.newBuilder(
+        URI.create(s"$base/sessions/$s")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.body().contains("CLOSED"))
+      assert(post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT 1"}""")._1 == 404)
+    } finally SqlGateway.stop()
+  }
+}
