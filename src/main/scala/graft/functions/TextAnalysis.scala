@@ -28,6 +28,24 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Token-bounded chunking with overlap — the context-window
+    * splitting step of a training-data pipeline: chunk i covers tokens
+    * `[i*stride, i*stride + maxTokens)`, so consecutive chunks share
+    * `maxTokens - stride` tokens of overlap; the last chunk starts at
+    * the first offset whose window reaches the end. Pure built-in
+    * expressions (sequence/transform/slice/array_join) — whole-stage
+    * codegen, no UDF boundary, linear in corpus size. */
+  def chunkTokens(toks: Column, maxTokens: Int, stride: Int): Column = {
+    require(maxTokens >= 1 && stride >= 1 && stride <= maxTokens,
+      "chunkTokens needs 1 <= stride <= maxTokens")
+    val n = size(toks)
+    val lastIdx = when(n <= maxTokens, lit(0)).otherwise(
+      floor((n - maxTokens + stride - 1).cast("double") / stride)
+        .cast("int"))
+    transform(sequence(lit(0), lastIdx),
+      i => array_join(slice(toks, i * stride + 1, lit(maxTokens)), " "))
+  }
+
   /** Distinct word n-gram shingles over a token array; empty array when
     * the document has fewer than n tokens. */
   def shingles(toks: Column, n: Int): Column =

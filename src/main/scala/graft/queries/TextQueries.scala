@@ -108,6 +108,43 @@ object TextQueries {
         FROM d GROUP BY source ORDER BY source
       """.stripMargin.trim)),
 
+    // Token-bounded document chunking with overlap (round 12): the
+    // context-window splitting step every training pipeline runs before
+    // tokenization — 64-token chunks, stride 48 (16 tokens of overlap).
+    // Expression-only (sequence/transform/slice/array_join + posexplode);
+    // the oracle re-derives every chunk string relationally.
+    QueryDef(
+      "q_chunk_documents",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            chunkTokens(tokens(col("text")), maxTokens = 64, stride = 48)
+              .as("chunks"))
+        docs.select(col("doc_id"), posexplode(col("chunks")))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            size(tokens(col("col"))).cast("long").as("chunk_toks"),
+            col("col").as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""
+        WITH $dOracle,
+        c AS (SELECT doc_id,
+          list_transform(
+            range(0, CASE WHEN len(t) <= 64 THEN 1
+                     ELSE 1 + CAST(CEIL((len(t) - 64) / 48.0) AS INT) END),
+            i -> array_to_string(t[i*48+1 : i*48+64], ' ')) AS chunks
+          FROM d),
+        e AS (SELECT doc_id,
+          unnest(list_transform(range(0, len(chunks)),
+            i -> {'cid': i, 'chunk': chunks[i+1]})) AS u
+          FROM c)
+        SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+          CAST(len(list_filter(string_split(u.chunk, ' '), x -> x <> ''))
+            AS BIGINT) AS chunk_toks,
+          u.chunk AS chunk_text
+        FROM e ORDER BY doc_id, chunk_id
+      """.stripMargin.trim)),
+
     // Language ID, n-gram-profile style: build a top-2 most-frequent-token
     // profile per labeled language, then classify every document by profile
     // hit count (argmax, ties broken lexicographically). The profile build +
