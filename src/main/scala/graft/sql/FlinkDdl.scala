@@ -743,8 +743,102 @@ object FlinkDdl {
       }
       cur
     }
+    // TIME TRAVEL (docs sql/reference/queries/time-travel.md;
+    // SqlTableRef + Catalog.getTable(tablePath, timestamp)):
+    // `FROM t FOR SYSTEM_TIME AS OF TIMESTAMP '…' [± INTERVAL '…' u]*`
+    // over a snapshot-capable table. graft's catalog contract is the
+    // dir-per-snapshot layout: the table declares 'snapshots'='true'
+    // and its path holds `snapshot=<epochMillis>` subdirectories; the
+    // resolved constant picks the LATEST snapshot at-or-before it
+    // (the getTable(timestamp) lookup), and the reference is rewritten
+    // to a synthetic catalog entry over that subdirectory. Only
+    // TIMESTAMP-literal chains reduce (the reference's own
+    // constant-reduction limitation, same error text); temporal-JOIN
+    // spellings (`AS OF proctime/rowtime`) pass through untouched.
+    var asofSeq = 0
+    def rewriteTimeTravel(stmtText: String): String = {
+      var cur = stmtText
+      var changed = true
+      while (changed) {
+        changed = false
+        val ts = FlinkSql.tokenize(cur)
+        var k = 0
+        while (!changed && k + 5 < ts.length) {
+          if (ts(k + 1).up == "FOR" && ts(k + 2).up == "SYSTEM_TIME" &&
+            ts(k + 3).up == "AS" && ts(k + 4).up == "OF" &&
+            catalog.contains(ts(k).s)) {
+            val spec = catalog(ts(k).s)
+            var j = k + 5
+            def isStrLit(t: FlinkSql.Tok): Boolean =
+              t.s.length >= 2 && t.s.head == '\''
+            if (ts(j).up == "TIMESTAMP" && j + 1 < ts.length &&
+              isStrLit(ts(j + 1))) {
+              // constant reduction: literal ± INTERVAL chain
+              var t0 = java.time.LocalDateTime.parse(
+                unquote(ts(j + 1).s).replace(' ', 'T'))
+              j += 2
+              var ok = true
+              while (ok && j + 2 < ts.length &&
+                (ts(j).s == "+" || ts(j).s == "-") &&
+                ts(j + 1).up == "INTERVAL" && isStrLit(ts(j + 2))) {
+                val sign = if (ts(j).s == "-") -1L else 1L
+                val n = unquote(ts(j + 2).s).trim.toLong * sign
+                val unit = if (j + 3 < ts.length) ts(j + 3).up else ""
+                t0 = unit match {
+                  case "SECOND" => t0.plusSeconds(n)
+                  case "MINUTE" => t0.plusMinutes(n)
+                  case "HOUR" => t0.plusHours(n)
+                  case "DAY" => t0.plusDays(n)
+                  case "MONTH" => t0.plusMonths(n)
+                  case "YEAR" => t0.plusYears(n)
+                  case other => ok = false
+                    throw new IllegalArgumentException(
+                      s"unsupported time travel INTERVAL unit: $other")
+                }
+                j += 4
+              }
+              val tsMillis = t0.toInstant(java.time.ZoneOffset.UTC)
+                .toEpochMilli
+              if (!spec.options.contains("snapshots"))
+                throw new IllegalArgumentException(
+                  s"table ${spec.name} does not support time travel — " +
+                    "declare 'snapshots'='true' and lay the table out " +
+                    "as path/snapshot=<epochMillis>/ directories (the " +
+                    "Catalog.getTable(tablePath, timestamp) contract)")
+              val snaps = Option(new java.io.File(spec.path).listFiles())
+                .getOrElse(Array.empty)
+                .filter(f => f.isDirectory &&
+                  f.getName.startsWith("snapshot="))
+                .map(f => f.getName.stripPrefix("snapshot=").toLong)
+                .sorted
+              val pick = snaps.filter(_ <= tsMillis).lastOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"table ${spec.name} has no snapshot at or before " +
+                    s"$t0 (earliest: ${snaps.headOption.getOrElse("none")})"))
+              asofSeq += 1
+              val synth = s"${spec.name}__travel$asofSeq"
+              catalog(synth) = spec.copy(name = synth,
+                options = spec.options - "snapshots" +
+                  ("path" -> s"${spec.path}/snapshot=$pick"))
+              cur = cur.substring(0, ts(k).start) + synth +
+                cur.substring(ts(j - 1).end)
+              changed = true
+            } else if (ts(j).s.nonEmpty && ts(j).s.head.isLetter &&
+              j + 1 < ts.length && ts(j + 1).s == "(" &&
+              !Set("PROCTIME").contains(ts(j).up)) {
+              throw new IllegalArgumentException(
+                s"Unsupported time travel expression: ${ts(j).s}(…) — " +
+                  "the expression can not be reduced to a constant; " +
+                  "use a TIMESTAMP literal (± INTERVAL)")
+            } // else: temporal-join spelling on a column — untouched
+          }
+          k += 1
+        }
+      }
+      cur
+    }
     for (stmt0 <- splitStatements(script)) {
-      val stmt = rewriteJdbcRefs(stmt0)
+      val stmt = rewriteTimeTravel(rewriteJdbcRefs(stmt0))
       val toks = FlinkSql.tokenize(stmt)
       if (toks.nonEmpty) toks.head.up match {
         case "CREATE" =>

@@ -1439,6 +1439,55 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(ro.getMessage.contains("jcat.db.store"))
   }
 
+  test("time travel reads the snapshot at or before the constant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt-").toString
+    // two snapshots: 2024-01-01 and 2024-06-01 (epoch millis dirs)
+    val t1 = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val t2 = java.time.LocalDateTime.parse("2024-06-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    Seq((1L, "jan")).toDF("id", "v").write.parquet(s"$dir/snapshot=$t1")
+    Seq((1L, "jun"), (2L, "jun2")).toDF("id", "v")
+      .write.parquet(s"$dir/snapshot=$t2")
+    val ddl = s"""CREATE TABLE tt (id BIGINT, v STRING) WITH (
+      'connector'='filesystem', 'path'='$dir', 'format'='parquet',
+      'snapshots'='true');
+    """
+    // between the snapshots → january state
+    val mid = FlinkDdl.run(spark, ddl +
+      "SELECT v FROM tt FOR SYSTEM_TIME AS OF TIMESTAMP '2024-03-01 00:00:00'")
+    assert(mid.collect().map(_.getString(0)).toSeq == Seq("jan"))
+    // after both → june state
+    val late = FlinkDdl.run(spark, ddl +
+      "SELECT count(*) AS n FROM tt FOR SYSTEM_TIME AS OF TIMESTAMP '2025-01-01 00:00:00'")
+    assert(late.collect().head.getLong(0) == 2L)
+    // interval arithmetic reduces: jun 2 - 1 DAY → june snapshot;
+    // - 6 MONTH → january
+    val minus = FlinkDdl.run(spark, ddl +
+      "SELECT count(*) AS n FROM tt FOR SYSTEM_TIME AS OF TIMESTAMP " +
+        "'2024-06-02 00:00:00' - INTERVAL '1' DAY")
+    assert(minus.collect().head.getLong(0) == 2L)
+    val way = FlinkDdl.run(spark, ddl +
+      "SELECT count(*) AS n FROM tt FOR SYSTEM_TIME AS OF TIMESTAMP " +
+        "'2024-07-01 00:00:00' - INTERVAL '6' MONTH")
+    assert(way.collect().head.getLong(0) == 1L)
+    // before every snapshot → error naming the earliest
+    val early = intercept[IllegalArgumentException](FlinkDdl.run(spark, ddl +
+      "SELECT v FROM tt FOR SYSTEM_TIME AS OF TIMESTAMP '2020-01-01 00:00:00'"))
+    assert(early.getMessage.contains("no snapshot"))
+    // non-snapshot table → catalog-contract error
+    val plain = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      s"""CREATE TABLE tp (id BIGINT) WITH ('connector'='filesystem',
+        'path'='$dir/snapshot=$t1', 'format'='parquet');
+      SELECT * FROM tp FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01 00:00:00'"""))
+    assert(plain.getMessage.contains("does not support time travel"))
+    // non-reducible expression → the reference's error shape
+    val bad = intercept[IllegalArgumentException](FlinkDdl.run(spark, ddl +
+      "SELECT v FROM tt FOR SYSTEM_TIME AS OF TO_TIMESTAMP_LTZ(0, 3)"))
+    assert(bad.getMessage.contains("Unsupported time travel expression"))
+  }
+
   test("CALL runs catalog procedures (docs example + custom + unknown)") {
     // the docs' GenerateSequenceProcedure through the full spelling
     val seq = FlinkDdl.run(spark,
