@@ -624,6 +624,11 @@ object FlinkDdl {
     // order (a loaded module can be out of use, as in the reference).
     val modules = scala.collection.mutable.LinkedHashSet("core")
     var usedModules: Seq[String] = Seq("core")
+    // ADD/SHOW/REMOVE JAR (docs sql/reference/utility/jar.md): the
+    // session jar classpath. Added jars extend every later
+    // CREATE FUNCTION class resolution (the reference's
+    // user-classloader behavior); listing preserves add order.
+    val sessionJars = scala.collection.mutable.LinkedHashSet.empty[String]
     var curCatalog = "default_catalog"
     var curDatabase = "default_database"
     def dbTag(spec: TableSpec): String =
@@ -968,7 +973,10 @@ object FlinkDdl {
                 more = p.opt(",")
               }
             }
-            JvmFunctions.register(spark, name, className, jars.toSeq)
+            // ADD JAR'd paths extend the lookup (jar.md): declared
+            // USING JAR paths take precedence in the loader order
+            JvmFunctions.register(spark, name, className,
+              jars.toSeq ++ sessionJars.toSeq.filterNot(jars.contains))
           } else {
             p.eat("TABLE")
             val parsed = parseCreateTable(p, stmt, temporary)
@@ -1070,6 +1078,22 @@ object FlinkDdl {
             java.nio.file.Files.writeString(file.toPath, sb.toString)
           }
           if (andExec) onInsert(inner)
+        case "ADD" =>
+          // ADD JAR 'path' (jar.md; SqlAddJar.java)
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("ADD"); p.eat("JAR")
+          val path = unquote(p.next().s)
+          require(new java.io.File(path).exists(),
+            s"ADD JAR: $path does not exist")
+          sessionJars += path
+        case "REMOVE" =>
+          // REMOVE JAR 'path' (jar.md; SqlRemoveJar.java)
+          val p = new FlinkSql.P(toks, stmt)
+          p.eat("REMOVE"); p.eat("JAR")
+          val path = unquote(p.next().s)
+          require(sessionJars.remove(path),
+            s"REMOVE JAR: $path was not added; added: " +
+              sessionJars.mkString(", "))
         case "CALL" =>
           // `CALL [catalog.][db.]proc(arg, …)` (docs
           // dev/table/procedures.md; SqlCallProcedure / the planner's
@@ -1482,6 +1506,10 @@ object FlinkDdl {
               // used modules in resolution order, not sorted
               onResult(metaDf(spark, Seq("module name" -> StringType),
                 usedModules.map(n => Seq[Any](n))))
+            case "JARS" =>
+              // SHOW JARS (jar.md): added jars in add order
+              onResult(metaDf(spark, Seq("jars" -> StringType),
+                sessionJars.toSeq.map(j => Seq[Any](j))))
             case "FULL" =>
               require(p.ident().equalsIgnoreCase("MODULES"),
                 "SHOW FULL supports only SHOW FULL MODULES")

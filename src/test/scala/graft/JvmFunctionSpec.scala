@@ -55,6 +55,46 @@ class JvmFunctionSpec extends SparkSpecBase {
     assert(out.collect().head.getString(0) == "JAR:x")
   }
 
+  test("ADD JAR extends CREATE FUNCTION resolution; SHOW/REMOVE manage it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_addjar").toFile
+    val src = new java.io.File(dir, "AddJarFn.java")
+    java.nio.file.Files.writeString(src.toPath,
+      """public class AddJarFn {
+        |  public String eval(String s) { return "ADDED:" + s; }
+        |}""".stripMargin)
+    val jc = javax.tools.ToolProvider.getSystemJavaCompiler
+    assume(jc != null, "system java compiler unavailable")
+    assert(jc.run(null, null, null, "-d", dir.getAbsolutePath,
+      src.getAbsolutePath) == 0)
+    // the session classpath alone cannot see the class
+    val cnf = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      "CREATE FUNCTION aj AS 'AddJarFn'; SELECT 1 AS one"))
+    assert(cnf.getMessage.contains("not found"))
+    // ADD JAR makes it resolvable without USING JAR (jar.md flow)
+    val out = FlinkDdl.run(spark,
+      s"""ADD JAR '${dir.getAbsolutePath}/';
+         |CREATE FUNCTION aj AS 'AddJarFn';
+         |SELECT aj('y') AS r""".stripMargin)
+    assert(out.collect().head.getString(0) == "ADDED:y")
+    // SHOW JARS lists in add order; REMOVE drops; unknown REMOVE errors
+    val shown = FlinkDdl.run(spark,
+      s"""ADD JAR '${dir.getAbsolutePath}/'; SHOW JARS""")
+    assert(shown.columns.toSeq == Seq("jars"))
+    assert(shown.collect().map(_.getString(0)).toSeq ==
+      Seq(s"${dir.getAbsolutePath}/"))
+    val removed = FlinkDdl.run(spark,
+      s"""ADD JAR '${dir.getAbsolutePath}/';
+         |REMOVE JAR '${dir.getAbsolutePath}/';
+         |SHOW JARS""".stripMargin)
+    assert(removed.collect().isEmpty)
+    val missing = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      "REMOVE JAR '/nope.jar'; SELECT 1 AS one"))
+    assert(missing.getMessage.contains("was not added"))
+    val absent = intercept[IllegalArgumentException](FlinkDdl.run(spark,
+      "ADD JAR '/no/such/path.jar'; SELECT 1 AS one"))
+    assert(absent.getMessage.contains("does not exist"))
+  }
+
   test("ALTER VIEW renames and redefines") {
     val out = FlinkDdl.run(spark,
       """CREATE VIEW v1 AS SELECT 1 AS a;
