@@ -98,4 +98,42 @@ class SqlGatewaySpec extends SparkSpecBase {
         """{"statement": "SELECT 1"}""")._1 == 404)
     } finally SqlGateway.stop()
   }
+
+  test("the JDBC driver drives the gateway through java.sql") {
+    val port = SqlGateway.serve(spark, 0,
+      extra = Map("gw_j" -> spark.range(2500).toDF("n")))
+    try {
+      // ensure driver self-registration ran
+      graft.sql.jdbc.GraftDriver.getMajorVersion
+      val conn = java.sql.DriverManager
+        .getConnection(s"jdbc:flink://localhost:$port")
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        "SELECT n, CAST(n AS DOUBLE) / 2 AS half FROM gw_j ORDER BY n")
+      val md = rs.getMetaData
+      assert(md.getColumnCount == 2)
+      assert(md.getColumnName(1) == "n" && md.getColumnName(2) == "half")
+      assert(md.getColumnType(1) == java.sql.Types.BIGINT)
+      assert(md.getColumnTypeName(2) == "DOUBLE")
+      // iterate across page boundaries (2500 rows, 1000/page)
+      var count = 0L
+      var sum = 0L
+      while (rs.next()) {
+        sum += rs.getLong(1)
+        assert(rs.getDouble("half") == rs.getLong("n") / 2.0)
+        count += 1
+      }
+      assert(count == 2500 && sum == 2500L * 2499 / 2)
+      rs.close()
+      // errors surface as SQLException
+      val e = intercept[java.sql.SQLException](
+        st.executeQuery("SELECT broken FROM nowhere"))
+      assert(e.getMessage.contains("gateway error"))
+      // unsupported surface names the method
+      val u = intercept[java.sql.SQLException](conn.prepareStatement("x"))
+      assert(u.getMessage.contains("prepareStatement"))
+      conn.close()
+      assert(conn.isClosed)
+    } finally SqlGateway.stop()
+  }
 }
