@@ -1110,15 +1110,21 @@ object FlinkDdl {
           p.eat("(")
           val args = scala.collection.mutable.ListBuffer.empty[Any]
           while (p.peek != ")") {
-            val t = p.next()
+            var t = p.next()
+            // a '-' sign may tokenize separately from its number
+            val neg = t.s == "-"
+            if (neg) t = p.next()
             args += (t.up match {
               case "NULL" => null
               case "TRUE" => true
               case "FALSE" => false
-              case s if s.headOption.exists(c => c.isDigit || c == '-') =>
-                if (s.contains('.') || s.contains('E')) s.toDouble
-                else s.toLong
-              case _ => unquote(t.s)
+              case s if s.headOption.exists(_.isDigit) =>
+                if (s.contains('.') || s.contains('E'))
+                  (if (neg) -1 else 1) * s.toDouble
+                else (if (neg) -1L else 1L) * s.toLong
+              case _ =>
+                require(!neg, s"CALL: unexpected '-' before ${t.s}")
+                unquote(t.s)
             })
             if (p.peek == ",") p.next()
           }

@@ -127,7 +127,11 @@ object SqlGateway {
       if (server == null) {
         server = HttpServer.create(new InetSocketAddress(port), 0)
         server.createContext("/v1", (ex: HttpExchange) => handle(ex))
-        server.setExecutor(null)
+        // the gateway contract is "multiple clients in concurrency"
+        // (overview.md) — serve each exchange off a pooled thread;
+        // Spark's scheduler handles concurrent job submission
+        server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+          r => { val t = new Thread(r, "graft-sql-gateway"); t.setDaemon(true); t }))
         server.start()
       }
       server.getAddress.getPort
