@@ -46,11 +46,27 @@ object SqlGateway {
   private final case class Session(
       var ddlPrefix: String = "",
       ops: TrieMap[String, Operation] = TrieMap.empty)
-  private final case class Operation(
-      status: String, // FINISHED | ERROR
-      error: Option[String],
-      columns: Seq[(String, DataType)],
-      rows: IndexedSeq[Seq[Any]])
+  /** Pages materialize LAZILY from a partition-streamed iterator
+    * (toLocalIterator): the driver holds only the pages clients have
+    * fetched — a huge SELECT cannot OOM the gateway by existing, only
+    * by being read to the end (and the reference's result store has
+    * the same already-fetched retention). */
+  private final class Operation(
+      val status: String, // FINISHED | ERROR
+      val error: Option[String],
+      val columns: Seq[(String, DataType)],
+      it: Iterator[org.apache.spark.sql.Row]) {
+    private val pages =
+      scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Seq[Any]]]
+    /** The page at `token` (empty past the end) and whether more rows
+      * exist after it. */
+    def page(token: Int): (IndexedSeq[Seq[Any]], Boolean) = synchronized {
+      while (pages.size <= token && it.hasNext)
+        pages += it.take(PageSize).map(_.toSeq).toIndexedSeq
+      val p = if (token < pages.size) pages(token) else IndexedSeq.empty
+      (p, token + 1 < pages.size || it.hasNext)
+    }
+  }
 
   private val sessions = TrieMap.empty[String, Session]
   @volatile private var server: HttpServer = _
@@ -227,13 +243,15 @@ object SqlGateway {
                 (if (session.ddlPrefix.nonEmpty) session.ddlPrefix + ";\n"
                  else "") + stmt.trim.stripSuffix(";")
             val cols = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
-            val rows = df.collect().toIndexedSeq
-              .map(r => r.toSeq)
-            Operation("FINISHED", None, cols, rows)
+            import scala.jdk.CollectionConverters._
+            val o = new Operation("FINISHED", None, cols,
+              df.toLocalIterator().asScala)
+            o.page(0) // materialize the first page NOW so execution
+            o         // errors surface as ERROR status at submit time
           } catch {
             case e: Throwable =>
-              Operation("ERROR", Some(String.valueOf(e.getMessage)),
-                Nil, IndexedSeq.empty)
+              new Operation("ERROR", Some(String.valueOf(e.getMessage)),
+                Nil, Iterator.empty)
           }
         session.ops.put(op, operation)
         respond(ex, 200, s"""{"operationHandle":"$op"}""")
@@ -248,9 +266,7 @@ object SqlGateway {
           return respond(ex, 500,
             s"""{"errors":["${jsonEscape(op.error.getOrElse(""))}"]}""")
         val token = t.toInt
-        val from = token * PageSize
-        val page = op.rows.slice(from, from + PageSize)
-        val more = op.rows.size > from + PageSize
+        val (page, more) = op.page(token)
         val colsJson = op.columns.map { case (n, dt) =>
           s"""{"name":"${jsonEscape(n)}","logicalType":{"type":"${
             jsonEscape(flinkType(dt))}","nullable":true}}"""

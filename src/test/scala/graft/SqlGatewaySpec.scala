@@ -125,6 +125,12 @@ class SqlGatewaySpec extends SparkSpecBase {
       }
       assert(count == 2500 && sum == 2500L * 2499 / 2)
       rs.close()
+      // JSON special characters survive the wire both directions
+      val rs2 = st.executeQuery(
+        "SELECT concat('quote \" back ', char(92), ' nl', char(10), " +
+          "'tab', char(9), 'end') AS s")
+      assert(rs2.next())
+      assert(rs2.getString("s") == "quote \" back \\ nl\ntab\tend")
       // errors surface as SQLException
       val e = intercept[java.sql.SQLException](
         st.executeQuery("SELECT broken FROM nowhere"))
