@@ -209,4 +209,18 @@ class PlanSpec extends SparkSpecBase {
       .filter(n => planOf(n).contains("CartesianProduct"))
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("q_chunk_documents: expression-only chunking, no UDF, pruned scan") {
+    val p = planOf("q_chunk_documents")
+    // sequence/transform/slice/array_join stay expressions; posexplode
+    // is the only Generate; no UDF boundary anywhere
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"UDF boundary leaked into the chunking plan:\n$p")
+    assert(p.contains("Generate"), "posexplode should plan as Generate")
+    // only doc_id and text are read from the documents scan
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars"), s"scan not pruned: $read")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
