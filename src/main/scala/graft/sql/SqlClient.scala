@@ -1,0 +1,191 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** One interactive SQL session: statements execute through
+  * [[FlinkDdl.runScript]] with catalog continuity — catalog-mutating
+  * statements (CREATE/ALTER/DROP/USE/SET/RESET/LOAD/UNLOAD/ADD/REMOVE)
+  * append to a replayed DDL prefix, DML/queries run exactly once (their
+  * effects persist in the written files). Shared by the SQL Gateway
+  * sessions and the SQL Client REPL. */
+final class StatementSession(
+    spark: SparkSession,
+    extra: Map[String, DataFrame] = Map.empty,
+    procedures: Map[String, Procedure] = Procedures.builtin) {
+
+  @volatile private var ddlPrefix: String = ""
+
+  private def isCatalogMutating(stmt: String): Boolean = {
+    val head = stmt.trim.split("\\s+").headOption.map(_.toUpperCase)
+      .getOrElse("")
+    Set("CREATE", "ALTER", "DROP", "USE", "SET", "RESET", "LOAD",
+      "UNLOAD", "ADD", "REMOVE").contains(head)
+  }
+
+  /** Execute one statement in this session; DDL-only statements return
+    * the reference's OK result shape. */
+  def execute(stmt: String): DataFrame = {
+    val script =
+      (if (ddlPrefix.nonEmpty) ddlPrefix + ";\n" else "") + stmt
+    val res = FlinkDdl.runScript(spark, script, extra = extra,
+      procedures = procedures)
+    if (isCatalogMutating(stmt))
+      ddlPrefix =
+        (if (ddlPrefix.nonEmpty) ddlPrefix + ";\n" else "") +
+          stmt.trim.stripSuffix(";")
+    res.lastQuery.getOrElse {
+      if (res.lastSink.nonEmpty) res.dataFrame
+      else spark.createDataFrame(
+        java.util.Arrays.asList(Row("OK")),
+        StructType(Seq(StructField("result", StringType))))
+    }
+  }
+}
+
+/** The SQL Client (reference: flink-table/flink-sql-client; docs
+  * sql/interfaces/sql-client.md): the interactive shell —
+  * `Flink SQL>` prompt, statements terminated by a top-level `;`,
+  * results printed in the tableau box format with an `N rows in set`
+  * footer, `[INFO] Execute statement succeeded.` for DDL,
+  * `[ERROR] …` lines on failure (the session continues), and
+  * `QUIT;`/`EXIT;` to leave. Script mode runs `-f <file>`; `-e
+  * '<stmt>'` executes one statement. Statement handling rides the
+  * same [[StatementSession]] the gateway uses.
+  *
+  * Documented delta: the reference's `table`/`changelog` interactive
+  * result modes are curses UIs over the same rows — graft prints
+  * tableau (the mode the reference itself recommends for batch and
+  * scripted use); gateway attachment is the JDBC driver's job. */
+object SqlClient {
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.get("graft-sql-client", "local[*]", 8)
+    args.toList match {
+      case "-f" :: file :: _ =>
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)))
+        runScripted(spark, text, System.out)
+      case "-e" :: stmt :: _ =>
+        runScripted(spark, stmt, System.out)
+      case _ => repl(spark, System.in, System.out)
+    }
+  }
+
+  /** Script mode: execute every `;`-separated statement, print each
+    * result; errors abort (the reference's -f contract). */
+  def runScripted(spark: SparkSession, text: String,
+      out: java.io.PrintStream): Unit = {
+    val session = new StatementSession(spark)
+    splitTopLevel(text).foreach { stmt =>
+      printResult(session.execute(stmt), stmt, out)
+    }
+  }
+
+  /** Interactive mode: prompt, accumulate to `;`, execute, continue on
+    * error, QUIT/EXIT to leave. */
+  def repl(spark: SparkSession, in: java.io.InputStream,
+      out: java.io.PrintStream): Unit = {
+    val session = new StatementSession(spark)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in))
+    val buf = new StringBuilder
+    out.print("Flink SQL> "); out.flush()
+    var line = reader.readLine()
+    while (line != null) {
+      buf.append(line).append('\n')
+      if (hasTopLevelSemicolon(buf.toString)) {
+        val stmts = splitTopLevel(buf.toString)
+        buf.clear()
+        var quit = false
+        stmts.foreach { stmt =>
+          val up = stmt.trim.toUpperCase
+          if (up == "QUIT" || up == "EXIT") quit = true
+          else if (!quit)
+            try printResult(session.execute(stmt), stmt, out)
+            catch {
+              case e: Throwable =>
+                out.println(s"[ERROR] ${String.valueOf(e.getMessage)}")
+            }
+        }
+        if (quit) return
+      }
+      out.print("Flink SQL> "); out.flush()
+      line = reader.readLine()
+    }
+  }
+
+  private def hasTopLevelSemicolon(text: String): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (c == '\'') inStr = !inStr
+      else if (c == ';' && !inStr) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Split on top-level `;` (outside string literals), dropping blanks. */
+  private[graft] def splitTopLevel(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    text.foreach {
+      case '\'' => inStr = !inStr; cur.append('\'')
+      case ';' if !inStr =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toList
+  }
+
+  /** The tableau result format (sql-client.md result-mode tableau):
+    * right-aligned boxed cells, `N row(s) in set` footer; DDL prints
+    * the docs' `[INFO] Execute statement succeeded.` line. */
+  private def printResult(df: DataFrame, stmt: String,
+      out: java.io.PrintStream): Unit = {
+    val cols = df.columns.toSeq
+    if (cols == Seq("result")) {
+      val vals = df.collect()
+      if (vals.length == 1 && vals.head.getString(0) == "OK") {
+        out.println("[INFO] Execute statement succeeded.")
+        return
+      }
+      printTableau(cols, vals.toSeq.map(_.toSeq.map(fmt)), out)
+    } else {
+      import scala.jdk.CollectionConverters._
+      val rows = df.toLocalIterator().asScala
+        .map(_.toSeq.map(fmt)).toList
+      printTableau(cols, rows, out)
+    }
+  }
+
+  private def fmt(v: Any): String = v match {
+    case null => "<NULL>"
+    case a: Array[_] => a.mkString("[", ", ", "]")
+    case s: Seq[_] => s.mkString("[", ", ", "]")
+    case other => other.toString
+  }
+
+  private def printTableau(cols: Seq[String], rows: Seq[Seq[String]],
+      out: java.io.PrintStream): Unit = {
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: rows.map(_(i).length)).max
+    }
+    def sep(): Unit =
+      out.println(widths.map("-" * _).mkString("+-", "-+-", "-+"))
+    def row(cells: Seq[String]): Unit =
+      out.println(cells.zip(widths)
+        .map { case (c, w) => ("%" + w + "s").format(c) }
+        .mkString("| ", " | ", " |"))
+    sep(); row(cols); sep()
+    rows.foreach(row)
+    sep()
+    out.println(
+      s"${rows.size} row${if (rows.size == 1) "" else "s"} in set")
+  }
+}

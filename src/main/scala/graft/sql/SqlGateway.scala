@@ -44,7 +44,7 @@ object SqlGateway {
   private val PageSize = 1000
 
   private final case class Session(
-      var ddlPrefix: String = "",
+      stmts: StatementSession,
       ops: TrieMap[String, Operation] = TrieMap.empty)
   /** Pages materialize LAZILY from a partition-streamed iterator
     * (toLocalIterator): the driver holds only the pages clients have
@@ -73,15 +73,6 @@ object SqlGateway {
   @volatile private var boundSpark: SparkSession = _
   @volatile private var extraTables: Map[String, DataFrame] = Map.empty
   @volatile private var procs: Map[String, Procedure] = Procedures.builtin
-
-  /** First keyword deciding whether a statement mutates the session
-    * catalog (replayed) or executes once. */
-  private def isCatalogMutating(stmt: String): Boolean = {
-    val head = stmt.trim.split("\\s+").headOption.map(_.toUpperCase)
-      .getOrElse("")
-    Set("CREATE", "ALTER", "DROP", "USE", "SET", "RESET", "LOAD",
-      "UNLOAD").contains(head)
-  }
 
   /** Flink logical-type name for the wire shape (types.md names). */
   private def flinkType(t: DataType): String = t match {
@@ -211,7 +202,8 @@ object SqlGateway {
           """{"productName":"graft","version":"spark-4"}""")
       case ("POST", List("v1", "sessions")) =>
         val h = UUID.randomUUID().toString
-        sessions.put(h, Session())
+        sessions.put(h,
+          Session(new StatementSession(boundSpark, extraTables, procs)))
         respond(ex, 200, s"""{"sessionHandle":"$h"}""")
       case ("DELETE", List("v1", "sessions", s)) =>
         sessions.remove(s)
@@ -224,24 +216,7 @@ object SqlGateway {
         val op = UUID.randomUUID().toString
         val operation =
           try {
-            val res = FlinkDdl.runScript(boundSpark,
-              (if (session.ddlPrefix.nonEmpty) session.ddlPrefix + ";\n"
-               else "") + stmt,
-              extra = extraTables, procedures = procs)
-            // DDL-only → the reference's TABLE_RESULT_OK shape
-            val df = res.lastQuery.getOrElse {
-              if (res.lastSink.nonEmpty) res.dataFrame
-              else {
-                import org.apache.spark.sql.Row
-                boundSpark.createDataFrame(
-                  java.util.Arrays.asList(Row("OK")),
-                  StructType(Seq(StructField("result", StringType))))
-              }
-            }
-            if (isCatalogMutating(stmt))
-              session.ddlPrefix =
-                (if (session.ddlPrefix.nonEmpty) session.ddlPrefix + ";\n"
-                 else "") + stmt.trim.stripSuffix(";")
+            val df = session.stmts.execute(stmt)
             val cols = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
             import scala.jdk.CollectionConverters._
             val o = new Operation("FINISHED", None, cols,
