@@ -439,6 +439,72 @@ object BuiltinFuncs {
       burst.ds.flatMap(identity(_)))
   }
 
+  /** BuiltinFuncs.java:176 two-input window
+    * (TwoInputNonBroadcastWindowStreamProcessFunction +
+    * TwoInputWindowContext): per (key, window) BOTH keyed inputs'
+    * records meet in one onTrigger call — either side possibly empty
+    * (the co-group contract underneath). Tumbling/sliding event-time
+    * strategies (session merging is one-input in the reference's
+    * context model too). */
+  def window2[K, T1, T2, OUT: Encoder](left: KeyedPartitionStream[K, T1],
+      right: KeyedPartitionStream[K, T2], strategy: WindowStrategy,
+      timeOf1: T1 => Long, timeOf2: T2 => Long)(
+      onTrigger: (K, Long, Seq[T1], Seq[T2], Collector[OUT]) => Unit)(
+      implicit kEnc: Encoder[K]): NonKeyedPartitionStream[OUT] = {
+    val assigner = strategy match {
+      case TumblingWindow(s) => TumblingEventTimeWindows(s)
+      case SlidingWindow(s, sl) => SlidingEventTimeWindows(s, sl)
+      case SessionWindow(_) => throw new IllegalArgumentException(
+        "two-input windows support tumbling/sliding strategies; session " +
+          "windows are one-input (the reference's window-context model)")
+    }
+    implicit val seqEnc: Encoder[Seq[OUT]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[OUT]]
+    val burst = new CoGroupWhere[T1, T2](left.keyed.ds, right.keyed.ds)
+      .where(left.keyed.keyF).equalTo(right.keyed.keyF)
+      .window(assigner)(timeOf1, timeOf2)
+      .apply[Seq[OUT]] { (k, w, ls, rs) =>
+        val col = new BufCollector[OUT]
+        onTrigger(k, w, ls, rs, col)
+        col.buf.toList
+      }
+    new NonKeyedPartitionStream(burst.ds.flatMap(identity(_)))
+  }
+
+  /** BuiltinFuncs.java:193 two-output window
+    * (TwoOutputWindowStreamProcessFunction): one windowed pass, two
+    * result streams. */
+  def windowTwoOutput[K, T, O1: Encoder, O2: Encoder](
+      stream: KeyedPartitionStream[K, T], strategy: WindowStrategy,
+      timeOf: T => Long)(
+      onTrigger: (K, Long, Seq[T], Collector[O1], Collector[O2]) => Unit)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T])
+      : TwoNonKeyedPartitionStreams[O1, O2] = {
+    implicit val outEnc: Encoder[Seq[Either[O1, O2]]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[Either[O1, O2]]]
+    implicit val eitherEnc: Encoder[Either[O1, O2]] =
+      org.apache.spark.sql.Encoders.kryo[Either[O1, O2]]
+    def emit(k: K, w: Long, es: Seq[T]): Seq[Either[O1, O2]] = {
+      val c1 = new BufCollector[O1]; val c2 = new BufCollector[O2]
+      onTrigger(k, w, es, c1, c2)
+      c1.buf.toList.map(Left(_): Either[O1, O2]) ++
+        c2.buf.toList.map(Right(_): Either[O1, O2])
+    }
+    val keyed = stream.keyed
+    val burst = strategy match {
+      case TumblingWindow(s) =>
+        new WindowedStream(keyed, TumblingEventTimeWindows(s), timeOf)
+          .apply[Seq[Either[O1, O2]]](emit)
+      case SlidingWindow(s, sl) =>
+        new WindowedStream(keyed, SlidingEventTimeWindows(s, sl), timeOf)
+          .apply[Seq[Either[O1, O2]]](emit)
+      case SessionWindow(g) =>
+        new SessionWindowedStream(keyed, EventTimeSessionWindows(g), timeOf)
+          .apply[Seq[Either[O1, O2]]](emit)
+    }
+    new TwoNonKeyedPartitionStreams(burst.ds.flatMap(identity(_)))
+  }
+
   /** BuiltinFuncs.java:56 `join` (extension/join/JoinType.java — the
     * reference currently ships INNER only): per matching key, every
     * (left, right) pair runs through the JoinFunction

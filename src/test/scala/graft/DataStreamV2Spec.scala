@@ -174,6 +174,34 @@ class DataStreamV2Spec extends SparkSpecBase {
       Set((1L, 5L, 1.0), (1L, 15L, 6.0), (2L, 5L, 8.0)))
   }
 
+  test("BuiltinFuncs.window2 and windowTwoOutput complete the window set") {
+    val l = env.fromCollection(
+      Seq((1L, 5L, "a"), (1L, 15L, "b"), (2L, 5L, "c"))).keyBy(_._1)
+    val r = env.fromCollection(
+      Seq((1L, 7L, 10.0), (3L, 8L, 30.0))).keyBy(_._1)
+    // two-input window: both sides per (key, window), either may be empty
+    val j = BuiltinFuncs.window2[Long, (Long, Long, String),
+        (Long, Long, Double), (Long, Long, String, Double)](
+      l, r, BuiltinFuncs.tumbling(10L), _._2, _._2) { (k, w, ls, rs, out) =>
+      out.collect((k, w, ls.map(_._3).mkString("|"), rs.map(_._3).sum))
+    }
+    assert(j.toDataset.collect().toSet == Set(
+      (1L, 0L, "a", 10.0), (1L, 10L, "b", 0.0),
+      (2L, 0L, "c", 0.0), (3L, 0L, "", 30.0)))
+    // session strategy rejected on the two-input face
+    val e = intercept[IllegalArgumentException](
+      BuiltinFuncs.window2[Long, (Long, Long, String), (Long, Long, Double),
+          Long](l, r, BuiltinFuncs.session(5L), _._2, _._2)((_, _, _, _, _) => ()))
+    assert(e.getMessage.contains("session"))
+    // two-output window: evens and odds split from one windowed pass
+    val two = BuiltinFuncs.windowTwoOutput[Long, (Long, Long, String),
+        Long, String](l, BuiltinFuncs.tumbling(10L), _._2) {
+      (k, w, es, o1, o2) => o1.collect(k * 100 + w); es.foreach(e => o2.collect(e._3))
+    }
+    assert(two.getFirst.toDataset.collect().toSet == Set(100L, 110L, 200L))
+    assert(two.getSecond.toDataset.collect().toSet == Set("a", "b", "c"))
+  }
+
   test("BuiltinFuncs.join pairs per key (INNER, the reference's set)") {
     val l = env.fromCollection(Seq((1, "a"), (1, "b"), (2, "c"))).keyBy(_._1)
     val r = env.fromCollection(Seq((1, 10), (2, 20), (3, 30))).keyBy(_._1)
