@@ -952,6 +952,45 @@ object MiscOpQueries {
         FROM e WHERE v100 >= 5000 GROUP BY user_id ORDER BY user_id
       """.stripMargin.trim)),
 
+    // SQL time travel (round 12; sql/reference/queries/time-travel.md):
+    // the query authors a dir-per-snapshot table from the region table
+    // (snapshot 1000ms = region as-is; snapshot 2000ms adds shifted
+    // rows), then time-travels BETWEEN the snapshots — the oracle is
+    // the plain region table, proving the earlier snapshot resolved.
+    QueryDef(
+      "q_sql_time_travel",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_tt_q").toString
+        val region = Tables.region(s, dir)
+          .select(col("r_regionkey"), col("r_name"))
+        region.write.mode("overwrite").parquet(s"$tmp/snapshot=1000")
+        region.unionByName(region
+            .select((col("r_regionkey") + 100).as("r_regionkey"),
+              col("r_name")))
+          .write.mode("overwrite").parquet(s"$tmp/snapshot=2000")
+        graft.sql.FlinkDdl.run(s,
+          s"""CREATE TABLE tt_q (r_regionkey BIGINT, r_name STRING) WITH (
+             |  'connector'='filesystem', 'path'='$tmp',
+             |  'format'='parquet', 'snapshots'='true');
+             |SELECT r_regionkey, r_name FROM tt_q
+             |  FOR SYSTEM_TIME AS OF TIMESTAMP '1970-01-01 00:00:01'
+             |ORDER BY r_regionkey""".stripMargin)
+      },
+      Some("""
+        SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+      """.stripMargin.trim)),
+
+    // CALL stored procedures (round 12; dev/table/procedures.md): the
+    // docs' GenerateSequenceProcedure through the SQL CALL statement.
+    QueryDef(
+      "q_sql_call",
+      (s, _) => graft.sql.FlinkDdl.run(s,
+        "CALL my_catalog.`system`.generate_n(8)"),
+      Some("""
+        SELECT CAST(range AS BIGINT) AS result FROM range(8)
+      """.stripMargin.trim)),
+
     // Table API facade (round 10; graft.table — the reference's fluent
     // Table.java/TableEnvironment.java surface over DataFrames): a
     // join + filter + group-agg pipeline phrased ENTIRELY through the
