@@ -234,6 +234,10 @@ final class NonKeyedPartitionStream[T](val ds: Dataset[T])
   def connectAndProcess[T2, OUT: Encoder](broadcast: BroadcastStream[T2],
       f: TwoInputBroadcastStreamProcessFunction[T, T2, OUT])
       : NonKeyedPartitionStream[OUT] = {
+    require(!broadcast.ds.isStreaming,
+      "the broadcast input must be bounded here (it replicates via a " +
+        "Spark broadcast); for a LIVE broadcast-rules stream use " +
+        "graft.streaming.BroadcastRules")
     val b = ds.sparkSession.sparkContext.broadcast(
       broadcast.ds.collect().toSeq)
     new NonKeyedPartitionStream(ds.mapPartitions { it =>
@@ -351,6 +355,10 @@ final class KeyedPartitionStream[K, T] private[v2] (
   def connectAndProcess[T2, OUT: Encoder](broadcast: BroadcastStream[T2],
       f: TwoInputBroadcastStreamProcessFunction[T, T2, OUT])
       (implicit tEnc: Encoder[T]): NonKeyedPartitionStream[OUT] = {
+    require(!broadcast.ds.isStreaming,
+      "the broadcast input must be bounded here (it replicates via a " +
+        "Spark broadcast); for a LIVE broadcast-rules stream use " +
+        "graft.streaming.BroadcastRules")
     val b = keyed.ds.sparkSession.sparkContext
       .broadcast(broadcast.ds.collect().toSeq)
     val out = keyed.process[Map[String, Any], OUT] { (_, rows, st, wm) =>
