@@ -28,6 +28,66 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Symmetric int8 embedding quantization (round 12;
+    // functions/VectorQuant — the 4x storage path for vector columns at
+    // corpus scale): the PROPERTY oracle — both engines independently
+    // quantize and check the absmax contract (every reconstruction
+    // error within 0.6*scale, a boundary-immune margin over the
+    // scale/2 bound; every nonzero vector's max |q| hits full scale
+    // 127) — integer outputs only, so float rounding-mode deltas
+    // cannot flake the gate.
+    QueryDef(
+      "q_embedding_quantize",
+      (s, dir) => {
+        import graft.functions.VectorQuant._
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("scale", int8Scale(col("embedding")))
+        val q = e.withColumn("q", quantizeInt8(col("embedding"), col("scale")))
+          .withColumn("maxerr",
+            maxAbsError(col("embedding"), col("q"), col("scale")))
+        q.agg(
+          count(lit(1)).as("n_vecs"),
+          max(size(col("embedding"))).cast("long").as("dims"),
+          sum((col("maxerr") > col("scale") * 0.6).cast("long"))
+            .as("n_violated"),
+          sum((array_max(transform(col("q"),
+            x => abs(x.cast("int")))) === 127).cast("long"))
+            .as("n_fullscale"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS maxabs
+          FROM v),
+        q AS (
+          SELECT vec_id, v, maxabs / 127.0 AS scale,
+                 CASE WHEN maxabs = 0
+                   THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                   ELSE list_transform(v,
+                     x -> CAST(ROUND(x / (maxabs / 127.0)) AS TINYINT))
+                 END AS q
+          FROM m),
+        e AS (
+          SELECT vec_id, scale, q,
+                 list_max(list_transform(range(1, len(v) + 1),
+                   i -> abs(CAST(q[i] AS DOUBLE) * scale - v[i]))) AS maxerr,
+                 len(v) AS dims
+          FROM q)
+        SELECT COUNT(*) AS n_vecs,
+               CAST(MAX(dims) AS BIGINT) AS dims,
+               CAST(SUM(CASE WHEN maxerr > scale * 0.6 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_violated,
+               CAST(SUM(CASE WHEN
+                 list_max(list_transform(q, x -> abs(CAST(x AS INT)))) = 127
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_fullscale
+        FROM e
+      """.stripMargin.trim)),
+
     // Brute-force cosine top-5 for a 10-query set: the exact baseline every
     // ANN variant is measured against. Routed through the VectorIndex SPI
     // (operators/VectorIndex.scala) — same plan as the pre-SPI inline body.

@@ -587,6 +587,48 @@ class OperatorSpec extends SparkSpecBase {
         s"weight $w%: empirical keep-rate $rate%")
     }
   }
+
+  test("VectorQuant int8: error bound, full scale, zero vector, tinyint") {
+    import graft.functions.VectorQuant._
+    import org.apache.spark.sql.functions.{size => asize}
+    val df = TestSpark.spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq(0.5f, -1.25f, 0.01f, 2.0f)),
+        org.apache.spark.sql.Row(2L, Seq(-3.0f, 0.0f, 1.5f, 0.25f)),
+        org.apache.spark.sql.Row(3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val q = df.withColumn("scale", int8Scale(col("v")))
+      .withColumn("q", quantizeInt8(col("v"), col("scale")))
+      .withColumn("err", maxAbsError(col("v"), col("q"), col("scale")))
+    // storage type is genuinely byte (the 4x claim)
+    assert(q.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType))
+    val rows = q.orderBy("id").collect()
+    // nonzero rows: error within scale/2 (+noise), max |q| = 127
+    rows.take(2).foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Double]("err") <= scale * 0.51)
+      assert(r.getAs[scala.collection.Seq[Byte]]("q").map(b => math.abs(b.toInt)).max == 127)
+    }
+    // zero vector: scale 0, q all zeros, zero error
+    val z = rows(2)
+    assert(z.getAs[Double]("scale") == 0.0)
+    assert(z.getAs[scala.collection.Seq[Byte]]("q").forall(_ == 0))
+    assert(z.getAs[Double]("err") == 0.0)
+    // dequantize round-trips the exact grid points
+    val grid = df.where(col("id") === 1L)
+      .select(dequantizeInt8(
+        quantizeInt8(col("v"), int8Scale(col("v"))),
+        int8Scale(col("v"))).as("d"), asize(col("v")).as("n"))
+      .collect().head
+    assert(grid.getAs[scala.collection.Seq[Double]]("d").size == grid.getAs[Int]("n"))
+  }
 }
 
 /** Partition-local failure counter for the flaky-client retry spec (object
