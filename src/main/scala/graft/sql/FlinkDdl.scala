@@ -1580,6 +1580,21 @@ object FlinkDdl {
             case "FUNCTIONS" =>
               listOf("function name", spark.catalog.listFunctions()
                 .collect().map(_.name).toSeq)
+            case "PROCEDURES" =>
+              // SHOW PROCEDURES [(FROM | IN) cat.db] [[NOT] LIKE 'p']
+              // (utility/show.md; SqlShowProcedures.java) — lists the
+              // registry, scoped to the named db's entries when given
+              val scoped =
+                if (p.opt("FROM") || p.opt("IN")) {
+                  var ns = p.ident()
+                  while (p.opt(".")) ns = ns + "." + p.ident()
+                  procedures.keys.toSeq.filter { k =>
+                    val parts = k.split('.')
+                    parts.length >= 2 &&
+                      (ns == parts.init.mkString(".") || ns == parts.init.last)
+                  }.map(_.split('.').last)
+                } else procedures.keys.toSeq.map(_.split('.').last)
+              listOf("procedure name", scoped.distinct.sorted)
             case "CREATE" =>
               // SHOW CREATE TABLE | MATERIALIZED TABLE | MODEL |
               // CONNECTION — reconstruct runnable DDL text

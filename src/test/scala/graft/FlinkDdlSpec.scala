@@ -1488,6 +1488,25 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(bad.getMessage.contains("Unsupported time travel expression"))
   }
 
+  test("SHOW PROCEDURES lists the registry, scoped and filtered") {
+    val custom = new graft.sql.Procedure {
+      def call(ctx: graft.sql.ProcedureContext, args: Seq[Any]): Seq[Any] =
+        Seq(1L)
+    }
+    val procs = graft.sql.Procedures.builtin +
+      ("cat.db.compact" -> custom) + ("cat.db.expire" -> custom)
+    def names(sql: String): Seq[String] =
+      FlinkDdl.run(spark, sql, procedures = procs)
+        .collect().map(_.getString(0)).toSeq
+    assert(names("SHOW PROCEDURES") ==
+      Seq("compact", "expire", "generate_n"))
+    assert(names("SHOW PROCEDURES IN cat.db") == Seq("compact", "expire"))
+    assert(names("SHOW PROCEDURES FROM `system`") == Seq("generate_n"))
+    assert(names("SHOW PROCEDURES LIKE 'comp%'") == Seq("compact"))
+    assert(names("SHOW PROCEDURES NOT LIKE 'comp%'") ==
+      Seq("expire", "generate_n"))
+  }
+
   test("CALL runs catalog procedures (docs example + custom + unknown)") {
     // the docs' GenerateSequenceProcedure through the full spelling
     val seq = FlinkDdl.run(spark,
