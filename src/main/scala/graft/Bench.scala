@@ -44,12 +44,15 @@ object Bench {
     // Rep schedule (r12): reps-1 SEQUENTIAL reps per query right after
     // its warmup neighborhood (hot JIT/code cache — the state the
     // baselines were recorded in), then ONE final round-robin rescue
-    // pass minutes later. Aggregate by MIN: a transient machine-load
-    // spike poisons either the sequential block or the rescue rep, never
-    // both, so the min rejects it — r11's fully-interleaved schedule
-    // fixed the false alarms but ran every rep cold (each one after 260
+    // pass minutes later. r11's fully-interleaved schedule fixed the
+    // spike false alarms but ran every rep cold (each one after 260
     // other queries churned the JVM) and shifted the whole sweep's
     // medians +26% vs baseline.
+    // Aggregate by MEDIAN (r13, ADVICE r12): the BASELINE.md numbers
+    // were recorded under median, and a min-vs-median comparison biases
+    // every ratio downward, weakening the 2x gate. Transient-spike
+    // outliers stay handled by the documented 7-rep quiet-box re-measure
+    // procedure, not by the aggregation.
     val timed = Array.fill(ordered.size)(
       scala.collection.mutable.ArrayBuffer.empty[Double])
     ordered.zipWithIndex.foreach { case ((_, fn), i) =>
@@ -64,10 +67,15 @@ object Bench {
     }
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
       // ANY failed rep marks the query failed (-1): a query that
-      // crashes intermittently must not report a healthy min of
+      // crashes intermittently must not report a healthy aggregate of
       // its surviving reps (review r11)
       val ts = timed(i)
-      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.min)
+      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
+               else {
+                 val s = ts.sorted
+                 if (s.size % 2 == 1) s(s.size / 2)
+                 else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+               })
     }
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"

@@ -2485,6 +2485,41 @@ object FlinkDdl {
        |)""".stripMargin
   }
 
+  /** If `stmt` is a CTAS/RTAS — `CREATE [OR REPLACE] [TEMPORARY] TABLE
+    * [IF NOT EXISTS] name … AS <query>` — the created table's name.
+    * Used by [[StatementSession]] replay: an executed CTAS already wrote
+    * its data, so replaying the raw statement would re-run the query and
+    * overwrite the sink on every later statement (wiping INSERTs made
+    * into the table, retroactively re-deriving from mutated sources).
+    * The session degrades it to the plain CREATE TABLE registration via
+    * [[showCreateTable]] instead. The `AS` scan runs at paren depth 0 so
+    * computed columns (`c AS expr` inside the column list) never match. */
+  private[sql] def ctasTarget(stmt: String): Option[String] = {
+    val toks = try FlinkSql.tokenize(stmt)
+    catch { case _: Exception => return None }
+    val p = new FlinkSql.P(toks, stmt)
+    if (!p.opt("CREATE")) return None
+    if (p.opt("OR") && !p.opt("REPLACE")) return None
+    p.opt("TEMPORARY")
+    if (!p.opt("TABLE")) return None
+    if (p.opt("IF")) { if (!p.opt("NOT") || !p.opt("EXISTS")) return None }
+    val name = try p.ident() catch { case _: Exception => return None }
+    var depth = 0
+    var k = p.i
+    while (k < toks.length) {
+      val t = toks(k).up
+      if (t == "(") depth += 1
+      else if (t == ")") depth -= 1
+      else if (t == "AS" && depth == 0 && k + 1 < toks.length) {
+        val nx = toks(k + 1).up
+        if (nx == "SELECT" || nx == "WITH" || nx == "VALUES" ||
+            nx == "TABLE" || nx == "(") return Some(name)
+      }
+      k += 1
+    }
+    None
+  }
+
   /** Reconstruct runnable `CREATE MATERIALIZED TABLE` DDL
     * (SqlShowCreateMaterializedTable.java): declared columns, partition
     * keys, user WITH options, FRESHNESS / REFRESH_MODE, and the defining

@@ -23,22 +23,47 @@ final class StatementSession(
       "UNLOAD", "ADD", "REMOVE").contains(head)
   }
 
+  /** Table names visible to this session (for statement completion). */
+  @volatile private var knownTables: Set[String] = extra.keySet
+
+  def tableNames: Set[String] = knownTables
+
   /** Execute one statement in this session; DDL-only statements return
     * the reference's OK result shape. */
-  def execute(stmt: String): DataFrame = {
+  def execute(stmt: String): DataFrame = executeTagged(stmt)._1
+
+  /** As [[execute]] but discriminating the synthetic DDL success marker
+    * from a genuine row result (`_2` = true when the DataFrame is the
+    * `OK` sentinel, so displays don't have to sniff the result shape —
+    * a real query returning one 'result' column with an 'OK' row prints
+    * as rows). Synchronized: the gateway serves statements off a thread
+    * pool, and two concurrent statements on one session must not race
+    * the ddlPrefix read-modify-write or interleave runScript side
+    * effects — the reference gateway serializes per session the same
+    * way. */
+  def executeTagged(stmt: String): (DataFrame, Boolean) = synchronized {
     val script =
       (if (ddlPrefix.nonEmpty) ddlPrefix + ";\n" else "") + stmt
     val res = FlinkDdl.runScript(spark, script, extra = extra,
       procedures = procedures)
-    if (isCatalogMutating(stmt))
+    if (isCatalogMutating(stmt)) {
+      // An executed CTAS already wrote its data; degrade it to its plain
+      // CREATE TABLE registration on replay (see FlinkDdl.ctasTarget) so
+      // later statements neither re-run the query nor overwrite the sink.
+      val replayed = FlinkDdl.ctasTarget(stmt)
+        .flatMap(n => res.catalog.get(n).map(FlinkDdl.showCreateTable))
+        .getOrElse(stmt.trim.stripSuffix(";"))
       ddlPrefix =
-        (if (ddlPrefix.nonEmpty) ddlPrefix + ";\n" else "") +
-          stmt.trim.stripSuffix(";")
-    res.lastQuery.getOrElse {
-      if (res.lastSink.nonEmpty) res.dataFrame
-      else spark.createDataFrame(
-        java.util.Arrays.asList(Row("OK")),
-        StructType(Seq(StructField("result", StringType))))
+        (if (ddlPrefix.nonEmpty) ddlPrefix + ";\n" else "") + replayed
+    }
+    knownTables = extra.keySet ++ res.catalog.keySet
+    res.lastQuery match {
+      case Some(df) => (df, false)
+      case None if res.lastSink.nonEmpty => (res.dataFrame, false)
+      case None =>
+        (spark.createDataFrame(
+          java.util.Arrays.asList(Row("OK")),
+          StructType(Seq(StructField("result", StringType)))), true)
     }
   }
 }
@@ -78,7 +103,8 @@ object SqlClient {
       out: java.io.PrintStream): Unit = {
     val session = new StatementSession(spark)
     splitTopLevel(text).foreach { stmt =>
-      printResult(session.execute(stmt), stmt, out)
+      val (df, ddlOk) = session.executeTagged(stmt)
+      printResult(df, ddlOk, out)
     }
   }
 
@@ -102,8 +128,10 @@ object SqlClient {
           val up = stmt.trim.toUpperCase
           if (up == "QUIT" || up == "EXIT") quit = true
           else if (!quit)
-            try printResult(session.execute(stmt), stmt, out)
-            catch {
+            try {
+              val (df, ddlOk) = session.executeTagged(stmt)
+              printResult(df, ddlOk, out)
+            } catch {
               case e: Throwable =>
                 out.println(s"[ERROR] ${String.valueOf(e.getMessage)}")
             }
@@ -145,23 +173,18 @@ object SqlClient {
 
   /** The tableau result format (sql-client.md result-mode tableau):
     * right-aligned boxed cells, `N row(s) in set` footer; DDL prints
-    * the docs' `[INFO] Execute statement succeeded.` line. */
-  private def printResult(df: DataFrame, stmt: String,
+    * the docs' `[INFO] Execute statement succeeded.` line (discriminated
+    * by the executeTagged marker, never by sniffing the result shape). */
+  private def printResult(df: DataFrame, ddlOk: Boolean,
       out: java.io.PrintStream): Unit = {
-    val cols = df.columns.toSeq
-    if (cols == Seq("result")) {
-      val vals = df.collect()
-      if (vals.length == 1 && vals.head.getString(0) == "OK") {
-        out.println("[INFO] Execute statement succeeded.")
-        return
-      }
-      printTableau(cols, vals.toSeq.map(_.toSeq.map(fmt)), out)
-    } else {
-      import scala.jdk.CollectionConverters._
-      val rows = df.toLocalIterator().asScala
-        .map(_.toSeq.map(fmt)).toList
-      printTableau(cols, rows, out)
+    if (ddlOk) {
+      out.println("[INFO] Execute statement succeeded.")
+      return
     }
+    import scala.jdk.CollectionConverters._
+    val rows = df.toLocalIterator().asScala
+      .map(_.toSeq.map(fmt)).toList
+    printTableau(df.columns.toSeq, rows, out)
   }
 
   private def fmt(v: Any): String = v match {

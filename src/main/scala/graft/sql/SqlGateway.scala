@@ -20,7 +20,13 @@ import scala.collection.concurrent.TrieMap
   *   GET  /v1/sessions/{s}/operations/{o}/status       → FINISHED/ERROR
   *   GET  /v1/sessions/{s}/operations/{o}/result/{n}   → columns + rows
   *        (paged; `nextResultUri` carries the next token, null at end —
-  *        the docs' fetch loop)
+  *        the docs' fetch loop; `resultType` NOT_READY with the same
+  *        token while the statement still runs)
+  *   POST /v1/sessions/{s}/operations/{o}/cancel       → CANCELED
+  *        (stops the statement's running Spark jobs mid-flight)
+  *   DELETE /v1/sessions/{s}/operations/{o}/close      → CLOSED
+  *   GET|POST /v1/sessions/{s}/complete-statement      → candidates
+  *        ({"statement":…,"position":N} — keyword + table-name hints)
   *   DELETE /v1/sessions/{s}                           → close
   *
   * Statements execute through [[FlinkDdl.run]] (the full DDL/DML/query
@@ -34,11 +40,15 @@ import scala.collection.concurrent.TrieMap
   * `logicalType {type, nullable}` (Flink type names), `data` rows of
   * `{"kind":"INSERT","fields":[…]}`.
   *
-  * Execution is synchronous per statement (status FINISHED/ERROR at
-  * submit-response time) — the driver-side analog of the reference's
-  * gateway running on a session cluster; the HiveServer2 endpoint and
-  * multi-cluster routing (`executionConfig` rest.address) are out of
-  * scope (no vendored clusters). */
+  * Statements execute asynchronously on a dedicated worker pool (the
+  * reference's OperationManager submits to an executor the same way):
+  * submit returns the operationHandle immediately, status transitions
+  * RUNNING → FINISHED/ERROR/CANCELED, and each statement runs under its
+  * own Spark job group so cancel-operation stops it mid-flight.
+  * Statements within one session serialize through the shared
+  * [[StatementSession]]. The HiveServer2 endpoint and multi-cluster
+  * routing (`executionConfig` rest.address) are out of scope (no
+  * vendored clusters). */
 object SqlGateway {
 
   private val PageSize = 1000
@@ -46,20 +56,58 @@ object SqlGateway {
   private final case class Session(
       stmts: StatementSession,
       ops: TrieMap[String, Operation] = TrieMap.empty)
-  /** Pages materialize LAZILY from a partition-streamed iterator
-    * (toLocalIterator): the driver holds only the pages clients have
-    * fetched — a huge SELECT cannot OOM the gateway by existing, only
-    * by being read to the end (and the reference's result store has
-    * the same already-fetched retention). */
-  private final class Operation(
-      val status: String, // FINISHED | ERROR
-      val error: Option[String],
-      val columns: Seq[(String, DataType)],
-      it: Iterator[org.apache.spark.sql.Row]) {
+  /** One statement's lifecycle (reference:
+    * gateway/service/operation/OperationManager.java status machine):
+    * RUNNING → FINISHED | ERROR | CANCELED | CLOSED. Statements execute
+    * ASYNCHRONOUSLY on the statement pool under a per-operation Spark
+    * job group, so cancel-operation can stop the running jobs
+    * mid-flight (CancelOperationHandler.java). Pages materialize LAZILY
+    * from a partition-streamed iterator (toLocalIterator): the driver
+    * holds only the pages clients have fetched — a huge SELECT cannot
+    * OOM the gateway by existing, only by being read to the end (and
+    * the reference's result store has the same already-fetched
+    * retention). */
+  private final class Operation(val jobGroup: String) {
+    @volatile var status: String = "RUNNING"
+    @volatile var error: Option[String] = None
+    @volatile var columns: Seq[(String, DataType)] = Nil
+    private var it: Iterator[org.apache.spark.sql.Row] = Iterator.empty
     private val pages =
       scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Seq[Any]]]
+    /** Worker-side completion; loses to an already-arrived cancel. */
+    def finish(cols: Seq[(String, DataType)],
+        rows: Iterator[org.apache.spark.sql.Row]): Unit = synchronized {
+      if (status == "RUNNING") {
+        columns = cols; it = rows
+        // materialize the first page NOW (inside the worker's job
+        // group) so runtime errors and cancellation hit here, not a
+        // fetch thread
+        try {
+          while (pages.isEmpty && it.hasNext)
+            pages += it.take(PageSize).map(_.toSeq).toIndexedSeq
+          status = "FINISHED"
+        } catch { case e: Throwable => fail(e) }
+      }
+    }
+    def fail(e: Throwable): Unit = synchronized {
+      if (status == "RUNNING") {
+        error = Some(String.valueOf(e.getMessage)); status = "ERROR"
+      }
+    }
+    /** Client-side cancel: mark CANCELED first (the worker's finish
+      * then loses the race), then kill the operation's job group. */
+    def cancel(spark: SparkSession): Unit = {
+      val wasRunning = synchronized {
+        val r = status == "RUNNING"
+        if (r) status = "CANCELED"
+        r
+      }
+      if (wasRunning)
+        spark.sparkContext.cancelJobGroup(jobGroup)
+    }
+    def close(): Unit = synchronized { status = "CLOSED"; it = Iterator.empty }
     /** The page at `token` (empty past the end) and whether more rows
-      * exist after it. */
+      * exist after it. Only callable once FINISHED. */
     def page(token: Int): (IndexedSeq[Seq[Any]], Boolean) = synchronized {
       while (pages.size <= token && it.hasNext)
         pages += it.take(PageSize).map(_.toSeq).toIndexedSeq
@@ -67,6 +115,14 @@ object SqlGateway {
       (p, token + 1 < pages.size || it.hasNext)
     }
   }
+
+  /** Statement worker pool — separate from the HTTP pool so long
+    * statements never starve request handling (status/cancel must stay
+    * responsive while an INSERT runs). */
+  private lazy val statementPool =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-gateway-stmt"); t.setDaemon(true); t
+    })
 
   private val sessions = TrieMap.empty[String, Session]
   @volatile private var server: HttpServer = _
@@ -185,6 +241,44 @@ object SqlGateway {
     sb.toString
   }
 
+  /** Hint words for complete-statement (the reference delegates to the
+    * planner's SqlAdvisor; the gateway surface is the same — prefix in,
+    * candidate list out). */
+  private val SqlKeywords = Seq(
+    "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING", "LIMIT",
+    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS", "ON",
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "DISTINCT", "AS", "AND", "OR",
+    "NOT", "IN", "EXISTS", "BETWEEN", "LIKE", "IS", "NULL", "CASE",
+    "WHEN", "THEN", "ELSE", "END", "INSERT", "INTO", "OVERWRITE",
+    "VALUES", "CREATE", "TABLE", "VIEW", "TEMPORARY", "MATERIALIZED",
+    "FUNCTION", "CATALOG", "DATABASE", "MODEL", "DROP", "ALTER", "USE",
+    "SHOW", "DESCRIBE", "EXPLAIN", "SET", "RESET", "WITH", "PARTITIONED",
+    "WATERMARK", "PRIMARY", "KEY", "MATCH_RECOGNIZE", "TUMBLE", "HOP",
+    "CUMULATE", "SESSION", "OVER", "PARTITION", "BY", "ROWS", "RANGE",
+    "INTERVAL", "CAST", "COUNT", "SUM", "AVG", "MIN", "MAX")
+
+  /** Candidates for the word ending at `position` in `statement`:
+    * keywords (uppercase) and session table names sharing the typed
+    * prefix, case-insensitively; empty prefix → no candidates (the
+    * reference returns the full keyword space there — noise the tests
+    * pin down to the useful subset). */
+  private[sql] def completeStatement(statement: String, position: Int,
+      tableNames: Set[String]): Seq[String] = {
+    val pos = math.min(math.max(position, 0), statement.length)
+    var start = pos
+    while (start > 0 && (statement(start - 1).isLetterOrDigit ||
+        statement(start - 1) == '_')) start -= 1
+    val prefix = statement.substring(start, pos)
+    if (prefix.isEmpty) Nil
+    else {
+      val up = prefix.toUpperCase
+      val kws = SqlKeywords.filter(_.startsWith(up))
+      val tbls = tableNames.toSeq.sorted
+        .filter(_.toUpperCase.startsWith(up))
+      (kws ++ tbls).distinct
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit =
     try route(ex)
     catch {
@@ -214,32 +308,76 @@ object SqlGateway {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val stmt = extractStatement(body)
         val op = UUID.randomUUID().toString
-        val operation =
-          try {
-            val df = session.stmts.execute(stmt)
-            val cols = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
-            import scala.jdk.CollectionConverters._
-            val o = new Operation("FINISHED", None, cols,
-              df.toLocalIterator().asScala)
-            o.page(0) // materialize the first page NOW so execution
-            o         // errors surface as ERROR status at submit time
-          } catch {
-            case e: Throwable =>
-              new Operation("ERROR", Some(String.valueOf(e.getMessage)),
-                Nil, Iterator.empty)
-          }
+        val operation = new Operation(s"graft-gateway-op-$op")
         session.ops.put(op, operation)
+        val spark = boundSpark
+        statementPool.submit(new Runnable {
+          def run(): Unit = {
+            // the job group makes every Spark job this statement submits
+            // cancellable by CancelOperation (interruptOnCancel kills
+            // straggler tasks too)
+            spark.sparkContext.setJobGroup(operation.jobGroup,
+              s"gateway statement $op", interruptOnCancel = true)
+            try {
+              val (df, _) = session.stmts.executeTagged(stmt)
+              val cols = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+              import scala.jdk.CollectionConverters._
+              operation.finish(cols, df.toLocalIterator().asScala)
+            } catch {
+              case e: Throwable => operation.fail(e)
+            } finally spark.sparkContext.clearJobGroup()
+          }
+        })
         respond(ex, 200, s"""{"operationHandle":"$op"}""")
       case ("GET", List("v1", "sessions", s, "operations", o, "status")) =>
         val op = sessions.get(s).flatMap(_.ops.get(o)).getOrElse(
           return respond(ex, 404, s"""{"errors":["unknown operation"]}"""))
         respond(ex, 200, s"""{"status":"${op.status}"}""")
+      case ("POST", List("v1", "sessions", s, "operations", o, "cancel")) =>
+        // CancelOperationHandler.java: stop the running statement's jobs
+        // and move the operation to CANCELED; the session stays usable.
+        val op = sessions.get(s).flatMap(_.ops.get(o)).getOrElse(
+          return respond(ex, 404, s"""{"errors":["unknown operation"]}"""))
+        op.cancel(boundSpark)
+        respond(ex, 200, """{"status":"CANCELED"}""")
+      case ("DELETE", List("v1", "sessions", s, "operations", o, "close")) =>
+        // CloseOperationHandler.java: release the operation's results.
+        val session = sessions.getOrElse(s,
+          return respond(ex, 404, s"""{"errors":["unknown session $s"]}"""))
+        session.ops.remove(o).foreach(_.close())
+        respond(ex, 200, """{"status":"CLOSED"}""")
+      case (m, List("v1", "sessions", s, "complete-statement"))
+          if m == "GET" || m == "POST" =>
+        // CompleteStatementHandler.java: position-aware candidates —
+        // SQL keywords plus the session's visible table names.
+        val session = sessions.getOrElse(s,
+          return respond(ex, 404, s"""{"errors":["unknown session $s"]}"""))
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val stmt = extractStatement(body)
+        val pos = {
+          val m2 = "\"position\"\\s*:\\s*(\\d+)".r
+          m2.findFirstMatchIn(body).map(_.group(1).toInt)
+            .getOrElse(stmt.length)
+        }
+        val cands = completeStatement(stmt, pos, session.stmts.tableNames)
+        respond(ex, 200, cands.map(c => "\"" + jsonEscape(c) + "\"")
+          .mkString("""{"candidates":[""", ",", "]}"))
       case ("GET", List("v1", "sessions", s, "operations", o, "result", t)) =>
         val op = sessions.get(s).flatMap(_.ops.get(o)).getOrElse(
           return respond(ex, 404, s"""{"errors":["unknown operation"]}"""))
         if (op.status == "ERROR")
           return respond(ex, 500,
             s"""{"errors":["${jsonEscape(op.error.getOrElse(""))}"]}""")
+        if (op.status == "CANCELED" || op.status == "CLOSED")
+          return respond(ex, 500,
+            s"""{"errors":["operation is ${op.status}"]}""")
+        if (op.status == "RUNNING")
+          // the docs' fetch loop shape for a not-yet-ready result: empty
+          // payload, nextResultUri re-pointing at the SAME token
+          return respond(ex, 200,
+            s"""{"results":{"columns":[],"data":[]},""" +
+              s""""resultType":"NOT_READY","nextResultUri":""" +
+              s""""/v1/sessions/$s/operations/$o/result/$t"}""")
         val token = t.toInt
         val (page, more) = op.page(token)
         val colsJson = op.columns.map { case (n, dt) =>

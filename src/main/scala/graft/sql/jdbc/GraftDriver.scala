@@ -124,11 +124,19 @@ object GraftDriver extends Driver {
       val opJson = parse(post(s"$base/sessions/$session/statements",
         s"""{"statement": ${JsonMethods.compact(JsonMethods.render(JString(sql)))}}"""))
       val op = (opJson \ "operationHandle").values.toString
-      val status = (parse(get(
-        s"$base/sessions/$session/operations/$op/status")) \ "status")
-        .values.toString
+      // statements run asynchronously on the gateway: poll the status
+      // endpoint to a terminal state (the documented fetch loop)
+      var status = "RUNNING"
+      while (status == "RUNNING") {
+        status = (parse(get(
+          s"$base/sessions/$session/operations/$op/status")) \ "status")
+          .values.toString
+        if (status == "RUNNING") Thread.sleep(20)
+      }
       if (status == "ERROR") // surface the statement's own error
         get(s"$base/sessions/$session/operations/$op/result/0")
+      if (status == "CANCELED")
+        throw new SQLException(s"statement was canceled: $sql")
       newResultSet(s"$base/sessions/$session/operations/$op/result/0")
     }
     proxy(classOf[Statement]) {

@@ -361,16 +361,23 @@ final class KeyedPartitionStream[K, T] private[v2] (
         "graft.streaming.BroadcastRules")
     val b = keyed.ds.sparkSession.sparkContext
       .broadcast(broadcast.ds.collect().toSeq)
+    // Replay completion is marked with an explicit sentinel state entry,
+    // NOT inferred from state emptiness: a process function that stores
+    // no user state would otherwise look like a first visit on every
+    // micro-batch and receive the broadcast side again (ADVICE r12).
+    val ReplayedKey = "__graft.broadcast.replayed__"
     val out = keyed.process[Map[String, Any], OUT] { (_, rows, st, wm) =>
-      val sm = new StateManager(st.getOrElse(Map.empty), keyedCtx = true)
+      val prior = st.getOrElse(Map.empty)
+      val replayed = prior.contains(ReplayedKey)
+      val sm = new StateManager(prior - ReplayedKey, keyedCtx = true)
       val ctx = new PartitionedContext(sm,
         new EventTimeManager(Nil, wm, keyedCtx = true))
       val col = new BufCollector[OUT]
-      if (st.isEmpty) // first visit of this key: replay the broadcast side
+      if (!replayed) // first visit of this key: replay the broadcast side
         b.value.foreach(r => f.processRecordFromBroadcastInput(r, ctx))
       rows.foreach(r => f.processRecordFromNonBroadcastInput(r, col, ctx))
       if (wm == Long.MaxValue) f.endInput(col, ctx)
-      (if (sm.m.isEmpty) None else Some(sm.m), col.buf.toList, None)
+      (Some(sm.m + (ReplayedKey -> true)), col.buf.toList, None)
     }
     new NonKeyedPartitionStream(out.ds)
   }

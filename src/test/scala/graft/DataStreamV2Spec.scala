@@ -211,6 +211,39 @@ class DataStreamV2Spec extends SparkSpecBase {
       Set((1, "a", 10), (1, "b", 10), (2, "c", 20)))
   }
 
+  test("keyed×broadcast: replay happens ONCE per key even with no user state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (key, seq)
+    val b = env.fromCollection(Seq(10, 20)).broadcast()
+    val s = env.fromDataset(input.toDS())
+      .keyBy(_._1)
+      .connectAndProcess(b,
+        // stores NO user state: the pre-fix heuristic (state emptiness =
+        // first visit) replayed the broadcast on EVERY micro-batch here
+        new TwoInputBroadcastStreamProcessFunction[(Long, Long), Int, (Long, Int)] {
+          @transient private var replays = 0
+          def processRecordFromBroadcastInput(r: Int,
+              ctx: PartitionedContext): Unit = replays += 1
+          def processRecordFromNonBroadcastInput(r: (Long, Long),
+              out: Collector[(Long, Int)], ctx: PartitionedContext): Unit =
+            out.collect((r._2, replays))
+        })
+    val q = s.toDataset.writeStream.format("memory").queryName("v2_breplay")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-v2b-").toString)
+      .start()
+    try {
+      input.addData(Seq((1L, 1L)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 2L))) // same key, next micro-batch
+      q.processAllAvailable()
+      val got = spark.table("v2_breplay").as[(Long, Int)].collect().toMap
+      assert(got(1L) == 2, "first visit replays both broadcast records")
+      assert(got(2L) == 0, s"second micro-batch must NOT replay (got ${got(2L)})")
+    } finally q.stop()
+  }
+
   test("partitionings: shuffle/global keep data; sinks consume") {
     val xs = (1 to 100).toList
     assert(env.fromCollection(xs).shuffle().toDataset.collect().sorted

@@ -36,6 +36,45 @@ class SqlClientSpec extends SparkSpecBase {
     assert(out.contains("2 rows in set"))
   }
 
+  test("an executed CTAS is not re-run by later statements' replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctas-")
+    val session = new graft.sql.StatementSession(spark)
+    session.execute(
+      s"""CREATE TABLE ctas_src (id BIGINT, v STRING) WITH (
+         |'connector'='filesystem', 'path'='$dir/src', 'format'='parquet')"""
+        .stripMargin)
+    session.execute(
+      "INSERT INTO ctas_src SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS t(id, v)")
+    session.execute(
+      s"""CREATE TABLE ctas_t WITH ('connector'='filesystem',
+         |'path'='$dir/t', 'format'='parquet') AS
+         |SELECT id, v FROM ctas_src""".stripMargin)
+    // 1) an INSERT into the CTAS-created table must survive later
+    //    statements (the raw-replay bug silently wiped it)
+    session.execute(
+      "INSERT INTO ctas_t SELECT * FROM (VALUES (3, 'c')) AS t(id, v)")
+    // 2) mutating the SOURCE must not retroactively change the CTAS table
+    session.execute(
+      "INSERT INTO ctas_src SELECT * FROM (VALUES (9, 'z')) AS t(id, v)")
+    val (rows, ddlOk) = session.executeTagged(
+      "SELECT id FROM ctas_t ORDER BY id")
+    assert(!ddlOk)
+    assert(rows.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the source saw its insert normally
+    assert(session.execute("SELECT count(*) AS c FROM ctas_src")
+      .collect().head.getLong(0) == 3L)
+  }
+
+  test("a genuine one-column 'result'='OK' query prints as rows, not INFO") {
+    val bos = new java.io.ByteArrayOutputStream()
+    SqlClient.runScripted(spark, "SELECT 'OK' AS result",
+      new java.io.PrintStream(bos, true, "UTF-8"))
+    val s = bos.toString("UTF-8")
+    assert(s.contains("| result |") && s.contains("|     OK |"))
+    assert(s.contains("1 row in set"))
+    assert(!s.contains("[INFO] Execute statement succeeded."))
+  }
+
   test("scripted -f mode runs statements in order; split honors strings") {
     assert(SqlClient.splitTopLevel("SELECT 'a;b' AS x; SELECT 2") ==
       Seq("SELECT 'a;b' AS x", "SELECT 2"))

@@ -29,6 +29,17 @@ class SqlGatewaySpec extends SparkSpecBase {
     m.findFirstMatchIn(json).map(_.group(1)).getOrElse(
       sys.error(s"no $name in $json"))
   }
+  /** Statements run asynchronously: poll to a terminal status. */
+  private def await(base: String, s: String, op: String,
+      timeoutMs: Long = 60000): String = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var st = "RUNNING"
+    while (st == "RUNNING" && System.currentTimeMillis() < deadline) {
+      st = field(get(s"$base/sessions/$s/operations/$op/status")._2, "status")
+      if (st == "RUNNING") Thread.sleep(10)
+    }
+    st
+  }
 
   test("gateway serves the documented REST flow end to end") {
     val port = SqlGateway.serve(spark, 0,
@@ -45,8 +56,7 @@ class SqlGatewaySpec extends SparkSpecBase {
       val (_, oj) = post(s"$base/sessions/$s/statements",
         """{"statement": "SELECT n FROM gw_nums ORDER BY n"}""")
       val op = field(oj, "operationHandle")
-      assert(get(s"$base/sessions/$s/operations/$op/status")._2
-        .contains("FINISHED"))
+      assert(await(base, s, op) == "FINISHED")
       // paged fetch: 2500 rows = 3 pages chained by nextResultUri
       val (c0, p0) = get(s"$base/sessions/$s/operations/$op/result/0")
       assert(c0 == 200)
@@ -66,15 +76,15 @@ class SqlGatewaySpec extends SparkSpecBase {
       val ddl = s"""{"statement": "CREATE TABLE gw_t (id BIGINT, s STRING) WITH ('connector'='filesystem', 'path'='$dir/t', 'format'='parquet')"}"""
       val (_, o1) = post(s"$base/sessions/$s/statements", ddl)
       val o1h = field(o1, "operationHandle")
-      assert(get(s"$base/sessions/$s/operations/$o1h/status")._2
-        .contains("FINISHED"),
+      assert(await(base, s, o1h) == "FINISHED",
         get(s"$base/sessions/$s/operations/$o1h/result/0")._2)
       val (_, o2) = post(s"$base/sessions/$s/statements",
         """{"statement": "INSERT INTO gw_t SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS v(id, s)"}""")
-      assert(get(s"$base/sessions/$s/operations/${field(o2, "operationHandle")}/status")._2.contains("FINISHED"))
+      assert(await(base, s, field(o2, "operationHandle")) == "FINISHED")
       val (_, o3) = post(s"$base/sessions/$s/statements",
         """{"statement": "SELECT s FROM gw_t ORDER BY id"}""")
       val op3 = field(o3, "operationHandle")
+      assert(await(base, s, op3) == "FINISHED")
       val (_, r3) = get(s"$base/sessions/$s/operations/$op3/result/0")
       assert(r3.contains("""["a"]""") && r3.contains("""["b"]"""))
 
@@ -82,8 +92,7 @@ class SqlGatewaySpec extends SparkSpecBase {
       val (_, oe) = post(s"$base/sessions/$s/statements",
         """{"statement": "SELECT FROM nothing"}""")
       val ope = field(oe, "operationHandle")
-      assert(get(s"$base/sessions/$s/operations/$ope/status")._2
-        .contains("ERROR"))
+      assert(await(base, s, ope) == "ERROR")
       assert(get(s"$base/sessions/$s/operations/$ope/result/0")._1 == 500)
 
       // unknown session
@@ -140,6 +149,78 @@ class SqlGatewaySpec extends SparkSpecBase {
       assert(u.getMessage.contains("prepareStatement"))
       conn.close()
       assert(conn.isClosed)
+    } finally SqlGateway.stop()
+  }
+
+  test("cancel-operation stops a long INSERT mid-flight; session stays usable") {
+    // ~50ms per row over 32 threads → several seconds of real Spark work
+    val slowUdf = org.apache.spark.sql.functions.udf(
+      (n: Long) => { Thread.sleep(50); n })
+    val slow = spark.range(4000).select(
+      slowUdf(org.apache.spark.sql.functions.col("id")).as("n"))
+    val port = SqlGateway.serve(spark, 0, extra = Map("gw_slow" -> slow))
+    try {
+      val base = s"http://localhost:$port/v1"
+      val s = field(post(s"$base/sessions")._2, "sessionHandle")
+      val dir = java.nio.file.Files.createTempDirectory("graft-gw-cancel-")
+      val ddl = s"""{"statement": "CREATE TABLE gw_sink (n BIGINT) WITH ('connector'='filesystem', 'path'='$dir/t', 'format'='parquet')"}"""
+      assert(await(base, s, field(post(s"$base/sessions/$s/statements", ddl)._2,
+        "operationHandle")) == "FINISHED")
+      val (_, oj) = post(s"$base/sessions/$s/statements",
+        """{"statement": "INSERT INTO gw_sink SELECT n FROM gw_slow"}""")
+      val op = field(oj, "operationHandle")
+      Thread.sleep(500) // let the INSERT's jobs start
+      assert(field(get(s"$base/sessions/$s/operations/$op/status")._2,
+        "status") == "RUNNING", "the slow INSERT should still be running")
+      val t0 = System.currentTimeMillis()
+      val (cc, cj) = post(s"$base/sessions/$s/operations/$op/cancel")
+      assert(cc == 200 && cj.contains("CANCELED"))
+      assert(field(get(s"$base/sessions/$s/operations/$op/status")._2,
+        "status") == "CANCELED")
+      // result fetch on a canceled operation errors
+      assert(get(s"$base/sessions/$s/operations/$op/result/0")._1 == 500)
+      // the session stays usable: a fresh statement completes (it queues
+      // behind the canceled worker's unwind, which must be fast)
+      val (_, o2) = post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT 41 + 1 AS v"}""")
+      val o2h = field(o2, "operationHandle")
+      assert(await(base, s, o2h) == "FINISHED")
+      assert(get(s"$base/sessions/$s/operations/$o2h/result/0")._2
+        .contains("[42]"))
+      // the cancel cut the 200-second-equivalent job short
+      assert(System.currentTimeMillis() - t0 < 60000)
+    } finally SqlGateway.stop()
+  }
+
+  test("close-operation releases results; complete-statement returns candidates") {
+    val port = SqlGateway.serve(spark, 0,
+      extra = Map("gw_nums" -> spark.range(10).toDF("n")))
+    try {
+      val base = s"http://localhost:$port/v1"
+      val s = field(post(s"$base/sessions")._2, "sessionHandle")
+      val (_, oj) = post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT n FROM gw_nums"}""")
+      val op = field(oj, "operationHandle")
+      assert(await(base, s, op) == "FINISHED")
+      // close the operation: 200 CLOSED, then the handle is gone
+      val del = http.send(HttpRequest.newBuilder(URI.create(
+        s"$base/sessions/$s/operations/$op/close")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 200 && del.body().contains("CLOSED"))
+      assert(get(s"$base/sessions/$s/operations/$op/result/0")._1 == 404)
+
+      // keyword completion at a position
+      val (kc, kj) = post(s"$base/sessions/$s/complete-statement",
+        """{"statement": "SELECT * FRO", "position": 12}""")
+      assert(kc == 200 && kj.contains("\"FROM\""))
+      // table-name completion from the session catalog
+      val (_, tj) = post(s"$base/sessions/$s/complete-statement",
+        """{"statement": "SELECT * FROM gw_", "position": 17}""")
+      assert(tj.contains("\"gw_nums\""))
+      // empty prefix → no candidates
+      val (_, ej) = post(s"$base/sessions/$s/complete-statement",
+        """{"statement": "SELECT ", "position": 7}""")
+      assert(ej.contains("\"candidates\":[]"))
     } finally SqlGateway.stop()
   }
 }
