@@ -38,7 +38,8 @@ object Registry {
     CepQueries.defs,
     SqlQueries.defs,
     TriggerQueries.defs,
-    TpchQueries.defs
+    TpchQueries.defs,
+    TpcdsQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
