@@ -39,7 +39,8 @@ object Registry {
     SqlQueries.defs,
     TriggerQueries.defs,
     TpchQueries.defs,
-    TpcdsQueries.defs
+    TpcdsQueries.defs,
+    TpcdsQueries2.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
