@@ -40,7 +40,8 @@ object Registry {
     TriggerQueries.defs,
     TpchQueries.defs,
     TpcdsQueries.defs,
-    TpcdsQueries2.defs
+    TpcdsQueries2.defs,
+    TpcdsQueries3.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -210,6 +210,45 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("tpcds pack: no cartesians; correlated subqueries decorrelate") {
+    // the whole TPC-DS shape pack must plan without CartesianProduct
+    val all = SparkEntry.queries.keys.filter(_.startsWith("q_tpcds_")).toSeq
+    assert(all.size >= 30, s"expected the full pack, found ${all.size}")
+    val cartesians = all.filter(n => planOf(n).contains("CartesianProduct"))
+    assert(cartesians.isEmpty, s"cartesian products in: $cartesians")
+    // the correlated-subquery shapes (q1 aggregate-correlated, q6 avg-
+    // correlated, q41 count-correlated) must decorrelate into joins —
+    // a BroadcastNestedLoopJoin would mean per-row re-execution shape
+    for (n <- Seq("q_tpcds_q1", "q_tpcds_q6", "q_tpcds_q41")) {
+      val p = planOf(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n did not decorrelate:\n$p")
+    }
+  }
+
+  test("q_tpcds_q3: date dim broadcast, filter pushed, two-phase agg") {
+    val p = planOf("q_tpcds_q3")
+    assert(p.contains("EqualTo(p_type,PROMO)"), s"type filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "brand/year agg must be partial+final")
+  }
+
+  test("q_tpcds_q67: rollup ranks inside WindowGroupLimit, no global sort") {
+    val p = planOf("q_tpcds_q67")
+    // rank<=5 per type partition must push a group-limit below the window
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
+    assert(p.contains("Expand"), "rollup must plan as Expand")
+  }
+
+  test("q_tpcds_q95: count-distinct form avoids the fact self-join blowup") {
+    val p = planOf("q_tpcds_q95")
+    // one aggregate on the order key, then semi joins — never fact×fact
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"both gates must be semi joins:\n$p")
+  }
+
   test("q_chunk_documents: expression-only chunking, no UDF, pruned scan") {
     val p = planOf("q_chunk_documents")
     // sequence/transform/slice/array_join stay expressions; posexplode
