@@ -1,0 +1,131 @@
+package graft.restore
+
+import graft.changelog.{ChangelogJoin, ChangelogTopN, RetractingChangelogAgg, RowKind}
+import graft.operators.{CepNfa, PatternStep}
+import graft.streaming.StreamingDedupLast
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Checkpoint restore-compatibility scenarios (VERDICT r12 task 2 — the
+  * reference's pinned tier: flink-table-planner
+  * `src/test/resources/restore-tests/` + `RestoreTestBase.java`, which
+  * resumes every stateful ExecNode from a versioned savepoint golden).
+  *
+  * Each scenario pins ONE production stateful operator's checkpoint
+  * layout: the fixture generator ([[RestoreFixtureGen]]) runs `build`
+  * over `batch1`, snapshots the checkpoint, feeds `batch2`, and records
+  * the incremental output as the golden. [[graft.RestoreCompatSpec]]
+  * then resumes `build` from the COMMITTED checkpoint with only `batch2`
+  * present and must reproduce the golden — so any refactor that changes
+  * a state encoder's shape, a key schema, or the operator's plan
+  * placement fails the suite loudly instead of corrupting a user's
+  * running checkpoint on upgrade.
+  *
+  * Every batch2 is designed so the correct output REQUIRES batch1's
+  * state (a retraction echoing a batch-1 aggregate, a join pairing
+  * against a batch-1 row, a rank displacement of a batch-1 entry, a
+  * keep-last winner buffered in batch 1, a CEP run opened in batch 1) —
+  * lost state cannot pass silently.
+  */
+object RestoreScenarios {
+
+  final case class Scenario(
+      name: String,
+      schemas: Seq[StructType],
+      batch1: Seq[Seq[Row]],
+      batch2: Seq[Seq[Row]],
+      build: Seq[DataFrame] => DataFrame)
+
+  private def ts(sec: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(sec * 1000L)
+
+  private val changelogSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType),
+    StructField(RowKind.seqCol, LongType),
+    StructField(RowKind.kindCol, StringType)))
+
+  /** RetractingChangelogAgg: batch 2's `-U` must echo the batch-1
+    * aggregate (n=1, sum=10) — only restorable from state. */
+  private val retractingAgg = Scenario(
+    "retracting_changelog_agg",
+    Seq(changelogSchema),
+    Seq(Seq(Row(1L, 10.0, 1L, RowKind.Insert))),
+    Seq(Seq(Row(1L, 5.0, 2L, RowKind.Insert))),
+    dfs => RetractingChangelogAgg(dfs.head, Seq("k"), "v"))
+
+  private def sideSchema(jk: String, key: String, v: String) =
+    StructType(Seq(
+      StructField(jk, LongType), StructField(key, StringType),
+      StructField(v, DoubleType),
+      StructField(RowKind.seqCol, LongType),
+      StructField(RowKind.kindCol, StringType)))
+
+  /** ChangelogJoin: batch 2 deletes the right row — the emitted `-D`
+    * pair needs the batch-1 LEFT row from state. */
+  private val changelogJoin = Scenario(
+    "changelog_join",
+    Seq(sideSchema("ljk", "lk", "lv"), sideSchema("rjk", "rk", "rv")),
+    Seq(Seq(Row(1L, "a", 1.5, 1L, RowKind.Insert)),
+      Seq(Row(1L, "x", 2.5, 1L, RowKind.Insert))),
+    Seq(Nil, Seq(Row(1L, "x", 2.5, 2L, RowKind.Delete))),
+    dfs => ChangelogJoin(dfs(0), dfs(1), "ljk", "rjk", "lk", "rk"))
+
+  private val topnSchema = StructType(Seq(
+    StructField("pk", StringType), StructField("uk", LongType),
+    StructField("v", DoubleType),
+    StructField(RowKind.seqCol, LongType),
+    StructField(RowKind.kindCol, StringType)))
+
+  /** ChangelogTopN (n=2): batch 2's newcomer displaces the batch-1
+    * rank-2 entry — the retraction (-U uk=2 v=40) lives only in state. */
+  private val changelogTopn = Scenario(
+    "changelog_topn",
+    Seq(topnSchema),
+    Seq(Seq(Row("p", 1L, 50.0, 1L, RowKind.Insert),
+      Row("p", 2L, 40.0, 2L, RowKind.Insert))),
+    Seq(Seq(Row("p", 3L, 45.0, 3L, RowKind.Insert))),
+    dfs => ChangelogTopN(dfs.head, Seq("pk"), "uk", "v", 2))
+
+  private val dedupSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("ts", TimestampType)))
+
+  /** StreamingDedupLast (window 10 s): the batch-1 row (ts=5 s, "a")
+    * must win over batch 2's earlier-ts "b"; the batch-2 watermark row
+    * closes the window. Lost state would emit "b". */
+  private val dedupLast = Scenario(
+    "streaming_dedup_last",
+    Seq(dedupSchema),
+    Seq(Seq(Row(1L, "a", ts(5)))),
+    Seq(Seq(Row(1L, "b", ts(2)), Row(2L, "z", ts(25)))),
+    dfs => StreamingDedupLast(dfs.head, Seq("k"), "ts",
+      windowMs = 10000L, delay = "0 seconds"))
+
+  private val cepSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts_us", LongType),
+    StructField("value", DoubleType)))
+
+  /** CepNfa streaming (`down+` within 5 s): the run OPENS on batch 1's
+    * descending pair and extends through batch 2; key 2's later rows
+    * advance the watermark to flush the match. Without the NFA state the
+    * batch-2 row alone cannot produce the 1 s→3 s match. */
+  private val cepStreaming = Scenario(
+    "cep_nfa_streaming",
+    Seq(cepSchema),
+    Seq(Seq(Row(1L, 1000000L, 10.0), Row(1L, 2000000L, 9.0))),
+    Seq(Seq(Row(1L, 3000000L, 8.0), Row(2L, 20000000L, 1.0),
+      Row(2L, 21000000L, 2.0))),
+    dfs => CepNfa.streaming(
+      dfs.head
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 second"),
+      "user_id", "ts_us", "value",
+      Seq(Seq(PatternStep("down", (p, c) => c < p, greedy = true))),
+      withinUs = Some(5000000L)))
+
+  val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin, changelogTopn,
+    dedupLast, cepStreaming)
+
+  val fixtureRoot = "src/test/resources/restore"
+}
