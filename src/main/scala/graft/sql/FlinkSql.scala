@@ -1796,12 +1796,12 @@ object FlinkSql {
     // TIMESTAMP, an operand → the operand's type, i.e. the exact-micros
     // long the engine orders by) and MATCH_PROCTIME()
     // (match_recognize.md:1049), which post-project from end_us /
-    // processing time after the engine runs. MATCH_PROCTIME is
-    // approximated by current_timestamp() — a per-QUERY constant under
-    // Spark's semantics, not a per-row processing time (fine for its
-    // reference use as a downstream time-attribute carrier; a per-row
-    // wall clock would break Spark's deterministic re-execution
-    // contract). A MATCH_ROWTIME operand must be the ORDER BY rowtime
+    // processing time after the engine runs. MATCH_PROCTIME is a
+    // per-row wall clock on the STREAMING face (each micro-batch's
+    // matches carry their own emission time, the reference semantics);
+    // on batch replay it stays current_timestamp() — one value per
+    // bounded execution, preserving deterministic re-execution. A
+    // MATCH_ROWTIME operand must be the ORDER BY rowtime
     // column (validated below — the reference accepts only the input's
     // rowtime attribute there)
     val measures = scala.collection.mutable.ArrayBuffer
@@ -2052,7 +2052,19 @@ object FlinkSql {
         case "rowtime_ts" =>
           d.withColumn(alias, timestamp_micros(col("end_us")))
         case "rowtime_raw" => d.withColumn(alias, col("end_us"))
-        case "proctime" => d.withColumn(alias, current_timestamp())
+        case "proctime" if d.isStreaming =>
+          // per-ROW processing time on the streaming face (the
+          // reference's MATCH_PROCTIME is the wall clock at emission —
+          // match_recognize.md:1049): a nondeterministic clock UDF
+          // evaluates per row per micro-batch, so a long-running
+          // statement's matches carry their own batch's time
+          d.withColumn(alias, udf(() => new java.sql.Timestamp(
+            System.currentTimeMillis())).asNondeterministic()())
+        case "proctime" =>
+          // batch replay keeps the plan-time constant: every row of one
+          // bounded execution shares one processing time (deterministic
+          // re-execution), the reference's own batch-mode reading
+          d.withColumn(alias, current_timestamp())
       }
     }
     (withTimes, endTok)

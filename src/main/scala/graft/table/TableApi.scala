@@ -542,7 +542,26 @@ final class OverWindowedTable private[table] (
           s"`${w.alias}`")
     }
     val base =
-      if (w.partKeys.isEmpty) Window.orderBy(w.orderE.col)
+      if (w.partKeys.isEmpty) {
+        // An over-window with no partition keys collapses to ONE task
+        // sorting the whole input (Spark's own unpartitioned-OVER
+        // semantics) — silent death at scale for a migrated Table API
+        // program. Loud by default; a strict session refuses outright.
+        val strict = df.sparkSession.conf
+          .getOption("spark.graft.strictUnpartitionedOver")
+          .contains("true")
+        if (strict) throw new IllegalArgumentException(
+          s"over window `${w.alias}` has no partitionBy keys: the whole " +
+            "input would sort in a SINGLE task. Add partitionBy(...), or " +
+            "unset spark.graft.strictUnpartitionedOver to accept the " +
+            "single-task plan.")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "over window `{}` has no partitionBy keys — the whole input " +
+            "moves to ONE task for the sort; this will not scale past a " +
+            "single executor (set spark.graft.strictUnpartitionedOver=true " +
+            "to make this an error)", w.alias)
+        Window.orderBy(w.orderE.col)
+      }
       else Window.partitionBy(w.partKeys.map(_.col): _*)
         .orderBy(w.orderE.col)
     val spec = w.preceding match {

@@ -1015,4 +1015,51 @@ class FlinkSqlSpec extends SparkSpecBase {
       Map("probes" -> probes, "rates" -> versions))
     assert(ok.collect().map(_.toSeq).toSeq == Seq(Seq(1, 2000L, 10.0)))
   }
+
+  test("MATCH_PROCTIME is per-row processing time on the streaming face") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val sdf = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 second")
+    val out = FlinkSql.sql(spark,
+      """SELECT user_id, pt
+        |FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts_us
+        |  MEASURES MATCH_PROCTIME() AS pt
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE A AS A.value > 10, B AS B.value < 5)""".stripMargin,
+      Map("t" -> sdf))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("mr_proctime")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mrpt-").toString)
+      .start()
+    try {
+      // each micro-batch: one completing A→B match (with the engine's
+      // leading anchor row), then a later batch's rows flush the emission
+      input.addData(Seq((1L, 1000000L, 5.0), (1L, 2000000L, 20.0),
+        (1L, 3000000L, 3.0)))
+      q.processAllAvailable()
+      input.addData(Seq((50L, 100000000L, 1.0)))
+      q.processAllAvailable()
+      Thread.sleep(1200) // past the clock's sub-second noise floor
+      input.addData(Seq((2L, 200000000L, 5.0), (2L, 201000000L, 20.0),
+        (2L, 202000000L, 3.0)))
+      q.processAllAvailable()
+      input.addData(Seq((51L, 300000000L, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byKey = spark.table("mr_proctime")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(byKey.contains(1L) && byKey.contains(2L), byKey)
+    // a plan-time constant would stamp both batches identically; the
+    // per-row streaming clock must separate them by the sleep
+    assert(byKey(2L).getTime - byKey(1L).getTime >= 1000,
+      s"proctime not per-batch: $byKey")
+  }
 }

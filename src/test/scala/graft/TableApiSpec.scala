@@ -165,6 +165,27 @@ class TableApiSpec extends SparkSpecBase {
     assertSame(tr, rd)
   }
 
+  test("unpartitioned over-window warns by default and throws under strict") {
+    import graft.table.{Over, UNBOUNDED_RANGE}
+    // default: accepted (Spark's own unpartitioned-OVER semantics), the
+    // single-task consequence is logged loudly
+    val lax = env.from("events")
+      .window(Over.orderBy($("ts_us")).preceding(UNBOUNDED_RANGE).as("w"))
+      .select($("value").sum.over($("w")).as("running"))
+      .toDataFrame
+    assert(lax.columns.toSeq == Seq("running"))
+    // strict session: refuses with the single-task explanation
+    spark.conf.set("spark.graft.strictUnpartitionedOver", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        env.from("events")
+          .window(Over.orderBy($("ts_us")).preceding(UNBOUNDED_RANGE).as("w"))
+          .select($("value").sum.over($("w")).as("running"))
+      }
+      assert(e.getMessage.contains("SINGLE task"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.strictUnpartitionedOver")
+  }
+
   test("over(...) validates the window alias; grouped select rejects " +
       "aggregates aliased to key names") {
     import graft.table.{Over, UNBOUNDED_RANGE}
