@@ -412,6 +412,35 @@ object MiscOpQueries {
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
       """.stripMargin.trim)),
 
+    // The `avro` DataSource surface (graft.sources.AvroSource,
+    // DataSourceRegister short name): schema-on-read round trip —
+    // supplier → .avro container files → format("avro") scan with the
+    // schema INFERRED from the files' embedded writer schema → aggregate.
+    // The oracle computes the same aggregate from the original parquet.
+    QueryDef(
+      "q_avro_scan",
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_avro_scan").toString + "/sup"
+        Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+          .write.format("avro").save(out)
+        s.read.format("avro").load(out)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_acctbal").cast("decimal(25,6)"))
+              .cast("double").as("sum_bal"),
+            max(col("s_name")).as("last_name"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal,
+               MAX(s_name) AS last_name
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+      """.stripMargin.trim)),
+
     // Collection pack, arrays: sort/distinct/slice/union/intersect/except/
     // contains/element_at/min/max/join over per-order quantity arrays.
     QueryDef(

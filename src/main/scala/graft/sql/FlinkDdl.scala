@@ -1896,8 +1896,9 @@ object FlinkDdl {
         return spark.table(backed)
     }
     spec.format match {
-      case "parquet" | "orc" =>
+      case "parquet" | "orc" | "avro" =>
         // self-describing formats: trust the files, project to declaration
+        // (avro resolves through graft.sources.AvroSource)
         spark.read.format(spec.format).load(spec.path)
       case "csv" =>
         spark.read.options(Map(
@@ -2102,6 +2103,11 @@ object FlinkDdl {
         val w = bucketed(spec, sized).write
           .mode(if (overwrite) "overwrite" else "append")
           .format(spec.format)
+        require(spec.format != "avro" ||
+          !spec.options.contains("partition-keys"),
+          s"table ${spec.name}: PARTITIONED BY is not supported with " +
+            "'format'='avro' (the avro source has no partition layout); " +
+            "use parquet/orc for partitioned tables")
         spec.options.get("partition-keys") match {
           case Some(keys) => w.partitionBy(keys.split(",").map(_.trim): _*)
             .save(spec.path)

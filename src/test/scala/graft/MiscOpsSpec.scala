@@ -262,4 +262,39 @@ class MiscOpsSpec extends SparkSpecBase {
     assert(after.where(col("n_regionkey") === 0)
       .select(min(col("n_name") === upper(col("n_name")))).head().getBoolean(0))
   }
+
+  test("avro DataSource: format(\"avro\") infers schema, appends, DDL reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrods-")
+    val path = s"$dir/t"
+    val src = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    src.write.format("avro").save(path)
+    // schema inferred from the container files' embedded writer schema
+    val back = spark.read.format("avro").load(path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v"))
+    assert(back.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "a", 1.5), Seq(2L, "b", 2.5)))
+    // append moves new container files in beside the old ones
+    Seq((3L, "c", 3.5)).toDF("id", "name", "v")
+      .write.format("avro").mode("append").save(path)
+    assert(spark.read.format("avro").load(path).count() == 3)
+    // overwrite replaces; errorifexists refuses
+    Seq((9L, "z", 9.0)).toDF("id", "name", "v")
+      .write.format("avro").mode("overwrite").save(path)
+    assert(spark.read.format("avro").load(path).count() == 1)
+    intercept[Exception] {
+      src.write.format("avro").save(path)
+    }
+    // DDL face: CREATE TABLE … WITH ('format'='avro') + INSERT + SELECT
+    val got = graft.sql.FlinkDdl.run(spark,
+      s"""CREATE TABLE av (id BIGINT, name STRING, v DOUBLE) WITH (
+         |  'connector'='filesystem', 'path'='$dir/ddl', 'format'='avro');
+         |INSERT INTO av SELECT * FROM
+         |  (VALUES (10, 'x', 0.5), (11, 'y', 1.0)) AS t(id, name, v);
+         |SELECT id, name FROM av ORDER BY id""".stripMargin)
+    assert(got.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(10L, "x"), Seq(11L, "y")))
+  }
 }
