@@ -365,14 +365,19 @@ object TpcdsQueries2 {
           .groupBy(col("l_partkey"))
           .agg((fpSum(expr(rev)).cast("double") / lit(1e4) /
             count(lit(1))).as("avg_profit"))
-        val asc = perf.select(col("l_partkey").as("best_key"),
-          rank().over(Window.orderBy(col("avg_profit").desc,
-            col("l_partkey"))).as("rnk"))
-          .where(col("rnk") <= 10)
-        val desc = perf.select(col("l_partkey").as("worst_key"),
-          rank().over(Window.orderBy(col("avg_profit").asc,
-            col("l_partkey"))).as("rnk"))
-          .where(col("rnk") <= 10)
+        // scale note: the rank is over the PER-ITEM frame (billions of
+        // rows at 100 TB) — a bare global rank window would move it all
+        // to one task. orderBy+limit plans as TakeOrderedAndProject
+        // (distributed top-k, per-partition heads merged on the driver);
+        // the window then ranks a 10-ROW frame, which is free.
+        def top10(order: Seq[org.apache.spark.sql.Column], keyAs: String) =
+          perf.orderBy(order: _*).limit(10)
+            .select(col("l_partkey").as(keyAs),
+              rank().over(Window.orderBy(order: _*)).as("rnk"))
+        val asc = top10(Seq(col("avg_profit").desc, col("l_partkey")),
+          "best_key")
+        val desc = top10(Seq(col("avg_profit").asc, col("l_partkey")),
+          "worst_key")
         val p1 = broadcast(Tables.part(s, dir)
           .select(col("p_partkey").as("bk"), col("p_name").as("best_name")))
         val p2 = broadcast(Tables.part(s, dir)

@@ -124,8 +124,41 @@ object RestoreScenarios {
       Seq(Seq(PatternStep("down", (p, c) => c < p, greedy = true))),
       withinUs = Some(5000000L)))
 
+  private val countSchema = StructType(Seq(
+    StructField("k", LongType), StructField("ord", LongType),
+    StructField("v", DoubleType)))
+
+  /** CountWindows (size 3): batch 1 buffers a 2-row open window (partial
+    * sum 3.0 in state); batch 2's third row fills it — the emitted sum
+    * 6.0 is only right with the restored partial. */
+  private val countWindows = Scenario(
+    "count_windows",
+    Seq(countSchema),
+    Seq(Seq(Row(1L, 1L, 1.0), Row(1L, 2L, 2.0))),
+    Seq(Seq(Row(1L, 3L, 3.0))),
+    dfs => graft.streaming.CountWindows(dfs.head, Seq("k"), "ord", "v", 3))
+
+  private val tjLeftSchema = StructType(Seq(
+    StructField("k", LongType), StructField("lt", TimestampType),
+    StructField("probe_id", LongType)))
+  private val tjRightSchema = StructType(Seq(
+    StructField("k", LongType), StructField("rt", TimestampType),
+    StructField("p", StringType)))
+
+  /** StreamingTemporalJoin: batch 1 stores a build version AND a pending
+    * probe; batch 2 only advances the watermark (BOTH sides — the
+    * multi-watermark policy is min) — the emitted row pairs batch-1
+    * state against batch-1 state. */
+  private val temporalJoin = Scenario(
+    "streaming_temporal_join",
+    Seq(tjLeftSchema, tjRightSchema),
+    Seq(Seq(Row(1L, ts(5), 100L)), Seq(Row(1L, ts(1), "v1"))),
+    Seq(Seq(Row(9L, ts(50), 900L)), Seq(Row(9L, ts(50), "x"))),
+    dfs => graft.streaming.StreamingTemporalJoin(
+      dfs(0), dfs(1), "k", "lt", "rt", Seq("p"), delay = "0 seconds"))
+
   val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin, changelogTopn,
-    dedupLast, cepStreaming)
+    dedupLast, cepStreaming, countWindows, temporalJoin)
 
   val fixtureRoot = "src/test/resources/restore"
 }
