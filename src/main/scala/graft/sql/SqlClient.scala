@@ -78,10 +78,13 @@ final class StatementSession(
   * '<stmt>'` executes one statement. Statement handling rides the
   * same [[StatementSession]] the gateway uses.
   *
-  * Documented delta: the reference's `table`/`changelog` interactive
-  * result modes are curses UIs over the same rows — graft prints
-  * tableau (the mode the reference itself recommends for batch and
-  * scripted use); gateway attachment is the JDBC driver's job. */
+  * Result modes (`SET 'sql-client.execution.result-mode' = '…'`, handled
+  * client-side as in the reference): `tableau` (default), `changelog`
+  * (rows prefixed with their `op`), `table` (retract-materialized final
+  * rows — see [[SqlClient.applyMode]]). Documented delta: the reference
+  * renders table/changelog as live curses UIs; graft prints the
+  * resulting rows in the tableau box (the reference's own batch
+  * recommendation); gateway attachment is the JDBC driver's job. */
 object SqlClient {
 
   def main(args: Array[String]): Unit = {
@@ -97,14 +100,62 @@ object SqlClient {
     }
   }
 
+  /** The client-side result display modes (sql-client.md
+    * `sql-client.execution.result-mode`): `tableau` (the default box),
+    * `changelog` (each row prefixed with its `op` — the `__rowkind`
+    * where the result carries one, `+I` otherwise), and `table` (the
+    * reference's materialized view: retract semantics applied by ROW
+    * EQUALITY — `+I`/`+U` insert a copy, `-U`/`-D` remove an equal one,
+    * rows with a positive net count remain). The reference renders
+    * table/changelog as curses UIs over the same rows; graft prints the
+    * final rows in the tableau box. */
+  private def applyMode(df: DataFrame, displayMode: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = Seq("__rowkind", "__seq")
+    val hasKind = df.columns.contains("__rowkind")
+    displayMode match {
+      case "changelog" =>
+        val op = if (hasKind) col("__rowkind") else lit("+I")
+        df.select(op.as("op") +:
+          df.columns.filterNot(meta.contains).map(col): _*)
+      case "table" if hasKind =>
+        val payload = df.columns.filterNot(meta.contains).toSeq
+        df.groupBy(payload.map(col): _*)
+          .agg(sum(when(col("__rowkind").isin("+I", "+U"), 1L)
+            .otherwise(-1L)).as("__net"))
+          .where(col("__net") > 0)
+          .select(explode(array_repeat(
+            struct(payload.map(col): _*), col("__net").cast("int")))
+            .as("__row"))
+          .select(payload.map(c => col(s"__row.$c").as(c)): _*)
+      case _ => df
+    }
+  }
+
+  /** A client-side `SET 'sql-client.execution.result-mode' = '…'`
+    * statement (the reference handles these in the client, not the
+    * gateway); returns the new mode when `stmt` is one. */
+  private def resultModeSet(stmt: String): Option[String] = {
+    val m = ("(?is)^\\s*SET\\s+'sql-client\\.execution\\.result-mode'" +
+      "\\s*=\\s*'(tableau|table|changelog)'\\s*$").r
+    m.findFirstMatchIn(stmt).map(_.group(1).toLowerCase)
+  }
+
   /** Script mode: execute every `;`-separated statement, print each
     * result; errors abort (the reference's -f contract). */
   def runScripted(spark: SparkSession, text: String,
       out: java.io.PrintStream): Unit = {
     val session = new StatementSession(spark)
+    var mode = "tableau"
     splitTopLevel(text).foreach { stmt =>
-      val (df, ddlOk) = session.executeTagged(stmt)
-      printResult(df, ddlOk, out)
+      resultModeSet(stmt) match {
+        case Some(m) =>
+          mode = m
+          out.println("[INFO] Execute statement succeeded.")
+        case None =>
+          val (df, ddlOk) = session.executeTagged(stmt)
+          printResult(if (ddlOk) df else applyMode(df, mode), ddlOk, out)
+      }
     }
   }
 
@@ -116,6 +167,7 @@ object SqlClient {
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(in))
     val buf = new StringBuilder
+    var mode = "tableau"
     out.print("Flink SQL> "); out.flush()
     var line = reader.readLine()
     while (line != null) {
@@ -128,9 +180,14 @@ object SqlClient {
           val up = stmt.trim.toUpperCase
           if (up == "QUIT" || up == "EXIT") quit = true
           else if (!quit)
-            try {
-              val (df, ddlOk) = session.executeTagged(stmt)
-              printResult(df, ddlOk, out)
+            try resultModeSet(stmt) match {
+              case Some(m) =>
+                mode = m
+                out.println("[INFO] Execute statement succeeded.")
+              case None =>
+                val (df, ddlOk) = session.executeTagged(stmt)
+                printResult(if (ddlOk) df else applyMode(df, mode), ddlOk,
+                  out)
             } catch {
               case e: Throwable =>
                 out.println(s"[ERROR] ${String.valueOf(e.getMessage)}")

@@ -55,6 +55,7 @@ object SqlGateway {
 
   private final case class Session(
       stmts: StatementSession,
+      properties: Map[String, String] = Map.empty,
       ops: TrieMap[String, Operation] = TrieMap.empty)
   /** One statement's lifecycle (reference:
     * gateway/service/operation/OperationManager.java status machine):
@@ -279,6 +280,43 @@ object SqlGateway {
     }
   }
 
+  /** The flat string map under `"properties"` in an open-session body
+    * (the only nested JSON the gateway receives); empty when absent. */
+  private[sql] def extractProperties(body: String): Map[String, String] = {
+    val i = body.indexOf("\"properties\"")
+    if (i < 0) return Map.empty
+    val open = body.indexOf('{', i)
+    if (open < 0) return Map.empty
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var j = open + 1
+    def readString(): String = {
+      val sb = new StringBuilder
+      while (j < body.length && body(j) != '"') {
+        if (body(j) == '\\' && j + 1 < body.length) {
+          body(j + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case c => sb.append(c)
+          }
+          j += 2
+        } else { sb.append(body(j)); j += 1 }
+      }
+      j += 1 // closing quote
+      sb.toString
+    }
+    while (j < body.length && body(j) != '}') {
+      if (body(j) == '"') {
+        j += 1
+        val k = readString()
+        while (j < body.length && body(j) != '"' && body(j) != '}') j += 1
+        if (j < body.length && body(j) == '"') {
+          j += 1
+          out(k) = readString()
+        }
+      } else j += 1
+    }
+    out.toMap
+  }
+
   private def handle(ex: HttpExchange): Unit =
     try route(ex)
     catch {
@@ -296,9 +334,27 @@ object SqlGateway {
           """{"productName":"graft","version":"spark-4"}""")
       case ("POST", List("v1", "sessions")) =>
         val h = UUID.randomUUID().toString
-        sessions.put(h,
-          Session(new StatementSession(boundSpark, extraTables, procs)))
+        // OpenSessionHandler.java: the optional {"properties": {...}}
+        // map configures the session — applied as leading SET statements
+        // through the same catalog-continuity path any SET takes
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val props = extractProperties(body)
+        val stmts = new StatementSession(boundSpark, extraTables, procs)
+        props.foreach { case (k, v) =>
+          stmts.execute(s"SET '${k.replace("'", "''")}' = " +
+            s"'${v.replace("'", "''")}'")
+        }
+        sessions.put(h, Session(stmts, props))
         respond(ex, 200, s"""{"sessionHandle":"$h"}""")
+      case ("GET", List("v1", "sessions", s)) =>
+        // GetSessionConfigHandler.java: the session's configured options
+        val session = sessions.getOrElse(s,
+          return respond(ex, 404, s"""{"errors":["unknown session $s"]}"""))
+        val props = session.properties.toSeq.sortBy(_._1)
+          .map { case (k, v) =>
+            s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }
+          .mkString(",")
+        respond(ex, 200, s"""{"properties":{$props}}""")
       case ("DELETE", List("v1", "sessions", s)) =>
         sessions.remove(s)
         respond(ex, 200, """{"status":"CLOSED"}""")

@@ -75,6 +75,40 @@ class SqlClientSpec extends SparkSpecBase {
     assert(!s.contains("[INFO] Execute statement succeeded."))
   }
 
+  test("result modes: changelog prefixes ops, table materializes retracts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mode-")
+    val bos = new java.io.ByteArrayOutputStream()
+    SqlClient.runScripted(spark,
+      s"""CREATE TABLE cl (k BIGINT, v STRING, __seq BIGINT,
+         |  __rowkind STRING) WITH ('connector'='filesystem',
+         |  'path'='$dir/cl', 'format'='parquet');
+         |INSERT INTO cl SELECT * FROM (VALUES
+         |  (1, 'a', 1, '+I'), (1, 'a', 2, '-U'), (1, 'b', 3, '+U'),
+         |  (2, 'z', 4, '+I')) AS t(k, v, __seq, __rowkind);
+         |SET 'sql-client.execution.result-mode' = 'changelog';
+         |SELECT k, v, __seq, __rowkind FROM cl WHERE k = 2;
+         |SET 'sql-client.execution.result-mode' = 'table';
+         |SELECT * FROM cl;
+         |SET 'sql-client.execution.result-mode' = 'tableau';
+         |SELECT 7 AS seven""".stripMargin,
+      new java.io.PrintStream(bos, true, "UTF-8"))
+    val out = bos.toString("UTF-8")
+    // changelog mode: the op column leads, meta columns hidden (scoped
+    // past the INSERT's raw tableau echo, which shows them as data)
+    assert(out.contains("| op |"), out)
+    assert(out.contains("| +I |"), out)
+    assert(!out.substring(out.indexOf("| op |")).contains("__rowkind"), out)
+    // table mode: retract materialization — (1,a) was inserted then
+    // retracted away, (1,b) and (2,z) remain ('a' appears only in the
+    // INSERT's raw echo, before the mode switches)
+    val afterModes = out.substring(out.indexOf("| op |"))
+    assert(afterModes.contains("| b |"), out)
+    assert(afterModes.contains("| z |"), out)
+    assert(!afterModes.contains("| a |"), out)
+    // back to tableau
+    assert(out.contains("| seven |"), out)
+  }
+
   test("scripted -f mode runs statements in order; split honors strings") {
     assert(SqlClient.splitTopLevel("SELECT 'a;b' AS x; SELECT 2") ==
       Seq("SELECT 'a;b' AS x", "SELECT 2"))

@@ -192,6 +192,29 @@ class SqlGatewaySpec extends SparkSpecBase {
     } finally SqlGateway.stop()
   }
 
+  test("open-session properties configure the session and read back") {
+    val port = SqlGateway.serve(spark, 0)
+    try {
+      val base = s"http://localhost:$port/v1"
+      val (_, sj) = post(s"$base/sessions",
+        """{"properties": {"table.exec.gw-open-test": "42", "spark.graft.gwtest.opt": "on"}}""")
+      val s = field(sj, "sessionHandle")
+      // GET /v1/sessions/{s} returns the configured properties
+      val (gc, gj) = get(s"$base/sessions/$s")
+      assert(gc == 200 && gj.contains(""""table.exec.gw-open-test":"42""""),
+        gj)
+      // properties were applied as SET statements: spark-namespaced keys
+      // hit the live conf, flink-namespaced ones persist under the prefix
+      assert(spark.conf.get("spark.graft.gwtest.opt") == "on")
+      assert(spark.conf.get("spark.graft.flink.table.exec.gw-open-test")
+        == "42")
+      // a session opened with NO body still works
+      val (_, s2j) = post(s"$base/sessions")
+      assert(get(s"$base/sessions/${field(s2j, "sessionHandle")}")._2
+        .contains(""""properties":{}"""))
+    } finally SqlGateway.stop()
+  }
+
   test("close-operation releases results; complete-statement returns candidates") {
     val port = SqlGateway.serve(spark, 0,
       extra = Map("gw_nums" -> spark.range(10).toDF("n")))
