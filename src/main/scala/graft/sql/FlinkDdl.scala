@@ -1016,7 +1016,33 @@ object FlinkDdl {
           val p = new FlinkSql.P(toks, stmt)
           p.eat("EXECUTE"); p.eat("PLAN")
           val path = unquote(p.next().s)
-          val (creates, inner) = readPlanManifest(path)
+          val (creates, inner, pinned) = readPlanManifest(path)
+          // Physical pinning (the reference's per-ExecNode plan JSON,
+          // CompiledPlan.java): the manifest records the operator-shape
+          // fingerprint the statement compiled to; re-derive it now and
+          // compare — a drift (optimizer change, broadcast→shuffle flip
+          // from grown inputs, lost pushdown) WARNS by default and
+          // throws under spark.graft.strictCompiledPlan=true. Older
+          // manifests without the field skip the check.
+          pinned.foreach { expected =>
+            val got = scala.util.Try {
+              val sr = runScript(spark, creates.mkString(";\n"))
+              val tbls = sr.catalog.flatMap { case (n, sp) =>
+                scala.util.Try(n -> sourceDf(spark, sp)).toOption
+              }
+              val (_, query, _, _) = splitInsert(inner)
+              planFingerprint(spark, query, tbls)
+            }.toOption
+            got.filter(_ != expected).foreach { g =>
+              val msg = s"EXECUTE PLAN '$path': the physical plan has " +
+                "drifted since COMPILE PLAN pinned it.\n--- pinned ---\n" +
+                s"$expected\n--- current ---\n$g"
+              if (spark.conf.getOption("spark.graft.strictCompiledPlan")
+                  .contains("true"))
+                throw new IllegalStateException(msg)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+            }
+          }
           run(spark, (creates :+ inner).mkString(";\n"))
         case "EXECUTE" | "BEGIN" =>
           // EXECUTE STATEMENT SET BEGIN <insert>; …; END  (or the legacy
@@ -1073,7 +1099,17 @@ object FlinkDdl {
             sb.append("{\"version\":1,\"kind\":\"graft-compiled-plan\",")
             sb.append("\"tables\":[")
             sb.append(refd.map(s => js(showCreateTable(s))).mkString(","))
-            sb.append("],\"statement\":").append(js(inner)).append("}")
+            sb.append("],\"statement\":").append(js(inner))
+            // pin the operator-shape fingerprint of the INSERT's query
+            // (best-effort: a query over a not-yet-written sink table
+            // cannot plan at compile time — the field is then absent and
+            // EXECUTE PLAN skips the drift check)
+            scala.util.Try {
+              val (_, query, _, _) = splitInsert(inner)
+              planFingerprint(spark, query, tables())
+            }.foreach(fp =>
+              sb.append(",\"physicalPlan\":").append(js(fp)))
+            sb.append("}")
             Option(file.getParentFile).foreach(_.mkdirs())
             java.nio.file.Files.writeString(file.toPath, sb.toString)
           }
@@ -2584,7 +2620,8 @@ object FlinkDdl {
 
   /** Parse a compiled-plan manifest: (CREATE statements, the pipeline
     * statement). Jackson (a Spark dependency) reads the JSON. */
-  private def readPlanManifest(path: String): (Seq[String], String) = {
+  private def readPlanManifest(path: String)
+      : (Seq[String], String, Option[String]) = {
     val file = new java.io.File(path)
     require(file.exists(), s"EXECUTE PLAN: no plan file at $path")
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2597,7 +2634,27 @@ object FlinkDdl {
     }
     val st = root.path("statement").asText("")
     require(st.nonEmpty, s"EXECUTE PLAN: $path has no statement")
-    (creates, st)
+    val pinned = Option(root.get("physicalPlan")).map(_.asText())
+      .filter(_.nonEmpty)
+    (creates, st, pinned)
+  }
+
+  /** Operator-shape fingerprint of a query's physical plan: the pre-AQE
+    * operator tree as indented node names — expression ids, file paths
+    * and statistics stripped, so the SAME catalog and layout fingerprint
+    * identically across sessions while an optimizer-strategy change
+    * (broadcast↔shuffle, lost pushdown, added exchange) shows up as a
+    * diff. */
+  private[sql] def planFingerprint(
+      spark: SparkSession,
+      query: String,
+      tables: Map[String, DataFrame],
+      models: Map[String, graft.ml.ModelProvider] = Map.empty): String = {
+    val df = FlinkSql.sql(spark, query, tables, models)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan,
+        depth: Int): Seq[String] =
+      (("  " * depth) + p.nodeName) +: p.children.flatMap(walk(_, depth + 1))
+    walk(df.queryExecution.sparkPlan, 0).mkString("\n")
   }
 
   /** The documented refresh-mode inference threshold

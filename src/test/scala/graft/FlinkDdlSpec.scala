@@ -1340,6 +1340,42 @@ class FlinkDdlSpec extends SparkSpecBase {
     assert(missing.getMessage.contains("no plan file"))
   }
 
+  test("compiled plans pin the physical shape; drift warns or throws strict") {
+    val dir = tmpDir()
+    val plan = s"$dir/pin.json"
+    def ddl = s"""CREATE TABLE pin_src (k BIGINT, v BIGINT) WITH (
+       |  'connector'='datagen', 'number-of-rows'='10',
+       |  'fields.k.kind'='sequence', 'fields.k.start'='0',
+       |  'fields.v.kind'='sequence', 'fields.v.start'='100');
+       |CREATE TABLE pin_snk (k BIGINT, v BIGINT) WITH (
+       |  'connector'='filesystem', 'path'='$dir/snk',
+       |  'format'='parquet');""".stripMargin
+    FlinkDdl.runScript(spark,
+      s"""$ddl
+         |COMPILE PLAN '$plan' FOR INSERT INTO pin_snk
+         |SELECT k, v FROM pin_src;
+         |SELECT 1 AS one""".stripMargin)
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(plan))
+    assert(text.contains("\"physicalPlan\""), text)
+    // matching fingerprint: executes silently
+    FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'")
+    assert(spark.read.parquet(s"$dir/snk").count() == 10)
+    // corrupt the pinned shape: non-strict still executes (warn only)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(plan),
+      text.replace("\"physicalPlan\":\"", "\"physicalPlan\":\"DRIFTED-"))
+    FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'")
+    assert(spark.read.parquet(s"$dir/snk").count() == 20)
+    // strict session: drift is an error naming both shapes
+    spark.conf.set("spark.graft.strictCompiledPlan", "true")
+    try {
+      val e = intercept[IllegalStateException](
+        FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'"))
+      assert(e.getMessage.contains("drifted") &&
+        e.getMessage.contains("DRIFTED-"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.strictCompiledPlan")
+  }
+
   test("ANALYZE TABLE COMPUTE STATISTICS feeds the cost model") {
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
