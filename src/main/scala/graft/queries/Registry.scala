@@ -41,7 +41,8 @@ object Registry {
     TpchQueries.defs,
     TpcdsQueries.defs,
     TpcdsQueries2.defs,
-    TpcdsQueries3.defs
+    TpcdsQueries3.defs,
+    TpcdsQueries4.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
