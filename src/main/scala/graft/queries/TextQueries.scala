@@ -599,6 +599,57 @@ object TextQueries {
         FROM m JOIN tot t ON t.doc_id = m.doc_id
         WHERE CAST(m.matched AS DOUBLE) / CAST(t.total AS DOUBLE) >= 0.2
         ORDER BY m.doc_id, m.bench_id
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // URL-level dedup (graft.functions.UrlFunctions): the FIRST dedup
+    // pass of a web-scale pipeline — canonicalize away protocol-case /
+    // default-port / fragment / utm-tracking / trailing-slash variants
+    // (pure codegen'd regexp expressions, no shuffle), then one
+    // hash-groupBy on the canonical URL keeping the smallest doc id.
+    // The fixture synthesizes the four variant families deterministically
+    // from (source, doc_id); the oracle replays the same canonical rules
+    // in DuckDB's RE2 dialect.
+    QueryDef(
+      "q_url_dedup",
+      (s, dir) => {
+        import graft.functions.UrlFunctions
+        val base = concat(col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 50).cast("string"))
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://"), base))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("HTTPS://"), upper(col("source")),
+              lit(".EXAMPLE.COM:443/docs/"),
+              (col("doc_id") % 50).cast("string"), lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://"), base,
+              lit("?utm_source=feed&utm_medium=rss")))
+          .otherwise(concat(lit("https://"), base, lit("#section-2")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            UrlFunctions.canonicalizeUrl(col("url")).as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(min(col("doc_id")).as("rep_doc"),
+            count(lit(1)).as("n_variants"))
+          .orderBy(col("canonical"))
+      },
+      Some {
+        import graft.functions.UrlFunctions.sqlCanonicalizeUrl
+        val base = "source || '.example.com/docs/' || " +
+          "CAST(doc_id % 50 AS VARCHAR)"
+        val url =
+          s"""CASE doc_id % 4
+             WHEN 0 THEN 'https://' || $base
+             WHEN 1 THEN 'HTTPS://' || UPPER(source) ||
+               '.EXAMPLE.COM:443/docs/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+             WHEN 2 THEN 'https://' || $base || '?utm_source=feed&utm_medium=rss'
+             ELSE 'https://' || $base || '#section-2' END"""
+        s"""WITH u AS (SELECT doc_id, $url AS url FROM documents)
+           SELECT ${sqlCanonicalizeUrl("url")} AS canonical,
+                  MIN(doc_id) AS rep_doc, COUNT(*) AS n_variants
+           FROM u
+           GROUP BY 1 ORDER BY canonical""".stripMargin.trim
+      })
   )
 }

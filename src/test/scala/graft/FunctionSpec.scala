@@ -163,4 +163,33 @@ class FunctionSpec extends SparkSpecBase {
     assert(r.isNullAt(4))
     assert(r.getString(5) == "\"plain\"")
   }
+
+  test("canonicalizeUrl: case, ports, fragments, utm params, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, PATH case preserved
+      "HTTP://WWW.Ex.COM/Path/File" -> "http://www.ex.com/Path/File",
+      // default ports stripped per scheme; non-default kept
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:8443/x" -> "https://a.com:8443/x",
+      // fragment stripped
+      "https://a.com/x#frag" -> "https://a.com/x",
+      // utm params: leading with following param, leading alone, trailing
+      "https://a.com/x?utm_source=s&q=1" -> "https://a.com/x?q=1",
+      "https://a.com/x?utm_source=s" -> "https://a.com/x",
+      "https://a.com/x?q=1&utm_medium=m" -> "https://a.com/x?q=1",
+      "https://a.com/x?utm_a=1&utm_b=2" -> "https://a.com/x",
+      // trailing slash and everything combined
+      "https://a.com/x/" -> "https://a.com/x",
+      "HTTPS://A.com:443/Dir/?utm_c=9#top" -> "https://a.com/Dir",
+      // non-utm queries untouched
+      "https://a.com/x?a=1&b=2" -> "https://a.com/x?a=1&b=2")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.UrlFunctions.canonicalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
 }
