@@ -48,7 +48,7 @@ object GraftSession {
       shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(appName, master, shufflePartitions).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    quietBenignShutdownWarnings()
+    quietBenignShutdownWarnings
     graft.functions.GraftFunctions.registerAll(spark)
     spark
   }
@@ -58,9 +58,10 @@ object GraftSession {
     * then WARNs "Failed to cancel job group … Cannot find active jobs" —
     * twice per graceful stop, spamming every bench/verify tail (VERDICT
     * r12 task 8). Filter exactly that message (and nothing else) off the
-    * DAGScheduler logger; real scheduler warnings still surface. */
-  private lazy val quietBenignShutdownWarnings: () => Unit = {
-    () =>
+    * DAGScheduler logger; real scheduler warnings still surface. Lazy
+    * Unit: the filter installs exactly ONCE per JVM — re-running per
+    * get() would stack duplicate filters on the logger config. */
+  private lazy val quietBenignShutdownWarnings: Unit = {
       try {
         import org.apache.logging.log4j.{Level, LogManager}
         import org.apache.logging.log4j.core.LoggerContext

@@ -28,15 +28,20 @@ object UrlFunctions {
     val authority = lower(regexp_extract(u, "^([^/]*//[^/?#]*)", 1))
     val rest = regexp_replace(u, "^[^/]*//[^/?#]*", "")
     val x0 = concat(authority, rest)
-    // 2. default ports
-    val x1 = regexp_replace(x0, "^(https://[^/:?#]*):443", "$1")
-    val x2 = regexp_replace(x1, "^(http://[^/:?#]*):80", "$1")
+    // 2. default ports — the captured tail anchors the port's END (an
+    // unanchored ':80' would eat the prefix of ':8080'); RE2 (the oracle
+    // dialect) has no lookahead, so the tail is captured and re-emitted
+    val x1 = regexp_replace(x0, "^(https://[^/:?#]*):443($|[/?#].*)", "$1$2")
+    val x2 = regexp_replace(x1, "^(http://[^/:?#]*):80($|[/?#].*)", "$1$2")
     // 3. fragment
     val x3 = regexp_replace(x2, "#.*$", "")
-    // 4. utm_* params: leading-with-following, leading-last, non-leading
-    val x4 = regexp_replace(x3, "\\?utm_[^&#]*&", "?")
-    val x5 = regexp_replace(x4, "\\?utm_[^&#]*$", "")
-    val x6 = regexp_replace(x5, "&utm_[^&#]*", "")
+    // 4. utm_* params. Order matters because regexp_replace does not
+    // rescan replaced text: strip every NON-LEADING '&utm_…' first (so
+    // '?utm_a&utm_b&c' collapses to '?utm_a&c' in one pass), THEN the
+    // leading '?utm_…&' / '?utm_…$' forms.
+    val x4 = regexp_replace(x3, "&utm_[^&#]*", "")
+    val x5 = regexp_replace(x4, "\\?utm_[^&#]*&", "?")
+    val x6 = regexp_replace(x5, "\\?utm_[^&#]*$", "")
     // 5. trailing slash / dangling '?'
     val x7 = regexp_replace(x6, "/$", "")
     regexp_replace(x7, "\\?$", "")
@@ -47,12 +52,14 @@ object UrlFunctions {
   def sqlCanonicalizeUrl(e: String): String = {
     val x0 = s"lower(regexp_extract($e, '^([^/]*//[^/?#]*)', 1)) || " +
       s"regexp_replace($e, '^[^/]*//[^/?#]*', '', 'g')"
-    val x1 = s"regexp_replace($x0, '^(https://[^/:?#]*):443', '\\1', 'g')"
-    val x2 = s"regexp_replace($x1, '^(http://[^/:?#]*):80', '\\1', 'g')"
+    val x1 = s"regexp_replace($x0, '^(https://[^/:?#]*):443($$|[/?#].*)', " +
+      "'\\1\\2', 'g')"
+    val x2 = s"regexp_replace($x1, '^(http://[^/:?#]*):80($$|[/?#].*)', " +
+      "'\\1\\2', 'g')"
     val x3 = s"regexp_replace($x2, '#.*$$', '', 'g')"
-    val x4 = s"regexp_replace($x3, '\\?utm_[^&#]*&', '?', 'g')"
-    val x5 = s"regexp_replace($x4, '\\?utm_[^&#]*$$', '', 'g')"
-    val x6 = s"regexp_replace($x5, '&utm_[^&#]*', '', 'g')"
+    val x4 = s"regexp_replace($x3, '&utm_[^&#]*', '', 'g')"
+    val x5 = s"regexp_replace($x4, '\\?utm_[^&#]*&', '?', 'g')"
+    val x6 = s"regexp_replace($x5, '\\?utm_[^&#]*$$', '', 'g')"
     val x7 = s"regexp_replace($x6, '/$$', '', 'g')"
     s"regexp_replace($x7, '\\?$$', '', 'g')"
   }

@@ -141,6 +141,16 @@ object AvroIO {
     case (bb: java.nio.ByteBuffer, BinaryType) =>
       val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
       bytes
+    // foreign-file shapes AvroSource's inference advertises (our writer
+    // never produces them): ENUM → its symbol string, FIXED → bytes or
+    // the fixed-backed decimal logical type
+    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) =>
+      e.toString
+    case (f: org.apache.avro.generic.GenericFixed, d: DecimalType) =>
+      new java.math.BigDecimal(
+        new java.math.BigInteger(f.bytes()), d.scale)
+    case (f: org.apache.avro.generic.GenericFixed, BinaryType) =>
+      f.bytes().clone()
     case (rec: GenericRecord, st: StructType) =>
       Row.fromSeq(st.fields.indices.map(i =>
         fromAvro(rec.get(i), st.fields(i).dataType)))

@@ -96,7 +96,11 @@ object SqlGateway {
       }
     }
     /** Client-side cancel: mark CANCELED first (the worker's finish
-      * then loses the race), then kill the operation's job group. */
+      * then loses the race), then kill the operation's job group —
+      * INCLUDING jobs the statement has not submitted yet, so a cancel
+      * landing between two of its Spark jobs (or while it queues behind
+      * another statement's session lock) still stops it. The worker also
+      * re-checks status before starting (see the submit path). */
     def cancel(spark: SparkSession): Unit = {
       val wasRunning = synchronized {
         val r = status == "RUNNING"
@@ -104,7 +108,10 @@ object SqlGateway {
         r
       }
       if (wasRunning)
-        spark.sparkContext.cancelJobGroup(jobGroup)
+        try spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+        catch { case _: NoSuchMethodError =>
+          spark.sparkContext.cancelJobGroup(jobGroup)
+        }
     }
     def close(): Unit = synchronized { status = "CLOSED"; it = Iterator.empty }
     /** The page at `token` (empty past the end) and whether more rows
@@ -280,39 +287,21 @@ object SqlGateway {
     }
   }
 
-  /** The flat string map under `"properties"` in an open-session body
-    * (the only nested JSON the gateway receives); empty when absent. */
+  /** The flat map under `"properties"` in an open-session body, parsed
+    * with Jackson (scalar values coerce to their text form, matching the
+    * reference's string-typed session options); empty when absent or the
+    * body is empty. Malformed JSON is an error, not silent loss. */
   private[sql] def extractProperties(body: String): Map[String, String] = {
-    val i = body.indexOf("\"properties\"")
-    if (i < 0) return Map.empty
-    val open = body.indexOf('{', i)
-    if (open < 0) return Map.empty
+    if (body.trim.isEmpty) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body)
+    val props = root.path("properties")
+    if (!props.isObject) return Map.empty
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    var j = open + 1
-    def readString(): String = {
-      val sb = new StringBuilder
-      while (j < body.length && body(j) != '"') {
-        if (body(j) == '\\' && j + 1 < body.length) {
-          body(j + 1) match {
-            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
-            case 'r' => sb.append('\r'); case c => sb.append(c)
-          }
-          j += 2
-        } else { sb.append(body(j)); j += 1 }
-      }
-      j += 1 // closing quote
-      sb.toString
-    }
-    while (j < body.length && body(j) != '}') {
-      if (body(j) == '"') {
-        j += 1
-        val k = readString()
-        while (j < body.length && body(j) != '"' && body(j) != '}') j += 1
-        if (j < body.length && body(j) == '"') {
-          j += 1
-          out(k) = readString()
-        }
-      } else j += 1
+    val it = props.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      out(e.getKey) = e.getValue.asText()
     }
     out.toMap
   }
@@ -356,7 +345,11 @@ object SqlGateway {
           .mkString(",")
         respond(ex, 200, s"""{"properties":{$props}}""")
       case ("DELETE", List("v1", "sessions", s)) =>
-        sessions.remove(s)
+        // closing a session cancels its still-running operations — their
+        // handles are about to disappear, so nothing could stop them
+        // afterwards (the reference's session close tears operations down
+        // the same way)
+        sessions.remove(s).foreach(_.ops.values.foreach(_.cancel(boundSpark)))
         respond(ex, 200, """{"status":"CLOSED"}""")
       case ("POST", List("v1", "sessions", s, "statements")) =>
         val session = sessions.getOrElse(s,
@@ -369,9 +362,14 @@ object SqlGateway {
         val spark = boundSpark
         statementPool.submit(new Runnable {
           def run(): Unit = {
+            // a cancel may land while this worker queues behind the
+            // session lock — don't start a statement whose operation is
+            // already terminal (its side effects must not happen)
+            if (operation.status != "RUNNING") return
             // the job group makes every Spark job this statement submits
             // cancellable by CancelOperation (interruptOnCancel kills
-            // straggler tasks too)
+            // straggler tasks too; cancel also revokes FUTURE jobs of
+            // the group, closing the between-jobs window)
             spark.sparkContext.setJobGroup(operation.jobGroup,
               s"gateway statement $op", interruptOnCancel = true)
             try {

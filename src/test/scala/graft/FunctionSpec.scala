@@ -173,6 +173,10 @@ class FunctionSpec extends SparkSpecBase {
       "https://a.com:443/x" -> "https://a.com/x",
       "http://a.com:80/x" -> "http://a.com/x",
       "https://a.com:8443/x" -> "https://a.com:8443/x",
+      // ports that merely START with a default port must survive whole
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      "https://a.com:4433/x" -> "https://a.com:4433/x",
+      "https://a.com:443" -> "https://a.com",
       // fragment stripped
       "https://a.com/x#frag" -> "https://a.com/x",
       // utm params: leading with following param, leading alone, trailing
@@ -180,6 +184,11 @@ class FunctionSpec extends SparkSpecBase {
       "https://a.com/x?utm_source=s" -> "https://a.com/x",
       "https://a.com/x?q=1&utm_medium=m" -> "https://a.com/x?q=1",
       "https://a.com/x?utm_a=1&utm_b=2" -> "https://a.com/x",
+      // two leading utm params followed by a real one (no-rescan trap)
+      "https://a.com/p?utm_source=fb&utm_campaign=c1&id=9" ->
+        "https://a.com/p?id=9",
+      "https://a.com/p?utm_a=1&b=2&utm_c=3&d=4" ->
+        "https://a.com/p?b=2&d=4",
       // trailing slash and everything combined
       "https://a.com/x/" -> "https://a.com/x",
       "HTTPS://A.com:443/Dir/?utm_c=9#top" -> "https://a.com/Dir",
