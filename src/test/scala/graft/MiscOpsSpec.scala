@@ -263,6 +263,44 @@ class MiscOpsSpec extends SparkSpecBase {
       .select(min(col("n_name") === upper(col("n_name")))).head().getBoolean(0))
   }
 
+  test("avro DataSource reads FOREIGN files with enum and fixed fields") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // a file graft's own writer never produces: enum + fixed fields
+    val schema: Schema = SchemaBuilder.record("foreign").fields()
+      .requiredLong("id")
+      .name("color").`type`(SchemaBuilder.enumeration("Color")
+        .symbols("RED", "GREEN", "BLUE")).noDefault()
+      .name("tag").`type`(SchemaBuilder.fixed("Tag").size(4)).noDefault()
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrof-")
+    val f = new java.io.File(dir.toFile, "foreign.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    def rec(id: Long, color: String, tag: Array[Byte]): GenericRecord = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id)
+      r.put("color",
+        new GenericData.EnumSymbol(schema.getField("color").schema(), color))
+      r.put("tag",
+        new GenericData.Fixed(schema.getField("tag").schema(), tag))
+      r
+    }
+    w.append(rec(1L, "GREEN", Array[Byte](1, 2, 3, 4)))
+    w.append(rec(2L, "RED", Array[Byte](9, 8, 7, 6)))
+    w.close()
+    val back = spark.read.format("avro").load(f.toString)
+    assert(back.schema("color").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(back.schema("tag").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) == "GREEN" && rows(1).getString(1) == "RED")
+    assert(rows(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("avro DataSource: format(\"avro\") infers schema, appends, DDL reads") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-avrods-")
