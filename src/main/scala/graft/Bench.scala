@@ -101,7 +101,9 @@ object Bench {
       "q_embedding_cosine_dup", "q_vector_topk", "q_vector_ivf_topk",
       "q_changelog_join", "q_changelog_agg_chain", "q_match_recognize",
       "q_over_rows", "q_topn", "q_salted_join", "q_multiset", "q_asof_join",
-      "q_interval_join", "q_session_agg", "q_unified_tumble", "q_retract_agg")
+      "q_interval_join", "q_session_agg", "q_unified_tumble", "q_retract_agg",
+      "q_tpcds_q23", "q_tpcds_q67", "q_tpcds_q95", "q_url_dedup",
+      "q_avro_scan")
     val byName = results.toMap
     val prioritized =
       results.filter(_._1.startsWith("q_tpch_")) ++

@@ -157,8 +157,41 @@ object RestoreScenarios {
     dfs => graft.streaming.StreamingTemporalJoin(
       dfs(0), dfs(1), "k", "lt", "rt", Seq("p"), delay = "0 seconds"))
 
+  private val overSchema = StructType(Seq(
+    StructField("k", LongType), StructField("ts", TimestampType),
+    StructField("v", DoubleType)))
+
+  /** StreamingOver (ROWS 1 PRECEDING): batch 1's row waits in pending
+    * state (watermark behind it); batch 2 releases it and extends the
+    * frame — BOTH emitted run_sums need the restored pending row and
+    * frame tail. */
+  private val streamingOver = Scenario(
+    "streaming_over",
+    Seq(overSchema),
+    Seq(Seq(Row(1L, ts(1), 10.0))),
+    Seq(Seq(Row(1L, ts(2), 5.0), Row(9L, ts(50), 0.0))),
+    dfs => graft.streaming.StreamingOver(dfs.head, Seq("k"), "ts", "v",
+      precedingRows = 1, delay = "0 seconds"))
+
+  /** ChangelogSemiJoin: batch 1 pairs a left row with a right key; batch
+    * 2 deletes the right row — the emitted retraction of the left row
+    * requires both sides' batch-1 state. */
+  private val changelogSemi = Scenario(
+    "changelog_semi_join",
+    Seq(sideSchema("ljk", "lk", "lv"),
+      StructType(Seq(
+        StructField("rjk", LongType), StructField("rk", StringType),
+        StructField(RowKind.seqCol, LongType),
+        StructField(RowKind.kindCol, StringType)))),
+    Seq(Seq(Row(1L, "a", 1.5, 1L, RowKind.Insert)),
+      Seq(Row(1L, "x", 1L, RowKind.Insert))),
+    Seq(Nil, Seq(Row(1L, "x", 2L, RowKind.Delete))),
+    dfs => graft.changelog.ChangelogSemiJoin(dfs(0), dfs(1),
+      "ljk", "rjk", "rk", anti = false))
+
   val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin, changelogTopn,
-    dedupLast, cepStreaming, countWindows, temporalJoin)
+    dedupLast, cepStreaming, countWindows, temporalJoin, streamingOver,
+    changelogSemi)
 
   val fixtureRoot = "src/test/resources/restore"
 }
