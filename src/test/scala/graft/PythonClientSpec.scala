@@ -92,4 +92,66 @@ print("PYTHON-E2E-OK")
         s"python client failed (exit $code):\n$out")
     } finally SqlGateway.stop()
   }
+
+  test("the pygraft client library drives the gateway (query, cancel, close)") {
+    val python = new java.io.File("/usr/bin/python3")
+    assume(python.exists(), "python3 not installed on this machine")
+    val slowUdf = org.apache.spark.sql.functions.udf(
+      (n: Long) => { Thread.sleep(50); n })
+    val slow = spark.range(3000).select(
+      slowUdf(org.apache.spark.sql.functions.col("id")).as("n"))
+    val port = SqlGateway.serve(spark, 0, extra = Map(
+      "pg_nums" -> spark.range(1500).toDF("n"), "pg_slow" -> slow))
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pyg-")
+      val script =
+        s"""
+import sys, time
+sys.path.insert(0, "tools")
+import pygraft
+
+with pygraft.connect("localhost", $port,
+                     properties={"table.exec.pygraft": "1"}) as sess:
+    # DDL + DML + streamed SELECT across pages
+    sess.execute("CREATE TABLE pg_t (id BIGINT, v STRING) WITH ('connector'='filesystem', 'path'='$dir/t', 'format'='parquet')")
+    sess.execute("INSERT INTO pg_t SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS x(id, v)")
+    rows = list(sess.query("SELECT v FROM pg_t ORDER BY id"))
+    assert rows == [["a"], ["b"]], rows
+    assert sess.last_columns == [("v", "VARCHAR")], sess.last_columns
+    nums = list(sess.query("SELECT n FROM pg_nums ORDER BY n"))
+    assert len(nums) == 1500 and nums[-1] == [1499]
+    # completion
+    assert "FROM" in sess.complete("SELECT * FRO", 12)
+    # errors surface as GatewayError
+    try:
+        sess.execute("SELECT nope FROM nothing")
+        raise AssertionError("expected GatewayError")
+    except pygraft.GatewayError:
+        pass
+    # cancel a long-running INSERT mid-flight; the session stays usable
+    sess.execute("CREATE TABLE pg_sink (n BIGINT) WITH ('connector'='filesystem', 'path'='$dir/sink', 'format'='parquet')")
+    op = sess.submit("INSERT INTO pg_sink SELECT n FROM pg_slow")
+    time.sleep(0.5)
+    assert sess.status(op) == "RUNNING", sess.status(op)
+    assert sess.cancel(op) == "CANCELED"
+    try:
+        sess.wait(op)
+        raise AssertionError("expected CANCELED")
+    except pygraft.GatewayError as e:
+        assert "CANCELED" in str(e), e
+    assert list(sess.query("SELECT 41 + 1 AS v")) == [[42]]
+print("PYGRAFT-OK")
+"""
+      val tmp = java.nio.file.Files.createTempFile("graft-pygraft-", ".py")
+      java.nio.file.Files.writeString(tmp, script)
+      val pb = new ProcessBuilder("/usr/bin/python3", tmp.toString)
+      pb.redirectErrorStream(true)
+      pb.directory(new java.io.File(".").getAbsoluteFile.getParentFile)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      assert(code == 0 && out.contains("PYGRAFT-OK"),
+        s"pygraft client failed (exit $code):\n$out")
+    } finally SqlGateway.stop()
+  }
 }
