@@ -198,6 +198,9 @@ object SqlGateway {
       if (server == null) {
         server = HttpServer.create(new InetSocketAddress(port), 0)
         server.createContext("/v1", (ex: HttpExchange) => handle(ex))
+        // version negotiation lives at the root, outside /v1
+        // (GetApiVersionHandler.java)
+        server.createContext("/api_versions", (ex: HttpExchange) => handle(ex))
         // the gateway contract is "multiple clients in concurrency"
         // (overview.md) — serve each exchange off a pooled thread;
         // Spark's scheduler handles concurrent job submission
@@ -321,6 +324,9 @@ object SqlGateway {
       case ("GET", List("v1", "info")) =>
         respond(ex, 200,
           """{"productName":"graft","version":"spark-4"}""")
+      case ("GET", List("api_versions")) | ("GET", List("v1", "api_versions")) =>
+        // GetApiVersionHandler.java: clients negotiate the REST version
+        respond(ex, 200, """{"versions":["V1"]}""")
       case ("POST", List("v1", "sessions")) =>
         val h = UUID.randomUUID().toString
         // OpenSessionHandler.java: the optional {"properties": {...}}

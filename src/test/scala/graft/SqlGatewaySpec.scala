@@ -49,6 +49,9 @@ class SqlGatewaySpec extends SparkSpecBase {
       // GET /v1/info
       val (ic, info) = get(s"$base/info")
       assert(ic == 200 && info.contains("graft"))
+      // GET /api_versions (root-level version negotiation)
+      val (vc, vers) = get(s"http://localhost:$port/api_versions")
+      assert(vc == 200 && vers.contains("\"V1\""))
       // open a session
       val (_, sj) = post(s"$base/sessions")
       val s = field(sj, "sessionHandle")
