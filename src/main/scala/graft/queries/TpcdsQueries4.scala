@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * chain (q31), IN-subquery + OR-of-EXISTS gates feeding a multi-
   * aggregate demographic report (q35), the period-pivot FULL JOIN
   * (monthly columns per year, joined year vs year+1 — q59/q2's
-  * structure), and OR-of-AND multi-range condition triples across fact
-  * and dimension attributes (q85).
+  * structure), OR-of-AND multi-range condition triples across fact and
+  * dimension attributes (q85), EXISTS + NOT-EXISTS gated COUNT(DISTINCT)
+  * order reporting (q16), the histogram-of-aggregates revenue-band
+  * report (q54), the all-anti demographic complement (q69), and
+  * share-of-class window ratios (q98).
   */
 object TpcdsQueries4 {
 
@@ -249,6 +252,166 @@ object TpcdsQueries4 {
                 AND c_acctbal BETWEEN 7000 AND 10000))
         GROUP BY o_orderpriority
         ORDER BY priority
+      """.stripMargin.trim)),
+
+    // --------------------------------------------------------------- q16
+    // TPC-DS q16 shape: COUNT(DISTINCT order) + money total for a window
+    // of orders gated by EXISTS (shipped by ≥2 distinct suppliers) AND
+    // NOT EXISTS (any return) — the semi + anti gate composition on one
+    // fact, reported as a single row.
+    QueryDef(
+      "q_tpcds_q16",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val multiSupp = l.groupBy(col("l_orderkey").as("ms_ok"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"))
+          .where(col("ns") >= 2).select(col("ms_ok"))
+        val returned = l.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("r_ok")).distinct()
+        Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-05-01").cast("timestamp"))
+          .join(multiSupp, col("o_orderkey") === col("ms_ok"), "left_semi")
+          .join(returned, col("o_orderkey") === col("r_ok"), "left_anti")
+          .agg(countDistinct(col("o_orderkey")).as("order_count"),
+            (sum(floor(col("o_totalprice") * 1e4).cast("long"))
+              .cast("double") / 1e4).as("total_price"))
+      },
+      Some("""
+        SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+               CAST(SUM(CAST(floor(o_totalprice * 1e4) AS BIGINT))
+                 AS DOUBLE) / 1e4 AS total_price
+        FROM orders o1
+        WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+          AND o_orderdate < TIMESTAMP '1997-05-01'
+          AND EXISTS (SELECT 1 FROM lineitem l1, lineitem l2
+                      WHERE l1.l_orderkey = o1.o_orderkey
+                        AND l2.l_orderkey = o1.o_orderkey
+                        AND l1.l_suppkey <> l2.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                          WHERE lr.l_orderkey = o1.o_orderkey
+                            AND lr.l_returnflag = 'R')
+      """.stripMargin.trim)),
+
+    // --------------------------------------------------------------- q54
+    // TPC-DS q54 shape: the histogram of aggregates — per-customer
+    // quarterly revenue bucketed into $5,000 bands, then the COUNT OF
+    // CUSTOMERS per band (an aggregate over an aggregate's distribution).
+    QueryDef(
+      "q_tpcds_q54",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(fpSum(expr(rev)).as("r"))
+          .select(floor(col("r").cast("double") / 1e4 / 5000)
+            .cast("int").as("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("num_customers"))
+          .orderBy(col("segment"))
+      },
+      Some(s"""
+        WITH cs AS (
+          SELECT o_custkey, ${sqlFpSum(rev)} AS r
+          FROM lineitem, orders
+          WHERE l_orderkey = o_orderkey
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+          GROUP BY o_custkey)
+        SELECT CAST(floor(CAST(r AS DOUBLE) / 1e4 / 5000) AS INT) AS segment,
+               COUNT(*) AS num_customers
+        FROM cs GROUP BY 1 ORDER BY segment
+      """.stripMargin.trim)),
+
+    // --------------------------------------------------------------- q69
+    // TPC-DS q69 shape: the demographic COMPLEMENT of q35 — customers
+    // with a 1997 order but NO store purchase and NO web purchase that
+    // year (one semi gate, two anti gates).
+    QueryDef(
+      "q_tpcds_q69",
+      (s, dir) => {
+        val o97 = Tables.orders(s, dir)
+          .where(year(col("o_orderdate")) === 1997)
+        val lo = Tables.lineitem(s, dir)
+          .join(o97.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+        def channelCust(m: Int) = lo.where(col("l_linenumber") % 3 === m)
+          .select(col("o_custkey")).distinct()
+        Tables.customer(s, dir)
+          .join(o97.select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(channelCust(1), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .join(channelCust(2), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        SELECT c_mktsegment AS segment, COUNT(*) AS cnt
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND year(o.o_orderdate) = 1997)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l, orders o2
+                          WHERE l.l_orderkey = o2.o_orderkey
+                            AND o2.o_custkey = c.c_custkey
+                            AND year(o2.o_orderdate) = 1997
+                            AND l.l_linenumber % 3 = 1)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l, orders o3
+                          WHERE l.l_orderkey = o3.o_orderkey
+                            AND o3.o_custkey = c.c_custkey
+                            AND year(o3.o_orderdate) = 1997
+                            AND l.l_linenumber % 3 = 2)
+        GROUP BY c_mktsegment ORDER BY segment
+      """.stripMargin.trim)),
+
+    // --------------------------------------------------------------- q98
+    // TPC-DS q98 shape: share-of-class — per-item revenue with its ratio
+    // of the item TYPE's total via a window sum over the aggregate.
+    QueryDef(
+      "q_tpcds_q98",
+      (s, dir) => {
+        val perItem = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_name"), col("p_type"))
+          .agg(fpSum(expr(rev)).as("itemrevenue"))
+        // scale note: the textbook spelling is SUM() OVER (PARTITION BY
+        // p_type) — but a handful of type values means a handful of
+        // window tasks each sorting its whole slice of the per-item
+        // frame. Aggregate the 6 type totals and broadcast them back
+        // instead: same result, no low-cardinality window sort.
+        val typeTotals = perItem.groupBy(col("p_type").as("tt_type"))
+          .agg(sum(col("itemrevenue")).as("type_total"))
+        perItem.join(broadcast(typeTotals),
+            col("p_type") === col("tt_type"))
+          .select(col("p_name"), col("p_type"),
+            (col("itemrevenue").cast("double") / 1e4).as("itemrevenue"),
+            (col("itemrevenue").cast("double") * 100 /
+              col("type_total").cast("double")).as("revenueratio"))
+          .orderBy(col("p_type"), col("revenueratio").desc, col("p_name"))
+      },
+      Some(s"""
+        WITH per_item AS (
+          SELECT p_name, p_type, ${sqlFpSum(rev)} AS fp
+          FROM lineitem, part
+          WHERE l_partkey = p_partkey
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-02-01'
+          GROUP BY p_name, p_type)
+        SELECT p_name, p_type,
+               CAST(fp AS DOUBLE) / 1e4 AS itemrevenue,
+               CAST(fp AS DOUBLE) * 100 /
+                 CAST(SUM(fp) OVER (PARTITION BY p_type) AS DOUBLE)
+                 AS revenueratio
+        FROM per_item
+        ORDER BY p_type, revenueratio DESC, p_name
       """.stripMargin.trim))
   )
 }
