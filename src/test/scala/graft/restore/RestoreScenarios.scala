@@ -189,9 +189,58 @@ object RestoreScenarios {
     dfs => graft.changelog.ChangelogSemiJoin(dfs(0), dfs(1),
       "ljk", "rjk", "rk", anti = false))
 
+  /** A running per-key sum PTF: batch 2's emitted total only derives
+    * from batch 1's restored state. */
+  private object RunningSumPtf extends graft.streaming.GraftPTF[Double] {
+    def process(key: Row, rows: Iterator[Row], state: Option[Double],
+        watermarkMs: Long): (Option[Double], Seq[Row], Option[Long]) = {
+      val xs = rows.toList
+      val total = state.getOrElse(0.0) + xs.map(_.getDouble(1)).sum
+      (Some(total),
+        if (xs.nonEmpty) Seq(Row(key.get(0), total)) else Nil,
+        None)
+    }
+  }
+
+  private val ptfSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType),
+    StructField("ts", TimestampType)))
+
+  /** ProcessTableFunction (the PTF hook every PTF/CEP face rides): kryo
+    * Option[Double] keyed state across the checkpoint (the face needs a
+    * watermarked input for its event-time timers). */
+  private val processTableFunction = Scenario(
+    "process_table_function",
+    Seq(ptfSchema),
+    Seq(Seq(Row(1L, 10.0, ts(1)))),
+    Seq(Seq(Row(1L, 5.0, ts(2)))),
+    dfs => graft.streaming.ProcessTableFunction(
+      dfs.head.withWatermark("ts", "0 seconds"), Seq("k"),
+      StructType(Seq(StructField("k", LongType),
+        StructField("total", DoubleType))),
+      RunningSumPtf))
+
+  private val cumSchema = StructType(Seq(
+    StructField("k", StringType), StructField("ts", TimestampType),
+    StructField("v", DoubleType)))
+
+  /** StreamingWindows.cumulateBounded (10 s max / 5 s step): batch 1's
+    * row sits in the open cumulate fold; batch 2's watermark row closes
+    * the slices — the emitted counts need the restored fold. */
+  private val cumulateBounded = Scenario(
+    "cumulate_bounded",
+    Seq(cumSchema),
+    Seq(Seq(Row("a", ts(2), 10.0))),
+    Seq(Seq(Row("z", ts(60), 1.0))),
+    dfs => graft.streaming.StreamingWindows.cumulateBounded(
+      dfs.head, "ts", maxSizeMs = 10000L, stepMs = 5000L,
+      delay = "0 seconds", Seq("k"),
+      Seq(graft.changelog.AggSpec("n", "v", "count"),
+        graft.changelog.AggSpec("max_v", "v", "max"))))
+
   val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin, changelogTopn,
     dedupLast, cepStreaming, countWindows, temporalJoin, streamingOver,
-    changelogSemi)
+    changelogSemi, processTableFunction, cumulateBounded)
 
   val fixtureRoot = "src/test/resources/restore"
 }

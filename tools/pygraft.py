@@ -74,10 +74,17 @@ class Session:
         return self._call(
             f"/sessions/{self._handle}/operations/{op}/status")["status"]
 
-    def wait(self, op, poll_s=0.02):
-        """Poll `op` to a terminal status; raise unless FINISHED."""
+    def wait(self, op, poll_s=0.02, timeout_s=None):
+        """Poll `op` to a terminal status; raise unless FINISHED.
+        `timeout_s` bounds the wait (None = poll indefinitely, the JDBC
+        driver's behavior); on expiry the statement is cancelled and
+        GatewayError raised."""
+        deadline = time.monotonic() + timeout_s if timeout_s else None
         st = self.status(op)
         while st == "RUNNING":
+            if deadline and time.monotonic() > deadline:
+                self.cancel(op)
+                raise GatewayError(f"statement timed out after {timeout_s}s")
             time.sleep(poll_s)
             st = self.status(op)
         if st != "FINISHED":
