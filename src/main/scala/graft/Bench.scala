@@ -65,16 +65,37 @@ object Bench {
       timed(i) += (try runOnce(spark, sfDir, fn)
         catch { case _: Throwable => -1.0 })
     }
-    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // Outlier re-measure — the BASELINE.md "7-rep quiet-box" procedure,
+    // automated inside the sweep (r14): a query's 2 sequential reps run
+    // back-to-back, so one noisy neighbor (GC storm, box contention)
+    // poisons 2 of its 3 samples and the median follows it — r13's
+    // driver sweep read q_asof_join at 5.4x while the same code on the
+    // same box measured 1.0x minutes later. When the median sits far
+    // above the query's own fastest rep, take 4 extra reps at the END
+    // of the sweep (quiet JVM) and report the median of all 7. Same
+    // code re-measured with more samples — variance reduction, not
+    // selection: a genuine regression is slow in every rep and keeps
+    // its slow median.
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       // ANY failed rep marks the query failed (-1): a query that
       // crashes intermittently must not report a healthy aggregate of
       // its surviving reps (review r11)
-      val ts = timed(i)
+      val ts = timed(i).toSeq
       name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
                else {
-                 val s = ts.sorted
-                 if (s.size % 2 == 1) s(s.size / 2)
-                 else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+                 val med = median(ts)
+                 if (med > ts.min * 1.5 && med - ts.min > 0.15) {
+                   val extra = (1 to 4).map(_ =>
+                     try runOnce(spark, sfDir, fn)
+                     catch { case _: Throwable => -1.0 })
+                   if (extra.exists(_ < 0)) -1.0
+                   else median(ts ++ extra)
+                 } else med
                })
     }
 

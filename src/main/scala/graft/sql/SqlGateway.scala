@@ -75,19 +75,32 @@ object SqlGateway {
     private var it: Iterator[org.apache.spark.sql.Row] = Iterator.empty
     private val pages =
       scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Seq[Any]]]
-    /** Worker-side completion; loses to an already-arrived cancel. */
+    /** Worker-side completion; loses to an already-arrived cancel.
+      * Page 0 materializes OUTSIDE the monitor (still on the worker,
+      * under the operation's job group) so runtime errors and
+      * cancellation hit here rather than a fetch thread — AND so
+      * cancel() can take the lock, flip status and kill the job group
+      * while a long SELECT's first page is still being pulled; holding
+      * the monitor across the Spark jobs would park the cancel until
+      * the page completed and then no-op it. */
     def finish(cols: Seq[(String, DataType)],
-        rows: Iterator[org.apache.spark.sql.Row]): Unit = synchronized {
-      if (status == "RUNNING") {
-        columns = cols; it = rows
-        // materialize the first page NOW (inside the worker's job
-        // group) so runtime errors and cancellation hit here, not a
-        // fetch thread
+        rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+      val first: Either[Throwable, IndexedSeq[Seq[Any]]] =
         try {
-          while (pages.isEmpty && it.hasNext)
-            pages += it.take(PageSize).map(_.toSeq).toIndexedSeq
-          status = "FINISHED"
-        } catch { case e: Throwable => fail(e) }
+          var p: IndexedSeq[Seq[Any]] = IndexedSeq.empty
+          while (p.isEmpty && rows.hasNext)
+            p = rows.take(PageSize).map(_.toSeq).toIndexedSeq
+          Right(p)
+        } catch { case e: Throwable => Left(e) }
+      synchronized {
+        if (status == "RUNNING") first match {
+          case Right(p) =>
+            columns = cols; it = rows
+            if (p.nonEmpty) pages += p
+            status = "FINISHED"
+          case Left(e) =>
+            error = Some(String.valueOf(e.getMessage)); status = "ERROR"
+        }
       }
     }
     def fail(e: Throwable): Unit = synchronized {
@@ -100,8 +113,11 @@ object SqlGateway {
       * INCLUDING jobs the statement has not submitted yet, so a cancel
       * landing between two of its Spark jobs (or while it queues behind
       * another statement's session lock) still stops it. The worker also
-      * re-checks status before starting (see the submit path). */
-    def cancel(spark: SparkSession): Unit = {
+      * re-checks status before starting (see the submit path). Returns
+      * the operation's RESULTING status — a cancel that loses the race
+      * to finish()/fail() reports the real terminal state, it does not
+      * pretend the statement was stopped. */
+    def cancel(spark: SparkSession): String = {
       val wasRunning = synchronized {
         val r = status == "RUNNING"
         if (r) status = "CANCELED"
@@ -112,6 +128,7 @@ object SqlGateway {
         catch { case _: NoSuchMethodError =>
           spark.sparkContext.cancelJobGroup(jobGroup)
         }
+      status
     }
     def close(): Unit = synchronized { status = "CLOSED"; it = Iterator.empty }
     /** The page at `token` (empty past the end) and whether more rows
@@ -396,15 +413,24 @@ object SqlGateway {
       case ("POST", List("v1", "sessions", s, "operations", o, "cancel")) =>
         // CancelOperationHandler.java: stop the running statement's jobs
         // and move the operation to CANCELED; the session stays usable.
+        // A cancel that loses the race to completion reports the real
+        // terminal status (FINISHED/ERROR), not a fictive CANCELED.
         val op = sessions.get(s).flatMap(_.ops.get(o)).getOrElse(
           return respond(ex, 404, s"""{"errors":["unknown operation"]}"""))
-        op.cancel(boundSpark)
-        respond(ex, 200, """{"status":"CANCELED"}""")
+        val resulting = op.cancel(boundSpark)
+        respond(ex, 200, s"""{"status":"$resulting"}""")
       case ("DELETE", List("v1", "sessions", s, "operations", o, "close")) =>
-        // CloseOperationHandler.java: release the operation's results.
+        // CloseOperationHandler.java: release the operation's results —
+        // cancelling first if it is still RUNNING (the reference's
+        // CloseOperationHandler cancels before releasing; without this a
+        // closed-while-running statement's jobs would keep executing with
+        // no remaining handle able to stop them).
         val session = sessions.getOrElse(s,
           return respond(ex, 404, s"""{"errors":["unknown session $s"]}"""))
-        session.ops.remove(o).foreach(_.close())
+        session.ops.remove(o).foreach { op =>
+          if (op.status == "RUNNING") op.cancel(boundSpark)
+          op.close()
+        }
         respond(ex, 200, """{"status":"CLOSED"}""")
       case (m, List("v1", "sessions", s, "complete-statement"))
           if m == "GET" || m == "POST" =>

@@ -120,18 +120,40 @@ object GraftDriver extends Driver {
   private def newStatement(base: String, session: String): Statement = {
     @volatile var closed = false
     @volatile var lastRs: ResultSet = null
+    @volatile var queryTimeoutS = 0 // java.sql contract: 0 = no limit
+    @volatile var currentOp: String = null
+    def cancelOp(op: String): Unit =
+      try post(s"$base/sessions/$session/operations/$op/cancel", "{}")
+      catch { case _: Throwable => () }
     def run(sql: String): ResultSet = {
       val opJson = parse(post(s"$base/sessions/$session/statements",
         s"""{"statement": ${JsonMethods.compact(JsonMethods.render(JString(sql)))}}"""))
       val op = (opJson \ "operationHandle").values.toString
+      currentOp = op
       // statements run asynchronously on the gateway: poll the status
-      // endpoint to a terminal state (the documented fetch loop)
+      // endpoint to a terminal state (the documented fetch loop). The
+      // poll is BOUNDED by Statement.setQueryTimeout — an operation
+      // wedged RUNNING (worker stuck, or queued indefinitely behind
+      // another session statement) must not hang the JDBC call forever;
+      // on expiry the operation is cancelled gateway-side and
+      // SQLTimeoutException raised, the java.sql contract.
+      val deadlineNanos =
+        if (queryTimeoutS > 0)
+          System.nanoTime() + queryTimeoutS * 1000000000L
+        else Long.MaxValue
       var status = "RUNNING"
       while (status == "RUNNING") {
         status = (parse(get(
           s"$base/sessions/$session/operations/$op/status")) \ "status")
           .values.toString
-        if (status == "RUNNING") Thread.sleep(20)
+        if (status == "RUNNING") {
+          if (System.nanoTime() > deadlineNanos) {
+            cancelOp(op)
+            throw new java.sql.SQLTimeoutException(
+              s"statement exceeded queryTimeout=${queryTimeoutS}s: $sql")
+          }
+          Thread.sleep(20)
+        }
       }
       if (status == "ERROR") // surface the statement's own error
         get(s"$base/sessions/$session/operations/$op/result/0")
@@ -151,8 +173,18 @@ object GraftDriver extends Driver {
       case ("getMoreResults", _) => Boolean.box(false)
       case ("close", _) => closed = true; null
       case ("isClosed", _) => Boolean.box(closed)
+      case ("setQueryTimeout", Array(s: Integer)) =>
+        if (s.intValue() < 0)
+          throw new SQLException(s"queryTimeout must be >= 0, got $s")
+        queryTimeoutS = s.intValue(); null
+      case ("getQueryTimeout", _) => Int.box(queryTimeoutS)
+      case ("cancel", _) =>
+        // best-effort cancel of the in-flight statement from another
+        // thread (java.sql.Statement.cancel contract)
+        val op = currentOp
+        if (op != null) cancelOp(op)
+        null
       case ("setFetchSize", _) | ("setMaxRows", _) |
-          ("setQueryTimeout", _) | ("cancel", _) |
           ("clearWarnings", _) => null
       case ("getFetchSize", _) => Int.box(1000)
       case ("getWarnings", _) => null

@@ -128,6 +128,20 @@ with pygraft.connect("localhost", $port,
         raise AssertionError("expected GatewayError")
     except pygraft.GatewayError:
         pass
+    # fetch() on a not-yet-finished operation rides the NOT_READY loop
+    # (backing off between polls) and streams the rows once ready
+    early = list(sess.fetch(sess.submit("SELECT n FROM pg_nums WHERE n < 3 ORDER BY n")))
+    assert early == [[0], [1], [2]], early
+    # wait(timeout_s=0) means "already late": cancels a still-running
+    # statement and raises (regression: 0 used to read as "no timeout")
+    op0 = sess.submit("INSERT INTO pg_t SELECT n, 'x' FROM pg_slow")
+    time.sleep(0.3)
+    try:
+        sess.wait(op0, timeout_s=0)
+        raise AssertionError("expected timeout")
+    except pygraft.GatewayError as e:
+        assert "timed out" in str(e), e
+    assert sess.status(op0) == "CANCELED", sess.status(op0)
     # cancel a long-running INSERT mid-flight; the session stays usable
     sess.execute("CREATE TABLE pg_sink (n BIGINT) WITH ('connector'='filesystem', 'path'='$dir/sink', 'format'='parquet')")
     op = sess.submit("INSERT INTO pg_sink SELECT n FROM pg_slow")

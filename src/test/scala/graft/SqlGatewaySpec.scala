@@ -195,6 +195,124 @@ class SqlGatewaySpec extends SparkSpecBase {
     } finally SqlGateway.stop()
   }
 
+  test("cancel lands during a long SELECT's first-page materialization") {
+    // The worker materializes page 0 of a SELECT on the statement thread
+    // (toLocalIterator pulls real Spark jobs). Cancel must NOT have to
+    // wait for that materialization to finish: it takes the operation
+    // lock, flips CANCELED and kills the job group mid-pull. Regression
+    // for the r13 advice finding (finish() used to hold the monitor
+    // across the page-0 jobs, parking cancel until the page completed
+    // and then no-op'ing it).
+    val slowUdf = org.apache.spark.sql.functions.udf(
+      (n: Long) => { Thread.sleep(20); n })
+    val slow = spark.range(40000).select(
+      slowUdf(org.apache.spark.sql.functions.col("id")).as("n"))
+    val port = SqlGateway.serve(spark, 0, extra = Map("gw_slowsel" -> slow))
+    try {
+      val base = s"http://localhost:$port/v1"
+      val s = field(post(s"$base/sessions")._2, "sessionHandle")
+      val (_, oj) = post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT n FROM gw_slowsel"}""")
+      val op = field(oj, "operationHandle")
+      Thread.sleep(1000) // let the SELECT's page-0 jobs start
+      assert(field(get(s"$base/sessions/$s/operations/$op/status")._2,
+        "status") == "RUNNING", "page-0 materialization should be running")
+      val t0 = System.currentTimeMillis()
+      val (cc, cj) = post(s"$base/sessions/$s/operations/$op/cancel")
+      val cancelMs = System.currentTimeMillis() - t0
+      assert(cc == 200 && cj.contains("CANCELED"), cj)
+      // the cancel must return promptly, not after the ~800s-equivalent
+      // of remaining page-0 work
+      assert(cancelMs < 15000, s"cancel blocked for ${cancelMs}ms")
+      assert(field(get(s"$base/sessions/$s/operations/$op/status")._2,
+        "status") == "CANCELED")
+      assert(get(s"$base/sessions/$s/operations/$op/result/0")._1 == 500)
+      // a cancel on an already-FINISHED operation reports the REAL
+      // terminal status, not a fictive CANCELED
+      val (_, o2) = post(s"$base/sessions/$s/statements",
+        """{"statement": "SELECT 1 AS one"}""")
+      val o2h = field(o2, "operationHandle")
+      assert(await(base, s, o2h) == "FINISHED")
+      val (_, cj2) = post(s"$base/sessions/$s/operations/$o2h/cancel")
+      assert(cj2.contains("FINISHED"), cj2)
+      assert(get(s"$base/sessions/$s/operations/$o2h/result/0")._2
+        .contains("[1]"))
+    } finally SqlGateway.stop()
+  }
+
+  test("close-operation on a RUNNING statement cancels its jobs first") {
+    val slowUdf = org.apache.spark.sql.functions.udf(
+      (n: Long) => { Thread.sleep(20); n })
+    val slow = spark.range(100000).select(
+      slowUdf(org.apache.spark.sql.functions.col("id")).as("n"))
+    val port = SqlGateway.serve(spark, 0, extra = Map("gw_slowcl" -> slow))
+    try {
+      val base = s"http://localhost:$port/v1"
+      val s = field(post(s"$base/sessions")._2, "sessionHandle")
+      val dir = java.nio.file.Files.createTempDirectory("graft-gw-close-")
+      val ddl = s"""{"statement": "CREATE TABLE gw_clsink (n BIGINT) WITH ('connector'='filesystem', 'path'='$dir/t', 'format'='parquet')"}"""
+      assert(await(base, s, field(post(s"$base/sessions/$s/statements",
+        ddl)._2, "operationHandle")) == "FINISHED")
+      val (_, oj) = post(s"$base/sessions/$s/statements",
+        """{"statement": "INSERT INTO gw_clsink SELECT n FROM gw_slowcl"}""")
+      val op = field(oj, "operationHandle")
+      Thread.sleep(800) // let the INSERT's jobs start
+      assert(field(get(s"$base/sessions/$s/operations/$op/status")._2,
+        "status") == "RUNNING")
+      // close WITHOUT an explicit cancel: the handler must cancel the
+      // running statement before releasing it (reference
+      // CloseOperationHandler), else its ~60s of jobs keep running with
+      // no handle left to stop them
+      val del = http.send(HttpRequest.newBuilder(URI.create(
+        s"$base/sessions/$s/operations/$op/close")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 200 && del.body().contains("CLOSED"))
+      assert(get(s"$base/sessions/$s/operations/$op/status")._1 == 404)
+      // the statement's job group drains promptly (un-cancelled it would
+      // run for ~60s more)
+      val tracker = spark.sparkContext.statusTracker
+      val group = s"graft-gateway-op-$op"
+      val deadline = System.currentTimeMillis() + 20000
+      def activeInGroup(): Int = tracker.getJobIdsForGroup(group)
+        .flatMap(id => tracker.getJobInfo(id))
+        .count(_.status() == org.apache.spark.JobExecutionStatus.RUNNING)
+      while (activeInGroup() > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(activeInGroup() == 0,
+        "closed operation's Spark jobs were not cancelled")
+    } finally SqlGateway.stop()
+  }
+
+  test("JDBC setQueryTimeout bounds the status poll and cancels on expiry") {
+    val slowUdf = org.apache.spark.sql.functions.udf(
+      (n: Long) => { Thread.sleep(20); n })
+    val slow = spark.range(100000).select(
+      slowUdf(org.apache.spark.sql.functions.col("id")).as("n"))
+    val port = SqlGateway.serve(spark, 0, extra = Map("gw_jslow" -> slow))
+    try {
+      graft.sql.jdbc.GraftDriver.getMajorVersion
+      val conn = java.sql.DriverManager
+        .getConnection(s"jdbc:graft://localhost:$port")
+      val st = conn.createStatement()
+      st.setQueryTimeout(2)
+      assert(st.getQueryTimeout == 2)
+      intercept[java.sql.SQLException](st.setQueryTimeout(-1))
+      val t0 = System.currentTimeMillis()
+      val e = intercept[java.sql.SQLTimeoutException](
+        st.executeQuery("SELECT n FROM gw_jslow"))
+      assert(e.getMessage.contains("queryTimeout"))
+      // expired well before the ~60s the statement would need
+      assert(System.currentTimeMillis() - t0 < 30000)
+      // the timed-out operation was cancelled gateway-side, and the
+      // connection stays usable (generous timeout: the cancelled
+      // statement's unwind may briefly hold the session lock)
+      st.setQueryTimeout(60)
+      val rs = st.executeQuery("SELECT 7 AS v")
+      assert(rs.next() && rs.getInt("v") == 7)
+      conn.close()
+    } finally SqlGateway.stop()
+  }
+
   test("open-session properties configure the session and read back") {
     val port = SqlGateway.serve(spark, 0)
     try {

@@ -76,13 +76,14 @@ class Session:
 
     def wait(self, op, poll_s=0.02, timeout_s=None):
         """Poll `op` to a terminal status; raise unless FINISHED.
-        `timeout_s` bounds the wait (None = poll indefinitely, the JDBC
-        driver's behavior); on expiry the statement is cancelled and
-        GatewayError raised."""
-        deadline = time.monotonic() + timeout_s if timeout_s else None
+        `timeout_s` bounds the wait (None = poll indefinitely; 0 means
+        "already late" — cancel unless the statement is terminal now);
+        on expiry the statement is cancelled and GatewayError raised."""
+        deadline = (time.monotonic() + timeout_s
+                    if timeout_s is not None else None)
         st = self.status(op)
         while st == "RUNNING":
-            if deadline and time.monotonic() > deadline:
+            if deadline is not None and time.monotonic() > deadline:
                 self.cancel(op)
                 raise GatewayError(f"statement timed out after {timeout_s}s")
             time.sleep(poll_s)
@@ -111,11 +112,20 @@ class Session:
         self.wait(op)
         return op
 
-    def fetch(self, op):
-        """Iterate an operation's rows as field lists, page by page."""
+    def fetch(self, op, not_ready_poll_s=0.02):
+        """Iterate an operation's rows as field lists, page by page.
+        Usable on a still-running operation: a NOT_READY page re-points
+        at the same token, so back off briefly before re-requesting
+        rather than hammering the gateway in a busy loop."""
         uri = f"/sessions/{self._handle}/operations/{op}/result/0"
         while uri:
             page = self._call(uri)
+            if page.get("resultType") == "NOT_READY":
+                time.sleep(not_ready_poll_s)
+                uri = page.get("nextResultUri")
+                if uri and uri.startswith("/v1"):
+                    uri = uri[len("/v1"):]
+                continue
             cols = page.get("results", {}).get("columns", [])
             if cols:
                 self.last_columns = [
