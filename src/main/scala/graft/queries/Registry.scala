@@ -42,7 +42,8 @@ object Registry {
     TpcdsQueries.defs,
     TpcdsQueries2.defs,
     TpcdsQueries3.defs,
-    TpcdsQueries4.defs
+    TpcdsQueries4.defs,
+    TpcdsQueries5.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
