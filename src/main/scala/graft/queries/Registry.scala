@@ -43,7 +43,8 @@ object Registry {
     TpcdsQueries2.defs,
     TpcdsQueries3.defs,
     TpcdsQueries4.defs,
-    TpcdsQueries5.defs
+    TpcdsQueries5.defs,
+    TpcdsQueries6.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
