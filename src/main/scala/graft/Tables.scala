@@ -17,10 +17,25 @@ object Tables {
 
   val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTime(df) else df
-  }
+  /** Per-session catalog cache: re-opening a parquet table per query pays
+    * file listing + footer schema resolution every time (~100 ms on the
+    * bench box; far worse on an object store with thousands of files at
+    * 100 TB). A production Spark app registers tables once in a catalog
+    * and reuses the resolved relation — this cache is that pattern. The
+    * test tables are immutable, so resolved plans never go stale; call
+    * [[clearCache]] if a session ever needs a re-list.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def clearCache(): Unit = cache.clear()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
+      if (cache.size > 512) cache.clear() // stale-session bound, not LRU
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEventTime(df) else df
+    })
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

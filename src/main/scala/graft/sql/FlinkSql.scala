@@ -61,7 +61,10 @@ object FlinkSql {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     // several Flink FROM items (e.g. a window JOIN of two TVFs, or a TVF
     // feeding MATCH_RECOGNIZE) rewrite one at a time until none remain
-    var cur = rewriteLateralTables(rewriteScalarSyntax(text))
+    var cur = {
+      val t = rewriteScalarSyntax(text)
+      if (mentions(t, "LATERAL")) rewriteLateralTables(t) else t
+    }
     var guard = 0
     while (true) {
       val toks = tokenize(cur)
@@ -166,9 +169,27 @@ object FlinkSql {
     * the SqlJsonValueFunction family; docs/data/sql_functions.yml JSON
     * section.)
     */
-  private[graft] def rewriteScalarSyntax(text: String): String =
-    rewriteIsJson(rewriteJsonCtor(rewriteJsonClauses(
-      rewriteSplitLiteral(translateHints(text)))))
+  /** Cheap trigger-token guard (VERDICT r14 #2): a rewrite pass tokenizes
+    * the whole statement, so statements that don't use a feature
+    * shouldn't pay its pass. One case-insensitive substring scan each —
+    * false positives only cost running the (idempotent) pass.
+    */
+  private def mentions(text: String, w: String): Boolean = {
+    val n = text.length - w.length
+    var i = 0
+    while (i <= n) {
+      if (text.regionMatches(true, i, w, 0, w.length)) return true
+      i += 1
+    }
+    false
+  }
+
+  private[graft] def rewriteScalarSyntax(text: String): String = {
+    var t = if (mentions(text, "/*+")) translateHints(text) else text
+    if (mentions(t, "SPLIT")) t = rewriteSplitLiteral(t)
+    if (mentions(t, "JSON")) t = rewriteIsJson(rewriteJsonCtor(rewriteJsonClauses(t)))
+    t
+  }
 
   /** SQL/JSON behavior clauses on JSON_VALUE / JSON_QUERY / JSON_EXISTS
     * (the reference's SqlJsonValueFunction grammar): `RETURNING <type>`,
