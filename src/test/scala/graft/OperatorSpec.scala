@@ -235,6 +235,46 @@ class OperatorSpec extends SparkSpecBase {
     assert(wide.count() == 40L * 39 / 2 + 1)
   }
 
+  test("MinHash band-bucket cap bounds all-identical-doc candidates") {
+    // 40 byte-identical documents share one MinHash signature, so they
+    // land in ONE bucket in EVERY band (no other band rescues them) —
+    // uncapped, the in-bucket pair explosion goes quadratic on that key
+    // (40*39/2 = 780 pairs). Capped at 10 the hot buckets switch to
+    // representative pairing: linear (39 rep pairs), and a downstream
+    // connected-components pass still groups the full cluster via the
+    // rep star. Two genuinely near-dup docs in small buckets keep exact
+    // pairing.
+    val boiler = (1L to 40L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val dups = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val docs = (boiler ++ dups).toDF("doc_id", "text")
+
+    val capped = graft.queries.TextQueries
+      .minhashCandidatePairs(docs, bucketCap = 10)
+    val got = capped.as[(Long, Long)].collect().toSet
+    assert(got.contains((100L, 101L))) // real near-dup pair survives
+    val boilerPairs = got.filter(_._1 <= 40L)
+    assert(boilerPairs == (2L to 40L).map(i => (1L, i)).toSet) // rep star
+    val cc = graft.operators.ConnectedComponents(
+      capped.select($"doc_a", $"doc_b"), "doc_a", "doc_b")
+    assert(cc.where($"label" === 1L).count() == 40)
+    // plan lock (as the embedding-LSH twin): bucketed candidate
+    // generation, never all-pairs; the size gate and the rep ride ONE
+    // window over (band, bkey) whose exchange the grouping reuses — the
+    // gate runs BEFORE collect_list materializes any array
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"))
+
+    // cap above every bucket: exactly the uncapped answer (the
+    // verification-scale contract — 780 boiler pairs + the dup pair)
+    val wide = graft.queries.TextQueries
+      .minhashCandidatePairs(docs, bucketCap = 1000)
+    assert(wide.count() == 40L * 39 / 2 + 1)
+  }
+
   test("NgramJaccard df cap bounds hot-shingle candidates") {
     // 20 docs all sharing one boilerplate shingle ("common legal footer"),
     // plus two genuinely near-duplicate docs. Uncapped, the boilerplate
