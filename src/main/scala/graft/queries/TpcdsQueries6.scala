@@ -59,28 +59,48 @@ object TpcdsQueries6 {
 
     // --------------------------------------------------------------- q28
     // TPC-DS q28 shape: six quantity-band buckets of (avg price, count,
-    // distinct-price count) — the reference spells six scans cross-
-    // joined into one row; the Spark-first plan is ONE conditional-
-    // aggregation pass (Catalyst expands the distincts).
+    // distinct-price count). The r13 form was one ungrouped agg with six
+    // countDistincts — Catalyst rewrites that into an Expand (6× the
+    // full fact scan) feeding a SINGLE final partition, the worst shape
+    // at scale (VERDICT r14 #3). The benchmark's own spelling is six
+    // scans cross-joined; the Spark-first plan is better than both: ONE
+    // scan, a manual two-phase distinct — partial groupBy
+    // (band, price) [count + exact decimal partial sums], then a
+    // band-level final agg where count(*) IS the distinct-price count —
+    // and a trivial 6-row pivot. One well-distributed shuffle on
+    // (band, price), no Expand, no single-reducer distinct.
     QueryDef(
       "q_tpcds_q28",
       (s, dir) => {
         val l = Tables.lineitem(s, dir)
-        def band(b: Int, lo: Int, hi: Int) = {
-          val in = col("l_quantity").between(lo, hi)
-          Seq(
-            // conditional average: exact sum over the band / band count
-            // (NOT Exact.davg, whose count(*) would count non-band rows)
-            (sum(when(in, col("l_extendedprice"))
-              .cast(org.apache.spark.sql.types.DecimalType(25, 4)))
-              .cast("double") / count(when(in, lit(1)))).as(s"b${b}_avg"),
-            count(when(in, lit(1))).as(s"b${b}_cnt"),
-            countDistinct(when(in, col("l_extendedprice")))
-              .as(s"b${b}_cntd"))
+        val bands =
+          Seq((1, 1, 8), (2, 9, 16), (3, 17, 24), (4, 25, 32),
+            (5, 33, 40), (6, 41, 50))
+        val bandCol = bands.foldLeft(lit(null).cast("int")) {
+          case (acc, (b, lo, hi)) =>
+            when(col("l_quantity").between(lo, hi), b).otherwise(acc)
         }
-        val aggs = band(1, 1, 8) ++ band(2, 9, 16) ++ band(3, 17, 24) ++
-          band(4, 25, 32) ++ band(5, 33, 40) ++ band(6, 41, 50)
-        l.agg(aggs.head, aggs.tail: _*)
+        val perPrice = l
+          .select(col("l_extendedprice"), bandCol.as("band"))
+          .where(col("band").isNotNull)
+          .groupBy(col("band"), col("l_extendedprice"))
+          .agg(
+            count(lit(1)).as("c"),
+            sum(col("l_extendedprice")
+              .cast(org.apache.spark.sql.types.DecimalType(25, 4))).as("s"))
+        val perBand = perPrice
+          .groupBy(col("band"))
+          .agg(
+            (sum(col("s")).cast("double") / sum(col("c"))).as("avg"),
+            sum(col("c")).as("cnt"),
+            count(lit(1)).as("cntd"))
+        val pivots = bands.flatMap { case (b, _, _) =>
+          Seq(
+            max(when(col("band") === b, col("avg"))).as(s"b${b}_avg"),
+            max(when(col("band") === b, col("cnt"))).as(s"b${b}_cnt"),
+            max(when(col("band") === b, col("cntd"))).as(s"b${b}_cntd"))
+        }
+        perBand.agg(pivots.head, pivots.tail: _*)
       },
       Some {
         def b(i: Int, lo: Int, hi: Int): String =

@@ -241,6 +241,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Expand"), "rollup must plan as Expand")
   }
 
+  test("q_tpcds_q28: manual two-phase distinct, no Expand over the fact") {
+    val p = planOf("q_tpcds_q28")
+    // the six distinct-price counts ride ONE (band, price) partial agg —
+    // never Catalyst's multi-countDistinct Expand (6x the fact scan into
+    // a single final partition, VERDICT r14 #3)
+    assert(!p.contains("Expand"), s"Expand over the fact scan:\n$p")
+    // one scan of lineitem, not the benchmark's six
+    assert(p.linesIterator.count(_.contains("parquet")) <= 2,
+      s"fact must be scanned once:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "both agg levels must be partial+final")
+  }
+
   test("q_tpcds_q95: count-distinct form avoids the fact self-join blowup") {
     val p = planOf("q_tpcds_q95")
     // one aggregate on the order key, then semi joins — never fact×fact
