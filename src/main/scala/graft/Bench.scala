@@ -81,6 +81,7 @@ object Bench {
     // code re-measured with more samples — variance reduction, not
     // selection: a genuine regression is slow in every rep and keeps
     // its slow median.
+    val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       // ANY failed rep marks the query failed (-1): a query that
       // crashes intermittently must not report a healthy aggregate of
@@ -90,6 +91,13 @@ object Bench {
                else {
                  val med = median(ts)
                  if (med > ts.min * 1.5 && med - ts.min > 0.15) {
+                   // auditable (ADVICE r14): record + log every query the
+                   // procedure touched, so an adjusted median is never
+                   // mistaken for a raw 3-rep one
+                   remeasured += name
+                   System.err.println(
+                     f"[bench] re-measuring $name: median $med%.3f vs " +
+                       f"min ${ts.min}%.3f over ${ts.size} reps")
                    val extra = (1 to 4).map(_ =>
                      try runOnce(spark, sfDir, fn)
                      catch { case _: Throwable => -1.0 })
@@ -104,7 +112,8 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum // always the FULL total
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","full":"BENCH_LAST.json"}"""
+      val rm = remeasured.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir","full":"BENCH_LAST.json"}"""
     }
     // Persist the complete per-query map to a file: the driver captures only
     // the last ~2000 chars of stdout, which truncated BENCH_r02/r03 — the

@@ -117,7 +117,12 @@ object SqlGateway {
       * the operation's RESULTING status — a cancel that loses the race
       * to finish()/fail() reports the real terminal state, it does not
       * pretend the statement was stopped. */
-    def cancel(spark: SparkSession): String = {
+    /** Attempt the RUNNING -> CANCELED transition; true iff THIS call
+      * moved it. The reference errors on any cancel that didn't —
+      * terminal states only transition to CLOSED
+      * (OperationStatus.isValidStatusTransition).
+      */
+    def cancel(spark: SparkSession): Boolean = {
       val wasRunning = synchronized {
         val r = status == "RUNNING"
         if (r) status = "CANCELED"
@@ -128,7 +133,7 @@ object SqlGateway {
         catch { case _: NoSuchMethodError =>
           spark.sparkContext.cancelJobGroup(jobGroup)
         }
-      status
+      wasRunning
     }
     def close(): Unit = synchronized { status = "CLOSED"; it = Iterator.empty }
     /** The page at `token` (empty past the end) and whether more rows
@@ -413,12 +418,20 @@ object SqlGateway {
       case ("POST", List("v1", "sessions", s, "operations", o, "cancel")) =>
         // CancelOperationHandler.java: stop the running statement's jobs
         // and move the operation to CANCELED; the session stays usable.
-        // A cancel that loses the race to completion reports the real
-        // terminal status (FINISHED/ERROR), not a fictive CANCELED.
+        // Wire compat (ADVICE r14): the reference REJECTS the
+        // FINISHED/ERROR/CANCELED -> CANCELED transition
+        // (OperationStatus.isValidStatusTransition — terminal states only
+        // transition to CLOSED; OperationManager.updateState throws
+        // SqlGatewayException), so cancel on an already-terminal
+        // operation — including a cancel that loses the race to
+        // completion — errors instead of reporting the terminal status.
         val op = sessions.get(s).flatMap(_.ops.get(o)).getOrElse(
           return respond(ex, 404, s"""{"errors":["unknown operation"]}"""))
-        val resulting = op.cancel(boundSpark)
-        respond(ex, 200, s"""{"status":"$resulting"}""")
+        if (op.cancel(boundSpark))
+          respond(ex, 200, """{"status":"CANCELED"}""")
+        else
+          respond(ex, 500,
+            s"""{"errors":["Failed to convert the Operation Status from ${op.status} to CANCELED for $o."]}""")
       case ("DELETE", List("v1", "sessions", s, "operations", o, "close")) =>
         // CloseOperationHandler.java: release the operation's results —
         // cancelling first if it is still RUNNING (the reference's

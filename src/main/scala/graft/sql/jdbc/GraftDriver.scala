@@ -125,7 +125,12 @@ object GraftDriver extends Driver {
     def cancelOp(op: String): Unit =
       try post(s"$base/sessions/$session/operations/$op/cancel", "{}")
       catch { case _: Throwable => () }
-    def run(sql: String): ResultSet = {
+    // currentOp is live only while run() is in flight (ADVICE r14):
+    // without the finally-clear, a watchdog thread's Statement.cancel()
+    // BETWEEN statements would post a cancel for the previous (finished)
+    // operation and silently miss the statement it meant to stop.
+    def run(sql: String): ResultSet = try runInner(sql) finally currentOp = null
+    def runInner(sql: String): ResultSet = {
       val opJson = parse(post(s"$base/sessions/$session/statements",
         s"""{"statement": ${JsonMethods.compact(JsonMethods.render(JString(sql)))}}"""))
       val op = (opJson \ "operationHandle").values.toString

@@ -192,6 +192,15 @@ class SqlGatewaySpec extends SparkSpecBase {
         .contains("[42]"))
       // the cancel cut the 200-second-equivalent job short
       assert(System.currentTimeMillis() - t0 < 60000)
+      // wire compat (ADVICE r14): cancel on an already-terminal operation
+      // errors — the reference rejects the terminal -> CANCELED
+      // transition (OperationStatus.isValidStatusTransition; terminal
+      // states only move to CLOSED). Double-cancel on the CANCELED op:
+      val (tc, tj) = post(s"$base/sessions/$s/operations/$op/cancel")
+      assert(tc == 500 && tj.contains("Failed to convert the Operation Status"))
+      // ...and cancel on a FINISHED op:
+      val (fc, fj) = post(s"$base/sessions/$s/operations/$o2h/cancel")
+      assert(fc == 500 && fj.contains("from FINISHED to CANCELED"))
     } finally SqlGateway.stop()
   }
 

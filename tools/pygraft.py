@@ -112,18 +112,31 @@ class Session:
         self.wait(op)
         return op
 
-    def fetch(self, op, not_ready_poll_s=0.02):
+    def fetch(self, op, not_ready_poll_s=0.02, timeout_s=None):
         """Iterate an operation's rows as field lists, page by page.
         Usable on a still-running operation: a NOT_READY page re-points
         at the same token, so back off briefly before re-requesting
-        rather than hammering the gateway in a busy loop."""
+        rather than hammering the gateway in a busy loop. `timeout_s`
+        bounds the total time spent waiting on NOT_READY pages
+        (mirrors ``wait``); ``None`` waits indefinitely."""
         uri = f"/sessions/{self._handle}/operations/{op}/result/0"
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
         while uri:
             page = self._call(uri)
             if page.get("resultType") == "NOT_READY":
+                if deadline is not None and time.monotonic() > deadline:
+                    raise GatewayError(
+                        f"operation {op} still NOT_READY after {timeout_s}s")
                 time.sleep(not_ready_poll_s)
                 uri = page.get("nextResultUri")
-                if uri and uri.startswith("/v1"):
+                # a NOT_READY page always re-points at itself; a missing
+                # nextResultUri is a gateway contract violation — raise
+                # rather than silently yielding an empty result set
+                if not uri:
+                    raise GatewayError(
+                        f"NOT_READY page for operation {op} carried no "
+                        "nextResultUri")
+                if uri.startswith("/v1"):
                     uri = uri[len("/v1"):]
                 continue
             cols = page.get("results", {}).get("columns", [])
