@@ -277,6 +277,63 @@ object MiscOpQueries {
         FROM part ORDER BY p_partkey
       """.stripMargin.trim)),
 
+    // AsyncCorrelate: async TABLE function in LATERAL position — 1-to-many
+    // fan-out with ORDERED emission (StreamExecAsyncCorrelate.java:28).
+    // INNER: rows whose function returns empty are dropped. The function
+    // is deterministic string math so the oracle restates it as unnest.
+    QueryDef(
+      "q_async_correlate",
+      (s, dir) => {
+        graft.operators.AsyncCorrelate(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+          r => r.getString(1).split(" ").toSeq.filter(_.length > 4)
+            .map(t => Seq(t, t.length.toLong)),
+          Seq(
+            org.apache.spark.sql.types.StructField("tok",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("tok_len",
+              org.apache.spark.sql.types.LongType)),
+          joinType = "inner", batchSize = 128, maxInFlight = 4)
+          .orderBy(col("p_partkey"), col("tok"))
+      },
+      Some("""
+        SELECT p_partkey, p_name, u.tok, CAST(len(u.tok) AS BIGINT) AS tok_len
+        FROM part, unnest(list_filter(string_split(p_name, ' '),
+                                      x -> len(x) > 4)) AS u(tok)
+        ORDER BY p_partkey, tok
+      """.stripMargin.trim)),
+
+    // The SQL spelling: `LEFT JOIN LATERAL TABLE(F(col)) AS T(…) ON TRUE`
+    // over a registered async table function — LEFT keeps empty-result
+    // rows null-padded (the reference's ON TRUE semantics).
+    QueryDef(
+      "q_sql_async_correlate",
+      (s, dir) => {
+        graft.sql.FlinkSql.registerAsyncTableFunction("long_toks",
+          graft.sql.FlinkSql.AsyncUdtfSpec(
+            args => args.head.toString.split(" ").toSeq.filter(_.length > 4)
+              .map(t => Seq(t, t.length.toLong)),
+            Seq(
+              org.apache.spark.sql.types.StructField("tok",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("tok_len",
+                org.apache.spark.sql.types.LongType))))
+        graft.sql.FlinkSql.sql(s,
+          """SELECT p_partkey, tok, tok_len
+            |FROM part LEFT JOIN LATERAL TABLE(long_toks(p_name))
+            |  AS T(tok, tok_len) ON TRUE
+            |ORDER BY p_partkey, tok""".stripMargin,
+          Map("part" -> Tables.part(s, dir)))
+      },
+      Some("""
+        SELECT p_partkey, t.tok, CAST(len(t.tok) AS BIGINT) AS tok_len
+        FROM part LEFT JOIN LATERAL (
+          SELECT unnest(list_filter(string_split(p_name, ' '),
+                                    x -> len(x) > 4)) AS tok
+        ) t ON TRUE
+        ORDER BY p_partkey, tok
+      """.stripMargin.trim)),
+
     // Native codegen Expression tier: inet_aton_native is a Catalyst
     // UnaryExpression with doGenCode, injected via SparkSessionExtensions
     // (GraftExtensions) — same semantics as the composed-builtin

@@ -1108,6 +1108,33 @@ object SqlQueries {
         ORDER BY o_orderkey
       """.trim)),
 
+    // LATERAL SNAPSHOT join (v2.4, StreamExecLateralSnapshotJoin.java:26):
+    // on this bounded entry the reference itself degrades it to a regular
+    // join (BatchPhysicalLateralSnapshotJoinRule) — the rewrite replaces
+    // the SNAPSHOT scan with its TABLE input and drops the load-completed
+    // arguments. The streaming two-phase LOAD/JOIN operator is
+    // graft.streaming.LateralSnapshotJoin (spec-tested in StreamingSpec).
+    QueryDef(
+      "q_sql_lateral_snapshot",
+      (s, dir) => FlinkSql.sql(s,
+        """SELECT o_orderkey, o_custkey, c_name
+          |FROM orders AS o
+          |LEFT JOIN LATERAL SNAPSHOT(TABLE customer,
+          |    load_completed_condition => 'user_time',
+          |    load_completed_time => 1700000000000) AS c
+          |  ON o.o_custkey = c.c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+        Map(
+          "orders" -> Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+          "customer" -> Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_name")))),
+      Some("""
+        SELECT o_orderkey, o_custkey, c_name
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+      """.trim)),
+
     // MEASURES / DEFINE over the ORDER BY column (round 10): rowtime
     // measures (`FIRST(a.ts_us)`) and time-delta conditions
     // (`ts_us - PREV(ts_us) <= gap`) route through a synthetic double

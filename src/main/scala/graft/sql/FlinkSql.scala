@@ -113,7 +113,8 @@ object FlinkSql {
       if (toks(k).up == "LATERAL" && toks(k + 1).up == "TABLE" &&
           toks(k + 2).s == "(" &&
           (k + 3 >= toks.length || (toks(k + 3).up != "VECTOR_SEARCH" &&
-            temporalFn(toks(k + 3).s).isEmpty))) {
+            temporalFn(toks(k + 3).s).isEmpty &&
+            asyncUdtf(toks(k + 3).s).isEmpty))) {
         val isComma = k >= 1 && toks(k - 1).s == ","
         val isLeftJoin = k >= 2 && toks(k - 1).up == "JOIN" &&
           toks(k - 2).up == "LEFT"
@@ -188,7 +189,47 @@ object FlinkSql {
     var t = if (mentions(text, "/*+")) translateHints(text) else text
     if (mentions(t, "SPLIT")) t = rewriteSplitLiteral(t)
     if (mentions(t, "JSON")) t = rewriteIsJson(rewriteJsonCtor(rewriteJsonClauses(t)))
+    if (mentions(t, "SNAPSHOT")) t = rewriteLateralSnapshot(t)
     t
+  }
+
+  /** `[LEFT] JOIN LATERAL SNAPSHOT(TABLE b [, named args…]) [AS a] ON cond`
+    * — the v2.4 LATERAL SNAPSHOT proc-time temporal join
+    * (StreamExecLateralSnapshotJoin.java:26). On this BOUNDED entry the
+    * reference itself degrades it to a regular join
+    * (BatchPhysicalLateralSnapshotJoinRule: all input is bounded, so the
+    * LOAD phase trivially completes before any probe row), so the rewrite
+    * replaces the SNAPSHOT scan with its TABLE input and drops the
+    * load-completed / state-ttl arguments, exactly as
+    * LogicalJoinToLateralSnapshotJoinRule.replaceSnapshotScan does.
+    * The STREAMING two-phase operator is
+    * [[graft.streaming.LateralSnapshotJoin]].
+    */
+  private[graft] def rewriteLateralSnapshot(text: String): String = {
+    val toks = tokenize(text)
+    var k = 0
+    while (k + 3 < toks.length) {
+      if (toks(k).up == "LATERAL" && toks(k + 1).up == "SNAPSHOT" &&
+          toks(k + 2).s == "(" && toks(k + 3).up == "TABLE") {
+        val p = new P(toks, text)
+        p.i = k + 4
+        val tableName = p.ident()
+        // skip any named arguments up to the matching close paren
+        var depth = 1
+        var m = p.i
+        while (depth > 0 && m < toks.length) {
+          if (toks(m).s == "(") depth += 1
+          else if (toks(m).s == ")") depth -= 1
+          m += 1
+        }
+        require(depth == 0, "unbalanced parens in LATERAL SNAPSHOT(…)")
+        return rewriteLateralSnapshot(
+          text.substring(0, toks(k).start) + tableName +
+            text.substring(toks(m - 1).end))
+      }
+      k += 1
+    }
+    text
   }
 
   /** SQL/JSON behavior clauses on JSON_VALUE / JSON_QUERY / JSON_EXISTS
@@ -608,6 +649,127 @@ object FlinkSql {
   private def temporalFn(name: String): Option[TemporalFnSpec] =
     Option(temporalFns.get(name.toLowerCase))
 
+  /** A registered ASYNC table function for the
+    * `FROM t, LATERAL TABLE(F(args))` / `t LEFT JOIN LATERAL
+    * TABLE(F(args)) [AS T(c…)] ON TRUE` spellings — the reference's
+    * AsyncTableFunction resolved by StreamExecAsyncCorrelate
+    * (CommonExecAsyncCorrelate.java:59). `f` receives the evaluated
+    * argument values for one input row and returns its 0..n output rows;
+    * timeout/retry knobs mirror the async scalar tier.
+    */
+  final case class AsyncUdtfSpec(
+      f: Seq[Any] => Seq[Seq[Any]],
+      outFields: Seq[org.apache.spark.sql.types.StructField],
+      timeoutMs: Long = graft.operators.AsyncWait.DefaultTimeoutMs,
+      onTimeout: graft.operators.AsyncWait.Policy = graft.operators.AsyncWait.Fail,
+      retry: graft.operators.AsyncWait.Retry = graft.operators.AsyncWait.NoRetry)
+
+  private val asyncUdtfs =
+    new java.util.concurrent.ConcurrentHashMap[String, AsyncUdtfSpec]()
+
+  /** Register (or replace) an async table function for the LATERAL
+    * TABLE spelling; routes to [[graft.operators.AsyncCorrelate]]. */
+  def registerAsyncTableFunction(name: String, spec: AsyncUdtfSpec): Unit =
+    asyncUdtfs.put(name.toLowerCase, spec)
+
+  def dropAsyncTableFunction(name: String): Unit =
+    asyncUdtfs.remove(name.toLowerCase)
+
+  private def asyncUdtf(name: String): Option[AsyncUdtfSpec] =
+    Option(asyncUdtfs.get(name.toLowerCase))
+
+  /** `FROM t [AS a], LATERAL TABLE(F(args)) [AS T(c…)]` (INNER) and
+    * `FROM t [AS a] LEFT JOIN LATERAL TABLE(F(args)) [AS T(c…)] ON TRUE`
+    * where F is a registered ASYNC table function — the async correlate
+    * (StreamExecAsyncCorrelate.java:28). Arguments are left-side column
+    * references (optionally alias-qualified) or literals. Single input
+    * table per correlate, as in the reference's translated pattern.
+    */
+  private def translateAsyncCorrelate(
+      spark: SparkSession,
+      p: P,
+      ctx: Ctx): (DataFrame, Int) = {
+    val leftName = p.ident()
+    val leftAlias =
+      if (p.opt("AS")) Some(p.ident())
+      else if (!p.done && p.peek != "," && p.peek != "LEFT" &&
+          (p.peekRaw.headOption.exists(c => c.isLetter || c == '_')))
+        Some(p.ident())
+      else None
+    val leftJoin =
+      if (p.opt(",")) false
+      else { p.eat("LEFT"); p.eat("JOIN"); true }
+    p.eat("LATERAL"); p.eat("TABLE"); p.eat("(")
+    val fnName = p.ident()
+    val spec = asyncUdtf(fnName).getOrElse(throw new IllegalStateException(
+      s"$fnName is not a registered async table function"))
+    p.eat("(")
+    // arguments: qualified/bare column refs, string or numeric literals
+    sealed trait Arg
+    final case class ColRef(name: String) extends Arg
+    final case class Lit(v: Any) extends Arg
+    val args = scala.collection.mutable.ArrayBuffer.empty[Arg]
+    while (p.peek != ")") {
+      if (args.nonEmpty) p.eat(",")
+      val t = p.peekRaw
+      if (t.headOption.contains('\'')) {
+        args += Lit(p.next().s.stripPrefix("'").stripSuffix("'"))
+      } else if (t.headOption.exists(_.isDigit)) {
+        val s = p.next().s
+        args += Lit(if (s.contains('.')) s.toDouble else s.toLong)
+      } else {
+        var c = p.ident()
+        if (p.opt(".")) {
+          require(leftAlias.contains(c) || c.equalsIgnoreCase(leftName),
+            s"argument qualifier '$c' is not the left table")
+          c = p.ident()
+        }
+        args += ColRef(c)
+      }
+    }
+    p.eat(")") // close F(
+    p.eat(")") // close TABLE(
+    var outNames = spec.outFields.map(_.name)
+    var endTok = p.i
+    if (p.opt("AS")) {
+      p.ident() // table alias
+      if (p.opt("(")) {
+        val cols = scala.collection.mutable.ArrayBuffer(p.ident())
+        while (p.opt(",")) cols += p.ident()
+        p.eat(")")
+        require(cols.size == spec.outFields.size,
+          s"alias lists ${cols.size} columns, $fnName returns " +
+            s"${spec.outFields.size}")
+        outNames = cols.toSeq
+      }
+      endTok = p.i
+    }
+    if (leftJoin) { p.eat("ON"); p.eat("TRUE"); endTok = p.i }
+    val input = resolve(spark, ctx.tables, leftName)
+    val fieldIdx = input.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n.toLowerCase -> i }.toMap
+    val extractors: Seq[org.apache.spark.sql.Row => Any] = args.toSeq.map {
+      case Lit(v) => (_: org.apache.spark.sql.Row) => v
+      case ColRef(n) =>
+        val i = fieldIdx.getOrElse(n.toLowerCase,
+          throw new IllegalArgumentException(
+            s"unknown column $n in async correlate arguments"))
+        (r: org.apache.spark.sql.Row) => r.get(i)
+    }
+    val fn = spec.f
+    val rowF: org.apache.spark.sql.Row => Seq[Seq[Any]] =
+      r => fn(extractors.map(_(r)))
+    val outFields = spec.outFields.zip(outNames).map {
+      case (fl, n) => fl.copy(name = n)
+    }
+    val out = graft.operators.AsyncCorrelate(
+      input, rowF, outFields,
+      joinType = if (leftJoin) "left" else "inner",
+      timeoutMs = spec.timeoutMs, onTimeout = spec.onTimeout,
+      retry = spec.retry)
+    (out, p.toks(endTok - 1).end)
+  }
+
   /** `FROM l [AS a], LATERAL TABLE (f(timeExpr)) [AS t]` where `f` is a
     * registered temporal table function: each left row sees every key's
     * latest build version at its time attribute — the key filter lives
@@ -996,6 +1158,29 @@ object FlinkSql {
           ok
         })
           return Some((k + 1, translateVectorSearch))
+        // `FROM l [AS a] (, | LEFT JOIN) LATERAL TABLE(f(…))` with f a
+        // registered ASYNC table function — the async correlate
+        if (t == "FROM" && {
+          var j = k + 1
+          var ok = false
+          if (j < toks.length && (toks(j).s.head.isLetter || toks(j).s.head == '_')) {
+            j += 1
+            if (j < toks.length && toks(j).up == "AS") j += 1
+            if (j < toks.length && (toks(j).s.head.isLetter || toks(j).s.head == '_') &&
+                j + 1 < toks.length &&
+                (toks(j + 1).s == "," || toks(j + 1).up == "LEFT")) j += 1
+            if (j < toks.length && toks(j).up == "LEFT" &&
+                j + 1 < toks.length && toks(j + 1).up == "JOIN") j += 2
+            else if (j < toks.length && toks(j).s == ",") j += 1
+            else j = toks.length // neither form
+            ok = j + 3 < toks.length &&
+              toks(j).up == "LATERAL" && toks(j + 1).up == "TABLE" &&
+              toks(j + 2).s == "(" &&
+              asyncUdtf(toks(j + 3).s).isDefined
+          }
+          ok
+        })
+          return Some((k + 1, translateAsyncCorrelate))
         // `FROM l [AS a], LATERAL TABLE(f(…))` with f a registered
         // TEMPORAL table function (the legacy temporal-join spelling)
         if (t == "FROM" && {

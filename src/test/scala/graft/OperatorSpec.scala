@@ -175,6 +175,85 @@ class OperatorSpec extends SparkSpecBase {
     assert(calc.length == 2 && calc.forall(_.get(2) == null))
   }
 
+  test("AsyncCorrelate: 1-to-many ordered emission, inner vs left, timeout/retry parity") {
+    import org.apache.spark.sql.types._
+    // 1-to-many: each row fans out to k rows; k=0 rows distinguish
+    // inner (dropped) from left (null-padded)
+    val df = Seq((1L, 2), (2L, 0), (3L, 3)).toDF("k", "n").repartition(1)
+    val fanout: org.apache.spark.sql.Row => Seq[Seq[Any]] =
+      r => (0 until r.getInt(1)).map(i => Seq(s"${r.getLong(0)}-$i", i.toLong))
+    val outF = Seq(StructField("tag", StringType), StructField("i", LongType))
+
+    val inner = AsyncCorrelate(df, fanout, outF, joinType = "inner",
+      batchSize = 1, maxInFlight = 4).collect()
+    // ordered emission despite concurrent batches: input order preserved
+    assert(inner.map(_.getString(2)).toSeq ==
+      Seq("1-0", "1-1", "3-0", "3-1", "3-2"))
+    val left = AsyncCorrelate(df, fanout, outF, joinType = "left",
+      batchSize = 1, maxInFlight = 4).collect()
+    assert(left.length == 6)
+    assert(left.filter(_.getLong(0) == 2L).map(r => (r.get(2), r.get(3)))
+      .toSeq == Seq((null, null)))
+
+    // timeout parity with AsyncCalc: Nulls pads LEFT, drops INNER
+    val hung: org.apache.spark.sql.Row => Seq[Seq[Any]] =
+      _ => { Thread.sleep(5000); Seq(Seq("never", 0L)) }
+    val padded = AsyncCorrelate(df, hung, outF, joinType = "left",
+      batchSize = 8, timeoutMs = 150, onTimeout = AsyncWait.Nulls).collect()
+    assert(padded.length == 3 && padded.forall(_.get(2) == null))
+    val droppedC = AsyncCorrelate(df, hung, outF, joinType = "inner",
+      batchSize = 8, timeoutMs = 150, onTimeout = AsyncWait.Nulls).collect()
+    assert(droppedC.isEmpty)
+    val exC = intercept[Exception] {
+      AsyncCorrelate(df, hung, outF, joinType = "left",
+        batchSize = 8, timeoutMs = 150, onTimeout = AsyncWait.Fail).collect()
+    }
+    def causesC(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causesC(t.getCause)
+    assert(causesC(exC).exists(
+      _.isInstanceOf[java.util.concurrent.TimeoutException]))
+
+    // retry parity: flaky function recovers under FixedDelay
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flakyC: org.apache.spark.sql.Row => Seq[Seq[Any]] = r => {
+      if (attempts.incrementAndGet() <= 2)
+        throw new RuntimeException("transient")
+      Seq(Seq(s"ok-${r.getLong(0)}", 0L))
+    }
+    val recovered = AsyncCorrelate(df.limit(1), flakyC, outF,
+      batchSize = 8, retry = AsyncWait.FixedDelay(3, 10)).collect()
+    assert(recovered.map(_.getString(2)).toSeq == Seq("ok-1"))
+  }
+
+  test("AsyncCorrelate SQL spelling routes LATERAL TABLE to the async tier") {
+    import org.apache.spark.sql.types._
+    graft.sql.FlinkSql.registerAsyncTableFunction("fan_toks",
+      graft.sql.FlinkSql.AsyncUdtfSpec(
+        args => args.head.toString.split(" ").filter(_.length > 3).toSeq
+          .map(t => Seq(t, t.length.toLong)),
+        Seq(StructField("tok", StringType), StructField("tok_len", LongType))))
+    try {
+      val docs = Seq((1L, "alpha is long"), (2L, "no"))
+        .toDF("id", "txt")
+      // comma form = INNER
+      val inner = graft.sql.FlinkSql.sql(spark,
+        """SELECT id, tok, tok_len
+          |FROM docs, LATERAL TABLE(fan_toks(txt)) AS T(tok, tok_len)
+          |ORDER BY id, tok""".stripMargin,
+        Map("docs" -> docs)).collect()
+      assert(inner.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq == Seq((1L, "alpha", 5L), (1L, "long", 4L)))
+      // LEFT JOIN … ON TRUE = LEFT (row 2 kept, null-padded)
+      val left = graft.sql.FlinkSql.sql(spark,
+        """SELECT id, tok FROM docs
+          |LEFT JOIN LATERAL TABLE(fan_toks(txt)) AS T(tok, tok_len) ON TRUE
+          |ORDER BY id, tok""".stripMargin,
+        Map("docs" -> docs)).collect()
+      assert(left.length == 3)
+      assert(left.filter(_.getLong(0) == 2L).map(_.get(1)).toSeq == Seq(null))
+    } finally graft.sql.FlinkSql.dropAsyncTableFunction("fan_toks")
+  }
+
   test("PatternMatch minCount: short runs rejected, long runs match") {
     // key 1: V with a single fall (rejected at minCount=2);
     // key 2: V with a two-step fall (accepted)

@@ -193,6 +193,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() > 0)
   }
 
+  test("LateralSnapshotJoin: LOAD buffers probes, flip drains in order, JOIN phase live") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // build = rates changelog (cur, rts, rate, kind); probe = orders (oid, cur)
+    val bIn = MemoryStream[(Timestamp, String, Double, String)]
+    val pIn = MemoryStream[(Long, String)]
+    val bDf = bIn.toDF().toDF("rts", "cur", "rate", "__rowkind")
+    val pDf = pIn.toDF().toDF("oid", "cur")
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val flipMs = 10000L // load completes at t=10s
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lsj-").toString
+    val q = graft.streaming.LateralSnapshotJoin(
+      pDf, bDf, "cur", "rts", flipMs, "2 seconds", joinType = "left")
+      .writeStream.format("memory").queryName("s_lsj")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // LOAD phase: build bootstrap + probes arrive — NOTHING may emit
+      // (never join against a partially loaded table)
+      bIn.addData(Seq((ts(1), "EUR", 1.1, "+I"), (ts(2), "USD", 2.0, "+I")))
+      pIn.addData(Seq((1L, "EUR"), (2L, "USD"), (3L, "GBP")))
+      q.processAllAvailable()
+      // the -U carries the image of the row it retracts (its original
+      // row-time included — removal is by full-row equality)
+      bIn.addData(Seq((ts(1), "EUR", 1.1, "-U"), (ts(5), "EUR", 1.2, "+U")))
+      q.processAllAvailable()
+      assert(spark.table("s_lsj").count() == 0,
+        "probes must stay buffered during LOAD")
+      // flip: build watermark (delay 2s) passes 10s → buffered probes
+      // drain in insertion order against the loaded table
+      bIn.addData(Seq((ts(13), "USD", 2.5, "+I")))
+      q.processAllAvailable()
+      bIn.addData(Seq((ts(14), "__wm", 0.0, "+I"))) // nudge a timer batch
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val drained = spark.table("s_lsj")
+      assert(drained.where(col("oid") === 1L).select(col("snap_rate"))
+        .collect().map(_.getDouble(0)).toSeq == Seq(1.2),
+        "EUR probe must see the -U/+U updated rate, applied in row-time order")
+      assert(drained.where(col("oid") === 2L).select(col("snap_rate"))
+        .collect().map(_.getDouble(0)).toSeq == Seq(2.0),
+        "USD probe joins the loaded rate (the 13s change is beyond the watermark)")
+      assert(drained.where(col("oid") === 3L).select(col("snap_rate"))
+        .collect().map(r => Option(r.get(0))).toSeq == Seq(None),
+        "LEFT keeps the unmatched probe null-padded")
+      // JOIN phase: a late probe joins immediately; the 13s build change
+      // is applied once the watermark passes it
+      bIn.addData(Seq((ts(20), "__wm", 0.0, "+I")))
+      q.processAllAvailable()
+      pIn.addData(Seq((4L, "USD")))
+      q.processAllAvailable()
+      val live = spark.table("s_lsj").where(col("oid") === 4L)
+      assert(live.select(col("snap_rate")).collect()
+        .map(_.getDouble(0)).toSet == Set(2.0, 2.5),
+        "JOIN-phase probe sees the full multiset incl. the applied 13s insert")
+    } finally q.stop()
+  }
+
   test("StreamingTemporalJoin matches batch AsOfJoin") {
     // probe = click events; build (versioned) = purchase events per user
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
