@@ -44,7 +44,8 @@ object Registry {
     TpcdsQueries3.defs,
     TpcdsQueries4.defs,
     TpcdsQueries5.defs,
-    TpcdsQueries6.defs
+    TpcdsQueries6.defs,
+    TpcdsQueries7.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
