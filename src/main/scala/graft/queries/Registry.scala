@@ -45,7 +45,8 @@ object Registry {
     TpcdsQueries4.defs,
     TpcdsQueries5.defs,
     TpcdsQueries6.defs,
-    TpcdsQueries7.defs
+    TpcdsQueries7.defs,
+    TpcdsQueries8.defs
   )
 
   lazy val defs: Seq[QueryDef] = {
