@@ -46,7 +46,8 @@ object Registry {
     TpcdsQueries5.defs,
     TpcdsQueries6.defs,
     TpcdsQueries7.defs,
-    TpcdsQueries8.defs
+    TpcdsQueries8.defs,
+    TpcdsQueries9.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -213,13 +213,15 @@ class PlanSpec extends SparkSpecBase {
   test("tpcds pack: no cartesians; correlated subqueries decorrelate") {
     // the whole TPC-DS shape pack must plan without CartesianProduct
     val all = SparkEntry.queries.keys.filter(_.startsWith("q_tpcds_")).toSeq
-    assert(all.size >= 30, s"expected the full pack, found ${all.size}")
+    assert(all.size == 99, s"expected the full 99-shape pack, found ${all.size}")
     val cartesians = all.filter(n => planOf(n).contains("CartesianProduct"))
     assert(cartesians.isEmpty, s"cartesian products in: $cartesians")
     // the correlated-subquery shapes (q1 aggregate-correlated, q6 avg-
-    // correlated, q41 count-correlated) must decorrelate into joins —
+    // correlated, q41 count-correlated, q81 state-average-correlated,
+    // q92 per-item-average-correlated) must decorrelate into joins —
     // a BroadcastNestedLoopJoin would mean per-row re-execution shape
-    for (n <- Seq("q_tpcds_q1", "q_tpcds_q6", "q_tpcds_q41")) {
+    for (n <- Seq("q_tpcds_q1", "q_tpcds_q6", "q_tpcds_q41",
+        "q_tpcds_q81", "q_tpcds_q92")) {
       val p = planOf(n)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$n did not decorrelate:\n$p")
