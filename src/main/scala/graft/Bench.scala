@@ -81,6 +81,27 @@ object Bench {
     // code re-measured with more samples — variance reduction, not
     // selection: a genuine regression is slow in every rep and keeps
     // its slow median.
+    //
+    // Second trigger (r15): the spread trigger misses a UNIFORMLY noisy
+    // neighborhood — when all of a query's reps run behind the same
+    // churny stretch (r15: the 36 new TPC-DS shapes land alphabetically
+    // right before the q_unified_* streaming family, which then read
+    // 2.3x in the sweep but 0.95x minutes later), median ≈ min and
+    // nothing fires. So also re-measure when the median exceeds 1.8x
+    // the query's RECORDED baseline (parsed from BASELINE.md when
+    // present). Still the same procedure — extra reps of the same code,
+    // median over all samples; a genuine regression is slow in the
+    // quiet reps too and keeps its breach.
+    val baselines: Map[String, Double] =
+      try {
+        val md = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE.md")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val row = """\| (q\w+) \| ([0-9.]+) \| [0-9.]+ \| [0-9.]+ \|""".r
+        row.findAllMatchIn(md)
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+      } catch { case _: Throwable => Map.empty }
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       // ANY failed rep marks the query failed (-1): a query that
@@ -90,7 +111,10 @@ object Bench {
       name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
                else {
                  val med = median(ts)
-                 if (med > ts.min * 1.5 && med - ts.min > 0.15) {
+                 val vsBaseline = baselines.get(name)
+                   .exists(b => med > b * 1.8 && med - b > 0.15)
+                 if ((med > ts.min * 1.5 && med - ts.min > 0.15) ||
+                     vsBaseline) {
                    // auditable (ADVICE r14): record + log every query the
                    // procedure touched, so an adjusted median is never
                    // mistaken for a raw 3-rep one

@@ -66,7 +66,9 @@ object LateralSnapshotJoin {
 
     // ------------------------------------------------- batch degradation
     if (!probe.isStreaming && !build.isStreaming) {
-      val b = build.columns.foldLeft(build) { (d, c) =>
+      val plain = if (build.columns.contains("__rowkind"))
+        build.drop("__rowkind") else build
+      val b = plain.columns.foldLeft(plain) { (d, c) =>
         d.withColumnRenamed(c, s"$outPrefix$c")
       }
       return probe.join(b,

@@ -21,7 +21,12 @@ object RestoreFixtureGen {
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get("graft-restore-gen", "local[4]", 4)
-    RestoreScenarios.all.foreach(generate(spark, _))
+    // optional arg: regenerate ONE scenario by name (adding a new
+    // operator must not silently rewrite the other pinned fixtures)
+    val only = args.headOption
+    RestoreScenarios.all
+      .filter(s => only.forall(_ == s.name))
+      .foreach(generate(spark, _))
     spark.stop()
   }
 

@@ -238,9 +238,28 @@ object RestoreScenarios {
       Seq(graft.changelog.AggSpec("n", "v", "count"),
         graft.changelog.AggSpec("max_v", "v", "max"))))
 
+  private val lsjProbeSchema = StructType(Seq(
+    StructField("oid", LongType), StructField("cur", StringType)))
+  private val lsjBuildSchema = StructType(Seq(
+    StructField("rts", TimestampType), StructField("cur", StringType),
+    StructField("rate", DoubleType)))
+
+  /** LateralSnapshotJoin (flip at t=10s): batch 1 loads a build version
+    * AND buffers a LOAD-phase probe; batch 2 only advances the build
+    * watermark past the flip — the drained row pairs the batch-1 probe
+    * buffer against the batch-1 build multiset, both restored state. */
+  private val lateralSnapshot = Scenario(
+    "lateral_snapshot_join",
+    Seq(lsjProbeSchema, lsjBuildSchema),
+    Seq(Seq(Row(100L, "EUR")), Seq(Row(ts(1), "EUR", 1.25))),
+    Seq(Nil, Seq(Row(ts(30), "__wm", 0.0))),
+    dfs => graft.streaming.LateralSnapshotJoin(
+      dfs(0), dfs(1), "cur", "rts", loadCompletedMs = 10000L,
+      delay = "0 seconds", joinType = "inner"))
+
   val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin, changelogTopn,
     dedupLast, cepStreaming, countWindows, temporalJoin, streamingOver,
-    changelogSemi, processTableFunction, cumulateBounded)
+    changelogSemi, processTableFunction, cumulateBounded, lateralSnapshot)
 
   val fixtureRoot = "src/test/resources/restore"
 }
