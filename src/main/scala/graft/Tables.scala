@@ -25,17 +25,30 @@ object Tables {
     * test tables are immutable, so resolved plans never go stale; call
     * [[clearCache]] if a session ever needs a re-list.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // WeakHashMap keyed by the session OBJECT: a stopped session's entry
+  // (and the DataFrames pinning its analyzed plans) is collectable as
+  // soon as the session is, and two live sessions can never collide.
+  // The inner per-session map is naturally bounded (#dirs x #tables).
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def clearCache(): Unit = cache.clear()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
-      if (cache.size > 512) cache.clear() // stale-session bound, not LRU
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") normalizeEventTime(df) else df
     })
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

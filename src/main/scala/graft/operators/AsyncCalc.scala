@@ -39,26 +39,10 @@ object AsyncCalc {
       else outField
     val outSchema = StructType(df.schema.fields :+ outF)
     df.mapPartitions { it =>
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val batches = it.grouped(batchSize)
-      val inFlight = scala.collection.mutable.Queue
-        .empty[(Seq[Row], Future[Seq[Row]], () => Future[Seq[Row]])]
-      def submit(): Unit =
-        while (inFlight.size < maxInFlight && batches.hasNext) {
-          val batch = batches.next()
-          def run(): Future[Seq[Row]] = Future {
-            batch.map(r => Row.fromSeq(r.toSeq :+ f(r)))
-          }
-          inFlight.enqueue((batch, run(), () => run()))
-        }
-      new Iterator[Seq[Row]] {
-        def hasNext: Boolean = { submit(); inFlight.nonEmpty }
-        def next(): Seq[Row] = {
-          val (batch, fut, rerun) = inFlight.dequeue()
-          AsyncWait.retrying(fut, rerun, retry, timeoutMs, onTimeout,
-            batch.map(r => Row.fromSeq(r.toSeq :+ null)))
-        }
-      }.flatten
+      AsyncWait.orderedBatched(it, batchSize, maxInFlight,
+        run = _.map(r => Row.fromSeq(r.toSeq :+ f(r))),
+        fallback = _.map(r => Row.fromSeq(r.toSeq :+ null)),
+        timeoutMs, onTimeout, retry)
     }(Encoders.row(outSchema))
   }
 }
@@ -66,6 +50,41 @@ object AsyncCalc {
 /** Shared async wait-with-timeout for the async operator tier. */
 object AsyncWait {
   val DefaultTimeoutMs = 30000L
+
+  /** The shared bounded ORDERED async per-partition pipeline
+    * ([[AsyncCalc]] and [[AsyncCorrelate]] differ only in the per-batch
+    * expansion and the timeout fallback shape): keeps up to
+    * `maxInFlight` batches of `batchSize` rows running while earlier
+    * results emit in input order, each batch under the timeout policy
+    * and retry schedule.
+    */
+  def orderedBatched(
+      it: Iterator[Row],
+      batchSize: Int,
+      maxInFlight: Int,
+      run: Seq[Row] => Seq[Row],
+      fallback: Seq[Row] => Seq[Row],
+      timeoutMs: Long,
+      onTimeout: Policy,
+      retry: Retry): Iterator[Row] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val batches = it.grouped(batchSize)
+    val inFlight = scala.collection.mutable.Queue
+      .empty[(Seq[Row], Future[Seq[Row]], () => Future[Seq[Row]])]
+    def submit(): Unit =
+      while (inFlight.size < maxInFlight && batches.hasNext) {
+        val batch = batches.next()
+        def go(): Future[Seq[Row]] = Future { run(batch) }
+        inFlight.enqueue((batch, go(), () => go()))
+      }
+    new Iterator[Seq[Row]] {
+      def hasNext: Boolean = { submit(); inFlight.nonEmpty }
+      def next(): Seq[Row] = {
+        val (batch, fut, rerun) = inFlight.dequeue()
+        retrying(fut, rerun, retry, timeoutMs, onTimeout, fallback(batch))
+      }
+    }.flatten
+  }
 
   sealed trait Policy extends Serializable
   /** Fail the task on timeout (Spark's retry machinery takes over). */

@@ -59,7 +59,6 @@ object AsyncCorrelate {
     val outSchema = StructType(df.schema.fields ++ outFs)
     val width = outFields.size
     df.mapPartitions { it =>
-      implicit val ec: ExecutionContext = ExecutionContext.global
       val nulls: Seq[Any] = Seq.fill(width)(null)
       def expand(r: Row): Seq[Row] = {
         val produced = f(r)
@@ -71,26 +70,14 @@ object AsyncCorrelate {
           Row.fromSeq(r.toSeq ++ out)
         }
       }
-      val batches = it.grouped(batchSize)
-      val inFlight = scala.collection.mutable.Queue
-        .empty[(Seq[Row], Future[Seq[Row]], () => Future[Seq[Row]])]
-      def submit(): Unit =
-        while (inFlight.size < maxInFlight && batches.hasNext) {
-          val batch = batches.next()
-          def run(): Future[Seq[Row]] = Future { batch.flatMap(expand) }
-          inFlight.enqueue((batch, run(), () => run()))
-        }
-      new Iterator[Seq[Row]] {
-        def hasNext: Boolean = { submit(); inFlight.nonEmpty }
-        def next(): Seq[Row] = {
-          val (batch, fut, rerun) = inFlight.dequeue()
-          // Nulls-policy timeout = every row of the batch is a miss:
-          // LEFT pads, INNER drops (parity with LookupJoin.async)
-          AsyncWait.retrying(fut, rerun, retry, timeoutMs, onTimeout,
-            if (leftOuter) batch.map(r => Row.fromSeq(r.toSeq ++ nulls))
-            else Seq.empty)
-        }
-      }.flatten
+      // Nulls-policy timeout = every row of the batch is a miss:
+      // LEFT pads, INNER drops (parity with LookupJoin.async)
+      AsyncWait.orderedBatched(it, batchSize, maxInFlight,
+        run = _.flatMap(expand),
+        fallback = batch =>
+          if (leftOuter) batch.map(r => Row.fromSeq(r.toSeq ++ nulls))
+          else Seq.empty,
+        timeoutMs, onTimeout, retry)
     }(Encoders.row(outSchema))
   }
 }

@@ -70,6 +70,21 @@ object FlinkSql {
       val toks = tokenize(cur)
       findRewrite(toks) match {
         case None =>
+          // an async UDTF's LATERAL TABLE is excluded from the generic
+          // lateral rewrite, so a FROM shape the async-correlate
+          // detector doesn't cover (several left tables, a subquery
+          // left side) would otherwise reach Spark's parser as raw
+          // Flink syntax — fail with the contract instead
+          toks.indices.foreach { k =>
+            if (toks(k).up == "LATERAL" && k + 3 < toks.length &&
+                toks(k + 1).up == "TABLE" && toks(k + 2).s == "(" &&
+                asyncUdtf(toks(k + 3).s).isDefined)
+              throw new IllegalArgumentException(
+                s"async table function ${toks(k + 3).s}: unsupported FROM " +
+                  "shape — use FROM <table> [AS a], LATERAL TABLE(F(args)) " +
+                  "[AS T(c…)] or <table> LEFT JOIN LATERAL TABLE(F(args)) " +
+                  "[AS T(c…)] ON TRUE (single left table)")
+          }
           if (hasTemporalJoin(toks))
             return translateTemporalJoin(spark, cur, toks, tables, models)
           if (hasLegacyWindowCall(toks))
@@ -720,7 +735,8 @@ object FlinkSql {
       } else {
         var c = p.ident()
         if (p.opt(".")) {
-          require(leftAlias.contains(c) || c.equalsIgnoreCase(leftName),
+          require(leftAlias.exists(_.equalsIgnoreCase(c)) ||
+            c.equalsIgnoreCase(leftName),
             s"argument qualifier '$c' is not the left table")
           c = p.ident()
         }
@@ -795,7 +811,7 @@ object FlinkSql {
     // argument: a (possibly qualified) left-side column reference
     var argTok = p.ident()
     if (p.opt(".")) {
-      require(leftAlias.contains(argTok) ||
+      require(leftAlias.exists(_.equalsIgnoreCase(argTok)) ||
         argTok.equalsIgnoreCase(leftName),
         s"temporal function argument qualifier '$argTok' is not the " +
           s"left table")

@@ -117,6 +117,10 @@ object LateralSnapshotJoin {
     val oEnc: Encoder[Row] = StatefulOps.rowEnc(outSchema)
     val nullPad: Seq[Any] = payloadCols.map(_ => null)
     val leftOuter = jt == "left"
+    // payload index of the build row-time, excluded from retraction match
+    val timeIdx = payloadCols.indexOf(buildTime)
+    def stripTime(vals: Seq[Any]): Seq[Any] =
+      if (timeIdx < 0) vals else vals.patch(timeIdx, Nil, 1)
 
     env.as[Row](vEnc)
       .groupByKey(r => Row(r.get(0)))(kEnc)
@@ -143,15 +147,18 @@ object LateralSnapshotJoin {
           // in row-time order (ties in arrival order — the buffer is
           // appended in arrival order and sortBy is stable, preserving
           // the reference's -U/+U atomic-pair visibility). Retraction
-          // contract: a -U/-D carries the full image of the row it
-          // retracts (its original row-time included) — multiset removal
-          // is by full-row equality, and the image's row-time is its
-          // buffer tag (it never exceeds the replacing +U's tag, so
-          // retract-before-accumulate ordering is preserved).
+          // contract: a -U/-D carries the old row's CONTENT but the
+          // CHANGE's row-time (the reference emits the pair at the
+          // update time — "changes sharing a row-time are applied in
+          // arrival order"), so removal matches the stored row by its
+          // non-time fields. Tagging the -U with the update time keeps
+          // the old version visible up to the update — applying it at
+          // the OLD row-time would make the key vanish for the whole
+          // window between versions.
           val (applicable, still) = changes.partition(_._1 <= wm)
           applicable.sortBy(_._1).foreach { case (_, kind, vals) =>
             if (kind == "-D" || kind == "-U") {
-              val i = table.indexOf(vals)
+              val i = table.indexWhere(stripTime(_) == stripTime(vals))
               if (i >= 0) table = table.patch(i, Nil, 1)
             } else table = table :+ vals
           }

@@ -214,9 +214,10 @@ class StreamingSpec extends SparkSpecBase {
       bIn.addData(Seq((ts(1), "EUR", 1.1, "+I"), (ts(2), "USD", 2.0, "+I")))
       pIn.addData(Seq((1L, "EUR"), (2L, "USD"), (3L, "GBP")))
       q.processAllAvailable()
-      // the -U carries the image of the row it retracts (its original
-      // row-time included — removal is by full-row equality)
-      bIn.addData(Seq((ts(1), "EUR", 1.1, "-U"), (ts(5), "EUR", 1.2, "+U")))
+      // the -U carries the old row's CONTENT at the UPDATE's row-time
+      // (removal matches by non-time fields; the pair shares the
+      // update time, as the reference's changelog emits it)
+      bIn.addData(Seq((ts(5), "EUR", 1.1, "-U"), (ts(5), "EUR", 1.2, "+U")))
       q.processAllAvailable()
       assert(spark.table("s_lsj").count() == 0,
         "probes must stay buffered during LOAD")
@@ -247,6 +248,23 @@ class StreamingSpec extends SparkSpecBase {
       assert(live.select(col("snap_rate")).collect()
         .map(_.getDouble(0)).toSet == Set(2.0, 2.5),
         "JOIN-phase probe sees the full multiset incl. the applied 13s insert")
+      // an update pair beyond the watermark stays pending: the old
+      // version must remain visible until the watermark passes the
+      // UPDATE time (no vanish window between versions)
+      bIn.addData(Seq((ts(25), "USD", 2.0, "-U"), (ts(25), "USD", 9.9, "+U")))
+      q.processAllAvailable()
+      pIn.addData(Seq((5L, "USD")))
+      q.processAllAvailable()
+      assert(spark.table("s_lsj").where(col("oid") === 5L)
+        .select(col("snap_rate")).collect().map(_.getDouble(0)).toSet
+        == Set(2.0, 2.5), "pending update must not hide the old version")
+      bIn.addData(Seq((ts(40), "__wm", 0.0, "+I")))
+      q.processAllAvailable()
+      pIn.addData(Seq((6L, "USD")))
+      q.processAllAvailable()
+      assert(spark.table("s_lsj").where(col("oid") === 6L)
+        .select(col("snap_rate")).collect().map(_.getDouble(0)).toSet
+        == Set(9.9, 2.5), "applied -U/+U pair swaps the version atomically")
     } finally q.stop()
   }
 

@@ -84,7 +84,15 @@ class Session:
         st = self.status(op)
         while st == "RUNNING":
             if deadline is not None and time.monotonic() > deadline:
-                self.cancel(op)
+                # best-effort: a cancel that loses the race to completion
+                # errors (the gateway rejects terminal -> CANCELED, as the
+                # reference does) — the caller should still see the
+                # TIMEOUT error, not the racy cancel failure
+                try:
+                    self.cancel(op)
+                except GatewayError:
+                    if self.status(op) == "RUNNING":
+                        raise
                 raise GatewayError(f"statement timed out after {timeout_s}s")
             time.sleep(poll_s)
             st = self.status(op)
