@@ -12,6 +12,26 @@ class MiscOpsSpec extends SparkSpecBase {
 
   private val payload = StructType(Seq(StructField("name", StringType)))
 
+  test("Tables catalog cache: per-session reuse, per-(dir,name) isolation") {
+    Tables.clearCache()
+    // same (session, dir, name) resolves to the SAME DataFrame — the
+    // register-once catalog pattern (no re-list / footer re-read)
+    val a = Tables.lineitem(spark, sf)
+    val b = Tables.lineitem(spark, sf)
+    assert(a eq b)
+    // distinct dirs and names stay distinct entries
+    val mid = Tables.lineitem(spark, sfMid)
+    assert(!(a eq mid))
+    assert(!(a eq Tables.orders(spark, sf)))
+    // cached events table still carries the normalized time columns
+    val ev = Tables.events(spark, sf)
+    assert(ev eq Tables.events(spark, sf))
+    assert(Seq("ts", "ts_ns", "ts_us").forall(ev.columns.contains))
+    // clearCache forces a fresh resolution
+    Tables.clearCache()
+    assert(!(a eq Tables.lineitem(spark, sf)))
+  }
+
   test("LookupJoin: cache bounded, inner drops misses, left null-pads") {
     val store = new MapBackedClient(
       Map(1L -> Seq("one"), 2L -> Seq("two"), 3L -> Seq("three")))
