@@ -256,6 +256,27 @@ class PlanSpec extends SparkSpecBase {
       "both agg levels must be partial+final")
   }
 
+  test("q_tpcds_q72: every join hash-based on equi keys, never a nested loop") {
+    val p = planOf("q_tpcds_q72")
+    // the inventory mega-join chains a fact-fact join (sales x inv on
+    // part/supp/month with the quantity inequality as residual), three
+    // dims, and two LEFT OUTER legs — every one must be an EQUI hash
+    // join. At sf0.01 the aggregated inventory side is below the
+    // broadcast threshold so Catalyst broadcasts it too (the right
+    // call); at 100 TB stats push it to SMJ automatically. What must
+    // hold at ANY scale: no cartesian, no nested-loop fallback (an
+    // inequality-only join would plan BNLJ), all 6 joins present.
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a join lost its equi keys and fell back to a nested loop:\n$p")
+    // 5, not 6: Catalyst ELIMINATES the returns left join outright (its
+    // right side is distinct and no output column is referenced — the
+    // no-op outer join optimization), which is the plan you'd want
+    assert(p.linesIterator.count(_.contains("HashJoin")) +
+      p.linesIterator.count(_.contains("SortMergeJoin")) >= 5,
+      s"the surviving joins must all be hash/merge equi-joins:\n$p")
+  }
+
   test("q_tpcds_q95: count-distinct form avoids the fact self-join blowup") {
     val p = planOf("q_tpcds_q95")
     // one aggregate on the order key, then semi joins — never fact×fact
