@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * rounds; for adversarial long-path graphs the alternating large/small
   * star variant halves rounds — noted, not needed here.
   *
-  * Scale: per round one equi-join edges⋈labels plus one min-aggregate —
+  * Scale: per round ONE equi-join edges⋈labels plus one min-aggregate —
   * all shuffle-partitioned by node id, no driver-side graph. Lineage is
   * cut per round with localCheckpoint so the plan stays flat across
-  * iterations (the classic iterative-Spark pitfall).
+  * iterations (the classic iterative-Spark pitfall). Convergence
+  * detection is FUSED into the propagation aggregate (r15): each node's
+  * previous label rides the union as its flagged self-row and comes out
+  * of the same groupBy, so the changed-check is a local filter over the
+  * checkpointed round result instead of the old prop⋈labels re-join —
+  * which cost a second shuffle join per round, as much as the
+  * propagation itself.
   */
 object ConnectedComponents {
 
@@ -38,17 +44,37 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val prop = sym
+      // neighbor contributions + each node's own previous label (the
+      // flagged self-row: exactly one per node, so max(self label) IS
+      // the old label) through one aggregate
+      val contrib = sym
         .join(labels, sym("a") === labels("node"))
-        .select(col("b").as("node"), col("label"))
-        .unionByName(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("b").as("node"), col("label"),
+          lit(false).as("__self"))
+        .unionByName(labels.withColumn("__self", lit(true)))
+      val neigh = contrib
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("__self"), col("label"))).as("__old"))
+      // pointer jumping (r15): ALSO shortcut label[v] := label[label[v]]
+      // each round — plain min-propagation needs O(diameter) rounds
+      // (the embedding near-dup graph at sf0.1 took 18; a pure 31-chain
+      // takes 31), while one jump per round compounds propagation
+      // exponentially (the 31-chain converges in 3 rounds; the real
+      // graph's giant component in 12). More jumps per round measured
+      // WORSE here — each adds a join to every round while the round
+      // count barely moves on realistic (non-chain) topologies, where
+      // fresh minima still arrive via graph edges one hop at a time. A
+      // label is always a live node id, so the jump is an equi
+      // self-join on the label table (tiny relative to edges).
+      val j = neigh.select(col("node").as("__jn"), col("label").as("__jl"))
+      val round = neigh
+        .join(j, neigh("label") === j("__jn"), "left")
+        .select(neigh("node"),
+          coalesce(col("__jl"), neigh("label")).as("label"), col("__old"))
         .localCheckpoint(true)
-      converged = prop
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old"))
-        .isEmpty
-      labels = prop
+      converged = round.where(col("label") =!= col("__old")).isEmpty
+      labels = round.select(col("node"), col("label"))
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
