@@ -840,6 +840,37 @@ class FlinkSqlSpec extends SparkSpecBase {
       "AFTER MATCH SKIP TO expects")
   }
 
+  test("LATERAL SNAPSHOT rewrite: literals untouched, multiples, identifiers") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L), (2L, 20L)).toDF("oid", "ck")
+    val dim = Seq((10L, "a"), (30L, "b")).toDF("dk", "v")
+    // the bounded degradation joins through the ON condition
+    val out = FlinkSql.sql(spark,
+      """SELECT oid, v FROM probe p
+        |LEFT JOIN LATERAL SNAPSHOT(TABLE dim,
+        |    load_completed_condition => 'compile_time') AS d
+        |  ON p.ck = d.dk
+        |ORDER BY oid""".stripMargin,
+      Map("probe" -> probe, "dim" -> dim)).collect()
+    assert(out.map(r => (r.getLong(0), r.get(1))).toSeq ==
+      Seq((1L, "a"), (2L, null)))
+    // TWO snapshot joins in one statement both rewrite
+    val two = FlinkSql.sql(spark,
+      """SELECT oid, a.v AS v1, b.v AS v2 FROM probe p
+        |LEFT JOIN LATERAL SNAPSHOT(TABLE dim) AS a ON p.ck = a.dk
+        |LEFT JOIN LATERAL SNAPSHOT(TABLE dim) AS b ON p.ck = b.dk
+        |ORDER BY oid""".stripMargin,
+      Map("probe" -> probe, "dim" -> dim)).collect()
+    assert(two.length == 2 && two.head.getString(1) == "a")
+    // 'LATERAL SNAPSHOT(' inside a string literal must survive; a plain
+    // column named snapshot must not trigger the rewrite
+    val lit = FlinkSql.sql(spark,
+      """SELECT oid, 'LATERAL SNAPSHOT(TABLE x)' AS snapshot
+        |FROM probe ORDER BY oid""".stripMargin,
+      Map("probe" -> probe)).collect()
+    assert(lit.head.getString(1) == "LATERAL SNAPSHOT(TABLE x)")
+  }
+
   test("FROM_CHANGELOG error handling and TO_CHANGELOG partial deletes") {
     import spark.implicits._
     val feed = Seq((1L, 10.0, "c"), (1L, 20.0, "x"), (2L, 5.0, "d"))
