@@ -111,8 +111,12 @@ object Bench {
       name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
                else {
                  val med = median(ts)
+                 // floor 0.05 not 0.15: the per-query 2x gate treats a
+                 // 0.1s->0.22s drift on a 25-row query the same as a
+                 // 2s->4.4s one, so small-absolute drifts still deserve
+                 // the quiet re-reps (each costs ~0.2s)
                  val vsBaseline = baselines.get(name)
-                   .exists(b => med > b * 1.8 && med - b > 0.15)
+                   .exists(b => med > b * 1.8 && med - b > 0.05)
                  if ((med > ts.min * 1.5 && med - ts.min > 0.15) ||
                      vsBaseline) {
                    // auditable (ADVICE r14): record + log every query the
