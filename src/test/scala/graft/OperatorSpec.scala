@@ -354,6 +354,44 @@ class OperatorSpec extends SparkSpecBase {
     assert(wide.count() == 40L * 39 / 2 + 1)
   }
 
+  test("MinHash cap recall property: planted dup families stay connected under any cap") {
+    // randomized corpora (fixed seed): identical-doc families are hot in
+    // EVERY band bucket at once, so the rep-star guarantee — every
+    // family member connects to the bucket's min-id rep — must hold for
+    // ANY cap, not just the production 64. CC over the capped pairs must
+    // put each planted family into one cluster.
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 2) {
+      var id = 0L
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val families = (1 to 6).map { _ =>
+        val text = Seq.fill(8)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        val members = (1 to 2 + rnd.nextInt(5)).map { _ =>
+          id += 1; docs += ((id, text)); id
+        }
+        members.toSet
+      }
+      (1 to 20).foreach { _ => // unique chaff
+        id += 1
+        docs += ((id,
+          Seq.fill(8)(vocab(rnd.nextInt(vocab.length))).mkString(" ") +
+            s" unique$id"))
+      }
+      val cap = 2 + rnd.nextInt(4) // far below family sizes
+      val pairs = graft.queries.TextQueries
+        .minhashCandidatePairs(docs.toSeq.toDF("doc_id", "text"), bucketCap = cap)
+      val cc = graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      families.foreach { fam =>
+        val labels = fam.map(m => cc.getOrElse(m, m))
+        assert(labels.size == 1,
+          s"trial $trial cap $cap: family $fam split across labels $labels")
+      }
+    }
+  }
+
   test("NgramJaccard df cap bounds hot-shingle candidates") {
     // 20 docs all sharing one boilerplate shingle ("common legal footer"),
     // plus two genuinely near-duplicate docs. Uncapped, the boilerplate
