@@ -100,7 +100,9 @@ object Bench {
         val row = """\| (q\w+) \| ([0-9.]+) \| [0-9.]+ \| [0-9.]+ \|""".r
         row.findAllMatchIn(md)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-          .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+          // last occurrence wins: a re-baselined query appears in multiple
+          // round sections and the most recent number is the live one
+          .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
       } catch { case _: Throwable => Map.empty }
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>

@@ -25,25 +25,27 @@ object Tables {
     * test tables are immutable, so resolved plans never go stale; call
     * [[clearCache]] if a session ever needs a re-list.
     */
-  // WeakHashMap keyed by the session OBJECT: a stopped session's entry
-  // (and the DataFrames pinning its analyzed plans) is collectable as
-  // soon as the session is, and two live sessions can never collide.
-  // The inner per-session map is naturally bounded (#dirs x #tables).
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+  // Keyed by the session OBJECT (identity equality). Weak references are
+  // no help here: a cached DataFrame strongly reaches its SparkSession via
+  // QueryExecution, so a WeakHashMap entry would pin its own key forever.
+  // Instead, eviction is EXPLICIT: every access sweeps entries whose
+  // session (or underlying context) has stopped — a stopped session's
+  // plans are dropped at the next cache touch from any session. The map
+  // holds at most the handful of live sessions; the inner per-session map
+  // is naturally bounded (#dirs x #tables).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def clearCache(): Unit = cache.clear()
 
+  private def stopped(s: SparkSession): Boolean =
+    try s.sparkContext.isStopped catch { case _: Throwable => true }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        cache.put(spark, m)
-      }
-      m
-    }
+    cache.keySet.removeIf(s => (s ne spark) && stopped(s))
+    val perSession = cache.computeIfAbsent(spark, _ =>
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     perSession.computeIfAbsent((dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") normalizeEventTime(df) else df

@@ -47,7 +47,8 @@ object Registry {
     TpcdsQueries6.defs,
     TpcdsQueries7.defs,
     TpcdsQueries8.defs,
-    TpcdsQueries9.defs
+    TpcdsQueries9.defs,
+    TpcdsSqlQueries.defs
   )
 
   lazy val defs: Seq[QueryDef] = {

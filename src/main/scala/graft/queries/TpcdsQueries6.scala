@@ -82,7 +82,11 @@ object TpcdsQueries6 {
         }
         val perPrice = l
           .select(col("l_extendedprice"), bandCol.as("band"))
-          .where(col("band").isNotNull)
+          // NULL prices must not form a (band, NULL) group: count(*) at the
+          // band level plays the role of countDistinct(price), which ignores
+          // NULL (ADVICE r15 — moot on TPC-H's NOT NULL column, load-bearing
+          // on any nullable price)
+          .where(col("band").isNotNull && col("l_extendedprice").isNotNull)
           .groupBy(col("band"), col("l_extendedprice"))
           .agg(
             count(lit(1)).as("c"),

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 99 OFFICIAL TPC-DS query texts, executed as SQL TEXT through the
+  * [[graft.sql.FlinkSql]] entry against the real 24-table TPC-DS schema —
+  * the reference's actual end-to-end gate
+  * (flink-end-to-end-tests/test-scripts/test_tpcds.sh:22,
+  * flink-end-to-end-tests/flink-tpcds-test/…/TpcdsTestProgram.java:76,102),
+  * as opposed to the `q_tpcds_q*` shape pack which re-expresses the 99
+  * structures in the DataFrame DSL over the synthetic star schema.
+  *
+  * Query texts: `src/main/resources/tpcds/q{1..99}.sql` — the official
+  * TPC-DS qualification queries as shipped by DuckDB's public `tpcds`
+  * extension (same queries the reference runs; public benchmark spec
+  * content, not reference code). Data: `tpcds-data/sf0.01/<table>.parquet`,
+  * generated once by DuckDB `CALL dsdgen(sf=0.01)` (committed fixtures —
+  * deterministic, spec-defined generator output).
+  *
+  * Oracle construction (mirrored by tools/tpcds_oracle_gen.py, which
+  * validates it against DuckDB in the dev loop): the official text is kept
+  * BYTE-IDENTICAL and wrapped, never edited —
+  *
+  *   SELECT <normalized c1..cn>
+  *   FROM (WITH <referenced tables AS read_parquet(fixture)>
+  *         [, <original CTEs>] <original query>) AS t(c1, …, cn)
+  *
+  * Both sides normalize POSITIONALLY from the same committed per-query
+  * metadata (`resources/tpcds/meta.txt`, derived from DuckDB's result
+  * types): integer-class columns cast to BIGINT (DuckDB sums produce
+  * HUGEINT, Spark LongType), float/decimal-class columns round to 4 dp as
+  * DOUBLE (engines disagree on division/avg result scale; money sums have
+  * at most 2 dp so rounding is the identity on them, and 4 dp keeps an
+  * avg that lands exactly on a cent boundary — q27's 74.865 — away from
+  * the rounding cliff that 2 dp sat on), everything else passes through. Positional `c1..cn` naming on both sides removes the
+  * engine-specific naming of unaliased select items — the driver's compare
+  * sorts columns by NAME, so names must agree even where the official text
+  * aliases nothing.
+  *
+  * Scale: these run the same Catalyst plans a user's real TPC-DS would —
+  * dims broadcast under AQE, fact-fact joins shuffle on their keys; the
+  * sf0.01 fixtures verify the TEXT path end-to-end while the perf story
+  * stays with the sf0.1/sf1 DSL pack and the scale-tier bench.
+  */
+object TpcdsSqlQueries {
+
+  val tableNames: Seq[String] = Seq(
+    "call_center", "catalog_page", "catalog_returns", "catalog_sales",
+    "customer", "customer_address", "customer_demographics", "date_dim",
+    "household_demographics", "income_band", "inventory", "item",
+    "promotion", "reason", "ship_mode", "store", "store_returns",
+    "store_sales", "time_dim", "warehouse", "web_page", "web_returns",
+    "web_sales", "web_site")
+
+  /** Fixture dir: repo-relative when the process runs in the repo (sbt,
+    * driver), absolute fallback otherwise. The oracle text embeds the
+    * ABSOLUTE form so the driver's DuckDB resolves it from any cwd.
+    */
+  lazy val dataDir: String = {
+    val rel = new java.io.File("tpcds-data/sf0.01")
+    if (rel.isDirectory) rel.getAbsolutePath
+    else "/root/repo/tpcds-data/sf0.01"
+  }
+
+  private def resource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/tpcds/$name")
+    require(in != null, s"missing resource /tpcds/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** qN -> per-column normalization classes: 'i' cast BIGINT, 'f' round
+    * to 4dp DOUBLE, 'r' raw DOUBLE cast, 'd' DATE→TIMESTAMP (a raw DATE
+    * column reads back as date vs Timestamp across the two sides of the
+    * driver compare), '.' pass-through. */
+  private lazy val meta: Map[Int, String] =
+    resource("meta.txt").linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(k, classes) = line.trim.split("\\s+")
+      k.drop(1).toInt -> classes
+    }.toMap
+
+  def officialText(n: Int): String = resource(s"q$n.sql")
+
+  private def body(n: Int): String =
+    officialText(n).trim.stripSuffix(";").trim
+
+  private def referenced(text: String): Seq[String] =
+    tableNames.filter(t => ("(?i)\\b" + t + "\\b").r.findFirstIn(text).isDefined)
+
+  /** The DuckDB oracle statement (see scaladoc; validated in the dev loop
+    * by tools/tpcds_oracle_gen.py against the same fixtures). */
+  def oracleFor(n: Int): String = {
+    val b = body(n)
+    val classes = meta(n)
+    val ctes = referenced(b).map(t =>
+      s"$t AS (SELECT * FROM read_parquet('$dataDir/$t.parquet'))")
+      .mkString(", ")
+    val startsWith = "(?is)^\\s*WITH\\s+".r.findFirstMatchIn(b)
+    val inner = startsWith match {
+      case Some(m) => s"WITH $ctes, ${b.substring(m.end)}"
+      case None => s"WITH $ctes $b"
+    }
+    val colList = (1 to classes.length).map(i => s"c$i").mkString(", ")
+    val sel = classes.zipWithIndex.map { case (cl, i) =>
+      val c = s"c${i + 1}"
+      cl match {
+        case 'i' => s"CAST($c AS BIGINT) AS $c"
+        case 'f' => s"round(CAST($c AS DOUBLE), 4) AS $c"
+        case 'r' => s"CAST($c AS DOUBLE) AS $c"
+        case 'd' => s"CAST($c AS TIMESTAMP) AS $c"
+        case _ => c
+      }
+    }.mkString(", ")
+    s"SELECT $sel FROM ($inner) AS t($colList)"
+  }
+
+  private def tables(s: SparkSession): Map[String, DataFrame] =
+    tableNames.map(t => t -> graft.Tables(s, dataDir, t)).toMap
+
+  /** Identical positional normalization on the Spark result. */
+  private def normalize(df: DataFrame, classes: String): DataFrame = {
+    require(df.columns.length == classes.length,
+      s"arity mismatch: spark ${df.columns.length} vs meta ${classes.length}")
+    val renamed = df.toDF((1 to classes.length).map(i => s"c$i"): _*)
+    renamed.select(classes.zipWithIndex.map { case (cl, i) =>
+      val c = col(s"c${i + 1}")
+      (cl match {
+        case 'i' => c.cast("bigint")
+        case 'f' => round(c.cast("double"), 4)
+        case 'r' => c.cast("double")
+        case 'd' => c.cast("timestamp")
+        case _ => c
+      }).as(s"c${i + 1}")
+    }: _*)
+  }
+
+  /** Run official query n through the SQL text entry and normalize. */
+  def run(s: SparkSession, n: Int): DataFrame =
+    normalize(graft.sql.FlinkSql.sql(s, body(n), tables(s)), meta(n))
+
+  val defs: Seq[QueryDef] =
+    (1 to 99).map { n =>
+      QueryDef(
+        f"q_tpcds_sql_$n%02d",
+        (s, _) => run(s, n),
+        Some(oracleFor(n)))
+    }
+}

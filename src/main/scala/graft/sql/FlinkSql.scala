@@ -202,10 +202,38 @@ object FlinkSql {
 
   private[graft] def rewriteScalarSyntax(text: String): String = {
     var t = if (mentions(text, "/*+")) translateHints(text) else text
+    if (t.indexOf('"') >= 0) t = rewriteDoubleQuotedAlias(t)
     if (mentions(t, "SPLIT")) t = rewriteSplitLiteral(t)
     if (mentions(t, "JSON")) t = rewriteIsJson(rewriteJsonCtor(rewriteJsonClauses(t)))
     if (mentions(t, "SNAPSHOT")) t = rewriteLateralSnapshot(t)
     t
+  }
+
+  /** `AS "double quoted alias"` → `` AS `double quoted alias` `` — the
+    * ANSI spelling the official TPC-DS texts use (q16/q32/q50/q62/q92/
+    * q94/q95/q99). Spark only reads double quotes as identifiers under
+    * full ANSI mode; restricted to the after-AS position the rewrite is
+    * unambiguous (a string literal directly after AS is not valid Spark,
+    * so nothing meaningful can be shadowed). Single-quoted literals and
+    * comments are already opaque to the tokenizer.
+    */
+  private[graft] def rewriteDoubleQuotedAlias(text: String): String = {
+    val toks = tokenize(text)
+    var k = 0
+    while (k + 1 < toks.length) {
+      if (toks(k).up == "AS" && toks(k + 1).s == "\"") {
+        var m = k + 2
+        while (m < toks.length && toks(m).s != "\"") m += 1
+        require(m < toks.length,
+          s"unterminated double-quoted alias at offset ${toks(k + 1).start}")
+        return rewriteDoubleQuotedAlias(
+          text.substring(0, toks(k + 1).start) + "`" +
+            text.substring(toks(k + 1).end, toks(m).start).trim + "`" +
+            text.substring(toks(m).end))
+      }
+      k += 1
+    }
+    text
   }
 
   /** `[LEFT] JOIN LATERAL SNAPSHOT(TABLE b [, named args…]) [AS a] ON cond`
@@ -228,7 +256,9 @@ object FlinkSql {
           toks(k + 2).s == "(" && toks(k + 3).up == "TABLE") {
         val p = new P(toks, text)
         p.i = k + 4
-        val tableName = p.ident()
+        // qualified names: TABLE db.tbl must rewrite to db.tbl, not 'db'
+        var tableName = p.ident()
+        while (p.peekRaw == ".") { p.next(); tableName += "." + p.ident() }
         // skip any named arguments up to the matching close paren
         var depth = 1
         var m = p.i

@@ -156,10 +156,32 @@ object LateralSnapshotJoin {
           // the OLD row-time would make the key vanish for the whole
           // window between versions.
           val (applicable, still) = changes.partition(_._1 <= wm)
-          applicable.sortBy(_._1).foreach { case (_, kind, vals) =>
+          applicable.sortBy(_._1).foreach { case (chgMs, kind, vals) =>
             if (kind == "-D" || kind == "-U") {
-              val i = table.indexWhere(stripTime(_) == stripTime(vals))
-              if (i >= 0) table = table.patch(i, Nil, 1)
+              // Among content matches, remove the VERSION the change refers
+              // to: the stored row whose row-time is the latest one <= the
+              // change's row-time (ADVICE r15 — with identical payloads
+              // inserted at different row-times, removing the first content
+              // match could strip the other version and leave the survivor
+              // carrying the wrong snapshot row-time). Fall back to the
+              // earliest stored match when none precedes the change.
+              val matches = table.zipWithIndex
+                .filter { case (b, _) => stripTime(b) == stripTime(vals) }
+              if (matches.nonEmpty) {
+                def storedMs(b: Seq[Any]): Long =
+                  if (timeIdx < 0) Long.MinValue
+                  else b(timeIdx) match {
+                    case t: java.sql.Timestamp => t.getTime
+                    case t: java.time.Instant => t.toEpochMilli
+                    case l: Long => l
+                    case _ => Long.MinValue
+                  }
+                val atOrBefore = matches.filter { case (b, _) => storedMs(b) <= chgMs }
+                val victim =
+                  if (atOrBefore.nonEmpty) atOrBefore.maxBy { case (b, _) => storedMs(b) }._2
+                  else matches.minBy { case (b, _) => storedMs(b) }._2
+                table = table.patch(victim, Nil, 1)
+              }
             } else table = table :+ vals
           }
           changes = still
