@@ -188,9 +188,43 @@ object ChangelogMultiJoin extends Serializable {
     */
   def chain(
       inputs: Seq[DataFrame],
-      conds: Map[Int, Seq[ChainCond]]): DataFrame = {
+      conds: Map[Int, Seq[ChainCond]]): DataFrame =
+    chain(inputs, conds, Seq.fill(inputs.size)("inner"))
+
+  /** [[chain]] with PER-DEPTH join types — the reference's left-deep
+    * multi-join semantics (`StreamingMultiJoinOperator.java:884`
+    * `isLeftJoin(depth)`): `joinTypes(i)` ∈ {"inner", "left"} is the type
+    * of the depth-i join `(inputs 0..i-1) JOIN inputs(i) ON conds(i)`
+    * (`joinTypes(0)` is ignored). LEFT depths null-pad: a prefix tuple
+    * with no depth-i match emits with input i's columns null, and the
+    * operator emits the reference's pad transitions — the first match
+    * retracts the padded row before inserting the matched one, the last
+    * retraction re-inserts the pad (scaladoc walkthrough at
+    * `StreamingMultiJoinOperator.java:146`, "A LEFT JOIN B INNER JOIN C").
+    *
+    * Delta evaluation is left-deep rather than BFS-from-trigger: a change
+    * to input t enumerates the JOINED PREFIX tuples (pads included) that
+    * match the changed row — index lookups keyed by the trigger's
+    * attributes prune non-matching branches — checks the prefix's
+    * before/after association with input t for the pad flip, and expands
+    * the suffix levels with pad-on-empty at LEFT depths. Per-event work
+    * is proportional to the emitted delta plus the association probes,
+    * as in the reference. Scan-level null rejection keeps LEFT-side rows
+    * whose only null attributes feed LEFT depths (they must surface
+    * padded), and still drops rows whose nulls can never reach output.
+    */
+  def chain(
+      inputs: Seq[DataFrame],
+      conds: Map[Int, Seq[ChainCond]],
+      joinTypes: Seq[String]): DataFrame = {
     val n = inputs.size
     require(n >= 2, "multi-join needs at least two inputs")
+    require(joinTypes.size == n,
+      s"joinTypes must have one entry per input, got ${joinTypes.size}")
+    require(joinTypes.drop(1).forall(t => t == "inner" || t == "left"),
+      s"joinTypes must be inner|left, got ${joinTypes.mkString(",")}")
+    val jt: Int => String = i => if (i == 0) "inner" else joinTypes(i)
+    val typed = (1 until n).exists(jt(_) == "left")
     require(conds.keySet == (1 until n).toSet,
       s"conds must cover inputs 1..${n - 1}, got ${conds.keySet.toSeq.sorted}")
     (1 until n).foreach { i =>
@@ -294,19 +328,28 @@ object ChangelogMultiJoin extends Serializable {
       ).toMap
 
     val outSchema = StructType(
-      payF.flatten :+
+      // LEFT depths null-pad whole inputs, so typed output columns are
+      // nullable regardless of the inputs' own nullability
+      payF.flatten.map(f => if (typed) f.copy(nullable = true) else f) :+
         StructField(RowKind.kindCol, StringType) :+
         StructField(RowKind.seqCol, LongType))
     val krank = when(
       col(RowKind.kindCol) === RowKind.UpdateBefore ||
         col(RowKind.kindCol) === RowKind.Delete, 0).otherwise(1)
-    // join-attr nulls never match an inner join — drop them at the scan
+    // null rejection at the scan: an input's OWN depth attrs (conds(i)
+    // rightCols) never match with nulls and unmatched RIGHT rows never
+    // surface, so they always drop; attrs feeding a LATER depth drop only
+    // when that depth is INNER — under a later LEFT depth the row must
+    // stay and surface padded
     val env = inputs.zipWithIndex.map { case (df, i) =>
       val attrs = edges.collect {
-        case (l, _, lc, _) if l == i => lc
-        case (_, r, _, rc) if r == i => rc
+        case (l, d, lc, _) if l == i && jt(d) == "inner" => lc
+        case (_, d, _, rc) if d == i => rc
       }.distinct
-      df.where(attrs.map(col(_).isNotNull).reduce(_ && _)).select(
+      val pruned =
+        if (attrs.isEmpty) df
+        else df.where(attrs.map(col(_).isNotNull).reduce(_ && _))
+      pruned.select(
         Seq(
           jkOf(i).as("__jk"),
           lit(i).as("__side"),
@@ -384,12 +427,151 @@ object ChangelogMultiJoin extends Serializable {
       out.result()
     }
 
+    // ---- typed (LEFT-carrying) left-deep delta evaluation ----
+    // base constraints per level j: conds(j) as (boundLevel, levelAttrIdx,
+    // ownAttrIdx); trigger constraints per (trigger t, prefix level j):
+    // conds(t) edges landing on j as (ownAttrIdx@j, attrIdx@t)
+    val baseCons: IndexedSeq[Seq[(Int, Int, Int)]] = (0 until n).map { j =>
+      if (j == 0) Nil
+      else conds(j).map(c =>
+        (c.leftInput, payIdx(c.leftInput)(c.leftCol), payIdx(j)(c.rightCol)))
+    }
+    val trigCons: IndexedSeq[IndexedSeq[Seq[(Int, Int)]]] = (0 until n).map { t =>
+      (0 until n).map { j =>
+        if (t == 0 || j >= t) Nil
+        else conds(t).filter(_.leftInput == j)
+          .map(c => (payIdx(j)(c.leftCol), payIdx(t)(c.rightCol)))
+      }
+    }
+    val nullPay: IndexedSeq[Seq[Any]] =
+      payF.map(_.map(_ => null: Any).toSeq).toIndexedSeq
+
+    // live rows of input j matching the bound tuple under conds(j):
+    // index lookup via the first constraint's pair, residuals filtered;
+    // a null/padded referenced level never matches (SQL null-reject)
+    def candsBase(st: Array[Side], bound: Array[Seq[Any]], j: Int)
+        : Seq[(Seq[Any], Long)] = {
+      val cons = baseCons(j)
+      if (cons.isEmpty) {
+        val nbr = pairsOf(j).head._1
+        st(j).iterator.collect { case ((p, _), b) if p == nbr => b }
+          .flatten.toSeq
+      } else {
+        val via = cons.head._1
+        if (bound(via) == null) Nil
+        else {
+          val key = lookupIdx((j, via)).map(bound(via)(_))
+          val rest = cons.filter(_._1 != via)
+          st(j).get((via, key)).map(_.iterator.filter { case (p, _) =>
+            rest.forall { case (l, li, ji) =>
+              bound(l) != null && bound(l)(li) == p(ji) }
+          }.toSeq).getOrElse(Nil)
+        }
+      }
+    }
+
+    def typedStep(st: Array[Side], e: Row): Seq[Row] = {
+      val t = e.getInt(1)
+      val retract = isRetract(e.getString(3))
+      val outSeq = 2L * e.getLong(2) + e.getInt(4)
+      val r = e.getStruct(5 + t).toSeq
+      val own = st(t)
+      val keys = indexKeys(t, r)
+      if (retract) {
+        // retract of a row not live = lossy upstream changelog — skip
+        if (!keys.headOption.flatMap(own.get).exists(_.contains(r)))
+          return Nil
+        // remove FIRST: association checks below must see the post-state
+        keys.foreach { k =>
+          own.get(k).foreach { b =>
+            b.get(r).foreach { c =>
+              if (c <= 1) { b.remove(r); if (b.isEmpty) own.remove(k) }
+              else b.update(r, c - 1)
+            }
+          }
+        }
+      }
+      val out = Seq.newBuilder[Row]
+      val bound = new Array[Seq[Any]](n)
+
+      def emit(kind: String, mult: Long): Unit = {
+        val full = (0 until n)
+          .flatMap(j => if (bound(j) == null) nullPay(j) else bound(j))
+        var k = 0L
+        while (k < mult) { out += Row.fromSeq(full :+ kind :+ outSeq); k += 1 }
+      }
+
+      // expand suffix levels (t+1..n-1): pad on empty at LEFT depths,
+      // prune on empty at INNER depths
+      def suffix(j: Int, mult: Long, kind: String): Unit =
+        if (j >= n) emit(kind, mult)
+        else {
+          val cs = candsBase(st, bound, j)
+          if (cs.nonEmpty) cs.foreach { case (p, c) =>
+            bound(j) = p; suffix(j + 1, mult * c, kind); bound(j) = null
+          }
+          else if (jt(j) == "left") suffix(j + 1, mult, kind) // bound stays null
+        }
+
+      // at the trigger depth: pad flip per the prefix's association with
+      // input t (state already excludes r on both paths — accumulate
+      // inserts after the walk, retract removed above)
+      def atTrigger(multP: Long): Unit = {
+        val padFlip = jt(t) == "left" && t >= 1 &&
+          candsBase(st, bound, t).isEmpty
+        if (!retract) {
+          if (padFlip) suffix(t + 1, multP, RowKind.Delete) // retract the pad
+          bound(t) = r
+          suffix(t + 1, multP, RowKind.Insert)
+          bound(t) = null
+        } else {
+          bound(t) = r
+          suffix(t + 1, multP, RowKind.Delete)
+          bound(t) = null
+          if (padFlip) suffix(t + 1, multP, RowKind.Insert) // re-pad
+        }
+      }
+
+      // enumerate joined-prefix tuples (pads included) that can combine
+      // with r: a level carrying a trigger edge filters its candidates
+      // against r, and a PADDED level with a trigger edge can never match
+      // r (null-reject) so that branch prunes
+      def prefix(j: Int, mult: Long): Unit =
+        if (j == t) atTrigger(mult)
+        else {
+          val base = candsBase(st, bound, j)
+          val tc = trigCons(t)(j)
+          if (base.isEmpty) {
+            if (jt(j) == "left" && j >= 1 && tc.isEmpty) prefix(j + 1, mult)
+          } else {
+            val ms =
+              if (tc.isEmpty) base
+              else base.filter { case (p, _) =>
+                tc.forall { case (ji, ti) => p(ji) == r(ti) } }
+            ms.foreach { case (p, c) =>
+              bound(j) = p; prefix(j + 1, mult * c); bound(j) = null
+            }
+          }
+        }
+
+      prefix(0, 1L)
+      if (!retract) keys.foreach { k =>
+        val b = own.getOrElseUpdate(k,
+          scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long])
+        b.update(r, b.getOrElse(r, 0L) + 1)
+      }
+      out.result()
+    }
+
+    val stepFn: (Array[Side], Row) => Seq[Row] =
+      if (typed) typedStep else step
+
     if (!env.isStreaming) {
       return graft.operators.SecondarySort.mapOrderedGroups(
         env, Seq("__jk"), Seq(col("__seqe"), col("__krank"), col("__side")),
         outSchema) { (_, rows) =>
         val st = emptySt
-        rows.flatMap(step(st, _))
+        rows.flatMap(stepFn(st, _))
       }
     }
 
@@ -413,7 +595,7 @@ object ChangelogMultiJoin extends Serializable {
           })
           val out = rows.toSeq
             .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
-            .flatMap(step(st, _))
+            .flatMap(stepFn(st, _))
           if (st.forall(_.isEmpty)) state.remove()
           else state.update(
             st.map(_.view.mapValues(_.toMap).toMap).toSeq)

@@ -762,6 +762,75 @@ object ChangelogQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // N-ary changelog join with PER-DEPTH LEFT joins — the reference's
+    // left-deep typed multi-join (StreamingMultiJoinOperator.java:884
+    // isLeftJoin(depth)): orders LEFT customer LEFT customer-feed on
+    // custkey in ONE stateful operator. Deletes on the right sides drive
+    // the pad transitions (last match retracted -> padded row re-emitted),
+    // so the materialized state is exactly the SQL n-way LEFT join of the
+    // final states.
+    QueryDef(
+      "q_changelog_join_nary_left",
+      (s, dir) => {
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val ofeed = ob
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(10L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              lit(30L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val ocl = ChangelogNormalize(ofeed, Seq("o_orderkey"), "kind", "__seq")
+
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val cfeed = cb
+          .select(col("c_custkey"), col("c_nationkey"),
+            lit(11L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(cb.where(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey"), col("c_nationkey"),
+              lit(21L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val ccl = ChangelogNormalize(cfeed, Seq("c_custkey"), "kind", "__seq")
+
+        val ab = Tables.customer(s, dir)
+          .select(col("c_custkey").as("a_custkey"),
+            col("c_mktsegment").as("a_mktsegment"))
+        val afeed = ab
+          .select(col("a_custkey"), col("a_mktsegment"),
+            lit(12L).as("__seq"), lit(RowKind.UpdateAfter).as("kind"))
+          .unionByName(ab.where(col("a_custkey") % 5 === 0)
+            .select(col("a_custkey"), col("a_mktsegment"),
+              lit(22L).as("__seq"), lit(RowKind.Delete).as("kind")))
+        val acl = ChangelogNormalize(afeed, Seq("a_custkey"), "kind", "__seq")
+
+        UpsertMaterialize(
+          ChangelogMultiJoin.chain(
+            Seq(ocl, ccl, acl),
+            Map(
+              1 -> Seq(ChangelogMultiJoin.ChainCond(
+                0, "o_custkey", "c_custkey")),
+              2 -> Seq(ChangelogMultiJoin.ChainCond(
+                0, "o_custkey", "a_custkey"))),
+            Seq("inner", "left", "left")),
+          Seq("o_orderkey", "c_custkey", "a_custkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               c.c_custkey, c.c_nationkey, a.a_custkey, a.a_mktsegment
+        FROM (SELECT * FROM orders WHERE o_orderkey % 7 <> 0) o
+        LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer
+                   WHERE c_custkey % 3 <> 0) c
+          ON o.o_custkey = c.c_custkey
+        LEFT JOIN (SELECT c_custkey AS a_custkey,
+                          c_mktsegment AS a_mktsegment FROM customer
+                   WHERE c_custkey % 5 <> 0) a
+          ON o.o_custkey = a.a_custkey
+        ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // N-ary changelog join with PER-PAIR keys — the chain shape the
     // common-key operator can't take: nation—customer on nationkey,
     // customer—orders on custkey (two DIFFERENT customer columns, so no

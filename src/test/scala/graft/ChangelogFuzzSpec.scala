@@ -236,6 +236,66 @@ class ChangelogFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzz: typed (LEFT) n-ary chain materializes to the left-deep join") {
+    // 10 seeds x (2 shapes x 3 type mixes) = 60 randomized cases. The
+    // expected set is an independent left-deep evaluation over the final
+    // states: depth 1 joins a->b on g, depth 2 joins on b.g (chain — a
+    // padded b blocks/pads depth 2) or a.g (star — depth 2 is independent
+    // of the depth-1 pad), per joinTypes.
+    type E = (Long, Long, Double)
+    def rowsOf(m: Map[Long, (Long, Double)]): Seq[E] =
+      m.toSeq.map { case (id, (g, v)) => (id, g, v) }
+    (1L to 10L).foreach { seed =>
+      val all = sample(nEnt = 12, nOps = 48, groups = 2, seed)
+      val parts = (0 to 2).map(i => all.filter(_._1 % 3 == i))
+      val dfs = Seq(toDf(parts(0), "a"), toDf(parts(1), "b"),
+        toDf(parts(2), "c"))
+      val fs = parts.map(finalState)
+      val (a, b, c) = (rowsOf(fs(0)), rowsOf(fs(1)), rowsOf(fs(2)))
+      for {
+        shape <- Seq("chain", "star")
+        types <- Seq(
+          Seq("inner", "left", "inner"),
+          Seq("inner", "left", "left"),
+          Seq("inner", "inner", "left"))
+      } {
+        val conds =
+          if (shape == "chain") Map(
+            1 -> Seq(ChangelogMultiJoin.ChainCond(0, "ag", "bg")),
+            2 -> Seq(ChangelogMultiJoin.ChainCond(1, "bg", "cg")))
+          else Map(
+            1 -> Seq(ChangelogMultiJoin.ChainCond(0, "ag", "bg")),
+            2 -> Seq(ChangelogMultiJoin.ChainCond(0, "ag", "cg")))
+        val out = ChangelogMultiJoin.chain(dfs, conds, types)
+        val got = UpsertMaterialize(out, Seq("aid", "bid", "cid"))
+          .select("aid", "av", "bid", "bv", "cid", "cv")
+          .collect().map(_.toSeq).toSet
+        val t1: Seq[(E, Option[E])] = a.flatMap { ar =>
+          val ms = b.filter(_._2 == ar._2)
+          if (ms.nonEmpty) ms.map(br => (ar, Some(br)))
+          else if (types(1) == "left") Seq((ar, None)) else Nil
+        }
+        val t2: Seq[(E, Option[E], Option[E])] = t1.flatMap { case (ar, bo) =>
+          val key: Option[Long] =
+            if (shape == "chain") bo.map(_._2) else Some(ar._2)
+          val ms = key.map(k => c.filter(_._2 == k)).getOrElse(Nil)
+          if (ms.nonEmpty) ms.map(cr => (ar, bo, Some(cr)))
+          else if (types(2) == "left") Seq((ar, bo, None)) else Nil
+        }
+        val exp = t2.map { case (ar, bo, co) =>
+          Seq[Any](Long.box(ar._1), Double.box(ar._3),
+            bo.map(x => Long.box(x._1)).orNull,
+            bo.map(x => Double.box(x._3)).orNull,
+            co.map(x => Long.box(x._1)).orNull,
+            co.map(x => Double.box(x._3)).orNull)
+        }.toSet
+        assert(got == exp,
+          s"seed $seed $shape ${types.mkString("/")}: " +
+            s"missing=${exp -- got} extra=${got -- exp}")
+      }
+    }
+  }
+
   test("fuzz: outer ChangelogJoin padding materializes to the SQL outer join") {
     (1L to 14L).foreach { seed =>
       val all = sample(nEnt = 10, nOps = 44, groups = 3, seed)

@@ -699,6 +699,61 @@ class ChangelogSpec extends SparkSpecBase {
     assert(sMat == mat, s"streaming/batch parity: $sMat vs $mat")
   }
 
+  test("ChangelogMultiJoin.chain typed: LEFT pad flips across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // A LEFT B on jk: b11 arrives in a LATER micro-batch than a1 (the pad
+    // retract crosses a batch boundary) and is deleted in a third (the
+    // re-pad crosses another) — the reference's pad-transition walkthrough
+    // (StreamingMultiJoinOperator.java:146) replayed across batches
+    val aFeed = Seq(
+      (1L, 100L, 1L, RowKind.Insert),
+      (2L, 200L, 2L, RowKind.Insert))
+    val bFeed = Seq(
+      (11L, 100L, 3L, RowKind.Insert),
+      (11L, 100L, 9L, RowKind.Delete))
+    val conds = Map(1 -> Seq(ChangelogMultiJoin.ChainCond(0, "a_jk", "b_jk")))
+    val types = Seq("inner", "left")
+    val a = aFeed.toDF("a_id", "a_jk", RowKind.seqCol, RowKind.kindCol)
+    val b = bFeed.toDF("b_id", "b_jk", RowKind.seqCol, RowKind.kindCol)
+    val batchOut = ChangelogMultiJoin.chain(Seq(a, b), conds, types)
+    val batchMat = UpsertMaterialize(batchOut, Seq("a_id", "b_id"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // b11 deleted at the end: both a rows end padded
+    assert(batchMat == Set((1L, None), (2L, None)), s"batch: $batchMat")
+
+    val aIn = MemoryStream[(Long, Long, Long, String)]
+    val bIn = MemoryStream[(Long, Long, Long, String)]
+    val sOut = ChangelogMultiJoin.chain(Seq(
+      aIn.toDF().toDF("a_id", "a_jk", RowKind.seqCol, RowKind.kindCol),
+      bIn.toDF().toDF("b_id", "b_jk", RowKind.seqCol, RowKind.kindCol)),
+      conds, types)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tchain-").toString
+    val q = sOut.writeStream.format("memory").queryName("c_tchain")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      aIn.addData(aFeed); q.processAllAvailable()      // pads emitted
+      bIn.addData(bFeed.take(1)); q.processAllAvailable() // flip for a1
+      bIn.addData(bFeed.drop(1)); q.processAllAvailable() // re-pad for a1
+    } finally q.stop()
+    val log = spark.table("c_tchain")
+      .select("a_id", "b_id", RowKind.kindCol, RowKind.seqCol)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        r.getString(2), r.getLong(3))).toSeq.sortBy(_._4)
+    // a1's history: +I pad, (-D pad, +I matched) at the flip,
+    // (-D matched, +I pad) at the delete
+    val a1 = log.filter(_._1 == 1L).map(e => (e._2, e._3))
+    assert(a1 == Seq(
+      (None, RowKind.Insert),
+      (None, RowKind.Delete), (Some(11L): Option[Any], RowKind.Insert),
+      (Some(11L): Option[Any], RowKind.Delete), (None, RowKind.Insert)),
+      s"a1 pad-flip history: $a1")
+    val sMat = UpsertMaterialize(spark.table("c_tchain"), Seq("a_id", "b_id"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(sMat == batchMat, s"streaming/batch parity: $sMat vs $batchMat")
+  }
+
   test("ChangelogMultiJoin.chain: common key found by union-find keys the shuffle") {
     // star-shaped conds (one transitive attribute class touching every
     // input) must partition on the class attribute — the single-key-group
