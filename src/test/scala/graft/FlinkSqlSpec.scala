@@ -1093,4 +1093,28 @@ class FlinkSqlSpec extends SparkSpecBase {
     assert(byKey(2L).getTime - byKey(1L).getTime >= 1000,
       s"proctime not per-batch: $byKey")
   }
+
+  test("statement cache: repeat text returns the compiled plan, new inputs miss") {
+    import spark.implicits._
+    val t1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val text = "SELECT k, SUM(v) AS s FROM tc GROUP BY k"
+    val a = FlinkSql.sql(spark, text, Map("tc" -> t1))
+    // same text + same table INSTANCE → the exact cached DataFrame
+    assert(FlinkSql.sql(spark, text, Map("tc" -> t1)) eq a, "identity hit")
+    // same text + an equivalent REBUILT input (fresh expression ids) →
+    // still a hit via canonicalized sameResult — the bench-rep pattern
+    val t1b = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    assert(FlinkSql.sql(spark, text, Map("tc" -> t1b)) eq a, "sameResult hit")
+    // a DIFFERENT input under the same name must miss and recompute
+    val t2 = Seq((1L, 99.0)).toDF("k", "v")
+    val b = FlinkSql.sql(spark, text, Map("tc" -> t2))
+    assert(!(b eq a), "different input must miss")
+    assert(b.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 99.0)))
+    // and re-running the ORIGINAL text+input now recomputes too (the
+    // cache holds the latest compile per text) — result stays correct
+    val a2 = FlinkSql.sql(spark, text, Map("tc" -> t1))
+    assert(a2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+  }
 }
