@@ -69,8 +69,9 @@ object StateBootstrap {
       keyCols: Seq[String],
       numShufflePartitions: Int,
       operatorId: Long = 0,
-      timeoutCol: Option[String] = None): Unit =
+      timeoutCol: Option[String] = None,
+      numSources: Int = 1): Unit =
     org.apache.spark.sql.execution.streaming.state.GraftStateBootstrapCore
       .writeGroupState(df, checkpoint, keyCols, numShufflePartitions,
-        operatorId, timeoutCol)
+        operatorId, timeoutCol, numSources)
 }

@@ -90,11 +90,12 @@ object GraftStateBootstrapCore {
       keyCols: Seq[String],
       numShufflePartitions: Int,
       operatorId: Long,
-      timeoutCol: Option[String]): Unit = {
+      timeoutCol: Option[String],
+      numSources: Int = 1): Unit = {
     val stateCols = df.columns
       .filterNot(keyCols.contains).filterNot(timeoutCol.contains).toSeq
     writeState(df, checkpoint, keyCols, stateCols ++ timeoutCol,
-      numShufflePartitions, operatorId) { (fields, idx) =>
+      numShufflePartitions, operatorId, numSources) { (fields, idx) =>
         val stateIdx = timeoutCol.fold(idx)(_ => idx.dropRight(1))
         val nested = CreateNamedStruct(stateIdx.flatMap { i =>
           Seq(Literal(fields(i).name),
@@ -116,7 +117,8 @@ object GraftStateBootstrapCore {
       keyCols: Seq[String],
       valueCols: Seq[String],
       numShufflePartitions: Int,
-      operatorId: Long)(
+      operatorId: Long,
+      numSources: Int = 1)(
       valueExprs: (Array[org.apache.spark.sql.types.StructField], Seq[Int])
         => Seq[Expression]): Unit = {
     val spark = df.sparkSession
@@ -185,11 +187,30 @@ object GraftStateBootstrapCore {
       "spark.sql.streaming.stateStore.compression.codec" -> "lz4")
       .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
     write("metadata", s"""{"id":"${java.util.UUID.randomUUID()}"}""")
+    // one offset line + one source log per source the RESUMING query
+    // reads (a changelog join unions two file streams -> two sources;
+    // Spark refuses to recover when the counts differ)
     write("offsets/0",
       "v1\n" +
-        s"""{"batchWatermarkMs":0,"batchTimestampMs":${System.currentTimeMillis()},"conf":{$conf}}\n""" +
-        """{"logOffset":0}""")
+        s"""{"batchWatermarkMs":0,"batchTimestampMs":${System.currentTimeMillis()},"conf":{$conf}}""" +
+        ("\n" + """{"logOffset":0}""") * numSources)
     write("commits/0", "v1\n{\"nextBatchWatermarkMs\":0}")
-    write("sources/0/0", "v1")
+    (0 until numSources).foreach(i => write(s"sources/$i/0", "v1"))
   }
+}
+
+/** Bridge for [[graft.streaming.SavepointReader]]: the statestore DSv2
+  * source reports snapshot loads to the session's StateStoreCoordinator
+  * RPC endpoint, which Spark only creates when a streaming query starts
+  * (`StreamingQueryManager.stateStoreCoordinator` is private[sql]) —
+  * force-create it so purely-offline checkpoint reads work in a fresh
+  * batch session.
+  */
+object GraftStateCoordinator {
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.streams match {
+      case m: org.apache.spark.sql.classic.StreamingQueryManager =>
+        m.stateStoreCoordinator
+      case _ => ()
+    }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import graft.changelog.{ChangelogJoin, RowKind}
+import graft.restore.RestoreScenarios
+import graft.streaming.{SavepointReader, StateBootstrap}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** SavepointReader (VERDICT r15 #5): enumerate a checkpoint's stateful
+  * operators and read keyed state back as DataFrames — the reference's
+  * flink-state-processing-api read path (SavepointReader.java). Covers
+  * the three state families (Spark agg buffers, Spark dedup keys,
+  * flatMapGroupsWithState kryo blobs — the layout all 12 restore-tier
+  * operators share) and round-trips bootstrap-write → run → read for the
+  * agg, dedup and changelog-join families.
+  */
+class SavepointReaderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("reads every committed restore fixture's state with documented schemas") {
+    var decodedSome = 0
+    RestoreScenarios.all.foreach { sc =>
+      val ckpt = java.nio.file.Paths
+        .get(RestoreScenarios.fixtureRoot, sc.name, "checkpoint").toString
+      val sp = SavepointReader.read(spark, ckpt)
+      val ops = sp.operators
+      assert(ops.nonEmpty, s"${sc.name}: no operators enumerated")
+      ops.foreach { op =>
+        op.storeNames.foreach { store =>
+          val raw = sp.keyedState(op.operatorId, store)
+          assert(raw.columns.toSet == Set("key", "value", "partition_id"),
+            s"${sc.name}/op${op.operatorId}/$store: ${raw.columns.toSeq}")
+          val n = raw.count()
+          val vf = raw.schema("value").dataType
+            .asInstanceOf[StructType].fieldNames.toSet
+          if (vf.contains("groupState") && n > 0) {
+            // the shared flatMapGroupsWithState layout decodes to key
+            // cols + optional timeout_ms + canonical state_repr
+            val gs = sp.groupState(op.operatorId)
+            val reprs = gs.select(col("state_repr")).collect()
+            assert(reprs.nonEmpty && reprs.forall(_.getString(0) != null),
+              s"${sc.name}/op${op.operatorId}: undecodable state")
+            decodedSome += 1
+          }
+        }
+      }
+    }
+    assert(decodedSome >= 8,
+      s"expected most fixtures to carry decodable group state: $decodedSome")
+  }
+
+  test("round trip: agg bootstrap-write -> run -> read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spr-in-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spr-ck-").toString
+    StateBootstrap.writeAggCheckpoint(
+      Seq(("a", 5L), ("b", 3L)).toDF("k", "count"), ckpt, Seq("k"),
+      numShufflePartitions = 4)
+    Seq("a", "c", "c").toDF("k").write.mode("append").parquet(dir)
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("k", StringType))))
+      .parquet(dir)
+      .groupBy("k").count()
+      .writeStream.format("memory").queryName("spr_agg")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val sp = SavepointReader.read(spark, ckpt)
+    assert(sp.operators.map(_.operatorId) == Seq(0), sp.operators.toString)
+    val got = sp.aggState().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 6L, "b" -> 3L, "c" -> 2L), s"agg state: $got")
+  }
+
+  test("round trip: dedup bootstrap-write -> run -> read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprd-in-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sprd-ck-").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sprd-out-").toString
+    StateBootstrap.writeDedupCheckpoint(
+      Seq("a", "b").toDF("k"), ckpt, Seq("k"), numShufflePartitions = 4)
+    Seq("a", "c", "b").toDF("k").write.mode("append").parquet(dir)
+    StateBootstrap.prepareFileSink(out)
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("k", StringType))))
+      .parquet(dir)
+      .dropDuplicates("k")
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val keys = SavepointReader.read(spark, ckpt)
+      .dedupKeys().as[String].collect().toSet
+    assert(keys == Set("a", "b", "c"), s"dedup keys: $keys")
+  }
+
+  test("round trip: changelog-join bootstrap-write -> run -> read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprj-in-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sprj-ck-").toString
+    // bootstrap state for key 100: right side already holds r7 — written
+    // as the operator's own kryo layout ((left, right) upsertKey->payload
+    // maps; payload = the side's envelope struct fields in order)
+    val ser = new org.apache.spark.serializer.KryoSerializer(
+      new org.apache.spark.SparkConf(false)).newInstance()
+    val st: (Map[Any, Seq[Any]], Map[Any, Seq[Any]]) =
+      // Seq[Any] explicitly — bare Seq(7L, …, 0.5) would widen to Seq[Double]
+      (Map.empty, Map[Any, Seq[Any]](7L -> Seq[Any](7L, 100L, 0.5)))
+    val blob = {
+      val bb = ser.serialize(st)
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    }
+    StateBootstrap.writeGroupStateCheckpoint(
+      Seq((100L, blob)).toDF("__jk", "state"), ckpt, Seq("__jk"),
+      numShufflePartitions = 4, numSources = 2)
+    // batch 1 (files): a left insert under key 100 joins the
+    // bootstrapped right row, proving the operator READ the state
+    val lDir = s"$dir/l"; val rDir = s"$dir/r"
+    Seq((1L, 100L, RowKind.Insert, 10L))
+      .toDF("l_id", "l_jk", RowKind.kindCol, RowKind.seqCol)
+      .write.parquet(lDir)
+    Seq((8L, 200L, 1.5, RowKind.Insert, 11L))
+      .toDF("r_id", "r_jk", "r_v", RowKind.kindCol, RowKind.seqCol)
+      .write.parquet(rDir)
+    val lSchema = StructType(Seq(StructField("l_id", LongType),
+      StructField("l_jk", LongType), StructField(RowKind.kindCol, StringType),
+      StructField(RowKind.seqCol, LongType)))
+    val rSchema = StructType(Seq(StructField("r_id", LongType),
+      StructField("r_jk", LongType),
+      StructField("r_v", org.apache.spark.sql.types.DoubleType),
+      StructField(RowKind.kindCol, StringType),
+      StructField(RowKind.seqCol, LongType)))
+    val joined = ChangelogJoin(
+      spark.readStream.schema(lSchema).parquet(lDir),
+      spark.readStream.schema(rSchema).parquet(rDir),
+      "l_jk", "r_jk", "l_id", "r_id")
+    // the memory sink cannot recover a foreign checkpoint in append mode —
+    // collect through foreachBatch, as the bootstrap tests do
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = joined.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.where(col(RowKind.kindCol)
+            .isin(RowKind.Insert, RowKind.UpdateAfter))
+          .select("l_id", "r_id").collect()
+          .foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = {
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    assert(emitted.contains((1L, 7L)),
+      s"new left row must join the BOOTSTRAPPED right row: $emitted")
+
+    val sp = SavepointReader.read(spark, ckpt)
+    val state = sp.changelogJoinState()
+      .select("__jk", "side", "upsert_key", "row_values")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getSeq[String](3)))
+      .toSet
+    assert(state == Set(
+      (100L, "left", "1", Seq("1", "100")),
+      (100L, "right", "7", Seq("7", "100", "0.5")),
+      (200L, "right", "8", Seq("8", "200", "1.5"))),
+      s"decoded join state: $state")
+  }
+}
