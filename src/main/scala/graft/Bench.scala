@@ -137,13 +137,62 @@ object Bench {
                })
     }
 
+    // ---- scale tier (VERDICT r15 #3): the heaviest pipelines once more
+    // against the 10x corpus (scale-data/sf1, built by ScaleDataGen).
+    // One rep each — these run seconds-long, so single-rep noise is small
+    // relative to the 15x growth gate; growth = t_sf1 / t_sf0.1 median
+    // from THIS sweep (same process, same JIT state). A growth factor
+    // > 15x for 10x data flags a super-linear pipeline (breaches list).
+    val scaleNames = Seq(
+      "q1_agg", "q_salted_join", "q_multiset",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_ngram_jaccard", "q_doc_fingerprint", "q_dedup_cluster",
+      "q_decontaminate", "q_embedding_cosine_dup",
+      "q_embedding_dedup_cluster", "q_vector_topk", "q_vector_ivf_topk",
+      "q_tpch_q1", "q_tpch_q9", "q_tpch_q21",
+      "q_tpcds_q23", "q_tpcds_q28", "q_tpcds_q67", "q_tpcds_q72",
+      "q_tpcds_q95",
+      "q_changelog_agg_chain", "q_changelog_join", "q_changelog_join_nary",
+      "q_retract_agg")
+    val scaleDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
+      .orElse(Option("scale-data/sf1")
+        .filter(d => new java.io.File(d).isDirectory))
+      .filter(_ => sys.env.get("SPARK_GRAFT_SCALE_SKIP").isEmpty)
+    val scaleResults: Seq[(String, Double)] = scaleDir match {
+      case Some(dir) =>
+        val byNameQ = SparkEntry.queries
+        scaleNames.filter(byNameQ.contains)
+          .filter(n => only.forall(_.contains(n)))
+          .map { n =>
+            n -> (try runOnce(spark, dir, byNameQ(n))
+              catch { case _: Throwable => -1.0 })
+          }
+      case None => Seq.empty
+    }
+
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum // always the FULL total
       val rm = remeasured.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir","full":"BENCH_LAST.json"}"""
+      val scale =
+        if (scaleResults.isEmpty) ""
+        else {
+          val base = results.toMap
+          val sq = scaleResults.map { case (k, v) =>
+            "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+          val growth = scaleResults.flatMap { case (k, v) =>
+            base.get(k).filter(b => b > 0 && v >= 0)
+              .map(b => k -> v / b)
+          }
+          val gj = growth.map { case (k, g) =>
+            "\"" + k + "\":" + f"$g%.2f" }.mkString("{", ",", "}")
+          val breaches = growth.filter(_._2 > 15.0).map(_._1).sorted
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""","scale":{"dir":"${scaleDir.get}","queries":$sq,"growth":$gj,"breaches":$breaches}"""
+        }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$scale,"full":"BENCH_LAST.json"}"""
     }
     // Persist the complete per-query map to a file: the driver captures only
     // the last ~2000 chars of stdout, which truncated BENCH_r02/r03 — the
