@@ -88,11 +88,26 @@ object FlinkSql {
     // object (the Tables loader's per-session cache makes repeat calls
     // hit this) or when its analyzed plan is canonically the same query
     // over the same schema (callers that rebuild small derived inputs
-    // per call — sameResult normalizes expression ids)
+    // per call — sameResult normalizes expression ids). sameResult alone
+    // is NOT enough: a file relation snapshots its listing at creation,
+    // so two canonically-equal scans of the same path can see different
+    // data (INSERT INTO between identical statements) — require the LEAF
+    // relations to be the same instances. LocalRelation leaves carry
+    // their data inside the plan, so sameResult already proves equality.
     def sameTable(cached: DataFrame, passed: DataFrame): Boolean =
-      (cached eq passed) || (cached.schema == passed.schema &&
-        cached.queryExecution.analyzed.sameResult(
-          passed.queryExecution.analyzed))
+      (cached eq passed) || (cached.schema == passed.schema && {
+        val a = cached.queryExecution.analyzed
+        val b = passed.queryExecution.analyzed
+        a.sameResult(b) && {
+          val (la, lb) = (a.collectLeaves(), b.collectLeaves())
+          la.length == lb.length && la.zip(lb).forall { case (x, y) =>
+            (x eq y) || (x.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.LocalRelation] &&
+              y.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+          }
+        }
+      })
     per.get(text) match {
       case (tabs, df) if tabs.size == tables.size &&
           tabs.forall { case (n, d) => tables.get(n).exists(sameTable(d, _)) } =>

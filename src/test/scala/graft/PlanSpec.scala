@@ -211,10 +211,20 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("tpcds pack: no cartesians; correlated subqueries decorrelate") {
-    // the whole TPC-DS shape pack must plan without CartesianProduct
+    // both TPC-DS families plan without CartesianProduct: the 99 DSL
+    // shapes (q_tpcds_qN) and the 99 official SQL texts (q_tpcds_sql_NN)
     val all = SparkEntry.queries.keys.filter(_.startsWith("q_tpcds_")).toSeq
-    assert(all.size == 99, s"expected the full 99-shape pack, found ${all.size}")
-    val cartesians = all.filter(n => planOf(n).contains("CartesianProduct"))
+    val (sqlPack, shapePack) = all.partition(_.startsWith("q_tpcds_sql_"))
+    assert(shapePack.size == 99,
+      s"expected the full 99-shape pack, found ${shapePack.size}")
+    assert(sqlPack.size == 99,
+      s"expected the full 99-official-text pack, found ${sqlPack.size}")
+    // q77's OFFICIAL text crosses two per-call-center aggregate CTEs with
+    // no condition ("FROM cs, cr" — catalog channel has one logical call
+    // center) — a deliberate tiny-by-tiny cartesian in the benchmark
+    // itself, not a planning failure; everything else must stay clean
+    val cartesians = all.filterNot(_ == "q_tpcds_sql_77")
+      .filter(n => planOf(n).contains("CartesianProduct"))
     assert(cartesians.isEmpty, s"cartesian products in: $cartesians")
     // the correlated-subquery shapes (q1 aggregate-correlated, q6 avg-
     // correlated, q41 count-correlated, q81 state-average-correlated,
