@@ -208,8 +208,13 @@ object ChangelogMultiJoin extends Serializable {
     * attributes prune non-matching branches — checks the prefix's
     * before/after association with input t for the pad flip, and expands
     * the suffix levels with pad-on-empty at LEFT depths. Per-event work
-    * is proportional to the emitted delta plus the association probes,
-    * as in the reference. Scan-level null rejection keeps LEFT-side rows
+    * is proportional to the emitted delta plus the association probes for
+    * star shapes (every level reaches the trigger or an already-bound
+    * level through an index); a CHAIN-shaped typed join with no common
+    * key scans level-0 state within the key group per event — the
+    * reference's own depth-0 behavior (StreamingMultiJoinOperator.java:557
+    * iterates depth-0 state unkeyed), so prefer a common join key where
+    * one exists. Scan-level null rejection keeps LEFT-side rows
     * whose only null attributes feed LEFT depths (they must surface
     * padded), and still drops rows whose nulls can never reach output.
     */
@@ -539,17 +544,29 @@ object ChangelogMultiJoin extends Serializable {
       def prefix(j: Int, mult: Long): Unit =
         if (j == t) atTrigger(mult)
         else {
-          val base = candsBase(st, bound, j)
           val tc = trigCons(t)(j)
-          if (base.isEmpty) {
-            if (jt(j) == "left" && j >= 1 && tc.isEmpty) prefix(j + 1, mult)
-          } else {
-            val ms =
-              if (tc.isEmpty) base
-              else base.filter { case (p, _) =>
-                tc.forall { case (ji, ti) => p(ji) == r(ti) } }
-            ms.foreach { case (p, c) =>
+          if (baseCons(j).isEmpty && tc.nonEmpty) {
+            // level j (= 0) has no earlier-level conds but links to the
+            // trigger: probe the (j, t) pair index with r's attrs instead
+            // of scanning the level — star-shaped typed joins stay
+            // O(delta) per event even with no common shuffle key. A level
+            // with no base conds never pads, so empty-lookup just prunes.
+            val key = lookupIdx((j, t)).map(r(_))
+            st(j).get((t, key)).foreach(_.foreach { case (p, c) =>
               bound(j) = p; prefix(j + 1, mult * c); bound(j) = null
+            })
+          } else {
+            val base = candsBase(st, bound, j)
+            if (base.isEmpty) {
+              if (jt(j) == "left" && j >= 1 && tc.isEmpty) prefix(j + 1, mult)
+            } else {
+              val ms =
+                if (tc.isEmpty) base
+                else base.filter { case (p, _) =>
+                  tc.forall { case (ji, ti) => p(ji) == r(ti) } }
+              ms.foreach { case (p, c) =>
+                bound(j) = p; prefix(j + 1, mult * c); bound(j) = null
+              }
             }
           }
         }

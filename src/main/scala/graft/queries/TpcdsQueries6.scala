@@ -107,13 +107,16 @@ object TpcdsQueries6 {
         perBand.agg(pivots.head, pivots.tail: _*)
       },
       Some {
+        // every clause counts only NON-NULL prices (official
+        // count(ss_list_price) semantics) — keeps the oracle symmetric
+        // with the DSL side's isNotNull guard on a nullable price column
         def b(i: Int, lo: Int, hi: Int): String =
           s"""CAST(SUM(CAST(CASE WHEN l_quantity BETWEEN $lo AND $hi
                 THEN l_extendedprice END AS DECIMAL(25,4))) AS DOUBLE)
                 / COUNT(CASE WHEN l_quantity BETWEEN $lo AND $hi
-                THEN 1 END) AS b${i}_avg,
-              COUNT(CASE WHEN l_quantity BETWEEN $lo AND $hi THEN 1 END)
-                AS b${i}_cnt,
+                THEN l_extendedprice END) AS b${i}_avg,
+              COUNT(CASE WHEN l_quantity BETWEEN $lo AND $hi
+                THEN l_extendedprice END) AS b${i}_cnt,
               COUNT(DISTINCT CASE WHEN l_quantity BETWEEN $lo AND $hi
                 THEN l_extendedprice END) AS b${i}_cntd"""
         s"""SELECT ${b(1, 1, 8)}, ${b(2, 9, 16)}, ${b(3, 17, 24)},

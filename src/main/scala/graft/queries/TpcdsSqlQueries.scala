@@ -57,11 +57,16 @@ object TpcdsSqlQueries {
     * driver), absolute fallback otherwise. The oracle text embeds the
     * ABSOLUTE form so the driver's DuckDB resolves it from any cwd.
     */
-  lazy val dataDir: String = {
-    val rel = new java.io.File("tpcds-data/sf0.01")
-    if (rel.isDirectory) rel.getAbsolutePath
-    else "/root/repo/tpcds-data/sf0.01"
-  }
+  private val dataDirCandidates: Seq[String] =
+    sys.env.get("GRAFT_TPCDS_DIR").toSeq ++
+      Seq("tpcds-data/sf0.01", "/root/repo/tpcds-data/sf0.01")
+
+  // resolve-or-default, never throw: Registry builds every oracle text
+  // eagerly, and a missing-fixtures box must still be able to LIST the
+  // query map; run() fails with the clear message instead
+  lazy val dataDir: String =
+    dataDirCandidates.map(new java.io.File(_)).find(_.isDirectory)
+      .getOrElse(new java.io.File(dataDirCandidates.last)).getAbsolutePath
 
   private def resource(name: String): String = {
     val in = getClass.getResourceAsStream(s"/tpcds/$name")
@@ -136,8 +141,13 @@ object TpcdsSqlQueries {
   }
 
   /** Run official query n through the SQL text entry and normalize. */
-  def run(s: SparkSession, n: Int): DataFrame =
+  def run(s: SparkSession, n: Int): DataFrame = {
+    require(new java.io.File(dataDir).isDirectory,
+      s"TPC-DS fixtures not found at $dataDir (tried " +
+        dataDirCandidates.mkString(", ") +
+        ") — run from the repo root or set GRAFT_TPCDS_DIR")
     normalize(graft.sql.FlinkSql.sql(s, body(n), tables(s)), meta(n))
+  }
 
   val defs: Seq[QueryDef] =
     (1 to 99).map { n =>

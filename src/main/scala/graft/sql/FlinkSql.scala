@@ -68,6 +68,16 @@ object FlinkSql {
   private def sessionStopped(s: SparkSession): Boolean =
     try s.sparkContext.isStopped catch { case _: Throwable => true }
 
+  /** Drop a session's compiled statements. Call after REDEFINING a
+    * session function (JvmFunctions does): an identical statement text
+    * means something new once a UDF name it references is rebound, and
+    * the (text, tables) key cannot see the function registry.
+    */
+  def invalidateStatements(spark: SparkSession): Unit = {
+    val per = stmtCache.get(spark)
+    if (per != null) per.clear()
+  }
+
   /** Run one Flink-dialect statement over the given input tables. Tables
     * are registered as temp views under their map names; statements with
     * no Flink-specific FROM item run on Spark SQL directly. `models`
@@ -288,15 +298,17 @@ object FlinkSql {
     val toks = tokenize(text)
     var k = 0
     while (k + 1 < toks.length) {
-      if (toks(k).up == "AS" && toks(k + 1).s == "\"") {
-        var m = k + 2
-        while (m < toks.length && toks(m).s != "\"") m += 1
-        require(m < toks.length,
-          s"unterminated double-quoted alias at offset ${toks(k + 1).start}")
+      if (toks(k).up == "AS" && toks(k + 1).s.length >= 2 &&
+          toks(k + 1).s.head == '"' && toks(k + 1).s.last == '"') {
+        // the tokenizer delivers the whole "..." region as ONE opaque
+        // token (apostrophes / '--' in the body never re-tokenize);
+        // doubled-"" escapes inside an alias are not supported — none of
+        // the official texts use them
+        val tok = toks(k + 1)
         return rewriteDoubleQuotedAlias(
-          text.substring(0, toks(k + 1).start) + "`" +
-            text.substring(toks(k + 1).end, toks(m).start).trim + "`" +
-            text.substring(toks(m).end))
+          text.substring(0, tok.start) + "`" +
+            tok.s.substring(1, tok.s.length - 1).trim + "`" +
+            text.substring(tok.end))
       }
       k += 1
     }
@@ -1192,6 +1204,14 @@ object FlinkSql {
             (e + 1 < n && text(e + 1) == '\'' && { e += 1; true }))) e += 1
         require(e < n, s"unterminated string literal at offset $i")
         out += Tok(text.substring(i, e + 1), i, e + 1); i = e + 1
+      } else if (c == '"') {
+        // double-quoted region — an ANSI identifier (official TPC-DS
+        // aliases) or a Spark string literal; opaque either way, so the
+        // body's apostrophes / '--' never re-tokenize. One token
+        // INCLUDING the quotes.
+        val j = text.indexOf('"', i + 1)
+        require(j >= 0, s"unterminated double-quoted region at offset $i")
+        out += Tok(text.substring(i, j + 1), i, j + 1); i = j + 1
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (Seq("<=", ">=", "<>", "!=").contains(two)) {

@@ -173,6 +173,8 @@ object LateralSnapshotJoin {
                   else b(timeIdx) match {
                     case t: java.sql.Timestamp => t.getTime
                     case t: java.time.Instant => t.toEpochMilli
+                    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ rows
+                      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
                     case l: Long => l
                     case _ => Long.MinValue
                   }

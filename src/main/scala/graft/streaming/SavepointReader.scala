@@ -81,20 +81,25 @@ object SavepointReader {
       * dir — the single-store layout every graft operator uses) and
       * partition counts. */
     def operators: Seq[OperatorStateInfo] = {
-      val root = new java.io.File(checkpoint, "state")
-      val ops = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+      // enumerate through Hadoop's filesystem, not java.io.File —
+      // keyedState resolves the same string via Hadoop, so a non-local
+      // checkpoint (hdfs://, s3a://) must list identically rather than
+      // silently returning zero operators
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(checkpoint, "state")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return Seq.empty
+      def dirs(p: org.apache.hadoop.fs.Path) =
+        fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      val ops = dirs(root).filter(_.getName.forall(_.isDigit))
         .sortBy(_.getName.toInt)
-      ops.toSeq.map { op =>
-        val parts = Option(op.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+      ops.map { op =>
+        val parts = dirs(op).filter(_.getName.forall(_.isDigit))
         val sample = parts.sortBy(_.getName.toInt).headOption
         val named = sample.toSeq.flatMap(p =>
-          Option(p.listFiles()).getOrElse(Array.empty)
-            // skip bookkeeping dirs (_metadata schema files) — a named
-            // store (e.g. a stream-stream join's four) is a plain dir
-            .filter(f => f.isDirectory && !f.getName.startsWith("_"))
-            .map(_.getName))
+          // skip bookkeeping dirs (_metadata schema files) — a named
+          // store (e.g. a stream-stream join's four) is a plain dir
+          dirs(p).filterNot(_.getName.startsWith("_")).map(_.getName))
         OperatorStateInfo(
           op.getName.toInt,
           if (named.nonEmpty) named.sorted else Seq("default"),
@@ -157,11 +162,13 @@ object SavepointReader {
         StructField("upsert_key", StringType),
         StructField("row_values", ArrayType(StringType))))
       val enc: Encoder[Row] = Encoders.row(outSchema)
-      val nKey = kt.fields.length
       raw.select(col("key"), col("value.groupState.value").as("__blob"))
         .flatMap { r =>
+          val blob = r.getAs[Array[Byte]](1)
+          if (blob == null) Seq.empty[Row] // key with no live state object
+          else {
           val keyVals = r.getStruct(0).toSeq
-          val (l, rr) = Decode.obj(r.getAs[Array[Byte]](1))
+          val (l, rr) = Decode.obj(blob)
             .asInstanceOf[(Map[Any, Seq[Any]], Map[Any, Seq[Any]])]
           def rows(side: String, m: Map[Any, Seq[Any]]) =
             m.toSeq.map { case (uk, vals) =>
@@ -169,6 +176,7 @@ object SavepointReader {
                 vals.map(Decode.render)))
             }
           rows("left", l) ++ rows("right", rr)
+          }
         }(enc)
         .toDF(outSchema.fieldNames.toSeq: _*)
     }

@@ -1117,4 +1117,31 @@ class FlinkSqlSpec extends SparkSpecBase {
     assert(a2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
       Set((1L, 10.0), (2L, 20.0)))
   }
+
+  test("statement cache: redefining a session function invalidates compiled plans") {
+    import spark.implicits._
+    val t = Seq(3L).toDF("x")
+    val text = "SELECT cache_inval_fn(x) AS y FROM tci"
+    spark.udf.register("cache_inval_fn", (v: Long) => v + 1)
+    val a = FlinkSql.sql(spark, text, Map("tci" -> t))
+    assert(a.as[Long].collect().toSeq == Seq(4L))
+    // a rebound function name changes what the identical text means —
+    // JvmFunctions funnels its registrations through invalidateStatements;
+    // plain spark.udf.register callers must invalidate themselves
+    spark.udf.register("cache_inval_fn", (v: Long) => v * 10)
+    FlinkSql.invalidateStatements(spark)
+    val b = FlinkSql.sql(spark, text, Map("tci" -> t))
+    assert(b.as[Long].collect().toSeq == Seq(30L),
+      "stale compiled plan served after function redefinition")
+  }
+
+  test("double-quoted alias rewrite: apostrophes and comment starts stay opaque") {
+    import spark.implicits._
+    val t = Seq((1L, 2L)).toDF("k", "v")
+    val out = FlinkSql.sql(spark,
+      "SELECT k AS \"it's -- tricky\", v AS \"plain\" FROM tdq",
+      Map("tdq" -> t))
+    assert(out.columns.toSeq == Seq("it's -- tricky", "plain"))
+    assert(out.collect().head.getLong(0) == 1L)
+  }
 }
