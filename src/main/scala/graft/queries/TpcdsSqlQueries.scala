@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * Query texts: `src/main/resources/tpcds/q{1..99}.sql` — the official
   * TPC-DS qualification queries as shipped by DuckDB's public `tpcds`
   * extension (same queries the reference runs; public benchmark spec
-  * content, not reference code). Data: `tpcds-data/sf0.01/<table>.parquet`,
-  * generated once by DuckDB `CALL dsdgen(sf=0.01)` (committed fixtures —
+  * content, not reference code). Data: `tpcds-data/sf0.03/<table>.parquet`,
+  * generated once by DuckDB `CALL dsdgen(sf=0.03)` (committed fixtures —
   * deterministic, spec-defined generator output).
   *
   * Oracle construction (mirrored by tools/tpcds_oracle_gen.py, which
@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale: these run the same Catalyst plans a user's real TPC-DS would —
   * dims broadcast under AQE, fact-fact joins shuffle on their keys; the
-  * sf0.01 fixtures verify the TEXT path end-to-end while the perf story
+  * sf0.03 fixtures verify the TEXT path end-to-end while the perf story
   * stays with the sf0.1/sf1 DSL pack and the scale-tier bench.
   */
 object TpcdsSqlQueries {
@@ -59,7 +59,7 @@ object TpcdsSqlQueries {
     */
   private val dataDirCandidates: Seq[String] =
     sys.env.get("GRAFT_TPCDS_DIR").toSeq ++
-      Seq("tpcds-data/sf0.01", "/root/repo/tpcds-data/sf0.01")
+      Seq("tpcds-data/sf0.03", "/root/repo/tpcds-data/sf0.03")
 
   // resolve-or-default, never throw: Registry builds every oracle text
   // eagerly, and a missing-fixtures box must still be able to LIST the

@@ -22,7 +22,7 @@ the build inputs.
 import duckdb, glob, json, os, re, sys, time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DATA = os.path.join(REPO, "tpcds-data", "sf0.01")
+DATA = os.path.join(REPO, "tpcds-data", "sf0.03")
 QDIR = os.path.join(REPO, "src", "main", "resources", "tpcds")
 
 TABLES = sorted(
