@@ -1,6 +1,6 @@
 package graft.restore
 
-import graft.changelog.{ChangelogJoin, ChangelogTopN, RetractingChangelogAgg, RowKind}
+import graft.changelog.{ChangelogJoin, ChangelogMultiJoin, ChangelogTopN, RetractingChangelogAgg, RowKind}
 import graft.operators.{CepNfa, PatternStep}
 import graft.streaming.StreamingDedupLast
 import org.apache.spark.sql.{DataFrame, Row}
@@ -257,9 +257,24 @@ object RestoreScenarios {
       dfs(0), dfs(1), "cur", "rts", loadCompletedMs = 10000L,
       delay = "0 seconds", joinType = "inner"))
 
+  /** Typed (LEFT) ChangelogMultiJoin.chain (round 16): batch 1 inserts an
+    * unmatched LEFT-side row (padded output); batch 2's right-side insert
+    * must emit the pad RETRACTION before the matched row — only possible
+    * when the batch-1 left row restores from the per-input state maps. */
+  private val multiJoinLeft = Scenario(
+    "changelog_multi_join_left",
+    Seq(sideSchema("ajk", "ak", "av"), sideSchema("bjk", "bk", "bv")),
+    Seq(Seq(Row(1L, "a", 1.5, 1L, RowKind.Insert)), Nil),
+    Seq(Nil, Seq(Row(1L, "x", 2.5, 2L, RowKind.Insert))),
+    dfs => ChangelogMultiJoin.chain(
+      Seq(dfs(0), dfs(1)),
+      Map(1 -> Seq(ChangelogMultiJoin.ChainCond(0, "ajk", "bjk"))),
+      Seq("inner", "left")))
+
   val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin, changelogTopn,
     dedupLast, cepStreaming, countWindows, temporalJoin, streamingOver,
-    changelogSemi, processTableFunction, cumulateBounded, lateralSnapshot)
+    changelogSemi, processTableFunction, cumulateBounded, lateralSnapshot,
+    multiJoinLeft)
 
   val fixtureRoot = "src/test/resources/restore"
 }
