@@ -376,4 +376,45 @@ class SqlGatewaySpec extends SparkSpecBase {
       assert(ej.contains("\"candidates\":[]"))
     } finally SqlGateway.stop()
   }
+
+  test("official TPC-DS texts run through the gateway REST and JDBC surfaces") {
+    import graft.queries.TpcdsSqlQueries
+    // the real 24-table schema registered on the gateway session — the
+    // reference's e2e gate queries served over its own client surfaces
+    val tpcds = TpcdsSqlQueries.tableNames
+      .map(t => t -> graft.Tables(spark, TpcdsSqlQueries.dataDir, t)).toMap
+    val port = SqlGateway.serve(spark, 0, extra = tpcds)
+    try {
+      val base = s"http://localhost:$port/v1"
+      val s = field(post(s"$base/sessions")._2, "sessionHandle")
+      // q96 (multi-join count) over REST, byte-identical official text
+      val q96 = TpcdsSqlQueries.officialText(96).stripSuffix("\n")
+        .trim.stripSuffix(";").replace("\n", " ")
+      val (_, oj) = post(s"$base/sessions/$s/statements",
+        s"""{"statement": "$q96"}""")
+      val op = field(oj, "operationHandle")
+      assert(await(base, s, op) == "FINISHED")
+      val expected96 = graft.sql.FlinkSql
+        .sql(spark, q96, tpcds).collect().head.getLong(0)
+      val (rc, page) = get(s"$base/sessions/$s/operations/$op/result/0")
+      assert(rc == 200 && page.contains(s"[$expected96]"),
+        s"q96 over REST: expected [$expected96] in $page")
+      // q32 (correlated subquery + double-quoted ANSI alias) over JDBC
+      val q32 = TpcdsSqlQueries.officialText(32)
+        .trim.stripSuffix(";").replace("\n", " ")
+      graft.sql.jdbc.GraftDriver.getMajorVersion // force driver class load
+      val conn = java.sql.DriverManager
+        .getConnection(s"jdbc:graft://localhost:$port")
+      try {
+        val rs = conn.createStatement().executeQuery(q32)
+        assert(rs.next())
+        val got = Option(rs.getObject(1))
+        val exp = Option(graft.sql.FlinkSql.sql(spark, q32, tpcds)
+          .collect().head.get(0))
+        assert(got.map(_.toString) == exp.map(_.toString),
+          s"q32 over JDBC: $got vs $exp")
+        assert(rs.getMetaData.getColumnLabel(1) == "excess discount amount")
+      } finally conn.close()
+    } finally SqlGateway.stop()
+  }
 }
