@@ -63,10 +63,15 @@ object TpcdsSqlQueries {
 
   // resolve-or-default, never throw: Registry builds every oracle text
   // eagerly, and a missing-fixtures box must still be able to LIST the
-  // query map; run() fails with the clear message instead
+  // query map; run() fails with the clear message instead. An EXPLICIT
+  // GRAFT_TPCDS_DIR is honored verbatim (a typo'd path must surface as
+  // run()'s error, not silently fall back to the repo fixtures).
   lazy val dataDir: String =
-    dataDirCandidates.map(new java.io.File(_)).find(_.isDirectory)
-      .getOrElse(new java.io.File(dataDirCandidates.last)).getAbsolutePath
+    sys.env.get("GRAFT_TPCDS_DIR").map(new java.io.File(_)).getOrElse {
+      dataDirCandidates.drop(sys.env.get("GRAFT_TPCDS_DIR").size)
+        .map(new java.io.File(_)).find(_.isDirectory)
+        .getOrElse(new java.io.File(dataDirCandidates.last))
+    }.getAbsolutePath
 
   private def resource(name: String): String = {
     val in = getClass.getResourceAsStream(s"/tpcds/$name")

@@ -1208,10 +1208,14 @@ object FlinkSql {
         // double-quoted region — an ANSI identifier (official TPC-DS
         // aliases) or a Spark string literal; opaque either way, so the
         // body's apostrophes / '--' never re-tokenize. One token
-        // INCLUDING the quotes.
-        val j = text.indexOf('"', i + 1)
-        require(j >= 0, s"unterminated double-quoted region at offset $i")
-        out += Tok(text.substring(i, j + 1), i, j + 1); i = j + 1
+        // INCLUDING the quotes. Backslash escapes (Spark's default
+        // string-literal escaping, e.g. "a\"b") stay inside the region.
+        var e = i + 1
+        while (e < n && text(e) != '"') {
+          if (text(e) == '\\' && e + 1 < n) e += 2 else e += 1
+        }
+        require(e < n, s"unterminated double-quoted region at offset $i")
+        out += Tok(text.substring(i, e + 1), i, e + 1); i = e + 1
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
         if (Seq("<=", ">=", "<>", "!=").contains(two)) {

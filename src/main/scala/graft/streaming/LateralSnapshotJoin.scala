@@ -76,6 +76,15 @@ object LateralSnapshotJoin {
         if (jt == "left") "left_outer" else "inner")
     }
 
+    // fail fast with the contract instead of a deep ClassCastException in
+    // tsMsOf / an envelope-union analysis error: the streaming operator's
+    // row-time arithmetic (watermark gating, version-aware retraction)
+    // works on TimestampType only
+    require(build.schema(buildTime).dataType == TimestampType,
+      s"build row-time '$buildTime' must be TIMESTAMP (TimestampType), " +
+        s"got ${build.schema(buildTime).dataType.simpleString} — cast " +
+        "TIMESTAMP_NTZ/epoch columns explicitly first")
+
     val hasRowkind = build.columns.contains("__rowkind")
     val payloadCols = build.columns.filterNot(_ == "__rowkind").toSeq
     val payloadType = StructType(payloadCols.map(build.schema(_)))
@@ -168,13 +177,14 @@ object LateralSnapshotJoin {
               val matches = table.zipWithIndex
                 .filter { case (b, _) => stripTime(b) == stripTime(vals) }
               if (matches.nonEmpty) {
+                // build row-time is TimestampType by operator contract
+                // (required at construction below) — TIMESTAMP_NTZ would
+                // already fail the envelope union and tsMsOf before here
                 def storedMs(b: Seq[Any]): Long =
                   if (timeIdx < 0) Long.MinValue
                   else b(timeIdx) match {
                     case t: java.sql.Timestamp => t.getTime
                     case t: java.time.Instant => t.toEpochMilli
-                    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ rows
-                      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
                     case l: Long => l
                     case _ => Long.MinValue
                   }
