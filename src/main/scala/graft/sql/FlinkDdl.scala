@@ -118,11 +118,24 @@ object FlinkDdl {
     var lastSink: Option[String] = None
 
     // a registered but not-yet-written sink (empty path) cannot be read;
-    // it simply isn't visible to queries until an INSERT creates it
+    // it simply isn't visible to queries until an INSERT creates it.
+    // Per-RUN source cache: tables() is called per statement, and a fresh
+    // spark.read per table per statement pays file listing + footer schema
+    // resolution every time (the q_sql_ddl_pipeline fixed cost). Keyed by
+    // (name, spec) so a catalog REPLACE misses naturally; entries for
+    // tables this script WRITES are invalidated at the write site so a
+    // later statement sees the new files. A failed open (not-yet-written
+    // sink) is not cached — the next statement retries.
+    val srcCache =
+      scala.collection.mutable.Map.empty[(String, TableSpec), DataFrame]
+    def invalidateSource(name: String): Unit =
+      srcCache.filterInPlace { case ((n, _), _) => n != name }
     def tables(): Map[String, DataFrame] =
       extra ++ catalog.iterator.flatMap { case (n, spec) =>
         if (spec.connector == "print" || spec.connector == "blackhole") None
-        else scala.util.Try(n -> sourceDf(spark, spec)).toOption
+        else scala.util.Try(
+          n -> srcCache.getOrElseUpdate((n, spec), sourceDf(spark, spec))
+        ).toOption
       }
 
     // DDL-declared models join the caller's map as unbound specs;
@@ -151,6 +164,7 @@ object FlinkDdl {
             "spark.sql.sources.partitionOverwriteMode")
         }
       } else writeSink(spark, spec, result, overwrite)
+      invalidateSource(sink) // later statements must see the new files
       lastSink = Some(sink)
       lastQuery = None
     }
@@ -174,9 +188,13 @@ object FlinkDdl {
         lastQuery = Some(FlinkSql.sql(spark, stmt, tables(), allModels()))
       },
       onResult = df => { lastQuery = Some(df); lastSink = None },
-      onMutate = stmt => executeRowLevel(spark, catalog, stmt),
+      onMutate = stmt => {
+        executeRowLevel(spark, catalog, stmt)
+        srcCache.clear() // row-level write: any cached read may be stale
+      },
       onMaterialized = (spec, query) => {
         materializeFull(spark, spec, query, tables, allModels, catalog)
+        invalidateSource(spec.name)
         lastSink = Some(spec.name); lastQuery = None
       },
       onMtAlter = (name, action) => {
@@ -187,6 +205,7 @@ object FlinkDdl {
         action match {
           case MtRefresh(partition) =>
             refreshMaterialized(spark, spec, partition, tables, allModels)
+            invalidateSource(name)
             lastSink = Some(name); lastQuery = None
           case MtSuspend =>
             catalog(name) = spec.copy(options =
@@ -198,11 +217,13 @@ object FlinkDdl {
               spec.options + (MtStatusOpt -> "active"))
             refreshMaterialized(spark, catalog(name), Map.empty,
               tables, allModels)
+            invalidateSource(name)
           case MtAsQuery(q) =>
             // modify the query definition, then refresh under it
             materializeFull(spark,
               spec.copy(options = spec.options + (MtQueryOpt -> q)), q,
               tables, allModels, catalog)
+            invalidateSource(name)
           case MtDrop => () // dispatcher removes the catalog entry
         }
       })
