@@ -34,9 +34,20 @@ import org.apache.spark.sql.types._
   */
 object ChangelogMultiJoin extends Serializable {
 
+  def apply(inputs: Seq[(DataFrame, String)]): DataFrame =
+    apply(inputs, idleTtlMs = None)
+
   /** @param inputs (changelog, joinKeyCol) per side — payload column
-    *        names must be unique across sides (alias upstream). */
-  def apply(inputs: Seq[(DataFrame, String)]): DataFrame = {
+    *        names must be unique across sides (alias upstream).
+    *  @param idleTtlMs streaming-face idle-state retention — the
+    *        reference's STATE_TTL hint on the multi-join
+    *        (JoinToMultiJoinRule.handleStateTtlHintsForInput); a key
+    *        group's per-input live rows drop after this long without
+    *        activity. Batch face ignores it (bounded input).
+    */
+  def apply(
+      inputs: Seq[(DataFrame, String)],
+      idleTtlMs: Option[Long]): DataFrame = {
     require(inputs.size >= 2, "multi-join needs at least two inputs")
     val metaCols = Set(RowKind.kindCol, RowKind.seqCol)
     val n = inputs.size
@@ -137,21 +148,34 @@ object ChangelogMultiJoin extends Serializable {
     val sEnc: Encoder[S] = Encoders.kryo[S]
     val oEnc: Encoder[Row] = Encoders.row(outSchema)
 
+    val timeoutConf = idleTtlMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     env.as[Row](vEnc)
       .groupByKey(r => Row(r.get(0)))(kEnc)
       .flatMapGroupsWithState[S, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          val st = emptySt
-          state.getOption.foreach(_.zipWithIndex.foreach { case (m, i) =>
-            st(i) = scala.collection.mutable.LinkedHashMap.from(m)
-          })
-          val out = rows.toSeq
-            .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
-            .flatMap(step(st, _))
-          if (st.forall(_.isEmpty)) state.remove()
-          else state.update(st.map(_.toMap).toSeq)
-          out.iterator
+          if (state.hasTimedOut) {
+            // idle TTL expired: drop every input's live rows (state.ttl)
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = emptySt
+            state.getOption.foreach(_.zipWithIndex.foreach { case (m, i) =>
+              st(i) = scala.collection.mutable.LinkedHashMap.from(m)
+            })
+            val out = rows.toSeq
+              .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
+              .flatMap(step(st, _))
+            if (st.forall(_.isEmpty)) state.remove()
+            else {
+              state.update(st.map(_.toMap).toSeq)
+              idleTtlMs.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
       }(sEnc, oEnc)
   }
 
@@ -221,7 +245,8 @@ object ChangelogMultiJoin extends Serializable {
   def chain(
       inputs: Seq[DataFrame],
       conds: Map[Int, Seq[ChainCond]],
-      joinTypes: Seq[String]): DataFrame = {
+      joinTypes: Seq[String],
+      idleTtlMs: Option[Long] = None): DataFrame = {
     val n = inputs.size
     require(n >= 2, "multi-join needs at least two inputs")
     require(joinTypes.size == n,
@@ -599,24 +624,37 @@ object ChangelogMultiJoin extends Serializable {
     val sEnc: Encoder[S] = Encoders.kryo[S]
     val oEnc: Encoder[Row] = Encoders.row(outSchema)
 
+    val timeoutConf = idleTtlMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     env.as[Row](vEnc)
       .groupByKey(r => Row(r.get(0)))(kEnc)
       .flatMapGroupsWithState[S, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
-          val st = emptySt
-          state.getOption.foreach(_.zipWithIndex.foreach { case (m, i) =>
-            st(i) = scala.collection.mutable.LinkedHashMap.from(
-              m.view.mapValues(b =>
-                scala.collection.mutable.LinkedHashMap.from(b)).toMap)
-          })
-          val out = rows.toSeq
-            .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
-            .flatMap(stepFn(st, _))
-          if (st.forall(_.isEmpty)) state.remove()
-          else state.update(
-            st.map(_.view.mapValues(_.toMap).toMap).toSeq)
-          out.iterator
+          if (state.hasTimedOut) {
+            // idle TTL expired: drop every input's live rows (state.ttl)
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = emptySt
+            state.getOption.foreach(_.zipWithIndex.foreach { case (m, i) =>
+              st(i) = scala.collection.mutable.LinkedHashMap.from(
+                m.view.mapValues(b =>
+                  scala.collection.mutable.LinkedHashMap.from(b)).toMap)
+            })
+            val out = rows.toSeq
+              .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
+              .flatMap(stepFn(st, _))
+            if (st.forall(_.isEmpty)) state.remove()
+            else {
+              state.update(
+                st.map(_.view.mapValues(_.toMap).toMap).toSeq)
+              idleTtlMs.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
       }(sEnc, oEnc)
   }
 }

@@ -151,6 +151,21 @@ object SavepointReader {
       picked.withColumn("state_repr", reprUdf(col("__blob"))).drop("__blob")
     }
 
+    /** Window-keyed operator state — the reference's WindowSavepointReader
+      * parity: graft's windowed stateful operators key their state by
+      * (user keys…, `__win_start` epoch-millis slice). Surfaces
+      * `window_start`/`window_end` TIMESTAMP columns alongside
+      * [[groupState]]'s decoded layout, given the operator's window size.
+      */
+    def windowState(operatorId: Int = 0, windowSizeMs: Long): DataFrame = {
+      val gs = groupState(operatorId)
+      require(gs.columns.contains("__win_start"),
+        s"operator $operatorId state is not window-keyed (no __win_start)")
+      gs.withColumn("window_start", timestamp_millis(col("__win_start")))
+        .withColumn("window_end",
+          timestamp_millis(col("__win_start") + lit(windowSizeMs)))
+    }
+
     /** Changelog-join family state (`(left, right)` upsertKey→row maps):
       * one row per live stored row — key columns + `side` + `upsert_key`
       * + `row_values` (each value canonically rendered). */

@@ -699,6 +699,52 @@ class ChangelogSpec extends SparkSpecBase {
     assert(sMat == mat, s"streaming/batch parity: $sMat vs $mat")
   }
 
+  test("ChangelogMultiJoin idle TTL drops per-input state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the reference's STATE_TTL hint surface on the multi-join
+    // (JoinToMultiJoinRule.handleStateTtlHintsForInput): after the idle
+    // window, a key group's per-input live rows are gone — a new right
+    // row finds no left match, where unexpired state would have joined
+    val aIn = MemoryStream[(Long, Long, Long, String)]
+    val bIn = MemoryStream[(Long, Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mjttl-").toString
+    val out = ChangelogMultiJoin(Seq(
+      aIn.toDF().toDF("a_id", "a_jk", RowKind.seqCol, RowKind.kindCol)
+        -> "a_jk",
+      bIn.toDF().toDF("b_id", "b_jk", RowKind.seqCol, RowKind.kindCol)
+        -> "b_jk"),
+      idleTtlMs = Some(400L))
+    val q = out.writeStream.format("memory").queryName("mj_ttl")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def eventually(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      aIn.addData(Seq((1L, 100L, 1L, RowKind.Insert)))
+      bIn.addData(Seq((11L, 100L, 2L, RowKind.Insert)))
+      eventually("pre-expiry join") {
+        spark.table("mj_ttl").count() >= 1
+      }
+      val b0 = q.lastProgress.batchId
+      Thread.sleep(700)
+      eventually("a timer batch") { q.lastProgress.batchId > b0 }
+      // post-expiry: b12 under the same key joins NOTHING (a1 expired).
+      // processAllAvailable can park behind the re-armed processing-time
+      // timer, so wait on batch progress instead (the agg TTL pattern)
+      val b1 = q.lastProgress.batchId
+      bIn.addData(Seq((12L, 100L, 3L, RowKind.Insert)))
+      eventually("post-TTL batch") { q.lastProgress.batchId > b1 + 1 }
+    } finally q.stop()
+    val joined = spark.table("mj_ttl")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(joined == Set((1L, 11L)),
+      s"expired left row must not join the post-TTL insert: $joined")
+  }
+
   test("ChangelogMultiJoin.chain typed: LEFT pad flips across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // A LEFT B on jk: b11 arrives in a LATER micro-batch than a1 (the pad

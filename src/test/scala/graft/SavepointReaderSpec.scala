@@ -50,6 +50,26 @@ class SavepointReaderSpec extends SparkSpecBase {
       s"expected most fixtures to carry decodable group state: $decodedSome")
   }
 
+  test("window-keyed state surfaces window bounds (WindowSavepointReader parity)") {
+    // streaming_dedup_last's committed fixture keys state by
+    // (k, __win_start) with a 10s window
+    val ckpt = java.nio.file.Paths.get(
+      RestoreScenarios.fixtureRoot, "streaming_dedup_last", "checkpoint")
+      .toString
+    val ws = SavepointReader.read(spark, ckpt).windowState(0, 10000L)
+    val rows = ws.select("window_start", "window_end").collect()
+    assert(rows.nonEmpty, "fixture has window state")
+    rows.foreach { r =>
+      assert(r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 10000L)
+    }
+    // a non-window layout refuses with the contract
+    val agg = java.nio.file.Paths.get(
+      RestoreScenarios.fixtureRoot, "retracting_changelog_agg", "checkpoint")
+      .toString
+    intercept[IllegalArgumentException](
+      SavepointReader.read(spark, agg).windowState(0, 10000L))
+  }
+
   test("round trip: agg bootstrap-write -> run -> read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-spr-in-").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-spr-ck-").toString
