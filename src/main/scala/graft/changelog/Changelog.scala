@@ -472,26 +472,15 @@ object RetractingChangelogAgg {
         OutputMode.Append(), timeoutConf) {
         (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
           if (state.hasTimedOut) {
-            // idle TTL expired: drop the accumulator (state.ttl). In
-            // counter mode the per-key emission seq must SURVIVE expiry —
-            // a post-expiry +I restarting at seq 1 would lose keep-last
-            // materialization to stale pre-expiry output — so expiry
-            // leaves a seq-only tombstone (a Long; the accumulator, which
-            // is what TTL exists to bound, is dropped). The tombstone
-            // re-arms a LONGER (4×) timeout and its own expiry drops it,
-            // so TTL bounds state cardinality too, not only accumulator
-            // size — a key silent for 5×TTL may restart at seq 1
-            // (documented: downstream keep-last is assumed compacted by
-            // then). Input-derived seqs live on the global domain and
-            // need nothing kept.
-            if (seqFromInput) state.remove()
-            else state.getOption.foreach { s =>
-              if (s._2 == null && !accOf(s._3).live) state.remove()
-              else {
-                state.update((s._1, null, new Acc().snapshot))
-                idleTtlMs.foreach(ms => state.setTimeoutDuration(ms * 4))
-              }
-            }
+            // idle TTL expired: drop EVERYTHING (the reference's
+            // state.ttl — accumulator, emitted row, and the seq slot).
+            // No tombstone is needed: counter mode under a TTL bases the
+            // per-key emission seq on the batch's processing time (see
+            // procBase below), so output emitted after an expiry always
+            // out-seqs output from before it and keep-last
+            // materialization cannot land on a stale pre-expiry row, no
+            // matter how long the key stays silent.
+            state.remove()
             Iterator.empty
           } else {
             val old = state.getOption
@@ -504,7 +493,18 @@ object RetractingChangelogAgg {
               if (seqFromInput) maxSeq = math.max(maxSeq, r.getLong(seqIdx))
             }
             val emitted = old.flatMap(s => Option(s._2))
-            val seq0 = old.map(_._1).getOrElse(1L)
+            // Counter mode with a TTL: the seq domain is REBASED each
+            // micro-batch to processingTimeMs << 20 (2^20 slots per ms —
+            // far above any per-key per-batch transition count). Expiry
+            // can then drop state completely: a post-expiry re-insert is
+            // at least one TTL of wall clock later, so its base out-seqs
+            // every pre-expiry emission. Without a TTL the base stays 1
+            // (deterministic batch-face seqs, as the oracles record).
+            val procBase =
+              if (idleTtlMs.isDefined && !seqFromInput)
+                state.getCurrentProcessingTimeMs << 20
+              else 1L
+            val seq0 = math.max(old.map(_._1).getOrElse(1L), procBase)
             val (retSeq, accSeq) =
               if (seqFromInput) (4 * maxSeq + 2, 4 * maxSeq + 3)
               else (seq0, seq0 + 1)
@@ -512,15 +512,18 @@ object RetractingChangelogAgg {
               transitions(key.toSeq, emitted, acc, retSeq, accSeq)
             if (!acc.live && e2.isEmpty) {
               // key is dead. Counter mode keeps a seq-only tombstone for
-              // the same reason as the TTL path: a later re-insert must
-              // out-seq the -D this key already emitted. With a TTL the
-              // tombstone times out too (4× grace, dropped on expiry) so
-              // dead keys don't accumulate forever.
+              // the same reason as ever: a later re-insert must out-seq
+              // the -D this key already emitted. With a TTL the
+              // tombstone only needs to survive same-millisecond
+              // micro-batches (procBase covers everything later), so it
+              // rides the normal 1× timeout and expiry drops it — dead
+              // keys don't accumulate.
               val seqNext = seq0 + (if (outs.nonEmpty) 2 else 0)
-              if (seqFromInput || seqNext == 1L) state.remove()
+              val neverEmitted = old.isEmpty && outs.isEmpty
+              if (seqFromInput || neverEmitted) state.remove()
               else {
                 state.update((seqNext, null, new Acc().snapshot))
-                idleTtlMs.foreach(ms => state.setTimeoutDuration(ms * 4))
+                idleTtlMs.foreach(state.setTimeoutDuration)
               }
             } else {
               state.update(

@@ -192,23 +192,25 @@ object ChangelogTopN extends Serializable {
         OutputMode.Append(), timeoutConf) {
         (key: Row, rows: Iterator[Row], state: GroupState[S]) =>
           if (state.hasTimedOut) {
-            // idle TTL: drop the live-row map and assignments (the state
-            // TTL exists to bound); the emission seq survives as a
-            // tombstone so post-expiry output still orders after
-            // pre-expiry output under keep-last materialization. The
-            // tombstone re-arms a 4× timeout and then drops fully.
-            state.getOption.foreach { case (seq, liveM, top) =>
-              if (liveM.isEmpty && top.isEmpty) state.remove()
-              else {
-                state.update((seq, Map.empty[Any, Double],
-                  Vector.empty[(Any, Double)]))
-                idleTtlMs.foreach(ms => state.setTimeoutDuration(ms * 4))
-              }
-            }
+            // idle TTL: drop EVERYTHING (the reference's state.ttl — the
+            // live-row map, the assignments, and the seq slot). No
+            // tombstone: under a TTL the emission seq is rebased each
+            // micro-batch to processingTimeMs << 20 (below), so output
+            // after an expiry always out-seqs output from before it and
+            // keep-last materialization cannot land on a stale
+            // pre-expiry row. The stale rank rows already in the sink
+            // stay visible until overridden — the reference's own
+            // documented state-TTL behavior (no retraction on expiry).
+            state.remove()
             Iterator.empty
           } else {
-            val (seq0, liveM, top0) = state.getOption.getOrElse(
+            val old = state.getOption
+            val procBase =
+              if (idleTtlMs.isDefined) state.getCurrentProcessingTimeMs << 20
+              else 1L
+            val (seqStored, liveM, top0) = old.getOrElse(
               (1L, Map.empty[Any, Double], Vector.empty[(Any, Double)]))
+            val seq0 = math.max(seqStored, procBase)
             val live = scala.collection.mutable.Map.from(liveM)
             // order within the micro-batch slice; retracts before the
             // accumulate sharing their seq
@@ -219,8 +221,21 @@ object ChangelogTopN extends Serializable {
             ordered.foreach(applyEnvelope(live, _))
             val nw = topOf(live.toMap)
             val (seq2, outs) = diff(key.toSeq, top0, nw, seq0)
-            if (live.isEmpty && nw.isEmpty) state.remove()
-            else {
+            if (live.isEmpty && nw.isEmpty) {
+              // the key died: keep a seq-only tombstone so a later
+              // re-insert out-seqs the -D rows this key just emitted
+              // (RetractingChangelogAgg parity — a fresh seq-1 restart
+              // would lose keep-last materialization to them). With a
+              // TTL the tombstone rides the normal timeout (procBase
+              // covers every later batch); without one it persists, as
+              // the agg's does. A key that never emitted needs nothing.
+              if (old.isEmpty && outs.isEmpty) state.remove()
+              else {
+                state.update((seq2, Map.empty[Any, Double],
+                  Vector.empty[(Any, Double)]))
+                idleTtlMs.foreach(state.setTimeoutDuration)
+              }
+            } else {
               state.update((seq2, live.toMap, nw))
               idleTtlMs.foreach(state.setTimeoutDuration)
             }

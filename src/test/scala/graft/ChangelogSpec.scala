@@ -205,10 +205,9 @@ class ChangelogSpec extends SparkSpecBase {
     val input = MemoryStream[(Long, Double, Long, String)]
     val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cattl-").toString
-    // TTL 400ms: the accumulator expires at ~400ms and the seq tombstone
-    // survives until ~400 + 4×400 = 2s — the re-insert below must land
-    // INSIDE that window (after expiry, before the tombstone drops), so
-    // the window is kept wide against slow micro-batches
+    // TTL 400ms: the accumulator expires at ~400ms and state drops
+    // completely; the processing-time seq base keeps post-expiry output
+    // ordering after pre-expiry output however late the re-insert lands
     val q = RetractingChangelogAgg(df, Seq("g"), "v",
       idleTtlMs = Some(400L))
       .writeStream.format("memory").queryName("ca_ttl")
@@ -257,14 +256,20 @@ class ChangelogSpec extends SparkSpecBase {
     assert(mat == Seq(5.0), s"keep-last must keep the post-expiry row: $mat")
   }
 
-  test("RetractingChangelogAgg tombstones expire on the second TTL") {
+  test("RetractingChangelogAgg TTL bounds state cardinality; seq epoch " +
+    "survives arbitrary silence") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // TTL must bound state CARDINALITY, not only accumulator size: the
-    // first expiry leaves the seq-only tombstone (4× grace), the
-    // tombstone's own expiry drops it. Observable contract: after
-    // TTL + 4×TTL of silence a re-insert restarts the per-key seq
-    // domain (same __seq as the first-ever emission) — with a permanent
-    // tombstone it would keep counting up.
+    // TTL must bound state CARDINALITY, not only accumulator size:
+    // expiry drops the key's state COMPLETELY (numRowsTotal returns to
+    // 0 — no tombstone row lingers). Ordering across the drop is owned
+    // by the processing-time seq base instead: however long the key
+    // stays silent past the TTL, the post-expiry emission still carries
+    // a LARGER __seq than every pre-expiry one, so keep-last
+    // materialization can never resurrect the stale aggregate. (The old
+    // design kept a seq tombstone with a 4× grace and restarted the seq
+    // domain after it dropped — a key silent for >5×TTL could then LOSE
+    // keep-last to its own pre-expiry output; this test's Thread.sleep
+    // sits far past that old window on purpose.)
     val input = MemoryStream[(Long, Double, Long, String)]
     val df = input.toDF().toDF("g", "v", RowKind.seqCol, RowKind.kindCol)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cttl2-").toString
@@ -284,11 +289,13 @@ class ChangelogSpec extends SparkSpecBase {
       eventually("first emission") {
         spark.table("ca_ttl2").where(col("g") === 3L).count() >= 1
       }
-      // two timer firings: accumulator expiry (tombstone), then the
-      // tombstone's own expiry
-      val b0 = q.lastProgress.batchId
-      eventually("two timer batches") { q.lastProgress.batchId >= b0 + 2 }
-      Thread.sleep(500)
+      // expiry drops the whole state row (accumulator AND seq slot)
+      eventually("state drop after expiry") {
+        val p = q.lastProgress
+        p != null && p.stateOperators.nonEmpty &&
+          p.stateOperators(0).numRowsTotal == 0
+      }
+      Thread.sleep(1200) // ≫ 5×TTL: far beyond the old tombstone grace
       input.addData(Seq((3L, 5.0, 2L, RowKind.Insert)))
       eventually("second emission") {
         spark.table("ca_ttl2").where(col("g") === 3L).count() >= 2
@@ -297,8 +304,12 @@ class ChangelogSpec extends SparkSpecBase {
     val seqs = spark.table("ca_ttl2").where(col("g") === 3L)
       .select(col("sum_v"), col(RowKind.seqCol))
       .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
-    assert(seqs(5.0) == seqs(10.0),
-      s"dropped tombstone must restart the seq domain: $seqs")
+    assert(seqs(5.0) > seqs(10.0),
+      s"post-expiry seq must beat pre-expiry even after long silence: $seqs")
+    val mat = UpsertMaterialize(spark.table("ca_ttl2"), Seq("g"))
+      .where(col("g") === 3L).select("sum_v")
+      .as[Double].collect().toSeq
+    assert(mat == Seq(5.0), s"keep-last must keep the post-expiry row: $mat")
   }
 
   test("streaming RetractingChangelogAgg seqFromInput keeps the global domain") {
@@ -1423,11 +1434,50 @@ class ChangelogSpec extends SparkSpecBase {
     assert(rows == Set(
       (1, 10L, 10.0, RowKind.Insert),
       (1, 20L, 5.0, RowKind.Insert)), s"unexpected emissions: $rows")
-    // the seq tombstone survives expiry: keep-last by (p, rank) lands on
-    // the post-expiry champion
+    // the processing-time seq base survives expiry: keep-last by
+    // (p, rank) lands on the post-expiry champion however long the key
+    // sat silent (no tombstone-grace window to race)
     val mat = UpsertMaterialize(spark.table("tn_ttl"), Seq("p", "rank"))
       .select("rank", "uk").as[(Int, Long)].collect().toSet
     assert(mat == Set((1, 20L)), s"keep-last mismatch: $mat")
+  }
+
+  test("ChangelogTopN dead-key tombstone: a re-insert out-seqs the -D") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // natural death (every row retracted) across micro-batches, then a
+    // re-insert in a LATER batch: the emitted -D must not win keep-last
+    // materialization over the new champion's +I. Before the seq-only
+    // dead-key tombstone, state.remove() restarted the seq domain at 1
+    // and the stale -D (higher seq) deleted the re-inserted rank row.
+    val input = MemoryStream[(Long, Long, Double, Long, String)]
+    val df = input.toDF().toDF("p", "uk", "v", RowKind.seqCol,
+      RowKind.kindCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tndk-").toString
+    val q = ChangelogTopN(df, Seq("p"), "uk", "v", n = 2)
+      .writeStream.format("memory").queryName("tn_dead")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq((1L, 10L, 10.0, 1L, RowKind.Insert)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 10L, 10.0, 2L, RowKind.Delete)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 11L, 8.0, 3L, RowKind.Insert)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("tn_dead")
+      .select(col("rank"), col("uk"), col(RowKind.kindCol),
+        col(RowKind.seqCol))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val dSeq = rows.collectFirst {
+      case (1, 10L, RowKind.Delete, s) => s }.get
+    val iSeq = rows.collectFirst {
+      case (1, 11L, RowKind.Insert, s) => s }.get
+    assert(iSeq > dSeq,
+      s"re-insert seq $iSeq must beat the earlier -D seq $dSeq: $rows")
+    val mat = UpsertMaterialize(spark.table("tn_dead"), Seq("p", "rank"))
+      .select("rank", "uk").as[(Int, Long)].collect().toSet
+    assert(mat == Set((1, 11L)), s"keep-last mismatch: $mat")
   }
 
   test("ChangelogSemiJoin idle TTL drops both sides' state") {
