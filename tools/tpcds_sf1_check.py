@@ -12,9 +12,11 @@ reproducibly without committing ~260 MB of parquet:
     python3 tools/tpcds_sf1_check.py /tmp/verify_sf1
 
 It replays the driver's DuckDB compare (columns sorted by name, rows
-sorted, exact values) on the sf1-bound oracle statements Verify emitted,
-and writes TPCDS_SF1.json: per-query {rows, match}, the vacuous set, and
-totals. The committed artifact is the evidence that the 16 queries the
+sorted) on the sf1-bound oracle statements Verify emitted, and writes
+TPCDS_SF1.json: per-query {rows, match}, the vacuous set, and totals.
+Numeric cells allow one unit in the 4th decimal (the committed gate's
+4-dp normalization has a half-ulp rounding cliff that sf1 averages can
+land on); every tolerance-consumed cell is recorded in the artifact. The committed artifact is the evidence that the 16 queries the
 sf0.03 gate can only parse/plan-check also VALUE-match at the reference's
 own scale (only q17 stays empty at sf1 — documented in tpcds_sf1_gen.py).
 """
@@ -47,10 +49,47 @@ for name in sorted(oracles, key=lambda s: int(s.rsplit("_", 1)[1])
         orows = orel.fetchall()
         sidx = [scols.index(c) for c in sorted(scols)]
         oidx = [ocols.index(c) for c in sorted(ocols)]
-        snorm = sorted(tuple(str(r[i]) for i in sidx) for r in srows)
-        onorm = sorted(tuple(str(r[i]) for i in oidx) for r in orows)
-        match = sorted(scols) == sorted(ocols) and snorm == onorm
+
+        # The committed sf0.03 gate is cell-EXACT (both sides round to
+        # 4 dp from the same meta). At sf1 an avg can land exactly on a
+        # 0.00005 boundary where the two engines' double ulps round the
+        # 4th decimal apart (q28: 134.01775 -> .0178 vs .0177), so the
+        # deep tier compares numerics with a one-unit-in-the-4th-decimal
+        # tolerance and REPORTS every cell that needed it.
+        def key(r, idx):
+            out = []
+            for i in idx:
+                v = r[i]
+                if isinstance(v, (int, float)) and not isinstance(v, bool) \
+                        and v is not None:
+                    out.append(("n", round(float(v), 2)))
+                else:
+                    out.append(("s", str(v)))
+            return tuple(out)
+        snorm = sorted((key(r, sidx), tuple(r[i] for i in sidx))
+                       for r in srows)
+        onorm = sorted((key(r, oidx), tuple(r[i] for i in oidx))
+                       for r in orows)
+        tol_cells = []
+        match = sorted(scols) == sorted(ocols) and len(snorm) == len(onorm)
+        if match:
+            for rn, ((_, sr), (_, orow)) in enumerate(zip(snorm, onorm)):
+                for cn, (a, b) in enumerate(zip(sr, orow)):
+                    if a == b or str(a) == str(b):
+                        continue
+                    try:
+                        if abs(float(a) - float(b)) <= 1.5e-4:
+                            tol_cells.append([rn, sorted(scols)[cn],
+                                              str(a), str(b)])
+                            continue
+                    except (TypeError, ValueError):
+                        pass
+                    match = False
+                if not match:
+                    break
         per[name] = {"rows": len(srows), "match": match, "duck_s": duck_s}
+        if tol_cells:
+            per[name]["tolerance_cells"] = tol_cells
         if not match:
             fails.append(name)
     except Exception as e:
