@@ -710,6 +710,46 @@ class ChangelogSpec extends SparkSpecBase {
     assert(sMat == mat, s"streaming/batch parity: $sMat vs $mat")
   }
 
+  test("ChangelogMultiJoin residual condition: triangle join graph") {
+    // TRIANGLE shape — a—b on a_k=b_k, b—c on b_k2=c_k2, PLUS the
+    // non-tree edge a—c on a_tag=c_tag. The BFS visit plan takes a—b and
+    // b—c as tree edges and applies a—c as a probe-time RESIDUAL
+    // (AttributeBasedJoinKeyExtractor's joinAttributeMap case with a
+    // ConditionAttributeRef to an earlier, non-via input). No attribute
+    // class touches all three inputs, so this also runs on the
+    // empty-common-key fallback. Both trigger directions cross the
+    // residual: a c-side event visits a THROUGH b and filters on a_tag;
+    // an a-side event binds a_tag before visiting c.
+    val a = Seq(
+      (1L, 100L, "x", 1L, RowKind.Insert),
+      (2L, 100L, "y", 2L, RowKind.Insert))
+      .toDF("a_id", "a_k", "a_tag", RowKind.seqCol, RowKind.kindCol)
+    val b = Seq((11L, 100L, 77L, 3L, RowKind.Insert))
+      .toDF("b_id", "b_k", "b_k2", RowKind.seqCol, RowKind.kindCol)
+    val c = Seq(
+      (21L, 77L, "x", 4L, RowKind.Insert),
+      (22L, 77L, "y", 5L, RowKind.Insert),
+      (22L, 77L, "y", 6L, RowKind.Delete),   // a2 loses its match…
+      (23L, 77L, "y", 7L, RowKind.Insert))   // …and regains it via c23
+      .toDF("c_id", "c_k2", "c_tag", RowKind.seqCol, RowKind.kindCol)
+    val conds = Map(
+      1 -> Seq(ChangelogMultiJoin.ChainCond(0, "a_k", "b_k")),
+      2 -> Seq(
+        ChangelogMultiJoin.ChainCond(1, "b_k2", "c_k2"),
+        ChangelogMultiJoin.ChainCond(0, "a_tag", "c_tag")))
+    val out = ChangelogMultiJoin.chain(Seq(a, b, c), conds)
+    // c22's delete must retract exactly the (a2, b11, c22) combo — the
+    // residual prunes (a1, b11, c22) from ever existing
+    val retracted = out.where(col(RowKind.kindCol) === RowKind.Delete)
+      .select("a_id", "c_id").as[(Long, Long)].collect().toSeq
+    assert(retracted == Seq((2L, 22L)), s"residual retraction: $retracted")
+    val mat = UpsertMaterialize(out, Seq("a_id", "b_id", "c_id"))
+      .select("a_id", "b_id", "c_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(mat == Set((1L, 11L, 21L), (2L, 11L, 23L)),
+      s"triangle mismatch: $mat")
+  }
+
   test("ChangelogMultiJoin idle TTL drops per-input state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // the reference's STATE_TTL hint surface on the multi-join

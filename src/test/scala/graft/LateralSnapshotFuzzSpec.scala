@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   * nearest at-or-before the change (the ADVICE-r15 version rule, which
   * the generator exercises by re-inserting duplicate values).
   *
-  * The model replays Spark's micro-batch watermark exactly: wm during
-  * batch i = max build event time of batches < i minus the delay (the
-  * watermark a batch COMPUTES only takes effect from the next batch; a
-  * timer-driven drain in a trailing no-data batch sees the same wm as the
-  * next data batch, so drain-by-timer and drain-by-row emit identically —
-  * both orders are modeled by one replay). Build row-times are generated
-  * strictly increasing so no change is ever watermark-late; every key
-  * receives build rows every batch so flip crossings are row-driven.
+  * Feeding is SERIALIZED per round — builds, processAllAvailable, then
+  * probes, processAllAvailable — because two addData calls on two
+  * MemoryStreams are not atomic against the always-running trigger loop:
+  * fed together, the probe rows can land one trigger after their round's
+  * builds (observed under full-suite load), where the watermark has
+  * already advanced and the model's one-trigger-per-round assumption
+  * breaks. Under serialized feeding the staging is deterministic and the
+  * model replays it exactly: the build trigger applies pending changes
+  * gated by the PREVIOUS round's watermark; the round's new watermark
+  * (max build event time minus delay) takes effect from the next trigger,
+  * so the probe trigger — and any timer-driven flip drain in a trailing
+  * no-data batch, which sees the same wm and the same applied table —
+  * joins against state gated by the watermark that INCLUDES this round's
+  * builds. Build row-times are generated strictly increasing so no change
+  * is ever watermark-late and two-wave application equals one-wave.
   *
   * 13 seeds × {inner, left} = 26 runs × 2 keys = 52 randomized key-cases.
   */
@@ -107,23 +114,33 @@ class LateralSnapshotFuzzSpec extends SparkSpecBase {
         if (tbl.nonEmpty) tbl.foreach(b => expected += ((p.pid, Some(b))))
         else if (jt == "left") expected += ((p.pid, None))
       }
+      def applyPending(k: String): Unit = {
+        val (app, still) = pending(k).partition(_.ts <= wm)
+        app.sortBy(_.ts).foreach { c => // stable: ties keep arrival order
+          if (c.kind == "-D" || c.kind == "-U")
+            modelRemove(applied(k), c.ts, c.v)
+          else applied(k) += ((c.ts, c.v))
+        }
+        pending(k).clear(); pending(k) ++= still
+      }
       batches.foreach { case (bs, ps) =>
+        // build trigger: pending changes gate on the PREVIOUS watermark
         keys.foreach { k =>
           pending(k) ++= bs.filter(_.k == k)
-          val (app, still) = pending(k).partition(_.ts <= wm)
-          app.sortBy(_.ts).foreach { c => // stable: ties keep arrival order
-            if (c.kind == "-D" || c.kind == "-U")
-              modelRemove(applied(k), c.ts, c.v)
-            else applied(k) += ((c.ts, c.v))
-          }
-          pending(k).clear(); pending(k) ++= still
+          applyPending(k)
+        }
+        // the build batch's watermark takes effect from the next trigger
+        wm = math.max(wm, bs.map(_.ts).max - delayMs)
+        // probe trigger (and any trailing timer-driven flip drain — same
+        // wm, same applied table): apply under the new wm, then join
+        keys.foreach { k =>
+          applyPending(k)
           val probesNow = ps.filter(_.k == k)
           if (wm >= flipMs) {
             (buffered(k) ++ probesNow).foreach(joinOne)
             buffered(k).clear()
           } else buffered(k) ++= probesNow
         }
-        wm = math.max(wm, bs.map(_.ts).max - delayMs)
       }
       // trailing far-future nudge applies remaining changes and fires any
       // pending flip timers; drain any still-buffered probes per model
@@ -154,9 +171,14 @@ class LateralSnapshotFuzzSpec extends SparkSpecBase {
         .outputMode("append").option("checkpointLocation", ckpt).start()
       try {
         batches.foreach { case (bs, ps) =>
+          // serialized: builds fully processed before probes are added
+          // (see scaladoc — a shared trigger is not guaranteed)
           bIn.addData(bs.map(b => (new Timestamp(b.ts), b.k, b.v, b.kind)))
-          if (ps.nonEmpty) pIn.addData(ps.map(p => (p.pid, p.k)))
           q.processAllAvailable()
+          if (ps.nonEmpty) {
+            pIn.addData(ps.map(p => (p.pid, p.k)))
+            q.processAllAvailable()
+          }
         }
         bIn.addData(Seq((new Timestamp(nudgeTs), "Z", 0.0, "+I")))
         q.processAllAvailable()
