@@ -323,16 +323,22 @@ object ChangelogMultiJoin extends Serializable {
         val visited = scala.collection.mutable.LinkedHashSet(s)
         val plan = Seq.newBuilder[(Int, Int, Seq[(Int, Int, Int)])]
         while (visited.size < n) {
-          // deterministic: smallest unvisited input adjacent to visited
-          val cand = (0 until n).filter(d => !visited(d) &&
-            edges.exists(e => (e._1 == d && visited(e._2)) ||
-              (e._2 == d && visited(e._1))))
-          require(cand.nonEmpty, "join graph must be connected")
-          val d = cand.min
-          val via = edges.collect {
-            case e if e._1 == d && visited(e._2) => e._2
-            case e if e._2 == d && visited(e._1) => e._1
-          }.min
+          // deterministic: the earliest DECLARED condition connecting an
+          // unvisited input to the visited set decides the next hop —
+          // users declare the primary (selective) join path first (the
+          // typed engine's candsBase takes cons.head the same way), so a
+          // low-cardinality secondary condition (a parity/flag edge in a
+          // triangle graph) can never become the index-lookup path while
+          // a declared-earlier edge is available; it stays a residual
+          // post-filter. Picking it as the hop key would fan every probe
+          // out to all rows sharing the flag value — quadratic blow-up.
+          val hop = edges.find(e =>
+            (visited(e._1) && !visited(e._2)) ||
+              (visited(e._2) && !visited(e._1)))
+          require(hop.nonEmpty, "join graph must be connected")
+          val (d, via) =
+            if (visited(hop.get._1)) (hop.get._2, hop.get._1)
+            else (hop.get._1, hop.get._2)
           // residual: conds from d to visited inputs OTHER than via:
           // (otherInput, otherColIdx, dColIdx)
           val residual = edges.collect {
