@@ -237,35 +237,48 @@ class ChangelogFuzzSpec extends SparkSpecBase {
   }
 
   test("fuzz: typed (LEFT) n-ary chain materializes to the left-deep join") {
-    // 10 seeds x (2 shapes x 3 type mixes) = 60 randomized cases. The
+    // 10 seeds x (3 shapes x 4 type mixes) = 120 randomized cases. The
     // expected set is an independent left-deep evaluation over the final
     // states: depth 1 joins a->b on g, depth 2 joins on b.g (chain — a
     // padded b blocks/pads depth 2) or a.g (star — depth 2 is independent
-    // of the depth-1 pad), per joinTypes.
+    // of the depth-1 pad), per joinTypes. The TRIANGLE shape adds the
+    // non-tree a—c edge on id parity — a probe-time RESIDUAL condition
+    // (AttributeBasedJoinKeyExtractor's non-via ConditionAttributeRef) —
+    // on top of the chain's tree edges; the all-inner mix routes every
+    // shape through the UNTYPED walk engine (planOf residuals) as well.
     type E = (Long, Long, Double)
     def rowsOf(m: Map[Long, (Long, Double)]): Seq[E] =
       m.toSeq.map { case (id, (g, v)) => (id, g, v) }
     (1L to 10L).foreach { seed =>
       val all = sample(nEnt = 12, nOps = 48, groups = 2, seed)
       val parts = (0 to 2).map(i => all.filter(_._1 % 3 == i))
-      val dfs = Seq(toDf(parts(0), "a"), toDf(parts(1), "b"),
-        toDf(parts(2), "c"))
+      val dfs = Seq(
+        toDf(parts(0), "a").withColumn("apar", col("aid") % 2),
+        toDf(parts(1), "b"),
+        toDf(parts(2), "c").withColumn("cpar", col("cid") % 2))
       val fs = parts.map(finalState)
       val (a, b, c) = (rowsOf(fs(0)), rowsOf(fs(1)), rowsOf(fs(2)))
       for {
-        shape <- Seq("chain", "star")
+        shape <- Seq("chain", "star", "triangle")
         types <- Seq(
+          Seq("inner", "inner", "inner"), // untyped walk engine
           Seq("inner", "left", "inner"),
           Seq("inner", "left", "left"),
           Seq("inner", "inner", "left"))
       } {
-        val conds =
-          if (shape == "chain") Map(
+        val conds = shape match {
+          case "chain" => Map(
             1 -> Seq(ChangelogMultiJoin.ChainCond(0, "ag", "bg")),
             2 -> Seq(ChangelogMultiJoin.ChainCond(1, "bg", "cg")))
-          else Map(
+          case "star" => Map(
             1 -> Seq(ChangelogMultiJoin.ChainCond(0, "ag", "bg")),
             2 -> Seq(ChangelogMultiJoin.ChainCond(0, "ag", "cg")))
+          case _ => Map( // triangle: chain tree + a—c parity residual
+            1 -> Seq(ChangelogMultiJoin.ChainCond(0, "ag", "bg")),
+            2 -> Seq(
+              ChangelogMultiJoin.ChainCond(1, "bg", "cg"),
+              ChangelogMultiJoin.ChainCond(0, "apar", "cpar")))
+        }
         val out = ChangelogMultiJoin.chain(dfs, conds, types)
         val got = UpsertMaterialize(out, Seq("aid", "bid", "cid"))
           .select("aid", "av", "bid", "bv", "cid", "cv")
@@ -277,8 +290,9 @@ class ChangelogFuzzSpec extends SparkSpecBase {
         }
         val t2: Seq[(E, Option[E], Option[E])] = t1.flatMap { case (ar, bo) =>
           val key: Option[Long] =
-            if (shape == "chain") bo.map(_._2) else Some(ar._2)
-          val ms = key.map(k => c.filter(_._2 == k)).getOrElse(Nil)
+            if (shape == "star") Some(ar._2) else bo.map(_._2)
+          val ms = key.map(k => c.filter(cr => cr._2 == k &&
+            (shape != "triangle" || cr._1 % 2 == ar._1 % 2))).getOrElse(Nil)
           if (ms.nonEmpty) ms.map(cr => (ar, bo, Some(cr)))
           else if (types(2) == "left") Seq((ar, bo, None)) else Nil
         }
