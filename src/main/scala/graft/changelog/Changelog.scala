@@ -494,15 +494,27 @@ object RetractingChangelogAgg {
             }
             val emitted = old.flatMap(s => Option(s._2))
             // Counter mode with a TTL: the seq domain is REBASED each
-            // micro-batch to processingTimeMs << 20 (2^20 slots per ms —
-            // far above any per-key per-batch transition count). Expiry
-            // can then drop state completely: a post-expiry re-insert is
-            // at least one TTL of wall clock later, so its base out-seqs
-            // every pre-expiry emission. Without a TTL the base stays 1
-            // (deterministic batch-face seqs, as the oracles record).
+            // micro-batch to processingTimeMs << 16 (2^16 slots per ms;
+            // the agg consumes exactly 2 slots per key per batch — one
+            // diff — so collisions would need >32k transitions of one
+            // key inside one millisecond of batch time). The shift is
+            // deliberately 16, not wider: downstream consumers compose
+            // affine maps on seqs (a multi-join stamps 2*s + bit, a
+            // seqFromInput agg 4*s + 3), and epoch-ms << 16 ≈ 1.2e17
+            // leaves ~75x of Long headroom for such stacking where a
+            // << 20 base would overflow at the third level. Expiry can
+            // then drop state completely: a post-expiry re-insert is at
+            // least one TTL of wall clock later, so its base out-seqs
+            // every pre-expiry emission — assuming the processing-time
+            // clock does not step backwards across a restart (the same
+            // monotonicity Spark's own ProcessingTimeTimeout timers
+            // assume; a regressed clock can let a pre-expiry row win
+            // keep-last until the clock passes its old reading). Without
+            // a TTL the base stays 1 (deterministic batch-face seqs, as
+            // the oracles record).
             val procBase =
               if (idleTtlMs.isDefined && !seqFromInput)
-                state.getCurrentProcessingTimeMs << 20
+                state.getCurrentProcessingTimeMs << 16
               else 1L
             val seq0 = math.max(old.map(_._1).getOrElse(1L), procBase)
             val (retSeq, accSeq) =

@@ -209,6 +209,16 @@ object ChangelogMultiJoin extends Serializable {
     * along the join graph, and each input keeps one hash index per
     * neighbor pair, so every lookup is keyed by already-bound rows —
     * per-event work is the size of the emitted delta, not the state.
+    *
+    * DECLARE THE SELECTIVE CONDITION FIRST per input: when an input has
+    * several conditions (a triangle/cyclic join graph), the earliest
+    * declared condition that connects it to the already-visited inputs
+    * becomes the hop whose attributes key the index lookup; the later
+    * ones are applied as probe-time residual post-filters. Declaring a
+    * low-cardinality condition (a parity/flag attribute) first makes it
+    * the lookup key and fans every probe out to all rows sharing that
+    * flag value before the real key is checked — put the high-cardinality
+    * equi-key first and results are identical with delta-sized work.
     */
   def chain(
       inputs: Seq[DataFrame],

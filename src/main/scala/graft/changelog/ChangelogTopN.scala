@@ -90,7 +90,13 @@ object ChangelogTopN extends Serializable {
     *        the post-expiry state only (the previously emitted ranks
     *        are not retracted — downstream keep-last materialization is
     *        assumed compacted). None keeps state for the stream's
-    *        lifetime — exact retractable Top-N. */
+    *        lifetime — exact retractable Top-N; note that a partition
+    *        key whose rows are ALL retracted then leaves a permanent
+    *        seq-only tombstone (as RetractingChangelogAgg's counter mode
+    *        always has — a later re-insert must out-seq the -D rows the
+    *        key emitted, or keep-last materialization would resurrect
+    *        them), so high-churn key spaces should set a TTL to bound
+    *        dead-key state. */
   def apply(
       df: DataFrame,
       partitionCols: Seq[String],
@@ -205,8 +211,14 @@ object ChangelogTopN extends Serializable {
             Iterator.empty
           } else {
             val old = state.getOption
+            // 2^16 slots per ms of batch time; each batch's diff emits 2
+            // slots per rank change (≤ 2n+… per batch), so collisions
+            // would need >32k rank changes of one key in one millisecond.
+            // See RetractingChangelogAgg's procBase comment for the
+            // headroom rationale (downstream affine seq consumers) and
+            // the clock-monotonicity assumption across restarts.
             val procBase =
-              if (idleTtlMs.isDefined) state.getCurrentProcessingTimeMs << 20
+              if (idleTtlMs.isDefined) state.getCurrentProcessingTimeMs << 16
               else 1L
             val (seqStored, liveM, top0) = old.getOrElse(
               (1L, Map.empty[Any, Double], Vector.empty[(Any, Double)]))

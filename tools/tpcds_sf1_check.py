@@ -9,23 +9,80 @@ reproducibly without committing ~260 MB of parquet:
     python3 tools/tpcds_sf1_gen.py /tmp/tpcds_sf1
     GRAFT_TPCDS_DIR=/tmp/tpcds_sf1 SPARK_GRAFT_CPUS=16 \
       sbt "runMain graft.Verify /root/testdata/sf0.001 /tmp/verify_sf1 <all q_tpcds_sql_*>"
-    python3 tools/tpcds_sf1_check.py /tmp/verify_sf1
+    # optional spark timings (median-of-3 through the noop sink; the
+    # console line only carries a headline subset — the full per-query
+    # map goes to SPARK_GRAFT_BENCH_OUT):
+    GRAFT_TPCDS_DIR=/tmp/tpcds_sf1 SPARK_GRAFT_BENCH_ONLY=<all q_tpcds_sql_*> \
+      SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf1.json sbt "runMain graft.Bench"
+    python3 tools/tpcds_sf1_check.py /tmp/verify_sf1 [artifact] [/tmp/bench_sf1.json]
 
 It replays the driver's DuckDB compare (columns sorted by name, rows
-sorted) on the sf1-bound oracle statements Verify emitted, and writes
-TPCDS_SF1.json: per-query {rows, match}, the vacuous set, and totals.
-Numeric cells allow one unit in the 4th decimal (the committed gate's
-4-dp normalization has a half-ulp rounding cliff that sf1 averages can
-land on); every tolerance-consumed cell is recorded in the artifact. The committed artifact is the evidence that the 16 queries the
-sf0.03 gate can only parse/plan-check also VALUE-match at the reference's
-own scale (only q17 stays empty at sf1 — documented in tpcds_sf1_gen.py).
+paired) on the sf1-bound oracle statements Verify emitted, and writes
+TPCDS_SF1.json: per-query {rows, match, duck_s[, spark_s]}, the vacuous
+set, and totals. Numeric cells allow one unit in the 4th decimal (the
+committed gate's 4-dp normalization has a half-ulp rounding cliff that
+sf1 averages can land on); every tolerance-consumed cell is recorded in
+the artifact. Rows are paired exactly first (multiset), then leftovers
+are greedily paired under the tolerance — pairing never sorts on rounded
+values, so a near-boundary cell cannot misalign the row correspondence.
+The committed artifact is the evidence that the 16 queries the sf0.03
+gate can only parse/plan-check also VALUE-match at the reference's own
+scale (only q17 stays empty at sf1 — documented in tpcds_sf1_gen.py).
 """
-import duckdb, json, os, sys, time
+import json, os, re, sys, time
+
+import duckdb
+
+TOL = 1.5e-4
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf1"
 artifact = sys.argv[2] if len(sys.argv) > 2 else \
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  "TPCDS_SF1.json")
+bench_json = sys.argv[3] if len(sys.argv) > 3 else None
+
+
+def is_num(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def pair_rows(srows, orows, cols):
+    """Pair spark rows to oracle rows: exact tuples first (multiset),
+    then greedy tolerance pairing of the leftovers. Returns
+    (all_paired, tolerance_cells) — tolerance_cells as
+    [col, spark_val, duck_val] per tolerated cell."""
+    from collections import Counter
+    sc, oc = Counter(srows), Counter(orows)
+    exact = sc & oc
+    sleft, oleft = list((sc - exact).elements()), list((oc - exact).elements())
+    tol_cells = []
+
+    def close(a, b):
+        """None iff not pairable; else the list of tolerated cells."""
+        cells = []
+        for cn, (x, y) in enumerate(zip(a, b)):
+            if x == y or str(x) == str(y):
+                continue
+            if is_num(x) and is_num(y) and abs(float(x) - float(y)) <= TOL:
+                cells.append([cols[cn], str(x), str(y)])
+                continue
+            return None
+        return cells
+
+    for srow in sleft:
+        hit = None
+        for j, orow in enumerate(oleft):
+            cells = close(srow, orow)
+            if cells is not None:
+                hit = (j, cells)
+                break
+        if hit is None:
+            return False, tol_cells
+        oleft.pop(hit[0])
+        tol_cells.extend(hit[1])
+    return len(oleft) == 0, tol_cells
+
+
 oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 con = duckdb.connect()
 per, fails, errs = {}, [], []
@@ -47,46 +104,14 @@ for name in sorted(oracles, key=lambda s: int(s.rsplit("_", 1)[1])
         duck_s = round(time.time() - t0, 3)
         ocols = [d[0] for d in orel.description]
         orows = orel.fetchall()
-        sidx = [scols.index(c) for c in sorted(scols)]
-        oidx = [ocols.index(c) for c in sorted(ocols)]
-
-        # The committed sf0.03 gate is cell-EXACT (both sides round to
-        # 4 dp from the same meta). At sf1 an avg can land exactly on a
-        # 0.00005 boundary where the two engines' double ulps round the
-        # 4th decimal apart (q28: 134.01775 -> .0178 vs .0177), so the
-        # deep tier compares numerics with a one-unit-in-the-4th-decimal
-        # tolerance and REPORTS every cell that needed it.
-        def key(r, idx):
-            out = []
-            for i in idx:
-                v = r[i]
-                if isinstance(v, (int, float)) and not isinstance(v, bool) \
-                        and v is not None:
-                    out.append(("n", round(float(v), 2)))
-                else:
-                    out.append(("s", str(v)))
-            return tuple(out)
-        snorm = sorted((key(r, sidx), tuple(r[i] for i in sidx))
-                       for r in srows)
-        onorm = sorted((key(r, oidx), tuple(r[i] for i in oidx))
-                       for r in orows)
-        tol_cells = []
-        match = sorted(scols) == sorted(ocols) and len(snorm) == len(onorm)
-        if match:
-            for rn, ((_, sr), (_, orow)) in enumerate(zip(snorm, onorm)):
-                for cn, (a, b) in enumerate(zip(sr, orow)):
-                    if a == b or str(a) == str(b):
-                        continue
-                    try:
-                        if abs(float(a) - float(b)) <= 1.5e-4:
-                            tol_cells.append([rn, sorted(scols)[cn],
-                                              str(a), str(b)])
-                            continue
-                    except (TypeError, ValueError):
-                        pass
-                    match = False
-                if not match:
-                    break
+        cols = sorted(scols)
+        sidx = [scols.index(c) for c in cols]
+        match, tol_cells = False, []
+        if sorted(scols) == sorted(ocols) and len(srows) == len(orows):
+            oidx = [ocols.index(c) for c in cols]
+            match, tol_cells = pair_rows(
+                [tuple(r[i] for i in sidx) for r in srows],
+                [tuple(r[i] for i in oidx) for r in orows], cols)
         per[name] = {"rows": len(srows), "match": match, "duck_s": duck_s}
         if tol_cells:
             per[name]["tolerance_cells"] = tol_cells
@@ -96,6 +121,18 @@ for name in sorted(oracles, key=lambda s: int(s.rsplit("_", 1)[1])
         errs.append(name)
         per[name] = {"rows": None, "match": False,
                      "err": str(e).split("\n")[0][:200]}
+
+# optional: merge per-query Spark timings from a Bench JSON line (the
+# committed artifact's spark_s fields come from here — reproducible)
+if bench_json and os.path.exists(bench_json):
+    line = open(bench_json).read()
+    m = re.search(r"\{.*\}", line)
+    if m:
+        bq = json.loads(m.group(0)).get("queries", {})
+        for k, v in bq.items():
+            if k in per:
+                per[k]["spark_s"] = v
+
 vacuous = sorted(int(k.rsplit("_", 1)[1]) for k, v in per.items()
                  if v.get("rows") == 0)
 summary = {
@@ -108,6 +145,13 @@ summary = {
     "vacuous_qn": vacuous,
     "per_query": per,
 }
+spark_ts = [v["spark_s"] for v in per.values() if "spark_s" in v]
+if spark_ts:
+    summary["spark_total_s"] = round(sum(spark_ts), 1)
+    summary["spark_bench"] = \
+        "local[32] noop sink, warmup + median of 3 (graft.Bench subset run)"
+summary["duck_total_s"] = round(
+    sum(v.get("duck_s", 0) for v in per.values()), 1)
 json.dump(summary, open(artifact, "w"), indent=1)
 print("matched %d/%d, vacuous %s, fails %s, errs %s -> %s" %
       (summary["matched"], len(per), vacuous, fails, errs, artifact))
