@@ -153,6 +153,7 @@ object Bench {
       "q_tpcds_q23", "q_tpcds_q28", "q_tpcds_q67", "q_tpcds_q72",
       "q_tpcds_q95",
       "q_changelog_agg_chain", "q_changelog_join", "q_changelog_join_nary",
+      "q_changelog_join_nary_left", "q_changelog_join_nary_residual",
       "q_retract_agg")
     val scaleDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
       .orElse(Option("scale-data/sf1")
