@@ -11,7 +11,29 @@ import org.apache.spark.sql.SparkSession
   *     functions under test;
   *   - one full warmup pass (JIT + codegen + parquet footer caching) before
   *     timing;
-  *   - deterministic name order, median of 3 timed runs per query.
+  *   - deterministic name order, median of timed runs per query.
+  *
+  * Budget discipline (VERDICT r16 "what's wrong" #1 — the r16 driver run was
+  * killed at its wall-clock limit before printing anything, rc 124; r15's
+  * sweep passed at 1,344 s and r16 added 101 queries on top):
+  *   - the sweep runs against a deadline (`SPARK_GRAFT_BENCH_DEADLINE`
+  *     seconds, default 1380 — just above the slowest sweep the driver has
+  *     ever accepted);
+  *   - queries whose recorded baseline is < 0.9 s take 1 sequential rep +
+  *     1 rescue rep instead of 2+1 (368 of 473 queries; they are judged by
+  *     RATIO against a 2x gate, where a 2-sample median resolves fine, and
+  *     the saved pass — ~160 s — is what keeps the sweep inside the window);
+  *   - the full-sweep JSON is written to BENCH_LAST.json and the contract
+  *     line printed IMMEDIATELY after the timed reps, then again after each
+  *     optional stage (scale tier, quiet re-measures), so a kill mid-stage
+  *     still leaves a complete parseable artifact — the driver tails stdout
+  *     and the last complete line wins;
+  *   - stage order puts the sf1 scale tier BEFORE the quiet re-measures:
+  *     the scale block is a graded artifact, the re-measures only refine
+  *     outlier medians (the final emit recomputes growth factors from the
+  *     re-measured denominators either way);
+  *   - every deadline-driven skip is recorded in the JSON (`budget` block)
+  *     so a truncated sweep is never mistaken for a complete one.
   */
 object Bench {
 
@@ -25,9 +47,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - startNs) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val deadline =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1380").toDouble
     val spark = GraftSession.get("graft-bench", s"local[$cpus]", cpus.toInt)
 
     // Dev loop only (driver leaves it unset): bench a named subset.
@@ -36,62 +62,9 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // Warmup: one untimed pass over every query.
-    ordered.foreach { case (_, fn) =>
-      try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
-    }
-
-    // Rep schedule (r12): reps-1 SEQUENTIAL reps per query right after
-    // its warmup neighborhood (hot JIT/code cache — the state the
-    // baselines were recorded in), then ONE final round-robin rescue
-    // pass minutes later. r11's fully-interleaved schedule fixed the
-    // spike false alarms but ran every rep cold (each one after 260
-    // other queries churned the JVM) and shifted the whole sweep's
-    // medians +26% vs baseline.
-    // Aggregate by MEDIAN (r13, ADVICE r12): the BASELINE.md numbers
-    // were recorded under median, and a min-vs-median comparison biases
-    // every ratio downward, weakening the 2x gate. Transient-spike
-    // outliers stay handled by the documented 7-rep quiet-box re-measure
-    // procedure, not by the aggregation.
-    val timed = Array.fill(ordered.size)(
-      scala.collection.mutable.ArrayBuffer.empty[Double])
-    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-      (2 to reps).foreach { _ =>
-        timed(i) += (try runOnce(spark, sfDir, fn)
-          catch { case _: Throwable => -1.0 })
-      }
-    }
-    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-      timed(i) += (try runOnce(spark, sfDir, fn)
-        catch { case _: Throwable => -1.0 })
-    }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    // Outlier re-measure — the BASELINE.md "7-rep quiet-box" procedure,
-    // automated inside the sweep (r14): a query's 2 sequential reps run
-    // back-to-back, so one noisy neighbor (GC storm, box contention)
-    // poisons 2 of its 3 samples and the median follows it — r13's
-    // driver sweep read q_asof_join at 5.4x while the same code on the
-    // same box measured 1.0x minutes later. When the median sits far
-    // above the query's own fastest rep, take 4 extra reps at the END
-    // of the sweep (quiet JVM) and report the median of all 7. Same
-    // code re-measured with more samples — variance reduction, not
-    // selection: a genuine regression is slow in every rep and keeps
-    // its slow median.
-    //
-    // Second trigger (r15): the spread trigger misses a UNIFORMLY noisy
-    // neighborhood — when all of a query's reps run behind the same
-    // churny stretch (r15: the 36 new TPC-DS shapes land alphabetically
-    // right before the q_unified_* streaming family, which then read
-    // 2.3x in the sweep but 0.95x minutes later), median ≈ min and
-    // nothing fires. So also re-measure when the median exceeds 1.8x
-    // the query's RECORDED baseline (parsed from BASELINE.md when
-    // present). Still the same procedure — extra reps of the same code,
-    // median over all samples; a genuine regression is slow in the
-    // quiet reps too and keeps its breach.
+    // Recorded baselines, parsed up-front: they drive both the rep schedule
+    // (sub-0.9s queries get one fewer sequential rep) and the 1.8x
+    // re-measure trigger.
     val baselines: Map[String, Double] =
       try {
         val md = new String(java.nio.file.Files.readAllBytes(
@@ -104,45 +77,156 @@ object Bench {
           // round sections and the most recent number is the live one
           .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
       } catch { case _: Throwable => Map.empty }
-    val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      // ANY failed rep marks the query failed (-1): a query that
-      // crashes intermittently must not report a healthy aggregate of
-      // its surviving reps (review r11)
-      val ts = timed(i).toSeq
-      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
-               else {
-                 val med = median(ts)
-                 // floor 0.05 not 0.15: the per-query 2x gate treats a
-                 // 0.1s->0.22s drift on a 25-row query the same as a
-                 // 2s->4.4s one, so small-absolute drifts still deserve
-                 // the quiet re-reps (each costs ~0.2s)
-                 val vsBaseline = baselines.get(name)
-                   .exists(b => med > b * 1.8 && med - b > 0.05)
-                 if ((med > ts.min * 1.5 && med - ts.min > 0.15) ||
-                     vsBaseline) {
-                   // auditable (ADVICE r14): record + log every query the
-                   // procedure touched, so an adjusted median is never
-                   // mistaken for a raw 3-rep one
-                   remeasured += name
-                   System.err.println(
-                     f"[bench] re-measuring $name: median $med%.3f vs " +
-                       f"min ${ts.min}%.3f over ${ts.size} reps")
-                   val extra = (1 to 4).map(_ =>
-                     try runOnce(spark, sfDir, fn)
-                     catch { case _: Throwable => -1.0 })
-                   if (extra.exists(_ < 0)) -1.0
-                   else median(ts ++ extra)
-                 } else med
-               })
+
+    val budgetNotes = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // Warmup: one untimed pass over every query. Gate at 40% of the budget —
+    // a degraded box that can't finish warmup in that window won't finish
+    // the timed passes either, and a cold-measured query beats none.
+    var warmupSkipped = 0
+    ordered.foreach { case (_, fn) =>
+      if (elapsed > deadline * 0.4) warmupSkipped += 1
+      else (try runOnce(spark, sfDir, fn) catch { case _: Throwable => () })
+    }
+    if (warmupSkipped > 0) budgetNotes += s"warmup_skipped:$warmupSkipped"
+
+    // Rep schedule (r12): sequential reps per query right after its warmup
+    // neighborhood (hot JIT/code cache — the state the baselines were
+    // recorded in), then ONE final round-robin rescue pass minutes later.
+    // r11's fully-interleaved schedule fixed the spike false alarms but ran
+    // every rep cold and shifted the whole sweep's medians +26% vs baseline.
+    // Aggregate by MEDIAN (r13, ADVICE r12): the BASELINE.md numbers were
+    // recorded under median, and a min-vs-median comparison biases every
+    // ratio downward, weakening the 2x gate.
+    val timed = Array.fill(ordered.size)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    var seqSkipped = 0
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      val nSeq =
+        if (baselines.get(name).exists(_ < 0.9)) 1
+        else math.max(1, reps - 1)
+      if (elapsed > deadline * 0.7) seqSkipped += 1
+      else (1 to nSeq).foreach { _ =>
+        timed(i) += (try runOnce(spark, sfDir, fn)
+          catch { case _: Throwable => -1.0 })
+      }
+    }
+    if (seqSkipped > 0) budgetNotes += s"seq_reps_skipped:$seqSkipped"
+    // Rescue pass: the guaranteed temporally-decorrelated sample. Past 90%
+    // of the budget, only queries with zero samples still run (a query must
+    // never report -1 merely because the box was slow).
+    var rescueSkipped = 0
+    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
+      if (elapsed > deadline * 0.9 && timed(i).nonEmpty) rescueSkipped += 1
+      else timed(i) += (try runOnce(spark, sfDir, fn)
+        catch { case _: Throwable => -1.0 })
+    }
+    if (rescueSkipped > 0) budgetNotes += s"rescue_reps_skipped:$rescueSkipped"
+
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    // ---- scale tier (VERDICT r15 #3): the heaviest pipelines once more
-    // against the 10x corpus (scale-data/sf1, built by ScaleDataGen).
+    // Medians over whatever samples a query holds. ANY failed rep marks the
+    // query failed (-1): a query that crashes intermittently must not report
+    // a healthy aggregate of its surviving reps (review r11).
+    def computeResults(): Seq[(String, Double)] =
+      ordered.zipWithIndex.map { case ((name, _), i) =>
+        val ts = timed(i).toSeq
+        name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else median(ts))
+      }
+
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def toJson(
+        rs: Seq[(String, Double)],
+        fullResults: Seq[(String, Double)],
+        remeasured: Seq[String],
+        scaleResults: Seq[(String, Double)],
+        scaleDir: Option[String],
+        scaleSkipped: Seq[String]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = fullResults.map(_._2).filter(_ >= 0).sum // always the FULL total
+      val rm = remeasured.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val scale =
+        if (scaleResults.isEmpty && scaleSkipped.isEmpty) ""
+        else {
+          val base = fullResults.toMap
+          val sq = scaleResults.map { case (k, v) =>
+            "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+          val growth = scaleResults.flatMap { case (k, v) =>
+            base.get(k).filter(b => b > 0 && v >= 0)
+              .map(b => k -> v / b)
+          }
+          val gj = growth.map { case (k, g) =>
+            "\"" + k + "\":" + f"$g%.2f" }.mkString("{", ",", "}")
+          val breaches = growth.filter(_._2 > 15.0).map(_._1).sorted
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
+          val sk = scaleSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""","scale":{"dir":"${scaleDir.getOrElse("")}","queries":$sq,"growth":$gj,"breaches":$breaches,"skipped":$sk}"""
+        }
+      val budget =
+        s""","budget":{"deadline":${fmt(deadline)},"elapsed":${fmt(elapsed)},"notes":${
+          budgetNotes.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$scale$budget,"full":"BENCH_LAST.json"}"""
+    }
+
+    // Persist the complete per-query map to a file: the driver captures only
+    // the last ~2000 chars of stdout, which truncated BENCH_r02/r03 — the
+    // file survives intact (committed to the repo each round). The headline
+    // stdout line is a prioritized subset cut at the 1800-char budget.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    val headline = Seq(
+      "q1_agg", "q_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+      "q_embedding_cosine_dup", "q_vector_topk", "q_vector_ivf_topk",
+      "q_changelog_join", "q_changelog_agg_chain", "q_match_recognize",
+      "q_over_rows", "q_topn", "q_salted_join", "q_multiset", "q_asof_join",
+      "q_interval_join", "q_session_agg", "q_unified_tumble", "q_retract_agg",
+      "q_tpcds_q23", "q_tpcds_q67", "q_tpcds_q95", "q_url_dedup",
+      "q_avro_scan")
+    def emit(
+        results: Seq[(String, Double)],
+        remeasured: Seq[String],
+        scaleResults: Seq[(String, Double)],
+        scaleDir: Option[String],
+        scaleSkipped: Seq[String]): Unit = {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        toJson(results, results, remeasured, scaleResults, scaleDir,
+          scaleSkipped)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+      val byName = results.toMap
+      val prioritized =
+        results.filter(_._1.startsWith("q_tpch_")) ++
+          headline.flatMap(n => byName.get(n).map(n -> _)) ++
+          results.filterNot { case (n, _) =>
+            n.startsWith("q_tpch_") || headline.contains(n)
+          }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      prioritized.foreach { kv =>
+        if (toJson(kept.toSeq :+ kv, results, remeasured, scaleResults,
+          scaleDir, scaleSkipped).length <= 1800) kept += kv
+      }
+      println(toJson(kept.toSeq, results, remeasured, scaleResults, scaleDir,
+        scaleSkipped))
+      System.out.flush()
+    }
+
+    // ---- STAGE 1 flush: raw medians. A kill from here on still leaves a
+    // complete parseable artifact.
+    var results = computeResults()
+    emit(results, Seq.empty, Seq.empty, None, Seq.empty)
+
+    // ---- STAGE 2: scale tier (VERDICT r15 #3): the heaviest pipelines once
+    // more against the 10x corpus (scale-data/sf1, built by ScaleDataGen).
     // One rep each — these run seconds-long, so single-rep noise is small
-    // relative to the 15x growth gate; growth = t_sf1 / t_sf0.1 median
-    // from THIS sweep (same process, same JIT state). A growth factor
-    // > 15x for 10x data flags a super-linear pipeline (breaches list).
+    // relative to the 15x growth gate; growth = t_sf1 / t_sf0.1 median from
+    // THIS sweep (same process, same JIT state). A growth factor > 15x for
+    // 10x data flags a super-linear pipeline (breaches list). Per-query
+    // deadline gate: skipped names are recorded, never silently dropped.
     val scaleNames = Seq(
       "q1_agg", "q_salted_join", "q_multiset",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
@@ -159,73 +243,60 @@ object Bench {
       .orElse(Option("scale-data/sf1")
         .filter(d => new java.io.File(d).isDirectory))
       .filter(_ => sys.env.get("SPARK_GRAFT_SCALE_SKIP").isEmpty)
+    val scaleSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val scaleResults: Seq[(String, Double)] = scaleDir match {
       case Some(dir) =>
         val byNameQ = SparkEntry.queries
         scaleNames.filter(byNameQ.contains)
           .filter(n => only.forall(_.contains(n)))
-          .map { n =>
-            n -> (try runOnce(spark, dir, byNameQ(n))
-              catch { case _: Throwable => -1.0 })
+          .flatMap { n =>
+            if (elapsed > deadline * 0.97) { scaleSkipped += n; None }
+            else Some(n -> (try runOnce(spark, dir, byNameQ(n))
+              catch { case _: Throwable => -1.0 }))
           }
       case None => Seq.empty
     }
+    emit(results, Seq.empty, scaleResults, scaleDir, scaleSkipped.toSeq)
 
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    def toJson(rs: Seq[(String, Double)]): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum // always the FULL total
-      val rm = remeasured.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val scale =
-        if (scaleResults.isEmpty) ""
-        else {
-          val base = results.toMap
-          val sq = scaleResults.map { case (k, v) =>
-            "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-          val growth = scaleResults.flatMap { case (k, v) =>
-            base.get(k).filter(b => b > 0 && v >= 0)
-              .map(b => k -> v / b)
+    // ---- STAGE 3: quiet re-measures — the BASELINE.md "7-rep quiet-box"
+    // procedure automated inside the sweep (r14): when a query's median sits
+    // far above its own fastest rep (noisy-neighbor poisoning), or exceeds
+    // 1.8x its RECORDED baseline (uniformly noisy neighborhood, r15), take 4
+    // extra reps at the END of the sweep (quiet JVM) and report the median
+    // of all samples. Variance reduction, not selection: a genuine
+    // regression is slow in every rep and keeps its slow median.
+    // floor 0.05 not 0.15: the per-query 2x gate treats a 0.1s->0.22s drift
+    // on a 25-row query the same as a 2s->4.4s one.
+    // auditable (ADVICE r14): record + log every query the procedure
+    // touched, so an adjusted median is never mistaken for a raw one.
+    val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
+    var remeasureTruncated = false
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      val ts = timed(i).toSeq
+      if (ts.nonEmpty && !ts.exists(_ < 0)) {
+        val med = median(ts)
+        val vsBaseline = baselines.get(name)
+          .exists(b => med > b * 1.8 && med - b > 0.05)
+        val noisy = (med > ts.min * 1.5 && med - ts.min > 0.15) || vsBaseline
+        if (noisy) {
+          if (elapsed > deadline) remeasureTruncated = true
+          else {
+            remeasured += name
+            System.err.println(
+              f"[bench] re-measuring $name: median $med%.3f vs " +
+                f"min ${ts.min}%.3f over ${ts.size} reps")
+            (1 to 4).foreach { _ =>
+              timed(i) += (try runOnce(spark, sfDir, fn)
+                catch { case _: Throwable => -1.0 })
+            }
           }
-          val gj = growth.map { case (k, g) =>
-            "\"" + k + "\":" + f"$g%.2f" }.mkString("{", ",", "}")
-          val breaches = growth.filter(_._2 > 15.0).map(_._1).sorted
-            .map("\"" + _ + "\"").mkString("[", ",", "]")
-          s""","scale":{"dir":"${scaleDir.get}","queries":$sq,"growth":$gj,"breaches":$breaches}"""
         }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$scale,"full":"BENCH_LAST.json"}"""
+      }
     }
-    // Persist the complete per-query map to a file: the driver captures only
-    // the last ~2000 chars of stdout, which truncated BENCH_r02/r03 — the
-    // file survives intact (committed to the repo each round).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(out),
-      toJson(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
-    // Print a headline subset sized to fit the driver's tail window so the
-    // one-line contract JSON parses: TPC-H first, then the heavy custom ops,
-    // then everything else alphabetically, cut at the 1800-char budget.
-    val headline = Seq(
-      "q1_agg", "q_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-      "q_embedding_cosine_dup", "q_vector_topk", "q_vector_ivf_topk",
-      "q_changelog_join", "q_changelog_agg_chain", "q_match_recognize",
-      "q_over_rows", "q_topn", "q_salted_join", "q_multiset", "q_asof_join",
-      "q_interval_join", "q_session_agg", "q_unified_tumble", "q_retract_agg",
-      "q_tpcds_q23", "q_tpcds_q67", "q_tpcds_q95", "q_url_dedup",
-      "q_avro_scan")
-    val byName = results.toMap
-    val prioritized =
-      results.filter(_._1.startsWith("q_tpch_")) ++
-        headline.flatMap(n => byName.get(n).map(n -> _)) ++
-        results.filterNot { case (n, _) =>
-          n.startsWith("q_tpch_") || headline.contains(n)
-        }
-    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    prioritized.foreach { kv =>
-      if (toJson(kept.toSeq :+ kv).length <= 1800) kept += kv
-    }
-    println(toJson(kept.toSeq))
+    if (remeasureTruncated) budgetNotes += "remeasure_truncated"
+    results = computeResults()
+    emit(results, remeasured.toSeq, scaleResults, scaleDir,
+      scaleSkipped.toSeq)
     spark.stop()
   }
 }

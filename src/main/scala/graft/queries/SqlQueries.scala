@@ -704,6 +704,49 @@ object SqlQueries {
         GROUP BY event_type ORDER BY event_type
       """.trim)),
 
+    // Changelog-mode inference on the SQL streaming entry (r17, VERDICT
+    // task 2; ref FlinkChangelogModeInferenceProgram.scala +
+    // StreamExecSink.java:137): a streaming `INSERT INTO … GROUP BY` is an
+    // UPDATING query, so the runner must pick upsert materialization on
+    // the sink's PRIMARY KEY automatically. Two file arrivals revise the
+    // counts in place; the materialized final state equals the batch
+    // answer — which IS the oracle.
+    QueryDef(
+      "q_sql_stream_upsert",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_upsert").toString
+        new java.io.File(s"$tmp/src").mkdirs()
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val qs = FlinkDdl.runStreaming(s,
+          s"""CREATE TABLE src (
+             |  event_id BIGINT, event_type STRING, value DOUBLE
+             |) WITH ('connector'='filesystem', 'path'='$tmp/src',
+             |        'format'='parquet');
+             |CREATE TABLE agg_snk (
+             |  event_type STRING, n BIGINT, sum_value DOUBLE,
+             |  PRIMARY KEY (event_type) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/snk',
+             |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
+             |INSERT INTO agg_snk
+             |SELECT event_type, COUNT(*) AS n, $dsum6 AS sum_value
+             |FROM src GROUP BY event_type""".stripMargin)
+        try {
+          ev.where(col("event_id") % 2 === 0)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+          ev.where(col("event_id") % 2 === 1)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+        } finally qs.foreach(_.stop())
+        s.read.parquet(s"$tmp/snk").orderBy("event_type")
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, $dsum6 AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
     // JDBC connector in DDL (the flink-connector-jdbc option surface:
     // 'url' / 'table-name'): INSERT OVERWRITE materializes an aggregate
     // into embedded Derby, the final SELECT scans it back through Spark's

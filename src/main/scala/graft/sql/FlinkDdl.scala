@@ -2052,7 +2052,36 @@ object FlinkDdl {
     }
   }
 
-  /** Continuous write of an (aligned) streaming result into a sink table. */
+  /** Changelog-mode inference: is this streaming plan APPEND-only, or does
+    * it produce updates? The reference decides this during planning
+    * (`FlinkChangelogModeInferenceProgram.scala` walks the physical plan
+    * deriving each node's ChangelogMode; `StreamExecSink.java:137` then
+    * picks append vs upsert materialization). Here Spark's own streaming
+    * checker is the decision oracle — it encodes exactly the "does this
+    * plan revise emitted results?" rule (unwindowed aggregates, aggregates
+    * past the watermark-append boundary, …), so a plan it accepts under
+    * Append streams as-is and anything else is an updating query. */
+  private[sql] def isAppendCapable(df: DataFrame): Boolean =
+    try {
+      org.apache.spark.sql.catalyst.analysis.UnsupportedOperationChecker
+        .checkForStreaming(df.queryExecution.analyzed,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      true
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+    }
+
+  /** Continuous write of an (aligned) streaming result into a sink table.
+    *
+    * Updating queries (e.g. `INSERT INTO snk SELECT k, COUNT(*) … GROUP BY
+    * k` — the reference's flagship "any query is a changelog" semantic) are
+    * routed automatically through the changelog tier: the plan runs in
+    * Update output mode and each micro-batch's revised rows MERGE into the
+    * sink keyed by its PRIMARY KEY via [[graft.changelog.UpsertSink]] —
+    * the reference's SinkUpsertMaterializer decision, made by the planner
+    * rather than the user (ref `StreamExecSink.java:137`). A sink without
+    * a PRIMARY KEY cannot consume updates and fails loudly with the
+    * reference's error shape. */
   private def startStreamSink(
       spec: TableSpec,
       aligned: DataFrame)
@@ -2060,7 +2089,37 @@ object FlinkDdl {
     val ckpt = spec.options.getOrElse("sink.checkpoint-dir",
       java.nio.file.Files
         .createTempDirectory(s"graft_ddl_ck_${spec.name}_").toString)
+    val appendOk = isAppendCapable(aligned)
     val q = spec.connector match {
+      case "filesystem" if !appendOk =>
+        require(spec.primaryKey.nonEmpty,
+          s"Table sink '${spec.name}' doesn't support consuming update " +
+            "changes which are produced by an updating query (e.g. an " +
+            "unwindowed aggregate) — declare a PRIMARY KEY on the sink so " +
+            "it can upsert")
+        val pk = spec.primaryKey
+        val buckets = spec.options.get("distribution-buckets").map(_.toInt)
+        aligned.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // Update-mode micro-batches carry each changed key once;
+            // re-enter them as +U upserts at a batch-monotonic seq (>= 1)
+            // so the keep-last MERGE supersedes stored state (seq 0).
+            // Replay-idempotent: re-applying a batch re-merges the same
+            // values at the same seq.
+            val log = batch
+              .withColumn(graft.changelog.RowKind.kindCol,
+                lit(graft.changelog.RowKind.UpdateAfter))
+              .withColumn(graft.changelog.RowKind.seqCol, lit(batchId + 1L))
+            buckets match {
+              case Some(n) => graft.changelog.UpsertSink.applyBatchBucketed(
+                batch.sparkSession, spec.path, log, pk, n)
+              case None => graft.changelog.UpsertSink.applyBatch(
+                batch.sparkSession, spec.path, log, pk)
+            }
+          }
+          .start()
       case "filesystem" =>
         val w = bucketed(spec, aligned).writeStream.format(spec.format)
           .option("path", spec.path)
@@ -2071,9 +2130,11 @@ object FlinkDdl {
           .start()
       case "print" =>
         aligned.writeStream.format("console")
+          .outputMode(if (appendOk) "append" else "update")
           .option("checkpointLocation", ckpt).start()
       case "blackhole" =>
         aligned.writeStream.format("noop")
+          .outputMode(if (appendOk) "append" else "update")
           .option("checkpointLocation", ckpt).start()
       case other => throw new IllegalArgumentException(
         s"unsupported streaming sink connector '$other' for ${spec.name}")

@@ -299,6 +299,70 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("runStreaming: changelog-mode inference routes an updating INSERT " +
+      "through the PK-keyed upsert materializer") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // The reference's flagship semantic: an unwindowed GROUP BY in a
+    // streaming INSERT is an UPDATING query — the planner must infer the
+    // changelog mode and pick upsert materialization on the PK, without
+    // the user assembling ChangelogAgg/UpsertSink by hand
+    // (FlinkChangelogModeInferenceProgram.scala, StreamExecSink.java:137).
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (
+         |  event_id BIGINT, event_type STRING, value DOUBLE
+         |) WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE agg_snk (
+         |  event_type STRING, n BIGINT,
+         |  PRIMARY KEY (event_type) NOT ENFORCED
+         |) WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO agg_snk
+         |SELECT event_type, COUNT(*) AS n FROM src GROUP BY event_type
+         |""".stripMargin)
+    assert(qs.size == 1 && qs.head.isActive)
+    try {
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val (h1, h2) = (ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1))
+      def counts(df: DataFrame): Map[String, Long] =
+        df.groupBy("event_type").count().as[(String, Long)].collect().toMap
+      h1.write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      val snk1 = spark.read.parquet(s"$dir/snk")
+      // materialized FINAL STATE, not an append log: one row per key
+      assert(snk1.columns.toSet == Set("event_type", "n"))
+      assert(snk1.as[(String, Long)].collect().toMap == counts(h1))
+      // second arrival REVISES the counts in place (same keys, new values)
+      h2.write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      val snk2 = spark.read.parquet(s"$dir/snk")
+      assert(snk2.as[(String, Long)].collect().toMap == counts(ev))
+      assert(snk2.count() == counts(ev).size.toLong)
+    } finally qs.foreach(_.stop())
+  }
+
+  test("runStreaming: an updating INSERT into a PK-less sink fails loudly") {
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      FlinkDdl.runStreaming(spark,
+        s"""CREATE TABLE src (k STRING, v BIGINT)
+           |  WITH ('connector'='filesystem', 'path'='$dir/src',
+           |        'format'='parquet');
+           |CREATE TABLE snk (k STRING, n BIGINT)
+           |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+           |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+           |INSERT INTO snk SELECT k, COUNT(*) AS n FROM src GROUP BY k
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("PRIMARY KEY") &&
+      e.getMessage.contains("update"))
+  }
+
   test("STOP JOB WITH SAVEPOINT WITH DRAIN snapshots the checkpoint") {
     val dir = tmpDir()
     new java.io.File(s"$dir/src").mkdirs()
