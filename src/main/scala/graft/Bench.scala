@@ -61,6 +61,11 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      // the q_tpcds_sf1_* de-vacuation tier is a CORRECTNESS surface (runs
+      // against the 260 MB sf1 corpus, seconds per query); sweeping it here
+      // would blow the driver's bench window for zero perf signal — the sf1
+      // perf story lives in TPCDS_SF1.json and the scale tier
+      .filterNot { case (n, _) => n.startsWith("q_tpcds_sf1_") }
 
     // Recorded baselines, parsed up-front: they drive both the rep schedule
     // (sub-0.9s queries get one fewer sequential rep) and the 1.8x

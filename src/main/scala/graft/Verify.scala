@@ -14,6 +14,15 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.get("graft-verify", s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    // Auditable corpus gate (VERDICT r17 task 3): the sf1 deep tier only
+    // registers when the generated corpus is present — say which way it went
+    // so a skipped tier is never mistaken for a passed one.
+    System.err.println(graft.queries.TpcdsSqlQueries.sf1Dir match {
+      case Some(d) => s"[verify] TPC-DS sf1 de-vacuation tier ACTIVE ($d): " +
+        s"${graft.queries.TpcdsSqlQueries.sf1Defs.size} queries"
+      case None => "[verify] TPC-DS sf1 corpus absent — de-vacuation tier " +
+        "skipped (regenerate: python3 tools/tpcds_sf1_gen.py tpcds-data/sf1)"
+    })
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -48,7 +48,8 @@ object Registry {
     TpcdsQueries7.defs,
     TpcdsQueries8.defs,
     TpcdsQueries9.defs,
-    TpcdsSqlQueries.defs
+    TpcdsSqlQueries.defs,
+    TpcdsSqlQueries.sf1Defs
   )
 
   lazy val defs: Seq[QueryDef] = {
