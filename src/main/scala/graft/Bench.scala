@@ -144,24 +144,28 @@ object Bench {
       }
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // One 10x tier block: per-query seconds, growth vs this sweep's sf0.1
+    // medians, 15x-gate breaches, deadline-skipped names.
+    final case class Tier(
+        label: String,
+        dir: Option[String],
+        results: Seq[(String, Double)],
+        skipped: Seq[String])
     def toJson(
         rs: Seq[(String, Double)],
         fullResults: Seq[(String, Double)],
         remeasured: Seq[String],
-        scaleResults: Seq[(String, Double)],
-        scaleDir: Option[String],
-        scaleSkipped: Seq[String]): String = {
+        tiers: Seq[Tier]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = fullResults.map(_._2).filter(_ >= 0).sum // always the FULL total
       val rm = remeasured.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val scale =
-        if (scaleResults.isEmpty && scaleSkipped.isEmpty) ""
-        else {
-          val base = fullResults.toMap
-          val sq = scaleResults.map { case (k, v) =>
+      val base = fullResults.toMap
+      val tierJson = tiers.filter(t => t.results.nonEmpty || t.skipped.nonEmpty)
+        .map { t =>
+          val sq = t.results.map { case (k, v) =>
             "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-          val growth = scaleResults.flatMap { case (k, v) =>
+          val growth = t.results.flatMap { case (k, v) =>
             base.get(k).filter(b => b > 0 && v >= 0)
               .map(b => k -> v / b)
           }
@@ -169,13 +173,13 @@ object Bench {
             "\"" + k + "\":" + f"$g%.2f" }.mkString("{", ",", "}")
           val breaches = growth.filter(_._2 > 15.0).map(_._1).sorted
             .map("\"" + _ + "\"").mkString("[", ",", "]")
-          val sk = scaleSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s""","scale":{"dir":"${scaleDir.getOrElse("")}","queries":$sq,"growth":$gj,"breaches":$breaches,"skipped":$sk}"""
-        }
+          val sk = t.skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""","${t.label}":{"dir":"${t.dir.getOrElse("")}","queries":$sq,"growth":$gj,"breaches":$breaches,"skipped":$sk}"""
+        }.mkString
       val budget =
         s""","budget":{"deadline":${fmt(deadline)},"elapsed":${fmt(elapsed)},"notes":${
           budgetNotes.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$scale$budget,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$tierJson$budget,"full":"BENCH_LAST.json"}"""
     }
 
     // Persist the complete per-query map to a file: the driver captures only
@@ -194,13 +198,10 @@ object Bench {
     def emit(
         results: Seq[(String, Double)],
         remeasured: Seq[String],
-        scaleResults: Seq[(String, Double)],
-        scaleDir: Option[String],
-        scaleSkipped: Seq[String]): Unit = {
+        tiers: Seq[Tier]): Unit = {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
-        toJson(results, results, remeasured, scaleResults, scaleDir,
-          scaleSkipped)
+        toJson(results, results, remeasured, tiers)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
       val byName = results.toMap
@@ -212,18 +213,17 @@ object Bench {
           }
       val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       prioritized.foreach { kv =>
-        if (toJson(kept.toSeq :+ kv, results, remeasured, scaleResults,
-          scaleDir, scaleSkipped).length <= 1800) kept += kv
+        if (toJson(kept.toSeq :+ kv, results, remeasured, tiers)
+          .length <= 1800) kept += kv
       }
-      println(toJson(kept.toSeq, results, remeasured, scaleResults, scaleDir,
-        scaleSkipped))
+      println(toJson(kept.toSeq, results, remeasured, tiers))
       System.out.flush()
     }
 
     // ---- STAGE 1 flush: raw medians. A kill from here on still leaves a
     // complete parseable artifact.
     var results = computeResults()
-    emit(results, Seq.empty, Seq.empty, None, Seq.empty)
+    emit(results, Seq.empty, Seq.empty)
 
     // ---- STAGE 2: scale tier (VERDICT r15 #3): the heaviest pipelines once
     // more against the 10x corpus (scale-data/sf1, built by ScaleDataGen).
@@ -244,24 +244,51 @@ object Bench {
       "q_changelog_agg_chain", "q_changelog_join", "q_changelog_join_nary",
       "q_changelog_join_nary_left", "q_changelog_join_nary_residual",
       "q_retract_agg")
-    val scaleDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
-      .orElse(Option("scale-data/sf1")
-        .filter(d => new java.io.File(d).isDirectory))
-      .filter(_ => sys.env.get("SPARK_GRAFT_SCALE_SKIP").isEmpty)
-    val scaleSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
-    val scaleResults: Seq[(String, Double)] = scaleDir match {
-      case Some(dir) =>
-        val byNameQ = SparkEntry.queries
-        scaleNames.filter(byNameQ.contains)
-          .filter(n => only.forall(_.contains(n)))
-          .flatMap { n =>
-            if (elapsed > deadline * 0.97) { scaleSkipped += n; None }
-            else Some(n -> (try runOnce(spark, dir, byNameQ(n))
-              catch { case _: Throwable => -1.0 }))
-          }
-      case None => Seq.empty
+    def runTier(
+        label: String,
+        dirEnv: String,
+        defaultDir: String,
+        names: Seq[String],
+        gate: Double): Tier = {
+      val dir = sys.env.get(dirEnv)
+        .orElse(Option(defaultDir)
+          .filter(d => new java.io.File(d).isDirectory))
+        .filter(_ => sys.env.get("SPARK_GRAFT_SCALE_SKIP").isEmpty)
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      val rs: Seq[(String, Double)] = dir match {
+        case Some(d) =>
+          val byNameQ = SparkEntry.queries
+          names.filter(byNameQ.contains)
+            .filter(n => only.forall(_.contains(n)))
+            .flatMap { n =>
+              if (elapsed > deadline * gate) { skipped += n; None }
+              else Some(n -> (try runOnce(spark, d, byNameQ(n))
+                catch { case _: Throwable => -1.0 }))
+            }
+        case None => Seq.empty
+      }
+      Tier(label, dir, rs, skipped.toSeq)
     }
-    emit(results, Seq.empty, scaleResults, scaleDir, scaleSkipped.toSeq)
+    val scaleTier = runTier("scale", "SPARK_GRAFT_SCALE_DIR",
+      "scale-data/sf1", scaleNames, gate = 0.97)
+    emit(results, Seq.empty, Seq(scaleTier))
+
+    // ---- STAGE 2b: SKEW sub-tier (VERDICT r16 task 5): the same 15x
+    // growth gate against the adversarially-skewed 10x corpus
+    // (`ScaleDataGen skew` — zipf join keys, one 10^4-member duplicate
+    // family, one hot cosine cluster). The uniform tier proves linearity
+    // on spread keys; this one proves the df/bucket caps and salting
+    // absorb concentrated keys. Growth denominators are the same sf0.1
+    // medians.
+    val skewNames = Seq(
+      "q1_agg", "q_salted_agg", "q_salted_join", "q_tpch_q9",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_ngram_jaccard", "q_doc_fingerprint", "q_dedup_cluster",
+      "q_embedding_cosine_dup", "q_embedding_dedup_cluster",
+      "q_changelog_join", "q_changelog_join_nary")
+    val skewTier = runTier("skew", "SPARK_GRAFT_SKEW_DIR",
+      "scale-data/sf1skew", skewNames, gate = 0.99)
+    emit(results, Seq.empty, Seq(scaleTier, skewTier))
 
     // ---- STAGE 3: quiet re-measures — the BASELINE.md "7-rep quiet-box"
     // procedure automated inside the sweep (r14): when a query's median sits
@@ -300,8 +327,7 @@ object Bench {
     }
     if (remeasureTruncated) budgetNotes += "remeasure_truncated"
     results = computeResults()
-    emit(results, remeasured.toSeq, scaleResults, scaleDir,
-      scaleSkipped.toSeq)
+    emit(results, remeasured.toSeq, Seq(scaleTier, skewTier))
     spark.stop()
   }
 }
