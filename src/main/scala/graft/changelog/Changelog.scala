@@ -516,6 +516,8 @@ object RetractingChangelogAgg {
               if (idleTtlMs.isDefined && !seqFromInput)
                 state.getCurrentProcessingTimeMs << 16
               else 1L
+            ClockMonotonicity.check(
+              old.map(_._1).getOrElse(1L), procBase, "ChangelogAgg")
             val seq0 = math.max(old.map(_._1).getOrElse(1L), procBase)
             val (retSeq, accSeq) =
               if (seqFromInput) (4 * maxSeq + 2, 4 * maxSeq + 3)
@@ -547,6 +549,29 @@ object RetractingChangelogAgg {
           }
       }(sEnc, oEnc)
   }
+}
+
+/** Runtime detection for the TTL'd counter-mode clock assumption (ADVICE
+  * r16): the processing-time seq base makes post-expiry output out-seq
+  * pre-expiry output ASSUMING the wall clock never steps backwards across
+  * a restart. A regression is a silent failure mode (a stale pre-expiry
+  * row can win keep-last materialization until the clock passes its old
+  * reading), so the stateful ops WARN — once per JVM, not per key — when
+  * a key's stored seq sits a full millisecond-slot above the current
+  * base (same-ms micro-batches only ever lead the base by a few units).
+  */
+private[changelog] object ClockMonotonicity {
+  @volatile private var warned = false
+  def check(storedSeq: Long, procBase: Long, op: String): Unit =
+    if (!warned && procBase > 1L && storedSeq - procBase > (1L << 16)) {
+      warned = true
+      System.err.println(
+        s"[graft] WARN $op: processing-time clock regressed " +
+          s"~${(storedSeq - procBase) >> 16} ms behind stored state " +
+          "(restart onto an earlier wall clock?) — keep-last " +
+          "materialization may prefer pre-restart rows until the clock " +
+          "passes its old reading")
+    }
 }
 
 /** Strip `-U` rows when the downstream operator doesn't need pre-images

@@ -349,6 +349,27 @@ object ChangelogMultiJoin extends Serializable {
           val (d, via) =
             if (visited(hop.get._1)) (hop.get._2, hop.get._1)
             else (hop.get._1, hop.get._2)
+          // ADVICE r16: declaration order decides the hop, so declaring a
+          // low-cardinality condition (parity/flag) before the
+          // high-cardinality equi-key silently degrades every probe to a
+          // fan-out over all rows sharing the flag value (correct results,
+          // quadratic work). When a different visited neighbor offers a
+          // WIDER lookup key to the same input, surface it — once per
+          // plan build, not per row.
+          val chosenWidth = edges.count(e =>
+            (e._1 == d && e._2 == via) || (e._1 == via && e._2 == d))
+          val widest = (0 until n).filter(p => visited(p) && p != d)
+            .map(p => edges.count(e =>
+              (e._1 == d && e._2 == p) || (e._1 == p && e._2 == d)))
+            .foldLeft(0)(math.max)
+          if (chosenWidth < widest && s == 0)
+            System.err.println(
+              s"[graft] WARN ChangelogMultiJoin: input $d is probed via " +
+                s"neighbor $via with a $chosenWidth-condition key while a " +
+                s"later-declared neighbor offers $widest conditions — if " +
+                "the chosen key is low-cardinality, declare the selective " +
+                "equi-key condition first (hop selection follows " +
+                "declaration order; see chain() scaladoc)")
           // residual: conds from d to visited inputs OTHER than via:
           // (otherInput, otherColIdx, dColIdx)
           val residual = edges.collect {

@@ -201,7 +201,7 @@ object ChangelogTopN extends Serializable {
             // idle TTL: drop EVERYTHING (the reference's state.ttl — the
             // live-row map, the assignments, and the seq slot). No
             // tombstone: under a TTL the emission seq is rebased each
-            // micro-batch to processingTimeMs << 20 (below), so output
+            // micro-batch to processingTimeMs << 16 (below), so output
             // after an expiry always out-seqs output from before it and
             // keep-last materialization cannot land on a stale
             // pre-expiry row. The stale rank rows already in the sink
@@ -222,6 +222,7 @@ object ChangelogTopN extends Serializable {
               else 1L
             val (seqStored, liveM, top0) = old.getOrElse(
               (1L, Map.empty[Any, Double], Vector.empty[(Any, Double)]))
+            ClockMonotonicity.check(seqStored, procBase, "ChangelogTopN")
             val seq0 = math.max(seqStored, procBase)
             val live = scala.collection.mutable.Map.from(liveM)
             // order within the micro-batch slice; retracts before the
