@@ -1037,7 +1037,31 @@ object FlinkDdl {
           val p = new FlinkSql.P(toks, stmt)
           p.eat("EXECUTE"); p.eat("PLAN")
           val path = unquote(p.next().s)
-          val (creates, inner, pinned) = readPlanManifest(path)
+          val (creates, inner, pinned, pinnedLayouts) = readPlanManifest(path)
+          // State-layout pinning (VERDICT r17 task 7): an operator whose
+          // state ENCODING changed since compile time cannot resume this
+          // plan's checkpoints even when the plan shape is identical —
+          // the reference's versioned ExecNode serde makes this a
+          // first-class compatibility check, so strict mode throws
+          // NAMING the operator(s); default warns.
+          if (pinnedLayouts.nonEmpty) {
+            val live = graft.streaming.StateLayouts.current
+            val drifted = pinnedLayouts.toSeq.sorted.flatMap {
+              case (op, v) => live.get(op) match {
+                case Some(cur) if cur != v => Some(s"$op: pinned v$v, now v$cur")
+                case None => Some(s"$op: pinned v$v, operator layout no " +
+                  "longer registered")
+                case _ => None
+              }
+            }
+            if (drifted.nonEmpty) {
+              val msg = s"EXECUTE PLAN '$path': state layout(s) changed " +
+                s"since COMPILE PLAN pinned them — ${drifted.mkString("; ")}"
+              if (spark.conf.getOption("spark.graft.strictCompiledPlan")
+                .contains("true")) throw new IllegalStateException(msg)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+            }
+          }
           // Physical pinning (the reference's per-ExecNode plan JSON,
           // CompiledPlan.java): the manifest records the operator-shape
           // fingerprint the statement compiled to; re-derive it now and
@@ -1141,7 +1165,14 @@ object FlinkDdl {
               planFingerprint(spark, query, tables())
             }.foreach(fp =>
               sb.append(",\"physicalPlan\":").append(js(fp)))
-            sb.append("}")
+            // pin the engine's state-layout versions (VERDICT r17 task 7:
+            // the reference's per-node serde versions) so strict EXECUTE
+            // catches a state-encoding change even when the operator
+            // SHAPE is unchanged
+            sb.append(",\"stateLayouts\":{")
+            sb.append(graft.streaming.StateLayouts.current.toSeq.sorted
+              .map { case (k, v) => js(k) + ":" + v }.mkString(","))
+            sb.append("}}")
             Option(file.getParentFile).foreach(_.mkdirs())
             java.nio.file.Files.writeString(file.toPath, sb.toString)
           }
@@ -2714,7 +2745,7 @@ object FlinkDdl {
   /** Parse a compiled-plan manifest: (CREATE statements, the pipeline
     * statement). Jackson (a Spark dependency) reads the JSON. */
   private def readPlanManifest(path: String)
-      : (Seq[String], String, Option[String]) = {
+      : (Seq[String], String, Option[String], Map[String, Int]) = {
     val file = new java.io.File(path)
     require(file.exists(), s"EXECUTE PLAN: no plan file at $path")
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2729,7 +2760,12 @@ object FlinkDdl {
     require(st.nonEmpty, s"EXECUTE PLAN: $path has no statement")
     val pinned = Option(root.get("physicalPlan")).map(_.asText())
       .filter(_.nonEmpty)
-    (creates, st, pinned)
+    // absent in pre-r17 manifests → empty map → version check skipped
+    val layouts = Option(root.get("stateLayouts")).map { node =>
+      import scala.jdk.CollectionConverters._
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    }.getOrElse(Map.empty[String, Int])
+    (creates, st, pinned, layouts)
   }
 
   /** Operator-shape fingerprint of a query's physical plan: the pre-AQE

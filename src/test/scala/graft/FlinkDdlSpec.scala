@@ -1440,6 +1440,48 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.strictCompiledPlan")
   }
 
+  test("COMPILE PLAN pins state-layout versions; a bump fails strict " +
+      "EXECUTE naming the operator") {
+    val dir = tmpDir()
+    val plan = s"$dir/layouts.json"
+    FlinkDdl.runScript(spark,
+      s"""CREATE TABLE sl_src (k BIGINT) WITH (
+         |  'connector'='datagen', 'number-of-rows'='5',
+         |  'fields.k.kind'='sequence', 'fields.k.start'='0');
+         |CREATE TABLE sl_snk (k BIGINT) WITH (
+         |  'connector'='filesystem', 'path'='$dir/snk',
+         |  'format'='parquet');
+         |COMPILE PLAN '$plan' FOR INSERT INTO sl_snk
+         |SELECT k FROM sl_src;
+         |SELECT 1 AS one""".stripMargin)
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(plan))
+    // the manifest pins the full registry, restore-fixture-id keyed
+    assert(text.contains("\"stateLayouts\""), text)
+    assert(text.contains("\"changelog_topn\":2"), text)
+    // unchanged layouts: executes
+    FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'")
+    assert(spark.read.parquet(s"$dir/snk").count() == 5)
+    // simulate a state-encoding change (the commit that would regenerate
+    // the operator's restore fixture bumps its version)
+    graft.streaming.StateLayouts.overrides = Map("changelog_topn" -> 3)
+    try {
+      // non-strict: warn only, still runs
+      FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'")
+      assert(spark.read.parquet(s"$dir/snk").count() == 10)
+      // strict: throws NAMING the operator and both versions
+      spark.conf.set("spark.graft.strictCompiledPlan", "true")
+      val e = intercept[IllegalStateException](
+        FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'"))
+      assert(e.getMessage.contains("state layout") &&
+        e.getMessage.contains("changelog_topn") &&
+        e.getMessage.contains("pinned v2") &&
+        e.getMessage.contains("now v3"), e.getMessage)
+    } finally {
+      graft.streaming.StateLayouts.overrides = Map.empty
+      spark.conf.unset("spark.graft.strictCompiledPlan")
+    }
+  }
+
   test("ANALYZE TABLE COMPUTE STATISTICS feeds the cost model") {
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
