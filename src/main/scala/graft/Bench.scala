@@ -19,10 +19,12 @@ import org.apache.spark.sql.SparkSession
   *   - the sweep runs against a deadline (`SPARK_GRAFT_BENCH_DEADLINE`
   *     seconds, default 1380 — just above the slowest sweep the driver has
   *     ever accepted);
-  *   - queries whose recorded baseline is < 0.9 s take 1 sequential rep +
-  *     1 rescue rep instead of 2+1 (368 of 473 queries; they are judged by
-  *     RATIO against a 2x gate, where a 2-sample median resolves fine, and
-  *     the saved pass — ~160 s — is what keeps the sweep inside the window);
+  *   - queries whose recorded baseline is < 1.2 s take 1 sequential rep +
+  *     1 rescue rep instead of 2+1 (418 of 473 queries; they are judged by
+  *     RATIO against a 2x gate, where a 2-sample median resolves fine and
+  *     the outlier re-measure stage adds 4 quiet reps on any trigger, and
+  *     the saved pass — ~210 s — is what keeps the sweep plus the two 10x
+  *     tiers inside the window);
   *   - the full-sweep JSON is written to BENCH_LAST.json and the contract
   *     line printed IMMEDIATELY after the timed reps, then again after each
   *     optional stage (scale tier, quiet re-measures), so a kill mid-stage
@@ -68,7 +70,7 @@ object Bench {
       .filterNot { case (n, _) => n.startsWith("q_tpcds_sf1_") }
 
     // Recorded baselines, parsed up-front: they drive both the rep schedule
-    // (sub-0.9s queries get one fewer sequential rep) and the 1.8x
+    // (sub-1.2s queries get one fewer sequential rep) and the 1.8x
     // re-measure trigger.
     val baselines: Map[String, Double] =
       try {
@@ -108,7 +110,7 @@ object Bench {
     var seqSkipped = 0
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       val nSeq =
-        if (baselines.get(name).exists(_ < 0.9)) 1
+        if (baselines.get(name).exists(_ < 1.2)) 1
         else math.max(1, reps - 1)
       if (elapsed > deadline * 0.7) seqSkipped += 1
       else (1 to nSeq).foreach { _ =>
