@@ -747,6 +747,49 @@ object SqlQueries {
         FROM events GROUP BY event_type ORDER BY event_type
       """.trim)),
 
+    // COMPLETE-mode inference (r17): the reference's streaming Top-N tier
+    // — `GROUP BY … ORDER BY … LIMIT` revises the WHOLE result when a new
+    // entrant displaces other keys' rows, so the planner must pick
+    // truncate-replace materialization (retract-sink final state), not
+    // per-key upserts; no PRIMARY KEY required. Final state after two
+    // arrivals equals the batch Top-N — the oracle.
+    QueryDef(
+      "q_sql_stream_topn",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_topn").toString
+        new java.io.File(s"$tmp/src").mkdirs()
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val qs = FlinkDdl.runStreaming(s,
+          s"""CREATE TABLE src (
+             |  event_id BIGINT, event_type STRING, value DOUBLE
+             |) WITH ('connector'='filesystem', 'path'='$tmp/src',
+             |        'format'='parquet');
+             |CREATE TABLE top_snk (event_type STRING, n BIGINT)
+             |  WITH ('connector'='filesystem', 'path'='$tmp/snk',
+             |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
+             |INSERT INTO top_snk
+             |SELECT event_type, COUNT(*) AS n
+             |FROM src GROUP BY event_type
+             |ORDER BY n DESC, event_type
+             |LIMIT 3""".stripMargin)
+        try {
+          ev.where(col("event_id") % 2 === 0)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+          ev.where(col("event_id") % 2 === 1)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+        } finally qs.foreach(_.stop())
+        s.read.parquet(s"$tmp/snk").orderBy(desc("n"), col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type
+        ORDER BY n DESC, event_type LIMIT 3
+      """.trim)),
+
     // JDBC connector in DDL (the flink-connector-jdbc option surface:
     // 'url' / 'table-name'): INSERT OVERWRITE materializes an aggregate
     // into embedded Derby, the final SELECT scans it back through Spark's

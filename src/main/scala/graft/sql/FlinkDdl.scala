@@ -2092,15 +2092,38 @@ object FlinkDdl {
     * plan revise emitted results?" rule (unwindowed aggregates, aggregates
     * past the watermark-append boundary, …), so a plan it accepts under
     * Append streams as-is and anything else is an updating query. */
-  private[sql] def isAppendCapable(df: DataFrame): Boolean =
+  private def modeOk(
+      df: DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode): Boolean =
     try {
       org.apache.spark.sql.catalyst.analysis.UnsupportedOperationChecker
-        .checkForStreaming(df.queryExecution.analyzed,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+        .checkForStreaming(df.queryExecution.analyzed, mode)
       true
     } catch {
       case _: org.apache.spark.sql.AnalysisException => false
     }
+
+  private[sql] def isAppendCapable(df: DataFrame): Boolean =
+    modeOk(df, org.apache.spark.sql.streaming.OutputMode.Append())
+
+  /** Resolve a streaming plan's changelog mode, the reference's
+    * `FlinkChangelogModeInferenceProgram` ladder re-expressed over Spark's
+    * output modes: "append" (insert-only), "update" (revises per-key rows
+    * — sink upserts on its PRIMARY KEY), or "complete" (revises the WHOLE
+    * result — e.g. `GROUP BY … ORDER BY … LIMIT n`, the reference's
+    * streaming Top-N/rank tier, where a new entrant displaces rows of
+    * OTHER keys, so per-key upserting cannot express the change and the
+    * sink truncate-replaces). Plans legal in several modes take the
+    * cheapest-I/O one (append < update < complete). A plan legal in none
+    * resolves to "update" so Spark's own start() error names the real
+    * limitation. */
+  private[sql] def changelogMode(df: DataFrame): String = {
+    import org.apache.spark.sql.streaming.OutputMode._
+    if (modeOk(df, Append())) "append"
+    else if (modeOk(df, Update())) "update"
+    else if (modeOk(df, Complete())) "complete"
+    else "update"
+  }
 
   /** Continuous write of an (aligned) streaming result into a sink table.
     *
@@ -2112,7 +2135,14 @@ object FlinkDdl {
     * the reference's SinkUpsertMaterializer decision, made by the planner
     * rather than the user (ref `StreamExecSink.java:137`). A sink without
     * a PRIMARY KEY cannot consume updates and fails loudly with the
-    * reference's error shape. */
+    * reference's error shape.
+    *
+    * COMPLETE-mode queries (the reference's streaming Top-N/rank tier:
+    * `GROUP BY … ORDER BY … LIMIT n`, where a new entrant displaces rows
+    * of OTHER keys so per-key upserts can't express the change) are
+    * materialized by atomic truncate-replace per micro-batch — the
+    * retract-sink final state, and I/O-proportional to the result, which a
+    * LIMIT bounds by construction. No PRIMARY KEY needed. */
   private def startStreamSink(
       spec: TableSpec,
       aligned: DataFrame)
@@ -2120,9 +2150,9 @@ object FlinkDdl {
     val ckpt = spec.options.getOrElse("sink.checkpoint-dir",
       java.nio.file.Files
         .createTempDirectory(s"graft_ddl_ck_${spec.name}_").toString)
-    val appendOk = isAppendCapable(aligned)
-    val q = spec.connector match {
-      case "filesystem" if !appendOk =>
+    val mode = changelogMode(aligned)
+    val q = (spec.connector, mode) match {
+      case ("filesystem", "update") =>
         require(spec.primaryKey.nonEmpty,
           s"Table sink '${spec.name}' doesn't support consuming update " +
             "changes which are produced by an updating query (e.g. an " +
@@ -2151,7 +2181,22 @@ object FlinkDdl {
             }
           }
           .start()
-      case "filesystem" =>
+      case ("filesystem", "complete") =>
+        aligned.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // each batch IS the whole result: stage + swap (idempotent
+            // under replay — rewriting the same state is a no-op)
+            val staging = spec.path + ".staging"
+            batch.write.mode("overwrite").parquet(staging)
+            graft.changelog.FsOps.deleteRecursive(batch.sparkSession,
+              spec.path)
+            graft.changelog.FsOps.rename(batch.sparkSession, staging,
+              spec.path)
+          }
+          .start()
+      case ("filesystem", _) =>
         val w = bucketed(spec, aligned).writeStream.format(spec.format)
           .option("path", spec.path)
           .option("checkpointLocation", ckpt)
@@ -2159,15 +2204,15 @@ object FlinkDdl {
         spec.options.get("partition-keys")
           .fold(w)(ks => w.partitionBy(ks.split(",").map(_.trim): _*))
           .start()
-      case "print" =>
+      case ("print", m) =>
         aligned.writeStream.format("console")
-          .outputMode(if (appendOk) "append" else "update")
+          .outputMode(m)
           .option("checkpointLocation", ckpt).start()
-      case "blackhole" =>
+      case ("blackhole", m) =>
         aligned.writeStream.format("noop")
-          .outputMode(if (appendOk) "append" else "update")
+          .outputMode(m)
           .option("checkpointLocation", ckpt).start()
-      case other => throw new IllegalArgumentException(
+      case (other, _) => throw new IllegalArgumentException(
         s"unsupported streaming sink connector '$other' for ${spec.name}")
     }
     (q, ckpt)

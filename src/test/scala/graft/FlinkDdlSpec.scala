@@ -345,6 +345,45 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("runStreaming: a streaming Top-N infers COMPLETE mode and " +
+      "truncate-replaces the sink (no PK needed)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // GROUP BY + ORDER BY + LIMIT: a new entrant can displace OTHER keys'
+    // rows, so per-key upserts can't express the revision — the planner
+    // must pick whole-result replacement (the reference's streaming
+    // rank/Top-N tier under a retract sink).
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k STRING, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE top2 (k STRING, n BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO top2
+         |SELECT k, COUNT(*) AS n FROM src GROUP BY k
+         |ORDER BY n DESC, k LIMIT 2""".stripMargin)
+    try {
+      // arrival 1: a=3, b=2, c=1 -> top2 = a,b
+      Seq("a", "a", "a", "b", "b", "c").zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      def state(): Seq[(String, Long)] = spark.read.parquet(s"$dir/snk")
+        .as[(String, Long)].collect().sortBy(r => (-r._2, r._1)).toSeq
+      assert(state() == Seq(("a", 3L), ("b", 2L)))
+      // arrival 2: c surges past both — the revision DISPLACES b (a row
+      // of another key), which only whole-result materialization shows
+      Seq("c", "c", "c", "c").zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(state() == Seq(("c", 5L), ("a", 3L)))
+      assert(spark.read.parquet(s"$dir/snk").count() == 2)
+    } finally qs.foreach(_.stop())
+  }
+
   test("runStreaming: an updating INSERT into a PK-less sink fails loudly") {
     val dir = tmpDir()
     new java.io.File(s"$dir/src").mkdirs()
