@@ -19,12 +19,14 @@ import org.apache.spark.sql.SparkSession
   *   - the sweep runs against a deadline (`SPARK_GRAFT_BENCH_DEADLINE`
   *     seconds, default 1380 — just above the slowest sweep the driver has
   *     ever accepted);
-  *   - queries whose recorded baseline is < 1.2 s take 1 sequential rep +
-  *     1 rescue rep instead of 2+1 (418 of 473 queries; they are judged by
-  *     RATIO against a 2x gate, where a 2-sample median resolves fine and
-  *     the outlier re-measure stage adds 4 quiet reps on any trigger, and
-  *     the saved pass — ~210 s — is what keeps the sweep plus the two 10x
-  *     tiers inside the window);
+  *   - queries whose recorded baseline is < 1.2 s take their 2 samples
+  *     back-to-back in the warm sequential pass and skip the cold
+  *     round-robin rescue rep (418 of 473 queries; the rescue pass's
+  *     cold-cache penalty would bias a 2-sample median upward — the r11
+  *     lesson — while for the big queries the penalty is relatively
+  *     negligible and the decorrelated third sample stays valuable); the
+  *     skipped rescue pass (~210 s) is what keeps the sweep plus the two
+  *     10x tiers inside the window;
   *   - the full-sweep JSON is written to BENCH_LAST.json and the contract
   *     line printed IMMEDIATELY after the timed reps, then again after each
   *     optional stage (scale tier, quiet re-measures), so a kill mid-stage
@@ -105,26 +107,33 @@ object Bench {
     // Aggregate by MEDIAN (r13, ADVICE r12): the BASELINE.md numbers were
     // recorded under median, and a min-vs-median comparison biases every
     // ratio downward, weakening the 2x gate.
+    // Sub-1.2s-baseline queries take BOTH samples here, sequentially —
+    // their medians must come from the warm neighborhood the baselines
+    // were recorded in (a cold round-robin rep after 470 other queries
+    // churned the code cache reads +26%, the r11 lesson, and a 2-sample
+    // median would average that bias in). Neighborhood-wide poisoning of
+    // both reps is caught by the 1.8x-vs-baseline re-measure trigger.
     val timed = Array.fill(ordered.size)(
       scala.collection.mutable.ArrayBuffer.empty[Double])
+    val small = ordered.map { case (name, _) =>
+      baselines.get(name).exists(_ < 1.2) }
     var seqSkipped = 0
-    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
-      val nSeq =
-        if (baselines.get(name).exists(_ < 1.2)) 1
-        else math.max(1, reps - 1)
+    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
       if (elapsed > deadline * 0.7) seqSkipped += 1
-      else (1 to nSeq).foreach { _ =>
+      else (1 to math.max(if (small(i)) 2 else 1, reps - 1)).foreach { _ =>
         timed(i) += (try runOnce(spark, sfDir, fn)
           catch { case _: Throwable => -1.0 })
       }
     }
     if (seqSkipped > 0) budgetNotes += s"seq_reps_skipped:$seqSkipped"
-    // Rescue pass: the guaranteed temporally-decorrelated sample. Past 90%
-    // of the budget, only queries with zero samples still run (a query must
-    // never report -1 merely because the box was slow).
+    // Rescue pass — the temporally-decorrelated third sample for the
+    // big queries (their absolute size dwarfs the cold-cache penalty).
+    // Past 90% of the budget, only queries with zero samples still run (a
+    // query must never report -1 merely because the box was slow).
     var rescueSkipped = 0
     ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-      if (elapsed > deadline * 0.9 && timed(i).nonEmpty) rescueSkipped += 1
+      if (small(i) && timed(i).nonEmpty) ()
+      else if (elapsed > deadline * 0.9 && timed(i).nonEmpty) rescueSkipped += 1
       else timed(i) += (try runOnce(spark, sfDir, fn)
         catch { case _: Throwable => -1.0 })
     }
@@ -178,8 +187,22 @@ object Bench {
           val sk = t.skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
           s""","${t.label}":{"dir":"${t.dir.getOrElse("")}","queries":$sq,"growth":$gj,"breaches":$breaches,"skipped":$sk}"""
         }.mkString
+      // Sweep-level box diagnostic: the median of per-query ratios vs the
+      // recorded baselines. Code changes move individual ratios; a BOX
+      // slower/faster than the recording window moves the whole median
+      // (r17: a degraded window read 1.3-1.5 here while an A/B at the
+      // prior commit confirmed code parity — this number turns that
+      // investigation into a one-glance readout). Diagnostic only, never
+      // a gate.
+      val medianRatio = {
+        val ratios = fullResults.flatMap { case (k, v) =>
+          baselines.get(k).filter(_ > 0).filter(_ => v > 0).map(v / _)
+        }.sorted
+        if (ratios.isEmpty) ""
+        else f""","median_ratio_vs_baseline":${median(ratios)}%.2f"""
+      }
       val budget =
-        s""","budget":{"deadline":${fmt(deadline)},"elapsed":${fmt(elapsed)},"notes":${
+        s""","budget":{"deadline":${fmt(deadline)},"elapsed":${fmt(elapsed)}$medianRatio,"notes":${
           budgetNotes.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$tierJson$budget,"full":"BENCH_LAST.json"}"""
     }

@@ -384,6 +384,51 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("runStreaming: a statement set starts per-INSERT queries with " +
+      "independently inferred changelog modes") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // one APPEND insert (projection) + one UPDATING insert (aggregate)
+    // over the same source, in one EXECUTE STATEMENT SET — each sink gets
+    // the mode its own plan needs (the reference plans each sink's
+    // ChangelogMode separately inside a StatementSet)
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k STRING, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE raw_snk (k STRING, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/raw',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck1');
+         |CREATE TABLE agg_snk (k STRING, n BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/agg',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck2');
+         |EXECUTE STATEMENT SET
+         |BEGIN
+         |  INSERT INTO raw_snk SELECT k, v FROM src WHERE v % 2 = 0;
+         |  INSERT INTO agg_snk SELECT k, COUNT(*) AS n FROM src GROUP BY k;
+         |END""".stripMargin)
+    assert(qs.size == 2 && qs.forall(_.isActive))
+    try {
+      Seq(("a", 0L), ("a", 1L), ("b", 2L), ("b", 3L), ("b", 4L))
+        .toDF("k", "v").write.mode("append").parquet(s"$dir/src")
+      qs.foreach(_.processAllAvailable())
+      // append face: the filtered rows accumulate
+      assert(spark.read.parquet(s"$dir/raw").as[(String, Long)]
+        .collect().toSet == Set(("a", 0L), ("b", 2L), ("b", 4L)))
+      // update face: PK-keyed final state
+      assert(spark.read.parquet(s"$dir/agg").as[(String, Long)]
+        .collect().toMap == Map("a" -> 2L, "b" -> 3L))
+      Seq(("a", 6L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.foreach(_.processAllAvailable())
+      assert(spark.read.parquet(s"$dir/raw").count() == 4)
+      assert(spark.read.parquet(s"$dir/agg").as[(String, Long)]
+        .collect().toMap == Map("a" -> 3L, "b" -> 3L))
+    } finally qs.foreach(_.stop())
+  }
+
   test("runStreaming: an updating INSERT into a PK-less sink fails loudly") {
     val dir = tmpDir()
     new java.io.File(s"$dir/src").mkdirs()
