@@ -126,18 +126,6 @@ object Bench {
       }
     }
     if (seqSkipped > 0) budgetNotes += s"seq_reps_skipped:$seqSkipped"
-    // Rescue pass — the temporally-decorrelated third sample for the
-    // big queries (their absolute size dwarfs the cold-cache penalty).
-    // Past 90% of the budget, only queries with zero samples still run (a
-    // query must never report -1 merely because the box was slow).
-    var rescueSkipped = 0
-    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-      if (small(i) && timed(i).nonEmpty) ()
-      else if (elapsed > deadline * 0.9 && timed(i).nonEmpty) rescueSkipped += 1
-      else timed(i) += (try runOnce(spark, sfDir, fn)
-        catch { case _: Throwable => -1.0 })
-    }
-    if (rescueSkipped > 0) budgetNotes += s"rescue_reps_skipped:$rescueSkipped"
 
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
@@ -245,9 +233,35 @@ object Bench {
       System.out.flush()
     }
 
-    // ---- STAGE 1 flush: raw medians. A kill from here on still leaves a
-    // complete parseable artifact.
+    // ---- STAGE 0 flush: seq-pass medians, BEFORE the rescue pass. On a
+    // badly degraded box even the rescue pass can outlive the driver's
+    // wall clock — this flush guarantees a parseable artifact exists the
+    // moment the timed sequential reps are in (the r16 rc-124 hole, and
+    // the review-r17 refinement: the rescue pass must never be the thing
+    // standing between a kill and an empty artifact).
     var results = computeResults()
+    emit(results, Seq.empty, Seq.empty)
+
+    // Rescue pass — the temporally-decorrelated third sample for the big
+    // queries (their absolute size dwarfs the cold-cache penalty). Past
+    // 90% of the budget, only queries with zero samples still run; past
+    // the FULL deadline nothing runs (an unsampled query then reports -1
+    // with the skip recorded — a parseable artifact beats a perfect one).
+    var rescueSkipped = 0
+    var rescueUnsampled = 0
+    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
+      if (small(i) && timed(i).nonEmpty) ()
+      else if (elapsed > deadline && timed(i).isEmpty) rescueUnsampled += 1
+      else if (elapsed > deadline * 0.9 && timed(i).nonEmpty) rescueSkipped += 1
+      else timed(i) += (try runOnce(spark, sfDir, fn)
+        catch { case _: Throwable => -1.0 })
+    }
+    if (rescueSkipped > 0) budgetNotes += s"rescue_reps_skipped:$rescueSkipped"
+    if (rescueUnsampled > 0)
+      budgetNotes += s"rescue_unsampled_skipped:$rescueUnsampled"
+
+    // ---- STAGE 1 flush: full raw medians.
+    results = computeResults()
     emit(results, Seq.empty, Seq.empty)
 
     // ---- STAGE 2: scale tier (VERDICT r15 #3): the heaviest pipelines once

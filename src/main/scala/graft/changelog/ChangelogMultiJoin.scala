@@ -328,6 +328,11 @@ object ChangelogMultiJoin extends Serializable {
     // BFS visit plan per triggering side: (input, viaNeighbor,
     // residualConds) where residualConds are conds to OTHER already-bound
     // inputs, applied as post-filters (only non-tree edges hit this)
+    // narrow-hop warnings dedupe across the n per-side plans: each
+    // degraded (input, via) pair surfaces once, whichever side's BFS
+    // first routes through it (ADVICE r16 — and the side-0-only variant
+    // missed hops that only appear in the other sides' visit orders)
+    val warnedHops = scala.collection.mutable.Set.empty[(Int, Int)]
     val planOf: Seq[Seq[(Int, Int, Seq[(Int, Int, Int)])]] =
       (0 until n).map { s =>
         val visited = scala.collection.mutable.LinkedHashSet(s)
@@ -362,7 +367,7 @@ object ChangelogMultiJoin extends Serializable {
             .map(p => edges.count(e =>
               (e._1 == d && e._2 == p) || (e._1 == p && e._2 == d)))
             .foldLeft(0)(math.max)
-          if (chosenWidth < widest && s == 0)
+          if (chosenWidth < widest && warnedHops.add((d, via)))
             System.err.println(
               s"[graft] WARN ChangelogMultiJoin: input $d is probed via " +
                 s"neighbor $via with a $chosenWidth-condition key while a " +

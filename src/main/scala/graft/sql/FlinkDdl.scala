@@ -2106,6 +2106,31 @@ object FlinkDdl {
   private[sql] def isAppendCapable(df: DataFrame): Boolean =
     modeOk(df, org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** Keys can EXIT this plan's result: a Filter or Limit sits above a
+    * streaming Aggregate, so a key present in one micro-batch's output
+    * can vanish from a later one (e.g. `HAVING COUNT(*) < 3` once the
+    * count crosses 3). Spark's Update output mode never re-emits or
+    * retracts such keys — the row silently stays stale in an upsert sink
+    * — while the reference emits `-D` for it
+    * (`FlinkChangelogModeInferenceProgram`'s updateKind derivation). Such
+    * plans must materialize by whole-result replacement. Conservative on
+    * purpose: a HAVING over pure grouping keys cannot flip, but proving
+    * attribute provenance through intermediate Projects is not worth the
+    * correctness risk — complete mode is always right, just more I/O. */
+  private def keysCanExit(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan, guardAbove: Boolean): Boolean = p match {
+      case f: Filter => walk(f.child, guardAbove = true)
+      case l: GlobalLimit => walk(l.child, guardAbove = true)
+      case l: LocalLimit => walk(l.child, guardAbove = true)
+      case a: Aggregate if guardAbove && a.isStreaming => true
+      case other => other.children.exists(walk(_, guardAbove))
+    }
+    walk(plan, guardAbove = false)
+  }
+
   /** Resolve a streaming plan's changelog mode, the reference's
     * `FlinkChangelogModeInferenceProgram` ladder re-expressed over Spark's
     * output modes: "append" (insert-only), "update" (revises per-key rows
@@ -2114,15 +2139,19 @@ object FlinkDdl {
     * streaming Top-N/rank tier, where a new entrant displaces rows of
     * OTHER keys, so per-key upserting cannot express the change and the
     * sink truncate-replaces). Plans legal in several modes take the
-    * cheapest-I/O one (append < update < complete). A plan legal in none
-    * resolves to "update" so Spark's own start() error names the real
-    * limitation. */
+    * cheapest-I/O one (append < update < complete) — EXCEPT when keys can
+    * exit the result ([[keysCanExit]]): Update mode cannot express a
+    * key's disappearance, so those route to complete even when Spark
+    * would accept them in update. A plan legal in none resolves to
+    * "append" so the sink's start() surfaces Spark's own error naming
+    * the real limitation (not a misleading add-a-PRIMARY-KEY hint). */
   private[sql] def changelogMode(df: DataFrame): String = {
     import org.apache.spark.sql.streaming.OutputMode._
-    if (modeOk(df, Append())) "append"
-    else if (modeOk(df, Update())) "update"
+    if (isAppendCapable(df)) "append"
+    else if (modeOk(df, Update()) &&
+      !keysCanExit(df.queryExecution.analyzed)) "update"
     else if (modeOk(df, Complete())) "complete"
-    else "update"
+    else "append"
   }
 
   /** Continuous write of an (aligned) streaming result into a sink table.
@@ -2158,6 +2187,14 @@ object FlinkDdl {
             "changes which are produced by an updating query (e.g. an " +
             "unwindowed aggregate) — declare a PRIMARY KEY on the sink so " +
             "it can upsert")
+        // the upsert materializer's stored-state format is parquet
+        // (UpsertSink reads the table back to merge); other formats would
+        // write one thing and read another
+        require(spec.format == "parquet",
+          s"Table sink '${spec.name}': upsert materialization of an " +
+            s"updating query is parquet-backed; declared format " +
+            s"'${spec.format}' cannot store the merge state — declare " +
+            "'format'='parquet'")
         val pk = spec.primaryKey
         val buckets = spec.options.get("distribution-buckets").map(_.toInt)
         aligned.writeStream
@@ -2187,9 +2224,11 @@ object FlinkDdl {
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             // each batch IS the whole result: stage + swap (idempotent
-            // under replay — rewriting the same state is a no-op)
+            // under replay — rewriting the same state is a no-op), in the
+            // sink's DECLARED format (no merge-back read here, unlike the
+            // upsert path, so any writable format works)
             val staging = spec.path + ".staging"
-            batch.write.mode("overwrite").parquet(staging)
+            batch.write.mode("overwrite").format(spec.format).save(staging)
             graft.changelog.FsOps.deleteRecursive(batch.sparkSession,
               spec.path)
             graft.changelog.FsOps.rename(batch.sparkSession, staging,

@@ -16,6 +16,17 @@ package graft.streaming
   * layouts; the two operators whose encodings changed in r16
   * (processing-time seq base; dead-key seq tombstone) start at 2 to
   * record that there IS an earlier incompatible layout in the wild.
+  *
+  * Granularity — a DELIBERATE delta vs the reference: manifests pin the
+  * WHOLE registry (an engine state-layout EPOCH), not just the operators
+  * the plan uses, because mapping a Catalyst physical plan back to graft
+  * operator families is lossy (every stateful tier surfaces as
+  * FlatMapGroupsWithState). Consequence: under strictCompiledPlan, ANY
+  * layout bump conservatively invalidates ALL previously compiled plans
+  * — including plans holding no such state. Strict mode is the opt-in
+  * bit-compat guarantee where a false rejection (re-compile the plan) is
+  * strictly cheaper than a false acceptance (resume onto an incompatible
+  * layout); the default mode only warns.
   */
 object StateLayouts {
 

@@ -148,8 +148,11 @@ object ScaleDataGen {
       (pmod(hash((cols :+ lit(salt)): _*), lit(1000000)).cast("double")
         + lit(0.5)) / lit(1000000.0)
     def zipfRank(k: Int, salt: Int, cols: Column*): Column =
-      least(floor(exp(unit(salt, cols: _*) * lit(math.log(k)))).cast("int"),
-        lit(k - 1))
+      // floor(exp(u·ln k)) lands in [1, k-1] for u in (0,1); shift to a
+      // 0-based rank so the hot list's FIRST key is actually reachable
+      // (review r17: the unshifted form silently never assigned rank 0)
+      least(floor(exp(unit(salt, cols: _*) * lit(math.log(k)))).cast("int")
+        - lit(1), lit(k - 1))
 
     // hot lists are REAL keys (collected once, broadcast as literals) so
     // reassigned rows still join

@@ -429,6 +429,44 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("runStreaming: HAVING over a streaming aggregate routes to " +
+      "whole-result materialization — keys that exit the result vanish") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // Update mode can never retract a key that stops satisfying the
+    // HAVING (Spark emits nothing for it; an upsert sink would keep the
+    // stale row forever, where the reference emits -D). The inference
+    // must detect the Filter above the streaming aggregate and pick
+    // complete-mode truncate-replace (review r17).
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k STRING, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE small_groups (k STRING, n BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO small_groups
+         |SELECT k, COUNT(*) AS n FROM src GROUP BY k
+         |HAVING COUNT(*) < 3""".stripMargin)
+    try {
+      Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      def state(): Map[String, Long] = spark.read.parquet(s"$dir/snk")
+        .as[(String, Long)].collect().toMap
+      assert(state() == Map("a" -> 2L, "b" -> 1L))
+      // 'a' crosses the threshold: it must DISAPPEAR from the sink, not
+      // linger at its stale pre-crossing count
+      Seq(("a", 3L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(state() == Map("b" -> 1L),
+        "a key that exits the HAVING must be retracted from the sink")
+    } finally qs.foreach(_.stop())
+  }
+
   test("runStreaming: an updating INSERT into a PK-less sink fails loudly") {
     val dir = tmpDir()
     new java.io.File(s"$dir/src").mkdirs()

@@ -102,6 +102,10 @@ class TpcdsCboSpec extends SparkSpecBase {
     // join body).
     val joinHeavy = Seq(14, 17, 25, 29, 54, 64, 72, 78, 80, 95)
     def plansFor(broadcastThreshold: Int): Map[Int, String] = {
+      // the statement cache keys on (text, tables) and cannot see conf
+      // changes — without this, the second threshold's "plans" would be
+      // the first threshold's cached DataFrames (review r17)
+      graft.sql.FlinkSql.invalidateStatements(spark)
       Seq("spark.sql.cbo.enabled" -> "true",
         "spark.sql.cbo.joinReorder.enabled" -> "true",
         "spark.sql.autoBroadcastJoinThreshold" -> broadcastThreshold.toString)
@@ -144,8 +148,11 @@ class TpcdsCboSpec extends SparkSpecBase {
       // difference is the stats.
       def bhj(p: String): Int = "BroadcastHashJoin".r.findAllIn(p).size
       val withStats = plansFor(256 * 1024)
+      graft.sql.FlinkSql.invalidateStatements(spark)
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (256 * 1024).toString)
       val tpcds = TpcdsSqlQueries.tableNames.map(t =>
         t -> graft.Tables(spark, TpcdsSqlQueries.dataDir, t)).toMap
       val noStats = joinHeavy.map { n =>
@@ -159,11 +166,18 @@ class TpcdsCboSpec extends SparkSpecBase {
       assert(shuffling.size >= joinHeavy.size / 2,
         s"stats-less 256KB plans should shuffle their fact joins; only " +
           s"$shuffling did")
-      val statsBroadcasts = joinHeavy.map(n => bhj(withStats(n))).sum
-      val noStatsBroadcasts = joinHeavy.map(n => bhj(noStats(n))).sum
-      assert(statsBroadcasts > noStatsBroadcasts,
-        s"ANALYZEd stats must change broadcast choices: $statsBroadcasts " +
-          s"BHJs with stats vs $noStatsBroadcasts without")
+      // Stats must CHANGE the join choices, per query — filtered-
+      // cardinality estimates move some joins to broadcast AND pull some
+      // back (CBO's intermediate estimates can exceed raw file size), so
+      // the honest lock is responsiveness, not a fixed direction: the
+      // per-query broadcast counts must differ for a majority of the
+      // pack. (An earlier form asserted strictly-more broadcasts under
+      // stats and "passed" only via a stale statement cache — review
+      // r17.)
+      val changed = joinHeavy.filter(n => bhj(withStats(n)) != bhj(noStats(n)))
+      assert(changed.size >= joinHeavy.size / 2,
+        s"ANALYZEd stats changed broadcast choices for only " +
+          s"${changed.size}/${joinHeavy.size} queries ($changed)")
     } finally {
       Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
         "spark.sql.autoBroadcastJoinThreshold")
