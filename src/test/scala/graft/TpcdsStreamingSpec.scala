@@ -47,6 +47,60 @@ class TpcdsStreamingSpec extends SparkSpecBase {
   // list — the upsert key the reference's sink would declare)
   private val cases = Seq(3 -> 3, 7 -> 1, 42 -> 3, 52 -> 3, 55 -> 2)
 
+  test("official q7 streams BYTE-IDENTICAL (ORDER BY + LIMIT intact) via " +
+      "inferred complete mode; final state == batch") {
+    // With complete-mode inference the text needs no stripping at all:
+    // sort+limit over a streaming aggregate is exactly the
+    // whole-result-revision tier, so the official text runs through the
+    // streaming runner as-is. q7 has 156 groups at sf0.03, so its
+    // LIMIT 100 BINDS, and its ORDER BY key (i_item_id) is unique, so
+    // the retained-100 set is deterministic.
+    val dataDir = TpcdsSqlQueries.dataDir
+    assume(new java.io.File(dataDir).isDirectory)
+    val text = TpcdsSqlQueries.officialText(7).trim.stripSuffix(";").trim
+    assert(text.toLowerCase.contains("order by") &&
+      text.toLowerCase.contains("limit"))
+    val batchTables: Map[String, DataFrame] =
+      TpcdsSqlQueries.tableNames
+        .map(t => t -> Tables(spark, dataDir, t)).toMap
+    val batch = FlinkSql.sql(spark, text, batchTables)
+    val schema = batch.schema
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tpcds_stream_q7_full").toString
+    val ss = Tables(spark, dataDir, "store_sales")
+    val (h1, h2) = (
+      ss.where(pmod(col("ss_ticket_number"), lit(2)) === 0),
+      ss.where(pmod(col("ss_ticket_number"), lit(2)) === 1))
+    h1.write.mode("append").parquet(s"$dir/src")
+    val ssStream = spark.readStream.schema(ss.schema).parquet(s"$dir/src")
+    val sinkCols = schema.fields.zipWithIndex
+      .map { case (f, i) => s"c${i + 1} ${ddlType(f.dataType)}" }
+      .mkString(", ")
+    // complete mode: no PRIMARY KEY required — a displaced rank-101 row
+    // belongs to ANOTHER key, which upserts cannot retract
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE snk ($sinkCols)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO snk
+         |$text""".stripMargin,
+      extra = batchTables - "store_sales" + ("store_sales" -> ssStream))
+    try {
+      qs.head.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/snk").count() > 0)
+      h2.write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      val finalState = spark.read.parquet(s"$dir/snk").collect().toSet
+      val expected = batch
+        .toDF((1 to schema.length).map(i => s"c$i"): _*)
+        .collect().toSet
+      assert(expected.size == 100, s"q7's LIMIT must bind: ${expected.size}")
+      assert(finalState == expected,
+        s"q7 full-text: streaming final state diverges from batch " +
+          s"(${finalState.size} vs ${expected.size} rows)")
+    } finally qs.foreach(_.stop())
+  }
+
   for ((n, pkArity) <- cases)
     test(s"official q$n streams via inferred upsert; final state == batch") {
       val dataDir = TpcdsSqlQueries.dataDir
