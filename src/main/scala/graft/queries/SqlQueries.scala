@@ -790,6 +790,60 @@ object SqlQueries {
         ORDER BY n DESC, event_type LIMIT 3
       """.trim)),
 
+    // The rank/Top-N tier through the streaming SQL entry (r17): the
+    // reference's DOCUMENTED streaming Top-N idiom — ROW_NUMBER() OVER a
+    // PARTITION, filtered rn <= N, over an updating aggregate (topn.md;
+    // StreamExecRank). No Spark output mode accepts a window function on
+    // a stream, so the runner splits the text at the rank boundary: the
+    // aggregate streams in complete mode and the rank+filter applies per
+    // micro-batch. Final state after two arrivals equals the batch run —
+    // the oracle (ties broken by bucket, so the cut is deterministic).
+    QueryDef(
+      "q_sql_stream_rank",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_rank").toString
+        new java.io.File(s"$tmp/src").mkdirs()
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        val qs = FlinkDdl.runStreaming(s,
+          s"""CREATE TABLE src (
+             |  event_id BIGINT, event_type STRING, user_id BIGINT
+             |) WITH ('connector'='filesystem', 'path'='$tmp/src',
+             |        'format'='parquet');
+             |CREATE TABLE rank_snk (
+             |  event_type STRING, bucket BIGINT, n BIGINT, rn BIGINT
+             |) WITH ('connector'='filesystem', 'path'='$tmp/snk',
+             |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
+             |INSERT INTO rank_snk
+             |SELECT event_type, bucket, n, rn FROM (
+             |  SELECT event_type, bucket, n,
+             |         ROW_NUMBER() OVER (PARTITION BY event_type
+             |                            ORDER BY n DESC, bucket) AS rn
+             |  FROM (SELECT event_type, user_id % 10 AS bucket,
+             |               COUNT(*) AS n
+             |        FROM src GROUP BY event_type, user_id % 10)
+             |) WHERE rn <= 3""".stripMargin)
+        try {
+          ev.where(col("event_id") % 2 === 0)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+          ev.where(col("event_id") % 2 === 1)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+        } finally qs.foreach(_.stop())
+        s.read.parquet(s"$tmp/snk").orderBy("event_type", "rn")
+      },
+      Some("""
+        SELECT event_type, bucket, n, rn FROM (
+          SELECT event_type, bucket, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, bucket) AS rn
+          FROM (SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n
+                FROM events GROUP BY event_type, user_id % 10))
+        WHERE rn <= 3 ORDER BY event_type, rn
+      """.trim)),
+
     // JDBC connector in DDL (the flink-connector-jdbc option surface:
     // 'url' / 'table-name'): INSERT OVERWRITE materializes an aggregate
     // into embedded Derby, the final SELECT scans it back through Spark's

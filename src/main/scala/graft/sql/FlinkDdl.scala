@@ -345,10 +345,29 @@ object FlinkDdl {
         "streaming inserts append")
       val spec = catalog.getOrElse(sink, throw new IllegalArgumentException(
         s"INSERT into unknown table $sink; known: ${catalog.keys.mkString(", ")}"))
-      val result = withStaticPartition(spec,
-        FlinkSql.sql(spark, query, tables(), allModels()), static)
-      registerJob(s"insert-into_$sink",
-        startStreamSink(spec, alignToSink(spec, result)))
+      // the streaming rank/Top-N tier: window functions stream in no
+      // Spark output mode, so the ROW_NUMBER idiom is split at the rank
+      // boundary instead ([[StreamingRank]]) — only attempted when the
+      // statement is otherwise unrunnable (either the compiled plan has
+      // no legal output mode, or FlinkSql's own shape checks rejected the
+      // rank/dedup pattern on a stream), so every supported plan keeps
+      // its normal route
+      def normalRoute() = {
+        val result = withStaticPartition(spec,
+          FlinkSql.sql(spark, query, tables(), allModels()), static)
+        if (result.isStreaming && static.isEmpty && noLegalMode(result))
+          startRankSink(spark, spec, query, tables(), allModels())
+            .getOrElse(startStreamSink(spec, alignToSink(spec, result)))
+        else startStreamSink(spec, alignToSink(spec, result))
+      }
+      val qc =
+        try normalRoute()
+        catch {
+          case e: Throwable if static.isEmpty =>
+            startRankSink(spark, spec, query, tables(), allModels())
+              .getOrElse(throw e)
+        }
+      registerJob(s"insert-into_$sink", qc)
     }
 
     // continuous materialized tables: name → live refresh job, so
@@ -2152,6 +2171,97 @@ object FlinkDdl {
       !keysCanExit(df.queryExecution.analyzed)) "update"
     else if (modeOk(df, Complete())) "complete"
     else "append"
+  }
+
+  private def noLegalMode(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.streaming.OutputMode._
+    !modeOk(df, Append()) && !modeOk(df, Update()) && !modeOk(df, Complete())
+  }
+
+  /** The reference's streaming Top-N tier (`StreamExecRank`, docs
+    * `topn.md`): a `ROW_NUMBER() OVER (…) … WHERE rn <= N` idiom over a
+    * streaming input. Spark rejects window functions in every streaming
+    * output mode, so the statement is split at the rank boundary
+    * ([[StreamingRank]]): the CHILD runs as the continuous query and the
+    * rank+filter section applies per micro-batch as batch SQL. Two
+    * materialization tiers, by the child's own changelog mode:
+    *
+    *   - child complete-capable (an updating aggregate — the reference's
+    *     "rank over an updating input", RetractableTopNFunction): each
+    *     batch carries the child's WHOLE state; rank it, filter, atomic
+    *     truncate-replace into the sink. Stateless and replay-idempotent.
+    *   - child append-only (raw-stream leaderboard,
+    *     AppendOnlyTopNFunction) and the outer filter is a monotone
+    *     prefix (`rn <= N` / `< N` / `= 1`): keep the CANDIDATE rows — the
+    *     child rows still inside the rank bound — in a side store; each
+    *     batch ranks candidates ∪ new rows, truncate-replaces the sink
+    *     and prunes the store. Closure: under appends a row's rank only
+    *     grows, so a row outside the bound can never re-enter — state
+    *     stays ≤ N rows per partition, never the whole stream. Sink and
+    *     store swaps are each atomic; a crash BETWEEN them replays the
+    *     batch against an already-pruned store, which re-derives the
+    *     same candidates (ranking is deterministic), so the pair is
+    *     replay-idempotent the same way the upsert sink is — the
+    *     reference instead keeps this state inside the checkpoint, which
+    *     a transactional table format would give the store at scale.
+    *
+    * Returns None when the text is not the idiom or the child streams in
+    * no usable mode — the caller falls through to the normal error. */
+  private def startRankSink(
+      spark: SparkSession,
+      spec: TableSpec,
+      query: String,
+      tbls: Map[String, DataFrame],
+      models: Map[String, graft.ml.ModelProvider])
+      : Option[(org.apache.spark.sql.streaming.StreamingQuery, String)] = {
+    if (spec.connector != "filesystem") return None
+    StreamingRank.split(query).flatMap { rs =>
+      val inner = scala.util.Try(
+        FlinkSql.sql(spark, rs.innerText, tbls, models)).toOption
+        .filter(_.isStreaming)
+      inner.flatMap { in =>
+        import org.apache.spark.sql.streaming.OutputMode._
+        val ckpt = spec.options.getOrElse("sink.checkpoint-dir",
+          java.nio.file.Files
+            .createTempDirectory(s"graft_rank_ck_${spec.name}_").toString)
+        def swap(df: DataFrame, dest: String): Unit = {
+          val staging = dest + ".staging"
+          df.write.mode("overwrite").parquet(staging)
+          graft.changelog.FsOps.deleteRecursive(df.sparkSession, dest)
+          graft.changelog.FsOps.rename(df.sparkSession, staging, dest)
+        }
+        def applyOuter(sp: SparkSession, snapshot: DataFrame): DataFrame =
+          alignToSink(spec, FlinkSql.sql(sp, rs.outerText,
+            Map(StreamingRank.Marker -> snapshot), models))
+        if (modeOk(in, Complete())) {
+          Some((in.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              swap(applyOuter(batch.sparkSession, batch), spec.path)
+            }
+            .start(), ckpt))
+        } else if (modeOk(in, Append()) && rs.candidateText.nonEmpty) {
+          val stateDir = spec.path + ".rankstate"
+          Some((in.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val sp = batch.sparkSession
+              val combined =
+                if (graft.changelog.FsOps.childNames(sp, stateDir)
+                  .exists(_.endsWith(".parquet")))
+                  sp.read.parquet(stateDir).unionByName(batch)
+                else batch
+              // rank once over candidates ∪ new rows: exact by closure
+              val cand = FlinkSql.sql(sp, rs.candidateText.get,
+                Map(StreamingRank.Marker -> combined), models)
+                .drop(StreamingRank.CandRn)
+              swap(applyOuter(sp, combined), spec.path)
+              swap(cand, stateDir)
+            }
+            .start(), ckpt))
+        } else None
+      }
+    }
   }
 
   /** Continuous write of an (aligned) streaming result into a sink table.

@@ -467,6 +467,92 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
+  test("runStreaming: the ROW_NUMBER Top-N idiom over an UPDATING input " +
+      "streams via the rank tier (complete child, per-batch rank)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // the reference's documented streaming Top-N SQL (topn.md): rank over
+    // an unwindowed aggregate — no Spark output mode accepts the window
+    // function, so the statement must split at the rank boundary
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k STRING, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE lead_snk (k STRING, bucket BIGINT, n BIGINT, rn BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO lead_snk
+         |SELECT k, bucket, n, rn FROM (
+         |  SELECT k, bucket, n,
+         |         ROW_NUMBER() OVER (PARTITION BY k
+         |                            ORDER BY n DESC, bucket) AS rn
+         |  FROM (SELECT k, v % 3 AS bucket, COUNT(*) AS n
+         |        FROM src GROUP BY k, v % 3)
+         |) WHERE rn <= 2""".stripMargin)
+    assert(qs.size == 1 && qs.head.isActive)
+    def state(): Set[(String, Long, Long, Long)] =
+      spark.read.parquet(s"$dir/snk")
+        .as[(String, Long, Long, Long)].collect().toSet
+    try {
+      // a: bucket0 x3, bucket1 x1; b: bucket2 x2
+      Seq(("a", 0L), ("a", 3L), ("a", 6L), ("a", 1L), ("b", 2L), ("b", 5L))
+        .toDF("k", "v").write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(state() == Set(
+        ("a", 0L, 3L, 1L), ("a", 1L, 1L, 2L), ("b", 2L, 2L, 1L)))
+      // bucket1 of a overtakes bucket0 (4 > 3): ranks REORDER in place
+      Seq(("a", 4L), ("a", 7L), ("a", 10L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(state() == Set(
+        ("a", 1L, 4L, 1L), ("a", 0L, 3L, 2L), ("b", 2L, 2L, 1L)))
+    } finally qs.foreach(_.stop())
+  }
+
+  test("runStreaming: the Top-N idiom over an APPEND-ONLY input uses the " +
+      "bounded candidate store (rows outside the bound never return)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k STRING, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE top_vals (k STRING, v BIGINT, rn BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO top_vals
+         |SELECT k, v, rn FROM (
+         |  SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k
+         |                                  ORDER BY v DESC) AS rn
+         |  FROM src
+         |) WHERE rn <= 2""".stripMargin)
+    def state(): Set[(String, Long, Long)] =
+      spark.read.parquet(s"$dir/snk")
+        .as[(String, Long, Long)].collect().toSet
+    try {
+      Seq(("a", 10L), ("a", 5L), ("a", 1L), ("b", 7L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(state() == Set(("a", 10L, 1L), ("a", 5L, 2L), ("b", 7L, 1L)))
+      // 8 displaces 5 for a; b gains a second entry
+      Seq(("a", 8L), ("b", 3L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(state() == Set(("a", 10L, 1L), ("a", 8L, 2L),
+        ("b", 7L, 1L), ("b", 3L, 2L)))
+      // the candidate store holds AT MOST the rank bound per key — the
+      // whole-stream history is never retained (the scale contract)
+      val cand = spark.read.parquet(s"$dir/snk.rankstate")
+        .as[(String, Long)].collect().toSeq
+      assert(cand.groupBy(_._1).values.forall(_.size <= 2),
+        s"candidate store exceeded the rank bound: $cand")
+      assert(cand.toSet == Set(("a", 10L), ("a", 8L),
+        ("b", 7L), ("b", 3L)))
+    } finally qs.foreach(_.stop())
+  }
+
   test("runStreaming: an updating INSERT into a PK-less sink fails loudly") {
     val dir = tmpDir()
     new java.io.File(s"$dir/src").mkdirs()
