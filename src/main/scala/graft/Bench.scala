@@ -13,29 +13,40 @@ import org.apache.spark.sql.SparkSession
   *     timing;
   *   - deterministic name order, median of timed runs per query.
   *
-  * Budget discipline (VERDICT r16 "what's wrong" #1 — the r16 driver run was
-  * killed at its wall-clock limit before printing anything, rc 124; r15's
-  * sweep passed at 1,344 s and r16 added 101 queries on top):
+  * Driver-signal discipline (VERDICT r17 "next round" task 1 — two rounds
+  * without a driver-validated number; r17's rc was 0 but the stdout
+  * headline overflowed the driver's ~2000-char tail and parsed null):
+  *   - the stdout headline is COMPACT — total, sample counts, the
+  *     box-factor, median ratio vs baseline, tier breach lists and the
+  *     budget block; the full per-query map lives ONLY in BENCH_LAST.json
+  *     (committed each round). The headline is asserted < 1500 chars by
+  *     construction (breach lists capped, no per-query map).
+  *   - BOX CONTROL first: three pinned control queries are warmed and
+  *     timed before anything else, unconditionally (this also guarantees
+  *     a warm JVM before the first real timed rep even when the deadline
+  *     skips the per-query warmup pass — the r17 artifact manufactured a
+  *     fake 26x breach from a cold first query). `box_factor` = median of
+  *     (control time / recorded baseline): a degraded box reads >> 1 here
+  *     and the per-query ratios are interpreted against it,
+  *     machine-readably instead of in prose.
+  *   - ROTATION under budget pressure: the sweep order starts at a cursor
+  *     persisted in BENCH_CURSOR (committed), advancing by the number of
+  *     queries actually sampled — a truncated round drops a DIFFERENT
+  *     tail next round instead of always the alphabetical one.
+  *
+  * Budget discipline (VERDICT r16 "what's wrong" #1):
   *   - the sweep runs against a deadline (`SPARK_GRAFT_BENCH_DEADLINE`
-  *     seconds, default 1380 — just above the slowest sweep the driver has
-  *     ever accepted);
+  *     seconds, default 1380). The deadline is checked BETWEEN reps, so
+  *     the final in-flight rep can overshoot it by its own duration
+  *     (observed ~2 s) — a soft cap by design, never mid-query;
   *   - queries whose recorded baseline is < 1.2 s take their 2 samples
   *     back-to-back in the warm sequential pass and skip the cold
-  *     round-robin rescue rep (418 of 473 queries; the rescue pass's
-  *     cold-cache penalty would bias a 2-sample median upward — the r11
-  *     lesson — while for the big queries the penalty is relatively
-  *     negligible and the decorrelated third sample stays valuable); the
-  *     skipped rescue pass (~210 s) is what keeps the sweep plus the two
-  *     10x tiers inside the window;
+  *     round-robin rescue rep (the rescue pass's cold-cache penalty would
+  *     bias a 2-sample median upward — the r11 lesson);
   *   - the full-sweep JSON is written to BENCH_LAST.json and the contract
   *     line printed IMMEDIATELY after the timed reps, then again after each
-  *     optional stage (scale tier, quiet re-measures), so a kill mid-stage
-  *     still leaves a complete parseable artifact — the driver tails stdout
-  *     and the last complete line wins;
-  *   - stage order puts the sf1 scale tier BEFORE the quiet re-measures:
-  *     the scale block is a graded artifact, the re-measures only refine
-  *     outlier medians (the final emit recomputes growth factors from the
-  *     re-measured denominators either way);
+  *     optional stage, so a kill mid-stage still leaves a parseable line —
+  *     the driver tails stdout and the last complete line wins;
   *   - every deadline-driven skip is recorded in the JSON (`budget` block)
   *     so a truncated sweep is never mistaken for a complete one.
   */
@@ -63,7 +74,7 @@ object Bench {
     // Dev loop only (driver leaves it unset): bench a named subset.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val alphabetical = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       // the q_tpcds_sf1_* de-vacuation tier is a CORRECTNESS surface (runs
       // against the 260 MB sf1 corpus, seconds per query); sweeping it here
@@ -71,9 +82,19 @@ object Bench {
       // perf story lives in TPCDS_SF1.json and the scale tier
       .filterNot { case (n, _) => n.startsWith("q_tpcds_sf1_") }
 
-    // Recorded baselines, parsed up-front: they drive both the rep schedule
-    // (sub-1.2s queries get one fewer sequential rep) and the 1.8x
-    // re-measure trigger.
+    // Rotation cursor (task 1d): start the sweep where the last truncated
+    // round stopped sampling, so budget pressure rotates coverage instead
+    // of repeatedly dropping the same alphabetical tail.
+    val cursorPath = java.nio.file.Paths.get("BENCH_CURSOR")
+    val cursor =
+      try new String(java.nio.file.Files.readAllBytes(cursorPath)).trim.toInt
+      catch { case _: Throwable => 0 }
+    val rot = if (alphabetical.isEmpty) 0 else cursor % alphabetical.size
+    val ordered = alphabetical.drop(rot) ++ alphabetical.take(rot)
+
+    // Recorded baselines, parsed up-front: they drive the rep schedule
+    // (sub-1.2s queries get one fewer sequential rep), the 1.8x re-measure
+    // trigger, and the box-factor controls.
     val baselines: Map[String, Double] =
       try {
         val md = new String(java.nio.file.Files.readAllBytes(
@@ -89,9 +110,41 @@ object Bench {
 
     val budgetNotes = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    // Warmup: one untimed pass over every query. Gate at 40% of the budget —
-    // a degraded box that can't finish warmup in that window won't finish
-    // the timed passes either, and a cold-measured query beats none.
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    // ---- STAGE -1: box-factor controls, UNCONDITIONAL (task 1b/1c).
+    // Three pinned mid-size queries with stable recorded baselines: one
+    // warmup each (absorbs JVM/JIT/session start before ANY timed rep —
+    // under every budget path), then two timed reps. box_factor is the
+    // median of (median control time / its baseline): ~1.0 on a quiet box,
+    // >>1 on a degraded one — the driver artifact carries the box state
+    // machine-readably instead of in after-the-fact prose.
+    val controlNames = Seq("q_tpch_q1", "q_dedup_exact", "q_over_rows")
+    val byNameAll = SparkEntry.queries
+    val boxFactor: Option[Double] = {
+      val ratios = controlNames.flatMap { n =>
+        (byNameAll.get(n), baselines.get(n)) match {
+          case (Some(fn), Some(b)) if b > 0 =>
+            try {
+              runOnce(spark, sfDir, fn) // warmup, untimed
+              val ts = (1 to 2).map(_ => runOnce(spark, sfDir, fn))
+              Some(median(ts) / b)
+            } catch { case _: Throwable => None }
+          case _ => None
+        }
+      }
+      if (ratios.isEmpty) None else Some(median(ratios))
+    }
+
+    // Warmup: one untimed pass over every query, in rotated order (so the
+    // queries timed first are also warmed first). Gate at 40% of the
+    // budget — a degraded box that can't finish warmup in that window
+    // won't finish the timed passes either, and a cold-measured query
+    // beats none; the controls above already warmed the JVM itself.
     var warmupSkipped = 0
     ordered.foreach { case (_, fn) =>
       if (elapsed > deadline * 0.4) warmupSkipped += 1
@@ -127,12 +180,6 @@ object Bench {
     }
     if (seqSkipped > 0) budgetNotes += s"seq_reps_skipped:$seqSkipped"
 
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-
     // Medians over whatever samples a query holds. ANY failed rep marks the
     // query failed (-1): a query that crashes intermittently must not report
     // a healthy aggregate of its surviving reps (review r11).
@@ -140,26 +187,33 @@ object Bench {
       ordered.zipWithIndex.map { case ((name, _), i) =>
         val ts = timed(i).toSeq
         name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else median(ts))
-      }
+      }.sortBy(_._1)
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    // One 10x tier block: per-query seconds, growth vs this sweep's sf0.1
-    // medians, 15x-gate breaches, deadline-skipped names.
+    // One scale-tier block: per-query seconds, growth vs this sweep's
+    // sf0.1 medians, gate breaches, deadline-skipped names.
     final case class Tier(
         label: String,
         dir: Option[String],
         results: Seq[(String, Double)],
-        skipped: Seq[String])
+        skipped: Seq[String],
+        breachGate: Double)
+    def tierBreaches(t: Tier, base: Map[String, Double]): Seq[String] =
+      t.results.flatMap { case (k, v) =>
+        base.get(k).filter(b => b > 0 && v >= 0)
+          .map(b => k -> v / b)
+      }.filter(_._2 > t.breachGate).map(_._1).sorted
+
+    // The FULL artifact (per-query map, tiers, growth) — file-only.
     def toJson(
         rs: Seq[(String, Double)],
-        fullResults: Seq[(String, Double)],
         remeasured: Seq[String],
         tiers: Seq[Tier]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = fullResults.map(_._2).filter(_ >= 0).sum // always the FULL total
+      val total = rs.map(_._2).filter(_ >= 0).sum
       val rm = remeasured.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val base = fullResults.toMap
+      val base = rs.toMap
       val tierJson = tiers.filter(t => t.results.nonEmpty || t.skipped.nonEmpty)
         .map { t =>
           val sq = t.results.map { case (k, v) =>
@@ -170,75 +224,71 @@ object Bench {
           }
           val gj = growth.map { case (k, g) =>
             "\"" + k + "\":" + f"$g%.2f" }.mkString("{", ",", "}")
-          val breaches = growth.filter(_._2 > 15.0).map(_._1).sorted
+          val breaches = tierBreaches(t, base)
             .map("\"" + _ + "\"").mkString("[", ",", "]")
           val sk = t.skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s""","${t.label}":{"dir":"${t.dir.getOrElse("")}","queries":$sq,"growth":$gj,"breaches":$breaches,"skipped":$sk}"""
+          s""","${t.label}":{"dir":"${t.dir.getOrElse("")}","gate":${t.breachGate},"queries":$sq,"growth":$gj,"breaches":$breaches,"skipped":$sk}"""
         }.mkString
-      // Sweep-level box diagnostic: the median of per-query ratios vs the
-      // recorded baselines. Code changes move individual ratios; a BOX
-      // slower/faster than the recording window moves the whole median
-      // (r17: a degraded window read 1.3-1.5 here while an A/B at the
-      // prior commit confirmed code parity — this number turns that
-      // investigation into a one-glance readout). Diagnostic only, never
-      // a gate.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$tierJson${diagJson(rs)}}"""
+    }
+
+    // Sweep-level box diagnostic: the median of per-query ratios vs the
+    // recorded baselines. Code changes move individual ratios; a BOX
+    // slower/faster than the recording window moves the whole median
+    // (r17: a degraded window read 1.44 here while an A/B at the prior
+    // commit confirmed code parity). Diagnostic only, never a gate.
+    def diagJson(rs: Seq[(String, Double)]): String = {
       val medianRatio = {
-        val ratios = fullResults.flatMap { case (k, v) =>
+        val ratios = rs.flatMap { case (k, v) =>
           baselines.get(k).filter(_ > 0).filter(_ => v > 0).map(v / _)
         }.sorted
         if (ratios.isEmpty) ""
         else f""","median_ratio_vs_baseline":${median(ratios)}%.2f"""
       }
-      val budget =
-        s""","budget":{"deadline":${fmt(deadline)},"elapsed":${fmt(elapsed)}$medianRatio,"notes":${
-          budgetNotes.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rm,"sf":"$sfDir"$tierJson$budget,"full":"BENCH_LAST.json"}"""
+      val bf = boxFactor.map(b => f""","box_factor":$b%.2f""").getOrElse("")
+      s"""$medianRatio$bf,"budget":{"deadline":${fmt(deadline)},"elapsed":${fmt(elapsed)},"notes":${
+        budgetNotes.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
 
-    // Persist the complete per-query map to a file: the driver captures only
-    // the last ~2000 chars of stdout, which truncated BENCH_r02/r03 — the
-    // file survives intact (committed to the repo each round). The headline
-    // stdout line is a prioritized subset cut at the 1800-char budget.
+    // The stdout HEADLINE (task 1a): compact by construction — counts,
+    // total, box factor, tier breach lists (names capped at 6 per tier,
+    // count always exact) and the budget block. NO per-query map: r17's
+    // headline overflowed the driver's ~2000-char stdout tail and parsed
+    // null; the full map lives in BENCH_LAST.json, committed each round.
+    def headlineJson(
+        rs: Seq[(String, Double)],
+        tiers: Seq[Tier]): String = {
+      val sampled = rs.count(_._2 >= 0)
+      val total = rs.map(_._2).filter(_ >= 0).sum
+      val base = rs.toMap
+      val breachJson = tiers
+        .filter(t => t.results.nonEmpty || t.skipped.nonEmpty)
+        .map { t =>
+          val b = tierBreaches(t, base)
+          val names = b.take(6).map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""""${t.label}":{"n":${b.size},"names":$names,"skipped":${t.skipped.size}}"""
+        }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${rs.size},"n_sampled":$sampled,"queries":{"q1_agg":${fmt(base.getOrElse("q1_agg", -1.0))}},"sf":"$sfDir","cursor":$rot,"breaches":$breachJson${diagJson(rs)},"full":"BENCH_LAST.json"}"""
+    }
+
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    val headline = Seq(
-      "q1_agg", "q_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-      "q_embedding_cosine_dup", "q_vector_topk", "q_vector_ivf_topk",
-      "q_changelog_join", "q_changelog_agg_chain", "q_match_recognize",
-      "q_over_rows", "q_topn", "q_salted_join", "q_multiset", "q_asof_join",
-      "q_interval_join", "q_session_agg", "q_unified_tumble", "q_retract_agg",
-      "q_tpcds_q23", "q_tpcds_q67", "q_tpcds_q95", "q_url_dedup",
-      "q_avro_scan")
     def emit(
         results: Seq[(String, Double)],
         remeasured: Seq[String],
         tiers: Seq[Tier]): Unit = {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
-        toJson(results, results, remeasured, tiers)
+        toJson(results, remeasured, tiers)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
-      val byName = results.toMap
-      val prioritized =
-        results.filter(_._1.startsWith("q_tpch_")) ++
-          headline.flatMap(n => byName.get(n).map(n -> _)) ++
-          results.filterNot { case (n, _) =>
-            n.startsWith("q_tpch_") || headline.contains(n)
-          }
-      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      prioritized.foreach { kv =>
-        if (toJson(kept.toSeq :+ kv, results, remeasured, tiers)
-          .length <= 1800) kept += kv
-      }
-      println(toJson(kept.toSeq, results, remeasured, tiers))
+      println(headlineJson(results, tiers))
       System.out.flush()
     }
 
     // ---- STAGE 0 flush: seq-pass medians, BEFORE the rescue pass. On a
     // badly degraded box even the rescue pass can outlive the driver's
-    // wall clock — this flush guarantees a parseable artifact exists the
-    // moment the timed sequential reps are in (the r16 rc-124 hole, and
-    // the review-r17 refinement: the rescue pass must never be the thing
-    // standing between a kill and an empty artifact).
+    // wall clock — this flush guarantees a parseable line exists the
+    // moment the timed sequential reps are in.
     var results = computeResults()
     emit(results, Seq.empty, Seq.empty)
 
@@ -259,6 +309,17 @@ object Bench {
     if (rescueSkipped > 0) budgetNotes += s"rescue_reps_skipped:$rescueSkipped"
     if (rescueUnsampled > 0)
       budgetNotes += s"rescue_unsampled_skipped:$rescueUnsampled"
+
+    // Advance the rotation cursor by how far the sweep actually sampled:
+    // a complete sweep rotates a full lap (cursor unchanged mod n); a
+    // truncated one resumes next round at the first unsampled query.
+    if (only.isEmpty && ordered.nonEmpty) {
+      val sampledCount = timed.count(_.nonEmpty)
+      try java.nio.file.Files.write(cursorPath,
+        (((rot + sampledCount) % ordered.size).toString + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
 
     // ---- STAGE 1 flush: full raw medians.
     results = computeResults()
@@ -288,7 +349,8 @@ object Bench {
         dirEnv: String,
         defaultDir: String,
         names: Seq[String],
-        gate: Double): Tier = {
+        gate: Double,
+        breachGate: Double): Tier = {
       val dir = sys.env.get(dirEnv)
         .orElse(Option(defaultDir)
           .filter(d => new java.io.File(d).isDirectory))
@@ -306,10 +368,10 @@ object Bench {
             }
         case None => Seq.empty
       }
-      Tier(label, dir, rs, skipped.toSeq)
+      Tier(label, dir, rs, skipped.toSeq, breachGate)
     }
     val scaleTier = runTier("scale", "SPARK_GRAFT_SCALE_DIR",
-      "scale-data/sf1", scaleNames, gate = 0.97)
+      "scale-data/sf1", scaleNames, gate = 0.97, breachGate = 15.0)
     emit(results, Seq.empty, Seq(scaleTier))
 
     // ---- STAGE 2b: SKEW sub-tier (VERDICT r16 task 5): the same 15x
@@ -326,8 +388,21 @@ object Bench {
       "q_embedding_cosine_dup", "q_embedding_dedup_cluster",
       "q_changelog_join", "q_changelog_join_nary")
     val skewTier = runTier("skew", "SPARK_GRAFT_SKEW_DIR",
-      "scale-data/sf1skew", skewNames, gate = 0.99)
+      "scale-data/sf1skew", skewNames, gate = 0.99, breachGate = 15.0)
     emit(results, Seq.empty, Seq(scaleTier, skewTier))
+
+    // ---- STAGE 2c: sf3 SPOT tier (VERDICT r17 task 6): the five heaviest
+    // pipelines once against the 30x corpus (`ScaleDataGen` with 30
+    // replicas → scale-data/sf3), gated at 45x growth for 30x data — one
+    // decade beyond the sf1 tier, turning "the caps hold at 10x" into
+    // "the caps hold across two decades of growth". Budget-gated hardest
+    // (only runs with headroom); skips are recorded like every tier.
+    val spotNames = Seq(
+      "q_dedup_minhash", "q_embedding_cosine_dup", "q_dedup_cluster",
+      "q_tpcds_q23", "q_changelog_agg_chain")
+    val spotTier = runTier("scale3", "SPARK_GRAFT_SCALE3_DIR",
+      "scale-data/sf3", spotNames, gate = 0.995, breachGate = 45.0)
+    emit(results, Seq.empty, Seq(scaleTier, skewTier, spotTier))
 
     // ---- STAGE 3: quiet re-measures — the BASELINE.md "7-rep quiet-box"
     // procedure automated inside the sweep (r14): when a query's median sits
@@ -366,7 +441,7 @@ object Bench {
     }
     if (remeasureTruncated) budgetNotes += "remeasure_truncated"
     results = computeResults()
-    emit(results, remeasured.toSeq, Seq(scaleTier, skewTier))
+    emit(results, remeasured.toSeq, Seq(scaleTier, skewTier, spotTier))
     spark.stop()
   }
 }

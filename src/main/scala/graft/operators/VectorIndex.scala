@@ -43,17 +43,21 @@ trait VectorIndex extends Serializable {
 
   /** Shared tail: exact decimal re-score of a candidate set + per-query
     * top-k window. `cand` is (qid, cid); both sides join back to their
-    * embeddings (queries broadcast). */
+    * embeddings. `broadcastQueries` hints the query-embedding side — the
+    * right plan for normal probe sizes; million-query probes pass false
+    * and shuffle on qid instead (same ceiling as the IVF candidate
+    * broadcast, VERDICT r17 task 7). */
   protected def rescore(
       cand: DataFrame,
       corpus: DataFrame,
       queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val (c, q) = shaped(corpus, queries)
     val qn = q.select(col("qid"), col("qe"), norm(col("qe")).as("qn"))
     val scored = c.select(col("cid"), col("ce"), norm(col("ce")).as("cn"))
       .join(cand, "cid")
-      .join(broadcast(qn), "qid")
+      .join(if (broadcastQueries) broadcast(qn) else qn, "qid")
       .select(col("qid"), col("cid"),
         cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy(col("qid"))
@@ -121,8 +125,26 @@ final class IvfIndex(centStride: Int = 50, nprobe: Int = 2)
     val cand = assign.join(broadcast(probe), "cent_id")
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"))
-    rescore(broadcast(cand), corpus, queries, k)
+    // Broadcast ceiling (VERDICT r17 task 7): the candidate set is
+    // ≈ |queries|·centStride·nprobe (qid, cid) pairs — broadcastable at
+    // normal probe sizes, a driver-memory ceiling when a caller probes
+    // with millions of queries. Estimate it from the QUERY side's plan
+    // statistics (no job): stats bytes / ~300 B per embedding row (id +
+    // a 64-float vector) ≈ rows, × cluster fan-out × 24 B per pair.
+    // Above the ceiling, drop the hint and let Catalyst/AQE pick the
+    // shuffle join — the scale-safe plan for big probe sets.
+    val estQueryRows = queries.queryExecution.optimizedPlan.stats
+      .sizeInBytes / 300
+    val estCandBytes = estQueryRows * centStride * nprobe * 24
+    val small = estCandBytes <= IvfIndex.BroadcastCandBytes
+    rescore(if (small) broadcast(cand) else cand,
+      corpus, queries, k, broadcastQueries = small)
   }
+}
+
+object IvfIndex {
+  /** Max estimated candidate-pair bytes still broadcast to executors. */
+  val BroadcastCandBytes: Long = 64L << 20
 }
 
 /** Sign-LSH bucketed index: `bands` bands × `bits` sign bits per band over

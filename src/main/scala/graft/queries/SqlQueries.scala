@@ -844,6 +844,79 @@ object SqlQueries {
         WHERE rn <= 3 ORDER BY event_type, rn
       """.trim)),
 
+    // CDC through the DDL source face (r18, VERDICT task 2; ref
+    // docs/content/docs/connectors/table/formats/debezium.md,
+    // StreamExecChangelogNormalize.java:81): a table declared WITH
+    // ('format'='debezium-json') reads envelope files as a retraction-
+    // bearing changelog, and a streaming INSERT … GROUP BY over it routes
+    // through the signed-aggregation tier (StreamingCdc) — COUNT/SUM
+    // rewritten to signed contributions, per-batch MERGE on the sink's
+    // PRIMARY KEY. Two arrivals: the snapshot, then updates + deletes;
+    // final state equals the batch answer over the post-CDC table — the
+    // q_cdc_pipeline oracle replayed through pure SQL text.
+    QueryDef(
+      "q_sql_cdc_e2e",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cdc_e2e").toString
+        new java.io.File(s"$tmp/src").mkdirs()
+        val b = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice").cast("double")
+            .as("o_totalprice"))
+        def row(price: org.apache.spark.sql.Column) =
+          struct(col("o_orderkey"), price.as("o_totalprice"))
+        val curPrice =
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 0.5)
+            .otherwise(col("o_totalprice"))
+        val snapshot = b.select(to_json(struct(
+          row(col("o_totalprice")).as("after"), lit("c").as("op"),
+          lit(1L).as("ts_ms"))).as("value"))
+        val changes = b.where(col("o_orderkey") % 5 === 0)
+          .select(to_json(struct(
+            row(col("o_totalprice")).as("before"),
+            row(col("o_totalprice") * 0.5).as("after"),
+            lit("u").as("op"), lit(2L).as("ts_ms"))).as("value"))
+          .unionByName(b.where(col("o_orderkey") % 7 === 0)
+            .select(to_json(struct(
+              row(curPrice).as("before"),
+              lit("d").as("op"), lit(3L).as("ts_ms"))).as("value")))
+        val qs = FlinkDdl.runStreaming(s,
+          s"""CREATE TABLE orders_cdc (
+             |  o_orderkey BIGINT, o_totalprice DOUBLE,
+             |  PRIMARY KEY (o_orderkey) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/src',
+             |        'format'='debezium-json');
+             |CREATE TABLE bucket_snk (
+             |  bucket BIGINT, n_live BIGINT, sum_v DOUBLE,
+             |  PRIMARY KEY (bucket) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/snk',
+             |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
+             |INSERT INTO bucket_snk
+             |SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n_live,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+             |            AS DOUBLE) AS sum_v
+             |FROM orders_cdc GROUP BY o_orderkey % 10""".stripMargin)
+        try {
+          snapshot.coalesce(1).write.mode("append").text(s"$tmp/src")
+          qs.head.processAllAvailable()
+          changes.coalesce(1).write.mode("append").text(s"$tmp/src")
+          qs.head.processAllAvailable()
+        } finally qs.foreach(_.stop())
+        s.read.parquet(s"$tmp/snk").orderBy("bucket")
+      },
+      Some("""
+        WITH feed AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+          FROM orders),
+        final AS (
+          SELECT k % 10 AS bucket,
+                 CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS p2
+          FROM feed WHERE k % 7 <> 0)
+        SELECT bucket, COUNT(*) AS n_live,
+               CAST(SUM(CAST(p2 AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        FROM final GROUP BY bucket ORDER BY bucket
+      """.stripMargin.trim)),
+
     // JDBC connector in DDL (the flink-connector-jdbc option surface:
     // 'url' / 'table-name'): INSERT OVERWRITE materializes an aggregate
     // into embedded Derby, the final SELECT scans it back through Spark's

@@ -42,12 +42,18 @@ object ScaleDataGen {
       } else {
         val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
         val out = if (args.length > 1) args(1) else "scale-data/sf1"
-        generate(spark, src, out)
+        // optional replica count: `ScaleDataGen /root/testdata/sf0.1
+        // scale-data/sf3 30` builds the 30x spot-tier corpus (VERDICT r17
+        // task 6) with the same disjoint-key-space construction
+        val n = if (args.length > 2) args(2).toInt else replicas
+        generate(spark, src, out, n)
       }
     } finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String): Unit = {
+  def generate(spark: SparkSession, src: String, out: String,
+      nReplicas: Int = replicas): Unit = {
+    val replicas = nReplicas
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
@@ -148,11 +154,12 @@ object ScaleDataGen {
       (pmod(hash((cols :+ lit(salt)): _*), lit(1000000)).cast("double")
         + lit(0.5)) / lit(1000000.0)
     def zipfRank(k: Int, salt: Int, cols: Column*): Column =
-      // floor(exp(u·ln k)) lands in [1, k-1] for u in (0,1); shift to a
-      // 0-based rank so the hot list's FIRST key is actually reachable
-      // (review r17: the unshifted form silently never assigned rank 0)
-      least(floor(exp(unit(salt, cols: _*) * lit(math.log(k)))).cast("int")
-        - lit(1), lit(k - 1))
+      // floor(exp(u·ln(k+1))) - 1 spans the FULL 0-based rank range
+      // [0, k-1] (ADVICE r17: the ln(k) form shifted one unreachable
+      // endpoint to the other — rank k-1 could never be drawn; scaling
+      // the exponent instead of shifting makes both endpoints reachable)
+      least(floor(exp(unit(salt, cols: _*) * lit(math.log(k + 1.0))))
+        .cast("int") - lit(1), lit(k - 1))
 
     // hot lists are REAL keys (collected once, broadcast as literals) so
     // reassigned rows still join

@@ -429,16 +429,18 @@ class FlinkDdlSpec extends SparkSpecBase {
     } finally qs.foreach(_.stop())
   }
 
-  test("runStreaming: HAVING over a streaming aggregate routes to " +
-      "whole-result materialization — keys that exit the result vanish") {
+  test("runStreaming: HAVING over a streaming aggregate retracts keys " +
+      "that exit the result (incremental MERGE+DELETE tier)") {
     import spark.implicits._
     val dir = tmpDir()
     new java.io.File(s"$dir/src").mkdirs()
-    // Update mode can never retract a key that stops satisfying the
-    // HAVING (Spark emits nothing for it; an upsert sink would keep the
-    // stale row forever, where the reference emits -D). The inference
-    // must detect the Filter above the streaming aggregate and pick
-    // complete-mode truncate-replace (review r17).
+    // Plain Update mode can never retract a key that stops satisfying
+    // the HAVING (Spark emits nothing for it; an upsert sink would keep
+    // the stale row forever, where the reference emits -D). The runner
+    // must detect the Filter above the streaming aggregate (review r17)
+    // and — r18, VERDICT task 3 — materialize INCREMENTALLY: the filter
+    // becomes a __keep flag on the Update-mode aggregate, exited keys
+    // MERGE as deletes.
     val qs = FlinkDdl.runStreaming(spark,
       s"""CREATE TABLE src (k STRING, v BIGINT)
          |  WITH ('connector'='filesystem', 'path'='$dir/src',
@@ -1649,9 +1651,14 @@ class FlinkDdlSpec extends SparkSpecBase {
   }
 
   test("COMPILE PLAN pins state-layout versions; a bump fails strict " +
-      "EXECUTE naming the operator") {
+      "EXECUTE naming the operator — and never invalidates a STATELESS " +
+      "plan, which pins an empty set") {
     val dir = tmpDir()
     val plan = s"$dir/layouts.json"
+    val statelessPlan = s"$dir/stateless.json"
+    // a STATEFUL shape (aggregate) pins the full registry; a stateless
+    // projection pins an EMPTY set (r18: layout bumps must not
+    // invalidate pipelines that hold no operator state)
     FlinkDdl.runScript(spark,
       s"""CREATE TABLE sl_src (k BIGINT) WITH (
          |  'connector'='datagen', 'number-of-rows'='5',
@@ -1659,23 +1666,32 @@ class FlinkDdlSpec extends SparkSpecBase {
          |CREATE TABLE sl_snk (k BIGINT) WITH (
          |  'connector'='filesystem', 'path'='$dir/snk',
          |  'format'='parquet');
-         |COMPILE PLAN '$plan' FOR INSERT INTO sl_snk
+         |CREATE TABLE sl_agg_snk (k BIGINT, n BIGINT) WITH (
+         |  'connector'='filesystem', 'path'='$dir/aggsnk',
+         |  'format'='parquet');
+         |COMPILE PLAN '$plan' FOR INSERT INTO sl_agg_snk
+         |SELECT k, COUNT(*) AS n FROM sl_src GROUP BY k;
+         |COMPILE PLAN '$statelessPlan' FOR INSERT INTO sl_snk
          |SELECT k FROM sl_src;
          |SELECT 1 AS one""".stripMargin)
     val text = java.nio.file.Files.readString(java.nio.file.Paths.get(plan))
-    // the manifest pins the full registry, restore-fixture-id keyed
+    // the stateful manifest pins the full registry, restore-fixture-id
+    // keyed; the stateless one pins {}
     assert(text.contains("\"stateLayouts\""), text)
     assert(text.contains("\"changelog_topn\":2"), text)
+    val statelessText = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(statelessPlan))
+    assert(statelessText.contains("\"stateLayouts\":{}"), statelessText)
     // unchanged layouts: executes
     FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'")
-    assert(spark.read.parquet(s"$dir/snk").count() == 5)
+    assert(spark.read.parquet(s"$dir/aggsnk").count() == 5)
     // simulate a state-encoding change (the commit that would regenerate
     // the operator's restore fixture bumps its version)
     graft.streaming.StateLayouts.overrides = Map("changelog_topn" -> 3)
     try {
       // non-strict: warn only, still runs
       FlinkDdl.runScript(spark, s"EXECUTE PLAN '$plan'")
-      assert(spark.read.parquet(s"$dir/snk").count() == 10)
+      assert(spark.read.parquet(s"$dir/aggsnk").count() == 10)
       // strict: throws NAMING the operator and both versions
       spark.conf.set("spark.graft.strictCompiledPlan", "true")
       val e = intercept[IllegalStateException](
@@ -1684,6 +1700,9 @@ class FlinkDdlSpec extends SparkSpecBase {
         e.getMessage.contains("changelog_topn") &&
         e.getMessage.contains("pinned v2") &&
         e.getMessage.contains("now v3"), e.getMessage)
+      // the stateless plan survives the same bump under strict mode
+      FlinkDdl.runScript(spark, s"EXECUTE PLAN '$statelessPlan'")
+      assert(spark.read.parquet(s"$dir/snk").count() == 5)
     } finally {
       graft.streaming.StateLayouts.overrides = Map.empty
       spark.conf.unset("spark.graft.strictCompiledPlan")
@@ -1883,5 +1902,219 @@ class FlinkDdlSpec extends SparkSpecBase {
       FlinkDdl.run(spark, "CALL nope.missing(1)"))
     assert(e.getMessage.contains("does not exist"))
     assert(e.getMessage.contains("generate_n"))
+  }
+
+  // ------------------------------------------------------------- CDC face
+
+  test("runStreaming: a debezium-json source streams through the " +
+      "signed-aggregation tier; a group whose last row deletes retracts") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // CDC in, changelog out, through pure SQL text (VERDICT r17 task 2;
+    // ref debezium.md + StreamExecGroupAggregate over a CDC source):
+    // COUNT/SUM rewrite to signed contributions, the sink MERGEs per
+    // micro-batch on its PK, and a group whose live-row count reaches
+    // zero is DELETED (the reference's group-agg retraction).
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE changes (
+         |  id BIGINT, k STRING, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='debezium-json');
+         |CREATE TABLE by_k (k STRING, n BIGINT, sv BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO by_k
+         |SELECT k, COUNT(*) AS n, SUM(v) AS sv
+         |FROM changes GROUP BY k""".stripMargin)
+    assert(qs.size == 1 && qs.head.isActive)
+    def row(id: Long, k: String, v: Long) =
+      s"""{"id":$id,"k":"$k","v":$v}"""
+    def arrive(lines: String*): Unit = {
+      lines.toSeq.toDF("value").coalesce(1)
+        .write.mode("append").text(s"$dir/src")
+      qs.head.processAllAvailable()
+    }
+    def state(): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$dir/snk").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    try {
+      // snapshot: a has two rows, b one
+      arrive(
+        s"""{"after":${row(1, "a", 1)},"op":"c","ts_ms":1}""",
+        s"""{"after":${row(2, "a", 2)},"op":"c","ts_ms":1}""",
+        s"""{"after":${row(3, "b", 5)},"op":"c","ts_ms":1}""")
+      assert(state() == Map("a" -> ((2L, 3L)), "b" -> ((1L, 5L))))
+      // update revises a's sum in place; deleting b's ONLY row must
+      // remove the b group from the sink, not leave it stale
+      arrive(
+        s"""{"before":${row(2, "a", 2)},"after":${row(2, "a", 10)},"op":"u","ts_ms":2}""",
+        s"""{"before":${row(3, "b", 5)},"op":"d","ts_ms":2}""")
+      assert(state() == Map("a" -> ((2L, 11L))),
+        "a group whose live count reached zero must be deleted")
+    } finally qs.foreach(_.stop())
+  }
+
+  test("runStreaming: CDC passthrough MERGEs projected changelog rows; " +
+      "an update leaving the WHERE set deletes the sink row") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // no aggregation: ChangelogNormalize semantics — -U degrades to -D so
+    // a new image that exits the predicate still retracts the old row
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE changes (
+         |  id BIGINT, k STRING, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='debezium-json');
+         |CREATE TABLE small (id BIGINT, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO small
+         |SELECT id, v FROM changes WHERE v < 100""".stripMargin)
+    def row(id: Long, k: String, v: Long) =
+      s"""{"id":$id,"k":"$k","v":$v}"""
+    def arrive(lines: String*): Unit = {
+      lines.toSeq.toDF("value").coalesce(1)
+        .write.mode("append").text(s"$dir/src")
+      qs.head.processAllAvailable()
+    }
+    def state(): Map[Long, Long] =
+      spark.read.parquet(s"$dir/snk").as[(Long, Long)].collect().toMap
+    try {
+      arrive(
+        s"""{"after":${row(1, "a", 5)},"op":"c","ts_ms":1}""",
+        s"""{"after":${row(2, "a", 50)},"op":"c","ts_ms":1}""",
+        s"""{"after":${row(3, "b", 500)},"op":"c","ts_ms":1}""")
+      assert(state() == Map(1L -> 5L, 2L -> 50L))
+      arrive(
+        // id 1 exits the predicate: only its -U (v=5) passes the WHERE —
+        // the sink must DELETE id 1, not keep the stale v=5
+        s"""{"before":${row(1, "a", 5)},"after":${row(1, "a", 200)},"op":"u","ts_ms":2}""",
+        // id 2 updates in place (both images pass)
+        s"""{"before":${row(2, "a", 50)},"after":${row(2, "a", 60)},"op":"u","ts_ms":2}""",
+        // id 3 re-enters: its new image passes the predicate
+        s"""{"before":${row(3, "b", 500)},"after":${row(3, "b", 70)},"op":"u","ts_ms":2}""")
+      assert(state() == Map(2L -> 60L, 3L -> 70L),
+        "predicate exits must delete; predicate entries must insert")
+    } finally qs.foreach(_.stop())
+  }
+
+  test("batch face: a CDC-format table reads as its FINAL state; " +
+      "maxwell-json and ogg-json decode through the same DDL face") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/dbz").mkdirs()
+    Seq(
+      """{"after":{"id":1,"v":10},"op":"c","ts_ms":1}""",
+      """{"after":{"id":2,"v":20},"op":"c","ts_ms":1}""",
+      """{"before":{"id":1,"v":10},"after":{"id":1,"v":11},"op":"u","ts_ms":2}""",
+      """{"before":{"id":2,"v":20},"op":"d","ts_ms":3}""")
+      .toDF("value").coalesce(1).write.mode("append").text(s"$dir/dbz")
+    val out = FlinkDdl.run(spark,
+      s"""CREATE TABLE t (id BIGINT, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/dbz',
+         |        'format'='debezium-json');
+         |SELECT id, v FROM t ORDER BY id""".stripMargin)
+    assert(out.as[(Long, Long)].collect().toSeq == Seq((1L, 11L)))
+    // maxwell-json through the same face
+    new java.io.File(s"$dir/mxw").mkdirs()
+    Seq(
+      """{"data":{"id":7,"v":1},"type":"insert","ts":1}""",
+      """{"data":{"id":7,"v":2},"old":{"v":1},"type":"update","ts":2}""")
+      .toDF("value").coalesce(1).write.mode("append").text(s"$dir/mxw")
+    val mx = FlinkDdl.run(spark,
+      s"""CREATE TABLE m (id BIGINT, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/mxw',
+         |        'format'='maxwell-json');
+         |SELECT id, v FROM m""".stripMargin)
+    assert(mx.as[(Long, Long)].collect().toSeq == Seq((7L, 2L)))
+    // a CDC table without a PRIMARY KEY has no upsert identity: the
+    // require fires in sourceDf, so the table never becomes resolvable
+    // (the runner's unreadable-table convention) and the direct read
+    // carries the actionable message
+    val e = intercept[Exception](FlinkDdl.run(spark,
+      s"""CREATE TABLE bad (id BIGINT, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/dbz',
+         |        'format'='debezium-json');
+         |SELECT * FROM bad""".stripMargin))
+    assert(e.getMessage.contains("bad"))
+    val e2 = intercept[IllegalArgumentException](FlinkDdl.sourceDf(spark,
+      FlinkDdl.TableSpec("bad",
+        Seq(FlinkDdl.ColumnSpec("id",
+          Some(org.apache.spark.sql.types.LongType), None)),
+        None, Nil,
+        Map("connector" -> "filesystem", "path" -> s"$dir/dbz",
+          "format" -> "debezium-json"),
+        temporary = false)))
+    assert(e2.getMessage.contains("PRIMARY KEY"))
+    // MIN/MAX over a CDC source needs retractable state: loud error
+    new java.io.File(s"$dir/src2").mkdirs()
+    val qs = scala.util.Try(FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE c2 (id BIGINT, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src2',
+         |        'format'='debezium-json');
+         |CREATE TABLE s2 (id BIGINT, mx BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/s2',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck2');
+         |INSERT INTO s2 SELECT id, MAX(v) AS mx FROM c2 GROUP BY id
+         |""".stripMargin))
+    assert(qs.isFailure &&
+      qs.failed.get.getMessage.contains("retractable"))
+  }
+
+  test("runStreaming: un-LIMITed HAVING materializes INCREMENTALLY — " +
+      "per-batch MERGE volume is O(changed groups), not O(result)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // VERDICT r17 task 3 (ref SinkUpsertMaterializer.java:64): a HAVING
+    // over an updating aggregate with an upsert-capable sink must not
+    // truncate-replace all passing groups per micro-batch — the filter
+    // runs as a __keep flag on the Update-mode aggregate and the sink
+    // MERGEs only the groups the batch changed, deleting exited keys.
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Long]
+    graft.sql.FlinkDdl.onMergeBatch =
+      Some((name, n) => if (name == "small_groups") merges += n)
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k BIGINT, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE small_groups (k BIGINT, n BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO small_groups
+         |SELECT k, COUNT(*) AS n FROM src GROUP BY k
+         |HAVING COUNT(*) < 3""".stripMargin)
+    try {
+      // 10^4 groups, count 1 each: all pass the HAVING
+      spark.range(10000).select(col("id").as("k"), col("id").as("v"))
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/snk").count() == 10000L)
+      // one batch flips 3 keys past the threshold: the MERGE input must
+      // carry ~3 rows, not re-write the 10^4-group result
+      Seq(1L, 1L, 2L, 2L, 3L, 3L).map(k => (k, k)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+      assert(merges.nonEmpty && merges.last <= 10L,
+        s"second batch MERGEd ${merges.last} rows — expected O(delta)=3")
+      val snk = spark.read.parquet(s"$dir/snk")
+      assert(snk.count() == 9997L)
+      assert(snk.where(col("k").isin(1L, 2L, 3L)).count() == 0L,
+        "keys that exited the HAVING must be deleted from the sink")
+    } finally {
+      graft.sql.FlinkDdl.onMergeBatch = None
+      qs.foreach(_.stop())
+    }
   }
 }

@@ -312,4 +312,45 @@ class PlanSpec extends SparkSpecBase {
       !read.contains("n_chars"), s"scan not pruned: $read")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("ivf big-probe shape drops the candidate broadcast (size gate)") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r17 task 7: IvfIndex broadcasts its candidate (qid, cid)
+    // pairs — fine at benched probe sizes, a driver-memory ceiling for a
+    // millions-of-queries probe. The gate estimates candidate bytes from
+    // the query side's plan stats and drops the hint above the ceiling.
+    val corpus = Tables.embeddings(spark, sfMid)
+      .select(col("vec_id"), col("embedding"))
+    val small = corpus.limit(200)
+    // a probe set whose ESTIMATED size clears the 64 MB candidate
+    // ceiling (range stats are exact; the vector column multiplies the
+    // estimated row width) — never executed, plan-only
+    val big = spark.range(30000000L)
+      .select(col("id").as("vec_id"),
+        array((0 until 64).map(i => (col("id") % (i + 7)).cast("float")): _*)
+          .as("embedding"))
+    val ivf = graft.operators.VectorIndexes("ivf")
+    val smallPlan = ivf.topK(corpus, small, 5)
+      .queryExecution.sparkPlan.toString
+    val bigPlan = ivf.topK(corpus, big, 5)
+      .queryExecution.sparkPlan.toString
+    def broadcasts(p: String): Int =
+      "BroadcastHashJoin".r.findAllIn(p).size
+    // small probe keeps the tuned shape (query embeddings + candidates
+    // hint-broadcast into the re-score joins, 3 BroadcastHashJoins); big
+    // probe drops the hints: the query-side join becomes a SHUFFLE join
+    // on qid, and the candidate join is left to Catalyst's stats — which
+    // here broadcast the (small) corpus scan, the choice that flips to a
+    // shuffle too once the corpus side outgrows the threshold. The lock:
+    // nothing derived from the big probe set is ever broadcast.
+    assert(broadcasts(smallPlan) == broadcasts(bigPlan) + 1,
+      s"expected the big-probe plan to drop a hinted broadcast join\n" +
+        s"--- small ---\n$smallPlan\n--- big ---\n$bigPlan")
+    assert("SortMergeJoin \\[qid".r.findFirstIn(bigPlan).isDefined ||
+      "ShuffledHashJoin \\[qid".r.findFirstIn(bigPlan).isDefined,
+      s"big-probe re-score must shuffle on qid, not broadcast the " +
+        s"query embeddings\n$bigPlan")
+    assert("SortMergeJoin".r.findAllIn(smallPlan).isEmpty,
+      "small probe must keep the all-broadcast tuned shape")
+  }
 }
