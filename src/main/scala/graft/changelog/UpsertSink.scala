@@ -26,9 +26,17 @@ object UpsertSink {
       tablePath: String,
       batch: DataFrame,
       keyCols: Seq[String]): Unit = {
+    // crash-safe read (r18, extending ADVICE r17's rank-store fix to the
+    // shared MERGE): a crash between the swap's two renames leaves the
+    // current state in tablePath + ".old" — read it back rather than
+    // silently merging into an empty table, which would permanently drop
+    // every pre-batch key
+    val old = tablePath + ".old"
+    def has(p: String): Boolean =
+      FsOps.childNames(spark, p).exists(_.endsWith(".parquet"))
     val existing =
-      if (FsOps.childNames(spark, tablePath).exists(_.endsWith(".parquet")))
-        Some(spark.read.parquet(tablePath))
+      if (has(tablePath)) Some(spark.read.parquet(tablePath))
+      else if (has(old)) Some(spark.read.parquet(old))
       else None
 
     // stored rows re-enter as seq-0 upserts so any change in the batch
@@ -42,10 +50,16 @@ object UpsertSink {
 
     val staging = tablePath + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    // swap staging into place (single-FS rename; transactional commit is
-    // the table format's job at scale)
-    FsOps.deleteRecursive(spark, tablePath)
+    // crash-safe swap (single-FS renames; transactional commit is the
+    // table format's job at scale): the previous state moves ASIDE
+    // before staging promotes, so every crash point leaves either
+    // tablePath or tablePath+".old" holding the pre-batch state
+    if (FsOps.exists(spark, tablePath)) {
+      FsOps.deleteRecursive(spark, old)
+      FsOps.rename(spark, tablePath, old)
+    }
     FsOps.rename(spark, staging, tablePath)
+    FsOps.deleteRecursive(spark, old)
   }
 
   /** Start a streaming upsert sink for a changelog-emitting query. */

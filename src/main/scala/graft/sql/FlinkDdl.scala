@@ -2420,6 +2420,11 @@ object FlinkDdl {
       java.nio.file.Files
         .createTempDirectory(s"graft_ddl_ck_${spec.name}_").toString)
     val mode = changelogMode(aligned)
+    // plan the exit-filter rewrite ONCE (guard + body share it)
+    lazy val exitRewrite: Option[DataFrame] =
+      if (spec.primaryKey.nonEmpty && spec.format == "parquet")
+        stripExitFilter(aligned)
+      else None
     val q = (spec.connector, mode) match {
       case ("filesystem", "update") =>
         require(spec.primaryKey.nonEmpty,
@@ -2458,9 +2463,7 @@ object FlinkDdl {
             }
           }
           .start()
-      case ("filesystem", "complete")
-          if spec.primaryKey.nonEmpty && spec.format == "parquet" &&
-            stripExitFilter(aligned).isDefined =>
+      case ("filesystem", "complete") if exitRewrite.isDefined =>
         // un-LIMITed key-exit shape (HAVING over an updating aggregate)
         // with an upsert-capable sink: run the UNFILTERED aggregate in
         // Update mode with the filter as a __keep flag, MERGE passing
@@ -2469,7 +2472,7 @@ object FlinkDdl {
         // ref SinkUpsertMaterializer.java:64, ChangelogMode retract set)
         val pk = spec.primaryKey
         val buckets = spec.options.get("distribution-buckets").map(_.toInt)
-        stripExitFilter(aligned).get.writeStream
+        exitRewrite.get.writeStream
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -16,6 +16,32 @@ final class StatementSession(
 
   @volatile private var ddlPrefix: String = ""
 
+  /** `SET 'execution.runtime-mode' = 'streaming'` switches the session's
+    * INSERT execution to the continuous runner (the reference gateway's
+    * runtime-mode option, sql-gateway/overview.md): a later INSERT starts
+    * a [[FlinkDdl.runStreaming]] job against the session catalog —
+    * changelog-mode inference, upsert/complete/rank tiers and all — and
+    * returns the reference's `job id` result row. Queries and DDL keep
+    * executing in batch (reading whatever the continuous jobs have
+    * materialized so far), which is how a client polls a streaming
+    * sink. */
+  @volatile private var runtimeMode: String = "batch"
+  private val streamingJobs = scala.collection.mutable
+    .ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+
+  /** Live continuous queries this session started. */
+  def activeJobs: Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    synchronized(streamingJobs.filter(_.isActive).toSeq)
+
+  /** Stop the session's continuous queries (session close). */
+  def shutdown(): Unit = synchronized {
+    streamingJobs.foreach(q => scala.util.Try(q.stop()))
+    streamingJobs.clear()
+  }
+
+  private val RuntimeModeSet =
+    "(?is)^\\s*SET\\s+'execution\\.runtime-mode'\\s*=\\s*'(streaming|batch)'\\s*;?\\s*$".r
+
   private def isCatalogMutating(stmt: String): Boolean = {
     val head = stmt.trim.split("\\s+").headOption.map(_.toUpperCase)
       .getOrElse("")
@@ -44,6 +70,23 @@ final class StatementSession(
   def executeTagged(stmt: String): (DataFrame, Boolean) = synchronized {
     val script =
       (if (ddlPrefix.nonEmpty) ddlPrefix + ";\n" else "") + stmt
+    stmt match {
+      case RuntimeModeSet(m) =>
+        runtimeMode = m.toLowerCase
+        return (spark.createDataFrame(
+          java.util.Arrays.asList(Row("OK")),
+          StructType(Seq(StructField("result", StringType)))), true)
+      case _ => ()
+    }
+    if (runtimeMode == "streaming" &&
+        stmt.trim.split("\\s+").headOption.exists(_.equalsIgnoreCase("INSERT"))) {
+      val qs = FlinkDdl.runStreaming(spark, script, extra = extra)
+      streamingJobs ++= qs
+      // the reference returns the started job's id for a streaming INSERT
+      return (spark.createDataFrame(
+        java.util.Arrays.asList(qs.map(q => Row(q.id.toString)): _*),
+        StructType(Seq(StructField("job id", StringType)))), false)
+    }
     val res = FlinkDdl.runScript(spark, script, extra = extra,
       procedures = procedures)
     if (isCatalogMutating(stmt)) {

@@ -377,7 +377,12 @@ object SqlGateway {
         // handles are about to disappear, so nothing could stop them
         // afterwards (the reference's session close tears operations down
         // the same way)
-        sessions.remove(s).foreach(_.ops.values.foreach(_.cancel(boundSpark)))
+        sessions.remove(s).foreach { sess =>
+          sess.ops.values.foreach(_.cancel(boundSpark))
+          // continuous queries the session started (streaming INSERTs)
+          // die with it — nothing could stop them afterwards
+          sess.stmts.shutdown()
+        }
         respond(ex, 200, """{"status":"CLOSED"}""")
       case ("POST", List("v1", "sessions", s, "statements")) =>
         val session = sessions.getOrElse(s,

@@ -92,19 +92,28 @@ object StreamingCdc {
     org.apache.spark.sql.GraftPlans.ofRows(spark, plan)
 
   /** Project a micro-batch onto the sink's declared physical schema
-    * (by-name, cast — [[FlinkDdl.alignToSink]]'s rule) KEEPING the
-    * changelog metadata columns for the MERGE. */
+    * ([[FlinkDdl.alignToSink]]'s rule: by name when the names line up,
+    * positionally otherwise — the batch's value columns keep the user's
+    * select-list order) KEEPING the changelog metadata columns for the
+    * MERGE. */
   private def alignKeeping(
       spec: FlinkDdl.TableSpec, df: DataFrame): DataFrame = {
     val declared = spec.columns.collect {
       case FlinkDdl.ColumnSpec(n, Some(t), _, false, _) => (n, t) }
     if (declared.isEmpty) df
-    else df.select(declared.map { case (n, t) =>
-      col(df.columns.find(_.equalsIgnoreCase(n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"INSERT into ${spec.name}: query result has no column '$n'")))
-        .cast(t).as(n)
-    } ++ Seq(col(RowKind.kindCol), col(RowKind.seqCol)): _*)
+    else {
+      val meta = Set(RowKind.kindCol, RowKind.seqCol, LiveCol, SignCol)
+      val values = df.columns.filterNot(meta)
+      val byName = declared.forall { case (n, _) =>
+        values.exists(_.equalsIgnoreCase(n)) }
+      require(byName || values.length == declared.size,
+        s"INSERT into ${spec.name}: query has ${values.length} columns, " +
+          s"sink declares ${declared.size}")
+      df.select(declared.zipWithIndex.map { case ((n, t), i) =>
+        (if (byName) col(values.find(_.equalsIgnoreCase(n)).get)
+         else col(values(i))).cast(t).as(n)
+      } ++ Seq(col(RowKind.kindCol), col(RowKind.seqCol)): _*)
+    }
   }
 
   private def requireUpsertSink(spec: FlinkDdl.TableSpec): Unit = {

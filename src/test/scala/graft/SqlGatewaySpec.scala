@@ -417,4 +417,80 @@ class SqlGatewaySpec extends SparkSpecBase {
       } finally conn.close()
     } finally SqlGateway.stop()
   }
+
+  test("a streaming INSERT over REST: runtime-mode=streaming starts the " +
+      "changelog-inference tier; clients poll the upserting sink") {
+    // VERDICT r17 task 8: the r17 streaming-inference tier must be
+    // reachable from CLIENTS, not just the in-process runner — the
+    // q_sql_stream_upsert shape driven statement-by-statement over HTTP.
+    val port = SqlGateway.serve(spark, 0)
+    try {
+      val base = s"http://localhost:$port/v1"
+      val (_, sj) = post(s"$base/sessions")
+      val s = field(sj, "sessionHandle")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_gw_stream").toString
+      new java.io.File(s"$dir/src").mkdirs()
+      def run(stmt: String): String = {
+        val body = s"""{"statement": "${stmt.replace("\"", "\\\"")}"}"""
+        val (_, oj) = post(s"$base/sessions/$s/statements", body)
+        val op = field(oj, "operationHandle")
+        val st = await(base, s, op)
+        assert(st == "FINISHED",
+          st + ": " + get(s"$base/sessions/$s/operations/$op/result/0")._2)
+        op
+      }
+      run("SET 'execution.runtime-mode' = 'streaming'")
+      run(s"CREATE TABLE gw_src (k STRING, v BIGINT) WITH " +
+        s"('connector'='filesystem', 'path'='$dir/src', 'format'='parquet')")
+      run(s"CREATE TABLE gw_agg (k STRING, n BIGINT, " +
+        s"PRIMARY KEY (k) NOT ENFORCED) WITH " +
+        s"('connector'='filesystem', 'path'='$dir/snk', " +
+        s"'format'='parquet', 'sink.checkpoint-dir'='$dir/ck')")
+      // the INSERT returns a job id and keeps running (continuous query)
+      val insOp = run(
+        "INSERT INTO gw_agg SELECT k, COUNT(*) AS n FROM gw_src GROUP BY k")
+      val (_, insRes) = get(s"$base/sessions/$s/operations/$insOp/result/0")
+      assert(insRes.contains("job id"), insRes)
+
+      // poll the sink through plain SELECT statements, as a client would
+      def sinkState(timeoutMs: Long, expect: Map[String, Long]): Unit = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        var last = ""
+        while (System.currentTimeMillis() < deadline) {
+          val (_, oj) = post(s"$base/sessions/$s/statements",
+            """{"statement": "SELECT k, n FROM gw_agg ORDER BY k"}""")
+          val op = field(oj, "operationHandle")
+          if (await(base, s, op) == "FINISHED") {
+            val (_, r) = get(s"$base/sessions/$s/operations/$op/result/0")
+            val rows = """\{"kind":"INSERT","fields":\["([a-z]+)",(\d+)\]\}""".r
+              .findAllMatchIn(r).map(m => m.group(1) -> m.group(2).toLong).toMap
+            if (rows == expect) return
+            last = r
+          }
+          Thread.sleep(100)
+        }
+        fail(s"sink never reached $expect; last: $last")
+      }
+      import spark.implicits._
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      sinkState(30000, Map("a" -> 2L, "b" -> 1L))
+      // second arrival revises counts IN PLACE through the PK MERGE
+      Seq(("b", 4L), ("c", 5L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/src")
+      sinkState(30000, Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+      // closing the session stops the continuous job
+      val before = spark.streams.active.length
+      assert(before >= 1)
+      http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base/sessions/$s")).DELETE().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.length >= before &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(spark.streams.active.length < before,
+        "session close must stop its streaming INSERT job")
+    } finally SqlGateway.stop()
+  }
 }
