@@ -261,14 +261,22 @@ object Bench {
       val sampled = rs.count(_._2 >= 0)
       val total = rs.map(_._2).filter(_ >= 0).sum
       val base = rs.toMap
-      val breachJson = tiers
-        .filter(t => t.results.nonEmpty || t.skipped.nonEmpty)
-        .map { t =>
-          val b = tierBreaches(t, base)
-          val names = b.take(6).map("\"" + _ + "\"").mkString("[", ",", "]")
-          s""""${t.label}":{"n":${b.size},"names":$names,"skipped":${t.skipped.size}}"""
-        }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${rs.size},"n_sampled":$sampled,"queries":{"q1_agg":${fmt(base.getOrElse("q1_agg", -1.0))}},"sf":"$sfDir","cursor":$rot,"breaches":$breachJson${diagJson(rs)},"full":"BENCH_LAST.json"}"""
+      def build(nameCap: Int): String = {
+        val breachJson = tiers
+          .filter(t => t.results.nonEmpty || t.skipped.nonEmpty)
+          .map { t =>
+            val b = tierBreaches(t, base)
+            val names = b.take(nameCap).map("\"" + _ + "\"")
+              .mkString("[", ",", "]")
+            s""""${t.label}":{"n":${b.size},"names":$names,"skipped":${t.skipped.size}}"""
+          }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${rs.size},"n_sampled":$sampled,"queries":{"q1_agg":${fmt(base.getOrElse("q1_agg", -1.0))}},"sf":"$sfDir","cursor":$rot,"breaches":$breachJson${diagJson(rs)},"full":"BENCH_LAST.json"}"""
+      }
+      // ENFORCED length bound, not just by construction (review r18): a
+      // line past the driver's ~2000-char stdout tail parses null (the
+      // r17 failure) — degrade breach-name detail before ever risking it
+      val full = build(6)
+      if (full.length <= 1500) full else build(0)
     }
 
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
@@ -285,10 +293,24 @@ object Bench {
       System.out.flush()
     }
 
+    // Persist the rotation cursor AT EACH STAGE, not only at the end
+    // (review r18): a hard kill mid-sweep — the very failure mode
+    // rotation exists for — must still advance it past whatever was
+    // sampled, or every truncated round re-drops the identical tail.
+    def writeCursor(): Unit =
+      if (only.isEmpty && ordered.nonEmpty) {
+        val sampledCount = timed.count(_.nonEmpty)
+        try java.nio.file.Files.write(cursorPath,
+          (((rot + sampledCount) % ordered.size).toString + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
+      }
+
     // ---- STAGE 0 flush: seq-pass medians, BEFORE the rescue pass. On a
     // badly degraded box even the rescue pass can outlive the driver's
     // wall clock — this flush guarantees a parseable line exists the
     // moment the timed sequential reps are in.
+    writeCursor()
     var results = computeResults()
     emit(results, Seq.empty, Seq.empty)
 
@@ -310,16 +332,10 @@ object Bench {
     if (rescueUnsampled > 0)
       budgetNotes += s"rescue_unsampled_skipped:$rescueUnsampled"
 
-    // Advance the rotation cursor by how far the sweep actually sampled:
+    // Advance the rotation cursor past everything the rescue pass added:
     // a complete sweep rotates a full lap (cursor unchanged mod n); a
     // truncated one resumes next round at the first unsampled query.
-    if (only.isEmpty && ordered.nonEmpty) {
-      val sampledCount = timed.count(_.nonEmpty)
-      try java.nio.file.Files.write(cursorPath,
-        (((rot + sampledCount) % ordered.size).toString + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
-    }
+    writeCursor()
 
     // ---- STAGE 1 flush: full raw medians.
     results = computeResults()

@@ -112,6 +112,27 @@ final class IvfIndex(centStride: Int = 50, nprobe: Int = 2)
       .groupBy(col("cid"))
       .agg(max(struct(col("score"), (-col("cent_id")).as("nc"))).as("best"))
       .select(col("cid"), (-col("best.nc")).as("cent_id"))
+    // Broadcast ceiling (VERDICT r17 task 7): the probe set is
+    // |queries|·nprobe (qid, cent_id) pairs and the candidate set
+    // ≈ |queries|·centStride·nprobe (qid, cid) pairs — broadcastable at
+    // normal probe sizes, a driver-memory ceiling when a caller probes
+    // with millions of queries. Estimate from the QUERY side's plan
+    // statistics (no job): stats bytes / ~300 B per embedding row (id +
+    // a 64-float vector) ≈ rows, × cluster fan-out × 24 B per pair.
+    // Above the ceiling, drop EVERY query-derived broadcast hint (probe,
+    // candidates, re-score embeddings) and let Catalyst/AQE pick shuffle
+    // joins — the scale-safe plan. Relations with NO real statistics
+    // (sizeInBytes at the unknown sentinel) keep the tuned broadcast
+    // shape: the million-query scale path always has stats (file scans,
+    // ranges), and flipping a small no-stats probe to shuffle would be a
+    // silent regression in the common case.
+    val statsBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estCandBytes =
+      if (statsBytes >= Long.MaxValue / 4) BigInt(0) // unknown stats
+      else statsBytes / 300 * centStride * nprobe * 24
+    val small = estCandBytes <= IvfIndex.BroadcastCandBytes
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cent_id").asc)
     val probe = q0.join(broadcast(cents))
@@ -122,23 +143,10 @@ final class IvfIndex(centStride: Int = 50, nprobe: Int = 2)
       .select(col("qid"), col("cent_id"))
     // (qid, cid) unique by construction: assign keeps ONE cluster per cid
     // and a query's ≤nprobe clusters are distinct — no dedup shuffle
-    val cand = assign.join(broadcast(probe), "cent_id")
+    val cand = assign.join(hinted(probe), "cent_id")
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"))
-    // Broadcast ceiling (VERDICT r17 task 7): the candidate set is
-    // ≈ |queries|·centStride·nprobe (qid, cid) pairs — broadcastable at
-    // normal probe sizes, a driver-memory ceiling when a caller probes
-    // with millions of queries. Estimate it from the QUERY side's plan
-    // statistics (no job): stats bytes / ~300 B per embedding row (id +
-    // a 64-float vector) ≈ rows, × cluster fan-out × 24 B per pair.
-    // Above the ceiling, drop the hint and let Catalyst/AQE pick the
-    // shuffle join — the scale-safe plan for big probe sets.
-    val estQueryRows = queries.queryExecution.optimizedPlan.stats
-      .sizeInBytes / 300
-    val estCandBytes = estQueryRows * centStride * nprobe * 24
-    val small = estCandBytes <= IvfIndex.BroadcastCandBytes
-    rescore(if (small) broadcast(cand) else cand,
-      corpus, queries, k, broadcastQueries = small)
+    rescore(hinted(cand), corpus, queries, k, broadcastQueries = small)
   }
 }
 

@@ -352,6 +352,10 @@ object FlinkDdl {
       // no legal output mode, or FlinkSql's own shape checks rejected the
       // rank/dedup pattern on a stream), so every supported plan keeps
       // its normal route
+      // compile ONCE — the CDC probe and the normal route share it (a
+      // failed compile re-raises inside normalRoute, preserving the rank
+      // fallback semantics below)
+      lazy val compiled = FlinkSql.sql(spark, query, tables(), allModels())
       // CDC-format source tier (VERDICT r17 task 2): a query reading a
       // decoded changelog carries retractions no insert-only streaming
       // operator can consume — route to the signed-aggregation /
@@ -360,9 +364,8 @@ object FlinkDdl {
       // text matching.
       if (static.isEmpty &&
           catalog.values.exists(s => StreamingCdc.isCdcFormat(s.format))) {
-        val probe = scala.util.Try(
-          FlinkSql.sql(spark, query, tables(), allModels())).toOption
-        probe.filter(_.isStreaming).filter(StreamingCdc.referencesCdc)
+        scala.util.Try(compiled).toOption
+          .filter(_.isStreaming).filter(StreamingCdc.referencesCdc)
           .foreach { df =>
             registerJob(s"insert-into_$sink",
               StreamingCdc.start(spark, spec, df))
@@ -371,8 +374,7 @@ object FlinkDdl {
       }
       var rankTried = false
       def normalRoute() = {
-        val result = withStaticPartition(spec,
-          FlinkSql.sql(spark, query, tables(), allModels()), static)
+        val result = withStaticPartition(spec, compiled, static)
         if (result.isStreaming && static.isEmpty && noLegalMode(result)) {
           rankTried = true
           startRankSink(spark, spec, query, tables(), allModels())
@@ -2068,8 +2070,8 @@ object FlinkDdl {
           s"Table '${spec.name}' with format '$fmt' needs a PRIMARY KEY " +
             "— a CDC changelog has no upsert identity without one")
         graft.changelog.UpsertMaterialize(
-          StreamingCdc.decodeBatch(
-            spark.read.text(spec.path), fmt, physical),
+          StreamingCdc.withArrivalSeq(StreamingCdc.decodeBatch(
+            spark.read.text(spec.path), fmt, physical)),
           spec.primaryKey)
       case "parquet" | "orc" | "avro" =>
         // self-describing formats: trust the files, project to declaration

@@ -14,7 +14,8 @@ final class StatementSession(
     extra: Map[String, DataFrame] = Map.empty,
     procedures: Map[String, Procedure] = Procedures.builtin) {
 
-  @volatile private var ddlPrefix: String = ""
+  @volatile private var ddlParts: Vector[String] = Vector.empty
+  private def ddlPrefix: String = ddlParts.mkString(";\n")
 
   /** `SET 'execution.runtime-mode' = 'streaming'` switches the session's
     * INSERT execution to the continuous runner (the reference gateway's
@@ -80,7 +81,16 @@ final class StatementSession(
     }
     if (runtimeMode == "streaming" &&
         stmt.trim.split("\\s+").headOption.exists(_.equalsIgnoreCase("INSERT"))) {
-      val qs = FlinkDdl.runStreaming(spark, script, extra = extra)
+      // replay the prefix WITHOUT materialized-table definitions: the
+      // streaming runner auto-starts a continuous refresh per MT it sees,
+      // so replaying them would start a duplicate refresh job per INSERT
+      // (review r18); an INSERT reading the MT fails loudly (unknown
+      // table) rather than silently double-writing its storage
+      val parts = ddlParts.filterNot(
+        _.matches("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+|OR\\s+ALTER\\s+)?" +
+          "MATERIALIZED\\s+TABLE.*"))
+      val qs = FlinkDdl.runStreaming(spark,
+        (parts :+ stmt).mkString(";\n"), extra = extra)
       streamingJobs ++= qs
       // the reference returns the started job's id for a streaming INSERT
       return (spark.createDataFrame(
@@ -96,8 +106,7 @@ final class StatementSession(
       val replayed = FlinkDdl.ctasTarget(stmt)
         .flatMap(n => res.catalog.get(n).map(FlinkDdl.showCreateTable))
         .getOrElse(stmt.trim.stripSuffix(";"))
-      ddlPrefix =
-        (if (ddlPrefix.nonEmpty) ddlPrefix + ";\n" else "") + replayed
+      ddlParts = ddlParts :+ replayed
     }
     knownTables = extra.keySet ++ res.catalog.keySet
     res.lastQuery match {

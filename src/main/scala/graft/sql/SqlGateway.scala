@@ -235,6 +235,9 @@ object SqlGateway {
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    // continuous queries belonging to sessions die with the gateway —
+    // after clear() no handle could ever stop them (review r18)
+    sessions.values.foreach(s => scala.util.Try(s.stmts.shutdown()))
     sessions.clear()
   }
 

@@ -82,6 +82,21 @@ object StreamingCdc {
       when(col(RowKind.kindCol).isin(RowKind.Insert, RowKind.UpdateAfter),
         lit(1L)).otherwise(lit(-1L)))
 
+  /** Envelope timestamps tie at millisecond resolution (a row updated
+    * then deleted in one transaction shares one `ts_ms`), and keep-last
+    * materialization MUST resolve such ties in LOG order — the reference
+    * orders by topic offset. The decode preserves arrival order within a
+    * file partition (narrow ops only), so a per-partition row counter is
+    * the offset's stand-in: seq' = ts·2^20 + (counter mod 2^20). Within
+    * one envelope the explode emits `-U` before `+U`, so an in-place
+    * update keeps its new image, and a later delete at the same
+    * timestamp wins over both. Cross-partition ties stay
+    * timestamp-ordered (the pre-existing contract). */
+  def withArrivalSeq(log: DataFrame): DataFrame =
+    log.withColumn(RowKind.seqCol,
+      col(RowKind.seqCol) * lit(1L << 20) +
+        pmod(monotonically_increasing_id(), lit(1L << 20)))
+
   /** Does this compiled plan read a CDC-format source? (The decoded
     * source is the only thing that puts a `__sign` attribute in a plan.) */
   def referencesCdc(df: DataFrame): Boolean =
@@ -211,16 +226,13 @@ object StreamingCdc {
           .outputMode("append")
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            // -U degrades to -D; the -D/+U pair from one update gets the
-            // total order a topic offset would give it (old image at
-            // seq·2, new image at seq·2+1), so keep-last resolves
-            // in-place updates to the new image and predicate exits to
-            // the delete.
-            val isNew = col(RowKind.kindCol)
-              .isin(RowKind.Insert, RowKind.UpdateAfter)
-            val log = batch
-              .withColumn(RowKind.seqCol, col(RowKind.seqCol) * 2 +
-                when(isNew, lit(1L)).otherwise(lit(0L)))
+            // -U degrades to -D, and [[withArrivalSeq]] imposes log order
+            // on envelope-timestamp ties (review r18: the old seq·2+bit
+            // scheme made a same-ts delete LOSE to the update before it),
+            // so keep-last resolves in-place updates to the new image,
+            // predicate exits to the delete, and update-then-delete in
+            // one transaction to the delete.
+            val log = withArrivalSeq(batch)
               .withColumn(RowKind.kindCol,
                 when(col(RowKind.kindCol) === RowKind.UpdateBefore,
                   RowKind.Delete).otherwise(col(RowKind.kindCol)))

@@ -336,15 +336,15 @@ class PlanSpec extends SparkSpecBase {
       .queryExecution.sparkPlan.toString
     def broadcasts(p: String): Int =
       "BroadcastHashJoin".r.findAllIn(p).size
-    // small probe keeps the tuned shape (query embeddings + candidates
-    // hint-broadcast into the re-score joins, 3 BroadcastHashJoins); big
-    // probe drops the hints: the query-side join becomes a SHUFFLE join
-    // on qid, and the candidate join is left to Catalyst's stats — which
+    // small probe keeps the tuned shape (probe, candidates and query
+    // embeddings hint-broadcast, 3 BroadcastHashJoins); big probe drops
+    // ALL query-derived hints: the probe and qid joins become SHUFFLE
+    // joins, and the candidate join is left to Catalyst's stats — which
     // here broadcast the (small) corpus scan, the choice that flips to a
     // shuffle too once the corpus side outgrows the threshold. The lock:
     // nothing derived from the big probe set is ever broadcast.
-    assert(broadcasts(smallPlan) == broadcasts(bigPlan) + 1,
-      s"expected the big-probe plan to drop a hinted broadcast join\n" +
+    assert(broadcasts(smallPlan) == broadcasts(bigPlan) + 2,
+      s"expected the big-probe plan to drop two hinted broadcast joins\n" +
         s"--- small ---\n$smallPlan\n--- big ---\n$bigPlan")
     assert("SortMergeJoin \\[qid".r.findFirstIn(bigPlan).isDefined ||
       "ShuffledHashJoin \\[qid".r.findFirstIn(bigPlan).isDefined,
