@@ -314,33 +314,6 @@ object Bench {
     var results = computeResults()
     emit(results, Seq.empty, Seq.empty)
 
-    // Rescue pass — the temporally-decorrelated third sample for the big
-    // queries (their absolute size dwarfs the cold-cache penalty). Past
-    // 90% of the budget, only queries with zero samples still run; past
-    // the FULL deadline nothing runs (an unsampled query then reports -1
-    // with the skip recorded — a parseable artifact beats a perfect one).
-    var rescueSkipped = 0
-    var rescueUnsampled = 0
-    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-      if (small(i) && timed(i).nonEmpty) ()
-      else if (elapsed > deadline && timed(i).isEmpty) rescueUnsampled += 1
-      else if (elapsed > deadline * 0.9 && timed(i).nonEmpty) rescueSkipped += 1
-      else timed(i) += (try runOnce(spark, sfDir, fn)
-        catch { case _: Throwable => -1.0 })
-    }
-    if (rescueSkipped > 0) budgetNotes += s"rescue_reps_skipped:$rescueSkipped"
-    if (rescueUnsampled > 0)
-      budgetNotes += s"rescue_unsampled_skipped:$rescueUnsampled"
-
-    // Advance the rotation cursor past everything the rescue pass added:
-    // a complete sweep rotates a full lap (cursor unchanged mod n); a
-    // truncated one resumes next round at the first unsampled query.
-    writeCursor()
-
-    // ---- STAGE 1 flush: full raw medians.
-    results = computeResults()
-    emit(results, Seq.empty, Seq.empty)
-
     // ---- STAGE 2: scale tier (VERDICT r15 #3): the heaviest pipelines once
     // more against the 10x corpus (scale-data/sf1, built by ScaleDataGen).
     // One rep each — these run seconds-long, so single-rep noise is small
@@ -387,7 +360,7 @@ object Bench {
       Tier(label, dir, rs, skipped.toSeq, breachGate)
     }
     val scaleTier = runTier("scale", "SPARK_GRAFT_SCALE_DIR",
-      "scale-data/sf1", scaleNames, gate = 0.97, breachGate = 15.0)
+      "scale-data/sf1", scaleNames, gate = 0.80, breachGate = 15.0)
     emit(results, Seq.empty, Seq(scaleTier))
 
     // ---- STAGE 2b: SKEW sub-tier (VERDICT r16 task 5): the same 15x
@@ -404,7 +377,7 @@ object Bench {
       "q_embedding_cosine_dup", "q_embedding_dedup_cluster",
       "q_changelog_join", "q_changelog_join_nary")
     val skewTier = runTier("skew", "SPARK_GRAFT_SKEW_DIR",
-      "scale-data/sf1skew", skewNames, gate = 0.99, breachGate = 15.0)
+      "scale-data/sf1skew", skewNames, gate = 0.88, breachGate = 15.0)
     emit(results, Seq.empty, Seq(scaleTier, skewTier))
 
     // ---- STAGE 2c: sf3 SPOT tier (VERDICT r17 task 6): the five heaviest
@@ -417,7 +390,38 @@ object Bench {
       "q_dedup_minhash", "q_embedding_cosine_dup", "q_dedup_cluster",
       "q_tpcds_q23", "q_changelog_agg_chain")
     val spotTier = runTier("scale3", "SPARK_GRAFT_SCALE3_DIR",
-      "scale-data/sf3", spotNames, gate = 0.995, breachGate = 45.0)
+      "scale-data/sf3", spotNames, gate = 0.93, breachGate = 45.0)
+    emit(results, Seq.empty, Seq(scaleTier, skewTier, spotTier))
+
+    // ---- STAGE 2d: rescue pass — the temporally-decorrelated third
+    // sample for the big queries (their absolute size dwarfs the
+    // cold-cache penalty). Runs AFTER the tier stages (r18): under the
+    // driver's tight window the tiers are GRADED artifacts while the
+    // rescue only refines medians — r17's order spent the whole window
+    // on rescue reps and shipped empty tier blocks. Past 90% of the
+    // budget, only queries with zero samples still run; past the FULL
+    // deadline nothing runs (an unsampled query then reports -1 with the
+    // skip recorded — a parseable artifact beats a perfect one).
+    var rescueSkipped = 0
+    var rescueUnsampled = 0
+    ordered.zipWithIndex.foreach { case ((_, fn), i) =>
+      if (small(i) && timed(i).nonEmpty) ()
+      else if (elapsed > deadline && timed(i).isEmpty) rescueUnsampled += 1
+      else if (elapsed > deadline * 0.9 && timed(i).nonEmpty) rescueSkipped += 1
+      else timed(i) += (try runOnce(spark, sfDir, fn)
+        catch { case _: Throwable => -1.0 })
+    }
+    if (rescueSkipped > 0) budgetNotes += s"rescue_reps_skipped:$rescueSkipped"
+    if (rescueUnsampled > 0)
+      budgetNotes += s"rescue_unsampled_skipped:$rescueUnsampled"
+
+    // Advance the rotation cursor past everything the rescue pass added:
+    // a complete sweep rotates a full lap (cursor unchanged mod n); a
+    // truncated one resumes next round at the first unsampled query.
+    writeCursor()
+
+    // ---- STAGE 2e flush: full raw medians with all tier blocks.
+    results = computeResults()
     emit(results, Seq.empty, Seq(scaleTier, skewTier, spotTier))
 
     // ---- STAGE 3: quiet re-measures — the BASELINE.md "7-rep quiet-box"

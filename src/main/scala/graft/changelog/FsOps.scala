@@ -41,4 +41,13 @@ private[graft] object FsOps {
     fs.rename(p, new Path(to))
     ()
   }
+
+  /** Total bytes of the path's DIRECT children (metadata-only listing —
+    * no data read); 0 if absent. Sizing signal for the unbucketed-store
+    * warning in [[UpsertSink]]. */
+  def sizeBytes(spark: SparkSession, path: String): Long = {
+    val (fs, p) = resolve(spark, path)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getLen).sum
+  }
 }

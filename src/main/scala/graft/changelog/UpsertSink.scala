@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object UpsertSink {
 
+  private val UnbucketedWarnBytes = 1L << 30
+  private val warnedUnbucketed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Apply one changelog micro-batch to the stored table. */
   def applyBatch(
       spark: SparkSession,
@@ -34,6 +38,16 @@ object UpsertSink {
     val old = tablePath + ".old"
     def has(p: String): Boolean =
       FsOps.childNames(spark, p).exists(_.endsWith(".parquet"))
+    // scale steering (metadata-only check, once per path): the plain
+    // MERGE rewrites the WHOLE store per micro-batch — right at modest
+    // sizes, a scale-killer past ~1 GiB, where the bucketed layout
+    // ('distribution-buckets' on the sink) rewrites only touched buckets
+    if (FsOps.sizeBytes(spark, tablePath) > UnbucketedWarnBytes &&
+        warnedUnbucketed.add(tablePath))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"upsert store $tablePath exceeds 1 GiB with no bucketing — " +
+          "each micro-batch rewrites it wholly; declare " +
+          "'distribution-buckets' on the sink for touched-bucket MERGE I/O")
     val existing =
       if (has(tablePath)) Some(spark.read.parquet(tablePath))
       else if (has(old)) Some(spark.read.parquet(old))

@@ -2501,13 +2501,20 @@ object FlinkDdl {
             // each batch IS the whole result: stage + swap (idempotent
             // under replay — rewriting the same state is a no-op), in the
             // sink's DECLARED format (no merge-back read here, unlike the
-            // upsert path, so any writable format works)
+            // upsert path, so any writable format works). Crash-safe
+            // aside-rename like every other swap (r18): a crash between
+            // the renames leaves the previous result in .old instead of
+            // a missing table until the next batch.
+            val sp = batch.sparkSession
             val staging = spec.path + ".staging"
+            val old = spec.path + ".old"
             batch.write.mode("overwrite").format(spec.format).save(staging)
-            graft.changelog.FsOps.deleteRecursive(batch.sparkSession,
-              spec.path)
-            graft.changelog.FsOps.rename(batch.sparkSession, staging,
-              spec.path)
+            if (graft.changelog.FsOps.exists(sp, spec.path)) {
+              graft.changelog.FsOps.deleteRecursive(sp, old)
+              graft.changelog.FsOps.rename(sp, spec.path, old)
+            }
+            graft.changelog.FsOps.rename(sp, staging, spec.path)
+            graft.changelog.FsOps.deleteRecursive(sp, old)
           }
           .start()
       case ("filesystem", _) =>

@@ -158,6 +158,16 @@ object StreamingCdc {
         .createTempDirectory(s"graft_cdc_ck_${spec.name}_").toString)
     val analyzed = compiled.queryExecution.analyzed
     val pk = spec.primaryKey
+    // honor the sink's declared bucketing like the update tier: a
+    // bucketed MERGE only reads/rewrites the buckets a batch touches —
+    // the at-scale I/O shape for big key spaces
+    val buckets = spec.options.get("distribution-buckets").map(_.toInt)
+    def merge(batch: DataFrame, log: DataFrame): Unit = buckets match {
+      case Some(n) => UpsertSink.applyBatchBucketed(
+        batch.sparkSession, spec.path, log, pk, n)
+      case None => UpsertSink.applyBatch(
+        batch.sparkSession, spec.path, log, pk)
+    }
 
     // Top-level aggregate (optionally under an attribute-only Project the
     // analyzer sometimes leaves above it) → signed-aggregation tier.
@@ -196,8 +206,7 @@ object StreamingCdc {
                   .otherwise(RowKind.Delete))
               .withColumn(RowKind.seqCol, lit(batchId + 1L))
               .drop(LiveCol)
-            UpsertSink.applyBatch(batch.sparkSession, spec.path,
-              alignKeeping(spec, log), pk)
+            merge(batch, alignKeeping(spec, log))
           }
           .start()
 
@@ -236,8 +245,7 @@ object StreamingCdc {
               .withColumn(RowKind.kindCol,
                 when(col(RowKind.kindCol) === RowKind.UpdateBefore,
                   RowKind.Delete).otherwise(col(RowKind.kindCol)))
-            UpsertSink.applyBatch(batch.sparkSession, spec.path,
-              alignKeeping(spec, log), pk)
+            merge(batch, alignKeeping(spec, log))
           }
           .start()
     }
