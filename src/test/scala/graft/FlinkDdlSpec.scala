@@ -2117,4 +2117,48 @@ class FlinkDdlSpec extends SparkSpecBase {
       qs.foreach(_.stop())
     }
   }
+
+  test("runStreaming: canal-json source (batched data arrays, " +
+      "changed-columns old) streams through the signed-aggregation tier") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // the canal envelope face through pure DDL: multi-row `data` batches
+    // exercise the posexplode path and `old` carries ONLY changed columns
+    // (pre-image reconstructed by overlay) — same tier as debezium
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE changes (
+         |  id BIGINT, k STRING, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='canal-json');
+         |CREATE TABLE by_k (k STRING, n BIGINT, sv BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO by_k
+         |SELECT k, COUNT(*) AS n, SUM(v) AS sv
+         |FROM changes GROUP BY k""".stripMargin)
+    def arrive(lines: String*): Unit = {
+      lines.toSeq.toDF("value").coalesce(1)
+        .write.mode("append").text(s"$dir/src")
+      qs.head.processAllAvailable()
+    }
+    def state(): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$dir/snk").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    try {
+      // one INSERT envelope carrying a two-row batch + a single insert
+      arrive(
+        """{"data":[{"id":1,"k":"a","v":1},{"id":2,"k":"a","v":2}],"type":"INSERT","ts":1}""",
+        """{"data":[{"id":3,"k":"b","v":5}],"type":"INSERT","ts":1}""")
+      assert(state() == Map("a" -> ((2L, 3L)), "b" -> ((1L, 5L))))
+      // UPDATE with changed-columns-only old (v was 2); DELETE b's row
+      arrive(
+        """{"data":[{"id":2,"k":"a","v":10}],"old":[{"v":2}],"type":"UPDATE","ts":2}""",
+        """{"data":[{"id":3,"k":"b","v":5}],"type":"DELETE","ts":2}""")
+      assert(state() == Map("a" -> ((2L, 11L))),
+        "canal overlay pre-image must retract v=2, and b must vanish")
+    } finally qs.foreach(_.stop())
+  }
 }
