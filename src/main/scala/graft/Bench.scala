@@ -146,9 +146,13 @@ object Bench {
     // won't finish the timed passes either, and a cold-measured query
     // beats none; the controls above already warmed the JVM itself.
     var warmupSkipped = 0
+    var warmedCount = 0
     ordered.foreach { case (_, fn) =>
       if (elapsed > deadline * 0.4) warmupSkipped += 1
-      else (try runOnce(spark, sfDir, fn) catch { case _: Throwable => () })
+      else {
+        (try runOnce(spark, sfDir, fn) catch { case _: Throwable => () })
+        warmedCount += 1
+      }
     }
     if (warmupSkipped > 0) budgetNotes += s"warmup_skipped:$warmupSkipped"
 
@@ -171,14 +175,26 @@ object Bench {
     val small = ordered.map { case (name, _) =>
       baselines.get(name).exists(_ < 1.2) }
     var seqSkipped = 0
+    var lateWarmed = 0
     ordered.zipWithIndex.foreach { case ((_, fn), i) =>
       if (elapsed > deadline * 0.7) seqSkipped += 1
-      else (1 to math.max(if (small(i)) 2 else 1, reps - 1)).foreach { _ =>
-        timed(i) += (try runOnce(spark, sfDir, fn)
-          catch { case _: Throwable => -1.0 })
+      else {
+        // a truncated warmup pass must not produce COLD timed samples
+        // (review r18: both samples of the unwarmed tail would carry
+        // JIT/footer warm-up — the r17 fake-26x shape, per query): warm
+        // just-in-time for queries the warmup pass never reached
+        if (i >= warmedCount) {
+          (try runOnce(spark, sfDir, fn) catch { case _: Throwable => () })
+          lateWarmed += 1
+        }
+        (1 to math.max(if (small(i)) 2 else 1, reps - 1)).foreach { _ =>
+          timed(i) += (try runOnce(spark, sfDir, fn)
+            catch { case _: Throwable => -1.0 })
+        }
       }
     }
     if (seqSkipped > 0) budgetNotes += s"seq_reps_skipped:$seqSkipped"
+    if (lateWarmed > 0) budgetNotes += s"late_warmed:$lateWarmed"
 
     // Medians over whatever samples a query holds. ANY failed rep marks the
     // query failed (-1): a query that crashes intermittently must not report
