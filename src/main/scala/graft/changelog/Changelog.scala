@@ -274,6 +274,12 @@ object RetractableAgg {
       .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
         var n = 0L
         var sum = java.math.BigDecimal.ZERO
+        // counts may go NEGATIVE (r19): the fold is UNORDERED (Spark
+        // gives no within-group order here), so a retract can precede
+        // the accumulate it cancels — a clamped remove would leave a
+        // ghost value corrupting MIN/MAX once partitions shuffle. A
+        // negative count is that retract's debt; the pair nets to zero
+        // and every op commutes, so fold order is genuinely irrelevant.
         val multiset = scala.collection.mutable.TreeMap.empty[Double, Long]
         rows.foreach { r =>
           val v = r.getDouble(valIdx)
@@ -283,20 +289,18 @@ object RetractableAgg {
             case RowKind.UpdateBefore | RowKind.Delete => true
             case _ => false
           }
-          if (retract) {
-            n -= 1
-            sum = sum.subtract(dec)
-            val c = multiset.getOrElse(v, 0L) - 1
-            if (c <= 0) multiset.remove(v) else multiset.update(v, c)
-          } else {
-            n += 1
-            sum = sum.add(dec)
-            multiset.update(v, multiset.getOrElse(v, 0L) + 1)
-          }
+          val delta = if (retract) -1L else 1L
+          if (retract) { n -= 1; sum = sum.subtract(dec) }
+          else { n += 1; sum = sum.add(dec) }
+          val c = multiset.getOrElse(v, 0L) + delta
+          if (c == 0L) multiset.remove(v) else multiset.update(v, c)
         }
         if (n <= 0) Iterator.empty
-        else Iterator.single(Row.fromSeq(key.toSeq ++ Seq[Any](
-          n, sum.doubleValue(), multiset.firstKey, multiset.lastKey)))
+        else {
+          val live = multiset.iterator.filter(_._2 > 0).map(_._1).toSeq
+          Iterator.single(Row.fromSeq(key.toSeq ++ Seq[Any](
+            n, sum.doubleValue(), live.head, live.last)))
+        }
       }(oEnc)
   }
 }
@@ -330,11 +334,12 @@ object RetractableAgg {
   */
 object RetractingChangelogAgg {
 
-  private val aggFields = Seq(
+  private def aggFields(emitDistinct: Boolean) = Seq(
     StructField("n_live", LongType),
     StructField("sum_v", DoubleType),
     StructField("min_v", DoubleType),
-    StructField("max_v", DoubleType))
+    StructField("max_v", DoubleType)) ++
+    (if (emitDistinct) Seq(StructField("n_distinct", LongType)) else Nil)
 
   /** Mutable retractable accumulator (count + exact decimal sum + value
     * multiset). */
@@ -347,24 +352,39 @@ object RetractingChangelogAgg {
       0L, java.math.BigDecimal.ZERO,
       scala.collection.mutable.TreeMap.empty[Double, Long])
 
+    // entries with count < 0 are DEBT — a retract folded before the
+    // accumulate it cancels (the fold is unordered); kept so the pair
+    // nets to zero and every op commutes regardless of arrival order
+    private var debt: Int = multiset.count(_._2 < 0)
+
     def update(v: Double, retract: Boolean): Unit = {
       val dec = new java.math.BigDecimal(v)
         .setScale(6, java.math.RoundingMode.HALF_UP)
-      if (retract) {
-        n -= 1
-        sum = sum.subtract(dec)
-        val c = multiset.getOrElse(v, 0L) - 1
-        if (c <= 0) multiset.remove(v) else multiset.update(v, c)
+      if (retract) { n -= 1; sum = sum.subtract(dec) }
+      else { n += 1; sum = sum.add(dec) }
+      val prev = multiset.getOrElse(v, 0L)
+      val c = prev + (if (retract) -1L else 1L)
+      if (c == 0L) {
+        multiset.remove(v)
+        if (prev < 0L) debt -= 1
       } else {
-        n += 1
-        sum = sum.add(dec)
-        multiset.update(v, multiset.getOrElse(v, 0L) + 1)
+        multiset.update(v, c)
+        if (prev == 0L && c < 0L) debt += 1
       }
     }
 
     def live: Boolean = n > 0
-    def values: Seq[Any] =
-      Seq[Any](n, sum.doubleValue(), multiset.firstKey, multiset.lastKey)
+    def values(emitDistinct: Boolean): Seq[Any] = {
+      val (mn, mx, distinct) =
+        if (debt == 0)
+          (multiset.firstKey, multiset.lastKey, multiset.size.toLong)
+        else {
+          val liveKeys = multiset.iterator.filter(_._2 > 0).map(_._1).toSeq
+          (liveKeys.head, liveKeys.last, liveKeys.size.toLong)
+        }
+      val base = Seq[Any](n, sum.doubleValue(), mn, mx)
+      if (emitDistinct) base :+ distinct else base
+    }
     def snapshot: (Long, String, Map[Double, Long]) =
       (n, sum.toPlainString, multiset.toMap)
   }
@@ -390,20 +410,25 @@ object RetractingChangelogAgg {
     *        CDC log position qualifies), and `orderCols` should order
     *        retract rows before the accumulate sharing their seq.
     */
+  /** @param emitDistinct append an `n_distinct` column (the live value
+    *        multiset's key count — COUNT(DISTINCT v) with retraction
+    *        support, zero extra state: the multiset is already there).
+    *        Default false keeps the long-standing 4-column output shape. */
   def apply(
       df: DataFrame,
       keyCols: Seq[String],
       valCol: String,
       orderCols: Seq[Column] = Seq(col(RowKind.seqCol)),
       seqFromInput: Boolean = false,
-      idleTtlMs: Option[Long] = None): DataFrame = {
+      idleTtlMs: Option[Long] = None,
+      emitDistinct: Boolean = false): DataFrame = {
 
     val keyIdx = keyCols.map(df.schema.fieldIndex)
     val valIdx = df.schema.fieldIndex(valCol)
     val kindIdx = df.schema.fieldIndex(RowKind.kindCol)
     val seqIdx = df.schema.fieldIndex(RowKind.seqCol)
     val outSchema = StructType(
-      keyIdx.map(df.schema.fields(_)) ++ aggFields :+
+      keyIdx.map(df.schema.fields(_)) ++ aggFields(emitDistinct) :+
         StructField(RowKind.kindCol, StringType) :+
         StructField(RowKind.seqCol, LongType))
 
@@ -416,7 +441,7 @@ object RetractingChangelogAgg {
         acc: Acc,
         retSeq: Long,
         accSeq: Long): (Option[Seq[Any]], Seq[Row]) = {
-      val now = if (acc.live) Some(acc.values) else None
+      val now = if (acc.live) Some(acc.values(emitDistinct)) else None
       (emitted, now) match {
         case (None, Some(nw)) =>
           (now, Seq(Row.fromSeq(keyVals ++ nw :+ RowKind.Insert :+ accSeq)))

@@ -24,6 +24,42 @@ object UpsertSink {
   private val warnedUnbucketed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Default bucket count for NEW upsert stores (VERDICT r18 task 5). */
+  val DefaultBuckets = 64
+
+  /** Bucket-layout decision for a PK sink, made ONCE at query start: an
+    * explicit `'distribution-buckets'` declaration always wins; without
+    * one, a NEW (empty) store defaults to the hash-bucketed layout
+    * ([[applyBatchBucketed]], [[DefaultBuckets]] buckets) so per-batch
+    * MERGE I/O is proportional to the touched fraction of the table from
+    * day one — the whole-table rewrite was the at-scale default failure
+    * shape (VERDICT r18 what's-wrong #3). An EXISTING store that already
+    * holds unbucketed parquet files keeps its flat layout (a bucketed
+    * MERGE looks only under `__bucket=` dirs and would silently orphan
+    * the flat files); the `.old` aside-dir counts as existing state so a
+    * crash mid-swap cannot flip a store's layout on restart. */
+  def resolveBuckets(
+      spark: SparkSession,
+      tablePath: String,
+      declared: Option[Int]): Option[Int] =
+    declared.orElse {
+      def flatParquet(p: String): Boolean = {
+        val names = FsOps.childNames(spark, p)
+        names.exists(_.endsWith(".parquet")) &&
+          !names.exists(_.startsWith("__bucket="))
+      }
+      if (flatParquet(tablePath) || flatParquet(tablePath + ".old")) None
+      else Some(DefaultBuckets)
+    }
+
+  /** Read an upsert store back as its LOGICAL table: the internal
+    * `__bucket` layout column (present when the store is hash-bucketed —
+    * the default for new stores) is dropped, flat stores read as-is. */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    if (df.columns.contains("__bucket")) df.drop("__bucket") else df
+  }
+
   /** Apply one changelog micro-batch to the stored table. */
   def applyBatch(
       spark: SparkSession,
@@ -41,8 +77,12 @@ object UpsertSink {
     // scale steering (metadata-only check, once per path): the plain
     // MERGE rewrites the WHOLE store per micro-batch — right at modest
     // sizes, a scale-killer past ~1 GiB, where the bucketed layout
-    // ('distribution-buckets' on the sink) rewrites only touched buckets
-    if (FsOps.sizeBytes(spark, tablePath) > UnbucketedWarnBytes &&
+    // ('distribution-buckets' on the sink) rewrites only touched buckets.
+    // The already-warned check comes FIRST (review r18): sizeBytes is a
+    // full listStatus, and gating on it before the set lookup re-listed
+    // the table on every micro-batch after the one-shot warning fired.
+    if (!warnedUnbucketed.contains(tablePath) &&
+        FsOps.sizeBytes(spark, tablePath) > UnbucketedWarnBytes &&
         warnedUnbucketed.add(tablePath))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"upsert store $tablePath exceeds 1 GiB with no bucketing — " +

@@ -368,7 +368,7 @@ object FlinkDdl {
           .filter(_.isStreaming).filter(StreamingCdc.referencesCdc)
           .foreach { df =>
             registerJob(s"insert-into_$sink",
-              StreamingCdc.start(spark, spec, df))
+              StreamingCdc.start(spark, spec, df, catalog.values.toSeq))
             return
           }
       }
@@ -2260,12 +2260,22 @@ object FlinkDdl {
     import org.apache.spark.sql.catalyst.plans.logical._
     def hasStreamingAgg(p: LogicalPlan): Boolean =
       p.collectFirst { case a: Aggregate if a.isStreaming => a }.isDefined
+    // ANOTHER Filter still sits between here and the streaming aggregate
+    // (e.g. an outer WHERE over a subquery with its own HAVING): stripping
+    // only the topmost filter would leave the inner one in the Update-mode
+    // plan — groups exiting via THAT predicate would never emit a -D and
+    // stay permanently stale in the sink (review r18). Such shapes keep
+    // complete mode, which is always correct.
+    def innerFilterAboveAgg(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case fl: Filter if hasStreamingAgg(fl.child) => fl }.isDefined
     def keepAttr(p: LogicalPlan): Attribute =
       p.output.find(_.name == KeepCol).get
     def walk(p: LogicalPlan): Option[LogicalPlan] = p match {
       case pr: Project => walk(pr.child).map(c =>
         Project(pr.projectList :+ keepAttr(c), c))
-      case f: Filter if hasStreamingAgg(f.child) =>
+      case f: Filter
+          if hasStreamingAgg(f.child) && !innerFilterAboveAgg(f.child) =>
         Some(Project(f.child.output :+ Alias(f.condition, KeepCol)(),
           f.child))
       case _ => None
@@ -2422,10 +2432,20 @@ object FlinkDdl {
       java.nio.file.Files
         .createTempDirectory(s"graft_ddl_ck_${spec.name}_").toString)
     val mode = changelogMode(aligned)
-    // plan the exit-filter rewrite ONCE (guard + body share it)
+    // plan the exit-filter rewrite ONCE (guard + body share it). The
+    // declared PRIMARY KEY must be exactly the aggregate's grouping
+    // output (review r18): the incremental tier MERGEs keep-last on the
+    // PK, so a PK that is a strict subset of the group key collapses
+    // distinct groups and a PK containing an aggregate value strands the
+    // group's previous row — either mismatch keeps complete mode, whose
+    // truncate-replace ignores the PK and is always correct.
     lazy val exitRewrite: Option[DataFrame] =
       if (spec.primaryKey.nonEmpty && spec.format == "parquet")
-        stripExitFilter(aligned)
+        stripExitFilter(aligned).filter { r =>
+          val grouping = StreamingCdc.groupingPassThroughNames(
+            r.queryExecution.analyzed) - KeepCol.toLowerCase
+          spec.primaryKey.map(_.toLowerCase).toSet == grouping
+        }
       else None
     val q = (spec.connector, mode) match {
       case ("filesystem", "update") =>
@@ -2443,7 +2463,11 @@ object FlinkDdl {
             s"'${spec.format}' cannot store the merge state — declare " +
             "'format'='parquet'")
         val pk = spec.primaryKey
-        val buckets = spec.options.get("distribution-buckets").map(_.toInt)
+        // bucketed by default for NEW stores (VERDICT r18 task 5) —
+        // decided once at query start, existing flat stores keep working
+        val buckets = graft.changelog.UpsertSink.resolveBuckets(
+          aligned.sparkSession, spec.path,
+          spec.options.get("distribution-buckets").map(_.toInt))
         aligned.writeStream
           .outputMode("update")
           .option("checkpointLocation", ckpt)
@@ -2473,7 +2497,9 @@ object FlinkDdl {
         // truncate-replace is O(all passing groups) (VERDICT r17 task 3;
         // ref SinkUpsertMaterializer.java:64, ChangelogMode retract set)
         val pk = spec.primaryKey
-        val buckets = spec.options.get("distribution-buckets").map(_.toInt)
+        val buckets = graft.changelog.UpsertSink.resolveBuckets(
+          aligned.sparkSession, spec.path,
+          spec.options.get("distribution-buckets").map(_.toInt))
         exitRewrite.get.writeStream
           .outputMode("update")
           .option("checkpointLocation", ckpt)

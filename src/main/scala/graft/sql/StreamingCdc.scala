@@ -40,19 +40,30 @@ import org.apache.spark.sql.types._
   *     and each micro-batch MERGEs into the sink on its PRIMARY KEY. A
   *     hidden `SUM(sign)` liveness column detects groups whose last live
   *     row was deleted: those MERGE as `-D`, the reference's
-  *     group-agg retraction when a count reaches zero. MIN/MAX (and
-  *     DISTINCT aggregates) need retractable multiset state the rewrite
-  *     cannot express — they fail loudly toward the DataStream tier
-  *     ([[graft.changelog.Changelog]] RetractableAgg).
+  *     group-agg retraction when a count reaches zero.
+  *
+  *   - '''Retractable aggregation''' (r19, VERDICT r18 task 3): MIN /
+  *     MAX / COUNT(DISTINCT) need retractable multiset state the signed
+  *     rewrite cannot express — those route onto the DataStream tier's
+  *     operator in place ([[graft.changelog.RetractingChangelogAgg]]):
+  *     per-key multiset state, one transition pair per key per batch,
+  *     MERGEd by PRIMARY KEY. See [[startRetractableAgg]] for scope.
+  *
+  *   - '''Changelog join''' (r19, VERDICT r18 task 2): `cdc JOIN cdc` /
+  *     `cdc JOIN dim` routes onto [[graft.changelog.ChangelogJoin]] via
+  *     [[StreamingCdcJoin]]; the aggregation tiers compose ABOVE the
+  *     joined changelog (the `__sign` column is re-derived from its
+  *     emitted rowkinds).
   *
   *   - '''Changelog passthrough''' (the reference's ChangelogNormalize +
   *     DropUpdateBefore over a projected/filtered CDC source): with no
   *     aggregation, the decoded rows flow as a changelog with `-U`
-  *     degraded to `-D` at `seq·2` and new images at `seq·2+1` (the same
-  *     total order a topic offset would give the pair), MERGEd into the
-  *     sink by its PRIMARY KEY — so an update whose new image leaves a
-  *     `WHERE` predicate set still deletes the sink row via its
-  *     surviving before-image.
+  *     degraded to `-D`, ordered by [[withArrivalSeq]] — envelope
+  *     timestamp in the high bits plus a per-partition arrival counter
+  *     in the low 20 (the topic offset's stand-in for ms-resolution
+  *     ties) — and MERGEd into the sink by its PRIMARY KEY. An update
+  *     whose new image leaves a `WHERE` predicate set still deletes the
+  *     sink row via its surviving before-image.
   */
 object StreamingCdc {
 
@@ -87,21 +98,86 @@ object StreamingCdc {
     * materialization MUST resolve such ties in LOG order — the reference
     * orders by topic offset. The decode preserves arrival order within a
     * file partition (narrow ops only), so a per-partition row counter is
-    * the offset's stand-in: seq' = ts·2^20 + (counter mod 2^20). Within
-    * one envelope the explode emits `-U` before `+U`, so an in-place
-    * update keeps its new image, and a later delete at the same
-    * timestamp wins over both. Cross-partition ties stay
-    * timestamp-ordered (the pre-existing contract). */
-  def withArrivalSeq(log: DataFrame): DataFrame =
+    * the offset's stand-in: seq' = ts·2^20 + counter. Within one
+    * envelope the explode emits `-U` before `+U`, so an in-place update
+    * keeps its new image, and a later delete at the same timestamp wins
+    * over both. Cross-partition ties stay timestamp-ordered (the
+    * pre-existing contract).
+    *
+    * Ordering bound (review r18): the counter occupies the low 20 bits,
+    * so the arrival order it encodes holds for up to 2^20 (~1M) envelope
+    * rows PER FILE PARTITION PER MICRO-BATCH — a row past that would
+    * wrap below an earlier row's seq, so the guard RAISES instead of
+    * wrapping silently (raise source parallelism or cap the batch with
+    * `maxFilesPerTrigger`). The counter restarting at 0 each micro-batch
+    * is harmless: the sink MERGE re-enters stored state at seq 0, so a
+    * later batch's rows always supersede earlier batches regardless of
+    * their seq values — cross-batch order comes from batch sequencing,
+    * and this seq only needs to order rows WITHIN one batch. */
+  def withArrivalSeq(log: DataFrame): DataFrame = {
+    // ArrivalId = partitionId<<33 | row-in-partition (graft's streaming-
+    // legal monotonically_increasing_id — see its scaladoc for why the
+    // replay contract holds here); the low 33 bits isolate the
+    // per-partition counter so the guard sees the true row index, not a
+    // partition-id-polluted wrap
+    val counter = org.apache.spark.sql.GraftPlans
+      .column(graft.functions.ArrivalId())
+      .bitwiseAND(lit((1L << 33) - 1))
+    val guarded = counter + coalesce(
+      assert_true(counter < lit(1L << 20), lit(
+        "CDC arrival-seq ordering bound exceeded: more than 2^20 " +
+          "envelope rows in one file partition of one micro-batch — " +
+          "increase source parallelism or set 'maxFilesPerTrigger' so " +
+          "per-partition batch slices stay under 1,048,576 rows"))
+        .cast("long"),
+      lit(0L))
     log.withColumn(RowKind.seqCol,
-      col(RowKind.seqCol) * lit(1L << 20) +
-        pmod(monotonically_increasing_id(), lit(1L << 20)))
+      col(RowKind.seqCol) * lit(1L << 20) + guarded)
+  }
 
   /** Does this compiled plan read a CDC-format source? (The decoded
     * source is the only thing that puts a `__sign` attribute in a plan.) */
   def referencesCdc(df: DataFrame): Boolean =
     df.queryExecution.analyzed
       .find(p => p.output.exists(_.name == SignCol)).isDefined
+
+  /** Output column names (lowercased) of `plan` that are pure
+    * pass-throughs of the topmost streaming Aggregate's GROUPING keys —
+    * the columns a per-group MERGE may key on. Provenance is traced only
+    * through Project/Filter/SubqueryAlias (anything else conservatively
+    * yields the empty set). Used to validate a sink's declared PRIMARY
+    * KEY against the query's grouping identity before choosing an
+    * incremental keep-last MERGE (review r18: a PK that is NOT the group
+    * key would collapse distinct groups / strand exited ones — such
+    * sinks must materialize by whole-result replacement instead). */
+  private[sql] def groupingPassThroughNames(plan: LogicalPlan): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, SubqueryAlias}
+    def walk(p: LogicalPlan): Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      p match {
+        case a: Aggregate if a.isStreaming =>
+          a.aggregateExpressions.flatMap { ne =>
+            val inner = ne match { case al: Alias => al.child; case e => e }
+            if (a.groupingExpressions.exists(_.semanticEquals(inner)))
+              Some(ne.toAttribute.exprId)
+            else None
+          }.toSet
+        case pr: Project =>
+          val below = walk(pr.child)
+          pr.projectList.flatMap { ne =>
+            val inner = ne match { case al: Alias => al.child; case e => e }
+            inner match {
+              case ar: AttributeReference if below(ar.exprId) =>
+                Some(ne.toAttribute.exprId)
+              case _ => None
+            }
+          }.toSet
+        case f: Filter => walk(f.child)
+        case s: SubqueryAlias => walk(s.child)
+        case _ => Set.empty
+      }
+    val ids = walk(plan)
+    plan.output.filter(a => ids(a.exprId)).map(_.name.toLowerCase).toSet
+  }
 
   private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.GraftPlans.ofRows(spark, plan)
@@ -112,7 +188,12 @@ object StreamingCdc {
     * select-list order) KEEPING the changelog metadata columns for the
     * MERGE. */
   private def alignKeeping(
-      spec: FlinkDdl.TableSpec, df: DataFrame): DataFrame = {
+      spec: FlinkDdl.TableSpec, df: DataFrame): DataFrame =
+    align(spec, df, keepMeta = true)
+
+  private def align(
+      spec: FlinkDdl.TableSpec, df: DataFrame, keepMeta: Boolean)
+      : DataFrame = {
     val declared = spec.columns.collect {
       case FlinkDdl.ColumnSpec(n, Some(t), _, false, _) => (n, t) }
     if (declared.isEmpty) df
@@ -127,8 +208,49 @@ object StreamingCdc {
       df.select(declared.zipWithIndex.map { case ((n, t), i) =>
         (if (byName) col(values.find(_.equalsIgnoreCase(n)).get)
          else col(values(i))).cast(t).as(n)
-      } ++ Seq(col(RowKind.kindCol), col(RowKind.seqCol)): _*)
+      } ++ (if (keepMeta)
+        Seq(col(RowKind.kindCol), col(RowKind.seqCol)) else Nil): _*)
     }
+  }
+
+  /** The sink's PRIMARY KEY columns mapped onto the QUERY's output
+    * column names (lowercased), following [[align]]'s rule: by name when
+    * every declared column matches a value column, positionally
+    * otherwise. Empty entries (a PK column with no counterpart) drop
+    * out, so a caller comparing against a non-empty expected set fails
+    * closed. */
+  private def pkValueNames(
+      spec: FlinkDdl.TableSpec, df: DataFrame): Set[String] = {
+    val declared = spec.columns.collect {
+      case FlinkDdl.ColumnSpec(n, Some(_), _, false, _) => n }
+    val meta = Set(RowKind.kindCol, RowKind.seqCol, LiveCol, SignCol)
+    val values = df.columns.filterNot(meta)
+    val byName = declared.isEmpty || declared.forall(n =>
+      values.exists(_.equalsIgnoreCase(n)))
+    spec.primaryKey.flatMap { p =>
+      if (byName) values.find(_.equalsIgnoreCase(p))
+      else declared.indexWhere(_.equalsIgnoreCase(p)) match {
+        case i if i >= 0 && i < values.length => Some(values(i))
+        case _ => None
+      }
+    }.map(_.toLowerCase).toSet
+  }
+
+  /** Atomic whole-result replacement into the sink (the complete-mode
+    * materialization), with the uniform crash-safe aside-rename swap. */
+  private def truncateReplace(
+      spec: FlinkDdl.TableSpec, batch: DataFrame): Unit = {
+    import graft.changelog.FsOps
+    val sp = batch.sparkSession
+    val staging = spec.path + ".staging"
+    val old = spec.path + ".old"
+    batch.write.mode("overwrite").format(spec.format).save(staging)
+    if (FsOps.exists(sp, spec.path)) {
+      FsOps.deleteRecursive(sp, old)
+      FsOps.rename(sp, spec.path, old)
+    }
+    FsOps.rename(sp, staging, spec.path)
+    FsOps.deleteRecursive(sp, old)
   }
 
   private def requireUpsertSink(spec: FlinkDdl.TableSpec): Unit = {
@@ -146,11 +268,24 @@ object StreamingCdc {
   }
 
   /** Start the continuous query for `INSERT INTO spec <compiled>` where
-    * the compiled plan reads a CDC source. Returns (query, checkpoint). */
+    * the compiled plan reads a CDC source. `sources` is the DDL catalog
+    * (join routing resolves each join input's upsert key from its
+    * declared PRIMARY KEY). Returns (query, checkpoint).
+    *
+    * Tier dispatch, all O(delta) state flow per micro-batch:
+    *   - `GROUP BY` over the source (or over a join): signed-aggregation
+    *     when every aggregate is COUNT/SUM/AVG; retractable-state tier
+    *     ([[graft.changelog.RetractingChangelogAgg]]) for MIN/MAX and
+    *     COUNT(DISTINCT) — VERDICT r18 task 3;
+    *   - `cdc JOIN cdc` / `cdc JOIN dim`: [[StreamingCdcJoin]] routes
+    *     onto [[graft.changelog.ChangelogJoin]] — VERDICT r18 task 2 —
+    *     optionally composing with the aggregation tiers above it;
+    *   - projection/filter only: changelog passthrough. */
   def start(
       spark: SparkSession,
       spec: FlinkDdl.TableSpec,
-      compiled: DataFrame)
+      compiled: DataFrame,
+      sources: Seq[FlinkDdl.TableSpec] = Seq.empty)
       : (org.apache.spark.sql.streaming.StreamingQuery, String) = {
     requireUpsertSink(spec)
     val ckpt = spec.options.getOrElse("sink.checkpoint-dir",
@@ -158,10 +293,12 @@ object StreamingCdc {
         .createTempDirectory(s"graft_cdc_ck_${spec.name}_").toString)
     val analyzed = compiled.queryExecution.analyzed
     val pk = spec.primaryKey
-    // honor the sink's declared bucketing like the update tier: a
-    // bucketed MERGE only reads/rewrites the buckets a batch touches —
-    // the at-scale I/O shape for big key spaces
-    val buckets = spec.options.get("distribution-buckets").map(_.toInt)
+    // honor the sink's declared bucketing like the update tier — and
+    // bucket NEW stores by default (VERDICT r18 task 5): a bucketed
+    // MERGE only reads/rewrites the buckets a batch touches — the
+    // at-scale I/O shape for big key spaces
+    val buckets = UpsertSink.resolveBuckets(spark, spec.path,
+      spec.options.get("distribution-buckets").map(_.toInt))
     def merge(batch: DataFrame, log: DataFrame): Unit = buckets match {
       case Some(n) => UpsertSink.applyBatchBucketed(
         batch.sparkSession, spec.path, log, pk, n)
@@ -170,7 +307,7 @@ object StreamingCdc {
     }
 
     // Top-level aggregate (optionally under an attribute-only Project the
-    // analyzer sometimes leaves above it) → signed-aggregation tier.
+    // analyzer sometimes leaves above it) → an aggregation tier.
     val aggRoot: Option[(Aggregate, Option[Project])] = analyzed match {
       case a: Aggregate => Some((a, None))
       case p @ Project(pl, a: Aggregate)
@@ -181,32 +318,62 @@ object StreamingCdc {
 
     val q = aggRoot match {
       case Some((agg, outer)) =>
-        val sign = agg.child.output.find(_.name == SignCol).getOrElse(
-          throw new IllegalArgumentException(
-            "CDC aggregation must group the CDC source directly " +
-              "(subqueries/joins between the source and the GROUP BY " +
-              "are not supported on the SQL streaming entry)"))
-        val rewritten = rewriteAggregate(agg, sign)
-        val plan = outer match {
-          case Some(p) =>
-            val live = rewritten.aggregateExpressions.last.toAttribute
-            Project(p.projectList :+ live, rewritten)
-          case None => rewritten
-        }
-        ofRows(spark, plan).writeStream
-          .outputMode("update")
+        // the aggregate's input changelog: the decoded source directly,
+        // or a ChangelogJoin of two sources (join composition)
+        val (child, sign): (LogicalPlan, Attribute) =
+          if (StreamingCdcJoin.hasJoin(agg.child)) {
+            val (joined, _) = StreamingCdcJoin
+              .changelogOf(spark, agg.child, sources).get
+            val signed = joined.withColumn(SignCol,
+              when(col(RowKind.kindCol)
+                .isin(RowKind.Insert, RowKind.UpdateAfter), lit(1L))
+                .otherwise(lit(-1L)))
+            val p = signed.queryExecution.analyzed
+            (p, p.output.find(_.name == SignCol).get)
+          } else {
+            val s = agg.child.output.find(_.name == SignCol).getOrElse(
+              throw new IllegalArgumentException(
+                "CDC aggregation must group the CDC source (or a join " +
+                  "of CDC sources) directly — other subquery shapes are " +
+                  "not supported on the SQL streaming entry"))
+            (agg.child, s)
+          }
+        // rebuild the aggregate over the (possibly new) child, rebinding
+        // by name when the child was rebuilt by the join routing
+        val agg2 =
+          if (child eq agg.child) agg
+          else Aggregate(
+            agg.groupingExpressions
+              .map(StreamingCdcJoin.rebind(_, child.output)),
+            agg.aggregateExpressions.map(ne => StreamingCdcJoin
+              .rebind(ne, child.output).asInstanceOf[NamedExpression]),
+            child)
+        if (signedCapable(agg2))
+          startSignedAgg(spark, spec, agg2, outer, sign, ckpt, merge)
+        else
+          startRetractableAgg(spark, spec, agg2, outer, ckpt, merge)
+
+      case None if StreamingCdcJoin.hasJoin(analyzed) =>
+        // join passthrough: ChangelogJoin output (an upsert changelog of
+        // pairings keyed by the two sides' upsert keys) MERGEs on the
+        // sink's PRIMARY KEY — which must therefore carry the pairing
+        // identity, or distinct pairings would collapse
+        val (joined, pairingKeys) =
+          StreamingCdcJoin.changelogOf(spark, analyzed, sources).get
+        val pkm = pkValueNames(spec, joined)
+        require(pairingKeys.subsetOf(pkm),
+          s"Table sink '${spec.name}': the PRIMARY KEY of a CDC join " +
+            s"sink must include both join inputs' upsert keys " +
+            s"[${pairingKeys.mkString(", ")}] (the pairing identity the " +
+            "joined changelog is keyed by) — declared " +
+            s"[${spec.primaryKey.mkString(", ")}]")
+        joined.writeStream
+          .outputMode("append")
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // groups whose live-row count reached zero retract (-D); the
-            // rest upsert at a batch-monotonic seq, superseding stored
-            // state (seq 0). Replay-idempotent like the update tier.
-            val log = batch
-              .withColumn(RowKind.kindCol,
-                when(col(LiveCol) > 0, RowKind.UpdateAfter)
-                  .otherwise(RowKind.Delete))
-              .withColumn(RowKind.seqCol, lit(batchId + 1L))
-              .drop(LiveCol)
-            merge(batch, alignKeeping(spec, log))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // ChangelogJoin emits +U/-D only, already totally ordered by
+            // its 2·seq+bit stamp over the arrival-seq domain
+            merge(batch, alignKeeping(spec, batch))
           }
           .start()
 
@@ -250,6 +417,208 @@ object StreamingCdc {
           .start()
     }
     (q, ckpt)
+  }
+
+  /** Every aggregate is expressible in signed-contribution form
+    * (COUNT/SUM/AVG, no DISTINCT, no FILTER) — running sums in standard
+    * Spark streaming-aggregate state. */
+  private def signedCapable(agg: Aggregate): Boolean = {
+    var ok = true
+    agg.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        val fnOk = ae.aggregateFunction match {
+          case _: Count | _: Sum | _: Average => true
+          case _ => false
+        }
+        if (ae.isDistinct || ae.filter.isDefined || !fnOk) ok = false
+      case _ => ()
+    })
+    ok
+  }
+
+  /** Signed-aggregation tier: rewrite to signed form, run as a standard
+    * Update-mode streaming aggregate, MERGE changed groups per batch on
+    * the sink PK. Precondition for the MERGE (review r18): the declared
+    * PRIMARY KEY must be exactly the aggregate's grouping output — any
+    * other PK collapses distinct groups or strands a group's previous
+    * row. On mismatch the query falls back to COMPLETE-mode
+    * truncate-replace, which ignores the PK and is always correct. */
+  private def startSignedAgg(
+      spark: SparkSession,
+      spec: FlinkDdl.TableSpec,
+      agg: Aggregate,
+      outer: Option[Project],
+      sign: Attribute,
+      ckpt: String,
+      merge: (DataFrame, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val rewritten = rewriteAggregate(agg, sign)
+    val plan = outer match {
+      case Some(p) =>
+        val live = rewritten.aggregateExpressions.last.toAttribute
+        Project(p.projectList :+ live, rewritten)
+      case None => rewritten
+    }
+    val pf = ofRows(spark, plan)
+    val grouping = groupingPassThroughNames(plan)
+    if (pkValueNames(spec, pf) == grouping && grouping.nonEmpty)
+      pf.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // groups whose live-row count reached zero retract (-D); the
+          // rest upsert at a batch-monotonic seq, superseding stored
+          // state (seq 0). Replay-idempotent like the update tier.
+          val log = batch
+            .withColumn(RowKind.kindCol,
+              when(col(LiveCol) > 0, RowKind.UpdateAfter)
+                .otherwise(RowKind.Delete))
+            .withColumn(RowKind.seqCol, lit(batchId + 1L))
+            .drop(LiveCol)
+          merge(batch, alignKeeping(spec, log))
+        }
+        .start()
+    else
+      pf.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // whole-result tier: drop dead groups, atomic truncate-replace
+          truncateReplace(spec,
+            align(spec, batch.where(col(LiveCol) > 0).drop(LiveCol),
+              keepMeta = false))
+        }
+        .start()
+  }
+
+  /** Hidden value column the retractable tier folds. */
+  private val ValCol = "__cdcval"
+
+  /** Retractable-state tier (VERDICT r18 task 3; ref the
+    * `*WithRetractAggFunction` family — MinWithRetractAggFunction keeps a
+    * value→count multiset so a retracted current-min falls back): MIN /
+    * MAX / COUNT(DISTINCT) cannot be expressed as signed running sums,
+    * so the aggregate routes onto
+    * [[graft.changelog.RetractingChangelogAgg]] — per-key multiset state,
+    * one `-U`/`+U` transition pair per key per micro-batch, `-D` when a
+    * key's live set empties — and each batch's transitions MERGE into
+    * the sink by its PRIMARY KEY (which must be exactly the GROUP BY
+    * key). Supported: COUNT(*) / SUM / AVG / MIN / MAX /
+    * COUNT(DISTINCT) over ONE shared value expression (the multiset
+    * tracks one column; values must be non-null, the CDC envelope
+    * payload contract). Shapes outside that stay loud errors. */
+  private def startRetractableAgg(
+      spark: SparkSession,
+      spec: FlinkDdl.TableSpec,
+      agg: Aggregate,
+      outer: Option[Project],
+      ckpt: String,
+      merge: (DataFrame, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val childOut = agg.child.output
+    val metaAttrs = Seq(RowKind.kindCol, RowKind.seqCol).map(n =>
+      childOut.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          "retractable CDC aggregation lost the changelog columns of " +
+            "its input — group the CDC source (or join) directly")))
+
+    val valExprs = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    var needDistinct = false
+    def unsupported(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$what over a CDC-format source needs aggregate state no SQL " +
+          "streaming tier covers — use the DataStream changelog tier " +
+          "(RetractingChangelogAgg / RetractableAgg) for this query")
+    def aggSource(ae: AggregateExpression): org.apache.spark.sql.Column = {
+      if (ae.filter.isDefined) unsupported("a FILTER clause")
+      ae.aggregateFunction match {
+        case Count(es) if es.forall(_.foldable) && !ae.isDistinct =>
+          col("n_live")
+        case Count(Seq(e)) if ae.isDistinct =>
+          valExprs += e; needDistinct = true; col("n_distinct")
+        case Count(_) => unsupported(
+          "COUNT(col) (row counting is COUNT(*) on this tier; filter " +
+            "nulls explicitly)")
+        case s: Sum if !ae.isDistinct =>
+          valExprs += s.child; col("sum_v").cast(ae.dataType)
+        case m: Min =>
+          valExprs += m.child; col("min_v").cast(ae.dataType)
+        case m: Max =>
+          valExprs += m.child; col("max_v").cast(ae.dataType)
+        case a: Average if !ae.isDistinct =>
+          valExprs += a.child
+          (col("sum_v") / col("n_live")).cast(ae.dataType)
+        case other => unsupported(s"aggregate ${other.prettyName}")
+      }
+    }
+    def mapExpr(e: Expression): org.apache.spark.sql.Column = e match {
+      case ae: AggregateExpression => aggSource(ae)
+      case c: Cast => mapExpr(c.child).cast(c.dataType)
+      case _ => unsupported("a composite select expression")
+    }
+    def isGrouping(ne: NamedExpression): Boolean = {
+      val inner = ne match { case al: Alias => al.child; case e => e }
+      agg.groupingExpressions.exists(_.semanticEquals(inner))
+    }
+
+    val keyAliases = agg.aggregateExpressions.collect {
+      case ne if isGrouping(ne) =>
+        val inner = ne match { case al: Alias => al.child; case e => e }
+        Alias(inner, ne.name)()
+    }
+    require(agg.groupingExpressions.forall(ge =>
+      keyAliases.exists(_.child.semanticEquals(ge))),
+      "retractable CDC aggregation: every GROUP BY expression must " +
+        "appear in the select list (the sink MERGE keys on it)")
+
+    val selectCols = agg.aggregateExpressions.map { ne =>
+      if (isGrouping(ne)) col(ne.name)
+      else (ne match {
+        case al: Alias => mapExpr(al.child)
+        case e => mapExpr(e)
+      }).as(ne.name)
+    }
+    require(valExprs.nonEmpty,
+      "retractable CDC aggregation needs at least one value aggregate")
+    val canon = valExprs.head
+    require(valExprs.forall(_.semanticEquals(canon)),
+      "retractable CDC aggregation supports ONE shared value expression " +
+        "across MIN/MAX/SUM/AVG/COUNT(DISTINCT) — the multiset state " +
+        "tracks a single column")
+
+    val pre = Project(
+      keyAliases ++ Seq(Alias(Cast(canon, DoubleType), ValCol)()) ++
+        metaAttrs,
+      agg.child)
+    val keyNames = keyAliases.map(_.name)
+    val ra = graft.changelog.RetractingChangelogAgg(
+      withArrivalSeq(ofRows(spark, pre)), keyNames, ValCol,
+      emitDistinct = needDistinct)
+    val projected = ra.select(selectCols ++
+      Seq(col(RowKind.kindCol), col(RowKind.seqCol)): _*)
+    val finalDf = outer match {
+      case Some(p) => projected.select(p.projectList.map(a => col(a.name))
+        ++ Seq(col(RowKind.kindCol), col(RowKind.seqCol)): _*)
+      case None => projected
+    }
+
+    val pkm = pkValueNames(spec, finalDf)
+    require(pkm == keyNames.map(_.toLowerCase).toSet,
+      s"Table sink '${spec.name}': the retractable CDC tier MERGEs by " +
+        "PRIMARY KEY, which must be exactly the GROUP BY key " +
+        s"[${keyNames.mkString(", ")}] — declared " +
+        s"[${spec.primaryKey.mkString(", ")}]")
+
+    finalDf.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // transitions carry their own per-key monotone seq (>= 1), so
+        // keep-last MERGE supersedes stored state (seq 0); -U rows are
+        // dropped by the materializer, -D deletes the key
+        merge(batch, alignKeeping(spec, batch))
+      }
+      .start()
   }
 
   /** Hidden liveness column: `SUM(sign)` = number of live rows in the

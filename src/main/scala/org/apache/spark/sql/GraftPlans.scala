@@ -11,4 +11,10 @@ object GraftPlans {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column over a hand-built Catalyst expression (for graft's custom
+    * expressions that have no `functions._` spelling). */
+  def column(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
