@@ -213,12 +213,20 @@ object Bench {
         dir: Option[String],
         results: Seq[(String, Double)],
         skipped: Seq[String],
-        breachGate: Double)
+        breachGate: Double,
+        floorSec: Double)
+    // Breach = growth over the gate AND an absolute tier time above the
+    // floor (task 1, r19): a cold-start fixed cost on a small query reads
+    // as huge "growth" against a sub-second sf0.1 median — the r18 driver
+    // artifact manufactured 79x/16x breaches this way that three same-day
+    // sweeps contradicted. A genuinely super-linear pipeline at 10-30x
+    // data clears any floor this size by orders of magnitude.
     def tierBreaches(t: Tier, base: Map[String, Double]): Seq[String] =
       t.results.flatMap { case (k, v) =>
         base.get(k).filter(b => b > 0 && v >= 0)
-          .map(b => k -> v / b)
-      }.filter(_._2 > t.breachGate).map(_._1).sorted
+          .map(b => (k, v, v / b))
+      }.filter { case (_, v, g) => g > t.breachGate && v > t.floorSec }
+        .map(_._1).sorted
 
     // The FULL artifact (per-query map, tiers, growth) — file-only.
     def toJson(
@@ -332,13 +340,18 @@ object Bench {
 
     // ---- STAGE 2: scale tier (VERDICT r15 #3): the heaviest pipelines once
     // more against the 10x corpus (scale-data/sf1, built by ScaleDataGen).
-    // One rep each — these run seconds-long, so single-rep noise is small
-    // relative to the 15x growth gate; growth = t_sf1 / t_sf0.1 median from
-    // THIS sweep (same process, same JIT state). A growth factor > 15x for
-    // 10x data flags a super-linear pipeline (breaches list). Per-query
-    // deadline gate: skipped names are recorded, never silently dropped.
+    // Per query: one untimed warm rep, then min-of-2 timed reps while the
+    // budget allows (r19 task 1 — single cold reps under a truncated
+    // driver window manufactured the r18 false breaches); growth =
+    // t_sf1 / t_sf0.1 median from THIS sweep (same process, same JIT
+    // state). A growth factor > 15x for 10x data AND a tier time above
+    // the absolute floor flags a super-linear pipeline (breaches list).
+    // Per-query deadline gate: skipped names are recorded, never
+    // silently dropped.
+    // q_multiset dropped r19 (task 1): a semantics demo, not a pipeline —
+    // its tier rep measured fixed costs, not growth
     val scaleNames = Seq(
-      "q1_agg", "q_salted_join", "q_multiset",
+      "q1_agg", "q_salted_join",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
       "q_ngram_jaccard", "q_doc_fingerprint", "q_dedup_cluster",
       "q_decontaminate", "q_embedding_cosine_dup",
@@ -355,7 +368,8 @@ object Bench {
         defaultDir: String,
         names: Seq[String],
         gate: Double,
-        breachGate: Double): Tier = {
+        breachGate: Double,
+        floorSec: Double): Tier = {
       val dir = sys.env.get(dirEnv)
         .orElse(Option(defaultDir)
           .filter(d => new java.io.File(d).isDirectory))
@@ -368,15 +382,36 @@ object Bench {
             .filter(n => only.forall(_.contains(n)))
             .flatMap { n =>
               if (elapsed > deadline * gate) { skipped += n; None }
-              else Some(n -> (try runOnce(spark, d, byNameQ(n))
-                catch { case _: Throwable => -1.0 }))
+              else {
+                val fn = byNameQ(n)
+                // one untimed warm rep against the TIER dir before the
+                // timed rep (task 1, r19 — the sweep's just-in-time
+                // warmup lesson applied here): under a truncated driver
+                // window the tier queries were the only COLD-measured
+                // ones left, and single cold reps on a degraded box
+                // manufactured the r18 false breaches
+                (try runOnce(spark, d, fn)
+                catch { case _: Throwable => () })
+                val t1 = try runOnce(spark, d, fn)
+                  catch { case _: Throwable => -1.0 }
+                // min-of-2 when budget allows: growth gating wants the
+                // query's repeatable cost, not its noisiest sample
+                val t =
+                  if (t1 >= 0 && elapsed <= deadline * gate) {
+                    val t2 = try runOnce(spark, d, fn)
+                      catch { case _: Throwable => -1.0 }
+                    if (t2 >= 0) math.min(t1, t2) else -1.0
+                  } else t1
+                Some(n -> t)
+              }
             }
         case None => Seq.empty
       }
-      Tier(label, dir, rs, skipped.toSeq, breachGate)
+      Tier(label, dir, rs, skipped.toSeq, breachGate, floorSec)
     }
     val scaleTier = runTier("scale", "SPARK_GRAFT_SCALE_DIR",
-      "scale-data/sf1", scaleNames, gate = 0.80, breachGate = 15.0)
+      "scale-data/sf1", scaleNames, gate = 0.80, breachGate = 15.0,
+      floorSec = 8.0)
     emit(results, Seq.empty, Seq(scaleTier))
 
     // ---- STAGE 2b: SKEW sub-tier (VERDICT r16 task 5): the same 15x
@@ -393,7 +428,8 @@ object Bench {
       "q_embedding_cosine_dup", "q_embedding_dedup_cluster",
       "q_changelog_join", "q_changelog_join_nary")
     val skewTier = runTier("skew", "SPARK_GRAFT_SKEW_DIR",
-      "scale-data/sf1skew", skewNames, gate = 0.88, breachGate = 15.0)
+      "scale-data/sf1skew", skewNames, gate = 0.88, breachGate = 15.0,
+      floorSec = 8.0)
     emit(results, Seq.empty, Seq(scaleTier, skewTier))
 
     // ---- STAGE 2c: sf3 SPOT tier (VERDICT r17 task 6): the five heaviest
@@ -406,7 +442,8 @@ object Bench {
       "q_dedup_minhash", "q_embedding_cosine_dup", "q_dedup_cluster",
       "q_tpcds_q23", "q_changelog_agg_chain")
     val spotTier = runTier("scale3", "SPARK_GRAFT_SCALE3_DIR",
-      "scale-data/sf3", spotNames, gate = 0.93, breachGate = 45.0)
+      "scale-data/sf3", spotNames, gate = 0.93, breachGate = 45.0,
+      floorSec = 12.0)
     emit(results, Seq.empty, Seq(scaleTier, skewTier, spotTier))
 
     // ---- STAGE 2d: rescue pass — the temporally-decorrelated third
