@@ -1085,6 +1085,72 @@ object SqlQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim)),
 
+    // Streaming OVER aggregation through the SQL text entry (r19,
+    // VERDICT r18 task 4; ref over-agg.md, StreamExecOverAggregate,
+    // RowTimeRangeUnboundedPrecedingOverFunction.java:52): Spark rejects
+    // window functions on streams, so the runner splits at the OVER
+    // boundary — the child streams append-only and the per-key
+    // event-time running sum applies through the StreamingOver engine
+    // (watermark-driven emission, O(1) accumulator state per key). Two
+    // ts-ordered arrivals plus a sentinel row to flush the watermark;
+    // the appended rows equal the batch OVER — the oracle. ts =
+    // timestamp_millis(event_id), so event-time order is event_id order.
+    QueryDef(
+      "q_sql_stream_over",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_over").toString
+        new java.io.File(s"$tmp/src").mkdirs()
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), col("event_type"),
+          (col("user_id") % 1000).as("v"),
+          // +1s base: a ts of exactly epoch-0 would equal the INITIAL
+          // watermark and be dropped as late (the filter is ts > wm)
+          timestamp_millis(col("event_id") + 1000L).as("ets"))
+        val mid = ev.agg(max("event_id")).head.getLong(0) / 2
+        val qs = FlinkDdl.runStreaming(s,
+          s"""CREATE TABLE src (
+             |  event_id BIGINT, event_type STRING, v BIGINT,
+             |  ets TIMESTAMP(3),
+             |  WATERMARK FOR ets AS ets - INTERVAL '0' SECOND
+             |) WITH ('connector'='filesystem', 'path'='$tmp/src',
+             |        'format'='parquet');
+             |CREATE TABLE over_snk (
+             |  event_id BIGINT, event_type STRING, v BIGINT, run_v BIGINT
+             |) WITH ('connector'='filesystem', 'path'='$tmp/snk',
+             |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
+             |INSERT INTO over_snk
+             |SELECT event_id, event_type, v,
+             |       SUM(v) OVER (PARTITION BY event_type
+             |                    ORDER BY ets) AS run_v
+             |FROM src""".stripMargin)
+        try {
+          ev.where(col("event_id") < mid)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+          ev.where(col("event_id") >= mid)
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+          // sentinel: pushes the watermark past every real row so the
+          // engine flushes them; filtered from the checked result
+          ev.limit(1).select(lit(-1L).as("event_id"),
+            lit("zz").as("event_type"), lit(0L).as("v"),
+            timestamp_millis(lit(4102444800000L)).as("ets"))
+            .write.mode("append").parquet(s"$tmp/src")
+          qs.head.processAllAvailable()
+        } finally qs.foreach(_.stop())
+        s.read.parquet(s"$tmp/snk")
+          .where(col("event_id") >= 0).orderBy("event_id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT event_id, event_type, user_id % 1000 AS v FROM events)
+        SELECT event_id, event_type, v,
+               CAST(SUM(v) OVER (PARTITION BY event_type
+                                 ORDER BY event_id) AS BIGINT) AS run_v
+        FROM src ORDER BY event_id
+      """.stripMargin.trim)),
+
     // JDBC connector in DDL (the flink-connector-jdbc option surface:
     // 'url' / 'table-name'): INSERT OVERWRITE materializes an aggregate
     // into embedded Derby, the final SELECT scans it back through Spark's

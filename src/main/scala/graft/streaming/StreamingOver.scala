@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
   */
 object StreamingOver {
 
+  /** Honor an ALREADY-declared watermark on `tsCol` (Spark disallows
+    * redefining one): apply `delay` only when the plan has none. */
+  private def watermarked(
+      df: DataFrame, tsCol: String, delay: String): DataFrame = {
+    val has = df.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+          if e.eventTime.name == tsCol => e
+    }.isDefined
+    if (has) df else df.withWatermark(tsCol, delay)
+  }
+
   /** @param idleRetentionMs after this long past the watermark with no
     *   pending rows, a key's frame-tail state is dropped (the reference's
     *   idle-state-retention cleanup); a key that resumes later restarts
@@ -46,7 +57,7 @@ object StreamingOver {
       return df.withColumn("run_sum", sum(col(valCol)).over(w))
     }
 
-    val wm = df.withWatermark(tsCol, delay)
+    val wm = watermarked(df, tsCol, delay)
     val tsIdx = df.schema.fieldIndex(tsCol)
     val valIdx = df.schema.fieldIndex(valCol)
     val keyIdx = keyCols.map(df.schema.fieldIndex)
@@ -137,7 +148,7 @@ object StreamingOver {
       return df.withColumn("run_sum", sum(col(valCol)).over(w))
     }
 
-    val wm = df.withWatermark(tsCol, delay)
+    val wm = watermarked(df, tsCol, delay)
     val tsIdx = df.schema.fieldIndex(tsCol)
     val valIdx = df.schema.fieldIndex(valCol)
     val keyIdx = keyCols.map(df.schema.fieldIndex)
@@ -290,7 +301,7 @@ object StreamingOver {
       outSchema: StructType,
       emit: UnboundedAcc => Seq[Any]): DataFrame = {
 
-    val wm = df.withWatermark(tsCol, delay)
+    val wm = watermarked(df, tsCol, delay)
     val tsIdx = df.schema.fieldIndex(tsCol)
     val valIdx = df.schema.fieldIndex(valCol)
     val keyIdx = keyCols.map(df.schema.fieldIndex)
