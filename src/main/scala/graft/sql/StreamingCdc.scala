@@ -114,26 +114,15 @@ object StreamingCdc {
     * later batch's rows always supersede earlier batches regardless of
     * their seq values — cross-batch order comes from batch sequencing,
     * and this seq only needs to order rows WITHIN one batch. */
-  def withArrivalSeq(log: DataFrame): DataFrame = {
-    // ArrivalId = partitionId<<33 | row-in-partition (graft's streaming-
-    // legal monotonically_increasing_id — see its scaladoc for why the
-    // replay contract holds here); the low 33 bits isolate the
-    // per-partition counter so the guard sees the true row index, not a
-    // partition-id-polluted wrap
-    val counter = org.apache.spark.sql.GraftPlans
-      .column(graft.functions.ArrivalId())
-      .bitwiseAND(lit((1L << 33) - 1))
-    val guarded = counter + coalesce(
-      assert_true(counter < lit(1L << 20), lit(
-        "CDC arrival-seq ordering bound exceeded: more than 2^20 " +
-          "envelope rows in one file partition of one micro-batch — " +
-          "increase source parallelism or set 'maxFilesPerTrigger' so " +
-          "per-partition batch slices stay under 1,048,576 rows"))
-        .cast("long"),
-      lit(0L))
+  def withArrivalSeq(log: DataFrame): DataFrame =
+    // ArrivalId: graft's streaming-legal per-partition row counter (see
+    // its scaladoc for why the replay contract holds here); the bound
+    // raises INSIDE the expression — a wrapped counter would silently
+    // misorder same-timestamp envelopes
     log.withColumn(RowKind.seqCol,
-      col(RowKind.seqCol) * lit(1L << 20) + guarded)
-  }
+      col(RowKind.seqCol) * lit(1L << 20) +
+        org.apache.spark.sql.GraftPlans
+          .column(graft.functions.ArrivalId(bound = 1L << 20)))
 
   /** Does this compiled plan read a CDC-format source? (The decoded
     * source is the only thing that puts a `__sign` attribute in a plan.) */

@@ -2054,21 +2054,202 @@ class FlinkDdlSpec extends SparkSpecBase {
           "format" -> "debezium-json"),
         temporary = false)))
     assert(e2.getMessage.contains("PRIMARY KEY"))
-    // MIN/MAX over a CDC source needs retractable state: loud error
+    // MIN/MAX now route through the retractable tier (r19); the loud
+    // error remains only for shapes no tier covers — here TWO distinct
+    // value expressions, which the single-column multiset can't track
     new java.io.File(s"$dir/src2").mkdirs()
     val qs = scala.util.Try(FlinkDdl.runStreaming(spark,
       s"""CREATE TABLE c2 (id BIGINT, v BIGINT,
          |  PRIMARY KEY (id) NOT ENFORCED)
          |  WITH ('connector'='filesystem', 'path'='$dir/src2',
          |        'format'='debezium-json');
-         |CREATE TABLE s2 (id BIGINT, mx BIGINT,
+         |CREATE TABLE s2 (id BIGINT, mx BIGINT, mn BIGINT,
          |  PRIMARY KEY (id) NOT ENFORCED)
          |  WITH ('connector'='filesystem', 'path'='$dir/s2',
          |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck2');
-         |INSERT INTO s2 SELECT id, MAX(v) AS mx FROM c2 GROUP BY id
+         |INSERT INTO s2
+         |SELECT id, MAX(v) AS mx, MIN(id) AS mn FROM c2 GROUP BY id
          |""".stripMargin))
     assert(qs.isFailure &&
       qs.failed.get.getMessage.contains("retractable"))
+  }
+
+  test("runStreaming: CDC MIN/MAX routes through the retractable tier; " +
+      "deleting the current min falls back cross-batch") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // VERDICT r18 task 3 (ref MinWithRetractAggFunction's value
+    // multiset): the SQL entry runs MIN/MAX over a CDC source on
+    // RetractingChangelogAgg — when a later batch deletes the row
+    // holding the current min, the multiset must fall back, and a group
+    // whose last row deletes must leave the sink.
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE changes (
+         |  id BIGINT, k STRING, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='debezium-json');
+         |CREATE TABLE by_k (k STRING, mn BIGINT, mx BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO by_k
+         |SELECT k, MIN(v) AS mn, MAX(v) AS mx
+         |FROM changes GROUP BY k""".stripMargin)
+    def row(id: Long, k: String, v: Long) =
+      s"""{"id":$id,"k":"$k","v":$v}"""
+    def arrive(lines: String*): Unit = {
+      lines.toSeq.toDF("value").coalesce(1)
+        .write.mode("append").text(s"$dir/src")
+      qs.head.processAllAvailable()
+    }
+    def state(): Map[String, (Long, Long)] =
+      graft.changelog.UpsertSink.readTable(spark, s"$dir/snk")
+        .as[(String, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    try {
+      arrive(
+        s"""{"after":${row(1, "a", 5)},"op":"c","ts_ms":1}""",
+        s"""{"after":${row(2, "a", 9)},"op":"c","ts_ms":1}""",
+        s"""{"after":${row(3, "b", 7)},"op":"c","ts_ms":1}""")
+      assert(state() == Map("a" -> ((5L, 9L)), "b" -> ((7L, 7L))))
+      arrive(
+        // deleting the row holding a's MIN: the multiset falls back to 9
+        s"""{"before":${row(1, "a", 5)},"op":"d","ts_ms":2}""",
+        // b's only row deletes: the group must leave the sink
+        s"""{"before":${row(3, "b", 7)},"op":"d","ts_ms":2}""")
+      assert(state() == Map("a" -> ((9L, 9L))),
+        "retracted min must fall back; emptied group must delete")
+    } finally qs.foreach(_.stop())
+  }
+
+  test("runStreaming: cdc JOIN cdc routes through ChangelogJoin; a " +
+      "dim-side delete retracts joined rows cross-batch") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(s"$dir/osrc").mkdirs()
+    new java.io.File(s"$dir/csrc").mkdirs()
+    // VERDICT r18 task 2 (ref StreamingJoinOperator.java:38): two
+    // Debezium topics equi-joined by SQL text. The cross-batch
+    // retraction contract: a customer deleted in a LATER batch must
+    // retract every pairing it formed in an EARLIER one.
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE o (id BIGINT, ock BIGINT, v BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/osrc',
+         |        'format'='debezium-json');
+         |CREATE TABLE c (ck BIGINT, b BIGINT,
+         |  PRIMARY KEY (ck) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/csrc',
+         |        'format'='debezium-json');
+         |CREATE TABLE j (id BIGINT, ck BIGINT, v BIGINT, b BIGINT,
+         |  PRIMARY KEY (id, ck) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO j
+         |SELECT o.id, c.ck, o.v, c.b
+         |FROM o JOIN c ON o.ock = c.ck""".stripMargin)
+    def arrive(path: String, lines: String*): Unit = {
+      lines.toSeq.toDF("value").coalesce(1)
+        .write.mode("append").text(path)
+      qs.head.processAllAvailable()
+    }
+    def state(): Map[Long, (Long, Long, Long)] =
+      graft.changelog.UpsertSink.readTable(spark, s"$dir/snk")
+        .as[(Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    try {
+      arrive(s"$dir/osrc",
+        """{"after":{"id":1,"ock":10,"v":1},"op":"c","ts_ms":1}""",
+        """{"after":{"id":2,"ock":20,"v":2},"op":"c","ts_ms":1}""")
+      arrive(s"$dir/csrc",
+        """{"after":{"ck":10,"b":100},"op":"c","ts_ms":2}""",
+        """{"after":{"ck":20,"b":200},"op":"c","ts_ms":2}""")
+      assert(state() == Map(
+        1L -> ((10L, 1L, 100L)), 2L -> ((20L, 2L, 200L))))
+      // later batch: customer 10 deletes — order 1's pairing (formed two
+      // batches earlier) must retract from the sink; order 2 updates in
+      // place through the join
+      arrive(s"$dir/csrc",
+        """{"before":{"ck":10,"b":100},"op":"d","ts_ms":3}""")
+      arrive(s"$dir/osrc",
+        """{"before":{"id":2,"ock":20,"v":2},"after":{"id":2,"ock":20,"v":5},"op":"u","ts_ms":4}""")
+      assert(state() == Map(2L -> ((20L, 5L, 200L))),
+        "a dim delete must retract its joined rows cross-batch")
+    } finally qs.foreach(_.stop())
+  }
+
+  test("runStreaming: a PK sink without 'distribution-buckets' defaults " +
+      "to the bucketed layout; a batch rewrites only touched buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol, hash, pmod, lit => flit}
+    val dir = tmpDir()
+    new java.io.File(s"$dir/src").mkdirs()
+    // VERDICT r18 task 5: the whole-table rewrite was the at-scale
+    // default failure shape — new upsert stores now lay out hash-bucketed
+    // (64) unless declared otherwise, so per-batch MERGE I/O stays
+    // proportional to the touched buckets from day one.
+    val qs = FlinkDdl.runStreaming(spark,
+      s"""CREATE TABLE src (k BIGINT, v BIGINT)
+         |  WITH ('connector'='filesystem', 'path'='$dir/src',
+         |        'format'='parquet');
+         |CREATE TABLE agg (k BIGINT, n BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED)
+         |  WITH ('connector'='filesystem', 'path'='$dir/snk',
+         |        'format'='parquet', 'sink.checkpoint-dir'='$dir/ck');
+         |INSERT INTO agg
+         |SELECT k, COUNT(*) AS n FROM src GROUP BY k""".stripMargin)
+    def bucketOf(k: Long): Int =
+      spark.range(1).select(pmod(hash(flit(k)), flit(64))).head().getInt(0)
+    val k1 = 1L
+    val k2 = (2L to 200L).find(k => bucketOf(k) != bucketOf(k1)).get
+    def arrive(rows: (Long, Long)*): Unit = {
+      rows.toSeq.toDF("k", "v").write.mode("append").parquet(s"$dir/src")
+      qs.head.processAllAvailable()
+    }
+    def filesOf(b: Int): Set[String] = {
+      val d = new java.io.File(s"$dir/snk", s"__bucket=$b")
+      Option(d.list()).map(_.toSet).getOrElse(Set.empty)
+    }
+    try {
+      arrive((k1, 1L), (k2, 1L))
+      assert(new java.io.File(s"$dir/snk").list()
+        .exists(_.startsWith("__bucket=")),
+        "a new default-configured PK sink must lay out bucketed")
+      val before = filesOf(bucketOf(k1))
+      assert(before.nonEmpty)
+      // second batch touches only k2's bucket: k1's bucket dir must keep
+      // its exact file set (the touched-bucket MERGE I/O contract)
+      arrive((k2, 2L))
+      assert(filesOf(bucketOf(k1)) == before,
+        "an untouched bucket must not be rewritten")
+      val out = graft.changelog.UpsertSink.readTable(spark, s"$dir/snk")
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(k1 -> 1L, k2 -> 2L))
+    } finally qs.foreach(_.stop())
+  }
+
+  test("withArrivalSeq raises actionably past the 2^20 per-partition " +
+      "ordering bound; stays exact under it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit, max => fmax}
+    // under the bound: seq' = ts*2^20 + arrival index, exact
+    val small = spark.range(0, 8, 1, 1).toDF("id")
+      .withColumn("__rowkind", flit("+I")).withColumn("__seq", flit(5L))
+    val mx = graft.sql.StreamingCdc.withArrivalSeq(small)
+      .agg(fmax(fcol("__seq"))).head().getLong(0)
+    assert(mx == 5L * (1L << 20) + 7L)
+    // past it: the guard must RAISE (a wrapped counter would silently
+    // misorder same-timestamp envelopes), naming the remedy
+    val big = spark.range(0, (1L << 20) + 4, 1, 1).toDF("id")
+      .withColumn("__rowkind", flit("+I")).withColumn("__seq", flit(5L))
+    val e = intercept[Exception](
+      graft.sql.StreamingCdc.withArrivalSeq(big)
+        .agg(fmax(fcol("__seq"))).head())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("ordering bound"), chain(e))
   }
 
   test("runStreaming: un-LIMITed HAVING materializes INCREMENTALLY — " +
