@@ -960,12 +960,14 @@ object SqlQueries {
              |        'format'='debezium-json');
              |CREATE TABLE minmax_snk (
              |  bucket BIGINT, n_live BIGINT, min_v DOUBLE, max_v DOUBLE,
+             |  n_distinct BIGINT,
              |  PRIMARY KEY (bucket) NOT ENFORCED
              |) WITH ('connector'='filesystem', 'path'='$tmp/snk',
              |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
              |INSERT INTO minmax_snk
              |SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n_live,
-             |       MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+             |       MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v,
+             |       COUNT(DISTINCT o_totalprice) AS n_distinct
              |FROM orders_cdc GROUP BY o_orderkey % 10""".stripMargin)
         try {
           snapshot.coalesce(1).write.mode("append").text(s"$tmp/src")
@@ -985,7 +987,8 @@ object SqlQueries {
                  CASE WHEN k % 5 = 0 THEN p * 0.5 ELSE p END AS p2
           FROM feed WHERE k % 7 <> 0)
         SELECT bucket, COUNT(*) AS n_live,
-               MIN(p2) AS min_v, MAX(p2) AS max_v
+               MIN(p2) AS min_v, MAX(p2) AS max_v,
+               COUNT(DISTINCT p2) AS n_distinct
         FROM final GROUP BY bucket ORDER BY bucket
       """.stripMargin.trim)),
 
@@ -1083,6 +1086,182 @@ object SqlQueries {
                c.c_custkey, c.c_acctbal
         FROM ofinal o JOIN cfinal c ON o.o_custkey = c.c_custkey
         ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
+    // LEFT OUTER variant of the CDC SQL join (r19): unmatched orders
+    // survive null-padded, and a customer DELETED in a later batch
+    // re-pads its orders — ChangelogJoin's null-padding retraction
+    // protocol (StreamingJoinOperator outer paths) driven by SQL text.
+    QueryDef(
+      "q_sql_cdc_join_left",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sql_cdc_joinl").toString
+        new java.io.File(s"$tmp/osrc").mkdirs()
+        new java.io.File(s"$tmp/csrc").mkdirs()
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        def orow(price: org.apache.spark.sql.Column) =
+          struct(col("o_orderkey"), col("o_custkey"),
+            price.as("o_totalprice"))
+        val osnap = ob.select(to_json(struct(
+          orow(col("o_totalprice")).as("after"), lit("c").as("op"),
+          lit(10L).as("ts_ms"))).as("value"))
+        val ochanges = ob.where(col("o_orderkey") % 7 === 0)
+          .select(to_json(struct(
+            orow(col("o_totalprice")).as("before"),
+            lit("d").as("op"), lit(30L).as("ts_ms"))).as("value"))
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+        val crow = struct(col("c_custkey"), col("c_acctbal"))
+        val csnap = cb.select(to_json(struct(
+          crow.as("after"), lit("c").as("op"),
+          lit(11L).as("ts_ms"))).as("value"))
+        val cchanges = cb.where(col("c_custkey") % 3 === 0)
+          .select(to_json(struct(
+            crow.as("before"), lit("d").as("op"),
+            lit(21L).as("ts_ms"))).as("value"))
+        val qs = FlinkDdl.runStreaming(s,
+          s"""CREATE TABLE orders_cdc (
+             |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+             |  PRIMARY KEY (o_orderkey) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/osrc',
+             |        'format'='debezium-json');
+             |CREATE TABLE customer_cdc (
+             |  c_custkey BIGINT, c_acctbal DOUBLE,
+             |  PRIMARY KEY (c_custkey) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/csrc',
+             |        'format'='debezium-json');
+             |CREATE TABLE join_snk (
+             |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+             |  c_custkey BIGINT, c_acctbal DOUBLE,
+             |  PRIMARY KEY (o_orderkey, c_custkey) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/snk',
+             |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
+             |INSERT INTO join_snk
+             |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+             |       c.c_custkey, c.c_acctbal
+             |FROM orders_cdc o LEFT JOIN customer_cdc c
+             |  ON o.o_custkey = c.c_custkey""".stripMargin)
+        try {
+          osnap.coalesce(1).write.mode("append").text(s"$tmp/osrc")
+          csnap.coalesce(1).write.mode("append").text(s"$tmp/csrc")
+          qs.head.processAllAvailable()
+          ochanges.coalesce(1).write.mode("append").text(s"$tmp/osrc")
+          cchanges.coalesce(1).write.mode("append").text(s"$tmp/csrc")
+          qs.head.processAllAvailable()
+        } finally qs.foreach(_.stop())
+        graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+            AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        cfinal AS (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          FROM customer WHERE c_custkey % 3 <> 0)
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_custkey, c.c_acctbal
+        FROM ofinal o LEFT JOIN cfinal c ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
+    // The signed-aggregation tier COMPOSED above the CDC join (r19): a
+    // GROUP BY over cdc JOIN cdc re-derives __sign from the joined
+    // changelog's rowkinds (+U/-D) and runs the standard Update-mode
+    // signed aggregate — CDC updates and deletes on EITHER side revise
+    // the per-bucket totals through the join.
+    QueryDef(
+      "q_sql_cdc_join_agg",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sql_cdc_joina").toString
+        new java.io.File(s"$tmp/osrc").mkdirs()
+        new java.io.File(s"$tmp/csrc").mkdirs()
+        val ob = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        def orow(price: org.apache.spark.sql.Column) =
+          struct(col("o_orderkey"), col("o_custkey"),
+            price.as("o_totalprice"))
+        val ocur =
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 0.5)
+            .otherwise(col("o_totalprice"))
+        val osnap = ob.select(to_json(struct(
+          orow(col("o_totalprice")).as("after"), lit("c").as("op"),
+          lit(10L).as("ts_ms"))).as("value"))
+        val ochanges = ob.where(col("o_orderkey") % 5 === 0)
+          .select(to_json(struct(
+            orow(col("o_totalprice")).as("before"),
+            orow(col("o_totalprice") * 0.5).as("after"),
+            lit("u").as("op"), lit(20L).as("ts_ms"))).as("value"))
+          .unionByName(ob.where(col("o_orderkey") % 7 === 0)
+            .select(to_json(struct(
+              orow(ocur).as("before"),
+              lit("d").as("op"), lit(30L).as("ts_ms"))).as("value")))
+        val cb = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+        val crow = struct(col("c_custkey"), col("c_acctbal"))
+        val csnap = cb.select(to_json(struct(
+          crow.as("after"), lit("c").as("op"),
+          lit(11L).as("ts_ms"))).as("value"))
+        val cchanges = cb.where(col("c_custkey") % 3 === 0)
+          .select(to_json(struct(
+            crow.as("before"), lit("d").as("op"),
+            lit(21L).as("ts_ms"))).as("value"))
+        val qs = FlinkDdl.runStreaming(s,
+          s"""CREATE TABLE orders_cdc (
+             |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+             |  PRIMARY KEY (o_orderkey) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/osrc',
+             |        'format'='debezium-json');
+             |CREATE TABLE customer_cdc (
+             |  c_custkey BIGINT, c_acctbal DOUBLE,
+             |  PRIMARY KEY (c_custkey) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/csrc',
+             |        'format'='debezium-json');
+             |CREATE TABLE bucket_snk (
+             |  bucket BIGINT, n_live BIGINT, sum_v DOUBLE,
+             |  PRIMARY KEY (bucket) NOT ENFORCED
+             |) WITH ('connector'='filesystem', 'path'='$tmp/snk',
+             |        'format'='parquet', 'sink.checkpoint-dir'='$tmp/ck');
+             |INSERT INTO bucket_snk
+             |SELECT o_custkey % 10 AS bucket, COUNT(*) AS n_live,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+             |            AS DOUBLE) AS sum_v
+             |FROM orders_cdc o JOIN customer_cdc c
+             |  ON o.o_custkey = c.c_custkey
+             |GROUP BY o_custkey % 10""".stripMargin)
+        try {
+          osnap.coalesce(1).write.mode("append").text(s"$tmp/osrc")
+          csnap.coalesce(1).write.mode("append").text(s"$tmp/csrc")
+          qs.head.processAllAvailable()
+          ochanges.coalesce(1).write.mode("append").text(s"$tmp/osrc")
+          cchanges.coalesce(1).write.mode("append").text(s"$tmp/csrc")
+          qs.head.processAllAvailable()
+        } finally qs.foreach(_.stop())
+        graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH ofinal AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(o_totalprice AS DOUBLE) * 0.5
+                      ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        cfinal AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+        SELECT o.o_custkey % 10 AS bucket, COUNT(*) AS n_live,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS sum_v
+        FROM ofinal o JOIN cfinal c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey % 10 ORDER BY bucket
       """.stripMargin.trim)),
 
     // Streaming OVER aggregation through the SQL text entry (r19,

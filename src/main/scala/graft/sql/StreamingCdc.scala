@@ -152,9 +152,17 @@ object StreamingCdc {
           }.toSet
         case pr: Project =>
           val below = walk(pr.child)
+          // casts are provenance-preserving here: the sink aligner wraps
+          // every column in a cast to its DECLARED type — the type the
+          // MERGE actually keys on — so Cast(groupingAttr) still names
+          // the group
+          def stripCast(e: Expression): Expression = e match {
+            case c: Cast => stripCast(c.child)
+            case other => other
+          }
           pr.projectList.flatMap { ne =>
             val inner = ne match { case al: Alias => al.child; case e => e }
-            inner match {
+            stripCast(inner) match {
               case ar: AttributeReference if below(ar.exprId) =>
                 Some(ne.toAttribute.exprId)
               case _ => None

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * decoded changelog DataFrame, hands the pair to ChangelogJoin, and
   * re-applies the user's projection/filters above the joined changelog.
   *
-  * Scope (loud errors elsewhere): one INNER equi-join (single `l = r`
-  * condition) between two sides that are each a CDC-format source or an
+  * Scope (loud errors elsewhere): one INNER/LEFT/RIGHT/FULL equi-join
+  * (single `l = r` condition; the outer variants ride ChangelogJoin's
+  * null-padding retraction protocol) between two sides that are each a CDC-format source or an
   * append-only streaming table with a declared PRIMARY KEY — possibly
   * under projections/filters, which re-thread the changelog metadata
   * columns. N-way joins route via the DataStream multi-join tier
@@ -109,10 +110,18 @@ private[sql] object StreamingCdcJoin {
       spark: SparkSession,
       j: Join,
       sources: Seq[FlinkDdl.TableSpec]): (DataFrame, Set[String]) = {
-    require(j.joinType == org.apache.spark.sql.catalyst.plans.Inner,
-      s"CDC streaming join supports INNER equi-joins on the SQL entry; " +
-        s"${j.joinType.sql} joins route via the DataStream changelog " +
-        "tier (ChangelogJoin joinType left/right/full)")
+    import org.apache.spark.sql.catalyst.plans.{
+      FullOuter, Inner, LeftOuter, RightOuter}
+    val joinType = j.joinType match {
+      case Inner => "inner"
+      case LeftOuter => "left"
+      case RightOuter => "right"
+      case FullOuter => "full"
+      case other => throw new IllegalArgumentException(
+        s"CDC streaming join supports INNER/LEFT/RIGHT/FULL equi-joins " +
+          s"on the SQL entry; ${other.sql} routes via the DataStream " +
+          "changelog tier (ChangelogSemiJoin)")
+    }
     val cond = j.condition.getOrElse(throw new IllegalArgumentException(
       "CDC streaming join needs an equi-join condition (ON l.k = r.k)"))
     val (lk, rk) = cond match {
@@ -130,7 +139,7 @@ private[sql] object StreamingCdcJoin {
     }
     val (lDf, lPk) = sideChangelog(spark, j.left, sources)
     val (rDf, rPk) = sideChangelog(spark, j.right, sources)
-    (ChangelogJoin(lDf, rDf, lk.name, rk.name, lPk, rPk),
+    (ChangelogJoin(lDf, rDf, lk.name, rk.name, lPk, rPk, joinType),
       Set(lPk.toLowerCase, rPk.toLowerCase))
   }
 

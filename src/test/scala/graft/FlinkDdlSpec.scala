@@ -332,14 +332,14 @@ class FlinkDdlSpec extends SparkSpecBase {
         df.groupBy("event_type").count().as[(String, Long)].collect().toMap
       h1.write.mode("append").parquet(s"$dir/src")
       qs.head.processAllAvailable()
-      val snk1 = spark.read.parquet(s"$dir/snk")
+      val snk1 = graft.changelog.UpsertSink.readTable(spark, s"$dir/snk")
       // materialized FINAL STATE, not an append log: one row per key
       assert(snk1.columns.toSet == Set("event_type", "n"))
       assert(snk1.as[(String, Long)].collect().toMap == counts(h1))
       // second arrival REVISES the counts in place (same keys, new values)
       h2.write.mode("append").parquet(s"$dir/src")
       qs.head.processAllAvailable()
-      val snk2 = spark.read.parquet(s"$dir/snk")
+      val snk2 = graft.changelog.UpsertSink.readTable(spark, s"$dir/snk")
       assert(snk2.as[(String, Long)].collect().toMap == counts(ev))
       assert(snk2.count() == counts(ev).size.toLong)
     } finally qs.foreach(_.stop())
@@ -418,13 +418,13 @@ class FlinkDdlSpec extends SparkSpecBase {
       assert(spark.read.parquet(s"$dir/raw").as[(String, Long)]
         .collect().toSet == Set(("a", 0L), ("b", 2L), ("b", 4L)))
       // update face: PK-keyed final state
-      assert(spark.read.parquet(s"$dir/agg").as[(String, Long)]
+      assert(graft.changelog.UpsertSink.readTable(spark, s"$dir/agg").as[(String, Long)]
         .collect().toMap == Map("a" -> 2L, "b" -> 3L))
       Seq(("a", 6L)).toDF("k", "v")
         .write.mode("append").parquet(s"$dir/src")
       qs.foreach(_.processAllAvailable())
       assert(spark.read.parquet(s"$dir/raw").count() == 4)
-      assert(spark.read.parquet(s"$dir/agg").as[(String, Long)]
+      assert(graft.changelog.UpsertSink.readTable(spark, s"$dir/agg").as[(String, Long)]
         .collect().toMap == Map("a" -> 3L, "b" -> 3L))
     } finally qs.foreach(_.stop())
   }
@@ -456,7 +456,7 @@ class FlinkDdlSpec extends SparkSpecBase {
       Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
         .write.mode("append").parquet(s"$dir/src")
       qs.head.processAllAvailable()
-      def state(): Map[String, Long] = spark.read.parquet(s"$dir/snk")
+      def state(): Map[String, Long] = graft.changelog.UpsertSink.readTable(spark, s"$dir/snk")
         .as[(String, Long)].collect().toMap
       assert(state() == Map("a" -> 2L, "b" -> 1L))
       // 'a' crosses the threshold: it must DISAPPEAR from the sink, not
@@ -1938,7 +1938,7 @@ class FlinkDdlSpec extends SparkSpecBase {
       qs.head.processAllAvailable()
     }
     def state(): Map[String, (Long, Long)] =
-      spark.read.parquet(s"$dir/snk").as[(String, Long, Long)]
+      graft.changelog.UpsertSink.readTable(spark, s"$dir/snk").as[(String, Long, Long)]
         .collect().map(r => r._1 -> (r._2, r._3)).toMap
     try {
       // snapshot: a has two rows, b one
@@ -1984,7 +1984,7 @@ class FlinkDdlSpec extends SparkSpecBase {
       qs.head.processAllAvailable()
     }
     def state(): Map[Long, Long] =
-      spark.read.parquet(s"$dir/snk").as[(Long, Long)].collect().toMap
+      graft.changelog.UpsertSink.readTable(spark, s"$dir/snk").as[(Long, Long)].collect().toMap
     try {
       arrive(
         s"""{"after":${row(1, "a", 5)},"op":"c","ts_ms":1}""",
@@ -2326,7 +2326,7 @@ class FlinkDdlSpec extends SparkSpecBase {
       qs.head.processAllAvailable()
     }
     def state(): Map[String, (Long, Long)] =
-      spark.read.parquet(s"$dir/snk").as[(String, Long, Long)]
+      graft.changelog.UpsertSink.readTable(spark, s"$dir/snk").as[(String, Long, Long)]
         .collect().map(r => r._1 -> (r._2, r._3)).toMap
     try {
       // one INSERT envelope carrying a two-row batch + a single insert

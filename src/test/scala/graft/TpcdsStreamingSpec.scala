@@ -87,10 +87,10 @@ class TpcdsStreamingSpec extends SparkSpecBase {
       extra = batchTables - "store_sales" + ("store_sales" -> ssStream))
     try {
       qs.head.processAllAvailable()
-      assert(spark.read.parquet(s"$dir/snk").count() > 0)
+      assert(graft.changelog.UpsertSink.readTable(spark, s"$dir/snk").count() > 0)
       h2.write.mode("append").parquet(s"$dir/src")
       qs.head.processAllAvailable()
-      val finalState = spark.read.parquet(s"$dir/snk").collect().toSet
+      val finalState = graft.changelog.UpsertSink.readTable(spark, s"$dir/snk").collect().toSet
       val expected = batch
         .toDF((1 to schema.length).map(i => s"c$i"): _*)
         .collect().toSet
@@ -135,12 +135,12 @@ class TpcdsStreamingSpec extends SparkSpecBase {
         extra = batchTables - "store_sales" + ("store_sales" -> ssStream))
       try {
         qs.head.processAllAvailable()
-        val afterFirst = spark.read.parquet(s"$dir/snk")
+        val afterFirst = graft.changelog.UpsertSink.readTable(spark, s"$dir/snk")
         assert(afterFirst.columns.toSeq ==
           (1 to schema.length).map(i => s"c$i"))
         h2.write.mode("append").parquet(s"$dir/src")
         qs.head.processAllAvailable()
-        val finalState = spark.read.parquet(s"$dir/snk").collect().toSet
+        val finalState = graft.changelog.UpsertSink.readTable(spark, s"$dir/snk").collect().toSet
         // batch run of the identical text, renamed to the sink's positional
         // columns (the declared types came FROM the batch schema, so the
         // sink-side cast was the identity)
