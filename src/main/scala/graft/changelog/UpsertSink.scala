@@ -158,23 +158,38 @@ object UpsertSink {
       return
     }
 
-    val affected = batch.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // one pass answers both "which buckets does this batch touch" and
+    // "which of them could EMPTY" (only a bucket receiving a -D can —
+    // the common all-upsert batch then skips the surviving-bucket job
+    // entirely, one fewer Spark job per micro-batch)
+    val info = batch.groupBy(col("__bucket"))
+      .agg(max(col(RowKind.kindCol) === lit(RowKind.Delete)).as("hasdel"))
+      .collect()
+    val affected = info.map(_.getInt(0)).sorted
+    val suspects = info.filter(_.getBoolean(1)).map(_.getInt(0))
     val stored = spark.read.parquet(tablePath)
       .where(col("__bucket").isin(affected.map(Int.box): _*))
       .withColumn(RowKind.kindCol, lit(RowKind.UpdateAfter))
       .withColumn(RowKind.seqCol, lit(0L))
     val merged = UpsertMaterialize(stored.unionByName(batch), keyCols)
-    // collect the surviving-bucket set BEFORE the overwrite: afterwards the
-    // old files this plan reads no longer exist
-    val live = merged.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // collect the emptied-bucket set BEFORE the overwrite (afterwards
+    // the old files this plan reads no longer exist), scanning only the
+    // delete-receiving buckets
+    val emptied: Array[Int] =
+      if (suspects.isEmpty) Array.empty
+      else {
+        val present = merged
+          .where(col("__bucket").isin(suspects.map(Int.box): _*))
+          .select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        suspects.filterNot(present)
+      }
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(tablePath)
 
     // buckets emptied by deletes produce no rows — remove their dirs
-    affected.filterNot(live).foreach { b =>
+    emptied.foreach { b =>
       FsOps.deleteRecursive(spark, s"$tablePath/__bucket=$b")
     }
   }
