@@ -87,4 +87,30 @@ object Tables {
   /** Register every table as a temp view for `spark.sql` use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Scan-parallelism spread for expensive per-row compute above a TINY
+    * input (r19, guide §2.5/§6): an input smaller than one scan split
+    * (`spark.sql.files.maxPartitionBytes`, default 128 MB) arrives as a
+    * single task — one parquet file, one row group — so everything
+    * computed above it before the first exchange (JSON encode/decode,
+    * per-gram hashing, async futures) serializes on one core. Spreading
+    * such an input over `defaultParallelism` costs one shuffle of
+    * < 1 split of bytes and unlocks full-core compute.
+    *
+    * SIZE-GATED, never a constant: inputs at or past one split already
+    * scale their task count with data (at 100 TB a scan arrives
+    * thousands-of-tasks parallel and this is an exact no-op), so the
+    * rebalance exists precisely and only in the regime where the
+    * cluster would otherwise idle. Round-robin repartition is
+    * deterministic (sort-before-repartition, SPARK-23207) and every
+    * caller is row-order-insensitive above it (aggregates / joins /
+    * final sorts). */
+  def spread(df: DataFrame): DataFrame = {
+    val sp = df.sparkSession
+    val splitBytes = sp.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < splitBytes)
+      df.repartition(sp.sparkContext.defaultParallelism)
+    else df
+  }
 }

@@ -27,9 +27,11 @@ object CdcQueries {
     StructField("o_orderkey", LongType),
     StructField("o_totalprice", DoubleType)))
 
+  // spread (r19): the to_json envelope build + from_json parse both sat
+  // in a ONE-task scan stage (single-split input); no-op at scale
   private def base(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+    Tables.spread(Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double")))
 
   // Current price after the ts-2 update — the delete's pre-image.
   private def curPrice =

@@ -301,8 +301,9 @@ object FuncQueries {
     // on both sides so subtree extraction compares byte-exact.
     QueryDef(
       "q_json_funcs2",
+      // spread (r19): 7 JSON parses per row above a one-task scan
       (s, dir) => {
-        Tables.events(s, dir)
+        Tables.spread(Tables.events(s, dir))
           .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
           .withColumn("obj", concat(lit("{\"k\":"), col("k"),
             lit(",\"arr\":["), col("k"), lit(","), col("k") + 1, lit("]}")))
@@ -366,6 +367,9 @@ object FuncQueries {
     // SQL TEXT through the entry and oracle-checked value by value.
     QueryDef(
       "q_flink_fn_compat",
+      // Tables.spread (r19): the JSON/sha/regex projection above a
+      // one-split scan ran single-task — 4.3 s in one job (profiled);
+      // spread unlocks all cores (no-op at scale, see Tables.spread)
       (s, dir) => graft.sql.FlinkSql.sql(s,
         """SELECT o_orderkey,
           |  TRUNCATE(CAST(o_totalprice AS DOUBLE)) AS tp_trunc,
@@ -379,7 +383,7 @@ object FuncQueries {
           |  JSON_LENGTH(JSON_ARRAY(o_orderkey, o_custkey)) AS jl
           |FROM orders
           |ORDER BY o_orderkey""".stripMargin,
-        Map("orders" -> Tables.orders(s, dir))),
+        Map("orders" -> Tables.spread(Tables.orders(s, dir)))),
       Some("""
         SELECT o_orderkey,
           trunc(CAST(o_totalprice AS DOUBLE)) AS tp_trunc,

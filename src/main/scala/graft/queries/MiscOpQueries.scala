@@ -980,8 +980,10 @@ object MiscOpQueries {
         import s.implicits._
         import scala.concurrent.Future
         import scala.concurrent.ExecutionContext.Implicits.global
-        val o = Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_orderpriority"))
+        // spread (r19): the async operator's future-per-row machinery ran
+        // inside a ONE-task scan stage — all 150k futures on one core
+        val o = Tables.spread(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")))
           .as[(Long, String)]
         val env = graft.stream.StreamExecutionEnvironment.create(s)
         graft.stream.AsyncDataStream.orderedWait[(Long, String), (Long, Long)](

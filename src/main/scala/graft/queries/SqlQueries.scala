@@ -861,7 +861,7 @@ object SqlQueries {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_cdc_e2e").toString
         new java.io.File(s"$tmp/src").mkdirs()
-        val b = Tables.orders(s, dir)
+        val b = Tables.spread(Tables.orders(s, dir))
           .select(col("o_orderkey"), col("o_totalprice").cast("double")
             .as("o_totalprice"))
         def row(price: org.apache.spark.sql.Column) =
@@ -898,9 +898,9 @@ object SqlQueries {
              |            AS DOUBLE) AS sum_v
              |FROM orders_cdc GROUP BY o_orderkey % 10""".stripMargin)
         try {
-          snapshot.coalesce(1).write.mode("append").text(s"$tmp/src")
+          snapshot.repartition(1).write.mode("append").text(s"$tmp/src")
           qs.head.processAllAvailable()
-          changes.coalesce(1).write.mode("append").text(s"$tmp/src")
+          changes.repartition(1).write.mode("append").text(s"$tmp/src")
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
@@ -932,7 +932,7 @@ object SqlQueries {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_cdc_minmax").toString
         new java.io.File(s"$tmp/src").mkdirs()
-        val b = Tables.orders(s, dir)
+        val b = Tables.spread(Tables.orders(s, dir))
           .select(col("o_orderkey"), col("o_totalprice").cast("double")
             .as("o_totalprice"))
         def row(price: org.apache.spark.sql.Column) =
@@ -970,9 +970,9 @@ object SqlQueries {
              |       COUNT(DISTINCT o_totalprice) AS n_distinct
              |FROM orders_cdc GROUP BY o_orderkey % 10""".stripMargin)
         try {
-          snapshot.coalesce(1).write.mode("append").text(s"$tmp/src")
+          snapshot.repartition(1).write.mode("append").text(s"$tmp/src")
           qs.head.processAllAvailable()
-          changes.coalesce(1).write.mode("append").text(s"$tmp/src")
+          changes.repartition(1).write.mode("append").text(s"$tmp/src")
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
@@ -1007,7 +1007,7 @@ object SqlQueries {
           .createTempDirectory("graft_sql_cdc_join").toString
         new java.io.File(s"$tmp/osrc").mkdirs()
         new java.io.File(s"$tmp/csrc").mkdirs()
-        val ob = Tables.orders(s, dir)
+        val ob = Tables.spread(Tables.orders(s, dir))
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_totalprice").cast("double").as("o_totalprice"))
         def orow(price: org.apache.spark.sql.Column) =
@@ -1028,7 +1028,7 @@ object SqlQueries {
             .select(to_json(struct(
               orow(ocur).as("before"),
               lit("d").as("op"), lit(30L).as("ts_ms"))).as("value")))
-        val cb = Tables.customer(s, dir)
+        val cb = Tables.spread(Tables.customer(s, dir))
           .select(col("c_custkey"),
             col("c_acctbal").cast("double").as("c_acctbal"))
         val crow = struct(col("c_custkey"), col("c_acctbal"))
@@ -1039,6 +1039,13 @@ object SqlQueries {
           .select(to_json(struct(
             crow.as("before"), lit("d").as("op"),
             lit(21L).as("ts_ms"))).as("value"))
+        // round-1 snapshots land BEFORE the stream starts (r19): both
+        // sources' files are then one batch 0 — with an eager start the
+        // first trigger raced the second source's write and split the
+        // snapshot round into two stateful passes + two sink MERGEs; the
+        // final state (the checked result) is identical
+        osnap.repartition(1).write.mode("append").text(s"$tmp/osrc")
+        csnap.repartition(1).write.mode("append").text(s"$tmp/csrc")
         val qs = FlinkDdl.runStreaming(s,
           s"""CREATE TABLE orders_cdc (
              |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
@@ -1062,11 +1069,9 @@ object SqlQueries {
              |FROM orders_cdc o JOIN customer_cdc c
              |  ON o.o_custkey = c.c_custkey""".stripMargin)
         try {
-          osnap.coalesce(1).write.mode("append").text(s"$tmp/osrc")
-          csnap.coalesce(1).write.mode("append").text(s"$tmp/csrc")
           qs.head.processAllAvailable()
-          ochanges.coalesce(1).write.mode("append").text(s"$tmp/osrc")
-          cchanges.coalesce(1).write.mode("append").text(s"$tmp/csrc")
+          ochanges.repartition(1).write.mode("append").text(s"$tmp/osrc")
+          cchanges.repartition(1).write.mode("append").text(s"$tmp/csrc")
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
@@ -1099,7 +1104,7 @@ object SqlQueries {
           .createTempDirectory("graft_sql_cdc_joinl").toString
         new java.io.File(s"$tmp/osrc").mkdirs()
         new java.io.File(s"$tmp/csrc").mkdirs()
-        val ob = Tables.orders(s, dir)
+        val ob = Tables.spread(Tables.orders(s, dir))
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_totalprice").cast("double").as("o_totalprice"))
         def orow(price: org.apache.spark.sql.Column) =
@@ -1112,7 +1117,7 @@ object SqlQueries {
           .select(to_json(struct(
             orow(col("o_totalprice")).as("before"),
             lit("d").as("op"), lit(30L).as("ts_ms"))).as("value"))
-        val cb = Tables.customer(s, dir)
+        val cb = Tables.spread(Tables.customer(s, dir))
           .select(col("c_custkey"),
             col("c_acctbal").cast("double").as("c_acctbal"))
         val crow = struct(col("c_custkey"), col("c_acctbal"))
@@ -1123,6 +1128,13 @@ object SqlQueries {
           .select(to_json(struct(
             crow.as("before"), lit("d").as("op"),
             lit(21L).as("ts_ms"))).as("value"))
+        // round-1 snapshots land BEFORE the stream starts (r19): both
+        // sources' files are then one batch 0 — with an eager start the
+        // first trigger raced the second source's write and split the
+        // snapshot round into two stateful passes + two sink MERGEs; the
+        // final state (the checked result) is identical
+        osnap.repartition(1).write.mode("append").text(s"$tmp/osrc")
+        csnap.repartition(1).write.mode("append").text(s"$tmp/csrc")
         val qs = FlinkDdl.runStreaming(s,
           s"""CREATE TABLE orders_cdc (
              |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
@@ -1146,11 +1158,9 @@ object SqlQueries {
              |FROM orders_cdc o LEFT JOIN customer_cdc c
              |  ON o.o_custkey = c.c_custkey""".stripMargin)
         try {
-          osnap.coalesce(1).write.mode("append").text(s"$tmp/osrc")
-          csnap.coalesce(1).write.mode("append").text(s"$tmp/csrc")
           qs.head.processAllAvailable()
-          ochanges.coalesce(1).write.mode("append").text(s"$tmp/osrc")
-          cchanges.coalesce(1).write.mode("append").text(s"$tmp/csrc")
+          ochanges.repartition(1).write.mode("append").text(s"$tmp/osrc")
+          cchanges.repartition(1).write.mode("append").text(s"$tmp/csrc")
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
@@ -1182,7 +1192,7 @@ object SqlQueries {
           .createTempDirectory("graft_sql_cdc_joina").toString
         new java.io.File(s"$tmp/osrc").mkdirs()
         new java.io.File(s"$tmp/csrc").mkdirs()
-        val ob = Tables.orders(s, dir)
+        val ob = Tables.spread(Tables.orders(s, dir))
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_totalprice").cast("double").as("o_totalprice"))
         def orow(price: org.apache.spark.sql.Column) =
@@ -1203,7 +1213,7 @@ object SqlQueries {
             .select(to_json(struct(
               orow(ocur).as("before"),
               lit("d").as("op"), lit(30L).as("ts_ms"))).as("value")))
-        val cb = Tables.customer(s, dir)
+        val cb = Tables.spread(Tables.customer(s, dir))
           .select(col("c_custkey"),
             col("c_acctbal").cast("double").as("c_acctbal"))
         val crow = struct(col("c_custkey"), col("c_acctbal"))
@@ -1214,6 +1224,13 @@ object SqlQueries {
           .select(to_json(struct(
             crow.as("before"), lit("d").as("op"),
             lit(21L).as("ts_ms"))).as("value"))
+        // round-1 snapshots land BEFORE the stream starts (r19): both
+        // sources' files are then one batch 0 — with an eager start the
+        // first trigger raced the second source's write and split the
+        // snapshot round into two stateful passes + two sink MERGEs; the
+        // final state (the checked result) is identical
+        osnap.repartition(1).write.mode("append").text(s"$tmp/osrc")
+        csnap.repartition(1).write.mode("append").text(s"$tmp/csrc")
         val qs = FlinkDdl.runStreaming(s,
           s"""CREATE TABLE orders_cdc (
              |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
@@ -1238,11 +1255,9 @@ object SqlQueries {
              |  ON o.o_custkey = c.c_custkey
              |GROUP BY o_custkey % 10""".stripMargin)
         try {
-          osnap.coalesce(1).write.mode("append").text(s"$tmp/osrc")
-          csnap.coalesce(1).write.mode("append").text(s"$tmp/csrc")
           qs.head.processAllAvailable()
-          ochanges.coalesce(1).write.mode("append").text(s"$tmp/osrc")
-          cchanges.coalesce(1).write.mode("append").text(s"$tmp/csrc")
+          ochanges.repartition(1).write.mode("append").text(s"$tmp/osrc")
+          cchanges.repartition(1).write.mode("append").text(s"$tmp/csrc")
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
@@ -1436,7 +1451,7 @@ object SqlQueries {
     QueryDef(
       "q_sql_changelog_ptf",
       (s, dir) => {
-        val b = Tables.orders(s, dir).select(col("o_orderkey"),
+        val b = Tables.spread(Tables.orders(s, dir)).select(col("o_orderkey"),
           col("o_totalprice").cast("double").as("o_totalprice"))
         val cur = when(col("o_orderkey") % 5 === 0,
           col("o_totalprice") * 0.5).otherwise(col("o_totalprice"))

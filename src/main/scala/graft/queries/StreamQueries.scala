@@ -44,8 +44,9 @@ object StreamQueries {
         StateBootstrap.writeAggCheckpoint(
           seedSrc.groupBy("user_id").agg(count(lit(1)).as("cnt")),
           ckpt, Seq("user_id"),
-          numShufflePartitions =
-            s.conf.get("spark.sql.shuffle.partitions").toInt)
+          // streaming value (r19): the resumed query adopts this count
+          // from the authored offset log (Spark restart semantics)
+          numShufflePartitions = graft.GraftSession.streamShufflePartitions)
         rest.select("user_id").write.mode("append").parquet(inDir)
         val name =
           s"bs_${java.util.UUID.randomUUID().toString.replace("-", "")}"

@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   * hot shingles get the standard cap treatment, see q_ngram_jaccard note).
   */
 object TextQueries {
+  // Every documents load goes through Tables.spread (r19): the corpus is
+  // one sub-split parquet file, so all per-row text work (shingling,
+  // per-gram md5, regex packs) otherwise ran in a ONE-task scan stage;
+  // spread is a size-gated no-op at scale (see its scaladoc).
 
   // Shared oracle fragment: tokenized documents. list_filter drops the
   // empty tokens that split() produces for trailing/double spaces —
@@ -115,7 +119,7 @@ object TextQueries {
       "q_text_stats",
       (s, dir) => {
         val t = tokens(col("text"))
-        Tables.documents(s, dir)
+        Tables.spread(Tables.documents(s, dir))
           .select(
             col("doc_id"), col("lang"), col("source"),
             t.as("t"), col("text"))
@@ -152,7 +156,7 @@ object TextQueries {
       "q_token_count",
       (s, dir) => {
         val t = tokens(col("text"))
-        Tables.documents(s, dir)
+        Tables.spread(Tables.documents(s, dir))
           .select(col("source"),
             size(t).cast("long").as("ws_toks"),
             regexp_count(col("text"), lit("[a-z]+")).cast("long").as("re_toks"))
@@ -182,7 +186,7 @@ object TextQueries {
     QueryDef(
       "q_chunk_documents",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val docs = Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"),
             chunkTokens(tokens(col("text")), maxTokens = 64, stride = 48)
               .as("chunks"))
@@ -219,7 +223,7 @@ object TextQueries {
     QueryDef(
       "q_lang_id",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val docs = Tables.spread(Tables.documents(s, dir))
         val docTok = docs
           .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
         val profiles = docTok
@@ -273,7 +277,7 @@ object TextQueries {
       (s, dir) => {
         val stops = Seq("the", "a", "data", "table", "row")
         val t = tokens(col("text"))
-        Tables.documents(s, dir)
+        Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"), t.as("t"))
           .select(
             col("doc_id"),
@@ -331,7 +335,7 @@ object TextQueries {
         // per-gram md5 was ~3µs; as a Generate + codegen'd projection the
         // same work whole-stage-compiles (~3x faster end to end). The
         // distinct/min/max fold is a map-side-partial groupBy on doc_id.
-        val docs = Tables.documents(s, dir)
+        val docs = Tables.spread(Tables.documents(s, dir))
         val kept = docs
           .where(length(col("text")) >= 8)
           .select(col("doc_id"), col("text"),
@@ -374,6 +378,9 @@ object TextQueries {
     // one shuffle on the 16-byte key, map-side partial counts.
     QueryDef(
       "q_dedup_exact",
+      // deliberately NOT spread (r19): this is a box-factor CONTROL query
+      // (Bench controlNames) — its recorded baseline calibrates box health,
+      // so its implementation must stay byte-stable across rounds
       (s, dir) => {
         val key = md5(concat_ws(" ", slice(tokens(col("text")), 1, 10)))
         Tables.documents(s, dir)
@@ -407,7 +414,7 @@ object TextQueries {
     // [[minhashCandidatePairs]].
     QueryDef(
       "q_dedup_minhash",
-      (s, dir) => minhashCandidatePairs(Tables.documents(s, dir))
+      (s, dir) => minhashCandidatePairs(Tables.spread(Tables.documents(s, dir)))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
         $shOracle,
@@ -431,7 +438,7 @@ object TextQueries {
     QueryDef(
       "q_dedup_simhash",
       (s, dir) => {
-        val votes = Tables.documents(s, dir)
+        val votes = Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
           .select(col("doc_id"), md5(col("tok")).as("h"),
             explode(sequence(lit(0), lit(15))).as("b"))
@@ -474,7 +481,7 @@ object TextQueries {
     QueryDef(
       "q_ngram_jaccard",
       (s, dir) =>
-        graft.operators.NgramJaccard(Tables.documents(s, dir))
+        graft.operators.NgramJaccard(Tables.spread(Tables.documents(s, dir)))
           .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
         $shOracle,
@@ -499,7 +506,7 @@ object TextQueries {
     QueryDef(
       "q_dedup_cluster",
       (s, dir) => {
-        val pairs = graft.operators.NgramJaccard(Tables.documents(s, dir))
+        val pairs = graft.operators.NgramJaccard(Tables.spread(Tables.documents(s, dir)))
           .select(col("doc_a"), col("doc_b"))
         graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
           .select(col("node").as("doc_id"), col("label").as("cluster"),
@@ -539,7 +546,7 @@ object TextQueries {
       (s, dir) => {
         val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-        Tables.documents(s, dir)
+        Tables.spread(Tables.documents(s, dir))
           .withColumn("pii_text", concat(
             col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or 555-"),
@@ -581,7 +588,7 @@ object TextQueries {
       "q_repetition_filter",
       (s, dir) => {
         val t = split(col("text"), " +")
-        Tables.documents(s, dir)
+        Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"), size(t).cast("long").as("n_words"),
             size(array_distinct(t)).cast("long").as("n_distinct"))
           .withColumn("dup_ratio",
@@ -613,7 +620,7 @@ object TextQueries {
     QueryDef(
       "q_decontaminate",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val docs = Tables.spread(Tables.documents(s, dir))
         Decontaminate(
           docs.where(col("doc_id") % 10 =!= 0),
           docs.where(col("doc_id") % 10 === 0)
@@ -659,7 +666,7 @@ object TextQueries {
             concat(lit("https://"), base,
               lit("?utm_source=feed&utm_medium=rss")))
           .otherwise(concat(lit("https://"), base, lit("#section-2")))
-        Tables.documents(s, dir)
+        Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"), url.as("url"))
           .select(col("doc_id"),
             UrlFunctions.canonicalizeUrl(col("url")).as("canonical"))

@@ -40,7 +40,7 @@ object VectorQueries {
       "q_embedding_quantize",
       (s, dir) => {
         import graft.functions.VectorQuant._
-        val e = Tables.embeddings(s, dir)
+        val e = Tables.spread(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("embedding"))
           .withColumn("scale", int8Scale(col("embedding")))
         val q = e.withColumn("q", quantizeInt8(col("embedding"), col("scale")))
@@ -94,7 +94,7 @@ object VectorQueries {
     QueryDef(
       "q_vector_topk",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.spread(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("embedding"))
         graft.operators.VectorIndexes("brute")
           .topK(emb, emb.where(col("vec_id") < 10), 5)
@@ -130,7 +130,7 @@ object VectorQueries {
     QueryDef(
       "q_vector_ivf_topk",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.spread(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("embedding"))
         graft.operators.VectorIndexes("ivf")
           .topK(emb, emb.where(col("vec_id") < 10), 5)
@@ -178,7 +178,7 @@ object VectorQueries {
     QueryDef(
       "q_vector_lsh_topk",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.spread(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("embedding"))
         graft.operators.VectorIndexes("lsh")
           .topK(emb, emb.where(col("vec_id") < 10), 5)
@@ -215,7 +215,7 @@ object VectorQueries {
     QueryDef(
       "q_embedding_cosine_dup",
       (s, dir) => cosineDupPairs(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        Tables.spread(Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding")),
         0.3)
         .orderBy(col("vec_a"), col("vec_b")),
       Some(cosineDupPairsSql(0.3) +
@@ -232,7 +232,7 @@ object VectorQueries {
       "q_embedding_dedup_cluster",
       (s, dir) => {
         val pairs = cosineDupPairs(
-          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          Tables.spread(Tables.embeddings(s, dir)).select(col("vec_id"), col("embedding")),
           0.3)
           .select(col("vec_a"), col("vec_b"))
         graft.operators.ConnectedComponents(pairs, "vec_a", "vec_b")

@@ -1,5 +1,6 @@
 package graft.sql
 
+import graft.GraftSession.ScopedStart
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2373,7 +2374,7 @@ object FlinkDdl {
               swap(applyOuter(batch.sparkSession, batch), spec.path,
                 spec.format)
             }
-            .start(), ckpt))
+            .startScoped(spark), ckpt))
         } else if (modeOk(in, Append()) && rs.candidateText.nonEmpty) {
           val stateDir = spec.path + ".rankstate"
           def readState(sp: SparkSession): Option[DataFrame] = {
@@ -2390,14 +2391,20 @@ object FlinkDdl {
               val sp = batch.sparkSession
               val combined = readState(sp)
                 .map(_.unionByName(batch)).getOrElse(batch)
-              // rank once over candidates ∪ new rows: exact by closure
-              val cand = FlinkSql.sql(sp, rs.candidateText.get,
-                Map(StreamingRank.Marker -> combined), models)
-                .drop(StreamingRank.CandRn)
-              swap(applyOuter(sp, combined), spec.path, spec.format)
-              swap(cand, stateDir, "parquet")
+              // both swaps below re-execute the micro-batch plan through
+              // `combined` — persist it across the pair (r19, guide §5)
+              combined.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                // rank once over candidates ∪ new rows: exact by closure
+                val cand = FlinkSql.sql(sp, rs.candidateText.get,
+                  Map(StreamingRank.Marker -> combined), models)
+                  .drop(StreamingRank.CandRn)
+                swap(applyOuter(sp, combined), spec.path, spec.format)
+                swap(cand, stateDir, "parquet")
+              } finally combined.unpersist(blocking = false)
             }
-            .start(), ckpt))
+            .startScoped(spark), ckpt))
         } else None
       }
     }
@@ -2476,7 +2483,7 @@ object FlinkDdl {
             .outputMode("append")
           (spec.options.get("partition-keys")
             .fold(w)(ks => w.partitionBy(ks.split(",").map(_.trim): _*))
-            .start(), ckpt)
+            .startScoped(spark), ckpt)
         }
       }
     }
@@ -2570,7 +2577,7 @@ object FlinkDdl {
                 batch.sparkSession, spec.path, log, pk)
             }
           }
-          .start()
+          .startScoped(aligned.sparkSession)
       case ("filesystem", "complete") if exitRewrite.isDefined =>
         // un-LIMITed key-exit shape (HAVING over an updating aggregate)
         // with an upsert-capable sink: run the UNFILTERED aggregate in
@@ -2600,7 +2607,7 @@ object FlinkDdl {
                 batch.sparkSession, spec.path, log, pk)
             }
           }
-          .start()
+          .startScoped(aligned.sparkSession)
       case ("filesystem", "complete") =>
         aligned.writeStream
           .outputMode("complete")
@@ -2624,7 +2631,7 @@ object FlinkDdl {
             graft.changelog.FsOps.rename(sp, staging, spec.path)
             graft.changelog.FsOps.deleteRecursive(sp, old)
           }
-          .start()
+          .startScoped(aligned.sparkSession)
       case ("filesystem", _) =>
         val w = bucketed(spec, aligned).writeStream.format(spec.format)
           .option("path", spec.path)
@@ -2632,15 +2639,15 @@ object FlinkDdl {
           .outputMode("append")
         spec.options.get("partition-keys")
           .fold(w)(ks => w.partitionBy(ks.split(",").map(_.trim): _*))
-          .start()
+          .startScoped(aligned.sparkSession)
       case ("print", m) =>
         aligned.writeStream.format("console")
           .outputMode(m)
-          .option("checkpointLocation", ckpt).start()
+          .option("checkpointLocation", ckpt).startScoped(aligned.sparkSession)
       case ("blackhole", m) =>
         aligned.writeStream.format("noop")
           .outputMode(m)
-          .option("checkpointLocation", ckpt).start()
+          .option("checkpointLocation", ckpt).startScoped(aligned.sparkSession)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported streaming sink connector '$other' for ${spec.name}")
     }

@@ -1,5 +1,6 @@
 package graft.sql
 
+import graft.GraftSession.ScopedStart
 import graft.changelog.{CdcFormats, RowKind, UpsertSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
@@ -345,10 +346,13 @@ object StreamingCdc {
             agg.aggregateExpressions.map(ne => StreamingCdcJoin
               .rebind(ne, child.output).asInstanceOf[NamedExpression]),
             child)
+        val joinChild = !(child eq agg.child)
         if (signedCapable(agg2))
-          startSignedAgg(spark, spec, agg2, outer, sign, ckpt, merge)
+          startSignedAgg(spark, spec, agg2, outer, sign, ckpt, merge,
+            joinChild)
         else
-          startRetractableAgg(spark, spec, agg2, outer, ckpt, merge)
+          startRetractableAgg(spark, spec, agg2, outer, ckpt, merge,
+            joinChild)
 
       case None if StreamingCdcJoin.hasJoin(analyzed) =>
         // join passthrough: ChangelogJoin output (an upsert changelog of
@@ -372,6 +376,9 @@ object StreamingCdc {
             // its 2·seq+bit stamp over the arrival-seq domain
             merge(batch, alignKeeping(spec, batch))
           }
+          // NOT startScoped (r19): the ChangelogJoin step function is
+          // CPU-bound per key — it wants the session's full parallelism,
+          // unlike the fixed-cost-bound aggregate tiers (measured 2.5x)
           .start()
 
       case None =>
@@ -411,7 +418,7 @@ object StreamingCdc {
                   RowKind.Delete).otherwise(col(RowKind.kindCol)))
             merge(batch, alignKeeping(spec, log))
           }
-          .start()
+          .startScoped(spark)
     }
     (q, ckpt)
   }
@@ -447,8 +454,16 @@ object StreamingCdc {
       outer: Option[Project],
       sign: Attribute,
       ckpt: String,
-      merge: (DataFrame, DataFrame) => Unit)
+      merge: (DataFrame, DataFrame) => Unit,
+      joinChild: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // a ChangelogJoin child is CPU-bound state compute — keep the
+    // session's parallelism for it (see the join-passthrough tier)
+    implicit class TierStart[T](
+        w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
+      def startTier(): org.apache.spark.sql.streaming.StreamingQuery =
+        if (joinChild) w.start() else w.startScoped(spark)
+    }
     val rewritten = rewriteAggregate(agg, sign)
     val plan = outer match {
       case Some(p) =>
@@ -474,7 +489,7 @@ object StreamingCdc {
             .drop(LiveCol)
           merge(batch, alignKeeping(spec, log))
         }
-        .start()
+        .startTier()
     else
       pf.writeStream
         .outputMode("complete")
@@ -485,7 +500,7 @@ object StreamingCdc {
             align(spec, batch.where(col(LiveCol) > 0).drop(LiveCol),
               keepMeta = false))
         }
-        .start()
+        .startTier()
   }
 
   /** Hidden value column the retractable tier folds. */
@@ -510,8 +525,14 @@ object StreamingCdc {
       agg: Aggregate,
       outer: Option[Project],
       ckpt: String,
-      merge: (DataFrame, DataFrame) => Unit)
+      merge: (DataFrame, DataFrame) => Unit,
+      joinChild: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    implicit class TierStart[T](
+        w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
+      def startTier(): org.apache.spark.sql.streaming.StreamingQuery =
+        if (joinChild) w.start() else w.startScoped(spark)
+    }
     val childOut = agg.child.output
     val metaAttrs = Seq(RowKind.kindCol, RowKind.seqCol).map(n =>
       childOut.find(_.name == n).getOrElse(
@@ -615,7 +636,7 @@ object StreamingCdc {
         // dropped by the materializer, -D deletes the key
         merge(batch, alignKeeping(spec, batch))
       }
-      .start()
+      .startTier()
   }
 
   /** Hidden liveness column: `SUM(sign)` = number of live rows in the
