@@ -38,6 +38,34 @@ object ConnectedComponents {
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .localCheckpoint(true)
+    // Small-graph mode (r19, guide §1.2/§2): once the edge set is
+    // materialized its size is EXACT; under one scan split the loop's
+    // cost is pure per-round fixed overhead — AQE re-plans every stage
+    // as its own job (~8 jobs/round observed vs 2), and wide shuffles
+    // buy nothing on KB-scale tables. Scope AQE off + few partitions
+    // for the rounds, restore after. Big graphs (the 100 TB case) keep
+    // AQE (skew handling) and the session partitioning untouched.
+    val spark = edges.sparkSession
+    val symBytes = sym.queryExecution.optimizedPlan.stats.sizeInBytes
+    val smallGraph = symBytes <
+      spark.sessionState.conf.filesMaxPartitionBytes
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] symBytes=$symBytes small=$smallGraph")
+    def scopedRounds[T](body: => T): T =
+      if (!smallGraph) body
+      else {
+        val keys = Seq("spark.sql.adaptive.enabled",
+          "spark.sql.shuffle.partitions")
+        val prev = keys.map(k => k -> spark.conf.get(k))
+        keys.zip(Seq("false", "8")).foreach { case (k, v) =>
+          spark.conf.set(k, v) }
+        try body
+        finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      }
+    scopedRounds(ccRounds(sym, maxIter))
+  }
+
+  private def ccRounds(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
