@@ -46,10 +46,24 @@ import org.apache.spark.sql.types._
   * side (exactly the reference's bound); a hot join key costs its join
   * product — inherent to join semantics, AQE-visible as ordinary key skew.
   * Batch face: secondary-sorted replay (external sort, streamed groups,
-  * O(live rows per key) heap); streaming face sorts only within a
-  * micro-batch's per-key slice.
+  * O(live rows per key) heap) emitting the FULL changelog. Streaming
+  * face: sorts only within a micro-batch's per-key slice and emits the
+  * NET change per touched pairing per micro-batch (r19) — intra-batch
+  * churn (outer pads born and retracted by a later event of the same
+  * batch, an update chain's intermediate images) folds away, exactly the
+  * reference's minibatch join suppression
+  * (MiniBatchStreamingJoinOperator.java:234, bundle/
+  * JoinKeyContainsUniqueKeyBundle.java); keep-last materialization and
+  * signed aggregation read identical results from either emission form.
   */
 object ChangelogJoin {
+
+  /** Pairing identity of an emitted join row: each slot holds that
+    * side's upsert-key value, or [[PadSlot]] for the null-padded side of
+    * an outer-join pad row (a sentinel, so a genuinely-NULL key value
+    * cannot collide with a pad). */
+  private final case class PairKey(l: Any, r: Any)
+  private case object PadSlot
 
   def apply(
       left: DataFrame,
@@ -169,17 +183,24 @@ object ChangelogJoin {
     // Padding protocol (symmetric): a side's rows are null-padded while
     // the OTHER side's state is empty; the first arriving match retracts
     // every pad, the last dying match restores them.
-    def step(e: Row, lState: SideState, rState: SideState): Seq[Row] = {
+    // Each emission is tagged with its pairing identity ([[PairKey]]) so
+    // the streaming face can net out intra-batch churn (below); the
+    // batch face drops the tag.
+    def step(e: Row, lState: SideState, rState: SideState)
+        : Seq[(PairKey, Row)] = {
       val kind = e.getString(3)
       val retract =
         kind == RowKind.UpdateBefore || kind == RowKind.Delete
       val outSeq = 2 * e.getLong(2) + (if (retract) 0L else 1L)
-      def pair(l: Seq[Any], r: Seq[Any], k: String): Row =
-        Row.fromSeq(l ++ r :+ k :+ outSeq)
-      def lPad(l: Seq[Any], k: String): Row =
-        Row.fromSeq(l ++ rNulls :+ k :+ outSeq)
-      def rPad(r: Seq[Any], k: String): Row =
-        Row.fromSeq(lNulls ++ r :+ k :+ outSeq)
+      def pair(l: Seq[Any], r: Seq[Any], k: String): (PairKey, Row) =
+        (PairKey(l(lkIdx), r(rkIdx)),
+          Row.fromSeq(l ++ r :+ k :+ outSeq))
+      def lPad(l: Seq[Any], k: String): (PairKey, Row) =
+        (PairKey(l(lkIdx), PadSlot),
+          Row.fromSeq(l ++ rNulls :+ k :+ outSeq))
+      def rPad(r: Seq[Any], k: String): (PairKey, Row) =
+        (PairKey(PadSlot, r(rkIdx)),
+          Row.fromSeq(lNulls ++ r :+ k :+ outSeq))
       if (e.getInt(1) == 0) {
         val pay = e.getStruct(5).toSeq
         val k = pay(lkIdx)
@@ -249,9 +270,25 @@ object ChangelogJoin {
         outSchema) { (_, rows) =>
         val lState: SideState = scala.collection.mutable.LinkedHashMap.empty
         val rState: SideState = scala.collection.mutable.LinkedHashMap.empty
-        rows.flatMap(e => step(e, lState, rState))
+        rows.flatMap(e => step(e, lState, rState).map(_._2))
       }
     }
+
+    // The final image of pairing `pk` under side states (l, r): Some(
+    // payload) when alive, None when dead. Pads are alive only while the
+    // other side's state is empty (the padding protocol above).
+    def image(
+        pk: PairKey,
+        l: scala.collection.Map[Any, Seq[Any]],
+        r: scala.collection.Map[Any, Seq[Any]]): Option[Seq[Any]] =
+      (pk.l, pk.r) match {
+        case (PadSlot, rk) =>
+          if (padRight && l.isEmpty) r.get(rk).map(lNulls ++ _) else None
+        case (lk, PadSlot) =>
+          if (padLeft && r.isEmpty) l.get(lk).map(_ ++ rNulls) else None
+        case (lk, rk) =>
+          for { lp <- l.get(lk); rp <- r.get(rk) } yield lp ++ rp
+      }
 
     val jkField = env.schema.fields(0)
     val kEnc: Encoder[Row] = Encoders.row(StructType(Seq(jkField)))
@@ -281,10 +318,42 @@ object ChangelogJoin {
               scala.collection.mutable.LinkedHashMap.from(old._1)
             val rState: SideState =
               scala.collection.mutable.LinkedHashMap.from(old._2)
-            // order within the micro-batch slice (bounded by batch size)
-            val out = rows.toSeq
+            // Net emission per micro-batch (r19, guide §2.3 "shuffle
+            // fewer bytes"; ref MiniBatchStreamingJoinOperator.java:234 —
+            // the reference's minibatch join folds redundant changelog
+            // pairs the same way): replay the batch slice through the
+            // shared step to advance state and learn WHICH pairings it
+            // touches, then emit only each touched pairing's pre→post
+            // transition — `-D`(pre) / `+U`(post) when the image changed,
+            // nothing when it ends where it started. Intra-batch churn
+            // (an outer pad born and retracted by a later event of the
+            // same batch, an update's intermediate images) never reaches
+            // the shuffle or the sink MERGE. Net-vs-eager equivalence for
+            // both downstream consumers: keep-last materialization reads
+            // the same final image per pairing, and signed aggregation
+            // reads the same net contribution (the dropped +U/-D pairs
+            // cancel exactly). Seq stamps keep the retract-slot protocol:
+            // -D at 2·s, +U at 2·s+1 of the pairing's last touching event.
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            val touched =
+              scala.collection.mutable.LinkedHashMap.empty[PairKey, Long]
+            rows.toSeq
               .sortBy(e => (e.getLong(2), e.getInt(4), e.getInt(1)))
-              .flatMap(e => step(e, lState, rState))
+              .foreach { e =>
+                step(e, lState, rState).foreach { case (pk, row) =>
+                  touched.update(pk, row.getLong(row.length - 1))
+                }
+              }
+            touched.foreach { case (pk, lastSeq) =>
+              val pre = image(pk, old._1, old._2)
+              val post = image(pk, lState, rState)
+              if (pre != post) {
+                pre.foreach(p => out +=
+                  Row.fromSeq(p :+ RowKind.Delete :+ (lastSeq & ~1L)))
+                post.foreach(p => out +=
+                  Row.fromSeq(p :+ RowKind.UpdateAfter :+ (lastSeq | 1L)))
+              }
+            }
             if (lState.isEmpty && rState.isEmpty) state.remove()
             else {
               state.update((lState.toMap, rState.toMap))

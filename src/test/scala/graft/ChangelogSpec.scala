@@ -467,6 +467,69 @@ class ChangelogSpec extends SparkSpecBase {
     assert(mat.toSeq == Seq((1L, None)))
   }
 
+  test("streaming ChangelogJoin nets out intra-batch churn per pairing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // BOTH sides derive from ONE MemoryStream (side tag + filter) so
+    // each addData is atomically one micro-batch across the two inputs —
+    // two independent streams would let the eager trigger split a batch
+    // between the addData calls and the intra-batch fold under test
+    // would (correctly) not apply
+    val in = MemoryStream[(String, Long, Long, Double, Long, String)]
+    val all = in.toDF()
+      .toDF("side", "k", "jk", "x", RowKind.seqCol, RowKind.kindCol)
+    val lDf = all.where(col("side") === "l").select(
+      col("k").as("lk"), col("jk").as("ljk"), col("x").as("v"),
+      col(RowKind.seqCol), col(RowKind.kindCol))
+    val rDf = all.where(col("side") === "r").select(
+      col("k").as("rk"), col("jk").as("rjk"), col("x").as("w"),
+      col(RowKind.seqCol), col(RowKind.kindCol))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cjnet-").toString
+    val q = ChangelogJoin(lDf, rDf, "ljk", "rjk", "lk", "rk", "left")
+      .writeStream.format("memory").queryName("cl_net")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def logRows() = spark.table("cl_net").collect()
+      .map(r => (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getDouble(2), r.getString(6), r.getLong(7))).sortBy(_._4)
+    try {
+      // batch 1: the left row and its match arrive in ONE batch — the
+      // outer pad is born and retracted inside the batch and must never
+      // be emitted (ref MiniBatchStreamingJoinOperator.java:234, the
+      // minibatch fold): net output is exactly one +U pairing row
+      in.addData(
+        ("l", 1L, 100L, 10.0, 1L, RowKind.Insert),
+        ("r", 7L, 100L, 1.5, 2L, RowKind.Insert))
+      q.processAllAvailable()
+      val b1 = logRows()
+      assert(b1.toSeq == Seq((Some(7L), 10.0, RowKind.UpdateAfter, 5L)),
+        s"intra-batch pad churn must fold away, got ${b1.toSeq}")
+      // batch 2: an update CHAIN in one batch (10 -> 11 -> 12) nets to
+      // one -D of the pre-batch image + one +U of the final image — the
+      // intermediate 11.0 never reaches the output
+      in.addData(
+        ("l", 1L, 100L, 10.0, 3L, RowKind.UpdateBefore),
+        ("l", 1L, 100L, 11.0, 3L, RowKind.UpdateAfter),
+        ("l", 1L, 100L, 11.0, 4L, RowKind.UpdateBefore),
+        ("l", 1L, 100L, 12.0, 4L, RowKind.UpdateAfter))
+      q.processAllAvailable()
+      val b2 = logRows().drop(1)
+      assert(b2.toSeq == Seq(
+        (Some(7L), 10.0, RowKind.Delete, 8L),
+        (Some(7L), 12.0, RowKind.UpdateAfter, 9L)),
+        s"an update chain must net to its endpoints, got ${b2.toSeq}")
+      // batch 3: both sides die in one batch — net is the pairing's -D
+      // only (no transient re-pad of the left row)
+      in.addData(
+        ("l", 1L, 100L, 12.0, 5L, RowKind.Delete),
+        ("r", 7L, 100L, 1.5, 6L, RowKind.Delete))
+      q.processAllAvailable()
+      val b3 = logRows().drop(3)
+      assert(b3.toSeq == Seq((Some(7L), 12.0, RowKind.Delete, 10L)),
+        s"a same-batch double delete must net to one -D, got ${b3.toSeq}")
+    } finally q.stop()
+    assert(UpsertMaterialize(spark.table("cl_net"), Seq("lk", "rk"))
+      .count() == 0)
+  }
+
   test("streaming ChangelogSemiJoin flips key groups on right-side changes") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // left: items on join keys 100/200; right: dims appearing LATE and
