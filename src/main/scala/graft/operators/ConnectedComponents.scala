@@ -46,7 +46,17 @@ object ConnectedComponents {
     // for the rounds, restore after. Big graphs (the 100 TB case) keep
     // AQE (skew handling) and the session partitioning untouched.
     val spark = edges.sparkSession
-    val symBytes = sym.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Exact size of the MATERIALIZED edge set: count the checkpointed
+    // rows (one ~50 ms job over cached blocks) × the schema's per-row
+    // width. Plan statistics are NOT trustworthy here — a localCheckpoint
+    // carries the PRE-checkpoint plan's estimate forward, and the
+    // embedding pipeline's self-join cardinality estimate read 8.1e17
+    // bytes for a ~100 KB edge set, so small-graph mode silently never
+    // engaged for it (guide §3.2's "estimates are often badly wrong"
+    // lesson, applied to our own gate).
+    val symRowBytes =
+      sym.schema.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    val symBytes = sym.count() * symRowBytes
     val smallGraph = symBytes <
       spark.sessionState.conf.filesMaxPartitionBytes
     if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
@@ -62,10 +72,20 @@ object ConnectedComponents {
         try body
         finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
       }
-    scopedRounds(ccRounds(sym, maxIter))
+    scopedRounds(ccRounds(sym, maxIter, bcastLabels = smallGraph))
   }
 
-  private def ccRounds(sym: DataFrame, maxIter: Int): DataFrame = {
+  /** @param bcastLabels small-graph mode: broadcast the label table into
+    *        both per-round joins (its size is bounded by the edge set the
+    *        caller just measured exactly), so a round is one map-side
+    *        pass + one aggregate exchange instead of three sort-merge
+    *        exchanges — with AQE scoped off, the planner would otherwise
+    *        fall back to SMJ on the garbage pre-checkpoint estimates
+    *        (guide §3.1: broadcast explicitly when you KNOW the size). */
+  private def ccRounds(
+      sym: DataFrame, maxIter: Int, bcastLabels: Boolean): DataFrame = {
+    def maybeB(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -76,7 +96,7 @@ object ConnectedComponents {
       // flagged self-row: exactly one per node, so max(self label) IS
       // the old label) through one aggregate
       val contrib = sym
-        .join(labels, sym("a") === labels("node"))
+        .join(maybeB(labels), sym("a") === labels("node"))
         .select(col("b").as("node"), col("label"),
           lit(false).as("__self"))
         .unionByName(labels.withColumn("__self", lit(true)))
@@ -97,7 +117,7 @@ object ConnectedComponents {
       // self-join on the label table (tiny relative to edges).
       val j = neigh.select(col("node").as("__jn"), col("label").as("__jl"))
       val round = neigh
-        .join(j, neigh("label") === j("__jn"), "left")
+        .join(maybeB(j), neigh("label") === j("__jn"), "left")
         .select(neigh("node"),
           coalesce(col("__jl"), neigh("label")).as("label"), col("__old"))
         .localCheckpoint(true)
