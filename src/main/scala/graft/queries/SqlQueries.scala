@@ -66,17 +66,28 @@ object SqlQueries {
   private def stageThenDeliver(
       s: org.apache.spark.sql.SparkSession,
       feeds: Seq[(org.apache.spark.sql.DataFrame, String)]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val conf = s.sessionState.newHadoopConf()
-    val renames = feeds.zipWithIndex.flatMap { case ((df, dest), i) =>
-      val stage = java.nio.file.Files
-        .createTempDirectory(s"graft_feed_stage$i").toString
-      df.repartition(1).write.mode("overwrite").text(stage)
-      val sp = new org.apache.hadoop.fs.Path(stage)
-      val fs = sp.getFileSystem(conf)
-      fs.listStatus(sp).toSeq
-        .filter(_.getPath.getName.startsWith("part-"))
-        .map(st => (fs, st.getPath,
-          new org.apache.hadoop.fs.Path(dest, st.getPath.getName)))
+    // the feeds are independent jobs — overlap them so one feed's write
+    // tail back-fills the other's idle cores (guide §2.6)
+    val staged = Future.traverse(feeds.zipWithIndex.toList) {
+      case ((df, dest), i) => Future {
+        val stage = java.nio.file.Files
+          .createTempDirectory(s"graft_feed_stage$i").toString
+        df.repartition(1).write.mode("overwrite").text(stage)
+        (stage, dest)
+      }
+    }
+    val renames = Await.result(staged, Duration.Inf).flatMap {
+      case (stage, dest) =>
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        val fs = sp.getFileSystem(conf)
+        fs.listStatus(sp).toSeq
+          .filter(_.getPath.getName.startsWith("part-"))
+          .map(st => (fs, st.getPath,
+            new org.apache.hadoop.fs.Path(dest, st.getPath.getName)))
     }
     renames.foreach { case (fs, from, to) => fs.rename(from, to); () }
   }
@@ -1072,8 +1083,8 @@ object SqlQueries {
         // first trigger raced the second source's write and split the
         // snapshot round into two stateful passes + two sink MERGEs; the
         // final state (the checked result) is identical
-        osnap.repartition(1).write.mode("append").text(s"$tmp/osrc")
-        csnap.repartition(1).write.mode("append").text(s"$tmp/csrc")
+        stageThenDeliver(s,
+          Seq(osnap -> s"$tmp/osrc", csnap -> s"$tmp/csrc"))
         val qs = FlinkDdl.runStreaming(s,
           s"""CREATE TABLE orders_cdc (
              |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
@@ -1162,8 +1173,8 @@ object SqlQueries {
         // first trigger raced the second source's write and split the
         // snapshot round into two stateful passes + two sink MERGEs; the
         // final state (the checked result) is identical
-        osnap.repartition(1).write.mode("append").text(s"$tmp/osrc")
-        csnap.repartition(1).write.mode("append").text(s"$tmp/csrc")
+        stageThenDeliver(s,
+          Seq(osnap -> s"$tmp/osrc", csnap -> s"$tmp/csrc"))
         val qs = FlinkDdl.runStreaming(s,
           s"""CREATE TABLE orders_cdc (
              |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
@@ -1259,8 +1270,8 @@ object SqlQueries {
         // first trigger raced the second source's write and split the
         // snapshot round into two stateful passes + two sink MERGEs; the
         // final state (the checked result) is identical
-        osnap.repartition(1).write.mode("append").text(s"$tmp/osrc")
-        csnap.repartition(1).write.mode("append").text(s"$tmp/csrc")
+        stageThenDeliver(s,
+          Seq(osnap -> s"$tmp/osrc", csnap -> s"$tmp/csrc"))
         val qs = FlinkDdl.runStreaming(s,
           s"""CREATE TABLE orders_cdc (
              |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
