@@ -46,17 +46,26 @@ object ConnectedComponents {
     // for the rounds, restore after. Big graphs (the 100 TB case) keep
     // AQE (skew handling) and the session partitioning untouched.
     val spark = edges.sparkSession
-    // Exact size of the MATERIALIZED edge set: count the checkpointed
-    // rows (one ~50 ms job over cached blocks) × the schema's per-row
-    // width. Plan statistics are NOT trustworthy here — a localCheckpoint
-    // carries the PRE-checkpoint plan's estimate forward, and the
-    // embedding pipeline's self-join cardinality estimate read 8.1e17
-    // bytes for a ~100 KB edge set, so small-graph mode silently never
-    // engaged for it (guide §3.2's "estimates are often badly wrong"
-    // lesson, applied to our own gate).
-    val symRowBytes =
-      sym.schema.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
-    val symBytes = sym.count() * symRowBytes
+    // Exact size of the MATERIALIZED edge set, read from the block
+    // manager (zero jobs): the eager localCheckpoint above cached its
+    // RDD, so its storage footprint is already known. Plan statistics
+    // are NOT trustworthy here — a localCheckpoint carries the
+    // PRE-checkpoint plan's estimate forward, and the embedding
+    // pipeline's self-join cardinality estimate read 8.1e17 bytes for a
+    // ~65 KB edge set, so small-graph mode silently never engaged for it
+    // (guide §3.2's "estimates are often badly wrong" lesson, applied to
+    // our own gate). Schema-width × count is no better for
+    // variable-width ids (a 200-byte string id counts as 20). Unmatched
+    // storage info falls back to Long.MaxValue = big-graph mode, the
+    // safe direction.
+    val symBytes = sym.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .getOrElse(Long.MaxValue)
+      case _ => Long.MaxValue
+    }
     val smallGraph = symBytes <
       spark.sessionState.conf.filesMaxPartitionBytes
     if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))

@@ -80,16 +80,24 @@ object SqlQueries {
         (stage, dest)
       }
     }
-    val renames = Await.result(staged, Duration.Inf).flatMap {
-      case (stage, dest) =>
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        val fs = sp.getFileSystem(conf)
-        fs.listStatus(sp).toSeq
-          .filter(_.getPath.getName.startsWith("part-"))
-          .map(st => (fs, st.getPath,
-            new org.apache.hadoop.fs.Path(dest, st.getPath.getName)))
+    val stagedDirs = Await.result(staged, Duration.Inf)
+    val renames = stagedDirs.flatMap { case (stage, dest) =>
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      val fs = sp.getFileSystem(conf)
+      fs.listStatus(sp).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => (fs, st.getPath,
+          new org.apache.hadoop.fs.Path(dest, st.getPath.getName)))
     }
-    renames.foreach { case (fs, from, to) => fs.rename(from, to); () }
+    renames.foreach { case (fs, from, to) =>
+      // Hadoop rename reports failure by returning false, not throwing —
+      // a silently dropped feed file would fail the oracle far from here
+      require(fs.rename(from, to), s"feed delivery rename failed: $from")
+    }
+    stagedDirs.foreach { case (stage, _) =>
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      sp.getFileSystem(conf).delete(sp, true)
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(
