@@ -394,15 +394,19 @@ object Bench {
                 catch { case _: Throwable => () })
                 val t1 = try runOnce(spark, d, fn)
                   catch { case _: Throwable => -1.0 }
-                // min-of-2 when budget allows: growth gating wants the
-                // query's repeatable cost, not its noisiest sample
-                val t =
-                  if (t1 >= 0 && elapsed <= deadline * gate) {
-                    val t2 = try runOnce(spark, d, fn)
-                      catch { case _: Throwable => -1.0 }
-                    if (t2 >= 0) math.min(t1, t2) else -1.0
-                  } else t1
-                Some(n -> t)
+                // min-of-2, MANDATORY for grading (r20, VERDICT r19 task
+                // 4): a tier time is only breach-gradable when its second
+                // rep actually ran — r19's truncated driver window still
+                // manufactured a q1_agg breach from the lone rep that
+                // squeaked past the budget gate before the skip cut in.
+                // No budget for the second rep ⇒ the query is recorded as
+                // SKIPPED (ungraded), never as a single-sample result.
+                if (t1 >= 0 && elapsed <= deadline * gate) {
+                  val t2 = try runOnce(spark, d, fn)
+                    catch { case _: Throwable => -1.0 }
+                  Some(n -> (if (t2 >= 0) math.min(t1, t2) else -1.0))
+                } else if (t1 < 0) Some(n -> -1.0)
+                else { skipped += n; None }
               }
             }
         case None => Seq.empty

@@ -65,6 +65,119 @@ object ChangelogJoin {
   private final case class PairKey(l: Any, r: Any)
   private case object PadSlot
 
+  /** Streaming-face join-state codec, format v2 (r20, VERDICT r19 task 1).
+    *
+    * The state was `Encoders.kryo[(Map[Any, Seq[Any]], Map[Any, Seq[Any]])]`
+    * — a reflection-walked object graph (re)serialized for every touched
+    * join key every micro-batch, the measured CPU floor of the CDC join
+    * tiers. v2 stores each side's live payload rows as length-prefixed
+    * UnsafeRow bytes (the payload schemas are known exactly), behind a
+    * magic header; map keys are re-derived from the payload's upsert-key
+    * slot on decode, and row order is insertion order (the Kryo form
+    * round-tripped through unordered immutable Maps, so v2's ordering is
+    * strictly more deterministic).
+    *
+    * STATE-FORMAT EPOCH: both encoders materialize to the identical
+    * state-store schema (a single nullable `value: binary` column), so a
+    * checkpoint written by either format restores under the other's
+    * query. [[decode]] dispatches on the magic header — a blob without it
+    * is an old Kryo checkpoint and replays through the same
+    * `SparkEnv`-configured KryoSerializer that `Encoders.kryo` uses
+    * (`SerializerSupport.newSerializer`), byte-compatible with the 13
+    * pinned restore fixtures; the first batch after restore then writes
+    * v2. The magic's first byte (0x8F) cannot begin one of those Kryo
+    * blobs: as a Kryo varint class id it would need a registration id
+    * ≥ 9103 followed by exactly this 7-byte tail — and the pinned
+    * fixtures are additionally replayed in-spec (RestoreCompatSpec), so a
+    * collision would fail loudly there, not corrupt silently. */
+  private[changelog] final class JoinStateCodec(
+      lType: StructType, rType: StructType) extends Serializable {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+
+    @transient private lazy val lSer =
+      ExpressionEncoder(lType).resolveAndBind().createSerializer()
+    @transient private lazy val rSer =
+      ExpressionEncoder(rType).resolveAndBind().createSerializer()
+    @transient private lazy val lDes =
+      ExpressionEncoder(lType).resolveAndBind().createDeserializer()
+    @transient private lazy val rDes =
+      ExpressionEncoder(rType).resolveAndBind().createDeserializer()
+    // Kryo decoder for pre-v2 checkpoint blobs: the same serializer
+    // Encoders.kryo resolves at runtime (SparkEnv conf when live).
+    @transient private lazy val kryo = {
+      val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+        .getOrElse(new org.apache.spark.SparkConf)
+      new org.apache.spark.serializer.KryoSerializer(conf).newInstance()
+    }
+
+    private def writeSide(
+        out: java.io.DataOutputStream,
+        rows: Iterable[Seq[Any]],
+        ser: ExpressionEncoder.Serializer[Row]): Unit = {
+      out.writeInt(rows.size)
+      rows.foreach { pay =>
+        val b = ser(Row.fromSeq(pay)).asInstanceOf[UnsafeRow].getBytes
+        out.writeInt(b.length)
+        out.write(b)
+      }
+    }
+
+    private def readSide(
+        in: java.io.DataInputStream,
+        des: ExpressionEncoder.Deserializer[Row],
+        width: Int): Seq[Seq[Any]] = {
+      val n = in.readInt()
+      val rows = new scala.collection.mutable.ArrayBuffer[Seq[Any]](n)
+      val ur = new UnsafeRow(width)
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        ur.pointTo(buf, len)
+        rows += des(ur).toSeq
+        i += 1
+      }
+      rows.toSeq
+    }
+
+    def encode(
+        l: Iterable[Seq[Any]], r: Iterable[Seq[Any]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(256)
+      val out = new java.io.DataOutputStream(bos)
+      out.write(JoinStateCodec.Magic)
+      writeSide(out, l, lSer)
+      writeSide(out, r, rSer)
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Both sides' live payload rows, in live-map iteration order; the
+      * caller rebuilds the keyed maps from the payloads' key slots. */
+    def decode(bytes: Array[Byte]): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val m = JoinStateCodec.Magic
+      if (bytes.length > m.length &&
+          java.util.Arrays.equals(bytes, 0, m.length, m, 0, m.length)) {
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes, m.length,
+            bytes.length - m.length))
+        (readSide(in, lDes, lType.length), readSide(in, rDes, rType.length))
+      } else {
+        val (l, r) = kryo.deserialize[
+          (Map[Any, Seq[Any]], Map[Any, Seq[Any]])](
+          java.nio.ByteBuffer.wrap(bytes))
+        (l.values.toSeq, r.values.toSeq)
+      }
+    }
+  }
+
+  private object JoinStateCodec {
+    val Magic: Array[Byte] = Array(
+      0x8F.toByte, 'G'.toByte, 'J'.toByte, 'S'.toByte, '2'.toByte,
+      0xE3.toByte, 0x71.toByte, 0xAC.toByte)
+  }
+
   def apply(
       left: DataFrame,
       right: DataFrame,
@@ -192,15 +305,27 @@ object ChangelogJoin {
       val retract =
         kind == RowKind.UpdateBefore || kind == RowKind.Delete
       val outSeq = 2 * e.getLong(2) + (if (retract) 0L else 1L)
+      val lN = lPayF.length
+      val rN = rPayF.length
+      // single array fill per emission (r20): the Seq-concatenation form
+      // (`l ++ r :+ k :+ seq`) copied every emitted row 3-4 times — pure
+      // constant-factor overhead on the hot path of both faces. An
+      // unfilled side stays null = the outer-join pad.
+      def mk(l: Seq[Any], r: Seq[Any], k: String): Row = {
+        val arr = new Array[Any](lN + rN + 2)
+        if (l != null) { var i = 0; l.foreach { v => arr(i) = v; i += 1 } }
+        if (r != null) {
+          var i = lN; r.foreach { v => arr(i) = v; i += 1 } }
+        arr(lN + rN) = k
+        arr(lN + rN + 1) = outSeq
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
+      }
       def pair(l: Seq[Any], r: Seq[Any], k: String): (PairKey, Row) =
-        (PairKey(l(lkIdx), r(rkIdx)),
-          Row.fromSeq(l ++ r :+ k :+ outSeq))
+        (PairKey(l(lkIdx), r(rkIdx)), mk(l, r, k))
       def lPad(l: Seq[Any], k: String): (PairKey, Row) =
-        (PairKey(l(lkIdx), PadSlot),
-          Row.fromSeq(l ++ rNulls :+ k :+ outSeq))
+        (PairKey(l(lkIdx), PadSlot), mk(l, null, k))
       def rPad(r: Seq[Any], k: String): (PairKey, Row) =
-        (PairKey(PadSlot, r(rkIdx)),
-          Row.fromSeq(lNulls ++ r :+ k :+ outSeq))
+        (PairKey(PadSlot, r(rkIdx)), mk(null, r, k))
       if (e.getInt(1) == 0) {
         val pay = e.getStruct(5).toSeq
         val k = pay(lkIdx)
@@ -293,9 +418,23 @@ object ChangelogJoin {
     val jkField = env.schema.fields(0)
     val kEnc: Encoder[Row] = Encoders.row(StructType(Seq(jkField)))
     val vEnc: Encoder[Row] = Encoders.row(env.schema)
-    // state: (left live rows, right live rows) as upsertKey -> payload
-    type S = (Map[Any, Seq[Any]], Map[Any, Seq[Any]])
-    val sEnc: Encoder[S] = Encoders.kryo[S]
+    // state: (left live rows, right live rows) — format v2, UnsafeRow
+    // bytes behind a magic header, old Kryo checkpoints replayed via the
+    // codec's fallback path (see [[JoinStateCodec]]); the state-store
+    // schema (one nullable binary column) is identical to the Kryo
+    // encoder's, so existing checkpoints restore without a layout change
+    val codec = new JoinStateCodec(lType, rType)
+    // the Kryo encoder's state column was `value: binary NOT NULL`; the
+    // plain binary encoder is nullable, and the state-store schema check
+    // rejects that as a widening — pin non-nullability (the codec never
+    // yields null) so old checkpoints restore byte-compatibly
+    val sEnc: Encoder[Array[Byte]] = {
+      val e = org.apache.spark.sql.catalyst.encoders
+        .encoderFor(Encoders.BINARY)
+      e.copy(objSerializer =
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          e.objSerializer))
+    }
     val oEnc: Encoder[Row] = Encoders.row(outSchema)
 
     val timeoutConf = idleTtlMs match {
@@ -304,20 +443,22 @@ object ChangelogJoin {
     }
     env.as[Row](vEnc)
       .groupByKey(r => Row(r.get(0)))(kEnc)
-      .flatMapGroupsWithState[S, Row](
+      .flatMapGroupsWithState[Array[Byte], Row](
         OutputMode.Append(), timeoutConf) {
-        (_: Row, rows: Iterator[Row], state: GroupState[S]) =>
+        (_: Row, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
           if (state.hasTimedOut) {
             // idle TTL expired: drop both sides' live rows (state.ttl)
             state.remove()
             Iterator.empty
           } else {
-            val old = state.getOption.getOrElse(
-              (Map.empty[Any, Seq[Any]], Map.empty[Any, Seq[Any]]))
-            val lState: SideState =
-              scala.collection.mutable.LinkedHashMap.from(old._1)
-            val rState: SideState =
-              scala.collection.mutable.LinkedHashMap.from(old._2)
+            val (oldLRows, oldRRows) = state.getOption.map(codec.decode)
+              .getOrElse((Seq.empty[Seq[Any]], Seq.empty[Seq[Any]]))
+            val oldL: SideState = scala.collection.mutable.LinkedHashMap
+              .from(oldLRows.iterator.map(p => p(lkIdx) -> p))
+            val oldR: SideState = scala.collection.mutable.LinkedHashMap
+              .from(oldRRows.iterator.map(p => p(rkIdx) -> p))
+            val lState: SideState = oldL.clone()
+            val rState: SideState = oldR.clone()
             // Net emission per micro-batch (r19, guide §2.3 "shuffle
             // fewer bytes"; ref MiniBatchStreamingJoinOperator.java:234 —
             // the reference's minibatch join folds redundant changelog
@@ -345,7 +486,7 @@ object ChangelogJoin {
                 }
               }
             touched.foreach { case (pk, lastSeq) =>
-              val pre = image(pk, old._1, old._2)
+              val pre = image(pk, oldL, oldR)
               val post = image(pk, lState, rState)
               if (pre != post) {
                 pre.foreach(p => out +=
@@ -356,7 +497,7 @@ object ChangelogJoin {
             }
             if (lState.isEmpty && rState.isEmpty) state.remove()
             else {
-              state.update((lState.toMap, rState.toMap))
+              state.update(codec.encode(lState.values, rState.values))
               idleTtlMs.foreach(state.setTimeoutDuration)
             }
             out.iterator

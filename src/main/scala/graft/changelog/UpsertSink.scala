@@ -28,6 +28,19 @@ object UpsertSink {
   /** Default bucket count for NEW upsert stores (VERDICT r18 task 5). */
   val DefaultBuckets = 64
 
+  /** Broadcast gate for the anti-join MERGE (r20): micro-batches at or
+    * under this many rows resolve "which stored keys does the batch
+    * supersede" by broadcasting the batch's key columns into a map-side
+    * LEFT ANTI join — the stored side then never shuffles. 2^20 key rows
+    * is a few tens of MB framed, far under the 8 GB / 512M-row broadcast
+    * cap; larger batches (the 100 TB regime) keep the windowed-union
+    * MERGE. Deployment-tunable (session conf wins, then the env var),
+    * local default constant across the driver's core-count runs. */
+  def antiJoinMaxBatchKeyRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.merge.antiJoinMaxKeys")
+      .orElse(sys.env.get("SPARK_GRAFT_MERGE_ANTI_MAX_KEYS"))
+      .map(_.toLong).getOrElse(1L << 20)
+
   /** Bucket-layout decision for a PK sink, made ONCE at query start: an
     * explicit `'distribution-buckets'` declaration always wins; without
     * one, a NEW (empty) store defaults to the hash-bucketed layout
@@ -167,12 +180,14 @@ object UpsertSink {
         return
       }
 
-      // one pass answers both "which buckets does this batch touch" and
-      // "which of them could EMPTY" (only a bucket receiving a -D can —
-      // the common all-upsert batch then skips the emptied-bucket
-      // bookkeeping entirely)
+      // one pass answers "which buckets does this batch touch", "which of
+      // them could EMPTY" (only a bucket receiving a -D can — the common
+      // all-upsert batch then skips the emptied-bucket bookkeeping
+      // entirely) and "how many rows is the batch" (the anti-join
+      // broadcast gate below)
       val info = batch.groupBy(col("__bucket"))
-        .agg(max(col(RowKind.kindCol) === lit(RowKind.Delete)).as("hasdel"))
+        .agg(max(col(RowKind.kindCol) === lit(RowKind.Delete)).as("hasdel"),
+          count(lit(1)).as("n"))
         .collect()
       // a no-data micro-batch (watermark-advance trigger) touches nothing:
       // the collect above already executed the incremental plan (state
@@ -182,11 +197,40 @@ object UpsertSink {
       if (info.isEmpty) return
       val affected = info.map(_.getInt(0)).sorted
       val suspects = info.filter(_.getBoolean(1)).map(_.getInt(0))
-      val stored = spark.read.parquet(tablePath)
+      val batchRows = info.map(_.getLong(2)).sum
+      val storedRaw = spark.read.parquet(tablePath)
         .where(col("__bucket").isin(affected.map(Int.box): _*))
-        .withColumn(RowKind.kindCol, lit(RowKind.UpdateAfter))
-        .withColumn(RowKind.seqCol, lit(0L))
-      val merged = UpsertMaterialize(stored.unionByName(batch), keyCols)
+      // Anti-join MERGE (r20, VERDICT r19 task 5, guide §2.4/§3.1):
+      // stored rows are all seq-0 and unique per key, so
+      //   UpsertMaterialize(stored ∪ batch)
+      //     = stored[key ∉ batch keys] ∪ UpsertMaterialize(batch)
+      // given the documented seq contract (batch seqs ≥ 1 supersede
+      // stored seq 0). With the batch's key set BROADCAST, the stored
+      // side — usually the larger — is a map-side LEFT ANTI pass: it
+      // never shuffles through the keep-last window. Null-safe equality
+      // mirrors the window path (a window groups NULL keys together).
+      // GATED on the batch row count (collected above at zero extra
+      // cost): a 100 TB batch's key set can exceed the broadcast cap, so
+      // oversized batches fall back to the windowed union. File-count
+      // shape: every touched bucket is rewritten wholly per batch, so
+      // files per bucket stay bounded by (stored scan tasks + batch
+      // window tasks), never compounding across batches — locked by
+      // UpsertSinkSpec's file-count assertions.
+      val merged =
+        if (batchRows <= antiJoinMaxBatchKeyRows(spark)) {
+          val bk = batch
+            .select(keyCols.map(k => col(k).as("__bk_" + k)): _*)
+          val cond = keyCols
+            .map(k => storedRaw(k) <=> bk("__bk_" + k))
+            .reduce(_ && _)
+          storedRaw.join(broadcast(bk), cond, "left_anti")
+            .unionByName(UpsertMaterialize(batch, keyCols))
+        } else {
+          val stored = storedRaw
+            .withColumn(RowKind.kindCol, lit(RowKind.UpdateAfter))
+            .withColumn(RowKind.seqCol, lit(0L))
+          UpsertMaterialize(stored.unionByName(batch), keyCols)
+        }
       // emptied-bucket detection is a METADATA diff, not a Spark job: a
       // dynamic partition overwrite replaces the files of every bucket the
       // written data contains (fresh UUID part names) and leaves row-less
@@ -195,6 +239,13 @@ object UpsertSink {
       // (Previously this re-evaluated the whole merge plan a second time
       // just to ask which suspects survive — a full extra Spark job per
       // delete-carrying micro-batch; guide §1.2.)
+      // dev-only plan evidence hook (r20): dump the MERGE's physical plan
+      // so the anti-join's "stored side never shuffles" claim is auditable
+      // (plans/r20/upsert_merge_anti_after.txt)
+      if (sys.env.contains("SPARK_GRAFT_MERGE_EXPLAIN"))
+        System.err.println("[merge-plan]\n" +
+          merged.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
       val namesBefore: Map[Int, Set[String]] = suspects.map { b =>
         b -> FsOps.childNames(spark, s"$tablePath/__bucket=$b")
           .filterNot(_.startsWith("_")).toSet

@@ -81,20 +81,13 @@ object ConnectedComponents {
         try body
         finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
       }
-    scopedRounds(ccRounds(sym, maxIter, bcastLabels = smallGraph))
+    scopedRounds(
+      if (smallGraph) ccRoundsSmall(sym, maxIter)
+      else ccRounds(sym, maxIter))
   }
 
-  /** @param bcastLabels small-graph mode: broadcast the label table into
-    *        both per-round joins (its size is bounded by the edge set the
-    *        caller just measured exactly), so a round is one map-side
-    *        pass + one aggregate exchange instead of three sort-merge
-    *        exchanges — with AQE scoped off, the planner would otherwise
-    *        fall back to SMJ on the garbage pre-checkpoint estimates
-    *        (guide §3.1: broadcast explicitly when you KNOW the size). */
-  private def ccRounds(
-      sym: DataFrame, maxIter: Int, bcastLabels: Boolean): DataFrame = {
-    def maybeB(df: DataFrame): DataFrame =
-      if (bcastLabels) broadcast(df) else df
+  /** Big-graph (100 TB) label rounds: everything distributed, AQE on. */
+  private def ccRounds(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -105,7 +98,7 @@ object ConnectedComponents {
       // flagged self-row: exactly one per node, so max(self label) IS
       // the old label) through one aggregate
       val contrib = sym
-        .join(maybeB(labels), sym("a") === labels("node"))
+        .join(labels, sym("a") === labels("node"))
         .select(col("b").as("node"), col("label"),
           lit(false).as("__self"))
         .unionByName(labels.withColumn("__self", lit(true)))
@@ -126,7 +119,7 @@ object ConnectedComponents {
       // self-join on the label table (tiny relative to edges).
       val j = neigh.select(col("node").as("__jn"), col("label").as("__jl"))
       val round = neigh
-        .join(maybeB(j), neigh("label") === j("__jn"), "left")
+        .join(j, neigh("label") === j("__jn"), "left")
         .select(neigh("node"),
           coalesce(col("__jl"), neigh("label")).as("label"), col("__old"))
         .localCheckpoint(true)
@@ -136,5 +129,82 @@ object ConnectedComponents {
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Small-graph label rounds (r20, VERDICT r19 task 6): the r19 shape
+    * broadcast the label table into two per-round joins — which already
+    * collects it to the driver every round — yet still paid per round a
+    * jump join, an eager localCheckpoint job, a convergence-check job and
+    * a full Catalyst re-analysis (~0.3 s/round of driver planning,
+    * ~12 rounds on the embedding graph). This variant keeps the EDGE work
+    * exactly where it was — one distributed broadcast-join + min-aggregate
+    * job per round over `sym`, which never leaves the cluster (the design
+    * line r19 drew: no driver-side union-find over collected edges) — and
+    * moves only the LABEL-TABLE bookkeeping driver-side:
+    *   - the round's aggregate output (nodes × 3 columns, bounded by the
+    *     edge set the caller just measured exactly) is collected once per
+    *     round — replacing the implicit collect the broadcast join did;
+    *   - the pointer jump becomes FULL path compression over the label
+    *     map (zero distributed cost, where each extra distributed jump
+    *     join measured net-negative in r15), which also cuts round count:
+    *     compressed labels mean every fresh minimum propagates from a
+    *     component's current root in one hop, the same acceleration two
+    *     jump joins bought without their per-round cost;
+    *   - the convergence check reads the collected rows (no extra job),
+    *     and next round's labels re-enter as a LocalRelation under the
+    *     same broadcast join.
+    * Net: 1 Spark job per round instead of 2, a smaller plan to analyze,
+    * and fewer rounds. Convergence = no label changed in a round BEFORE
+    * compression — min-propagation over the symmetric edge set is then at
+    * its fixpoint (adjacent labels mutually ≤ ⇒ equal; the component-min
+    * node keeps itself), exactly the invariant the old check certified,
+    * and compression at the fixpoint is the identity. */
+  private def ccRoundsSmall(sym: DataFrame, maxIter: Int): DataFrame = {
+    val spark = sym.sparkSession
+    val nodeField = sym.schema("a")
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      nodeField.copy(name = "node"), nodeField.copy(name = "label")))
+    def labelDf(ls: Array[(Any, Any)]): DataFrame = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(
+          ls.map { case (n, l) =>
+            org.apache.spark.sql.Row(n, l) }: _*)
+      spark.createDataFrame(rows, labelSchema)
+    }
+    var labels: Array[(Any, Any)] = sym.select(col("a")).distinct()
+      .collect().map(r => (r.get(0), r.get(0)))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val lab = labelDf(labels)
+      val contrib = sym
+        .join(broadcast(lab), sym("a") === lab("node"))
+        .select(col("b").as("node"), col("label"),
+          lit(false).as("__self"))
+        .unionByName(lab.withColumn("__self", lit(true)))
+      val out = contrib
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("__self"), col("label"))).as("__old"))
+        .collect()
+      converged = out.forall(r => r.get(1) == r.get(2))
+      // full path compression on the driver-resident label map
+      val m = scala.collection.mutable.HashMap.empty[Any, Any]
+      out.foreach(r => m.update(r.get(0), r.get(1)))
+      var compressing = !converged
+      while (compressing) {
+        compressing = false
+        m.keysIterator.toArray.foreach { k =>
+          val l = m(k)
+          val ll = m.getOrElse(l, l)
+          if (ll != l) { m.update(k, ll); compressing = true }
+        }
+      }
+      labels = out.map(r => (r.get(0), m(r.get(0))))
+      iter += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds")
+    labelDf(labels)
   }
 }

@@ -376,10 +376,11 @@ object StreamingCdc {
             // its 2·seq+bit stamp over the arrival-seq domain
             merge(batch, alignKeeping(spec, batch))
           }
-          // NOT startScoped (r19): the ChangelogJoin step function is
-          // CPU-bound per key — it wants the session's full parallelism,
-          // unlike the fixed-cost-bound aggregate tiers (measured 2.5x)
-          .start()
+          // join-tier partition scope (r20, re-adjudicating the r19
+          // full-parallelism exemption): post-net-emission and post-v2-
+          // state-codec the per-key step is no longer CPU-bound — see
+          // GraftSession.joinStreamPartitions for the fresh A/B
+          .startJoinScoped(spark)
 
       case None =>
         // Passthrough tier: projection/filter only. Thread the changelog
@@ -457,12 +458,12 @@ object StreamingCdc {
       merge: (DataFrame, DataFrame) => Unit,
       joinChild: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // a ChangelogJoin child is CPU-bound state compute — keep the
-    // session's parallelism for it (see the join-passthrough tier)
+    // a ChangelogJoin child takes the join-tier partition scope (r20 —
+    // see GraftSession.joinStreamPartitions), the rest the streaming one
     implicit class TierStart[T](
         w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
       def startTier(): org.apache.spark.sql.streaming.StreamingQuery =
-        if (joinChild) w.start() else w.startScoped(spark)
+        if (joinChild) w.startJoinScoped(spark) else w.startScoped(spark)
     }
     val rewritten = rewriteAggregate(agg, sign)
     val plan = outer match {
@@ -531,7 +532,7 @@ object StreamingCdc {
     implicit class TierStart[T](
         w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
       def startTier(): org.apache.spark.sql.streaming.StreamingQuery =
-        if (joinChild) w.start() else w.startScoped(spark)
+        if (joinChild) w.startJoinScoped(spark) else w.startScoped(spark)
     }
     val childOut = agg.child.output
     val metaAttrs = Seq(RowKind.kindCol, RowKind.seqCol).map(n =>

@@ -1243,6 +1243,56 @@ class ChangelogSpec extends SparkSpecBase {
     assert(after == (1L to 40L).toSet -- victims)
   }
 
+  test("anti-join MERGE matches the windowed fallback, files stay bounded") {
+    // r20: the bucketed MERGE resolves superseded stored keys with a
+    // broadcast LEFT ANTI join when the batch is under the key gate; an
+    // oversized batch falls back to the windowed union. Both routes must
+    // reach the identical store, and the anti-join's split write path
+    // (stored scan tasks + batch window tasks per bucket) must not
+    // compound file counts across batches.
+    val base = java.nio.file.Files.createTempDirectory("graft-anti-")
+    val tAnti = base.toString + "/anti"
+    val tWin = base.toString + "/win"
+    val buckets = 8
+    def batchDf(rows: Seq[(Long, Double, Long, String)]) =
+      rows.toDF("k", "v", RowKind.seqCol, RowKind.kindCol)
+    val batches = Seq(
+      (1L to 60L).map(k => (k, k * 1.0, 1L, RowKind.Insert)),
+      // updates + a delete + a fresh key
+      Seq((3L, 33.0, 2L, RowKind.UpdateAfter),
+        (7L, 0.0, 3L, RowKind.Delete),
+        (61L, 61.0, 4L, RowKind.Insert)),
+      // churn again over the same buckets
+      Seq((3L, 34.0, 5L, RowKind.UpdateAfter),
+        (61L, 0.0, 6L, RowKind.Delete),
+        (8L, 88.0, 7L, RowKind.UpdateAfter)))
+    val gateKey = "spark.graft.merge.antiJoinMaxKeys"
+    batches.foreach { b =>
+      UpsertSink.applyBatchBucketed(spark, tAnti, batchDf(b), Seq("k"),
+        buckets)
+      spark.conf.set(gateKey, "0") // force the windowed fallback
+      try UpsertSink.applyBatchBucketed(spark, tWin, batchDf(b), Seq("k"),
+        buckets)
+      finally spark.conf.unset(gateKey)
+    }
+    val got = spark.read.parquet(tAnti).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    val want = spark.read.parquet(tWin).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(got == want, "anti-join and windowed MERGE diverged")
+    assert(got(3L) == 34.0 && got(8L) == 88.0 &&
+      !got.contains(7L) && !got.contains(61L) && got.size == 59)
+    // file-count bound: every touched bucket is rewritten wholly per
+    // batch, so per-bucket files never exceed the writing tasks of ONE
+    // batch (stored-scan + batch-window tasks), and never compound
+    (0 until buckets).foreach { b =>
+      val d = new java.io.File(tAnti, s"__bucket=$b")
+      val n = Option(d.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+      assert(n <= 16, s"bucket $b holds $n files — small-files regression")
+    }
+  }
+
   test("RowLevelOps update/delete rewrite only touched buckets") {
     val table = java.nio.file.Files.createTempDirectory("graft-rl-")
       .toString + "/t"

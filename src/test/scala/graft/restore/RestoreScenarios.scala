@@ -71,6 +71,23 @@ object RestoreScenarios {
     Seq(Nil, Seq(Row(1L, "x", 2.5, 2L, RowKind.Delete))),
     dfs => ChangelogJoin(dfs(0), dfs(1), "ljk", "rjk", "lk", "rk"))
 
+  /** ChangelogJoin, state-format v2 (r20): same operator as
+    * `changelog_join`, but the committed checkpoint was generated AFTER
+    * the UnsafeRow-backed state codec landed — so this fixture pins the
+    * v2 byte layout itself, while `changelog_join` keeps pinning that
+    * pre-v2 Kryo checkpoints still replay through the fallback decoder.
+    * LEFT join so pad state (a right row retracted while its match is
+    * held) also round-trips the new bytes. */
+  private val changelogJoinV2 = Scenario(
+    "changelog_join_v2",
+    Seq(sideSchema("ljk", "lk", "lv"), sideSchema("rjk", "rk", "rv")),
+    Seq(Seq(Row(1L, "a", 1.5, 1L, RowKind.Insert),
+      Row(2L, "b", 3.5, 2L, RowKind.Insert)),
+      Seq(Row(1L, "x", 2.5, 3L, RowKind.Insert))),
+    Seq(Nil, Seq(Row(1L, "x", 2.5, 4L, RowKind.Delete),
+      Row(2L, "y", 9.0, 5L, RowKind.Insert))),
+    dfs => ChangelogJoin(dfs(0), dfs(1), "ljk", "rjk", "lk", "rk", "left"))
+
   private val topnSchema = StructType(Seq(
     StructField("pk", StringType), StructField("uk", LongType),
     StructField("v", DoubleType),
@@ -271,7 +288,8 @@ object RestoreScenarios {
       Map(1 -> Seq(ChangelogMultiJoin.ChainCond(0, "ajk", "bjk"))),
       Seq("inner", "left")))
 
-  val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin, changelogTopn,
+  val all: Seq[Scenario] = Seq(retractingAgg, changelogJoin,
+    changelogJoinV2, changelogTopn,
     dedupLast, cepStreaming, countWindows, temporalJoin, streamingOver,
     changelogSemi, processTableFunction, cumulateBounded, lateralSnapshot,
     multiJoinLeft)
